@@ -1,0 +1,20 @@
+"""scrapix_spark — a PySpark-native full-text analytics engine.
+
+A from-scratch inverted-index build + BM25 top-k query engine with the
+query and data-processing capabilities of meilisearch/scrapix (reference
+at /root/reference, studied in SURVEY.md), re-expressed Spark-first:
+
+- document production pipeline (scrapix scrapers) as DataFrame transforms,
+- the index + query half (which scrapix delegates to Meilisearch but fully
+  configures via searchableAttributes / rankingRules / distinctAttribute)
+  built from scratch: vectorized Arrow tokenization, (term, doc_id, tf)
+  postings, delta+varint compressed posting blocks with block-max metadata,
+  checkpoint-resumable segment builds, atomic manifest publish, and a
+  block-max pruned top-k BM25 query path rank-identical to full scoring.
+
+Everything is DataFrame + pandas/Arrow UDFs — no per-row Python UDFs.
+"""
+
+__version__ = "0.1.0"
+
+from scrapix_spark.config import IndexConfig  # noqa: F401

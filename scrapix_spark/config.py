@@ -1,0 +1,84 @@
+"""Job configuration.
+
+Mirrors the reference's ``Config`` object (reference src/types.ts:6-26) where
+the fields are meaningful for a table-driven engine; crawl-only fields
+(start_urls as HTTP seeds, headless, user_agents, webhook_*) map to their
+table/metrics analogs per SURVEY.md §1.3.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field, asdict
+from typing import Optional
+
+
+# Meilisearch-ish BM25 constants pinned by BASELINE.json north_star.
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+# Posting-block size (docs per block); Lucene uses 128, we follow.
+DEFAULT_BLOCK_SIZE = 128
+
+# Default number of doc-shards. Shard = pmod(doc_id, n_shards) serves two
+# purposes at once (SURVEY.md §2.6 J5): it is the *salt* that splits skewed
+# high-df terms across build partitions, and it is the unit of parallel
+# query execution (per-shard block-max top-k, then a tiny global merge).
+DEFAULT_N_SHARDS = 32
+
+# Default flush/batch sizing, kept for parity with reference
+# src/sender.ts:22 (batch_size || 1000).
+DEFAULT_BATCH_SIZE = 1000
+
+
+@dataclass
+class IndexConfig:
+    """Configuration for one index build (analog of reference Config).
+
+    Reference field -> here (reference src/types.ts:6-26):
+      meilisearch_index_uid -> index_uid
+      start_urls / urls_to_exclude -> scope_include / scope_exclude
+          (glob-ish predicates on (repo, path); crawler.ts:145-163)
+      urls_to_index / urls_to_not_index -> index_include / index_exclude
+      primary_key -> primary key is always the deterministic doc_id
+          (uuid4 of default.ts:51 replaced per SURVEY P5)
+      batch_size -> batch_size (sender.ts:22)
+      strategy -> strategy ('code' | 'default' | 'docssearch')
+      meilisearch_settings.searchableAttributes -> field_weights
+          (default order: default.ts:15-25; docssearch.ts:57-71)
+      meilisearch_settings.distinctAttribute -> distinct_attribute
+          (default.ts:27 -> 'url')
+    """
+
+    index_uid: str = "index"
+    strategy: str = "code"
+
+    # Scope predicates (crawl-scope and index-scope layers, crawler.ts:145-163)
+    scope_include: list[str] = field(default_factory=list)   # glob patterns on path
+    scope_exclude: list[str] = field(default_factory=list)
+    langs: Optional[list[str]] = None   # lang allow-list (file-extension filter analog, crawler.ts:200-242)
+    exclude_paginated: bool = True      # skip /\d+/ path segments (crawler.ts:244-248)
+
+    # BM25 / scoring
+    k1: float = DEFAULT_K1
+    b: float = DEFAULT_B
+    field_weights: dict[str, float] = field(default_factory=dict)
+    distinct_attribute: Optional[str] = None
+
+    # Physical layout
+    n_shards: int = DEFAULT_N_SHARDS
+    block_size: int = DEFAULT_BLOCK_SIZE
+    batch_size: int = DEFAULT_BATCH_SIZE
+    shuffle_partitions: Optional[int] = None
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "IndexConfig":
+        return cls(**json.loads(s))
+
+    @classmethod
+    def load(cls, path: str) -> "IndexConfig":
+        with open(path) as f:
+            return cls(**json.load(f))

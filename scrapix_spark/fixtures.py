@@ -1,0 +1,122 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1, seed=42).
+
+Generates the Iceberg-shaped input table from BASELINE.json input_hint:
+(repo:string, path:string, commit:string, lang:string, content:string).
+Pure numpy + hashlib — no external data, fully reproducible.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+SEED = 42
+
+LANGS = ["py", "js", "ts", "go", "rs", "java", "md"]
+# zipf-ish weights
+LANG_W = np.array([0.30, 0.20, 0.15, 0.12, 0.10, 0.08, 0.05])
+
+PATH_VOCAB = [
+    "src", "lib", "core", "utils", "tests", "internal", "pkg", "cmd",
+    "api", "server", "client", "v2", "10", "legacy", "modules", "engine",
+]
+
+# identifier vocabulary with planted hot terms (df > 0.5N) and rare terms
+HOT_TERMS = ["import", "def", "the", "return", "self"]
+COMMON_VOCAB = [
+    "parse", "index", "token", "query", "merge", "block", "shard", "score",
+    "buffer", "stream", "handle", "config", "value", "result", "error",
+    "batch", "cache", "filter", "write", "read", "node", "tree", "hash",
+    "search", "binary", "sort", "count", "offset", "length", "state",
+    "vector", "matrix", "float", "string", "array", "table", "spark",
+]
+RARE_TERMS = ["zanzibar", "quuxify"]
+
+SEPARATORS = ["_", ".", ":", "(", ")", "{", "}", "[", "]", ",", ";",
+              "=", "+", "-", "*", "/", "<", ">", "!", "&", "|", "'", '"']
+
+
+def generate_corpus(n_docs: int, seed: int = SEED) -> pd.DataFrame:
+    """Build the synthetic (repo, path, commit, lang, content) table."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    vocab = np.array(COMMON_VOCAB)
+    seps = np.array(SEPARATORS)
+    for i in range(n_docs):
+        repo = f"org{i % 7}/repo{i % 23}"
+        nseg = 1 + int(rng.integers(0, 5))
+        segs = [PATH_VOCAB[int(j)] for j in rng.integers(0, len(PATH_VOCAB), nseg)]
+        lang = LANGS[int(rng.choice(len(LANGS), p=LANG_W))]
+        path = "/".join(segs) + f"/file{i}.{lang}"
+        commit = hashlib.sha256(f"{repo}/{path}".encode()).hexdigest()[:40]
+
+        # doc length log-normal, 20..2000 tokens
+        dlen = int(np.clip(np.exp(rng.normal(4.5, 1.0)), 20, 2000))
+        words = list(vocab[rng.integers(0, len(vocab), dlen)])
+        # hot terms sprinkled so df > 0.5N
+        for h in HOT_TERMS:
+            if rng.random() < 0.7:
+                k = 1 + int(rng.integers(0, 4))
+                for p in rng.integers(0, dlen, k):
+                    words[int(p)] = h
+        # rare terms planted in a few docs
+        if i % max(1, n_docs // 10) == 3:
+            words[int(rng.integers(0, dlen))] = RARE_TERMS[i % 2]
+        # interleave code separators
+        parts = []
+        for w in words:
+            parts.append(w)
+            if rng.random() < 0.4:
+                parts.append(str(seps[int(rng.integers(0, len(seps)))]))
+            else:
+                parts.append(" ")
+            if rng.random() < 0.05:
+                parts.append("\n")
+        content = "".join(parts)
+        rows.append((repo, path, commit, lang, content))
+
+    df = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+    # planted edge rows (FIXTURES.md §1), deterministic
+    edge = pd.DataFrame(
+        [
+            ("org0/repo0", "edge/empty.py", _commit("org0/repo0", "edge/empty.py"), "py", ""),
+            ("org0/repo0", "edge/seps.py", _commit("org0/repo0", "edge/seps.py"), "py", "(){}[];;;===..."),
+            ("org1/repo1", "edge/uni.py", _commit("org1/repo1", "edge/uni.py"), "py", "héllo_wörld = héllo_wörld + 1"),
+            ("org2/repo2", "edge/dup_a.py", _commit("org2/repo2", "edge/dup_a.py"), "py", "duplicated content pair zanzibar"),
+            ("org3/repo3", "edge/dup_b.py", _commit("org3/repo3", "edge/dup_b.py"), "py", "duplicated content pair zanzibar"),
+            ("org4/repo4", "edge/unique.py", _commit("org4/repo4", "edge/unique.py"), "py",
+             " ".join(f"uniqtok{j}xq" for j in range(50))),
+        ],
+        columns=df.columns,
+    )
+    return pd.concat([df, edge], ignore_index=True)
+
+
+def _commit(repo: str, path: str) -> str:
+    return hashlib.sha256(f"{repo}/{path}".encode()).hexdigest()[:40]
+
+
+# Reference query set (FIXTURES.md §3): 1-4 terms covering rare/hot/mix/
+# multi-term/absent/unicode/separator-laden.
+QUERY_SET = [
+    (1, "zanzibar", 10),
+    (2, "import", 10),
+    (3, "zanzibar import", 10),
+    (4, "binary search tree node", 10),
+    (5, "xyzzynotaterm", 10),
+    (6, "héllo_wörld", 10),
+    (7, "merge.block(shard)", 10),
+    (8, "quuxify def", 10),
+    (9, "parse index token", 10),
+    (10, "score", 10),
+]
+
+
+def corpus_spark_df(spark, n_docs: int, seed: int = SEED):
+    """Synthetic corpus as a Spark DataFrame (distributed-friendly sizes
+    generated on the driver in pandas — test scales only)."""
+    pdf = generate_corpus(n_docs, seed)
+    return spark.createDataFrame(pdf)

@@ -1,0 +1,121 @@
+"""Tokenization — Meilisearch-style word splitting, code-aware separators.
+
+The reference delegates tokenization to Meilisearch but pins what is
+searchable (reference src/scrapers/default.ts:15-25,
+src/scrapers/docssearch.ts:57-71); the engine implements the tokenizer
+itself (SURVEY.md §2.9 last row): lowercase, split on whitespace +
+ASCII punctuation/code separators (``_ . : ( ) [ ] { } , ; = + - * / < >
+! & | ' " ` `` …), keep digits and non-ASCII letters as token characters.
+
+One separator definition is shared by three consumers that must agree
+byte-for-byte:
+  * the Arrow-vectorized pandas UDF (engine build path),
+  * the native Spark expression path (oracle / JVM-side),
+  * the DuckDB oracle SQL emitted for the driver's correctness gate.
+
+The class is written with explicit ASCII ranges (no ``\\s``) because
+Python re, Java regex and RE2 disagree on what ``\\s`` matches.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, LongType, StringType, StructField, StructType
+
+# Unicode whitespace that should separate tokens (embedded as literal chars
+# so Python re, Java regex and RE2 all read them identically).
+_UNI_SPACES = (
+    "          "
+    "       　﻿"
+)
+
+# Separator char class: all ASCII controls + space + punctuation + DEL +
+# unicode spaces. Token chars are [0-9a-z] (post-lowercase) and any other
+# non-ASCII character (unicode identifiers like héllo_wörld → héllo, wörld).
+SEP_PATTERN = "[\\x00-\\x2f:-@\\[-\\x60{-~\\x7f" + _UNI_SPACES + "]+"
+
+_SEP_RE = re.compile(SEP_PATTERN)
+
+TOKEN_STRUCT = StructType(
+    [StructField("term", StringType()), StructField("tf", LongType())]
+)
+
+
+def tokens_native(col: Column) -> Column:
+    """Pure-JVM tokenizer: lower → split on SEP_PATTERN → drop empties.
+
+    Returns ``array<string>`` in document order. This is the oracle-parity
+    path (whole-stage codegen, no Python), used when raw token order
+    matters or to cross-check the pandas UDF.
+    """
+    return F.filter(F.split(F.lower(col), SEP_PATTERN), lambda t: t != F.lit(""))
+
+
+def duckdb_tokens_sql(expr: str) -> str:
+    """DuckDB expression producing the same token array as tokens_native."""
+    pat = SEP_PATTERN.replace("\\", "\\")  # RE2 accepts the class verbatim
+    return (
+        f"list_filter(regexp_split_to_array(lower({expr}), '{pat}'), t -> t <> '')"
+    )
+
+
+def _tokenize_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized: batch of strings → (row_idx, term, row_token_counts).
+
+    row_idx/term are parallel flat arrays of every (row, token) occurrence.
+    """
+    s = texts.fillna("").astype(str).str.lower()
+    token_lists = s.str.split(_SEP_RE)
+    lengths = token_lists.str.len().fillna(0).astype(np.int64).to_numpy()
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists]) if len(s) else np.empty(0, object)
+    row_idx = np.repeat(np.arange(len(s), dtype=np.int64), lengths)
+    keep = flat != ""
+    return row_idx[keep], flat[keep], lengths
+
+
+@F.pandas_udf(ArrayType(TOKEN_STRUCT))
+def tokenize_counted(texts: pd.Series) -> pd.Series:
+    """content → array<struct<term, tf>> — counted per doc, map-side.
+
+    Counting inside the UDF (SURVEY.md A7) avoids shuffling raw token
+    occurrences: only distinct (term, tf) pairs per doc leave the scan
+    stage. Arrow-vectorized; the only Python iteration is over the
+    grouped (row, term) pairs, not raw tokens.
+    """
+    row_idx, terms, _ = _tokenize_batch(texts)
+    out: list[list[dict]] = [[] for _ in range(len(texts))]
+    if row_idx.size:
+        df = pd.DataFrame({"r": row_idx, "t": terms})
+        counts = df.groupby(["r", "t"], sort=False).size()
+        for (r, t), c in counts.items():
+            out[r].append({"term": t, "tf": int(c)})
+    return pd.Series(out)
+
+
+@F.pandas_udf(IntegerType())
+def token_count(texts: pd.Series) -> pd.Series:
+    """content → number of tokens (doc_len). Arrow-vectorized."""
+    _, _, lengths = _tokenize_batch(texts)
+    s = texts.fillna("").astype(str).str.lower()
+    # lengths counts split pieces incl. empties; recount non-empty pieces
+    token_lists = s.str.split(_SEP_RE)
+    n = token_lists.apply(lambda ts: sum(1 for t in ts if t != ""))
+    return n.astype("int32")
+
+
+def with_tokens(df, text_col: str = "content"):
+    """Attach `tokens` (counted structs) and `doc_len` columns.
+
+    doc_len is derived from the counted structs with a native fold
+    (no second UDF pass).
+    """
+    df = df.withColumn("tokens", tokenize_counted(F.col(text_col)))
+    return df.withColumn(
+        "doc_len",
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]),
+    )

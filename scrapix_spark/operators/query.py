@@ -1,0 +1,297 @@
+"""Top-k BM25 query engine — full-scoring oracle + block-max pruned path.
+
+Two executions of the same ranking, required to be rank-identical
+(BASELINE.json north_rule):
+
+* ``bm25_topk_full`` — pure DataFrame ops end-to-end (the correctness
+  oracle, and itself a legitimate distributed query plan: posting filter
+  with parquet pushdown → broadcast idf join → hash agg → top-k).
+* ``bm25_topk_pruned`` — per-shard block-max pruning (SURVEY.md T3)
+  inside one Arrow-batched applyInPandas, then a tiny global merge of
+  n_shards·k candidates. The pruning is a vectorized block-max MaxScore:
+
+    1. decode each query term's single best block (max block_max_impact);
+       partial scores of those docs give a *lower bound* θ on the final
+       k-th score (any subset's k-th best partial is a valid lower bound);
+    2. a block (t, b) is skipped iff
+          idf_t·block_max(t,b) + Σ_{t'≠t} U_{t'}  <  θ
+       where U_t = idf_t·max_b block_max(t,b). Any doc in a skipped block
+       has full score < θ ≤ final k-th score, so it cannot enter the
+       top-k, and its partial score (≤ its full score < θ) cannot
+       contaminate the result — while at least k docs (those defining θ)
+       are provably decoded in full. Hence rank-identical to full scoring.
+
+Ranking order (T1, pinned for rank-identical determinism): round(score, 9)
+desc, doc_id asc. Rounding turns float near-ties into exact ties resolved
+by doc_id, so JVM, numpy and the DuckDB oracle agree.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scrapix_spark.functions.tokenize import SEP_PATTERN
+from scrapix_spark.operators import codec
+from scrapix_spark.operators import index as IX
+
+_SEP_RE = re.compile(SEP_PATTERN)
+
+SCORE_ROUND = 9
+
+
+def query_terms(q: str) -> list[str]:
+    """Tokenize a query string exactly like document content; distinct,
+    first-occurrence order."""
+    seen: dict[str, None] = {}
+    for t in _SEP_RE.split(q.lower()):
+        if t:
+            seen.setdefault(t)
+    return list(seen)
+
+
+def bm25_score_expr(tf, dl, idf, avgdl: float, k1: float, b: float):
+    """BM25 contribution as a native Spark expression (float64) — the
+    same formula, literally, as codec.bm25_impact × idf."""
+    tf = tf.cast("double")
+    dl = dl.cast("double")
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / F.lit(avgdl)))
+
+
+def idf_expr(N: int, df_col):
+    return F.log1p((F.lit(float(N)) - df_col + 0.5) / (df_col + 0.5))
+
+
+def bm25_topk_from_postings(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    q: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Full-scoring BM25 top-k over an exploded postings DataFrame.
+
+    Plan shape: term filter (pushes to scan) → broadcast join of the
+    query-sized idf slice (J3) → hash agg per doc → global top-k.
+    Returns (doc_id, score, n_matched) ordered by the pinned T1 order.
+    """
+    terms = query_terms(q)
+    if not terms:
+        return postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double, n_matched int"
+        )
+    tstats = term_stats.filter(F.col("term").isin(terms)).withColumn(
+        "idf", idf_expr(N, F.col("df").cast("double"))
+    )
+    cand = postings.filter(F.col("term").isin(terms)).join(
+        F.broadcast(tstats.select("term", "idf")), "term"
+    )
+    scored = cand.withColumn(
+        "contrib", bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, k1, b)
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.count("*").cast("int").alias("n_matched"),
+    )
+    return agg.orderBy(
+        F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
+    ).limit(k)
+
+
+def ranked_union_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    q: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Meilisearch `words`-rule ranking (T1/J1): documents matching more
+    query terms always rank first, BM25 breaks ties within a word count
+    (reference ranking chain src/scrapers/docssearch.ts:47-56)."""
+    terms = query_terms(q)
+    if not terms:
+        return postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double, n_matched int"
+        )
+    tstats = term_stats.filter(F.col("term").isin(terms)).withColumn(
+        "idf", idf_expr(N, F.col("df").cast("double"))
+    )
+    cand = postings.filter(F.col("term").isin(terms)).join(
+        F.broadcast(tstats.select("term", "idf")), "term"
+    )
+    agg = (
+        cand.withColumn(
+            "contrib",
+            bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, k1, b),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.count("*").cast("int").alias("n_matched"),
+        )
+    )
+    return agg.orderBy(
+        F.col("n_matched").desc(),
+        F.round(F.col("score"), SCORE_ROUND).desc(),
+        F.col("doc_id").asc(),
+    ).limit(k)
+
+
+def bm25_topk_full(
+    spark: SparkSession, index_dir: str, q: str, k: int = 10, hydrate: bool = True
+) -> DataFrame:
+    """Oracle path over a published index: decode blocks natively-ish
+    (small mapInPandas decode), then pure DataFrame scoring."""
+    meta = IX.load_meta(index_dir)
+    terms = query_terms(q)
+    seg = IX.read_segments(spark, index_dir).filter(F.col("term").isin(terms))
+    post = _decode_blocks_df(seg)
+    tstats = IX.read_dict(spark, index_dir)
+    topk = bm25_topk_from_postings(
+        post, tstats, meta["N"], meta["avgdl"], q, k, meta["k1"], meta["b"]
+    )
+    return _hydrate(spark, index_dir, topk) if hydrate else topk
+
+
+def _decode_blocks_df(seg: DataFrame) -> DataFrame:
+    """Encoded block rows → (term, doc_id, tf, dl) via Arrow mapInPandas."""
+    def decode(batches):
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                ids, tf, dl = codec.decode_block(row)
+                outs.append(
+                    pd.DataFrame(
+                        {"term": row["term"], "doc_id": ids, "tf": tf, "dl": dl}
+                    )
+                )
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(columns=["term", "doc_id", "tf", "dl"])
+            )
+
+    return seg.mapInPandas(decode, schema="term string, doc_id long, tf long, dl long")
+
+
+def bm25_topk_pruned(
+    spark: SparkSession, index_dir: str, q: str, k: int = 10, hydrate: bool = True
+) -> DataFrame:
+    """Block-max pruned top-k: per-shard kernel + global merge."""
+    meta = IX.load_meta(index_dir)
+    terms = query_terms(q)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    # dictionary slice for the query terms → idf map (tiny, driver-side J3)
+    drows = (
+        IX.read_dict(spark, index_dir)
+        .filter(F.col("term").isin(terms))
+        .collect()
+    )
+    idf_map = {
+        r["term"]: float(codec.bm25_idf(meta["N"], np.array([r["df"]]))[0])
+        for r in drows
+    }
+    if not idf_map:
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        return _hydrate(spark, index_dir, empty) if hydrate else empty
+    seg = IX.read_segments(spark, index_dir).filter(
+        F.col("term").isin(list(idf_map))
+    )
+    avgdl, k1, b = meta["avgdl"], meta["k1"], meta["b"]
+
+    def shard_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _blockmax_topk_kernel(pdf, idf_map, avgdl, k1, b, k)
+
+    per_shard = seg.groupBy("shard").applyInPandas(
+        shard_topk, schema="doc_id long, score double"
+    )
+    topk = per_shard.orderBy(
+        F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
+    ).limit(k)
+    return _hydrate(spark, index_dir, topk) if hydrate else topk
+
+
+def _blockmax_topk_kernel(
+    pdf: pd.DataFrame, idf_map: dict, avgdl: float, k1: float, b: float, k: int
+) -> pd.DataFrame:
+    """Vectorized block-max MaxScore over one shard's query-term blocks."""
+    terms = [t for t in idf_map if (pdf["term"] == t).any()]
+    if not terms:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    by_term = {t: pdf[pdf["term"] == t].sort_values("block_id") for t in terms}
+    U = {t: idf_map[t] * by_term[t]["block_max_impact"].max() for t in terms}
+    sum_U = sum(U.values())
+
+    def contributions(row, t):
+        ids, tf, dl = codec.decode_block(row)
+        imp = codec.bm25_impact(tf, dl, avgdl, k1, b)
+        return ids, idf_map[t] * imp
+
+    # phase 1: best block per term → θ lower bound
+    decoded: dict[tuple, tuple] = {}
+    for t in terms:
+        g = by_term[t]
+        best = g.iloc[int(np.argmax(g["block_max_impact"].to_numpy()))]
+        decoded[(t, int(best["block_id"]))] = contributions(best, t)
+    theta = _kth_partial_score(decoded.values(), k)
+
+    # phase 2: skip blocks whose upper bound cannot reach θ
+    for t in terms:
+        others = sum_U - U[t]
+        for _, row in by_term[t].iterrows():
+            key = (t, int(row["block_id"]))
+            if key in decoded:
+                continue
+            ub = idf_map[t] * float(row["block_max_impact"]) + others
+            if ub < theta:
+                continue  # provably cannot enter (or tie into) the top-k
+            decoded[key] = contributions(row, t)
+
+    ids = np.concatenate([d[0] for d in decoded.values()])
+    sc = np.concatenate([d[1] for d in decoded.values()])
+    order = np.argsort(ids, kind="stable")
+    ids, sc = ids[order], sc[order]
+    bounds = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+    uids = ids[bounds]
+    totals = np.add.reduceat(sc, bounds)
+    # pinned T1 order: round(score, 9) desc, doc_id asc
+    r = np.round(totals, SCORE_ROUND)
+    sel = np.lexsort((uids, -r))[:k]
+    return pd.DataFrame({"doc_id": uids[sel].astype("int64"), "score": totals[sel]})
+
+
+def _kth_partial_score(decoded_values, k: int) -> float:
+    ids = np.concatenate([d[0] for d in decoded_values])
+    sc = np.concatenate([d[1] for d in decoded_values])
+    order = np.argsort(ids, kind="stable")
+    ids, sc = ids[order], sc[order]
+    bounds = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+    totals = np.add.reduceat(sc, bounds)
+    if totals.size < k:
+        return 0.0
+    return float(np.partition(totals, -k)[-k])
+
+
+def _hydrate(spark: SparkSession, index_dir: str, topk: DataFrame) -> DataFrame:
+    """J4: attach repo/path/commit/lang to the k winners — broadcast the
+    k rows against the docs table, never the reverse."""
+    docs = IX.read_docs(spark, index_dir).select(
+        "doc_id", "repo", "path", "commit", "lang"
+    )
+    return (
+        docs.join(F.broadcast(topk), "doc_id")
+        .orderBy(F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc())
+        .select("doc_id", "score", "repo", "path", "commit", "lang")
+    )

@@ -1,0 +1,59 @@
+"""Codec properties (FIXTURES.md §4): delta+varint roundtrip, block-max."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from scrapix_spark.operators import codec
+
+
+@pytest.mark.parametrize("n", [0, 1, 127, 128, 129, 10_000])
+def test_roundtrip_sizes(n):
+    rng = np.random.default_rng(42)
+    gaps = rng.integers(1, 10_000, n)
+    ids = np.cumsum(gaps)
+    assert np.array_equal(codec.delta_decode(codec.delta_encode(ids)), ids)
+
+
+def test_huge_gaps():
+    ids = np.array([0, 1, 2**40, 2**62], dtype=np.int64)
+    assert np.array_equal(codec.delta_decode(codec.delta_encode(ids)), ids)
+
+
+def test_varint_values():
+    vals = np.array([0, 1, 127, 128, 16383, 16384, 2**35, 2**63 - 1], dtype=np.uint64)
+    out = codec.varint_decode(codec.varint_encode(vals))
+    assert np.array_equal(out, vals)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=2**32), min_size=0, max_size=500))
+def test_roundtrip_property(gaps):
+    ids = np.cumsum(np.array(gaps, dtype=np.int64)) if gaps else np.empty(0, np.int64)
+    assert np.array_equal(codec.delta_decode(codec.delta_encode(ids)), ids)
+
+
+def test_blockmax_invariant():
+    rng = np.random.default_rng(7)
+    n = 1000
+    ids = np.cumsum(rng.integers(1, 50, n))
+    tf = rng.integers(1, 30, n)
+    dl = rng.integers(20, 2000, n)
+    avgdl, k1, b = 300.0, 1.2, 0.75
+    blocks = codec.encode_blocks(ids, tf, dl, avgdl, k1, b, 128)
+    assert sum(bl["n_docs"] for bl in blocks) == n
+    for bl in blocks:
+        bids, btf, bdl = codec.decode_block(bl)
+        imp = codec.bm25_impact(btf, bdl, avgdl, k1, b)
+        # block max ≥ every member impact, and equals the true max
+        assert bl["block_max_impact"] == pytest.approx(imp.max(), abs=0)
+        assert (imp <= bl["block_max_impact"]).all()
+        assert bl["first_doc_id"] == bids[0] and bl["last_doc_id"] == bids[-1]
+
+
+def test_idf_formula():
+    # idf = ln(1 + (N - df + 0.5)/(df + 0.5)) pinned by BASELINE.md
+    assert codec.bm25_idf(1000, np.array([10]))[0] == pytest.approx(
+        np.log1p((1000 - 10 + 0.5) / 10.5)
+    )

@@ -1,0 +1,149 @@
+"""End-to-end: build index on the fixture corpus, verify rank-identity
+of (a) full-scoring DataFrame path, (b) block-max pruned path, and
+(c) a pure-numpy BM25 oracle, over the reference query set (FIXTURES.md §3).
+"""
+
+import math
+import os
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.config import IndexConfig
+from scrapix_spark.fixtures import QUERY_SET
+from scrapix_spark.functions.tokenize import SEP_PATTERN
+from scrapix_spark.operators import index as IX
+from scrapix_spark.operators import query as Q
+from scrapix_spark.operators.docs import build_docs, sha256_invariant_violations
+
+K1, B = 1.2, 0.75
+_SEP = re.compile(SEP_PATTERN)
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tiny_corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index"))
+    cfg = IndexConfig(index_uid="fixture", n_shards=8, exclude_paginated=False)
+    IX.build_index(spark, tiny_corpus, d, cfg, build_id="t1", n_batches=2)
+    return d
+
+
+@pytest.fixture(scope="module")
+def numpy_oracle(spark, index_dir):
+    """Pure-python/numpy BM25 oracle built from the published docs table
+    + raw content (second oracle per SURVEY.md §5)."""
+    docs = IX.read_docs(spark, index_dir).select("doc_id").collect()
+    valid_ids = {r["doc_id"] for r in docs}
+    return valid_ids
+
+
+def _numpy_bm25(corpus_rows, q, k):
+    """Row dicts (doc_id, content) → top-k [(doc_id, score)]."""
+    tokenized = {
+        r["doc_id"]: [t for t in _SEP.split(r["content"].lower()) if t]
+        for r in corpus_rows
+    }
+    N = len(tokenized)
+    avgdl = sum(len(v) for v in tokenized.values()) / N
+    qterms = []
+    for t in _SEP.split(q.lower()):
+        if t and t not in qterms:
+            qterms.append(t)
+    df = {t: sum(1 for toks in tokenized.values() if t in toks) for t in qterms}
+    scores = {}
+    for did, toks in tokenized.items():
+        dl = len(toks)
+        s = 0.0
+        hit = False
+        for t in qterms:
+            tf = toks.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            hit = True
+            idf = math.log1p((N - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (K1 + 1)) / (tf + K1 * (1 - B + B * dl / avgdl))
+        if hit:
+            scores[did] = s
+    ranked = sorted(scores.items(), key=lambda x: (-round(x[1], 9), x[0]))
+    return ranked[:k]
+
+
+@pytest.fixture(scope="module")
+def corpus_rows(spark, index_dir, tiny_corpus):
+    cfg = IndexConfig(exclude_paginated=False)
+    docs = build_docs(tiny_corpus, cfg, tokenize=False)
+    return docs.select("doc_id", "content").collect()
+
+
+@pytest.mark.parametrize("qid,q,k", QUERY_SET)
+def test_rank_identity_three_ways(spark, index_dir, corpus_rows, qid, q, k):
+    full = Q.bm25_topk_full(spark, index_dir, q, k, hydrate=False).collect()
+    pruned = Q.bm25_topk_pruned(spark, index_dir, q, k, hydrate=False).collect()
+    oracle = _numpy_bm25(corpus_rows, q, k)
+
+    full_ids = [r["doc_id"] for r in full]
+    pruned_ids = [r["doc_id"] for r in pruned]
+    oracle_ids = [d for d, _ in oracle]
+    assert pruned_ids == full_ids, f"q{qid}: pruned != full"
+    assert full_ids == oracle_ids, f"q{qid}: spark != numpy oracle"
+    for r, (_, s) in zip(pruned, oracle):
+        assert r["score"] == pytest.approx(s, rel=1e-9), f"q{qid} score"
+
+
+def test_absent_term_returns_empty(spark, index_dir):
+    assert Q.bm25_topk_pruned(spark, index_dir, "xyzzynotaterm", 10).count() == 0
+
+
+def test_hydration_columns(spark, index_dir):
+    out = Q.bm25_topk_pruned(spark, index_dir, "zanzibar", 5)
+    assert out.columns == ["doc_id", "score", "repo", "path", "commit", "lang"]
+    assert out.count() > 0
+
+
+def test_sha256_invariant(spark, index_dir, tiny_corpus):
+    docs = IX.read_docs(spark, index_dir)
+    src = tiny_corpus
+    joined = docs.join(
+        src.select("repo", "path", "commit", F.sha2("content", 256).alias("s")),
+        ["repo", "path", "commit"],
+    )
+    assert joined.filter(F.col("sha256") != F.col("s")).count() == 0
+    assert sha256_invariant_violations(docs, src) == 0
+
+
+def test_resume_skips_done_batches(spark, tiny_corpus, tmp_path):
+    """Kill-resume: a second build with the same build_id must not redo
+    completed segment batches (checkpoint-resume, north_rule W2)."""
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig(index_uid="resume", n_shards=4, exclude_paginated=False)
+    IX.build_index(spark, tiny_corpus, d, cfg, build_id="r1", n_batches=2)
+    seg0 = os.path.join(d, "_build_r1", "segments", "batch=0000")
+    mtimes = {f: os.path.getmtime(os.path.join(seg0, f)) for f in os.listdir(seg0)}
+    IX.build_index(spark, tiny_corpus, d, cfg, build_id="r1", n_batches=2)
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(seg0, f)) == m, "batch was rebuilt"
+
+
+def test_publish_is_atomic_pointer(spark, index_dir):
+    cur = os.path.join(index_dir, "_CURRENT")
+    assert os.path.exists(cur)
+    with open(cur) as f:
+        assert f.read().strip() == "_build_t1"
+
+
+def test_duplicate_content_distinct_docs(spark, index_dir):
+    """The planted duplicated-content pair must both appear, adjacent,
+    tie-broken by doc_id (FIXTURES.md edge rows)."""
+    out = Q.bm25_topk_pruned(spark, index_dir, "duplicated content pair", 10).collect()
+    paths = {r["path"] for r in out}
+    assert {"edge/dup_a.py", "edge/dup_b.py"} <= paths
+
+
+def test_empty_corpus_refuses_publish(spark, tmp_path):
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, content string"
+    )
+    with pytest.raises(ValueError):
+        IX.build_index(spark, empty, str(tmp_path / "e"), IndexConfig())

@@ -1,0 +1,67 @@
+"""Tokenizer: golden tokens, UDF vs native-expression vs DuckDB parity."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.functions.tokenize import (
+    SEP_PATTERN,
+    duckdb_tokens_sql,
+    tokenize_counted,
+    tokens_native,
+    with_tokens,
+)
+
+GOLDEN = [
+    ("foo.bar(baz)", ["foo", "bar", "baz"]),
+    ("Binary_Search Tree", ["binary", "search", "tree"]),
+    ("héllo_wörld = héllo_wörld + 1", ["héllo", "wörld", "héllo", "wörld", "1"]),
+    ("", []),
+    ("(){}[];;;===...", []),
+    ("a\tb\nc\r\nd", ["a", "b", "c", "d"]),
+    ("v2/10/file.py", ["v2", "10", "file", "py"]),
+    ("IMPORT def: self.x!=y", ["import", "def", "self", "x", "y"]),
+]
+
+
+@pytest.mark.parametrize("text,expected", GOLDEN)
+def test_native_tokens_golden(spark, text, expected):
+    df = spark.createDataFrame([(text,)], ["content"])
+    out = df.select(tokens_native(F.col("content")).alias("t")).collect()[0]["t"]
+    assert out == expected
+
+
+@pytest.mark.parametrize("text,expected", GOLDEN)
+def test_duckdb_tokens_parity(text, expected):
+    sql = f"SELECT {duckdb_tokens_sql('?')} AS t"
+    out = duckdb.execute(sql.replace("?", "$1"), [text]).fetchone()[0]
+    assert list(out) == expected
+
+
+def test_udf_counts_match_native(spark):
+    texts = [t for t, _ in GOLDEN] + ["merge merge block shard merge"]
+    df = spark.createDataFrame([(t,) for t in texts], ["content"])
+    counted = df.select(
+        "content", tokenize_counted(F.col("content")).alias("tokens")
+    ).collect()
+    native = df.select(
+        "content", tokens_native(F.col("content")).alias("toks")
+    ).collect()
+    nat_map = {r["content"]: r["toks"] for r in native}
+    for r in counted:
+        got = {x["term"]: x["tf"] for x in r["tokens"]}
+        exp = pd.Series(nat_map[r["content"]]).value_counts().to_dict() if nat_map[r["content"]] else {}
+        assert got == exp, r["content"]
+
+
+def test_doc_len(spark):
+    df = spark.createDataFrame([("a b a c",), ("",)], ["content"])
+    rows = with_tokens(df).select("doc_len").collect()
+    assert sorted(r["doc_len"] for r in rows) == [0, 4]
+
+
+def test_sep_pattern_is_shared():
+    # one definition feeds Spark, pandas and DuckDB — guard its shape
+    assert SEP_PATTERN.startswith("[\\x00-\\x2f")
+    assert "{-~" in SEP_PATTERN
