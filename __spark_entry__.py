@@ -1,38 +1,494 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (or
+a training-data-pipeline op), run against the driver tables at `sf_dir`;
+``oracle_sql()`` gives the DuckDB-equivalent SQL. Column names and float
+rounding are aligned on both sides (driver hashes values order-insensitively
+after sorting columns by name).
+
+Shared determinism rules:
+  * one tokenizer separator class (scrapix_spark.functions.tokenize
+    .SEP_PATTERN) feeds the pandas UDF, the Spark native path and the
+    DuckDB SQL;
+  * every float column is rounded (4-6 dp) in BOTH engines;
+  * every top-k orders by (round(score, 9) DESC, id ASC) in BOTH engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scrapix_spark.functions.tokenize import SEP_PATTERN, with_tokens  # noqa: E402
+from scrapix_spark.operators import dedup as D  # noqa: E402
+from scrapix_spark.operators import query as Q  # noqa: E402
+from scrapix_spark.operators import similarity as SIM  # noqa: E402
+from scrapix_spark.operators import textstats as TS  # noqa: E402
+from scrapix_spark.operators import postings as P  # noqa: E402
+
+K1, B = 1.2, 0.75
+
+# DuckDB token-array expression — same separators as the engine tokenizer
+def TOK_EXPR(c: str) -> str:
+    """DuckDB token-array expression — same separators as the engine."""
+    return (
+        "list_filter(regexp_split_to_array(lower(" + c + "), '"
+        + SEP_PATTERN
+        + "'), t -> t <> '')"
+    )
+
+BM25_QUERY = "table merge sort"
+AND_QUERY = ["spark", "table", "join"]
+UNION_QUERY = "window the vector"
+DISTINCT_QUERY = "merge batch"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + engine tokenizer (Arrow UDF) → tokens, doc_len."""
+    return with_tokens(_docs(spark, sf_dir), "text")
+
+
+def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, doc_id, tf, dl) postings over the documents table (A7)."""
+    t = _tokenized(spark, sf_dir)
+    return t.select(
+        "doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("tk")
+    ).select("tk.term", "doc_id", F.col("tk.tf").cast("long").alias("tf"), "dl")
+
+
+def _tf_sql() -> str:
+    tok = TOK_EXPR("text")
+    return (
+        f"SELECT doc_id, t AS term, count(*)::BIGINT AS tf "
+        f"FROM (SELECT doc_id, unnest({tok}) AS t FROM documents) GROUP BY doc_id, t"
+    )
+
+
+def _bm25_scored_sql(terms: list[str]) -> str:
+    """Shared CTE body: per-doc BM25 score + n_matched for `terms`."""
+    tok = TOK_EXPR("text")
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+dfv AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS score,
+         count(*)::BIGINT AS n_matched
+  FROM tf
+  JOIN dfv USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+"""
+
+
+# --------------------------------------------------------------- queries
+
+
+def q_tokenize_tf(spark, sf_dir):
+    """A7: per-(doc, term) term frequency via the Arrow tokenizer UDF."""
+    return _postings(spark, sf_dir).select("doc_id", "term", "tf")
+
+
+def q_term_df(spark, sf_dir):
+    """A6: dictionary stats — df and cf per term."""
+    return P.term_stats(_postings(spark, sf_dir)).select(
+        "term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf")
+    )
+
+
+def q_salted_term_df(spark, sf_dir):
+    """J5: df/cf via explicit two-stage salted aggregation (salt =
+    pmod(xxhash64(doc_id), 16) splits hot terms across reducers); must be
+    value-identical to the unsalted plan — the oracle is the plain SQL."""
+    post = _postings(spark, sf_dir)
+    salted = post.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(16)))
+    partial = salted.groupBy("term", "salt").agg(
+        F.count("*").alias("pdf"), F.sum("tf").alias("pcf")
+    )
+    return partial.groupBy("term").agg(
+        F.sum("pdf").cast("long").alias("df"), F.sum("pcf").cast("long").alias("cf")
+    )
+
+
+def q_corpus_stats(spark, sf_dir):
+    """A6: global N and avgdl."""
+    t = _tokenized(spark, sf_dir)
+    return t.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("doc_len"), 6).alias("avgdl"),
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """M2/T1/J1-J3: full-scoring BM25 top-10 (k1=1.2, b=0.75) for a fixed
+    multi-term query, deterministic T1 order."""
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    topk = Q.bm25_topk_from_postings(
+        post, stats, int(row["n"]), float(row["a"]), BM25_QUERY, 10, K1, B
+    )
+    return topk.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+def q_ranked_union_topk(spark, sf_dir):
+    """T1 words rule (J1 ranked union): more matched terms always first."""
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    topk = Q.ranked_union_topk(
+        post, stats, int(row["n"]), float(row["a"]), UNION_QUERY, 10, K1, B
+    )
+    return topk.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+def q_posting_intersection(spark, sf_dir):
+    """J1 strict AND: docs containing every query term."""
+    post = _postings(spark, sf_dir).filter(F.col("term").isin(AND_QUERY))
+    return (
+        post.groupBy("doc_id")
+        .agg(F.countDistinct("term").cast("long").alias("n_matched"))
+        .filter(F.col("n_matched") == len(AND_QUERY))
+    )
+
+
+def q_distinct_by_source_topk(spark, sf_dir):
+    """F9 distinct attribute: at most one hit per `source` in the top-k
+    (reference distinctAttribute, src/scrapers/default.ts:27)."""
+    from pyspark.sql import Window
+
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    scored = Q.bm25_topk_from_postings(
+        post, stats, int(row["n"]), float(row["a"]), DISTINCT_QUERY,
+        10_000_000, K1, B,
+    )
+    hyd = scored.join(_docs(spark, sf_dir).select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()
+    )
+    return (
+        hyd.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .orderBy(F.round(F.col("score"), 9).desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", F.round("score", 4).alias("score"), "source")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: rows surviving keep-lowest-id-per-identical-text."""
+    kept = D.dedup_exact(_docs(spark, sf_dir), "text", "doc_id")
+    return kept.agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.count_distinct("text").cast("long").alias("n_distinct_texts"),
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs (word 3-grams, threshold 0.12)."""
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.12
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (64 perms, 16 bands).
+    Non-SQL-expressible (seeded permutations) → rows-only check; exact
+    parity vs true Jaccard is pytest-verified on the fixture corpus."""
+    return D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", num_perm=64, bands=16
+    )
+
+
+def q_simhash_dups(spark, sf_dir):
+    """SimHash near-dups (hamming ≤ 8 over 64 bits). Rows-only check."""
+    return D.simhash_near_dups(_docs(spark, sf_dir), "text", "doc_id", max_hamming=8, bands=4)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 against the vec_id=0 embedding."""
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return SIM.cosine_topk_bruteforce(emb, qv, k=10)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """SRP-LSH bucketed ANN top-10 (scale path; seeded hyperplanes →
+    rows-only check; recall vs brute force is pytest-verified)."""
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return SIM.cosine_topk_lsh(emb, qv, k=10, n_planes=12, max_hamming=4)
+
+
+def q_langid_counts(spark, sf_dir):
+    """Language-ID (stopword-marker heuristic) → predicted-lang counts."""
+    pred = TS.language_id(_docs(spark, sf_dir), "text")
+    return pred.groupBy("lang_pred").agg(F.count("*").cast("long").alias("n"))
+
+
+def q_quality_scores(spark, sf_dir):
+    """Per-doc quality features (length/punct/stopword ratios)."""
+    qf = TS.quality_features(_docs(spark, sf_dir), "text")
+    return qf.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish piece estimate."""
+    tc = TS.token_counts(_docs(spark, sf_dir), "text")
+    return tc.agg(
+        F.sum("ws_tokens").cast("long").alias("ws_tokens_total"),
+        F.sum("bpe_ish_tokens").cast("long").alias("bpe_ish_total"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (FNV-1a Horner over tokens).
+    Rows-only check (per-token loop is not SQL-expressible)."""
+    return TS.fingerprint(_docs(spark, sf_dir).filter("doc_id < 100"), "text", "doc_id")
+
+
+def q_clean_text(spark, sf_dir):
+    """P1 _clean_text (reference src/scrapers/default.ts:153-162):
+    newlines→space, collapse whitespace, strip '# ', trim. (All
+    occurrences of '# ' are stripped; the reference strips only the
+    first — intentional strictly-cleaner deviation, mirrored in SQL.)"""
+    c = F.col("text")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(c, r"(\r\n|\n|\r)", " "), r"\s+", " "),
+            r"# ", "",
+        )
+    )
+    return _docs(spark, sf_dir).select("doc_id", cleaned.alias("cleaned"))
+
+
+def q_events_tumbling(spark, sf_dir):
+    """W1/streaming analog: 1-hour tumbling-window counts + value sums per
+    event_type over the events table (batch form of the windowed agg)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type", "n", "value_sum",
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full-scoring BM25 top-10 on sf0.001 documents."""
+    return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tokenize_tf": q_tokenize_tf,
+        "term_df": q_term_df,
+        "salted_term_df": q_salted_term_df,
+        "corpus_stats": q_corpus_stats,
+        "bm25_topk": q_bm25_topk,
+        "ranked_union_topk": q_ranked_union_topk,
+        "posting_intersection": q_posting_intersection,
+        "distinct_by_source_topk": q_distinct_by_source_topk,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_dups": q_simhash_dups,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "langid_counts": q_langid_counts,
+        "quality_scores": q_quality_scores,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "clean_text": q_clean_text,
+        "events_tumbling": q_events_tumbling,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok = TOK_EXPR("text")
+    en = ", ".join(f"'{w}'" for w in TS.LANG_MARKERS["en"])
+    es = ", ".join(f"'{w}'" for w in TS.LANG_MARKERS["es"])
+    fr = ", ".join(f"'{w}'" for w in TS.LANG_MARKERS["fr"])
+    de = ", ".join(f"'{w}'" for w in TS.LANG_MARKERS["de"])
+    sw = ", ".join(f"'{w}'" for w in TS.ENGLISH_STOPWORDS)
+    and_terms = ", ".join(f"'{t}'" for t in AND_QUERY)
+
+    return {
+        "tokenize_tf": _tf_sql(),
+        "term_df": (
+            f"SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf "
+            f"FROM ({_tf_sql()}) GROUP BY term"
+        ),
+        "salted_term_df": (
+            f"SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf "
+            f"FROM ({_tf_sql()}) GROUP BY term"
+        ),
+        "corpus_stats": (
+            f"SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl "
+            f"FROM (SELECT len({tok}) AS dl FROM documents)"
+        ),
+        "bm25_topk": _bm25_scored_sql(Q.query_terms(BM25_QUERY))
+        + """
+SELECT doc_id, round(score, 4) AS score, n_matched
+FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
+""",
+        "ranked_union_topk": _bm25_scored_sql(Q.query_terms(UNION_QUERY))
+        + """
+SELECT doc_id, round(score, 4) AS score, n_matched
+FROM scored ORDER BY n_matched DESC, round(score, 9) DESC, doc_id LIMIT 10
+""",
+        "posting_intersection": f"""
+SELECT doc_id, count(DISTINCT term)::BIGINT AS n_matched
+FROM (SELECT doc_id, unnest({tok}) AS term FROM documents)
+WHERE term IN ({and_terms})
+GROUP BY doc_id HAVING count(DISTINCT term) = {len(AND_QUERY)}
+""",
+        "distinct_by_source_topk": _bm25_scored_sql(Q.query_terms(DISTINCT_QUERY))
+        + """
+, hyd AS (SELECT s.doc_id, s.score, d.source FROM scored s
+          JOIN documents d USING (doc_id)),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+        ORDER BY round(score, 9) DESC, doc_id) AS rn FROM hyd)
+SELECT doc_id, round(score, 4) AS score, source
+FROM r WHERE rn = 1 ORDER BY round(score, 9) DESC, doc_id LIMIT 10
+""",
+        "dedup_exact": """
+SELECT count(*)::BIGINT AS n_kept, count(DISTINCT text)::BIGINT AS n_distinct_texts
+FROM (SELECT text, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+""",
+        "ngram_jaccard": f"""
+WITH toks AS (SELECT doc_id, {tok} AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         range(greatest(len(t) - 2, 0)),
+         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+       FROM toks),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.12
+""",
+        "ann_cosine_topk": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id AS id,
+        list_sum(list_transform(range(len(embedding)),
+          i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qe[i+1] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(qe,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM embeddings CROSS JOIN q)
+SELECT id, round(cos, 6) AS cosine FROM s
+ORDER BY round(cos, 6) DESC, id LIMIT 10
+""",
+        "langid_counts": f"""
+WITH t AS (SELECT {tok} AS toks FROM documents),
+s AS (SELECT
+        len(list_filter(toks, x -> x IN ({en})))::BIGINT AS s_en,
+        len(list_filter(toks, x -> x IN ({es})))::BIGINT AS s_es,
+        len(list_filter(toks, x -> x IN ({fr})))::BIGINT AS s_fr,
+        len(list_filter(toks, x -> x IN ({de})))::BIGINT AS s_de
+      FROM t),
+p AS (SELECT CASE
+        WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+        WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+        WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+        WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+        ELSE 'de' END AS lang_pred FROM s)
+SELECT lang_pred, count(*)::BIGINT AS n FROM p GROUP BY lang_pred
+""",
+        "quality_scores": f"""
+WITH t AS (SELECT doc_id, text, {tok} AS toks FROM documents),
+f AS (SELECT doc_id,
+        len(toks)::BIGINT AS n_tokens,
+        length(coalesce(text, '')) AS n_chars,
+        length(coalesce(text, ''))
+          - length(regexp_replace(coalesce(text, ''), '[^\\w\\s]', '', 'g')) AS n_punct,
+        len(list_filter(toks, x -> x IN ({sw})))::BIGINT AS n_stop
+      FROM t),
+r AS (SELECT doc_id, n_tokens,
+        CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS pr,
+        CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS sr
+      FROM f)
+SELECT doc_id, n_tokens, round(pr, 6) AS punct_ratio, round(sr, 6) AS stopword_ratio,
+       round(least(1.0, n_tokens / 100.0) * (1.0 - pr) * (0.5 + 0.5 * sr), 6)
+         AS quality_score
+FROM r
+""",
+        "token_counts": r"""
+SELECT sum(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                           x -> x <> '')))::BIGINT AS ws_tokens_total,
+       sum(len(regexp_extract_all(coalesce(text, ''),
+                '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')))::BIGINT AS bpe_ish_total
+FROM documents
+""",
+        "clean_text": r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(text,
+            '(\r\n|\n|\r)', ' ', 'g'), '\s+', ' ', 'g'), '# ', '', 'g')) AS cleaned
+FROM documents
+""",
+        "events_tumbling": """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+       event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS value_sum
+FROM events GROUP BY 1, 2
+""",
+        # minhash_lsh, simhash_dups, ann_lsh_topk, fingerprint: seeded
+        # permutations / hyperplanes / rolling hash — not SQL-expressible;
+        # rows-only check (pytest verifies them against exact oracles).
+    }
+
+
+if __name__ == "__main__":
+    from scrapix_spark.session import get_spark
+
+    s = get_spark("entry_smoke")
+    out = entry(s)
+    out.show(10, truncate=False)

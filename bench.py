@@ -1,0 +1,195 @@
+"""Benchmark harness (driver-run per round; BASELINE.md protocol).
+
+Measures:
+  * index-build throughput (docs/sec) on the deterministic synthetic
+    source-code corpus (seed=42, FIXTURES.md §1),
+  * top-k BM25 query latency p50/p95 (pruned path) over the reference
+    query set, with a rank-identity check vs the full-scoring oracle,
+  * per-query wall times for the headline driver-table queries at
+    $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Scaling-efficiency evidence (BASELINE.json north_rule, N vs 4N executors)
+is produced by `python bench.py --scaling`, which re-runs the build in
+subprocesses at local[8] and local[32] on identical input and reports
+throughput at both plus efficiency = (T_8 / T_32) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BUILD_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+QUERY_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_build(spark, n_docs: int, n_shards: int = 32) -> tuple[float, str]:
+    """Index build wall time on the synthetic corpus; returns (sec, dir)."""
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.fixtures import generate_corpus
+    from scrapix_spark.operators.index import build_index
+
+    pdf = generate_corpus(n_docs)
+    raw = spark.createDataFrame(pdf).repartition(32).cache()
+    raw.count()  # materialize input outside the timed window
+    idx = tempfile.mkdtemp(prefix="bench_index_")
+    t0 = time.time()
+    build_index(
+        spark, raw, idx,
+        IndexConfig(index_uid="bench", n_shards=n_shards, exclude_paginated=False),
+        build_id="b1", source_desc=f"fixture-{n_docs}",
+    )
+    dt = time.time() - t0
+    raw.unpersist()
+    return dt, idx
+
+
+def run_queries(spark, idx: str) -> dict:
+    """Latency distribution for the pruned path over the query set, plus
+    a rank-identity check against the full-scoring oracle."""
+    import numpy as np
+
+    from scrapix_spark.fixtures import QUERY_SET
+    from scrapix_spark.operators.query import bm25_topk_full, bm25_topk_pruned
+
+    # warm-up + rank-identity gate
+    identical = True
+    for _, q, k in QUERY_SET:
+        p = [r["doc_id"] for r in bm25_topk_pruned(spark, idx, q, k, hydrate=False).collect()]
+        f = [r["doc_id"] for r in bm25_topk_full(spark, idx, q, k, hydrate=False).collect()]
+        identical &= p == f
+    lat = []
+    for _ in range(QUERY_REPS):
+        for _, q, k in QUERY_SET:
+            t0 = time.time()
+            bm25_topk_pruned(spark, idx, q, k, hydrate=False).collect()
+            lat.append(time.time() - t0)
+    lat = np.array(lat)
+    return {
+        "rank_identical": bool(identical),
+        "query_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 1),
+        "query_p95_ms": round(float(np.percentile(lat, 95)) * 1000, 1),
+        "n_query_samples": int(lat.size),
+    }
+
+
+def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Headline per-query wall times on the driver tables."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    headline = [
+        "tokenize_tf", "term_df", "bm25_topk", "ranked_union_topk",
+        "distinct_by_source_topk", "ngram_jaccard", "minhash_lsh",
+        "simhash_dups", "ann_cosine_topk", "ann_lsh_topk",
+        "langid_counts", "quality_scores", "token_counts",
+        "fingerprint", "events_tumbling",
+    ]
+    out = {}
+    for name in headline:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+        log(f"  {name}: {out[name]}s ({n} rows)")
+    return out
+
+
+def child_build(cores: int, n_docs: int) -> float:
+    """Run the build in a subprocess pinned to local[cores]; print sec."""
+    from scrapix_spark.session import get_spark
+
+    spark = get_spark(f"bench_scale_{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=max(cores * 2, 16))
+    dt, idx = run_build(spark, n_docs)
+    shutil.rmtree(idx, ignore_errors=True)
+    spark.stop()
+    return dt
+
+
+def run_scaling(n_docs: int) -> dict:
+    """Same job, same input, two parallelism levels (sandbox stand-in for
+    N vs 4N executors). efficiency = (T_8 / T_32) / (32/8)."""
+    res = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(cores), str(n_docs)],
+            capture_output=True, text=True, timeout=1800,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("CHILD_SEC ")]
+        if not line:
+            log(out.stderr[-2000:])
+            raise RuntimeError(f"scaling child local[{cores}] failed")
+        res[cores] = float(line[0].split()[1])
+        log(f"local[{cores}]: {res[cores]:.1f}s ({n_docs / res[cores]:.0f} docs/s)")
+    eff = (res[8] / res[32]) / 4.0
+    return {
+        "build_sec_local8": round(res[8], 2),
+        "build_sec_local32": round(res[32], 2),
+        "docs_per_sec_local8": round(n_docs / res[8], 1),
+        "docs_per_sec_local32": round(n_docs / res[32], 1),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
+        cores, n_docs = int(sys.argv[2]), int(sys.argv[3])
+        print(f"CHILD_SEC {child_build(cores, n_docs)}")
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else BUILD_DOCS
+        print(json.dumps(run_scaling(n_docs)))
+        return
+
+    from scrapix_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
+
+    t_all = time.time()
+    log(f"build: {BUILD_DOCS} synthetic docs ...")
+    build_sec, idx = run_build(spark, BUILD_DOCS)
+    log(f"build: {build_sec:.1f}s ({BUILD_DOCS / build_sec:.0f} docs/s)")
+    qstats = run_queries(spark, idx)
+    log(f"query p50={qstats['query_p50_ms']}ms p95={qstats['query_p95_ms']}ms "
+        f"rank_identical={qstats['rank_identical']}")
+    log(f"table queries at {sf_dir}:")
+    queries = run_table_queries(spark, sf_dir)
+    shutil.rmtree(idx, ignore_errors=True)
+    total = round(time.time() - t_all, 2)
+
+    result = {
+        "metric": "index_build_and_query_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "build_docs": BUILD_DOCS,
+        "build_sec": round(build_sec, 2),
+        "build_docs_per_sec": round(BUILD_DOCS / build_sec, 1),
+        **qstats,
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

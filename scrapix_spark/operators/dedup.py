@@ -52,14 +52,15 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     """(id, shingle) rows of word n-grams, distinct per doc. Pure JVM:
     tokenize natively, slide with transform over token indices."""
     toks = df.select(F.col(id_col).alias("id"), tokens_native(F.col(text_col)).alias("t"))
+    # sequence(0, x) is DESCENDING for x < 0, so guard short docs explicitly
+    idxs = F.when(
+        F.size("t") >= n, F.sequence(F.lit(0), F.size("t") - n)
+    ).otherwise(F.array().cast("array<int>"))
     sh = toks.select(
         "id",
         F.explode(
             F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size("t") - n, F.lit(-1))),
-                    lambda i: F.array_join(F.slice("t", i + 1, n), " "),
-                )
+                F.transform(idxs, lambda i: F.array_join(F.slice("t", i + 1, n), " "))
             )
         ).alias("shingle"),
     )
@@ -243,14 +244,16 @@ def simhash_near_dups(
         "id",
         "simhash",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.shiftrightunsigned("simhash", bi * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("key"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.key")

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+(random hyperplane / SRP) variant as the scale path. Dot products stay
+JVM-side via zip_with/aggregate for the DataFrame path; the batched
+kernel uses numpy matmul inside mapInPandas when a whole query block is
+scored at once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against one query vector — pure DataFrame ops.
+
+    The scan is embarrassingly parallel (no shuffle until the final
+    top-k, which AQE executes as a partial top-k per partition + tiny
+    merge because of the limit). Columns: id, cosine.
+    """
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cos = _dot(vec_d, q) / (_norm(vec_d) * F.lit(qn))
+    return (
+        df.select(F.col(id_col).alias("id"), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def srp_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Signed-random-projection bucket per vector (one int key).
+
+    The hyperplanes are a deterministic seeded matrix broadcast in the
+    closure; the sign pattern packs into an int bucket — candidate
+    generation for ANN is then an equality shuffle on (bucket).
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    def bucketize(batches):
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            signs = (vecs @ planes.T) > 0
+            bucket = (signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+            yield pd.DataFrame({"id": pdf[id_col], "bucket": bucket.astype(np.int64)})
+
+    return df.select(id_col, vec_col).mapInPandas(bucketize, schema="id long, bucket long")
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    max_hamming: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: score only vectors whose SRP bucket is
+    within `max_hamming` bits of the query's bucket (multi-probe LSH).
+
+    At 100 TB the bucket column is precomputed and partition-pruned;
+    here it is derived inline. Recall is tunable via n_planes/max_hamming.
+    """
+    qv = np.asarray(query_vec, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, qv.size))
+    qsigns = (planes @ qv) > 0
+    qbucket = int((qsigns.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum())
+
+    buckets = srp_lsh_buckets(df, qv.size, n_planes, seed, id_col, vec_col)
+    near = buckets.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket))) <= max_hamming
+    )
+    cand = df.join(near.select(F.col("id").alias(id_col)), id_col, "inner")
+    return cosine_topk_bruteforce(cand, query_vec, k, id_col, vec_col)
+
+
+def pairwise_cosine_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP-bucket candidate
+    generation + exact verification (the embedding analog of MinHash+LSH
+    dedup). Returns (id_a, id_b, cosine ≥ threshold)."""
+    first = df.select(vec_col).first()
+    dim = len(first[vec_col])
+    b = srp_lsh_buckets(df, dim, n_planes, seed, id_col, vec_col)
+    withb = df.join(b.withColumnRenamed("id", id_col), id_col)
+    a_, b_ = withb.alias("a"), withb.alias("b")
+    cand = a_.join(
+        b_,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col(f"a.{vec_col}").alias("va"),
+        F.col(f"b.{vec_col}").alias("vb"),
+    )
+    va = F.transform("va", lambda x: x.cast("double"))
+    vb = F.transform("vb", lambda x: x.cast("double"))
+    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+    return (
+        cand.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,133 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All hot paths are native pyspark.sql.functions (JVM, whole-stage
+codegen); the rolling-hash fingerprint is the one Arrow kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scrapix_spark.functions.tokenize import tokens_native
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language-ID. Deterministic and SQL-expressible (the DuckDB oracle
+# replicates the same CASE/count logic).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit"],
+}
+
+ENGLISH_STOPWORDS = LANG_MARKERS["en"] + ["a", "for", "on", "with", "as", "was"]
+
+
+def _marker_hits(tokens: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of stopword-marker hit counts,
+    'und' (undetermined) when nothing matches. Adds `lang_pred`."""
+    toks = tokens_native(F.col(text_col))
+    scores = [
+        _marker_hits(toks, m).alias(f"_s_{lang}") for lang, m in LANG_MARKERS.items()
+    ]
+    tmp = df.select("*", *scores)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"_s_{la}") for la in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    # deterministic tie-break: first language in fixed order wins
+    for la in langs:
+        pred = pred.when(F.col(f"_s_{la}") == best, F.lit(la))
+    out = tmp.withColumn("lang_pred", pred)
+    return out.drop(*[f"_s_{la}" for la in langs])
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features (length / punctuation / stopword ratios),
+    all native expressions. Adds n_chars_q, n_tokens, avg_token_len,
+    punct_ratio, stopword_ratio, quality_score."""
+    toks = tokens_native(F.col(text_col))
+    n_chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"[^\w\s]", "")
+    )
+    sw = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    avg_tok = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_tokens,
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    # simple monotone quality score in [0, 1]
+    quality = F.round(
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (1.0 - punct_ratio) * (0.5 + 0.5 * stop_ratio),
+        6,
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("avg_token_len", F.round(avg_tok, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("quality_score", quality)
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting two ways (training-data budgeting): whitespace
+    tokens and BPE-ish subword-piece estimate (runs of letters/digits
+    plus isolated punctuation, ~GPT-style pre-tokenizer shape)."""
+    ws = F.size(
+        F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+                 lambda t: t != F.lit(""))
+    )
+    # BPE-ish pre-tokenizer shape: letter runs | digit runs | single symbol
+    pieces = F.regexp_count(
+        F.coalesce(F.col(text_col), F.lit("")),
+        F.lit(r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"),
+    )
+    return df.withColumn("ws_tokens", ws).withColumn("bpe_ish_tokens", pieces)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit rolling polynomial hash over the token stream (order-
+    sensitive document fingerprint; exact-dup detection robust to
+    whitespace/punctuation differences). Arrow kernel: the rolling
+    recurrence h = h*B + x has no native vectorized form, but per batch
+    it is a single Horner pass per doc in numpy."""
+    def fp(batches):
+        for pdf in batches:
+            out_ids, out_h = [], []
+            from scrapix_spark.functions.tokenize import _SEP_RE
+
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in _SEP_RE.split((text or "").lower()) if t]
+                h = 14695981039346656037
+                for t in toks:
+                    # 64-bit Horner step; wraparound is the point
+                    h = (h * 1099511628211 + hash_token(t)) & 0xFFFFFFFFFFFFFFFF
+                out_ids.append(did)
+                out_h.append(np.int64(np.uint64(h)))
+            yield pd.DataFrame({id_col: out_ids, "fingerprint": out_h})
+
+    return df.select(id_col, text_col).mapInPandas(
+        fp, schema=f"{id_col} long, fingerprint long"
+    )
+
+
+def hash_token(t: str) -> int:
+    """Deterministic 64-bit FNV-1a of a token (Python hash() is salted
+    per process — never use it for fingerprints)."""
+    h = 14695981039346656037
+    for b in t.encode("utf-8"):
+        h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h
