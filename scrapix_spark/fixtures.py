@@ -38,45 +38,46 @@ SEPARATORS = ["_", ".", ":", "(", ")", "{", "}", "[", "]", ",", ";",
               "=", "+", "-", "*", "/", "<", ">", "!", "&", "|", "'", '"']
 
 
+def _gen_row(i: int, n_docs: int, seed: int) -> tuple:
+    """One deterministic corpus row, seeded per (seed, i) so generation
+    is identical regardless of partitioning (driver or distributed)."""
+    rng = np.random.default_rng((seed, i))
+    vocab = np.asarray(COMMON_VOCAB)
+    seps = np.asarray(SEPARATORS)
+    repo = f"org{i % 7}/repo{i % 23}"
+    nseg = 1 + int(rng.integers(0, 5))
+    segs = [PATH_VOCAB[int(j)] for j in rng.integers(0, len(PATH_VOCAB), nseg)]
+    lang = LANGS[int(rng.choice(len(LANGS), p=LANG_W))]
+    path = "/".join(segs) + f"/file{i}.{lang}"
+    commit = hashlib.sha256(f"{repo}/{path}".encode()).hexdigest()[:40]
+
+    # doc length log-normal, 20..2000 tokens
+    dlen = int(np.clip(np.exp(rng.normal(4.5, 1.0)), 20, 2000))
+    words = vocab[rng.integers(0, len(vocab), dlen)].astype(object)
+    # hot terms sprinkled so df > 0.5N
+    for h in HOT_TERMS:
+        if rng.random() < 0.7:
+            k = 1 + int(rng.integers(0, 4))
+            words[rng.integers(0, dlen, k)] = h
+    # rare terms planted in a few docs
+    if i % max(1, n_docs // 10) == 3:
+        words[int(rng.integers(0, dlen))] = RARE_TERMS[i % 2]
+    # interleave code separators (vectorized joiner choice)
+    joiner_pick = rng.random(dlen)
+    sep_pick = seps[rng.integers(0, len(seps), dlen)]
+    nl_pick = rng.random(dlen) < 0.05
+    parts = []
+    for w, jp, sp, nl in zip(words, joiner_pick, sep_pick, nl_pick):
+        parts.append(w)
+        parts.append(str(sp) if jp < 0.4 else " ")
+        if nl:
+            parts.append("\n")
+    return (repo, path, commit, lang, "".join(parts))
+
+
 def generate_corpus(n_docs: int, seed: int = SEED) -> pd.DataFrame:
     """Build the synthetic (repo, path, commit, lang, content) table."""
-    rng = np.random.default_rng(seed)
-    rows = []
-    vocab = np.array(COMMON_VOCAB)
-    seps = np.array(SEPARATORS)
-    for i in range(n_docs):
-        repo = f"org{i % 7}/repo{i % 23}"
-        nseg = 1 + int(rng.integers(0, 5))
-        segs = [PATH_VOCAB[int(j)] for j in rng.integers(0, len(PATH_VOCAB), nseg)]
-        lang = LANGS[int(rng.choice(len(LANGS), p=LANG_W))]
-        path = "/".join(segs) + f"/file{i}.{lang}"
-        commit = hashlib.sha256(f"{repo}/{path}".encode()).hexdigest()[:40]
-
-        # doc length log-normal, 20..2000 tokens
-        dlen = int(np.clip(np.exp(rng.normal(4.5, 1.0)), 20, 2000))
-        words = list(vocab[rng.integers(0, len(vocab), dlen)])
-        # hot terms sprinkled so df > 0.5N
-        for h in HOT_TERMS:
-            if rng.random() < 0.7:
-                k = 1 + int(rng.integers(0, 4))
-                for p in rng.integers(0, dlen, k):
-                    words[int(p)] = h
-        # rare terms planted in a few docs
-        if i % max(1, n_docs // 10) == 3:
-            words[int(rng.integers(0, dlen))] = RARE_TERMS[i % 2]
-        # interleave code separators
-        parts = []
-        for w in words:
-            parts.append(w)
-            if rng.random() < 0.4:
-                parts.append(str(seps[int(rng.integers(0, len(seps)))]))
-            else:
-                parts.append(" ")
-            if rng.random() < 0.05:
-                parts.append("\n")
-        content = "".join(parts)
-        rows.append((repo, path, commit, lang, content))
-
+    rows = [_gen_row(i, n_docs, seed) for i in range(n_docs)]
     df = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
 
     # planted edge rows (FIXTURES.md §1), deterministic
@@ -116,7 +117,29 @@ QUERY_SET = [
 
 
 def corpus_spark_df(spark, n_docs: int, seed: int = SEED):
-    """Synthetic corpus as a Spark DataFrame (distributed-friendly sizes
-    generated on the driver in pandas — test scales only)."""
+    """Synthetic corpus as a Spark DataFrame (driver-side pandas —
+    test scales only; use corpus_distributed for bench scales)."""
     pdf = generate_corpus(n_docs, seed)
     return spark.createDataFrame(pdf)
+
+
+def corpus_distributed(spark, n_docs: int, seed: int = SEED, partitions: int = 64):
+    """Same corpus, generated ON THE EXECUTORS (per-row seeding makes it
+    partitioning-invariant) — the driver never holds the data. Edge rows
+    are unioned from the driver (they are 6 rows)."""
+    import pandas as _pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = [_gen_row(int(i), n_docs, seed) for i in ids]
+            yield _pd.DataFrame(
+                rows, columns=["repo", "path", "commit", "lang", "content"]
+            )
+
+    body = spark.range(0, n_docs, numPartitions=partitions).mapInPandas(
+        gen,
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+    edge = spark.createDataFrame(generate_corpus(0, seed))
+    return body.unionByName(edge)

@@ -1,0 +1,84 @@
+"""Scalar document transforms (SURVEY.md §2.3 P1-P10) — all native
+pyspark.sql.functions expressions (JVM, whole-stage codegen)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def clean_text(c: Column) -> Column:
+    """P1 _clean_text (reference src/scrapers/default.ts:153-162):
+    newlines→space, collapse whitespace, strip '# ', trim.
+    (Strips every '# ', not only the first as JS string-replace does —
+    strictly cleaner; the faithful first-only variant lives in
+    operators.segmentation.clean_text.)"""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(c, r"(\r\n|\n|\r)", " "), r"\s+", " "),
+            r"# ",
+            "",
+        )
+    )
+
+
+def urls_tags(url: Column) -> Column:
+    """P2 (default.ts:57-58): pathname segments minus the first ('',
+    before the leading slash) and the last (page name)."""
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[a-z]+://[^/]+(/.*)?$", 1), r"[?#].*$", ""
+    )
+    segs = F.split(path, "/")
+    return F.when(
+        F.size(segs) > 2, F.slice(segs, 2, F.size(segs) - 2)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def hierarchy_lvl0(url: Column) -> Column:
+    """P2 variant (docssearch.ts:174-176): urls_tags joined ' > '."""
+    return F.array_join(urls_tags(url), " > ")
+
+
+def image_url_from_meta(meta: Column) -> Column:
+    """P4 (default.ts:181-190): og:image → twitter:image → image → null."""
+    return F.coalesce(
+        meta.getItem("og:image"), meta.getItem("twitter:image"), meta.getItem("image")
+    )
+
+
+def anchor_url(url: Column, anchor: Column) -> Column:
+    """P6 (docssearch.ts:241): url + anchor ('#id' or '')."""
+    return F.concat(url, F.coalesce(anchor, F.lit("")))
+
+
+def join_paragraphs(p: Column) -> Column:
+    """P7 (default.ts:144-149): accumulated array → '\\n'-joined string."""
+    return F.array_join(p, "\n")
+
+
+def convert_dates(c: Column) -> Column:
+    """P8 (schema.ts:46-56 / schema_settings.convert_dates): parseable
+    date strings → epoch millis; unparseable values stay as-is (here:
+    null), matching Date.parse semantics."""
+    return F.unix_millis(F.try_to_timestamp(c))
+
+
+def clean_schema_map(m: Column) -> Column:
+    """P9 _clean_schema (schema.ts:69-81): drop @context/@type keys from
+    a JSON-LD map payload."""
+    return F.map_filter(m, lambda k, _: ~k.isin("@context", "@type"))
+
+
+def graph_fanout(df: DataFrame, graph_col: str = "@graph") -> DataFrame:
+    """P10 (schema.ts:58-62): one document per element of the @graph
+    array."""
+    return df.select(
+        "*", F.explode(F.col(f"`{graph_col}`")).alias("_g")
+    ).drop(graph_col).withColumnRenamed("_g", "graph_item")
+
+
+def meta_map_from_pairs(names: Column, contents: Column) -> Column:
+    """P3 (default.ts:165-178): parallel name/content arrays → map
+    (the page-side `<meta name content>` extraction lands as two arrays
+    in a table input)."""
+    return F.map_from_arrays(names, contents)

@@ -1,0 +1,106 @@
+"""Field-weighted BM25 (BM25F-lite) — strategy parity (SURVEY.md T2/M7).
+
+The reference encodes attribute ranking as the ORDER of
+searchableAttributes (default: h1 > h2 > ... > h6 > p > title >
+meta.description, src/scrapers/default.ts:15-25; docssearch: radio
+levels > plain levels > lvl0 > content, src/scrapers/docssearch.ts:57-71).
+Meilisearch turns that order into per-attribute ranking; we realize it
+as a weighted sum of per-field BM25 scores:
+
+    score(d, q) = Σ_f  w_f · Σ_t idf_t · impact(tf_{t,f,d}, dl_{f,d})
+
+with per-field length normalization (dl and avgdl are PER FIELD — the
+pinned choice, recorded in index_meta; SURVEY.md §7.3 #5) and idf from
+document frequency over ANY field.
+
+Everything is one DataFrame plan: melt fields → tokenize → tf per
+(field, term, doc) → broadcast idf join → weighted sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scrapix_spark.functions.tokenize import with_tokens
+from scrapix_spark.operators.query import SCORE_ROUND, idf_expr, query_terms
+
+# searchableAttributes order → geometric weights (first field strongest),
+# mirroring default.ts:15-25
+DEFAULT_FIELD_ORDER = ["h1", "h2", "h3", "h4", "h5", "h6", "p", "title"]
+
+
+def field_weights_from_order(order: list[str], base: float = 0.8) -> dict[str, float]:
+    """Attribute-ranking order → geometric weight vector (1, b, b², …)."""
+    return {f: base ** i for i, f in enumerate(order)}
+
+
+def melt_fields(
+    docs: DataFrame, id_col: str, fields: list[str]
+) -> DataFrame:
+    """Wide multi-field docs → long (id, field, text) via stack."""
+    pairs = ", ".join(f"'{f}', `{f}`" for f in fields)
+    return docs.selectExpr(
+        f"`{id_col}` as doc_key",
+        f"stack({len(fields)}, {pairs}) as (field, text)",
+    ).filter(F.col("text").isNotNull())
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    q: str,
+    id_col: str = "uid",
+    field_order: list[str] | None = None,
+    weights: dict[str, float] | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k field-weighted BM25 over a multi-field document table.
+
+    Returns (doc_key, score, n_matched) in the pinned T1 order.
+    """
+    field_order = field_order or DEFAULT_FIELD_ORDER
+    weights = weights or field_weights_from_order(field_order)
+    terms = query_terms(q)
+    if not terms:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_key string, score double, n_matched int"
+        )
+
+    long = melt_fields(docs, id_col, [f for f in field_order if f in docs.columns])
+    tok = with_tokens(long, "text").withColumnRenamed("doc_len", "dl")
+    post = tok.select(
+        "doc_key", "field", "dl", F.explode("tokens").alias("tk")
+    ).select("doc_key", "field", "dl", "tk.term", F.col("tk.tf").cast("double").alias("tf"))
+
+    n_docs = docs.count()
+    # per-field avgdl (length normalization is per field — pinned choice)
+    avgdl_f = tok.groupBy("field").agg(F.avg("dl").alias("avgdl_f"))
+    # df over any field: distinct docs containing the term
+    dfv = (
+        post.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_key").alias("df"))
+        .withColumn("idf", idf_expr(n_docs, F.col("df").cast("double")))
+    )
+
+    wmap = F.create_map(
+        *[x for f, w in weights.items() for x in (F.lit(f), F.lit(float(w)))]
+    )
+    cand = (
+        post.filter(F.col("term").isin(terms))
+        .join(F.broadcast(dfv.select("term", "idf")), "term")
+        .join(F.broadcast(avgdl_f), "field")
+    )
+    impact = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl_f"))
+    )
+    contrib = wmap.getItem(F.col("field")) * F.col("idf") * impact
+    agg = cand.withColumn("contrib", contrib).groupBy("doc_key").agg(
+        F.sum("contrib").alias("score"),
+        F.countDistinct("term").cast("int").alias("n_matched"),
+    )
+    return agg.orderBy(
+        F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_key").asc()
+    ).limit(k)

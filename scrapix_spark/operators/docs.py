@@ -123,6 +123,22 @@ def assign_doc_ids(df: DataFrame, dense: bool = False) -> DataFrame:
     return out
 
 
+def adaptive_dedup(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Frontier dedup analog (F5, crawler.ts:176-180) without shuffling
+    document content in the common case.
+
+    A naive dropDuplicates shuffles every row's full content on the key.
+    At 100 TB that shuffle dwarfs the build. Instead: shuffle ONLY the
+    keys to find duplicated ones (usually none — the input table is
+    keyed by (repo, path, commit)); if none exist, the input is returned
+    untouched (map-only plan); otherwise fall back to dropDuplicates.
+    """
+    dup_keys = df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
+    if not dup_keys.take(1):
+        return df
+    return df.dropDuplicates(keys)
+
+
 def build_docs(raw: DataFrame, cfg: IndexConfig, tokenize: bool = True) -> DataFrame:
     """Raw (repo, path, commit, lang, content) → docs table.
 
@@ -130,12 +146,12 @@ def build_docs(raw: DataFrame, cfg: IndexConfig, tokenize: bool = True) -> DataF
     doc_id, shard, and (optionally) tokens + doc_len.
 
     Columns: doc_id, shard, repo, path, commit, lang, content, sha256
-    [, tokens, doc_len].
+    [, tokens, doc_len]. The plan is map-only (no shuffle) unless the
+    input actually contains duplicate keys.
     """
     df = raw.filter(scope_predicate(cfg))
     df = reject_binary_paths(df)
-    # frontier dedup analog (F5, crawler.ts:176-180): one doc per key
-    df = df.dropDuplicates(["repo", "path", "commit"])
+    df = adaptive_dedup(df, ["repo", "path", "commit"])
     df = df.withColumn("sha256", F.sha2(F.col("content"), 256))
     df = assign_doc_ids(df)
     df = df.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)).cast("int"))

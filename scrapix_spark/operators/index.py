@@ -35,7 +35,7 @@ from scrapix_spark.functions.tokenize import SEP_PATTERN
 from scrapix_spark.operators import postings as P
 from scrapix_spark.operators.docs import build_docs
 
-DOCS_COLS = ["doc_id", "shard", "repo", "path", "commit", "lang", "doc_len", "sha256"]
+DOCS_COLS = ["doc_id", "shard", "repo", "path", "commit", "lang", "sha256"]
 
 
 def _batch_shards(n_shards: int, n_batches: int) -> list[list[int]]:
@@ -60,28 +60,65 @@ def build_index(
     build_dir = os.path.join(index_dir, f"_build_{build_id}")
     os.makedirs(build_dir, exist_ok=True)
     t0 = time.time()
+    phases: dict[str, float] = {}
 
-    docs = build_docs(raw, cfg).persist()
-    stats = P.corpus_stats(docs)
-    if stats["N"] == 0:
+    # Shuffle-frugal plan: docs production is map-only (adaptive dedup
+    # shuffles only keys); tokenization runs EXACTLY ONCE, materialized
+    # as a FLAT postings parquet artifact (term, shard, doc_id, tf, dl).
+    # Parquet, not .persist(): in-memory caching of the exploded relation
+    # serializes on the memory manager under high task concurrency
+    # (measured 48s vs 10.6s at local[32] vs local[8]); a staging table
+    # on storage is also the resumable/scale-idiomatic choice.
+    # Content is never shuffled; N is observed during the docs write.
+    tp = time.time()
+    # doc_len is NOT materialized on the docs table — it is derivable
+    # from postings (dl rides on every posting row), which saves a whole
+    # second tokenization pass over the corpus during the docs write
+    docs = build_docs(raw, cfg, tokenize=False)
+    post_path = os.path.join(build_dir, "postings")
+    if not _done(post_path):
+        P.postings_from_content(docs, "content").write.mode("overwrite").parquet(
+            post_path
+        )
+    post = spark.read.parquet(post_path)
+    phases["tokenize_postings"] = round(time.time() - tp, 2)
+
+    tp = time.time()
+    docs_path = os.path.join(build_dir, "docs")
+    from pyspark.sql import Observation
+
+    obs = Observation("docs_count")
+    if not _done(docs_path):
+        docs.observe(obs, F.count(F.lit(1)).alias("n")).select(
+            *DOCS_COLS
+        ).write.mode("overwrite").parquet(docs_path)
+        n_docs = int(obs.get["n"])
+    else:
+        n_docs = spark.read.parquet(docs_path).count()
+    phases["docs_write"] = round(time.time() - tp, 2)
+
+    if n_docs == 0:
         # stats gate (sender.ts:86-96): empty build is never published
-        docs.unpersist()
         raise ValueError("empty build: refusing to publish an index with 0 docs")
 
-    docs_path = os.path.join(build_dir, "docs")
-    if not _done(docs_path):
-        docs.select(*DOCS_COLS).write.mode("overwrite").parquet(docs_path)
-
-    post = P.postings_from_docs(docs)
-
+    tp = time.time()
     dict_path = os.path.join(build_dir, "dict")
     if not _done(dict_path):
         P.term_stats(post).write.mode("overwrite").parquet(dict_path)
+    # avgdl = Σ tf / N = Σ cf / N, read from the (tiny) dictionary —
+    # no extra pass over postings (doc_len ≡ Σ tf; empty docs count in N)
+    total_tf = (
+        spark.read.parquet(dict_path).agg(F.sum("cf").alias("s")).collect()[0]["s"]
+        or 0
+    )
+    stats = {"N": n_docs, "avgdl": float(total_tf) / n_docs}
+    phases["dict_stats"] = round(time.time() - tp, 2)
 
     # resumable, _SUCCESS-marked segment batches (shard-range units)
     seg_root = os.path.join(build_dir, "segments")
     batches = _batch_shards(cfg.n_shards, n_batches)
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tp = time.time()
     for i, shard_group in enumerate(batches):
         batch_dir = os.path.join(seg_root, f"batch={i:04d}")
         if _done(batch_dir):
@@ -92,6 +129,7 @@ def build_index(
             num_partitions=max(1, n_parts // max(1, len(batches))),
         )
         enc.write.mode("overwrite").parquet(batch_dir)
+    phases["segments"] = round(time.time() - tp, 2)
 
     meta = {
         "index_uid": cfg.index_uid,
@@ -108,6 +146,7 @@ def build_index(
         "distinct_attribute": cfg.distinct_attribute,
         "source": source_desc,
         "config": json.loads(cfg.to_json()),
+        "phase_sec": phases,
     }
     with open(os.path.join(build_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1, sort_keys=True)
@@ -127,8 +166,9 @@ def build_index(
         .withColumn("source", F.lit(source_desc))
         .withColumn("wall_sec", F.lit(round(time.time() - t0, 3)))
     )
+    tp = time.time()
     metrics.write.mode("overwrite").parquet(os.path.join(build_dir, "metrics"))
-    docs.unpersist()
+    phases["metrics"] = round(time.time() - tp, 2)
 
     publish(index_dir, build_id)
     meta["build_wall_sec"] = time.time() - t0

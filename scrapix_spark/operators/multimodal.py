@@ -1,0 +1,171 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are `binary` columns with a metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+kernels over mapInPandas. The image/audio codec libraries are not in
+this container, so the decode step is STUBBED (deterministic fake
+behind `fake=True`, NotImplementedError otherwise) — the Spark-side
+plumbing (schema, partitioning, UDF signature, batch shape) is real
+and tested.
+
+Scale notes: payload rows are heavy (KB-MB); the kernels therefore
+(a) never collect, (b) carry only (id, metadata, derived features)
+out of the scan — the binary column is pruned as soon as features are
+extracted — and (c) respect Arrow batch sizing via
+spark.sql.execution.arrow.maxRecordsPerBatch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),        # image | audio | video
+        StructField("format", StringType()),      # png | wav | mp4 | ...
+        StructField("width", IntegerType()),      # images/video
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),  # audio/video
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for plumbing tests."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    fmts = {"image": "png", "audio": "wav", "video": "mp4"}
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.integers(0, 256, 64 + (i % 7) * 32, dtype=np.uint8).tobytes()
+        rows.append(
+            (
+                i, kind, fmts[kind],
+                int(rng.integers(16, 512)) if kind != "audio" else None,
+                int(rng.integers(16, 512)) if kind != "audio" else None,
+                int(rng.integers(100, 60000)) if kind != "image" else None,
+                bytearray(payload),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, payload_sha256 string, payload_bytes long, "
+    "feature array<float>"
+)
+
+
+def extract_features(media: DataFrame, dim: int = 8, fake: bool = True) -> DataFrame:
+    """Decode + feature-extract kernel (mapInPandas).
+
+    fake=True: deterministic feature = first `dim` bytes of
+    sha256(payload) scaled to [0,1) — a stand-in with the exact schema,
+    batch shape and column pruning of a real embedding extractor.
+    fake=False: raises NotImplementedError (no codec libs in container).
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real decode requires image/audio codec libraries not present "
+            "in this environment; run with fake=True for plumbing"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            shas, sizes, feats = [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload or b"")
+                digest = hashlib.sha256(b).digest()
+                shas.append(digest.hex())
+                sizes.append(len(b))
+                feats.append([d / 256.0 for d in digest[:dim]])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload_sha256": shas,
+                    "payload_bytes": sizes,
+                    "feature": feats,
+                }
+            )
+
+    # project before the kernel: only the columns the kernel needs cross
+    # the Arrow boundary (binary pruning is the whole ballgame at scale)
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        kernel, schema=FEATURE_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = "media_id long, width int, height int, payload binary"
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 224, fake: bool = True
+) -> DataFrame:
+    """Resize kernel (images only). Stubbed: fake=True passes payloads
+    through and rescales the metadata dims deterministically."""
+    if not fake:
+        raise NotImplementedError("real resize requires an image codec library")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].fillna(0).astype("int64").to_numpy()
+            h = pdf["height"].fillna(0).astype("int64").to_numpy()
+            side = np.maximum(np.maximum(w, h), 1)
+            scale = np.minimum(1.0, max_side / side)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": np.maximum((w * scale).astype("int64"), 1).astype("int32"),
+                    "height": np.maximum((h * scale).astype("int64"), 1).astype("int32"),
+                    "payload": pdf["payload"],
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "width", "height", "payload")
+        .mapInPandas(kernel, schema=RESIZE_SCHEMA)
+    )
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, fake: bool = True
+) -> DataFrame:
+    """Frame-sampling kernel (video): one row per sampled timestamp.
+    Stubbed: frame payload = sha256(payload || ts) — deterministic."""
+    if not fake:
+        raise NotImplementedError("real frame sampling requires a video codec")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, tss, frames = [], [], []
+            for mid, dur, payload in zip(
+                pdf["media_id"], pdf["duration_ms"], pdf["payload"]
+            ):
+                dur = int(dur or 0)
+                for ts in range(0, dur, every_ms):
+                    ids.append(mid)
+                    tss.append(ts)
+                    frames.append(
+                        hashlib.sha256(bytes(payload or b"") + ts.to_bytes(8, "big")).digest()
+                    )
+            yield pd.DataFrame({"media_id": ids, "ts_ms": tss, "frame": frames})
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "duration_ms", "payload")
+        .mapInPandas(kernel, schema="media_id long, ts_ms int, frame binary")
+    )

@@ -33,6 +33,55 @@ SEGMENT_SCHEMA = (
 )
 
 
+def postings_from_content(docs: DataFrame, text_col: str = "content") -> DataFrame:
+    """content → FLAT postings (term, shard, doc_id, tf, dl) in ONE
+    Arrow kernel (mapInPandas, 1 doc row in → many posting rows out).
+
+    This is the build hot path. Compared with tokenize-to-array<struct>
+    + JVM explode it avoids (a) per-(doc,term) Python dict construction,
+    (b) nested Arrow transfer, (c) explode allocation churn in the JVM —
+    the output columns come straight out of factorize + np.unique.
+    """
+    import numpy as np
+
+    from scrapix_spark.functions.tokenize import _tokenize_batch
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            row_idx, terms, _ = _tokenize_batch(pdf[text_col])
+            if row_idx.size == 0:
+                yield pd.DataFrame(
+                    {"term": pd.Series([], dtype=object),
+                     "shard": pd.Series([], dtype="int32"),
+                     "doc_id": pd.Series([], dtype="int64"),
+                     "tf": pd.Series([], dtype="int64"),
+                     "dl": pd.Series([], dtype="int64")}
+                )
+                continue
+            codes, uniques = pd.factorize(terms)
+            ua = np.asarray(uniques, dtype=object)
+            key = row_idx * np.int64(len(ua)) + codes
+            uk, tf = np.unique(key, return_counts=True)
+            rows = uk // len(ua)
+            cols = uk % len(ua)
+            dl = np.bincount(row_idx, minlength=len(pdf))
+            doc_ids = pdf["doc_id"].to_numpy()
+            shards = pdf["shard"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "term": ua[cols],
+                    "shard": shards[rows].astype("int32"),
+                    "doc_id": doc_ids[rows],
+                    "tf": tf.astype("int64"),
+                    "dl": dl[rows].astype("int64"),
+                }
+            )
+
+    return docs.select("doc_id", "shard", text_col).mapInPandas(
+        kernel, schema="term string, shard int, doc_id long, tf long, dl long"
+    )
+
+
 def postings_from_docs(docs: DataFrame) -> DataFrame:
     """Tokenized docs → exploded postings (term, shard, doc_id, tf, dl).
 
@@ -125,7 +174,7 @@ def _encode_runs(
         ids = g["doc_id"].to_numpy()
         tfs = g["tf"].to_numpy()
         dls = g["dl"].to_numpy()
-        for blk in codec.encode_blocks(ids, tfs, dls, avgdl, k1, b, block_size):
+        for blk in codec.encode_group(ids, tfs, dls, avgdl, k1, b, block_size):
             out_rows.append(
                 {
                     "term": term,
@@ -183,7 +232,7 @@ def merge_segments(
             keep[:-1] = ids[1:] != ids[:-1]
         ids, tf, dl = ids[keep], tf[keep], dl[keep]
         rows = []
-        for blk in codec.encode_blocks(ids, tf, dl, avgdl, k1, b, block_size):
+        for blk in codec.encode_group(ids, tf, dl, avgdl, k1, b, block_size):
             rows.append(
                 {"term": term, "shard": int(shard), **{k: blk[k] for k in (
                     "block_id", "n_docs", "first_doc_id", "last_doc_id",

@@ -1,0 +1,207 @@
+"""Page segmentation — the reference's core "group by" (SURVEY.md §2.4).
+
+Faithful re-implementations of the two scraper state machines as
+per-page Arrow-grouped kernels (groupBy('url').applyInPandas):
+
+* G1 `segment_default` — reference src/scrapers/default.ts:32-142:
+  scan H1..H6/P/TD/LI/SPAN in document order; when a heading of an
+  already-occupied level repeats, emit the block, bump page_block and
+  carry forward the shallower headings; P/TD/LI/SPAN append to `p` with
+  an exact-duplicate skip; unconditional final flush.
+
+* G2 `segment_docssearch` — reference src/scrapers/docssearch.ts:155-236:
+  H1..H5 only; any heading arriving while >1 hierarchy levels are set
+  and content is non-empty emits a type='content' document; heading
+  update sets level (100..60), nulls radio levels, deletes deeper
+  hierarchy levels, sets hierarchy_lvlN + radio, and the anchor.
+
+uuid4 per emitted doc (default.ts:51, docssearch.ts:240) is replaced by
+a deterministic sha256(url + '#' + ordinal) uid (SURVEY P5) so runs are
+reproducible.
+
+Input: one row per DOM element —
+  url STRING, elem_idx INT (document order), tag STRING (H1..H6, P, TD,
+  LI, SPAN), text STRING, elem_id STRING, [title STRING].
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+H_LEVELS = {"H1": 1, "H2": 2, "H3": 3, "H4": 4, "H5": 5, "H6": 6}
+# docssearch level weights (docssearch.ts:28-34)
+TAG_LEVELS = {"H1": 100, "H2": 90, "H3": 80, "H4": 70, "H5": 60}
+CONTENT_TAGS = {"P", "TD", "LI", "SPAN"}
+
+DEFAULT_DOC_SCHEMA = (
+    "url string, uid string, anchor string, title string, page_block int, "
+    "urls_tags array<string>, h1 string, h2 string, h3 string, h4 string, "
+    "h5 string, h6 string, p string"
+)
+
+DOCSSEARCH_DOC_SCHEMA = (
+    "url string, uid string, anchor string, "
+    + ", ".join(f"hierarchy_lvl{i} string" for i in range(6))
+    + ", "
+    + ", ".join(f"hierarchy_radio_lvl{i} string" for i in range(6))
+    + ", content string, level int, type string"
+)
+
+
+def clean_text(text: str) -> str:
+    """_clean_text (default.ts:153-162): newlines→space, collapse
+    whitespace, remove the FIRST '# ' (JS string replace), trim."""
+    text = re.sub(r"[\r\n]+", " ", text or "")
+    text = re.sub(r"\s+", " ", text)
+    text = text.replace("# ", "", 1)
+    return text.strip()
+
+
+def urls_tags_of(url: str) -> list[str]:
+    """P2 (default.ts:57-58): pathname segments minus first ('' before
+    the leading slash) and last (page name)."""
+    path = url.split("://", 1)[-1]
+    path = "/" + path.split("/", 1)[1] if "/" in path else "/"
+    path = path.split("?")[0].split("#")[0]
+    segs = path.split("/")
+    return segs[1 : len(segs) - 1]
+
+
+def _uid(url: str, ordinal: int) -> str:
+    return hashlib.sha256(f"{url}#{ordinal}".encode()).hexdigest()[:32]
+
+
+def segment_default(elements: DataFrame) -> DataFrame:
+    """G1: per-page header-block segmentation → DefaultDocument rows."""
+    has_title = "title" in elements.columns
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        url = key[0]
+        pdf = pdf.sort_values("elem_idx")
+        title = str(pdf["title"].iloc[0]) if has_title and len(pdf) else ""
+        tags_list = urls_tags_of(url)
+        out: list[dict] = []
+        data: dict = {}
+        page_block = 0
+
+        def emit(d: dict) -> None:
+            p = d.get("p")
+            out.append(
+                {
+                    "url": url,
+                    "uid": _uid(url, len(out)),
+                    "anchor": d.get("anchor"),
+                    "title": title,
+                    "page_block": d.get("page_block", 0),
+                    "urls_tags": tags_list,
+                    **{f"h{i}": d.get(f"h{i}") for i in range(1, 7)},
+                    "p": "\n".join(p) if isinstance(p, list) else None,
+                }
+            )
+
+        rows = list(zip(pdf["tag"], pdf["text"], pdf["elem_id"]))
+        for i, (tag, text, elem_id) in enumerate(rows):
+            tag = str(tag).upper()
+            text = clean_text(str(text) if text is not None else "")
+            data["page_block"] = page_block
+            if tag in H_LEVELS:
+                n = H_LEVELS[tag]
+                slot = f"h{n}"
+                if data.get(slot):
+                    emit(data)
+                    page_block += 1
+                    # carry forward shallower headings only (default.ts:61-123)
+                    data = {f"h{j}": data.get(f"h{j}") for j in range(1, n)}
+                    data["page_block"] = page_block
+                data["anchor"] = "#" + str(elem_id or "")
+                data[slot] = text
+            elif tag in CONTENT_TAGS:
+                p = data.setdefault("p", [])
+                # exact-dup skip of non-empty text (default.ts:134-136)
+                if text and text not in p:
+                    p.append(text)
+            if i == len(rows) - 1:
+                emit(data)  # unconditional final flush (default.ts:138-140)
+        cols = [
+            "url", "uid", "anchor", "title", "page_block", "urls_tags",
+            "h1", "h2", "h3", "h4", "h5", "h6", "p",
+        ]
+        return pd.DataFrame(out, columns=cols)
+
+    return elements.groupBy("url").applyInPandas(kernel, schema=DEFAULT_DOC_SCHEMA)
+
+
+def segment_docssearch(elements: DataFrame) -> DataFrame:
+    """G2: per-page hierarchy-level segmentation → DocsSearchDocument
+    rows (type='content' emission on heading boundaries)."""
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        url = key[0]
+        pdf = pdf.sort_values("elem_idx")
+        lvl0 = " > ".join(urls_tags_of(url)) or ""
+        out: list[dict] = []
+        doc: dict = {f"hierarchy_radio_lvl{i}": None for i in range(6)}
+
+        def n_hierarchies(d: dict) -> int:
+            # keys startswith('hierarchy_lvl') — radio keys don't match
+            # (docssearch.ts:84-86); deleted levels are absent
+            return sum(
+                1 for k, v in d.items()
+                if k.startswith("hierarchy_lvl") and "radio" not in k
+            )
+
+        def send(d: dict, typ: str) -> None:
+            content = d.get("content")
+            row = {
+                "url": url + str(d.get("anchor") or ""),
+                "uid": _uid(url, len(out)),
+                "anchor": d.get("anchor"),
+                "content": "\n".join(content) if isinstance(content, list) else "",
+                "level": d.get("level"),
+                "type": typ,
+            }
+            for i in range(6):
+                row[f"hierarchy_lvl{i}"] = d.get(f"hierarchy_lvl{i}")
+                row[f"hierarchy_radio_lvl{i}"] = d.get(f"hierarchy_radio_lvl{i}")
+            out.append(row)
+
+        for tag, text, elem_id in zip(pdf["tag"], pdf["text"], pdf["elem_id"]):
+            tag = str(tag).upper()
+            text = clean_text(str(text) if text is not None else "")
+            doc["hierarchy_lvl0"] = lvl0
+            if tag in TAG_LEVELS:
+                # boundary emit (docssearch.ts:180-188)
+                if n_hierarchies(doc) > 1 and doc.get("content"):
+                    send(doc, "content")
+                    doc["content"] = []
+                # _update_document (docssearch.ts:135-153)
+                lvl = H_LEVELS[tag]  # H1→lvl1 (hierarchy_lvl1)
+                doc["level"] = TAG_LEVELS[tag]
+                for i in range(6):
+                    doc[f"hierarchy_radio_lvl{i}"] = None
+                # delete deeper hierarchy levels (docssearch.ts:93-107)
+                for i in range(lvl + 1, 6):
+                    doc.pop(f"hierarchy_lvl{i}", None)
+                doc[f"hierarchy_lvl{lvl}"] = text
+                doc[f"hierarchy_radio_lvl{lvl}"] = text
+                doc["anchor"] = f"#{elem_id}" if elem_id else ""
+            elif tag in CONTENT_TAGS and n_hierarchies(doc) > 1:
+                c = doc.setdefault("content", [])
+                if text is not None and text not in c:
+                    c.append(text)
+        if doc.get("content"):
+            send(doc, "content")  # final flush (docssearch.ts:232-235)
+        cols = (
+            ["url", "uid", "anchor"]
+            + [f"hierarchy_lvl{i}" for i in range(6)]
+            + [f"hierarchy_radio_lvl{i}" for i in range(6)]
+            + ["content", "level", "type"]
+        )
+        return pd.DataFrame(out, columns=cols)
+
+    return elements.groupBy("url").applyInPandas(kernel, schema=DOCSSEARCH_DOC_SCHEMA)

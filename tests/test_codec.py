@@ -57,3 +57,21 @@ def test_idf_formula():
     assert codec.bm25_idf(1000, np.array([10]))[0] == pytest.approx(
         np.log1p((1000 - 10 + 0.5) / 10.5)
     )
+
+
+def test_encode_group_identical_to_encode_blocks():
+    rng = np.random.default_rng(123)
+    for n in (0, 1, 127, 128, 129, 1000, 5000):
+        ids = np.cumsum(rng.integers(1, 100, n)) if n else np.empty(0, np.int64)
+        tf = rng.integers(1, 30, n)
+        dl = rng.integers(20, 2000, n)
+        a = codec.encode_blocks(ids, tf, dl, 300.0, 1.2, 0.75, 128)
+        b = codec.encode_group(ids, tf, dl, 300.0, 1.2, 0.75, 128)
+        assert len(a) == len(b)
+        for ra, rb in zip(a, b):
+            for k in ra:
+                va, vb = ra[k], rb[k]
+                if isinstance(va, bytes):
+                    assert bytes(va) == bytes(vb), (n, ra["block_id"], k)
+                else:
+                    assert va == vb, (n, ra["block_id"], k)

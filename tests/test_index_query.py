@@ -147,3 +147,19 @@ def test_empty_corpus_refuses_publish(spark, tmp_path):
     )
     with pytest.raises(ValueError):
         IX.build_index(spark, empty, str(tmp_path / "e"), IndexConfig())
+
+
+def test_flat_postings_kernel_parity(spark, tiny_corpus):
+    """postings_from_content (flat mapInPandas hot path) must agree
+    row-for-row with the tokenize-UDF + explode path."""
+    from scrapix_spark.functions.tokenize import with_tokens
+    from scrapix_spark.operators import postings as P
+
+    cfg = IndexConfig(exclude_paginated=False)
+    docs = build_docs(tiny_corpus, cfg, tokenize=False)
+    a = P.postings_from_content(docs, "content")
+    b = P.postings_from_docs(with_tokens(docs, "content"))
+    cols = ["term", "shard", "doc_id", "tf", "dl"]
+    pa = sorted(map(tuple, a.select(cols).collect()))
+    pb = sorted(map(tuple, b.select(cols).collect()))
+    assert pa == pb and len(pa) > 0

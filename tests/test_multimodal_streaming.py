@@ -1,0 +1,116 @@
+"""Multimodal plumbing, streaming ingest, text transforms, BM25F."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.functions import text as TX
+from scrapix_spark.operators import multimodal as MM
+from scrapix_spark.operators.bm25f import bm25f_topk, field_weights_from_order
+
+
+def test_media_feature_extraction(spark):
+    media = MM.synthetic_media(spark, 30)
+    feats = MM.extract_features(media, dim=8).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= x < 1.0 for x in r["feature"])
+        assert len(r["payload_sha256"]) == 64
+    # deterministic across runs
+    feats2 = MM.extract_features(MM.synthetic_media(spark, 30), dim=8).collect()
+    assert {r["media_id"]: r["payload_sha256"] for r in feats} == {
+        r["media_id"]: r["payload_sha256"] for r in feats2
+    }
+
+
+def test_media_real_decode_is_stubbed(spark):
+    media = MM.synthetic_media(spark, 3)
+    with pytest.raises(NotImplementedError):
+        MM.extract_features(media, fake=False)
+
+
+def test_resize_and_frames(spark):
+    media = MM.synthetic_media(spark, 30)
+    resized = MM.resize_images(media, max_side=100).collect()
+    assert all(max(r["width"], r["height"]) <= 100 for r in resized)
+    frames = MM.sample_frames(media, every_ms=5000)
+    vids = media.filter("kind = 'video'").count()
+    assert frames.select("media_id").distinct().count() == vids
+
+
+def test_stream_ingest_availablenow(spark, tmp_path):
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.fixtures import generate_corpus
+    from scrapix_spark.streaming.ingest import stream_ingest
+
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    pdf = generate_corpus(50)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(drop)
+    counters = stream_ingest(spark, drop, out, IndexConfig(n_shards=4))
+    assert counters["docs_ingested"] == len(pdf)
+    assert counters["batches"] >= 1
+    assert os.path.exists(os.path.join(out, "_heartbeat.jsonl"))
+    # checkpoint resume: nothing new → no new docs
+    counters2 = stream_ingest(spark, drop, out, IndexConfig(n_shards=4))
+    assert counters2["docs_ingested"] == 0
+    # new files → only the delta is ingested
+    pdf2 = generate_corpus(20, seed=7)
+    spark.createDataFrame(pdf2).write.mode("append").parquet(drop)
+    counters3 = stream_ingest(spark, drop, out, IndexConfig(n_shards=4))
+    assert counters3["docs_ingested"] == len(pdf2)
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [
+            ("http://h/a/b/c?x=1#f", "  # Title\r\nbody   text ",
+             {"og:image": "og.png", "image": "i.png"}),
+            ("http://h/solo", "plain", {"image": "i2.png"}),
+        ],
+        ["url", "txt", "meta"],
+    )
+    out = df.select(
+        TX.clean_text(F.col("txt")).alias("c"),
+        TX.urls_tags(F.col("url")).alias("t"),
+        TX.hierarchy_lvl0(F.col("url")).alias("l0"),
+        TX.image_url_from_meta(F.col("meta")).alias("img"),
+    ).collect()
+    assert out[0]["c"] == "Title body text"
+    assert out[0]["t"] == ["a", "b"] and out[0]["l0"] == "a > b"
+    assert out[0]["img"] == "og.png"
+    assert out[1]["t"] == [] and out[1]["img"] == "i2.png"
+
+
+def test_convert_dates_and_schema_clean(spark):
+    df = spark.createDataFrame(
+        [("2021-03-04 05:06:07", {"@type": "Article", "@context": "x", "name": "n"})],
+        ["d", "m"],
+    )
+    row = df.select(
+        TX.convert_dates(F.col("d")).alias("ms"),
+        TX.clean_schema_map(F.col("m")).alias("m2"),
+    ).collect()[0]
+    assert row["ms"] == 1614834367000
+    assert row["m2"] == {"name": "n"}
+    bad = spark.createDataFrame([("not a date",)], ["d"]).select(
+        TX.convert_dates(F.col("d")).alias("ms")
+    ).collect()[0]
+    assert bad["ms"] is None
+
+
+def test_bm25f_field_order_dominates(spark):
+    docs = spark.createDataFrame(
+        [
+            ("a", "searchterm heading", None, "other body words here"),
+            ("b", "plain heading", None, "searchterm in the body text"),
+        ],
+        "uid string, h1 string, h2 string, p string",
+    )
+    out = bm25f_topk(docs, "searchterm", k=2, field_order=["h1", "h2", "p"]).collect()
+    # h1 weight (1.0) > p weight (0.64): the h1 match must rank first
+    assert [r["doc_key"] for r in out] == ["a", "b"]
+    w = field_weights_from_order(["h1", "h2", "p"])
+    assert w["h1"] == 1.0 and w["p"] == pytest.approx(0.64)

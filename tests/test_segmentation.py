@@ -1,0 +1,161 @@
+"""G1/G2 segmentation golden tests (FIXTURES.md §2): hand-computed
+expected blocks for pages covering repeated headings, level skips,
+trailing paragraphs, dup paragraphs, and no-heading pages."""
+
+import pytest
+
+from scrapix_spark.operators.segmentation import (
+    clean_text,
+    segment_default,
+    segment_docssearch,
+    urls_tags_of,
+)
+
+PAGES = [
+    # page A: repeated H2 → block break with h1 carry-forward
+    ("http://site/docs/guide/intro", [
+        (0, "H1", "Guide", "top"),
+        (1, "P", "welcome text", ""),
+        (2, "H2", "Install", "install"),
+        (3, "P", "run the installer", ""),
+        (4, "H2", "Usage", "usage"),
+        (5, "P", "use it", ""),
+    ]),
+    # page B: H4 directly after H2 (level skip), duplicate paragraph
+    ("http://site/docs/api/ref", [
+        (0, "H2", "API", "api"),
+        (1, "P", "same text", ""),
+        (2, "P", "same text", ""),
+        (3, "H4", "Details", "det"),
+        (4, "LI", "item one", ""),
+    ]),
+    # page C: no headings at all
+    ("http://site/plain/page", [
+        (0, "P", "just a paragraph", ""),
+        (1, "SPAN", "and a span", ""),
+    ]),
+    # page D: trailing heading with no content (final flush)
+    ("http://site/x/y/z", [
+        (0, "H1", "Title", "t"),
+        (1, "H1", "Title2", "t2"),
+    ]),
+]
+
+
+@pytest.fixture(scope="module")
+def elements(spark):
+    rows = [
+        (url, idx, tag, text, eid, "PageTitle")
+        for url, elems in PAGES
+        for idx, tag, text, eid in elems
+    ]
+    return spark.createDataFrame(
+        rows, ["url", "elem_idx", "tag", "text", "elem_id", "title"]
+    )
+
+
+def test_clean_text_semantics():
+    # P1 (default.ts:153-162): JS replace('# ','') strips FIRST only
+    assert clean_text("  a\r\nb\n\nc  ") == "a b c"
+    assert clean_text("# Title # Sub") == "Title # Sub"
+    assert clean_text("a   b\t c") == "a b c"
+
+
+def test_urls_tags():
+    # P2 (default.ts:57-58): drop first '' and last segment
+    assert urls_tags_of("http://site/docs/guide/intro") == ["docs", "guide"]
+    assert urls_tags_of("http://site/page") == []
+
+
+def test_default_segmentation_golden(spark, elements):
+    out = segment_default(elements).collect()
+    by_url = {}
+    for r in out:
+        by_url.setdefault(r["url"], []).append(r)
+    for v in by_url.values():
+        v.sort(key=lambda r: r["page_block"])
+
+    # reference semantics: a heading of an EMPTY level does not break the
+    # block, so "welcome text" stays with the Install heading (traced
+    # against default.ts:61-76)
+    a = by_url["http://site/docs/guide/intro"]
+    assert len(a) == 2
+    assert (a[0]["h1"], a[0]["h2"], a[0]["p"]) == (
+        "Guide", "Install", "welcome text\nrun the installer")
+    assert (a[1]["h1"], a[1]["h2"], a[1]["p"]) == ("Guide", "Usage", "use it")
+    assert a[0]["anchor"] == "#install" and a[1]["anchor"] == "#usage"
+    assert a[0]["urls_tags"] == ["docs", "guide"]
+    assert [r["page_block"] for r in a] == [0, 1]
+
+    b = by_url["http://site/docs/api/ref"]
+    assert len(b) == 1  # no repeated level → single block, final flush
+    assert b[0]["h2"] == "API" and b[0]["h4"] == "Details"
+    assert b[0]["p"] == "same text\nitem one"  # dup skipped
+
+    c = by_url["http://site/plain/page"]
+    assert len(c) == 1
+    assert c[0]["h1"] is None and c[0]["p"] == "just a paragraph\nand a span"
+
+    d = by_url["http://site/x/y/z"]
+    assert len(d) == 2  # repeated H1 emits block 0; final flush emits block 1
+    assert d[0]["h1"] == "Title" and d[0]["p"] is None
+    assert d[1]["h1"] == "Title2"
+
+
+def test_default_uids_deterministic(spark, elements):
+    u1 = {r["uid"] for r in segment_default(elements).collect()}
+    u2 = {r["uid"] for r in segment_default(elements).collect()}
+    assert u1 == u2 and len(u1) == 6  # 2 + 1 + 1 + 2 blocks
+
+
+def test_docssearch_segmentation_golden(spark, elements):
+    out = segment_docssearch(elements).collect()
+    by_url = {}
+    for r in out:
+        by_url.setdefault(r["url"].split("#")[0], []).append(r)
+
+    a = sorted(by_url["http://site/docs/guide/intro"], key=lambda r: r["uid"])
+    # boundary emits at H2(Install), H2(Usage), plus final flush = 3 docs
+    assert len(a) == 3
+    lvls = {(r["hierarchy_lvl1"], r["hierarchy_lvl2"], r["content"]) for r in a}
+    assert ("Guide", None, "welcome text") in lvls
+    assert ("Guide", "Install", "run the installer") in lvls
+    assert ("Guide", "Usage", "use it") in lvls
+    for r in a:
+        assert r["type"] == "content"
+        assert r["hierarchy_lvl0"] == "docs > guide"
+
+    # page B: H2 then H4; content emitted on H4 boundary + final flush
+    b = by_url["http://site/docs/api/ref"]
+    assert len(b) == 2
+    # radio levels: only the most recent heading's radio is set
+    h4_doc = [r for r in b if r["hierarchy_lvl4"] == "Details"][0]
+    assert h4_doc["hierarchy_radio_lvl4"] == "Details"
+    assert h4_doc["hierarchy_radio_lvl2"] is None
+    assert h4_doc["level"] == 70
+
+    # page C: no headings → only lvl0 set (≤1 hierarchy) → nothing emitted
+    assert "http://site/plain/page" not in by_url
+
+    # page D: headings but no content → nothing emitted
+    assert "http://site/x/y/z" not in by_url
+
+
+def test_docssearch_deeper_levels_reset(spark):
+    rows = [
+        ("http://s/a/b", 0, "H1", "One", "a1", ""),
+        ("http://s/a/b", 1, "H3", "Deep", "a3", ""),
+        ("http://s/a/b", 2, "P", "text under deep", "", ""),
+        ("http://s/a/b", 3, "H1", "Two", "a1b", ""),
+        ("http://s/a/b", 4, "P", "more", "", ""),
+    ]
+    df = spark.createDataFrame(
+        rows, ["url", "elem_idx", "tag", "text", "elem_id", "title"]
+    )
+    out = segment_docssearch(df).collect()
+    assert len(out) == 2
+    first = [r for r in out if r["content"] == "text under deep"][0]
+    assert first["hierarchy_lvl1"] == "One" and first["hierarchy_lvl3"] == "Deep"
+    second = [r for r in out if r["content"] == "more"][0]
+    # H1 'Two' must have deleted the deeper lvl3 (docssearch.ts:93-107)
+    assert second["hierarchy_lvl1"] == "Two" and second["hierarchy_lvl3"] is None
