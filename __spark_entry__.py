@@ -26,8 +26,11 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from scrapix_spark.functions.tokenize import SEP_PATTERN, with_tokens  # noqa: E402
+from scrapix_spark.operators import bm25f as BF  # noqa: E402
 from scrapix_spark.operators import dedup as D  # noqa: E402
+from scrapix_spark.operators import multimodal as MM  # noqa: E402
 from scrapix_spark.operators import query as Q  # noqa: E402
+from scrapix_spark.operators import segmentation as SEG  # noqa: E402
 from scrapix_spark.operators import similarity as SIM  # noqa: E402
 from scrapix_spark.operators import textstats as TS  # noqa: E402
 from scrapix_spark.operators import postings as P  # noqa: E402
@@ -317,6 +320,331 @@ def q_events_tumbling(spark, sf_dir):
     )
 
 
+# ------------------------------------------------ index-backed / engine paths
+
+WAND_QUERY = "filter stream sort data"
+MERGE_QUERY = "hash join stream"
+BM25F_QUERY = "src3 merge sort"
+
+
+def _entry_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir, cached on disk) a published index over the
+    documents table mapped onto the engine's (repo, path, commit, lang,
+    content) input shape — path carries the original doc_id so results
+    can be keyed back to the driver table."""
+    import re as _re
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import build_index
+
+    d = "/tmp/entry_index_" + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    if not os.path.exists(os.path.join(d, "_CURRENT")):
+        raw = _docs(spark, sf_dir).select(
+            F.col("source").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+        build_index(
+            spark, raw, d,
+            IndexConfig(index_uid="entry", n_shards=8, exclude_paginated=False),
+            build_id="e1", source_desc=sf_dir,
+        )
+    return d
+
+
+def q_bm25_wand_topk(spark, sf_dir):
+    """T3/M5: block-max WAND top-10 over a PUBLISHED index (compressed
+    delta+varint segments, per-shard pruning kernel + global merge).
+    Oracle = the same full-scoring BM25 SQL — the north_rule bar is that
+    pruning is rank-identical to exhaustive scoring."""
+    idx = _entry_index(spark, sf_dir)
+    topk = Q.bm25_topk_pruned(spark, idx, WAND_QUERY, 10, hydrate=True)
+    return topk.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_merged_segments_topk(spark, sf_dir):
+    """U4/M4: LSM-style segment merge — encode two disjoint half-corpus
+    segment sets, merge per (term, shard) via applyInPandas, decode, and
+    score. Oracle = full-scoring BM25 over the whole corpus: merging two
+    halves must be exactly equivalent to one global build."""
+    post = _postings(spark, sf_dir).withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(8)).cast("int")
+    )
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    n, avgdl = int(row["n"]), float(row["a"])
+    enc_a = P.encode_segments(post.filter(F.col("doc_id") % 2 == 0), avgdl, K1, B, 32, 8)
+    enc_b = P.encode_segments(post.filter(F.col("doc_id") % 2 == 1), avgdl, K1, B, 32, 8)
+    merged = P.merge_segments(enc_a.unionByName(enc_b), avgdl, K1, B, 32)
+    decoded = Q._decode_blocks_df(merged)
+    stats = P.term_stats(decoded)
+    topk = Q.bm25_topk_from_postings(decoded, stats, n, avgdl, MERGE_QUERY, 10, K1, B)
+    return topk.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+def q_bm25f_topk(spark, sf_dir):
+    """T2/M7: field-weighted BM25F-lite over a multi-field view of the
+    documents table (h1=source, p=text, title=lang — searchableAttributes
+    order => geometric weights 1.0, 0.8, 0.64; per-field length norm)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("source").alias("h1"), F.col("text").alias("p"),
+        F.col("lang").alias("title"),
+    )
+    topk = BF.bm25f_topk(
+        docs, BM25F_QUERY, id_col="doc_id", field_order=["h1", "p", "title"], k=10,
+    )
+    return topk.select(
+        F.col("doc_key").alias("doc_id"), F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+# ------------------------------------------------ scope filters / projections
+
+
+def _paths(spark, sf_dir):
+    """Deterministic repo-path per doc (exercises include/exclude globs,
+    pagination skip and binary-extension rejection on realistic shapes)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            "lang || '/' || source || '/' || CASE doc_id % 5 "
+            "WHEN 0 THEN 'assets/logo.png' "
+            "WHEN 1 THEN 'page/' || (doc_id % 13) || '/list.html' "
+            "WHEN 2 THEN 'src/main.py' "
+            "WHEN 3 THEN 'docs/readme.md' "
+            "ELSE 'notes.txt' END"
+        ).alias("path"),
+    )
+
+
+_PATH_CASE_SQL = (
+    "lang || '/' || source || '/' || CASE doc_id % 5 "
+    "WHEN 0 THEN 'assets/logo.png' "
+    "WHEN 1 THEN 'page/' || (doc_id % 13) || '/list.html' "
+    "WHEN 2 THEN 'src/main.py' "
+    "WHEN 3 THEN 'docs/readme.md' "
+    "ELSE 'notes.txt' END"
+)
+
+
+def q_glob_scope_filter(spark, sf_dir):
+    """F2/F3/F4/U2: include-minus-exclude glob scope + pagination skip +
+    binary-extension rejection as pushable Catalyst predicates
+    (reference src/crawler.ts:145-163,200-248)."""
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.docs import reject_binary_paths, scope_predicate
+
+    cfg = IndexConfig(
+        scope_include=["en/**", "fr/**"],
+        scope_exclude=["**/notes.txt"],
+        exclude_paginated=True,
+    )
+    df = _paths(spark, sf_dir).filter(scope_predicate(cfg))
+    return reject_binary_paths(df).select("doc_id", "path")
+
+
+def q_urls_tags(spark, sf_dir):
+    """P2 urls_tags (reference src/scrapers/default.ts:57-58): URL path
+    segments minus the first ('' before the leading slash) and the last
+    (page name), joined for comparison."""
+    url = F.expr("'https://d.ex/' || source || '/' || doc_id || '/index.html'")
+    segs = F.split(F.regexp_replace(url, "^https://[^/]*", ""), "/")
+    tags = F.slice(segs, 2, F.size(segs) - 2)
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.array_join(tags, ">").alias("tags")
+    )
+
+
+def q_date_convert(spark, sf_dir):
+    """P8 convert_dates (reference src/scrapers/schema.ts:46-56):
+    parseable date strings → epoch millis, unparseable values → NULL
+    (try_to_timestamp guard)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = F.when(
+        F.col("event_id") % 3 == 0,
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+    ).otherwise(F.col("event_type"))
+    return ev.select(
+        "event_id",
+        F.unix_millis(F.try_to_timestamp(s, F.lit("yyyy-MM-dd HH:mm:ss"))).alias("ms"),
+    )
+
+
+def q_schema_fanout(spark, sf_dir):
+    """S5/P9/P10/F6: JSON-LD extraction — from_json → @graph fan-out
+    (explode) → strip @context/@type → only_type filter (reference
+    src/scrapers/schema.ts:26-62, type filter :40-42)."""
+    j = F.expr(
+        "'{\"@context\":\"https://schema.org\",\"@graph\":["
+        "{\"@type\":\"Article\",\"name\":\"' || source || '\",\"position\":' || (doc_id % 7) || '},"
+        "{\"@type\":\"Person\",\"name\":\"' || lang || '\",\"position\":' || (doc_id % 3) || '}]}'"
+    )
+    schema = (
+        "STRUCT<`@context`: STRING, `@graph`: "
+        "ARRAY<STRUCT<`@type`: STRING, name: STRING, position: BIGINT>>>"
+    )
+    parsed = _docs(spark, sf_dir).select("doc_id", F.from_json(j, schema).alias("ld"))
+    g = parsed.select("doc_id", F.explode("ld.`@graph`").alias("node"))
+    return (
+        g.filter(F.col("node.`@type`") == "Article")  # schema_settings.only_type
+        .select("doc_id", F.col("node.name").alias("name"),
+                F.col("node.position").alias("position"))
+    )
+
+
+# ------------------------------------------------ multimodal plumbing
+
+
+def _media(spark, sf_dir):
+    """Deterministic media table derived from documents: payload = utf8
+    text bytes, kind/dims/duration from doc_id — SQL-reproducible so the
+    multimodal kernels get real value-level oracles."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+        ).alias("kind"),
+        F.expr(
+            "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END"
+        ).alias("format"),
+        F.expr(
+            "CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 500 + 16 AS INT) END"
+        ).alias("width"),
+        F.expr(
+            "CASE WHEN doc_id % 3 <> 1 THEN CAST((doc_id * 7) % 500 + 16 AS INT) END"
+        ).alias("height"),
+        F.expr(
+            "CASE WHEN doc_id % 3 <> 0 THEN CAST((doc_id * 37) % 5000 + 500 AS INT) END"
+        ).alias("duration_ms"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal decode/feature-extract kernel (mapInPandas over binary
+    payloads; decode stubbed — sha256 digest stands in for the embedding).
+    Oracle checks the content-addressed columns value-for-value."""
+    feats = MM.extract_features(_media(spark, sf_dir), dim=8, fake=True)
+    return feats.select("media_id", "kind", "payload_sha256", "payload_bytes")
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """Image resize kernel (stubbed codec): metadata dims rescaled to
+    max_side=224 with the exact float path the real kernel would use."""
+    return MM.resize_images(_media(spark, sf_dir), max_side=224, fake=True).select(
+        "media_id", "width", "height"
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling kernel: one row per every_ms step of
+    duration_ms (payload-derived frame bytes are rows-only; the sampled
+    timestamp grid is the oracle-checked part)."""
+    return MM.sample_frames(_media(spark, sf_dir), every_ms=700, fake=True).select(
+        "media_id", "ts_ms"
+    )
+
+
+# ------------------------------------------------ streaming / similarity
+
+
+def q_streaming_tumbling(spark, sf_dir):
+    """W1/W4: Structured Streaming file source → watermark → tumbling
+    window agg, trigger=availableNow. Oracle = the equivalent batch SQL
+    (streaming-batch equivalence on bounded input)."""
+    from scrapix_spark.streaming.ingest import stream_tumbling_counts
+
+    return stream_tumbling_counts(
+        spark, f"{sf_dir}/events.parquet", query_name="q_streaming_tumbling"
+    )
+
+
+def q_cosine_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact all-pairs path
+    (threshold 0.4). The LSH-bucketed variant covers the same semantics
+    at scale (pytest-verified recall)."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    va = F.transform("va", lambda x: x.cast("double"))
+    vb = F.transform("vb", lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    nrm = lambda v: F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))  # noqa: E731
+    cos = dot / (nrm(va) * nrm(vb))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN top-10 (coarse k-means quantizer, n_probe=4 of 16 lists).
+    Seeded centroids → rows-only check; recall vs brute force is
+    pytest-verified."""
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return SIM.cosine_topk_ivf(emb, qv, k=10, n_centroids=16, n_probe=4)
+
+
+# ------------------------------------------------ segmentation (G1/G2)
+
+_ELEM_TAGS = ["H1", "P", "H2", "P", "H3", "P", "H2", "P", "H3", "P", "H1", "P"]
+
+
+def _elements(spark, sf_dir):
+    """Deterministic DOM-element stream derived from documents: 12
+    elements per doc (heading pattern repeats levels to force block
+    boundaries), text = consecutive 2-word slices of the doc text."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    e = d.select(
+        "doc_id", "source", "text",
+        F.explode(F.sequence(F.lit(0), F.lit(11))).alias("i"),
+    )
+    tag = F.element_at(F.array(*[F.lit(t) for t in _ELEM_TAGS]), F.col("i") + 1)
+    return e.select(
+        F.expr("'https://d.ex/' || source || '/' || doc_id || '/index.html'").alias("url"),
+        F.col("i").alias("elem_idx"),
+        tag.alias("tag"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), F.col("i") * 2 + 1, 2)).alias("text"),
+        F.expr("'e' || i").alias("elem_id"),
+    )
+
+
+def q_segment_default(spark, sf_dir):
+    """G1 header-block segmentation (reference src/scrapers/default.ts:
+    32-142) over a deterministic element stream: per-page applyInPandas
+    state machine; oracle = a recursive-CTE replay of the same machine."""
+    out = SEG.segment_default(_elements(spark, sf_dir))
+    return out.select(
+        "url", "page_block", "anchor", "h1", "h2", "h3",
+        F.array_join("urls_tags", ">").alias("tags"), "p",
+    )
+
+
+def q_segment_docssearch(spark, sf_dir):
+    """G2 hierarchy segmentation (reference src/scrapers/docssearch.ts:
+    155-236): type='content' docs with carry-forward hierarchy levels;
+    oracle = recursive-CTE replay."""
+    out = SEG.segment_docssearch(_elements(spark, sf_dir))
+    return out.select(
+        "url", "anchor", "hierarchy_lvl0", "hierarchy_lvl1", "hierarchy_lvl2",
+        "hierarchy_lvl3", "hierarchy_radio_lvl1", "hierarchy_radio_lvl2",
+        "hierarchy_radio_lvl3", "content", "level", "type",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-scoring BM25 top-10 on sf0.001 documents."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -344,7 +672,210 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "clean_text": q_clean_text,
         "events_tumbling": q_events_tumbling,
+        "bm25_wand_topk": q_bm25_wand_topk,
+        "merged_segments_topk": q_merged_segments_topk,
+        "bm25f_topk": q_bm25f_topk,
+        "glob_scope_filter": q_glob_scope_filter,
+        "urls_tags": q_urls_tags,
+        "date_convert": q_date_convert,
+        "schema_fanout": q_schema_fanout,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
+        "streaming_tumbling": q_streaming_tumbling,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "segment_default": q_segment_default,
+        "segment_docssearch": q_segment_docssearch,
     }
+
+
+def _bm25f_sql() -> str:
+    """DuckDB replica of bm25f_topk over (h1=source, p=text, title=lang)."""
+    w_h1, w_p, w_title = repr(0.8**0), repr(0.8**1), repr(0.8**2)
+    terms = ", ".join(f"'{t}'" for t in Q.query_terms(BM25F_QUERY))
+    return f"""
+WITH fields AS (
+  SELECT doc_id, 'h1' AS field, {w_h1} AS w, source AS txt FROM documents
+  UNION ALL SELECT doc_id, 'p', {w_p}, text FROM documents
+  UNION ALL SELECT doc_id, 'title', {w_title}, lang FROM documents
+),
+tok AS (SELECT doc_id, field, w, unnest({TOK_EXPR('txt')}) AS term FROM fields),
+dl AS (SELECT doc_id, field, count(*)::BIGINT AS dl FROM tok GROUP BY 1, 2),
+avg_f AS (SELECT field, avg(dl) AS avgdl_f FROM dl GROUP BY field),
+tfq AS (SELECT doc_id, field, any_value(w) AS w, term, count(*)::BIGINT AS tf
+        FROM tok WHERE term IN ({terms}) GROUP BY doc_id, field, term),
+dfv AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tfq GROUP BY term),
+nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+scored AS (
+  SELECT tfq.doc_id,
+         sum(tfq.w * ln(1 + (nd.n - dfv.df + 0.5) / (dfv.df + 0.5))
+             * (tf * ({K1} + 1.0))
+             / (tf + {K1} * (1.0 - {B} + {B} * dl.dl / avg_f.avgdl_f))) AS score,
+         count(DISTINCT tfq.term)::BIGINT AS n_matched
+  FROM tfq
+  JOIN dfv USING (term)
+  JOIN dl ON dl.doc_id = tfq.doc_id AND dl.field = tfq.field
+  JOIN avg_f ON avg_f.field = tfq.field
+  CROSS JOIN nd
+  GROUP BY tfq.doc_id)
+SELECT doc_id, round(score, 4) AS score, n_matched
+FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
+"""
+
+
+def _glob_scope_sql() -> str:
+    """Same regexes as the Spark predicate, generated by the same code."""
+    import re as _re
+
+    from scrapix_spark.operators.docs import BINARY_EXTENSIONS, glob_to_regex
+
+    inc_en = glob_to_regex("en/**")
+    inc_fr = glob_to_regex("fr/**")
+    exc = glob_to_regex("**/notes.txt")
+    binpat = r"\.(" + "|".join(_re.escape(e) for e in BINARY_EXTENSIONS) + r")$"
+    return f"""
+SELECT doc_id, path
+FROM (SELECT doc_id, {_PATH_CASE_SQL} AS path FROM documents)
+WHERE (regexp_matches(path, '{inc_en}') OR regexp_matches(path, '{inc_fr}'))
+  AND NOT regexp_matches(path, '{exc}')
+  AND NOT regexp_matches(path, '/\\d+/')
+  AND NOT regexp_matches(lower(path), '{binpat}')
+"""
+
+
+_ELEMS_CTE = """
+elems AS (
+  SELECT doc_id, source,
+         'https://d.ex/' || source || '/' || doc_id || '/index.html' AS url,
+         i,
+         (['H1','P','H2','P','H3','P','H2','P','H3','P','H1','P'])[i + 1] AS tag,
+         CASE (['H1','P','H2','P','H3','P','H2','P','H3','P','H1','P'])[i + 1]
+           WHEN 'H1' THEN 1 WHEN 'H2' THEN 2 WHEN 'H3' THEN 3 ELSE 0 END AS lvl,
+         coalesce(array_to_string(
+           list_slice(string_split(text, ' '), i*2 + 1, i*2 + 2), ' '), '') AS text,
+         'e' || i AS eid
+  FROM documents CROSS JOIN (SELECT unnest(range(12)) AS i) ii
+)"""
+
+# boundary predicate for G1: heading whose slot is already occupied
+# (JS truthiness: '' counts as unset — reference default.ts:61-123)
+_G1_BND = (
+    "(e.lvl > 0 AND (CASE e.lvl WHEN 1 THEN coalesce(s.h1, '') <> '' "
+    "WHEN 2 THEN coalesce(s.h2, '') <> '' ELSE coalesce(s.h3, '') <> '' END))"
+)
+
+
+def _segment_default_sql() -> str:
+    """Recursive-CTE replay of the G1 per-page state machine."""
+    B_ = _G1_BND
+    return f"""
+WITH RECURSIVE {_ELEMS_CTE},
+rec AS (
+  SELECT doc_id, url, -1 AS i,
+         CAST(NULL AS VARCHAR) AS h1, CAST(NULL AS VARCHAR) AS h2,
+         CAST(NULL AS VARCHAR) AS h3,
+         CAST([] AS VARCHAR[]) AS p, FALSE AS p_created,
+         CAST(NULL AS VARCHAR) AS anchor, 0 AS page_block, FALSE AS emit
+  FROM (SELECT DISTINCT doc_id, url FROM elems)
+  UNION ALL
+  SELECT s.doc_id, s.url, e.i,
+         CASE WHEN e.lvl = 1 THEN e.text ELSE s.h1 END,
+         CASE WHEN e.lvl = 2 THEN e.text
+              WHEN {B_} AND e.lvl < 2 THEN NULL ELSE s.h2 END,
+         CASE WHEN e.lvl = 3 THEN e.text
+              WHEN {B_} AND e.lvl < 3 THEN NULL ELSE s.h3 END,
+         CASE WHEN {B_} THEN CAST([] AS VARCHAR[])
+              WHEN e.tag = 'P' AND e.text <> '' AND NOT list_contains(s.p, e.text)
+                THEN list_append(s.p, e.text)
+              ELSE s.p END,
+         CASE WHEN {B_} THEN FALSE WHEN e.tag = 'P' THEN TRUE
+              ELSE s.p_created END,
+         CASE WHEN e.lvl > 0 THEN '#' || e.eid ELSE s.anchor END,
+         s.page_block + CASE WHEN {B_} THEN 1 ELSE 0 END,
+         {B_}
+  FROM rec s JOIN elems e ON e.doc_id = s.doc_id AND e.i = s.i + 1
+),
+emits AS (
+  SELECT par.doc_id, par.url, par.page_block, par.anchor,
+         par.h1, par.h2, par.h3,
+         CASE WHEN par.p_created THEN coalesce(array_to_string(par.p, chr(10)), '') END AS p
+  FROM rec ch JOIN rec par ON par.doc_id = ch.doc_id AND par.i = ch.i - 1
+  WHERE ch.emit
+  UNION ALL
+  SELECT doc_id, url, page_block, anchor, h1, h2, h3,
+         CASE WHEN p_created THEN coalesce(array_to_string(p, chr(10)), '') END
+  FROM rec WHERE i = 11
+)
+SELECT e.url, e.page_block, e.anchor, e.h1, e.h2, e.h3,
+       d.source || '>' || d.doc_id AS tags, e.p
+FROM emits e JOIN documents d ON d.doc_id = e.doc_id
+"""
+
+
+def _segment_docssearch_sql() -> str:
+    """Recursive-CTE replay of the G2 hierarchy state machine."""
+    # emission: heading arrives while >1 hierarchy levels set and content
+    # non-empty (docssearch.ts:180-188); n_hier counts lvl0 + present keys
+    emit = (
+        "(e.lvl > 0 AND (1 + (s.h1 IS NOT NULL)::INT + (s.h2 IS NOT NULL)::INT "
+        "+ (s.h3 IS NOT NULL)::INT) > 1 AND len(s.content) > 0)"
+    )
+    n_hier_s = (
+        "(1 + (s.h1 IS NOT NULL)::INT + (s.h2 IS NOT NULL)::INT "
+        "+ (s.h3 IS NOT NULL)::INT)"
+    )
+    return f"""
+WITH RECURSIVE {_ELEMS_CTE},
+rec AS (
+  SELECT doc_id, url, -1 AS i,
+         CAST(NULL AS VARCHAR) AS h1, CAST(NULL AS VARCHAR) AS h2,
+         CAST(NULL AS VARCHAR) AS h3,
+         CAST(NULL AS VARCHAR) AS r1, CAST(NULL AS VARCHAR) AS r2,
+         CAST(NULL AS VARCHAR) AS r3,
+         CAST([] AS VARCHAR[]) AS content, CAST(NULL AS INT) AS level,
+         CAST(NULL AS VARCHAR) AS anchor, FALSE AS emit
+  FROM (SELECT DISTINCT doc_id, url FROM elems)
+  UNION ALL
+  SELECT s.doc_id, s.url, e.i,
+         CASE WHEN e.lvl = 1 THEN e.text ELSE s.h1 END,
+         CASE WHEN e.lvl = 2 THEN e.text WHEN e.lvl > 0 AND e.lvl < 2 THEN NULL
+              ELSE s.h2 END,
+         CASE WHEN e.lvl = 3 THEN e.text WHEN e.lvl > 0 AND e.lvl < 3 THEN NULL
+              ELSE s.h3 END,
+         CASE WHEN e.lvl = 1 THEN e.text WHEN e.lvl > 0 THEN NULL ELSE s.r1 END,
+         CASE WHEN e.lvl = 2 THEN e.text WHEN e.lvl > 0 THEN NULL ELSE s.r2 END,
+         CASE WHEN e.lvl = 3 THEN e.text WHEN e.lvl > 0 THEN NULL ELSE s.r3 END,
+         CASE WHEN {emit} THEN CAST([] AS VARCHAR[])
+              WHEN e.lvl = 0 AND {n_hier_s} > 1
+                   AND NOT list_contains(s.content, e.text)
+                THEN list_append(s.content, e.text)
+              ELSE s.content END,
+         CASE e.lvl WHEN 1 THEN 100 WHEN 2 THEN 90 WHEN 3 THEN 80
+              ELSE s.level END,
+         CASE WHEN e.lvl > 0 THEN '#' || e.eid ELSE s.anchor END,
+         {emit}
+  FROM rec s JOIN elems e ON e.doc_id = s.doc_id AND e.i = s.i + 1
+),
+emits AS (
+  SELECT par.doc_id, par.url, par.anchor, par.h1, par.h2, par.h3,
+         par.r1, par.r2, par.r3,
+         coalesce(array_to_string(par.content, chr(10)), '') AS content, par.level
+  FROM rec ch JOIN rec par ON par.doc_id = ch.doc_id AND par.i = ch.i - 1
+  WHERE ch.emit
+  UNION ALL
+  SELECT doc_id, url, anchor, h1, h2, h3, r1, r2, r3,
+         coalesce(array_to_string(content, chr(10)), ''), level
+  FROM rec WHERE i = 11 AND len(content) > 0
+)
+SELECT e.url || coalesce(e.anchor, '') AS url, e.anchor,
+       d.source || ' > ' || d.doc_id AS hierarchy_lvl0,
+       e.h1 AS hierarchy_lvl1, e.h2 AS hierarchy_lvl2, e.h3 AS hierarchy_lvl3,
+       e.r1 AS hierarchy_radio_lvl1, e.r2 AS hierarchy_radio_lvl2,
+       e.r3 AS hierarchy_radio_lvl3,
+       e.content, e.level, 'content' AS type
+FROM emits e JOIN documents d ON d.doc_id = e.doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -480,9 +1011,88 @@ SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
        event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1, 2
 """,
-        # minhash_lsh, simhash_dups, ann_lsh_topk, fingerprint: seeded
-        # permutations / hyperplanes / rolling hash — not SQL-expressible;
-        # rows-only check (pytest verifies them against exact oracles).
+        # WAND over the compressed published index must be rank-identical
+        # to exhaustive SQL scoring — that equivalence IS the check.
+        "bm25_wand_topk": _bm25_scored_sql(Q.query_terms(WAND_QUERY))
+        + """
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
+""",
+        # merging two disjoint half-builds must equal one global build
+        "merged_segments_topk": _bm25_scored_sql(Q.query_terms(MERGE_QUERY))
+        + """
+SELECT doc_id, round(score, 4) AS score, n_matched
+FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
+""",
+        "bm25f_topk": _bm25f_sql(),
+        "glob_scope_filter": _glob_scope_sql(),
+        "urls_tags": """
+SELECT doc_id, array_to_string(list_slice(sp, 2, len(sp) - 1), '>') AS tags
+FROM (SELECT doc_id,
+             string_split(regexp_replace(
+               'https://d.ex/' || source || '/' || doc_id || '/index.html',
+               '^https://[^/]*', ''), '/') AS sp
+      FROM documents)
+""",
+        "date_convert": """
+SELECT event_id,
+       epoch_ms(try_strptime(
+         CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+              ELSE event_type END,
+         '%Y-%m-%d %H:%M:%S'))::BIGINT AS ms
+FROM events
+""",
+        "schema_fanout": """
+SELECT doc_id, source AS name, (doc_id % 7)::BIGINT AS position FROM documents
+""",
+        "multimodal_features": """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       sha256(text) AS payload_sha256,
+       octet_length(encode(text))::BIGINT AS payload_bytes
+FROM documents
+""",
+        "multimodal_resize": """
+WITH m AS (SELECT doc_id AS media_id, (doc_id % 500 + 16)::BIGINT AS w,
+                  ((doc_id * 7) % 500 + 16)::BIGINT AS h
+           FROM documents WHERE doc_id % 3 = 0),
+s AS (SELECT media_id, w, h,
+             least(1.0, 224.0 / greatest(greatest(w, h), 1)) AS sc FROM m)
+SELECT media_id,
+       greatest(CAST(floor(w * sc) AS BIGINT), 1)::INT AS width,
+       greatest(CAST(floor(h * sc) AS BIGINT), 1)::INT AS height
+FROM s
+""",
+        "multimodal_frames": """
+SELECT doc_id AS media_id,
+       unnest(range(0, (doc_id * 37) % 5000 + 500, 700))::INT AS ts_ms
+FROM documents WHERE doc_id % 3 = 2
+""",
+        # streaming availableNow run must equal the batch aggregation
+        "streaming_tumbling": """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+       event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS value_sum
+FROM events GROUP BY 1, 2
+""",
+        "cosine_dup_pairs": """
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_sum(list_transform(range(len(a.v)),
+                     i -> a.v[i+1] * b.v[i+1])) / (a.nrm * b.nrm), 6) AS cosine
+      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
+""",
+        "segment_default": _segment_default_sql(),
+        "segment_docssearch": _segment_docssearch_sql(),
+        # minhash_lsh, simhash_dups, ann_lsh_topk, ann_ivf_topk,
+        # fingerprint: seeded permutations / hyperplanes / centroids /
+        # rolling hash — not SQL-expressible; rows-only check (pytest
+        # verifies each against an exact oracle).
     }
 
 

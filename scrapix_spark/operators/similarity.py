@@ -104,6 +104,95 @@ def cosine_topk_lsh(
     return cosine_topk_bruteforce(cand, query_vec, k, id_col, vec_col)
 
 
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train an IVF coarse quantizer: k-means on a (sampled) collect.
+
+    At 100 TB the training set is a tiny uniform sample (k-means needs
+    ~1000·k points, not the corpus); only the sample crosses the driver.
+    Deterministic: seeded init, fixed iteration count, ties to lowest
+    centroid id.
+    """
+    sample = df.select(vec_col)
+    if sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    X = np.stack(sample.toPandas()[vec_col].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (the IVF list id).
+
+    One Arrow-batched matmul per batch, no shuffle — at scale this is
+    the write path: `.write.partitionBy('list_id')` makes query-time
+    probing a partition-pruned scan.
+    """
+    cents = centroids.astype(np.float64)
+
+    def kernel(batches):
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (
+                (vecs**2).sum(axis=1, keepdims=True)
+                - 2.0 * vecs @ cents.T
+                + (cents**2).sum(axis=1)[None, :]
+            )
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "list_id": d2.argmin(axis=1).astype(np.int32)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema="id long, list_id int")
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: probe the `n_probe` nearest inverted lists only.
+
+    The scale path next to SRP-LSH: candidate set = rows whose list_id is
+    among the query's n_probe nearest centroids (partition-pruned at
+    scale), then exact cosine on the survivors. Recall is tunable via
+    n_probe (n_probe == n_centroids degenerates to exact search).
+    """
+    cents = ivf_centroids(df, n_centroids, seed=seed, vec_col=vec_col)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((cents - qv[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2, kind="stable")[:n_probe]]
+    assign = ivf_assign(df, cents, id_col, vec_col)
+    cand_ids = assign.filter(F.col("list_id").isin(probe)).select(
+        F.col("id").alias(id_col)
+    )
+    cand = df.join(cand_ids, id_col, "inner")
+    return cosine_topk_bruteforce(cand, query_vec, k, id_col, vec_col)
+
+
 def pairwise_cosine_dups(
     df: DataFrame,
     threshold: float = 0.95,

@@ -29,6 +29,59 @@ from scrapix_spark.operators.docs import assign_doc_ids
 
 RAW_SCHEMA = "repo string, path string, commit string, lang string, content string"
 
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_tumbling_counts(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    query_name: str = "stream_tumbling",
+) -> DataFrame:
+    """Windowed streaming aggregation (W1/W4 analog): file-stream source →
+    watermark → tumbling-window counts/sums per event_type, run to
+    completion with trigger=availableNow.
+
+    Structured Streaming guarantees this equals the batch groupBy over
+    the same input — the driver oracle checks exactly that equivalence.
+    The memory sink is for the bounded verification run; production uses
+    a parquet/Iceberg sink with append mode + the same watermark.
+    """
+    if os.path.isfile(events_path):
+        # the file-stream source monitors directories; stage a symlink
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(events_path, os.path.join(d, os.path.basename(events_path)))
+        events_path = d
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start"),
+        "event_type",
+        "n",
+        "value_sum",
+    )
+
 
 def stream_ingest(
     spark: SparkSession,

@@ -63,6 +63,41 @@ def test_stream_ingest_availablenow(spark, tmp_path):
     assert counters3["docs_ingested"] == len(pdf2)
 
 
+def test_stream_tumbling_equals_batch(spark, tmp_path):
+    """Windowed streaming agg (availableNow) must equal the batch groupBy
+    over the same bounded input (W1/W4)."""
+    import datetime
+
+    from scrapix_spark.streaming.ingest import stream_tumbling_counts
+
+    src = str(tmp_path / "events")
+    base = datetime.datetime(2026, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=7 * i), i % 5,
+         ["click", "view"][i % 2], float(i) / 3.0, "{}")
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string",
+    )
+    ev.write.mode("overwrite").parquet(src)
+    streamed = stream_tumbling_counts(
+        spark, src, query_name="t_stream_tumbling"
+    ).collect()
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(F.unix_timestamp("w.start").alias("window_start"),
+                "event_type", "n", "value_sum")
+        .collect()
+    )
+    key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    assert len(streamed) > 1
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame(
         [

@@ -127,6 +127,19 @@ def test_lsh_ann_finds_close_neighbors(spark, vectors):
     assert 0 in got and 5 in got and 7 in got
 
 
+def test_ivf_ann_recall_and_degenerate_exactness(spark, vectors):
+    df, vecs = vectors
+    q = [float(x) for x in vecs[0]]
+    out = SIM.cosine_topk_ivf(df, q, k=5, n_centroids=8, n_probe=3).collect()
+    got = [r["id"] for r in out]
+    # the exact-direction neighbor shares the query's list; must be found
+    assert 0 in got and 5 in got
+    # n_probe == n_centroids degenerates to exact search
+    exact = SIM.cosine_topk_bruteforce(df, q, k=5).collect()
+    full = SIM.cosine_topk_ivf(df, q, k=5, n_centroids=8, n_probe=8).collect()
+    assert [r["id"] for r in full] == [r["id"] for r in exact]
+
+
 def test_pairwise_cosine_dups(spark, vectors):
     df, _ = vectors
     pairs = SIM.pairwise_cosine_dups(df, threshold=0.99, n_planes=8).collect()
