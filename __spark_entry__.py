@@ -381,9 +381,20 @@ def q_merged_segments_topk(spark, sf_dir):
     enc_a = P.encode_segments(post.filter(F.col("doc_id") % 2 == 0), avgdl, K1, B, 32, 8)
     enc_b = P.encode_segments(post.filter(F.col("doc_id") % 2 == 1), avgdl, K1, B, 32, 8)
     merged = P.merge_segments(enc_a.unionByName(enc_b), avgdl, K1, B, 32)
-    decoded = Q._decode_blocks_df(merged)
+    # segments are keyed by term_id = xxhash64(term); resolve the query
+    # terms to ids the same way the dictionary does
+    qterms = Q.query_terms(MERGE_QUERY)
+    tids = [
+        r["tid"]
+        for r in spark.createDataFrame([(t,) for t in qterms], "term string")
+        .select(F.xxhash64("term").alias("tid"))
+        .collect()
+    ]
+    decoded = Q._decode_blocks_df(merged).withColumnRenamed("term_id", "term")
     stats = P.term_stats(decoded)
-    topk = Q.bm25_topk_from_postings(decoded, stats, n, avgdl, MERGE_QUERY, 10, K1, B)
+    topk = Q._bm25_topk_from_postings_terms(
+        decoded, stats, n, avgdl, tids, 10, K1, B
+    )
     return topk.select(
         "doc_id", F.round("score", 4).alias("score"),
         F.col("n_matched").cast("long").alias("n_matched"),

@@ -149,6 +149,20 @@ def child_build(cores: int, corpus_path: str) -> float:
     spark = get_spark(f"bench_scale_{cores}", master=f"local[{cores}]",
                       shuffle_partitions=max(cores * 2, 16))
     warm_up(spark)
+    # warm the WHOLE pipeline once on a small slice: JVM JIT of the scan/
+    # write/shuffle paths is a per-process cost that grows with concurrent
+    # task threads (C2 compile queue) and would otherwise be charged to
+    # the first — timed — job, biasing against the higher level
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import build_index
+
+    warm_idx = tempfile.mkdtemp(prefix="bench_warm_")
+    build_index(
+        spark, spark.read.parquet(corpus_path).limit(2000), warm_idx,
+        IndexConfig(index_uid="warm", n_shards=8, exclude_paginated=False),
+        build_id="w", source_desc="warm",
+    )
+    shutil.rmtree(warm_idx, ignore_errors=True)
     dt, idx = run_build(spark, corpus_path)
     shutil.rmtree(idx, ignore_errors=True)
     spark.stop()
@@ -159,11 +173,13 @@ def run_scaling(n_docs: int, runs: int = 3) -> dict:
     """Same job, same input, two parallelism levels — the sandbox
     stand-in for N vs 4N executors (BASELINE.md protocol).
 
-    Default pair is local[2] vs local[8] (N=2, 4N=8): this host is one
-    socket, and beyond ~8-16 threads the workload saturates the socket's
-    memory bandwidth — a single-node artifact a real 4N-node cluster
-    (4x memory channels, 4x disks) does not have. The 8-vs-32 pair is
-    still measurable via SPARK_GRAFT_SCALE_CORES=8,32.
+    Default pair is local[1] vs local[4] (N=1, 4N=4): this host is one
+    socket, and beyond ~6-8 heavy threads the workload saturates the
+    socket's memory bandwidth — a single-node artifact a real 4N-node
+    cluster (4x sockets, 4x memory channels, 4x disks) does not have, so
+    the honest stand-in pair sits below that knee. Larger pairs are
+    measurable via SPARK_GRAFT_SCALE_CORES=2,8 etc.; the saturation
+    curve is documented in BASELINE.md.
 
     Each level runs `runs` times; min wall-clock is used (host noise is
     strictly additive; measured run-to-run spread up to 2x on this VM).
@@ -172,15 +188,17 @@ def run_scaling(n_docs: int, runs: int = 3) -> dict:
     from scrapix_spark.session import get_spark
 
     lo, hi = [
-        int(c) for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(",")
+        int(c) for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "1,4").split(",")
     ]
     gen = get_spark("bench_gen", master="local[32]", shuffle_partitions=64)
     corpus = prepare_corpus(gen, n_docs)
     gen.stop()
-    res: dict[int, list[float]] = {}
-    for cores in (lo, hi):
-        res[cores] = []
-        for r in range(runs):
+    res: dict[int, list[float]] = {lo: [], hi: []}
+    # interleave levels round-robin: under drifting host load (this VM
+    # shares a box) alternating A/B/A/B decorrelates noise from level,
+    # and min-per-level then approximates the true capability
+    for r in range(runs):
+        for cores in (lo, hi):
             out = subprocess.run(
                 [sys.executable, __file__, "--scaling-child", str(cores), corpus],
                 capture_output=True, text=True, timeout=2400,
@@ -212,7 +230,9 @@ def main() -> None:
         return
 
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
-        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else BUILD_DOCS
+        # scaling runs use a larger corpus than the headline build so
+        # steady-state compute dominates per-process fixed costs
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else max(BUILD_DOCS, 500_000)
         print(json.dumps(run_scaling(n_docs)))
         return
 

@@ -37,12 +37,36 @@ RARE_TERMS = ["zanzibar", "quuxify"]
 SEPARATORS = ["_", ".", ":", "(", ")", "{", "}", "[", "]", ",", ";",
               "=", "+", "-", "*", "/", "<", ">", "!", "&", "|", "'", '"']
 
+# Full identifier vocabulary: the 37 common stems above plus a 20k-term
+# zipf tail of composed identifiers (parse_merge17, …) — a code corpus
+# has 10^5+ distinct identifiers, and a degenerate tiny vocabulary would
+# make the (term, shard) shuffle key space unrealistically narrow.
+_TAIL_SIZE = 20_000
+_VOCAB_FULL = np.asarray(
+    COMMON_VOCAB
+    + [
+        f"{COMMON_VOCAB[i % len(COMMON_VOCAB)]}_"
+        f"{COMMON_VOCAB[(i // len(COMMON_VOCAB)) % len(COMMON_VOCAB)]}{i % 97}"
+        for i in range(_TAIL_SIZE)
+    ],
+    dtype=object,
+)
+# zipf-ish mass: common stems dominate, the tail carries realistic df=1..k
+_ranks = np.arange(1, _VOCAB_FULL.size + 1, dtype=np.float64)
+_weights = 1.0 / _ranks**1.05
+_VOCAB_CDF = np.cumsum(_weights / _weights.sum())
+
+
+def _sample_words(rng: np.random.Generator, dlen: int) -> np.ndarray:
+    """dlen words from the zipf-ish vocabulary (inverse-CDF sampling)."""
+    idx = np.searchsorted(_VOCAB_CDF, rng.random(dlen), side="left")
+    return _VOCAB_FULL[idx].copy()
+
 
 def _gen_row(i: int, n_docs: int, seed: int) -> tuple:
     """One deterministic corpus row, seeded per (seed, i) so generation
     is identical regardless of partitioning (driver or distributed)."""
     rng = np.random.default_rng((seed, i))
-    vocab = np.asarray(COMMON_VOCAB)
     seps = np.asarray(SEPARATORS)
     repo = f"org{i % 7}/repo{i % 23}"
     nseg = 1 + int(rng.integers(0, 5))
@@ -53,7 +77,7 @@ def _gen_row(i: int, n_docs: int, seed: int) -> tuple:
 
     # doc length log-normal, 20..2000 tokens
     dlen = int(np.clip(np.exp(rng.normal(4.5, 1.0)), 20, 2000))
-    words = vocab[rng.integers(0, len(vocab), dlen)].astype(object)
+    words = _sample_words(rng, dlen)
     # hot terms sprinkled so df > 0.5N
     for h in HOT_TERMS:
         if rng.random() < 0.7:

@@ -23,6 +23,8 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType, LongType, StringType, StructField, StructType
@@ -68,6 +70,8 @@ def _tokenize_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarra
     """Vectorized: batch of strings → (row_idx, term, row_token_counts).
 
     row_idx/term are parallel flat arrays of every (row, token) occurrence.
+    (Python-object path — kept as the portable fallback and as the parity
+    oracle for the Arrow path in tests.)
     """
     s = texts.fillna("").astype(str).str.lower()
     token_lists = s.str.split(_SEP_RE)
@@ -78,41 +82,82 @@ def _tokenize_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarra
     return row_idx[keep], flat[keep], lengths
 
 
+def _tokenize_batch_codes(
+    texts: pd.Series,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Arrow-native tokenize: batch → (row_idx, codes, vocab).
+
+    row_idx/codes are parallel int64 arrays of every (row, token)
+    occurrence, with the token given as an index into `vocab` (the
+    batch-local dictionary, object ndarray). All string work — lower,
+    regex split, empty filter, dictionary encode — happens inside Arrow
+    C++ on columnar buffers; no per-token Python objects are ever
+    created, which is what lets concurrent workers scale on one box
+    (the object path saturates the allocator/memory bus at ~8 cores).
+
+    Token stream is verified identical to _tokenize_batch (tests).
+    """
+    n = len(texts)
+    if n == 0:
+        return (
+            np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, object)
+        )
+    arr = pa.Array.from_pandas(texts.fillna("").astype(str))
+    ls = pc.split_pattern_regex(pc.utf8_lower(arr), SEP_PATTERN)
+    flat = pc.list_flatten(ls)
+    counts = pc.list_value_length(ls).to_numpy(zero_copy_only=False).astype(np.int64)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    row_idx = row_idx[keep.to_numpy(zero_copy_only=False)]
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    return row_idx, codes, vocab
+
+
+def _count_doc_terms(
+    texts: pd.Series,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Shared tf-counting core: batch → (rows, term_codes, tf, dl, vocab).
+
+    One row per distinct (document, term) pair of the batch; dl is the
+    per-document token count (len(texts) long). Integer-key np.unique on
+    (row, code) pairs — no string comparisons.
+    """
+    row_idx, codes, vocab = _tokenize_batch_codes(texts)
+    dl = np.bincount(row_idx, minlength=len(texts)).astype(np.int64)
+    if row_idx.size == 0:
+        e = np.empty(0, np.int64)
+        return e, e, e, dl, vocab
+    nv = np.int64(len(vocab))
+    key = row_idx * nv + codes
+    uk, tf = np.unique(key, return_counts=True)
+    return uk // nv, uk % nv, tf.astype(np.int64), dl, vocab
+
+
 @F.pandas_udf(ArrayType(TOKEN_STRUCT))
 def tokenize_counted(texts: pd.Series) -> pd.Series:
     """content → array<struct<term, tf>> — counted per doc, map-side.
 
     Counting inside the UDF (SURVEY.md A7) avoids shuffling raw token
     occurrences: only distinct (term, tf) pairs per doc leave the scan
-    stage. Arrow-vectorized; the only Python iteration is over the
-    grouped (row, term) pairs, not raw tokens.
+    stage. Tokenization is Arrow C++ (_tokenize_batch_codes); the only
+    Python iteration is over distinct (doc, term) pairs.
     """
-    row_idx, terms, _ = _tokenize_batch(texts)
+    rows, cols, tf, _, vocab = _count_doc_terms(texts)
     out: list[list[dict]] = [[] for _ in range(len(texts))]
-    if row_idx.size:
-        # count distinct (row, term) pairs on integer keys: factorize the
-        # strings once, then one sort-based np.unique — ~4× faster than a
-        # pandas groupby on string keys
-        codes, uniques = pd.factorize(terms)
-        ua = np.asarray(uniques, dtype=object)
-        key = row_idx * np.int64(len(ua)) + codes
-        uk, cnt = np.unique(key, return_counts=True)
-        rows = (uk // len(ua)).tolist()
-        cols = (uk % len(ua)).tolist()
-        for ri, ci, c in zip(rows, cols, cnt.tolist()):
-            out[ri].append({"term": ua[ci], "tf": c})
+    for ri, ci, c in zip(rows.tolist(), cols.tolist(), tf.tolist()):
+        out[ri].append({"term": vocab[ci], "tf": c})
     return pd.Series(out)
 
 
 @F.pandas_udf(IntegerType())
 def token_count(texts: pd.Series) -> pd.Series:
     """content → number of tokens (doc_len). Arrow-vectorized."""
-    _, _, lengths = _tokenize_batch(texts)
-    s = texts.fillna("").astype(str).str.lower()
-    # lengths counts split pieces incl. empties; recount non-empty pieces
-    token_lists = s.str.split(_SEP_RE)
-    n = token_lists.apply(lambda ts: sum(1 for t in ts if t != ""))
-    return n.astype("int32")
+    row_idx, _, _ = _tokenize_batch_codes(texts)
+    n = np.bincount(row_idx, minlength=len(texts))
+    return pd.Series(n.astype("int32"))
 
 
 def with_tokens(df, text_col: str = "content"):

@@ -210,6 +210,79 @@ def encode_group(
     return out
 
 
+def encode_partition(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    run_starts: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+) -> dict:
+    """Encode MANY (term, shard) runs of one sorted partition at once.
+
+    encode_group lifted one level: `run_starts` marks where each
+    (term, shard) run begins; every stream is varint-encoded in ONE
+    vectorized pass over the whole partition (delta reset at every block
+    start), then sliced per block. Bit-identical to calling encode_group
+    per run, but without 10^5 small-array numpy calls per partition —
+    per-run overhead was the dominant cost of the segment phase.
+
+    Returns a dict of parallel per-block arrays:
+      run_idx, block_id, n_docs, first_doc_id, last_doc_id,
+      block_max_impact, doc_ids_enc, tfs_enc, dls_enc.
+    """
+    n = doc_ids.size
+    if n == 0:
+        return {k: [] for k in (
+            "run_idx", "block_id", "n_docs", "first_doc_id", "last_doc_id",
+            "block_max_impact", "doc_ids_enc", "tfs_enc", "dls_enc")}
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    run_starts = np.asarray(run_starts, dtype=np.int64)
+    run_ends = np.concatenate((run_starts[1:], [n]))
+    run_lens = run_ends - run_starts
+
+    # block starts: per run, a block_size grid from its start
+    nblocks = ((run_lens + block_size - 1) // block_size).astype(np.int64)
+    total_blocks = int(nblocks.sum())
+    run_idx = np.repeat(np.arange(run_starts.size, dtype=np.int64), nblocks)
+    # block_id within its run: global arange minus each run's first block
+    first_block_of_run = np.concatenate(([0], np.cumsum(nblocks)[:-1]))
+    block_id = np.arange(total_blocks, dtype=np.int64) - first_block_of_run[run_idx]
+    block_starts = run_starts[run_idx] + block_id * block_size
+    block_ends = np.minimum(block_starts + block_size, run_ends[run_idx])
+
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = np.uint64(ids[0])
+    if n > 1:
+        deltas[1:] = np.diff(ids).astype(np.uint64)
+    deltas[block_starts] = ids[block_starts].astype(np.uint64)
+
+    impacts = bm25_impact(tfs, dls, avgdl, k1, b)
+    block_max = np.maximum.reduceat(impacts, block_starts)
+
+    out = {
+        "run_idx": run_idx,
+        "block_id": block_id,
+        "n_docs": (block_ends - block_starts).astype(np.int64),
+        "first_doc_id": ids[block_starts],
+        "last_doc_id": ids[block_ends - 1],
+        "block_max_impact": block_max.astype(np.float64),
+    }
+    tfs_u = np.asarray(tfs, dtype=np.uint64)
+    dls_u = np.asarray(dls, dtype=np.uint64)
+    for name, vals in (("doc_ids_enc", deltas), ("tfs_enc", tfs_u),
+                       ("dls_enc", dls_u)):
+        buf = varint_encode(vals)
+        ends = np.cumsum(_varint_nbytes(vals))
+        starts_b = np.where(block_starts > 0, ends[block_starts - 1], 0)
+        ends_b = ends[block_ends - 1]
+        mv = memoryview(buf)
+        out[name] = [bytes(mv[a:b]) for a, b in zip(starts_b, ends_b)]
+    return out
+
+
 def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode one block row (mapping with the *_enc fields) →
     (doc_ids int64, tfs int64, dls int64)."""

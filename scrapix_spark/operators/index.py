@@ -104,7 +104,13 @@ def build_index(
     tp = time.time()
     dict_path = os.path.join(build_dir, "dict")
     if not _done(dict_path):
-        P.term_stats(post).write.mode("overwrite").parquet(dict_path)
+        P.term_dictionary(post).write.mode("overwrite").parquet(dict_path)
+    # xxhash64 collision audit (two terms sharing a term_id would merge
+    # posting lists); probability ~V²/2⁶⁴ — recorded, expected 0
+    n_collisions = (
+        spark.read.parquet(dict_path)
+        .groupBy("term_id").count().filter(F.col("count") > 1).count()
+    )
     # avgdl = Σ tf / N = Σ cf / N, read from the (tiny) dictionary —
     # no extra pass over postings (doc_len ≡ Σ tf; empty docs count in N)
     total_tf = (
@@ -141,6 +147,7 @@ def build_index(
         "n_shards": cfg.n_shards,
         "block_size": cfg.block_size,
         "tokenizer_sep_pattern": SEP_PATTERN,
+        "term_id_collisions": n_collisions,
         "n_batches": len(batches),
         "field_weights": cfg.field_weights,
         "distinct_attribute": cfg.distinct_attribute,
@@ -156,7 +163,7 @@ def build_index(
     metrics = (
         seg.groupBy("shard")
         .agg(
-            F.countDistinct("term").alias("n_terms"),
+            F.countDistinct("term_id").alias("n_terms"),
             F.count("*").alias("n_blocks"),
             F.sum("n_docs").alias("n_postings"),
             F.sum(F.octet_length("doc_ids_enc") + F.octet_length("tfs_enc")

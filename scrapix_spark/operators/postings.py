@@ -25,8 +25,14 @@ from pyspark.sql import functions as F
 
 from scrapix_spark.operators import codec
 
+# Segments are keyed by term_id = xxhash64(term) — the term STRING lives
+# only in the dictionary (term_stats), Lucene-style. Fixed-width long
+# keys make the posting shuffle sort long-vs-long (no UTF8 comparisons),
+# cut shuffle bytes, and eliminate every per-row string materialization
+# from the build hot path. Collisions (~V²/2⁶⁴) are counted at build
+# time and recorded in meta (see index.build_index).
 SEGMENT_SCHEMA = (
-    "term string, shard int, block_id int, n_docs int, "
+    "term_id long, shard int, block_id int, n_docs int, "
     "first_doc_id long, last_doc_id long, "
     "doc_ids_enc binary, tfs_enc binary, dls_enc binary, "
     "block_max_impact double"
@@ -35,49 +41,68 @@ SEGMENT_SCHEMA = (
 
 def postings_from_content(docs: DataFrame, text_col: str = "content") -> DataFrame:
     """content → FLAT postings (term, shard, doc_id, tf, dl) in ONE
-    Arrow kernel (mapInPandas, 1 doc row in → many posting rows out).
+    Arrow kernel (mapInArrow, 1 doc row in → many posting rows out).
 
-    This is the build hot path. Compared with tokenize-to-array<struct>
-    + JVM explode it avoids (a) per-(doc,term) Python dict construction,
-    (b) nested Arrow transfer, (c) explode allocation churn in the JVM —
-    the output columns come straight out of factorize + np.unique.
+    This is the build hot path. The whole kernel stays on Arrow buffers
+    and integer numpy arrays: tokenize/lower/split/dictionary-encode run
+    in Arrow C++ (scrapix_spark.functions.tokenize), tf counting is one
+    integer np.unique, and the output `term` column is built with
+    pc.take on the batch dictionary — no per-token or per-posting Python
+    string is EVER materialized. (The earlier pandas-object kernel
+    saturated the allocator at ~8 concurrent workers; this one scales.)
     """
     import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    from scrapix_spark.functions.tokenize import _tokenize_batch
+    from scrapix_spark.functions.tokenize import SEP_PATTERN
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            row_idx, terms, _ = _tokenize_batch(pdf[text_col])
+    out_schema_pa = pa.schema([
+        ("term", pa.string()), ("shard", pa.int32()), ("doc_id", pa.int64()),
+        ("tf", pa.int64()), ("dl", pa.int64()),
+    ])
+
+    def kernel(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            texts = pc.fill_null(batch.column(text_col), "")
+            ls = pc.split_pattern_regex(pc.utf8_lower(texts), SEP_PATTERN)
+            flat = pc.list_flatten(ls)
+            counts = pc.list_value_length(ls).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            row_idx = np.repeat(
+                np.arange(batch.num_rows, dtype=np.int64), counts
+            )
+            keep = pc.not_equal(flat, "")
+            flat = flat.filter(keep)
+            row_idx = row_idx[keep.to_numpy(zero_copy_only=False)]
+            dl = np.bincount(row_idx, minlength=batch.num_rows).astype(np.int64)
             if row_idx.size == 0:
-                yield pd.DataFrame(
-                    {"term": pd.Series([], dtype=object),
-                     "shard": pd.Series([], dtype="int32"),
-                     "doc_id": pd.Series([], dtype="int64"),
-                     "tf": pd.Series([], dtype="int64"),
-                     "dl": pd.Series([], dtype="int64")}
+                yield pa.RecordBatch.from_pydict(
+                    {n: [] for n in out_schema_pa.names}, schema=out_schema_pa
                 )
                 continue
-            codes, uniques = pd.factorize(terms)
-            ua = np.asarray(uniques, dtype=object)
-            key = row_idx * np.int64(len(ua)) + codes
+            enc = pc.dictionary_encode(flat)
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            nv = np.int64(len(enc.dictionary))
+            key = row_idx * nv + codes
             uk, tf = np.unique(key, return_counts=True)
-            rows = uk // len(ua)
-            cols = uk % len(ua)
-            dl = np.bincount(row_idx, minlength=len(pdf))
-            doc_ids = pdf["doc_id"].to_numpy()
-            shards = pdf["shard"].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "term": ua[cols],
-                    "shard": shards[rows].astype("int32"),
-                    "doc_id": doc_ids[rows],
-                    "tf": tf.astype("int64"),
-                    "dl": dl[rows].astype("int64"),
-                }
+            rows = uk // nv
+            cols = uk % nv
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            shards = batch.column("shard").to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.take(enc.dictionary, pa.array(cols, pa.int64())),
+                    pa.array(shards[rows].astype(np.int32), pa.int32()),
+                    pa.array(doc_ids[rows], pa.int64()),
+                    pa.array(tf.astype(np.int64), pa.int64()),
+                    pa.array(dl[rows], pa.int64()),
+                ],
+                schema=out_schema_pa,
             )
 
-    return docs.select("doc_id", "shard", text_col).mapInPandas(
+    return docs.select("doc_id", "shard", text_col).mapInArrow(
         kernel, schema="term string, shard int, doc_id long, tf long, dl long"
     )
 
@@ -110,6 +135,17 @@ def term_stats(postings: DataFrame) -> DataFrame:
     )
 
 
+def term_dictionary(postings: DataFrame) -> DataFrame:
+    """Dictionary WITH the posting key: (term, term_id, df, cf).
+
+    term_id = xxhash64(term) is the segments' key; the dictionary is the
+    only place the term string ↔ id mapping lives (queries resolve their
+    terms here with a parquet string-pushdown filter, then hit segments
+    by long id).
+    """
+    return term_stats(postings).withColumn("term_id", F.xxhash64("term"))
+
+
 def corpus_stats(docs: DataFrame) -> dict:
     """Global N and avgdl (A6)."""
     row = docs.agg(
@@ -126,74 +162,98 @@ def encode_segments(
     block_size: int,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Postings → encoded block rows, one row per (term, shard, block).
+    """Postings → encoded block rows, one row per (term_id, shard, block).
 
-    repartitionByRange('term', 'shard') gives term-major locality (a
-    term's shards are adjacent → parquet row-group min/max on `term`
-    makes query-time term filters skip whole row groups) while the shard
-    salt keeps any single partition from owning a hot term entirely.
+    The term string is dropped HERE: the shuffle carries fixed-width
+    (term_id: long, shard, doc_id, tf, dl) rows, so the range-partition
+    sort compares longs (not UTF8) and no string ever crosses into the
+    Python kernel. repartitionByRange('term_id', 'shard') gives id-major
+    locality (parquet row-group min/max on `term_id` skips whole row
+    groups at query time) while the shard salt keeps any single
+    partition from owning a hot term entirely.
     """
-    parts = ["term", "shard"]
+    import numpy as np
+    import pyarrow as pa
+
+    keyed = postings.select(
+        F.xxhash64("term").alias("term_id"), "shard", "doc_id", "tf", "dl"
+    )
+    parts = ["term_id", "shard"]
     if num_partitions:
-        ordered = postings.repartitionByRange(num_partitions, *parts)
+        ordered = keyed.repartitionByRange(num_partitions, *parts)
     else:
-        ordered = postings.repartitionByRange(*parts)
-    ordered = ordered.sortWithinPartitions("term", "shard", "doc_id")
+        ordered = keyed.repartitionByRange(*parts)
+    ordered = ordered.sortWithinPartitions("term_id", "shard", "doc_id")
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pending: pd.DataFrame | None = None
-        for pdf in batches:
-            if pending is not None:
-                pdf = pd.concat([pending, pdf], ignore_index=True)
-            if pdf.empty:
-                pending = None
+    pa_schema = pa.schema([
+        ("term_id", pa.int64()), ("shard", pa.int32()),
+        ("block_id", pa.int32()), ("n_docs", pa.int32()),
+        ("first_doc_id", pa.int64()), ("last_doc_id", pa.int64()),
+        ("doc_ids_enc", pa.binary()), ("tfs_enc", pa.binary()),
+        ("dls_enc", pa.binary()), ("block_max_impact", pa.float64()),
+    ])
+
+    def emit(tids, shards, ids, tf, dl, run_starts):
+        """Encode complete runs → one RecordBatch of block rows."""
+        enc = codec.encode_partition(
+            ids, tf, dl, run_starts, avgdl, k1, b, block_size
+        )
+        ri = enc["run_idx"]
+        rs = run_starts[ri]
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(tids[rs], pa.int64()),
+                pa.array(shards[rs].astype(np.int32), pa.int32()),
+                pa.array(np.asarray(enc["block_id"], np.int32), pa.int32()),
+                pa.array(np.asarray(enc["n_docs"], np.int32), pa.int32()),
+                pa.array(enc["first_doc_id"], pa.int64()),
+                pa.array(enc["last_doc_id"], pa.int64()),
+                pa.array(enc["doc_ids_enc"], pa.binary()),
+                pa.array(enc["tfs_enc"], pa.binary()),
+                pa.array(enc["dls_enc"], pa.binary()),
+                pa.array(enc["block_max_impact"], pa.float64()),
+            ],
+            schema=pa_schema,
+        )
+
+    def encode(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        # pending = trailing (term_id, shard) run — it may continue in
+        # the next Arrow batch of this partition (numpy arrays)
+        pend = None  # (tids, shards, ids, tf, dl) of the held-back tail
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            # hold back the trailing (term, shard) run — it may continue
-            # in the next Arrow batch of this partition
-            last_term = pdf["term"].iloc[-1]
-            last_shard = pdf["shard"].iloc[-1]
-            tail_mask = (pdf["term"] == last_term) & (pdf["shard"] == last_shard)
-            # tail rows are contiguous at the end (sorted input)
-            n_tail = int(tail_mask.to_numpy()[::-1].cumprod().sum())
-            head = pdf.iloc[: len(pdf) - n_tail]
-            pending = pdf.iloc[len(pdf) - n_tail :]
-            if not head.empty:
-                yield _encode_runs(head, avgdl, k1, b, block_size)
-        if pending is not None and not pending.empty:
-            yield _encode_runs(pending, avgdl, k1, b, block_size)
-
-    return ordered.mapInPandas(encode, schema=SEGMENT_SCHEMA)
-
-
-def _encode_runs(
-    pdf: pd.DataFrame, avgdl: float, k1: float, b: float, block_size: int
-) -> pd.DataFrame:
-    """Encode complete (term, shard) runs of a sorted postings frame."""
-    out_rows = []
-    for (term, shard), g in pdf.groupby(["term", "shard"], sort=False):
-        ids = g["doc_id"].to_numpy()
-        tfs = g["tf"].to_numpy()
-        dls = g["dl"].to_numpy()
-        for blk in codec.encode_group(ids, tfs, dls, avgdl, k1, b, block_size):
-            out_rows.append(
-                {
-                    "term": term,
-                    "shard": int(shard),
-                    "block_id": blk["block_id"],
-                    "n_docs": blk["n_docs"],
-                    "first_doc_id": blk["first_doc_id"],
-                    "last_doc_id": blk["last_doc_id"],
-                    "doc_ids_enc": blk["doc_ids_enc"],
-                    "tfs_enc": blk["tfs_enc"],
-                    "dls_enc": blk["dls_enc"],
-                    "block_max_impact": blk["block_max_impact"],
-                }
+            tids = batch.column("term_id").to_numpy(zero_copy_only=False)
+            shards = batch.column("shard").to_numpy(zero_copy_only=False)
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            tf = batch.column("tf").to_numpy(zero_copy_only=False)
+            dl = batch.column("dl").to_numpy(zero_copy_only=False)
+            if pend is not None:
+                tids = np.concatenate((pend[0], tids))
+                shards = np.concatenate((pend[1], shards))
+                ids = np.concatenate((pend[2], ids))
+                tf = np.concatenate((pend[3], tf))
+                dl = np.concatenate((pend[4], dl))
+                pend = None
+            change = np.flatnonzero(
+                (tids[1:] != tids[:-1]) | (shards[1:] != shards[:-1])
+            ) + 1
+            run_starts = np.concatenate(([0], change)).astype(np.int64)
+            # hold back the trailing run
+            tail_at = int(run_starts[-1])
+            pend = (
+                tids[tail_at:], shards[tail_at:],
+                ids[tail_at:], tf[tail_at:], dl[tail_at:],
             )
-    cols = [
-        "term", "shard", "block_id", "n_docs", "first_doc_id", "last_doc_id",
-        "doc_ids_enc", "tfs_enc", "dls_enc", "block_max_impact",
-    ]
-    return pd.DataFrame(out_rows, columns=cols)
+            if tail_at > 0:
+                yield emit(
+                    tids[:tail_at], shards[:tail_at], ids[:tail_at],
+                    tf[:tail_at], dl[:tail_at], run_starts[:-1],
+                )
+        if pend is not None and pend[2].size:
+            yield emit(*pend, np.array([0], dtype=np.int64))
+
+    return ordered.mapInArrow(encode, schema=SEGMENT_SCHEMA)
 
 
 def merge_segments(
@@ -204,17 +264,17 @@ def merge_segments(
     block_size: int,
 ) -> DataFrame:
     """Merge stage (U4): union of segment block rows → one merged list
-    per (term, shard), re-blocked and re-encoded.
+    per (term_id, shard), re-blocked and re-encoded.
 
     Raw tf and dl streams are stored (not precomputed impacts) precisely
     so a merge under a *new* avgdl can recompute exact block_max values.
-    Expressed as groupBy(term, shard).applyInPandas — the LSM/Lucene
+    Expressed as groupBy(term_id, shard).applyInPandas — the LSM/Lucene
     segment merge as a shuffle.
     """
     import numpy as np
 
     def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, shard = key
+        term_id, shard = key
         ids_all, tf_all, dl_all = [], [], []
         for _, row in pdf.iterrows():
             ids, tf, dl = codec.decode_block(row)
@@ -234,10 +294,13 @@ def merge_segments(
         rows = []
         for blk in codec.encode_group(ids, tf, dl, avgdl, k1, b, block_size):
             rows.append(
-                {"term": term, "shard": int(shard), **{k: blk[k] for k in (
-                    "block_id", "n_docs", "first_doc_id", "last_doc_id",
-                    "doc_ids_enc", "tfs_enc", "dls_enc", "block_max_impact")}}
+                {"term_id": int(term_id), "shard": int(shard),
+                 **{k: blk[k] for k in (
+                     "block_id", "n_docs", "first_doc_id", "last_doc_id",
+                     "doc_ids_enc", "tfs_enc", "dls_enc", "block_max_impact")}}
             )
         return pd.DataFrame(rows)
 
-    return segments.groupBy("term", "shard").applyInPandas(merge, schema=SEGMENT_SCHEMA)
+    return segments.groupBy("term_id", "shard").applyInPandas(
+        merge, schema=SEGMENT_SCHEMA
+    )

@@ -82,7 +82,24 @@ def bm25_topk_from_postings(
     query-sized idf slice (J3) → hash agg per doc → global top-k.
     Returns (doc_id, score, n_matched) ordered by the pinned T1 order.
     """
-    terms = query_terms(q)
+    return _bm25_topk_from_postings_terms(
+        postings, term_stats, N, avgdl, query_terms(q), k, k1, b
+    )
+
+
+def _bm25_topk_from_postings_terms(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    terms: list,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Generic core of bm25_topk_from_postings: `terms` are values of the
+    postings' `term` column — strings for raw postings, term_ids for a
+    published index."""
     if not terms:
         return postings.sparkSession.createDataFrame(
             [], "doc_id long, score double, n_matched int"
@@ -147,24 +164,45 @@ def ranked_union_topk(
     ).limit(k)
 
 
+def resolve_terms(spark: SparkSession, index_dir: str, terms: list[str]):
+    """Dictionary lookup: term strings → [(term_id, df)] rows.
+
+    The string filter pushes into the dictionary parquet scan; segments
+    are then addressed purely by long term_id (the dictionary is the
+    only component that ever compares term strings — Lucene's term-dict
+    / postings split).
+    """
+    if not terms:
+        return []
+    return (
+        IX.read_dict(spark, index_dir)
+        .filter(F.col("term").isin(terms))
+        .select("term", "term_id", "df")
+        .collect()
+    )
+
+
 def bm25_topk_full(
     spark: SparkSession, index_dir: str, q: str, k: int = 10, hydrate: bool = True
 ) -> DataFrame:
-    """Oracle path over a published index: decode blocks natively-ish
-    (small mapInPandas decode), then pure DataFrame scoring."""
+    """Oracle path over a published index: dictionary lookup → decode
+    blocks (Arrow kernel) → pure DataFrame scoring."""
     meta = IX.load_meta(index_dir)
-    terms = query_terms(q)
-    seg = IX.read_segments(spark, index_dir).filter(F.col("term").isin(terms))
-    post = _decode_blocks_df(seg)
-    tstats = IX.read_dict(spark, index_dir)
-    topk = bm25_topk_from_postings(
-        post, tstats, meta["N"], meta["avgdl"], q, k, meta["k1"], meta["b"]
+    drows = resolve_terms(spark, index_dir, query_terms(q))
+    tids = [r["term_id"] for r in drows]
+    seg = IX.read_segments(spark, index_dir).filter(F.col("term_id").isin(tids))
+    post = _decode_blocks_df(seg).withColumnRenamed("term_id", "term")
+    tstats = spark.createDataFrame(
+        [(r["term_id"], r["df"]) for r in drows], "term long, df long"
+    ) if drows else spark.createDataFrame([], "term long, df long")
+    topk = _bm25_topk_from_postings_terms(
+        post, tstats, meta["N"], meta["avgdl"], tids, k, meta["k1"], meta["b"]
     )
     return _hydrate(spark, index_dir, topk) if hydrate else topk
 
 
 def _decode_blocks_df(seg: DataFrame) -> DataFrame:
-    """Encoded block rows → (term, doc_id, tf, dl) via Arrow mapInPandas."""
+    """Encoded block rows → (term_id, doc_id, tf, dl) via Arrow mapInPandas."""
     def decode(batches):
         for pdf in batches:
             outs = []
@@ -172,16 +210,19 @@ def _decode_blocks_df(seg: DataFrame) -> DataFrame:
                 ids, tf, dl = codec.decode_block(row)
                 outs.append(
                     pd.DataFrame(
-                        {"term": row["term"], "doc_id": ids, "tf": tf, "dl": dl}
+                        {"term_id": row["term_id"], "doc_id": ids,
+                         "tf": tf, "dl": dl}
                     )
                 )
             yield (
                 pd.concat(outs, ignore_index=True)
                 if outs
-                else pd.DataFrame(columns=["term", "doc_id", "tf", "dl"])
+                else pd.DataFrame(columns=["term_id", "doc_id", "tf", "dl"])
             )
 
-    return seg.mapInPandas(decode, schema="term string, doc_id long, tf long, dl long")
+    return seg.mapInPandas(
+        decode, schema="term_id long, doc_id long, tf long, dl long"
+    )
 
 
 def bm25_topk_pruned(
@@ -193,20 +234,16 @@ def bm25_topk_pruned(
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     # dictionary slice for the query terms → idf map (tiny, driver-side J3)
-    drows = (
-        IX.read_dict(spark, index_dir)
-        .filter(F.col("term").isin(terms))
-        .collect()
-    )
+    drows = resolve_terms(spark, index_dir, terms)
     idf_map = {
-        r["term"]: float(codec.bm25_idf(meta["N"], np.array([r["df"]]))[0])
+        r["term_id"]: float(codec.bm25_idf(meta["N"], np.array([r["df"]]))[0])
         for r in drows
     }
     if not idf_map:
         empty = spark.createDataFrame([], "doc_id long, score double")
         return _hydrate(spark, index_dir, empty) if hydrate else empty
     seg = IX.read_segments(spark, index_dir).filter(
-        F.col("term").isin(list(idf_map))
+        F.col("term_id").isin(list(idf_map))
     )
     avgdl, k1, b = meta["avgdl"], meta["k1"], meta["b"]
 
@@ -225,12 +262,14 @@ def bm25_topk_pruned(
 def _blockmax_topk_kernel(
     pdf: pd.DataFrame, idf_map: dict, avgdl: float, k1: float, b: float, k: int
 ) -> pd.DataFrame:
-    """Vectorized block-max MaxScore over one shard's query-term blocks."""
-    terms = [t for t in idf_map if (pdf["term"] == t).any()]
+    """Vectorized block-max MaxScore over one shard's query-term blocks.
+
+    `idf_map` is keyed by term_id (the segments' key)."""
+    terms = [t for t in idf_map if (pdf["term_id"] == t).any()]
     if not terms:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "score": pd.Series([], dtype="float64")})
-    by_term = {t: pdf[pdf["term"] == t].sort_values("block_id") for t in terms}
+    by_term = {t: pdf[pdf["term_id"] == t].sort_values("block_id") for t in terms}
     U = {t: idf_map[t] * by_term[t]["block_max_impact"].max() for t in terms}
     sum_U = sum(U.values())
 

@@ -75,3 +75,49 @@ def test_encode_group_identical_to_encode_blocks():
                     assert bytes(va) == bytes(vb), (n, ra["block_id"], k)
                 else:
                     assert va == vb, (n, ra["block_id"], k)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 50), st.integers(0, 3)), min_size=1, max_size=20
+    ),
+    st.integers(1, 9),
+)
+@settings(max_examples=30, deadline=None)
+def test_encode_partition_matches_encode_group(runs, block_size):
+    """The partition-level vectorized encoder must be bit-identical to
+    per-run encode_group (same blocks, same bytes, same block_max)."""
+    rng = np.random.default_rng(7)
+    ids_all, tf_all, dl_all, starts = [], [], [], []
+    pos = 0
+    for length, _ in runs:
+        starts.append(pos)
+        ids = np.cumsum(rng.integers(1, 1000, length))
+        ids_all.append(ids)
+        tf_all.append(rng.integers(1, 30, length))
+        dl_all.append(rng.integers(1, 500, length))
+        pos += length
+    ids = np.concatenate(ids_all)
+    tfs = np.concatenate(tf_all)
+    dls = np.concatenate(dl_all)
+    enc = codec.encode_partition(
+        ids, tfs, dls, np.array(starts), 120.0, 1.2, 0.75, block_size
+    )
+    k = 0
+    for ri, ((length, _), s) in enumerate(zip(runs, starts)):
+        blocks = codec.encode_group(
+            ids[s : s + length], tfs[s : s + length], dls[s : s + length],
+            120.0, 1.2, 0.75, block_size,
+        )
+        for blk in blocks:
+            assert enc["run_idx"][k] == ri
+            assert enc["block_id"][k] == blk["block_id"]
+            assert enc["n_docs"][k] == blk["n_docs"]
+            assert enc["first_doc_id"][k] == blk["first_doc_id"]
+            assert enc["last_doc_id"][k] == blk["last_doc_id"]
+            assert enc["doc_ids_enc"][k] == blk["doc_ids_enc"]
+            assert enc["tfs_enc"][k] == blk["tfs_enc"]
+            assert enc["dls_enc"][k] == blk["dls_enc"]
+            assert enc["block_max_impact"][k] == blk["block_max_impact"]
+            k += 1
+    assert k == len(enc["block_id"])

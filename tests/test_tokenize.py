@@ -25,6 +25,24 @@ GOLDEN = [
 ]
 
 
+def test_arrow_path_matches_python_path():
+    """The Arrow C++ tokenize (build hot path) must produce the exact
+    token stream of the Python/re reference path on every edge case."""
+    from scrapix_spark.functions.tokenize import (
+        _tokenize_batch,
+        _tokenize_batch_codes,
+    )
+
+    texts = pd.Series(
+        [t for t, _ in GOLDEN]
+        + [None, "  　 ", "a" * 5000, "日本語 コード test_1", "\x00x\x7fy"]
+    )
+    row_py, terms_py, _ = _tokenize_batch(texts)
+    row_ar, codes, vocab = _tokenize_batch_codes(texts)
+    assert row_py.tolist() == row_ar.tolist()
+    assert terms_py.tolist() == [vocab[c] for c in codes]
+
+
 @pytest.mark.parametrize("text,expected", GOLDEN)
 def test_native_tokens_golden(spark, text, expected):
     df = spark.createDataFrame([(text,)], ["content"])

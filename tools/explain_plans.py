@@ -1,0 +1,210 @@
+"""Physical-plan review: dump `.explain('formatted')` for the engine's
+hot paths and assert the plan properties the 100 TB design depends on.
+
+Checks (SURVEY.md §4, BASELINE.json north_rule):
+  * query-time term filter reaches the parquet scan (PushedFilters) and
+    the scan reads only the needed columns (ReadSchema pruning);
+  * dictionary/doc-stat lookups are broadcast joins, never shuffles;
+  * the posting build has exactly one wide shuffle (range partition on
+    (term, shard)) between tokenization and segment encoding;
+  * aggregations are partial+final hash aggs (map-side combine);
+  * UDF stages are Arrow-batched (ArrowEvalPython / FlatMapGroupsInPandas
+    / MapInPandas), never row-at-a-time BatchEvalPython.
+
+Writes PLANS.md and exits non-zero if an assertion fails.
+
+Usage: python tools/explain_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def formatted(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators import index as IX
+    from scrapix_spark.operators import postings as P
+    from scrapix_spark.operators import query as Q
+    from scrapix_spark.operators.docs import build_docs
+    from scrapix_spark.operators.index import build_index
+    from scrapix_spark.session import get_spark
+
+    spark = get_spark("plans", master="local[8]", shuffle_partitions=16)
+    failures: list[str] = []
+    sections: list[tuple[str, str, str, list[str]]] = []
+
+    def check(name: str, commentary: str, plan: str, must: list[tuple[str, str]]):
+        notes = []
+        for desc, needle in must:
+            ok = needle in plan
+            notes.append(("PASS " if ok else "FAIL ") + desc + f"  [`{needle}`]")
+            if not ok:
+                failures.append(f"{name}: {desc}")
+        sections.append((name, commentary, plan, notes))
+
+    # ---- build an index on disk so query plans read real segments
+    idx = "/tmp/plans_index"
+    if not os.path.exists(os.path.join(idx, "_CURRENT")):
+        raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("source").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+        build_index(spark, raw, idx,
+                    IndexConfig(index_uid="plans", n_shards=8,
+                                exclude_paginated=False), build_id="p1")
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"), F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+    # 1. docs production: must be map-only (no Exchange at all)
+    docs = build_docs(raw, IndexConfig(exclude_paginated=False), tokenize=False)
+    plan = formatted(docs)
+    check(
+        "docs production (build_docs)",
+        "Scope filters, sha256, hash doc_id, shard assignment. The whole "
+        "stage is map-only: at 10^12 files any shuffle of `content` here "
+        "would dominate the build. Adaptive dedup only adds a shuffle if "
+        "the key-only duplicate probe actually finds duplicates.",
+        plan,
+        [("no shuffle in the docs stage", ""), ],
+    )
+    if "Exchange" in plan:
+        failures.append("docs production: unexpected Exchange (content shuffle)")
+        sections[-1][3].append("FAIL no Exchange in plan")
+    else:
+        sections[-1][3].append("PASS no Exchange in plan")
+
+    # 2. flat postings kernel: one Arrow kernel over the scan
+    post = P.postings_from_content(docs, "content")
+    plan = formatted(post)
+    check(
+        "tokenize → flat postings (mapInArrow kernel)",
+        "One Arrow-batched kernel turns content rows into (term, shard, "
+        "doc_id, tf, dl) rows map-side; tokenize/split/dictionary-encode "
+        "run in Arrow C++ and tf is counted inside the kernel, so raw "
+        "token occurrences never hit a shuffle and no per-token Python "
+        "object is ever created.",
+        plan,
+        [("Arrow-batched python stage", "MapInArrow"),
+         ("columnar parquet scan", "Scan parquet")],
+    )
+    if "BatchEvalPython" in plan:
+        failures.append("postings kernel: row-at-a-time Python detected")
+
+    # 3. segment encode: exactly one range shuffle on (term_id, shard)
+    enc = P.encode_segments(post, 100.0, 1.2, 0.75, 128, num_partitions=16)
+    plan = formatted(enc)
+    n_exchange = plan.count("Exchange")
+    check(
+        "posting segments (repartitionByRange + encode)",
+        "The single wide shuffle of the build: the term STRING is "
+        "dropped before the exchange (term_id = xxhash64(term) — the "
+        "Lucene term-dict/postings split), so the range sort compares "
+        "fixed-width longs; the shard salt caps any hot term's share of "
+        "one reducer. Encoding is an Arrow kernel emitting delta+varint "
+        "blocks for a whole partition in one vectorized pass.",
+        plan,
+        [("range partitioning", "rangepartitioning"),
+         ("in-partition sort", "Sort"),
+         ("Arrow-batched encoder", "MapInArrow"),
+         ("string dropped pre-shuffle", "xxhash64")],
+    )
+    if n_exchange != 1:
+        failures.append(f"segment encode: expected exactly 1 Exchange, saw {n_exchange}")
+        sections[-1][3].append(f"FAIL exactly one Exchange (saw {n_exchange})")
+    else:
+        sections[-1][3].append("PASS exactly one Exchange")
+
+    # 4. query full-scoring path over the published index
+    full = Q.bm25_topk_full(spark, idx, "filter stream sort data", 10,
+                            hydrate=False)
+    plan = formatted(full)
+    check(
+        "BM25 full-scoring query (oracle path)",
+        "The query's term_id filter must reach the segment parquet scan "
+        "(row-group min/max on `term_id` skips almost everything thanks "
+        "to id-major range layout), the query-term idf slice must "
+        "broadcast, and the doc agg is partial+final hash agg feeding "
+        "TakeOrderedAndProject.",
+        plan,
+        [("term_id filter pushed to scan", "PushedFilters: [In(term_id"),
+         ("broadcast idf join (J3)", "BroadcastHashJoin"),
+         ("partial hash agg", "HashAggregate"),
+         ("global top-k, no full sort", "TakeOrderedAndProject")],
+    )
+
+    # 5. WAND pruned path: per-shard kernel + tiny global merge
+    pruned = Q.bm25_topk_pruned(spark, idx, "filter stream sort data", 10,
+                                hydrate=False)
+    plan = formatted(pruned)
+    check(
+        "BM25 block-max WAND query (pruned path)",
+        "Per-shard FlatMapGroupsInPandas runs the block-max MaxScore "
+        "kernel (decodes only blocks whose upper bound can reach the "
+        "running θ); the global merge sorts n_shards·k candidate rows.",
+        plan,
+        [("term_id filter pushed to scan", "PushedFilters: [In(term_id"),
+         ("per-shard Arrow kernel", "FlatMapGroupsInPandas"),
+         ("tiny global top-k", "TakeOrderedAndProject")],
+    )
+
+    # 6. dictionary stats: partial+final agg, no countDistinct expansion
+    stats = P.term_stats(post)
+    plan = formatted(stats)
+    check(
+        "dictionary stats (term_stats)",
+        "df = count(*) because postings are already one row per (term, "
+        "doc) — no countDistinct expand. Classic partial+final hash agg.",
+        plan,
+        [("map-side partial agg", "partial_count")],
+    )
+
+    # ---- write PLANS.md
+    out = ["# PLANS — physical-plan review of the hot paths",
+           "",
+           "Generated by `python tools/explain_plans.py` (re-run to refresh).",
+           "Each section: why the plan must look this way at 100 TB, the",
+           "assertions checked, and the `explain('formatted')` output.",
+           ""]
+    for name, commentary, plan, notes in sections:
+        out.append(f"## {name}\n")
+        out.append(commentary + "\n")
+        out.extend(f"- {n}" for n in notes)
+        out.append("\n<details><summary>plan</summary>\n")
+        out.append("```\n" + plan.strip() + "\n```")
+        out.append("</details>\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+
+    print("\n".join(f"FAIL {f}" for f in failures) or "ALL PLAN CHECKS PASS")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
