@@ -1,0 +1,85 @@
+"""spark-submit entry: build (or resume) a full-text index.
+
+The north-rule execution shape — the analog of the reference's CLI entry
+``yarn start -p config.json`` (reference src/bin/index.ts:32-57, config
+parse :11-27) — run on a cluster as:
+
+    python tools/make_pyfiles.py                        # → dist/scrapix_spark.zip
+    spark-submit --py-files dist/scrapix_spark.zip \
+        jobs/build_index.py \
+        --input  /path/to/docs_table_or_parquet \
+        --index-dir /path/to/index \
+        [--config cfg.json | --config-json '{...}'] \
+        [--build-id 0001] [--n-batches 4] [--format parquet|iceberg]
+
+Mirrors the reference's mutual-exclusion check between inline config and
+config path (src/bin/index.ts:48-57). Prints ONE JSON line with the
+build manifest (docs/sec, phase wall times, per-partition metrics path)
+— the webhook 'completed' payload analog (src/webhook.ts:30-88).
+
+Resumption: re-running with the same --build-id skips every segment
+batch that already carries _SUCCESS (checkpoint-resume, north_rule W2).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="Build a BM25 full-text index")
+    ap.add_argument("--input", required=True,
+                    help="docs source: parquet path or table name (see --format)")
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--config", help="path to IndexConfig JSON")
+    ap.add_argument("--config-json", help="inline IndexConfig JSON")
+    ap.add_argument("--build-id", default="0001")
+    ap.add_argument("--n-batches", type=int, default=1,
+                    help="resumable segment units (shard-range groups)")
+    ap.add_argument("--format", default="parquet",
+                    help="'parquet' path or a table format ('iceberg' reads "
+                         "spark.read.table(input))")
+    args = ap.parse_args(argv)
+
+    if args.config and args.config_json:
+        # mutual exclusion, reference src/bin/index.ts:48-57
+        ap.error("--config and --config-json are mutually exclusive")
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import build_index
+
+    if args.config:
+        cfg = IndexConfig.load(args.config)
+    elif args.config_json:
+        cfg = IndexConfig.from_json(args.config_json)
+    else:
+        cfg = IndexConfig()
+
+    spark = SparkSession.builder.appName(
+        f"scrapix-spark-build-{cfg.index_uid}"
+    ).getOrCreate()
+    if cfg.shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
+
+    if args.format == "parquet":
+        raw = spark.read.parquet(args.input)
+    else:
+        raw = spark.read.table(args.input)
+
+    manifest = build_index(
+        spark, raw, args.index_dir, cfg,
+        build_id=args.build_id, n_batches=args.n_batches,
+        source_desc=f"{args.format}:{args.input}",
+    )
+    wall = manifest.get("build_wall_sec", 0.0) or 1e-9
+    manifest["docs_per_sec"] = round(manifest["N"] / wall, 1)
+    print(json.dumps(manifest, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

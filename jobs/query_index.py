@@ -1,0 +1,80 @@
+"""spark-submit entry: top-k BM25 query against a published index.
+
+    spark-submit --py-files dist/scrapix_spark.zip \
+        jobs/query_index.py \
+        --index-dir /path/to/index \
+        --query "binary search tree" [--k 10] \
+        [--mode wand|full] [--distinct-by path] [--json]
+
+The blocking query entry (the reference's POST /crawl/sync shape,
+src/server.ts:48-58, and the playground search-box request,
+playground/docusaurus/src/pages/DefaultSearchBar.tsx:41-48 — 10
+hits/page is the default k). Prints one JSON line per hit:
+(rank, doc_id, score, repo, path, commit, lang).
+
+--mode full is the full-scoring DataFrame oracle; --mode wand (default)
+is the block-max pruned path; the two are rank-identical by contract
+(tests/test_index_query.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="Top-k BM25 query")
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--query", required=True)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--mode", choices=["wand", "full"], default="wand")
+    ap.add_argument("--distinct-by", default=None,
+                    help="distinctAttribute analog (reference "
+                         "src/scrapers/default.ts:27), e.g. 'path'")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from scrapix_spark.operators.query import (
+        SCORE_ROUND,
+        bm25_topk_full,
+        bm25_topk_pruned,
+    )
+
+    spark = SparkSession.builder.appName("scrapix-spark-query").getOrCreate()
+    # distinct-by reduces the hit list, so over-fetch (Meilisearch applies
+    # distinctAttribute before pagination; 8x oversample + window is the
+    # distributed equivalent for the CLI)
+    fetch_k = args.k * 8 if args.distinct_by else args.k
+    topk = (bm25_topk_pruned if args.mode == "wand" else bm25_topk_full)(
+        spark, args.index_dir, args.query, k=fetch_k
+    )
+    if args.distinct_by:
+        w = Window.partitionBy(args.distinct_by).orderBy(
+            F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
+        )
+        topk = (
+            topk.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("rn")
+            .orderBy(
+                F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
+            )
+            .limit(args.k)
+        )
+    hits = topk
+    for i, row in enumerate(hits.collect(), start=1):
+        d = row.asDict()
+        d["rank"] = i
+        d["score"] = round(float(d["score"]), 6)
+        print(json.dumps(d, sort_keys=True, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

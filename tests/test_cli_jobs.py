@@ -1,0 +1,87 @@
+"""spark-submit job entrypoints (jobs/build_index.py, jobs/query_index.py).
+
+Run in-process against the shared test session (SparkSession.getOrCreate
+inside main() picks it up); the real spark-submit --py-files invocation
+of the same scripts is exercised in BASELINE.md's protocol and CI-style
+by tools/, and the argument plumbing + output contract is what these
+tests pin.
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+
+import build_index as job_build  # noqa: E402
+import query_index as job_query  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def cli_index(spark, tiny_corpus, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    corpus = str(root / "corpus")
+    index = str(root / "index")
+    tiny_corpus.write.mode("overwrite").parquet(corpus)
+    return corpus, index
+
+
+def test_build_job_builds_and_prints_manifest(cli_index, capsys):
+    corpus, index = cli_index
+    rc = job_build.main([
+        "--input", corpus, "--index-dir", index, "--n-batches", "2",
+        "--config-json", json.dumps({"index_uid": "cli", "n_shards": 8}),
+    ])
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["index_uid"] == "cli"
+    assert manifest["N"] > 0
+    assert manifest["docs_per_sec"] > 0
+    assert manifest["term_id_collisions"] == 0
+    assert os.path.exists(os.path.join(index, "_CURRENT"))
+
+
+def test_build_job_config_mutual_exclusion(cli_index):
+    corpus, index = cli_index
+    with pytest.raises(SystemExit):
+        job_build.main([
+            "--input", corpus, "--index-dir", index,
+            "--config", "/tmp/x.json", "--config-json", "{}",
+        ])
+
+
+def test_query_job_wand_and_full_rank_identical(cli_index, capsys):
+    corpus, index = cli_index
+    if not os.path.exists(os.path.join(index, "_CURRENT")):
+        job_build.main(["--input", corpus, "--index-dir", index,
+                        "--config-json", json.dumps({"n_shards": 8})])
+        capsys.readouterr()
+
+    def run(mode):
+        rc = job_query.main([
+            "--index-dir", index, "--query", "binary search tree",
+            "--k", "5", "--mode", mode,
+        ])
+        assert rc == 0
+        return [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+
+    wand, full = run("wand"), run("full")
+    assert len(wand) == 5
+    assert [h["doc_id"] for h in wand] == [h["doc_id"] for h in full]
+    assert [h["rank"] for h in wand] == [1, 2, 3, 4, 5]
+    assert all(set(h) >= {"doc_id", "score", "repo", "path", "commit", "lang"}
+               for h in wand)
+
+
+def test_query_job_distinct_by(cli_index, capsys):
+    corpus, index = cli_index
+    rc = job_query.main([
+        "--index-dir", index, "--query", "binary search tree",
+        "--k", "5", "--distinct-by", "lang",
+    ])
+    assert rc == 0
+    hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    langs = [h["lang"] for h in hits]
+    assert len(langs) == len(set(langs))

@@ -1,0 +1,35 @@
+"""Package scrapix_spark as a --py-files zip: dist/scrapix_spark.zip.
+
+Usage: python tools/make_pyfiles.py [out_zip]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        ROOT, "dist", "scrapix_spark.zip"
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    pkg = os.path.join(ROOT, "scrapix_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, _dirnames, filenames in os.walk(pkg):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in sorted(filenames):
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                z.write(full, os.path.relpath(full, ROOT))
+    print(out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
