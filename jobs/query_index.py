@@ -40,19 +40,16 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from scrapix_spark.operators.query import (
-        SCORE_ROUND,
-        bm25_topk_full,
-        bm25_topk_pruned,
-    )
+    from scrapix_spark.operators.query import SCORE_ROUND, IndexReader
 
     spark = SparkSession.builder.appName("scrapix-spark-query").getOrCreate()
+    reader = IndexReader(spark, args.index_dir)
     # distinct-by reduces the hit list, so over-fetch (Meilisearch applies
     # distinctAttribute before pagination; 8x oversample + window is the
     # distributed equivalent for the CLI)
     fetch_k = args.k * 8 if args.distinct_by else args.k
-    topk = (bm25_topk_pruned if args.mode == "wand" else bm25_topk_full)(
-        spark, args.index_dir, args.query, k=fetch_k
+    topk = (reader.topk_pruned if args.mode == "wand" else reader.topk_full)(
+        args.query, k=fetch_k
     )
     if args.distinct_by:
         w = Window.partitionBy(args.distinct_by).orderBy(

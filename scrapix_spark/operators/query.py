@@ -164,14 +164,115 @@ def ranked_union_topk(
     ).limit(k)
 
 
-def resolve_terms(spark: SparkSession, index_dir: str, terms: list[str]):
-    """Dictionary lookup: term strings → [(term_id, df)] rows.
+class IndexReader:
+    """A published index, opened ONCE and queried many times — the
+    query-server shape (Meilisearch holds the index open between
+    requests; the reference's search traffic is a stream of small
+    queries, playground DefaultSearchBar.tsx:41-48).
 
-    The string filter pushes into the dictionary parquet scan; segments
-    are then addressed purely by long term_id (the dictionary is the
-    only component that ever compares term strings — Lucene's term-dict
-    / postings split).
+    Re-running ``spark.read.parquet`` per request re-lists the segment
+    directory and re-reads footers — ~200 ms on a local FS and a
+    namenode/object-store round-trip per query at scale. The reader
+    holds the segments/docs/dict DataFrames (their resolved FileIndex is
+    cached inside the plan) plus meta, and memoizes dictionary lookups
+    (term → (term_id, df) — immutable for a published build_id).
     """
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = IX.load_meta(index_dir)
+        self.segments = IX.read_segments(spark, index_dir)
+        self.docs = IX.read_docs(spark, index_dir)
+        self.dict_df = IX.read_dict(spark, index_dir)
+        self._term_cache: dict[str, tuple[int, int] | None] = {}
+
+    def resolve_terms(self, terms: list[str]) -> list[tuple[str, int, int]]:
+        """term strings → [(term, term_id, df)]; absent terms dropped.
+
+        The string filter pushes into the dictionary parquet scan;
+        segments are then addressed purely by long term_id (the
+        dictionary is the only component that ever compares term
+        strings — Lucene's term-dict / postings split).
+        """
+        missing = [t for t in terms if t not in self._term_cache]
+        if missing:
+            rows = (
+                self.dict_df.filter(F.col("term").isin(missing))
+                .select("term", "term_id", "df")
+                .collect()
+            )
+            for r in rows:
+                self._term_cache[r["term"]] = (r["term_id"], r["df"])
+            for t in missing:
+                self._term_cache.setdefault(t, None)
+        return [
+            (t, *self._term_cache[t])
+            for t in terms
+            if self._term_cache[t] is not None
+        ]
+
+    def topk_full(self, q: str, k: int = 10, hydrate: bool = True) -> DataFrame:
+        """Oracle path: dictionary lookup → decode blocks (Arrow kernel)
+        → pure DataFrame scoring."""
+        meta = self.meta
+        drows = self.resolve_terms(query_terms(q))
+        tids = [tid for _, tid, _ in drows]
+        seg = self.segments.filter(F.col("term_id").isin(tids))
+        post = _decode_blocks_df(seg).withColumnRenamed("term_id", "term")
+        tstats = self.spark.createDataFrame(
+            [(tid, df) for _, tid, df in drows], "term long, df long"
+        ) if drows else self.spark.createDataFrame([], "term long, df long")
+        topk = _bm25_topk_from_postings_terms(
+            post, tstats, meta["N"], meta["avgdl"], tids, k, meta["k1"], meta["b"]
+        )
+        return self._hydrate(topk) if hydrate else topk
+
+    def topk_pruned(self, q: str, k: int = 10, hydrate: bool = True) -> DataFrame:
+        """Block-max pruned top-k: per-shard kernel + global merge."""
+        meta = self.meta
+        terms = query_terms(q)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        # dictionary slice for the query terms → idf map (tiny, driver-side J3)
+        drows = self.resolve_terms(terms)
+        idf_map = {
+            tid: float(codec.bm25_idf(meta["N"], np.array([df]))[0])
+            for _, tid, df in drows
+        }
+        if not idf_map:
+            empty = self.spark.createDataFrame([], "doc_id long, score double")
+            return self._hydrate(empty) if hydrate else empty
+        seg = self.segments.filter(F.col("term_id").isin(list(idf_map)))
+        avgdl, k1, b = meta["avgdl"], meta["k1"], meta["b"]
+
+        def shard_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            return _blockmax_topk_kernel(pdf, idf_map, avgdl, k1, b, k)
+
+        per_shard = seg.groupBy("shard").applyInPandas(
+            shard_topk, schema="doc_id long, score double"
+        )
+        topk = per_shard.orderBy(
+            F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
+        ).limit(k)
+        return self._hydrate(topk) if hydrate else topk
+
+    def _hydrate(self, topk: DataFrame) -> DataFrame:
+        """J4: attach repo/path/commit/lang to the k winners — broadcast
+        the k rows against the docs table, never the reverse."""
+        docs = self.docs.select("doc_id", "repo", "path", "commit", "lang")
+        return (
+            docs.join(F.broadcast(topk), "doc_id")
+            .orderBy(
+                F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
+            )
+            .select("doc_id", "score", "repo", "path", "commit", "lang")
+        )
+
+
+def resolve_terms(spark: SparkSession, index_dir: str, terms: list[str]):
+    """Dictionary lookup: term strings → [(term_id, df)] rows (one-shot
+    convenience over IndexReader.resolve_terms)."""
     if not terms:
         return []
     return (
@@ -185,20 +286,9 @@ def resolve_terms(spark: SparkSession, index_dir: str, terms: list[str]):
 def bm25_topk_full(
     spark: SparkSession, index_dir: str, q: str, k: int = 10, hydrate: bool = True
 ) -> DataFrame:
-    """Oracle path over a published index: dictionary lookup → decode
-    blocks (Arrow kernel) → pure DataFrame scoring."""
-    meta = IX.load_meta(index_dir)
-    drows = resolve_terms(spark, index_dir, query_terms(q))
-    tids = [r["term_id"] for r in drows]
-    seg = IX.read_segments(spark, index_dir).filter(F.col("term_id").isin(tids))
-    post = _decode_blocks_df(seg).withColumnRenamed("term_id", "term")
-    tstats = spark.createDataFrame(
-        [(r["term_id"], r["df"]) for r in drows], "term long, df long"
-    ) if drows else spark.createDataFrame([], "term long, df long")
-    topk = _bm25_topk_from_postings_terms(
-        post, tstats, meta["N"], meta["avgdl"], tids, k, meta["k1"], meta["b"]
-    )
-    return _hydrate(spark, index_dir, topk) if hydrate else topk
+    """One-shot oracle query (opens the index per call — use IndexReader
+    for repeated queries)."""
+    return IndexReader(spark, index_dir).topk_full(q, k, hydrate)
 
 
 def _decode_blocks_df(seg: DataFrame) -> DataFrame:
@@ -228,35 +318,9 @@ def _decode_blocks_df(seg: DataFrame) -> DataFrame:
 def bm25_topk_pruned(
     spark: SparkSession, index_dir: str, q: str, k: int = 10, hydrate: bool = True
 ) -> DataFrame:
-    """Block-max pruned top-k: per-shard kernel + global merge."""
-    meta = IX.load_meta(index_dir)
-    terms = query_terms(q)
-    if not terms:
-        return spark.createDataFrame([], "doc_id long, score double")
-    # dictionary slice for the query terms → idf map (tiny, driver-side J3)
-    drows = resolve_terms(spark, index_dir, terms)
-    idf_map = {
-        r["term_id"]: float(codec.bm25_idf(meta["N"], np.array([r["df"]]))[0])
-        for r in drows
-    }
-    if not idf_map:
-        empty = spark.createDataFrame([], "doc_id long, score double")
-        return _hydrate(spark, index_dir, empty) if hydrate else empty
-    seg = IX.read_segments(spark, index_dir).filter(
-        F.col("term_id").isin(list(idf_map))
-    )
-    avgdl, k1, b = meta["avgdl"], meta["k1"], meta["b"]
-
-    def shard_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return _blockmax_topk_kernel(pdf, idf_map, avgdl, k1, b, k)
-
-    per_shard = seg.groupBy("shard").applyInPandas(
-        shard_topk, schema="doc_id long, score double"
-    )
-    topk = per_shard.orderBy(
-        F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
-    ).limit(k)
-    return _hydrate(spark, index_dir, topk) if hydrate else topk
+    """One-shot pruned query (opens the index per call — use IndexReader
+    for repeated queries)."""
+    return IndexReader(spark, index_dir).topk_pruned(q, k, hydrate)
 
 
 def _blockmax_topk_kernel(
@@ -323,14 +387,3 @@ def _kth_partial_score(decoded_values, k: int) -> float:
     return float(np.partition(totals, -k)[-k])
 
 
-def _hydrate(spark: SparkSession, index_dir: str, topk: DataFrame) -> DataFrame:
-    """J4: attach repo/path/commit/lang to the k winners — broadcast the
-    k rows against the docs table, never the reverse."""
-    docs = IX.read_docs(spark, index_dir).select(
-        "doc_id", "repo", "path", "commit", "lang"
-    )
-    return (
-        docs.join(F.broadcast(topk), "doc_id")
-        .orderBy(F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc())
-        .select("doc_id", "score", "repo", "path", "commit", "lang")
-    )
