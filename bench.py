@@ -171,6 +171,62 @@ def child_build(cores: int, corpus_path: str) -> float:
     return dt
 
 
+_CEILING_WORKER = r'''
+import sys, time, glob
+import numpy as np
+import pyarrow.parquet as pq
+sys.path.insert(0, sys.argv[1])
+from scrapix_spark.functions.tokenize import _tokenize_batch_codes
+import pandas as pd
+f = sorted(glob.glob(sys.argv[2] + "/part-*.parquet"))[0]
+texts = pq.read_table(f, columns=["content"]).column("content").to_pandas()
+t0 = time.time()
+for _ in range(3):
+    row_idx, codes, vocab = _tokenize_batch_codes(texts)
+    key = row_idx * np.int64(max(len(vocab), 1)) + codes
+    np.unique(key, return_counts=True)
+    np.sort(key, kind="stable")
+print(time.time() - t0)
+'''
+
+
+def hardware_ceiling(lo: int, hi: int, corpus_path: str, runs: int = 3) -> dict:
+    """Single-box scaling ceiling: the engine's own tokenize+sort kernel
+    run in c INDEPENDENT processes — no Spark, no shuffle, no
+    coordination of any kind. Each process does identical fixed work, so
+    ideal scaling is wall(hi) == wall(lo); the measured ratio
+    T_lo/T_hi < 1 is pure hardware (memory bandwidth, shared cache,
+    clock scaling, VM neighbors) — an upper bound NO distributed
+    runtime on this box can exceed. A real N→4N-node cluster multiplies
+    memory channels and disks with the cores and does not hit this
+    wall; engine coordination efficiency = raw_efficiency / ceiling is
+    the portable number."""
+    root = os.path.dirname(os.path.abspath(__file__))
+
+    def wall(c: int) -> float:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            ps = [
+                subprocess.Popen(
+                    [sys.executable, "-c", _CEILING_WORKER, root, corpus_path],
+                    stdout=subprocess.PIPE,
+                )
+                for _ in range(c)
+            ]
+            for p in ps:
+                p.communicate()
+            best = min(best, time.time() - t0)
+        return best
+
+    t_lo, t_hi = wall(lo), wall(hi)
+    return {
+        f"ceiling_wall_{lo}proc": round(t_lo, 2),
+        f"ceiling_wall_{hi}proc": round(t_hi, 2),
+        "hardware_ceiling_eff": round(t_lo / t_hi, 3),
+    }
+
+
 def run_scaling(n_docs: int, runs: int = 3) -> dict:
     """Same job, same input, two parallelism levels — the sandbox
     stand-in for N vs 4N executors (BASELINE.md protocol).
@@ -213,8 +269,13 @@ def run_scaling(n_docs: int, runs: int = 3) -> dict:
             log(f"local[{cores}] run{r}: {res[cores][-1]:.1f}s")
     t_lo, t_hi = min(res[lo]), min(res[hi])
     eff = (t_lo / t_hi) / (hi / lo)
+    ceil = hardware_ceiling(lo, hi, corpus)
     return {
         "cores": [lo, hi],
+        **ceil,
+        "engine_coordination_eff": round(
+            min(eff / ceil["hardware_ceiling_eff"], 9.99), 3
+        ),
         f"build_sec_local{lo}": round(t_lo, 2),
         f"build_sec_local{hi}": round(t_hi, 2),
         f"all_runs_local{lo}": [round(x, 1) for x in res[lo]],

@@ -124,6 +124,8 @@ def build_index(
     seg_root = os.path.join(build_dir, "segments")
     batches = _batch_shards(cfg.n_shards, n_batches)
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    batch_parts = max(1, n_parts // max(1, len(batches)))
+    tb_bits = P.tb_bits_for(batch_parts)
     tp = time.time()
     for i, shard_group in enumerate(batches):
         batch_dir = os.path.join(seg_root, f"batch={i:04d}")
@@ -132,9 +134,11 @@ def build_index(
         part = post.filter(F.col("shard").isin(shard_group))
         enc = P.encode_segments(
             part, stats["avgdl"], cfg.k1, cfg.b, cfg.block_size,
-            num_partitions=max(1, n_parts // max(1, len(batches))),
+            num_partitions=batch_parts, tb_bits=tb_bits,
         )
-        enc.write.mode("overwrite").parquet(batch_dir)
+        # tb directories = analytic term-range partitions: query-term
+        # lookups prune whole directories before any footer is read
+        enc.write.mode("overwrite").partitionBy("tb").parquet(batch_dir)
     phases["segments"] = round(time.time() - tp, 2)
 
     meta = {
@@ -145,6 +149,7 @@ def build_index(
         "k1": cfg.k1,
         "b": cfg.b,
         "n_shards": cfg.n_shards,
+        "tb_bits": tb_bits,
         "block_size": cfg.block_size,
         "tokenizer_sep_pattern": SEP_PATTERN,
         "term_id_collisions": n_collisions,

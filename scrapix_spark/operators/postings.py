@@ -154,6 +154,35 @@ def corpus_stats(docs: DataFrame) -> dict:
     return {"N": int(row["N"]), "avgdl": float(row["avgdl"] or 0.0)}
 
 
+def tb_bits_for(num_partitions: int | None) -> int:
+    """Term-bucket width (bits) for a target partition count: enough
+    buckets that (buckets × shards) ≫ partitions for hash balance, few
+    enough that partitionBy(tb) directory counts stay sane at scale."""
+    p = num_partitions or 32
+    return min(8, max(4, (p - 1).bit_length()))
+
+
+def term_bucket_expr(term_id_col, tb_bits: int):
+    """term_id → range bucket, ANALYTICALLY.
+
+    term_id = xxhash64(term) is uniform over the full int64 domain by
+    construction, so equal-width slices of the domain ARE equal-weight
+    range partitions — no sampling pass needed (repartitionByRange runs
+    a whole extra scan of the input just to estimate boundaries, and its
+    sampled boundaries differ run to run, weakening resume idempotence).
+    XOR with MIN_LONG flips the sign bit (signed order → unsigned
+    order, no ANSI overflow); the unsigned shift keeps the top tb_bits.
+    """
+    return F.shiftrightunsigned(
+        term_id_col.bitwiseXOR(F.lit(-(1 << 63))), 64 - tb_bits
+    )
+
+
+def term_bucket_of(term_id: int, tb_bits: int) -> int:
+    """Driver-side twin of term_bucket_expr (query-time pruning)."""
+    return ((term_id + (1 << 63)) % (1 << 64)) >> (64 - tb_bits)
+
+
 def encode_segments(
     postings: DataFrame,
     avgdl: float,
@@ -161,29 +190,33 @@ def encode_segments(
     b: float,
     block_size: int,
     num_partitions: int | None = None,
+    tb_bits: int | None = None,
 ) -> DataFrame:
     """Postings → encoded block rows, one row per (term_id, shard, block).
 
     The term string is dropped HERE: the shuffle carries fixed-width
-    (term_id: long, shard, doc_id, tf, dl) rows, so the range-partition
-    sort compares longs (not UTF8) and no string ever crosses into the
-    Python kernel. repartitionByRange('term_id', 'shard') gives id-major
-    locality (parquet row-group min/max on `term_id` skips whole row
-    groups at query time) while the shard salt keeps any single
-    partition from owning a hot term entirely.
+    (term_id: long, shard, doc_id, tf, dl) rows, so the partition sort
+    compares longs (not UTF8) and no string ever crosses into the
+    Python kernel. Partitioning is deterministic range-bucketing: hash
+    distribute on (tb, shard) where tb = analytic term-range bucket
+    (term_bucket_expr) — same-(term, shard) runs stay whole, a hot
+    term's postings split across its n_shards salt values, and no
+    boundary-sampling pass over the input is ever run. Output rows
+    carry `tb` so the index write can partitionBy(tb): query-term
+    lookups then prune whole directories before file/row-group stats.
     """
     import numpy as np
     import pyarrow as pa
 
+    kb = tb_bits if tb_bits is not None else tb_bits_for(num_partitions)
     keyed = postings.select(
         F.xxhash64("term").alias("term_id"), "shard", "doc_id", "tf", "dl"
-    )
-    parts = ["term_id", "shard"]
+    ).withColumn("tb", term_bucket_expr(F.col("term_id"), kb))
     if num_partitions:
-        ordered = keyed.repartitionByRange(num_partitions, *parts)
+        ordered = keyed.repartition(num_partitions, "tb", "shard")
     else:
-        ordered = keyed.repartitionByRange(*parts)
-    ordered = ordered.sortWithinPartitions("term_id", "shard", "doc_id")
+        ordered = keyed.repartition("tb", "shard")
+    ordered = ordered.drop("tb").sortWithinPartitions("term_id", "shard", "doc_id")
 
     pa_schema = pa.schema([
         ("term_id", pa.int64()), ("shard", pa.int32()),
@@ -253,7 +286,9 @@ def encode_segments(
         if pend is not None and pend[2].size:
             yield emit(*pend, np.array([0], dtype=np.int64))
 
-    return ordered.mapInArrow(encode, schema=SEGMENT_SCHEMA)
+    return ordered.mapInArrow(encode, schema=SEGMENT_SCHEMA).withColumn(
+        "tb", term_bucket_expr(F.col("term_id"), kb)
+    )
 
 
 def merge_segments(

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from scrapix_spark.functions.tokenize import SEP_PATTERN
 from scrapix_spark.operators import codec
 from scrapix_spark.operators import index as IX
+from scrapix_spark.operators.postings import term_bucket_of
 
 _SEP_RE = re.compile(SEP_PATTERN)
 
@@ -212,13 +213,25 @@ class IndexReader:
             if self._term_cache[t] is not None
         ]
 
+    def _segments_for(self, tids: list[int]) -> DataFrame:
+        """Segment rows for the query terms: tb directory pruning first
+        (analytic term-range partitions — skipped before any footer is
+        read), then term_id row-group/file stats."""
+        seg = self.segments.filter(F.col("term_id").isin(tids))
+        kb = self.meta.get("tb_bits")
+        if kb and "tb" in self.segments.columns:
+            seg = seg.filter(
+                F.col("tb").isin(sorted({term_bucket_of(t, kb) for t in tids}))
+            )
+        return seg
+
     def topk_full(self, q: str, k: int = 10, hydrate: bool = True) -> DataFrame:
         """Oracle path: dictionary lookup → decode blocks (Arrow kernel)
         → pure DataFrame scoring."""
         meta = self.meta
         drows = self.resolve_terms(query_terms(q))
         tids = [tid for _, tid, _ in drows]
-        seg = self.segments.filter(F.col("term_id").isin(tids))
+        seg = self._segments_for(tids)
         post = _decode_blocks_df(seg).withColumnRenamed("term_id", "term")
         tstats = self.spark.createDataFrame(
             [(tid, df) for _, tid, df in drows], "term long, df long"
@@ -243,7 +256,7 @@ class IndexReader:
         if not idf_map:
             empty = self.spark.createDataFrame([], "doc_id long, score double")
             return self._hydrate(empty) if hydrate else empty
-        seg = self.segments.filter(F.col("term_id").isin(list(idf_map)))
+        seg = self._segments_for(list(idf_map))
         avgdl, k1, b = meta["avgdl"], meta["k1"], meta["b"]
 
         def shard_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
