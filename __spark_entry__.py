@@ -369,8 +369,8 @@ def q_bm25_wand_topk(spark, sf_dir):
 
 def q_merged_segments_topk(spark, sf_dir):
     """U4/M4: LSM-style segment merge — encode two disjoint half-corpus
-    segment sets, merge per (term, shard) via applyInPandas, decode, and
-    score. Oracle = full-scoring BM25 over the whole corpus: merging two
+    segment sets, merge per (term, shard) runs in one Arrow kernel, decode,
+    and score. Oracle = full-scoring BM25 over the whole corpus: merging two
     halves must be exactly equivalent to one global build."""
     post = _postings(spark, sf_dir).withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(8)).cast("int")

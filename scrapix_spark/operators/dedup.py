@@ -127,23 +127,43 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """(id, signature array<long>) via universal hashing over shingle
-    xxhash64 values. Map-side: shingles → per-doc min over each of the
-    num_perm permutations, computed in one groupBy(min) per permutation
-    is wasteful — instead an Arrow-grouped kernel per doc."""
+    xxhash64 values.
+
+    Shape: collect_list the (small) shingle hashes per doc — a native
+    partial+final hash aggregation — then ONE Arrow-batched scalar UDF
+    computes every signature in the batch with minimum.reduceat over the
+    flattened hash stream (one C pass per permutation, no per-document
+    Python call; the per-group applyInPandas alternative pays a Python
+    round-trip per doc).
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
     av, bv = _hash_params(num_perm, seed)
     sh = word_shingles(df, text_col, id_col, shingle_n).withColumn(
         "h", F.xxhash64("shingle")
     )
 
-    def sig(pdf: pd.DataFrame) -> pd.DataFrame:
-        h = pdf["h"].to_numpy().astype(np.uint64)
-        # (num_perm, n_shingles): ((a*h + b) mod p), min over shingles
-        vals = (av[:, None].astype(np.uint64) * h[None, :] + bv[:, None].astype(np.uint64)) % np.uint64(_MERSENNE)
-        return pd.DataFrame(
-            {"id": [pdf["id"].iloc[0]], "signature": [vals.min(axis=1).astype(np.int64).tolist()]}
-        )
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(hs: pd.Series) -> pd.Series:
+        if not len(hs):
+            return pd.Series([], dtype=object)
+        lens = hs.str.len().to_numpy(np.int64)
+        flat = np.concatenate(
+            [np.asarray(x, np.int64) for x in hs]
+        ).astype(np.uint64)
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        out = np.empty((len(hs), len(av)), np.uint64)
+        for i in range(len(av)):
+            v = (np.uint64(av[i]) * flat + np.uint64(bv[i])) % np.uint64(_MERSENNE)
+            out[:, i] = np.minimum.reduceat(v, offsets)
+        o = out.astype(np.int64)
+        return pd.Series([o[r].tolist() for r in range(o.shape[0])])
 
-    return sh.groupBy("id").applyInPandas(sig, schema="id long, signature array<long>")
+    return (
+        sh.groupBy(F.col("id"))
+        .agg(F.collect_list("h").alias("hs"))
+        .select("id", sig("hs").alias("signature"))
+    )
 
 
 def minhash_lsh_pairs(

@@ -297,45 +297,139 @@ def merge_segments(
     k1: float,
     b: float,
     block_size: int,
+    num_partitions: int | None = None,
+    tb_bits: int | None = None,
 ) -> DataFrame:
     """Merge stage (U4): union of segment block rows → one merged list
-    per (term_id, shard), re-blocked and re-encoded.
+    per (term_id, shard), re-blocked and re-encoded — the LSM/Lucene
+    segment merge as ONE deterministic shuffle.
 
     Raw tf and dl streams are stored (not precomputed impacts) precisely
     so a merge under a *new* avgdl can recompute exact block_max values.
-    Expressed as groupBy(term_id, shard).applyInPandas — the LSM/Lucene
-    segment merge as a shuffle.
+
+    Same physical shape as encode_segments: hash distribute on the
+    analytic (tb, shard) bucket, sort runs within partitions, then an
+    Arrow kernel merges COMPLETE runs per batch — no per-(term, shard)
+    Python round-trip (a vocabulary-sized group count at scale). A doc
+    appearing in several input segments (re-index) keeps its LAST
+    version: rows sort by (term_id, shard, seg_seq, block_id) where
+    seg_seq is the caller-provided segment ordinal column (`seg_seq`,
+    defaulting to 0 — disjoint segments don't need it), and the
+    keep-last mask is applied after a stable lexsort, so the winner is
+    pinned by seg_seq, not by shuffle arrival order.
     """
     import numpy as np
+    import pyarrow as pa
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term_id, shard = key
-        ids_all, tf_all, dl_all = [], [], []
-        for _, row in pdf.iterrows():
-            ids, tf, dl = codec.decode_block(row)
-            ids_all.append(ids)
-            tf_all.append(tf)
-            dl_all.append(dl)
-        ids = np.concatenate(ids_all)
-        tf = np.concatenate(tf_all)
-        dl = np.concatenate(dl_all)
-        order = np.argsort(ids, kind="stable")
-        ids, tf, dl = ids[order], tf[order], dl[order]
-        # same doc in two segments (re-index) → keep the last-seen version
+    kb = tb_bits if tb_bits is not None else tb_bits_for(num_partitions)
+    seq = (
+        F.col("seg_seq").cast("int")
+        if "seg_seq" in segments.columns
+        else F.lit(0)
+    )
+    src = segments.withColumn("_seq", seq).withColumn(
+        "_tb", term_bucket_expr(F.col("term_id"), kb)
+    )
+    parts = ["_tb", "shard"]
+    src = (
+        src.repartition(num_partitions, *parts)
+        if num_partitions
+        else src.repartition(*parts)
+    )
+    ordered = src.drop("_tb").sortWithinPartitions(
+        "term_id", "shard", "_seq", "block_id"
+    )
+
+    pa_schema = pa.schema([
+        ("term_id", pa.int64()), ("shard", pa.int32()),
+        ("block_id", pa.int32()), ("n_docs", pa.int32()),
+        ("first_doc_id", pa.int64()), ("last_doc_id", pa.int64()),
+        ("doc_ids_enc", pa.binary()), ("tfs_enc", pa.binary()),
+        ("dls_enc", pa.binary()), ("block_max_impact", pa.float64()),
+    ])
+
+    def emit(tids, shards, ids, tf, dl, run_starts):
+        """Merge + re-encode complete runs → one RecordBatch."""
+        run_id = np.zeros(ids.size, np.int64)
+        run_id[run_starts[1:]] = 1
+        run_id = np.cumsum(run_id)
+        # stable: equal (run, doc_id) keep input order → last = max seg_seq
+        order = np.lexsort((ids, run_id))
+        run_id, ids, tf, dl = run_id[order], ids[order], tf[order], dl[order]
+        rs = run_starts  # positions unchanged: lexsort permutes within runs
         keep = np.ones(ids.size, dtype=bool)
         if ids.size > 1:
-            keep[:-1] = ids[1:] != ids[:-1]
-        ids, tf, dl = ids[keep], tf[keep], dl[keep]
-        rows = []
-        for blk in codec.encode_group(ids, tf, dl, avgdl, k1, b, block_size):
-            rows.append(
-                {"term_id": int(term_id), "shard": int(shard),
-                 **{k: blk[k] for k in (
-                     "block_id", "n_docs", "first_doc_id", "last_doc_id",
-                     "doc_ids_enc", "tfs_enc", "dls_enc", "block_max_impact")}}
-            )
-        return pd.DataFrame(rows)
+            keep[:-1] = (ids[1:] != ids[:-1]) | (run_id[1:] != run_id[:-1])
+        tid_of_run = tids[rs]
+        shard_of_run = shards[rs]
+        run_id, ids, tf, dl = run_id[keep], ids[keep], tf[keep], dl[keep]
+        new_rs = np.concatenate(
+            ([0], np.flatnonzero(run_id[1:] != run_id[:-1]) + 1)
+        ).astype(np.int64)
+        enc = codec.encode_partition(ids, tf, dl, new_rs, avgdl, k1, b, block_size)
+        ri = enc["run_idx"]
+        out_run = run_id[new_rs][ri]
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(tid_of_run[out_run], pa.int64()),
+                pa.array(shard_of_run[out_run].astype(np.int32), pa.int32()),
+                pa.array(np.asarray(enc["block_id"], np.int32), pa.int32()),
+                pa.array(np.asarray(enc["n_docs"], np.int32), pa.int32()),
+                pa.array(enc["first_doc_id"], pa.int64()),
+                pa.array(enc["last_doc_id"], pa.int64()),
+                pa.array(enc["doc_ids_enc"], pa.binary()),
+                pa.array(enc["tfs_enc"], pa.binary()),
+                pa.array(enc["dls_enc"], pa.binary()),
+                pa.array(enc["block_max_impact"], pa.float64()),
+            ],
+            schema=pa_schema,
+        )
 
-    return segments.groupBy("term_id", "shard").applyInPandas(
-        merge, schema=SEGMENT_SCHEMA
+    def merge_kernel(batches):
+        pend = None  # flat posting tail of the trailing (term_id, shard) run
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            n_docs = batch.column("n_docs").to_numpy(zero_copy_only=False)
+            btid = batch.column("term_id").to_numpy(zero_copy_only=False)
+            bshard = batch.column("shard").to_numpy(zero_copy_only=False)
+            ids_l, tf_l, dl_l = [], [], []
+            de = batch.column("doc_ids_enc").to_pylist()
+            te = batch.column("tfs_enc").to_pylist()
+            le = batch.column("dls_enc").to_pylist()
+            for i in range(batch.num_rows):
+                ids_l.append(codec.delta_decode(de[i]))
+                tf_l.append(codec.varint_decode(te[i]).astype(np.int64))
+                dl_l.append(codec.varint_decode(le[i]).astype(np.int64))
+            tids = np.repeat(btid, n_docs)
+            shards = np.repeat(bshard, n_docs)
+            ids = np.concatenate(ids_l)
+            tf = np.concatenate(tf_l)
+            dl = np.concatenate(dl_l)
+            if pend is not None:
+                tids = np.concatenate((pend[0], tids))
+                shards = np.concatenate((pend[1], shards))
+                ids = np.concatenate((pend[2], ids))
+                tf = np.concatenate((pend[3], tf))
+                dl = np.concatenate((pend[4], dl))
+                pend = None
+            change = np.flatnonzero(
+                (tids[1:] != tids[:-1]) | (shards[1:] != shards[:-1])
+            ) + 1
+            run_starts = np.concatenate(([0], change)).astype(np.int64)
+            tail_at = int(run_starts[-1])
+            pend = (
+                tids[tail_at:], shards[tail_at:],
+                ids[tail_at:], tf[tail_at:], dl[tail_at:],
+            )
+            if tail_at > 0:
+                yield emit(
+                    tids[:tail_at], shards[:tail_at], ids[:tail_at],
+                    tf[:tail_at], dl[:tail_at], run_starts[:-1],
+                )
+        if pend is not None and pend[2].size:
+            yield emit(*pend, np.array([0], dtype=np.int64))
+
+    return ordered.mapInArrow(merge_kernel, schema=SEGMENT_SCHEMA).withColumn(
+        "tb", term_bucket_expr(F.col("term_id"), kb)
     )

@@ -163,3 +163,30 @@ def test_flat_postings_kernel_parity(spark, tiny_corpus):
     pa = sorted(map(tuple, a.select(cols).collect()))
     pb = sorted(map(tuple, b.select(cols).collect()))
     assert pa == pb and len(pa) > 0
+
+
+def test_merge_overlapping_segments_last_wins(spark):
+    """A doc re-indexed in a later segment (same doc_id, new tf) must keep
+    the LATER version after merge, pinned by seg_seq — not by shuffle
+    arrival order."""
+    from scrapix_spark.operators import postings as P
+
+    def seg(rows, seq):
+        df = spark.createDataFrame(
+            rows, "term string, shard int, doc_id long, tf long, dl long"
+        )
+        return P.encode_segments(df, 10.0, K1, B, 4, 2).withColumn(
+            "seg_seq", F.lit(seq)
+        )
+
+    old = seg([("alpha", 0, i, 1, 10) for i in range(10)], 0)
+    new = seg([("alpha", 0, 3, 7, 12), ("alpha", 0, 42, 2, 10)], 1)
+    merged = P.merge_segments(old.unionByName(new), 10.0, K1, B, 4, 2)
+    post = Q._decode_blocks_df(merged).orderBy("doc_id").collect()
+    by_id = {r["doc_id"]: (r["tf"], r["dl"]) for r in post}
+    assert len(post) == 11  # 10 originals + 1 new, doc 3 merged not duplicated
+    assert by_id[3] == (7, 12)      # later segment won
+    assert by_id[42] == (2, 10)
+    assert by_id[0] == (1, 10)
+    # merged posting stream is doc_id-sorted within the (term, shard) run
+    assert [r["doc_id"] for r in post] == sorted(by_id)
