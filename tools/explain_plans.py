@@ -115,20 +115,25 @@ def main() -> int:
     if "BatchEvalPython" in plan:
         failures.append("postings kernel: row-at-a-time Python detected")
 
-    # 3. segment encode: exactly one range shuffle on (term_id, shard)
+    # 3. segment encode: exactly one shuffle, hash on the analytic
+    # (tb, shard) bucket (term_id is uniform → ranges need no sampling)
     enc = P.encode_segments(post, 100.0, 1.2, 0.75, 128, num_partitions=16)
     plan = formatted(enc)
-    n_exchange = plan.count("Exchange")
+    # formatted mode lists every node twice (tree + numbered detail)
+    n_exchange = plan.count("Exchange") // 2
     check(
-        "posting segments (repartitionByRange + encode)",
+        "posting segments (deterministic bucket exchange + encode)",
         "The single wide shuffle of the build: the term STRING is "
         "dropped before the exchange (term_id = xxhash64(term) — the "
-        "Lucene term-dict/postings split), so the range sort compares "
-        "fixed-width longs; the shard salt caps any hot term's share of "
-        "one reducer. Encoding is an Arrow kernel emitting delta+varint "
-        "blocks for a whole partition in one vectorized pass.",
+        "Lucene term-dict/postings split), so the partition sort "
+        "compares fixed-width longs; partitioning hashes the analytic "
+        "(tb, shard) range bucket — deterministic, no "
+        "repartitionByRange sampling pass — and the shard salt caps any "
+        "hot term's share of one reducer. Encoding is an Arrow kernel "
+        "emitting delta+varint blocks for a whole partition in one "
+        "vectorized pass.",
         plan,
-        [("range partitioning", "rangepartitioning"),
+        [("bucket hash partitioning", "hashpartitioning(tb"),
          ("in-partition sort", "Sort"),
          ("Arrow-batched encoder", "MapInArrow"),
          ("string dropped pre-shuffle", "xxhash64")],
