@@ -33,6 +33,7 @@ from scrapix_spark.operators import query as Q  # noqa: E402
 from scrapix_spark.operators import segmentation as SEG  # noqa: E402
 from scrapix_spark.operators import similarity as SIM  # noqa: E402
 from scrapix_spark.operators import textstats as TS  # noqa: E402
+from scrapix_spark.operators import match as M  # noqa: E402
 from scrapix_spark.operators import postings as P  # noqa: E402
 
 K1, B = 1.2, 0.75
@@ -656,6 +657,66 @@ def q_segment_docssearch(spark, sf_dir):
     )
 
 
+# ---- prefix / typo / phrase matching (operators/match.py; the
+# Meilisearch words/typo/proximity behaviors scrapix's ranking chain
+# configures, reference src/scrapers/docssearch.ts:47-56)
+
+PREFIX_QUERY = "fast s"          # full word + last-word-as-prefix
+TYPO_QUERY = "vakue scann"       # 1-edit misspellings of value / scan
+PHRASE_QUERY = "value table"     # adjacency-verified phrase
+
+
+def _corpus_for_match(spark, sf_dir):
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    return post, stats, int(row["n"]), float(row["a"])
+
+
+def q_prefix_topk(spark, sf_dir):
+    """Search-as-you-type: last query word is a prefix; its expansions
+    contribute max-per-doc and count as one matched word."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    out = M.bm25_topk_prefix(post, stats, n, avgdl, PREFIX_QUERY, 10, K1, B)
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+def q_typo_candidates(spark, sf_dir):
+    """SymSpell deletion-key join: dictionary terms within edit distance
+    1 of the misspelled word, exact-verified with native levenshtein."""
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    return M.typo_candidates(stats, "vakue").select(
+        "term", F.col("df").cast("long").alias("df"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+def q_typo_topk(spark, sf_dir):
+    """Typo-tolerant top-k: each query word expands to its distance<=1
+    neighborhood; contribution = max over expansions per word."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    out = M.bm25_topk_typo(post, stats, n, avgdl, TYPO_QUERY, 10, K1, B)
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+def q_phrase_topk(spark, sf_dir):
+    """Exact-phrase top-k: inverted-index AND candidates + separator-aware
+    regex adjacency verification on candidates only, BM25-ranked."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    out = M.phrase_topk(
+        _docs(spark, sf_dir), post, stats, n, avgdl, PHRASE_QUERY, 10, K1, B,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-scoring BM25 top-10 on sf0.001 documents."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -698,6 +759,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "segment_default": q_segment_default,
         "segment_docssearch": q_segment_docssearch,
+        "prefix_topk": q_prefix_topk,
+        "typo_candidates": q_typo_candidates,
+        "typo_topk": q_typo_topk,
+        "phrase_topk": q_phrase_topk,
     }
 
 
@@ -886,6 +951,64 @@ SELECT e.url || coalesce(e.anchor, '') AS url, e.anchor,
        e.r3 AS hierarchy_radio_lvl3,
        e.content, e.level, 'content' AS type
 FROM emits e JOIN documents d ON d.doc_id = e.doc_id
+"""
+
+
+def _contrib_cte() -> str:
+    """Shared CTE: per-(doc, term) BM25 contribution over ALL terms
+    (df/dl/avgdl computed globally, like the engine's term_stats)."""
+    tok = TOK_EXPR("text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (stats.n - dict.df + 0.5) / (dict.df + 0.5))
+         * (tf.tf * ({K1} + 1.0))
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN dict USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+)
+"""
+
+
+def _prefix_sql() -> str:
+    terms = Q.query_terms(PREFIX_QUERY)
+    prefix, full = terms[-1], terms[:-1]
+    flist = ", ".join(f"'{t}'" for t in full)
+    return _contrib_cte() + f"""
+, fullc AS (SELECT doc_id, sum(c) AS score, count(*)::BIGINT AS n_matched
+            FROM contrib WHERE term IN ({flist}) GROUP BY doc_id),
+prefc AS (SELECT doc_id, max(c) AS score, 1::BIGINT AS n_matched
+          FROM contrib WHERE term LIKE '{prefix}%' GROUP BY doc_id),
+u AS (SELECT * FROM fullc UNION ALL SELECT * FROM prefc)
+SELECT doc_id, round(sum(score), 4) AS score, sum(n_matched)::BIGINT AS n_matched
+FROM u GROUP BY doc_id
+ORDER BY sum(n_matched) DESC, round(sum(score), 9) DESC, doc_id LIMIT 10
+"""
+
+
+def _typo_sql() -> str:
+    words = Q.query_terms(TYPO_QUERY)
+    wsel = " UNION ALL ".join(
+        f"SELECT {i} AS wi, '{w}' AS w" for i, w in enumerate(words)
+    )
+    return _contrib_cte() + f"""
+, words AS ({wsel}),
+cand AS (SELECT w.wi, d.term FROM words w
+         JOIN dict d ON abs(len(d.term) - len(w.w)) <= 1
+                    AND levenshtein(d.term, w.w) <= 1),
+perword AS (SELECT c.wi, ct.doc_id, max(ct.c) AS score
+            FROM cand c JOIN contrib ct ON ct.term = c.term
+            GROUP BY c.wi, ct.doc_id)
+SELECT doc_id, round(sum(score), 4) AS score,
+       count(DISTINCT wi)::BIGINT AS n_matched
+FROM perword GROUP BY doc_id
+ORDER BY count(DISTINCT wi) DESC, round(sum(score), 9) DESC, doc_id LIMIT 10
 """
 
 
@@ -1100,6 +1223,24 @@ SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
 """,
         "segment_default": _segment_default_sql(),
         "segment_docssearch": _segment_docssearch_sql(),
+        "prefix_topk": _prefix_sql(),
+        "typo_candidates": f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT term, df, levenshtein(term, 'vakue')::BIGINT AS dist
+FROM dict WHERE levenshtein(term, 'vakue') <= 1
+ORDER BY dist, term
+""",
+        "typo_topk": _typo_sql(),
+        "phrase_topk": _bm25_scored_sql(Q.query_terms(PHRASE_QUERY))
+        + f"""
+SELECT s.doc_id, round(s.score, 4) AS score
+FROM scored s JOIN documents d USING (doc_id)
+WHERE s.n_matched = {len(set(Q.query_terms(PHRASE_QUERY)))}
+  AND regexp_matches(lower(d.text), '{M.phrase_regex(Q.query_terms(PHRASE_QUERY))}')
+ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
+""",
         # minhash_lsh, simhash_dups, ann_lsh_topk, ann_ivf_topk,
         # fingerprint: seeded permutations / hyperplanes / centroids /
         # rolling hash — not SQL-expressible; rows-only check (pytest

@@ -1,0 +1,315 @@
+"""Query-expansion matching: prefix search, typo tolerance, phrase match.
+
+Meilisearch executes these three behaviors for every index scrapix
+configures (they sit inside the `words`/`typo`/`proximity`/`exactness`
+ranking chain the reference pins at src/scrapers/docssearch.ts:47-56 and
+implies for the default strategy, README.md:118-133):
+
+* **prefix** — the last query word matches any indexed term it prefixes
+  (how search-as-you-type works in both playground search bars,
+  playground/docusaurus/src/pages/DefaultSearchBar.tsx:41-48);
+* **typo** — query words match dictionary terms within edit distance 1
+  (Meilisearch default: words of length >= 5; configurable);
+* **phrase** — a quoted phrase requires the words to appear adjacent, in
+  order, separated only by separator characters.
+
+All three are expressed as DataFrame plans over the engine's own
+dictionary/postings relations, and all three have exact DuckDB-SQL
+oracles (driver gate):
+
+* prefix expansion = a `startswith` predicate on the term dictionary —
+  pushes into the parquet scan (StringStartsWith);
+* typo candidates = SymSpell deletion-key equi-join (the indexed path:
+  a hash join on deletion keys, never a full-dictionary distance scan)
+  verified by native `levenshtein`;
+* phrase = candidate generation from the inverted index (strict AND)
+  + separator-aware regex verification on the candidates' content only
+  (same plan shape Lucene uses: approximate match first, positional
+  verify second — here content-verify because postings store no
+  positions; the regex is shared verbatim with the DuckDB oracle, both
+  RE2-compatible: no lookaround).
+
+Scoring conventions (pinned for rank-identity between Spark and SQL):
+* a prefix/typo word contributes the MAX BM25 contribution among its
+  expansions for a given doc, and counts as ONE matched word;
+* ranking: n_matched desc (the `words` rule), then round(score, 9)
+  desc, then doc_id asc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scrapix_spark.functions.tokenize import SEP_PATTERN
+from scrapix_spark.operators.query import (
+    SCORE_ROUND,
+    bm25_score_expr,
+    idf_expr,
+    query_terms,
+)
+
+# one separator character (SEP_PATTERN is the one-or-more class)
+_SEP_ONE = SEP_PATTERN[:-1]
+
+
+# ------------------------------------------------------------- prefix
+
+
+def prefix_expansions(term_stats: DataFrame, prefix: str) -> DataFrame:
+    """Dictionary terms that extend `prefix` (including the exact term).
+
+    `startswith` compiles to a StringStartsWith parquet pushdown on the
+    dictionary scan — the dictionary is the only string-keyed relation,
+    so prefix search costs one pruned scan of it, never a postings scan.
+    """
+    return term_stats.filter(F.col("term").startswith(prefix))
+
+
+def bm25_topk_prefix(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    q: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k where the LAST query word is a prefix (search-as-you-type).
+
+    Full words contribute their BM25 sum as usual; the prefix word
+    contributes max-over-expansions per doc and counts as one matched
+    word. Returns (doc_id, score, n_matched) in the pinned order.
+    """
+    terms = query_terms(q)
+    if not terms:
+        return postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double, n_matched int"
+        )
+    prefix, full = terms[-1], terms[:-1]
+
+    exp = prefix_expansions(term_stats, prefix).withColumn(
+        "idf", idf_expr(N, F.col("df").cast("double"))
+    )
+    # candidate postings for expansions; broadcast the (tiny) idf slice
+    pcand = postings.join(F.broadcast(exp.select("term", "idf")), "term")
+    pscored = pcand.withColumn(
+        "contrib",
+        bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, k1, b),
+    )
+    ppart = pscored.groupBy("doc_id").agg(
+        F.max("contrib").alias("score"), F.lit(1).alias("n_matched")
+    )
+
+    parts = [ppart]
+    if full:
+        tstats = term_stats.filter(F.col("term").isin(full)).withColumn(
+            "idf", idf_expr(N, F.col("df").cast("double"))
+        )
+        fcand = postings.filter(F.col("term").isin(full)).join(
+            F.broadcast(tstats.select("term", "idf")), "term"
+        )
+        fscored = fcand.withColumn(
+            "contrib",
+            bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, k1, b),
+        )
+        parts.append(
+            fscored.groupBy("doc_id").agg(
+                F.sum("contrib").alias("score"),
+                F.count("*").cast("int").alias("n_matched"),
+            )
+        )
+    both = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    agg = both.groupBy("doc_id").agg(
+        F.sum("score").alias("score"),
+        F.sum("n_matched").cast("int").alias("n_matched"),
+    )
+    return agg.orderBy(
+        F.col("n_matched").desc(),
+        F.round(F.col("score"), SCORE_ROUND).desc(),
+        F.col("doc_id").asc(),
+    ).limit(k)
+
+
+# --------------------------------------------------------------- typo
+
+
+def typo_candidates(
+    term_stats: DataFrame,
+    query_term: str,
+    max_dist: int = 1,
+    min_len: int = 5,
+) -> DataFrame:
+    """Dictionary terms within levenshtein distance `max_dist` (=1) of
+    `query_term` — SymSpell deletion-key join, exact-verified.
+
+    Build side: every dictionary term explodes into its depth-1 deletion
+    keys (plus itself). Probe side: the query term's deletion keys (a
+    handful, broadcast). Distance-1 edits (insert/delete/substitute)
+    always share a key, so the equi-join generates a complete candidate
+    set with ONE hash join — no levenshtein against the full dictionary
+    — and native `levenshtein` then verifies exactly. Query terms
+    shorter than min_len get no typo budget (Meilisearch default).
+
+    Returns (term, df, dist), dist <= max_dist, ordered (dist, term).
+    """
+    if len(query_term) < min_len:
+        keys = [query_term]
+        # exact-only: no deletion neighborhood
+        joined = term_stats.filter(F.col("term") == query_term)
+        return joined.select(
+            "term", "df", F.lit(0).alias("dist")
+        ).orderBy("dist", "term")
+
+    qkeys = [query_term] + [
+        query_term[:i] + query_term[i + 1:] for i in range(len(query_term))
+    ]
+    # restrict the build side before exploding: candidates within edit
+    # distance 1 differ in length by at most 1 — pushes to the dict scan
+    cand_terms = term_stats.filter(
+        (F.length("term") >= len(query_term) - max_dist)
+        & (F.length("term") <= len(query_term) + max_dist)
+    )
+    # depth-1 deletion keys of each dictionary term, plus the term
+    # itself — pure JVM (one substr-concat per position)
+    dels = F.array_union(
+        F.array(F.col("term")),
+        F.transform(
+            F.sequence(F.lit(1), F.length("term")),
+            lambda i: F.concat(
+                F.col("term").substr(F.lit(1), i - 1),
+                F.col("term").substr(i + 1, F.length("term")),
+            ),
+        ),
+    )
+    exploded = cand_terms.withColumn("delkey", F.explode(dels))
+    hits = (
+        exploded.filter(F.col("delkey").isin(qkeys))
+        .select("term", "df")
+        .dropDuplicates(["term"])
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(query_term)))
+        .filter(F.col("dist") <= max_dist)
+    )
+    return hits.orderBy("dist", "term")
+
+
+def bm25_topk_typo(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    q: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_dist: int = 1,
+    min_len: int = 5,
+) -> DataFrame:
+    """Top-k with typo tolerance: each query word expands to its
+    distance<=1 dictionary neighborhood; a doc's contribution per word is
+    the MAX over that word's expansions (exact-match docs naturally rank
+    higher via idf of the rarer exact term); each word counts once in
+    n_matched."""
+    words = query_terms(q)
+    if not words:
+        return postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double, n_matched int"
+        )
+    spark = postings.sparkSession
+    frames = []
+    for wi, w in enumerate(words):
+        cands = typo_candidates(term_stats, w, max_dist, min_len).select(
+            "term", "df"
+        )
+        exp = cands.withColumn("idf", idf_expr(N, F.col("df").cast("double")))
+        cand = postings.join(F.broadcast(exp.select("term", "idf")), "term")
+        scored = cand.withColumn(
+            "contrib",
+            bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, k1, b),
+        )
+        frames.append(
+            scored.groupBy("doc_id")
+            .agg(F.max("contrib").alias("score"))
+            .withColumn("word", F.lit(wi))
+        )
+    un = frames[0]
+    for f in frames[1:]:
+        un = un.unionByName(f)
+    agg = un.groupBy("doc_id").agg(
+        F.sum("score").alias("score"),
+        F.countDistinct("word").cast("int").alias("n_matched"),
+    )
+    return agg.orderBy(
+        F.col("n_matched").desc(),
+        F.round(F.col("score"), SCORE_ROUND).desc(),
+        F.col("doc_id").asc(),
+    ).limit(k)
+
+
+# -------------------------------------------------------------- phrase
+
+
+def phrase_regex(phrase_terms: list[str]) -> str:
+    """Separator-aware phrase pattern, shared VERBATIM by Spark (Java
+    regex) and the DuckDB oracle (RE2): terms joined by one-or-more
+    separator chars, bounded by start/separator and separator/end.
+    Tokenizer terms contain only token characters (no regex
+    metacharacters by construction), so they embed literally. No
+    lookaround — RE2 has none."""
+    body = SEP_PATTERN.join(phrase_terms)
+    return f"(^|{_SEP_ONE}){body}({_SEP_ONE}|$)"
+
+
+def phrase_topk(
+    docs: DataFrame,
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    phrase: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase top-k: index candidates, then content verification.
+
+    1. Candidate docs = strict AND over the phrase's terms via the
+       inverted postings (n_matched == n_terms) — the index prunes the
+       corpus to docs that contain every word;
+    2. verify adjacency+order with ONE regex on the candidates' content
+       (a scan of the candidate rows only — at scale the candidate set
+       is orders of magnitude smaller than the corpus; positional
+       postings would replace this scan, content verification is the
+       positions-free equivalent);
+    3. rank the verified docs by BM25 over the phrase terms.
+    """
+    terms = query_terms(phrase)
+    if not terms:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, score double"
+        )
+    tstats = term_stats.filter(F.col("term").isin(terms)).withColumn(
+        "idf", idf_expr(N, F.col("df").cast("double"))
+    )
+    cand = postings.filter(F.col("term").isin(terms)).join(
+        F.broadcast(tstats.select("term", "idf")), "term"
+    )
+    scored = cand.withColumn(
+        "contrib",
+        bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, k1, b),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.count("*").cast("int").alias("n_words"),
+    ).filter(F.col("n_words") == len(set(terms)))
+    verified = agg.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)), "doc_id"
+    ).filter(F.lower(F.col(text_col)).rlike(phrase_regex(terms)))
+    return (
+        verified.select("doc_id", "score")
+        .orderBy(F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -1,0 +1,92 @@
+"""Prefix / typo / phrase matching (operators/match.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.operators import match as M
+from scrapix_spark.operators import postings as P
+
+K1, B = 1.2, 0.75
+
+DOCS = [
+    (1, "sort the table by key"),
+    (2, "sorted tables are fast"),
+    (3, "scan the sorted index"),
+    (4, "value table value table end"),
+    (5, "table of value things"),          # both words, NOT adjacent
+    (6, "research notes on search"),
+    (7, "value, table!"),                  # adjacent across punctuation
+]
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    from scrapix_spark.functions.tokenize import with_tokens
+
+    t = with_tokens(df, "text")
+    post = t.select(
+        "doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("tk")
+    ).select("tk.term", "doc_id", F.col("tk.tf").cast("long").alias("tf"), "dl")
+    stats = P.term_stats(post)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    return df, post, stats, int(row["n"]), float(row["a"])
+
+
+def test_prefix_expansions_pushdown_semantics(tiny):
+    _, _, stats, _, _ = tiny
+    terms = {r["term"] for r in M.prefix_expansions(stats, "sort").collect()}
+    assert terms == {"sort", "sorted"}
+
+
+def test_prefix_topk_counts_prefix_as_one_word(tiny):
+    _, post, stats, n, avgdl = tiny
+    out = M.bm25_topk_prefix(post, stats, n, avgdl, "fast sort", 10, K1, B).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # doc 2 has fast + sorted → 2 words; docs 1,3 prefix only → 1
+    assert by_id[2]["n_matched"] == 2
+    assert by_id[1]["n_matched"] == 1 and by_id[3]["n_matched"] == 1
+    assert out[0]["doc_id"] == 2  # words rule: more matched words first
+
+
+def test_typo_candidates_match_bruteforce(tiny):
+    """SymSpell deletion-join must equal brute-force levenshtein<=1 over
+    the dictionary — substitution, deletion and insertion cases."""
+    _, _, stats, _, _ = tiny
+    for q in ["tabel0", "tablee", "tble", "sorted", "vvalue", "scann"]:
+        sym = {(r["term"], r["dist"]) for r in M.typo_candidates(stats, q, min_len=4).collect()}
+        brute = {
+            (r["term"], r["d"])
+            for r in stats.withColumn("d", F.levenshtein(F.col("term"), F.lit(q)))
+            .filter("d <= 1").collect()
+        }
+        assert sym == brute, q
+
+
+def test_typo_short_words_get_no_budget(tiny):
+    _, _, stats, _, _ = tiny
+    # 'kei' (len 3 < min_len 5): exact-only — no candidates
+    assert M.typo_candidates(stats, "kei").count() == 0
+    # exact term still resolves
+    assert M.typo_candidates(stats, "key").collect()[0]["dist"] == 0
+
+
+def test_phrase_requires_adjacency_and_order(tiny):
+    docs, post, stats, n, avgdl = tiny
+    hits = {r["doc_id"] for r in
+            M.phrase_topk(docs, post, stats, n, avgdl, "value table", 10,
+                          K1, B).collect()}
+    # doc 4 adjacent, doc 7 adjacent across punctuation; doc 5 has both
+    # words but not adjacent
+    assert hits == {4, 7}
+
+
+def test_phrase_token_boundaries(tiny):
+    docs, post, stats, n, avgdl = tiny
+    # 'search' must not match inside 'research'
+    hits = {r["doc_id"] for r in
+            M.phrase_topk(docs, post, stats, n, avgdl, "notes on search", 10,
+                          K1, B).collect()}
+    assert hits == {6}
+    none = M.phrase_topk(docs, post, stats, n, avgdl, "the search", 10, K1, B)
+    assert none.count() == 0
