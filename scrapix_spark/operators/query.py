@@ -270,6 +270,96 @@ class IndexReader:
         ).limit(k)
         return self._hydrate(topk) if hydrate else topk
 
+    def topk_prefix(
+        self,
+        q: str,
+        k: int = 10,
+        hydrate: bool = True,
+        max_expansions: int | None = 1000,
+    ) -> DataFrame:
+        """Search-as-you-type over the published index: the LAST query
+        word matches every dictionary term it prefixes.
+
+        The expansion lookup is a `startswith` predicate on the
+        dictionary parquet (StringStartsWith pushdown) — postings are
+        never scanned to find expansions. Expansions beyond
+        max_expansions are dropped highest-df-first (common terms carry
+        the least idf — the Meilisearch-style cap for 1-letter
+        prefixes). A doc's prefix contribution is the MAX over its
+        matching expansions; the prefix counts as one matched word
+        (same pinned semantics as operators.match.bm25_topk_prefix).
+        """
+        meta = self.meta
+        terms = query_terms(q)
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, n_matched int"
+            )
+        prefix, full = terms[-1], terms[:-1]
+        drows = self.resolve_terms(full)
+        exp_df = self.dict_df.filter(F.col("term").startswith(prefix)).select(
+            "term_id", "df"
+        )
+        if max_expansions is not None:
+            exp_df = exp_df.orderBy(F.col("df").asc(), F.col("term_id").asc()).limit(
+                max_expansions
+            )
+        exp = exp_df.collect()
+        idf = {
+            tid: float(codec.bm25_idf(meta["N"], np.array([df]))[0])
+            for _, tid, df in drows
+        }
+        eidf = {
+            r["term_id"]: float(codec.bm25_idf(meta["N"], np.array([r["df"]]))[0])
+            for r in exp
+        }
+        all_tids = list(set(idf) | set(eidf))
+        if not all_tids:
+            empty = self.spark.createDataFrame(
+                [], "doc_id long, score double, n_matched int"
+            )
+            return self._hydrate(empty) if hydrate else empty
+        post = _decode_blocks_df(self._segments_for(all_tids))
+        # a term can play BOTH roles (an exact query word that the
+        # prefix also matches) — it then contributes in both groups,
+        # exactly like the table-level operator and its SQL oracle
+        idf_rows = [(t, v, False) for t, v in idf.items()] + [
+            (t, v, True) for t, v in eidf.items()
+        ]
+        idf_df = self.spark.createDataFrame(
+            idf_rows, "term_id long, idf double, is_prefix boolean"
+        )
+        scored = post.join(F.broadcast(idf_df), "term_id").withColumn(
+            "contrib",
+            bm25_score_expr(
+                F.col("tf"), F.col("dl"), F.col("idf"),
+                meta["avgdl"], meta["k1"], meta["b"],
+            ),
+        )
+        fullc = (
+            scored.filter(~F.col("is_prefix"))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("contrib").alias("score"),
+                F.count("*").cast("int").alias("n_matched"),
+            )
+        )
+        prefc = (
+            scored.filter(F.col("is_prefix"))
+            .groupBy("doc_id")
+            .agg(F.max("contrib").alias("score"), F.lit(1).alias("n_matched"))
+        )
+        agg = fullc.unionByName(prefc).groupBy("doc_id").agg(
+            F.sum("score").alias("score"),
+            F.sum("n_matched").cast("int").alias("n_matched"),
+        )
+        topk = agg.orderBy(
+            F.col("n_matched").desc(),
+            F.round(F.col("score"), SCORE_ROUND).desc(),
+            F.col("doc_id").asc(),
+        ).limit(k)
+        return self._hydrate(topk) if hydrate else topk
+
     def _hydrate(self, topk: DataFrame) -> DataFrame:
         """J4: attach repo/path/commit/lang to the k winners — broadcast
         the k rows against the docs table, never the reverse."""

@@ -90,3 +90,47 @@ def test_phrase_token_boundaries(tiny):
     assert hits == {6}
     none = M.phrase_topk(docs, post, stats, n, avgdl, "the search", 10, K1, B)
     assert none.count() == 0
+
+
+def test_index_reader_prefix_matches_table_operator(spark, index_dir_match):
+    """IndexReader.topk_prefix over the published index must be
+    rank-identical to the table-level operator on the same corpus."""
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.functions.tokenize import with_tokens
+    from scrapix_spark.operators.docs import build_docs
+    from scrapix_spark.operators.query import IndexReader
+
+    corpus, idx = index_dir_match
+    r = IndexReader(spark, idx)
+    for q in ["zanzibar b", "binary se", "sort s"]:
+        got = r.topk_prefix(q, 10, hydrate=False, max_expansions=None).collect()
+
+        docs = build_docs(corpus, IndexConfig(exclude_paginated=False), tokenize=False)
+        t = with_tokens(docs, "content")
+        post = t.select(
+            "doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("tk")
+        ).select("tk.term", "doc_id", F.col("tk.tf").alias("tf"), "dl")
+        stats = P.term_stats(post)
+        row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+        want = M.bm25_topk_prefix(
+            post, stats, int(row["n"]), float(row["a"]), q, 10, K1, B
+        ).collect()
+        assert [x["doc_id"] for x in got] == [x["doc_id"] for x in want], q
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], rel=1e-9), q
+
+
+@pytest.fixture(scope="module")
+def index_dir_match(spark, tmp_path_factory):
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.fixtures import corpus_spark_df
+    from scrapix_spark.operators.index import build_index
+
+    corpus = corpus_spark_df(spark, 300)
+    d = str(tmp_path_factory.mktemp("midx"))
+    build_index(
+        spark, corpus, d,
+        IndexConfig(index_uid="m", n_shards=8, exclude_paginated=False),
+        build_id="m1",
+    )
+    return corpus, d
