@@ -717,6 +717,34 @@ def q_phrase_topk(spark, sf_dir):
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+PHRASE_POS_QUERY = "big table"      # phrase answered from positions alone
+PROX_QUERY = "customer window"      # proximity-ranked pair
+
+
+def q_phrase_positional_topk(spark, sf_dir):
+    """Exact phrase from the positional relation alone (no content
+    access): adjacency chain-fold over per-term position arrays. Oracle
+    = the same separator-regex content verification — the two are
+    equivalent by tokenizer construction."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    pos = M.positional_postings(_docs(spark, sf_dir), "text")
+    out = M.phrase_topk_positional(pos, stats, n, avgdl, PHRASE_POS_QUERY, 10, K1, B)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_proximity_topk(spark, sf_dir):
+    """Proximity ranking rule: n_matched desc, capped min-pairwise-token-
+    distance sum asc, BM25 desc — all native array expressions."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    pos = M.positional_postings(_docs(spark, sf_dir), "text")
+    out = M.proximity_topk(pos, stats, n, avgdl, PROX_QUERY, 10, K1, B)
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        F.col("proximity").cast("long").alias("proximity"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-scoring BM25 top-10 on sf0.001 documents."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -763,6 +791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typo_candidates": q_typo_candidates,
         "typo_topk": q_typo_topk,
         "phrase_topk": q_phrase_topk,
+        "phrase_positional_topk": q_phrase_positional_topk,
+        "proximity_topk": q_proximity_topk,
     }
 
 
@@ -1012,6 +1042,43 @@ ORDER BY count(DISTINCT wi) DESC, round(sum(score), 9) DESC, doc_id LIMIT 10
 """
 
 
+def _proximity_sql() -> str:
+    terms = Q.query_terms(PROX_QUERY)
+    tok = TOK_EXPR("text")
+    pos_cols = ",\n  ".join(
+        f"list_filter(range(1, len(tok) + 1), i -> tok[i] = '{t}') AS p{i}"
+        for i, t in enumerate(terms)
+    )
+    pair_costs = []
+    for i in range(len(terms) - 1):
+        a, b = f"p{i}", f"p{i + 1}"
+        mind = (
+            f"list_min(flatten(list_transform({a}, "
+            f"x -> list_transform({b}, y -> abs(x - y)))))"
+        )
+        pair_costs.append(
+            f"CASE WHEN len({a}) = 0 OR len({b}) = 0 THEN 8 "
+            f"ELSE least(8, {mind}) END"
+        )
+    cost = " + ".join(pair_costs) if pair_costs else "0"
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return _contrib_cte() + f"""
+, agg AS (
+  SELECT doc_id, sum(c) AS score, count(*)::BIGINT AS n_matched
+  FROM contrib WHERE term IN ({tlist}) GROUP BY doc_id),
+posd AS (
+  SELECT doc_id,
+  {pos_cols}
+  FROM (SELECT doc_id, {tok} AS tok FROM documents)),
+prox AS (
+  SELECT a.doc_id, a.score, a.n_matched, ({cost})::BIGINT AS proximity
+  FROM agg a JOIN posd USING (doc_id))
+SELECT doc_id, round(score, 4) AS score, n_matched, proximity
+FROM prox
+ORDER BY n_matched DESC, proximity ASC, round(score, 9) DESC, doc_id LIMIT 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     tok = TOK_EXPR("text")
     en = ", ".join(f"'{w}'" for w in TS.LANG_MARKERS["en"])
@@ -1233,6 +1300,15 @@ FROM dict WHERE levenshtein(term, 'vakue') <= 1
 ORDER BY dist, term
 """,
         "typo_topk": _typo_sql(),
+        "phrase_positional_topk": _bm25_scored_sql(Q.query_terms(PHRASE_POS_QUERY))
+        + f"""
+SELECT s.doc_id, round(s.score, 4) AS score
+FROM scored s JOIN documents d USING (doc_id)
+WHERE s.n_matched = {len(set(Q.query_terms(PHRASE_POS_QUERY)))}
+  AND regexp_matches(lower(d.text), '{M.phrase_regex(Q.query_terms(PHRASE_POS_QUERY))}')
+ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
+""",
+        "proximity_topk": _proximity_sql(),
         "phrase_topk": _bm25_scored_sql(Q.query_terms(PHRASE_QUERY))
         + f"""
 SELECT s.doc_id, round(s.score, 4) AS score

@@ -66,6 +66,10 @@ class IndexConfig:
     distinct_attribute: Optional[str] = None
 
     # Physical layout
+    # store_positions: also build the positional relation (the Lucene
+    # .pos-stream analog, a separate term-partitioned parquet) enabling
+    # index-only phrase + proximity queries; BM25-only builds skip it
+    store_positions: bool = False
     n_shards: int = DEFAULT_N_SHARDS
     block_size: int = DEFAULT_BLOCK_SIZE
     batch_size: int = DEFAULT_BATCH_SIZE

@@ -141,8 +141,33 @@ def build_index(
         enc.write.mode("overwrite").partitionBy("tb").parquet(batch_dir)
     phases["segments"] = round(time.time() - tp, 2)
 
+    # optional positional relation (Lucene .pos-stream analog): phrase /
+    # proximity queries read ONLY their terms' rows via (tb, term_id)
+    # pushdown; the BM25 path never touches it
+    if cfg.store_positions:
+        from scrapix_spark.operators.match import positional_postings
+
+        tp = time.time()
+        pos_path = os.path.join(build_dir, "positions")
+        if not _done(pos_path):
+            posrel = (
+                positional_postings(docs, "content")
+                .withColumn("term_id", F.xxhash64("term"))
+                .drop("term")
+                .withColumn("tb", P.term_bucket_expr(F.col("term_id"), tb_bits))
+            )
+            (
+                posrel.repartition(batch_parts, "tb")
+                .sortWithinPartitions("term_id", "doc_id")
+                .write.mode("overwrite")
+                .partitionBy("tb")
+                .parquet(pos_path)
+            )
+        phases["positions"] = round(time.time() - tp, 2)
+
     meta = {
         "index_uid": cfg.index_uid,
+        "store_positions": cfg.store_positions,
         "build_id": build_id,
         "N": stats["N"],
         "avgdl": stats["avgdl"],
@@ -224,6 +249,14 @@ def read_docs(spark: SparkSession, index_dir: str) -> DataFrame:
 
 def read_dict(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(current_build_dir(index_dir), "dict"))
+
+
+def read_positions(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Positional relation (term_id, doc_id, tf, dl, positions, tb);
+    only present when the build ran with store_positions."""
+    return spark.read.parquet(
+        os.path.join(current_build_dir(index_dir), "positions")
+    )
 
 
 def _done(path: str) -> bool:

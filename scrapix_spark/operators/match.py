@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from scrapix_spark.functions.tokenize import SEP_PATTERN
+from scrapix_spark.functions.tokenize import SEP_PATTERN, tokens_native
 from scrapix_spark.operators.query import (
     SCORE_ROUND,
     bm25_score_expr,
@@ -313,3 +313,164 @@ def phrase_topk(
         .orderBy(F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------- positional layer
+
+
+def positional_postings(
+    df: DataFrame, text_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """(term, doc_id, tf, dl, positions array<int>) — token positions per
+    (doc, term), pure JVM: posexplode over the native tokenizer, then a
+    hash aggregation; positions are 0-based token ordinals.
+
+    This is the engine's `.pos` stream (Lucene keeps positions in a
+    separate file from the doc/freq postings for the same reason): BM25
+    never pays for it, and phrase/proximity queries read ONLY the query
+    terms' position rows (term-pushdown scan at the index level).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_native(F.col(text_col))).alias("pos", "term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("int").alias("dl"))
+    per = toks.groupBy("doc_id", "term").agg(
+        F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("positions"),
+        F.count("*").cast("long").alias("tf"),
+    )
+    return per.join(dl, "doc_id").select("term", "doc_id", "tf", "dl", "positions")
+
+
+def _chain_positions(cur_col, next_col):
+    """positions reachable by extending every chain end by one token:
+    intersect (cur + 1) with the next term's positions. Folding this
+    over the phrase terms is EXACT adjacency (pairwise-overlap checks
+    admit false positives: t1@{0,10}, t2@{1,20}, t3@{21} passes each
+    pair but chains to nothing)."""
+    return F.array_intersect(
+        F.transform(cur_col, lambda x: x + 1), next_col
+    )
+
+
+def phrase_topk_positional(
+    positional: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    phrase: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Exact-phrase top-k from the positional relation alone — no
+    content access. Chain-fold the adjacency set term by term; BM25-rank
+    the surviving docs over the phrase terms. Rank-identical to the
+    content-verification path (operators/match.phrase_topk) by
+    construction: consecutive token ordinals <=> separator-only gaps in
+    the text."""
+    terms = query_terms(phrase)
+    if not terms:
+        return positional.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    pos = positional.filter(F.col("term").isin(list(set(terms))))
+
+    def pos_of(t: str, alias: str) -> DataFrame:
+        return pos.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(alias)
+        )
+
+    cur = pos_of(terms[0], "chain")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = pos_of(t, f"p{i}")
+        cur = (
+            cur.join(nxt, "doc_id")
+            .select(
+                "doc_id",
+                _chain_positions(F.col("chain"), F.col(f"p{i}")).alias("chain"),
+            )
+            .filter(F.size("chain") > 0)
+        )
+    matched = cur.select("doc_id")
+
+    tstats = term_stats.filter(F.col("term").isin(terms)).withColumn(
+        "idf", idf_expr(N, F.col("df").cast("double"))
+    )
+    scored = pos.join(F.broadcast(tstats.select("term", "idf")), "term").withColumn(
+        "contrib",
+        bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, k1, b),
+    )
+    agg = scored.join(matched, "doc_id").groupBy("doc_id").agg(
+        F.sum("contrib").alias("score")
+    )
+    return agg.orderBy(
+        F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
+    ).limit(k)
+
+
+PROXIMITY_CAP = 8  # Meilisearch clamps pairwise word distance at 8
+
+
+def proximity_topk(
+    positional: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    q: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Proximity-ranked top-k (the `proximity` ranking rule,
+    reference src/scrapers/docssearch.ts:51): docs matching >=1 query
+    word, ordered by n_matched desc, then total proximity cost asc,
+    then BM25 desc, then doc_id.
+
+    cost = Σ over ADJACENT query-word pairs of min(|p_i − p_j|) capped
+    at PROXIMITY_CAP; a pair with a missing word costs the cap. The min
+    pairwise distance is a native nested-transform + array_min — no
+    Python anywhere in the plan.
+    """
+    terms = query_terms(q)
+    if not terms:
+        return positional.sparkSession.createDataFrame(
+            [], "doc_id long, score double, n_matched int, proximity int"
+        )
+    pos = positional.filter(F.col("term").isin(terms))
+    tstats = term_stats.filter(F.col("term").isin(terms)).withColumn(
+        "idf", idf_expr(N, F.col("df").cast("double"))
+    )
+    scored = pos.join(F.broadcast(tstats.select("term", "idf")), "term").withColumn(
+        "contrib",
+        bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, k1, b),
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.count("*").cast("int").alias("n_matched"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("term"), F.col("positions")))
+        ).alias("pmap"),
+    )
+    cap = F.lit(PROXIMITY_CAP)
+    pair_costs = []
+    for a, bterm in zip(terms, terms[1:]):
+        pa, pb = F.col("pmap")[a], F.col("pmap")[bterm]
+        mind = F.array_min(
+            F.flatten(
+                F.transform(pa, lambda x: F.transform(pb, lambda y: F.abs(x - y)))
+            )
+        )
+        pair_costs.append(
+            F.when(pa.isNull() | pb.isNull(), cap).otherwise(F.least(mind, cap))
+        )
+    total = pair_costs[0] if pair_costs else F.lit(0)
+    for c in pair_costs[1:]:
+        total = total + c
+    out = perdoc.withColumn("proximity", total.cast("int"))
+    return out.select("doc_id", "score", "n_matched", "proximity").orderBy(
+        F.col("n_matched").desc(),
+        F.col("proximity").asc(),
+        F.round(F.col("score"), SCORE_ROUND).desc(),
+        F.col("doc_id").asc(),
+    ).limit(k)

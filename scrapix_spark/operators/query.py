@@ -360,6 +360,79 @@ class IndexReader:
         ).limit(k)
         return self._hydrate(topk) if hydrate else topk
 
+    def _positional_for(self, q: str):
+        """Positional rows for the query terms, with the term STRING
+        restored (tiny broadcast of the resolved slice) so the
+        table-level positional operators apply unchanged. Returns
+        (pos_df, tstats_df, terms) or None if the build stored no
+        positions or no term resolves."""
+        if not self.meta.get("store_positions"):
+            raise ValueError(
+                "index was built without store_positions=True — "
+                "phrase/proximity need the positional relation"
+            )
+        terms = query_terms(q)
+        drows = self.resolve_terms(terms)
+        if not drows:
+            return None
+        kb = self.meta.get("tb_bits")
+        tids = [tid for _, tid, _ in drows]
+        if not hasattr(self, "_positions_df"):
+            self._positions_df = IX.read_positions(self.spark, self.index_dir)
+        pos = self._positions_df.filter(F.col("term_id").isin(tids))
+        if kb and "tb" in self._positions_df.columns:
+            pos = pos.filter(
+                F.col("tb").isin(sorted({term_bucket_of(t, kb) for t in tids}))
+            )
+        mapping = self.spark.createDataFrame(
+            [(tid, t) for t, tid, _ in drows], "term_id long, term string"
+        )
+        pos = pos.join(F.broadcast(mapping), "term_id").select(
+            "term", "doc_id", "tf", "dl", "positions"
+        )
+        tstats = self.spark.createDataFrame(
+            [(t, df) for t, _, df in drows], "term string, df long"
+        )
+        return pos, tstats, terms
+
+    def topk_phrase(self, q: str, k: int = 10, hydrate: bool = True) -> DataFrame:
+        """Exact-phrase top-k from the index's positional relation alone
+        (adjacency chain-fold; operators/match.phrase_topk_positional)."""
+        from scrapix_spark.operators.match import phrase_topk_positional
+
+        got = self._positional_for(q)
+        if got is None:
+            empty = self.spark.createDataFrame([], "doc_id long, score double")
+            return self._hydrate(empty) if hydrate else empty
+        pos, tstats, terms = got
+        if len(self.resolve_terms(terms)) < len(set(terms)):
+            # a phrase containing an unindexed word matches nothing
+            empty = self.spark.createDataFrame([], "doc_id long, score double")
+            return self._hydrate(empty) if hydrate else empty
+        meta = self.meta
+        topk = phrase_topk_positional(
+            pos, tstats, meta["N"], meta["avgdl"], q, k, meta["k1"], meta["b"]
+        )
+        return self._hydrate(topk) if hydrate else topk
+
+    def topk_proximity(
+        self, q: str, k: int = 10, hydrate: bool = False
+    ) -> DataFrame:
+        """Proximity-ranked top-k from the positional relation
+        (operators/match.proximity_topk ordering)."""
+        from scrapix_spark.operators.match import proximity_topk
+
+        got = self._positional_for(q)
+        if got is None:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, n_matched int, proximity int"
+            )
+        pos, tstats, _terms = got
+        meta = self.meta
+        return proximity_topk(
+            pos, tstats, meta["N"], meta["avgdl"], q, k, meta["k1"], meta["b"]
+        )
+
     def _hydrate(self, topk: DataFrame) -> DataFrame:
         """J4: attach repo/path/commit/lang to the k winners — broadcast
         the k rows against the docs table, never the reverse."""

@@ -134,3 +134,78 @@ def index_dir_match(spark, tmp_path_factory):
         build_id="m1",
     )
     return corpus, d
+
+
+def test_chain_fold_rejects_pairwise_false_positive(spark):
+    """t1@{0,10}, t2@{1,20}, t3@{21}: every adjacent pair overlaps but no
+    3-token chain exists — the fold must reject, pairwise checks don't."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta w w w w w w w w alpha w w w w w w w w w beta gamma"),
+         (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    pos = M.positional_postings(df, "text")
+    stats = pos.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    out = M.phrase_topk_positional(pos, stats, 2, 12.5, "alpha beta gamma", 10)
+    assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_index_positional_matches_table_operators(spark, tmp_path_factory):
+    """Phrase + proximity answered from the published index's positional
+    relation must equal the table-level operators over raw content."""
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.fixtures import corpus_spark_df
+    from scrapix_spark.functions.tokenize import with_tokens
+    from scrapix_spark.operators.docs import build_docs
+    from scrapix_spark.operators.index import build_index
+    from scrapix_spark.operators.query import IndexReader
+
+    corpus = corpus_spark_df(spark, 300)
+    d = str(tmp_path_factory.mktemp("pidx"))
+    build_index(
+        spark, corpus, d,
+        IndexConfig(index_uid="p", n_shards=8, exclude_paginated=False,
+                    store_positions=True),
+        build_id="p1",
+    )
+    r = IndexReader(spark, d)
+
+    docs = build_docs(corpus, IndexConfig(exclude_paginated=False), tokenize=False)
+    pos = M.positional_postings(docs, "content", "doc_id")
+    t = with_tokens(docs, "content")
+    post = t.select(
+        "doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("tk")
+    ).select("tk.term", "doc_id", F.col("tk.tf").cast("long").alias("tf"), "dl")
+    stats = P.term_stats(post)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    n, avgdl = int(row["n"]), float(row["a"])
+
+    for q in ["binary search", "the index"]:
+        got = r.topk_phrase(q, 10, hydrate=False).collect()
+        want = M.phrase_topk_positional(pos, stats, n, avgdl, q, 10, K1, B).collect()
+        assert [x["doc_id"] for x in got] == [x["doc_id"] for x in want], q
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], rel=1e-9), q
+
+    for q in ["binary search", "sorted index scan"]:
+        got = r.topk_proximity(q, 10).collect()
+        want = M.proximity_topk(pos, stats, n, avgdl, q, 10, K1, B).collect()
+        assert [(x["doc_id"], x["proximity"]) for x in got] == [
+            (x["doc_id"], x["proximity"]) for x in want
+        ], q
+
+    # phrase containing an unindexed word matches nothing (no error)
+    assert r.topk_phrase("binary xyzzynotaterm", 10, hydrate=False).count() == 0
+
+
+def test_positions_guard_on_bm25_only_index(spark, index_dir_match):
+    """A build without store_positions must refuse phrase/proximity
+    clearly rather than silently returning nothing."""
+    from scrapix_spark.operators.query import IndexReader
+
+    _, idx = index_dir_match
+    r = IndexReader(spark, idx)
+    with pytest.raises(ValueError):
+        r.topk_phrase("binary search", 10)
