@@ -128,6 +128,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "simhash_dups", "ann_cosine_topk", "ann_lsh_topk",
         "langid_counts", "quality_scores", "token_counts",
         "fingerprint", "events_tumbling",
+        "prefix_topk", "typo_topk", "phrase_topk", "proximity_topk",
     ]
     out = {}
     for name in headline:

@@ -31,7 +31,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--query", required=True)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--mode", choices=["wand", "full"], default="wand")
+    ap.add_argument(
+        "--mode",
+        choices=["wand", "full", "prefix", "phrase", "proximity"],
+        default="wand",
+        help="wand/full = BM25 top-k (rank-identical pair); prefix = "
+             "last word as prefix; phrase/proximity need an index built "
+             "with store_positions",
+    )
     ap.add_argument("--distinct-by", default=None,
                     help="distinctAttribute analog (reference "
                          "src/scrapers/default.ts:27), e.g. 'path'")
@@ -48,9 +55,14 @@ def main(argv: list[str] | None = None) -> int:
     # distinctAttribute before pagination; 8x oversample + window is the
     # distributed equivalent for the CLI)
     fetch_k = args.k * 8 if args.distinct_by else args.k
-    topk = (reader.topk_pruned if args.mode == "wand" else reader.topk_full)(
-        args.query, k=fetch_k
-    )
+    mode_fn = {
+        "wand": reader.topk_pruned,
+        "full": reader.topk_full,
+        "prefix": reader.topk_prefix,
+        "phrase": reader.topk_phrase,
+        "proximity": lambda q, k: reader.topk_proximity(q, k=k),
+    }[args.mode]
+    topk = mode_fn(args.query, k=fetch_k)
     if args.distinct_by:
         w = Window.partitionBy(args.distinct_by).orderBy(
             F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
