@@ -745,6 +745,42 @@ def q_proximity_topk(spark, sf_dir):
     )
 
 
+def q_facet_distribution(spark, sf_dir):
+    """Meilisearch facetDistribution over the docs matching the BM25
+    query (filterableAttributes analog, default.ts:26): per-attribute
+    value counts, top-100 per attribute by (count desc, value)."""
+    from scrapix_spark.operators import results as R
+
+    post = _postings(spark, sf_dir)
+    matched = (
+        post.filter(F.col("term").isin(Q.query_terms(BM25_QUERY)))
+        .select("doc_id").distinct()
+    )
+    hits = matched.join(_docs(spark, sf_dir), "doc_id")
+    return R.facet_distribution(hits, ["lang", "source"]).select(
+        "attr", "value", F.col("count").cast("long").alias("count")
+    )
+
+
+def q_highlight(spark, sf_dir):
+    """Meilisearch _formatted: boundary-exact term highlighting on the
+    canonical (lowercased) text; two-pass replace for adjacent terms."""
+    from scrapix_spark.operators import results as R
+
+    docs = _docs(spark, sf_dir).filter("doc_id < 200")
+    return R.highlight(docs, "text", BM25_QUERY).select("doc_id", "formatted")
+
+
+def q_crop(spark, sf_dir):
+    """attributesToCrop: char window around the first highlighted match,
+    ellipsis only where text was cut."""
+    from scrapix_spark.operators import results as R
+
+    docs = _docs(spark, sf_dir).filter("doc_id < 200")
+    hl = R.highlight(docs, "text", BM25_QUERY)
+    return R.crop(hl, "formatted").select("doc_id", "cropped")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-scoring BM25 top-10 on sf0.001 documents."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -793,6 +829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": q_phrase_topk,
         "phrase_positional_topk": q_phrase_positional_topk,
         "proximity_topk": q_proximity_topk,
+        "facet_distribution": q_facet_distribution,
+        "highlight": q_highlight,
+        "crop": q_crop,
     }
 
 
@@ -1079,6 +1118,39 @@ ORDER BY n_matched DESC, proximity ASC, round(score, 9) DESC, doc_id LIMIT 10
 """
 
 
+def _facet_sql() -> str:
+    tok = TOK_EXPR("text")
+    tlist = ", ".join(f"'{t}'" for t in Q.query_terms(BM25_QUERY))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+matched AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({tlist})),
+hits AS (SELECT d.* FROM documents d JOIN matched USING (doc_id)),
+f AS (
+  SELECT 'lang' AS attr, lang::VARCHAR AS value, count(*)::BIGINT AS count
+  FROM hits GROUP BY lang
+  UNION ALL
+  SELECT 'source', source::VARCHAR, count(*)::BIGINT FROM hits GROUP BY source),
+r AS (SELECT *, row_number() OVER (PARTITION BY attr
+        ORDER BY count DESC, value) AS rn FROM f)
+SELECT attr, value, count FROM r WHERE rn <= 100
+ORDER BY attr, count DESC, value
+"""
+
+
+def _highlight_sql(select: str) -> str:
+    from scrapix_spark.operators import results as R
+
+    pat = R.highlight_pattern(Q.query_terms(BM25_QUERY))
+    rep = r"\1<em>\2</em>\3"
+    return f"""
+WITH hl AS (
+  SELECT doc_id,
+         regexp_replace(lower(text), '{pat}', '{rep}', 'g') AS formatted
+  FROM documents WHERE doc_id < 200)
+SELECT {select} FROM hl
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     tok = TOK_EXPR("text")
     en = ", ".join(f"'{w}'" for w in TS.LANG_MARKERS["en"])
@@ -1309,6 +1381,23 @@ WHERE s.n_matched = {len(set(Q.query_terms(PHRASE_POS_QUERY)))}
 ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
 """,
         "proximity_topk": _proximity_sql(),
+        "facet_distribution": _facet_sql(),
+        "highlight": _highlight_sql(select="doc_id, formatted"),
+        "crop": _highlight_sql(
+            select=(
+                "doc_id, CASE WHEN strpos(formatted, '<em>') = 0 THEN "
+                "substr(formatted, 1, 120) || "
+                "  (CASE WHEN len(formatted) > 120 THEN '…' ELSE '' END) "
+                "ELSE "
+                "(CASE WHEN greatest(1, strpos(formatted, '<em>') - 60) > 1 "
+                " THEN '…' ELSE '' END) || "
+                "substr(formatted, greatest(1, strpos(formatted, '<em>') - 60), 120) || "
+                "(CASE WHEN len(formatted) > "
+                " greatest(1, strpos(formatted, '<em>') - 60) + 119 "
+                " THEN '…' ELSE '' END) "
+                "END AS cropped"
+            )
+        ),
         "phrase_topk": _bm25_scored_sql(Q.query_terms(PHRASE_QUERY))
         + f"""
 SELECT s.doc_id, round(s.score, 4) AS score

@@ -1,0 +1,129 @@
+"""Result shaping: facet distribution, highlighting, cropping.
+
+The Meilisearch response features every scrapix-configured index serves:
+`filterableAttributes` (reference src/scrapers/default.ts:26 — enables
+facet counts over `urls_tags`), and `_formatted` highlight/crop payloads
+(the docs-search modal renders them,
+playground/docusaurus/src/theme/SearchBar/index.tsx:9-17).
+
+All native expressions, and every pattern is shared with a DuckDB
+oracle, so the regexes avoid lookaround (RE2): highlighting wraps each
+maximal RUN of adjacent matched words in one tag pair — a per-word
+boundary pattern cannot catch the second of two adjacent matches
+(the first match consumes the shared separator), and a second pass
+would re-match inside the inserted tags (`>`/`<` are separator chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from scrapix_spark.functions.tokenize import SEP_PATTERN
+from scrapix_spark.operators.query import query_terms
+
+_SEP_ONE = SEP_PATTERN[:-1]
+
+DEFAULT_MAX_VALUES_PER_FACET = 100  # Meilisearch maxValuesPerFacet default
+
+
+def facet_distribution(
+    hits: DataFrame,
+    attrs: list[str],
+    max_values: int = DEFAULT_MAX_VALUES_PER_FACET,
+) -> DataFrame:
+    """Per-attribute value counts over a result/candidate set —
+    Meilisearch's facetDistribution.
+
+    One hash aggregation per attribute (unioned), top `max_values`
+    values per attribute by (count desc, value asc) — the deterministic
+    version of Meilisearch's truncation. Array-typed attributes facet
+    per element (urls_tags semantics).
+    """
+    parts = []
+    for a in attrs:
+        col = F.col(a)
+        df = hits
+        field = df.schema[a].dataType.typeName()
+        if field == "array":
+            df = df.select(F.explode(col).alias("_v"))
+            val = F.col("_v")
+        else:
+            val = col
+        parts.append(
+            df.groupBy(val.cast("string").alias("value"))
+            .agg(F.count("*").alias("count"))
+            .withColumn("attr", F.lit(a))
+        )
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    w = Window.partitionBy("attr").orderBy(
+        F.col("count").desc(), F.col("value").asc()
+    )
+    return (
+        un.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_values)
+        .select("attr", "value", "count")
+        .orderBy("attr", F.col("count").desc(), "value")
+    )
+
+
+def highlight_pattern(terms: list[str]) -> str:
+    """Boundary-anchored pattern over maximal runs of matched terms:
+    group 1 = left boundary (start or one separator), group 2 = one or
+    more matched terms separated only by separators, group 3 = right
+    boundary. Tokenizer terms contain no regex metacharacters by
+    construction. RE2-compatible (no lookaround) — shared with DuckDB.
+    """
+    alt = "|".join(terms)
+    run = f"(?:{alt})(?:{SEP_PATTERN}(?:{alt}))*"
+    return f"(^|{_SEP_ONE})({run})({_SEP_ONE}|$)"
+
+
+def highlight(
+    df: DataFrame,
+    text_col: str,
+    q: str,
+    pre: str = "<em>",
+    post: str = "</em>",
+    out_col: str = "formatted",
+) -> DataFrame:
+    """Wrap every maximal run of matched query terms with pre/post tags
+    (Meilisearch `_formatted`; adjacent matched words share one tag pair,
+    the Lucene-highlighter merge convention). Matching is
+    term-boundary-exact on the LOWERCASED text (the engine's canonical
+    form — what was actually indexed). ONE regexp_replace pass."""
+    terms = query_terms(q)
+    if not terms:
+        return df.withColumn(out_col, F.lower(F.col(text_col)))
+    pat = highlight_pattern(terms)
+    rep = f"$1{pre}$2{post}$3"
+    return df.withColumn(
+        out_col, F.regexp_replace(F.lower(F.col(text_col)), pat, rep)
+    )
+
+
+def crop(
+    df: DataFrame,
+    formatted_col: str,
+    pre: str = "<em>",
+    crop_chars: int = 60,
+    marker: str = "…",
+    out_col: str = "cropped",
+) -> DataFrame:
+    """Char-window crop around the FIRST highlighted match (Meilisearch
+    attributesToCrop, simplified to a character budget each side).
+    Rows without a match crop from the start. Ellipsis marker only where
+    text was actually cut."""
+    c = F.col(formatted_col)
+    hit = F.locate(pre, c)  # 1-based; 0 = no match
+    start = F.greatest(F.lit(1), hit - F.lit(crop_chars))
+    start = F.when(hit == 0, F.lit(1)).otherwise(start)
+    width = F.lit(2 * crop_chars)
+    piece = c.substr(start, width)
+    lead = F.when(start > 1, F.lit(marker)).otherwise(F.lit(""))
+    tail = F.when(F.length(c) > start + width - 1, F.lit(marker)).otherwise(
+        F.lit("")
+    )
+    return df.withColumn(out_col, F.concat(lead, piece, tail))

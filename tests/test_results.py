@@ -1,0 +1,80 @@
+"""Facet distribution, highlighting, cropping (operators/results.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.operators import results as R
+
+
+@pytest.fixture(scope="module")
+def hits(spark):
+    return spark.createDataFrame(
+        [
+            (1, "py", ["a", "b"]),
+            (2, "py", ["a"]),
+            (3, "ts", ["b", "c"]),
+            (4, "ts", []),
+            (5, "rs", ["a"]),
+        ],
+        "doc_id long, lang string, tags array<string>",
+    )
+
+
+def test_facet_distribution_scalar_and_array(spark, hits):
+    rows = R.facet_distribution(hits, ["lang", "tags"]).collect()
+    by = {(r["attr"], r["value"]): r["count"] for r in rows}
+    assert by[("lang", "py")] == 2 and by[("lang", "ts")] == 2
+    assert by[("lang", "rs")] == 1
+    # array attr facets per element; empty arrays contribute nothing
+    assert by[("tags", "a")] == 3 and by[("tags", "b")] == 2
+    assert by[("tags", "c")] == 1
+
+
+def test_facet_truncation_deterministic(spark, hits):
+    rows = R.facet_distribution(hits, ["lang"], max_values=2).collect()
+    # count desc, value asc: py(2), ts(2) kept; rs(1) dropped
+    assert [(r["value"], r["count"]) for r in rows] == [("py", 2), ("ts", 2)]
+
+
+def test_highlight_adjacent_terms_merge_into_one_run(spark):
+    df = spark.createDataFrame(
+        [(1, "merge sort is fast"), (2, "xmerge sortx"), (3, "a merge b sort")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["formatted"]
+           for r in R.highlight(df, "text", "merge sort").collect()}
+    # ADJACENT matched words share one tag pair (run merge); a naive
+    # per-word boundary pattern misses the second word entirely
+    assert out[1] == "<em>merge sort</em> is fast"
+    # no partial-token matches
+    assert out[2] == "xmerge sortx"
+    # separated matches: one tag pair each
+    assert out[3] == "a <em>merge</em> b <em>sort</em>"
+
+
+def test_highlight_boundaries_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Sort.the(table)"), (2, "resort tables")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["formatted"]
+           for r in R.highlight(df, "text", "sort table").collect()}
+    assert out[1] == "<em>sort</em>.the(<em>table</em>)"
+    assert out[2] == "resort tables"
+
+
+def test_crop_window_and_markers(spark):
+    long_pre = "x" * 100
+    long_post = "y" * 100
+    df = spark.createDataFrame(
+        [(1, f"{long_pre} hit {long_post}"), (2, "short text no match")],
+        "doc_id long, text string",
+    )
+    hl = R.highlight(df, "text", "hit")
+    out = {r["doc_id"]: r["cropped"] for r in R.crop(hl, "formatted").collect()}
+    c1 = out[1]
+    assert c1.startswith("…") and c1.endswith("…")
+    assert "<em>hit</em>" in c1
+    assert len(c1) == 120 + 2  # window + two markers
+    # no match: crop from start, no lead marker, short → no tail marker
+    assert out[2] == "short text no match"
