@@ -745,6 +745,42 @@ def q_proximity_topk(spark, sf_dir):
     )
 
 
+DOCSSEARCH_FIELDS = [
+    "hierarchy_radio_lvl1", "hierarchy_radio_lvl2", "hierarchy_radio_lvl3",
+    "hierarchy_lvl0", "hierarchy_lvl1", "hierarchy_lvl2", "hierarchy_lvl3",
+    "content",
+]
+DOCSSEARCH_QUERY = "table value"
+
+
+def q_docssearch_ranked(spark, sf_dir):
+    """The docssearch ranking chain end-to-end (T1, reference
+    src/scrapers/docssearch.ts:47-71): G2 segmentation → BM25F over the
+    searchableAttributes order (radio levels > plain levels > content,
+    geometric weights) → words desc, score desc, level desc, key asc."""
+    seg = SEG.segment_docssearch(_elements(spark, sf_dir))
+    fields = seg.select(F.col("url").alias("doc_key"), *DOCSSEARCH_FIELDS, "level")
+    scored = BF.bm25f_topk(
+        fields, DOCSSEARCH_QUERY, id_col="doc_key",
+        field_order=DOCSSEARCH_FIELDS, k=10_000_000,
+    )
+    ranked = scored.join(fields.select("doc_key", "level"), "doc_key")
+    return (
+        ranked.orderBy(
+            F.col("n_matched").desc(),
+            F.round(F.col("score"), 9).desc(),
+            F.col("level").desc(),
+            F.col("doc_key").asc(),
+        )
+        .limit(10)
+        .select(
+            "doc_key", F.round("score", 4).alias("score"),
+            F.col("n_matched").cast("long").alias("n_matched"),
+            F.col("level").cast("long").alias("level"),
+        )
+    )
+
+
 def q_facet_distribution(spark, sf_dir):
     """Meilisearch facetDistribution over the docs matching the BM25
     query (filterableAttributes analog, default.ts:26): per-attribute
@@ -832,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_distribution": q_facet_distribution,
         "highlight": q_highlight,
         "crop": q_crop,
+        "docssearch_ranked": q_docssearch_ranked,
     }
 
 
@@ -958,8 +995,10 @@ FROM emits e JOIN documents d ON d.doc_id = e.doc_id
 """
 
 
-def _segment_docssearch_sql() -> str:
-    """Recursive-CTE replay of the G2 hierarchy state machine."""
+def _segment_docssearch_cte() -> str:
+    """Recursive-CTE replay of the G2 hierarchy state machine, as a CTE
+    chain ending in `segd` (the segmented docs) — shared by the plain
+    segmentation oracle and the ranked-chain oracle."""
     # emission: heading arrives while >1 hierarchy levels set and content
     # non-empty (docssearch.ts:180-188); n_hier counts lvl0 + present keys
     emit = (
@@ -1012,7 +1051,8 @@ emits AS (
   SELECT doc_id, url, anchor, h1, h2, h3, r1, r2, r3,
          coalesce(array_to_string(content, chr(10)), ''), level
   FROM rec WHERE i = 11 AND len(content) > 0
-)
+),
+segd AS (
 SELECT e.url || coalesce(e.anchor, '') AS url, e.anchor,
        d.source || ' > ' || d.doc_id AS hierarchy_lvl0,
        e.h1 AS hierarchy_lvl1, e.h2 AS hierarchy_lvl2, e.h3 AS hierarchy_lvl3,
@@ -1020,6 +1060,48 @@ SELECT e.url || coalesce(e.anchor, '') AS url, e.anchor,
        e.r3 AS hierarchy_radio_lvl3,
        e.content, e.level, 'content' AS type
 FROM emits e JOIN documents d ON d.doc_id = e.doc_id
+)
+"""
+
+
+def _segment_docssearch_sql() -> str:
+    """Recursive-CTE replay of the G2 hierarchy state machine."""
+    return _segment_docssearch_cte() + "SELECT * FROM segd"
+
+
+def _docssearch_ranked_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in Q.query_terms(DOCSSEARCH_QUERY))
+    arms = "\nUNION ALL ".join(
+        f"SELECT url AS doc_key, '{f}' AS field, {0.8 ** i!r} AS w, "
+        f"{f} AS txt FROM segd"
+        for i, f in enumerate(DOCSSEARCH_FIELDS)
+    )
+    return _segment_docssearch_cte() + f"""
+, fields AS ({arms}),
+fx AS (SELECT doc_key, field, w, txt FROM fields WHERE txt IS NOT NULL),
+tokf AS (SELECT doc_key, field, w, unnest({TOK_EXPR('txt')}) AS term FROM fx),
+dlf AS (SELECT doc_key, field, len({TOK_EXPR('txt')})::BIGINT AS dl FROM fx),
+avg_f AS (SELECT field, avg(dl) AS avgdl_f FROM dlf GROUP BY field),
+tfq AS (SELECT doc_key, field, any_value(w) AS w, term, count(*)::BIGINT AS tf
+        FROM tokf WHERE term IN ({terms}) GROUP BY doc_key, field, term),
+dfv AS (SELECT term, count(DISTINCT doc_key)::BIGINT AS df FROM tfq GROUP BY term),
+nd AS (SELECT count(*)::BIGINT AS n FROM segd),
+scored AS (
+  SELECT tfq.doc_key,
+         sum(tfq.w * ln(1 + (nd.n - dfv.df + 0.5) / (dfv.df + 0.5))
+             * (tf * ({K1} + 1.0))
+             / (tf + {K1} * (1.0 - {B} + {B} * dlf.dl / avg_f.avgdl_f))) AS score,
+         count(DISTINCT tfq.term)::BIGINT AS n_matched
+  FROM tfq JOIN dfv USING (term)
+  JOIN dlf ON dlf.doc_key = tfq.doc_key AND dlf.field = tfq.field
+  JOIN avg_f ON avg_f.field = tfq.field
+  CROSS JOIN nd GROUP BY tfq.doc_key),
+lv AS (SELECT url AS doc_key, level FROM segd)
+SELECT s.doc_key, round(s.score, 4) AS score, s.n_matched,
+       l.level::BIGINT AS level
+FROM scored s JOIN lv l USING (doc_key)
+ORDER BY s.n_matched DESC, round(s.score, 9) DESC, l.level DESC, s.doc_key
+LIMIT 10
 """
 
 
@@ -1381,6 +1463,7 @@ WHERE s.n_matched = {len(set(Q.query_terms(PHRASE_POS_QUERY)))}
 ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
 """,
         "proximity_topk": _proximity_sql(),
+        "docssearch_ranked": _docssearch_ranked_sql(),
         "facet_distribution": _facet_sql(),
         "highlight": _highlight_sql(select="doc_id, formatted"),
         "crop": _highlight_sql(
