@@ -1,0 +1,68 @@
+"""Property test: block-max MaxScore kernel vs brute-force scoring.
+
+SURVEY.md §7.3 #3 — the pruning must NEVER change the top-k set or order
+relative to full scoring. Pure-kernel test (no Spark session): random
+posting lists are block-encoded with the real codec, pruned with the
+real kernel, and compared against a numpy full-scoring oracle under the
+pinned T1 order (round(score, 9) desc, doc_id asc).
+"""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from scrapix_spark.operators import codec
+from scrapix_spark.operators.query import SCORE_ROUND, _blockmax_topk_kernel
+
+K1, B = 1.2, 0.75
+
+
+@st.composite
+def corpora(draw):
+    n_terms = draw(st.integers(1, 5))
+    n_docs = draw(st.integers(1, 60))
+    avgdl = draw(st.floats(5.0, 200.0))
+    rng = np.random.RandomState(draw(st.integers(0, 2**31 - 1)))
+    terms = {}
+    for t in range(n_terms):
+        df = rng.randint(1, n_docs + 1)
+        ids = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+        tf = rng.randint(1, 12, size=df).astype(np.int64)
+        dl = rng.randint(1, 400, size=df).astype(np.int64)
+        terms[t] = (ids, tf, dl)
+    return terms, avgdl, draw(st.integers(1, 15)), draw(st.integers(1, 8))
+
+
+@given(corpora())
+@settings(max_examples=150, deadline=None)
+def test_pruned_rank_identical_to_bruteforce(case):
+    terms, avgdl, k, block_size = case
+    N = 1 + max(int(ids.max()) for ids, _, _ in terms.values())
+    idf_map = {
+        t: float(codec.bm25_idf(N, np.array([ids.size]))[0])
+        for t, (ids, _, _) in terms.items()
+    }
+
+    # encode with the real codec into one shard's block rows
+    rows = []
+    for t, (ids, tf, dl) in terms.items():
+        for blk in codec.encode_group(ids, tf, dl, avgdl, K1, B, block_size):
+            rows.append({"term_id": t, **blk})
+    pdf = pd.DataFrame(rows)
+
+    got = _blockmax_topk_kernel(pdf, idf_map, avgdl, K1, B, k)
+
+    # brute force: score every posting
+    scores: dict[int, float] = {}
+    for t, (ids, tf, dl) in terms.items():
+        contrib = idf_map[t] * codec.bm25_impact(tf, dl, avgdl, K1, B)
+        for d, c in zip(ids.tolist(), contrib.tolist()):
+            scores[d] = scores.get(d, 0.0) + c
+    want = sorted(
+        scores.items(), key=lambda x: (-round(x[1], SCORE_ROUND), x[0])
+    )[:k]
+
+    assert list(got["doc_id"]) == [d for d, _ in want]
+    for g, (_, s) in zip(got["score"], want):
+        assert abs(g - s) < 1e-9
