@@ -35,7 +35,9 @@ from scrapix_spark.functions.tokenize import SEP_PATTERN
 from scrapix_spark.operators import postings as P
 from scrapix_spark.operators.docs import build_docs
 
-DOCS_COLS = ["doc_id", "shard", "repo", "path", "commit", "lang", "sha256"]
+DOCS_COLS = [
+    "doc_id", "shard", "repo", "path", "commit", "lang", "sha256", "doc_len"
+]
 
 
 def _batch_shards(n_shards: int, n_batches: int) -> list[list[int]]:
@@ -53,6 +55,7 @@ def build_index(
     build_id: str = "0001",
     n_batches: int = 1,
     source_desc: str = "",
+    publish_index: bool = True,
 ) -> dict:
     """Full index build: docs → postings → stats → encoded segments →
     manifest. Returns the manifest dict. Resumable per batch."""
@@ -89,9 +92,19 @@ def build_index(
 
     obs = Observation("docs_count")
     if not _done(docs_path):
-        docs.observe(obs, F.count(F.lit(1)).alias("n")).select(
-            *DOCS_COLS
-        ).write.mode("overwrite").parquet(docs_path)
+        # doc_len rides into the docs table from the postings staging
+        # relation (first dl per doc — constant within a doc); it is the
+        # delta-update bookkeeping unit (a tombstoned doc's Σtf must be
+        # subtractable from total_tf without re-reading its content)
+        dls = post.groupBy("doc_id").agg(F.first("dl").alias("doc_len"))
+        (
+            docs.observe(obs, F.count(F.lit(1)).alias("n"))
+            .join(dls, "doc_id", "left")
+            .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)))
+            .select(*DOCS_COLS)
+            .write.mode("overwrite")
+            .parquet(docs_path)
+        )
         n_docs = int(obs.get["n"])
     else:
         n_docs = spark.read.parquet(docs_path).count()
@@ -171,6 +184,20 @@ def build_index(
         "build_id": build_id,
         "N": stats["N"],
         "avgdl": stats["avgdl"],
+        "total_tf": int(total_tf),
+        # LSM layers: delta updates append layers + tombstones; compact
+        # folds back to one. Each layer remembers the avgdl its
+        # block_max_impact metadata was computed under, so queries can
+        # scale the pruning bound safely when live avgdl drifts
+        # (impact is monotone increasing in avgdl, ratio <= a_now/a_build)
+        "layers": [
+            {
+                "build": f"_build_{build_id}",
+                "avgdl_build": stats["avgdl"],
+                "store_positions": cfg.store_positions,
+            }
+        ],
+        "tombstone_dirs": [],
         "k1": cfg.k1,
         "b": cfg.b,
         "n_shards": cfg.n_shards,
@@ -207,23 +234,32 @@ def build_index(
     metrics.write.mode("overwrite").parquet(os.path.join(build_dir, "metrics"))
     phases["metrics"] = round(time.time() - tp, 2)
 
-    publish(index_dir, build_id)
+    if publish_index:
+        publish(index_dir, build_id)
     meta["build_wall_sec"] = time.time() - t0
     return meta
 
 
 def publish(index_dir: str, build_id: str) -> None:
     """Atomic swap (sender.ts:124-131): point _CURRENT at the new build
-    via write-tmp + rename, then GC unreferenced builds (S8 stale-tmp
-    delete)."""
+    via write-tmp + rename, then GC builds not referenced by the new
+    manifest's layer/tombstone lists (S8 stale-tmp delete)."""
     cur = os.path.join(index_dir, "_CURRENT")
     tmp = cur + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(f"_build_{build_id}")
-    os.replace(tmp, cur)  # atomic on POSIX — the swapIndexes analog
     live = f"_build_{build_id}"
+    with open(tmp, "w") as f:
+        f.write(live)
+    os.replace(tmp, cur)  # atomic on POSIX — the swapIndexes analog
+    keep = {live}
+    try:
+        with open(os.path.join(index_dir, live, "meta.json")) as f:
+            m = json.load(f)
+        keep |= {ly["build"] for ly in m.get("layers", [])}
+        keep |= {d.split("/")[0] for d in m.get("tombstone_dirs", [])}
+    except OSError:
+        pass
     for name in os.listdir(index_dir):
-        if name.startswith("_build_") and name != live:
+        if name.startswith("_build_") and name not in keep:
             shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
 
 
@@ -237,27 +273,295 @@ def load_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
+def layers_of(index_dir: str) -> list[dict]:
+    """The manifest's layer list (oldest first); single-layer for a
+    fresh build, one extra entry per delta update until compaction."""
+    meta = load_meta(index_dir)
+    return meta.get("layers") or [
+        {
+            "build": os.path.basename(current_build_dir(index_dir)),
+            "avgdl_build": meta["avgdl"],
+            "store_positions": meta.get("store_positions", False),
+        }
+    ]
+
+
+def _union_layers(spark: SparkSession, index_dir: str, sub: str, drop=()):
+    """Union one artifact across layers, tagging rows with the layer
+    ordinal (seg_seq — newer layers win at merge) and the layer's
+    build-time avgdl (pruning-bound scaling)."""
+    parts = []
+    for i, ly in enumerate(layers_of(index_dir)):
+        p = os.path.join(index_dir, ly["build"], sub)
+        if not os.path.exists(p):
+            continue
+        df = spark.read.parquet(p)
+        for c in drop:
+            df = df.drop(c)
+        parts.append(
+            df.withColumn("seg_seq", F.lit(i)).withColumn(
+                "avgdl_build", F.lit(float(ly["avgdl_build"]))
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def read_segments(spark: SparkSession, index_dir: str) -> DataFrame:
-    bd = current_build_dir(index_dir)
     # partition-discovered `batch` column is build bookkeeping, not index data
-    return spark.read.parquet(os.path.join(bd, "segments")).drop("batch")
+    return _union_layers(spark, index_dir, "segments", drop=("batch",))
 
 
 def read_docs(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(current_build_dir(index_dir), "docs"))
+    return _union_layers(spark, index_dir, "docs").drop("seg_seq", "avgdl_build")
 
 
 def read_dict(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(current_build_dir(index_dir), "dict"))
+    """Layered dictionary: one row per (layer, term). Consumers needing
+    live df must sum across layers — and even the summed df counts
+    tombstoned docs until compaction (the Lucene convention: deleted
+    docs stay in docFreq until segments merge)."""
+    return _union_layers(spark, index_dir, "dict").drop("seg_seq", "avgdl_build")
 
 
 def read_positions(spark: SparkSession, index_dir: str) -> DataFrame:
     """Positional relation (term_id, doc_id, tf, dl, positions, tb);
     only present when the build ran with store_positions."""
-    return spark.read.parquet(
-        os.path.join(current_build_dir(index_dir), "positions")
+    return _union_layers(spark, index_dir, "positions").drop(
+        "seg_seq", "avgdl_build"
     )
+
+
+def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Dead doc_ids (updated or removed docs of earlier layers)."""
+    meta = load_meta(index_dir)
+    dirs = meta.get("tombstone_dirs", [])
+    if not dirs:
+        return spark.createDataFrame([], "doc_id long")
+    out = None
+    for d in dirs:
+        df = spark.read.parquet(os.path.join(index_dir, d)).select("doc_id")
+        out = df if out is None else out.unionByName(df)
+    return out.dropDuplicates(["doc_id"])
 
 
 def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def delta_update(
+    spark: SparkSession,
+    raw_new: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    build_id: str = "delta",
+    source_desc: str = "",
+) -> dict:
+    """Incremental re-index from a NEW FULL SNAPSHOT of the source table
+    (the reference's re-crawl shape) without rebuilding unchanged docs.
+
+    Diff key is (repo, path): rows whose content sha256 changed or that
+    are new become a fresh LSM layer (a normal, resumable build over
+    just the delta); doc_ids of changed/removed rows become tombstones.
+    N / avgdl / total_tf stay live-exact (tombstoned doc lengths are
+    subtracted — doc_len lives on the docs table for precisely this).
+    Term df remains layer-summed and counts tombstoned docs until
+    compact() — the Lucene convention (deleted docs stay in docFreq
+    until segments merge), recorded in meta as df_staleness.
+
+    Publishes atomically; the previous manifest's builds are retained
+    as layers of the new one.
+    """
+    meta_old = load_meta(index_dir)
+    cfg = cfg or IndexConfig.from_json(json.dumps(meta_old["config"]))
+    t0 = time.time()
+
+    old_live = read_docs(spark, index_dir).join(
+        read_tombstones(spark, index_dir), "doc_id", "left_anti"
+    )
+    # one row per (repo, path) on the new side: highest commit wins
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("repo", "path").orderBy(F.col("commit").desc())
+    new_snap = (
+        raw_new.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_rn")
+        .withColumn("_sha_new", F.sha2("content", 256))
+    )
+    j = old_live.select(
+        "repo", "path", F.col("doc_id").alias("_old_id"),
+        F.col("commit").alias("_old_commit"),
+        F.col("sha256").alias("_sha_old"), F.col("doc_len").alias("_old_dl"),
+    ).join(new_snap, ["repo", "path"], "full_outer")
+
+    # doc identity is (repo, path, commit): a changed row that kept its
+    # old commit would reuse its doc_id and be killed by its own
+    # tombstone — refuse loudly instead of silently losing the doc
+    n_bad = j.filter(
+        F.col("_sha_old").isNotNull() & F.col("_sha_new").isNotNull()
+        & (F.col("_sha_old") != F.col("_sha_new"))
+        & (F.col("commit") == F.col("_old_commit"))
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"{n_bad} changed row(s) kept their old commit — changed "
+            "content must carry a new commit (doc identity is "
+            "(repo, path, commit))"
+        )
+
+    delta_raw = j.filter(
+        F.col("_sha_new").isNotNull()
+        & (F.col("_sha_old").isNull() | (F.col("_sha_old") != F.col("_sha_new")))
+    ).select("repo", "path", "commit", "lang", "content")
+    dead = j.filter(
+        F.col("_sha_old").isNotNull()
+        & (F.col("_sha_new").isNull() | (F.col("_sha_old") != F.col("_sha_new")))
+    ).select(F.col("_old_id").alias("doc_id"), F.col("_old_dl").alias("doc_len"))
+
+    dead_row = dead.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("doc_len"), F.lit(0)).alias("tf")
+    ).collect()[0]
+    n_dead, dead_tf = int(dead_row["n"]), int(dead_row["tf"])
+    n_delta = delta_raw.count()
+    if n_delta == 0 and n_dead == 0:
+        return meta_old  # snapshot identical — nothing to publish
+
+    build_dir = os.path.join(index_dir, f"_build_{build_id}")
+    layers = list(meta_old["layers"])
+    delta_tf = 0
+    if n_delta > 0:
+        lmeta = build_index(
+            spark, delta_raw, index_dir, cfg, build_id=build_id,
+            source_desc=source_desc or f"delta_of:{meta_old['build_id']}",
+            publish_index=False,
+        )
+        delta_n, delta_tf = lmeta["N"], lmeta["total_tf"]
+        layers.append({
+            "build": f"_build_{build_id}",
+            "avgdl_build": lmeta["avgdl"],
+            "store_positions": cfg.store_positions,
+        })
+    else:
+        delta_n = 0
+        os.makedirs(build_dir, exist_ok=True)
+
+    tombstone_dirs = list(meta_old.get("tombstone_dirs", []))
+    if n_dead > 0:
+        dead.select("doc_id").write.mode("overwrite").parquet(
+            os.path.join(build_dir, "tombstones")
+        )
+        tombstone_dirs.append(f"_build_{build_id}/tombstones")
+
+    n_new = meta_old["N"] - n_dead + delta_n
+    if n_new <= 0:
+        raise ValueError("delta would empty the index: refusing to publish")
+    total_tf = meta_old["total_tf"] - dead_tf + delta_tf
+    meta = {
+        **meta_old,
+        "build_id": build_id,
+        "N": n_new,
+        "avgdl": float(total_tf) / n_new,
+        "total_tf": int(total_tf),
+        "layers": layers,
+        "tombstone_dirs": tombstone_dirs,
+        "delta_of": meta_old["build_id"],
+        "df_staleness": "df counts tombstoned docs until compact() "
+                        "(Lucene docFreq convention)",
+        "delta_stats": {
+            "added_or_changed": int(n_delta), "tombstoned": n_dead,
+        },
+    }
+    with open(os.path.join(build_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    publish(index_dir, build_id)
+    meta["delta_wall_sec"] = time.time() - t0
+    return meta
+
+
+def compact(
+    spark: SparkSession,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    build_id: str = "compact",
+) -> dict:
+    """Fold all layers + tombstones into one fresh layer — the LSM
+    major compaction. Dead postings are dropped inside the merge
+    kernel, the dictionary is recomputed EXACTLY from the merged
+    segments (df staleness ends here), and the result is
+    rank-identical to a from-scratch rebuild of the live snapshot
+    (pinned by test).
+    """
+    meta_old = load_meta(index_dir)
+    cfg = cfg or IndexConfig.from_json(json.dumps(meta_old["config"]))
+    t0 = time.time()
+    build_dir = os.path.join(index_dir, f"_build_{build_id}")
+    os.makedirs(build_dir, exist_ok=True)
+
+    import numpy as np
+
+    dead = np.sort(np.array(
+        [r["doc_id"] for r in read_tombstones(spark, index_dir).collect()],
+        dtype=np.int64,
+    ))
+    # NOTE: driver-side tombstone set; at 10^12 scale replace with a
+    # per-segment bitset/bloom shipped via broadcast — same plan shape.
+    seg = read_segments(spark, index_dir)
+    avgdl = meta_old["avgdl"]
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    merged = P.merge_segments(
+        seg, avgdl, cfg.k1, cfg.b, cfg.block_size,
+        num_partitions=n_parts, dead_ids=dead,
+    )
+    seg_dir = os.path.join(build_dir, "segments", "batch=0000")
+    merged.write.mode("overwrite").partitionBy("tb").parquet(seg_dir)
+
+    live_docs = read_docs(spark, index_dir).join(
+        read_tombstones(spark, index_dir), "doc_id", "left_anti"
+    )
+    live_docs.select(*DOCS_COLS).write.mode("overwrite").parquet(
+        os.path.join(build_dir, "docs")
+    )
+
+    # exact dictionary from the merged segments: df = Σ n_docs per term,
+    # cf decoded; term strings recovered from the layered dicts (superset)
+    from scrapix_spark.operators.query import _decode_blocks_df
+
+    mseg = spark.read.parquet(os.path.join(build_dir, "segments")).drop("batch")
+    exact = _decode_blocks_df(mseg).groupBy("term_id").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    strings = read_dict(spark, index_dir).select("term", "term_id").dropDuplicates(
+        ["term_id"]
+    )
+    exact.join(strings, "term_id").select("term", "term_id", "df", "cf").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(build_dir, "dict"))
+
+    if meta_old.get("store_positions"):
+        pos = read_positions(spark, index_dir)
+        pos.join(
+            read_tombstones(spark, index_dir), "doc_id", "left_anti"
+        ).write.mode("overwrite").partitionBy("tb").parquet(
+            os.path.join(build_dir, "positions")
+        )
+
+    meta = {
+        **{k: v for k, v in meta_old.items()
+           if k not in ("delta_of", "df_staleness", "delta_stats")},
+        "build_id": build_id,
+        "layers": [{
+            "build": f"_build_{build_id}",
+            "avgdl_build": meta_old["avgdl"],
+            "store_positions": meta_old.get("store_positions", False),
+        }],
+        "tombstone_dirs": [],
+        "compacted_from": [ly["build"] for ly in meta_old["layers"]],
+    }
+    with open(os.path.join(build_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    publish(index_dir, build_id)
+    meta["compact_wall_sec"] = time.time() - t0
+    return meta

@@ -304,10 +304,13 @@ def merge_segments(
     block_size: int,
     num_partitions: int | None = None,
     tb_bits: int | None = None,
+    dead_ids=None,
 ) -> DataFrame:
     """Merge stage (U4): union of segment block rows → one merged list
     per (term_id, shard), re-blocked and re-encoded — the LSM/Lucene
-    segment merge as ONE deterministic shuffle.
+    segment merge as ONE deterministic shuffle. `dead_ids` (sorted
+    int64 ndarray) drops tombstoned docs' postings during the merge —
+    the compaction path.
 
     Raw tf and dl streams are stored (not precomputed impacts) precisely
     so a merge under a *new* avgdl can recompute exact block_max values.
@@ -411,6 +414,14 @@ def merge_segments(
             ids = np.concatenate(ids_l)
             tf = np.concatenate(tf_l)
             dl = np.concatenate(dl_l)
+            if dead_ids is not None and len(dead_ids) and ids.size:
+                # sorted-membership test: dead docs' postings never
+                # reach the re-encoded output (compaction)
+                pos = np.searchsorted(dead_ids, ids)
+                pos[pos >= len(dead_ids)] = 0
+                alive = np.asarray(dead_ids)[pos] != ids
+                tids, shards = tids[alive], shards[alive]
+                ids, tf, dl = ids[alive], tf[alive], dl[alive]
             if pend is not None:
                 tids = np.concatenate((pend[0], tids))
                 shards = np.concatenate((pend[1], shards))

@@ -183,10 +183,40 @@ class IndexReader:
         self.spark = spark
         self.index_dir = index_dir
         self.meta = IX.load_meta(index_dir)
-        self.segments = IX.read_segments(spark, index_dir)
+        # layered segments carry avgdl_build: impact is monotone
+        # increasing in avgdl (ratio bounded by a_now/a_build), so
+        # scaling each layer's stored block_max keeps pruning SAFE when
+        # delta updates drift the live avgdl
+        self.segments = IX.read_segments(spark, index_dir).withColumn(
+            "bm_scale",
+            F.greatest(
+                F.lit(1.0), F.lit(float(self.meta["avgdl"])) / F.col("avgdl_build")
+            ),
+        )
         self.docs = IX.read_docs(spark, index_dir)
         self.dict_df = IX.read_dict(spark, index_dir)
+        self._has_dead = bool(self.meta.get("tombstone_dirs"))
+        self.tombstones = (
+            IX.read_tombstones(spark, index_dir) if self._has_dead else None
+        )
+        self._dead_np = None
         self._term_cache: dict[str, tuple[int, int] | None] = {}
+
+    def _dead_array(self):
+        """Sorted tombstone ids for the pruning kernel (driver-side; at
+        10^12 scale ship per-segment bitsets via broadcast instead)."""
+        if not self._has_dead:
+            return None
+        if self._dead_np is None:
+            self._dead_np = np.sort(np.array(
+                [r["doc_id"] for r in self.tombstones.collect()], dtype=np.int64
+            ))
+        return self._dead_np
+
+    def _drop_dead(self, df: DataFrame) -> DataFrame:
+        if not self._has_dead:
+            return df
+        return df.join(F.broadcast(self.tombstones), "doc_id", "left_anti")
 
     def resolve_terms(self, terms: list[str]) -> list[tuple[str, int, int]]:
         """term strings → [(term, term_id, df)]; absent terms dropped.
@@ -200,7 +230,11 @@ class IndexReader:
         if missing:
             rows = (
                 self.dict_df.filter(F.col("term").isin(missing))
-                .select("term", "term_id", "df")
+                # layered dict: one row per (layer, term) — live df is
+                # the layer sum (still counts tombstoned docs until
+                # compact(): the Lucene docFreq convention)
+                .groupBy("term", "term_id")
+                .agg(F.sum("df").alias("df"))
                 .collect()
             )
             for r in rows:
@@ -232,7 +266,9 @@ class IndexReader:
         drows = self.resolve_terms(query_terms(q))
         tids = [tid for _, tid, _ in drows]
         seg = self._segments_for(tids)
-        post = _decode_blocks_df(seg).withColumnRenamed("term_id", "term")
+        post = self._drop_dead(_decode_blocks_df(seg)).withColumnRenamed(
+            "term_id", "term"
+        )
         tstats = self.spark.createDataFrame(
             [(tid, df) for _, tid, df in drows], "term long, df long"
         ) if drows else self.spark.createDataFrame([], "term long, df long")
@@ -258,9 +294,10 @@ class IndexReader:
             return self._hydrate(empty) if hydrate else empty
         seg = self._segments_for(list(idf_map))
         avgdl, k1, b = meta["avgdl"], meta["k1"], meta["b"]
+        dead = self._dead_array()
 
         def shard_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            return _blockmax_topk_kernel(pdf, idf_map, avgdl, k1, b, k)
+            return _blockmax_topk_kernel(pdf, idf_map, avgdl, k1, b, k, dead)
 
         per_shard = seg.groupBy("shard").applyInPandas(
             shard_topk, schema="doc_id long, score double"
@@ -297,8 +334,10 @@ class IndexReader:
             )
         prefix, full = terms[-1], terms[:-1]
         drows = self.resolve_terms(full)
-        exp_df = self.dict_df.filter(F.col("term").startswith(prefix)).select(
-            "term_id", "df"
+        exp_df = (
+            self.dict_df.filter(F.col("term").startswith(prefix))
+            .groupBy("term_id")
+            .agg(F.sum("df").alias("df"))
         )
         if max_expansions is not None:
             exp_df = exp_df.orderBy(F.col("df").asc(), F.col("term_id").asc()).limit(
@@ -319,7 +358,7 @@ class IndexReader:
                 [], "doc_id long, score double, n_matched int"
             )
             return self._hydrate(empty) if hydrate else empty
-        post = _decode_blocks_df(self._segments_for(all_tids))
+        post = self._drop_dead(_decode_blocks_df(self._segments_for(all_tids)))
         # a term can play BOTH roles (an exact query word that the
         # prefix also matches) — it then contributes in both groups,
         # exactly like the table-level operator and its SQL oracle
@@ -387,9 +426,9 @@ class IndexReader:
         mapping = self.spark.createDataFrame(
             [(tid, t) for t, tid, _ in drows], "term_id long, term string"
         )
-        pos = pos.join(F.broadcast(mapping), "term_id").select(
-            "term", "doc_id", "tf", "dl", "positions"
-        )
+        pos = self._drop_dead(
+            pos.join(F.broadcast(mapping), "term_id")
+        ).select("term", "doc_id", "tf", "dl", "positions")
         tstats = self.spark.createDataFrame(
             [(t, df) for t, _, df in drows], "term string, df long"
         )
@@ -436,7 +475,9 @@ class IndexReader:
     def _hydrate(self, topk: DataFrame) -> DataFrame:
         """J4: attach repo/path/commit/lang to the k winners — broadcast
         the k rows against the docs table, never the reverse."""
-        docs = self.docs.select("doc_id", "repo", "path", "commit", "lang")
+        docs = self._drop_dead(
+            self.docs.select("doc_id", "repo", "path", "commit", "lang")
+        )
         return (
             docs.join(F.broadcast(topk), "doc_id")
             .orderBy(
@@ -500,46 +541,74 @@ def bm25_topk_pruned(
 
 
 def _blockmax_topk_kernel(
-    pdf: pd.DataFrame, idf_map: dict, avgdl: float, k1: float, b: float, k: int
+    pdf: pd.DataFrame,
+    idf_map: dict,
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+    dead: "np.ndarray | None" = None,
 ) -> pd.DataFrame:
     """Vectorized block-max MaxScore over one shard's query-term blocks.
 
-    `idf_map` is keyed by term_id (the segments' key)."""
+    `idf_map` is keyed by term_id (the segments' key). `dead` (sorted
+    int64) removes tombstoned docs BEFORE scoring — a dead doc must
+    neither appear in results nor shade a live doc out of the top-k.
+    Rows may carry `bm_scale` ≥ 1 (layered indexes whose live avgdl
+    drifted above a layer's build avgdl): stored block_max is scaled up
+    so the pruning bound stays an upper bound.
+    """
     terms = [t for t in idf_map if (pdf["term_id"] == t).any()]
     if not terms:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "score": pd.Series([], dtype="float64")})
+    has_scale = "bm_scale" in pdf.columns
     by_term = {t: pdf[pdf["term_id"] == t].sort_values("block_id") for t in terms}
-    U = {t: idf_map[t] * by_term[t]["block_max_impact"].max() for t in terms}
+
+    def scaled_bm(g):
+        bm = g["block_max_impact"].to_numpy(dtype=np.float64)
+        return bm * g["bm_scale"].to_numpy(dtype=np.float64) if has_scale else bm
+
+    U = {t: idf_map[t] * scaled_bm(by_term[t]).max() for t in terms}
     sum_U = sum(U.values())
 
     def contributions(row, t):
         ids, tf, dl = codec.decode_block(row)
+        if dead is not None and len(dead) and ids.size:
+            pos = np.searchsorted(dead, ids)
+            pos[pos >= len(dead)] = 0
+            alive = dead[pos] != ids
+            ids, tf, dl = ids[alive], tf[alive], dl[alive]
         imp = codec.bm25_impact(tf, dl, avgdl, k1, b)
         return ids, idf_map[t] * imp
 
-    # phase 1: best block per term → θ lower bound
-    decoded: dict[tuple, tuple] = {}
+    # phase 1: best block per term → θ lower bound. Keys are the pandas
+    # row index — (term, block_id) is NOT unique on a layered index
+    # (every layer restarts block_id at 0)
+    decoded: dict[int, tuple] = {}
     for t in terms:
         g = by_term[t]
-        best = g.iloc[int(np.argmax(g["block_max_impact"].to_numpy()))]
-        decoded[(t, int(best["block_id"]))] = contributions(best, t)
+        pos = int(np.argmax(scaled_bm(g)))
+        decoded[int(g.index[pos])] = contributions(g.iloc[pos], t)
     theta = _kth_partial_score(decoded.values(), k)
 
     # phase 2: skip blocks whose upper bound cannot reach θ
     for t in terms:
         others = sum_U - U[t]
-        for _, row in by_term[t].iterrows():
-            key = (t, int(row["block_id"]))
-            if key in decoded:
+        for ridx, row in by_term[t].iterrows():
+            if int(ridx) in decoded:
                 continue
-            ub = idf_map[t] * float(row["block_max_impact"]) + others
+            scale = float(row["bm_scale"]) if has_scale else 1.0
+            ub = idf_map[t] * float(row["block_max_impact"]) * scale + others
             if ub < theta:
                 continue  # provably cannot enter (or tie into) the top-k
-            decoded[key] = contributions(row, t)
+            decoded[int(ridx)] = contributions(row, t)
 
     ids = np.concatenate([d[0] for d in decoded.values()])
     sc = np.concatenate([d[1] for d in decoded.values()])
+    if ids.size == 0:  # e.g. every matching posting was tombstoned
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
     order = np.argsort(ids, kind="stable")
     ids, sc = ids[order], sc[order]
     bounds = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
@@ -554,6 +623,8 @@ def _blockmax_topk_kernel(
 def _kth_partial_score(decoded_values, k: int) -> float:
     ids = np.concatenate([d[0] for d in decoded_values])
     sc = np.concatenate([d[1] for d in decoded_values])
+    if ids.size == 0:
+        return 0.0
     order = np.argsort(ids, kind="stable")
     ids, sc = ids[order], sc[order]
     bounds = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])

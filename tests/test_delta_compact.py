@@ -1,0 +1,147 @@
+"""Incremental update lifecycle: delta layers, tombstones, compaction.
+
+The LSM shape: delta_update() diffs a new full snapshot against the
+live index (add/change/remove on (repo, path)), appends a layer +
+tombstones atomically; compact() folds everything back into one layer
+and must be rank-identical to a from-scratch rebuild of the same
+snapshot.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.config import IndexConfig
+from scrapix_spark.fixtures import corpus_spark_df
+from scrapix_spark.operators import index as IX
+from scrapix_spark.operators.index import build_index, compact, delta_update
+from scrapix_spark.operators.query import IndexReader
+
+CFG = dict(n_shards=8, exclude_paginated=False)
+
+
+def _snap2(snap1, added):
+    """Snapshot 2: delete ~10%, update ~10% (new commit + a planted
+    marker token), keep the rest, add `added` new rows."""
+    h = F.abs(F.xxhash64("path")) % 10
+    kept = snap1.filter(h != 1)
+    updated = kept.withColumn(
+        "content",
+        F.when(h == 0, F.concat(F.col("content"), F.lit("\nquuxmarker updated")))
+        .otherwise(F.col("content")),
+    ).withColumn(
+        "commit",
+        F.when(h == 0, F.concat(F.col("commit"), F.lit("-r2")))
+        .otherwise(F.col("commit")),
+    )
+    return updated.unionByName(added)
+
+
+@pytest.fixture(scope="module")
+def lifecycle(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("delta")
+    idx = str(root / "idx")
+    snap1 = corpus_spark_df(spark, 400)
+    added = corpus_spark_df(spark, 500).join(
+        snap1, ["repo", "path", "commit"], "left_anti"
+    )
+    snap2 = _snap2(snap1, added)
+    build_index(spark, snap1, idx, IndexConfig(**CFG), build_id="base")
+    meta = delta_update(spark, snap2, idx, build_id="d1")
+    return idx, snap1, snap2, meta
+
+
+def test_delta_meta_shape(spark, lifecycle):
+    idx, _, snap2, meta = lifecycle
+    assert len(meta["layers"]) == 2
+    assert meta["tombstone_dirs"]
+    assert meta["delta_stats"]["tombstoned"] > 0
+    assert meta["delta_stats"]["added_or_changed"] > 0
+    # N is live-exact: equals the deduped snapshot2 count (post scope filters)
+    from scrapix_spark.operators.docs import build_docs
+
+    n_snap2 = build_docs(snap2, IndexConfig(**CFG), tokenize=False).count()
+    assert meta["N"] == n_snap2
+    # old build retained as a layer (GC keeps referenced builds)
+    assert os.path.exists(os.path.join(idx, "_build_base", "segments"))
+
+
+def test_delta_visibility_and_rank_identity(spark, lifecycle):
+    idx, _, _, _ = lifecycle
+    r = IndexReader(spark, idx)
+    # updated docs carry the planted marker; they must be live versions
+    hits = r.topk_pruned("quuxmarker", 10).collect()
+    assert hits, "updated docs must be searchable via their new content"
+    full = r.topk_full("quuxmarker", 10, hydrate=False).collect()
+    assert [x.doc_id for x in hits] == [x.doc_id for x in full]
+    # tombstoned docs never hydrate
+    dead = {x["doc_id"] for x in IX.read_tombstones(spark, idx).collect()}
+    for q in ["binary search", "zanzibar", "import def"]:
+        got = r.topk_pruned(q, 10).collect()
+        assert not ({x.doc_id for x in got} & dead), q
+        fids = [x.doc_id for x in r.topk_full(q, 10, hydrate=False).collect()]
+        assert [x.doc_id for x in got] == fids, q
+
+
+def test_add_only_delta_is_score_identical_to_fresh(spark, tmp_path_factory):
+    """Pure additions leave df exact (nothing tombstoned), so the
+    layered index must score bit-identically to a fresh rebuild."""
+    root = tmp_path_factory.mktemp("addonly")
+    idx, idx_fresh = str(root / "a"), str(root / "b")
+    snap1 = corpus_spark_df(spark, 300)
+    added = corpus_spark_df(spark, 400).join(snap1, ["repo", "path"], "left_anti")
+    snap2 = snap1.unionByName(added)
+    build_index(spark, snap1, idx, IndexConfig(**CFG), build_id="base")
+    meta = delta_update(spark, snap2, idx, build_id="d1")
+    assert meta["delta_stats"]["tombstoned"] == 0
+    build_index(spark, snap2, idx_fresh, IndexConfig(**CFG), build_id="f")
+    ra, rb = IndexReader(spark, idx), IndexReader(spark, idx_fresh)
+    for q in ["binary search", "zanzibar", "merge.block(shard)"]:
+        got = ra.topk_full(q, 10, hydrate=False).collect()
+        want = rb.topk_full(q, 10, hydrate=False).collect()
+        assert [x.doc_id for x in got] == [x.doc_id for x in want], q
+        for g, w in zip(got, want):
+            assert g.score == pytest.approx(w.score, rel=1e-12), q
+
+
+def test_compact_equals_fresh_rebuild(spark, lifecycle, tmp_path_factory):
+    idx, _, snap2, _ = lifecycle
+    meta = compact(spark, idx, build_id="c1")
+    assert len(meta["layers"]) == 1 and not meta["tombstone_dirs"]
+
+    fresh = str(tmp_path_factory.mktemp("fresh") / "idx")
+    fmeta = build_index(spark, snap2, fresh, IndexConfig(**CFG), build_id="f")
+    assert meta["N"] == fmeta["N"]
+    assert meta["avgdl"] == pytest.approx(fmeta["avgdl"], rel=1e-12)
+
+    rc, rf = IndexReader(spark, idx), IndexReader(spark, fresh)
+    for q in ["binary search", "quuxmarker", "zanzibar", "import def"]:
+        got = rc.topk_pruned(q, 10, hydrate=False).collect()
+        want = rf.topk_pruned(q, 10, hydrate=False).collect()
+        assert [x.doc_id for x in got] == [x.doc_id for x in want], q
+        for g, w in zip(got, want):
+            assert g.score == pytest.approx(w.score, rel=1e-12), q
+    # exact dictionary after compact: df agrees with the fresh build
+    dc = {r["term"]: r["df"] for r in rc.dict_df.filter(
+        F.col("term").isin("quuxmarker", "zanzibar", "import")).collect()}
+    df_ = {r["term"]: r["df"] for r in rf.dict_df.filter(
+        F.col("term").isin("quuxmarker", "zanzibar", "import")).collect()}
+    assert dc == df_
+
+
+def test_delta_noop_on_identical_snapshot(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("noop") / "idx")
+    snap = corpus_spark_df(spark, 200)
+    build_index(spark, snap, idx, IndexConfig(**CFG), build_id="base")
+    meta = delta_update(spark, snap, idx, build_id="d1")
+    assert meta["build_id"] == "base" and len(meta["layers"]) == 1
+
+
+def test_delta_rejects_changed_content_with_same_commit(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("guard") / "idx")
+    snap = corpus_spark_df(spark, 120)
+    build_index(spark, snap, idx, IndexConfig(**CFG), build_id="base")
+    bad = snap.withColumn("content", F.concat(F.col("content"), F.lit(" x")))
+    with pytest.raises(ValueError, match="new commit"):
+        delta_update(spark, bad, idx, build_id="d1")
