@@ -1,0 +1,62 @@
+"""spark-submit entry: incremental re-index (delta) or compaction.
+
+    spark-submit --py-files dist/scrapix_spark.zip jobs/update_index.py \
+        delta --input /path/to/new_snapshot --index-dir /path/to/index \
+        [--build-id d0002] [--format parquet|iceberg]
+
+    spark-submit --py-files dist/scrapix_spark.zip jobs/update_index.py \
+        compact --index-dir /path/to/index [--build-id c0001]
+
+`delta` diffs the NEW FULL SNAPSHOT against the live index on
+(repo, path) — the reference's re-crawl shape (scrapix rebuilds and
+atomically swaps; this publishes only the changed slice as an LSM layer
+plus tombstones, same atomic swap). `compact` folds layers + tombstones
+back into one segment set, rank-identical to a fresh rebuild.
+Prints one JSON manifest line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="Incremental index maintenance")
+    ap.add_argument("action", choices=["delta", "compact"])
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--input", help="new snapshot (required for delta)")
+    ap.add_argument("--build-id", default=None)
+    ap.add_argument("--format", default="parquet")
+    args = ap.parse_args(argv)
+
+    from scrapix_spark.operators.index import compact, delta_update
+
+    spark = SparkSession.builder.appName(
+        f"scrapix-spark-{args.action}"
+    ).getOrCreate()
+
+    if args.action == "delta":
+        if not args.input:
+            ap.error("delta requires --input")
+        raw = (
+            spark.read.parquet(args.input)
+            if args.format == "parquet"
+            else spark.read.table(args.input)
+        )
+        meta = delta_update(
+            spark, raw, args.index_dir,
+            build_id=args.build_id or "delta",
+            source_desc=f"{args.format}:{args.input}",
+        )
+    else:
+        meta = compact(spark, args.index_dir, build_id=args.build_id or "compact")
+    print(json.dumps(meta, sort_keys=True, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
