@@ -8,16 +8,24 @@ src/taskQueue.ts:47-67 failure cleanup) with the HDFS/Iceberg idiom:
     index_dir/
       _build_<build_id>/          # the {uid}_crawler_tmp analog
         segments/batch=<i>/       # _SUCCESS-marked, resumable units
-        dict/                     # term → df, cf
-        docs/                     # doc_id → repo,path,commit,lang,doc_len,sha256
-        meta.json                 # N, avgdl, k1, b, n_shards, tokenizer
+          tb=<j>/                 # analytic term-range directories
+        dict/                     # term, term_id → df, cf
+        docs/                     # doc_id → repo,path,commit,lang,sha256,doc_len
+        positions/                # optional .pos-stream analog (store_positions)
+        tombstones/               # dead doc_ids (delta updates only)
+        meta.json                 # N, avgdl, k1, b, layers, tombstone_dirs, …
         metrics/                  # per-partition lineage + metrics rows
       _CURRENT                    # pointer file; atomic rename = swap
 
 A build that dies mid-way leaves `_build_*` unpublished; re-running with
 the same build_id skips every batch that already has `_SUCCESS`
-(checkpoint-resume, north_rule W2). Unreferenced builds are GC'd on the
-next successful publish.
+(checkpoint-resume, north_rule W2). Builds not referenced by the live
+manifest's layer list are GC'd on the next successful publish.
+
+Incremental lifecycle (LSM): delta_update() appends a layer built from
+the snapshot diff plus tombstones for dead doc_ids; compact() folds all
+layers back into one. df is layer-summed and counts tombstoned docs
+until compaction (the Lucene docFreq convention).
 """
 
 from __future__ import annotations
@@ -74,9 +82,9 @@ def build_index(
     # on storage is also the resumable/scale-idiomatic choice.
     # Content is never shuffled; N is observed during the docs write.
     tp = time.time()
-    # doc_len is NOT materialized on the docs table — it is derivable
-    # from postings (dl rides on every posting row), which saves a whole
-    # second tokenization pass over the corpus during the docs write
+    # tokenize=False: doc_len comes from the postings staging relation
+    # during the docs write (one small shuffle of (doc_id, dl) pairs),
+    # never from a second tokenization pass over the corpus
     docs = build_docs(raw, cfg, tokenize=False)
     post_path = os.path.join(build_dir, "postings")
     if not _done(post_path):
