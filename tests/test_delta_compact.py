@@ -145,3 +145,38 @@ def test_delta_rejects_changed_content_with_same_commit(spark, tmp_path_factory)
     bad = snap.withColumn("content", F.concat(F.col("content"), F.lit(" x")))
     with pytest.raises(ValueError, match="new commit"):
         delta_update(spark, bad, idx, build_id="d1")
+
+
+def test_positions_across_delta_layers(spark, tmp_path_factory):
+    """Phrase/proximity from a layered positional index: the updated
+    doc's NEW phrase matches, its OLD phrase does not (tombstoned), and
+    compaction preserves the answers."""
+    idx = str(tmp_path_factory.mktemp("pdelta") / "idx")
+    snap1 = spark.createDataFrame(
+        [("r", "a.py", "c1", "py", "alpha beta gamma here"),
+         ("r", "b.py", "c1", "py", "unrelated words entirely")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    build_index(
+        spark, snap1, idx,
+        IndexConfig(n_shards=4, exclude_paginated=False, store_positions=True),
+        build_id="base",
+    )
+    snap2 = spark.createDataFrame(
+        [("r", "a.py", "c2", "py", "alpha delta gamma here"),
+         ("r", "b.py", "c1", "py", "unrelated words entirely")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    delta_update(spark, snap2, idx, build_id="d1")
+
+    r = IndexReader(spark, idx)
+    assert r.topk_phrase("alpha delta", 5, hydrate=False).count() == 1
+    assert r.topk_phrase("alpha beta", 5, hydrate=False).count() == 0
+    prox = r.topk_proximity("alpha gamma", 5).collect()
+    assert len(prox) == 1 and prox[0]["proximity"] == 2
+
+    compact(spark, idx, build_id="c1")
+    rc = IndexReader(spark, idx)
+    assert rc.topk_phrase("alpha delta", 5, hydrate=False).count() == 1
+    assert rc.topk_phrase("alpha beta", 5, hydrate=False).count() == 0
+    assert rc.topk_proximity("alpha gamma", 5).collect()[0]["proximity"] == 2
