@@ -1,0 +1,54 @@
+"""Parallelism invariance (SURVEY.md §5): the same build + query at two
+parallelism levels must produce IDENTICAL top-k ids and scores — no
+result may depend on task count, shuffle partitioning, or scheduling
+order. Runs each level in its own subprocess (one SparkSession per
+master)."""
+
+import json
+import os
+import subprocess
+import sys
+
+_CHILD = r'''
+import json, sys, shutil
+sys.path.insert(0, sys.argv[1])
+cores, parts, idx = int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+from scrapix_spark.session import get_spark
+from scrapix_spark.config import IndexConfig
+from scrapix_spark.fixtures import corpus_spark_df
+from scrapix_spark.operators.index import build_index
+from scrapix_spark.operators.query import IndexReader
+
+spark = get_spark(f"pinv{cores}", master=f"local[{cores}]",
+                  shuffle_partitions=parts)
+shutil.rmtree(idx, ignore_errors=True)
+m = build_index(spark, corpus_spark_df(spark, 300), idx,
+                IndexConfig(n_shards=8, exclude_paginated=False),
+                build_id="p1", n_batches=2)
+out = {"N": m["N"], "avgdl": m["avgdl"], "results": {}}
+r = IndexReader(spark, idx)
+for q in ["binary search", "zanzibar", "merge.block(shard)", "import def"]:
+    rows = r.topk_pruned(q, 10, hydrate=False).collect()
+    out["results"][q] = [[x.doc_id, round(x.score, 12)] for x in rows]
+print("RESULT " + json.dumps(out, sort_keys=True))
+spark.stop()
+'''
+
+
+def _run(cores: int, parts: int, idx: str) -> dict:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, "-c", _CHILD, root, str(cores), str(parts), idx],
+        capture_output=True, text=True, timeout=600,
+    )
+    lines = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
+    assert lines, p.stderr[-2000:]
+    return json.loads(lines[0][len("RESULT "):])
+
+
+def test_topk_identical_across_parallelism(tmp_path):
+    a = _run(2, 5, str(tmp_path / "a"))
+    b = _run(8, 32, str(tmp_path / "b"))
+    assert a["N"] == b["N"]
+    assert a["avgdl"] == b["avgdl"]
+    assert a["results"] == b["results"]
