@@ -87,6 +87,36 @@ def delta_decode(buf: bytes) -> np.ndarray:
     return np.cumsum(deltas.astype(np.int64))
 
 
+def decode_blocks_batch(
+    doc_ids_enc: list, tfs_enc: list, dls_enc: list, n_docs
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY encoded blocks in three vectorized passes (one per
+    stream) instead of three numpy calls per block.
+
+    Each block's delta stream starts with an absolute doc_id, so the
+    per-block cumsum is recovered from ONE global cumsum by subtracting
+    the running total just before each block start (segment-wise cumsum
+    — no per-block loop). Returns flat (doc_ids, tfs, dls) in block
+    order; the caller slices by n_docs.
+    """
+    nd = np.asarray(n_docs, dtype=np.int64)
+    if nd.size == 0 or nd.sum() == 0:
+        e = np.empty(0, np.int64)
+        return e, e.copy(), e.copy()
+    starts = np.concatenate(([0], np.cumsum(nd)[:-1]))
+    deltas = varint_decode(b"".join(doc_ids_enc))  # uint64
+    # uint64 modular cumsum: the cross-block running total may exceed
+    # 2^63 (each block restarts with an ABSOLUTE 63-bit id), but the
+    # within-block difference cs[j] - cs[start-1] is exact mod 2^64 and
+    # always fits int64
+    cs = np.cumsum(deltas, dtype=np.uint64)
+    prev = np.where(starts > 0, cs[starts - 1], np.uint64(0))
+    ids = (cs - np.repeat(prev, nd)).astype(np.int64)
+    tf = varint_decode(b"".join(tfs_enc)).astype(np.int64)
+    dl = varint_decode(b"".join(dls_enc)).astype(np.int64)
+    return ids, tf, dl
+
+
 def bm25_impact(
     tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float
 ) -> np.ndarray:

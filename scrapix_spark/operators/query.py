@@ -509,23 +509,24 @@ def bm25_topk_full(
 
 
 def _decode_blocks_df(seg: DataFrame) -> DataFrame:
-    """Encoded block rows → (term_id, doc_id, tf, dl) via Arrow mapInPandas."""
+    """Encoded block rows → (term_id, doc_id, tf, dl) via Arrow
+    mapInPandas — all blocks of a batch decoded in three vectorized
+    stream passes (codec.decode_blocks_batch), one output frame per
+    batch (the per-block pd.DataFrame constructor dominated decode)."""
     def decode(batches):
         for pdf in batches:
-            outs = []
-            for _, row in pdf.iterrows():
-                ids, tf, dl = codec.decode_block(row)
-                outs.append(
-                    pd.DataFrame(
-                        {"term_id": row["term_id"], "doc_id": ids,
-                         "tf": tf, "dl": dl}
-                    )
-                )
-            yield (
-                pd.concat(outs, ignore_index=True)
-                if outs
-                else pd.DataFrame(columns=["term_id", "doc_id", "tf", "dl"])
+            if not len(pdf):
+                yield pd.DataFrame(columns=["term_id", "doc_id", "tf", "dl"])
+                continue
+            nd = pdf["n_docs"].to_numpy()
+            ids, tf, dl = codec.decode_blocks_batch(
+                pdf["doc_ids_enc"].tolist(), pdf["tfs_enc"].tolist(),
+                pdf["dls_enc"].tolist(), nd,
             )
+            yield pd.DataFrame({
+                "term_id": np.repeat(pdf["term_id"].to_numpy(), nd),
+                "doc_id": ids, "tf": tf, "dl": dl,
+            })
 
     return seg.mapInPandas(
         decode, schema="term_id long, doc_id long, tf long, dl long"
@@ -585,24 +586,38 @@ def _blockmax_topk_kernel(
     # phase 1: best block per term → θ lower bound. Keys are the pandas
     # row index — (term, block_id) is NOT unique on a layered index
     # (every layer restarts block_id at 0)
-    decoded: dict[int, tuple] = {}
+    decoded: dict = {}
+    p1_rows: set[int] = set()
     for t in terms:
         g = by_term[t]
         pos = int(np.argmax(scaled_bm(g)))
-        decoded[int(g.index[pos])] = contributions(g.iloc[pos], t)
+        ridx = int(g.index[pos])
+        decoded[ridx] = contributions(g.iloc[pos], t)
+        p1_rows.add(ridx)
     theta = _kth_partial_score(decoded.values(), k)
 
-    # phase 2: skip blocks whose upper bound cannot reach θ
+    # phase 2: skip blocks whose upper bound cannot reach θ; survivors
+    # of each term decode together in three vectorized stream passes
     for t in terms:
         others = sum_U - U[t]
-        for ridx, row in by_term[t].iterrows():
-            if int(ridx) in decoded:
-                continue
-            scale = float(row["bm_scale"]) if has_scale else 1.0
-            ub = idf_map[t] * float(row["block_max_impact"]) * scale + others
-            if ub < theta:
-                continue  # provably cannot enter (or tie into) the top-k
-            decoded[int(ridx)] = contributions(row, t)
+        g = by_term[t]
+        ub = idf_map[t] * scaled_bm(g) + others
+        keep = (ub >= theta) & ~g.index.isin(p1_rows)
+        surv = g[keep]
+        if not len(surv):
+            continue
+        nd = surv["n_docs"].to_numpy()
+        ids, tf, dl = codec.decode_blocks_batch(
+            surv["doc_ids_enc"].tolist(), surv["tfs_enc"].tolist(),
+            surv["dls_enc"].tolist(), nd,
+        )
+        if dead is not None and len(dead) and ids.size:
+            pos = np.searchsorted(dead, ids)
+            pos[pos >= len(dead)] = 0
+            alive = dead[pos] != ids
+            ids, tf, dl = ids[alive], tf[alive], dl[alive]
+        imp = codec.bm25_impact(tf, dl, avgdl, k1, b)
+        decoded[("p2", t)] = (ids, idf_map[t] * imp)
 
     ids = np.concatenate([d[0] for d in decoded.values()])
     sc = np.concatenate([d[1] for d in decoded.values()])

@@ -121,3 +121,36 @@ def test_encode_partition_matches_encode_group(runs, block_size):
             assert enc["block_max_impact"][k] == blk["block_max_impact"]
             k += 1
     assert k == len(enc["block_id"])
+
+
+def test_decode_blocks_batch_matches_per_block_and_survives_overflow():
+    """Batched multi-block decode == per-block decode, including when the
+    cross-block cumsum of absolute 63-bit doc_ids exceeds int64 (the
+    uint64 modular path)."""
+    import numpy as np
+
+    from scrapix_spark.operators import codec
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for _ in range(300):  # enough blocks of near-2^62 ids to wrap int64
+        n = rng.randint(1, 50)
+        ids = np.sort(rng.randint((1 << 62), (1 << 62) + (1 << 40), n).astype(np.int64))
+        ids = np.unique(ids)
+        tf = rng.randint(1, 9, ids.size).astype(np.int64)
+        dl = rng.randint(1, 500, ids.size).astype(np.int64)
+        blk = codec.encode_group(ids, tf, dl, 100.0, 1.2, 0.75, 16)
+        rows.extend(blk)
+    ids_b, tf_b, dl_b = codec.decode_blocks_batch(
+        [r["doc_ids_enc"] for r in rows], [r["tfs_enc"] for r in rows],
+        [r["dls_enc"] for r in rows], [r["n_docs"] for r in rows],
+    )
+    off = 0
+    for r in rows:
+        ids, tf, dl = codec.decode_block(r)
+        n = r["n_docs"]
+        assert np.array_equal(ids_b[off:off + n], ids)
+        assert np.array_equal(tf_b[off:off + n], tf)
+        assert np.array_equal(dl_b[off:off + n], dl)
+        off += n
+    assert off == ids_b.size
