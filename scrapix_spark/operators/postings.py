@@ -401,19 +401,14 @@ def merge_segments(
             n_docs = batch.column("n_docs").to_numpy(zero_copy_only=False)
             btid = batch.column("term_id").to_numpy(zero_copy_only=False)
             bshard = batch.column("shard").to_numpy(zero_copy_only=False)
-            ids_l, tf_l, dl_l = [], [], []
-            de = batch.column("doc_ids_enc").to_pylist()
-            te = batch.column("tfs_enc").to_pylist()
-            le = batch.column("dls_enc").to_pylist()
-            for i in range(batch.num_rows):
-                ids_l.append(codec.delta_decode(de[i]))
-                tf_l.append(codec.varint_decode(te[i]).astype(np.int64))
-                dl_l.append(codec.varint_decode(le[i]).astype(np.int64))
+            ids, tf, dl = codec.decode_blocks_batch(
+                batch.column("doc_ids_enc").to_pylist(),
+                batch.column("tfs_enc").to_pylist(),
+                batch.column("dls_enc").to_pylist(),
+                n_docs,
+            )
             tids = np.repeat(btid, n_docs)
             shards = np.repeat(bshard, n_docs)
-            ids = np.concatenate(ids_l)
-            tf = np.concatenate(tf_l)
-            dl = np.concatenate(dl_l)
             if dead_ids is not None and len(dead_ids) and ids.size:
                 # sorted-membership test: dead docs' postings never
                 # reach the re-encoded output (compaction)
