@@ -781,6 +781,51 @@ def q_docssearch_ranked(spark, sf_dir):
     )
 
 
+SYNONYMS = {"quick": ["fast", "speedy"]}
+SYN_QUERY = "quick table"            # 'quick' resolves via synonyms only
+NEGSTOP_QUERY = "the table -join"    # stop word dropped, negative keyword
+STOP_WORDS = {"the", "a"}
+MSL_QUERY = "table value zzznope scan"  # word 3 never matches
+
+
+def q_search_synonyms(spark, sf_dir):
+    """Meilisearch `synonyms` setting: each query word expands to a
+    group of alternatives; contribution = max per group per doc."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    pos, _neg = M.parse_query(SYN_QUERY)
+    groups = M.expand_synonyms(pos, SYNONYMS)
+    out = M.bm25_topk_grouped(post, stats, n, avgdl, groups, 10, K1, B)
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+def q_search_negative_stopwords(spark, sf_dir):
+    """Stop-word removal + negative keywords ('-join' excludes docs
+    containing 'join' BEFORE ranking)."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    pos, neg = M.parse_query(NEGSTOP_QUERY, STOP_WORDS)
+    out = M.bm25_topk_grouped(
+        post, stats, n, avgdl, [[t] for t in pos], 10, K1, B, negative=neg,
+    )
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+def q_matching_strategy_last(spark, sf_dir):
+    """matchingStrategy=last: rank by the length of the LEADING run of
+    matched query words, then BM25."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    out = M.matching_strategy_last_topk(post, stats, n, avgdl, MSL_QUERY, 10, K1, B)
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.col("prefix_len").cast("long").alias("prefix_len"),
+    )
+
+
 def q_facet_distribution(spark, sf_dir):
     """Meilisearch facetDistribution over the docs matching the BM25
     query (filterableAttributes analog, default.ts:26): per-attribute
@@ -869,6 +914,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight": q_highlight,
         "crop": q_crop,
         "docssearch_ranked": q_docssearch_ranked,
+        "search_synonyms": q_search_synonyms,
+        "search_negative_stopwords": q_search_negative_stopwords,
+        "matching_strategy_last": q_matching_strategy_last,
     }
 
 
@@ -1102,6 +1150,62 @@ SELECT s.doc_key, round(s.score, 4) AS score, s.n_matched,
 FROM scored s JOIN lv l USING (doc_key)
 ORDER BY s.n_matched DESC, round(s.score, 9) DESC, l.level DESC, s.doc_key
 LIMIT 10
+"""
+
+
+def _grouped_sql(groups: list[list[str]], negative: list[str], k: int = 10) -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT '{t}' AS term, {wi} AS wi"
+        for wi, g in enumerate(groups)
+        for t in sorted(set(g))
+    )
+    neg_clause = ""
+    if negative:
+        nlist = ", ".join(f"'{t}'" for t in negative)
+        neg_clause = (
+            f", excl AS (SELECT DISTINCT doc_id FROM contrib "
+            f"WHERE term IN ({nlist}))"
+        )
+    anti = (
+        "LEFT JOIN excl e USING (doc_id) WHERE e.doc_id IS NULL"
+        if negative else ""
+    )
+    return _contrib_cte() + f"""
+, map AS ({arms}),
+perword AS (SELECT c.doc_id, m.wi, max(c.c) AS mc
+            FROM contrib c JOIN map m ON m.term = c.term
+            GROUP BY c.doc_id, m.wi),
+agg AS (SELECT doc_id, sum(mc) AS score,
+               count(DISTINCT wi)::BIGINT AS n_matched
+        FROM perword GROUP BY doc_id){neg_clause}
+SELECT a.doc_id, round(a.score, 4) AS score, a.n_matched
+FROM agg a {anti}
+ORDER BY a.n_matched DESC, round(a.score, 9) DESC, a.doc_id LIMIT {k}
+"""
+
+
+def _matching_last_sql() -> str:
+    terms = Q.query_terms(MSL_QUERY)
+    arms = " UNION ALL ".join(
+        f"SELECT '{t}' AS term, {i} AS wi" for i, t in enumerate(terms)
+    )
+    pl_parts = []
+    conds = []
+    for i in range(len(terms)):
+        conds.append(f"list_contains(ws, {i})")
+        pl_parts.append(
+            "(CASE WHEN " + " AND ".join(conds) + " THEN 1 ELSE 0 END)"
+        )
+    pl = " + ".join(pl_parts)
+    return _contrib_cte() + f"""
+, map AS ({arms}),
+agg AS (SELECT c.doc_id, sum(c.c) AS score, list(DISTINCT m.wi) AS ws
+        FROM contrib c JOIN map m ON m.term = c.term
+        GROUP BY c.doc_id),
+pl AS (SELECT doc_id, score, ({pl})::BIGINT AS prefix_len FROM agg)
+SELECT doc_id, round(score, 4) AS score, prefix_len
+FROM pl WHERE prefix_len > 0
+ORDER BY prefix_len DESC, round(score, 9) DESC, doc_id LIMIT 10
 """
 
 
@@ -1464,6 +1568,14 @@ ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
 """,
         "proximity_topk": _proximity_sql(),
         "docssearch_ranked": _docssearch_ranked_sql(),
+        "search_synonyms": _grouped_sql(
+            M.expand_synonyms(M.parse_query(SYN_QUERY)[0], SYNONYMS), []
+        ),
+        "search_negative_stopwords": _grouped_sql(
+            [[t] for t in M.parse_query(NEGSTOP_QUERY, STOP_WORDS)[0]],
+            M.parse_query(NEGSTOP_QUERY, STOP_WORDS)[1],
+        ),
+        "matching_strategy_last": _matching_last_sql(),
         "facet_distribution": _facet_sql(),
         "highlight": _highlight_sql(select="doc_id, formatted"),
         "crop": _highlight_sql(

@@ -474,3 +474,146 @@ def proximity_topk(
         F.round(F.col("score"), SCORE_ROUND).desc(),
         F.col("doc_id").asc(),
     ).limit(k)
+
+
+# ------------------------------------------- search-API query options
+
+
+def bm25_topk_grouped(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    groups: list[list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    negative: list[str] | None = None,
+) -> DataFrame:
+    """Grouped-alternatives BM25 top-k — the generalization behind
+    synonyms (and the same pinned convention as typo/prefix): `groups`
+    holds one list of alternative terms per query word; a doc's
+    contribution per word is the MAX over that word's alternatives and
+    each word counts once in n_matched. `negative` excludes any doc
+    containing one of those terms (Meilisearch negative keywords) via a
+    distinct-doc anti-join BEFORE ranking, so exclusions can't promote
+    lower-ranked docs incorrectly.
+    """
+    spark = postings.sparkSession
+    groups = [g for g in groups if g]
+    if not groups:
+        return spark.createDataFrame(
+            [], "doc_id long, score double, n_matched int"
+        )
+    mapping = spark.createDataFrame(
+        [(t, wi) for wi, g in enumerate(groups) for t in set(g)],
+        "term string, wi int",
+    )
+    all_terms = sorted({t for g in groups for t in g})
+    tstats = term_stats.filter(F.col("term").isin(all_terms)).withColumn(
+        "idf", idf_expr(N, F.col("df").cast("double"))
+    )
+    cand = (
+        postings.filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(tstats.select("term", "idf")), "term")
+        .join(F.broadcast(mapping), "term")
+    )
+    scored = cand.withColumn(
+        "contrib",
+        bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, k1, b),
+    )
+    perword = scored.groupBy("doc_id", "wi").agg(F.max("contrib").alias("c"))
+    agg = perword.groupBy("doc_id").agg(
+        F.sum("c").alias("score"),
+        F.countDistinct("wi").cast("int").alias("n_matched"),
+    )
+    if negative:
+        excl = (
+            postings.filter(F.col("term").isin(list(negative)))
+            .select("doc_id")
+            .distinct()
+        )
+        agg = agg.join(excl, "doc_id", "left_anti")
+    return agg.orderBy(
+        F.col("n_matched").desc(),
+        F.round(F.col("score"), SCORE_ROUND).desc(),
+        F.col("doc_id").asc(),
+    ).limit(k)
+
+
+def parse_query(q: str, stop_words: set[str] | None = None):
+    """Meilisearch-ish query parse: '-' prefixed words are negative
+    keywords; stop words are dropped from the POSITIVE side only
+    (excluding by a stop word must still work). Returns
+    (positive_terms, negative_terms) in first-occurrence order."""
+    pos: list[str] = []
+    neg: list[str] = []
+    for raw in q.split():
+        is_neg = raw.startswith("-")
+        for t in query_terms(raw[1:] if is_neg else raw):
+            bucket = neg if is_neg else pos
+            if t not in bucket and (is_neg or not stop_words or t not in stop_words):
+                bucket.append(t)
+    return pos, neg
+
+
+def expand_synonyms(terms: list[str], synonyms: dict | None) -> list[list[str]]:
+    """word → alternatives group: the word itself plus its configured
+    synonyms (Meilisearch `synonyms` setting; one-way maps supported)."""
+    if not synonyms:
+        return [[t] for t in terms]
+    return [[t, *[s.lower() for s in synonyms.get(t, [])]] for t in terms]
+
+
+def matching_strategy_last_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    q: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Meilisearch matchingStrategy=last: words are droppable only from
+    the END of the query — docs rank by the length of the LEADING run
+    of query words they match (prefix_len desc), then BM25, then doc_id.
+    One DataFrame plan: per-doc matched word set → native leading-run
+    count (Σ_i Π_{j<=i} matched_j), no per-strategy re-query loop.
+    """
+    terms = query_terms(q)
+    if not terms:
+        return postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double, prefix_len int"
+        )
+    spark = postings.sparkSession
+    mapping = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(terms)], "term string, wi int"
+    )
+    tstats = term_stats.filter(F.col("term").isin(terms)).withColumn(
+        "idf", idf_expr(N, F.col("df").cast("double"))
+    )
+    cand = (
+        postings.filter(F.col("term").isin(terms))
+        .join(F.broadcast(tstats.select("term", "idf")), "term")
+        .join(F.broadcast(mapping), "term")
+    )
+    scored = cand.withColumn(
+        "contrib",
+        bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, k1, b),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.collect_set("wi").alias("ws"),
+    )
+    run = F.lit(0)
+    cond = F.lit(True)
+    for i in range(len(terms)):
+        cond = cond & F.array_contains(F.col("ws"), i)
+        run = run + cond.cast("int")
+    out = agg.withColumn("prefix_len", run).filter(F.col("prefix_len") > 0)
+    return out.select("doc_id", "score", "prefix_len").orderBy(
+        F.col("prefix_len").desc(),
+        F.round(F.col("score"), SCORE_ROUND).desc(),
+        F.col("doc_id").asc(),
+    ).limit(k)

@@ -209,3 +209,51 @@ def test_positions_guard_on_bm25_only_index(spark, index_dir_match):
     r = IndexReader(spark, idx)
     with pytest.raises(ValueError):
         r.topk_phrase("binary search", 10)
+
+
+def test_parse_query_stopwords_and_negatives():
+    pos, neg = M.parse_query("The Table -join -the a", {"the", "a"})
+    assert pos == ["table"]
+    # negatives are NOT stop-filtered: excluding by a stop word must work
+    assert neg == ["join", "the"]
+
+
+def test_grouped_synonyms_and_negative(tiny):
+    _, post, stats, n, avgdl = tiny
+    # 'speedy' is unindexed; it resolves only via its synonyms group
+    groups = M.expand_synonyms(["speedy", "table"], {"speedy": ["fast"]})
+    out = {r["doc_id"]: r for r in
+           M.bm25_topk_grouped(post, stats, n, avgdl, groups, 10, K1, B).collect()}
+    assert out[2]["n_matched"] == 1          # doc 2: 'fast' via synonym
+    assert out[1]["n_matched"] == 1          # doc 1: 'table' only
+    # negative keyword excludes doc 2 entirely
+    out2 = {r["doc_id"] for r in
+            M.bm25_topk_grouped(post, stats, n, avgdl, groups, 10, K1, B,
+                                negative=["sorted"]).collect()}
+    assert 2 not in out2 and 3 not in out2 and 1 in out2
+
+
+def test_matching_strategy_last_prefix_runs(spark):
+    from scrapix_spark.functions.tokenize import with_tokens
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"),      # matches words 0,1,2 → prefix 3
+         (2, "alpha beta delta"),      # 0,1 → prefix 2
+         (3, "alpha gamma"),           # 0,2 (skips 1) → prefix 1
+         (4, "beta gamma"),            # 1,2 (misses 0) → prefix 0 → dropped
+         (5, "unrelated")],
+        "doc_id long, text string",
+    )
+    t = with_tokens(df, "text")
+    post = t.select(
+        "doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("tk")
+    ).select("tk.term", "doc_id", F.col("tk.tf").cast("long").alias("tf"), "dl")
+    from scrapix_spark.operators import postings as P
+
+    stats = P.term_stats(post)
+    out = M.matching_strategy_last_topk(
+        post, stats, 5, 2.4, "alpha beta gamma", 10, K1, B
+    ).collect()
+    got = [(r["doc_id"], r["prefix_len"]) for r in out]
+    assert got[0] == (1, 3) and got[1] == (2, 2) and got[2] == (3, 1)
+    assert {r["doc_id"] for r in out} == {1, 2, 3}
