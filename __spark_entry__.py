@@ -826,6 +826,45 @@ def q_matching_strategy_last(spark, sf_dir):
     )
 
 
+def q_filtered_search(spark, sf_dir):
+    """filterableAttributes: BM25 top-k restricted by an attribute
+    predicate (filter = "lang = 'en' AND n_chars >= 150") — the filter
+    applies to the candidate set BEFORE the top-k cut."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    scored = Q.bm25_topk_from_postings(
+        post, stats, n, avgdl, BM25_QUERY, 10_000_000, K1, B
+    )
+    hyd = scored.join(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"), "doc_id"
+    ).filter("lang = 'en' AND n_chars >= 150")
+    return (
+        hyd.orderBy(F.round("score", 9).desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", F.round("score", 4).alias("score"), "lang",
+                F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
+def q_sorted_search(spark, sf_dir):
+    """sortableAttributes: sort criteria rank ABOVE relevancy
+    (sort=['n_chars:desc']) over the docs matching >= 1 query word."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    scored = Q.bm25_topk_from_postings(
+        post, stats, n, avgdl, BM25_QUERY, 10_000_000, K1, B
+    )
+    hyd = scored.join(_docs(spark, sf_dir).select("doc_id", "n_chars"), "doc_id")
+    return (
+        hyd.orderBy(
+            F.col("n_chars").desc(),
+            F.round("score", 9).desc(),
+            F.col("doc_id").asc(),
+        )
+        .limit(10)
+        .select("doc_id", F.round("score", 4).alias("score"),
+                F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
 def q_facet_distribution(spark, sf_dir):
     """Meilisearch facetDistribution over the docs matching the BM25
     query (filterableAttributes analog, default.ts:26): per-attribute
@@ -914,6 +953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight": q_highlight,
         "crop": q_crop,
         "docssearch_ranked": q_docssearch_ranked,
+        "filtered_search": q_filtered_search,
+        "sorted_search": q_sorted_search,
         "search_synonyms": q_search_synonyms,
         "search_negative_stopwords": q_search_negative_stopwords,
         "matching_strategy_last": q_matching_strategy_last,
@@ -1568,6 +1609,17 @@ ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
 """,
         "proximity_topk": _proximity_sql(),
         "docssearch_ranked": _docssearch_ranked_sql(),
+        "filtered_search": _bm25_scored_sql(Q.query_terms(BM25_QUERY)) + """
+SELECT s.doc_id, round(s.score, 4) AS score, d.lang, d.n_chars::BIGINT AS n_chars
+FROM scored s JOIN documents d USING (doc_id)
+WHERE d.lang = 'en' AND d.n_chars >= 150
+ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
+""",
+        "sorted_search": _bm25_scored_sql(Q.query_terms(BM25_QUERY)) + """
+SELECT s.doc_id, round(s.score, 4) AS score, d.n_chars::BIGINT AS n_chars
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY d.n_chars DESC, round(s.score, 9) DESC, s.doc_id LIMIT 10
+""",
         "search_synonyms": _grouped_sql(
             M.expand_synonyms(M.parse_query(SYN_QUERY)[0], SYNONYMS), []
         ),
