@@ -188,6 +188,33 @@ def main() -> int:
         [("map-side partial agg", "partial_count")],
     )
 
+    # 7. prefix search: expansion lookup is a dictionary pushdown
+    reader = Q.IndexReader(spark, idx)
+    exp_plan = formatted(
+        reader.dict_df.filter(F.col("term").startswith("fil"))
+    )
+    check(
+        "prefix expansion (dictionary startswith pushdown)",
+        "Search-as-you-type resolves expansions against the term "
+        "dictionary only: the startswith predicate compiles to a "
+        "StringStartsWith parquet pushdown — postings are never scanned "
+        "to find expansions.",
+        exp_plan,
+        [("startswith pushed to dict scan", "StringStartsWith(term,fil")],
+    )
+
+    # 8. tb directory pruning on the segments scan
+    seg_plan = formatted(reader._segments_for([123456789]))
+    check(
+        "segment lookup (tb directory pruning + term_id stats)",
+        "Query-term segment lookups prune whole tb= directories via "
+        "PartitionFilters (analytic term-range buckets) before term_id "
+        "file/row-group stats apply.",
+        seg_plan,
+        [("tb partition filter", "PartitionFilters: [isnotnull(tb"),
+         ("term_id pushdown", "PushedFilters: [IsNotNull(term_id")],
+    )
+
     # ---- write PLANS.md
     out = ["# PLANS — physical-plan review of the hot paths",
            "",
