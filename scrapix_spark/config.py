@@ -70,6 +70,12 @@ class IndexConfig:
     # .pos-stream analog, a separate term-partitioned parquet) enabling
     # index-only phrase + proximity queries; BM25-only builds skip it
     store_positions: bool = False
+    # sorted_staging: write the postings staging relation already
+    # (tb, shard)-distributed and (term_id, shard, doc_id)-sorted, so
+    # the segment encode is a pure map over the staged files (no second
+    # exchange, no sort) — the read pins one task per file to keep
+    # (term, shard) runs whole
+    sorted_staging: bool = False
     n_shards: int = DEFAULT_N_SHARDS
     block_size: int = DEFAULT_BLOCK_SIZE
     batch_size: int = DEFAULT_BATCH_SIZE

@@ -48,6 +48,28 @@ DOCS_COLS = [
 ]
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _one_task_per_file(spark: SparkSession):
+    """Pin file↔task 1:1 for a parquet read: openCostInBytes equal to a
+    huge maxPartitionBytes means any two files exceed the partition
+    budget (no packing) and no file is ever split (files ≪ the budget).
+    Required when per-file sort order carries (term, shard) run
+    integrity into a map-side kernel."""
+    big = str(16 * 1024**3)
+    mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    ocb = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", big)
+    spark.conf.set("spark.sql.files.openCostInBytes", big)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", ocb)
+
+
 def _batch_shards(n_shards: int, n_batches: int) -> list[list[int]]:
     """Split shard ids into n_batches contiguous groups."""
     n_batches = max(1, min(n_batches, n_shards))
@@ -81,6 +103,11 @@ def build_index(
     # (measured 48s vs 10.6s at local[32] vs local[8]); a staging table
     # on storage is also the resumable/scale-idiomatic choice.
     # Content is never shuffled; N is observed during the docs write.
+    batches = _batch_shards(cfg.n_shards, n_batches)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    batch_parts = max(1, n_parts // max(1, len(batches)))
+    tb_bits = P.tb_bits_for(batch_parts if not cfg.sorted_staging else n_parts)
+
     tp = time.time()
     # tokenize=False: doc_len comes from the postings staging relation
     # during the docs write (one small shuffle of (doc_id, dl) pairs),
@@ -88,9 +115,22 @@ def build_index(
     docs = build_docs(raw, cfg, tokenize=False)
     post_path = os.path.join(build_dir, "postings")
     if not _done(post_path):
-        P.postings_from_content(docs, "content").write.mode("overwrite").parquet(
-            post_path
-        )
+        flat = P.postings_from_content(docs, "content")
+        if cfg.sorted_staging:
+            # stage ALREADY in the encode layout: the one exchange of
+            # the build happens here; the segment phase becomes a pure
+            # map over the staged files
+            tid = F.xxhash64("term")
+            (
+                flat.withColumn("_tb", P.term_bucket_expr(tid, tb_bits))
+                .repartition(n_parts, "_tb", "shard")
+                .drop("_tb")
+                .sortWithinPartitions(tid, F.col("shard"), F.col("doc_id"))
+                .write.mode("overwrite")
+                .parquet(post_path)
+            )
+        else:
+            flat.write.mode("overwrite").parquet(post_path)
     post = spark.read.parquet(post_path)
     phases["tokenize_postings"] = round(time.time() - tp, 2)
 
@@ -143,23 +183,32 @@ def build_index(
 
     # resumable, _SUCCESS-marked segment batches (shard-range units)
     seg_root = os.path.join(build_dir, "segments")
-    batches = _batch_shards(cfg.n_shards, n_batches)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    batch_parts = max(1, n_parts // max(1, len(batches)))
-    tb_bits = P.tb_bits_for(batch_parts)
     tp = time.time()
     for i, shard_group in enumerate(batches):
         batch_dir = os.path.join(seg_root, f"batch={i:04d}")
         if _done(batch_dir):
             continue  # checkpoint-resume: this unit already built
-        part = post.filter(F.col("shard").isin(shard_group))
-        enc = P.encode_segments(
-            part, stats["avgdl"], cfg.k1, cfg.b, cfg.block_size,
-            num_partitions=batch_parts, tb_bits=tb_bits,
-        )
-        # tb directories = analytic term-range partitions: query-term
-        # lookups prune whole directories before any footer is read
-        enc.write.mode("overwrite").partitionBy("tb").parquet(batch_dir)
+        if cfg.sorted_staging:
+            # pure map over the pre-sorted staged files — no exchange,
+            # no sort; one task per file keeps (term, shard) runs whole
+            with _one_task_per_file(spark):
+                part = spark.read.parquet(post_path).filter(
+                    F.col("shard").isin(shard_group)
+                )
+                enc = P.encode_presorted(
+                    part, stats["avgdl"], cfg.k1, cfg.b, cfg.block_size,
+                    tb_bits,
+                )
+                enc.write.mode("overwrite").partitionBy("tb").parquet(batch_dir)
+        else:
+            part = post.filter(F.col("shard").isin(shard_group))
+            enc = P.encode_segments(
+                part, stats["avgdl"], cfg.k1, cfg.b, cfg.block_size,
+                num_partitions=batch_parts, tb_bits=tb_bits,
+            )
+            # tb directories = analytic term-range partitions: query-term
+            # lookups prune whole directories before any footer is read
+            enc.write.mode("overwrite").partitionBy("tb").parquet(batch_dir)
     phases["segments"] = round(time.time() - tp, 2)
 
     # optional positional relation (Lucene .pos-stream analog): phrase /
@@ -189,6 +238,7 @@ def build_index(
     meta = {
         "index_uid": cfg.index_uid,
         "store_positions": cfg.store_positions,
+        "sorted_staging": cfg.sorted_staging,
         "build_id": build_id,
         "N": stats["N"],
         "avgdl": stats["avgdl"],

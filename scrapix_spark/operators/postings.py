@@ -188,6 +188,26 @@ def term_bucket_of(term_id: int, tb_bits: int) -> int:
     return ((term_id + (1 << 63)) % (1 << 64)) >> (64 - tb_bits)
 
 
+def encode_presorted(
+    postings: DataFrame,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+    tb_bits: int,
+) -> DataFrame:
+    """encode_segments for input ALREADY distributed on (tb, shard) and
+    sorted by (term_id, shard, doc_id) within partitions — a pure map
+    over the staged files, no exchange, no sort. The caller must
+    guarantee one read task per staged file (see index.build_index's
+    sorted-staging read: openCostInBytes = maxPartitionBytes pins
+    file↔task 1:1 so no (term, shard) run is ever split)."""
+    keyed = postings.select(
+        F.xxhash64("term").alias("term_id"), "shard", "doc_id", "tf", "dl"
+    )
+    return _encode_stream(keyed, avgdl, k1, b, block_size, tb_bits)
+
+
 def encode_segments(
     postings: DataFrame,
     avgdl: float,
@@ -210,9 +230,6 @@ def encode_segments(
     carry `tb` so the index write can partitionBy(tb): query-term
     lookups then prune whole directories before file/row-group stats.
     """
-    import numpy as np
-    import pyarrow as pa
-
     kb = tb_bits if tb_bits is not None else tb_bits_for(num_partitions)
     keyed = postings.select(
         F.xxhash64("term").alias("term_id"), "shard", "doc_id", "tf", "dl"
@@ -222,6 +239,18 @@ def encode_segments(
     else:
         ordered = keyed.repartition("tb", "shard")
     ordered = ordered.drop("tb").sortWithinPartitions("term_id", "shard", "doc_id")
+    return _encode_stream(ordered, avgdl, k1, b, block_size, kb)
+
+
+def _encode_stream(
+    ordered: DataFrame, avgdl: float, k1: float, b: float,
+    block_size: int, kb: int,
+) -> DataFrame:
+    """The Arrow encode kernel over (term_id, shard, doc_id)-sorted
+    partitions: complete runs encode per batch, the trailing run is held
+    back across batch boundaries."""
+    import numpy as np
+    import pyarrow as pa
 
     pa_schema = pa.schema([
         ("term_id", pa.int64()), ("shard", pa.int32()),

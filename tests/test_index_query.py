@@ -190,3 +190,28 @@ def test_merge_overlapping_segments_last_wins(spark):
     assert by_id[0] == (1, 10)
     # merged posting stream is doc_id-sorted within the (term, shard) run
     assert [r["doc_id"] for r in post] == sorted(by_id)
+
+
+def test_sorted_staging_build_equivalent(spark, tiny_corpus, tmp_path):
+    """sorted_staging=True (one exchange at staging, map-only encode)
+    must produce the same corpus stats and rank+score-identical top-k as
+    the default build."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    IX.build_index(spark, tiny_corpus, a,
+                   IndexConfig(n_shards=8, exclude_paginated=False),
+                   build_id="x", n_batches=2)
+    mb = IX.build_index(spark, tiny_corpus, b,
+                        IndexConfig(n_shards=8, exclude_paginated=False,
+                                    sorted_staging=True),
+                        build_id="x", n_batches=2)
+    ma = IX.load_meta(a)
+    assert (ma["N"], ma["avgdl"]) == (mb["N"], mb["avgdl"])
+    ra, rb = Q.IndexReader(spark, a), Q.IndexReader(spark, b)
+    for _, q, k in QUERY_SET:
+        ga = ra.topk_pruned(q, k, hydrate=False).collect()
+        gb = rb.topk_pruned(q, k, hydrate=False).collect()
+        assert [x.doc_id for x in ga] == [x.doc_id for x in gb], q
+        for x, y in zip(ga, gb):
+            assert x.score == pytest.approx(y.score, rel=1e-12), q
+        fb = rb.topk_full(q, k, hydrate=False).collect()
+        assert [x.doc_id for x in gb] == [x.doc_id for x in fb], q
