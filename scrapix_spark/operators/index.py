@@ -86,9 +86,16 @@ def build_index(
     n_batches: int = 1,
     source_desc: str = "",
     publish_index: bool = True,
+    tb_bits: int | None = None,
 ) -> dict:
     """Full index build: docs → postings → stats → encoded segments →
-    manifest. Returns the manifest dict. Resumable per batch."""
+    manifest. Returns the manifest dict. Resumable per batch.
+
+    `tb_bits` pins the term-bucket width. It MUST be passed when the
+    build becomes a layer of an existing index (delta_update does):
+    IndexReader prunes tb directories with the manifest's tb_bits, so a
+    layer bucketed under a different width is silently invisible to
+    queries."""
     cfg = cfg or IndexConfig()
     build_dir = os.path.join(index_dir, f"_build_{build_id}")
     os.makedirs(build_dir, exist_ok=True)
@@ -106,7 +113,8 @@ def build_index(
     batches = _batch_shards(cfg.n_shards, n_batches)
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     batch_parts = max(1, n_parts // max(1, len(batches)))
-    tb_bits = P.tb_bits_for(batch_parts if not cfg.sorted_staging else n_parts)
+    if tb_bits is None:
+        tb_bits = P.tb_bits_for(batch_parts if not cfg.sorted_staging else n_parts)
 
     tp = time.time()
     # tokenize=False: doc_len comes from the postings staging relation
@@ -405,6 +413,45 @@ def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame:
     return out.dropDuplicates(["doc_id"])
 
 
+def tombstone_paths(index_dir: str) -> list[str]:
+    """Absolute paths of the tombstone dirs (the Lucene .liv-file analog:
+    per-shard liveness sidecars that query/merge kernels read directly on
+    the executors — the driver never collects the dead set)."""
+    meta = load_meta(index_dir)
+    return [os.path.join(index_dir, d) for d in meta.get("tombstone_dirs", [])]
+
+
+def dead_ids_for_shard(tomb_paths: list[str], shard: int):
+    """EXECUTOR-side read of one shard's dead doc_ids (sorted int64
+    ndarray, or None). Tombstones are written partitionBy(shard) —
+    shard = pmod(doc_id, n_shards), the same salt the postings use — so
+    each kernel task reads only its own shard's sidecar files via
+    pyarrow dataset partition pruning. This replaces the former
+    driver-side collect: at 10^9+ deletes the dead set never routes
+    through (or fits on) the driver."""
+    import numpy as np
+    import pyarrow.dataset as pds
+
+    arrs = []
+    for p in tomb_paths:
+        try:
+            d = pds.dataset(p, format="parquet", partitioning="hive")
+        except (FileNotFoundError, OSError):
+            continue
+        if "shard" in d.schema.names:
+            t = d.to_table(columns=["doc_id"], filter=pds.field("shard") == shard)
+        else:
+            # unpartitioned layout: the full set is a SAFE superset —
+            # shard = pmod(doc_id, n_shards), so another shard's dead id
+            # can never equal a posting doc_id of this shard
+            t = d.to_table(columns=["doc_id"])
+        if t.num_rows:
+            arrs.append(t.column("doc_id").to_numpy(zero_copy_only=False))
+    if not arrs:
+        return None
+    return np.unique(np.concatenate(arrs)).astype(np.int64)
+
+
 def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
@@ -479,12 +526,43 @@ def delta_update(
         & (F.col("_sha_new").isNull() | (F.col("_sha_old") != F.col("_sha_new")))
     ).select(F.col("_old_id").alias("doc_id"), F.col("_old_dl").alias("doc_len"))
 
+    # Resurrection: a doc removed in an earlier delta and re-added later
+    # with the same (repo, path, commit) hashes to the SAME doc_id as
+    # its standing tombstone. Re-indexing it would duplicate its docs/
+    # posting rows AND the global tombstone anti-join would still kill
+    # it at query time — silent data loss. Identity implies identical
+    # content (guarded below), so the old layer's postings are still
+    # valid: drop the row from the delta and clear its tombstone.
+    old_tombs = read_tombstones(spark, index_dir)
+    did = F.shiftrightunsigned(F.xxhash64("repo", "path", "commit"), 1).cast("long")
+    delta_ids = delta_raw.withColumn("doc_id", did)
+    res = delta_ids.join(old_tombs, "doc_id", "inner")
+    all_docs = _union_layers(spark, index_dir, "docs").select(
+        "doc_id", "sha256", "doc_len"
+    ).dropDuplicates(["doc_id"])
+    res_check = res.join(all_docs, "doc_id").withColumn(
+        "_sha_new", F.sha2("content", 256)
+    )
+    n_bad_res = res_check.filter(F.col("sha256") != F.col("_sha_new")).count()
+    if n_bad_res:
+        raise ValueError(
+            f"{n_bad_res} re-added row(s) reuse a tombstoned "
+            "(repo, path, commit) identity with DIFFERENT content — "
+            "changed content must carry a new commit"
+        )
+    res_row = res_check.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("doc_len"), F.lit(0)).alias("tf")
+    ).collect()[0]
+    n_res, res_tf = int(res_row["n"]), int(res_row["tf"])
+    if n_res:
+        delta_raw = delta_ids.join(old_tombs, "doc_id", "left_anti").drop("doc_id")
+
     dead_row = dead.agg(
         F.count("*").alias("n"), F.coalesce(F.sum("doc_len"), F.lit(0)).alias("tf")
     ).collect()[0]
     n_dead, dead_tf = int(dead_row["n"]), int(dead_row["tf"])
     n_delta = delta_raw.count()
-    if n_delta == 0 and n_dead == 0:
+    if n_delta == 0 and n_dead == 0 and n_res == 0:
         return meta_old  # snapshot identical — nothing to publish
 
     build_dir = os.path.join(index_dir, f"_build_{build_id}")
@@ -495,6 +573,12 @@ def delta_update(
             spark, delta_raw, index_dir, cfg, build_id=build_id,
             source_desc=source_desc or f"delta_of:{meta_old['build_id']}",
             publish_index=False,
+            # the layer MUST bucket terms under the manifest's tb_bits:
+            # IndexReader prunes tb directories with meta['tb_bits'], so
+            # a layer bucketed under a different width (delta builds see
+            # different shuffle.partitions/n_batches) would be silently
+            # invisible to queries
+            tb_bits=meta_old["tb_bits"],
         )
         delta_n, delta_tf = lmeta["N"], lmeta["total_tf"]
         layers.append({
@@ -506,17 +590,35 @@ def delta_update(
         delta_n = 0
         os.makedirs(build_dir, exist_ok=True)
 
-    tombstone_dirs = list(meta_old.get("tombstone_dirs", []))
-    if n_dead > 0:
-        dead.select("doc_id").write.mode("overwrite").parquet(
-            os.path.join(build_dir, "tombstones")
+    # Consolidated tombstone sidecar (the Lucene .liv rewrite): the new
+    # build owns the FULL dead set = (standing ∪ newly dead) −
+    # resurrected, written partitionBy(shard) so query/merge kernels
+    # read only their own shard's files on the executors.
+    all_dead = old_tombs.select("doc_id").unionByName(
+        dead.select("doc_id")
+    ).dropDuplicates(["doc_id"])
+    if n_res:
+        all_dead = all_dead.join(res.select("doc_id"), "doc_id", "left_anti")
+    n_tomb = all_dead.count()
+    tombstone_dirs: list[str] = []
+    if n_tomb > 0:
+        (
+            all_dead.withColumn(
+                "shard",
+                F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)).cast("int"),
+            )
+            .repartition(cfg.n_shards, "shard")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(os.path.join(build_dir, "tombstones"))
         )
-        tombstone_dirs.append(f"_build_{build_id}/tombstones")
+        tombstone_dirs = [f"_build_{build_id}/tombstones"]
 
-    n_new = meta_old["N"] - n_dead + delta_n
+    n_new = meta_old["N"] - n_dead + delta_n + n_res
     if n_new <= 0:
         raise ValueError("delta would empty the index: refusing to publish")
-    total_tf = meta_old["total_tf"] - dead_tf + delta_tf
+    total_tf = meta_old["total_tf"] - dead_tf + delta_tf + res_tf
     meta = {
         **meta_old,
         "build_id": build_id,
@@ -530,6 +632,7 @@ def delta_update(
                         "(Lucene docFreq convention)",
         "delta_stats": {
             "added_or_changed": int(n_delta), "tombstoned": n_dead,
+            "resurrected": n_res,
         },
     }
     with open(os.path.join(build_dir, "meta.json"), "w") as f:
@@ -558,20 +661,20 @@ def compact(
     build_dir = os.path.join(index_dir, f"_build_{build_id}")
     os.makedirs(build_dir, exist_ok=True)
 
-    import numpy as np
-
-    dead = np.sort(np.array(
-        [r["doc_id"] for r in read_tombstones(spark, index_dir).collect()],
-        dtype=np.int64,
-    ))
-    # NOTE: driver-side tombstone set; at 10^12 scale replace with a
-    # per-segment bitset/bloom shipped via broadcast — same plan shape.
     seg = read_segments(spark, index_dir)
     avgdl = meta_old["avgdl"]
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     merged = P.merge_segments(
         seg, avgdl, cfg.k1, cfg.b, cfg.block_size,
-        num_partitions=n_parts, dead_ids=dead,
+        num_partitions=n_parts,
+        # executor-side per-shard tombstone sidecars (never a driver
+        # collect: at 10^9+ deletes the dead set must not route through
+        # the driver); the merge kernel reads its own shard's files
+        dead_paths=tombstone_paths(index_dir),
+        # pin the term-bucket width to the manifest's: merged tb values
+        # derived from live shuffle.partitions would corrupt
+        # IndexReader's tb-directory pruning after compaction
+        tb_bits=meta_old["tb_bits"],
     )
     seg_dir = os.path.join(build_dir, "segments", "batch=0000")
     merged.write.mode("overwrite").partitionBy("tb").parquet(seg_dir)

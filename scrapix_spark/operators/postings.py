@@ -334,12 +334,16 @@ def merge_segments(
     num_partitions: int | None = None,
     tb_bits: int | None = None,
     dead_ids=None,
+    dead_paths: list[str] | None = None,
 ) -> DataFrame:
     """Merge stage (U4): union of segment block rows → one merged list
     per (term_id, shard), re-blocked and re-encoded — the LSM/Lucene
     segment merge as ONE deterministic shuffle. `dead_ids` (sorted
     int64 ndarray) drops tombstoned docs' postings during the merge —
-    the compaction path.
+    the compaction path. `dead_paths` is the scale form of the same:
+    tombstone sidecar dirs (partitionBy(shard)) that each merge task
+    reads for the shards it touches, EXECUTOR-side — the dead set never
+    routes through the driver (Lucene .liv analog).
 
     Raw tf and dl streams are stored (not precomputed impacts) precisely
     so a merge under a *new* avgdl can recompute exact block_max values.
@@ -424,6 +428,19 @@ def merge_segments(
 
     def merge_kernel(batches):
         pend = None  # flat posting tail of the trailing (term_id, shard) run
+        dead_cache: dict = {}  # shard -> sorted dead ids (executor-local)
+
+        def dead_for(shard: int):
+            if dead_ids is not None and len(dead_ids):
+                return np.asarray(dead_ids)
+            if not dead_paths:
+                return None
+            if shard not in dead_cache:
+                from scrapix_spark.operators.index import dead_ids_for_shard
+
+                dead_cache[shard] = dead_ids_for_shard(dead_paths, shard)
+            return dead_cache[shard]
+
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -438,12 +455,19 @@ def merge_segments(
             )
             tids = np.repeat(btid, n_docs)
             shards = np.repeat(bshard, n_docs)
-            if dead_ids is not None and len(dead_ids) and ids.size:
-                # sorted-membership test: dead docs' postings never
-                # reach the re-encoded output (compaction)
-                pos = np.searchsorted(dead_ids, ids)
-                pos[pos >= len(dead_ids)] = 0
-                alive = np.asarray(dead_ids)[pos] != ids
+            if (dead_ids is not None and len(dead_ids)) or dead_paths:
+                # sorted-membership test per shard: dead docs' postings
+                # never reach the re-encoded output (compaction)
+                alive = np.ones(ids.size, dtype=bool)
+                for s in np.unique(shards):
+                    d = dead_for(int(s))
+                    if d is None or not len(d):
+                        continue
+                    m = shards == s
+                    sub = ids[m]
+                    pos = np.searchsorted(d, sub)
+                    pos[pos >= len(d)] = 0
+                    alive[m] = d[pos] != sub
                 tids, shards = tids[alive], shards[alive]
                 ids, tf, dl = ids[alive], tf[alive], dl[alive]
             if pend is not None:

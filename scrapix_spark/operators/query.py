@@ -199,19 +199,13 @@ class IndexReader:
         self.tombstones = (
             IX.read_tombstones(spark, index_dir) if self._has_dead else None
         )
-        self._dead_np = None
+        # tombstone sidecar dirs (partitionBy(shard)): the pruning kernel
+        # reads its own shard's dead ids EXECUTOR-side — the dead set is
+        # never collected to the driver (Lucene .liv analog)
+        self._tomb_paths = (
+            IX.tombstone_paths(index_dir) if self._has_dead else []
+        )
         self._term_cache: dict[str, tuple[int, int] | None] = {}
-
-    def _dead_array(self):
-        """Sorted tombstone ids for the pruning kernel (driver-side; at
-        10^12 scale ship per-segment bitsets via broadcast instead)."""
-        if not self._has_dead:
-            return None
-        if self._dead_np is None:
-            self._dead_np = np.sort(np.array(
-                [r["doc_id"] for r in self.tombstones.collect()], dtype=np.int64
-            ))
-        return self._dead_np
 
     def _drop_dead(self, df: DataFrame) -> DataFrame:
         if not self._has_dead:
@@ -294,9 +288,15 @@ class IndexReader:
             return self._hydrate(empty) if hydrate else empty
         seg = self._segments_for(list(idf_map))
         avgdl, k1, b = meta["avgdl"], meta["k1"], meta["b"]
-        dead = self._dead_array()
+        tomb_paths = self._tomb_paths
 
         def shard_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            # executor-side: read this shard's dead ids from the
+            # tombstone sidecar (partition-pruned), never via the driver
+            dead = (
+                IX.dead_ids_for_shard(tomb_paths, int(key[0]))
+                if tomb_paths else None
+            )
             return _blockmax_topk_kernel(pdf, idf_map, avgdl, k1, b, k, dead)
 
         per_shard = seg.groupBy("shard").applyInPandas(
@@ -392,19 +392,22 @@ class IndexReader:
             F.sum("score").alias("score"),
             F.sum("n_matched").cast("int").alias("n_matched"),
         )
-        topk = agg.orderBy(
+        words_order = [
             F.col("n_matched").desc(),
             F.round(F.col("score"), SCORE_ROUND).desc(),
             F.col("doc_id").asc(),
-        ).limit(k)
-        return self._hydrate(topk) if hydrate else topk
+        ]
+        topk = agg.orderBy(*words_order).limit(k)
+        return self._hydrate(topk, order=words_order) if hydrate else topk
 
     def _positional_for(self, q: str):
         """Positional rows for the query terms, with the term STRING
         restored (tiny broadcast of the resolved slice) so the
         table-level positional operators apply unchanged. Returns
-        (pos_df, tstats_df, terms) or None if the build stored no
-        positions or no term resolves."""
+        (pos_df, tstats_df, terms), or None if no query term resolves in
+        the dictionary. Raises ValueError (loudly, not None) when the
+        build stored no positions — querying positions that were never
+        built is a configuration error, not an empty result."""
         if not self.meta.get("store_positions"):
             raise ValueError(
                 "index was built without store_positions=True — "
@@ -463,27 +466,41 @@ class IndexReader:
 
         got = self._positional_for(q)
         if got is None:
-            return self.spark.createDataFrame(
+            empty = self.spark.createDataFrame(
                 [], "doc_id long, score double, n_matched int, proximity int"
             )
+            return self._hydrate(empty) if hydrate else empty
         pos, tstats, _terms = got
         meta = self.meta
-        return proximity_topk(
+        prox_order = [
+            F.col("n_matched").desc(), F.col("proximity").asc(),
+            F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc(),
+        ]
+        topk = proximity_topk(
             pos, tstats, meta["N"], meta["avgdl"], q, k, meta["k1"], meta["b"]
         )
+        return self._hydrate(topk, order=prox_order) if hydrate else topk
 
-    def _hydrate(self, topk: DataFrame) -> DataFrame:
+    def _hydrate(self, topk: DataFrame, order: list | None = None) -> DataFrame:
         """J4: attach repo/path/commit/lang to the k winners — broadcast
-        the k rows against the docs table, never the reverse."""
+        the k rows against the docs table, never the reverse.
+
+        `order` is the ORIGINATING ranking of `topk` (default: the T1
+        pair). Every rank column the topk carries (n_matched, proximity,
+        …) survives the join and the output keeps the topk's own order —
+        hydration is presentation, it must never re-rank (a 1-word match
+        outscoring a 2-word match under the `words` rule was the bug)."""
         docs = self._drop_dead(
             self.docs.select("doc_id", "repo", "path", "commit", "lang")
         )
+        if order is None:
+            order = [F.round(F.col("score"), SCORE_ROUND).desc(),
+                     F.col("doc_id").asc()]
+        extra = [c for c in topk.columns if c not in ("doc_id", "score")]
         return (
             docs.join(F.broadcast(topk), "doc_id")
-            .orderBy(
-                F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
-            )
-            .select("doc_id", "score", "repo", "path", "commit", "lang")
+            .orderBy(*order)
+            .select("doc_id", "score", *extra, "repo", "path", "commit", "lang")
         )
 
 

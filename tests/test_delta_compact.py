@@ -180,3 +180,85 @@ def test_positions_across_delta_layers(spark, tmp_path_factory):
     assert rc.topk_phrase("alpha delta", 5, hydrate=False).count() == 1
     assert rc.topk_phrase("alpha beta", 5, hydrate=False).count() == 0
     assert rc.topk_proximity("alpha gamma", 5).collect()[0]["proximity"] == 2
+
+
+def test_tb_bits_pinned_across_delta_and_compact(spark, tmp_path_factory):
+    """ADVICE r1 (high): a delta layer built under a different
+    shuffle.partitions/n_batches than the base must still bucket terms
+    under the MANIFEST's tb_bits — otherwise IndexReader's tb directory
+    pruning silently drops the delta layer's postings. Same for the
+    merged layer compact() writes."""
+    idx = str(tmp_path_factory.mktemp("tbpin") / "idx")
+    snap1 = corpus_spark_df(spark, 150)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # base: 200 partitions over 4 batches -> tb_bits from 50 parts
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        meta0 = build_index(
+            spark, snap1, idx, IndexConfig(**CFG), build_id="base", n_batches=4
+        )
+        # delta under a very different width (1 batch, 8 partitions)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        new_doc = spark.createDataFrame(
+            [("r-new", "brand/new.py", "c1", "py",
+              "xylophonemarker appears only in the delta layer")],
+            "repo string, path string, commit string, lang string, content string",
+        )
+        meta1 = delta_update(spark, snap1.unionByName(new_doc), idx, build_id="d1")
+        assert meta1["tb_bits"] == meta0["tb_bits"]
+        r = IndexReader(spark, idx)
+        hits = r.topk_pruned("xylophonemarker", 5, hydrate=False).collect()
+        assert len(hits) == 1, "delta-layer-only term must be visible"
+        assert r.topk_full("xylophonemarker", 5, hydrate=False).count() == 1
+
+        # compact under yet another width; pruning must still resolve
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        meta2 = compact(spark, idx, build_id="c1")
+        assert meta2["tb_bits"] == meta0["tb_bits"]
+        rc = IndexReader(spark, idx)
+        assert rc.topk_pruned("xylophonemarker", 5, hydrate=False).count() == 1
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def test_tombstoned_doc_resurrected_by_later_delta(spark, tmp_path_factory):
+    """ADVICE r1 (medium): remove a doc in delta1, re-add it with the
+    SAME (repo, path, commit) in delta2 — it must become searchable
+    again (the standing tombstone is cleared, the old layer's postings
+    are reused), N must count it, and compact must keep it."""
+    idx = str(tmp_path_factory.mktemp("resurrect") / "idx")
+    base = spark.createDataFrame(
+        [("r", "a.py", "c1", "py", "phoenixmarker rises from ashes"),
+         ("r", "b.py", "c1", "py", "other content entirely")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    build_index(spark, base, idx, IndexConfig(**CFG), build_id="base")
+    snap_del = base.filter(F.col("path") != "a.py")
+    m1 = delta_update(spark, snap_del, idx, build_id="d1")
+    assert m1["N"] == 1 and m1["delta_stats"]["tombstoned"] == 1
+    r1 = IndexReader(spark, idx)
+    assert r1.topk_pruned("phoenixmarker", 5, hydrate=False).count() == 0
+
+    m2 = delta_update(spark, base, idx, build_id="d2")
+    assert m2["N"] == 2
+    assert m2["delta_stats"]["resurrected"] == 1
+    assert not m2["tombstone_dirs"], "resurrection clears the tombstone"
+    r2 = IndexReader(spark, idx)
+    hits = r2.topk_pruned("phoenixmarker", 5).collect()
+    assert len(hits) == 1 and hits[0]["path"] == "a.py"
+    # hydration must not duplicate the doc (docs row exists once)
+    assert r2.topk_full("phoenixmarker", 5).count() == 1
+
+    compact(spark, idx, build_id="c1")
+    rc = IndexReader(spark, idx)
+    assert rc.topk_pruned("phoenixmarker", 5, hydrate=False).count() == 1
+    # resurrection with DIFFERENT content under the same identity: loud
+    bad = base.withColumn(
+        "content",
+        F.when(F.col("path") == "a.py", F.lit("changed body")).otherwise(
+            F.col("content")
+        ),
+    )
+    delta_update(spark, snap_del, idx, build_id="d3")
+    with pytest.raises(ValueError, match="re-added"):
+        delta_update(spark, bad, idx, build_id="d4")
