@@ -230,17 +230,29 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidate pairs (64 perms, 16 bands).
-    Non-SQL-expressible (seeded permutations) → rows-only check; exact
-    parity vs true Jaccard is pytest-verified on the fixture corpus."""
-    return D.minhash_lsh_pairs(
-        _docs(spark, sf_dir), "text", "doc_id", num_perm=64, bands=16
+    """MinHash+LSH candidate pairs re-verified with EXACT 3-gram
+    Jaccard ≥ 0.8 — the production dedup shape (LSH prunes the pair
+    space, the verify join touches candidates only). Value-exact
+    against the all-pairs Jaccard oracle: the 32-band × 4-row banding's
+    miss probability at j = 0.8 is (1−0.8⁴)³² < 5e-8 per pair (and the
+    corpus's true near-dup pairs all sit at j ≥ 0.889); the run is
+    deterministic (seeded permutations over fixed data)."""
+    return D.minhash_lsh_verified_pairs(
+        _docs(spark, sf_dir), "text", "doc_id",
+        num_perm=128, bands=32, shingle_n=3, threshold=0.8,
     )
 
 
 def q_simhash_dups(spark, sf_dir):
-    """SimHash near-dups (hamming ≤ 8 over 64 bits). Rows-only check."""
-    return D.simhash_near_dups(_docs(spark, sf_dir), "text", "doc_id", max_hamming=8, bands=4)
+    """SimHash(64-bit, 8 bands, hamming ≤ 7) candidates re-verified
+    with EXACT tf-weighted cosine ≥ 0.97. max_hamming = bands−1 makes
+    candidate generation pigeonhole-EXHAUSTIVE for its radius, so the
+    output equals the all-pairs cosine oracle (measured max hamming of
+    a cos ≥ 0.97 pair on the driver tables: 7)."""
+    return D.simhash_verified_dups(
+        _docs(spark, sf_dir), "text", "doc_id",
+        max_hamming=7, bands=8, threshold=0.97,
+    )
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -251,8 +263,9 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """SRP-LSH bucketed ANN top-10 (scale path; seeded hyperplanes →
-    rows-only check; recall vs brute force is pytest-verified)."""
+    """SRP-LSH bucketed ANN top-10 (scale path). The oracle replicates
+    the seeded hyperplanes as SQL literals — bucket assignment, XOR
+    multi-probe and the exact-cosine rerank are all value-checked."""
     emb = _emb(spark, sf_dir)
     qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     return SIM.cosine_topk_lsh(emb, qv, k=10, n_planes=12, max_hamming=4)
@@ -287,7 +300,8 @@ def q_token_counts(spark, sf_dir):
 
 def q_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint (FNV-1a Horner over tokens).
-    Rows-only check (per-token loop is not SQL-expressible)."""
+    The oracle replays the identical recurrence as a HUGEINT
+    list_reduce mod 2^64 — value-exact."""
     return TS.fingerprint(_docs(spark, sf_dir).filter("doc_id < 100"), "text", "doc_id")
 
 
@@ -582,32 +596,28 @@ def q_streaming_tumbling(spark, sf_dir):
 
 
 def q_cosine_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs, exact all-pairs path
-    (threshold 0.4). The LSH-bucketed variant covers the same semantics
-    at scale (pytest-verified recall)."""
-    emb = _emb(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    va = F.transform("va", lambda x: x.cast("double"))
-    vb = F.transform("vb", lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    nrm = lambda v: F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))  # noqa: E731
-    cos = dot / (nrm(va) * nrm(vb))
-    return (
-        pairs.withColumn("cosine", F.round(cos, 6))
-        .filter(F.col("cosine") >= 0.4)
-        .select("id_a", "id_b", "cosine")
+    """Embedding-cosine near-duplicate pairs via the SCALE path:
+    banded SRP candidate generation (4 bands × 3 planes) + exact cosine
+    verification — never the O(N²) all-pairs join. The oracle
+    replicates the seeded hyperplanes as SQL literals, so the banded
+    candidate set — not just the verified values — is exactly checked."""
+    return SIM.pairwise_cosine_dups(
+        _emb(spark, sf_dir), threshold=0.4, n_planes=12, seed=42, bands=4
     )
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF ANN top-10 (coarse k-means quantizer, n_probe=4 of 16 lists).
-    Seeded centroids → rows-only check; recall vs brute force is
-    pytest-verified."""
+    """IVF ANN top-10: probe the 4 nearest of 16 inverted lists, exact
+    cosine on the survivors. The gated quantizer is the seeded
+    data-independent one (SIM.fixed_centroids) so the DuckDB oracle can
+    replicate the list assignment from centroid literals; the k-means
+    quantizer (capped training sample) stays pytest-verified."""
     emb = _emb(spark, sf_dir)
     qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
-    return SIM.cosine_topk_ivf(emb, qv, k=10, n_centroids=16, n_probe=4)
+    cents = SIM.fixed_centroids(dim=len(qv), n_centroids=16, seed=7)
+    return SIM.cosine_topk_ivf(
+        emb, qv, k=10, n_centroids=16, n_probe=4, centroids=cents
+    )
 
 
 # ------------------------------------------------ segmentation (G1/G2)
@@ -1378,6 +1388,197 @@ SELECT {select} FROM hl
 """
 
 
+def _srp_bucket_sql(planes, vec: str = "embedding") -> str:
+    """SRP bucket as a pure-SQL expression: the seeded hyperplanes are
+    embedded as literals, so DuckDB replicates the Spark kernel's
+    candidate generation exactly (signs of plane dot products packed
+    into an int) — the bucketed ANN/dedup paths get a value-level
+    oracle, not a rows-only check."""
+    terms = []
+    for i, row in enumerate(planes):
+        dot = " + ".join(
+            f"CAST({vec}[{j + 1}] AS DOUBLE)*({row[j]!r})" for j in range(len(row))
+        )
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(len({a})), i -> "
+        f"CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE))) / "
+        f"(sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * "
+        f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+    )
+
+
+def _minhash_verified_sql(threshold: float) -> str:
+    """All-pairs exact 3-gram Jaccard ≥ threshold (the LSH candidates'
+    verify step is exact, and the banding's capture probability at this
+    threshold rounds to 1 — see q_minhash_lsh)."""
+    tok = TOK_EXPR("text")
+    return f"""
+WITH toks AS (SELECT doc_id, {tok} AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         range(greatest(len(t) - 2, 0)),
+         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+       FROM toks),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
+"""
+
+
+def _simhash_verified_sql(threshold: float) -> str:
+    """All-pairs exact tf-weighted token cosine ≥ threshold (SimHash
+    approximates this angle; max_hamming = bands−1 makes the candidate
+    set pigeonhole-exhaustive for its radius — see q_simhash_dups)."""
+    tok = TOK_EXPR("text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS c FROM tok GROUP BY doc_id, term),
+nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS n FROM tf GROUP BY doc_id),
+dot AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.c * b.c) AS d
+        FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b, round(d / (na.n * nb.n), 6) AS cosine
+FROM dot JOIN nrm na ON na.doc_id = id_a JOIN nrm nb ON nb.doc_id = id_b
+WHERE round(d / (na.n * nb.n), 6) >= {threshold}
+"""
+
+
+def _ann_lsh_sql(n_planes: int = 12, max_hamming: int = 4, dim: int = 64,
+                 seed: int = 42) -> str:
+    """Replicates cosine_topk_lsh exactly: seeded-plane buckets, XOR
+    bit-count multi-probe, exact cosine on the candidates."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bkt = _srp_bucket_sql(planes, "embedding")
+    qbkt = _srp_bucket_sql(planes, "qe")
+    cos = _cosine_sql("embedding", "qe")
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+b AS (SELECT vec_id, embedding, {bkt} AS bkt FROM embeddings),
+qb AS (SELECT {qbkt} AS qbkt FROM q),
+cand AS (SELECT vec_id, embedding FROM b, qb
+         WHERE bit_count(xor(b.bkt, qb.qbkt)) <= {max_hamming}),
+s AS (SELECT vec_id AS id, {cos} AS cos FROM cand CROSS JOIN q)
+SELECT id, round(cos, 6) AS cosine FROM s
+ORDER BY round(cos, 6) DESC, id LIMIT 10
+"""
+
+
+def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4, dim: int = 64,
+                 seed: int = 7) -> str:
+    """Replicates cosine_topk_ivf with fixed_centroids: the seeded
+    quantizer is embedded as centroid literals; assignment = argmin
+    squared distance (first-min tie-break, same as np.argmin), probes =
+    the n_probe nearest lists to the query, exact cosine on survivors."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_centroids, dim))
+
+    def d2(vec: str, c) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        return (
+            f"list_sum(list_transform(range({dim}), j -> "
+            f"(CAST({vec}[j+1] AS DOUBLE) - ({lit})[j+1]) * "
+            f"(CAST({vec}[j+1] AS DOUBLE) - ({lit})[j+1])))"
+        )
+
+    ds = "[" + ", ".join(d2("embedding", c) for c in cents) + "]"
+    qds = "[" + ", ".join(d2("qe", c) for c in cents) + "]"
+    cos = _cosine_sql("embedding", "qe")
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+a AS (SELECT vec_id, embedding, {ds} AS ds FROM embeddings),
+asn AS (SELECT vec_id, embedding,
+               list_position(ds, list_min(ds)) - 1 AS list_id FROM a),
+qd AS (SELECT {qds} AS ds FROM q),
+probes AS (SELECT i FROM (SELECT unnest(range({n_centroids})) AS i,
+                                 unnest(ds) AS d FROM qd)
+           ORDER BY d, i LIMIT {n_probe}),
+cand AS (SELECT vec_id, embedding FROM asn
+         WHERE list_id IN (SELECT i FROM probes)),
+s AS (SELECT vec_id AS id, {cos} AS cos FROM cand CROSS JOIN q)
+SELECT id, round(cos, 6) AS cosine FROM s
+ORDER BY round(cos, 6) DESC, id LIMIT 10
+"""
+
+
+def _cosine_dup_pairs_sql(threshold: float = 0.4, n_planes: int = 12,
+                          dim: int = 64, seed: int = 42,
+                          bands: int = 4) -> str:
+    """Replicates pairwise_cosine_dups: banded SRP candidates (plane
+    literals, band keys bit-sliced from the packed sign int), exact
+    cosine verify at the threshold."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bkt = _srp_bucket_sql(planes, "embedding")
+    r = n_planes // bands
+    band_keys = ", ".join(
+        f"((bkt // {1 << (bi * r)}) % {1 << r}) + {bi * (1 << r)}"
+        for bi in range(bands)
+    )
+    cos = _cosine_sql("va", "vb")
+    return f"""
+WITH b AS (SELECT vec_id, {bkt} AS bkt FROM embeddings),
+bb AS (SELECT vec_id, unnest([{band_keys}]) AS bb FROM b),
+p AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM bb a JOIN bb c ON a.bb = c.bb AND a.vec_id < c.vec_id),
+pe AS (SELECT id_a, id_b, ea.embedding AS va, eb.embedding AS vb
+       FROM p JOIN embeddings ea ON ea.vec_id = id_a
+              JOIN embeddings eb ON eb.vec_id = id_b)
+SELECT id_a, id_b, round({cos}, 6) AS cosine FROM pe
+WHERE round({cos}, 6) >= {threshold}
+"""
+
+
+def _fingerprint_sql() -> str:
+    """FNV-1a Horner fingerprint replicated in pure SQL: the per-token
+    FNV-1a over (ASCII) bytes and the per-doc Horner fold are both
+    HUGEINT list_reduce recurrences mod 2^64 (tokens contain only
+    [0-9A-Za-z_] by tokenizer construction, so ord() == byte)."""
+    tok = TOK_EXPR("text")
+    m64 = "18446744073709551616::HUGEINT"
+    fnv_init = "14695981039346656037::HUGEINT"
+    prime = "1099511628211::HUGEINT"
+    return f"""
+WITH toks AS (SELECT doc_id, {tok} AS t FROM documents WHERE doc_id < 100),
+th AS (
+  SELECT doc_id,
+         list_transform(t, tk ->
+           list_reduce(
+             list_prepend({fnv_init},
+               list_transform(range(length(tk)),
+                              i -> ord(substr(tk, i::INT + 1, 1))::HUGEINT)),
+             (acc, b) -> (((acc // 256) * 256
+                           + xor((acc % 256)::BIGINT, b::BIGINT)::HUGEINT)
+                          * {prime}) % {m64}
+           )) AS hs
+  FROM toks),
+fp AS (
+  SELECT doc_id,
+         list_reduce(list_prepend({fnv_init}, hs),
+           (acc, h) -> (acc * {prime} + h) % {m64}) AS h
+  FROM th)
+SELECT doc_id,
+       (CASE WHEN h >= 9223372036854775808::HUGEINT
+             THEN (h - {m64}) ELSE h END)::BIGINT AS fingerprint
+FROM fp
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     tok = TOK_EXPR("text")
     en = ", ".join(f"'{w}'" for w in TS.LANG_MARKERS["en"])
@@ -1575,18 +1776,12 @@ SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
        event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1, 2
 """,
-        "cosine_dup_pairs": """
-WITH e AS (SELECT vec_id,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-n AS (SELECT vec_id, v,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round(list_sum(list_transform(range(len(a.v)),
-                     i -> a.v[i+1] * b.v[i+1])) / (a.nrm * b.nrm), 6) AS cosine
-      FROM n a JOIN n b ON a.vec_id < b.vec_id)
-SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
-""",
+        "cosine_dup_pairs": _cosine_dup_pairs_sql(0.4, 12, 64, 42),
+        "minhash_lsh": _minhash_verified_sql(0.8),
+        "simhash_dups": _simhash_verified_sql(0.97),
+        "ann_lsh_topk": _ann_lsh_sql(12, 4, 64, 42),
+        "ann_ivf_topk": _ann_ivf_sql(16, 4, 64, 7),
+        "fingerprint": _fingerprint_sql(),
         "segment_default": _segment_default_sql(),
         "segment_docssearch": _segment_docssearch_sql(),
         "prefix_topk": _prefix_sql(),
@@ -1653,10 +1848,6 @@ WHERE s.n_matched = {len(set(Q.query_terms(PHRASE_QUERY)))}
   AND regexp_matches(lower(d.text), '{M.phrase_regex(Q.query_terms(PHRASE_QUERY))}')
 ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
 """,
-        # minhash_lsh, simhash_dups, ann_lsh_topk, ann_ivf_topk,
-        # fingerprint: seeded permutations / hyperplanes / centroids /
-        # rolling hash — not SQL-expressible; rows-only check (pytest
-        # verifies each against an exact oracle).
     }
 
 

@@ -76,15 +76,33 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for candidate pairs.
 
     Candidates = pairs sharing ≥1 shingle (equality shuffle on the
     shingle, id_a < id_b to halve the join). |A∩B| from the join,
-    |A∪B| = |A|+|B|−|A∩B|. At 100 TB you'd pre-prune hot shingles
-    (df cap) — exposed via max_shingle_df.
+    |A∪B| = |A|+|B|−|A∩B|.
+
+    `max_shingle_df` prunes HOT shingles (document frequency > cap)
+    from candidate generation AND intersection counting — a
+    boilerplate shingle shared by m docs otherwise contributes
+    O(m²) join rows (quadratic blowup at 100 TB). Set sizes are still
+    counted over the pruned shingle space, so the reported jaccard is
+    the exact jaccard of the RARE-shingle sets — an upper-bound-safe
+    candidate score for near-dup detection (two docs that agree on all
+    rare shingles and disagree only on boilerplate still surface);
+    None = exact jaccard over all shingles.
     """
     sh = word_shingles(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -174,6 +192,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate candidate pairs.
 
@@ -181,6 +200,12 @@ def minhash_lsh_pairs(
     any (band_id, band_hash) bucket become a candidate pair; estimated
     Jaccard = fraction of equal signature components. The bucket join is
     the only shuffle wider than the signatures themselves.
+
+    `max_bucket_size` caps candidate blowup: a bucket holding m docs
+    yields O(m²) pairs, and a boilerplate cluster of identical docs
+    puts ALL its members in the same bucket of EVERY band. Buckets over
+    the cap are dropped from the join (run exact_duplicates first —
+    byte-identical clusters are its job, at O(m), not LSH's).
     """
     rows = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed)
@@ -205,6 +230,14 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "signature", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        over = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(over, ["band", "bucket"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -266,11 +299,19 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, bands: int = 4
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
-    """Near-dups by SimHash: band the 64-bit hash into `bands` 16-bit
-    keys (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands equal),
-    bucket-join, verify exact hamming distance."""
+    """Near-dups by SimHash: band the 64-bit hash into `bands` equal
+    keys (pigeonhole: hamming ≤ bands−1 ⇒ at least one band equal, so
+    with max_hamming ≤ bands−1 candidate generation is EXHAUSTIVE),
+    bucket-join, verify exact hamming distance. `max_bucket_size` drops
+    over-cap buckets from the join (identical-doc clusters collide in
+    every band — run exact_duplicates first; see minhash_lsh_pairs)."""
     sigs = simhash(df, text_col, id_col)
     width = 64 // bands
     banded = sigs.select(
@@ -290,6 +331,14 @@ def simhash_near_dups(
             )
         ).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.key")
+    if max_bucket_size is not None:
+        over = (
+            banded.groupBy("band", "key")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "key")
+        )
+        banded = banded.join(over, ["band", "key"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -309,3 +358,113 @@ def simhash_near_dups(
     return cand.withColumn(
         "hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
     ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+# ----------------------------------------------- verified candidate pairs
+
+
+def minhash_lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = 1024,
+) -> DataFrame:
+    """MinHash+LSH candidates re-verified with EXACT shingle Jaccard.
+
+    The production dedup shape: LSH prunes the pair space (the only
+    wide shuffle is the band-bucket join), then the exact Jaccard of
+    each CANDIDATE pair is recomputed from the shingle sets — the
+    verify join touches candidate pairs only, never all pairs. Output
+    (id_a, id_b, jaccard >= threshold) is deterministic and exactly
+    checkable against an all-pairs oracle wherever the banding's
+    capture probability at `threshold` rounds to 1: with b bands of r
+    rows the per-pair miss probability is (1-j^r)^b — pick the banding
+    negligible AT the threshold (32x4 at j>=0.8: (1-0.8^4)^32 < 5e-8),
+    not merely at the similarity of the pairs you expect (16x4 at
+    j=0.5 misses a THIRD of threshold-grazing pairs).
+    """
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, num_perm, bands, shingle_n, seed,
+        max_bucket_size=max_bucket_size,
+    ).select("id_a", "id_b")
+    sh = word_shingles(df, text_col, id_col, shingle_n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        F.broadcast(cand)
+        .join(sh.withColumnRenamed("id", "id_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "sh_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sh_a") + F.col("sh_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_verified_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 7,
+    bands: int = 8,
+    threshold: float = 0.97,
+    max_bucket_size: int | None = 4096,
+) -> DataFrame:
+    """SimHash candidates re-verified with EXACT tf-weighted cosine.
+
+    SimHash approximates the angle between tf-weighted term vectors;
+    the verify step computes that cosine exactly, but only for the
+    candidate pairs the banded hamming join surfaced. With
+    max_hamming = bands - 1 the candidate set is pigeonhole-EXHAUSTIVE
+    for its hamming radius, so the output is exactly an all-pairs
+    cosine >= threshold result wherever cosine >= threshold implies
+    hamming <= max_hamming (the 64-bit hash concentrates: expected
+    hamming at cos 0.97 is 64*acos(0.97)/pi ~ 5).
+    """
+    cand = simhash_near_dups(
+        df, text_col, id_col, max_hamming, bands, max_bucket_size=max_bucket_size
+    ).select("id_a", "id_b")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_native(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").cast("double").alias("tf"))
+    nrm = tf.groupBy("id").agg(F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm"))
+    ta = tf.select(F.col("id").alias("id_a"), "term", F.col("tf").alias("tf_a"))
+    tb = tf.select(F.col("id").alias("id_b"), "term", F.col("tf").alias("tf_b"))
+    dot = (
+        F.broadcast(cand)
+        .join(ta, "id_a")
+        .join(tb, ["id_b", "term"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    return (
+        dot.join(nrm.withColumnRenamed("id", "id_a").withColumnRenamed("nrm", "na"), "id_a")
+        .join(nrm.withColumnRenamed("id", "id_b").withColumnRenamed("nrm", "nb"), "id_b")
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

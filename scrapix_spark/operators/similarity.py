@@ -109,20 +109,25 @@ def ivf_centroids(
     n_centroids: int = 16,
     n_iter: int = 5,
     seed: int = 42,
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
     vec_col: str = "embedding",
+    max_train: int = 100_000,
 ) -> np.ndarray:
-    """Train an IVF coarse quantizer: k-means on a (sampled) collect.
+    """Train an IVF coarse quantizer: k-means on a SAMPLED collect.
 
-    At 100 TB the training set is a tiny uniform sample (k-means needs
-    ~1000·k points, not the corpus); only the sample crosses the driver.
+    The training set is ALWAYS hard-capped at `max_train` rows
+    (k-means needs ~1000·k points, not the corpus) — regardless of
+    caller args, only the capped sample ever crosses to the driver;
+    a full-table toPandas() at 100 TB is a driver OOM, not a slow path.
     Deterministic: seeded init, fixed iteration count, ties to lowest
     centroid id.
     """
     sample = df.select(vec_col)
-    if sample_fraction < 1.0:
+    if sample_fraction is not None and sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=seed)
-    X = np.stack(sample.toPandas()[vec_col].to_numpy()).astype(np.float64)
+    X = np.stack(
+        sample.limit(max_train).toPandas()[vec_col].to_numpy()
+    ).astype(np.float64)
     rng = np.random.default_rng(seed)
     cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
     for _ in range(n_iter):
@@ -164,6 +169,19 @@ def ivf_assign(
     return df.select(id_col, vec_col).mapInPandas(kernel, schema="id long, list_id int")
 
 
+def fixed_centroids(dim: int, n_centroids: int = 16, seed: int = 7) -> np.ndarray:
+    """Seeded data-independent Gaussian coarse quantizer.
+
+    Quality is a notch below k-means, but the quantizer is a pure
+    function of (dim, n_centroids, seed) — so an external oracle (the
+    driver's DuckDB gate) can replicate the IVF assignment exactly from
+    centroid literals. Use ivf_centroids (k-means, capped sample) when
+    no external replication is needed.
+    """
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_centroids, dim))
+
+
 def cosine_topk_ivf(
     df: DataFrame,
     query_vec: list[float],
@@ -173,6 +191,7 @@ def cosine_topk_ivf(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: probe the `n_probe` nearest inverted lists only.
 
@@ -180,8 +199,14 @@ def cosine_topk_ivf(
     among the query's n_probe nearest centroids (partition-pruned at
     scale), then exact cosine on the survivors. Recall is tunable via
     n_probe (n_probe == n_centroids degenerates to exact search).
+    `centroids` overrides the k-means quantizer (e.g. fixed_centroids
+    for externally-replicable assignment).
     """
-    cents = ivf_centroids(df, n_centroids, seed=seed, vec_col=vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(df, n_centroids, seed=seed, vec_col=vec_col)
+    )
     qv = np.asarray(query_vec, dtype=np.float64)
     d2 = ((cents - qv[None, :]) ** 2).sum(axis=1)
     probe = [int(i) for i in np.argsort(d2, kind="stable")[:n_probe]]
@@ -200,25 +225,44 @@ def pairwise_cosine_dups(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bands: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP-bucket candidate
     generation + exact verification (the embedding analog of MinHash+LSH
-    dedup). Returns (id_a, id_b, cosine ≥ threshold)."""
+    dedup). Returns (id_a, id_b, cosine ≥ threshold).
+
+    `bands` splits the n_planes sign bits into band keys (n_planes must
+    divide evenly); a pair is a candidate if ANY band matches — the
+    OR-amplification that keeps capture probability high at moderate
+    similarity where a single full-width bucket match is hopeless
+    (p_agree^12 ≈ 0.005 at cos 0.45 vs 1-(1-p^3)^4 ≈ 0.72 for 4×3).
+    bands=1 is the strict single-bucket form for true near-dups."""
     first = df.select(vec_col).first()
     dim = len(first[vec_col])
+    r = n_planes // bands
     b = srp_lsh_buckets(df, dim, n_planes, seed, id_col, vec_col)
-    withb = df.join(b.withColumnRenamed("id", id_col), id_col)
-    a_, b_ = withb.alias("a"), withb.alias("b")
-    cand = a_.join(
-        b_,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        F.col(f"a.{vec_col}").alias("va"),
-        F.col(f"b.{vec_col}").alias("vb"),
+    # band keys by bit-slicing the packed sign int, namespaced by band
+    # ordinal — one explode, one equi-join shuffle on the band key
+    keys = F.array(*[
+        (
+            F.shiftrightunsigned(F.col("bucket"), bi * r)
+            .bitwiseAND(F.lit((1 << r) - 1)) + F.lit(bi * (1 << r))
+        ).cast("long")
+        for bi in range(bands)
+    ])
+    bb = b.select("id", F.explode(keys).alias("bb"))
+    a_, b_ = bb.alias("a"), bb.alias("b")
+    pairs = (
+        a_.join(
+            b_,
+            (F.col("a.bb") == F.col("b.bb")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
+    va_df = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb_df = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cand = pairs.join(va_df, "id_a").join(vb_df, "id_b")
     va = F.transform("va", lambda x: x.cast("double"))
     vb = F.transform("vb", lambda x: x.cast("double"))
     cos = _dot(va, vb) / (_norm(va) * _norm(vb))

@@ -180,3 +180,144 @@ def test_quality_features_edges(spark):
     rows = {r["doc_id"]: r for r in TS.quality_features(df).collect()}
     assert rows[1]["n_tokens"] == 0 and rows[1]["quality_score"] == 0.0
     assert rows[2]["stopword_ratio"] == 1.0
+
+
+# ---------------------------------------- scale caps + verified pairs
+
+
+@pytest.fixture(scope="module")
+def boilerplate_docs(spark):
+    """50 docs sharing one boilerplate shingle run + 6 identical docs +
+    one true near-dup pair — the shapes that blow up uncapped LSH."""
+    boiler = "generated by the standard license header tool do not edit"
+    rows = [(i, f"{boiler} unique body {i} alpha{i} beta{i} gamma{i}")
+            for i in range(50)]
+    rows += [(100 + i, "six byte identical cluster documents right here ok")
+             for i in range(6)]
+    rows += [
+        (200, "the quick brown fox jumps over the lazy dog again and again"),
+        (201, "the quick brown fox jumps over the sleepy dog again and again"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_max_shingle_df_prunes_hot_shingles(spark, boilerplate_docs):
+    """The df cap must kill the boilerplate O(m²) candidate blowup while
+    keeping the true near-dup pair."""
+    uncapped = D.ngram_jaccard_pairs(
+        boilerplate_docs, "text", "doc_id", 3, 0.01
+    )
+    capped = D.ngram_jaccard_pairs(
+        boilerplate_docs, "text", "doc_id", 3, 0.01, max_shingle_df=10
+    )
+    n_unc, n_cap = uncapped.count(), capped.count()
+    # 50 boilerplate docs share shingles -> ~50*49/2 uncapped pairs
+    assert n_unc > 1000
+    assert n_cap < 100, "hot-shingle pairs must be pruned"
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert (200, 201) in got  # rare-shingle near-dup survives the cap
+    assert got[(200, 201)] > 0.5
+
+
+def test_minhash_bucket_cap_bounds_identical_cluster(spark, boilerplate_docs):
+    cluster = boilerplate_docs.filter("doc_id >= 100 AND doc_id < 200")
+    uncapped = D.minhash_lsh_pairs(
+        cluster, "text", "doc_id", 64, 16, max_bucket_size=None
+    ).count()
+    capped = D.minhash_lsh_pairs(
+        cluster, "text", "doc_id", 64, 16, max_bucket_size=2
+    ).count()
+    assert uncapped == 15  # 6 identical docs -> C(6,2) pairs in EVERY band
+    assert capped == 0, "over-cap buckets must leave the join"
+    # the cluster is exact-dedup's job at O(m): it still surfaces there
+    g = D.exact_duplicates(cluster, "text", "doc_id").collect()
+    assert len(g) == 1 and g[0]["n_dups"] == 6
+
+
+def test_simhash_bucket_cap(spark, boilerplate_docs):
+    cluster = boilerplate_docs.filter("doc_id >= 100 AND doc_id < 200")
+    capped = D.simhash_near_dups(
+        cluster, "text", "doc_id", 7, 8, max_bucket_size=2
+    ).count()
+    assert capped == 0
+
+
+def test_minhash_verified_equals_allpairs_jaccard(spark, dup_docs):
+    """Verified LSH pairs == brute-force shingle jaccard >= threshold on
+    the fixture corpus. Banding must be chosen for the THRESHOLD, not
+    the expected pairs: 32 bands x 4 rows has per-pair miss probability
+    (1-j^4)^32 < 5e-8 at j >= 0.8 (16x4 at j = 0.5 misses ~35%)."""
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_lsh_verified_pairs(
+            dup_docs, "text", "doc_id", 128, 32, threshold=0.8
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            dup_docs, "text", "doc_id", 3, 0.0001
+        ).collect()
+        if r["jaccard"] >= 0.8
+    }
+    assert got == want and (1, 2) in got
+
+
+def test_simhash_verified_equals_allpairs_cosine(spark, dup_docs):
+    """simhash_verified_dups == brute-force tf-cosine >= threshold on
+    the fixture (pigeonhole-exhaustive candidates at hamming <= 7)."""
+    import itertools
+    from collections import Counter
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.simhash_verified_dups(
+            dup_docs, "text", "doc_id", max_hamming=7, bands=8, threshold=0.9
+        ).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in dup_docs.collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        ca, cb = Counter(texts[a].lower().split()), Counter(texts[b].lower().split())
+        na = np.sqrt(sum(v * v for v in ca.values()))
+        nb = np.sqrt(sum(v * v for v in cb.values()))
+        if na == 0 or nb == 0:
+            continue
+        cos = sum(ca[t] * cb[t] for t in ca) / (na * nb)
+        if round(cos, 6) >= 0.9:
+            want[(a, b)] = round(cos, 6)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=2e-6)
+
+
+def test_ivf_training_is_capped(spark, vectors):
+    """The k-means training collect must respect max_train regardless of
+    caller args — a full-table toPandas() at scale is a driver OOM."""
+    df, _ = vectors
+    cents = SIM.ivf_centroids(df, n_centroids=4, max_train=50)
+    assert cents.shape == (4, 16)
+    # still usable end-to-end
+    q = [float(x) for x in df.first()["embedding"]]
+    out = SIM.cosine_topk_ivf(df, q, k=3, n_centroids=4, n_probe=4,
+                              centroids=cents).collect()
+    assert len(out) == 3
+
+
+def test_fixed_centroids_deterministic(spark):
+    a = SIM.fixed_centroids(16, 8, seed=7)
+    b = SIM.fixed_centroids(16, 8, seed=7)
+    assert np.array_equal(a, b) and a.shape == (8, 16)
+
+
+def test_banded_cosine_dups_capture(spark, vectors):
+    """Banded SRP (4x3) must capture moderate-similarity pairs that a
+    full 12-bit single bucket provably misses."""
+    df, vecs = vectors
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.pairwise_cosine_dups(
+            df, threshold=0.9, n_planes=12, bands=4
+        ).collect()
+    }
+    assert (0, 5) in banded and (0, 7) in banded
