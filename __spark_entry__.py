@@ -189,27 +189,17 @@ def q_posting_intersection(spark, sf_dir):
 
 def q_distinct_by_source_topk(spark, sf_dir):
     """F9 distinct attribute: at most one hit per `source` in the top-k
-    (reference distinctAttribute, src/scrapers/default.ts:27)."""
-    from pyspark.sql import Window
-
-    post = _postings(spark, sf_dir)
-    stats = P.term_stats(post)
-    t = _tokenized(spark, sf_dir)
-    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
-    scored = Q.bm25_topk_from_postings(
-        post, stats, int(row["n"]), float(row["a"]), DISTINCT_QUERY,
-        10_000_000, K1, B,
-    )
-    hyd = scored.join(_docs(spark, sf_dir).select("doc_id", "source"), "doc_id")
-    w = Window.partitionBy("source").orderBy(
-        F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()
-    )
-    return (
-        hyd.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .orderBy(F.round(F.col("score"), 9).desc(), F.col("doc_id").asc())
-        .limit(10)
-        .select("doc_id", F.round("score", 4).alias("score"), "source")
+    (reference distinctAttribute, src/scrapers/default.ts:27) — served
+    by the packaged IndexReader.topk_distinct over the PUBLISHED index
+    (the build pins IndexConfig.distinct_attribute='repo'); `path`
+    carries the original doc_id as the stable tie-break."""
+    idx = _entry_index(spark, sf_dir)
+    r = Q.IndexReader(spark, idx)
+    out = r.topk_distinct(DISTINCT_QUERY, 10, tie_cols=("path",))
+    return out.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        F.col("repo").alias("source"),
     )
 
 
@@ -352,21 +342,114 @@ def _entry_index(spark: SparkSession, sf_dir: str) -> str:
     from scrapix_spark.config import IndexConfig
     from scrapix_spark.operators.index import build_index
 
-    d = "/tmp/entry_index_" + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    d = "/tmp/entry_index2_" + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
     if not os.path.exists(os.path.join(d, "_CURRENT")):
         raw = _docs(spark, sf_dir).select(
             F.col("source").alias("repo"),
-            F.col("doc_id").cast("string").alias("path"),
+            # zero-padded so path STRING order == original doc_id order
+            # (ties in rounded scores must break identically in Spark
+            # and the original-id-keyed SQL oracle)
+            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("path"),
             F.lit("c0").alias("commit"),
             F.col("lang"),
             F.col("text").alias("content"),
         )
         build_index(
             spark, raw, d,
-            IndexConfig(index_uid="entry", n_shards=8, exclude_paginated=False),
+            IndexConfig(index_uid="entry", n_shards=8, exclude_paginated=False,
+                        distinct_attribute="repo"),
             build_id="e1", source_desc=sf_dir,
         )
     return d
+
+
+DELTA_QUERY = "deltamarker stream filter"
+
+# deterministic snapshot-2 rule, shared verbatim with the SQL oracles:
+# doc_id % 10 == 3 -> removed; doc_id % 10 == 7 -> changed (marker
+# appended twice, commit bumped); everything else unchanged
+_DELTA_LIVE_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 10 = 7 "
+    "THEN text || ' deltamarker deltamarker' ELSE text END AS text "
+    "FROM documents WHERE doc_id % 10 <> 3"
+)
+
+
+def _delta_snapshots(spark, sf_dir):
+    base = _docs(spark, sf_dir).select(
+        F.col("source").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.col("doc_id").alias("_id"),
+    )
+    chg = F.col("_id") % 10 == 7
+    snap2 = (
+        base.filter(F.col("_id") % 10 != 3)
+        .withColumn(
+            "content",
+            F.when(chg, F.concat("content", F.lit(" deltamarker deltamarker")))
+            .otherwise(F.col("content")),
+        )
+        .withColumn("commit", F.when(chg, F.lit("c1")).otherwise(F.lit("c0")))
+    )
+    return base.drop("_id"), snap2.drop("_id")
+
+
+def _lifecycle_index(spark, sf_dir, compacted: bool) -> str:
+    """X14 lifecycle fixture (cached per sf_dir): base build over the
+    documents table → delta_update with the deterministic snapshot-2
+    diff (adds tombstones + a delta layer) → optionally compact().
+    Reference anchors: re-crawl + atomic swap (src/sender.ts:33-55,
+    124-131); tombstone/df semantics follow the Lucene convention."""
+    import re as _re
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import build_index, compact, delta_update
+
+    tag = "entry_compact_" if compacted else "entry_delta_"
+    d = "/tmp/" + tag + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    final = "_build_c1" if compacted else "_build_d1"
+    if not os.path.exists(os.path.join(d, final, "meta.json")):
+        base, snap2 = _delta_snapshots(spark, sf_dir)
+        build_index(
+            spark, base, d,
+            IndexConfig(index_uid="lifecycle", n_shards=8,
+                        exclude_paginated=False),
+            build_id="b", source_desc=sf_dir,
+        )
+        delta_update(spark, snap2, d, build_id="d1")
+        if compacted:
+            compact(spark, d, build_id="c1")
+    return d
+
+
+def q_delta_lifecycle_topk(spark, sf_dir):
+    """X14 driver gate, LAYERED state: block-max WAND top-10 over the
+    published base+delta index with standing tombstones. The oracle
+    replicates the engine's exact semantics: live N/avgdl, live
+    tf/dl, but STALE df (layer-summed, tombstoned docs still counted —
+    the Lucene docFreq convention until compact())."""
+    idx = _lifecycle_index(spark, sf_dir, compacted=False)
+    topk = Q.bm25_topk_pruned(spark, idx, DELTA_QUERY, 10, hydrate=True)
+    return topk.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_compact_lifecycle_topk(spark, sf_dir):
+    """X14 driver gate, COMPACTED state: the same lifecycle folded back
+    to one layer — df is exact again, so the oracle is plain BM25 over
+    the live snapshot (compaction must be rank-identical to a fresh
+    rebuild)."""
+    idx = _lifecycle_index(spark, sf_dir, compacted=True)
+    topk = Q.bm25_topk_pruned(spark, idx, DELTA_QUERY, 10, hydrate=True)
+    return topk.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
 
 
 def q_bm25_wand_topk(spark, sf_dir):
@@ -939,6 +1022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         "events_tumbling": q_events_tumbling,
         "bm25_wand_topk": q_bm25_wand_topk,
+        "delta_lifecycle_topk": q_delta_lifecycle_topk,
+        "compact_lifecycle_topk": q_compact_lifecycle_topk,
         "merged_segments_topk": q_merged_segments_topk,
         "bm25f_topk": q_bm25f_topk,
         "glob_scope_filter": q_glob_scope_filter,
@@ -1388,6 +1473,71 @@ SELECT {select} FROM hl
 """
 
 
+def _delta_lifecycle_sql() -> str:
+    """BM25 over the LAYERED index state: live snapshot tf/dl/N/avgdl,
+    STALE df = df over the base corpus (every original doc — tombstoned
+    ones included) PLUS df over the delta layer (the changed docs' new
+    versions). This is exactly what the engine's layer-summed dictionary
+    serves until compact()."""
+    tok = TOK_EXPR("text")
+    tlist = ", ".join(f"'{t}'" for t in Q.query_terms(DELTA_QUERY))
+    return f"""
+WITH live AS ({_DELTA_LIVE_SQL}),
+ltok AS (SELECT doc_id, unnest({tok}) AS term FROM live),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ltok
+       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM ltok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+btok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+bdf AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM btok
+        WHERE term IN ({tlist}) GROUP BY term),
+dtok AS (SELECT doc_id,
+                unnest({TOK_EXPR("text || ' deltamarker deltamarker'")}) AS term
+         FROM documents WHERE doc_id % 10 = 7),
+ddf AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM dtok
+        WHERE term IN ({tlist}) GROUP BY term),
+dfv AS (SELECT coalesce(b.term, d.term) AS term,
+               coalesce(b.df, 0) + coalesce(d.df, 0) AS df
+        FROM bdf b FULL JOIN ddf d ON b.term = d.term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN dfv USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
+"""
+
+
+def _compact_lifecycle_sql() -> str:
+    """BM25 over the live snapshot with EXACT df — the post-compaction
+    state (rank-identical to a fresh rebuild of the live snapshot)."""
+    tok = TOK_EXPR("text")
+    tlist = ", ".join(f"'{t}'" for t in Q.query_terms(DELTA_QUERY))
+    return f"""
+WITH live AS ({_DELTA_LIVE_SQL}),
+ltok AS (SELECT doc_id, unnest({tok}) AS term FROM live),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ltok
+       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM ltok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+dfv AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN dfv USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
+"""
+
+
 def _srp_bucket_sql(planes, vec: str = "embedding") -> str:
     """SRP bucket as a pure-SQL expression: the seeded hyperplanes are
     embedded as literals, so DuckDB replicates the Spark kernel's
@@ -1726,6 +1876,8 @@ SELECT doc_id, round(score, 4) AS score, n_matched
 FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
 """,
         "bm25f_topk": _bm25f_sql(),
+        "delta_lifecycle_topk": _delta_lifecycle_sql(),
+        "compact_lifecycle_topk": _compact_lifecycle_sql(),
         "glob_scope_filter": _glob_scope_sql(),
         "urls_tags": """
 SELECT doc_id, array_to_string(list_slice(sp, 2, len(sp) - 1), '>') AS tags

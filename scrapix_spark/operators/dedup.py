@@ -7,7 +7,7 @@ an O(N²) cross join. Verification joins only touch candidate pairs.
 
 The distinct-attribute semantics of the reference (one hit per url /
 content, src/scrapers/default.ts:27, docssearch.ts:46) are the query-time
-cousin of exact dedup; see query.distinct_by.
+cousin of exact dedup; see query.IndexReader.topk_distinct.
 """
 
 from __future__ import annotations

@@ -51,6 +51,79 @@ DOCS_COLS = [
 from contextlib import contextmanager
 
 
+class BuildHeartbeat:
+    """Live progress emitter (S11/W1): a daemon thread appends one JSON
+    line to <build_dir>/heartbeat.jsonl every `interval_sec` while the
+    build runs — the webhook `active` stream of the reference
+    (src/crawler.ts:111-122 emits {status, nb_page_crawled, ...} every
+    5 s; payload shape README.md:220-231). Counters are MONOTONE:
+    `tasks_done` accumulates completed Spark tasks via the status
+    tracker, `phases_done` counts finished build phases. One `started`
+    row, N `active` rows, one terminal `completed`/`failed` row."""
+
+    def __init__(self, spark: SparkSession, build_dir: str,
+                 interval_sec: float = 5.0, source: str = ""):
+        import threading
+
+        self.spark = spark
+        self.path = os.path.join(build_dir, "heartbeat.jsonl")
+        self.interval = interval_sec
+        self.source = source
+        self.phase = "init"
+        self.phases_done = 0
+        self._tasks_base = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _now(self) -> str:
+        return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+
+    def _tasks_done(self) -> int:
+        # max() keeps the counter monotone even when the status tracker
+        # evicts old stages (spark.ui.retainedStages)
+        try:
+            tr = self.spark.sparkContext.statusTracker()
+            done = 0
+            for jid in tr.getJobIdsForGroup(None) or []:
+                j = tr.getJobInfo(jid)
+                for sid in (j.stageIds if j else []):
+                    s = tr.getStageInfo(sid)
+                    if s:
+                        done += s.numCompletedTasks
+            self._tasks_base = max(self._tasks_base, done)
+        except Exception:
+            pass
+        return self._tasks_base
+
+    def _emit(self, status: str):
+        row = {
+            "status": status, "date": self._now(), "phase": self.phase,
+            "phases_done": self.phases_done,
+            "tasks_done": self._tasks_done(), "source": self.source,
+        }
+        with open(self.path, "a") as f:
+            f.write(json.dumps(row, sort_keys=True) + "\n")
+
+    def start(self):
+        self._emit("started")
+        self._thread.start()
+        return self
+
+    def set_phase(self, phase: str):
+        self.phases_done += 1 if self.phase != "init" else 0
+        self.phase = phase
+
+    def _run(self):
+        while not self._stop.wait(self.interval):
+            self._emit("active")
+
+    def finish(self, status: str = "completed"):
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+        self.phases_done += 1
+        self._emit(status)
+
+
 @contextmanager
 def _one_task_per_file(spark: SparkSession):
     """Pin file↔task 1:1 for a parquet read: openCostInBytes equal to a
@@ -87,6 +160,7 @@ def build_index(
     source_desc: str = "",
     publish_index: bool = True,
     tb_bits: int | None = None,
+    heartbeat_sec: float | None = 5.0,
 ) -> dict:
     """Full index build: docs → postings → stats → encoded segments →
     manifest. Returns the manifest dict. Resumable per batch.
@@ -95,10 +169,46 @@ def build_index(
     build becomes a layer of an existing index (delta_update does):
     IndexReader prunes tb directories with the manifest's tb_bits, so a
     layer bucketed under a different width is silently invisible to
-    queries."""
+    queries.
+
+    `heartbeat_sec` emits live `active` progress rows to
+    <build_dir>/heartbeat.jsonl while the build runs (S11/W1, the
+    reference's 5 s webhook stream); None disables."""
     cfg = cfg or IndexConfig()
     build_dir = os.path.join(index_dir, f"_build_{build_id}")
     os.makedirs(build_dir, exist_ok=True)
+    hb = (
+        BuildHeartbeat(spark, build_dir, heartbeat_sec, source_desc).start()
+        if heartbeat_sec is not None
+        else None
+    )
+    try:
+        meta = _build_index_inner(
+            spark, raw, index_dir, build_dir, cfg, build_id, n_batches,
+            source_desc, publish_index, tb_bits, hb,
+        )
+        if hb:
+            hb.finish("completed")
+        return meta
+    except BaseException:
+        if hb:
+            hb.finish("failed")
+        raise
+
+
+def _build_index_inner(
+    spark: SparkSession,
+    raw: DataFrame,
+    index_dir: str,
+    build_dir: str,
+    cfg: IndexConfig,
+    build_id: str,
+    n_batches: int,
+    source_desc: str,
+    publish_index: bool,
+    tb_bits: int | None,
+    hb: "BuildHeartbeat | None",
+) -> dict:
     t0 = time.time()
     phases: dict[str, float] = {}
 
@@ -116,6 +226,8 @@ def build_index(
     if tb_bits is None:
         tb_bits = P.tb_bits_for(batch_parts if not cfg.sorted_staging else n_parts)
 
+    if hb:
+        hb.set_phase("tokenize_postings")
     tp = time.time()
     # tokenize=False: doc_len comes from the postings staging relation
     # during the docs write (one small shuffle of (doc_id, dl) pairs),
@@ -142,6 +254,8 @@ def build_index(
     post = spark.read.parquet(post_path)
     phases["tokenize_postings"] = round(time.time() - tp, 2)
 
+    if hb:
+        hb.set_phase("docs_write")
     tp = time.time()
     docs_path = os.path.join(build_dir, "docs")
     from pyspark.sql import Observation
@@ -158,7 +272,10 @@ def build_index(
             .join(dls, "doc_id", "left")
             .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)))
             .select(*DOCS_COLS)
+            # T4 batch sizing (reference src/sender.ts:22 batch_size ||
+            # 1000): docs-per-output-file is the document-batch unit
             .write.mode("overwrite")
+            .option("maxRecordsPerFile", str(cfg.batch_size))
             .parquet(docs_path)
         )
         n_docs = int(obs.get["n"])
@@ -170,6 +287,8 @@ def build_index(
         # stats gate (sender.ts:86-96): empty build is never published
         raise ValueError("empty build: refusing to publish an index with 0 docs")
 
+    if hb:
+        hb.set_phase("dict_stats")
     tp = time.time()
     dict_path = os.path.join(build_dir, "dict")
     if not _done(dict_path):
@@ -191,6 +310,8 @@ def build_index(
 
     # resumable, _SUCCESS-marked segment batches (shard-range units)
     seg_root = os.path.join(build_dir, "segments")
+    if hb:
+        hb.set_phase("segments")
     tp = time.time()
     for i, shard_group in enumerate(batches):
         batch_dir = os.path.join(seg_root, f"batch={i:04d}")
@@ -282,6 +403,8 @@ def build_index(
         json.dump(meta, f, indent=1, sort_keys=True)
 
     # per-partition lineage + metrics rows (north_rule; webhook analog S11)
+    if hb:
+        hb.set_phase("metrics_publish")
     seg = spark.read.parquet(seg_root).drop("batch")
     metrics = (
         seg.groupBy("shard")

@@ -481,6 +481,62 @@ class IndexReader:
         )
         return self._hydrate(topk, order=prox_order) if hydrate else topk
 
+    def topk_distinct(
+        self, q: str, k: int = 10, attr: str | None = None,
+        tie_cols: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """Distinct-attribute top-k (F9, Meilisearch distinctAttribute —
+        reference src/scrapers/default.ts:27 pins `url`): at most ONE
+        hit per value of `attr` (a docs column; defaults to the build's
+        IndexConfig.distinct_attribute).
+
+        Distinct semantics force scoring EVERY matching doc before the
+        cut (the best doc of an attr group can sit arbitrarily deep in
+        the unconstrained ranking), so this path full-scores matches and
+        takes the per-attr winner with one window — the window shuffles
+        only (doc_id, score, attr) rows of matching docs, never content.
+        Returns (doc_id, score, <attr>, *tie_cols) in the pinned T1
+        order; `tie_cols` (docs columns) break rounded-score ties ahead
+        of the engine's hash doc_id — pass the caller's own stable key
+        when results must be order-comparable outside the index.
+        """
+        from pyspark.sql import Window
+
+        attr = attr or self.meta.get("distinct_attribute")
+        if not attr:
+            raise ValueError(
+                "no distinct attribute: pass attr= or build the index "
+                "with IndexConfig.distinct_attribute set"
+            )
+        meta = self.meta
+        drows = self.resolve_terms(query_terms(q))
+        tids = [tid for _, tid, _ in drows]
+        post = self._drop_dead(
+            _decode_blocks_df(self._segments_for(tids))
+        ).withColumnRenamed("term_id", "term")
+        tstats = self.spark.createDataFrame(
+            [(tid, df) for _, tid, df in drows], "term long, df long"
+        ) if drows else self.spark.createDataFrame([], "term long, df long")
+        scored = _bm25_topk_from_postings_terms(
+            post, tstats, meta["N"], meta["avgdl"], tids,
+            k=(1 << 31) - 1, k1=meta["k1"], b=meta["b"],
+        )
+        cols = [attr] + [c for c in tie_cols if c != attr]
+        hyd = scored.join(
+            self._drop_dead(self.docs.select("doc_id", *cols)), "doc_id"
+        )
+        ties = [F.col(c).asc() for c in tie_cols] + [F.col("doc_id").asc()]
+        w = Window.partitionBy(attr).orderBy(
+            F.round(F.col("score"), SCORE_ROUND).desc(), *ties
+        )
+        return (
+            hyd.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .drop("_rn", "n_matched")
+            .orderBy(F.round(F.col("score"), SCORE_ROUND).desc(), *ties)
+            .limit(k)
+        )
+
     def _hydrate(self, topk: DataFrame, order: list | None = None) -> DataFrame:
         """J4: attach repo/path/commit/lang to the k winners — broadcast
         the k rows against the docs table, never the reverse.

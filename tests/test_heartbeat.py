@@ -1,0 +1,62 @@
+"""Build-progress heartbeat (S11/W1): the webhook `active` stream
+analog — started/active/completed rows with monotone counters
+(reference src/crawler.ts:111-122, payload README.md:220-231)."""
+
+import json
+import os
+
+import pytest
+
+from scrapix_spark.config import IndexConfig
+from scrapix_spark.fixtures import corpus_spark_df
+from scrapix_spark.operators.index import build_index
+
+
+def _rows(idx, build_id):
+    p = os.path.join(idx, f"_build_{build_id}", "heartbeat.jsonl")
+    with open(p) as f:
+        return [json.loads(x) for x in f]
+
+
+def test_heartbeat_stream(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_index(
+        spark, corpus_spark_df(spark, 400), idx,
+        IndexConfig(n_shards=8, exclude_paginated=False),
+        build_id="hb", n_batches=2, heartbeat_sec=0.2,
+    )
+    rows = _rows(idx, "hb")
+    statuses = [r["status"] for r in rows]
+    assert statuses[0] == "started" and statuses[-1] == "completed"
+    assert statuses.count("active") >= 1, "multi-second build must emit active rows"
+    # counters are monotone non-decreasing
+    tasks = [r["tasks_done"] for r in rows]
+    phases = [r["phases_done"] for r in rows]
+    assert tasks == sorted(tasks) and phases == sorted(phases)
+    assert rows[-1]["tasks_done"] > 0
+    # ISO-ish timestamps present on every row
+    assert all("T" in r["date"] and r["date"].endswith("Z") for r in rows)
+
+
+def test_heartbeat_failed_terminal_row(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    empty = corpus_spark_df(spark, 10).filter("1 = 0")
+    with pytest.raises(ValueError, match="empty build"):
+        build_index(
+            spark, empty, idx, IndexConfig(n_shards=4),
+            build_id="hb", heartbeat_sec=0.2,
+        )
+    rows = _rows(idx, "hb")
+    assert rows[-1]["status"] == "failed"
+
+
+def test_heartbeat_disabled(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_index(
+        spark, corpus_spark_df(spark, 50), idx,
+        IndexConfig(n_shards=4, exclude_paginated=False),
+        build_id="nohb", heartbeat_sec=None,
+    )
+    assert not os.path.exists(
+        os.path.join(idx, "_build_nohb", "heartbeat.jsonl")
+    )
