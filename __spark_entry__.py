@@ -610,6 +610,51 @@ def q_schema_fanout(spark, sf_dir):
     )
 
 
+def q_meta_image_clean(spark, sf_dir):
+    """P3 + P4 + P9(map variant) combined: parallel <meta> name/content
+    arrays → map (meta_map_from_pairs, default.ts:165-178) → image-URL
+    coalesce og:image > twitter:image > image (default.ts:181-190) →
+    _clean_schema map_filter dropping @context/@type (schema.ts:69-81).
+    The cleaned map is emitted as a canonical sorted 'k=v|k=v' string so
+    DuckDB compares it value-for-value."""
+    from scrapix_spark.functions.text import (
+        clean_schema_map, image_url_from_meta, meta_map_from_pairs,
+    )
+
+    d = _docs(spark, sf_dir)
+    m0 = F.col("doc_id") % 3 == 0
+    m1 = F.col("doc_id") % 3 == 1
+    og = F.concat(F.lit("https://img/"), F.col("doc_id"), F.lit("/og.png"))
+    tw = F.concat(F.lit("https://img/"), F.col("doc_id"), F.lit("/tw.png"))
+    im = F.concat(F.lit("https://img/"), F.col("doc_id"), F.lit("/im.png"))
+    base_n = [F.lit("@context"), F.lit("@type"), F.lit("author")]
+    base_c = [F.lit("https://schema.org"), F.lit("Article"), F.col("source")]
+    names = (
+        F.when(m0, F.array(*base_n, F.lit("og:image"), F.lit("image")))
+        .when(m1, F.array(*base_n, F.lit("twitter:image"), F.lit("image")))
+        .otherwise(F.array(*base_n, F.lit("image")))
+    )
+    contents = (
+        F.when(m0, F.array(*base_c, og, im))
+        .when(m1, F.array(*base_c, tw, im))
+        .otherwise(F.array(*base_c, im))
+    )
+    meta = meta_map_from_pairs(names, contents)
+    cleaned = clean_schema_map(meta)
+    canon = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(cleaned)),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        "|",
+    )
+    return d.select(
+        "doc_id",
+        image_url_from_meta(meta).alias("image_url"),
+        canon.alias("cleaned"),
+    )
+
+
 # ------------------------------------------------ multimodal plumbing
 
 
@@ -794,6 +839,26 @@ def q_typo_topk(spark, sf_dir):
     neighborhood; contribution = max over expansions per word."""
     post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
     out = M.bm25_topk_typo(post, stats, n, avgdl, TYPO_QUERY, 10, K1, B)
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+TYPO2_QUERY = "custemor window"  # 'custemor' = 2-edit misspelling of 'customer'
+TYPO2_MIN = 8  # two-typo length threshold (Meilisearch default 9 is
+               # configurable; the corpus's longest token is 8 chars)
+
+
+def q_typo2_topk(spark, sf_dir):
+    """Two-typo tolerance (Meilisearch typo rule, length-budgeted:
+    1 edit >= 5 chars, 2 edits >= two_typo_min): depth-2 SymSpell
+    deletion-key join, exact levenshtein <= 2 verify."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    out = M.bm25_topk_typo(
+        post, stats, n, avgdl, TYPO2_QUERY, 10, K1, B,
+        max_dist=2, two_typo_min=TYPO2_MIN,
+    )
     return out.select(
         "doc_id", F.round("score", 4).alias("score"),
         F.col("n_matched").cast("long").alias("n_matched"),
@@ -1030,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "urls_tags": q_urls_tags,
         "date_convert": q_date_convert,
         "schema_fanout": q_schema_fanout,
+        "meta_image_clean": q_meta_image_clean,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -1041,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_topk": q_prefix_topk,
         "typo_candidates": q_typo_candidates,
         "typo_topk": q_typo_topk,
+        "typo2_topk": q_typo2_topk,
         "phrase_topk": q_phrase_topk,
         "phrase_positional_topk": q_phrase_positional_topk,
         "proximity_topk": q_proximity_topk,
@@ -1393,6 +1460,30 @@ def _typo_sql() -> str:
 cand AS (SELECT w.wi, d.term FROM words w
          JOIN dict d ON abs(len(d.term) - len(w.w)) <= 1
                     AND levenshtein(d.term, w.w) <= 1),
+perword AS (SELECT c.wi, ct.doc_id, max(ct.c) AS score
+            FROM cand c JOIN contrib ct ON ct.term = c.term
+            GROUP BY c.wi, ct.doc_id)
+SELECT doc_id, round(sum(score), 4) AS score,
+       count(DISTINCT wi)::BIGINT AS n_matched
+FROM perword GROUP BY doc_id
+ORDER BY count(DISTINCT wi) DESC, round(sum(score), 9) DESC, doc_id LIMIT 10
+"""
+
+
+def _typo2_sql() -> str:
+    """Per-word edit budgets (Meilisearch length thresholds) verified
+    with native levenshtein over the dictionary."""
+    words = Q.query_terms(TYPO2_QUERY)
+    wsel = " UNION ALL ".join(
+        f"SELECT {i} AS wi, '{w}' AS w, "
+        f"{M.typo_budget(w, 5, TYPO2_MIN)} AS a"
+        for i, w in enumerate(words)
+    )
+    return _contrib_cte() + f"""
+, words AS ({wsel}),
+cand AS (SELECT w.wi, d.term FROM words w
+         JOIN dict d ON abs(len(d.term) - len(w.w)) <= w.a
+                    AND levenshtein(d.term, w.w) <= w.a),
 perword AS (SELECT c.wi, ct.doc_id, max(ct.c) AS score
             FROM cand c JOIN contrib ct ON ct.term = c.term
             GROUP BY c.wi, ct.doc_id)
@@ -1898,6 +1989,23 @@ FROM events
         "schema_fanout": """
 SELECT doc_id, source AS name, (doc_id % 7)::BIGINT AS position FROM documents
 """,
+        "meta_image_clean": """
+SELECT doc_id,
+       CASE doc_id % 3
+         WHEN 0 THEN 'https://img/' || doc_id || '/og.png'
+         WHEN 1 THEN 'https://img/' || doc_id || '/tw.png'
+         ELSE 'https://img/' || doc_id || '/im.png' END AS image_url,
+       CASE doc_id % 3
+         WHEN 0 THEN 'author=' || source
+              || '|image=https://img/' || doc_id || '/im.png'
+              || '|og:image=https://img/' || doc_id || '/og.png'
+         WHEN 1 THEN 'author=' || source
+              || '|image=https://img/' || doc_id || '/im.png'
+              || '|twitter:image=https://img/' || doc_id || '/tw.png'
+         ELSE 'author=' || source
+              || '|image=https://img/' || doc_id || '/im.png' END AS cleaned
+FROM documents
+""",
         "multimodal_features": """
 SELECT doc_id AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -1946,6 +2054,7 @@ FROM dict WHERE levenshtein(term, 'vakue') <= 1
 ORDER BY dist, term
 """,
         "typo_topk": _typo_sql(),
+        "typo2_topk": _typo2_sql(),
         "phrase_positional_topk": _bm25_scored_sql(Q.query_terms(PHRASE_POS_QUERY))
         + f"""
 SELECT s.doc_id, round(s.score, 4) AS score

@@ -1,0 +1,136 @@
+"""Manifest filesystem shim: POSIX for local paths, Hadoop FileSystem
+(via the Spark JVM) for hdfs:// s3a:// abfs:// — same pointer-file
+protocol either way.
+
+The index manifest layer (sender.ts's tmp-index init / atomic swap
+re-expressed as _build_* dirs + a _CURRENT pointer file) needs exactly
+six small-file operations: mkdirs, exists, read/write a text file,
+atomic rename, recursive delete, list. Segment/docs/dict data always
+moves through Spark readers/writers (scheme-agnostic already); ONLY the
+manifest operations used to be os.*/shutil-bound, which made the whole
+lifecycle local-FS-only. Routing them here lets build/publish/resume/
+delta/compact run unchanged against an object store or HDFS.
+
+Atomicity note: `replace` maps to os.replace (atomic on POSIX) and to
+FileContext.rename(OVERWRITE) (atomic on HDFS). On S3-family stores a
+rename is copy+delete — the pointer file is a single small object, so
+the non-atomic window is one PUT; readers see either the old or the new
+pointer, never a torn one (GET of a replaced object is atomic per key).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+class LocalFS:
+    """POSIX implementation (plain paths and file:// URIs)."""
+
+    @staticmethod
+    def _strip(p: str) -> str:
+        return p[7:] if p.startswith("file://") else p
+
+    def exists(self, p: str) -> bool:
+        return os.path.exists(self._strip(p))
+
+    def makedirs(self, p: str) -> None:
+        os.makedirs(self._strip(p), exist_ok=True)
+
+    def read_text(self, p: str) -> str:
+        with open(self._strip(p)) as f:
+            return f.read()
+
+    def write_text(self, p: str, s: str) -> None:
+        with open(self._strip(p), "w") as f:
+            f.write(s)
+
+    def replace(self, src: str, dst: str) -> None:
+        os.replace(self._strip(src), self._strip(dst))
+
+    def rmtree(self, p: str) -> None:
+        shutil.rmtree(self._strip(p), ignore_errors=True)
+
+    def listdir(self, p: str) -> list[str]:
+        return os.listdir(self._strip(p))
+
+
+class HadoopFS:
+    """Hadoop FileSystem implementation via the Spark driver JVM —
+    covers every scheme the cluster's Hadoop conf knows (hdfs, s3a,
+    abfs, gs, and file: itself, which is how the test suite exercises
+    this class without a real cluster)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self._jvm = spark._jvm
+        self._gw = spark.sparkContext._gateway
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(root).getFileSystem(self._conf)
+        self._root = root
+
+    def _p(self, p: str):
+        return self._Path(p)
+
+    def exists(self, p: str) -> bool:
+        return self._fs.exists(self._p(p))
+
+    def makedirs(self, p: str) -> None:
+        self._fs.mkdirs(self._p(p))
+
+    def read_text(self, p: str) -> str:
+        stm = self._fs.open(self._p(p))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stm, "UTF-8"
+            )
+        finally:
+            stm.close()
+
+    def write_text(self, p: str, s: str) -> None:
+        out = self._fs.create(self._p(p), True)
+        try:
+            out.write(bytearray(s.encode("utf-8")))
+        finally:
+            out.close()
+
+    def replace(self, src: str, dst: str) -> None:
+        # FileContext.rename(OVERWRITE): atomic on HDFS; see module note
+        # for object stores
+        fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            self._p(self._root).toUri(), self._conf
+        )
+        Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
+        # Rename... is a Java vararg — py4j needs an explicit array
+        opts = self._gw.new_array(Rename, 1)
+        opts[0] = Rename.OVERWRITE
+        fc.rename(self._p(src), self._p(dst), opts)
+
+    def rmtree(self, p: str) -> None:
+        try:
+            self._fs.delete(self._p(p), True)
+        except Exception:
+            pass
+
+    def listdir(self, p: str) -> list[str]:
+        return [
+            st.getPath().getName() for st in self._fs.listStatus(self._p(p))
+        ]
+
+
+_FORCE_HADOOP = {"v": False}  # test hook: route local paths via HadoopFS
+
+
+def fs_for(path: str):
+    """Pick the implementation by scheme. Plain paths and file:// go
+    POSIX; any other scheme needs an active SparkSession's Hadoop conf."""
+    if _FORCE_HADOOP["v"] or ("://" in path and not path.startswith("file://")):
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                f"no active SparkSession to resolve Hadoop filesystem for {path!r}"
+            )
+        return HadoopFS(spark, path)
+    return LocalFS()

@@ -32,13 +32,13 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scrapix_spark.config import IndexConfig
+from scrapix_spark.fs import fs_for
 from scrapix_spark.functions.tokenize import SEP_PATTERN
 from scrapix_spark.operators import postings as P
 from scrapix_spark.operators.docs import build_docs
@@ -67,11 +67,15 @@ class BuildHeartbeat:
 
         self.spark = spark
         self.path = os.path.join(build_dir, "heartbeat.jsonl")
+        # resolve the FS ONCE on the caller thread: the emitter thread
+        # can't (SparkSession.getActiveSession is thread-local)
+        self._fs = fs_for(self.path)
         self.interval = interval_sec
         self.source = source
         self.phase = "init"
         self.phases_done = 0
         self._tasks_base = 0
+        self._rows: list[str] = []
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
 
@@ -101,8 +105,10 @@ class BuildHeartbeat:
             "phases_done": self.phases_done,
             "tasks_done": self._tasks_done(), "source": self.source,
         }
-        with open(self.path, "a") as f:
-            f.write(json.dumps(row, sort_keys=True) + "\n")
+        # buffered full-file write: appends don't exist on object
+        # stores, and the stream is tiny (one row per interval)
+        self._rows.append(json.dumps(row, sort_keys=True))
+        self._fs.write_text(self.path, "\n".join(self._rows) + "\n")
 
     def start(self):
         self._emit("started")
@@ -176,7 +182,7 @@ def build_index(
     reference's 5 s webhook stream); None disables."""
     cfg = cfg or IndexConfig()
     build_dir = os.path.join(index_dir, f"_build_{build_id}")
-    os.makedirs(build_dir, exist_ok=True)
+    fs_for(build_dir).makedirs(build_dir)
     hb = (
         BuildHeartbeat(spark, build_dir, heartbeat_sec, source_desc).start()
         if heartbeat_sec is not None
@@ -399,8 +405,10 @@ def _build_index_inner(
         "config": json.loads(cfg.to_json()),
         "phase_sec": phases,
     }
-    with open(os.path.join(build_dir, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=1, sort_keys=True)
+    fs_for(build_dir).write_text(
+        os.path.join(build_dir, "meta.json"),
+        json.dumps(meta, indent=1, sort_keys=True),
+    )
 
     # per-partition lineage + metrics rows (north_rule; webhook analog S11)
     if hb:
@@ -432,34 +440,38 @@ def _build_index_inner(
 def publish(index_dir: str, build_id: str) -> None:
     """Atomic swap (sender.ts:124-131): point _CURRENT at the new build
     via write-tmp + rename, then GC builds not referenced by the new
-    manifest's layer/tombstone lists (S8 stale-tmp delete)."""
+    manifest's layer/tombstone lists (S8 stale-tmp delete). All
+    operations route through the FS shim, so the same protocol runs on
+    file://, hdfs:// or an object store (scrapix_spark.fs)."""
+    fs = fs_for(index_dir)
     cur = os.path.join(index_dir, "_CURRENT")
     tmp = cur + ".tmp"
     live = f"_build_{build_id}"
-    with open(tmp, "w") as f:
-        f.write(live)
-    os.replace(tmp, cur)  # atomic on POSIX — the swapIndexes analog
+    fs.write_text(tmp, live)
+    fs.replace(tmp, cur)  # atomic rename — the swapIndexes analog
     keep = {live}
     try:
-        with open(os.path.join(index_dir, live, "meta.json")) as f:
-            m = json.load(f)
+        m = json.loads(fs.read_text(os.path.join(index_dir, live, "meta.json")))
         keep |= {ly["build"] for ly in m.get("layers", [])}
         keep |= {d.split("/")[0] for d in m.get("tombstone_dirs", [])}
-    except OSError:
+    except Exception:
         pass
-    for name in os.listdir(index_dir):
+    for name in fs.listdir(index_dir):
         if name.startswith("_build_") and name not in keep:
-            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+            fs.rmtree(os.path.join(index_dir, name))
 
 
 def current_build_dir(index_dir: str) -> str:
-    with open(os.path.join(index_dir, "_CURRENT")) as f:
-        return os.path.join(index_dir, f.read().strip())
+    ptr = fs_for(index_dir).read_text(os.path.join(index_dir, "_CURRENT"))
+    return os.path.join(index_dir, ptr.strip())
 
 
 def load_meta(index_dir: str) -> dict:
-    with open(os.path.join(current_build_dir(index_dir), "meta.json")) as f:
-        return json.load(f)
+    return json.loads(
+        fs_for(index_dir).read_text(
+            os.path.join(current_build_dir(index_dir), "meta.json")
+        )
+    )
 
 
 def layers_of(index_dir: str) -> list[dict]:
@@ -482,7 +494,7 @@ def _union_layers(spark: SparkSession, index_dir: str, sub: str, drop=()):
     parts = []
     for i, ly in enumerate(layers_of(index_dir)):
         p = os.path.join(index_dir, ly["build"], sub)
-        if not os.path.exists(p):
+        if not fs_for(p).exists(p):
             continue
         df = spark.read.parquet(p)
         for c in drop:
@@ -576,7 +588,8 @@ def dead_ids_for_shard(tomb_paths: list[str], shard: int):
 
 
 def _done(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+    p = os.path.join(path, "_SUCCESS")
+    return fs_for(p).exists(p)
 
 
 def delta_update(
@@ -711,7 +724,7 @@ def delta_update(
         })
     else:
         delta_n = 0
-        os.makedirs(build_dir, exist_ok=True)
+        fs_for(build_dir).makedirs(build_dir)
 
     # Consolidated tombstone sidecar (the Lucene .liv rewrite): the new
     # build owns the FULL dead set = (standing ∪ newly dead) −
@@ -758,8 +771,10 @@ def delta_update(
             "resurrected": n_res,
         },
     }
-    with open(os.path.join(build_dir, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=1, sort_keys=True)
+    fs_for(build_dir).write_text(
+        os.path.join(build_dir, "meta.json"),
+        json.dumps(meta, indent=1, sort_keys=True),
+    )
     publish(index_dir, build_id)
     meta["delta_wall_sec"] = time.time() - t0
     return meta
@@ -782,7 +797,7 @@ def compact(
     cfg = cfg or IndexConfig.from_json(json.dumps(meta_old["config"]))
     t0 = time.time()
     build_dir = os.path.join(index_dir, f"_build_{build_id}")
-    os.makedirs(build_dir, exist_ok=True)
+    fs_for(build_dir).makedirs(build_dir)
 
     seg = read_segments(spark, index_dir)
     avgdl = meta_old["avgdl"]
@@ -844,8 +859,10 @@ def compact(
         "tombstone_dirs": [],
         "compacted_from": [ly["build"] for ly in meta_old["layers"]],
     }
-    with open(os.path.join(build_dir, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=1, sort_keys=True)
+    fs_for(build_dir).write_text(
+        os.path.join(build_dir, "meta.json"),
+        json.dumps(meta, indent=1, sort_keys=True),
+    )
     publish(index_dir, build_id)
     meta["compact_wall_sec"] = time.time() - t0
     return meta

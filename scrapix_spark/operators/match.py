@@ -135,61 +135,105 @@ def bm25_topk_prefix(
 # --------------------------------------------------------------- typo
 
 
+# Meilisearch typoTolerance defaults (configurable in settings):
+# words >= oneTypo chars get 1 edit, >= twoTypos chars get 2 edits
+ONE_TYPO_MIN = 5
+TWO_TYPO_MIN = 9
+
+
+def typo_budget(
+    word: str, one_typo_min: int = ONE_TYPO_MIN, two_typo_min: int = TWO_TYPO_MIN
+) -> int:
+    """Allowed edit distance for a query word (Meilisearch
+    typoTolerance.minWordSizeForTypos semantics)."""
+    if len(word) >= two_typo_min:
+        return 2
+    if len(word) >= one_typo_min:
+        return 1
+    return 0
+
+
+def _deletion_keys(word: str, depth: int) -> list[str]:
+    """All strings reachable from `word` by deleting <= depth chars."""
+    out = {word}
+    frontier = {word}
+    for _ in range(depth):
+        nxt = {w[:i] + w[i + 1:] for w in frontier for i in range(len(w))}
+        out |= nxt
+        frontier = nxt
+    return sorted(out)
+
+
+def _dict_deletion_keys(max_dist: int):
+    """Native expression: deletion neighborhood (depth <= max_dist) of
+    the dictionary `term` column — one substr-concat per position,
+    flattened and deduped, no Python in the plan."""
+    def del_one(s):
+        # guard: sequence(1, 0) is DESCENDING; empty strings delete to nothing
+        return F.when(
+            F.length(s) >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.length(s)),
+                lambda i: F.concat(
+                    s.substr(F.lit(1), i - 1), s.substr(i + 1, F.length(s))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    d1 = del_one(F.col("term"))
+    keys = F.array_union(F.array(F.col("term")), d1)
+    if max_dist >= 2:
+        d2 = F.array_distinct(F.flatten(F.transform(d1, del_one)))
+        keys = F.array_union(keys, d2)
+    return keys
+
+
 def typo_candidates(
     term_stats: DataFrame,
     query_term: str,
     max_dist: int = 1,
-    min_len: int = 5,
+    min_len: int = ONE_TYPO_MIN,
+    two_typo_min: int = TWO_TYPO_MIN,
 ) -> DataFrame:
-    """Dictionary terms within levenshtein distance `max_dist` (=1) of
-    `query_term` — SymSpell deletion-key join, exact-verified.
+    """Dictionary terms within levenshtein distance of `query_term` —
+    SymSpell deletion-key join, exact-verified.
 
-    Build side: every dictionary term explodes into its depth-1 deletion
-    keys (plus itself). Probe side: the query term's deletion keys (a
-    handful, broadcast). Distance-1 edits (insert/delete/substitute)
-    always share a key, so the equi-join generates a complete candidate
-    set with ONE hash join — no levenshtein against the full dictionary
-    — and native `levenshtein` then verifies exactly. Query terms
-    shorter than min_len get no typo budget (Meilisearch default).
+    Build side: every dictionary term explodes into its deletion keys
+    of depth <= allowed distance (plus itself). Probe side: the query
+    term's deletion neighborhood (a handful of strings, broadcast as an
+    IN-list). Any pair within edit distance d shares a key when both
+    sides delete up to d chars (the SymSpell invariant), so the
+    equi-join generates a COMPLETE candidate set with ONE hash join —
+    no levenshtein against the full dictionary — and native
+    `levenshtein` then verifies exactly. The allowed distance is
+    min(max_dist, typo_budget(query_term)): words < min_len get no typo
+    budget, words >= two_typo_min get two (Meilisearch defaults 5/9).
 
-    Returns (term, df, dist), dist <= max_dist, ordered (dist, term).
+    Returns (term, df, dist), dist <= allowed, ordered (dist, term).
     """
-    if len(query_term) < min_len:
-        keys = [query_term]
-        # exact-only: no deletion neighborhood
+    allowed = min(max_dist, typo_budget(query_term, min_len, two_typo_min))
+    if allowed == 0:
         joined = term_stats.filter(F.col("term") == query_term)
         return joined.select(
             "term", "df", F.lit(0).alias("dist")
         ).orderBy("dist", "term")
 
-    qkeys = [query_term] + [
-        query_term[:i] + query_term[i + 1:] for i in range(len(query_term))
-    ]
+    qkeys = _deletion_keys(query_term, allowed)
     # restrict the build side before exploding: candidates within edit
-    # distance 1 differ in length by at most 1 — pushes to the dict scan
+    # distance d differ in length by at most d — pushes to the dict scan
     cand_terms = term_stats.filter(
-        (F.length("term") >= len(query_term) - max_dist)
-        & (F.length("term") <= len(query_term) + max_dist)
+        (F.length("term") >= len(query_term) - allowed)
+        & (F.length("term") <= len(query_term) + allowed)
     )
-    # depth-1 deletion keys of each dictionary term, plus the term
-    # itself — pure JVM (one substr-concat per position)
-    dels = F.array_union(
-        F.array(F.col("term")),
-        F.transform(
-            F.sequence(F.lit(1), F.length("term")),
-            lambda i: F.concat(
-                F.col("term").substr(F.lit(1), i - 1),
-                F.col("term").substr(i + 1, F.length("term")),
-            ),
-        ),
+    exploded = cand_terms.withColumn(
+        "delkey", F.explode(_dict_deletion_keys(allowed))
     )
-    exploded = cand_terms.withColumn("delkey", F.explode(dels))
     hits = (
         exploded.filter(F.col("delkey").isin(qkeys))
         .select("term", "df")
         .dropDuplicates(["term"])
         .withColumn("dist", F.levenshtein(F.col("term"), F.lit(query_term)))
-        .filter(F.col("dist") <= max_dist)
+        .filter(F.col("dist") <= allowed)
     )
     return hits.orderBy("dist", "term")
 
@@ -204,13 +248,16 @@ def bm25_topk_typo(
     k1: float = 1.2,
     b: float = 0.75,
     max_dist: int = 1,
-    min_len: int = 5,
+    min_len: int = ONE_TYPO_MIN,
+    two_typo_min: int = TWO_TYPO_MIN,
 ) -> DataFrame:
     """Top-k with typo tolerance: each query word expands to its
-    distance<=1 dictionary neighborhood; a doc's contribution per word is
-    the MAX over that word's expansions (exact-match docs naturally rank
-    higher via idf of the rarer exact term); each word counts once in
-    n_matched."""
+    edit-distance dictionary neighborhood — per-word budget =
+    min(max_dist, typo_budget(word)) with the Meilisearch length
+    thresholds (1 typo >= min_len chars, 2 >= two_typo_min). A doc's
+    contribution per word is the MAX over that word's expansions
+    (exact-match docs naturally rank higher via idf of the rarer exact
+    term); each word counts once in n_matched."""
     words = query_terms(q)
     if not words:
         return postings.sparkSession.createDataFrame(
@@ -219,9 +266,9 @@ def bm25_topk_typo(
     spark = postings.sparkSession
     frames = []
     for wi, w in enumerate(words):
-        cands = typo_candidates(term_stats, w, max_dist, min_len).select(
-            "term", "df"
-        )
+        cands = typo_candidates(
+            term_stats, w, max_dist, min_len, two_typo_min
+        ).select("term", "df")
         exp = cands.withColumn("idf", idf_expr(N, F.col("df").cast("double")))
         cand = postings.join(F.broadcast(exp.select("term", "idf")), "term")
         scored = cand.withColumn(

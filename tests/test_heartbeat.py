@@ -60,3 +60,34 @@ def test_heartbeat_disabled(spark, tmp_path):
     assert not os.path.exists(
         os.path.join(idx, "_build_nohb", "heartbeat.jsonl")
     )
+
+
+def test_manifest_lifecycle_through_hadoop_fs(spark, tmp_path):
+    """The full build -> publish -> resume -> delta -> compact protocol
+    must run with every manifest operation routed through the Hadoop
+    FileSystem shim (exercised here via Hadoop's LocalFileSystem — the
+    same JVM code path hdfs:///s3a:// would take)."""
+    from scrapix_spark import fs as FSH
+    from scrapix_spark.operators.index import compact, delta_update, load_meta
+    from scrapix_spark.operators.query import IndexReader
+
+    idx = str(tmp_path / "idx")
+    FSH._FORCE_HADOOP["v"] = True
+    try:
+        snap1 = corpus_spark_df(spark, 150)
+        build_index(spark, snap1, idx, IndexConfig(n_shards=4),
+                    build_id="h1", heartbeat_sec=0.5)
+        assert load_meta(idx)["build_id"] == "h1"
+        new_doc = spark.createDataFrame(
+            [("r", "x/hfsmarker.py", "c1", "py", "hadoopfsmarker content")],
+            "repo string, path string, commit string, lang string, content string",
+        )
+        delta_update(spark, snap1.unionByName(new_doc), idx, build_id="h2")
+        r = IndexReader(spark, idx)
+        assert r.topk_pruned("hadoopfsmarker", 5, hydrate=False).count() == 1
+        compact(spark, idx, build_id="h3")
+        rc = IndexReader(spark, idx)
+        assert rc.topk_pruned("hadoopfsmarker", 5, hydrate=False).count() == 1
+        assert load_meta(idx)["build_id"] == "h3"
+    finally:
+        FSH._FORCE_HADOOP["v"] = False

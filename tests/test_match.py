@@ -257,3 +257,67 @@ def test_matching_strategy_last_prefix_runs(spark):
     got = [(r["doc_id"], r["prefix_len"]) for r in out]
     assert got[0] == (1, 3) and got[1] == (2, 2) and got[2] == (3, 1)
     assert {r["doc_id"] for r in out} == {1, 2, 3}
+
+
+def test_typo2_candidates_complete_vs_bruteforce(spark):
+    """Depth-2 SymSpell must find EXACTLY the dictionary terms within
+    the word's edit budget — verified against a brute-force levenshtein
+    scan of the dictionary (the thing the join exists to avoid)."""
+    vocab = [
+        "customers", "customized", "custommer", "kustomers", "castomizer",
+        "documents", "dokuments", "documentation", "ducoments",
+        "short", "shirt", "sort", "shore", "window", "windows", "widow",
+        "value", "vakue", "valve", "al", "a",
+    ]
+    stats = spark.createDataFrame(
+        [(t, i + 1) for i, t in enumerate(vocab)], "term string, df long"
+    )
+    for q in ["custoners", "documemts", "shrot", "windwo", "vl"]:
+        allowed = M.typo_budget(q)
+        got = {
+            (r["term"], r["dist"])
+            for r in M.typo_candidates(stats, q, max_dist=2).collect()
+        }
+        want = {
+            (r["term"], r["dist"])
+            for r in stats.withColumn(
+                "dist", F.levenshtein("term", F.lit(q))
+            ).filter(F.col("dist") <= allowed).collect()
+        }
+        assert got == want, (q, allowed, got, want)
+
+
+def test_typo2_randomized_edits_always_found(spark):
+    """Property: any <=2-edit corruption of a long dictionary word is
+    recovered by the depth-2 deletion-key join."""
+    import random
+
+    rng = random.Random(7)
+    base_words = ["transaction", "partitioner", "aggregation", "serializer"]
+    stats = spark.createDataFrame(
+        [(t, 1) for t in base_words], "term string, df long"
+    )
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def corrupt(w, n_edits):
+        for _ in range(n_edits):
+            op = rng.choice(["sub", "del", "ins"])
+            i = rng.randrange(len(w))
+            if op == "sub":
+                w = w[:i] + rng.choice(alpha) + w[i + 1:]
+            elif op == "del" and len(w) > 9:
+                w = w[:i] + w[i + 1:]
+            else:
+                w = w[:i] + rng.choice(alpha) + w[i:]
+        return w
+
+    for w in base_words:
+        for n_edits in (1, 2):
+            for _ in range(3):
+                q = corrupt(w, n_edits)
+                got = {
+                    r["term"]
+                    for r in M.typo_candidates(stats, q, max_dist=2).collect()
+                }
+                # the corrupted form is within <=2 edits of its source
+                assert w in got, (w, q, got)
