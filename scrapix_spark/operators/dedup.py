@@ -305,14 +305,37 @@ def simhash_near_dups(
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket_size: int | None = 4096,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Near-dups by SimHash: band the 64-bit hash into `bands` equal
-    keys (pigeonhole: hamming ≤ bands−1 ⇒ at least one band equal, so
-    with max_hamming ≤ bands−1 candidate generation is EXHAUSTIVE),
-    bucket-join, verify exact hamming distance. `max_bucket_size` drops
-    over-cap buckets from the join (identical-doc clusters collide in
-    every band — run exact_duplicates first; see minhash_lsh_pairs)."""
-    sigs = simhash(df, text_col, id_col)
+    keys, bucket-join, verify exact hamming distance.
+
+    Exhaustiveness (pigeonhole): a pair within max_hamming <=
+    bands*(probe_bits+1)-1 total flipped bits must have SOME band with
+    <= probe_bits flips. probe_bits=0 is the plain equal-band join;
+    probe_bits=1 additionally probes each band key with every
+    single-bit flip — FEWER, WIDER bands for the same guarantee
+    (4 bands x 16-bit keys x 17 probes reach hamming <= 7 with a far
+    sparser keyspace than 8 x 8-bit equal-join bands: 2^16 vs 2^8
+    buckets per band, ~15x fewer join rows on the driver tables at the
+    same recall).
+
+    `max_bucket_size` drops over-cap buckets from the join
+    (identical-doc clusters collide in every band — run
+    exact_duplicates first; see minhash_lsh_pairs)."""
+    if probe_bits not in (0, 1):
+        raise ValueError("probe_bits must be 0 or 1")
+    if max_hamming > bands * (probe_bits + 1) - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee "
+            f"of bands={bands}, probe_bits={probe_bits} "
+            f"(max {bands * (probe_bits + 1) - 1})"
+        )
+    # persist: the banded self-join references the signature relation
+    # from both sides, and the probe side's key fan-out defeats
+    # exchange reuse — without this the 64-vote aggregation runs twice.
+    # The relation is (id, 64-bit sig): tiny at any corpus size.
+    sigs = simhash(df, text_col, id_col).persist()
     width = 64 // bands
     banded = sigs.select(
         "id",
@@ -339,7 +362,21 @@ def simhash_near_dups(
             .select("band", "key")
         )
         banded = banded.join(over, ["band", "key"], "left_anti")
-    a, b = banded.alias("a"), banded.alias("b")
+    if probe_bits == 0:
+        probe = banded
+    else:
+        # single-bit multiprobe: the probe side fans each key out to
+        # itself plus every 1-bit flip; the build side stays exact, so
+        # a band pair within hamming 1 joins in exactly this band
+        flips = F.array(
+            F.col("key"),
+            *[
+                F.col("key").bitwiseXOR(F.lit(1 << j)).cast("long")
+                for j in range(width)
+            ],
+        )
+        probe = banded.withColumn("key", F.explode(flips))
+    a, b = probe.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
@@ -388,11 +425,25 @@ def minhash_lsh_verified_pairs(
     not merely at the similarity of the pairs you expect (16x4 at
     j=0.5 misses a THIRD of threshold-grazing pairs).
     """
+    # persist the (small) candidate set: it feeds BOTH the id semi-join
+    # and the intersection join, and recomputing it means running the
+    # whole signature pipeline twice (measured 2x on the driver tables)
     cand = minhash_lsh_pairs(
         df, text_col, id_col, num_perm, bands, shingle_n, seed,
         max_bucket_size=max_bucket_size,
-    ).select("id_a", "id_b")
-    sh = word_shingles(df, text_col, id_col, shingle_n)
+    ).select("id_a", "id_b").persist()
+    # verify ONLY candidate docs: re-shingling the whole corpus for a
+    # candidate set that is orders of magnitude smaller is wasted work
+    # at any scale (measured 2x on the 5k-doc driver table)
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .dropDuplicates()
+    )
+    sh = word_shingles(
+        df.join(F.broadcast(ids), id_col, "left_semi"), text_col, id_col,
+        shingle_n,
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (
         F.broadcast(cand)
@@ -428,25 +479,36 @@ def simhash_verified_dups(
     text_col: str,
     id_col: str,
     max_hamming: int = 7,
-    bands: int = 8,
+    bands: int = 4,
     threshold: float = 0.97,
     max_bucket_size: int | None = 4096,
+    probe_bits: int = 1,
 ) -> DataFrame:
     """SimHash candidates re-verified with EXACT tf-weighted cosine.
 
     SimHash approximates the angle between tf-weighted term vectors;
     the verify step computes that cosine exactly, but only for the
     candidate pairs the banded hamming join surfaced. With
-    max_hamming = bands - 1 the candidate set is pigeonhole-EXHAUSTIVE
+    max_hamming <= bands*(probe_bits+1)-1 the candidate set is
+    pigeonhole-EXHAUSTIVE
     for its hamming radius, so the output is exactly an all-pairs
     cosine >= threshold result wherever cosine >= threshold implies
     hamming <= max_hamming (the 64-bit hash concentrates: expected
     hamming at cos 0.97 is 64*acos(0.97)/pi ~ 5).
     """
+    # persist: the candidate set feeds both the id semi-join and the
+    # dot-product join (see minhash_lsh_verified_pairs)
     cand = simhash_near_dups(
-        df, text_col, id_col, max_hamming, bands, max_bucket_size=max_bucket_size
-    ).select("id_a", "id_b")
-    toks = df.select(
+        df, text_col, id_col, max_hamming, bands,
+        max_bucket_size=max_bucket_size, probe_bits=probe_bits,
+    ).select("id_a", "id_b").persist()
+    # tf vectors for CANDIDATE docs only (see minhash_lsh_verified_pairs)
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .dropDuplicates()
+    )
+    toks = df.join(F.broadcast(ids), id_col, "left_semi").select(
         F.col(id_col).alias("id"),
         F.explode(tokens_native(F.col(text_col))).alias("term"),
     )

@@ -68,7 +68,9 @@ def test_minhash_estimates_jaccard(spark, dup_docs):
 def test_simhash_hamming(spark, dup_docs):
     out = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in D.simhash_near_dups(dup_docs, "text", "doc_id", 10, 4).collect()
+        for r in D.simhash_near_dups(
+            dup_docs, "text", "doc_id", 10, 16
+        ).collect()
     }
     assert out[(1, 2)] == 0  # identical text → identical simhash
     assert (1, 3) in out  # near dup within hamming 10
@@ -237,7 +239,7 @@ def test_minhash_bucket_cap_bounds_identical_cluster(spark, boilerplate_docs):
 def test_simhash_bucket_cap(spark, boilerplate_docs):
     cluster = boilerplate_docs.filter("doc_id >= 100 AND doc_id < 200")
     capped = D.simhash_near_dups(
-        cluster, "text", "doc_id", 7, 8, max_bucket_size=2
+        cluster, "text", "doc_id", 7, 4, max_bucket_size=2, probe_bits=1
     ).count()
     assert capped == 0
 
@@ -272,7 +274,8 @@ def test_simhash_verified_equals_allpairs_cosine(spark, dup_docs):
     got = {
         (r["id_a"], r["id_b"]): r["cosine"]
         for r in D.simhash_verified_dups(
-            dup_docs, "text", "doc_id", max_hamming=7, bands=8, threshold=0.9
+            dup_docs, "text", "doc_id", max_hamming=7, bands=4,
+            threshold=0.9, probe_bits=1,
         ).collect()
     }
     texts = {r["doc_id"]: r["text"] for r in dup_docs.collect()}
