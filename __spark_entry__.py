@@ -611,6 +611,42 @@ def q_schema_fanout(spark, sf_dir):
     )
 
 
+def q_schema_dynamic_fanout(spark, sf_dir):
+    """S5 completion: FULLY-DYNAMIC SchemaDocument (reference
+    src/scrapers/schema.ts:85-88 — arbitrary JSON-LD keys). The @graph
+    nodes parse as MAP<STRING,STRING> so keys the schema never declared
+    (here a per-doc k<i> key) survive; @context/@type are stripped by
+    the P9 map_filter variant; output is the canonical sorted 'k=v'
+    string per node."""
+    from scrapix_spark.functions.text import clean_schema_map
+
+    j = F.expr(
+        "'{\"@context\":\"https://schema.org\",\"@graph\":["
+        "{\"@type\":\"Article\",\"headline\":\"h' || doc_id || '\","
+        "\"wordCount\":\"' || (doc_id % 100) || '\"},"
+        "{\"@type\":\"Person\",\"name\":\"' || source || '\","
+        "\"k' || (doc_id % 5) || '\":\"v' || (doc_id % 7) || '\"}]}'"
+    )
+    schema = "STRUCT<`@context`: STRING, `@graph`: ARRAY<MAP<STRING, STRING>>>"
+    parsed = _docs(spark, sf_dir).select(
+        "doc_id", F.from_json(j, schema).alias("ld")
+    )
+    g = parsed.select(
+        "doc_id", F.posexplode(F.col("ld.`@graph`")).alias("node_idx", "node")
+    )
+    canon = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(clean_schema_map(F.col("node")))),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        "|",
+    )
+    return g.select(
+        "doc_id", F.col("node_idx").cast("long").alias("node_idx"),
+        canon.alias("cleaned"),
+    )
+
+
 def q_meta_image_clean(spark, sf_dir):
     """P3 + P4 + P9(map variant) combined: parallel <meta> name/content
     arrays → map (meta_map_from_pairs, default.ts:165-178) → image-URL
@@ -1097,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_convert": q_date_convert,
         "schema_fanout": q_schema_fanout,
         "meta_image_clean": q_meta_image_clean,
+        "schema_dynamic_fanout": q_schema_dynamic_fanout,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -1989,6 +2026,15 @@ FROM events
 """,
         "schema_fanout": """
 SELECT doc_id, source AS name, (doc_id % 7)::BIGINT AS position FROM documents
+""",
+        "schema_dynamic_fanout": """
+SELECT doc_id, 0::BIGINT AS node_idx,
+       'headline=h' || doc_id || '|wordCount=' || (doc_id % 100) AS cleaned
+FROM documents
+UNION ALL
+SELECT doc_id, 1::BIGINT,
+       'k' || (doc_id % 5) || '=v' || (doc_id % 7) || '|name=' || source
+FROM documents
 """,
         "meta_image_clean": """
 SELECT doc_id,

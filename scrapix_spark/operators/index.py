@@ -48,9 +48,6 @@ DOCS_COLS = [
 ]
 
 
-from contextlib import contextmanager
-
-
 class BuildHeartbeat:
     """Live progress emitter (S11/W1): a daemon thread appends one JSON
     line to <build_dir>/heartbeat.jsonl every `interval_sec` while the
@@ -130,23 +127,22 @@ class BuildHeartbeat:
         self._emit(status)
 
 
-@contextmanager
-def _one_task_per_file(spark: SparkSession):
-    """Pin file↔task 1:1 for a parquet read: openCostInBytes equal to a
+def _pinned_file_session(spark: SparkSession) -> SparkSession:
+    """A sibling session (shared SparkContext, PRIVATE SQLConf) with
+    file↔task pinned 1:1 for parquet reads: openCostInBytes equal to a
     huge maxPartitionBytes means any two files exceed the partition
     budget (no packing) and no file is ever split (files ≪ the budget).
     Required when per-file sort order carries (term, shard) run
-    integrity into a map-side kernel."""
+    integrity into a map-side kernel. A separate session — not a
+    set/restore on the caller's — so concurrent jobs sharing the
+    original session never observe the pinning confs (the r1 audit
+    flagged the mutate-global-conf version as unsafe under concurrency).
+    """
+    s2 = spark.newSession()
     big = str(16 * 1024**3)
-    mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    ocb = spark.conf.get("spark.sql.files.openCostInBytes")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", big)
-    spark.conf.set("spark.sql.files.openCostInBytes", big)
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
-        spark.conf.set("spark.sql.files.openCostInBytes", ocb)
+    s2.conf.set("spark.sql.files.maxPartitionBytes", big)
+    s2.conf.set("spark.sql.files.openCostInBytes", big)
+    return s2
 
 
 def _batch_shards(n_shards: int, n_batches: int) -> list[list[int]]:
@@ -326,15 +322,14 @@ def _build_index_inner(
         if cfg.sorted_staging:
             # pure map over the pre-sorted staged files — no exchange,
             # no sort; one task per file keeps (term, shard) runs whole
-            with _one_task_per_file(spark):
-                part = spark.read.parquet(post_path).filter(
-                    F.col("shard").isin(shard_group)
-                )
-                enc = P.encode_presorted(
-                    part, stats["avgdl"], cfg.k1, cfg.b, cfg.block_size,
-                    tb_bits,
-                )
-                enc.write.mode("overwrite").partitionBy("tb").parquet(batch_dir)
+            part = _pinned_file_session(spark).read.parquet(post_path).filter(
+                F.col("shard").isin(shard_group)
+            )
+            enc = P.encode_presorted(
+                part, stats["avgdl"], cfg.k1, cfg.b, cfg.block_size,
+                tb_bits,
+            )
+            enc.write.mode("overwrite").partitionBy("tb").parquet(batch_dir)
         else:
             part = post.filter(F.col("shard").isin(shard_group))
             enc = P.encode_segments(
