@@ -721,6 +721,41 @@ def _media(spark, sf_dir):
     )
 
 
+def q_wav_decode(spark, sf_dir):
+    """X10 upgrade — REAL audio decode, no stub: deterministic PCM
+    waveforms (int16, 8 kHz, samples a pure function of media_id) are
+    encoded to actual RIFF/WAV bytes (stdlib writer) and decoded back
+    by the real wave-module kernel; the oracle recomputes sample count,
+    duration, RMS and peak from the same closed-form waveform."""
+    import numpy as np
+
+    d = _docs(spark, sf_dir).filter("doc_id % 3 = 1").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": []}
+            for mid in pdf["media_id"]:
+                n = 200 + int(mid) % 100
+                i = np.arange(n, dtype=np.int64)
+                samples = (int(mid) * 37 + i * 97) % 2048 - 1024
+                rows["media_id"].append(mid)
+                rows["kind"].append("audio")
+                rows["payload"].append(MM.wav_encode(samples, 8000))
+            yield pd.DataFrame(rows)
+
+    media = d.mapInPandas(gen, schema="media_id long, kind string, payload binary")
+    out = MM.decode_audio(media)
+    return out.select(
+        "media_id", "sample_rate",
+        F.col("n_channels").cast("long").alias("n_channels"),
+        "n_samples", "duration_ms", F.round("rms", 6).alias("rms"), "peak",
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal decode/feature-extract kernel (mapInPandas over binary
     payloads; decode stubbed — sha256 digest stands in for the embedding).
@@ -757,6 +792,25 @@ def q_streaming_tumbling(spark, sf_dir):
 
     return stream_tumbling_counts(
         spark, f"{sf_dir}/events.parquet", query_name="q_streaming_tumbling"
+    )
+
+
+SESSION_GAP_SEC = 3600.0
+
+
+def q_session_windows(spark, sf_dir):
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    gap-based sessionization of the events stream — per-user sessions
+    split where consecutive events are > 1 h apart. Emits sessions
+    closed by a successor event (the trailing open session of each user
+    stays in state — the honest streaming contract); the oracle
+    replicates exactly that with lag/cumsum sessionization minus each
+    user's last session."""
+    from scrapix_spark.streaming.sessionize import sessionize_stream
+
+    return sessionize_stream(
+        spark, f"{sf_dir}/events.parquet", gap_sec=SESSION_GAP_SEC,
+        query_name="q_session_windows",
     )
 
 
@@ -1134,10 +1188,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_fanout": q_schema_fanout,
         "meta_image_clean": q_meta_image_clean,
         "schema_dynamic_fanout": q_schema_dynamic_fanout,
+        "wav_decode": q_wav_decode,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "streaming_tumbling": q_streaming_tumbling,
+        "session_windows": q_session_windows,
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
         "segment_default": q_segment_default,
@@ -2053,6 +2109,21 @@ SELECT doc_id,
               || '|image=https://img/' || doc_id || '/im.png' END AS cleaned
 FROM documents
 """,
+        "wav_decode": """
+WITH a AS (SELECT doc_id AS media_id, 200 + doc_id % 100 AS n
+           FROM documents WHERE doc_id % 3 = 1),
+s AS (SELECT media_id, n,
+             list_transform(range(n),
+                            i -> (media_id * 37 + i * 97) % 2048 - 1024) AS xs
+      FROM a)
+SELECT media_id, 8000::INT AS sample_rate, 1::BIGINT AS n_channels,
+       n::BIGINT AS n_samples,
+       ((n * 1000) // 8000)::INT AS duration_ms,
+       round(sqrt(list_sum(list_transform(xs, x -> (x * x)::DOUBLE)) / n), 6)
+         AS rms,
+       list_max(list_transform(xs, x -> abs(x)))::INT AS peak
+FROM s
+""",
         "multimodal_features": """
 SELECT doc_id AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -2076,6 +2147,30 @@ FROM s
 SELECT doc_id AS media_id,
        unnest(range(0, (doc_id * 37) % 5000 + 500, 700))::INT AS ts_ms
 FROM documents WHERE doc_id % 3 = 2
+""",
+        # stateful sessionizer must equal batch lag/cumsum sessionization
+        # (every session closed by a successor; trailing sessions open)
+        "session_windows": f"""
+WITH o AS (SELECT user_id, event_id, ts, value,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+           FROM events),
+m AS (SELECT user_id, event_id, ts, value,
+             CASE WHEN pts IS NULL
+                       OR epoch(ts) - epoch(pts) > {SESSION_GAP_SEC}
+                  THEN 1 ELSE 0 END AS brk
+      FROM o),
+sid AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m),
+s AS (SELECT user_id, sid,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
+             count(*)::BIGINT AS n_events,
+             round(sum(value), 4) AS value_sum
+      FROM sid GROUP BY 1, 2),
+mx AS (SELECT user_id, max(sid) AS mx FROM s GROUP BY user_id)
+SELECT s.user_id, s.session_start, s.session_end, s.n_events, s.value_sum
+FROM s JOIN mx USING (user_id) WHERE s.sid < mx.mx
 """,
         # streaming availableNow run must equal the batch aggregation
         "streaming_tumbling": """

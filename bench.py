@@ -138,7 +138,8 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "fingerprint", "events_tumbling",
         "prefix_topk", "typo_topk", "typo2_topk", "phrase_topk",
         "proximity_topk", "bm25_wand_topk", "delta_lifecycle_topk",
-        "cosine_dup_pairs", "meta_image_clean",
+        "cosine_dup_pairs", "meta_image_clean", "wav_decode",
+        "session_windows",
     ]
     out = {}
     for name in headline:

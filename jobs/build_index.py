@@ -43,6 +43,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--format", default="parquet",
                     help="'parquet' path or a table format ('iceberg' reads "
                          "spark.read.table(input))")
+    ap.add_argument("--heartbeat-sec", type=float, default=5.0,
+                    help="live progress interval (webhook `active` analog, "
+                         "reference WEBHOOK_INTERVAL); <=0 disables")
     args = ap.parse_args(argv)
 
     if args.config and args.config_json:
@@ -74,6 +77,7 @@ def main(argv: list[str] | None = None) -> int:
         spark, raw, args.index_dir, cfg,
         build_id=args.build_id, n_batches=args.n_batches,
         source_desc=f"{args.format}:{args.input}",
+        heartbeat_sec=args.heartbeat_sec if args.heartbeat_sec > 0 else None,
     )
     wall = manifest.get("build_wall_sec", 0.0) or 1e-9
     manifest["docs_per_sec"] = round(manifest["N"] / wall, 1)

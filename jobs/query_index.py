@@ -33,11 +33,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument(
         "--mode",
-        choices=["wand", "full", "prefix", "phrase", "proximity"],
+        choices=["wand", "full", "prefix", "phrase", "proximity", "distinct"],
         default="wand",
         help="wand/full = BM25 top-k (rank-identical pair); prefix = "
              "last word as prefix; phrase/proximity need an index built "
-             "with store_positions",
+             "with store_positions; distinct = EXACT distinct-attribute "
+             "semantics via IndexReader.topk_distinct (attr from "
+             "--distinct-by or the build's distinct_attribute)",
     )
     ap.add_argument("--distinct-by", default=None,
                     help="distinctAttribute analog (reference "
@@ -54,16 +56,19 @@ def main(argv: list[str] | None = None) -> int:
     # distinct-by reduces the hit list, so over-fetch (Meilisearch applies
     # distinctAttribute before pagination; 8x oversample + window is the
     # distributed equivalent for the CLI)
-    fetch_k = args.k * 8 if args.distinct_by else args.k
+    fetch_k = args.k * 8 if (args.distinct_by and args.mode != "distinct") else args.k
     mode_fn = {
         "wand": reader.topk_pruned,
         "full": reader.topk_full,
         "prefix": reader.topk_prefix,
         "phrase": reader.topk_phrase,
         "proximity": lambda q, k: reader.topk_proximity(q, k=k),
+        "distinct": lambda q, k: reader.topk_distinct(
+            q, k=k, attr=args.distinct_by
+        ),
     }[args.mode]
     topk = mode_fn(args.query, k=fetch_k)
-    if args.distinct_by:
+    if args.distinct_by and args.mode != "distinct":
         w = Window.partitionBy(args.distinct_by).orderBy(
             F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
         )

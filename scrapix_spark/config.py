@@ -79,6 +79,13 @@ class IndexConfig:
     n_shards: int = DEFAULT_N_SHARDS
     block_size: int = DEFAULT_BLOCK_SIZE
     batch_size: int = DEFAULT_BATCH_SIZE
+    # T4 storage analog of batch_size, OPT-IN: cap docs-table rows per
+    # output file (maxRecordsPerFile). The reference's batch_size is an
+    # HTTP flush unit; mapping it to FILE granularity by default would
+    # fragment storage (1000-row files = 10^6 files at 10^9 docs and a
+    # measured 2x docs_write cost at 500k) — set this only when a
+    # downstream consumer genuinely needs bounded files.
+    docs_records_per_file: Optional[int] = None
     shuffle_partitions: Optional[int] = None
 
     def to_json(self) -> str:

@@ -275,9 +275,14 @@ def _build_index_inner(
             .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)))
             .select(*DOCS_COLS)
             # T4 batch sizing (reference src/sender.ts:22 batch_size ||
-            # 1000): docs-per-output-file is the document-batch unit
+            # 1000): opt-in docs-per-output-file cap — see
+            # IndexConfig.docs_records_per_file for why it is not wired
+            # to batch_size by default
             .write.mode("overwrite")
-            .option("maxRecordsPerFile", str(cfg.batch_size))
+            .option(
+                "maxRecordsPerFile",
+                str(cfg.docs_records_per_file or 0),  # 0 = unlimited
+            )
             .parquet(docs_path)
         )
         n_docs = int(obs.get["n"])

@@ -2,11 +2,16 @@
 
 Image/audio/video payloads are `binary` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-kernels over mapInPandas. The image/audio codec libraries are not in
-this container, so the decode step is STUBBED (deterministic fake
-behind `fake=True`, NotImplementedError otherwise) — the Spark-side
-plumbing (schema, partitioning, UDF signature, batch shape) is real
-and tested.
+kernels over mapInPandas.
+
+AUDIO decode is REAL: WAV (RIFF/PCM) parses with the stdlib `wave`
+module + numpy alone — decode_audio() extracts sample rate, channel
+count, sample count, duration and waveform statistics from actual
+payload bytes (wav_encode() is the matching writer). Image and video
+codecs are not in this container, so those decode steps remain STUBBED
+(deterministic fake behind `fake=True`, NotImplementedError otherwise)
+— their Spark-side plumbing (schema, partitioning, UDF signature,
+batch shape) is real and tested.
 
 Scale notes: payload rows are heavy (KB-MB); the kernels therefore
 (a) never collect, (b) carry only (id, metadata, derived features)
@@ -106,6 +111,72 @@ def extract_features(media: DataFrame, dim: int = 8, fake: bool = True) -> DataF
     return media.select("media_id", "kind", "payload").mapInPandas(
         kernel, schema=FEATURE_SCHEMA
     )
+
+
+def wav_encode(samples: "np.ndarray", framerate: int = 8000) -> bytes:
+    """PCM int16 mono samples → real RIFF/WAV bytes (stdlib writer)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(np.asarray(samples).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+AUDIO_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_ms int, rms double, peak int"
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """REAL audio decode — no stub, no fake flag: WAV (RIFF/PCM) is
+    parseable with the stdlib `wave` module, so the kernel reads the
+    actual payload bytes: header → (sample_rate, n_channels, n_samples),
+    frames → int16 waveform → duration + RMS + peak. The Arrow batch
+    shape and binary-column pruning are identical to what an
+    ffmpeg-backed decoder for other formats would use; a non-WAV or
+    non-16-bit payload raises loudly rather than fabricating values."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "n_channels", "n_samples",
+                "duration_ms", "rms", "peak",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    if w.getsampwidth() != 2:
+                        raise ValueError(
+                            f"media_id={mid}: only 16-bit PCM supported, "
+                            f"got sampwidth={w.getsampwidth()}"
+                        )
+                    nf = w.getnframes()
+                    x = np.frombuffer(w.readframes(nf), dtype="<i2")
+                    out["media_id"].append(mid)
+                    out["sample_rate"].append(w.getframerate())
+                    out["n_channels"].append(w.getnchannels())
+                    out["n_samples"].append(nf)
+                    out["duration_ms"].append(nf * 1000 // w.getframerate())
+                    # widen BEFORE abs/square: abs(int16 -32768) wraps
+                    xw = x.astype(np.int64)
+                    out["rms"].append(
+                        round(float(np.sqrt((xw ** 2).sum() / nf)), 6)
+                        if nf else 0.0
+                    )
+                    out["peak"].append(int(np.abs(xw).max()) if nf else 0)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(kernel, schema=AUDIO_SCHEMA)
 
 
 RESIZE_SCHEMA = "media_id long, width int, height int, payload binary"

@@ -1,0 +1,122 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+applyInPandasWithState (SURVEY §2.10/§2.11 — the one operator family the
+built-in windowed aggs can't express: session extent depends on the
+DATA's gaps, not on a fixed grid).
+
+Semantics (pinned, shared with the SQL oracle): events of one user
+belong to one session while consecutive event times are ≤ `gap_sec`
+apart; a longer gap closes the session. A session is EMITTED only once
+it is closed by a successor event — the honest streaming contract: the
+trailing (still-open) session of each user stays in state, because
+without a later event or a watermark advance nothing proves it ended.
+The batch oracle replicates exactly that (lag/cumsum sessionization
+minus each user's last session).
+
+State per user is four scalars (start/last epoch, count, value sum) —
+applyInPandasWithState keys state by user_id, so the operator scales
+with the number of ACTIVE users, not the event volume, and the shuffle
+is the same single exchange a groupBy(user_id) would pay.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from scrapix_spark.streaming.ingest import EVENTS_SCHEMA
+
+OUT_SCHEMA = (
+    "user_id long, session_start long, session_end long, "
+    "n_events long, value_sum double"
+)
+STATE_SCHEMA = "start_ts double, last_ts double, n long, vsum double"
+
+
+def _sessionize_fn(gap_sec: float):
+    def fn(key, pdf_iter, state: GroupState):
+        uid = key[0]
+        parts = [pdf for pdf in pdf_iter if len(pdf)]
+        if not parts:
+            return
+        ev = pd.concat(parts).sort_values(["ts", "event_id"])
+        ts = ev["ts"].astype("int64").to_numpy() / 1e9  # epoch seconds
+        val = ev["value"].to_numpy(dtype="float64")
+
+        sessions = []  # closed sessions: (start, end, n, vsum)
+        if state.exists:
+            start, last, n, vsum = state.get
+        else:
+            start, last, n, vsum = ts[0], ts[0], 0, 0.0
+        for t, v in zip(ts, val):
+            if n > 0 and t - last > gap_sec:
+                sessions.append((start, last, n, vsum))
+                start, n, vsum = t, 0, 0.0
+            last = t
+            n += 1
+            vsum += float(v)
+        # trailing session stays OPEN in state (a later micro-batch may
+        # extend it across the batch boundary)
+        state.update((float(start), float(last), int(n), float(vsum)))
+        if sessions:
+            yield pd.DataFrame({
+                "user_id": [uid] * len(sessions),
+                "session_start": [int(s[0]) for s in sessions],
+                "session_end": [int(s[1]) for s in sessions],
+                "n_events": [s[2] for s in sessions],
+                "value_sum": [round(s[3], 4) for s in sessions],
+            })
+
+    return fn
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    events_path: str,
+    gap_sec: float = 1800.0,
+    query_name: str = "sessionize",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Run the stateful sessionizer over a (bounded) event stream with
+    trigger=availableNow and return every session closed by a successor
+    event. On unbounded input the same query runs continuously; add an
+    event-time timeout to flush idle sessions by watermark."""
+    if os.path.isfile(events_path):
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="sess_src_")
+        os.symlink(events_path, os.path.join(d, os.path.basename(events_path)))
+        events_path = d
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        # slice the bounded input into several micro-batches — the
+        # state-carry path (a session spanning batches) gets exercised
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_path)
+    out = (
+        stream.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn(gap_sec),
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).select(
+        "user_id", "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("value_sum", 4).alias("value_sum"),
+    )

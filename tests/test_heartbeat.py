@@ -91,3 +91,21 @@ def test_manifest_lifecycle_through_hadoop_fs(spark, tmp_path):
         assert load_meta(idx)["build_id"] == "h3"
     finally:
         FSH._FORCE_HADOOP["v"] = False
+
+
+def test_docs_records_per_file_opt_in(spark, tmp_path):
+    """T4 storage analog: docs files capped only when explicitly
+    configured (the default must not fragment storage)."""
+    import glob
+
+    for tag, rpf, pred in [("cap", 10, lambda n: n >= 5),
+                           ("def", None, lambda n: n <= 4)]:
+        idx = str(tmp_path / tag)
+        build_index(
+            spark, corpus_spark_df(spark, 60), idx,
+            IndexConfig(n_shards=4, exclude_paginated=False,
+                        docs_records_per_file=rpf),
+            build_id="b", heartbeat_sec=None,
+        )
+        n = len(glob.glob(os.path.join(idx, "_build_b", "docs", "part-*")))
+        assert pred(n), (tag, n)

@@ -149,3 +149,79 @@ def test_bm25f_field_order_dominates(spark):
     assert [r["doc_key"] for r in out] == ["a", "b"]
     w = field_weights_from_order(["h1", "h2", "p"])
     assert w["h1"] == 1.0 and w["p"] == pytest.approx(0.64)
+
+
+def test_sessionize_state_carries_across_microbatches(spark, tmp_path):
+    """A session whose events straddle a micro-batch boundary must merge
+    through the applyInPandasWithState state, not split — and the
+    output must equal the single-batch run."""
+    import pandas as pd
+
+    from scrapix_spark.streaming.sessionize import sessionize_stream
+
+    from datetime import datetime, timedelta
+
+    def ev(eid, uid, sec, val):
+        return (eid, datetime(2024, 1, 1) + timedelta(seconds=sec),
+                uid, "e", float(val), "{}")
+
+    cols = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # user 1: events at t=0,100 | batch boundary | t=150, 5000, 5100
+    # gap=1000 -> sessions {0,100,150} (closed by the 5000 jump) and
+    # {5000,5100} (open, never emitted)
+    f1 = spark.createDataFrame([ev(1, 1, 0, 1), ev(2, 1, 100, 2)], cols)
+    f2 = spark.createDataFrame(
+        [ev(3, 1, 150, 4), ev(4, 1, 5000, 8), ev(5, 1, 5100, 16)], cols
+    )
+    d = str(tmp_path / "events")
+    f1.coalesce(1).write.mode("overwrite").parquet(d)
+    f2.coalesce(1).write.mode("append").parquet(d)
+    # two files; one file per trigger forces the state-carry path
+    out = sessionize_stream(
+        spark, d, gap_sec=1000.0, query_name="sess_carry",
+        max_files_per_trigger=1,
+    ).collect()
+    # NOTE: file order between the two micro-batches is not guaranteed,
+    # but either order yields the same sessions here because each file's
+    # events are internally ordered and the merge is by event time
+    # within state... assert the closed session only
+    rows = [(r.user_id, r.session_start, r.session_end, r.n_events, r.value_sum)
+            for r in out]
+    base = pd.Timestamp("2024-01-01").timestamp()
+    assert rows == [(1, int(base + 0), int(base + 150), 3, 7.0)]
+
+
+def test_wav_decode_real_roundtrip(spark):
+    """decode_audio reads ACTUAL WAV bytes: encode known PCM with the
+    stdlib writer, decode through the Spark kernel, compare against
+    numpy computed directly on the samples."""
+    import numpy as np
+
+    from scrapix_spark.operators import multimodal as MM
+
+    s1 = np.array([0, 1000, -1000, 500, -500, 32767, -32768], dtype=np.int64)
+    s2 = np.arange(-100, 100, dtype=np.int64) * 50
+    rows = [
+        (1, "audio", "wav", None, None, None, bytearray(MM.wav_encode(s1, 8000))),
+        (2, "audio", "wav", None, None, None, bytearray(MM.wav_encode(s2, 16000))),
+        (3, "image", "png", 4, 4, None, bytearray(b"notawav")),  # filtered out
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in MM.decode_audio(media).collect()}
+    assert set(got) == {1, 2}
+    for mid, s, rate in [(1, s1, 8000), (2, s2, 16000)]:
+        r = got[mid]
+        assert r["sample_rate"] == rate and r["n_channels"] == 1
+        assert r["n_samples"] == len(s)
+        assert r["duration_ms"] == len(s) * 1000 // rate
+        assert r["rms"] == pytest.approx(
+            float(np.sqrt((s.astype(np.int64) ** 2).sum() / len(s))), abs=1e-5
+        )
+        assert r["peak"] == int(np.abs(s).max())
+    # a malformed payload must raise loudly, not fabricate
+    bad = spark.createDataFrame(
+        [(9, "audio", "wav", None, None, None, bytearray(b"garbage"))],
+        MM.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception):
+        MM.decode_audio(bad).collect()
