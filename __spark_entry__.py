@@ -1002,6 +1002,25 @@ DOCSSEARCH_FIELDS = [
 DOCSSEARCH_QUERY = "table value"
 
 
+def q_search_api(spark, sf_dir):
+    """The unified search request (Meilisearch POST /search surface):
+    q + filterableAttributes filter + offset pagination in ONE call on
+    the published index — IndexReader.search composes score-all →
+    filter → rank → offset/limit with the reference's semantics order.
+    """
+    idx = _entry_index(spark, sf_dir)
+    r = Q.IndexReader(spark, idx)
+    out = r.search(
+        BM25_QUERY, k=10, offset=5, filter_expr="lang = 'en'",
+        tie_cols=("path",),
+    )["hits"]
+    return out.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "lang",
+    )
+
+
 def q_docssearch_ranked(spark, sf_dir):
     """The docssearch ranking chain end-to-end (T1, reference
     src/scrapers/docssearch.ts:47-71): G2 segmentation → BM25F over the
@@ -1210,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crop": q_crop,
         "docssearch_ranked": q_docssearch_ranked,
         "filtered_search": q_filtered_search,
+        "search_api": q_search_api,
         "sorted_search": q_sorted_search,
         "search_synonyms": q_search_synonyms,
         "search_negative_stopwords": q_search_negative_stopwords,
@@ -2212,6 +2232,12 @@ SELECT s.doc_id, round(s.score, 4) AS score, d.lang, d.n_chars::BIGINT AS n_char
 FROM scored s JOIN documents d USING (doc_id)
 WHERE d.lang = 'en' AND d.n_chars >= 150
 ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
+""",
+        "search_api": _bm25_scored_sql(Q.query_terms(BM25_QUERY)) + """
+SELECT s.doc_id, round(s.score, 4) AS score, d.lang
+FROM scored s JOIN documents d USING (doc_id)
+WHERE d.lang = 'en'
+ORDER BY round(s.score, 9) DESC, s.doc_id OFFSET 5 LIMIT 10
 """,
         "sorted_search": _bm25_scored_sql(Q.query_terms(BM25_QUERY)) + """
 SELECT s.doc_id, round(s.score, 4) AS score, d.n_chars::BIGINT AS n_chars

@@ -508,19 +508,7 @@ class IndexReader:
                 "no distinct attribute: pass attr= or build the index "
                 "with IndexConfig.distinct_attribute set"
             )
-        meta = self.meta
-        drows = self.resolve_terms(query_terms(q))
-        tids = [tid for _, tid, _ in drows]
-        post = self._drop_dead(
-            _decode_blocks_df(self._segments_for(tids))
-        ).withColumnRenamed("term_id", "term")
-        tstats = self.spark.createDataFrame(
-            [(tid, df) for _, tid, df in drows], "term long, df long"
-        ) if drows else self.spark.createDataFrame([], "term long, df long")
-        scored = _bm25_topk_from_postings_terms(
-            post, tstats, meta["N"], meta["avgdl"], tids,
-            k=(1 << 31) - 1, k1=meta["k1"], b=meta["b"],
-        )
+        scored = self._score_all(q)
         cols = [attr] + [c for c in tie_cols if c != attr]
         hyd = scored.join(
             self._drop_dead(self.docs.select("doc_id", *cols)), "doc_id"
@@ -536,6 +524,81 @@ class IndexReader:
             .orderBy(F.round(F.col("score"), SCORE_ROUND).desc(), *ties)
             .limit(k)
         )
+
+    def _score_all(self, q: str) -> DataFrame:
+        """Every matching doc fully scored: (doc_id, score, n_matched)
+        with no top-k cut — the substrate for semantics that must see
+        the whole match set (filter / sort / distinct / facets)."""
+        meta = self.meta
+        drows = self.resolve_terms(query_terms(q))
+        tids = [tid for _, tid, _ in drows]
+        post = self._drop_dead(
+            _decode_blocks_df(self._segments_for(tids))
+        ).withColumnRenamed("term_id", "term")
+        tstats = self.spark.createDataFrame(
+            [(tid, df) for _, tid, df in drows], "term long, df long"
+        ) if drows else self.spark.createDataFrame([], "term long, df long")
+        return _bm25_topk_from_postings_terms(
+            post, tstats, meta["N"], meta["avgdl"], tids,
+            k=(1 << 31) - 1, k1=meta["k1"], b=meta["b"],
+        )
+
+    def search(
+        self,
+        q: str,
+        k: int = 10,
+        offset: int = 0,
+        filter_expr: str | None = None,
+        sort: list[str] | None = None,
+        distinct: str | None = None,
+        facets: list[str] | None = None,
+        tie_cols: tuple[str, ...] = (),
+    ) -> dict:
+        """The unified search request — the Meilisearch POST /search
+        surface a scrapix-indexed app actually calls (q, filter, sort,
+        distinct, facets, offset/limit), composed from the engine's own
+        operators with the reference's semantics ordering:
+
+          score all matches → `filter_expr` (filterableAttributes; a
+          SQL boolean over docs columns, applied BEFORE any cut) →
+          facetDistribution over the filtered match set → distinct
+          winner per attr → rank: `sort` criteria (sortableAttributes,
+          ['col:asc'|'col:desc'], ABOVE relevancy) then score desc then
+          tie_cols/doc_id → offset/k pagination.
+
+        Returns {"hits": DataFrame, "facets": DataFrame | None}. Every
+        piece stays a DataFrame plan: the only driver-side values are
+        the query's dictionary rows.
+        """
+        scored = self._score_all(q)
+        docs = self._drop_dead(self.docs)
+        hyd = scored.join(docs, "doc_id")
+        if filter_expr:
+            hyd = hyd.filter(filter_expr)
+        facets_df = None
+        if facets:
+            from scrapix_spark.operators.results import facet_distribution
+
+            facets_df = facet_distribution(hyd, facets)
+        ties = [F.col(c).asc() for c in tie_cols] + [F.col("doc_id").asc()]
+        order = []
+        for s in sort or []:
+            col, _, direction = s.partition(":")
+            order.append(
+                F.col(col).desc() if direction == "desc" else F.col(col).asc()
+            )
+        order += [F.round(F.col("score"), SCORE_ROUND).desc(), *ties]
+        if distinct:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(distinct).orderBy(*order)
+            hyd = (
+                hyd.withColumn("_rn", F.row_number().over(w))
+                .filter("_rn = 1")
+                .drop("_rn")
+            )
+        hits = hyd.orderBy(*order).offset(offset).limit(k).drop("sha256")
+        return {"hits": hits, "facets": facets_df}
 
     def _hydrate(self, topk: DataFrame, order: list | None = None) -> DataFrame:
         """J4: attach repo/path/commit/lang to the k winners — broadcast

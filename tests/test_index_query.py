@@ -215,3 +215,42 @@ def test_sorted_staging_build_equivalent(spark, tiny_corpus, tmp_path):
             assert x.score == pytest.approx(y.score, rel=1e-12), q
         fb = rb.topk_full(q, k, hydrate=False).collect()
         assert [x.doc_id for x in gb] == [x.doc_id for x in fb], q
+
+
+def test_search_api_composition(spark, index_dir):
+    """The unified search() request composes filter / sort / distinct /
+    facets / pagination with the pinned semantics order, and each piece
+    agrees with the dedicated operator it reuses."""
+    r = Q.IndexReader(spark, index_dir)
+    q = "binary search"
+
+    # plain search == topk_full top-k (same ranking, same hits)
+    plain = r.search(q, k=5)["hits"].collect()
+    want = r.topk_full(q, 5, hydrate=False).collect()
+    assert [x["doc_id"] for x in plain] == [x["doc_id"] for x in want]
+
+    # offset slices the SAME ranking
+    page2 = r.search(q, k=3, offset=3)["hits"].collect()
+    all6 = r.search(q, k=6)["hits"].collect()
+    assert [x["doc_id"] for x in page2] == [x["doc_id"] for x in all6[3:6]]
+
+    # filter applies before the cut
+    filt = r.search(q, k=50, filter_expr="lang = 'py'")["hits"].collect()
+    assert filt and all(x["lang"] == "py" for x in filt)
+
+    # sort criteria rank above relevancy
+    srt = r.search(q, k=10, sort=["lang:desc"])["hits"].collect()
+    langs = [x["lang"] for x in srt]
+    assert langs == sorted(langs, reverse=True)
+
+    # distinct: at most one hit per repo
+    dis = r.search(q, k=10, distinct="repo")["hits"].collect()
+    repos = [x["repo"] for x in dis]
+    assert len(repos) == len(set(repos))
+
+    # facets computed over the filtered match set
+    fac = r.search(q, k=1, facets=["lang"])["facets"].collect()
+    match_langs = {
+        x["lang"] for x in r.search(q, k=10**6)["hits"].collect()
+    }
+    assert {x["value"] for x in fac if x["attr"] == "lang"} == match_langs

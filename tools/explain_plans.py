@@ -215,6 +215,46 @@ def main() -> int:
          ("term_id pushdown", "PushedFilters: [IsNotNull(term_id")],
     )
 
+    # 9. typo candidates: deletion-key equi-join shape, never a
+    # full-dictionary distance scan (r2: depth-2 keys, same property)
+    from scrapix_spark.operators.match import typo_candidates
+
+    dict_stats = reader.dict_df.select("term", "df")
+    typo_plan = formatted(typo_candidates(dict_stats, "custoners", max_dist=2))
+    check(
+        "typo candidates (depth-2 SymSpell deletion keys)",
+        "Two-typo candidate generation explodes dictionary deletion "
+        "neighborhoods and filters on the query's (tiny) key set — an "
+        "IN-filter after a projection, never a nested-loop levenshtein "
+        "against the whole dictionary; levenshtein appears only as the "
+        "exact verify on survivors.",
+        typo_plan,
+        [("deletion-key IN filter", "delkey"),
+         ("exact verify on survivors", "levenshtein")],
+    )
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        if bad in typo_plan:
+            failures.append(f"typo candidates: {bad} (full-dictionary scan)")
+            sections[-1][3].append(f"FAIL no {bad}")
+        else:
+            sections[-1][3].append(f"PASS no {bad}")
+
+    # 10. distinct-attribute query: one window over (doc_id, score, attr)
+    dist_plan = formatted(
+        reader.topk_distinct("filter stream", 10, attr="repo")
+    )
+    check(
+        "distinct-attribute top-k (IndexReader.topk_distinct)",
+        "Distinct semantics force full scoring, then ONE window picks "
+        "the per-attr winner — the window input is (doc_id, score, "
+        "attr) rows of matching docs only; content never shuffles, and "
+        "the query-term filter still prunes the segment scan.",
+        dist_plan,
+        [("term_id filter pushed to scan", "PushedFilters: [In(term_id"),
+         ("per-attr winner window", "Window"),
+         ("window partitions on the attr", "windowspecdefinition(repo")],
+    )
+
     # ---- write PLANS.md
     out = ["# PLANS — physical-plan review of the hot paths",
            "",
