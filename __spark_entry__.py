@@ -956,6 +956,23 @@ def q_typo2_topk(spark, sf_dir):
     )
 
 
+def q_typo2_index_topk(spark, sf_dir):
+    """Index-level two-typo search (IndexReader.topk_typo over the
+    PUBLISHED index): candidates resolve against the term dictionary
+    only (SymSpell join), postings decode by term_id — must equal the
+    table-level operator's SQL oracle exactly."""
+    idx = _entry_index(spark, sf_dir)
+    r = Q.IndexReader(spark, idx)
+    out = r.topk_typo(
+        TYPO2_QUERY, 10, hydrate=True, max_dist=2, two_typo_min=TYPO2_MIN
+    )
+    return out.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
 def q_phrase_topk(spark, sf_dir):
     """Exact-phrase top-k: inverted-index AND candidates + separator-aware
     regex adjacency verification on candidates only, BM25-ranked."""
@@ -1221,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typo_candidates": q_typo_candidates,
         "typo_topk": q_typo_topk,
         "typo2_topk": q_typo2_topk,
+        "typo2_index_topk": q_typo2_index_topk,
         "phrase_topk": q_phrase_topk,
         "phrase_positional_topk": q_phrase_positional_topk,
         "proximity_topk": q_proximity_topk,
@@ -2217,6 +2235,7 @@ ORDER BY dist, term
 """,
         "typo_topk": _typo_sql(),
         "typo2_topk": _typo2_sql(),
+        "typo2_index_topk": _typo2_sql(),
         "phrase_positional_topk": _bm25_scored_sql(Q.query_terms(PHRASE_POS_QUERY))
         + f"""
 SELECT s.doc_id, round(s.score, 4) AS score

@@ -33,13 +33,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument(
         "--mode",
-        choices=["wand", "full", "prefix", "phrase", "proximity", "distinct"],
+        choices=["wand", "full", "prefix", "typo", "phrase", "proximity",
+                 "distinct"],
         default="wand",
         help="wand/full = BM25 top-k (rank-identical pair); prefix = "
-             "last word as prefix; phrase/proximity need an index built "
-             "with store_positions; distinct = EXACT distinct-attribute "
-             "semantics via IndexReader.topk_distinct (attr from "
-             "--distinct-by or the build's distinct_attribute)",
+             "last word as prefix; typo = edit-distance tolerance with "
+             "Meilisearch length budgets; phrase/proximity need an index "
+             "built with store_positions; distinct = EXACT distinct-"
+             "attribute semantics via IndexReader.topk_distinct (attr "
+             "from --distinct-by or the build's distinct_attribute)",
     )
     ap.add_argument("--distinct-by", default=None,
                     help="distinctAttribute analog (reference "
@@ -61,6 +63,7 @@ def main(argv: list[str] | None = None) -> int:
         "wand": reader.topk_pruned,
         "full": reader.topk_full,
         "prefix": reader.topk_prefix,
+        "typo": reader.topk_typo,
         "phrase": reader.topk_phrase,
         "proximity": lambda q, k: reader.topk_proximity(q, k=k),
         "distinct": lambda q, k: reader.topk_distinct(

@@ -400,6 +400,76 @@ class IndexReader:
         topk = agg.orderBy(*words_order).limit(k)
         return self._hydrate(topk, order=words_order) if hydrate else topk
 
+    def topk_typo(
+        self, q: str, k: int = 10, hydrate: bool = True, max_dist: int = 2,
+        min_len: int | None = None, two_typo_min: int | None = None,
+    ) -> DataFrame:
+        """Typo-tolerant top-k over the PUBLISHED index (the query-server
+        path of operators/match.bm25_topk_typo, same pinned semantics):
+        each query word expands to its edit-distance dictionary
+        neighborhood — budget = min(max_dist, typo_budget(word)) with
+        the Meilisearch length thresholds — resolved against the term
+        DICTIONARY only (SymSpell deletion-key join; postings are never
+        scanned to find candidates); a doc's contribution per word is
+        the MAX over that word's expansions, each word counts once in
+        n_matched, ranking is the `words` rule."""
+        from scrapix_spark.operators.match import (
+            ONE_TYPO_MIN, TWO_TYPO_MIN, typo_candidates,
+        )
+
+        min_len = ONE_TYPO_MIN if min_len is None else min_len
+        two_typo_min = TWO_TYPO_MIN if two_typo_min is None else two_typo_min
+        words = query_terms(q)
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, score double, n_matched int"
+        )
+        if not words:
+            return self._hydrate(empty) if hydrate else empty
+        meta = self.meta
+        # layered dictionary with live (summed) df + the posting key
+        dict_agg = self.dict_df.groupBy("term", "term_id").agg(
+            F.sum("df").alias("df")
+        )
+        mapping_rows: list[tuple[int, int, float]] = []  # (tid, wi, idf)
+        for wi, w in enumerate(words):
+            cands = (
+                typo_candidates(dict_agg, w, max_dist, min_len, two_typo_min)
+                .join(dict_agg.select("term", "term_id"), "term")
+                .collect()
+            )  # a word's neighborhood: tiny, the same driver-side shape
+            #    as resolve_terms' dictionary slice
+            for r in cands:
+                idf = float(codec.bm25_idf(meta["N"], np.array([r["df"]]))[0])
+                mapping_rows.append((r["term_id"], wi, idf))
+        if not mapping_rows:
+            return self._hydrate(empty) if hydrate else empty
+        tids = sorted({t for t, _, _ in mapping_rows})
+        post = self._drop_dead(_decode_blocks_df(self._segments_for(tids)))
+        mapping = self.spark.createDataFrame(
+            mapping_rows, "term_id long, wi int, idf double"
+        )
+        scored = post.join(F.broadcast(mapping), "term_id").withColumn(
+            "contrib",
+            bm25_score_expr(
+                F.col("tf"), F.col("dl"), F.col("idf"),
+                meta["avgdl"], meta["k1"], meta["b"],
+            ),
+        )
+        perword = scored.groupBy("doc_id", "wi").agg(
+            F.max("contrib").alias("c")
+        )
+        agg = perword.groupBy("doc_id").agg(
+            F.sum("c").alias("score"),
+            F.countDistinct("wi").cast("int").alias("n_matched"),
+        )
+        words_order = [
+            F.col("n_matched").desc(),
+            F.round(F.col("score"), SCORE_ROUND).desc(),
+            F.col("doc_id").asc(),
+        ]
+        topk = agg.orderBy(*words_order).limit(k)
+        return self._hydrate(topk, order=words_order) if hydrate else topk
+
     def _positional_for(self, q: str):
         """Positional rows for the query terms, with the term STRING
         restored (tiny broadcast of the resolved slice) so the

@@ -321,3 +321,32 @@ def test_typo2_randomized_edits_always_found(spark):
                 }
                 # the corrupted form is within <=2 edits of its source
                 assert w in got, (w, q, got)
+
+
+def test_index_reader_typo_matches_table_operator(spark, index_dir_match):
+    """IndexReader.topk_typo over the published index must be
+    rank+score-identical to the table-level bm25_topk_typo on the same
+    corpus (same Meilisearch length budgets)."""
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.functions.tokenize import with_tokens
+    from scrapix_spark.operators.docs import build_docs
+    from scrapix_spark.operators.query import IndexReader
+
+    corpus, idx = index_dir_match
+    r = IndexReader(spark, idx)
+    docs = build_docs(corpus, IndexConfig(exclude_paginated=False), tokenize=False)
+    t = with_tokens(docs, "content")
+    post = t.select(
+        "doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("tk")
+    ).select("tk.term", "doc_id", F.col("tk.tf").alias("tf"), "dl")
+    stats = P.term_stats(post)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    for q in ["binsry search", "zanzibat", "sortt merge"]:
+        got = r.topk_typo(q, 10, hydrate=False, max_dist=2).collect()
+        want = M.bm25_topk_typo(
+            post, stats, int(row["n"]), float(row["a"]), q, 10, K1, B,
+            max_dist=2,
+        ).collect()
+        assert [x["doc_id"] for x in got] == [x["doc_id"] for x in want], q
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], rel=1e-9), q
