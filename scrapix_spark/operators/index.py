@@ -236,8 +236,15 @@ def _build_index_inner(
     # never from a second tokenization pass over the corpus
     docs = build_docs(raw, cfg, tokenize=False)
     post_path = os.path.join(build_dir, "postings")
+    # sg = the resumable batch (shard-group) a posting belongs to; the
+    # staging relation is partitioned by it so each segment batch reads
+    # ONLY its own directory — without this, an n-batch build re-scans
+    # the full staging relation n times (the dominant read at volume)
+    per_batch = (cfg.n_shards + len(batches) - 1) // len(batches)
     if not _done(post_path):
-        flat = P.postings_from_content(docs, "content")
+        flat = P.postings_from_content(docs, "content").withColumn(
+            "sg", (F.col("shard") / F.lit(per_batch)).cast("int")
+        )
         if cfg.sorted_staging:
             # stage ALREADY in the encode layout: the one exchange of
             # the build happens here; the segment phase becomes a pure
@@ -249,11 +256,17 @@ def _build_index_inner(
                 .drop("_tb")
                 .sortWithinPartitions(tid, F.col("shard"), F.col("doc_id"))
                 .write.mode("overwrite")
+                .partitionBy("sg")
                 .parquet(post_path)
             )
         else:
-            flat.write.mode("overwrite").parquet(post_path)
-    post = spark.read.parquet(post_path)
+            flat.write.mode("overwrite").partitionBy("sg").parquet(post_path)
+    # explicit schema: a partitioned write of an EMPTY relation leaves
+    # no files to infer from (the empty-build stats gate below must see
+    # an empty frame, not an AnalysisException)
+    post = spark.read.schema(
+        "term string, shard int, doc_id long, tf int, dl int, sg int"
+    ).parquet(post_path)
     phases["tokenize_postings"] = round(time.time() - tp, 2)
 
     if hb:
@@ -327,16 +340,24 @@ def _build_index_inner(
         if cfg.sorted_staging:
             # pure map over the pre-sorted staged files — no exchange,
             # no sort; one task per file keeps (term, shard) runs whole
-            part = _pinned_file_session(spark).read.parquet(post_path).filter(
-                F.col("shard").isin(shard_group)
-            )
+            s2 = _pinned_file_session(spark)
+            part = s2.read.parquet(post_path)
+            pred = F.col("shard").isin(shard_group)
+            if "sg" in part.columns:  # legacy (pre-sg) staging resumes too
+                pred = (F.col("sg") == i) & pred
+            part = part.filter(pred)
             enc = P.encode_presorted(
                 part, stats["avgdl"], cfg.k1, cfg.b, cfg.block_size,
                 tb_bits,
             )
             enc.write.mode("overwrite").partitionBy("tb").parquet(batch_dir)
         else:
-            part = post.filter(F.col("shard").isin(shard_group))
+            # sg == i prunes whole staging directories before any footer
+            # is read; the shard predicate remains the semantic filter
+            pred = F.col("shard").isin(shard_group)
+            if "sg" in post.columns:  # legacy (pre-sg) staging resumes too
+                pred = (F.col("sg") == i) & pred
+            part = post.filter(pred)
             enc = P.encode_segments(
                 part, stats["avgdl"], cfg.k1, cfg.b, cfg.block_size,
                 num_partitions=batch_parts, tb_bits=tb_bits,
