@@ -623,6 +623,8 @@ class IndexReader:
         distinct: str | None = None,
         facets: list[str] | None = None,
         tie_cols: tuple[str, ...] = (),
+        attributes_to_retrieve: list[str] | None = None,
+        with_total: bool = False,
     ) -> dict:
         """The unified search request — the Meilisearch POST /search
         surface a scrapix-indexed app actually calls (q, filter, sort,
@@ -636,9 +638,13 @@ class IndexReader:
           ['col:asc'|'col:desc'], ABOVE relevancy) then score desc then
           tie_cols/doc_id → offset/k pagination.
 
-        Returns {"hits": DataFrame, "facets": DataFrame | None}. Every
-        piece stays a DataFrame plan: the only driver-side values are
-        the query's dictionary rows.
+        Returns {"hits": DataFrame, "facets": DataFrame | None,
+        "estimated_total_hits": int | None}. `attributes_to_retrieve`
+        projects the hit columns (doc_id/score always kept);
+        `with_total` runs one extra count over the filtered match set
+        (Meilisearch estimatedTotalHits). Everything else stays a
+        DataFrame plan: the only driver-side values are the query's
+        dictionary rows and the optional total.
         """
         scored = self._score_all(q)
         docs = self._drop_dead(self.docs)
@@ -667,8 +673,18 @@ class IndexReader:
                 .filter("_rn = 1")
                 .drop("_rn")
             )
+        total = hyd.count() if with_total else None
         hits = hyd.orderBy(*order).offset(offset).limit(k).drop("sha256")
-        return {"hits": hits, "facets": facets_df}
+        if attributes_to_retrieve:
+            keep = ["doc_id", "score"] + [
+                c for c in attributes_to_retrieve
+                if c in hits.columns and c not in ("doc_id", "score")
+            ]
+            hits = hits.select(*keep)
+        return {
+            "hits": hits, "facets": facets_df,
+            "estimated_total_hits": total,
+        }
 
     def _hydrate(self, topk: DataFrame, order: list | None = None) -> DataFrame:
         """J4: attach repo/path/commit/lang to the k winners — broadcast

@@ -36,9 +36,20 @@ OUT_SCHEMA = (
 STATE_SCHEMA = "start_ts double, last_ts double, n long, vsum double"
 
 
-def _sessionize_fn(gap_sec: float):
+def _sessionize_fn(gap_sec: float, idle_flush: bool):
     def fn(key, pdf_iter, state: GroupState):
         uid = key[0]
+        if idle_flush and state.hasTimedOut:
+            # event-time timeout: the watermark passed last_ts + gap, so
+            # the open session provably ended — flush it and drop state
+            start, last, n, vsum = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [uid], "session_start": [int(start)],
+                "session_end": [int(last)], "n_events": [n],
+                "value_sum": [round(vsum, 4)],
+            })
+            return
         parts = [pdf for pdf in pdf_iter if len(pdf)]
         if not parts:
             return
@@ -61,6 +72,9 @@ def _sessionize_fn(gap_sec: float):
         # trailing session stays OPEN in state (a later micro-batch may
         # extend it across the batch boundary)
         state.update((float(start), float(last), int(n), float(vsum)))
+        if idle_flush:
+            # flush when the EVENT-TIME watermark passes the gap horizon
+            state.setTimeoutTimestamp(int((last + gap_sec) * 1000) + 1)
         if sessions:
             yield pd.DataFrame({
                 "user_id": [uid] * len(sessions),
@@ -79,11 +93,16 @@ def sessionize_stream(
     gap_sec: float = 1800.0,
     query_name: str = "sessionize",
     max_files_per_trigger: int | None = None,
+    idle_flush: bool = False,
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Run the stateful sessionizer over a (bounded) event stream with
     trigger=availableNow and return every session closed by a successor
-    event. On unbounded input the same query runs continuously; add an
-    event-time timeout to flush idle sessions by watermark."""
+    event. `idle_flush=True` adds the production contract for unbounded
+    streams: a watermark + EventTimeTimeout flush sessions whose gap
+    horizon the watermark has passed, so idle users' sessions emit
+    without waiting for their next event (state is then dropped — the
+    operator's memory is bounded by ACTIVE users within the gap)."""
     if os.path.isfile(events_path):
         import tempfile
 
@@ -96,16 +115,19 @@ def sessionize_stream(
         # state-carry path (a session spanning batches) gets exercised
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(events_path)
-    out = (
-        stream.select("user_id", "event_id", "ts", "value")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _sessionize_fn(gap_sec),
-            outputStructType=OUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    src = stream.select("user_id", "event_id", "ts", "value")
+    if idle_flush:
+        src = src.withWatermark("ts", watermark)
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn(gap_sec, idle_flush),
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if idle_flush
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     q = (
         out.writeStream.format("memory")

@@ -254,3 +254,16 @@ def test_search_api_composition(spark, index_dir):
         x["lang"] for x in r.search(q, k=10**6)["hits"].collect()
     }
     assert {x["value"] for x in fac if x["attr"] == "lang"} == match_langs
+
+
+def test_search_api_retrieve_and_total(spark, index_dir):
+    r = Q.IndexReader(spark, index_dir)
+    res = r.search(
+        "binary search", k=3, filter_expr="lang = 'py'",
+        attributes_to_retrieve=["path"], with_total=True,
+    )
+    hits = res["hits"].collect()
+    assert hits and set(hits[0].asDict()) == {"doc_id", "score", "path"}
+    n_all = r.search("binary search", k=10**6,
+                     filter_expr="lang = 'py'")["hits"].count()
+    assert res["estimated_total_hits"] == n_all

@@ -225,3 +225,38 @@ def test_wav_decode_real_roundtrip(spark):
     )
     with pytest.raises(Exception):
         MM.decode_audio(bad).collect()
+
+
+def test_sessionize_idle_flush_by_watermark(spark, tmp_path):
+    """With idle_flush, an open session whose gap horizon the event-time
+    watermark has passed must be EMITTED by timeout (state dropped) —
+    the unbounded-stream contract: idle users' sessions don't wait for
+    their next event."""
+    from datetime import datetime, timedelta
+
+    from scrapix_spark.streaming.sessionize import sessionize_stream
+
+    def ev(eid, uid, sec, val):
+        return (eid, datetime(2024, 1, 1) + timedelta(seconds=sec),
+                uid, "e", float(val), "{}")
+
+    cols = ("event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string")
+    # user 1 goes idle after t=100; user 2's later events (t=10000+)
+    # advance the watermark far past user 1's gap horizon (100 + 1000)
+    f1 = spark.createDataFrame([ev(1, 1, 0, 1), ev(2, 1, 100, 2)], cols)
+    f2 = spark.createDataFrame([ev(3, 2, 10000, 4), ev(4, 2, 10050, 8)], cols)
+    d = str(tmp_path / "events")
+    f1.coalesce(1).write.mode("overwrite").parquet(d)
+    f2.coalesce(1).write.mode("append").parquet(d)
+    out = sessionize_stream(
+        spark, d, gap_sec=1000.0, query_name="sess_idle",
+        max_files_per_trigger=1, idle_flush=True,
+    ).collect()
+    base = datetime(2024, 1, 1).timestamp()
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events, r.value_sum)
+           for r in out}
+    # user 1's idle session flushed by timeout; user 2's trailing
+    # session may or may not flush depending on final watermark --
+    # assert the timeout-driven emission specifically
+    assert (1, int(base + 0), int(base + 100), 2, 3.0) in got
