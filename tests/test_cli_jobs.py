@@ -85,3 +85,44 @@ def test_query_job_distinct_by(cli_index, capsys):
     hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     langs = [h["lang"] for h in hits]
     assert len(langs) == len(set(langs))
+
+
+def test_query_job_typo_and_exact_distinct_modes(cli_index, capsys):
+    corpus, index = cli_index
+    if not os.path.exists(os.path.join(index, "_CURRENT")):
+        job_build.main(["--input", corpus, "--index-dir", index,
+                        "--config-json", json.dumps({"n_shards": 8})])
+        capsys.readouterr()
+    # typo mode: misspelled word still finds hits through the dictionary
+    rc = job_query.main([
+        "--index-dir", index, "--query", "binsry search",
+        "--k", "5", "--mode", "typo",
+    ])
+    assert rc == 0
+    hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert hits and all("n_matched" in h for h in hits)
+    # distinct mode: EXACT distinct semantics via topk_distinct
+    rc = job_query.main([
+        "--index-dir", index, "--query", "binary search tree",
+        "--k", "5", "--mode", "distinct", "--distinct-by", "lang",
+    ])
+    assert rc == 0
+    hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    langs = [h["lang"] for h in hits]
+    assert langs and len(langs) == len(set(langs))
+
+
+def test_build_job_heartbeat_flag(cli_index, tmp_path, capsys):
+    corpus, _ = cli_index
+    idx = str(tmp_path / "hb_idx")
+    rc = job_build.main([
+        "--input", corpus, "--index-dir", idx,
+        "--config-json", json.dumps({"n_shards": 4}),
+        "--heartbeat-sec", "0.3",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    hb = os.path.join(idx, "_build_0001", "heartbeat.jsonl")
+    assert os.path.exists(hb)
+    rows = [json.loads(l) for l in open(hb)]
+    assert rows[0]["status"] == "started" and rows[-1]["status"] == "completed"
