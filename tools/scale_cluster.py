@@ -1,0 +1,62 @@
+"""Multi-JVM executor scaling evidence: N vs 4N SEPARATE executor JVMs
+via Spark's local-cluster master (each executor gets its own JVM, heap,
+GC and Python workers — the closest one box gets to real executors).
+
+    python tools/scale_cluster.py [n_executors] [corpus_parquet]
+
+Prints CHILD_SEC <wall> for one build; drive interleaved pairs like
+bench.py --scaling does, take min per level:
+
+    for r in 1 2 3; do for n in 1 4; do python tools/scale_cluster.py $n; done; done
+
+Measured (BASELINE.md round 2): 1x2-core executor min 137.9 s vs
+4x2-core executors min 51.0 s on 500k docs -> raw efficiency 0.676,
+matching the thread-based local[1]/local[4] window (0.673) — the
+engine's scaling behavior is the same under real executor JVMs.
+"""
+
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    n_exec = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    corpus = sys.argv[2] if len(sys.argv) > 2 else "/tmp/bench_corpus_500000"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName(f"lc_scale_{n_exec}")
+        .master(f"local-cluster[{n_exec},2,6144]")
+        .config("spark.submit.pyFiles", "/root/repo/dist/scrapix_spark.zip")
+        .config("spark.executorEnv.PYTHONPATH", "/root/repo")
+        .config("spark.sql.shuffle.partitions", str(max(n_exec * 4, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import build_index
+
+    raw = spark.read.parquet(corpus)
+    w = tempfile.mkdtemp()
+    build_index(spark, raw.limit(2000), w,
+                IndexConfig(n_shards=8, exclude_paginated=False),
+                build_id="w", heartbeat_sec=None)
+    shutil.rmtree(w)
+    d = tempfile.mkdtemp(prefix="lc_")
+    t0 = time.time()
+    build_index(spark, raw, d,
+                IndexConfig(n_shards=32, exclude_paginated=False),
+                build_id="b", heartbeat_sec=None)
+    print("CHILD_SEC", round(time.time() - t0, 1))
+    shutil.rmtree(d, ignore_errors=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
