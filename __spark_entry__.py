@@ -756,6 +756,44 @@ def q_wav_decode(spark, sf_dir):
     )
 
 
+def q_png_decode(spark, sf_dir):
+    """X10 upgrade — REAL image decode, no stub: deterministic RGB
+    rasters (pixel value a pure function of media_id and flat index)
+    are encoded to actual PNG bytes (stdlib zlib writer) and decoded
+    back by the real chunk-walk/inflate/unfilter kernel; the oracle
+    recomputes dimensions and per-channel means from the closed-form
+    raster."""
+    import numpy as np
+
+    d = _docs(spark, sf_dir).filter("doc_id % 3 = 0").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": []}
+            for mid in pdf["media_id"]:
+                w = 16 + int(mid) % 17
+                h = 16 + (int(mid) * 3) % 13
+                i = np.arange(h * w * 3, dtype=np.int64)
+                img = ((int(mid) * 7 + i) % 256).astype(np.uint8).reshape(h, w, 3)
+                rows["media_id"].append(mid)
+                rows["kind"].append("image")
+                rows["payload"].append(MM.png_encode(img))
+            yield pd.DataFrame(rows)
+
+    media = d.mapInPandas(gen, schema="media_id long, kind string, payload binary")
+    out = MM.decode_images(media)
+    return out.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal decode/feature-extract kernel (mapInPandas over binary
     payloads; decode stubbed — sha256 digest stands in for the embedding).
@@ -1225,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_image_clean": q_meta_image_clean,
         "schema_dynamic_fanout": q_schema_dynamic_fanout,
         "wav_decode": q_wav_decode,
+        "png_decode": q_png_decode,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -2146,6 +2185,23 @@ SELECT doc_id,
          ELSE 'author=' || source
               || '|image=https://img/' || doc_id || '/im.png' END AS cleaned
 FROM documents
+""",
+        "png_decode": """
+WITH a AS (SELECT doc_id AS media_id,
+                  16 + doc_id % 17 AS w,
+                  16 + (doc_id * 3) % 13 AS h
+           FROM documents WHERE doc_id % 3 = 0)
+SELECT media_id, w::INT AS width, h::INT AS height,
+       round(list_sum(list_transform(range(w * h),
+             j -> ((media_id * 7 + j * 3 + 0) % 256)::DOUBLE)) / (w * h), 6)
+         AS mean_r,
+       round(list_sum(list_transform(range(w * h),
+             j -> ((media_id * 7 + j * 3 + 1) % 256)::DOUBLE)) / (w * h), 6)
+         AS mean_g,
+       round(list_sum(list_transform(range(w * h),
+             j -> ((media_id * 7 + j * 3 + 2) % 256)::DOUBLE)) / (w * h), 6)
+         AS mean_b
+FROM a
 """,
         "wav_decode": """
 WITH a AS (SELECT doc_id AS media_id, 200 + doc_id % 100 AS n

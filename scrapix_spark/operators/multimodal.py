@@ -4,14 +4,16 @@ Image/audio/video payloads are `binary` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 kernels over mapInPandas.
 
-AUDIO decode is REAL: WAV (RIFF/PCM) parses with the stdlib `wave`
-module + numpy alone — decode_audio() extracts sample rate, channel
-count, sample count, duration and waveform statistics from actual
-payload bytes (wav_encode() is the matching writer). Image and video
-codecs are not in this container, so those decode steps remain STUBBED
-(deterministic fake behind `fake=True`, NotImplementedError otherwise)
-— their Spark-side plumbing (schema, partitioning, UDF signature,
-batch shape) is real and tested.
+AUDIO and IMAGE decode are REAL: WAV (RIFF/PCM) parses with the stdlib
+`wave` module + numpy (decode_audio: rate/channels/samples/duration/
+waveform stats; wav_encode is the matching writer), and PNG parses
+with stdlib zlib + numpy (png_decode_bytes: chunk walk, inflate,
+per-spec unfiltering of all five scanline filters; decode_images /
+resize_images_real operate on actual pixels; png_encode is the
+writer). Only VIDEO decode remains STUBBED (mp4 genuinely needs codec
+libraries absent from this container): deterministic fake behind
+`fake=True`, NotImplementedError otherwise — its Spark-side plumbing
+(schema, partitioning, UDF signature, batch shape) is real and tested.
 
 Scale notes: payload rows are heavy (KB-MB); the kernels therefore
 (a) never collect, (b) carry only (id, metadata, derived features)
@@ -125,6 +127,165 @@ def wav_encode(samples: "np.ndarray", framerate: int = 8000) -> bytes:
         w.setframerate(framerate)
         w.writeframes(np.asarray(samples).astype("<i2").tobytes())
     return buf.getvalue()
+
+
+def png_encode(img: "np.ndarray") -> bytes:
+    """HxWx3 uint8 array → real PNG bytes (8-bit truecolor, filter 0,
+    no interlace) — stdlib zlib + struct only."""
+    import struct
+    import zlib
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode_bytes(b: bytes) -> "np.ndarray":
+    """Real PNG decode (stdlib zlib + numpy): 8-bit truecolor or
+    grayscale, non-interlaced, ALL five scanline filters unfiltered per
+    spec. Raises loudly on anything else (palette/16-bit/interlace need
+    no new dependencies either, just aren't implemented)."""
+    import struct
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos < len(b):
+        (ln,) = struct.unpack(">I", b[pos:pos + 4])
+        typ = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype not in (0, 2) or interlace:
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} colortype={ctype} "
+                    f"interlace={interlace}"
+                )
+            ch = 3 if ctype == 2 else 1
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * ch
+    rows = raw.reshape(h, stride + 1)
+    filters, lines = rows[:, 0], rows[:, 1:].astype(np.int16)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        cur = lines[y].copy()
+        up = out[y - 1].astype(np.int16) if y else np.zeros(stride, np.int16)
+        if f == 0:
+            out[y] = cur & 0xFF
+        elif f == 2:  # Up — fully vectorized
+            out[y] = (cur + up) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: per-pixel recurrence
+            line = np.zeros(stride, dtype=np.int16)
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                bb = up[x]
+                c = (out[y - 1][x - ch] if (y and x >= ch) else 0)
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + bb) // 2
+                else:
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                line[x] = (cur[x] + pred) & 0xFF
+            out[y] = line & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+    return out.reshape(h, w, ch)
+
+
+IMAGE_SCHEMA = (
+    "media_id long, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """REAL image decode — PNG parses with stdlib zlib + numpy alone
+    (signature, chunk walk, inflate, per-spec scanline unfiltering):
+    actual pixels → dimensions and per-channel means. Same Arrow batch
+    shape and binary pruning as an imagecodecs-backed decoder for other
+    formats would use; non-PNG payloads raise loudly."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "mean_r", "mean_g", "mean_b",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = png_decode_bytes(bytes(payload))
+                if img.shape[2] == 1:
+                    img = np.repeat(img, 3, axis=2)
+                h, w, _ = img.shape
+                m = img.reshape(-1, 3).mean(axis=0)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(round(float(m[0]), 6))
+                out["mean_g"].append(round(float(m[1]), 6))
+                out["mean_b"].append(round(float(m[2]), 6))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(kernel, schema=IMAGE_SCHEMA)
+
+
+def resize_images_real(media: DataFrame, max_side: int = 224) -> DataFrame:
+    """REAL resize for PNG payloads: decode pixels, nearest-neighbor
+    downsample so max(side) == max_side (never upsample), re-encode.
+    Returns (media_id, width, height, payload) with payload = the
+    actually-resized PNG bytes."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "payload": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = png_decode_bytes(bytes(payload))
+                if img.shape[2] == 1:
+                    img = np.repeat(img, 3, axis=2)
+                h, w, _ = img.shape
+                scale = min(1.0, max_side / max(h, w, 1))
+                oh, ow = max(int(h * scale), 1), max(int(w * scale), 1)
+                ys = (np.arange(oh) * h // oh).astype(np.int64)
+                xs = (np.arange(ow) * w // ow).astype(np.int64)
+                res = img[ys][:, xs]
+                out["media_id"].append(mid)
+                out["width"].append(ow)
+                out["height"].append(oh)
+                out["payload"].append(png_encode(res))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(kernel, schema=RESIZE_SCHEMA)
 
 
 AUDIO_SCHEMA = (

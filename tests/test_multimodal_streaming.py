@@ -260,3 +260,80 @@ def test_sessionize_idle_flush_by_watermark(spark, tmp_path):
     # session may or may not flush depending on final watermark --
     # assert the timeout-driven emission specifically
     assert (1, int(base + 0), int(base + 100), 2, 3.0) in got
+
+
+def test_png_decode_real_roundtrip_and_filters(spark):
+    """png_decode_bytes reads ACTUAL PNG bytes, including scanlines
+    filtered with every filter type (hand-filtered per spec, so the
+    decoder's unfiltering — not just our filter-0 writer — is pinned)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from scrapix_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    assert np.array_equal(MM.png_decode_bytes(MM.png_encode(img)), img)
+
+    # hand-encode the same image with per-row filters 0..4 (cycled)
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int16)
+    raw = bytearray()
+    for y in range(h):
+        f = y % 5
+        cur = flat[y]
+        up = flat[y - 1] if y else np.zeros(stride, np.int16)
+        enc = np.zeros(stride, np.int16)
+        for x in range(stride):
+            a = flat[y][x - ch] if x >= ch else 0
+            b = up[x]
+            c = (flat[y - 1][x - ch] if (y and x >= ch) else 0)
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (cur[x] - pred) % 256
+        raw += bytes([f]) + bytes(enc.astype(np.uint8))
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(MM.png_decode_bytes(png), img)
+
+    # Spark kernel: real pixel stats + real resize
+    rows = [(1, "image", "png", w, h, None, bytearray(MM.png_encode(img))),
+            (2, "audio", "wav", None, None, None, bytearray(b"skip"))]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    feat = MM.decode_images(media).collect()
+    assert len(feat) == 1
+    r = feat[0]
+    m = img.reshape(-1, 3).mean(axis=0)
+    assert (r["width"], r["height"]) == (w, h)
+    assert r["mean_r"] == pytest.approx(m[0], abs=1e-5)
+    assert r["mean_b"] == pytest.approx(m[2], abs=1e-5)
+    res = MM.resize_images_real(media, max_side=5).collect()[0]
+    assert max(res["width"], res["height"]) == 5
+    out = MM.png_decode_bytes(bytes(res["payload"]))
+    assert out.shape == (res["height"], res["width"], 3)
+    # nearest-neighbor: every resized pixel exists in the source
+    ys = (np.arange(res["height"]) * h // res["height"])
+    xs = (np.arange(res["width"]) * w // res["width"])
+    assert np.array_equal(out, img[ys][:, xs])
+    with pytest.raises(Exception):
+        MM.png_decode_bytes(b"not a png at all")
