@@ -55,13 +55,24 @@ def bm25f_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    search_on: list[str] | None = None,
 ) -> DataFrame:
     """Top-k field-weighted BM25 over a multi-field document table.
 
     Returns (doc_key, score, n_matched) in the pinned T1 order.
+
+    `search_on` is Meilisearch's per-request `attributesToSearchOn`:
+    matching/scoring is restricted to that subset of the configured
+    searchable fields while each kept field retains the weight its
+    position in the FULL `searchableAttributes` order gives it (the
+    request narrows where to look, it does not re-rank the attributes).
+    Field stats (df, per-field avgdl) are computed over the searched
+    fields only — the narrowed corpus is the corpus.
     """
     field_order = field_order or DEFAULT_FIELD_ORDER
     weights = weights or field_weights_from_order(field_order)
+    if search_on is not None:
+        field_order = [f for f in field_order if f in search_on]
     terms = query_terms(q)
     if not terms:
         return docs.sparkSession.createDataFrame(

@@ -1,0 +1,142 @@
+"""Geo search: `_geoRadius` / `_geoBoundingBox` filters and `_geoPoint`
+sort — the Meilisearch geo surface a scrapix-configured index exposes
+once `_geo` is listed in `filterableAttributes`/`sortableAttributes`
+(reference anchor: the settings pass-through `src/types.ts:16` and
+filterableAttributes wiring `src/scrapers/default.ts:26`; the geo
+filter/sort grammar itself is Meilisearch's documented search surface).
+
+Everything is a native Column expression — haversine distance compiles
+to JVM trig inside whole-stage codegen, the radius/bbox predicates are
+plain filters that push down to the scan, and the sort is an ordinary
+`orderBy` on the distance column. No UDFs, no collects; at 100 TB the
+geo filter prunes BEFORE any shuffle (and composes with the scored
+match set exactly like any other `filter_expr`).
+
+Distances use the haversine great-circle formula on a sphere of radius
+`EARTH_RADIUS_M` (same constant the oracle SQL uses — the value-level
+gate requires bit-replicable arithmetic, so the formula is pinned here
+and mirrored verbatim in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_M = 6371000.0  # mean Earth radius, meters (pinned for oracles)
+
+
+def haversine_m(
+    lat1: Column, lng1: Column, lat2: Column, lng2: Column
+) -> Column:
+    """Great-circle distance in meters between two (lat, lng) points
+    given in degrees. Pure JVM trig: 2R·asin(√(sin²(Δφ/2) +
+    cosφ₁·cosφ₂·sin²(Δλ/2))) — the exact expression the DuckDB oracle
+    replicates, in the same operation order."""
+    dlat = F.radians(lat2) - F.radians(lat1)
+    dlng = F.radians(lng2) - F.radians(lng1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1))
+        * F.cos(F.radians(lat2))
+        * F.sin(dlng / 2)
+        * F.sin(dlng / 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def with_geo_distance(
+    df: DataFrame,
+    lat: float,
+    lng: float,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    out: str = "_geo_distance",
+) -> Column | DataFrame:
+    """Attach the `_geoDistance` meters column for `_geoPoint(lat,lng)`
+    semantics (Meilisearch exposes it on every geo-sorted hit)."""
+    return df.withColumn(
+        out,
+        haversine_m(F.col(lat_col), F.col(lng_col), F.lit(float(lat)), F.lit(float(lng))),
+    )
+
+
+def geo_radius(
+    df: DataFrame,
+    lat: float,
+    lng: float,
+    meters: float,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """`_geoRadius(lat, lng, meters)` filter: keep rows whose haversine
+    distance from the center is ≤ `meters`. A coarse native bounding-box
+    pre-filter (±Δlat, and ±Δlng scaled by cos(lat) unless the cap
+    crosses a pole) runs FIRST so the trig only evaluates on survivors
+    and the scan prunes on the lat/lng min/max statistics."""
+    import math
+
+    dlat = math.degrees(meters / EARTH_RADIUS_M)
+    pre = (F.col(lat_col) >= lat - dlat) & (F.col(lat_col) <= lat + dlat)
+    coslat = math.cos(math.radians(lat))
+    near_pole = abs(lat) + dlat >= 89.0 or coslat <= 1e-9
+    if not near_pole:
+        dlng = math.degrees(meters / (EARTH_RADIUS_M * coslat))
+        if dlng < 180.0:
+            lo, hi = lng - dlng, lng + dlng
+            if lo >= -180.0 and hi <= 180.0:
+                pre = pre & (F.col(lng_col) >= lo) & (F.col(lng_col) <= hi)
+            else:  # antimeridian wrap: two disjoint lng ranges
+                pre = pre & (
+                    (F.col(lng_col) >= ((lo + 540.0) % 360.0) - 180.0)
+                    | (F.col(lng_col) <= ((hi + 540.0) % 360.0) - 180.0)
+                )
+    dist = haversine_m(
+        F.col(lat_col), F.col(lng_col), F.lit(float(lat)), F.lit(float(lng))
+    )
+    return df.filter(pre).filter(dist <= float(meters))
+
+
+def geo_bounding_box(
+    df: DataFrame,
+    top_right: tuple[float, float],
+    bottom_left: tuple[float, float],
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """`_geoBoundingBox([lat,lng],[lat,lng])` filter — Meilisearch's
+    corner order (top-right first, bottom-left second). When the
+    top-right longitude is WEST of the bottom-left one the box wraps
+    the antimeridian and the lng predicate becomes a disjunction."""
+    (lat_tr, lng_tr), (lat_bl, lng_bl) = top_right, bottom_left
+    pred = (F.col(lat_col) <= float(lat_tr)) & (F.col(lat_col) >= float(lat_bl))
+    if lng_bl <= lng_tr:
+        pred = pred & (F.col(lng_col) >= float(lng_bl)) & (
+            F.col(lng_col) <= float(lng_tr)
+        )
+    else:  # wraps: [lng_bl, 180] ∪ [-180, lng_tr]
+        pred = pred & (
+            (F.col(lng_col) >= float(lng_bl)) | (F.col(lng_col) <= float(lng_tr))
+        )
+    return df.filter(pred)
+
+
+def geo_sort(
+    df: DataFrame,
+    lat: float,
+    lng: float,
+    asc: bool = True,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    tie_cols: tuple[str, ...] = ("doc_id",),
+    round_digits: int = 6,
+) -> DataFrame:
+    """`_geoPoint(lat, lng):asc|desc` sort criterion: attach
+    `_geo_distance` and order by it (rounded for cross-engine rank
+    stability) with a deterministic tie chain. Composable ABOVE
+    relevancy exactly like any `sortableAttributes` entry — callers
+    slot the returned frame's `_geo_distance` into their T1 chain."""
+    out = with_geo_distance(df, lat, lng, lat_col, lng_col)
+    key = F.round(F.col("_geo_distance"), round_digits)
+    order = [key.asc() if asc else key.desc()] + [F.col(c).asc() for c in tie_cols]
+    return out.orderBy(*order)

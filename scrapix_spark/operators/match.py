@@ -628,7 +628,58 @@ def matching_strategy_last_topk(
     One DataFrame plan: per-doc matched word set → native leading-run
     count (Σ_i Π_{j<=i} matched_j), no per-strategy re-query loop.
     """
+    return _leading_run_topk(
+        postings, term_stats, N, avgdl, query_terms(q), k, k1, b
+    )
+
+
+def matching_strategy_frequency_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    q: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Meilisearch matchingStrategy=frequency (v1.8+): words are dropped
+    in order of corpus frequency, MOST frequent first — so docs rank by
+    the leading run of matched words in rarity order (df asc; ties keep
+    query position; words absent from the corpus are maximally droppable
+    since requiring them can never match). Same plan as `last` with the
+    word ranking re-ordered by the dictionary dfs (a ≤|q|-row lookup)."""
     terms = query_terms(q)
+    if not terms:
+        return _leading_run_topk(postings, term_stats, N, avgdl, [], k, k1, b)
+    rows = (
+        term_stats.filter(F.col("term").isin(terms))
+        .select("term", "df")
+        .collect()
+    )
+    dfmap = {r["term"]: int(r["df"]) for r in rows}
+    ranked = sorted(
+        range(len(terms)),
+        key=lambda i: (dfmap.get(terms[i]) is None, dfmap.get(terms[i], 0), i),
+    )
+    return _leading_run_topk(
+        postings, term_stats, N, avgdl, [terms[i] for i in ranked], k, k1, b
+    )
+
+
+def _leading_run_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    terms: list[str],
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared strategy kernel: docs rank by the length of the leading
+    run of `terms` (already in droppability order: index 0 = the word
+    dropped LAST) they match, then BM25, then doc_id."""
     if not terms:
         return postings.sparkSession.createDataFrame(
             [], "doc_id long, score double, prefix_len int"

@@ -10,10 +10,14 @@ waveform stats; wav_encode is the matching writer), and PNG parses
 with stdlib zlib + numpy (png_decode_bytes: chunk walk, inflate,
 per-spec unfiltering of all five scanline filters; decode_images /
 resize_images_real operate on actual pixels; png_encode is the
-writer). Only VIDEO decode remains STUBBED (mp4 genuinely needs codec
-libraries absent from this container): deterministic fake behind
-`fake=True`, NotImplementedError otherwise — its Spark-side plumbing
-(schema, partitioning, UDF signature, batch shape) is real and tested.
+writer). VIDEO decode is REAL for YUV4MPEG2 (y4m) payloads — a text
+header + raw planes, parseable with numpy alone (y4m_decode_bytes /
+sample_frames_real operate on actual pixels; y4m_encode is the
+writer). Only COMPRESSED video (mp4/h264) remains STUBBED (it
+genuinely needs codec libraries absent from this container):
+deterministic fake behind `fake=True`, NotImplementedError otherwise —
+its Spark-side plumbing (schema, partitioning, UDF signature, batch
+shape) is real and tested.
 
 Scale notes: payload rows are heavy (KB-MB); the kernels therefore
 (a) never collect, (b) carry only (id, metadata, derived features)
@@ -400,4 +404,131 @@ def sample_frames(
         media.filter(F.col("kind") == "video")
         .select("media_id", "duration_ms", "payload")
         .mapInPandas(kernel, schema="media_id long, ts_ms int, frame binary")
+    )
+
+
+# ------------------------------------------------------------------ video
+
+
+def y4m_encode(
+    frames: "np.ndarray", fps: tuple[int, int] = (25, 1)
+) -> bytes:
+    """(T, H, W) uint8 luma frames → real YUV4MPEG2 bytes (`Cmono`
+    colorspace — spec-valid, chroma-free). Y4M is the uncompressed
+    interchange format every ffmpeg/mjpegtools pipeline speaks, and it
+    needs no codec library: a text header + raw planes per frame."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    t, h, w = frames.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n"
+    parts = [head.encode("ascii")]
+    for i in range(t):
+        parts.append(b"FRAME\n")
+        parts.append(frames[i].tobytes())
+    return b"".join(parts)
+
+
+def y4m_decode_bytes(b: bytes) -> dict:
+    """Real YUV4MPEG2 decode (pure stdlib + numpy): stream header →
+    (width, height, fps), per-frame plane parse for `Cmono` and the
+    C420 family (Y kept, chroma subplanes skipped). Returns
+    {"width", "height", "fps_num", "fps_den", "frames": (T,H,W) uint8
+    luma}. Anything it can't parse raises loudly — no fabricated
+    frames."""
+    nl = b.find(b"\n")
+    if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream (bad signature)")
+    w = h = None
+    fps_num, fps_den = 25, 1
+    chroma = "420jpeg"  # spec default when C is absent
+    for tok in b[:nl].decode("ascii").split()[1:]:
+        key, val = tok[0], tok[1:]
+        if key == "W":
+            w = int(val)
+        elif key == "H":
+            h = int(val)
+        elif key == "F":
+            num, _, den = val.partition(":")
+            fps_num, fps_den = int(num), int(den)
+        elif key == "C":
+            chroma = val
+    if not w or not h:
+        raise ValueError("YUV4MPEG2 header missing W/H")
+    if chroma == "mono":
+        fsize = w * h
+    elif chroma.startswith("420"):
+        if w % 2 or h % 2:
+            raise ValueError(f"C420 with odd dims {w}x{h}")
+        fsize = w * h + 2 * ((w // 2) * (h // 2))
+    elif chroma == "422":
+        fsize = w * h + 2 * ((w // 2) * h)
+    elif chroma == "444":
+        fsize = 3 * w * h
+    else:
+        raise ValueError(f"unsupported Y4M colorspace C{chroma}")
+    frames = []
+    pos = nl + 1
+    while pos < len(b):
+        fnl = b.find(b"\n", pos)
+        if fnl < 0 or b[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        pos = fnl + 1
+        plane = b[pos:pos + fsize]
+        if len(plane) < fsize:
+            raise ValueError("truncated Y4M frame")
+        frames.append(
+            np.frombuffer(plane[: w * h], dtype=np.uint8).reshape(h, w)
+        )
+        pos += fsize
+    return {
+        "width": w, "height": h, "fps_num": fps_num, "fps_den": fps_den,
+        "frames": np.stack(frames) if frames else np.zeros((0, h, w), np.uint8),
+    }
+
+
+FRAME_STATS_SCHEMA = (
+    "media_id long, ts_ms int, frame_idx int, width int, height int, "
+    "mean_luma double, min_luma int, max_luma int"
+)
+
+
+def sample_frames_real(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL frame sampling — Y4M payloads decode with the stdlib parser
+    above, so each sampled row carries statistics of ACTUAL pixels: for
+    ts = 0, every_ms, 2·every_ms … < duration, frame_idx =
+    ts·fps/1000 (floor), emit (ts_ms, frame_idx, dims, mean/min/max
+    luma). Same plumbing as sample_frames (binary pruned after the
+    kernel, one output row per sampled frame); compressed formats (mp4)
+    still go through the honestly-stubbed sample_frames."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "ts_ms", "frame_idx", "width", "height",
+                "mean_luma", "min_luma", "max_luma",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                v = y4m_decode_bytes(bytes(payload))
+                t = v["frames"].shape[0]
+                if not t:
+                    continue
+                dur_ms = t * 1000 * v["fps_den"] // v["fps_num"]
+                for ts in range(0, dur_ms, every_ms):
+                    idx = ts * v["fps_num"] // (1000 * v["fps_den"])
+                    if idx >= t:
+                        break
+                    fr = v["frames"][idx].astype(np.int64)
+                    out["media_id"].append(mid)
+                    out["ts_ms"].append(ts)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(v["width"])
+                    out["height"].append(v["height"])
+                    out["mean_luma"].append(round(float(fr.mean()), 6))
+                    out["min_luma"].append(int(fr.min()))
+                    out["max_luma"].append(int(fr.max()))
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(kernel, schema=FRAME_STATS_SCHEMA)
     )

@@ -127,3 +127,77 @@ def crop(
         F.lit("")
     )
     return df.withColumn(out_col, F.concat(lead, piece, tail))
+
+
+def facet_search(
+    hits: DataFrame,
+    attr: str,
+    facet_query: str = "",
+    max_values: int = DEFAULT_MAX_VALUES_PER_FACET,
+) -> DataFrame:
+    """Meilisearch POST /facet-search: search the VALUES of one facet
+    by case-insensitive prefix and return them with their hit counts,
+    ranked count desc then value asc (the deterministic form of
+    Meilisearch's count ordering).
+
+    Same aggregation shape as facet_distribution (array attrs facet per
+    element) with the prefix predicate applied BEFORE the hash agg so
+    the filter runs map-side; one shuffle on the (bounded-cardinality)
+    facet value."""
+    col = F.col(attr)
+    df = hits
+    if df.schema[attr].dataType.typeName() == "array":
+        df = df.select(F.explode(col).alias("_v"))
+        col = F.col("_v")
+    val = col.cast("string")
+    if facet_query:
+        df = df.filter(F.lower(val).startswith(facet_query.lower()))
+    return (
+        df.groupBy(val.alias("value"))
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.col("count").desc(), F.col("value").asc())
+        .limit(max_values)
+    )
+
+
+def federated_topk(
+    queries: list[tuple[DataFrame, float, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Federated multi-search (Meilisearch v1.10 `federation`): merge
+    the hit lists of several sub-queries into ONE ranked list. Each
+    entry is (full match set DataFrame, federationOptions.weight,
+    query label); scores are normalized per query (score / that
+    query's max — the engine's ranking-score proxy, in [0,1]) then
+    weighted, and a document hit by several sub-queries keeps its
+    single best occurrence (Meilisearch's merge rule), tie-broken by
+    label asc for determinism.
+
+    Plan shape: per-query 1-row max broadcast, union of the (id,
+    wscore, label) projections, one window per id — no all-pairs work,
+    and the per-query normalizers never collect to the driver."""
+    parts = []
+    for df, weight, label in queries:
+        mx = df.agg(F.max(score_col).alias("_mx"))
+        parts.append(
+            df.crossJoin(F.broadcast(mx)).select(
+                F.col(id_col).alias("id"),
+                (F.col(score_col) / F.col("_mx") * float(weight)).alias("wscore"),
+                F.lit(label).alias("query"),
+            )
+        )
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    w = Window.partitionBy("id").orderBy(
+        F.round(F.col("wscore"), 9).desc(), F.col("query").asc()
+    )
+    return (
+        un.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("id", "wscore", "query")
+        .orderBy(F.round(F.col("wscore"), 9).desc(), F.col("id").asc())
+        .limit(k)
+    )

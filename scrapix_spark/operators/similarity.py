@@ -271,3 +271,73 @@ def pairwise_cosine_dups(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def hybrid_topk(
+    keyword_scored: DataFrame,
+    emb: DataFrame,
+    query_vec: list[float],
+    semantic_ratio: float = 0.5,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    semantic_candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Hybrid (keyword ⊕ semantic) top-k — the Meilisearch `hybrid:
+    {semanticRatio, embedder}` search surface.
+
+    Inputs: `keyword_scored` is the FULL keyword match set (doc_id,
+    score) — e.g. IndexReader._score_all or the entry's BM25 CTE — and
+    `emb` maps doc ids to embeddings. Pinned blend semantics (both
+    engines): candidates = keyword matches FULL OUTER embedded docs;
+      keyword_norm = bm25 / max(bm25 over the match set)   (0 if no match)
+      semantic     = (cosine(query_vec, embedding) + 1) / 2 (0 if no vec)
+      hybrid       = (1 - ratio)·keyword_norm + ratio·semantic
+    ordered hybrid desc (rounded), id asc. Both components live in
+    [0, 1] so the ratio interpolates between pure-BM25 (0) and
+    pure-semantic (1) exactly like Meilisearch's semanticRatio.
+
+    Scale shape: the max-score normalizer is a 1-row broadcast cross
+    join; the semantic side is a map-only scan (brute force) — pass
+    `semantic_candidates` (id subset, e.g. from srp_lsh_buckets
+    multiprobe) to restrict the cosine evaluation to an ANN candidate
+    set; keyword-only docs then blend with semantic = 0 exactly as
+    docs outside the probe would rank below anyway.
+    """
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
+    sem_src = emb
+    if semantic_candidates is not None:
+        sem_src = emb.join(
+            semantic_candidates.select(F.col("id").alias(id_col)).distinct(), id_col
+        )
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cos = _dot(vec_d, q) / (_norm(vec_d) * F.lit(qn))
+    sem = sem_src.select(
+        F.col(id_col).alias("id"), ((cos + 1.0) / 2.0).alias("semantic")
+    )
+    kw = keyword_scored.select(
+        F.col(doc_col).alias("id"), F.col(score_col).alias("bm25")
+    )
+    mx = kw.agg(F.max("bm25").alias("max_bm25"))
+    both = (
+        kw.join(sem, "id", "full_outer")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "id",
+            (F.coalesce(F.col("bm25") / F.col("max_bm25"), F.lit(0.0))).alias(
+                "keyword_norm"
+            ),
+            F.coalesce(F.col("semantic"), F.lit(0.0)).alias("semantic"),
+        )
+    )
+    ratio = float(semantic_ratio)
+    hybrid = (1.0 - ratio) * F.col("keyword_norm") + ratio * F.col("semantic")
+    return (
+        both.withColumn("hybrid", hybrid)
+        .orderBy(F.round(F.col("hybrid"), 9).desc(), F.col("id").asc())
+        .limit(k)
+        .select("id", "hybrid", "keyword_norm", "semantic")
+    )

@@ -1,0 +1,267 @@
+"""Round-2 search-surface extensions: geo filters/sort, hybrid
+(semanticRatio) search, facet value search, federated multi-search,
+matchingStrategy=frequency, attributesToSearchOn, and the real Y4M
+video decode path. Each test pins semantics against a brute-force
+Python/numpy oracle on deterministic data."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.operators import geo as G
+from scrapix_spark.operators import match as M
+from scrapix_spark.operators import multimodal as MM
+from scrapix_spark.operators import postings as P
+from scrapix_spark.operators import results as R
+from scrapix_spark.operators import similarity as SIM
+from scrapix_spark.operators.bm25f import bm25f_topk
+
+
+def _hav(lat1, lng1, lat2, lng2, R=G.EARTH_RADIUS_M):
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp, dl = p2 - p1, math.radians(lng2) - math.radians(lng1)
+    a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * R * math.asin(math.sqrt(a))
+
+
+@pytest.fixture(scope="module")
+def geo_df(spark):
+    rows = [
+        (i, -60.0 + (i * 37 % 1200) / 10.0, -170.0 + (i * 73 % 3400) / 10.0)
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lat double, lng double")
+
+
+def test_geo_radius_matches_bruteforce(geo_df):
+    got = sorted(
+        r["doc_id"]
+        for r in G.geo_radius(geo_df, 10.0, 20.0, 2_000_000.0).collect()
+    )
+    want = sorted(
+        i for i in range(300)
+        if _hav(-60.0 + (i * 37 % 1200) / 10.0,
+                -170.0 + (i * 73 % 3400) / 10.0, 10.0, 20.0) <= 2_000_000.0
+    )
+    assert got == want and len(want) > 3
+
+
+def test_geo_radius_prefilter_never_drops(geo_df):
+    # the coarse bbox pre-filter must be a superset of the exact cap,
+    # including near the poles and across the antimeridian
+    for lat, lng, m in [(88.0, 0.0, 500_000.0), (0.0, 179.5, 300_000.0),
+                        (-45.0, -179.9, 1_000_000.0)]:
+        got = sorted(
+            r["doc_id"] for r in G.geo_radius(geo_df, lat, lng, m).collect()
+        )
+        want = sorted(
+            i for i in range(300)
+            if _hav(-60.0 + (i * 37 % 1200) / 10.0,
+                    -170.0 + (i * 73 % 3400) / 10.0, lat, lng) <= m
+        )
+        assert got == want
+
+
+def test_geo_bounding_box_plain_and_wrapped(geo_df):
+    got = sorted(
+        r["doc_id"]
+        for r in G.geo_bounding_box(geo_df, (30.0, 60.0), (-10.0, 10.0)).collect()
+    )
+    want = sorted(
+        i for i in range(300)
+        if -10.0 <= -60.0 + (i * 37 % 1200) / 10.0 <= 30.0
+        and 10.0 <= -170.0 + (i * 73 % 3400) / 10.0 <= 60.0
+    )
+    assert got == want and want
+    # wrapped: top-right lng WEST of bottom-left lng spans the antimeridian
+    wrapped = sorted(
+        r["doc_id"]
+        for r in G.geo_bounding_box(geo_df, (30.0, -150.0), (-10.0, 150.0)).collect()
+    )
+    want_w = sorted(
+        i for i in range(300)
+        if -10.0 <= -60.0 + (i * 37 % 1200) / 10.0 <= 30.0
+        and (
+            -170.0 + (i * 73 % 3400) / 10.0 >= 150.0
+            or -170.0 + (i * 73 % 3400) / 10.0 <= -150.0
+        )
+    )
+    assert wrapped == want_w and want_w
+
+
+def test_geo_sort_order(geo_df):
+    top = G.geo_sort(geo_df, 0.0, 0.0).limit(5).collect()
+    dists = [
+        ( _hav(-60.0 + (i * 37 % 1200) / 10.0,
+               -170.0 + (i * 73 % 3400) / 10.0, 0.0, 0.0), i)
+        for i in range(300)
+    ]
+    want = [i for _, i in sorted(dists)[:5]]
+    assert [r["doc_id"] for r in top] == want
+    assert abs(top[0]["_geo_distance"] - sorted(dists)[0][0]) < 1e-6
+
+
+def test_hybrid_topk_blend(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    kw = spark.createDataFrame(
+        [(i, float(40 - i)) for i in range(0, 30, 2)], "doc_id long, score double"
+    )
+    qv = [float(x) for x in vecs[7]]
+    out = SIM.hybrid_topk(kw, emb, qv, semantic_ratio=0.4, k=40).collect()
+    # brute-force oracle
+    mx = 40.0
+    qn = np.linalg.norm(vecs[7])
+    exp = {}
+    for i in range(40):
+        kwn = (40.0 - i) / mx if (i < 30 and i % 2 == 0) else 0.0
+        sem = (float(vecs[i] @ vecs[7] / (np.linalg.norm(vecs[i]) * qn)) + 1) / 2
+        exp[i] = 0.6 * kwn + 0.4 * sem
+    want = sorted(exp, key=lambda i: (-round(exp[i], 9), i))
+    assert [r["id"] for r in out] == want
+    for r in out:
+        assert abs(r["hybrid"] - exp[r["id"]]) < 1e-9
+    # ratio=0 reduces to pure keyword rank; ratio=1 to pure semantic
+    pure_kw = SIM.hybrid_topk(kw, emb, qv, semantic_ratio=0.0, k=5).collect()
+    assert [r["id"] for r in pure_kw] == [0, 2, 4, 6, 8]
+    pure_sem = SIM.hybrid_topk(kw, emb, qv, semantic_ratio=1.0, k=1).collect()
+    assert pure_sem[0]["id"] == 7
+
+
+def test_hybrid_topk_candidate_restriction(spark):
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((20, 4))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    kw = spark.createDataFrame([(1, 2.0), (2, 1.0)], "doc_id long, score double")
+    cand = spark.createDataFrame([(3,), (4,)], "id long")
+    out = SIM.hybrid_topk(
+        kw, emb, [1.0, 0.0, 0.0, 0.0], semantic_ratio=0.5, k=20,
+        semantic_candidates=cand,
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert set(by_id) == {1, 2, 3, 4}
+    assert by_id[1]["semantic"] == 0.0 and by_id[3]["keyword_norm"] == 0.0
+
+
+def test_facet_search_prefix_and_order(spark):
+    rows = [(i, ["alpha", "alps", "beta", "alphabet"][i % 4]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = R.facet_search(df, "source", "al").collect()
+    assert [(r["value"], r["count"]) for r in out] == [
+        ("alpha", 10), ("alphabet", 10), ("alps", 10)
+    ]
+    # case-insensitive prefix, array attribute
+    arr = spark.createDataFrame(
+        [(0, ["X", "xy"]), (1, ["xy", "z"])], "doc_id long, tags array<string>"
+    )
+    out2 = R.facet_search(arr, "tags", "x").collect()
+    assert [(r["value"], r["count"]) for r in out2] == [("xy", 2), ("X", 1)]
+
+
+def test_federated_topk_merge(spark):
+    q1 = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, 2.0)], "doc_id long, score double"
+    )
+    q2 = spark.createDataFrame(
+        [(2, 4.0), (4, 8.0)], "doc_id long, score double"
+    )
+    out = R.federated_topk([(q1, 1.0, "a"), (q2, 0.5, "b")], k=10).collect()
+    # normalized: a -> 1: 1.0, 2: .5, 3: .2 ; b(w=.5) -> 2: .25, 4: .5
+    # doc 2 keeps its best occurrence (query a, 0.5); tie 2 vs 4 at 0.5
+    # breaks by id asc
+    assert [(r["id"], round(r["wscore"], 6), r["query"]) for r in out] == [
+        (1, 1.0, "a"), (2, 0.5, "a"), (4, 0.5, "b"), (3, 0.2, "a"),
+    ]
+
+
+def test_matching_strategy_frequency(spark):
+    # corpus: 'common' in most docs, 'rare' in few — frequency strategy
+    # requires the RARE word first, so a doc with only 'rare' outranks a
+    # doc with only 'common' (under last, query-order rules instead)
+    rows = [
+        (0, "common rare"), (1, "common"), (2, "rare"),
+        (3, "common"), (4, "common"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from scrapix_spark.functions.tokenize import with_tokens
+
+    t = with_tokens(docs, "text")
+    post = t.select(
+        "doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("tk")
+    ).select("tk.term", "doc_id", F.col("tk.tf").cast("long").alias("tf"), "dl")
+    stats = P.term_stats(post)
+    N, avgdl = 5, t.agg(F.avg("doc_len")).first()[0]
+    freq = M.matching_strategy_frequency_topk(
+        post, stats, N, avgdl, "common rare", k=10
+    ).collect()
+    last = M.matching_strategy_last_topk(
+        post, stats, N, avgdl, "common rare", k=10
+    ).collect()
+    # frequency: doc 0 (both) first, then doc 2 (rare only); commons rank 0
+    assert [r["doc_id"] for r in freq][:2] == [0, 2]
+    assert all(r["doc_id"] not in (1, 3, 4) for r in freq)
+    # last: doc 0 first, then the 'common'-only docs (leading word matched)
+    assert [r["doc_id"] for r in last][0] == 0
+    assert 2 not in [r["doc_id"] for r in last]
+
+
+def test_bm25f_attributes_to_search_on(spark):
+    docs = spark.createDataFrame(
+        [(0, "needle", "hay"), (1, "hay", "needle")],
+        "doc_id long, h1 string, p string",
+    )
+    full = bm25f_topk(docs, "needle", id_col="doc_id",
+                      field_order=["h1", "p"], k=10).collect()
+    only_p = bm25f_topk(docs, "needle", id_col="doc_id",
+                        field_order=["h1", "p"], k=10, search_on=["p"]).collect()
+    assert {r["doc_key"] for r in full} == {0, 1}
+    # restricted to p: only doc 1 matches, and p keeps its 0.8 weight
+    assert [r["doc_key"] for r in only_p] == [1]
+    full_by = {r["doc_key"]: r["score"] for r in full}
+    assert full_by[0] > full_by[1]  # h1 weight 1.0 > p weight 0.8
+
+
+def test_y4m_roundtrip_and_sampling(spark):
+    t, h, w = 7, 6, 8
+    frames = np.fromfunction(
+        lambda f, y, x: (f * 13 + y * 3 + x * 5) % 256, (t, h, w)
+    ).astype(np.uint8)
+    b = MM.y4m_encode(frames, fps=(5, 1))
+    v = MM.y4m_decode_bytes(b)
+    assert (v["width"], v["height"], v["fps_num"]) == (w, h, 5)
+    assert np.array_equal(v["frames"], frames)
+    media = spark.createDataFrame(
+        [(0, "video", "y4m", w, h, t * 200, bytearray(b))], MM.MEDIA_SCHEMA
+    )
+    out = MM.sample_frames_real(media, every_ms=400).collect()
+    # duration 1400ms @5fps: ts 0,400,800,1200 -> frame 0,2,4,6
+    assert [(r["ts_ms"], r["frame_idx"]) for r in out] == [
+        (0, 0), (400, 2), (800, 4), (1200, 6)
+    ]
+    for r in out:
+        assert abs(
+            r["mean_luma"] - float(frames[r["frame_idx"]].astype(np.int64).mean())
+        ) < 1e-6
+
+
+def test_y4m_c420_parse():
+    # a C420 stream hand-built: Y plane ramp + flat chroma, decoder
+    # keeps luma and skips subplanes
+    h, w = 4, 6
+    y0 = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode()
+    chroma = bytes([128] * ((w // 2) * (h // 2)))
+    b = head + b"FRAME\n" + y0.tobytes() + chroma + chroma
+    v = MM.y4m_decode_bytes(b)
+    assert np.array_equal(v["frames"][0], y0)
+    with pytest.raises(ValueError):
+        MM.y4m_decode_bytes(b"RIFFxxxx")
