@@ -1224,6 +1224,177 @@ def q_crop(spark, sf_dir):
     return R.crop(hl, "formatted").select("doc_id", "cropped")
 
 
+# ------------------------------------------------ r2 search-surface extensions
+
+# deterministic per-doc coordinates (pure integer arithmetic — identical
+# in Spark and DuckDB): lat ∈ [-60, 59.9], lng ∈ [-170, 169.9]
+_GEO_LAT_SQL = "((doc_id * 37) % 1200) / 10.0 - 60.0"
+_GEO_LNG_SQL = "((doc_id * 73) % 3400) / 10.0 - 170.0"
+GEO_CENTER = (10.0, 20.0)
+GEO_RADIUS_M = 2_500_000.0
+HYBRID_RATIO = 0.25  # exactly representable: 1 - ratio is exact too
+FED_W2 = 0.6
+MSF_QUERY = MSL_QUERY  # same words; rarity order ≠ query order
+
+
+def _geo_docs(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(_GEO_LAT_SQL).alias("lat"),
+        F.expr(_GEO_LNG_SQL).alias("lng"),
+    )
+
+
+def q_geo_radius_sort(spark, sf_dir):
+    """Geo search: `_geoRadius(lat,lng,m)` filter + `_geoPoint():asc`
+    sort — haversine in native JVM trig with a pushdown bbox pre-filter;
+    the oracle replicates the formula (operation order pinned) on the
+    same derived coordinates."""
+    from scrapix_spark.operators import geo as G
+
+    d = _geo_docs(spark, sf_dir)
+    out = G.geo_sort(
+        G.geo_radius(d, *GEO_CENTER, GEO_RADIUS_M), *GEO_CENTER
+    )
+    return out.select(
+        "doc_id", F.round("_geo_distance", 3).alias("dist_m")
+    ).limit(50)
+
+
+def q_geo_bbox(spark, sf_dir):
+    """`_geoBoundingBox` with an antimeridian-WRAPPING box (top-right
+    lng west of bottom-left lng → disjunctive predicate)."""
+    from scrapix_spark.operators import geo as G
+
+    d = _geo_docs(spark, sf_dir)
+    return (
+        G.geo_bounding_box(d, (30.0, -150.0), (-10.0, 150.0))
+        .orderBy("doc_id")
+        .select("doc_id", "lat", "lng")
+    )
+
+
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid keyword⊕semantic search (Meilisearch semanticRatio):
+    BM25 match set over `documents` blended with cosine against the
+    vec_id=0 embedding at ratio 0.25; both components normalized to
+    [0,1]. Exact-verified: the oracle recomputes the full blend."""
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    kw = Q.bm25_topk_from_postings(
+        post, stats, int(row["n"]), float(row["a"]), BM25_QUERY,
+        (1 << 31) - 1, K1, B,
+    )
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    out = SIM.hybrid_topk(kw, emb, qv, semantic_ratio=HYBRID_RATIO, k=10)
+    return out.select(
+        "id",
+        F.round("hybrid", 6).alias("hybrid"),
+        F.round("keyword_norm", 6).alias("keyword_norm"),
+        F.round("semantic", 6).alias("semantic"),
+    )
+
+
+def q_federated_search(spark, sf_dir):
+    """Federated multi-search: two sub-queries (weights 1.0 / 0.6)
+    merged by weighted per-query-normalized score, best occurrence per
+    doc, deterministic ties."""
+    from scrapix_spark.operators import results as R
+
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    n, a = int(row["n"]), float(row["a"])
+    k_all = (1 << 31) - 1
+    q1 = Q.bm25_topk_from_postings(post, stats, n, a, BM25_QUERY, k_all, K1, B)
+    q2 = Q.bm25_topk_from_postings(post, stats, n, a, UNION_QUERY, k_all, K1, B)
+    out = R.federated_topk([(q1, 1.0, "a"), (q2, FED_W2, "b")], k=10)
+    return out.select(
+        "id", F.round("wscore", 6).alias("wscore"), "query"
+    )
+
+
+def q_facet_search(spark, sf_dir):
+    """POST /facet-search: facet VALUES of `source` matching prefix
+    'src1', with hit counts, count desc then value asc."""
+    from scrapix_spark.operators import results as R
+
+    return R.facet_search(_docs(spark, sf_dir), "source", "src1")
+
+
+def q_matching_strategy_frequency(spark, sf_dir):
+    """matchingStrategy=frequency: words dropped most-frequent-first —
+    rank by the leading matched run in rarity (df asc) order; words
+    absent from the corpus are maximally droppable."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    out = M.matching_strategy_frequency_topk(
+        post, stats, n, avgdl, MSF_QUERY, 10, K1, B
+    )
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.col("prefix_len").cast("long").alias("prefix_len"),
+    )
+
+
+def q_bm25f_search_on(spark, sf_dir):
+    """attributesToSearchOn: the bm25f query restricted to fields
+    [p, title] — each keeps the weight its position in the FULL
+    searchableAttributes order assigns (0.8, 0.64); field stats are
+    recomputed over the searched fields only."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("source").alias("h1"), F.col("text").alias("p"),
+        F.col("lang").alias("title"),
+    )
+    topk = BF.bm25f_topk(
+        docs, BM25F_QUERY, id_col="doc_id", field_order=["h1", "p", "title"],
+        k=10, search_on=["p", "title"],
+    )
+    return topk.select(
+        F.col("doc_key").alias("doc_id"), F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+def q_video_frames_real(spark, sf_dir):
+    """X10 completion — REAL video decode, no stub: deterministic luma
+    rasters (pixel a pure function of media_id, frame, x, y) are
+    encoded to actual YUV4MPEG2 bytes and decoded back by the real
+    header/plane parser; frame sampling at 400 ms emits stats of the
+    ACTUAL pixels, and the oracle recomputes them closed-form."""
+    import numpy as np
+
+    d = _docs(spark, sf_dir).filter("doc_id % 3 = 2").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": []}
+            for mid in pdf["media_id"]:
+                t = 5 + int(mid) % 6
+                fr = np.fromfunction(
+                    lambda f, y, x: (int(mid) * 7 + f * 13 + y * 3 + x * 5) % 256,
+                    (t, 6, 8),
+                ).astype(np.uint8)
+                rows["media_id"].append(mid)
+                rows["kind"].append("video")
+                rows["payload"].append(MM.y4m_encode(fr, fps=(5, 1)))
+            yield pd.DataFrame(rows)
+
+    media = d.mapInPandas(gen, schema="media_id long, kind string, payload binary")
+    out = MM.sample_frames_real(media, every_ms=400)
+    return out.select(
+        "media_id", "ts_ms", "frame_idx", "width", "height",
+        F.round("mean_luma", 6).alias("mean_luma"), "min_luma", "max_luma",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-scoring BM25 top-10 on sf0.001 documents."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -1291,18 +1462,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_synonyms": q_search_synonyms,
         "search_negative_stopwords": q_search_negative_stopwords,
         "matching_strategy_last": q_matching_strategy_last,
+        "geo_radius_sort": q_geo_radius_sort,
+        "geo_bbox": q_geo_bbox,
+        "hybrid_search": q_hybrid_search,
+        "federated_search": q_federated_search,
+        "facet_search": q_facet_search,
+        "matching_strategy_frequency": q_matching_strategy_frequency,
+        "bm25f_search_on": q_bm25f_search_on,
+        "video_frames_real": q_video_frames_real,
     }
 
 
-def _bm25f_sql() -> str:
-    """DuckDB replica of bm25f_topk over (h1=source, p=text, title=lang)."""
-    w_h1, w_p, w_title = repr(0.8**0), repr(0.8**1), repr(0.8**2)
+def _bm25f_sql(fields: list[tuple[str, float, str]] | None = None) -> str:
+    """DuckDB replica of bm25f_topk over (h1=source, p=text, title=lang).
+
+    `fields` = [(field_name, weight, source_column)] — the default is
+    the full searchableAttributes order; attributesToSearchOn oracles
+    pass the kept subset with their original-order weights."""
+    fields = fields or [
+        ("h1", 0.8 ** 0, "source"), ("p", 0.8 ** 1, "text"),
+        ("title", 0.8 ** 2, "lang"),
+    ]
+    arms = " UNION ALL ".join(
+        f"SELECT doc_id, '{f}' AS field, {w!r} AS w, {c} AS txt FROM documents"
+        for f, w, c in fields
+    )
     terms = ", ".join(f"'{t}'" for t in Q.query_terms(BM25F_QUERY))
     return f"""
 WITH fields AS (
-  SELECT doc_id, 'h1' AS field, {w_h1} AS w, source AS txt FROM documents
-  UNION ALL SELECT doc_id, 'p', {w_p}, text FROM documents
-  UNION ALL SELECT doc_id, 'title', {w_title}, lang FROM documents
+  {arms}
 ),
 tok AS (SELECT doc_id, field, w, unnest({TOK_EXPR('txt')}) AS term FROM fields),
 dl AS (SELECT doc_id, field, count(*)::BIGINT AS dl FROM tok GROUP BY 1, 2),
@@ -1576,6 +1764,56 @@ def _matching_last_sql() -> str:
 agg AS (SELECT c.doc_id, sum(c.c) AS score, list(DISTINCT m.wi) AS ws
         FROM contrib c JOIN map m ON m.term = c.term
         GROUP BY c.doc_id),
+pl AS (SELECT doc_id, score, ({pl})::BIGINT AS prefix_len FROM agg)
+SELECT doc_id, round(score, 4) AS score, prefix_len
+FROM pl WHERE prefix_len > 0
+ORDER BY prefix_len DESC, round(score, 9) DESC, doc_id LIMIT 10
+"""
+
+
+def _terms_in(q: str) -> str:
+    return ", ".join(f"'{t}'" for t in Q.query_terms(q))
+
+
+def _haversine_sql(lat_col: str, lng_col: str, clat: float, clng: float) -> str:
+    """DuckDB haversine replica — SAME operation order as
+    operators/geo.py haversine_m (2R folded, left-assoc products) so
+    the doubles are bit-identical."""
+    from scrapix_spark.operators.geo import EARTH_RADIUS_M
+
+    dlat = f"(radians({clat!r}) - radians({lat_col}))"
+    dlng = f"(radians({clng!r}) - radians({lng_col}))"
+    a = (
+        f"sin({dlat} / 2) * sin({dlat} / 2) "
+        f"+ cos(radians({lat_col})) * cos(radians({clat!r})) "
+        f"* sin({dlng} / 2) * sin({dlng} / 2)"
+    )
+    return f"{2.0 * EARTH_RADIUS_M!r} * asin(sqrt({a}))"
+
+
+def _matching_frequency_sql() -> str:
+    """matchingStrategy=frequency oracle: the rarity order is computed
+    IN SQL (df asc over the global dictionary, ties by query position,
+    absent words last) so the oracle stays valid at every sf."""
+    terms = Q.query_terms(MSF_QUERY)
+    arms = " UNION ALL ".join(
+        f"SELECT '{t}' AS term, {i} AS pos" for i, t in enumerate(terms)
+    )
+    pl_parts = []
+    conds = []
+    for i in range(len(terms)):
+        conds.append(f"list_contains(ws, {i})")
+        pl_parts.append(
+            "(CASE WHEN " + " AND ".join(conds) + " THEN 1 ELSE 0 END)"
+        )
+    pl = " + ".join(pl_parts)
+    return _contrib_cte() + f"""
+, qt AS ({arms}),
+rk AS (SELECT qt.term, (row_number() OVER (
+          ORDER BY (d.df IS NULL), coalesce(d.df, 0), qt.pos) - 1) AS wi
+       FROM qt LEFT JOIN dict d USING (term)),
+agg AS (SELECT c.doc_id, sum(c.c) AS score, list(DISTINCT r.wi) AS ws
+        FROM contrib c JOIN rk r ON r.term = c.term GROUP BY c.doc_id),
 pl AS (SELECT doc_id, score, ({pl})::BIGINT AS prefix_len FROM agg)
 SELECT doc_id, round(score, 4) AS score, prefix_len
 FROM pl WHERE prefix_len > 0
@@ -2351,6 +2589,93 @@ FROM scored s JOIN documents d USING (doc_id)
 WHERE s.n_matched = {len(set(Q.query_terms(PHRASE_QUERY)))}
   AND regexp_matches(lower(d.text), '{M.phrase_regex(Q.query_terms(PHRASE_QUERY))}')
 ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
+""",
+        "geo_radius_sort": f"""
+WITH g AS (SELECT doc_id, {_GEO_LAT_SQL} AS lat, {_GEO_LNG_SQL} AS lng
+           FROM documents),
+d AS (SELECT doc_id, {_haversine_sql('lat', 'lng', *GEO_CENTER)} AS dist
+      FROM g)
+SELECT doc_id, round(dist, 3) AS dist_m FROM d
+WHERE dist <= {GEO_RADIUS_M!r}
+ORDER BY round(dist, 6), doc_id LIMIT 50
+""",
+        "geo_bbox": f"""
+WITH g AS (SELECT doc_id, {_GEO_LAT_SQL} AS lat, {_GEO_LNG_SQL} AS lng
+           FROM documents)
+SELECT doc_id, lat, lng FROM g
+WHERE lat <= 30.0 AND lat >= -10.0 AND (lng >= 150.0 OR lng <= -150.0)
+ORDER BY doc_id
+""",
+        "hybrid_search": _bm25_scored_sql(Q.query_terms(BM25_QUERY))
+        + f"""
+, kw AS (SELECT doc_id AS id, score FROM scored),
+mx AS (SELECT max(score) AS m FROM kw),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sem AS (SELECT vec_id AS id,
+          (list_sum(list_transform(range(len(embedding)),
+             i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qe[i+1] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(qe,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           + 1.0) / 2.0 AS semantic
+        FROM embeddings CROSS JOIN qv),
+m AS (SELECT coalesce(kw.id, sem.id) AS id,
+        coalesce(kw.score / mx.m, 0.0) AS keyword_norm,
+        coalesce(sem.semantic, 0.0) AS semantic
+      FROM kw FULL OUTER JOIN sem ON kw.id = sem.id CROSS JOIN mx),
+h AS (SELECT id, {1.0 - HYBRID_RATIO!r} * keyword_norm
+                 + {HYBRID_RATIO!r} * semantic AS hybrid,
+             keyword_norm, semantic FROM m)
+SELECT id, round(hybrid, 6) AS hybrid,
+       round(keyword_norm, 6) AS keyword_norm,
+       round(semantic, 6) AS semantic
+FROM h ORDER BY round(hybrid, 9) DESC, id LIMIT 10
+""",
+        "federated_search": _contrib_cte()
+        + f"""
+, s1 AS (SELECT doc_id, sum(c) AS score FROM contrib
+         WHERE term IN ({_terms_in(BM25_QUERY)}) GROUP BY doc_id),
+s2 AS (SELECT doc_id, sum(c) AS score FROM contrib
+       WHERE term IN ({_terms_in(UNION_QUERY)}) GROUP BY doc_id),
+m1 AS (SELECT max(score) AS m FROM s1),
+m2 AS (SELECT max(score) AS m FROM s2),
+un AS (SELECT doc_id AS id, score / m1.m * 1.0 AS wscore, 'a' AS query
+       FROM s1 CROSS JOIN m1
+       UNION ALL
+       SELECT doc_id, score / m2.m * {FED_W2!r}, 'b' FROM s2 CROSS JOIN m2),
+r AS (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY round(wscore, 9) DESC, query) AS rn FROM un)
+SELECT id, round(wscore, 6) AS wscore, query FROM r WHERE rn = 1
+ORDER BY round(wscore, 9) DESC, id LIMIT 10
+""",
+        "facet_search": """
+SELECT source AS value, count(*)::BIGINT AS count FROM documents
+WHERE lower(source) LIKE 'src1%'
+GROUP BY source
+ORDER BY count DESC, value LIMIT 100
+""",
+        "matching_strategy_frequency": _matching_frequency_sql(),
+        "bm25f_search_on": _bm25f_sql(
+            [("p", 0.8, "text"), ("title", 0.8 ** 2, "lang")]
+        ),
+        "video_frames_real": """
+WITH m AS (SELECT doc_id AS media_id, 5 + doc_id % 6 AS t
+           FROM documents WHERE doc_id % 3 = 2),
+fr AS (SELECT media_id, t, unnest(range(t)) AS f FROM m),
+samp AS (SELECT media_id, f FROM fr WHERE f % 2 = 0),
+cell AS (SELECT media_id, f, unnest(range(48)) AS i FROM samp),
+v AS (SELECT media_id, f,
+        (media_id * 7 + f * 13 + (i // 8) * 3 + (i % 8) * 5) % 256 AS val
+      FROM cell),
+s AS (SELECT media_id, f, avg(val) AS mean_luma, min(val) AS mn,
+             max(val) AS mx
+      FROM v GROUP BY media_id, f)
+SELECT media_id, (f * 200)::INT AS ts_ms, f::INT AS frame_idx,
+       8::INT AS width, 6::INT AS height,
+       round(mean_luma, 6) AS mean_luma, mn::INT AS min_luma,
+       mx::INT AS max_luma
+FROM s
 """,
     }
 
