@@ -64,6 +64,12 @@ class IndexConfig:
     b: float = DEFAULT_B
     field_weights: dict[str, float] = field(default_factory=dict)
     distinct_attribute: Optional[str] = None
+    # filterableAttributes/sortableAttributes beyond the fixed schema:
+    # extra input columns carried into the stored docs table so
+    # IndexReader.search can filter/sort on them (e.g. lat/lng for the
+    # _geoRadius/_geoPoint grammar). Column-pruned everywhere except
+    # hydration — postings never carry them.
+    extra_doc_columns: list[str] = field(default_factory=list)
 
     # Physical layout
     # store_positions: also build the positional relation (the Lucene

@@ -20,6 +20,8 @@ and mirrored verbatim in DuckDB).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -140,3 +142,63 @@ def geo_sort(
     key = F.round(F.col("_geo_distance"), round_digits)
     order = [key.asc() if asc else key.desc()] + [F.col(c).asc() for c in tie_cols]
     return out.orderBy(*order)
+
+
+def haversine_sql(
+    lat_col: str, lng_col: str, lat: float, lng: float
+) -> str:
+    """The same haversine as `haversine_m`, as a SQL expression STRING
+    (identical operation order) — usable in `expr()` filters, in the
+    Meilisearch `_geoRadius(...)` grammar translation, and verbatim as
+    the DuckDB oracle replica."""
+    dlat = f"(radians({lat!r}) - radians({lat_col}))"
+    dlng = f"(radians({lng!r}) - radians({lng_col}))"
+    a = (
+        f"sin({dlat} / 2) * sin({dlat} / 2) "
+        f"+ cos(radians({lat_col})) * cos(radians({lat!r})) "
+        f"* sin({dlng} / 2) * sin({dlng} / 2)"
+    )
+    return f"{2.0 * EARTH_RADIUS_M!r} * asin(sqrt({a}))"
+
+
+_GEO_RADIUS_RE = re.compile(
+    r"_geoRadius\(\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*\)"
+)
+_GEO_BOX_RE = re.compile(
+    r"_geoBoundingBox\(\s*\[\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*\]\s*,"
+    r"\s*\[\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*\]\s*\)"
+)
+_GEO_POINT_RE = re.compile(
+    r"^_geoPoint\(\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*\)$"
+)
+
+
+def translate_geo_filter(
+    expr: str, lat_col: str = "lat", lng_col: str = "lng"
+) -> str:
+    """Rewrite Meilisearch geo filter grammar embedded in a SQL boolean
+    (`_geoRadius(lat, lng, meters)` / `_geoBoundingBox([lat,lng],
+    [lat,lng])`) into plain predicates over the stored coordinate
+    columns. Non-geo parts of the expression pass through untouched."""
+
+    def rad(m):
+        lat, lng, meters = (float(g) for g in m.groups())
+        return f"({haversine_sql(lat_col, lng_col, lat, lng)} <= {meters!r})"
+
+    def box(m):
+        lat_tr, lng_tr, lat_bl, lng_bl = (float(g) for g in m.groups())
+        lat_pred = f"{lat_col} <= {lat_tr!r} AND {lat_col} >= {lat_bl!r}"
+        if lng_bl <= lng_tr:
+            lng_pred = f"{lng_col} >= {lng_bl!r} AND {lng_col} <= {lng_tr!r}"
+        else:  # antimeridian wrap
+            lng_pred = f"{lng_col} >= {lng_bl!r} OR {lng_col} <= {lng_tr!r}"
+        return f"(({lat_pred}) AND ({lng_pred}))"
+
+    return _GEO_BOX_RE.sub(box, _GEO_RADIUS_RE.sub(rad, expr))
+
+
+def parse_geo_sort(entry: str) -> tuple[float, float] | None:
+    """`_geoPoint(lat, lng)` sort-criterion head → (lat, lng), or None
+    if the entry is an ordinary column sort."""
+    m = _GEO_POINT_RE.match(entry)
+    return (float(m.group(1)), float(m.group(2))) if m else None

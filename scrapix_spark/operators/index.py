@@ -286,7 +286,7 @@ def _build_index_inner(
             docs.observe(obs, F.count(F.lit(1)).alias("n"))
             .join(dls, "doc_id", "left")
             .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)))
-            .select(*DOCS_COLS)
+            .select(*DOCS_COLS, *cfg.extra_doc_columns)
             # T4 batch sizing (reference src/sender.ts:22 batch_size ||
             # 1000): opt-in docs-per-output-file cap — see
             # IndexConfig.docs_records_per_file for why it is not wired
@@ -841,9 +841,9 @@ def compact(
     live_docs = read_docs(spark, index_dir).join(
         read_tombstones(spark, index_dir), "doc_id", "left_anti"
     )
-    live_docs.select(*DOCS_COLS).write.mode("overwrite").parquet(
-        os.path.join(build_dir, "docs")
-    )
+    live_docs.select(*DOCS_COLS, *cfg.extra_doc_columns).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(build_dir, "docs"))
 
     # exact dictionary from the merged segments: df = Σ n_docs per term,
     # cf decoded; term strings recovered from the layered dicts (superset)

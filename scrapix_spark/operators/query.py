@@ -625,6 +625,8 @@ class IndexReader:
         tie_cols: tuple[str, ...] = (),
         attributes_to_retrieve: list[str] | None = None,
         with_total: bool = False,
+        with_ranking_score: bool = False,
+        geo_columns: tuple[str, str] = ("lat", "lng"),
     ) -> dict:
         """The unified search request — the Meilisearch POST /search
         surface a scrapix-indexed app actually calls (q, filter, sort,
@@ -645,12 +647,34 @@ class IndexReader:
         (Meilisearch estimatedTotalHits). Everything else stays a
         DataFrame plan: the only driver-side values are the query's
         dictionary rows and the optional total.
+
+        Geo grammar (requires the build to have stored coordinate
+        columns via IndexConfig.extra_doc_columns, names in
+        `geo_columns`): `filter_expr` may embed `_geoRadius(lat, lng,
+        meters)` / `_geoBoundingBox([lat,lng],[lat,lng])` — rewritten
+        to native haversine/range predicates — and a `sort` entry may
+        be `_geoPoint(lat, lng):asc|desc`, which also attaches the
+        `_geo_distance` hit column (Meilisearch's `_geoDistance`).
+
+        `with_ranking_score` attaches `_ranking_score` — the engine's
+        ranking-score proxy (score / max score over the UNFILTERED
+        match set, in (0, 1]; the same normalizer federated_topk uses),
+        Meilisearch's `showRankingScore`.
         """
+        from scrapix_spark.operators.geo import (
+            haversine_sql, parse_geo_sort, translate_geo_filter,
+        )
+
         scored = self._score_all(q)
         docs = self._drop_dead(self.docs)
         hyd = scored.join(docs, "doc_id")
+        if with_ranking_score:
+            mx = scored.agg(F.max("score").alias("_max_score"))
+            hyd = hyd.crossJoin(F.broadcast(mx)).withColumn(
+                "_ranking_score", F.col("score") / F.col("_max_score")
+            ).drop("_max_score")
         if filter_expr:
-            hyd = hyd.filter(filter_expr)
+            hyd = hyd.filter(translate_geo_filter(filter_expr, *geo_columns))
         facets_df = None
         if facets:
             from scrapix_spark.operators.results import facet_distribution
@@ -660,9 +684,16 @@ class IndexReader:
         order = []
         for s in sort or []:
             col, _, direction = s.partition(":")
-            order.append(
-                F.col(col).desc() if direction == "desc" else F.col(col).asc()
-            )
+            geo = parse_geo_sort(col)
+            if geo is not None:
+                hyd = hyd.withColumn(
+                    "_geo_distance",
+                    F.expr(haversine_sql(*geo_columns, *geo)),
+                )
+                key = F.round(F.col("_geo_distance"), 6)
+            else:
+                key = F.col(col)
+            order.append(key.desc() if direction == "desc" else key.asc())
         order += [F.round(F.col("score"), SCORE_ROUND).desc(), *ties]
         if distinct:
             from pyspark.sql import Window

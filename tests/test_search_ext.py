@@ -265,3 +265,68 @@ def test_y4m_c420_parse():
     assert np.array_equal(v["frames"][0], y0)
     with pytest.raises(ValueError):
         MM.y4m_decode_bytes(b"RIFFxxxx")
+
+
+def test_index_geo_search_and_ranking_score(spark, tmp_path):
+    """End-to-end: extra_doc_columns store lat/lng in the docs table;
+    IndexReader.search understands the Meilisearch geo grammar
+    (_geoRadius filter, _geoPoint sort + _geoDistance column) and
+    showRankingScore — pinned against a brute-force rerank."""
+    from scrapix_spark.fixtures import corpus_spark_df
+    from scrapix_spark.operators.index import build_index
+    from scrapix_spark.operators.query import IndexReader
+    from scrapix_spark.config import IndexConfig
+
+    raw = (
+        corpus_spark_df(spark, 250)
+        .withColumn(
+            "lat", (F.pmod(F.xxhash64("path"), F.lit(120)) - 60).cast("double")
+        )
+        .withColumn(
+            "lng", (F.pmod(F.xxhash64("path", "repo"), F.lit(340)) - 170).cast("double")
+        )
+    )
+    idx = str(tmp_path / "geoidx")
+    build_index(
+        spark, raw, idx,
+        IndexConfig(n_shards=4, extra_doc_columns=["lat", "lng"]),
+        build_id="g1", heartbeat_sec=None,
+    )
+    r = IndexReader(spark, idx)
+    assert "lat" in r.docs.columns and "lng" in r.docs.columns
+
+    q = "binary search"
+    res = r.search(
+        q, k=5,
+        filter_expr="_geoRadius(10, 20, 6000000)",
+        sort=["_geoPoint(10, 20):asc"],
+        with_ranking_score=True,
+    )
+    hits = res["hits"].collect()
+    assert hits and "_geo_distance" in res["hits"].columns
+
+    # brute-force oracle: score all matches, filter by haversine, order
+    # by (rounded distance asc, score desc, doc_id)
+    scores = {row["doc_id"]: row["score"] for row in r._score_all(q).collect()}
+    coords = {
+        row["doc_id"]: (row["lat"], row["lng"]) for row in r.docs.collect()
+    }
+    mx = max(scores.values())
+    cand = []
+    for did, sc in scores.items():
+        d = _hav(coords[did][0], coords[did][1], 10.0, 20.0)
+        if d <= 6000000.0:
+            cand.append((round(d, 6), -round(sc, 9), did))
+    want = [t[2] for t in sorted(cand)[:5]]
+    assert [h["doc_id"] for h in hits] == want
+    for h in hits:
+        assert abs(h["_ranking_score"] - scores[h["doc_id"]] / mx) < 1e-12
+        assert h["_geo_distance"] <= 6000000.0
+    # wrapped bbox grammar composes with ordinary predicates
+    res2 = r.search(
+        q, k=50,
+        filter_expr="_geoBoundingBox([60, -100], [-60, 100]) AND lang = 'py'",
+    )
+    for h in res2["hits"].collect():
+        assert h["lang"] == "py"
+        assert (h["lng"] >= 100.0 or h["lng"] <= -100.0) and -60 <= h["lat"] <= 60
