@@ -134,6 +134,7 @@ def facet_search(
     attr: str,
     facet_query: str = "",
     max_values: int = DEFAULT_MAX_VALUES_PER_FACET,
+    case_sensitive: bool = False,
 ) -> DataFrame:
     """Meilisearch POST /facet-search: search the VALUES of one facet
     by case-insensitive prefix and return them with their hit counts,
@@ -143,7 +144,12 @@ def facet_search(
     Same aggregation shape as facet_distribution (array attrs facet per
     element) with the prefix predicate applied BEFORE the hash agg so
     the filter runs map-side; one shuffle on the (bounded-cardinality)
-    facet value."""
+    facet value. `case_sensitive=True` matches the raw value — the
+    predicate is then a plain StartsWith over the attribute, which
+    parquet scans push down to row-group statistics; the
+    case-insensitive default wraps the attribute in lower() and can
+    only be evaluated map-side (normalize facet values at ingest to get
+    both semantics AND pushdown)."""
     col = F.col(attr)
     df = hits
     if df.schema[attr].dataType.typeName() == "array":
@@ -151,7 +157,10 @@ def facet_search(
         col = F.col("_v")
     val = col.cast("string")
     if facet_query:
-        df = df.filter(F.lower(val).startswith(facet_query.lower()))
+        if case_sensitive:
+            df = df.filter(val.startswith(facet_query))
+        else:
+            df = df.filter(F.lower(val).startswith(facet_query.lower()))
     return (
         df.groupBy(val.alias("value"))
         .agg(F.count("*").alias("count"))

@@ -255,6 +255,100 @@ def main() -> int:
          ("window partitions on the attr", "windowspecdefinition(repo")],
     )
 
+    # 11. geo radius filter: the coarse bbox pre-filter must reach the
+    # parquet scan as pushed range predicates so row groups prune on
+    # lat/lng min/max stats before any trig evaluates
+    from scrapix_spark.operators import geo as GEO
+
+    geo_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr("((doc_id * 37) % 1200) / 10.0 - 60.0").cast("double").alias("lat"),
+        F.expr("((doc_id * 73) % 3400) / 10.0 - 170.0").cast("double").alias("lng"),
+    )
+    # write a small parquet with DOUBLE lat/lng (a decimal-typed
+    # coordinate defeats range pushdown — the scan casts first)
+    geo_pq = "/tmp/plans_geo_docs"
+    if not os.path.exists(geo_pq):
+        geo_docs.write.mode("overwrite").parquet(geo_pq)
+    geo_plan = formatted(
+        GEO.geo_radius(spark.read.parquet(geo_pq), 10.0, 20.0, 2_500_000.0)
+    )
+    check(
+        "geo radius filter (geo_radius)",
+        "The `_geoRadius` cap evaluates haversine trig only AFTER a "
+        "native lat/lng bounding-box pre-filter; the range predicates "
+        "reach the scan (PushedFilters) so parquet row groups prune on "
+        "column min/max stats — at 100 TB the trig touches only the "
+        "bbox survivors and the stage stays map-only.",
+        geo_plan,
+        [("lat range pushed to scan", "GreaterThanOrEqual(lat"),
+         ("lng range pushed to scan", "GreaterThanOrEqual(lng"),
+         ("haversine inside codegen filter", "Filter [codegen")],
+    )
+    if "Exchange" in geo_plan:
+        failures.append("geo radius: unexpected Exchange")
+        sections[-1][3].append("FAIL no Exchange in plan")
+    else:
+        sections[-1][3].append("PASS no Exchange in plan")
+
+    # 12. hybrid blend: the normalizer is a 1-row broadcast, the cosine
+    # is native expressions (no Python eval anywhere in the plan)
+    from scrapix_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kw = reader._score_all("filter stream")
+    hyb_plan = formatted(
+        SIM.hybrid_topk(kw, emb, [0.1] * 64, semantic_ratio=0.25, k=10)
+    )
+    check(
+        "hybrid keyword⊕semantic blend (hybrid_topk)",
+        "The max-BM25 normalizer joins as a 1-row broadcast (never a "
+        "shuffle); the cosine is zip_with/aggregate JVM expressions; "
+        "the only wide exchange is the full-outer id join of the two "
+        "match sets. No Python evaluation in the scoring path.",
+        hyb_plan,
+        [("1-row max normalizer broadcast", "BroadcastNestedLoopJoin"),
+         ("final top-k is a TakeOrdered, not a global sort",
+          "TakeOrderedAndProject")],
+    )
+    if "BatchEvalPython" in hyb_plan:
+        failures.append("hybrid: row-at-a-time Python in scoring path")
+        sections[-1][3].append("FAIL no BatchEvalPython")
+    else:
+        sections[-1][3].append("PASS no BatchEvalPython")
+
+    # 13. facet value search: prefix predicate runs map-side BEFORE the
+    # hash agg; the agg is partial+final
+    from scrapix_spark.operators import results as RES
+
+    docs_pq = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fs_plan = formatted(
+        RES.facet_search(docs_pq, "source", "src1", case_sensitive=True)
+    )
+    check(
+        "facet value search (facet_search, case-sensitive path)",
+        "With case_sensitive=True the value-prefix predicate is a plain "
+        "StartsWith over the attribute and PUSHES to the parquet scan "
+        "(row-group min/max pruning); the shuffle carries only the "
+        "bounded facet-value domain and the count is a partial+final "
+        "hash aggregate.",
+        fs_plan,
+        [("prefix filter pushed to scan", "StringStartsWith"),
+         ("partial aggregation before the exchange", "HashAggregate"),
+         ("top values via TakeOrdered", "TakeOrderedAndProject")],
+    )
+    fs_ci_plan = formatted(RES.facet_search(docs_pq, "source", "SRC1"))
+    check(
+        "facet value search (case-insensitive default)",
+        "The Meilisearch-default case-insensitive match wraps the "
+        "attribute in lower(), which cannot push down — but it still "
+        "evaluates map-side BEFORE the aggregation (native StartsWith "
+        "in the Filter, no Python), so only matching values shuffle.",
+        fs_ci_plan,
+        [("native map-side prefix filter", "StartsWith(lower"),
+         ("partial aggregation before the exchange", "HashAggregate")],
+    )
+
     # ---- write PLANS.md
     out = ["# PLANS — physical-plan review of the hot paths",
            "",
