@@ -118,6 +118,10 @@ def _bm25_topk_from_postings_terms(
         F.sum("contrib").alias("score"),
         F.count("*").cast("int").alias("n_matched"),
     )
+    if k >= (1 << 31) - 1:
+        # full match set requested (_score_all and friends): the caller
+        # re-ranks downstream, so a global sort here is pure waste
+        return agg
     return agg.orderBy(
         F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
     ).limit(k)
@@ -627,6 +631,7 @@ class IndexReader:
         with_total: bool = False,
         with_ranking_score: bool = False,
         geo_columns: tuple[str, str] = ("lat", "lng"),
+        hybrid: dict | None = None,
     ) -> dict:
         """The unified search request — the Meilisearch POST /search
         surface a scrapix-indexed app actually calls (q, filter, sort,
@@ -660,12 +665,34 @@ class IndexReader:
         ranking-score proxy (score / max score over the UNFILTERED
         match set, in (0, 1]; the same normalizer federated_topk uses),
         Meilisearch's `showRankingScore`.
+
+        `hybrid` = {"query_vec": [...], "semantic_ratio": r,
+        "embeddings": DataFrame(vec_id, embedding)} enables hybrid
+        (keyword ⊕ semantic) relevancy exactly like the Meilisearch
+        `hybrid` request field: the relevancy score the rest of the
+        pipeline (filter/sort/distinct/facets/pagination) sees becomes
+        the blended similarity_topk score in [0, 1]; candidates are the
+        union of keyword matches and embedded docs. Optional
+        "semantic_candidates" restricts the cosine side (ANN probe).
         """
         from scrapix_spark.operators.geo import (
             haversine_sql, parse_geo_sort, translate_geo_filter,
         )
 
         scored = self._score_all(q)
+        if hybrid is not None:
+            from scrapix_spark.operators.similarity import hybrid_topk
+
+            scored = hybrid_topk(
+                scored,
+                hybrid["embeddings"],
+                hybrid["query_vec"],
+                semantic_ratio=hybrid.get("semantic_ratio", 0.5),
+                k=None,
+                semantic_candidates=hybrid.get("semantic_candidates"),
+            ).select(
+                F.col("id").alias("doc_id"), F.col("hybrid").alias("score")
+            )
         docs = self._drop_dead(self.docs)
         hyd = scored.join(docs, "doc_id")
         if with_ranking_score:

@@ -278,7 +278,7 @@ def hybrid_topk(
     emb: DataFrame,
     query_vec: list[float],
     semantic_ratio: float = 0.5,
-    k: int = 10,
+    k: int | None = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     doc_col: str = "doc_id",
@@ -335,9 +335,13 @@ def hybrid_topk(
     )
     ratio = float(semantic_ratio)
     hybrid = (1.0 - ratio) * F.col("keyword_norm") + ratio * F.col("semantic")
-    return (
-        both.withColumn("hybrid", hybrid)
-        .orderBy(F.round(F.col("hybrid"), 9).desc(), F.col("id").asc())
-        .limit(k)
-        .select("id", "hybrid", "keyword_norm", "semantic")
+    blended = both.withColumn("hybrid", hybrid).select(
+        "id", "hybrid", "keyword_norm", "semantic"
     )
+    if k is None:
+        # full blended set (IndexReader.search hybrid mode re-ranks
+        # downstream) — skip the global sort entirely
+        return blended
+    return blended.orderBy(
+        F.round(F.col("hybrid"), 9).desc(), F.col("id").asc()
+    ).limit(k)

@@ -330,3 +330,48 @@ def test_index_geo_search_and_ranking_score(spark, tmp_path):
     for h in res2["hits"].collect():
         assert h["lang"] == "py"
         assert (h["lng"] >= 100.0 or h["lng"] <= -100.0) and -60 <= h["lat"] <= 60
+
+
+def test_index_hybrid_search_mode(spark, tmp_path):
+    """search(hybrid=...) swaps the relevancy score for the blended
+    keyword⊕semantic score; filter/pagination still compose."""
+    from scrapix_spark.fixtures import corpus_spark_df
+    from scrapix_spark.operators.index import build_index
+    from scrapix_spark.operators.query import IndexReader
+    from scrapix_spark.config import IndexConfig
+
+    idx = str(tmp_path / "hyidx")
+    build_index(
+        spark, corpus_spark_df(spark, 200), idx,
+        IndexConfig(n_shards=4), build_id="h1", heartbeat_sec=None,
+    )
+    r = IndexReader(spark, idx)
+    ids = sorted(row["doc_id"] for row in r.docs.select("doc_id").collect())
+    rng = np.random.default_rng(11)
+    vecs = {did: rng.standard_normal(6) for did in ids}
+    emb = spark.createDataFrame(
+        [(did, [float(x) for x in vecs[did]]) for did in ids],
+        "vec_id long, embedding array<double>",
+    )
+    qv = [1.0, 0.5, 0.0, -0.5, 0.25, 0.0]
+    q = "binary search"
+    res = r.search(
+        q, k=8,
+        hybrid={"query_vec": qv, "semantic_ratio": 0.5, "embeddings": emb},
+    )
+    hits = res["hits"].collect()
+    assert len(hits) == 8
+
+    # brute-force blend oracle
+    scores = {row["doc_id"]: row["score"] for row in r._score_all(q).collect()}
+    mx = max(scores.values())
+    qn = np.linalg.norm(qv)
+    exp = {}
+    for did in ids:
+        kwn = scores.get(did, 0.0) / mx
+        sem = (float(vecs[did] @ qv) / (np.linalg.norm(vecs[did]) * qn) + 1) / 2
+        exp[did] = 0.5 * kwn + 0.5 * sem
+    want = sorted(ids, key=lambda d: (-round(exp[d], 9), d))[:8]
+    assert [h["doc_id"] for h in hits] == want
+    for h in hits:
+        assert abs(h["score"] - exp[h["doc_id"]]) < 1e-9
