@@ -194,6 +194,8 @@ def typo_candidates(
     max_dist: int = 1,
     min_len: int = ONE_TYPO_MIN,
     two_typo_min: int = TWO_TYPO_MIN,
+    disable_on_words: set[str] | None = None,
+    enabled: bool = True,
 ) -> DataFrame:
     """Dictionary terms within levenshtein distance of `query_term` —
     SymSpell deletion-key join, exact-verified.
@@ -210,8 +212,14 @@ def typo_candidates(
     budget, words >= two_typo_min get two (Meilisearch defaults 5/9).
 
     Returns (term, df, dist), dist <= allowed, ordered (dist, term).
+
+    `enabled=False` (typoTolerance.enabled) and `disable_on_words`
+    (typoTolerance.disableOnWords — per-word opt-out) force the budget
+    to 0: only the exact term matches, same as Meilisearch settings.
     """
     allowed = min(max_dist, typo_budget(query_term, min_len, two_typo_min))
+    if not enabled or (disable_on_words and query_term in disable_on_words):
+        allowed = 0
     if allowed == 0:
         joined = term_stats.filter(F.col("term") == query_term)
         return joined.select(
@@ -250,6 +258,8 @@ def bm25_topk_typo(
     max_dist: int = 1,
     min_len: int = ONE_TYPO_MIN,
     two_typo_min: int = TWO_TYPO_MIN,
+    disable_on_words: set[str] | None = None,
+    enabled: bool = True,
 ) -> DataFrame:
     """Top-k with typo tolerance: each query word expands to its
     edit-distance dictionary neighborhood — per-word budget =
@@ -267,7 +277,8 @@ def bm25_topk_typo(
     frames = []
     for wi, w in enumerate(words):
         cands = typo_candidates(
-            term_stats, w, max_dist, min_len, two_typo_min
+            term_stats, w, max_dist, min_len, two_typo_min,
+            disable_on_words, enabled,
         ).select("term", "df")
         exp = cands.withColumn("idf", idf_expr(N, F.col("df").cast("double")))
         cand = postings.join(F.broadcast(exp.select("term", "idf")), "term")
@@ -518,6 +529,116 @@ def proximity_topk(
     return out.select("doc_id", "score", "n_matched", "proximity").orderBy(
         F.col("n_matched").desc(),
         F.col("proximity").asc(),
+        F.round(F.col("score"), SCORE_ROUND).desc(),
+        F.col("doc_id").asc(),
+    ).limit(k)
+
+
+def ranked_chain_topk(
+    positional: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    q: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_dist: int = 2,
+    min_len: int = ONE_TYPO_MIN,
+    two_typo_min: int = TWO_TYPO_MIN,
+) -> DataFrame:
+    """The full Meilisearch DEFAULT ranking-rule chain over one
+    attribute — `words > typo > proximity > exactness` (the rule order
+    the reference pins for every index it configures,
+    src/scrapers/docssearch.ts:47-56; `attribute` is exercised by the
+    BM25F/docssearch path and `sort` by IndexReader.search) — with the
+    per-rule key columns exposed, i.e. `showRankingScoreDetails`:
+
+    * `n_matched`  — words rule: how many query words matched (typo
+      expansions count for their word);
+    * `typo_cost`  — typo rule: Σ edit distance actually used, per word
+      the BEST expansion by (distance asc, contribution desc, term asc);
+    * `proximity`  — proximity rule: Σ over adjacent query-word pairs
+      of min |pos_i − pos_j| capped at PROXIMITY_CAP (missing word =
+      cap), positions taken from each word's best expansion;
+    * `exact`      — exactness rule: words matched with ZERO typos.
+
+    Order: n_matched desc, typo_cost asc, proximity asc, exact desc,
+    round(score, 9) desc, doc_id asc.
+
+    Plan shape: the expansion set is a per-word SymSpell candidate
+    lookup (tiny, broadcast); postings touch ONLY expansion terms (term
+    pushdown on the positional relation); one window per (doc, word)
+    picks the best expansion; one hash agg per doc; the pair-cost fold
+    is native array math. No Python in the plan, one shuffle on doc_id.
+    """
+    words = query_terms(q)
+    empty_schema = (
+        "doc_id long, score double, n_matched int, typo_cost int, "
+        "proximity int, exact int"
+    )
+    if not words:
+        return positional.sparkSession.createDataFrame([], empty_schema)
+
+    frames = []
+    for wi, w in enumerate(words):
+        cands = typo_candidates(
+            term_stats, w, max_dist, min_len, two_typo_min
+        ).select("term", "df", "dist")
+        frames.append(cands.withColumn("wi", F.lit(wi)))
+    exp = frames[0]
+    for fr in frames[1:]:
+        exp = exp.unionByName(fr)
+    exp = exp.withColumn("idf", idf_expr(N, F.col("df").cast("double")))
+
+    cand = positional.join(
+        F.broadcast(exp.select("wi", "term", "dist", "idf")), "term"
+    ).withColumn(
+        "contrib",
+        bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, k1, b),
+    )
+    from pyspark.sql import Window
+
+    w_best = Window.partitionBy("doc_id", "wi").orderBy(
+        F.col("dist").asc(), F.col("contrib").desc(), F.col("term").asc()
+    )
+    best = (
+        cand.withColumn("_rn", F.row_number().over(w_best))
+        .filter("_rn = 1")
+        .select("doc_id", "wi", "dist", "contrib", "positions")
+    )
+    perdoc = best.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.count("*").cast("int").alias("n_matched"),
+        F.sum("dist").cast("int").alias("typo_cost"),
+        F.sum(F.when(F.col("dist") == 0, 1).otherwise(0)).cast("int").alias("exact"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("wi"), F.col("positions")))
+        ).alias("pmap"),
+    )
+    cap = F.lit(PROXIMITY_CAP)
+    pair_costs = []
+    for i in range(len(words) - 1):
+        pa, pb = F.col("pmap")[i], F.col("pmap")[i + 1]
+        mind = F.array_min(
+            F.flatten(
+                F.transform(pa, lambda x: F.transform(pb, lambda y: F.abs(x - y)))
+            )
+        )
+        pair_costs.append(
+            F.when(pa.isNull() | pb.isNull(), cap).otherwise(F.least(mind, cap))
+        )
+    total = pair_costs[0] if pair_costs else F.lit(0)
+    for c in pair_costs[1:]:
+        total = total + c
+    out = perdoc.withColumn("proximity", total.cast("int"))
+    return out.select(
+        "doc_id", "score", "n_matched", "typo_cost", "proximity", "exact"
+    ).orderBy(
+        F.col("n_matched").desc(),
+        F.col("typo_cost").asc(),
+        F.col("proximity").asc(),
+        F.col("exact").desc(),
         F.round(F.col("score"), SCORE_ROUND).desc(),
         F.col("doc_id").asc(),
     ).limit(k)

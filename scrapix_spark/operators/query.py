@@ -555,6 +555,74 @@ class IndexReader:
         )
         return self._hydrate(topk, order=prox_order) if hydrate else topk
 
+    def matches_position(self, q: str, k: int = 10) -> DataFrame:
+        """Meilisearch `showMatchesPosition`: for each of the query's
+        top-k hits (block-max pruned ranking), the positions of every
+        matched query term — token ordinals from the index's positional
+        relation (the `.pos` stream), 0-based.
+
+        Meilisearch reports byte offsets into the attribute string;
+        token ordinals are this engine's canonical coordinate (the same
+        one phrase/proximity consume). A byte-offset variant would
+        store `(start, len)` pairs next to the ordinals in the
+        positions stream at build time — same plan, wider payload.
+
+        Plan: the top-k is computed as usual, then the positional rows
+        for the query terms (term-pushdown scan) broadcast-join the k
+        winners — position payloads are read for k docs, never for the
+        whole match set. Returns (doc_id, score, term, positions)
+        ordered by the originating ranking then term.
+        """
+        got = self._positional_for(q)
+        if got is None:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, term string, "
+                    "positions array<int>"
+            )
+        pos, _tstats, _terms = got
+        topk = self.topk_pruned(q, k, hydrate=False)
+        return (
+            pos.join(F.broadcast(topk), "doc_id")
+            .select("doc_id", "score", "term", "positions")
+            .orderBy(
+                F.round(F.col("score"), SCORE_ROUND).desc(),
+                F.col("doc_id").asc(),
+                F.col("term").asc(),
+            )
+        )
+
+    def topk_ranked_chain(
+        self, q: str, k: int = 10, max_dist: int = 2
+    ) -> DataFrame:
+        """The full default ranking-rule chain (words > typo >
+        proximity > exactness) with showRankingScoreDetails columns,
+        from the index's positional relation + dictionary
+        (operators/match.ranked_chain_topk)."""
+        from scrapix_spark.operators.match import ranked_chain_topk
+
+        if not self.meta.get("store_positions"):
+            raise ValueError(
+                "index was built without store_positions=True — "
+                "the ranking chain needs the positional relation"
+            )
+        if not hasattr(self, "_positions_df"):
+            self._positions_df = IX.read_positions(self.spark, self.index_dir)
+        # the chain typo-expands against the dictionary itself, so the
+        # positional rows cannot be pre-filtered to resolved terms here;
+        # term pushdown happens inside via the expansion join (layered
+        # dict: live df = layer sum, the docFreq convention)
+        dic = self.dict_df.groupBy("term", "term_id").agg(
+            F.sum("df").alias("df")
+        )
+        pos = self._drop_dead(
+            self._positions_df.join(dic.select("term_id", "term"), "term_id")
+        ).select("term", "doc_id", "tf", "dl", "positions")
+        meta = self.meta
+        return ranked_chain_topk(
+            pos, dic.select("term", "df"), meta["N"], meta["avgdl"],
+            q, k, meta["k1"], meta["b"], max_dist=max_dist,
+        )
+
     def topk_distinct(
         self, q: str, k: int = 10, attr: str | None = None,
         tie_cols: tuple[str, ...] = (),
@@ -632,6 +700,16 @@ class IndexReader:
         with_ranking_score: bool = False,
         geo_columns: tuple[str, str] = ("lat", "lng"),
         hybrid: dict | None = None,
+        attributes_to_highlight: list[str] | None = None,
+        attributes_to_crop: list[str] | None = None,
+        crop_length: int = 60,
+        highlight_pre_tag: str = "<em>",
+        highlight_post_tag: str = "</em>",
+        crop_marker: str = "…",
+        page: int | None = None,
+        hits_per_page: int | None = None,
+        facet_sort_by: str = "count",
+        facet_stats_for: list[str] | None = None,
     ) -> dict:
         """The unified search request — the Meilisearch POST /search
         surface a scrapix-indexed app actually calls (q, filter, sort,
@@ -674,6 +752,24 @@ class IndexReader:
         the blended similarity_topk score in [0, 1]; candidates are the
         union of keyword matches and embedded docs. Optional
         "semantic_candidates" restricts the cosine side (ANN probe).
+
+        `attributes_to_highlight` / `attributes_to_crop` attach
+        Meilisearch `_formatted` payloads — `_formatted_<attr>` columns
+        with every run of matched query words wrapped in the pre/post
+        tags, and (crop) a `crop_length`-char window around the first
+        match with `crop_marker` where text was cut. Formatting runs on
+        the FINAL k rows only (post-limit), so its cost is O(k) no
+        matter the corpus.
+
+        `page` + `hits_per_page` switch pagination to Meilisearch's
+        EXHAUSTIVE mode (POST /search with page/hitsPerPage): the
+        response carries exact `total_hits` and `total_pages` (one
+        count over the filtered match set — the documented price of
+        exhaustive totals) and `estimated_total_hits` is not set.
+
+        `facet_sort_by` is faceting.sortFacetValuesBy (count|alpha);
+        `facet_stats_for` names numeric attrs whose min/max are
+        returned as `facet_stats` (Meilisearch facetStats).
         """
         from scrapix_spark.operators.geo import (
             haversine_sql, parse_geo_sort, translate_geo_filter,
@@ -703,10 +799,15 @@ class IndexReader:
         if filter_expr:
             hyd = hyd.filter(translate_geo_filter(filter_expr, *geo_columns))
         facets_df = None
+        fstats_df = None
         if facets:
             from scrapix_spark.operators.results import facet_distribution
 
-            facets_df = facet_distribution(hyd, facets)
+            facets_df = facet_distribution(hyd, facets, sort_by=facet_sort_by)
+        if facet_stats_for:
+            from scrapix_spark.operators.results import facet_stats
+
+            fstats_df = facet_stats(hyd, facet_stats_for)
         ties = [F.col(c).asc() for c in tie_cols] + [F.col("doc_id").asc()]
         order = []
         for s in sort or []:
@@ -731,18 +832,50 @@ class IndexReader:
                 .filter("_rn = 1")
                 .drop("_rn")
             )
-        total = hyd.count() if with_total else None
+        exhaustive = page is not None or hits_per_page is not None
+        total_pages = None
+        if exhaustive:
+            hits_per_page = hits_per_page or 20  # Meilisearch default
+            page = page or 1
+            total = hyd.count()
+            total_pages = -(-total // hits_per_page)
+            offset, k = (page - 1) * hits_per_page, hits_per_page
+        else:
+            total = hyd.count() if with_total else None
         hits = hyd.orderBy(*order).offset(offset).limit(k).drop("sha256")
+        if attributes_to_highlight or attributes_to_crop:
+            from scrapix_spark.operators.results import crop as crop_op
+            from scrapix_spark.operators.results import highlight
+
+            for a in set(attributes_to_highlight or []) | set(
+                attributes_to_crop or []
+            ):
+                hits = highlight(
+                    hits, a, q, highlight_pre_tag, highlight_post_tag,
+                    out_col=f"_formatted_{a}",
+                )
+            for a in attributes_to_crop or []:
+                hits = crop_op(
+                    hits, f"_formatted_{a}", highlight_pre_tag,
+                    crop_length, crop_marker, out_col=f"_formatted_{a}",
+                )
         if attributes_to_retrieve:
             keep = ["doc_id", "score"] + [
                 c for c in attributes_to_retrieve
                 if c in hits.columns and c not in ("doc_id", "score")
-            ]
+            ] + [c for c in hits.columns if c.startswith("_formatted_")]
             hits = hits.select(*keep)
-        return {
+        out = {
             "hits": hits, "facets": facets_df,
-            "estimated_total_hits": total,
+            "estimated_total_hits": None if exhaustive else total,
         }
+        if fstats_df is not None:
+            out["facet_stats"] = fstats_df
+        if exhaustive:
+            out.update(
+                {"total_hits": total, "total_pages": total_pages, "page": page}
+            )
+        return out
 
     def _hydrate(self, topk: DataFrame, order: list | None = None) -> DataFrame:
         """J4: attach repo/path/commit/lang to the k winners — broadcast

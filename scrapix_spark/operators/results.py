@@ -31,6 +31,7 @@ def facet_distribution(
     hits: DataFrame,
     attrs: list[str],
     max_values: int = DEFAULT_MAX_VALUES_PER_FACET,
+    sort_by: str = "count",
 ) -> DataFrame:
     """Per-attribute value counts over a result/candidate set —
     Meilisearch's facetDistribution.
@@ -38,7 +39,9 @@ def facet_distribution(
     One hash aggregation per attribute (unioned), top `max_values`
     values per attribute by (count desc, value asc) — the deterministic
     version of Meilisearch's truncation. Array-typed attributes facet
-    per element (urls_tags semantics).
+    per element (urls_tags semantics). `sort_by` is Meilisearch's
+    faceting.sortFacetValuesBy: "count" (default) or "alpha" (value
+    asc) — it changes both the truncation window and the output order.
     """
     parts = []
     for a in attrs:
@@ -58,15 +61,56 @@ def facet_distribution(
     un = parts[0]
     for p in parts[1:]:
         un = un.unionByName(p)
-    w = Window.partitionBy("attr").orderBy(
-        F.col("count").desc(), F.col("value").asc()
-    )
+    if sort_by == "alpha":
+        keys = [F.col("value").asc()]
+    elif sort_by == "count":
+        keys = [F.col("count").desc(), F.col("value").asc()]
+    else:
+        raise ValueError(f"sortFacetValuesBy must be count|alpha, got {sort_by}")
+    w = Window.partitionBy("attr").orderBy(*keys)
     return (
         un.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_values)
         .select("attr", "value", "count")
-        .orderBy("attr", F.col("count").desc(), "value")
+        .orderBy("attr", *keys)
     )
+
+
+def facet_stats(hits: DataFrame, attrs: list[str]) -> DataFrame:
+    """Min/max per numeric facet over a result/candidate set —
+    Meilisearch's `facetStats` (returned alongside facetDistribution
+    for every numeric field in `facets`; non-numeric attrs are the
+    caller's error, loudly).
+
+    One global aggregation computing all attrs' min/max in a single
+    pass (no per-attr job), then unpivoted to (attr, min, max) rows.
+    Map-side partial aggregation makes this a near-free companion to
+    the distribution at any scale.
+    """
+    numeric = {"byte", "short", "integer", "long", "float", "double", "decimal"}
+    aggs = []
+    for a in attrs:
+        t = hits.schema[a].dataType.typeName()
+        if t not in numeric:
+            raise ValueError(f"facetStats needs a numeric attribute, {a} is {t}")
+        aggs += [
+            F.min(F.col(a).cast("double")).alias(f"_min_{a}"),
+            F.max(F.col(a).cast("double")).alias(f"_max_{a}"),
+        ]
+    one = hits.agg(*aggs)
+    pairs = []
+    for a in attrs:
+        pairs.append(
+            one.select(
+                F.lit(a).alias("attr"),
+                F.col(f"_min_{a}").alias("min"),
+                F.col(f"_max_{a}").alias("max"),
+            )
+        )
+    out = pairs[0]
+    for p in pairs[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("attr")
 
 
 def highlight_pattern(terms: list[str]) -> str:

@@ -47,6 +47,41 @@ def cosine_topk_bruteforce(
     )
 
 
+def similar_documents(
+    df: DataFrame,
+    target_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Meilisearch GET /indexes/{uid}/similar: the k nearest documents
+    to an EXISTING document, by cosine over the embedding column,
+    excluding the target itself (Meilisearch never returns the source
+    document among its own similars).
+
+    Plan: the target's single embedding row joins the table as a 1-row
+    broadcast (never a driver collect of the vector — the lookup stays
+    a DataFrame), the cosine is pure JVM zip_with/aggregate, and the
+    final top-k is a partial-per-partition + tiny merge under the
+    limit. Columns: id, cosine.
+    """
+    tgt = (
+        df.filter(F.col(id_col) == target_id)
+        .select(F.col(vec_col).alias("_tvec"))
+        .limit(1)
+    )
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    tvec_d = F.transform(F.col("_tvec"), lambda x: x.cast("double"))
+    cos = _dot(vec_d, tvec_d) / (_norm(vec_d) * _norm(tvec_d))
+    return (
+        df.filter(F.col(id_col) != target_id)
+        .crossJoin(F.broadcast(tgt))
+        .select(F.col(id_col).alias("id"), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
 def srp_lsh_buckets(
     df: DataFrame,
     dim: int,

@@ -124,6 +124,111 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# PII patterns (training-data scrubbing). RE2-compatible (no lookaround,
+# no backreferences) so the exact same pattern strings run in Spark's
+# Java regex AND the DuckDB oracle. Ordered dict: redaction applies in
+# this order (email before ipv4 so "user@10.0.0.1" redacts as an email).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "aws_key": (r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
+    "hex_secret": (r"\b[0-9a-f]{32,64}\b", "<SECRET>"),
+    "phone": (r"\+\d[\d ()-]{7,14}\d\b", "<PHONE>"),
+}
+
+
+def pii_signals(
+    df: DataFrame, text_col: str = "text", redact: bool = True
+) -> DataFrame:
+    """PII detection + redaction over a text/content column — the scrub
+    pass every LLM training-data pipeline runs before tokenization.
+
+    Adds one `n_pii_<kind>` count column per PII_PATTERNS entry, a
+    total `n_pii`, and (redact=True) a `redacted` column with every
+    match replaced by its typed placeholder, applied in dict order so
+    overlapping classes resolve deterministically. All native
+    regexp_count / regexp_replace — JVM regex engine, whole-stage
+    codegen, zero Python in the hot path; the identical pattern
+    strings drive the DuckDB oracle (RE2-safe by construction).
+    """
+    src = F.coalesce(F.col(text_col), F.lit(""))
+    out = df
+    total = F.lit(0)
+    for kind, (pat, _) in PII_PATTERNS.items():
+        out = out.withColumn(f"n_pii_{kind}", F.regexp_count(src, F.lit(pat)))
+        total = total + F.col(f"n_pii_{kind}")
+    out = out.withColumn("n_pii", total)
+    if redact:
+        red = src
+        for _, (pat, tag) in PII_PATTERNS.items():
+            red = F.regexp_replace(red, pat, tag)
+        out = out.withColumn("redacted", red)
+    return out
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", bigram_cap: int = 256
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
+    computed per row with ZERO shuffle — every signal is an array
+    expression over the row's own lines/tokens, so the operator is
+    map-only at any corpus size:
+
+    * `dup_line_frac`     — fraction of non-empty lines that are
+      repeats of an earlier line (1 - distinct/total);
+    * `dup_line_char_frac`— fraction of line characters inside those
+      repeated occurrences;
+    * `top_bigram_char_frac` — fraction of token characters covered by
+      the most frequent word 2-gram, over the first `bigram_cap`
+      tokens (the cap bounds the O(distinct·n) per-row count at a
+      documented, scale-safe cost).
+    """
+    lines = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+        lambda x: x != F.lit(""),
+    )
+    n_lines = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    chars = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
+    dchars = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda a, x: a + F.length(x)
+    )
+    dup_line_frac = F.when(n_lines > 0, (n_lines - n_dist) / n_lines).otherwise(0.0)
+    dup_char_frac = F.when(chars > 0, (chars - dchars) / chars).otherwise(0.0)
+
+    toks = F.slice(tokens_native(F.col(text_col)), 1, bigram_cap)
+    n_tok = F.size(toks)
+    heads = F.slice(toks, 1, F.greatest(n_tok - 1, F.lit(0)))
+    grams = F.zip_with(
+        heads, F.slice(toks, 2, F.greatest(n_tok - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    top_n = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    top_gram = F.array_max(
+        F.filter(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)) == top_n,
+        )
+    )
+    tok_chars = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+    # chars covered by the top bigram's occurrences (token chars + the
+    # joining separator, once per occurrence)
+    top_chars = top_n * (F.length(top_gram) - 1)
+    top_frac = F.when(
+        (tok_chars > 0) & (F.size(grams) > 0), top_chars / tok_chars
+    ).otherwise(0.0)
+    return (
+        df.withColumn("dup_line_frac", F.round(dup_line_frac, 6))
+        .withColumn("dup_line_char_frac", F.round(dup_char_frac, 6))
+        .withColumn("top_bigram_char_frac", F.round(top_frac, 6))
+    )
+
+
 def hash_token(t: str) -> int:
     """Deterministic 64-bit FNV-1a of a token (Python hash() is salted
     per process — never use it for fingerprints)."""
