@@ -1224,6 +1224,166 @@ def q_crop(spark, sf_dir):
     return R.crop(hl, "formatted").select("doc_id", "cropped")
 
 
+# ------------------------------------------------ r2b: ranking details,
+# matches-position, facet stats, similar-docs, PII + repetition signals
+
+RC_QUERY = "tablee merge sort"  # word 0 = 1-edit misspelling of 'table'
+
+
+def _entry_pos_index(spark: SparkSession, sf_dir: str) -> str:
+    """Published index WITH the positional relation (store_positions=True,
+    cached per sf_dir) — fixture for the index-level ranking-chain and
+    showMatchesPosition gates. Kept separate from `_entry_index` so the
+    68 existing gates' fixture (and its cached build) stays untouched."""
+    import re as _re
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import build_index
+
+    d = "/tmp/entry_posix_" + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    if not os.path.exists(os.path.join(d, "_CURRENT")):
+        raw = _docs(spark, sf_dir).select(
+            F.col("source").alias("repo"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+        build_index(
+            spark, raw, d,
+            IndexConfig(index_uid="entrypos", n_shards=8,
+                        exclude_paginated=False, store_positions=True),
+            build_id="p1", source_desc=sf_dir,
+        )
+    return d
+
+
+def q_ranked_chain_topk(spark, sf_dir):
+    """The full default ranking-rule chain (words > typo > proximity >
+    exactness) over the PUBLISHED positional index, with the per-rule
+    key columns exposed (showRankingScoreDetails). The oracle replays
+    the same chain in SQL: per-word levenshtein expansion under the
+    Meilisearch length budgets, best expansion per (doc, word) by
+    (dist, round(contrib, 9) desc, term), pair proximity from the best
+    expansions' token positions capped at 8."""
+    idx = _entry_pos_index(spark, sf_dir)
+    r = Q.IndexReader(spark, idx)
+    out = r.topk_ranked_chain(RC_QUERY, 10, max_dist=2)
+    out = out.join(r.docs.select("doc_id", "path"), "doc_id")
+    return out.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        F.col("typo_cost").cast("long").alias("typo_cost"),
+        F.col("proximity").cast("long").alias("proximity"),
+        F.col("exact").cast("long").alias("exact"),
+    )
+
+
+def q_matches_position(spark, sf_dir):
+    """Meilisearch showMatchesPosition: token ordinals of every matched
+    query term in the top-k docs, read from the index's .pos stream for
+    k docs only (positions exploded to scalar rows for the hash gate)."""
+    idx = _entry_pos_index(spark, sf_dir)
+    r = Q.IndexReader(spark, idx)
+    out = r.matches_position(WAND_QUERY, 10)
+    out = out.join(r.docs.select("doc_id", "path"), "doc_id")
+    return out.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "term",
+        F.explode("positions").alias("pos"),
+    )
+
+
+def q_facet_stats(spark, sf_dir):
+    """Meilisearch facetStats: min/max per numeric facet over the docs
+    matching the BM25 query — one global aggregation pass."""
+    from scrapix_spark.operators import results as R
+
+    post = _postings(spark, sf_dir)
+    matched = (
+        post.filter(F.col("term").isin(Q.query_terms(BM25_QUERY)))
+        .select("doc_id").distinct()
+    )
+    hits = matched.join(_docs(spark, sf_dir), "doc_id")
+    st = R.facet_stats(hits, ["doc_id", "n_chars"])
+    return st.select(
+        "attr", F.round("min", 6).alias("min"), F.round("max", 6).alias("max")
+    )
+
+
+def q_facet_alpha(spark, sf_dir):
+    """facetDistribution with faceting.sortFacetValuesBy = 'alpha':
+    value-ascending truncation window and output order."""
+    from scrapix_spark.operators import results as R
+
+    post = _postings(spark, sf_dir)
+    matched = (
+        post.filter(F.col("term").isin(Q.query_terms(BM25_QUERY)))
+        .select("doc_id").distinct()
+    )
+    hits = matched.join(_docs(spark, sf_dir), "doc_id")
+    return R.facet_distribution(hits, ["lang", "source"], sort_by="alpha").select(
+        "attr", "value", F.col("count").cast("long").alias("count")
+    )
+
+
+def q_similar_docs(spark, sf_dir):
+    """GET /indexes/{uid}/similar: k nearest docs to an EXISTING doc by
+    embedding cosine, target excluded; the target row stays a 1-row
+    broadcast DataFrame (no driver collect of the vector)."""
+    return SIM.similar_documents(_emb(spark, sf_dir), target_id=1, k=10)
+
+
+# Deterministic PII planting — the SAME SQL expression string runs in
+# Spark and DuckDB, so both engines scrub an identical synthetic column.
+_PII_SRC_SQL = (
+    "CASE doc_id % 4 "
+    "WHEN 0 THEN text || ' contact user' || doc_id || '@mail.example.com now' "
+    "WHEN 1 THEN text || ' from 10.0.' || (doc_id % 256) || '.' "
+    "|| ((doc_id * 7) % 256) || ' seen' "
+    "WHEN 2 THEN text || ' key AKIA' "
+    "|| upper(substr(md5(cast(doc_id AS STRING)), 1, 16)) || ' used' "
+    "ELSE text || ' call +1415555' "
+    "|| lpad(cast(doc_id % 1000 AS STRING), 4, '0') || ' now' END"
+)
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII detection + redaction (the training-data scrub pass): typed
+    match counts and the redacted text, all native JVM regex. The RE2-
+    safe pattern strings drive the DuckDB oracle verbatim, over the same
+    deterministically planted PII column."""
+    src = _docs(spark, sf_dir).withColumn("text2", F.expr(_PII_SRC_SQL))
+    out = TS.pii_signals(src, "text2")
+    cols = [F.col(f"n_pii_{k}").cast("long").alias(f"n_pii_{k}")
+            for k in TS.PII_PATTERNS]
+    return out.select(
+        "doc_id", *cols, F.col("n_pii").cast("long").alias("n_pii"), "redacted"
+    )
+
+
+# Planted repetition: two copies of a short line + a unique tail, so the
+# dup-line and top-bigram signals have non-trivial values to verify.
+_REP_SRC_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || 'repeat line "
+    "' || (doc_id % 5) || chr(10) || 'repeat line ' || (doc_id % 5) "
+    "|| chr(10) || 'unique tail ' || doc_id ELSE text END"
+)
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (dup-line fractions +
+    top-bigram char fraction), map-only array expressions — verified
+    value-exact against a DuckDB list-lambda replay."""
+    src = _docs(spark, sf_dir).withColumn("text2", F.expr(_REP_SRC_SQL))
+    out = TS.repetition_signals(src, "text2")
+    return out.select(
+        "doc_id", "dup_line_frac", "dup_line_char_frac", "top_bigram_char_frac"
+    )
+
+
 # ------------------------------------------------ r2 search-surface extensions
 
 # deterministic per-doc coordinates (pure integer arithmetic — identical
@@ -1470,6 +1630,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching_strategy_frequency": q_matching_strategy_frequency,
         "bm25f_search_on": q_bm25f_search_on,
         "video_frames_real": q_video_frames_real,
+        "ranked_chain_topk": q_ranked_chain_topk,
+        "matches_position": q_matches_position,
+        "facet_stats": q_facet_stats,
+        "facet_alpha": q_facet_alpha,
+        "similar_docs": q_similar_docs,
+        "pii_redact": q_pii_redact,
+        "repetition_signals": q_repetition_signals,
     }
 
 
@@ -1940,7 +2107,153 @@ ORDER BY n_matched DESC, proximity ASC, round(score, 9) DESC, doc_id LIMIT 10
 """
 
 
-def _facet_sql() -> str:
+def _ranked_chain_sql() -> str:
+    """The full ranking-rule chain replayed in SQL: levenshtein
+    expansion under the per-word budget, best expansion per (doc, word)
+    by (dist, round(contrib, 9) DESC, term), positions of the best
+    expansion feeding the capped pairwise proximity fold."""
+    words = Q.query_terms(RC_QUERY)
+    tok = TOK_EXPR("text")
+    wsel = " UNION ALL ".join(
+        f"SELECT {i} AS wi, '{w}' AS w, {min(2, M.typo_budget(w))} AS a"
+        for i, w in enumerate(words)
+    )
+    pcols = ",\n           ".join(
+        f"any_value(ps) FILTER (WHERE wi = {i}) AS p{i}"
+        for i in range(len(words))
+    )
+    pair_costs = []
+    for i in range(len(words) - 1):
+        a, b = f"p{i}", f"p{i + 1}"
+        mind = (
+            f"list_min(flatten(list_transform({a}, "
+            f"x -> list_transform({b}, y -> abs(x - y)))))"
+        )
+        pair_costs.append(
+            f"CASE WHEN {a} IS NULL OR {b} IS NULL THEN 8 "
+            f"ELSE least(8, {mind}) END"
+        )
+    cost = " + ".join(pair_costs) if pair_costs else "0"
+    return _contrib_cte() + f"""
+, words AS ({wsel}),
+cand AS (SELECT w.wi, d.term, levenshtein(d.term, w.w) AS dist
+         FROM words w JOIN dict d ON abs(len(d.term) - len(w.w)) <= w.a
+                                 AND levenshtein(d.term, w.w) <= w.a),
+rankedc AS (SELECT c.wi, ct.doc_id, c.dist, ct.c, c.term,
+            row_number() OVER (PARTITION BY ct.doc_id, c.wi
+              ORDER BY c.dist, round(ct.c, 9) DESC, c.term) AS rn
+            FROM cand c JOIN contrib ct ON ct.term = c.term),
+best AS (SELECT wi, doc_id, dist, c, term FROM rankedc WHERE rn = 1),
+tokarr AS (SELECT doc_id, {tok} AS tk FROM documents),
+bestp AS (SELECT b.doc_id, b.wi, b.dist, b.c,
+          list_filter(range(1, len(t.tk) + 1), i -> t.tk[i] = b.term) AS ps
+          FROM best b JOIN tokarr t USING (doc_id)),
+perdoc AS (SELECT doc_id, sum(c) AS score, count(*)::BIGINT AS n_matched,
+           sum(dist)::BIGINT AS typo_cost,
+           sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END)::BIGINT AS exact,
+           {pcols}
+           FROM bestp GROUP BY doc_id),
+prox AS (SELECT doc_id, score, n_matched, typo_cost, exact,
+         ({cost})::BIGINT AS proximity FROM perdoc)
+SELECT doc_id, round(score, 4) AS score, n_matched, typo_cost, proximity, exact
+FROM prox
+ORDER BY n_matched DESC, typo_cost, proximity, exact DESC,
+         round(score, 9) DESC, doc_id LIMIT 10
+"""
+
+
+def _matches_position_sql() -> str:
+    terms = Q.query_terms(WAND_QUERY)
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    tok = TOK_EXPR("text")
+    return _bm25_scored_sql(terms) + f"""
+, topk AS (SELECT doc_id, score FROM scored
+           ORDER BY round(score, 9) DESC, doc_id LIMIT 10),
+posd AS (SELECT doc_id, unnest(tk) AS term,
+                generate_subscripts(tk, 1) - 1 AS pos
+         FROM (SELECT doc_id, {tok} AS tk FROM documents)
+         WHERE doc_id IN (SELECT doc_id FROM topk))
+SELECT t.doc_id, round(t.score, 4) AS score, p.term, p.pos::INT AS pos
+FROM topk t JOIN posd p USING (doc_id)
+WHERE p.term IN ({tlist})
+"""
+
+
+def _facet_stats_sql() -> str:
+    tok = TOK_EXPR("text")
+    tlist = ", ".join(f"'{t}'" for t in Q.query_terms(BM25_QUERY))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+matched AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({tlist})),
+hits AS (SELECT d.* FROM documents d JOIN matched USING (doc_id))
+SELECT 'doc_id' AS attr, round(min(doc_id)::DOUBLE, 6) AS "min",
+       round(max(doc_id)::DOUBLE, 6) AS "max" FROM hits
+UNION ALL
+SELECT 'n_chars', round(min(n_chars)::DOUBLE, 6), round(max(n_chars)::DOUBLE, 6)
+FROM hits
+"""
+
+
+def _pii_sql() -> str:
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_pii_{kind}"
+        for kind, (pat, _) in TS.PII_PATTERNS.items()
+    )
+    red = "t"
+    for _, (pat, tag) in TS.PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    names = ", ".join(f"n_pii_{k}" for k in TS.PII_PATTERNS)
+    total = " + ".join(f"n_pii_{k}" for k in TS.PII_PATTERNS)
+    return f"""
+WITH s AS (SELECT doc_id, {_PII_SRC_SQL} AS t FROM documents),
+c AS (SELECT doc_id, {counts}, {red} AS redacted FROM s)
+SELECT doc_id, {names}, ({total})::BIGINT AS n_pii, redacted FROM c
+"""
+
+
+def _repetition_sql() -> str:
+    tok2 = TOK_EXPR("t")
+    return f"""
+WITH s AS (SELECT doc_id, {_REP_SRC_SQL} AS t FROM documents),
+l AS (SELECT doc_id,
+        list_filter(string_split(coalesce(t, ''), chr(10)), x -> x <> '') AS ls,
+        list_slice({tok2}, 1, 256) AS tk
+      FROM s),
+m AS (SELECT doc_id, len(ls) AS nl, len(list_distinct(ls)) AS nd,
+        coalesce(list_sum(list_transform(ls, x -> length(x))), 0) AS chars,
+        coalesce(list_sum(list_transform(list_distinct(ls),
+                                         x -> length(x))), 0) AS dchars,
+        tk,
+        CASE WHEN len(tk) >= 2
+             THEN list_transform(range(len(tk) - 1),
+                                 i -> tk[i + 1] || ' ' || tk[i + 2])
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM l),
+c1 AS (SELECT *, list_transform(list_distinct(grams),
+                 y -> len(list_filter(grams, x -> x = y))) AS cnts
+       FROM m),
+c2 AS (SELECT *, CASE WHEN len(grams) > 0 THEN list_max(cnts) END AS top_n
+       FROM c1),
+c3 AS (SELECT *, CASE WHEN len(grams) > 0 THEN
+         list_max(list_filter(list_distinct(grams),
+           y -> len(list_filter(grams, x -> x = y)) = top_n)) END AS top_gram,
+       coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS tok_chars
+       FROM c2)
+SELECT doc_id,
+  round(CASE WHEN nl > 0 THEN (nl - nd) / CAST(nl AS DOUBLE)
+        ELSE 0.0 END, 6) AS dup_line_frac,
+  round(CASE WHEN chars > 0 THEN (chars - dchars) / CAST(chars AS DOUBLE)
+        ELSE 0.0 END, 6) AS dup_line_char_frac,
+  round(CASE WHEN tok_chars > 0 AND len(grams) > 0
+        THEN top_n * (length(top_gram) - 1) / CAST(tok_chars AS DOUBLE)
+        ELSE 0.0 END, 6) AS top_bigram_char_frac
+FROM c3
+"""
+
+
+def _facet_sql(order_keys: str = "count DESC, value") -> str:
+    """facetDistribution oracle; `order_keys` mirrors sortFacetValuesBy
+    ("count DESC, value" = count mode, "value" = alpha mode)."""
     tok = TOK_EXPR("text")
     tlist = ", ".join(f"'{t}'" for t in Q.query_terms(BM25_QUERY))
     return f"""
@@ -1953,9 +2266,9 @@ f AS (
   UNION ALL
   SELECT 'source', source::VARCHAR, count(*)::BIGINT FROM hits GROUP BY source),
 r AS (SELECT *, row_number() OVER (PARTITION BY attr
-        ORDER BY count DESC, value) AS rn FROM f)
+        ORDER BY {order_keys}) AS rn FROM f)
 SELECT attr, value, count FROM r WHERE rn <= 100
-ORDER BY attr, count DESC, value
+ORDER BY attr, {order_keys}
 """
 
 
@@ -2677,6 +2990,25 @@ SELECT media_id, (f * 200)::INT AS ts_ms, f::INT AS frame_idx,
        mx::INT AS max_luma
 FROM s
 """,
+        "ranked_chain_topk": _ranked_chain_sql(),
+        "matches_position": _matches_position_sql(),
+        "facet_stats": _facet_stats_sql(),
+        "facet_alpha": _facet_sql("value"),
+        "similar_docs": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+s AS (SELECT vec_id AS id,
+        list_sum(list_transform(range(len(embedding)),
+          i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qe[i+1] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(qe,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM embeddings CROSS JOIN q WHERE vec_id <> 1)
+SELECT id, round(cos, 6) AS cosine FROM s
+ORDER BY round(cos, 6) DESC, id LIMIT 10
+""",
+        "pii_redact": _pii_sql(),
+        "repetition_signals": _repetition_sql(),
     }
 
 

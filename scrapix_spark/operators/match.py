@@ -599,8 +599,13 @@ def ranked_chain_topk(
     )
     from pyspark.sql import Window
 
+    # contrib is rounded before the tie-break so near-equal float sums
+    # (whose low bits may differ between engines) always fall through to
+    # the deterministic `term` key — the SQL oracle mirrors round(c, 9)
     w_best = Window.partitionBy("doc_id", "wi").orderBy(
-        F.col("dist").asc(), F.col("contrib").desc(), F.col("term").asc()
+        F.col("dist").asc(),
+        F.round(F.col("contrib"), SCORE_ROUND).desc(),
+        F.col("term").asc(),
     )
     best = (
         cand.withColumn("_rn", F.row_number().over(w_best))

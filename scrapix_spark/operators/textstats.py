@@ -180,8 +180,8 @@ def repetition_signals(
       repeated occurrences;
     * `top_bigram_char_frac` — fraction of token characters covered by
       the most frequent word 2-gram, over the first `bigram_cap`
-      tokens (the cap bounds the O(distinct·n) per-row count at a
-      documented, scale-safe cost).
+      tokens (the cap bounds the per-row sort+fold at a documented,
+      scale-safe cost).
     """
     lines = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
@@ -203,18 +203,32 @@ def repetition_signals(
         heads, F.slice(toks, 2, F.greatest(n_tok - 1, F.lit(0))),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    top_n = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.size(F.filter(grams, lambda x: x == g)),
-        )
+    # Most-frequent bigram via ONE array_sort + ONE linear fold (state =
+    # prev/run/top_n/top_gram): equal grams are adjacent after the sort,
+    # so the longest run is the max count, and on count ties the later
+    # (lexicographically larger) gram wins — the same tie rule as
+    # "lexicographic max among maximal-count grams". A nested
+    # distinct×filter count is O(d²·n) per row and falls out of
+    # whole-stage codegen into interpreted evaluation; the fold is
+    # O(n log n) and stays native.
+    def _run(a, x):
+        return F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+
+    z = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"),
+            F.lit(0).alias("top_n"), F.lit("").alias("top_gram"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            _run(a, x).alias("run"),
+            F.greatest(_run(a, x), a["top_n"]).alias("top_n"),
+            F.when(_run(a, x) >= a["top_n"], x)
+            .otherwise(a["top_gram"]).alias("top_gram"),
+        ),
     )
-    top_gram = F.array_max(
-        F.filter(
-            F.array_distinct(grams),
-            lambda g: F.size(F.filter(grams, lambda x: x == g)) == top_n,
-        )
-    )
+    top_n, top_gram = z["top_n"], z["top_gram"]
     tok_chars = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
     # chars covered by the top bigram's occurrences (token chars + the
     # joining separator, once per occurrence)

@@ -349,6 +349,53 @@ def main() -> int:
          ("partial aggregation before the exchange", "HashAggregate")],
     )
 
+    # 14. full ranking-rule chain over the positional index: candidate
+    # expansion broadcast, per-(doc,word) window, no Python anywhere
+    posidx = "/tmp/plans_posidx"
+    if not os.path.exists(os.path.join(posidx, "_CURRENT")):
+        build_index(spark, raw, posidx,
+                    IndexConfig(index_uid="planspos", n_shards=8,
+                                exclude_paginated=False,
+                                store_positions=True), build_id="p1")
+    rr = Q.IndexReader(spark, posidx)
+    rc_plan = formatted(rr.topk_ranked_chain("tablee merge sort", 10))
+    check(
+        "ranking-rule chain (topk_ranked_chain: words>typo>proximity>exactness)",
+        "The SymSpell expansion set is tiny and joins the positional "
+        "relation as a broadcast; the best-expansion pick is one window "
+        "per (doc, word); the per-rule keys reduce in one hash agg per "
+        "doc and the pair-proximity fold is native array math — the "
+        "only wide exchange moves (doc_id, word) rows, never positions "
+        "of non-candidate terms. The final cut is a TakeOrdered, not a "
+        "global sort.",
+        rc_plan,
+        [("candidate expansion broadcast", "BroadcastHashJoin"),
+         ("best-expansion window", "Window"),
+         ("per-doc hash agg", "HashAggregate"),
+         ("top-k via TakeOrdered", "TakeOrderedAndProject")],
+    )
+    if "BatchEvalPython" in rc_plan:
+        failures.append("ranked chain: row-at-a-time Python in plan")
+        sections[-1][3].append("FAIL no BatchEvalPython")
+    else:
+        sections[-1][3].append("PASS no BatchEvalPython")
+
+    # 15. showMatchesPosition: position payloads are read for the query
+    # terms only (term_id pushdown) and joined to k docs by broadcast
+    mp_plan = formatted(rr.matches_position("filter stream sort data", 10))
+    check(
+        "showMatchesPosition (matches_position)",
+        "The `.pos` stream scan carries a term_id IN filter that reaches "
+        "the parquet reader (row-group pruning on the id-major layout), "
+        "and the k winners broadcast into that scan — position arrays "
+        "are deserialized for k docs' query terms only, never for the "
+        "whole match set.",
+        mp_plan,
+        [("term_id filter pushed to positions scan",
+          "PushedFilters: [In(term_id"),
+         ("top-k broadcast into the positional scan", "BroadcastHashJoin")],
+    )
+
     # ---- write PLANS.md
     out = ["# PLANS — physical-plan review of the hot paths",
            "",
