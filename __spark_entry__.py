@@ -1384,6 +1384,51 @@ def q_repetition_signals(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """13-gram training-set decontamination (GPT-3 appendix-C window)
+    against a benchmark slice — docs ≡ 7 (mod 50) double as the
+    'benchmark', so every member must flag itself plus any natural
+    cross-doc leaks. The benchmark shingle set broadcasts; the corpus
+    never shuffles its text or shingles."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 7).select("text")
+    return D.decontaminate(docs, bench, n=13).select("doc_id", "n_shared")
+
+
+def q_search_score_threshold(spark, sf_dir):
+    """rankingScoreThreshold (Meilisearch v1.9): hits below the
+    normalized ranking score are excluded before totals/pagination;
+    showRankingScore exposes the normalized score itself."""
+    idx = _entry_index(spark, sf_dir)
+    r = Q.IndexReader(spark, idx)
+    out = r.search(
+        BM25_QUERY, k=10, with_ranking_score=True,
+        ranking_score_threshold=0.5, tie_cols=("path",),
+    )["hits"]
+    return out.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        F.round("_ranking_score", 6).alias("rscore"),
+    )
+
+
+def q_search_paged_capped(spark, sf_dir):
+    """Exhaustive pagination under pagination.maxTotalHits: page 2 of 5
+    per page with the window capped at 8 — the page clips to rows 6..8
+    and total_pages saturates at ceil(cap / hitsPerPage)."""
+    idx = _entry_index(spark, sf_dir)
+    r = Q.IndexReader(spark, idx)
+    res = r.search(
+        BM25_QUERY, page=2, hits_per_page=5, max_total_hits=8,
+        tie_cols=("path",),
+    )
+    return res["hits"].select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        F.lit(res["total_pages"]).cast("long").alias("total_pages"),
+    )
+
+
 # ------------------------------------------------ r2 search-surface extensions
 
 # deterministic per-doc coordinates (pure integer arithmetic — identical
@@ -1637,6 +1682,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similar_docs": q_similar_docs,
         "pii_redact": q_pii_redact,
         "repetition_signals": q_repetition_signals,
+        "decontaminate": q_decontaminate,
+        "search_score_threshold": q_search_score_threshold,
+        "search_paged_capped": q_search_paged_capped,
     }
 
 
@@ -3009,6 +3057,33 @@ ORDER BY round(cos, 6) DESC, id LIMIT 10
 """,
         "pii_redact": _pii_sql(),
         "repetition_signals": _repetition_sql(),
+        "decontaminate": f"""
+WITH tk AS (SELECT doc_id, {tok} AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         range(greatest(len(t) - 12, 0)),
+         i -> array_to_string(list_slice(t, i + 1, i + 13), ' ')))) AS s
+       FROM tk),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 7)
+SELECT a.doc_id, count(*)::BIGINT AS n_shared
+FROM sh a JOIN bench b USING (s)
+GROUP BY a.doc_id
+""",
+        "search_score_threshold": _bm25_scored_sql(Q.query_terms(BM25_QUERY))
+        + """
+, mx AS (SELECT max(score) AS m FROM scored)
+SELECT s.doc_id, round(s.score, 4) AS score, round(s.score / mx.m, 6) AS rscore
+FROM scored s CROSS JOIN mx
+WHERE s.score / mx.m >= 0.5
+ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
+""",
+        "search_paged_capped": _bm25_scored_sql(Q.query_terms(BM25_QUERY))
+        + """
+, tot AS (SELECT least(count(*), 8) AS t FROM scored)
+SELECT s.doc_id, round(s.score, 4) AS score,
+       CAST(ceil(tot.t / 5.0) AS BIGINT) AS total_pages
+FROM scored s CROSS JOIN tot
+ORDER BY round(s.score, 9) DESC, s.doc_id OFFSET 5 LIMIT 3
+""",
     }
 
 

@@ -128,6 +128,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as E
 
     E._entry_index(spark, sf_dir)
+    E._entry_pos_index(spark, sf_dir)
     E._lifecycle_index(spark, sf_dir, compacted=False)
     qs = E.queries()
     headline = [
@@ -139,7 +140,8 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "prefix_topk", "typo_topk", "typo2_topk", "phrase_topk",
         "proximity_topk", "bm25_wand_topk", "delta_lifecycle_topk",
         "cosine_dup_pairs", "meta_image_clean", "wav_decode",
-        "session_windows",
+        "session_windows", "ranked_chain_topk", "matches_position",
+        "pii_redact", "repetition_signals",
     ]
     out = {}
     for name in headline:

@@ -124,6 +124,47 @@ def ngram_jaccard_pairs(
     return out
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Training-set decontamination: flag every training doc sharing at
+    least one word n-gram (default n=13, the GPT-3 appendix-C window)
+    with an evaluation-benchmark corpus, so leaked eval items can be
+    dropped before training.
+
+    Plan shape at 100 TB: both sides shingle MAP-SIDE (one native
+    transform, distinct per doc); the benchmark side collapses to its
+    distinct shingle set and — benchmarks being tiny next to a training
+    corpus — broadcasts, so the probe is a map-side hash join on the
+    corpus shingle stream, no shuffle of corpus text or shingles at
+    all. The only aggregation is the per-doc overlap count, shuffled as
+    (doc_id, count) partials. For a benchmark too big to broadcast,
+    drop the hint and the same plan becomes a shuffle join on the
+    shingle — still never all-pairs.
+
+    Returns (doc_id, n_shared) — contaminated docs only, with the count
+    of distinct shared shingles.
+    """
+    sh = word_shingles(docs, text_col, id_col, n)
+    bench_sh = (
+        word_shingles(
+            benchmark.select(F.lit(0).alias("_bid"), F.col(bench_text_col)),
+            bench_text_col, "_bid", n,
+        )
+        .select("shingle").distinct()
+    )
+    return (
+        sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
 # ------------------------------------------------------------- minhash
 
 _MERSENNE = (1 << 61) - 1

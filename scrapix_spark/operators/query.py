@@ -710,6 +710,8 @@ class IndexReader:
         hits_per_page: int | None = None,
         facet_sort_by: str = "count",
         facet_stats_for: list[str] | None = None,
+        ranking_score_threshold: float | None = None,
+        max_total_hits: int = 1000,
     ) -> dict:
         """The unified search request — the Meilisearch POST /search
         surface a scrapix-indexed app actually calls (q, filter, sort,
@@ -770,6 +772,13 @@ class IndexReader:
         `facet_sort_by` is faceting.sortFacetValuesBy (count|alpha);
         `facet_stats_for` names numeric attrs whose min/max are
         returned as `facet_stats` (Meilisearch facetStats).
+
+        `ranking_score_threshold` (Meilisearch v1.9) drops hits whose
+        normalized ranking score falls below it BEFORE totals and
+        pagination; `max_total_hits` (pagination.maxTotalHits, default
+        1000) caps the searchable window — totals saturate at the cap
+        and offset+limit cannot reach past it. The cap costs nothing in
+        the plan: it only clamps the limit/count arithmetic.
         """
         from scrapix_spark.operators.geo import (
             haversine_sql, parse_geo_sort, translate_geo_filter,
@@ -791,11 +800,19 @@ class IndexReader:
             )
         docs = self._drop_dead(self.docs)
         hyd = scored.join(docs, "doc_id")
-        if with_ranking_score:
+        if with_ranking_score or ranking_score_threshold is not None:
             mx = scored.agg(F.max("score").alias("_max_score"))
             hyd = hyd.crossJoin(F.broadcast(mx)).withColumn(
                 "_ranking_score", F.col("score") / F.col("_max_score")
             ).drop("_max_score")
+        if ranking_score_threshold is not None:
+            # Meilisearch v1.9 rankingScoreThreshold: hits below the
+            # normalized score are excluded BEFORE totals and pagination
+            hyd = hyd.filter(
+                F.col("_ranking_score") >= F.lit(ranking_score_threshold)
+            )
+            if not with_ranking_score:
+                hyd = hyd.drop("_ranking_score")
         if filter_expr:
             hyd = hyd.filter(translate_geo_filter(filter_expr, *geo_columns))
         facets_df = None
@@ -835,13 +852,18 @@ class IndexReader:
         exhaustive = page is not None or hits_per_page is not None
         total_pages = None
         if exhaustive:
+            # pagination.maxTotalHits (Meilisearch default 1000) caps the
+            # searchable window: totals and page math saturate at the cap
+            # and no request can paginate past it
             hits_per_page = hits_per_page or 20  # Meilisearch default
             page = page or 1
-            total = hyd.count()
+            total = min(hyd.count(), max_total_hits)
             total_pages = -(-total // hits_per_page)
-            offset, k = (page - 1) * hits_per_page, hits_per_page
+            offset = (page - 1) * hits_per_page
+            k = max(0, min(hits_per_page, max_total_hits - offset))
         else:
             total = hyd.count() if with_total else None
+            k = max(0, min(k, max_total_hits - offset))
         hits = hyd.orderBy(*order).offset(offset).limit(k).drop("sha256")
         if attributes_to_highlight or attributes_to_crop:
             from scrapix_spark.operators.results import crop as crop_op

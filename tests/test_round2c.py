@@ -1,0 +1,84 @@
+"""Round-2c additions: decontamination, rankingScoreThreshold,
+pagination.maxTotalHits."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.operators import dedup as D
+
+
+def test_decontaminate_flags_planted_leak(spark):
+    # doc 1 contains the benchmark passage verbatim; doc 2 shares no
+    # 13-gram with it; doc 3 contains it twice (still ONE distinct gram
+    # per shared window)
+    passage = " ".join(f"w{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix tokens here " + passage + " and a tail"),
+            (2, " ".join(f"x{i}" for i in range(40))),
+            (3, passage + " mid " + passage),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(passage,)], "text string")
+    got = {r["doc_id"]: r["n_shared"] for r in D.decontaminate(docs, bench).collect()}
+    assert 1 in got and 3 in got and 2 not in got
+    # doc 1 shares exactly the one full window; doc 3's two copies give
+    # the same distinct shingle set -> also 1
+    assert got[1] == 1 and got[3] == 1
+
+
+def test_decontaminate_short_docs_no_window(spark):
+    docs = spark.createDataFrame([(1, "only three words")], "doc_id long, text string")
+    bench = spark.createDataFrame([("only three words",)], "text string")
+    assert D.decontaminate(docs, bench).count() == 0
+
+
+@pytest.fixture(scope="module")
+def search_idx(spark, tmp_path_factory):
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.fixtures import corpus_spark_df
+    from scrapix_spark.operators.index import build_index
+
+    d = str(tmp_path_factory.mktemp("r2c") / "idx")
+    build_index(
+        spark, corpus_spark_df(spark, 300), d,
+        IndexConfig(index_uid="r2c", n_shards=4), build_id="b1",
+    )
+    return d
+
+
+def test_ranking_score_threshold_filters(spark, search_idx):
+    from scrapix_spark.operators.query import IndexReader
+
+    r = IndexReader(spark, search_idx)
+    full = r.search("binary search", k=1000, with_ranking_score=True)["hits"].collect()
+    thr = r.search(
+        "binary search", k=1000, with_ranking_score=True,
+        ranking_score_threshold=0.6,
+    )["hits"].collect()
+    assert full and thr
+    assert all(row["_ranking_score"] >= 0.6 for row in thr)
+    expect = {row["doc_id"] for row in full if row["_ranking_score"] >= 0.6}
+    assert {row["doc_id"] for row in thr} == expect
+    assert len(thr) < len(full)
+    # threshold without show: no score column leaks
+    hidden = r.search(
+        "binary search", k=5, ranking_score_threshold=0.6
+    )["hits"]
+    assert "_ranking_score" not in hidden.columns
+
+
+def test_max_total_hits_caps_window(spark, search_idx):
+    from scrapix_spark.operators.query import IndexReader
+
+    r = IndexReader(spark, search_idx)
+    res = r.search("def import", page=2, hits_per_page=5, max_total_hits=8)
+    assert res["total_hits"] == 8 and res["total_pages"] == 2
+    assert res["hits"].count() == 3  # rows 6..8 only
+    # page past the cap is empty
+    res3 = r.search("def import", page=3, hits_per_page=5, max_total_hits=8)
+    assert res3["hits"].count() == 0
+    # offset mode is capped too
+    off = r.search("def import", k=10, offset=6, max_total_hits=8)["hits"]
+    assert off.count() == 2
