@@ -1412,6 +1412,24 @@ def q_search_score_threshold(spark, sf_dir):
     )
 
 
+def q_placeholder_search(spark, sf_dir):
+    """Placeholder search (Meilisearch empty q): every live doc matches
+    with no relevancy; filter + sort + exhaustive totals still apply —
+    here lang='en' filtered, newest path first, page 1 of 10, with the
+    exact total embedded for the value gate."""
+    idx = _entry_index(spark, sf_dir)
+    r = Q.IndexReader(spark, idx)
+    res = r.search(
+        "", filter_expr="lang = 'en'", sort=["path:desc"],
+        page=1, hits_per_page=10,
+    )
+    return res["hits"].select(
+        F.col("path").cast("long").alias("doc_id"),
+        "lang",
+        F.lit(res["total_hits"]).cast("long").alias("total_hits"),
+    )
+
+
 def q_search_paged_capped(spark, sf_dir):
     """Exhaustive pagination under pagination.maxTotalHits: page 2 of 5
     per page with the window capped at 8 — the page clips to rows 6..8
@@ -1685,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "search_score_threshold": q_search_score_threshold,
         "search_paged_capped": q_search_paged_capped,
+        "placeholder_search": q_placeholder_search,
     }
 
 
@@ -3083,6 +3102,13 @@ SELECT s.doc_id, round(s.score, 4) AS score,
        CAST(ceil(tot.t / 5.0) AS BIGINT) AS total_pages
 FROM scored s CROSS JOIN tot
 ORDER BY round(s.score, 9) DESC, s.doc_id OFFSET 5 LIMIT 3
+""",
+        "placeholder_search": """
+WITH en AS (SELECT doc_id, lang FROM documents WHERE lang = 'en'),
+tot AS (SELECT least(count(*), 1000) AS t FROM en)
+SELECT e.doc_id, e.lang, tot.t::BIGINT AS total_hits
+FROM en e CROSS JOIN tot
+ORDER BY e.doc_id DESC LIMIT 10
 """,
     }
 

@@ -784,7 +784,19 @@ class IndexReader:
             haversine_sql, parse_geo_sort, translate_geo_filter,
         )
 
-        scored = self._score_all(q)
+        if not query_terms(q):
+            # Meilisearch PLACEHOLDER search (empty/absent q): every
+            # live document matches with no relevancy — ordering falls
+            # to sort criteria then the tie columns, and filter/facets/
+            # distinct/pagination all apply as usual. Map-only scan of
+            # the docs relation, no postings touched.
+            scored = (
+                self._drop_dead(self.docs.select("doc_id"))
+                .withColumn("score", F.lit(0.0))
+                .withColumn("n_matched", F.lit(0))
+            )
+        else:
+            scored = self._score_all(q)
         if hybrid is not None:
             from scrapix_spark.operators.similarity import hybrid_topk
 
@@ -803,7 +815,12 @@ class IndexReader:
         if with_ranking_score or ranking_score_threshold is not None:
             mx = scored.agg(F.max("score").alias("_max_score"))
             hyd = hyd.crossJoin(F.broadcast(mx)).withColumn(
-                "_ranking_score", F.col("score") / F.col("_max_score")
+                "_ranking_score",
+                # placeholder search has no relevancy signal: every hit
+                # is a full match (Meilisearch reports 1.0)
+                F.when(F.col("_max_score") > 0,
+                       F.col("score") / F.col("_max_score"))
+                .otherwise(F.lit(1.0)),
             ).drop("_max_score")
         if ranking_score_threshold is not None:
             # Meilisearch v1.9 rankingScoreThreshold: hits below the

@@ -69,6 +69,22 @@ def test_ranking_score_threshold_filters(spark, search_idx):
     assert "_ranking_score" not in hidden.columns
 
 
+def test_placeholder_search_browses_all(spark, search_idx):
+    from scrapix_spark.operators.query import IndexReader
+
+    r = IndexReader(spark, search_idx)
+    res = r.search("", page=1, hits_per_page=7, sort=["path:asc"])
+    n_docs = r.docs.count()
+    assert res["total_hits"] == min(n_docs, 1000)
+    hits = res["hits"].collect()
+    assert len(hits) == 7
+    assert [h["path"] for h in hits] == sorted(h["path"] for h in hits)
+    assert all(h["score"] == 0.0 for h in hits)
+    # ranking score is 1.0 for every placeholder hit (no relevancy)
+    rs = r.search("", k=3, with_ranking_score=True)["hits"].collect()
+    assert all(h["_ranking_score"] == 1.0 for h in rs)
+
+
 def test_max_total_hits_caps_window(spark, search_idx):
     from scrapix_spark.operators.query import IndexReader
 
