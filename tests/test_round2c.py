@@ -28,6 +28,46 @@ def test_decontaminate_flags_planted_leak(spark):
     assert got[1] == 1 and got[3] == 1
 
 
+def test_decontaminate_matches_bruteforce(spark, tiny_corpus):
+    """Shingle-join counts must equal a per-doc set-intersection brute
+    force on the fixture corpus (benchmark = every 7th doc's content)."""
+    import re
+
+    from scrapix_spark.functions.tokenize import SEP_PATTERN
+
+    docs = tiny_corpus.select(
+        F.xxhash64("path").alias("doc_id"), F.col("content").alias("text")
+    )
+    rows = docs.collect()
+    bench_rows = [r for i, r in enumerate(rows) if i % 7 == 0]
+    bench = spark.createDataFrame(
+        [(r["text"],) for r in bench_rows], "text string"
+    )
+
+    def shingles(text, n=13):
+        toks = [t for t in re.split(SEP_PATTERN, (text or "").lower()) if t]
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    bench_sh = set()
+    for r in bench_rows:
+        bench_sh |= shingles(r["text"])
+    expect = {}
+    for r in rows:
+        n = len(shingles(r["text"]) & bench_sh)
+        if n:
+            expect[r["doc_id"]] = n
+
+    got = {
+        r["doc_id"]: r["n_shared"]
+        for r in D.decontaminate(docs, bench).collect()
+    }
+    assert got == expect
+    # every benchmark doc long enough to have a 13-gram flags itself
+    for r in bench_rows:
+        if shingles(r["text"]):
+            assert r["doc_id"] in got
+
+
 def test_decontaminate_short_docs_no_window(spark):
     docs = spark.createDataFrame([(1, "only three words")], "doc_id long, text string")
     bench = spark.createDataFrame([("only three words",)], "text string")
