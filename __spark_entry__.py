@@ -1462,6 +1462,79 @@ def q_search_paged_capped(spark, sf_dir):
     )
 
 
+# ------------------------------------- query-string grammar (search())
+
+PHRASE_Q = 'merge "value table"'          # word + quoted phrase
+NEGPHRASE_Q = 'value -"value table" -join'  # negative phrase + word
+PREFIX_SEARCH_Q = "fast s"                # last word is a prefix
+STRAT_ALL_Q = BM25_QUERY                  # matchingStrategy=all
+MAX_PREFIX_EXP = 64
+
+
+def q_search_quoted_phrase(spark, sf_dir):
+    """Meilisearch query-string phrases: `merge "value table"` — the
+    quoted run is an exact-adjacency constraint verified against the
+    index's positional relation (match.phrase_match_docs chain-fold),
+    while its words still score as their own word groups. Grammar:
+    operators/match.parse_query_full; reference anchor: the Meilisearch
+    search bar both playgrounds ship (README.md:118-133) supports
+    quoted phrases natively."""
+    idx = _entry_pos_index(spark, sf_dir)
+    r = Q.IndexReader(spark, idx)
+    res = r.search(PHRASE_Q, k=10, tie_cols=("path",))
+    return res["hits"].select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+def q_search_negative_phrase(spark, sf_dir):
+    """Negative phrases + negative keywords (Meilisearch v1.8):
+    `value -"value table" -join` keeps docs containing `value`
+    unless they contain the exact phrase OR the word — both exclusions
+    anti-join BEFORE ranking."""
+    idx = _entry_pos_index(spark, sf_dir)
+    r = Q.IndexReader(spark, idx)
+    res = r.search(NEGPHRASE_Q, k=10, tie_cols=("path",))
+    return res["hits"].select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_search_prefix_word(spark, sf_dir):
+    """Last-word-prefix search (search-as-you-type) through the unified
+    search(): the final word's group becomes the dictionary terms
+    extending it, capped deterministically (df desc, term asc, 64 — the
+    analog of Meilisearch's prefix-cache cap), max-contribution per doc.
+    The oracle computes the SAME capped expansion in SQL."""
+    idx = _entry_pos_index(spark, sf_dir)
+    r = Q.IndexReader(spark, idx)
+    res = r.search(
+        PREFIX_SEARCH_Q, k=10, prefix_last_word=True,
+        max_prefix_expansions=MAX_PREFIX_EXP, tie_cols=("path",),
+    )
+    return res["hits"].select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+def q_search_strategy_all(spark, sf_dir):
+    """matchingStrategy=all through the unified search(): every word
+    group must match (n_matched == |words|); ranking stays pure BM25."""
+    idx = _entry_pos_index(spark, sf_dir)
+    r = Q.IndexReader(spark, idx)
+    res = r.search(STRAT_ALL_Q, k=10, matching_strategy="all",
+                   tie_cols=("path",))
+    return res["hits"].select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 # ------------------------------------------------ r2 search-surface extensions
 
 # deterministic per-doc coordinates (pure integer arithmetic — identical
@@ -1720,6 +1793,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_score_threshold": q_search_score_threshold,
         "search_paged_capped": q_search_paged_capped,
         "placeholder_search": q_placeholder_search,
+        "search_quoted_phrase": q_search_quoted_phrase,
+        "search_negative_phrase": q_search_negative_phrase,
+        "search_prefix_word": q_search_prefix_word,
+        "search_strategy_all": q_search_strategy_all,
     }
 
 
@@ -3148,6 +3225,43 @@ tot AS (SELECT least(count(*), 1000) AS t FROM en)
 SELECT e.doc_id, e.lang, tot.t::BIGINT AS total_hits
 FROM en e CROSS JOIN tot
 ORDER BY e.doc_id DESC LIMIT 10
+""",
+        "search_quoted_phrase": _bm25_scored_sql(["merge", "value", "table"])
+        + f"""
+SELECT s.doc_id, round(s.score, 4) AS score, s.n_matched
+FROM scored s JOIN documents d USING (doc_id)
+WHERE regexp_matches(lower(d.text), '{M.phrase_regex(["value", "table"])}')
+ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
+""",
+        "search_negative_phrase": _bm25_scored_sql(["value"]) + f"""
+SELECT s.doc_id, round(s.score, 4) AS score
+FROM scored s JOIN documents d USING (doc_id)
+WHERE NOT regexp_matches(lower(d.text), '{M.phrase_regex(["value", "table"])}')
+  AND NOT EXISTS (SELECT 1 FROM tok t
+                  WHERE t.doc_id = s.doc_id AND t.term = 'join')
+ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
+""",
+        "search_prefix_word": _contrib_cte() + f"""
+, map AS (
+  SELECT 'fast' AS term, 0 AS wi
+  UNION ALL SELECT term, 1 AS wi FROM dict WHERE term = 's'
+  UNION ALL SELECT term, 1 AS wi FROM (
+    SELECT term FROM dict WHERE term LIKE 's%'
+    ORDER BY df DESC, term LIMIT {MAX_PREFIX_EXP})),
+perword AS (SELECT c.doc_id, m.wi, max(c.c) AS mc
+            FROM contrib c JOIN (SELECT DISTINCT term, wi FROM map) m
+            ON m.term = c.term GROUP BY c.doc_id, m.wi),
+agg AS (SELECT doc_id, sum(mc) AS score,
+               count(DISTINCT wi)::BIGINT AS n_matched
+        FROM perword GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score, n_matched
+FROM agg ORDER BY round(score, 9) DESC, doc_id LIMIT 10
+""",
+        "search_strategy_all": _bm25_scored_sql(Q.query_terms(STRAT_ALL_Q))
+        + f"""
+SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE n_matched = {len(set(Q.query_terms(STRAT_ALL_Q)))}
+ORDER BY round(score, 9) DESC, doc_id LIMIT 10
 """,
     }
 

@@ -38,6 +38,8 @@ Scoring conventions (pinned for rank-identity between Spark and SQL):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -411,6 +413,32 @@ def _chain_positions(cur_col, next_col):
     )
 
 
+def phrase_match_docs(positional: DataFrame, terms: list[str]) -> DataFrame:
+    """doc_ids whose token stream contains `terms` consecutively, in
+    order — the chain-fold over the positional relation shared by
+    phrase_topk_positional and the quoted-phrase constraints of
+    IndexReader.search. One row per matching doc, column `doc_id`."""
+    pos = positional.filter(F.col("term").isin(list(set(terms))))
+
+    def pos_of(t: str, alias: str) -> DataFrame:
+        return pos.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(alias)
+        )
+
+    cur = pos_of(terms[0], "chain")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = pos_of(t, f"p{i}")
+        cur = (
+            cur.join(nxt, "doc_id")
+            .select(
+                "doc_id",
+                _chain_positions(F.col("chain"), F.col(f"p{i}")).alias("chain"),
+            )
+            .filter(F.size("chain") > 0)
+        )
+    return cur.select("doc_id")
+
+
 def phrase_topk_positional(
     positional: DataFrame,
     term_stats: DataFrame,
@@ -433,24 +461,7 @@ def phrase_topk_positional(
             [], "doc_id long, score double"
         )
     pos = positional.filter(F.col("term").isin(list(set(terms))))
-
-    def pos_of(t: str, alias: str) -> DataFrame:
-        return pos.filter(F.col("term") == t).select(
-            "doc_id", F.col("positions").alias(alias)
-        )
-
-    cur = pos_of(terms[0], "chain")
-    for i, t in enumerate(terms[1:], start=1):
-        nxt = pos_of(t, f"p{i}")
-        cur = (
-            cur.join(nxt, "doc_id")
-            .select(
-                "doc_id",
-                _chain_positions(F.col("chain"), F.col(f"p{i}")).alias("chain"),
-            )
-            .filter(F.size("chain") > 0)
-        )
-    matched = cur.select("doc_id")
+    matched = phrase_match_docs(positional, terms)
 
     tstats = term_stats.filter(F.col("term").isin(terms)).withColumn(
         "idf", idf_expr(N, F.col("df").cast("double"))
@@ -728,6 +739,48 @@ def parse_query(q: str, stop_words: set[str] | None = None):
             if t not in bucket and (is_neg or not stop_words or t not in stop_words):
                 bucket.append(t)
     return pos, neg
+
+
+_QTOKEN_RE = re.compile(r'(-?)"([^"]*)"|(-?)(\S+)')
+
+
+def parse_query_full(q: str, stop_words: set[str] | None = None) -> dict:
+    """The FULL Meilisearch query-string grammar: double-quoted runs are
+    phrases (exact-adjacency constraints), `-` negates the word or
+    phrase it prefixes (negative keywords / negative phrases, v1.8), and
+    stop words drop from the positive WORD list only — quoting a phrase
+    opts its words out of stop-word removal (Meilisearch keeps phrase
+    tokens verbatim), and excluding by a stop word still works.
+
+    Returns {"words": [...], "neg_words": [...], "phrases": [[...],...],
+    "neg_phrases": [[...],...]} — words in first-occurrence order with
+    duplicates dropped; each phrase is its tokenized term list (empty
+    phrases dropped). Phrase words are NOT echoed into "words": the
+    caller scores them as their own word groups so the phrase both
+    constrains (adjacency) and contributes relevancy, the same
+    convention the phrase_topk oracles pin.
+    """
+    words: list[str] = []
+    neg_words: list[str] = []
+    phrases: list[list[str]] = []
+    neg_phrases: list[list[str]] = []
+    for m in _QTOKEN_RE.finditer(q):
+        if m.group(2) is not None:
+            terms = query_terms(m.group(2))
+            if terms:
+                (neg_phrases if m.group(1) else phrases).append(terms)
+        else:
+            is_neg = bool(m.group(3))
+            for t in query_terms(m.group(4)):
+                bucket = neg_words if is_neg else words
+                if t not in bucket and (
+                    is_neg or not stop_words or t not in stop_words
+                ):
+                    bucket.append(t)
+    return {
+        "words": words, "neg_words": neg_words,
+        "phrases": phrases, "neg_phrases": neg_phrases,
+    }
 
 
 def expand_synonyms(terms: list[str], synonyms: dict | None) -> list[list[str]]:

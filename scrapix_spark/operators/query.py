@@ -685,6 +685,103 @@ class IndexReader:
             k=(1 << 31) - 1, k1=meta["k1"], b=meta["b"],
         )
 
+    def _score_all_grouped(
+        self, groups: list[list[str]], with_ws: bool = False
+    ) -> DataFrame:
+        """Every matching doc scored under the grouped-alternatives
+        convention (operators/match.bm25_topk_grouped — the synonym/
+        typo/prefix generalization): `groups` holds one list of
+        alternative dictionary terms per query word; a doc's
+        contribution per word is the MAX over that word's alternatives
+        (each alternative at its own df-idf) and each word counts once
+        in n_matched. Index-level: strings resolve ONCE against the
+        dictionary, the segment scan is term_id-pushed, the (term_id,
+        wi, idf) mapping is a broadcast of ≤ Σ|group| rows. Returns
+        (doc_id, score, n_matched[, ws]) with no top-k cut; `ws` is the
+        matched word-index set (for the matching-strategy words rule).
+        """
+        meta = self.meta
+        flat = sorted({t for g in groups for t in g})
+        drows = self.resolve_terms(flat)
+        by_term = {t: (tid, df) for t, tid, df in drows}
+        rows = []
+        for wi, g in enumerate(groups):
+            for t in set(g):
+                if t in by_term:
+                    tid, df = by_term[t]
+                    rows.append((tid, wi, int(df)))
+        schema = "doc_id long, score double, n_matched int" + (
+            ", ws array<int>" if with_ws else ""
+        )
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        tids = sorted({r[0] for r in rows})
+        mapping = self.spark.createDataFrame(
+            rows, "term_id long, wi int, df long"
+        ).withColumn(
+            "idf", idf_expr(meta["N"], F.col("df").cast("double"))
+        ).drop("df")
+        post = self._drop_dead(_decode_blocks_df(self._segments_for(tids)))
+        scored = post.join(F.broadcast(mapping), "term_id").withColumn(
+            "contrib",
+            bm25_score_expr(
+                F.col("tf"), F.col("dl"), F.col("idf"),
+                meta["avgdl"], meta["k1"], meta["b"],
+            ),
+        )
+        perword = scored.groupBy("doc_id", "wi").agg(F.max("contrib").alias("c"))
+        aggs = [
+            F.sum("c").alias("score"),
+            F.countDistinct("wi").cast("int").alias("n_matched"),
+        ]
+        if with_ws:
+            aggs.append(F.collect_set("wi").alias("ws"))
+        return perword.groupBy("doc_id").agg(*aggs)
+
+    def _phrase_docs(self, terms: list[str]) -> DataFrame | None:
+        """doc_ids containing `terms` as an exact phrase, from the
+        positional relation (operators/match.phrase_match_docs), or
+        None when some phrase word is absent from the dictionary — the
+        phrase can match nothing. Requires store_positions=True."""
+        from scrapix_spark.operators.match import phrase_match_docs
+
+        if not self.meta.get("store_positions"):
+            raise ValueError(
+                "index was built without store_positions=True — "
+                "quoted-phrase constraints need the positional relation"
+            )
+        drows = self.resolve_terms(terms)
+        if len({t for t, _, _ in drows}) < len(set(terms)):
+            return None
+        if not hasattr(self, "_positions_df"):
+            self._positions_df = IX.read_positions(self.spark, self.index_dir)
+        tids = [tid for _, tid, _ in drows]
+        kb = self.meta.get("tb_bits")
+        pos = self._positions_df.filter(F.col("term_id").isin(tids))
+        if kb and "tb" in self._positions_df.columns:
+            pos = pos.filter(
+                F.col("tb").isin(sorted({term_bucket_of(t, kb) for t in tids}))
+            )
+        mapping = self.spark.createDataFrame(
+            [(tid, t) for t, tid, _ in drows], "term_id long, term string"
+        )
+        pos = pos.join(F.broadcast(mapping), "term_id").select(
+            "term", "doc_id", "positions"
+        )
+        return phrase_match_docs(pos, terms)
+
+    def _matched_doc_ids(self, terms: list[str]) -> DataFrame:
+        """Distinct doc_ids containing ANY of `terms` (negative-keyword
+        exclusion set) — term_id-pushed segment scan, doc_id projection."""
+        drows = self.resolve_terms(terms)
+        tids = [tid for _, tid, _ in drows]
+        if not tids:
+            return self.spark.createDataFrame([], "doc_id long")
+        return (
+            _decode_blocks_df(self._segments_for(tids))
+            .select("doc_id").distinct()
+        )
+
     def search(
         self,
         q: str,
@@ -712,6 +809,11 @@ class IndexReader:
         facet_stats_for: list[str] | None = None,
         ranking_score_threshold: float | None = None,
         max_total_hits: int = 1000,
+        synonyms: dict | None = None,
+        stop_words: set[str] | None = None,
+        matching_strategy: str | None = None,
+        prefix_last_word: bool = False,
+        max_prefix_expansions: int = 64,
     ) -> dict:
         """The unified search request — the Meilisearch POST /search
         surface a scrapix-indexed app actually calls (q, filter, sort,
@@ -779,24 +881,145 @@ class IndexReader:
         1000) caps the searchable window — totals saturate at the cap
         and offset+limit cannot reach past it. The cap costs nothing in
         the plan: it only clamps the limit/count arithmetic.
+
+        **Query-string grammar** (operators/match.parse_query_full):
+        `q` supports the full Meilisearch syntax — `"quoted runs"` are
+        exact-phrase constraints verified against the positional
+        relation (requires store_positions=True), `-word` / `-"quoted
+        run"` are negative keywords / negative phrases (anti-joined
+        BEFORE ranking), `stop_words` drop from positive words only,
+        and `synonyms` expands each word to an alternatives group
+        (contribution = MAX per group, the bm25_topk_grouped
+        convention). Phrase words score as their own word groups, so a
+        phrase both constrains and contributes relevancy.
+
+        `matching_strategy` (Meilisearch matchingStrategy): None keeps
+        the pure-BM25 relevancy the simple gates pin; `'all'` requires
+        every word group to match; `'last'` / `'frequency'` rank by the
+        words rule — the leading run of matched word groups in
+        droppability order (words drop from the END of the query for
+        `last`; most-frequent-first — corpus df desc — for
+        `frequency`), exposed as hit column `_words_rank` and ordered
+        ABOVE the BM25 score (phrases are never droppable: they stay
+        hard constraints).
+
+        `prefix_last_word` makes the LAST word a prefix
+        (search-as-you-type): its group becomes the dictionary terms
+        extending it — capped at `max_prefix_expansions` by df desc,
+        term asc, the deterministic analog of Meilisearch's prefix-cache
+        cap — each at its own idf, max-contribution like any group.
         """
         from scrapix_spark.operators.geo import (
             haversine_sql, parse_geo_sort, translate_geo_filter,
         )
 
-        if not query_terms(q):
-            # Meilisearch PLACEHOLDER search (empty/absent q): every
-            # live document matches with no relevancy — ordering falls
-            # to sort criteria then the tie columns, and filter/facets/
-            # distinct/pagination all apply as usual. Map-only scan of
-            # the docs relation, no postings touched.
+        from scrapix_spark.operators.match import (
+            expand_synonyms, parse_query_full,
+        )
+
+        if matching_strategy not in (None, "all", "last", "frequency"):
+            raise ValueError(f"unknown matchingStrategy {matching_strategy!r}")
+        parsed = parse_query_full(q, stop_words)
+        words, phrases = parsed["words"], parsed["phrases"]
+        plain = (
+            not phrases and not parsed["neg_words"]
+            and not parsed["neg_phrases"] and synonyms is None
+            and matching_strategy is None and not prefix_last_word
+        )
+        need_ws = matching_strategy in ("last", "frequency")
+        word_dfs: dict[int, int] = {}
+        if not (words or phrases):
+            # Meilisearch PLACEHOLDER search (empty/absent q — or only
+            # negative terms): every live document matches with no
+            # relevancy — ordering falls to sort criteria then the tie
+            # columns, and filter/facets/distinct/pagination all apply
+            # as usual. Map-only scan of the docs relation, no postings
+            # touched (negative constraints still anti-join below).
             scored = (
                 self._drop_dead(self.docs.select("doc_id"))
                 .withColumn("score", F.lit(0.0))
                 .withColumn("n_matched", F.lit(0))
             )
-        else:
+        elif plain:
+            # the fast path the simple gates pin: OR-union BM25, no
+            # grouping machinery in the plan
             scored = self._score_all(q)
+        else:
+            groups = expand_synonyms(words, synonyms)
+            if prefix_last_word and words:
+                # deterministic prefix-expansion cap: df desc, term asc
+                # (the dictionary is the only string-keyed relation; the
+                # startswith predicate pushes into its parquet scan)
+                exp = [
+                    r["term"]
+                    for r in self.dict_df
+                    .groupBy("term").agg(F.sum("df").alias("df"))
+                    .filter(F.col("term").startswith(words[-1]))
+                    .orderBy(F.col("df").desc(), F.col("term").asc())
+                    .limit(max_prefix_expansions)
+                    .select("term").collect()
+                ]
+                groups[-1] = sorted(set(groups[-1]) | set(exp))
+            n_word_groups = len(groups)
+            # phrase words score as their own word groups (the pinned
+            # phrase_topk convention: n_matched counts phrase words)
+            groups = groups + [[t] for p in phrases for t in p]
+            scored = self._score_all_grouped(groups, with_ws=need_ws)
+            if need_ws:
+                drows = self.resolve_terms(
+                    sorted({t for g in groups[:n_word_groups] for t in g})
+                )
+                dfs = {t: df for t, _, df in drows}
+                word_dfs = {
+                    wi: min((dfs[t] for t in g if t in dfs), default=-1)
+                    for wi, g in enumerate(groups[:n_word_groups])
+                }
+            for p in phrases:
+                matched = self._phrase_docs(p)
+                if matched is None:
+                    scored = scored.limit(0)
+                    break
+                scored = scored.join(matched, "doc_id", "semi")
+            if matching_strategy == "all":
+                scored = scored.filter(
+                    F.col("n_matched") == F.lit(len(groups))
+                )
+            elif need_ws:
+                # the `words` rule: leading run of matched word groups
+                # in droppability order — query order for `last`
+                # (words drop from the END), corpus df DESC for
+                # `frequency` (most frequent dropped first ⇒ rarest
+                # ranks first); unresolved words are maximally
+                # droppable. Native Σ_i Π_{j<=i} matched_j fold.
+                order_idx = sorted(
+                    range(n_word_groups),
+                    key=(
+                        (lambda i: i) if matching_strategy == "last"
+                        else lambda i: (
+                            word_dfs.get(i, -1) < 0,
+                            word_dfs.get(i, 0),
+                            i,
+                        )
+                    ),
+                )
+                run, cond = F.lit(0), F.lit(True)
+                for i in order_idx:
+                    cond = cond & F.array_contains(F.col("ws"), i)
+                    run = run + cond.cast("int")
+                scored = scored.withColumn("_words_rank", run).filter(
+                    F.col("_words_rank") > 0
+                )
+            if need_ws:
+                scored = scored.drop("ws")
+        for np_ in parsed["neg_phrases"]:
+            matched = self._phrase_docs(np_)
+            if matched is not None:
+                scored = scored.join(matched, "doc_id", "left_anti")
+        if parsed["neg_words"]:
+            scored = scored.join(
+                self._matched_doc_ids(parsed["neg_words"]),
+                "doc_id", "left_anti",
+            )
         if hybrid is not None:
             from scrapix_spark.operators.similarity import hybrid_topk
 
@@ -856,6 +1079,9 @@ class IndexReader:
             else:
                 key = F.col(col)
             order.append(key.desc() if direction == "desc" else key.asc())
+        if "_words_rank" in hyd.columns:
+            # the `words` ranking rule sits immediately above BM25
+            order.append(F.col("_words_rank").desc())
         order += [F.round(F.col("score"), SCORE_ROUND).desc(), *ties]
         if distinct:
             from pyspark.sql import Window

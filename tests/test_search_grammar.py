@@ -1,0 +1,246 @@
+"""Full Meilisearch query-string grammar + strategy/prefix wiring on the
+unified IndexReader.search: quoted phrases, negative keywords/phrases,
+stop words, synonyms, matchingStrategy=all|last|frequency, and
+last-word-prefix expansion — each pinned against the table-level
+operators (operators/match.py) or a brute-force content check on the
+deterministic fixture corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.operators import match as M
+from scrapix_spark.operators import postings as P
+
+K1, B = 1.2, 0.75
+
+
+# ------------------------------------------------ parse_query_full
+
+
+def test_parse_query_full_grammar():
+    got = M.parse_query_full(
+        'alpha "beta gamma" -delta -"epsilon zeta" the', {"the"}
+    )
+    assert got["words"] == ["alpha"]
+    assert got["neg_words"] == ["delta"]
+    assert got["phrases"] == [["beta", "gamma"]]
+    assert got["neg_phrases"] == [["epsilon", "zeta"]]
+
+
+def test_parse_query_full_phrases_keep_stop_words():
+    got = M.parse_query_full('"the table" the value', {"the"})
+    assert got["phrases"] == [["the", "table"]]
+    assert got["words"] == ["value"]
+
+
+def test_parse_query_full_separators_and_dups():
+    got = M.parse_query_full("foo_bar foo -foo_bar")
+    assert got["words"] == ["foo", "bar"]
+    assert got["neg_words"] == ["foo", "bar"]
+
+
+# ------------------------------------------------ index fixture
+
+@pytest.fixture(scope="module")
+def gram_index(spark, tmp_path_factory):
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.fixtures import corpus_spark_df
+    from scrapix_spark.operators.index import build_index
+    from scrapix_spark.operators.query import IndexReader
+
+    corpus = corpus_spark_df(spark, 300)
+    d = str(tmp_path_factory.mktemp("gramidx"))
+    build_index(
+        spark, corpus, d,
+        IndexConfig(index_uid="gram", n_shards=8, exclude_paginated=False,
+                    store_positions=True, extra_doc_columns=["content"]),
+        build_id="g1",
+    )
+    return corpus, IndexReader(spark, d)
+
+
+@pytest.fixture(scope="module")
+def table_level(spark, gram_index):
+    """Table-level postings/stats over the SAME corpus text, for
+    rank-identity comparisons with the index-level plans."""
+    from scrapix_spark.functions.tokenize import with_tokens
+
+    corpus, _ = gram_index
+    # SAME deterministic id the build assigns (operators/docs.assign_doc_ids)
+    t = with_tokens(
+        corpus.withColumn(
+            "doc_id",
+            F.shiftrightunsigned(
+                F.xxhash64("repo", "path", "commit"), 1
+            ).cast("long"),
+        ),
+        "content",
+    )
+    post = t.select(
+        "doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("tk")
+    ).select("tk.term", "doc_id", F.col("tk.tf").cast("long").alias("tf"), "dl")
+    stats = P.term_stats(post).cache()
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    return post.cache(), stats, int(row["n"]), float(row["a"])
+
+
+def _hit_rows(res, *cols):
+    return [tuple(r[c] for c in cols) for r in res["hits"].collect()]
+
+
+# ------------------------------------------------ quoted phrases
+
+
+def test_search_pure_phrase_matches_topk_phrase(gram_index):
+    _, r = gram_index
+    want = [(x["doc_id"], x["score"])
+            for x in r.topk_phrase("binary search", k=10, hydrate=False).collect()]
+    got = _hit_rows(r.search('"binary search"', k=10), "doc_id", "score")
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], rel=1e-9)
+    assert want, "fixture corpus must contain the phrase"
+
+
+def test_search_word_plus_phrase_scores_and_constrains(gram_index):
+    import re
+
+    _, r = gram_index
+    res = r.search('merge "binary search"', k=10)
+    rows = res["hits"].select("doc_id", "score", "n_matched", "content").collect()
+    assert rows
+    pat = re.compile(M.phrase_regex(["binary", "search"]))
+    for x in rows:
+        assert pat.search(x["content"].lower()), "phrase constraint violated"
+    # scoring: grouped over [merge]+[binary]+[search]; docs with all
+    # three words score n_matched = 3
+    assert max(x["n_matched"] for x in rows) == 3
+
+
+def test_search_negative_word_excludes_exactly(gram_index):
+    _, r = gram_index
+    with_neg = {x[0] for x in _hit_rows(r.search("merge -binary", k=10**6),
+                                        "doc_id")}
+    base = {x[0] for x in _hit_rows(r.search("merge", k=10**6), "doc_id")}
+    has_binary = {x[0] for x in _hit_rows(r.search("binary", k=10**6), "doc_id")}
+    assert with_neg == base - has_binary
+    assert with_neg and has_binary & base
+
+
+def test_search_negative_phrase_excludes_exact_phrase_only(gram_index):
+    import re
+
+    _, r = gram_index
+    res = r.search('binary -"binary search"', k=10**6)
+    kept = res["hits"].select("doc_id", "content").collect()
+    pat = re.compile(M.phrase_regex(["binary", "search"]))
+    assert kept
+    for x in kept:
+        assert not pat.search(x["content"].lower())
+    # docs with both words NOT adjacent survive — the exclusion is the
+    # phrase, not the word set
+    both = r.search("binary search", k=10**6, matching_strategy="all")
+    both_ids = {x[0] for x in _hit_rows(both, "doc_id")}
+    kept_ids = {x["doc_id"] for x in kept}
+    assert both_ids - kept_ids, "some adjacent docs were excluded"
+
+
+# ------------------------------------------------ strategies
+
+
+def test_search_strategy_all_requires_every_word(gram_index):
+    _, r = gram_index
+    res = r.search("binary search merge", k=10**6, matching_strategy="all")
+    rows = res["hits"].select("n_matched").collect()
+    assert rows and all(x["n_matched"] == 3 for x in rows)
+
+
+def test_search_strategy_last_matches_table_level(gram_index, table_level):
+    _, r = gram_index
+    post, stats, n, avgdl = table_level
+    q = "binary zanzibar search"
+    want = M.matching_strategy_last_topk(post, stats, n, avgdl, q, 10, K1, B)
+    want_rows = want.collect()
+    got = _hit_rows(r.search(q, k=10, matching_strategy="last"),
+                    "doc_id", "score", "_words_rank")
+    assert [g[0] for g in got] == [w["doc_id"] for w in want_rows]
+    for g, w in zip(got, want_rows):
+        assert g[1] == pytest.approx(w["score"], rel=1e-9)
+        assert g[2] == w["prefix_len"]
+
+
+def test_search_strategy_frequency_matches_table_level(gram_index, table_level):
+    _, r = gram_index
+    post, stats, n, avgdl = table_level
+    q = "the binary zanzibar"   # 'the' is a planted hot term, dropped first
+    want_rows = M.matching_strategy_frequency_topk(
+        post, stats, n, avgdl, q, 10, K1, B
+    ).collect()
+    got = _hit_rows(r.search(q, k=10, matching_strategy="frequency"),
+                    "doc_id", "score", "_words_rank")
+    assert [g[0] for g in got] == [w["doc_id"] for w in want_rows]
+    for g, w in zip(got, want_rows):
+        assert g[1] == pytest.approx(w["score"], rel=1e-9)
+        assert g[2] == w["prefix_len"]
+
+
+# ------------------------------------------------ prefix + synonyms
+
+
+def test_search_prefix_last_word_matches_grouped_bruteforce(
+    gram_index, table_level
+):
+    _, r = gram_index
+    post, stats, n, avgdl = table_level
+    # same deterministic cap the engine documents: df desc, term asc, 64
+    exp_rows = sorted(
+        ((x["term"], x["df"]) for x in
+         stats.filter(F.col("term").startswith("sea")).collect()),
+        key=lambda t: (-t[1], t[0]),
+    )[:64]
+    exp = sorted(t for t, _ in exp_rows)
+    assert "search" in exp
+    full = M.bm25_topk_grouped(
+        post, stats, n, avgdl, [["binary"], exp], k=10**6, k1=K1, b=B
+    ).collect()
+    # search() default ordering is score-only: re-rank the brute set
+    want = sorted(full, key=lambda x: (-round(x["score"], 9), x["doc_id"]))[:10]
+    got = _hit_rows(r.search("binary sea", k=10, prefix_last_word=True),
+                    "doc_id", "score")
+    assert [g[0] for g in got] == [w["doc_id"] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w["score"], rel=1e-9)
+
+
+def test_search_prefix_expansion_cap_is_deterministic(gram_index):
+    _, r = gram_index
+    a = _hit_rows(r.search("binary se", k=10, prefix_last_word=True,
+                           max_prefix_expansions=3), "doc_id")
+    b = _hit_rows(r.search("binary se", k=10, prefix_last_word=True,
+                           max_prefix_expansions=3), "doc_id")
+    assert a == b and a
+
+
+def test_search_synonyms_and_stop_words(gram_index, table_level):
+    _, r = gram_index
+    post, stats, n, avgdl = table_level
+    # 'quuxbar' is absent from the corpus; its synonym 'merge' matches
+    syn = {"quuxbar": ["merge"]}
+    full = M.bm25_topk_grouped(
+        post, stats, n, avgdl,
+        [["quuxbar", "merge"], ["binary"]], k=10**6, k1=K1, b=B,
+    ).collect()
+    want = sorted(full, key=lambda x: (-round(x["score"], 9), x["doc_id"]))[:10]
+    got = _hit_rows(
+        r.search("the quuxbar binary", k=10, synonyms=syn, stop_words={"the"}),
+        "doc_id", "score",
+    )
+    assert [g[0] for g in got] == [w["doc_id"] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w["score"], rel=1e-9)
+
+
+def test_search_rejects_unknown_strategy(gram_index):
+    _, r = gram_index
+    with pytest.raises(ValueError):
+        r.search("binary", matching_strategy="bogus")
