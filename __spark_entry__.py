@@ -1535,6 +1535,92 @@ def q_search_strategy_all(spark, sf_dir):
     )
 
 
+# --------------------------------- corpus curation (operators/curation)
+
+# Planted multi-line structure (shared verbatim with the DuckDB oracle,
+# the _PII_SRC_SQL pattern): line 2 is in EVERY doc, line 3 in ~1/7 of
+# docs each — both cross the df threshold and must be removed; lines 1
+# (the original text) and 4 (unique tail) survive.
+_BP_SRC_SQL = (
+    "text || chr(10) || 'generated by autodoc' || chr(10) || "
+    "'copyright holder ' || (doc_id % 7) || chr(10) || 'tail ' || doc_id"
+)
+_BP_MIN_DOCS = 50
+
+# bullets / ellipsis / symbol noise planted on disjoint residue classes
+_GOPHER_SRC_SQL = (
+    "text || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '- bullet item' "
+    "|| chr(10) || '- second bullet' ELSE '' END "
+    "|| CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'trailing thought...' "
+    "ELSE '' END "
+    "|| CASE WHEN doc_id % 11 = 0 THEN ' ### ### ###' ELSE '' END"
+)
+_GOPHER_KW = dict(min_words=30, max_symbol_word_ratio=0.05,
+                  max_bullet_line_frac=0.5, min_stop_hits=1)
+
+STRAT_RATES = {"en": 0.3, "de": 1.0, "zh": 0.05}
+STRAT_DEFAULT = 0.5
+BUDGET_TOKENS = 20_000
+
+
+def q_boilerplate_removed(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal: lines whose trimmed
+    form appears in >= 50 distinct docs (a planted autodoc banner and
+    per-residue copyright lines) are dropped and each doc is reassembled
+    from its surviving lines in order. curation.remove_boilerplate."""
+    from scrapix_spark.operators import curation as CU
+
+    src = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_BP_SRC_SQL).alias("text2")
+    )
+    return CU.remove_boilerplate(src, "text2", "doc_id", _BP_MIN_DOCS)
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (language rebalancing): keep
+    rate per lang via the 63-bit-safe quadratic hash-mod — a map-only
+    filter, reproducible on any cluster size. curation.stratified_sample."""
+    from scrapix_spark.operators import curation as CU
+
+    out = CU.stratified_sample(
+        _docs(spark, sf_dir), STRAT_RATES, "lang",
+        default_rate=STRAT_DEFAULT,
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_sample_budget(spark, sf_dir):
+    """Token-budget sampling: per language, keep docs in deterministic
+    hash order until the running n_chars total covers the budget (the
+    'N tokens per language' training-mix primitive).
+    curation.budget_sample."""
+    from scrapix_spark.operators import curation as CU
+
+    out = CU.budget_sample(
+        _docs(spark, sf_dir), BUDGET_TOKENS, "n_chars", "lang"
+    )
+    return out.select("doc_id", "lang", F.col("cum_tokens").cast("long")
+                      .alias("cum_tokens"))
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021 table A1) over
+    planted bullet/ellipsis/symbol noise: one boolean per heuristic plus
+    the keep conjunction, all native expressions. curation.gopher_rules."""
+    from scrapix_spark.operators import curation as CU
+
+    src = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_GOPHER_SRC_SQL).alias("text2")
+    )
+    out = CU.gopher_rules(src, "text2", **_GOPHER_KW)
+    rules = ["r_word_count", "r_mean_word_len", "r_symbol_ratio",
+             "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+             "r_stop_words", "gopher_keep"]
+    return out.select(
+        "doc_id", *[F.col(r).cast("long").alias(r) for r in rules]
+    )
+
+
 # ------------------------------------------------ r2 search-surface extensions
 
 # deterministic per-doc coordinates (pure integer arithmetic — identical
@@ -1797,6 +1883,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_negative_phrase": q_search_negative_phrase,
         "search_prefix_word": q_search_prefix_word,
         "search_strategy_all": q_search_strategy_all,
+        "boilerplate_removed": q_boilerplate_removed,
+        "sample_stratified": q_sample_stratified,
+        "sample_budget": q_sample_budget,
+        "gopher_rules": q_gopher_rules,
     }
 
 
@@ -2100,6 +2190,22 @@ ORDER BY prefix_len DESC, round(score, 9) DESC, doc_id LIMIT 10
 
 def _terms_in(q: str) -> str:
     return ", ".join(f"'{t}'" for t in Q.query_terms(q))
+
+
+def _sample_hash_sql() -> str:
+    """The curation sampler's quadratic hash-mod, replicated in pure
+    BIGINT-safe SQL (curation.sample_hash: affine then h²+h, mod the
+    same prime — max intermediate ≈ 10¹², no overflow either engine)."""
+    from scrapix_spark.operators.curation import (
+        _SAMPLE_A, _SAMPLE_C, SAMPLE_MOD,
+    )
+
+    return f"""
+WITH h1 AS (SELECT *, ((doc_id % {SAMPLE_MOD}) * {_SAMPLE_A}
+                       + {_SAMPLE_C}) % {SAMPLE_MOD} AS h1v
+            FROM documents),
+hashed AS (SELECT *, (h1v * h1v + h1v) % {SAMPLE_MOD} AS hv FROM h1)
+"""
 
 
 def _haversine_sql(lat_col: str, lng_col: str, clat: float, clng: float) -> str:
@@ -3262,6 +3368,85 @@ FROM agg ORDER BY round(score, 9) DESC, doc_id LIMIT 10
 SELECT doc_id, round(score, 4) AS score
 FROM scored WHERE n_matched = {len(set(Q.query_terms(STRAT_ALL_Q)))}
 ORDER BY round(score, 9) DESC, doc_id LIMIT 10
+""",
+        "boilerplate_removed": f"""
+WITH src AS (SELECT doc_id, {_BP_SRC_SQL} AS text2 FROM documents),
+s AS (SELECT doc_id, string_split(text2, chr(10)) AS l FROM src),
+seg AS (SELECT doc_id, unnest(l) AS line,
+               unnest(generate_series(1, len(l))) AS pos FROM s),
+bp AS (SELECT trim(line) AS k FROM seg WHERE trim(line) <> ''
+       GROUP BY 1 HAVING count(DISTINCT doc_id) >= {_BP_MIN_DOCS}),
+tagged AS (SELECT seg.doc_id, seg.pos, seg.line, bp.k
+           FROM seg LEFT JOIN bp ON bp.k = trim(seg.line))
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN k IS NULL THEN line END,
+                           chr(10) ORDER BY pos), '') AS clean_text,
+       sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed
+FROM tagged GROUP BY doc_id
+""",
+        "sample_stratified": _sample_hash_sql() + f"""
+SELECT doc_id, lang FROM hashed
+WHERE hv < CASE lang
+  {' '.join(f"WHEN '{v}' THEN {int(r * 1_000_003)}" for v, r in sorted(STRAT_RATES.items()))}
+  ELSE {int(STRAT_DEFAULT * 1_000_003)} END
+""",
+        "sample_budget": _sample_hash_sql() + f"""
+, c AS (SELECT doc_id, lang, n_chars,
+        sum(n_chars) OVER (PARTITION BY lang ORDER BY hv, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hashed)
+SELECT doc_id, lang, cum::BIGINT AS cum_tokens
+FROM c WHERE cum - n_chars < {BUDGET_TOKENS}
+""",
+        "gopher_rules": f"""
+WITH src AS (SELECT doc_id, {_GOPHER_SRC_SQL} AS text2 FROM documents),
+feat AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text2, '\\s+'), x -> x <> '') AS words,
+    string_split(text2, chr(10)) AS lines,
+    len(regexp_extract_all(text2, '#'))
+      + len(regexp_extract_all(text2, '\\.\\.\\.'))
+      + len(regexp_extract_all(text2, '…')) AS n_symbols
+  FROM src),
+m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    greatest(len(words), 1) AS safe_n,
+    list_sum(list_transform(words, x -> len(x)))
+      / greatest(len(words), 1)::DOUBLE AS mean_len,
+    n_symbols,
+    len(list_filter(lines,
+        x -> regexp_matches(trim(x), '^([-*•‣◦])'))) AS bullets,
+    len(list_filter(lines,
+        x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$'))) AS ellipsis,
+    greatest(len(lines), 1) AS n_lines,
+    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+    len(list_intersect(
+        list_distinct(list_transform(words, x -> lower(x))),
+        ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM feat),
+r AS (
+  SELECT doc_id,
+    (n_words >= 30 AND n_words <= 100000) AS r_word_count,
+    (mean_len >= 3.0 AND mean_len <= 10.0) AS r_mean_word_len,
+    (n_symbols / safe_n::DOUBLE) <= 0.05 AS r_symbol_ratio,
+    (bullets / n_lines::DOUBLE) <= 0.5 AS r_bullet_lines,
+    (ellipsis / n_lines::DOUBLE) <= 0.3 AS r_ellipsis_lines,
+    (alpha / safe_n::DOUBLE) >= 0.8 AS r_alpha_words,
+    stop_hits >= 1 AS r_stop_words
+  FROM m)
+SELECT doc_id,
+  r_word_count::BIGINT AS r_word_count,
+  r_mean_word_len::BIGINT AS r_mean_word_len,
+  r_symbol_ratio::BIGINT AS r_symbol_ratio,
+  r_bullet_lines::BIGINT AS r_bullet_lines,
+  r_ellipsis_lines::BIGINT AS r_ellipsis_lines,
+  r_alpha_words::BIGINT AS r_alpha_words,
+  r_stop_words::BIGINT AS r_stop_words,
+  (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet_lines
+   AND r_ellipsis_lines AND r_alpha_words AND r_stop_words)::BIGINT
+   AS gopher_keep
+FROM r
 """,
     }
 

@@ -1,0 +1,283 @@
+"""Corpus-curation operators for training-data pipelines: CCNet-style
+boilerplate line removal, deterministic (hash-mod) document sampling —
+uniform, stratified, and token-budget — and Gopher-style document
+quality rules.
+
+These are the operations a 100 TB pre-training pipeline runs between
+ingestion (the reference's crawl, here the Iceberg-shaped table scan)
+and indexing/training: drop lines duplicated across many documents
+(license headers, nav chrome — the line-hash dedup step CCNet runs over
+Common Crawl shards), cut the corpus to a deterministic sample or token
+budget, and gate documents on Gopher's repetition/format heuristics.
+
+Everything is native pyspark.sql.functions (JVM, whole-stage codegen) —
+no Python in any hot path — and every operator has an exact DuckDB SQL
+oracle in the driver gate (__spark_entry__.py).
+
+Scale notes (100 TB):
+* boilerplate counting shuffles DISTINCT (line, doc) pairs after a
+  map-side distinct, and only the line STRING + doc id — never document
+  bodies; the boilerplate set itself (lines with df >= threshold) is
+  tiny and broadcast into the anti-join.
+* document reassembly shuffles (doc_id, pos, line) — the same volume as
+  the text itself, once, with no skew (key = doc_id).
+* the samplers are map-only filters (pure integer hash arithmetic, no
+  shuffle at all); the budget sampler adds ONE per-stratum window over
+  (hash, doc_id) — the only sort the budget semantics require.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ------------------------------------------------- boilerplate lines
+
+
+def segment_lines(
+    df: DataFrame, text_col: str, id_col: str, delimiter: str = "\n"
+) -> DataFrame:
+    """(id, pos, line): the document split on a LITERAL delimiter with
+    1-based positions. Trailing empty segments are kept (limit=-1) so
+    reassembly round-trips byte-identically."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")),
+                    re.escape(delimiter), -1)
+        ).alias("pos0", "line"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "line")
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Lines (trimmed key) appearing in >= `min_docs` DISTINCT docs —
+    the CCNet boilerplate set (license banners, nav chrome, prompts).
+    Returns (line_key, n_docs). Empty/whitespace-only lines are never
+    boilerplate (removing them would rewrite formatting, not content).
+
+    Plan: distinct (line_key, doc) pairs first (map-side combine
+    applies), then a count per key — the shuffle carries each distinct
+    pair once, never repeated occurrences within a doc."""
+    seg = segment_lines(df, text_col, id_col, delimiter)
+    keyed = seg.select(
+        F.trim(F.col("line")).alias("line_key"), id_col
+    ).filter(F.col("line_key") != "").distinct()
+    return (
+        keyed.groupBy("line_key")
+        .agg(F.countDistinct(id_col).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """CCNet-style line-level dedup: drop every line whose trimmed form
+    appears in >= `min_docs` distinct documents, and reassemble each
+    document from its surviving lines in original order. Returns
+    (id, clean_text, n_removed); documents whose lines are all
+    boilerplate survive with clean_text = ''.
+
+    The boilerplate set is broadcast (it is the df-filtered tail of the
+    line distribution — small by construction); reassembly is one
+    doc_id-keyed aggregation with an in-group sort by position."""
+    seg = segment_lines(df, text_col, id_col, delimiter)
+    bp = boilerplate_lines(df, text_col, id_col, min_docs, delimiter)
+    tagged = seg.join(
+        F.broadcast(bp.select(F.col("line_key"))),
+        F.trim(seg["line"]) == F.col("line_key"),
+        "left",
+    )
+    per_doc = tagged.groupBy(id_col).agg(
+        F.sum(F.col("line_key").isNotNull().cast("int"))
+        .cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("line_key").isNull(),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            delimiter,
+        ).alias("clean_text"),
+    )
+    return per_doc.select(id_col, "clean_text", "n_removed")
+
+
+# ------------------------------------------------- deterministic sampling
+
+# Hash-mod sampling that is bit-identical in Spark and ANSI SQL: an
+# affine map followed by a quadratic mix, all mod a small prime. Pure
+# 63-bit-safe integer arithmetic — max intermediate is M² + M ≈ 10¹² —
+# so DuckDB (which errors on BIGINT overflow, unlike the JVM's silent
+# wraparound) computes the SAME value. The quadratic step matters: an
+# affine hash alone is locally LINEAR, so a dense consecutive-id range
+# lands in a narrow band of [0, M) and the sample rate is wildly off;
+# x² mod p scatters it. Not cryptographic; uniform enough for corpus
+# sampling and, critically, REPRODUCIBLE: re-running the pipeline on a
+# grown corpus keeps every previously-sampled doc sampled.
+SAMPLE_MOD = 1_000_003          # prime
+_SAMPLE_A = 999_983             # prime multiplier
+_SAMPLE_C = 12_345
+
+
+def sample_hash(id_col: Column) -> Column:
+    """Deterministic hash in [0, SAMPLE_MOD) over a LONG id column:
+    h = (id % M) * A + C mod M, then h² + h mod M."""
+    h = (
+        (id_col.cast("long") % SAMPLE_MOD) * _SAMPLE_A + _SAMPLE_C
+    ) % SAMPLE_MOD
+    return (h * h + h) % SAMPLE_MOD
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ~`rate` of documents, chosen by id hash — a map-only filter
+    (no shuffle, no RNG state, identical on any cluster size)."""
+    return df.filter(
+        sample_hash(F.col(id_col)) < F.lit(int(rate * SAMPLE_MOD))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strat_col: str,
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum hash-mod sampling (e.g. language rebalancing: keep
+    100% of rare languages, 10% of English). `rates` maps stratum value
+    -> keep rate; unlisted strata use `default_rate`. Map-only."""
+    thr = F.lit(int(default_rate * SAMPLE_MOD))
+    for v, r in sorted(rates.items()):
+        thr = F.when(
+            F.col(strat_col) == F.lit(v), F.lit(int(r * SAMPLE_MOD))
+        ).otherwise(thr)
+    return df.filter(sample_hash(F.col(id_col)) < thr)
+
+
+def budget_sample(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    strat_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget sampling: keep documents in deterministic hash order
+    until the running token total exceeds `budget` (per stratum when
+    `strat_col` is given — the 'N tokens per language' training-mix
+    primitive). Adds `cum_tokens` (the running total INCLUDING the doc).
+
+    The doc that first crosses the budget is kept (its prefix was
+    needed), everything after it is cut — so the kept set is the
+    shortest hash-prefix covering the budget. One window sort per
+    stratum; the window shuffles (id, hash, tokens) triples only."""
+    part = [strat_col] if strat_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(sample_hash(F.col(id_col)).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn(
+        "cum_tokens", F.sum(F.col(token_col).cast("long")).over(w)
+    )
+    return out.filter(
+        (F.col("cum_tokens") - F.col(token_col).cast("long")) < F.lit(budget)
+    )
+
+
+# ------------------------------------------------- Gopher quality rules
+
+GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    line_delimiter: str = "\n",
+) -> DataFrame:
+    """Gopher's document-quality heuristics (Rae et al. 2021, table A1)
+    as one all-native column block. Words are WHITESPACE tokens (the
+    paper's definition — not the index tokenizer). Adds one boolean per
+    rule plus `gopher_keep` (the conjunction):
+
+      r_word_count       min_words <= #words <= max_words
+      r_mean_word_len    mean word length in [min, max]
+      r_symbol_ratio     (# of '#' or '…'/'...') / #words <= max
+      r_bullet_lines     frac of lines starting with a bullet <= max
+      r_ellipsis_lines   frac of lines ending with ellipsis <= max
+      r_alpha_words      frac of words containing a letter >= min
+      r_stop_words       >= min_stop_hits distinct Gopher stop words
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(txt, r"\s+"), lambda t: t != F.lit(""))
+    n_words = F.size(words)
+    safe_n = F.greatest(n_words, F.lit(1))
+    mean_len = F.aggregate(
+        words, F.lit(0), lambda a, t: a + F.length(t)
+    ) / safe_n
+    n_symbols = (
+        F.regexp_count(txt, F.lit("#"))
+        + F.regexp_count(txt, F.lit(r"\.\.\."))
+        + F.regexp_count(txt, F.lit("…"))
+    )
+    lines = F.split(txt, re.escape(line_delimiter), -1)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^([-*•‣◦])")
+    ))
+    ellipsis = F.size(F.filter(
+        lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$")
+    ))
+    alpha = F.size(F.filter(words, lambda t: t.rlike("[A-Za-z]")))
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS])
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)), sw
+        )
+    )
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "r_symbol_ratio": (n_symbols / safe_n) <= max_symbol_word_ratio,
+        "r_bullet_lines": (bullet / n_lines) <= max_bullet_line_frac,
+        "r_ellipsis_lines": (ellipsis / n_lines) <= max_ellipsis_line_frac,
+        "r_alpha_words": (alpha / safe_n) >= min_alpha_word_frac,
+        "r_stop_words": stop_hits >= min_stop_hits,
+    }
+    out = df
+    for name, expr in rules.items():
+        out = out.withColumn(name, expr)
+    keep = F.lit(True)
+    for name in rules:
+        keep = keep & F.col(name)
+    return out.withColumn("gopher_keep", keep)

@@ -1,0 +1,182 @@
+"""Corpus-curation operators (operators/curation.py): boilerplate line
+removal, deterministic/stratified/budget sampling, Gopher quality rules
+— each pinned against a brute-force Python oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.operators import curation as C
+
+HEADER = "// Copyright Acme Corp"
+HEADER2 = "// SPDX-License-Identifier: MIT"
+
+DOCS = [
+    (1, f"{HEADER}\n{HEADER2}\ndef alpha():\n    return 1"),
+    (2, f"{HEADER}\n{HEADER2}\ndef beta():\n    return 2"),
+    (3, f"{HEADER}\nunique line here\nmore content"),
+    (4, f"  {HEADER}  \nanother unique"),     # trimmed form matches
+    (5, f"{HEADER}\n{HEADER2}"),              # all boilerplate
+    (6, "no shared lines at all\n\ntrailing empty kept\n"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _brute_clean(min_docs):
+    from collections import Counter
+
+    seen = Counter()
+    for _, t in DOCS:
+        for k in {ln.strip() for ln in t.split("\n") if ln.strip()}:
+            seen[k] += 1
+    bp = {k for k, n in seen.items() if n >= min_docs}
+    out = {}
+    for i, t in enumerate(DOCS):
+        kept = [ln for ln in t[1].split("\n") if ln.strip() not in bp]
+        removed = sum(1 for ln in t[1].split("\n") if ln.strip() in bp)
+        out[t[0]] = ("\n".join(kept), removed)
+    return bp, out
+
+
+def test_boilerplate_lines_and_removal_match_bruteforce(docs_df):
+    bp_want, clean_want = _brute_clean(3)
+    bp_got = {r["line_key"]: r["n_docs"]
+              for r in C.boilerplate_lines(docs_df, "text", "doc_id", 3).collect()}
+    assert set(bp_got) == bp_want == {HEADER, HEADER2}
+    assert bp_got[HEADER] == 5      # doc 4's padded copy counts (trim)
+    assert bp_got[HEADER2] == 3
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in C.remove_boilerplate(docs_df, "text", "doc_id", 3).collect()}
+    assert got == clean_want
+
+
+def test_remove_boilerplate_all_lines_removed_keeps_doc(docs_df):
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in C.remove_boilerplate(docs_df, "text", "doc_id", 2).collect()}
+    assert got[5] == ("", 2)
+    assert 6 in got and got[6][1] == 0
+    # untouched docs round-trip byte-identically (incl. trailing empty)
+    assert got[6][0] == DOCS[5][1]
+
+
+def test_segment_lines_roundtrip_with_custom_delimiter(spark):
+    df = spark.createDataFrame([(1, "a|b||c|")], "doc_id long, text string")
+    rows = C.segment_lines(df, "text", "doc_id", "|").orderBy("pos").collect()
+    assert [r["line"] for r in rows] == ["a", "b", "", "c", ""]
+
+
+# ------------------------------------------------- sampling
+
+
+def _h(i):
+    h = ((i % C.SAMPLE_MOD) * 999_983 + 12_345) % C.SAMPLE_MOD
+    return (h * h + h) % C.SAMPLE_MOD
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3], 10 + i % 50) for i in range(4000)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, toks int")
+
+
+def test_deterministic_sample_exact_and_nested(ids_df):
+    got = {r["doc_id"] for r in C.deterministic_sample(ids_df, 0.3).collect()}
+    want = {i for i in range(4000) if _h(i) < int(0.3 * C.SAMPLE_MOD)}
+    assert got == want
+    assert 0.25 < len(got) / 4000 < 0.35
+    # smaller rates are strict subsets: reproducible down-sampling
+    smaller = {r["doc_id"] for r in C.deterministic_sample(ids_df, 0.1).collect()}
+    assert smaller < got
+
+
+def test_stratified_sample_per_stratum_rates(ids_df):
+    rates = {"en": 0.5, "de": 1.0}
+    got = {r["doc_id"]
+           for r in C.stratified_sample(ids_df, rates, "lang",
+                                        default_rate=0.1).collect()}
+    want = set()
+    for i in range(4000):
+        lang = ["en", "de", "fr"][i % 3]
+        r = rates.get(lang, 0.1)
+        if _h(i) < int(r * C.SAMPLE_MOD):
+            want.add(i)
+    assert got == want
+    assert any(i % 3 == 2 for i in got)  # default-rate stratum sampled
+
+
+def test_budget_sample_matches_bruteforce(ids_df):
+    budget = 5000
+    got = {r["doc_id"]: r["cum_tokens"]
+           for r in C.budget_sample(ids_df, budget, "toks", "lang").collect()}
+    want = {}
+    for lang_i in range(3):
+        members = sorted(
+            (i for i in range(4000) if i % 3 == lang_i),
+            key=lambda i: (_h(i), i),
+        )
+        cum = 0
+        for i in members:
+            if cum >= budget:
+                break
+            cum += 10 + i % 50
+            want[i] = cum
+    assert got == want
+    # every stratum's total covers the budget (last doc crosses it)
+    for lang_i in range(3):
+        tot = max(v for k, v in want.items() if k % 3 == lang_i)
+        assert tot >= budget
+
+
+# ------------------------------------------------- Gopher rules
+
+GDOCS = [
+    (1, " ".join(["the quick brown fox jumps over lazy dog with that"] * 8)),
+    (2, "too short"),
+    (3, " ".join(["x"] * 80)),                       # mean word len 1
+    (4, "- one\n- two\n- three\n- four",),           # all bullet lines
+    (5, "a line...\nanother line...\nplain\nplain two",),
+    (6, " ".join(["### #tag"] * 40)),                # symbol-heavy
+    (7, " ".join(["12345 67890"] * 40)),             # no alphabetic words
+]
+
+
+def _brute_gopher(text, min_words=20, min_stop=1):
+    words = [w for w in text.split() if w]
+    n = len(words)
+    lines = text.split("\n")
+    mean = sum(len(w) for w in words) / max(n, 1)
+    sym = text.count("#") + text.count("...") + text.count("…")
+    bullets = sum(1 for ln in lines if ln.strip().startswith(("-", "*", "•")))
+    ell = sum(1 for ln in lines if ln.rstrip().endswith(("...", "…")))
+    alpha = sum(1 for w in words if any(c.isalpha() and ord(c) < 128 for c in w))
+    stops = len({w.lower() for w in words} & set(C.GOPHER_STOP_WORDS))
+    r = {
+        "r_word_count": min_words <= n <= 100_000,
+        "r_mean_word_len": 3.0 <= mean <= 10.0,
+        "r_symbol_ratio": sym / max(n, 1) <= 0.1,
+        "r_bullet_lines": bullets / max(len(lines), 1) <= 0.9,
+        "r_ellipsis_lines": ell / max(len(lines), 1) <= 0.3,
+        "r_alpha_words": alpha / max(n, 1) >= 0.8,
+        "r_stop_words": stops >= min_stop,
+    }
+    r["gopher_keep"] = all(r.values())
+    return r
+
+
+def test_gopher_rules_match_bruteforce(spark):
+    df = spark.createDataFrame(GDOCS, "doc_id long, text string")
+    got = C.gopher_rules(df, "text", min_words=20, min_stop_hits=1).collect()
+    for row in got:
+        want = _brute_gopher(dict(GDOCS)[row["doc_id"]])
+        for k, v in want.items():
+            assert row[k] == v, (row["doc_id"], k)
+    by_id = {r["doc_id"]: r["gopher_keep"] for r in got}
+    assert by_id[1] is True
+    assert by_id[2] is False        # word count
+    assert by_id[3] is False        # mean word length
+    assert by_id[4] is False        # bullets
+    assert by_id[6] is False        # symbols
+    assert by_id[7] is False        # alpha words
