@@ -517,6 +517,27 @@ def q_bm25f_topk(spark, sf_dir):
     )
 
 
+def q_attribute_rule(spark, sf_dir):
+    """The Meilisearch `attribute` ranking rule (reference chain rule 3,
+    src/scrapers/docssearch.ts:50): words desc, then the summed best
+    searchableAttributes index of each matched word (lower = matched in
+    a more important field), then BM25F, over the same multi-field view
+    the bm25f gates use."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("source").alias("h1"), F.col("text").alias("p"),
+        F.col("lang").alias("title"),
+    )
+    topk = BF.bm25f_topk_attribute(
+        docs, BM25F_QUERY, id_col="doc_id",
+        field_order=["h1", "p", "title"], k=10,
+    )
+    return topk.select(
+        F.col("doc_key").alias("doc_id"), F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        "attr_rank",
+    )
+
+
 # ------------------------------------------------ scope filters / projections
 
 
@@ -1887,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "sample_budget": q_sample_budget,
         "gopher_rules": q_gopher_rules,
+        "attribute_rule": q_attribute_rule,
     }
 
 
@@ -1930,6 +1952,54 @@ scored AS (
   GROUP BY tfq.doc_id)
 SELECT doc_id, round(score, 4) AS score, n_matched
 FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
+"""
+
+
+def _bm25f_attr_sql() -> str:
+    """DuckDB replica of bm25f_topk_attribute: the attribute ranking
+    rule's per-word best-field-index key beside the BM25F score, same
+    field view (h1=source, p=text, title=lang) and pinned order."""
+    fields = [
+        ("h1", 0.8 ** 0, "source"), ("p", 0.8 ** 1, "text"),
+        ("title", 0.8 ** 2, "lang"),
+    ]
+    arms = " UNION ALL ".join(
+        f"SELECT doc_id, '{f}' AS field, {w!r} AS w, {c} AS txt FROM documents"
+        for f, w, c in fields
+    )
+    fi_case = "CASE tfq.field " + " ".join(
+        f"WHEN '{f}' THEN {i}" for i, (f, _, _) in enumerate(fields)
+    ) + " END"
+    terms = ", ".join(f"'{t}'" for t in Q.query_terms(BM25F_QUERY))
+    return f"""
+WITH fields AS (
+  {arms}
+),
+tok AS (SELECT doc_id, field, w, unnest({TOK_EXPR('txt')}) AS term FROM fields),
+dl AS (SELECT doc_id, field, count(*)::BIGINT AS dl FROM tok GROUP BY 1, 2),
+avg_f AS (SELECT field, avg(dl) AS avgdl_f FROM dl GROUP BY field),
+tfq AS (SELECT doc_id, field, any_value(w) AS w, term, count(*)::BIGINT AS tf
+        FROM tok WHERE term IN ({terms}) GROUP BY doc_id, field, term),
+dfv AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tfq GROUP BY term),
+nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+perword AS (
+  SELECT tfq.doc_id, tfq.term,
+         sum(tfq.w * ln(1 + (nd.n - dfv.df + 0.5) / (dfv.df + 0.5))
+             * (tf * ({K1} + 1.0))
+             / (tf + {K1} * (1.0 - {B} + {B} * dl.dl / avg_f.avgdl_f))) AS c,
+         min({fi_case}) AS best_fi
+  FROM tfq
+  JOIN dfv USING (term)
+  JOIN dl ON dl.doc_id = tfq.doc_id AND dl.field = tfq.field
+  JOIN avg_f ON avg_f.field = tfq.field
+  CROSS JOIN nd
+  GROUP BY tfq.doc_id, tfq.term),
+scored AS (SELECT doc_id, sum(c) AS score, count(*)::BIGINT AS n_matched,
+                  sum(best_fi)::BIGINT AS attr_rank
+           FROM perword GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score, n_matched, attr_rank
+FROM scored
+ORDER BY n_matched DESC, attr_rank ASC, round(score, 9) DESC, doc_id LIMIT 10
 """
 
 
@@ -2955,6 +3025,7 @@ SELECT doc_id, round(score, 4) AS score, n_matched
 FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
 """,
         "bm25f_topk": _bm25f_sql(),
+        "attribute_rule": _bm25f_attr_sql(),
         "delta_lifecycle_topk": _delta_lifecycle_sql(),
         "compact_lifecycle_topk": _compact_lifecycle_sql(),
         "glob_scope_filter": _glob_scope_sql(),

@@ -115,3 +115,88 @@ def bm25f_topk(
     return agg.orderBy(
         F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_key").asc()
     ).limit(k)
+
+
+def bm25f_topk_attribute(
+    docs: DataFrame,
+    q: str,
+    id_col: str = "uid",
+    field_order: list[str] | None = None,
+    weights: dict[str, float] | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The Meilisearch `attribute` ranking rule (rule 3 of the chain the
+    reference pins, src/scrapers/docssearch.ts:47-56: words > typo >
+    attribute > proximity > exactness > ...) composed with the words
+    rule and BM25F relevancy.
+
+    attr_rank convention (pinned so the DuckDB oracle can replay it):
+    for each matched query word, the word's BEST (lowest) index in the
+    searchableAttributes order among the fields containing it; summed
+    over matched words. A doc matching a word in h1 outranks one
+    matching it only in content; unmatched words contribute nothing
+    (they are the words rule's business). Lower rank is better.
+
+    Returns (doc_key, score, n_matched, attr_rank) ordered n_matched
+    desc, attr_rank asc, round(score, 9) desc, doc_key asc. One melt +
+    one tokenize pass feeds BOTH ranking keys — the attribute key adds
+    a per-(doc, word) min over the rows the scorer already has, no
+    extra scan."""
+    field_order = field_order or DEFAULT_FIELD_ORDER
+    weights = weights or field_weights_from_order(field_order)
+    terms = query_terms(q)
+    if not terms:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_key string, score double, n_matched int, attr_rank long"
+        )
+    kept = [f for f in field_order if f in docs.columns]
+    long = melt_fields(docs, id_col, kept)
+    tok = with_tokens(long, "text").withColumnRenamed("doc_len", "dl")
+    post = tok.select(
+        "doc_key", "field", "dl", F.explode("tokens").alias("tk")
+    ).select(
+        "doc_key", "field", "dl", "tk.term",
+        F.col("tk.tf").cast("double").alias("tf"),
+    ).filter(F.col("term").isin(terms))
+
+    n_docs = docs.count()
+    avgdl_f = tok.groupBy("field").agg(F.avg("dl").alias("avgdl_f"))
+    dfv = (
+        post.groupBy("term")
+        .agg(F.countDistinct("doc_key").alias("df"))
+        .withColumn("idf", idf_expr(n_docs, F.col("df").cast("double")))
+    )
+    wmap = F.create_map(
+        *[x for f, w in weights.items() for x in (F.lit(f), F.lit(float(w)))]
+    )
+    fimap = F.create_map(
+        *[x for i, f in enumerate(field_order) for x in (F.lit(f), F.lit(i))]
+    )
+    cand = (
+        post.join(F.broadcast(dfv.select("term", "idf")), "term")
+        .join(F.broadcast(avgdl_f), "field")
+    )
+    impact = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl_f"))
+    )
+    contrib = wmap.getItem(F.col("field")) * F.col("idf") * impact
+    # per-(doc, word): weighted contribution summed over fields AND the
+    # word's best attribute index — one aggregation feeds both keys
+    perword = cand.withColumn("contrib", contrib).withColumn(
+        "fi", fimap.getItem(F.col("field"))
+    ).groupBy("doc_key", "term").agg(
+        F.sum("contrib").alias("c"), F.min("fi").alias("best_fi")
+    )
+    agg = perword.groupBy("doc_key").agg(
+        F.sum("c").alias("score"),
+        F.count("*").cast("int").alias("n_matched"),
+        F.sum("best_fi").cast("long").alias("attr_rank"),
+    )
+    return agg.orderBy(
+        F.col("n_matched").desc(),
+        F.col("attr_rank").asc(),
+        F.round(F.col("score"), SCORE_ROUND).desc(),
+        F.col("doc_key").asc(),
+    ).limit(k)

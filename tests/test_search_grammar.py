@@ -244,3 +244,72 @@ def test_search_rejects_unknown_strategy(gram_index):
     _, r = gram_index
     with pytest.raises(ValueError):
         r.search("binary", matching_strategy="bogus")
+
+
+# ------------------------------------------------ attribute ranking rule
+
+
+def test_attribute_rule_matches_bruteforce(spark):
+    import math
+
+    from scrapix_spark.functions.tokenize import _SEP_RE
+    from scrapix_spark.operators.bm25f import (
+        bm25f_topk_attribute, field_weights_from_order,
+    )
+
+    rows = [
+        # (id, h1, p): 'alpha' in h1 beats 'alpha' only in p
+        ("d1", "alpha intro", "filler words here"),
+        ("d2", "unrelated title", "alpha appears in body only"),
+        ("d3", "alpha beta", "beta also in body"),
+        ("d4", "nothing", "beta beta beta"),
+        ("d5", "beta heading", "alpha deep in the body text"),
+    ]
+    df = spark.createDataFrame(rows, "uid string, h1 string, p string")
+    out = bm25f_topk_attribute(df, "alpha beta", id_col="uid",
+                               field_order=["h1", "p"]).collect()
+
+    # brute force with the documented conventions
+    def toks(s):
+        return [t for t in _SEP_RE.split(s.lower()) if t]
+
+    W = field_weights_from_order(["h1", "p"])
+    k1, b = 1.2, 0.75
+    n = len(rows)
+    dls = {(r[0], f): len(toks(r[i + 1]))
+           for r in rows for i, f in enumerate(["h1", "p"])}
+    avg = {f: sum(dls[(r[0], f)] for r in rows) / n for f in ["h1", "p"]}
+    dfv = {t: sum(1 for r in rows if t in toks(r[1]) + toks(r[2]))
+           for t in ["alpha", "beta"]}
+    want = {}
+    for r in rows:
+        score, nm, ar = 0.0, 0, 0
+        for t in ["alpha", "beta"]:
+            fis = [i for i, f in enumerate(["h1", "p"])
+                   if t in toks(r[1 + i])]
+            if not fis:
+                continue
+            nm += 1
+            ar += min(fis)
+            idf = math.log(1 + (n - dfv[t] + 0.5) / (dfv[t] + 0.5))
+            for i, f in enumerate(["h1", "p"]):
+                tf = toks(r[1 + i]).count(t)
+                if tf:
+                    dl = dls[(r[0], f)]
+                    score += W[f] * idf * (tf * (k1 + 1)) / (
+                        tf + k1 * (1 - b + b * dl / avg[f])
+                    )
+        if nm:
+            want[r[0]] = (nm, ar, score)
+    want_order = sorted(
+        want, key=lambda u: (-want[u][0], want[u][1],
+                             -round(want[u][2], 9), u)
+    )
+    assert [x["doc_key"] for x in out] == want_order
+    for x in out:
+        nm, ar, sc = want[x["doc_key"]]
+        assert (x["n_matched"], x["attr_rank"]) == (nm, ar)
+        assert x["score"] == pytest.approx(sc, rel=1e-9)
+    # the rule actually bites: d1 (alpha in h1) above d2 (alpha in p)
+    got_ids = [x["doc_key"] for x in out]
+    assert got_ids.index("d1") < got_ids.index("d2")
