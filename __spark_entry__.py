@@ -1543,6 +1543,26 @@ def q_search_prefix_word(spark, sf_dir):
     )
 
 
+SEARCH_TYPO_Q = "vakue stream"   # 1-edit misspelling of 'value' + exact word
+
+
+def q_search_typo_filtered(spark, sf_dir):
+    """typoTolerance inside the unified search(), composed with a
+    filterableAttributes filter: each word group widens to its
+    edit-distance dictionary neighborhood (SymSpell join, Meilisearch
+    length budgets), then filter/rank/pagination run unchanged."""
+    idx = _entry_pos_index(spark, sf_dir)
+    r = Q.IndexReader(spark, idx)
+    res = r.search(SEARCH_TYPO_Q, k=10, filter_expr="lang = 'en'",
+                   typo_tolerance={}, tie_cols=("path",))
+    return res["hits"].select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        "lang",
+    )
+
+
 def q_search_strategy_all(spark, sf_dir):
     """matchingStrategy=all through the unified search(): every word
     group must match (n_matched == |words|); ranking stays pure BM25."""
@@ -1904,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_negative_phrase": q_search_negative_phrase,
         "search_prefix_word": q_search_prefix_word,
         "search_strategy_all": q_search_strategy_all,
+        "search_typo_filtered": q_search_typo_filtered,
         "boilerplate_removed": q_boilerplate_removed,
         "sample_stratified": q_sample_stratified,
         "sample_budget": q_sample_budget,
@@ -2260,6 +2281,34 @@ ORDER BY prefix_len DESC, round(score, 9) DESC, doc_id LIMIT 10
 
 def _terms_in(q: str) -> str:
     return ", ".join(f"'{t}'" for t in Q.query_terms(q))
+
+
+def _search_typo_sql() -> str:
+    """typoTolerance-in-search oracle: per-word levenshtein candidate
+    sets under the default budgets (maxDist=2 clamp), max-contribution
+    per word group, lang filter, score-only search() ordering."""
+    words = Q.query_terms(SEARCH_TYPO_Q)
+    wsel = " UNION ALL ".join(
+        f"SELECT {i} AS wi, '{w}' AS w, "
+        f"{min(2, M.typo_budget(w))} AS a"
+        for i, w in enumerate(words)
+    )
+    return _contrib_cte() + f"""
+, words AS ({wsel}),
+cand AS (SELECT w.wi, d.term FROM words w
+         JOIN dict d ON abs(len(d.term) - len(w.w)) <= w.a
+                    AND levenshtein(d.term, w.w) <= w.a),
+perword AS (SELECT c.wi, ct.doc_id, max(ct.c) AS score
+            FROM cand c JOIN contrib ct ON ct.term = c.term
+            GROUP BY c.wi, ct.doc_id),
+agg AS (SELECT doc_id, sum(score) AS score,
+               count(DISTINCT wi)::BIGINT AS n_matched
+        FROM perword GROUP BY doc_id)
+SELECT a.doc_id, round(a.score, 4) AS score, a.n_matched, d.lang
+FROM agg a JOIN documents d USING (doc_id)
+WHERE d.lang = 'en'
+ORDER BY round(a.score, 9) DESC, a.doc_id LIMIT 10
+"""
 
 
 def _sample_hash_sql() -> str:
@@ -3418,6 +3467,7 @@ WHERE NOT regexp_matches(lower(d.text), '{M.phrase_regex(["value", "table"])}')
                   WHERE t.doc_id = s.doc_id AND t.term = 'join')
 ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
 """,
+        "search_typo_filtered": _search_typo_sql(),
         "search_prefix_word": _contrib_cte() + f"""
 , map AS (
   SELECT 'fast' AS term, 0 AS wi

@@ -814,6 +814,7 @@ class IndexReader:
         matching_strategy: str | None = None,
         prefix_last_word: bool = False,
         max_prefix_expansions: int = 64,
+        typo_tolerance: dict | None = None,
     ) -> dict:
         """The unified search request — the Meilisearch POST /search
         surface a scrapix-indexed app actually calls (q, filter, sort,
@@ -908,6 +909,14 @@ class IndexReader:
         extending it — capped at `max_prefix_expansions` by df desc,
         term asc, the deterministic analog of Meilisearch's prefix-cache
         cap — each at its own idf, max-contribution like any group.
+
+        `typo_tolerance` (the Meilisearch typoTolerance setting) widens
+        each WORD group with the word's edit-distance dictionary
+        neighborhood (SymSpell deletion-key join, exact levenshtein
+        verify): keys `enabled` (default True), `maxDist` (2),
+        `minWordSizeForOneTypo` (5), `minWordSizeForTwoTypos` (9),
+        `disableOnWords` (per-word opt-out). Quoted phrases stay
+        typo-exact, matching Meilisearch.
         """
         from scrapix_spark.operators.geo import (
             haversine_sql, parse_geo_sort, translate_geo_filter,
@@ -925,6 +934,7 @@ class IndexReader:
             not phrases and not parsed["neg_words"]
             and not parsed["neg_phrases"] and synonyms is None
             and matching_strategy is None and not prefix_last_word
+            and typo_tolerance is None
         )
         need_ws = matching_strategy in ("last", "frequency")
         word_dfs: dict[int, int] = {}
@@ -946,6 +956,33 @@ class IndexReader:
             scored = self._score_all(q)
         else:
             groups = expand_synonyms(words, synonyms)
+            if typo_tolerance is not None and words:
+                from scrapix_spark.operators.match import (
+                    ONE_TYPO_MIN, TWO_TYPO_MIN, typo_candidates,
+                )
+
+                tt = typo_tolerance
+                dict_agg = self.dict_df.groupBy("term").agg(
+                    F.sum("df").alias("df")
+                )
+                dw = set(tt.get("disableOnWords") or [])
+                for wi, w in enumerate(words):
+                    cands = [
+                        r["term"]
+                        for r in typo_candidates(
+                            dict_agg, w,
+                            max_dist=tt.get("maxDist", 2),
+                            min_len=tt.get(
+                                "minWordSizeForOneTypo", ONE_TYPO_MIN
+                            ),
+                            two_typo_min=tt.get(
+                                "minWordSizeForTwoTypos", TWO_TYPO_MIN
+                            ),
+                            disable_on_words=dw,
+                            enabled=tt.get("enabled", True),
+                        ).collect()
+                    ]  # a word's neighborhood: tiny, dictionary-only
+                    groups[wi] = sorted(set(groups[wi]) | set(cands))
             if prefix_last_word and words:
                 # deterministic prefix-expansion cap: df desc, term asc
                 # (the dictionary is the only string-keyed relation; the

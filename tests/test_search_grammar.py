@@ -246,6 +246,43 @@ def test_search_rejects_unknown_strategy(gram_index):
         r.search("binary", matching_strategy="bogus")
 
 
+# ------------------------------------------------ typoTolerance in search()
+
+
+def test_search_typo_tolerance_matches_grouped_bruteforce(
+    gram_index, table_level
+):
+    _, r = gram_index
+    post, stats, n, avgdl = table_level
+    # 'binarx' (6 chars -> budget 1) expands to its distance-1 dictionary
+    # neighborhood; 'merge' stays a word group of its own neighborhood
+    groups = []
+    for w in ["binarx", "merge"]:
+        cands = [x["term"]
+                 for x in M.typo_candidates(stats, w, max_dist=2).collect()]
+        groups.append(sorted(set([w]) | set(cands)))
+    full = M.bm25_topk_grouped(post, stats, n, avgdl, groups,
+                               k=10**6, k1=K1, b=B).collect()
+    want = sorted(full, key=lambda x: (-round(x["score"], 9), x["doc_id"]))[:10]
+    got = _hit_rows(r.search("binarx merge", k=10, typo_tolerance={}),
+                    "doc_id", "score")
+    assert [g[0] for g in got] == [w["doc_id"] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w["score"], rel=1e-9)
+    assert want, "typo expansion must match something"
+
+
+def test_search_typo_disable_on_words(gram_index):
+    _, r = gram_index
+    with_typo = _hit_rows(r.search("binarx", k=5, typo_tolerance={}), "doc_id")
+    disabled = _hit_rows(
+        r.search("binarx", k=5,
+                 typo_tolerance={"disableOnWords": ["binarx"]}),
+        "doc_id",
+    )
+    assert with_typo and not disabled
+
+
 # ------------------------------------------------ attribute ranking rule
 
 
