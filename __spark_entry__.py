@@ -1576,6 +1576,30 @@ def q_search_strategy_all(spark, sf_dir):
     )
 
 
+def q_index_stats(spark, sf_dir):
+    """Meilisearch GET /indexes/{uid}/stats: numberOfDocuments + the
+    fieldDistribution (non-null doc count per stored field), one
+    aggregation pass (IndexReader.stats)."""
+    idx = _entry_index(spark, sf_dir)
+    r = Q.IndexReader(spark, idx)
+    st = r.stats()
+    return st["field_distribution"].select(
+        "field", "count",
+        F.lit(st["number_of_documents"]).cast("long").alias("n_docs"),
+    )
+
+
+def q_documents_browse(spark, sf_dir):
+    """Meilisearch GET /indexes/{uid}/documents (browse, no ranking):
+    stable-order pagination + browse filter + fields projection
+    (IndexReader.documents)."""
+    idx = _entry_index(spark, sf_dir)
+    r = Q.IndexReader(spark, idx)
+    out = r.documents(offset=7, limit=12, fields=["path", "lang"],
+                      filter_expr="lang = 'en'", order_by="path")
+    return out.select(F.col("path").cast("long").alias("doc_id"), "lang")
+
+
 # --------------------------------- corpus curation (operators/curation)
 
 # Planted multi-line structure (shared verbatim with the DuckDB oracle,
@@ -1930,6 +1954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_budget": q_sample_budget,
         "gopher_rules": q_gopher_rules,
         "attribute_rule": q_attribute_rule,
+        "index_stats": q_index_stats,
+        "documents_browse": q_documents_browse,
     }
 
 
@@ -3468,6 +3494,18 @@ WHERE NOT regexp_matches(lower(d.text), '{M.phrase_regex(["value", "table"])}')
 ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
 """,
         "search_typo_filtered": _search_typo_sql(),
+        # entry index fields: repo=source, path=lpad(doc_id), commit='c0',
+        # lang — all non-null, so every count equals numberOfDocuments
+        "index_stats": """
+WITH n AS (SELECT count(*)::BIGINT AS c FROM documents)
+SELECT f.field, n.c AS count, n.c AS n_docs
+FROM (VALUES ('commit'), ('lang'), ('path'), ('repo')) AS f(field)
+CROSS JOIN n
+""",
+        "documents_browse": """
+SELECT doc_id, lang FROM documents WHERE lang = 'en'
+ORDER BY doc_id OFFSET 7 LIMIT 12
+""",
         "search_prefix_word": _contrib_cte() + f"""
 , map AS (
   SELECT 'fast' AS term, 0 AS wi

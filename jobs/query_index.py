@@ -34,18 +34,38 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--mode",
         choices=["wand", "full", "prefix", "typo", "phrase", "proximity",
-                 "distinct"],
+                 "distinct", "search"],
         default="wand",
         help="wand/full = BM25 top-k (rank-identical pair); prefix = "
              "last word as prefix; typo = edit-distance tolerance with "
              "Meilisearch length budgets; phrase/proximity need an index "
              "built with store_positions; distinct = EXACT distinct-"
              "attribute semantics via IndexReader.topk_distinct (attr "
-             "from --distinct-by or the build's distinct_attribute)",
+             "from --distinct-by or the build's distinct_attribute); "
+             "search = the unified POST /search surface — full "
+             "query-string grammar (quoted phrases, -negatives) plus "
+             "--filter/--sort/--facets/--matching-strategy/"
+             "--prefix-last-word/--typo-tolerance",
     )
     ap.add_argument("--distinct-by", default=None,
                     help="distinctAttribute analog (reference "
                          "src/scrapers/default.ts:27), e.g. 'path'")
+    ap.add_argument("--filter", default=None,
+                    help="search mode: filterableAttributes boolean, "
+                         "may embed _geoRadius/_geoBoundingBox")
+    ap.add_argument("--sort", default=None,
+                    help="search mode: comma list of col:asc|desc "
+                         "(may include _geoPoint(lat,lng):asc)")
+    ap.add_argument("--facets", default=None,
+                    help="search mode: comma list of facet attributes "
+                         "(distribution prints to stderr)")
+    ap.add_argument("--offset", type=int, default=0)
+    ap.add_argument("--matching-strategy", default=None,
+                    choices=["all", "last", "frequency"])
+    ap.add_argument("--prefix-last-word", action="store_true")
+    ap.add_argument("--typo-tolerance", action="store_true",
+                    help="search mode: widen word groups by the "
+                         "Meilisearch typo budgets")
     args = ap.parse_args(argv)
 
     from pyspark.sql import Window
@@ -55,6 +75,27 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = SparkSession.builder.appName("scrapix-spark-query").getOrCreate()
     reader = IndexReader(spark, args.index_dir)
+    if args.mode == "search":
+        res = reader.search(
+            args.query, k=args.k, offset=args.offset,
+            filter_expr=args.filter,
+            sort=args.sort.split(",") if args.sort else None,
+            distinct=args.distinct_by,
+            facets=args.facets.split(",") if args.facets else None,
+            matching_strategy=args.matching_strategy,
+            prefix_last_word=args.prefix_last_word,
+            typo_tolerance={} if args.typo_tolerance else None,
+        )
+        for i, row in enumerate(res["hits"].collect(), start=1):
+            d = row.asDict()
+            d["rank"] = i
+            d["score"] = round(float(d["score"]), 6)
+            print(json.dumps(d, sort_keys=True, default=str))
+        if res["facets"] is not None:
+            for row in res["facets"].collect():
+                print(json.dumps(row.asDict(), sort_keys=True, default=str),
+                      file=sys.stderr)
+        return 0
     # distinct-by reduces the hit list, so over-fetch (Meilisearch applies
     # distinctAttribute before pagination; 8x oversample + window is the
     # distributed equivalent for the CLI)

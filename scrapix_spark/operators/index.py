@@ -482,9 +482,54 @@ def publish(index_dir: str, build_id: str) -> None:
             fs.rmtree(os.path.join(index_dir, name))
 
 
+def swap_indexes(index_dir_a: str, index_dir_b: str) -> None:
+    """Meilisearch POST /swap-indexes — the deployment move scrapix's
+    tmp-index flow exists for (crawl into `<uid>_crawler_tmp`, then swap
+    it with the live `<uid>`, src/sender.ts:33-55): exchange what the
+    two indexes SERVE by swapping their _CURRENT pointers. No segment
+    data moves — for distinct roots each pointer becomes the absolute
+    path of the other root's live build (`current_build_dir` resolves
+    absolute pointers), so the swap is two tiny pointer writes at any
+    index size.
+
+    Each pointer write is the same atomic write-tmp + rename `publish`
+    uses, so readers of either index always see a complete build; the
+    pair-swap itself is not a single atomic unit across two roots (nor
+    is it on any distributed FS) — a reader caught between the two
+    renames sees one index already swapped and the other not yet, both
+    still internally consistent.
+
+    After a cross-root swap, a later `publish` into a root GCs only its
+    OWN unreferenced `_build_*` dirs — a foreign build serving via an
+    absolute pointer is never deleted by the other root's publish, but
+    the borrowed build's home root must not be GC'd while borrowed
+    (swap back, or re-publish, before retiring the old root)."""
+    fs_a, fs_b = fs_for(index_dir_a), fs_for(index_dir_b)
+    cur_a = os.path.join(index_dir_a, "_CURRENT")
+    cur_b = os.path.join(index_dir_b, "_CURRENT")
+    live_a = current_build_dir(index_dir_a)
+    live_b = current_build_dir(index_dir_b)
+
+    def pointer(target_root: str, build_dir: str) -> str:
+        # same root → keep the relative build name (publish GC sees it);
+        # foreign root → absolute path
+        head, tail = os.path.split(build_dir)
+        return tail if head == target_root.rstrip("/") else build_dir
+
+    tmp_a, tmp_b = cur_a + ".tmp", cur_b + ".tmp"
+    fs_a.write_text(tmp_a, pointer(index_dir_a, live_b))
+    fs_b.write_text(tmp_b, pointer(index_dir_b, live_a))
+    fs_a.replace(tmp_a, cur_a)
+    fs_b.replace(tmp_b, cur_b)
+
+
 def current_build_dir(index_dir: str) -> str:
-    ptr = fs_for(index_dir).read_text(os.path.join(index_dir, "_CURRENT"))
-    return os.path.join(index_dir, ptr.strip())
+    ptr = fs_for(index_dir).read_text(
+        os.path.join(index_dir, "_CURRENT")
+    ).strip()
+    if "://" in ptr or os.path.isabs(ptr):
+        return ptr  # cross-root pointer written by swap_indexes
+    return os.path.join(index_dir, ptr)
 
 
 def load_meta(index_dir: str) -> dict:
@@ -508,13 +553,23 @@ def layers_of(index_dir: str) -> list[dict]:
     ]
 
 
+def serving_root(index_dir: str) -> str:
+    """The root that OWNS the published build — index_dir itself
+    normally, the other index's root after a cross-root swap_indexes.
+    Layer builds and tombstone dirs always live beside the published
+    build (delta_update writes siblings), so every build-relative
+    artifact resolves against this root, not the pointer's."""
+    return os.path.dirname(current_build_dir(index_dir).rstrip("/"))
+
+
 def _union_layers(spark: SparkSession, index_dir: str, sub: str, drop=()):
     """Union one artifact across layers, tagging rows with the layer
     ordinal (seg_seq — newer layers win at merge) and the layer's
     build-time avgdl (pruning-bound scaling)."""
     parts = []
+    root = serving_root(index_dir)
     for i, ly in enumerate(layers_of(index_dir)):
-        p = os.path.join(index_dir, ly["build"], sub)
+        p = os.path.join(root, ly["build"], sub)
         if not fs_for(p).exists(p):
             continue
         df = spark.read.parquet(p)
@@ -563,8 +618,9 @@ def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame:
     if not dirs:
         return spark.createDataFrame([], "doc_id long")
     out = None
+    root = serving_root(index_dir)
     for d in dirs:
-        df = spark.read.parquet(os.path.join(index_dir, d)).select("doc_id")
+        df = spark.read.parquet(os.path.join(root, d)).select("doc_id")
         out = df if out is None else out.unionByName(df)
     return out.dropDuplicates(["doc_id"])
 
@@ -574,7 +630,8 @@ def tombstone_paths(index_dir: str) -> list[str]:
     per-shard liveness sidecars that query/merge kernels read directly on
     the executors — the driver never collects the dead set)."""
     meta = load_meta(index_dir)
-    return [os.path.join(index_dir, d) for d in meta.get("tombstone_dirs", [])]
+    root = serving_root(index_dir)
+    return [os.path.join(root, d) for d in meta.get("tombstone_dirs", [])]
 
 
 def dead_ids_for_shard(tomb_paths: list[str], shard: int):

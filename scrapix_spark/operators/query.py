@@ -1179,6 +1179,57 @@ class IndexReader:
             )
         return out
 
+    def stats(self) -> dict:
+        """Meilisearch GET /indexes/{uid}/stats: numberOfDocuments (live
+        docs — tombstones excluded), isIndexing (False once published;
+        in-flight builds are unpublished by construction), and
+        fieldDistribution — per stored field, how many live docs carry a
+        non-null value. ONE aggregation pass computes every field's
+        count (map-side partials); the distribution unpivots to rows.
+
+        Returns {"number_of_documents": int, "is_indexing": False,
+        "field_distribution": DataFrame(field, count)}."""
+        internal = {"doc_id", "sha256", "doc_len", "shard"}
+        docs = self._drop_dead(self.docs)
+        fields = [c for c in docs.columns if c not in internal]
+        row = docs.agg(
+            F.count("*").alias("_n"),
+            *[F.count(c).alias(c) for c in fields],
+        ).collect()[0]
+        dist = self.spark.createDataFrame(
+            sorted((f, int(row[f])) for f in fields),
+            "field string, count long",
+        )
+        return {
+            "number_of_documents": int(row["_n"]),
+            "is_indexing": False,
+            "field_distribution": dist,
+        }
+
+    def documents(
+        self,
+        offset: int = 0,
+        limit: int = 20,
+        fields: list[str] | None = None,
+        filter_expr: str | None = None,
+        order_by: str = "doc_id",
+    ) -> DataFrame:
+        """Meilisearch GET /indexes/{uid}/documents (browse, no
+        ranking): live docs in stable `order_by` order (the internal-id
+        order analog; pass a caller column for externally meaningful
+        pagination), optional filterableAttributes `filter_expr`
+        (v1.2+ browse filters), `fields` projection. The filter and the
+        projection both reach the docs parquet scan; the only cost
+        beyond the scan is the order-by top-(offset+limit)."""
+        docs = self._drop_dead(self.docs).drop("sha256")
+        if filter_expr:
+            docs = docs.filter(filter_expr)
+        out = docs.orderBy(F.col(order_by).asc()).offset(offset).limit(limit)
+        if fields:
+            keep = [c for c in fields if c in out.columns]
+            out = out.select(*keep)
+        return out
+
     def _hydrate(self, topk: DataFrame, order: list | None = None) -> DataFrame:
         """J4: attach repo/path/commit/lang to the k winners — broadcast
         the k rows against the docs table, never the reverse.

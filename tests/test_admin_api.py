@@ -1,0 +1,86 @@
+"""Admin/API surface: GET /stats (fieldDistribution), GET /documents
+(browse), POST /swap-indexes — the non-search Meilisearch endpoints a
+scrapix deployment calls around the crawl."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.config import IndexConfig
+from scrapix_spark.fixtures import corpus_spark_df
+from scrapix_spark.operators import index as IX
+from scrapix_spark.operators.index import build_index, swap_indexes
+from scrapix_spark.operators.query import IndexReader
+
+
+@pytest.fixture(scope="module")
+def admin_index(spark, tmp_path_factory):
+    # null out lang for a deterministic subset so fieldDistribution has
+    # a field whose count differs from numberOfDocuments
+    corpus = corpus_spark_df(spark, 200).withColumn(
+        "lang",
+        F.when(F.xxhash64("path") % 5 == 0, F.lit(None)).otherwise(F.col("lang")),
+    )
+    d = str(tmp_path_factory.mktemp("adminidx"))
+    build_index(
+        spark, corpus, d,
+        IndexConfig(index_uid="admin", n_shards=4, exclude_paginated=False),
+        build_id="a1",
+    )
+    return corpus, d
+
+
+def test_stats_counts_and_field_distribution(spark, admin_index):
+    corpus, d = admin_index
+    r = IndexReader(spark, d)
+    st = r.stats()
+    n_live = r._drop_dead(r.docs).count()
+    assert st["number_of_documents"] == n_live
+    assert st["is_indexing"] is False
+    dist = {x["field"]: x["count"] for x in st["field_distribution"].collect()}
+    assert dist["repo"] == n_live and dist["path"] == n_live
+    n_lang = r.docs.filter(F.col("lang").isNotNull()).count()
+    assert dist["lang"] == n_lang < n_live
+
+
+def test_documents_browse_matches_bruteforce(spark, admin_index):
+    _, d = admin_index
+    r = IndexReader(spark, d)
+    all_rows = sorted(
+        r.docs.select("path", "lang").collect(), key=lambda x: x["path"]
+    )
+    want = [(x["path"], x["lang"]) for x in all_rows if x["lang"] == "py"][3:3 + 7]
+    got = [
+        (x["path"], x["lang"])
+        for x in r.documents(offset=3, limit=7, fields=["path", "lang"],
+                             filter_expr="lang = 'py'",
+                             order_by="path").collect()
+    ]
+    assert got == want and len(got) == 7
+    # fields projection drops everything else
+    assert r.documents(limit=1, fields=["path"]).columns == ["path"]
+
+
+def test_swap_indexes_exchanges_served_builds(spark, tmp_path_factory):
+    c_a = corpus_spark_df(spark, 60)
+    c_b = corpus_spark_df(spark, 110)
+    da = str(tmp_path_factory.mktemp("swap_a"))
+    db = str(tmp_path_factory.mktemp("swap_b"))
+    build_index(spark, c_a, da, IndexConfig(index_uid="sa", n_shards=2),
+                build_id="a1")
+    build_index(spark, c_b, db, IndexConfig(index_uid="sb", n_shards=2),
+                build_id="b1")
+    n_a = IX.load_meta(da)["N"]
+    n_b = IX.load_meta(db)["N"]
+    assert n_a != n_b
+    swap_indexes(da, db)
+    assert IX.load_meta(da)["N"] == n_b
+    assert IX.load_meta(db)["N"] == n_a
+    # queries serve the swapped content end-to-end
+    ra = IndexReader(spark, da)
+    assert ra._drop_dead(ra.docs).count() == n_b
+    assert ra.topk_pruned("import", 5, hydrate=False).count() > 0
+    # swapping back restores the original pointers (relative again)
+    swap_indexes(da, db)
+    assert IX.load_meta(da)["N"] == n_a
+    cur = open(f"{da}/_CURRENT").read().strip()
+    assert cur == "_build_a1"

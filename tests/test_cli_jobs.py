@@ -126,3 +126,23 @@ def test_build_job_heartbeat_flag(cli_index, tmp_path, capsys):
     assert os.path.exists(hb)
     rows = [json.loads(l) for l in open(hb)]
     assert rows[0]["status"] == "started" and rows[-1]["status"] == "completed"
+
+
+def test_query_job_search_mode_grammar_and_facets(cli_index, capsys):
+    corpus, index = cli_index
+    if not os.path.exists(os.path.join(index, "_CURRENT")):
+        job_build.main(["--input", corpus, "--index-dir", index,
+                        "--config-json", json.dumps({"n_shards": 8})])
+        capsys.readouterr()
+    rc = job_query.main([
+        "--index-dir", index, "--query", "binary -zanzibar",
+        "--k", "5", "--mode", "search", "--filter", "lang = 'py'",
+        "--facets", "lang", "--typo-tolerance",
+    ])
+    assert rc == 0
+    cap = capsys.readouterr()
+    hits = [json.loads(l) for l in cap.out.strip().splitlines()]
+    assert hits and all(h["lang"] == "py" for h in hits)
+    assert all(h["rank"] == i + 1 for i, h in enumerate(hits))
+    facets = [json.loads(l) for l in cap.err.strip().splitlines() if l.startswith("{")]
+    assert any(f.get("attr") == "lang" for f in facets)
