@@ -1600,6 +1600,28 @@ def q_documents_browse(spark, sf_dir):
     return out.select(F.col("path").cast("long").alias("doc_id"), "lang")
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The curation pipeline END-TO-END — the shape a 100 TB
+    pre-training corpus actually runs, as ONE chained DataFrame plan:
+    exact dedup (lowest-id winner per byte-identical text) → Gopher
+    quality gate (keep conjunction) → per-language token-budget sample
+    in deterministic hash order. Each stage is the already-gated
+    operator; this pins their COMPOSITION (the oracle replays all three
+    stages in one SQL query)."""
+    from scrapix_spark.operators import curation as CU
+    from scrapix_spark.operators import dedup as DD
+
+    src = _docs(spark, sf_dir)
+    survivors = DD.dedup_exact(src, "text", "doc_id")
+    kept = CU.gopher_rules(
+        survivors, "text", min_words=30, min_stop_hits=1
+    ).filter("gopher_keep")
+    out = CU.budget_sample(kept, 15_000, "n_chars", "lang")
+    return out.select(
+        "doc_id", "lang", F.col("cum_tokens").cast("long").alias("cum_tokens")
+    )
+
+
 # --------------------------------- corpus curation (operators/curation)
 
 # Planted multi-line structure (shared verbatim with the DuckDB oracle,
@@ -1956,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribute_rule": q_attribute_rule,
         "index_stats": q_index_stats,
         "documents_browse": q_documents_browse,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -2334,6 +2357,66 @@ SELECT a.doc_id, round(a.score, 4) AS score, a.n_matched, d.lang
 FROM agg a JOIN documents d USING (doc_id)
 WHERE d.lang = 'en'
 ORDER BY round(a.score, 9) DESC, a.doc_id LIMIT 10
+"""
+
+
+def _curation_pipeline_sql() -> str:
+    """One SQL query replaying dedup_exact → gopher_rules(keep) →
+    budget_sample(15k, n_chars, per lang) — stage thresholds identical
+    to q_curation_pipeline's (gopher defaults except min_words=30,
+    min_stop_hits=1)."""
+    from scrapix_spark.operators.curation import (
+        _SAMPLE_A, _SAMPLE_C, SAMPLE_MOD,
+    )
+
+    return f"""
+WITH dedup AS (
+  SELECT d.* FROM documents d
+  JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) k
+  USING (doc_id)),
+feat AS (
+  SELECT doc_id, lang, n_chars,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+    string_split(text, chr(10)) AS lines,
+    len(regexp_extract_all(text, '#'))
+      + len(regexp_extract_all(text, '\\.\\.\\.'))
+      + len(regexp_extract_all(text, '…')) AS n_symbols
+  FROM dedup),
+m AS (
+  SELECT doc_id, lang, n_chars,
+    len(words) AS n_words,
+    greatest(len(words), 1) AS safe_n,
+    list_sum(list_transform(words, x -> len(x)))
+      / greatest(len(words), 1)::DOUBLE AS mean_len,
+    n_symbols,
+    len(list_filter(lines,
+        x -> regexp_matches(trim(x), '^([-*•‣◦])'))) AS bullets,
+    len(list_filter(lines,
+        x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$'))) AS ellipsis,
+    greatest(len(lines), 1) AS n_lines,
+    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+    len(list_intersect(
+        list_distinct(list_transform(words, x -> lower(x))),
+        ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM feat),
+keepers AS (
+  SELECT doc_id, lang, n_chars FROM m
+  WHERE n_words >= 30 AND n_words <= 100000
+    AND mean_len >= 3.0 AND mean_len <= 10.0
+    AND (n_symbols / safe_n::DOUBLE) <= 0.1
+    AND (bullets / n_lines::DOUBLE) <= 0.9
+    AND (ellipsis / n_lines::DOUBLE) <= 0.3
+    AND (alpha / safe_n::DOUBLE) >= 0.8
+    AND stop_hits >= 1),
+h1 AS (SELECT *, ((doc_id % {SAMPLE_MOD}) * {_SAMPLE_A}
+                  + {_SAMPLE_C}) % {SAMPLE_MOD} AS h1v FROM keepers),
+hashed AS (SELECT *, (h1v * h1v + h1v) % {SAMPLE_MOD} AS hv FROM h1),
+c AS (SELECT doc_id, lang, n_chars,
+      sum(n_chars) OVER (PARTITION BY lang ORDER BY hv, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+      FROM hashed)
+SELECT doc_id, lang, cum::BIGINT AS cum_tokens
+FROM c WHERE cum - n_chars < 15000
 """
 
 
@@ -3506,6 +3589,7 @@ CROSS JOIN n
 SELECT doc_id, lang FROM documents WHERE lang = 'en'
 ORDER BY doc_id OFFSET 7 LIMIT 12
 """,
+        "curation_pipeline": _curation_pipeline_sql(),
         "search_prefix_word": _contrib_cte() + f"""
 , map AS (
   SELECT 'fast' AS term, 0 AS wi

@@ -142,6 +142,9 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "cosine_dup_pairs", "meta_image_clean", "wav_decode",
         "session_windows", "ranked_chain_topk", "matches_position",
         "pii_redact", "repetition_signals",
+        # round-2c additions (BASELINE.md records their first window)
+        "search_quoted_phrase", "search_typo_filtered", "attribute_rule",
+        "boilerplate_removed", "sample_budget", "gopher_rules",
     ]
     out = {}
     for name in headline:

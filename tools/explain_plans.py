@@ -396,6 +396,104 @@ def main() -> int:
          ("top-k broadcast into the positional scan", "BroadcastHashJoin")],
     )
 
+    # 16. query-string grammar on search(): grouped scoring + phrase
+    # constraint — term mappings broadcast, positional scan term-pushed
+    gram_plan = formatted(
+        rr.search('merge "table value" -join', k=10)["hits"]
+    )
+    check(
+        "search() query-string grammar (phrase + negative keyword)",
+        "The grouped scorer's (term_id, word, idf) mapping and the "
+        "phrase constraint's term-string mapping are query-sized "
+        "broadcasts; the positional scan for the quoted phrase carries "
+        "a term_id IN filter to the parquet reader, so only the "
+        "phrase's own position rows deserialize; negative keywords "
+        "anti-join a distinct-doc projection. No Python anywhere.",
+        gram_plan,
+        [("term_id filter pushed to positions scan",
+          "PushedFilters: [In(term_id"),
+         ("query-sized mapping broadcast", "BroadcastHashJoin"),
+         ("anti-join for exclusions", "LeftAnti")],
+    )
+    if "BatchEvalPython" in gram_plan:
+        failures.append("search grammar: row-at-a-time Python in plan")
+        sections[-1][3].append("FAIL no BatchEvalPython")
+    else:
+        sections[-1][3].append("PASS no BatchEvalPython")
+
+    # 17. boilerplate removal: df-filtered line set broadcast into the
+    # anti-tag join; counting aggregates partially before the exchange
+    from scrapix_spark.operators import curation as CU
+
+    bp_plan = formatted(
+        CU.remove_boilerplate(
+            docs_pq.select("doc_id", F.col("text")), "text", "doc_id", 5
+        )
+    )
+    check(
+        "boilerplate line removal (curation.remove_boilerplate)",
+        "The boilerplate set (lines with df >= threshold) is broadcast "
+        "into the tag join — document lines never shuffle to meet it; "
+        "the line-df count is a partial+final hash aggregate over "
+        "DISTINCT (line, doc) pairs; reassembly is the one doc_id "
+        "exchange the semantics require (in-group sort by position is "
+        "an array_sort, not a sort node).",
+        bp_plan,
+        [("boilerplate set broadcast", "BroadcastHashJoin"),
+         ("partial line-df aggregation", "HashAggregate")],
+    )
+    if "BatchEvalPython" in bp_plan:
+        failures.append("boilerplate: row-at-a-time Python in plan")
+        sections[-1][3].append("FAIL no BatchEvalPython")
+    else:
+        sections[-1][3].append("PASS no BatchEvalPython")
+
+    # 18. deterministic stratified sampling: a map-only filter — zero
+    # exchanges at any corpus size
+    samp_plan = formatted(
+        CU.stratified_sample(docs_pq, {"en": 0.3, "de": 1.0}, "lang")
+    )
+    check(
+        "stratified hash-mod sampling (curation.stratified_sample)",
+        "Pure integer arithmetic in a codegen Filter directly over the "
+        "scan: no shuffle, no RNG state, reproducible on any cluster "
+        "size — the 100 TB sampling pass is embarrassingly parallel.",
+        samp_plan,
+        [("native codegen filter", "Filter [codegen")],
+    )
+    if "Exchange" in samp_plan:
+        failures.append("stratified sample: unexpected Exchange")
+        sections[-1][3].append("FAIL no Exchange in plan")
+    else:
+        sections[-1][3].append("PASS no Exchange in plan")
+
+    # 19. attribute ranking rule: one melt+tokenize feeds both keys;
+    # idf/avgdl joins broadcast; final cut TakeOrdered
+    from scrapix_spark.operators.bm25f import bm25f_topk_attribute
+
+    attr_plan = formatted(
+        bm25f_topk_attribute(
+            docs_pq.select(
+                "doc_id", F.col("source").alias("h1"),
+                F.col("text").alias("p"), F.col("lang").alias("title"),
+            ),
+            "src3 merge sort", id_col="doc_id",
+            field_order=["h1", "p", "title"],
+        )
+    )
+    check(
+        "attribute ranking rule (bm25f_topk_attribute)",
+        "The per-word best-field index is computed in the SAME "
+        "aggregation as the weighted BM25F contribution — one tokenize "
+        "pass, one exchange on (doc, term); the idf and per-field avgdl "
+        "relations join as broadcasts; the final composite order is a "
+        "TakeOrdered, never a global sort.",
+        attr_plan,
+        [("idf/avgdl broadcast", "BroadcastHashJoin"),
+         ("partial aggregation", "HashAggregate"),
+         ("top-k via TakeOrdered", "TakeOrderedAndProject")],
+    )
+
     # ---- write PLANS.md
     out = ["# PLANS — physical-plan review of the hot paths",
            "",
