@@ -941,7 +941,7 @@ def q_segment_docssearch(spark, sf_dir):
     return out.select(
         "url", "anchor", "hierarchy_lvl0", "hierarchy_lvl1", "hierarchy_lvl2",
         "hierarchy_lvl3", "hierarchy_radio_lvl1", "hierarchy_radio_lvl2",
-        "hierarchy_radio_lvl3", "content", "level", "type",
+        "hierarchy_radio_lvl3", "content", "level", "type", "position",
     )
 
 
@@ -1121,6 +1121,54 @@ def q_docssearch_ranked(spark, sf_dir):
             "doc_key", F.round("score", 4).alias("score"),
             F.col("n_matched").cast("long").alias("n_matched"),
             F.col("level").cast("long").alias("level"),
+        )
+    )
+
+
+# docs-scraper start-url page_rank config (the custom `page_rank:desc`
+# rule reads a document field the crawler stamps from config)
+PAGE_RANK_CONFIG = [("https://d.ex/src1/", 2), ("https://d.ex/src2/", 1)]
+
+
+def q_docssearch_custom_rules(spark, sf_dir):
+    """The TAIL of the reference's pinned ranking chain — the custom
+    rules `page_rank:desc`, `level:desc`, `position:asc`
+    (src/scrapers/docssearch.ts:53-55) below words + BM25F relevancy:
+    page_rank comes from the start-url config map (the docs-scraper
+    convention the reference inherits), position is the emission
+    ordinal within the page (the number the uid hashes)."""
+    seg = SEG.segment_docssearch(_elements(spark, sf_dir))
+    fields = seg.select(
+        F.col("url").alias("doc_key"), *DOCSSEARCH_FIELDS, "level", "position"
+    )
+    scored = BF.bm25f_topk(
+        fields, DOCSSEARCH_QUERY, id_col="doc_key",
+        field_order=DOCSSEARCH_FIELDS, k=10_000_000,
+    )
+    pr = F.lit(0)
+    for prefix, rank in PAGE_RANK_CONFIG:
+        pr = F.when(
+            F.col("doc_key").startswith(prefix), F.lit(rank)
+        ).otherwise(pr)
+    ranked = scored.join(
+        fields.select("doc_key", "level", "position"), "doc_key"
+    ).withColumn("page_rank", pr)
+    return (
+        ranked.orderBy(
+            F.col("n_matched").desc(),
+            F.round(F.col("score"), 9).desc(),
+            F.col("page_rank").desc(),
+            F.col("level").desc(),
+            F.col("position").asc(),
+            F.col("doc_key").asc(),
+        )
+        .limit(10)
+        .select(
+            "doc_key", F.round("score", 4).alias("score"),
+            F.col("n_matched").cast("long").alias("n_matched"),
+            F.col("page_rank").cast("long").alias("page_rank"),
+            F.col("level").cast("long").alias("level"),
+            F.col("position").cast("long").alias("position"),
         )
     )
 
@@ -1979,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": q_index_stats,
         "documents_browse": q_documents_browse,
         "curation_pipeline": q_curation_pipeline,
+        "docssearch_custom_rules": q_docssearch_custom_rules,
     }
 
 
@@ -2211,12 +2260,13 @@ rec AS (
 emits AS (
   SELECT par.doc_id, par.url, par.anchor, par.h1, par.h2, par.h3,
          par.r1, par.r2, par.r3,
-         coalesce(array_to_string(par.content, chr(10)), '') AS content, par.level
+         coalesce(array_to_string(par.content, chr(10)), '') AS content,
+         par.level, ch.i AS ord_i
   FROM rec ch JOIN rec par ON par.doc_id = ch.doc_id AND par.i = ch.i - 1
   WHERE ch.emit
   UNION ALL
   SELECT doc_id, url, anchor, h1, h2, h3, r1, r2, r3,
-         coalesce(array_to_string(content, chr(10)), ''), level
+         coalesce(array_to_string(content, chr(10)), ''), level, 99
   FROM rec WHERE i = 11 AND len(content) > 0
 ),
 segd AS (
@@ -2225,7 +2275,9 @@ SELECT e.url || coalesce(e.anchor, '') AS url, e.anchor,
        e.h1 AS hierarchy_lvl1, e.h2 AS hierarchy_lvl2, e.h3 AS hierarchy_lvl3,
        e.r1 AS hierarchy_radio_lvl1, e.r2 AS hierarchy_radio_lvl2,
        e.r3 AS hierarchy_radio_lvl3,
-       e.content, e.level, 'content' AS type
+       e.content, e.level, 'content' AS type,
+       (row_number() OVER (PARTITION BY e.doc_id ORDER BY e.ord_i)
+        - 1)::INT AS position
 FROM emits e JOIN documents d ON d.doc_id = e.doc_id
 )
 """
@@ -2268,6 +2320,27 @@ SELECT s.doc_key, round(s.score, 4) AS score, s.n_matched,
        l.level::BIGINT AS level
 FROM scored s JOIN lv l USING (doc_key)
 ORDER BY s.n_matched DESC, round(s.score, 9) DESC, l.level DESC, s.doc_key
+LIMIT 10
+"""
+
+
+def _docssearch_custom_rules_sql() -> str:
+    """Custom-rule tail oracle: the ranked oracle's scored CTE with
+    page_rank (config CASE) + level + position composite ordering."""
+    base = _docssearch_ranked_sql()
+    # reuse everything up to the final projection
+    cut = base.index("lv AS (SELECT")
+    pr_case = "CASE " + " ".join(
+        f"WHEN s.doc_key LIKE '{p}%' THEN {r}" for p, r in PAGE_RANK_CONFIG
+    ) + " ELSE 0 END"
+    return base[:cut] + f"""
+lv AS (SELECT url AS doc_key, level, position FROM segd)
+SELECT s.doc_key, round(s.score, 4) AS score, s.n_matched,
+       ({pr_case})::BIGINT AS page_rank,
+       l.level::BIGINT AS level, l.position::BIGINT AS position
+FROM scored s JOIN lv l USING (doc_key)
+ORDER BY s.n_matched DESC, round(s.score, 9) DESC, page_rank DESC,
+         l.level DESC, l.position ASC, s.doc_key
 LIMIT 10
 """
 
@@ -3590,6 +3663,7 @@ SELECT doc_id, lang FROM documents WHERE lang = 'en'
 ORDER BY doc_id OFFSET 7 LIMIT 12
 """,
         "curation_pipeline": _curation_pipeline_sql(),
+        "docssearch_custom_rules": _docssearch_custom_rules_sql(),
         "search_prefix_word": _contrib_cte() + f"""
 , map AS (
   SELECT 'fast' AS term, 0 AS wi

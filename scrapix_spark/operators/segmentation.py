@@ -49,7 +49,7 @@ DOCSSEARCH_DOC_SCHEMA = (
     + ", ".join(f"hierarchy_lvl{i} string" for i in range(6))
     + ", "
     + ", ".join(f"hierarchy_radio_lvl{i} string" for i in range(6))
-    + ", content string, level int, type string"
+    + ", content string, level int, type string, position int"
 )
 
 
@@ -164,6 +164,10 @@ def segment_docssearch(elements: DataFrame) -> DataFrame:
                 "content": "\n".join(content) if isinstance(content, list) else "",
                 "level": d.get("level"),
                 "type": typ,
+                # emission ordinal within the page — the `position:asc`
+                # custom ranking rule's key (docssearch.ts:55); the same
+                # number the uid hashes
+                "position": len(out),
             }
             for i in range(6):
                 row[f"hierarchy_lvl{i}"] = d.get(f"hierarchy_lvl{i}")
@@ -200,7 +204,7 @@ def segment_docssearch(elements: DataFrame) -> DataFrame:
             ["url", "uid", "anchor"]
             + [f"hierarchy_lvl{i}" for i in range(6)]
             + [f"hierarchy_radio_lvl{i}" for i in range(6)]
-            + ["content", "level", "type"]
+            + ["content", "level", "type", "position"]
         )
         return pd.DataFrame(out, columns=cols)
 
