@@ -350,3 +350,47 @@ def test_attribute_rule_matches_bruteforce(spark):
     # the rule actually bites: d1 (alpha in h1) above d2 (alpha in p)
     got_ids = [x["doc_key"] for x in out]
     assert got_ids.index("d1") < got_ids.index("d2")
+
+
+# ------------------------------------------------ parser properties
+
+
+def test_parse_query_full_never_crashes_and_partitions_tokens():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from scrapix_spark.operators.query import query_terms
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=80))
+    def prop(q):
+        got = M.parse_query_full(q)
+        # every reported term tokenizes to itself (single clean token)
+        for t in got["words"] + got["neg_words"]:
+            assert query_terms(t) == [t]
+        for p in got["phrases"] + got["neg_phrases"]:
+            assert p and all(query_terms(t) == [t] for t in p)
+        # stripping the quotes/negations: every positive word must come
+        # from tokenizing the query's own whitespace chunks (the
+        # documented chunk-then-tokenize grammar; note Python \s is
+        # wider than the index separator set, e.g. NEL)
+        import re as _re
+
+        all_terms = {
+            t
+            for chunk in _re.findall(
+                r"\S+", q.replace('"', " ").replace("-", " ")
+            )
+            for t in query_terms(chunk)
+        }
+        for t in got["words"]:
+            assert t in all_terms
+
+    prop()
+
+
+def test_parse_query_full_quote_roundtrip_examples():
+    # unbalanced quotes must not crash and must not invent terms
+    for q in ['"unclosed phrase', 'a "" b', '"-x" -"y', '-"', '"', "---"]:
+        got = M.parse_query_full(q)
+        assert isinstance(got["words"], list)
