@@ -94,8 +94,9 @@ def run_queries(spark, idx: str) -> dict:
     from scrapix_spark.fixtures import QUERY_SET
     from scrapix_spark.operators.query import IndexReader
 
-    # the query-server shape: open the index once, then serve requests
-    reader = IndexReader(spark, idx)
+    # the query-server shape: open the index once (hot segments
+    # persisted — the page-cache role), then serve requests
+    reader = IndexReader(spark, idx, cache=True)
     # warm-up + rank-identity gate
     identical = True
     for _, q, k in QUERY_SET:

@@ -180,3 +180,35 @@ def test_gopher_rules_match_bruteforce(spark):
     assert by_id[4] is False        # bullets
     assert by_id[6] is False        # symbols
     assert by_id[7] is False        # alpha words
+
+
+def test_curation_ops_invariant_across_parallelism(spark, docs_df):
+    """North-rule invariance: identical results at different shuffle
+    widths (the local stand-in for different cluster sizes) — the
+    samplers are pure functions of ids and the boilerplate/budget
+    windows order deterministically."""
+    rows = [(i, ["en", "de"][i % 2], 5 + i % 9,
+             f"l{i % 4}\ncommon header\nbody {i}") for i in range(600)]
+
+    def run():
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, toks int, text string"
+        )
+        clean = {(r["doc_id"], r["clean_text"], r["n_removed"])
+                 for r in C.remove_boilerplate(df, "text", "doc_id", 100).collect()}
+        samp = {r["doc_id"] for r in C.stratified_sample(
+            df, {"en": 0.4}, "lang", default_rate=0.7).collect()}
+        bud = {(r["doc_id"], r["cum_tokens"])
+               for r in C.budget_sample(df, 800, "toks", "lang").collect()}
+        return clean, samp, bud
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        a = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
+    assert all(x for x in a)
