@@ -1624,6 +1624,34 @@ def q_search_strategy_all(spark, sf_dir):
     )
 
 
+# tokenizer settings (Meilisearch v1.4): '-' glued words stay whole,
+# 'qq' splits as a multi-char separator, 'a.b' is a dictionary word
+_TOKSET = dict(extra_separators=("qq",), non_separators=("-",),
+               dictionary=("a.b",))
+_TOKSET_SRC_SQL = (
+    "replace(replace(replace(text, ' table', '-table'), "
+    "' value', ' a.b.value'), ' merge', 'qqmerge')"
+)
+
+
+def q_tokenize_custom(spark, sf_dir):
+    """Configurable tokenization (Meilisearch separatorTokens /
+    nonSeparatorTokens / dictionary, v1.4): the same settings object
+    derives the JVM tokenizer and the DuckDB oracle expression
+    (functions/tokenize.make_tokenizer), byte-identical over planted
+    text exercising all three behaviors."""
+    from scrapix_spark.functions.tokenize import make_tokenizer
+
+    _, native, _, _ = make_tokenizer(**_TOKSET)
+    src = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_TOKSET_SRC_SQL).alias("t2")
+    )
+    toks = src.select("doc_id", F.explode(native(F.col("t2"))).alias("term"))
+    return toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+
+
 def q_index_stats(spark, sf_dir):
     """Meilisearch GET /indexes/{uid}/stats: numberOfDocuments + the
     fieldDistribution (non-null doc count per stored field), one
@@ -2028,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_browse": q_documents_browse,
         "curation_pipeline": q_curation_pipeline,
         "docssearch_custom_rules": q_docssearch_custom_rules,
+        "tokenize_custom": q_tokenize_custom,
     }
 
 
@@ -2490,6 +2519,19 @@ c AS (SELECT doc_id, lang, n_chars,
       FROM hashed)
 SELECT doc_id, lang, cum::BIGINT AS cum_tokens
 FROM c WHERE cum - n_chars < 15000
+"""
+
+
+def _tokenize_custom_sql() -> str:
+    """Oracle for the configurable tokenizer: the SAME make_tokenizer
+    call emits the DuckDB expression."""
+    from scrapix_spark.functions.tokenize import make_tokenizer
+
+    _, _, ducksql, _ = make_tokenizer(**_TOKSET)
+    return f"""
+WITH src AS (SELECT doc_id, {_TOKSET_SRC_SQL} AS t2 FROM documents),
+tok AS (SELECT doc_id, unnest({ducksql('t2')}) AS term FROM src)
+SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
 """
 
 
@@ -3664,6 +3706,7 @@ ORDER BY doc_id OFFSET 7 LIMIT 12
 """,
         "curation_pipeline": _curation_pipeline_sql(),
         "docssearch_custom_rules": _docssearch_custom_rules_sql(),
+        "tokenize_custom": _tokenize_custom_sql(),
         "search_prefix_word": _contrib_cte() + f"""
 , map AS (
   SELECT 'fast' AS term, 0 AS wi

@@ -66,6 +66,128 @@ def duckdb_tokens_sql(expr: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------
+# Configurable tokenization (Meilisearch v1.4 settings: separatorTokens,
+# nonSeparatorTokens, dictionary). The pinned default above stays the
+# engine's contract; make_tokenizer derives a CUSTOM (pattern, native,
+# duckdb, python) quadruple from one definition so the three consumers
+# still agree byte-for-byte.
+
+# the base separator set as an explicit char enumeration (what
+# SEP_PATTERN's ranges denote), so settings can add/remove single chars
+_BASE_SEP_CHARS = (
+    [chr(c) for c in range(0x00, 0x30)]
+    + [chr(c) for c in range(0x3A, 0x41)]
+    + [chr(c) for c in range(0x5B, 0x61)]
+    + [chr(c) for c in range(0x7B, 0x80)]
+    + list(_UNI_SPACES)
+)
+
+# dictionary-protection sentinel: composed of token characters (Coptic
+# dei, non-ASCII letter) so it survives splitting; collision with real
+# corpus tokens is the documented assumption (astronomically unlikely)
+_DICT_SENT = "ϯ{i}ϯ"
+
+
+def _render_class(chars: set[str]) -> str:
+    """Char set → regex class readable identically by Python re, Java
+    regex and RE2, and embeddable in a SQL string literal: ASCII as
+    \\xNN escapes, non-ASCII verbatim."""
+    parts = []
+    for c in sorted(chars):
+        parts.append(f"\\x{ord(c):02x}" if ord(c) < 0x80 else c)
+    return "[" + "".join(parts) + "]"
+
+
+def make_tokenizer(
+    extra_separators: tuple[str, ...] = (),
+    non_separators: tuple[str, ...] = (),
+    dictionary: tuple[str, ...] = (),
+):
+    """Meilisearch tokenizer settings (v1.4): `extra_separators` =
+    separatorTokens (single chars join the class; multi-char strings
+    become alternation arms that split wherever they occur),
+    `non_separators` = nonSeparatorTokens (single chars removed from the
+    class — '-' keeps 'jean-pierre' whole; multi-char unsupported,
+    loud), `dictionary` = words segmented as-is even when they contain
+    separators ('j.r.r.'), implemented as substring protection before
+    the split and restoration after.
+
+    Returns (pattern, native_fn, duckdb_fn, py_fn):
+      pattern     the separator regex (shared verbatim),
+      native_fn   Column -> array<string> (pure JVM),
+      duckdb_fn   SQL expr str -> SQL expr str (oracle),
+      py_fn       str -> list[str] (test parity path).
+    All three lowercase first; dictionary entries match lowercased."""
+    for ns in non_separators:
+        if len(ns) != 1:
+            raise ValueError(
+                f"nonSeparatorTokens must be single characters, got {ns!r} "
+                "(multi-char non-separators cannot be expressed as class "
+                "subtraction)"
+            )
+    chars = set(_BASE_SEP_CHARS) - set(non_separators)
+    multi = sorted(
+        {s for s in extra_separators if len(s) > 1}, key=len, reverse=True
+    )
+    chars |= {s for s in extra_separators if len(s) == 1}
+    cls = _render_class(chars)
+    if multi:
+        arms = "|".join(re.escape(m) for m in multi)
+        pattern = f"(?:{arms}|{cls})+"
+    else:
+        pattern = cls + "+"
+    dwords = [w.lower() for w in dictionary]
+    sents = [_DICT_SENT.format(i=i) for i in range(len(dwords))]
+    # NUL-pad the sentinel so a dictionary hit SEGMENTS the text (the
+    # Meilisearch dictionary semantics): 'j.r.r.extra' → 'j.r.r.',
+    # 'extra' — NUL stays in every separator class (removing it via
+    # non_separators is rejected implicitly by it being unprintable)
+    pads = ["\x00" + s + "\x00" for s in sents]
+
+    def native_fn(col: Column) -> Column:
+        t = F.lower(col)
+        for w, s in zip(dwords, pads):
+            t = F.replace(t, F.lit(w), F.lit(s))
+        toks = F.filter(F.split(t, pattern, -1), lambda x: x != F.lit(""))
+        if dwords:
+            def restore(x):
+                out = x
+                for w, s in zip(dwords, sents):
+                    out = F.when(x == F.lit(s), F.lit(w)).otherwise(out)
+                return out
+
+            toks = F.transform(toks, restore)
+        return toks
+
+    def duckdb_fn(expr: str) -> str:
+        t = f"lower({expr})"
+        for w, s in zip(dwords, sents):
+            # NUL can't sit in a SQL literal: concatenate chr(0)
+            t = f"replace({t}, '{w}', chr(0) || '{s}' || chr(0))"
+        toks = (
+            f"list_filter(regexp_split_to_array({t}, '{pattern}'), "
+            f"t -> t <> '')"
+        )
+        if dwords:
+            case = "x"
+            for w, s in zip(dwords, sents):
+                case = f"CASE WHEN x = '{s}' THEN '{w}' ELSE {case} END"
+            toks = f"list_transform({toks}, x -> {case})"
+        return toks
+
+    rx = re.compile(pattern)
+
+    def py_fn(s: str) -> list[str]:
+        t = (s or "").lower()
+        for w, sent in zip(dwords, pads):
+            t = t.replace(w, sent)
+        back = dict(zip(sents, dwords))
+        return [back.get(x, x) for x in rx.split(t) if x != ""]
+
+    return pattern, native_fn, duckdb_fn, py_fn
+
+
 def _tokenize_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized: batch of strings → (row_idx, term, row_token_counts).
 

@@ -83,3 +83,68 @@ def test_sep_pattern_is_shared():
     # one definition feeds Spark, pandas and DuckDB — guard its shape
     assert SEP_PATTERN.startswith("[\\x00-\\x2f")
     assert "{-~" in SEP_PATTERN
+
+
+# ---------------------------------------- configurable tokenizer settings
+
+
+def test_make_tokenizer_triple_parity_and_semantics(spark):
+    import duckdb
+
+    from scrapix_spark.functions.tokenize import make_tokenizer
+
+    _, native, ducksql, py = make_tokenizer(
+        extra_separators=("::", "§"),
+        non_separators=("-",),
+        dictionary=("j.r.r.", "c++"),
+    )
+    texts = [
+        "Jean-Pierre wrote J.R.R. notes",      # '-' kept, dictionary hit
+        "a::b::c and x§y",                     # multi-char + added single
+        "C++ beats c++ plain plus + plus",     # dictionary case-fold
+        "",                                    # empty
+        "---",                                 # only non-separators
+        "j.r.r.extra",                         # dictionary as substring
+    ]
+    want = [
+        ["jean-pierre", "wrote", "j.r.r.", "notes"],
+        ["a", "b", "c", "and", "x", "y"],
+        ["c++", "beats", "c++", "plain", "plus", "plus"],
+        [],
+        ["---"],
+        ["j.r.r.", "extra"],
+    ]
+    assert [py(t) for t in texts] == want
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, t string")
+    from pyspark.sql import functions as F
+
+    got_native = [
+        r["toks"]
+        for r in df.select("i", native(F.col("t")).alias("toks"))
+        .orderBy("i").collect()
+    ]
+    assert got_native == want
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {ducksql('?')}", [t]).fetchone()[0]
+        for t in texts
+    ]
+    assert got_duck == want
+
+
+def test_make_tokenizer_default_matches_pinned(spark):
+    from scrapix_spark.functions.tokenize import _SEP_RE, make_tokenizer
+
+    _, _, _, py = make_tokenizer()
+    for t in ["hello_world foo.bar", "héllo wörld", "a1 b2;c3", "", "x"]:
+        assert py(t) == [x for x in _SEP_RE.split(t.lower()) if x]
+
+
+def test_make_tokenizer_rejects_multichar_non_separator():
+    import pytest as _pytest
+
+    from scrapix_spark.functions.tokenize import make_tokenizer
+
+    with _pytest.raises(ValueError):
+        make_tokenizer(non_separators=("ab",))
