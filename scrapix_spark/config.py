@@ -53,6 +53,14 @@ class IndexConfig:
     index_uid: str = "index"
     strategy: str = "code"
 
+    # Tokenizer settings (Meilisearch v1.4 separatorTokens /
+    # nonSeparatorTokens / dictionary): dict with keys
+    # extra_separators / non_separators / dictionary (tuples of str),
+    # threaded through build (Arrow batch tokenizer), the positional
+    # relation, meta.json, delta/compact (via the stored config) and
+    # IndexReader query parsing. None = the pinned default tokenizer.
+    tokenizer: Optional[dict] = None
+
     # Scope predicates (crawl-scope and index-scope layers, crawler.ts:145-163)
     scope_include: list[str] = field(default_factory=list)   # glob patterns on path
     scope_exclude: list[str] = field(default_factory=list)

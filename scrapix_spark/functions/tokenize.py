@@ -204,8 +204,30 @@ def _tokenize_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarra
     return row_idx[keep], flat[keep], lengths
 
 
+def _custom_arrow_plan(settings: dict | None):
+    """settings dict → (pattern, [(word, padded_sentinel)], {sent: word})
+    for the Arrow batch path; None → the pinned default (no-op plan)."""
+    if not settings:
+        return SEP_PATTERN, [], {}
+    pattern, _, _, _ = make_tokenizer(**settings)
+    rx = re.compile(pattern)
+    # a dictionary word with no separator in it already tokenizes to
+    # itself — protecting it would give the same string two vocabulary
+    # codes (sentinel-restored + plain), breaking tf grouping
+    dwords = [
+        w.lower() for w in settings.get("dictionary", ())
+        if rx.search(w.lower())
+    ]
+    sents = [_DICT_SENT.format(i=i) for i in range(len(dwords))]
+    repl = [(w, "\x00" + s + "\x00") for w, s in zip(dwords, sents)]
+    return pattern, repl, dict(zip(sents, dwords))
+
+
 def _tokenize_batch_codes(
     texts: pd.Series,
+    pattern: str = SEP_PATTERN,
+    repl: list[tuple[str, str]] = (),
+    back: dict[str, str] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Arrow-native tokenize: batch → (row_idx, codes, vocab).
 
@@ -224,8 +246,11 @@ def _tokenize_batch_codes(
         return (
             np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, object)
         )
-    arr = pa.Array.from_pandas(texts.fillna("").astype(str))
-    ls = pc.split_pattern_regex(pc.utf8_lower(arr), SEP_PATTERN)
+    arr = pc.utf8_lower(pa.Array.from_pandas(texts.fillna("").astype(str)))
+    for w, padded in repl:
+        # dictionary protection, Arrow-side: literal substring replace
+        arr = pc.replace_substring(arr, pattern=w, replacement=padded)
+    ls = pc.split_pattern_regex(arr, pattern)
     flat = pc.list_flatten(ls)
     counts = pc.list_value_length(ls).to_numpy(zero_copy_only=False).astype(np.int64)
     row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
@@ -235,11 +260,18 @@ def _tokenize_batch_codes(
     enc = pc.dictionary_encode(flat)
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    if back:
+        # sentinels only ever surface as WHOLE tokens, so dictionary
+        # restoration is an O(vocab) substitution — never per-token
+        vocab = np.asarray([back.get(v, v) for v in vocab], dtype=object)
     return row_idx, codes, vocab
 
 
 def _count_doc_terms(
     texts: pd.Series,
+    pattern: str = SEP_PATTERN,
+    repl: list[tuple[str, str]] = (),
+    back: dict[str, str] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Shared tf-counting core: batch → (rows, term_codes, tf, dl, vocab).
 
@@ -247,7 +279,7 @@ def _count_doc_terms(
     per-document token count (len(texts) long). Integer-key np.unique on
     (row, code) pairs — no string comparisons.
     """
-    row_idx, codes, vocab = _tokenize_batch_codes(texts)
+    row_idx, codes, vocab = _tokenize_batch_codes(texts, pattern, repl, back)
     dl = np.bincount(row_idx, minlength=len(texts)).astype(np.int64)
     if row_idx.size == 0:
         e = np.empty(0, np.int64)
@@ -282,13 +314,37 @@ def token_count(texts: pd.Series) -> pd.Series:
     return pd.Series(n.astype("int32"))
 
 
-def with_tokens(df, text_col: str = "content"):
+def make_tokenize_counted(settings: dict | None = None):
+    """tokenize_counted parameterized by tokenizer SETTINGS
+    (make_tokenizer keys) — the build-path hook for Meilisearch's
+    separatorTokens / nonSeparatorTokens / dictionary. None returns the
+    pinned-default UDF unchanged."""
+    if not settings:
+        return tokenize_counted
+    pattern, repl, back = _custom_arrow_plan(settings)
+
+    @F.pandas_udf(ArrayType(TOKEN_STRUCT))
+    def tokenize_counted_custom(texts: pd.Series) -> pd.Series:
+        rows, cols, tf, _, vocab = _count_doc_terms(
+            texts, pattern, repl, back
+        )
+        out: list[list[dict]] = [[] for _ in range(len(texts))]
+        for ri, ci, c in zip(rows.tolist(), cols.tolist(), tf.tolist()):
+            out[ri].append({"term": vocab[ci], "tf": c})
+        return pd.Series(out)
+
+    return tokenize_counted_custom
+
+
+def with_tokens(df, text_col: str = "content", settings: dict | None = None):
     """Attach `tokens` (counted structs) and `doc_len` columns.
 
     doc_len is derived from the counted structs with a native fold
-    (no second UDF pass).
+    (no second UDF pass). `settings` switches the tokenizer to the
+    index's configured separator/dictionary behavior.
     """
-    df = df.withColumn("tokens", tokenize_counted(F.col(text_col)))
+    udf = make_tokenize_counted(settings)
+    df = df.withColumn("tokens", udf(F.col(text_col)))
     return df.withColumn(
         "doc_len",
         F.aggregate("tokens", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]),

@@ -156,7 +156,7 @@ def build_docs(raw: DataFrame, cfg: IndexConfig, tokenize: bool = True) -> DataF
     df = assign_doc_ids(df)
     df = df.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(cfg.n_shards)).cast("int"))
     if tokenize:
-        df = with_tokens(df, "content")
+        df = with_tokens(df, "content", settings=cfg.tokenizer)
     return df
 
 

@@ -242,7 +242,9 @@ def _build_index_inner(
     # the full staging relation n times (the dominant read at volume)
     per_batch = (cfg.n_shards + len(batches) - 1) // len(batches)
     if not _done(post_path):
-        flat = P.postings_from_content(docs, "content").withColumn(
+        flat = P.postings_from_content(
+            docs, "content", settings=cfg.tokenizer
+        ).withColumn(
             "sg", (F.col("shard") / F.lit(per_batch)).cast("int")
         )
         if cfg.sorted_staging:
@@ -377,7 +379,7 @@ def _build_index_inner(
         pos_path = os.path.join(build_dir, "positions")
         if not _done(pos_path):
             posrel = (
-                positional_postings(docs, "content")
+                positional_postings(docs, "content", settings=cfg.tokenizer)
                 .withColumn("term_id", F.xxhash64("term"))
                 .drop("term")
                 .withColumn("tb", P.term_bucket_expr(F.col("term_id"), tb_bits))

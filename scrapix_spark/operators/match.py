@@ -379,7 +379,8 @@ def phrase_topk(
 
 
 def positional_postings(
-    df: DataFrame, text_col: str, id_col: str = "doc_id"
+    df: DataFrame, text_col: str, id_col: str = "doc_id",
+    settings: dict | None = None,
 ) -> DataFrame:
     """(term, doc_id, tf, dl, positions array<int>) — token positions per
     (doc, term), pure JVM: posexplode over the native tokenizer, then a
@@ -390,9 +391,14 @@ def positional_postings(
     never pays for it, and phrase/proximity queries read ONLY the query
     terms' position rows (term-pushdown scan at the index level).
     """
+    from scrapix_spark.functions.tokenize import make_tokenizer
+
+    tokfn = (
+        tokens_native if settings is None else make_tokenizer(**settings)[1]
+    )
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens_native(F.col(text_col))).alias("pos", "term"),
+        F.posexplode(tokfn(F.col(text_col))).alias("pos", "term"),
     )
     dl = toks.groupBy("doc_id").agg(F.count("*").cast("int").alias("dl"))
     per = toks.groupBy("doc_id", "term").agg(
@@ -448,14 +454,16 @@ def phrase_topk_positional(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    terms: list[str] | None = None,
 ) -> DataFrame:
     """Exact-phrase top-k from the positional relation alone — no
     content access. Chain-fold the adjacency set term by term; BM25-rank
     the surviving docs over the phrase terms. Rank-identical to the
     content-verification path (operators/match.phrase_topk) by
     construction: consecutive token ordinals <=> separator-only gaps in
-    the text."""
-    terms = query_terms(phrase)
+    the text. `terms` overrides the default query tokenization (custom-
+    tokenizer indexes pass their own segmentation)."""
+    terms = query_terms(phrase) if terms is None else terms
     if not terms:
         return positional.sparkSession.createDataFrame(
             [], "doc_id long, score double"
@@ -490,6 +498,7 @@ def proximity_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    terms: list[str] | None = None,
 ) -> DataFrame:
     """Proximity-ranked top-k (the `proximity` ranking rule,
     reference src/scrapers/docssearch.ts:51): docs matching >=1 query
@@ -499,9 +508,10 @@ def proximity_topk(
     cost = Σ over ADJACENT query-word pairs of min(|p_i − p_j|) capped
     at PROXIMITY_CAP; a pair with a missing word costs the cap. The min
     pairwise distance is a native nested-transform + array_min — no
-    Python anywhere in the plan.
+    Python anywhere in the plan. `terms` overrides the default query
+    tokenization (custom-tokenizer indexes).
     """
-    terms = query_terms(q)
+    terms = query_terms(q) if terms is None else terms
     if not terms:
         return positional.sparkSession.createDataFrame(
             [], "doc_id long, score double, n_matched int, proximity int"
@@ -744,7 +754,8 @@ def parse_query(q: str, stop_words: set[str] | None = None):
 _QTOKEN_RE = re.compile(r'(-?)"([^"]*)"|(-?)(\S+)')
 
 
-def parse_query_full(q: str, stop_words: set[str] | None = None) -> dict:
+def parse_query_full(q: str, stop_words: set[str] | None = None,
+                     tokenize=None) -> dict:
     """The FULL Meilisearch query-string grammar: double-quoted runs are
     phrases (exact-adjacency constraints), `-` negates the word or
     phrase it prefixes (negative keywords / negative phrases, v1.8), and
@@ -760,18 +771,19 @@ def parse_query_full(q: str, stop_words: set[str] | None = None) -> dict:
     constrains (adjacency) and contributes relevancy, the same
     convention the phrase_topk oracles pin.
     """
+    tokenize = tokenize or query_terms
     words: list[str] = []
     neg_words: list[str] = []
     phrases: list[list[str]] = []
     neg_phrases: list[list[str]] = []
     for m in _QTOKEN_RE.finditer(q):
         if m.group(2) is not None:
-            terms = query_terms(m.group(2))
+            terms = tokenize(m.group(2))
             if terms:
                 (neg_phrases if m.group(1) else phrases).append(terms)
         else:
             is_neg = bool(m.group(3))
-            for t in query_terms(m.group(4)):
+            for t in tokenize(m.group(4)):
                 bucket = neg_words if is_neg else words
                 if t not in bucket and (
                     is_neg or not stop_words or t not in stop_words

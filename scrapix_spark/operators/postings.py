@@ -41,7 +41,8 @@ SEGMENT_SCHEMA = (
 )
 
 
-def postings_from_content(docs: DataFrame, text_col: str = "content") -> DataFrame:
+def postings_from_content(docs: DataFrame, text_col: str = "content",
+                          settings: dict | None = None) -> DataFrame:
     """content → FLAT postings (term, shard, doc_id, tf, dl) in ONE
     Arrow kernel (mapInArrow, 1 doc row in → many posting rows out).
 
@@ -57,7 +58,11 @@ def postings_from_content(docs: DataFrame, text_col: str = "content") -> DataFra
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from scrapix_spark.functions.tokenize import SEP_PATTERN
+    from scrapix_spark.functions.tokenize import _custom_arrow_plan
+
+    # tokenizer settings (IndexConfig.tokenizer): custom separator
+    # pattern + dictionary-protection replacements; None = pinned default
+    pattern, repl, back = _custom_arrow_plan(settings)
 
     # tf/dl are int32 on the wire: both fit comfortably (tf, dl < 2^31)
     # and the posting relation is the widest thing the build shuffles —
@@ -69,8 +74,11 @@ def postings_from_content(docs: DataFrame, text_col: str = "content") -> DataFra
 
     def kernel(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for batch in batches:
-            texts = pc.fill_null(batch.column(text_col), "")
-            ls = pc.split_pattern_regex(pc.utf8_lower(texts), SEP_PATTERN)
+            texts = pc.utf8_lower(pc.fill_null(batch.column(text_col), ""))
+            for w, padded in repl:
+                texts = pc.replace_substring(texts, pattern=w,
+                                             replacement=padded)
+            ls = pc.split_pattern_regex(texts, pattern)
             flat = pc.list_flatten(ls)
             counts = pc.list_value_length(ls).to_numpy(
                 zero_copy_only=False
@@ -89,6 +97,14 @@ def postings_from_content(docs: DataFrame, text_col: str = "content") -> DataFra
                 continue
             enc = pc.dictionary_encode(flat)
             codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab_arr = enc.dictionary
+            if back:
+                # dictionary-word restore at VOCAB level (sentinels only
+                # ever surface as whole tokens)
+                vocab_arr = pa.array(
+                    [back.get(v, v) for v in vocab_arr.to_pylist()],
+                    pa.string(),
+                )
             nv = np.int64(len(enc.dictionary))
             key = row_idx * nv + codes
             uk, tf = np.unique(key, return_counts=True)
@@ -98,7 +114,7 @@ def postings_from_content(docs: DataFrame, text_col: str = "content") -> DataFra
             shards = batch.column("shard").to_numpy(zero_copy_only=False)
             yield pa.RecordBatch.from_arrays(
                 [
-                    pc.take(enc.dictionary, pa.array(cols, pa.int64())),
+                    pc.take(vocab_arr, pa.array(cols, pa.int64())),
                     pa.array(shards[rows].astype(np.int32), pa.int32()),
                     pa.array(doc_ids[rows], pa.int64()),
                     pa.array(tf.astype(np.int32), pa.int32()),

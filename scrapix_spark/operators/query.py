@@ -196,6 +196,23 @@ class IndexReader:
         self.spark = spark
         self.index_dir = index_dir
         self.meta = IX.load_meta(index_dir)
+        # query-side tokenizer: custom indexes record their settings in
+        # the stored config; queries MUST segment like the build did
+        tok_set = (self.meta.get("config") or {}).get("tokenizer")
+        if tok_set:
+            from scrapix_spark.functions.tokenize import make_tokenizer
+
+            _pyfn = make_tokenizer(**tok_set)[3]
+
+            def _qt(q: str) -> list[str]:
+                seen: dict[str, None] = {}
+                for t in _pyfn(q):
+                    seen.setdefault(t)
+                return list(seen)
+
+            self._query_terms = _qt
+        else:
+            self._query_terms = query_terms
         # layered segments carry avgdl_build: impact is monotone
         # increasing in avgdl (ratio bounded by a_now/a_build), so
         # scaling each layer's stored block_max keeps pruning SAFE when
@@ -272,7 +289,7 @@ class IndexReader:
         """Oracle path: dictionary lookup → decode blocks (Arrow kernel)
         → pure DataFrame scoring."""
         meta = self.meta
-        drows = self.resolve_terms(query_terms(q))
+        drows = self.resolve_terms(self._query_terms(q))
         tids = [tid for _, tid, _ in drows]
         seg = self._segments_for(tids)
         post = self._drop_dead(_decode_blocks_df(seg)).withColumnRenamed(
@@ -289,7 +306,7 @@ class IndexReader:
     def topk_pruned(self, q: str, k: int = 10, hydrate: bool = True) -> DataFrame:
         """Block-max pruned top-k: per-shard kernel + global merge."""
         meta = self.meta
-        terms = query_terms(q)
+        terms = self._query_terms(q)
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
         # dictionary slice for the query terms → idf map (tiny, driver-side J3)
@@ -342,7 +359,7 @@ class IndexReader:
         (same pinned semantics as operators.match.bm25_topk_prefix).
         """
         meta = self.meta
-        terms = query_terms(q)
+        terms = self._query_terms(q)
         if not terms:
             return self.spark.createDataFrame(
                 [], "doc_id long, score double, n_matched int"
@@ -434,7 +451,7 @@ class IndexReader:
 
         min_len = ONE_TYPO_MIN if min_len is None else min_len
         two_typo_min = TWO_TYPO_MIN if two_typo_min is None else two_typo_min
-        words = query_terms(q)
+        words = self._query_terms(q)
         empty = self.spark.createDataFrame(
             [], "doc_id long, score double, n_matched int"
         )
@@ -498,7 +515,7 @@ class IndexReader:
                 "index was built without store_positions=True — "
                 "phrase/proximity need the positional relation"
             )
-        terms = query_terms(q)
+        terms = self._query_terms(q)
         drows = self.resolve_terms(terms)
         if not drows:
             return None
@@ -538,7 +555,8 @@ class IndexReader:
             return self._hydrate(empty) if hydrate else empty
         meta = self.meta
         topk = phrase_topk_positional(
-            pos, tstats, meta["N"], meta["avgdl"], q, k, meta["k1"], meta["b"]
+            pos, tstats, meta["N"], meta["avgdl"], q, k, meta["k1"],
+            meta["b"], terms=terms,
         )
         return self._hydrate(topk) if hydrate else topk
 
@@ -562,7 +580,8 @@ class IndexReader:
             F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc(),
         ]
         topk = proximity_topk(
-            pos, tstats, meta["N"], meta["avgdl"], q, k, meta["k1"], meta["b"]
+            pos, tstats, meta["N"], meta["avgdl"], q, k, meta["k1"],
+            meta["b"], terms=_terms,
         )
         return self._hydrate(topk, order=prox_order) if hydrate else topk
 
@@ -683,7 +702,7 @@ class IndexReader:
         with no top-k cut — the substrate for semantics that must see
         the whole match set (filter / sort / distinct / facets)."""
         meta = self.meta
-        drows = self.resolve_terms(query_terms(q))
+        drows = self.resolve_terms(self._query_terms(q))
         tids = [tid for _, tid, _ in drows]
         post = self._drop_dead(
             _decode_blocks_df(self._segments_for(tids))
@@ -939,7 +958,7 @@ class IndexReader:
 
         if matching_strategy not in (None, "all", "last", "frequency"):
             raise ValueError(f"unknown matchingStrategy {matching_strategy!r}")
-        parsed = parse_query_full(q, stop_words)
+        parsed = parse_query_full(q, stop_words, tokenize=self._query_terms)
         words, phrases = parsed["words"], parsed["phrases"]
         plain = (
             not phrases and not parsed["neg_words"]

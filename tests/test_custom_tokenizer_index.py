@@ -1,0 +1,74 @@
+"""End-to-end custom tokenizer settings: IndexConfig.tokenizer flows
+through the build (Arrow batch tokenizer), the positional relation,
+meta.json and the reader's query parsing — queries segment exactly like
+the build did."""
+
+import pytest
+
+from scrapix_spark.config import IndexConfig
+from scrapix_spark.operators.index import build_index
+from scrapix_spark.operators.query import IndexReader
+
+TOK = {"non_separators": ("-",), "dictionary": ("a.b",)}
+
+ROWS = [
+    ("r0", "p0", "c", "py", "jean-pierre wrote the parser"),
+    ("r1", "p1", "c", "py", "jean and pierre wrote nothing"),
+    ("r2", "p2", "c", "py", "a.b module docs for jean-pierre fans"),
+    ("r3", "p3", "c", "py", "a b plain letters"),
+    ("r4", "p4", "c", "py", "pierre-jean reversed hyphens"),
+]
+
+
+@pytest.fixture(scope="module")
+def custom_idx(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        ROWS, "repo string, path string, commit string, lang string, content string"
+    )
+    d = str(tmp_path_factory.mktemp("ctok"))
+    build_index(
+        spark, df, d,
+        IndexConfig(index_uid="ctok", n_shards=2, exclude_paginated=False,
+                    store_positions=True, tokenizer=TOK),
+        build_id="t1",
+    )
+    return IndexReader(spark, d)
+
+
+def _paths(df):
+    return sorted(r["path"] for r in df.collect())
+
+
+def test_hyphenated_token_is_one_word(custom_idx):
+    r = custom_idx
+    # 'jean-pierre' is ONE token under the custom settings: only the
+    # docs containing the hyphenated form match
+    assert _paths(r.topk_pruned("jean-pierre", 10)) == ["p0", "p2"]
+    # standalone 'jean' matches only the unhyphenated doc
+    assert _paths(r.topk_pruned("jean", 10)) == ["p1"]
+    assert _paths(r.topk_pruned("pierre-jean", 10)) == ["p4"]
+
+
+def test_dictionary_word_survives(custom_idx):
+    r = custom_idx
+    assert _paths(r.topk_pruned("a.b", 10)) == ["p2"]
+    # plain 'a' and 'b' tokens belong to the non-dictionary doc only
+    assert _paths(r.topk_pruned("a", 10)) == ["p3"]
+
+
+def test_rank_identity_and_meta_roundtrip(custom_idx):
+    r = custom_idx
+    assert r.meta["config"]["tokenizer"]["non_separators"] == ["-"]
+    for q in ["jean-pierre parser", "a.b docs", "pierre"]:
+        p = [x["doc_id"] for x in r.topk_pruned(q, 10, hydrate=False).collect()]
+        f = [x["doc_id"] for x in r.topk_full(q, 10, hydrate=False).collect()]
+        assert p == f
+
+
+def test_phrase_and_search_grammar_use_custom_tokens(custom_idx):
+    r = custom_idx
+    # positional phrase over custom tokens: 'jean-pierre wrote' is the
+    # 2-token phrase [jean-pierre, wrote] — only p0 has them adjacent
+    assert _paths(r.topk_phrase("jean-pierre wrote", 10)) == ["p0"]
+    res = r.search('"jean-pierre fans"', k=10)
+    assert sorted(x["path"] for x in res["hits"].collect()) == ["p2"]
