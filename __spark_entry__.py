@@ -1766,6 +1766,23 @@ def q_sample_budget(spark, sf_dir):
                       .alias("cum_tokens"))
 
 
+TEMP_TARGET = 200
+
+
+def q_sample_temperature(spark, sf_dir):
+    """Temperature rebalancing (multilingual mix, p_s ∝ n_s^0.5):
+    tempered per-language keep-rates computed in-plan from stratum
+    counts, applied by the deterministic hash — alpha pinned at 0.5 so
+    both engines' rate arithmetic is IEEE-exact (sqrt, not pow).
+    curation.temperature_sample."""
+    from scrapix_spark.operators import curation as CU
+
+    out = CU.temperature_sample(
+        _docs(spark, sf_dir), TEMP_TARGET, "lang"
+    )
+    return out.select("doc_id", "lang", "keep_rate")
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher document-quality rules (Rae et al. 2021 table A1) over
     planted bullet/ellipsis/symbol noise: one boolean per heuristic plus
@@ -2050,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removed": q_boilerplate_removed,
         "sample_stratified": q_sample_stratified,
         "sample_budget": q_sample_budget,
+        "sample_temperature": q_sample_temperature,
         "gopher_rules": q_gopher_rules,
         "attribute_rule": q_attribute_rule,
         "index_stats": q_index_stats,
@@ -3749,6 +3767,18 @@ SELECT doc_id, lang FROM hashed
 WHERE hv < CASE lang
   {' '.join(f"WHEN '{v}' THEN {int(r * 1_000_003)}" for v, r in sorted(STRAT_RATES.items()))}
   ELSE {int(STRAT_DEFAULT * 1_000_003)} END
+""",
+        "sample_temperature": _sample_hash_sql() + f"""
+, c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, n, sqrt(n::DOUBLE) AS wv FROM c),
+t AS (SELECT sum(wv) AS tw FROM w),
+r AS (SELECT lang,
+             round(least(1.0, {float(TEMP_TARGET)!r} * wv / tw / n::DOUBLE),
+                   9) AS keep_rate
+      FROM w CROSS JOIN t)
+SELECT h.doc_id, h.lang, r.keep_rate
+FROM hashed h JOIN r USING (lang)
+WHERE h.hv < r.keep_rate * 1000003.0
 """,
         "sample_budget": _sample_hash_sql() + f"""
 , c AS (SELECT doc_id, lang, n_chars,

@@ -205,6 +205,61 @@ def budget_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    target_docs: int,
+    strat_col: str,
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based stratum rebalancing (the multilingual
+    pre-training mix: sampling mass p_s ∝ n_s^alpha, alpha = 1/T —
+    alpha < 1 upweights small strata, alpha = 1 is proportional).
+    Allocates ~`target_docs` across strata by the tempered weights and
+    keeps each stratum's share by deterministic hash-mod, so the output
+    is reproducible and a grown corpus keeps previously-sampled docs
+    (for unchanged rates).
+
+    Entirely in-plan: stratum counts are one aggregation, the tempered
+    weights and per-stratum keep-rates are computed on that tiny
+    relation and broadcast back — no driver-side collect, no RNG.
+
+    NOTE alpha=0.5 keeps the rate arithmetic IEEE-exact across engines
+    (sqrt is correctly rounded everywhere; pow is not) — the driver gate
+    pins that value. Returns the kept rows with `keep_rate` attached.
+    """
+    counts = df.groupBy(strat_col).agg(F.count("*").alias("_n"))
+    if alpha == 0.5:
+        w = F.sqrt(F.col("_n").cast("double"))
+    else:
+        w = F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))
+    weighted = counts.withColumn("_w", w)
+    tot = weighted.agg(F.sum("_w").alias("_tw"))
+    rates = (
+        weighted.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "keep_rate",
+            # rounded to a 1e-9 grid so the keep decision is robust to
+            # summation-order ULPs across engines (the SQL oracle's
+            # sum(_w) may accumulate in a different order)
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(target_docs)) * F.col("_w")
+                    / F.col("_tw") / F.col("_n").cast("double"),
+                ),
+                9,
+            ),
+        )
+        .select(strat_col, "keep_rate")
+    )
+    out = df.join(F.broadcast(rates), strat_col)
+    return out.filter(
+        sample_hash(F.col(id_col)).cast("double")
+        < F.col("keep_rate") * F.lit(float(SAMPLE_MOD))
+    )
+
+
 # ------------------------------------------------- Gopher quality rules
 
 GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

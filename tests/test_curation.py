@@ -212,3 +212,35 @@ def test_curation_ops_invariant_across_parallelism(spark, docs_df):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
     assert all(x for x in a)
+
+
+def test_temperature_sample_matches_bruteforce(ids_df):
+    import math
+
+    got = {(r["doc_id"], r["keep_rate"])
+           for r in C.temperature_sample(ids_df, 1200, "lang").collect()}
+    n_by = {"en": 0, "de": 0, "fr": 0}
+    for i in range(4000):
+        n_by[["en", "de", "fr"][i % 3]] += 1
+    tw = sum(math.sqrt(n) for n in n_by.values())
+    want = set()
+    for i in range(4000):
+        lang = ["en", "de", "fr"][i % 3]
+        rate = round(min(1.0, 1200.0 * math.sqrt(n_by[lang]) / tw / n_by[lang]), 9)
+        if _h(i) < rate * C.SAMPLE_MOD:
+            want.add((i, rate))
+    assert got == want
+    # roughly target-sized overall
+    assert 0.8 * 1200 < len(got) < 1.2 * 1200
+
+
+def test_temperature_sample_upweights_small_strata(spark):
+    # 3000 'big' docs vs 120 'small' docs: alpha=0.5 keeps a much larger
+    # FRACTION of the small stratum
+    rows = [(i, "big" if i < 3000 else "small") for i in range(3120)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = C.temperature_sample(df, 600, "lang").collect()
+    frac = {s: 0 for s in ("big", "small")}
+    for r in out:
+        frac[r["lang"]] += 1
+    assert frac["small"] / 120 > 2.5 * frac["big"] / 3000
