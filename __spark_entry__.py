@@ -1766,6 +1766,30 @@ def q_sample_budget(spark, sf_dir):
                       .alias("cum_tokens"))
 
 
+# a 13-word license block appended to every 4th doc — the repeated
+# span the masker must remove everywhere except its first occurrence
+_SPAN_W = 13
+_SPAN_SRC_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN text || "
+    "' copyright acme corp all rights reserved see license file "
+    "for more details x' ELSE text END"
+)
+
+
+def q_mask_repeated_spans(spark, sf_dir):
+    """Exact-substring dedup, token-window form (Lee et al. 2022): every
+    occurrence of a corpus-repeated 13-token window except the globally
+    first is masked; covered tokens drop and the doc reassembles.
+    curation.mask_repeated_spans (planted license block + the driver
+    table's own duplicate docs)."""
+    from scrapix_spark.operators import curation as CU
+
+    src = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SPAN_SRC_SQL).alias("t2")
+    )
+    return CU.mask_repeated_spans(src, "t2", "doc_id", w=_SPAN_W)
+
+
 TEMP_TARGET = 200
 
 
@@ -2068,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "sample_budget": q_sample_budget,
         "sample_temperature": q_sample_temperature,
+        "mask_repeated_spans": q_mask_repeated_spans,
         "gopher_rules": q_gopher_rules,
         "attribute_rule": q_attribute_rule,
         "index_stats": q_index_stats,
@@ -3767,6 +3792,42 @@ SELECT doc_id, lang FROM hashed
 WHERE hv < CASE lang
   {' '.join(f"WHEN '{v}' THEN {int(r * 1_000_003)}" for v, r in sorted(STRAT_RATES.items()))}
   ELSE {int(STRAT_DEFAULT * 1_000_003)} END
+""",
+        "mask_repeated_spans": f"""
+WITH src AS (SELECT doc_id, {_SPAN_SRC_SQL} AS t2 FROM documents),
+tn AS (SELECT doc_id,
+              list_filter(string_split_regex(t2, '\\s+'), x -> x <> '') AS t
+       FROM src),
+tl AS (SELECT doc_id, t, len(t) AS n_tokens FROM tn),
+occ0 AS (SELECT doc_id,
+    [struct_pack(pos := i - 1,
+                 gram := array_to_string(t[i:i + {_SPAN_W - 1}], ' '))
+     FOR i IN generate_series(1, len(t) - {_SPAN_W - 1})] AS ws
+  FROM tl),
+occ AS (SELECT doc_id, u.pos AS pos, u.gram AS gram
+        FROM (SELECT doc_id, unnest(ws) AS u FROM occ0)),
+rk AS (SELECT doc_id, pos,
+              count(*) OVER (PARTITION BY gram) AS cnt,
+              row_number() OVER (PARTITION BY gram
+                                 ORDER BY doc_id, pos) AS r
+       FROM occ),
+covered AS (SELECT DISTINCT doc_id,
+                   unnest(generate_series(pos, pos + {_SPAN_W - 1})) AS tpos
+            FROM rk WHERE cnt >= 2 AND r >= 2),
+flat AS (SELECT doc_id, n_tokens, unnest(t) AS tok,
+                unnest(generate_series(1, len(t))) - 1 AS tpos
+         FROM tl),
+kept AS (SELECT f.doc_id, f.tok, f.tpos
+         FROM flat f LEFT JOIN covered c
+         ON c.doc_id = f.doc_id AND c.tpos = f.tpos
+         WHERE c.doc_id IS NULL),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+               count(*) AS kept_n
+        FROM kept GROUP BY doc_id)
+SELECT tl.doc_id AS id, coalesce(a.clean_text, '') AS clean_text,
+       tl.n_tokens::BIGINT AS n_tokens,
+       (tl.n_tokens - coalesce(a.kept_n, 0))::BIGINT AS n_masked
+FROM tl LEFT JOIN agg a USING (doc_id)
 """,
         "sample_temperature": _sample_hash_sql() + f"""
 , c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),

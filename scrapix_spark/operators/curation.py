@@ -205,6 +205,98 @@ def budget_sample(
     )
 
 
+def mask_repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int = 13,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup in token-window form (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better'): any
+    `w`-token window occurring >= `min_count` times across the corpus is
+    a duplicated span, and every occurrence EXCEPT the globally first
+    (by id, then position) is masked — tokens covered by any masked
+    occurrence are removed, the survivors re-join in order. Words are
+    WHITESPACE tokens (the reconstructible segmentation). Returns
+    (id, clean_text, n_tokens, n_masked).
+
+    Plan: window occurrences shuffle once keyed by the gram for the
+    keep-first rank; coverage marks shuffle (id, token-pos) pairs; the
+    final reassembly is one id-keyed aggregation. Scale note: at 100 TB
+    key the rank window by xxhash64(gram) (64-bit keys, same result up
+    to astronomically-unlikely collisions) and pre-filter singleton
+    grams with a df aggregation before the window — this reference
+    implementation keys by the gram string so the DuckDB oracle is
+    byte-exact."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(txt, r"\s+"), lambda t: t != F.lit("")).alias("t"),
+    )
+    toks = toks.withColumn("n_tokens", F.size("t"))
+    idxs = F.when(
+        F.col("n_tokens") >= w, F.sequence(F.lit(0), F.col("n_tokens") - w)
+    ).otherwise(F.array().cast("array<int>"))
+    occ = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                idxs,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice("t", i + 1, w), " ").alias("gram"),
+                ),
+            )
+        ).alias("o"),
+    ).select("id", "o.pos", "o.gram")
+    wspec = Window.partitionBy("gram")
+    worder = Window.partitionBy("gram").orderBy(
+        F.col("id").asc(), F.col("pos").asc()
+    )
+    masked = (
+        occ.withColumn("cnt", F.count("*").over(wspec))
+        .withColumn("rk", F.row_number().over(worder))
+        .filter((F.col("cnt") >= min_count) & (F.col("rk") >= 2))
+    )
+    covered = masked.select(
+        "id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1))
+        ).alias("tpos"),
+    ).distinct()
+    flat = toks.select(
+        "id", "n_tokens", F.posexplode("t").alias("tpos", "tok")
+    )
+    kept = flat.join(covered, ["id", "tpos"], "left_anti")
+    out = kept.groupBy("id", "n_tokens").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("tpos"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("_kept"),
+    )
+    # docs whose tokens were ALL masked (or empty docs) drop out of the
+    # kept aggregation: restore them with empty clean_text
+    out = (
+        toks.select("id", "n_tokens")
+        .join(out, ["id", "n_tokens"], "left")
+        .select(
+            "id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("_kept"), F.lit(0)))
+            .cast("long").alias("n_masked"),
+        )
+    )
+    return out
+
+
 def temperature_sample(
     df: DataFrame,
     target_docs: int,

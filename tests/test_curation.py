@@ -244,3 +244,43 @@ def test_temperature_sample_upweights_small_strata(spark):
     for r in out:
         frac[r["lang"]] += 1
     assert frac["small"] / 120 > 2.5 * frac["big"] / 3000
+
+
+def test_mask_repeated_spans_matches_bruteforce(spark):
+    LIC = "this code is released under the mit license see file"  # 10 words
+    rows = [
+        (1, LIC + " alpha beta gamma"),
+        (2, LIC + " delta epsilon"),
+        (3, "unique words only here nothing shared at all between docs"),
+        (4, "short doc"),
+        (5, LIC),                      # fully masked (not first)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: (r["clean_text"], r["n_tokens"], r["n_masked"])
+           for r in C.mask_repeated_spans(df, "text", "doc_id", w=10).collect()}
+
+    # brute force with identical semantics
+    toks = {i: t.split() for i, t in rows}
+    occ = []
+    for i, t in sorted(toks.items()):
+        for p in range(len(t) - 10 + 1):
+            occ.append((" ".join(t[p:p + 10]), i, p))
+    from collections import Counter, defaultdict
+
+    cnt = Counter(g for g, _, _ in occ)
+    first = {}
+    for g, i, p in sorted(occ, key=lambda x: (x[0], x[1], x[2])):
+        first.setdefault(g, (i, p))
+    covered = defaultdict(set)
+    for g, i, p in occ:
+        if cnt[g] >= 2 and first[g] != (i, p):
+            covered[i] |= set(range(p, p + 10))
+    for i, t in toks.items():
+        keep = [tok for j, tok in enumerate(t) if j not in covered[i]]
+        assert got[i] == (" ".join(keep), len(t), len(t) - len(keep)), i
+
+    # doc 1 keeps the license (first occurrence), docs 2 and 5 lose it
+    assert got[1][2] == 0
+    assert got[2][2] == 10
+    assert got[5] == ("", 10, 10)
+    assert got[3][2] == 0 and got[4][2] == 0
