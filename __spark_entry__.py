@@ -1625,9 +1625,10 @@ def q_search_strategy_all(spark, sf_dir):
 
 
 # tokenizer settings (Meilisearch v1.4): '-' glued words stay whole,
-# 'qq' splits as a multi-char separator, 'a.b' is a dictionary word
+# 'qq' splits as a multi-char separator, 'a.b' is a dictionary word,
+# 'the' is a stop word (never indexed — dropped from the token stream)
 _TOKSET = dict(extra_separators=("qq",), non_separators=("-",),
-               dictionary=("a.b",))
+               dictionary=("a.b",), stop_words=("the",))
 _TOKSET_SRC_SQL = (
     "replace(replace(replace(text, ' table', '-table'), "
     "' value', ' a.b.value'), ' merge', 'qqmerge')"

@@ -103,6 +103,7 @@ def make_tokenizer(
     extra_separators: tuple[str, ...] = (),
     non_separators: tuple[str, ...] = (),
     dictionary: tuple[str, ...] = (),
+    stop_words: tuple[str, ...] = (),
 ):
     """Meilisearch tokenizer settings (v1.4): `extra_separators` =
     separatorTokens (single chars join the class; multi-char strings
@@ -118,7 +119,10 @@ def make_tokenizer(
       native_fn   Column -> array<string> (pure JVM),
       duckdb_fn   SQL expr str -> SQL expr str (oracle),
       py_fn       str -> list[str] (test parity path).
-    All three lowercase first; dictionary entries match lowercased."""
+    All three lowercase first; dictionary entries match lowercased.
+    `stop_words` (the Meilisearch stopWords index setting) drop from
+    the TOKEN STREAM itself — stop words are never indexed, positions
+    number the kept tokens, dl counts kept tokens."""
     for ns in non_separators:
         if len(ns) != 1:
             raise ValueError(
@@ -138,6 +142,7 @@ def make_tokenizer(
     else:
         pattern = cls + "+"
     dwords = [w.lower() for w in dictionary]
+    stops = {w.lower() for w in stop_words}
     sents = [_DICT_SENT.format(i=i) for i in range(len(dwords))]
     # NUL-pad the sentinel so a dictionary hit SEGMENTS the text (the
     # Meilisearch dictionary semantics): 'j.r.r.extra' → 'j.r.r.',
@@ -158,6 +163,9 @@ def make_tokenizer(
                 return out
 
             toks = F.transform(toks, restore)
+        if stops:
+            sw = F.array(*[F.lit(w) for w in sorted(stops)])
+            toks = F.filter(toks, lambda x: ~F.array_contains(sw, x))
         return toks
 
     def duckdb_fn(expr: str) -> str:
@@ -174,6 +182,9 @@ def make_tokenizer(
             for w, s in zip(dwords, sents):
                 case = f"CASE WHEN x = '{s}' THEN '{w}' ELSE {case} END"
             toks = f"list_transform({toks}, x -> {case})"
+        if stops:
+            lst = ", ".join(f"'{w}'" for w in sorted(stops))
+            toks = f"list_filter({toks}, x -> x NOT IN ({lst}))"
         return toks
 
     rx = re.compile(pattern)
@@ -183,7 +194,8 @@ def make_tokenizer(
         for w, sent in zip(dwords, pads):
             t = t.replace(w, sent)
         back = dict(zip(sents, dwords))
-        return [back.get(x, x) for x in rx.split(t) if x != ""]
+        out = [back.get(x, x) for x in rx.split(t) if x != ""]
+        return [x for x in out if x not in stops] if stops else out
 
     return pattern, native_fn, duckdb_fn, py_fn
 
@@ -205,10 +217,11 @@ def _tokenize_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarra
 
 
 def _custom_arrow_plan(settings: dict | None):
-    """settings dict → (pattern, [(word, padded_sentinel)], {sent: word})
-    for the Arrow batch path; None → the pinned default (no-op plan)."""
+    """settings dict → (pattern, [(word, padded_sentinel)],
+    {sent: word}, {stop words}) for the Arrow batch path; None → the
+    pinned default (no-op plan)."""
     if not settings:
-        return SEP_PATTERN, [], {}
+        return SEP_PATTERN, [], {}, set()
     pattern, _, _, _ = make_tokenizer(**settings)
     rx = re.compile(pattern)
     # a dictionary word with no separator in it already tokenizes to
@@ -220,7 +233,8 @@ def _custom_arrow_plan(settings: dict | None):
     ]
     sents = [_DICT_SENT.format(i=i) for i in range(len(dwords))]
     repl = [(w, "\x00" + s + "\x00") for w, s in zip(dwords, sents)]
-    return pattern, repl, dict(zip(sents, dwords))
+    stops = {w.lower() for w in settings.get("stop_words", ())}
+    return pattern, repl, dict(zip(sents, dwords)), stops
 
 
 def _tokenize_batch_codes(
@@ -228,6 +242,7 @@ def _tokenize_batch_codes(
     pattern: str = SEP_PATTERN,
     repl: list[tuple[str, str]] = (),
     back: dict[str, str] | None = None,
+    stops: set[str] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Arrow-native tokenize: batch → (row_idx, codes, vocab).
 
@@ -264,6 +279,16 @@ def _tokenize_batch_codes(
         # sentinels only ever surface as WHOLE tokens, so dictionary
         # restoration is an O(vocab) substitution — never per-token
         vocab = np.asarray([back.get(v, v) for v in vocab], dtype=object)
+    if stops:
+        # stop-word removal at the CODE level: one vocab membership
+        # test, one boolean gather — no per-token string work
+        stop_codes = np.flatnonzero(
+            np.asarray([v in stops for v in vocab], dtype=bool)
+        )
+        if stop_codes.size:
+            keep2 = ~np.isin(codes, stop_codes)
+            codes = codes[keep2]
+            row_idx = row_idx[keep2]
     return row_idx, codes, vocab
 
 
@@ -272,6 +297,7 @@ def _count_doc_terms(
     pattern: str = SEP_PATTERN,
     repl: list[tuple[str, str]] = (),
     back: dict[str, str] | None = None,
+    stops: set[str] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Shared tf-counting core: batch → (rows, term_codes, tf, dl, vocab).
 
@@ -279,7 +305,9 @@ def _count_doc_terms(
     per-document token count (len(texts) long). Integer-key np.unique on
     (row, code) pairs — no string comparisons.
     """
-    row_idx, codes, vocab = _tokenize_batch_codes(texts, pattern, repl, back)
+    row_idx, codes, vocab = _tokenize_batch_codes(
+        texts, pattern, repl, back, stops
+    )
     dl = np.bincount(row_idx, minlength=len(texts)).astype(np.int64)
     if row_idx.size == 0:
         e = np.empty(0, np.int64)
@@ -321,12 +349,12 @@ def make_tokenize_counted(settings: dict | None = None):
     pinned-default UDF unchanged."""
     if not settings:
         return tokenize_counted
-    pattern, repl, back = _custom_arrow_plan(settings)
+    pattern, repl, back, stops = _custom_arrow_plan(settings)
 
     @F.pandas_udf(ArrayType(TOKEN_STRUCT))
     def tokenize_counted_custom(texts: pd.Series) -> pd.Series:
         rows, cols, tf, _, vocab = _count_doc_terms(
-            texts, pattern, repl, back
+            texts, pattern, repl, back, stops
         )
         out: list[list[dict]] = [[] for _ in range(len(texts))]
         for ri, ci, c in zip(rows.tolist(), cols.tolist(), tf.tolist()):

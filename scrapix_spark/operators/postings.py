@@ -62,7 +62,7 @@ def postings_from_content(docs: DataFrame, text_col: str = "content",
 
     # tokenizer settings (IndexConfig.tokenizer): custom separator
     # pattern + dictionary-protection replacements; None = pinned default
-    pattern, repl, back = _custom_arrow_plan(settings)
+    pattern, repl, back, stops = _custom_arrow_plan(settings)
 
     # tf/dl are int32 on the wire: both fit comfortably (tf, dl < 2^31)
     # and the posting relation is the widest thing the build shuffles —
@@ -89,6 +89,12 @@ def postings_from_content(docs: DataFrame, text_col: str = "content",
             keep = pc.not_equal(flat, "")
             flat = flat.filter(keep)
             row_idx = row_idx[keep.to_numpy(zero_copy_only=False)]
+            if stops:
+                keep_sw = pc.invert(
+                    pc.is_in(flat, value_set=pa.array(sorted(stops)))
+                )
+                flat = flat.filter(keep_sw)
+                row_idx = row_idx[keep_sw.to_numpy(zero_copy_only=False)]
             dl = np.bincount(row_idx, minlength=batch.num_rows).astype(np.int64)
             if row_idx.size == 0:
                 yield pa.RecordBatch.from_pydict(

@@ -72,3 +72,36 @@ def test_phrase_and_search_grammar_use_custom_tokens(custom_idx):
     assert _paths(r.topk_phrase("jean-pierre wrote", 10)) == ["p0"]
     res = r.search('"jean-pierre fans"', k=10)
     assert sorted(x["path"] for x in res["hits"].collect()) == ["p2"]
+
+
+def test_stop_words_never_indexed(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    rows = [("r", f"p{i}", "c", "py", t) for i, t in enumerate([
+        "the table is the best table",
+        "a table without articles",
+    ])]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    d = str(tmp_path_factory.mktemp("stopidx"))
+    build_index(
+        spark, df, d,
+        IndexConfig(index_uid="stop", n_shards=2, exclude_paginated=False,
+                    store_positions=True,
+                    tokenizer={"stop_words": ("the", "a")}),
+        build_id="s1",
+    )
+    r = IndexReader(spark, d)
+    dict_terms = {x["term"] for x in r.dict_df.select("term").collect()}
+    assert "the" not in dict_terms and "a" not in dict_terms
+    assert "table" in dict_terms
+    # dl counts KEPT tokens only: doc 0 has 6 raw, 4 kept
+    dls = {x["path"]: x["doc_len"]
+           for x in r.docs.select("path", "doc_len").collect()}
+    assert dls["p0"] == 4 and dls["p1"] == 3
+    # stop word in the query resolves to nothing; the rest still match
+    assert sorted(x["path"] for x in r.topk_pruned("the table", 10).collect()) \
+        == ["p0", "p1"]
+    # phrases skip stop words: 'best table' adjacency holds in kept stream
+    assert [x["path"] for x in r.topk_phrase("best table", 10).collect()] == ["p0"]
