@@ -146,6 +146,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         # round-2c additions (BASELINE.md records their first window)
         "search_quoted_phrase", "search_typo_filtered", "attribute_rule",
         "boilerplate_removed", "sample_budget", "gopher_rules",
+        "mask_repeated_spans", "sample_temperature", "tokenize_custom",
     ]
     out = {}
     for name in headline:
