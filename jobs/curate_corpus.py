@@ -1,0 +1,115 @@
+"""spark-submit entry: training-corpus curation pipeline.
+
+    spark-submit --py-files dist/scrapix_spark.zip jobs/curate_corpus.py \
+        --input /path/docs.parquet --output /path/clean.parquet \
+        --text-col content --id-col doc_id \
+        [--steps exact_dedup,boilerplate,spans,gopher,sample] \
+        [--min-line-docs 50] [--span-w 13] \
+        [--gopher-min-words 50] [--sample-rate 0.5] \
+        [--strat-col lang] [--budget-tokens 0] [--temperature-docs 0] \
+        [--json]
+
+Chains the curation operators (operators/curation.py, operators/dedup.py)
+in the canonical pre-training order — exact dedup → boilerplate line
+removal → repeated-span masking → Gopher quality gate → deterministic
+sampling — writing the surviving rows (with `clean_text`) to parquet and
+printing ONE JSON manifest line with per-stage row counts. Every stage
+is deterministic (hash-mod sampling, ordered windows): re-running on the
+same input reproduces the output bit-for-bit on any cluster size.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+ALL_STEPS = ["exact_dedup", "boilerplate", "spans", "gopher", "sample"]
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="Corpus curation pipeline")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--text-col", default="content")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--steps", default=",".join(ALL_STEPS))
+    ap.add_argument("--min-line-docs", type=int, default=50)
+    ap.add_argument("--line-delimiter", default="\n")
+    ap.add_argument("--span-w", type=int, default=13)
+    ap.add_argument("--gopher-min-words", type=int, default=50)
+    ap.add_argument("--gopher-min-stop-hits", type=int, default=2)
+    ap.add_argument("--sample-rate", type=float, default=1.0)
+    ap.add_argument("--strat-col", default=None,
+                    help="stratify sampling / budgets by this column")
+    ap.add_argument("--budget-tokens", type=int, default=0,
+                    help="per-stratum token budget on --token-col (0 = off)")
+    ap.add_argument("--token-col", default=None,
+                    help="token-count column for --budget-tokens")
+    ap.add_argument("--temperature-docs", type=int, default=0,
+                    help="tempered (alpha=0.5) per-stratum doc target (0 = off)")
+    args = ap.parse_args(argv)
+    steps = [s for s in args.steps.split(",") if s]
+    unknown = set(steps) - set(ALL_STEPS)
+    if unknown:
+        ap.error(f"unknown steps: {sorted(unknown)} (choose from {ALL_STEPS})")
+
+    from scrapix_spark.operators import curation as CU
+    from scrapix_spark.operators import dedup as DD
+
+    spark = SparkSession.builder.appName("scrapix-spark-curate").getOrCreate()
+    df = spark.read.parquet(args.input)
+    tcol, idc = args.text_col, args.id_col
+    counts: dict[str, int] = {"input": df.count()}
+
+    if "exact_dedup" in steps:
+        df = DD.dedup_exact(df, tcol, idc)
+        counts["exact_dedup"] = df.count()
+    if "boilerplate" in steps:
+        cleaned = CU.remove_boilerplate(
+            df, tcol, idc, args.min_line_docs, args.line_delimiter
+        )
+        df = df.drop(tcol).join(
+            cleaned.withColumnRenamed("clean_text", tcol)
+            .select(idc, tcol), idc,
+        )
+        counts["boilerplate"] = df.count()
+    if "spans" in steps:
+        masked = CU.mask_repeated_spans(df, tcol, idc, w=args.span_w)
+        df = df.drop(tcol).join(
+            masked.select(F.col("id").alias(idc),
+                          F.col("clean_text").alias(tcol)), idc,
+        )
+        counts["spans"] = df.count()
+    if "gopher" in steps:
+        df = CU.gopher_rules(
+            df, tcol, min_words=args.gopher_min_words,
+            min_stop_hits=args.gopher_min_stop_hits,
+        ).filter("gopher_keep")
+        df = df.drop(*[c for c in df.columns if c.startswith("r_")],
+                     "gopher_keep")
+        counts["gopher"] = df.count()
+    if "sample" in steps:
+        if args.temperature_docs and args.strat_col:
+            df = CU.temperature_sample(
+                df, args.temperature_docs, args.strat_col, idc
+            ).drop("keep_rate")
+        elif args.budget_tokens and args.strat_col and args.token_col:
+            df = CU.budget_sample(
+                df, args.budget_tokens, args.token_col, args.strat_col, idc
+            ).drop("cum_tokens")
+        elif args.sample_rate < 1.0:
+            df = CU.deterministic_sample(df, args.sample_rate, idc)
+        counts["sample"] = df.count()
+
+    df.write.mode("overwrite").parquet(args.output)
+    counts["output"] = spark.read.parquet(args.output).count()
+    print(json.dumps({"steps": steps, "counts": counts}, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -16,6 +16,7 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
 
 import build_index as job_build  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 import query_index as job_query  # noqa: E402
 
 
@@ -146,3 +147,32 @@ def test_query_job_search_mode_grammar_and_facets(cli_index, capsys):
     assert all(h["rank"] == i + 1 for i, h in enumerate(hits))
     facets = [json.loads(l) for l in cap.err.strip().splitlines() if l.startswith("{")]
     assert any(f.get("attr") == "lang" for f in facets)
+
+
+def test_curate_job_pipeline_and_manifest(spark, tmp_path, capsys):
+    import curate_corpus as job_curate
+
+    lic = "shared license line"
+    rows = [
+        (i, "en" if i % 2 else "de",
+         f"{lic}\n" + " ".join(f"w{i} tok{j} the of and that" for j in range(12)))
+        for i in range(60)
+    ] + [(100, "en", "dup dup"), (101, "en", "dup dup")]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(rows, "doc_id long, lang string, content string") \
+        .write.parquet(src)
+    rc = job_curate.main([
+        "--input", src, "--output", out, "--steps",
+        "exact_dedup,boilerplate,gopher,sample",
+        "--min-line-docs", "10", "--gopher-min-words", "20",
+        "--gopher-min-stop-hits", "2", "--sample-rate", "0.5",
+    ])
+    assert rc == 0
+    man = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    c = man["counts"]
+    assert c["exact_dedup"] == 61          # one of the 'dup dup' pair dropped
+    assert c["gopher"] <= c["boilerplate"]
+    assert 0 < c["output"] == c["sample"] < c["gopher"]
+    cleaned = spark.read.parquet(out)
+    assert not cleaned.filter(F.col("content").contains(lic)).count()
