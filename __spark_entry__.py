@@ -815,6 +815,63 @@ def q_png_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_features_real(spark, sf_dir):
+    """X10 complete — REAL feature extraction across all three
+    modalities (extract_features_real: decoded pixels / PCM windows /
+    frame lumas, no hashes). Fixtures are closed-form so the oracle
+    recomputes every feature value analytically:
+
+    - image: constant-color PNG  → every grid cell = c/255
+    - audio: two-level square PCM → window RMS = a/32768 then b/32768
+    - video: constant-luma Y4M frames → pooled pairs of frame means
+    """
+    import numpy as np
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                if mid % 3 == 0:
+                    c = mid % 256
+                    h, w = 8 + mid % 5, 8 + mid % 7
+                    img = np.full((h, w, 3), c, dtype=np.uint8)
+                    rows["kind"].append("image")
+                    rows["payload"].append(MM.png_encode(img))
+                elif mid % 3 == 1:
+                    a = (mid % 97) * 19 + 100
+                    b = (mid % 83) * 23 + 200
+                    samples = np.concatenate(
+                        [np.full(200, a, np.int64), np.full(200, b, np.int64)]
+                    )
+                    rows["kind"].append("audio")
+                    rows["payload"].append(MM.wav_encode(samples, 8000))
+                else:
+                    lumas = [(mid * 11 + t * 29) % 256 for t in range(8)]
+                    frames = np.stack(
+                        [np.full((4, 4), l, np.uint8) for l in lumas]
+                    )
+                    rows["kind"].append("video")
+                    rows["payload"].append(MM.y4m_encode(frames))
+                rows["media_id"].append(mid)
+            yield pd.DataFrame(rows)
+
+    media = d.mapInPandas(gen, schema="media_id long, kind string, payload binary")
+    out = MM.extract_features_real(media, dim=4)
+    return out.select(
+        "media_id", "kind",
+        *[
+            F.round(F.element_at("feature", i + 1).cast("double"), 6)
+            .alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal decode/feature-extract kernel (mapInPandas over binary
     payloads; decode stubbed — sha256 digest stands in for the embedding).
@@ -2038,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_decode": q_wav_decode,
         "png_decode": q_png_decode,
         "multimodal_features": q_multimodal_features,
+        "multimodal_features_real": q_multimodal_features_real,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "streaming_tumbling": q_streaming_tumbling,
@@ -3422,6 +3480,39 @@ SELECT media_id, 8000::INT AS sample_rate, 1::BIGINT AS n_channels,
          AS rms,
        list_max(list_transform(xs, x -> abs(x)))::INT AS peak
 FROM s
+""",
+        # real decode paths: fixture media are closed-form, so every
+        # feature value is recomputable analytically (image constant
+        # color, audio two-level square wave, video constant-luma frames)
+        "multimodal_features_real": """
+WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS k FROM documents),
+f AS (
+  SELECT media_id, 'image' AS kind,
+         round((media_id % 256) / 255.0, 6) AS f0,
+         round((media_id % 256) / 255.0, 6) AS f1,
+         round((media_id % 256) / 255.0, 6) AS f2,
+         round((media_id % 256) / 255.0, 6) AS f3
+  FROM m WHERE k = 0
+  UNION ALL
+  SELECT media_id, 'audio',
+         round(((media_id % 97) * 19 + 100) / 32768.0, 6),
+         round(((media_id % 97) * 19 + 100) / 32768.0, 6),
+         round(((media_id % 83) * 23 + 200) / 32768.0, 6),
+         round(((media_id % 83) * 23 + 200) / 32768.0, 6)
+  FROM m WHERE k = 1
+  UNION ALL
+  SELECT media_id, 'video',
+         round((((media_id * 11 + 0 * 29) % 256)
+              + ((media_id * 11 + 1 * 29) % 256)) / 2.0 / 255.0, 6),
+         round((((media_id * 11 + 2 * 29) % 256)
+              + ((media_id * 11 + 3 * 29) % 256)) / 2.0 / 255.0, 6),
+         round((((media_id * 11 + 4 * 29) % 256)
+              + ((media_id * 11 + 5 * 29) % 256)) / 2.0 / 255.0, 6),
+         round((((media_id * 11 + 6 * 29) % 256)
+              + ((media_id * 11 + 7 * 29) % 256)) / 2.0 / 255.0, 6)
+  FROM m WHERE k = 2
+)
+SELECT media_id, kind, f0, f1, f2, f3 FROM f
 """,
         "multimodal_features": """
 SELECT doc_id AS media_id,

@@ -119,6 +119,95 @@ def extract_features(media: DataFrame, dim: int = 8, fake: bool = True) -> DataF
     )
 
 
+def extract_features_real(media: DataFrame, dim: int = 16) -> DataFrame:
+    """REAL feature extraction — every value is computed from decoded
+    media content, no hashes (reference anchor: scrapix ships payloads
+    to an external indexer, `src/sender.ts:96-111`; a training pipeline
+    embeds them instead):
+
+    - image (PNG):  grayscale block-mean pooled to `dim` cells / 255
+    - audio (WAV):  per-window RMS over `dim` equal windows / 32768
+    - video (Y4M):  per-frame mean luma resampled to `dim` steps / 255
+
+    All three produce an array<float> of length `dim` in [0, 1] — a
+    drop-in column for the similarity operators. Unsupported containers
+    raise loudly (same contract as decode_images/decode_audio); use
+    extract_features(fake=True) for opaque-payload plumbing tests."""
+    import io
+    import wave
+
+    def _pool_1d(x: "np.ndarray", d: int) -> "np.ndarray":
+        # block-mean resample of a 1-D signal to exactly d values
+        if x.size == 0:
+            return np.zeros(d)
+        idx = (np.arange(d + 1) * x.size) // d
+        idx = np.maximum(idx, np.arange(d + 1))  # non-empty blocks
+        sums = np.add.reduceat(x.astype(np.float64), idx[:-1].clip(0, x.size - 1))
+        cnts = np.maximum(np.diff(idx), 1)
+        return sums / cnts
+
+    def _img_feature(payload: bytes) -> list:
+        img = png_decode_bytes(payload).astype(np.float64)
+        gray = img.mean(axis=2)  # (H, W)
+        g = int(np.ceil(np.sqrt(dim)))
+        h, w = gray.shape
+        ys = (np.arange(g + 1) * h) // g
+        xs = (np.arange(g + 1) * w) // g
+        cells = []
+        for i in range(g):
+            # clamp so every block is a non-empty window inside the image
+            y0 = min(int(ys[i]), h - 1)
+            y1 = max(min(int(ys[i + 1]), h), y0 + 1)
+            for j in range(g):
+                x0 = min(int(xs[j]), w - 1)
+                x1 = max(min(int(xs[j + 1]), w), x0 + 1)
+                cells.append(gray[y0:y1, x0:x1].mean())
+        return [float(round(c / 255.0, 6)) for c in cells[:dim]]
+
+    def _wav_feature(payload: bytes) -> list:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n = w.getnframes()
+            x = np.frombuffer(w.readframes(n), dtype="<i2")
+            if w.getnchannels() > 1:
+                x = x.reshape(-1, w.getnchannels()).mean(axis=1)
+        xw = x.astype(np.float64) ** 2
+        idx = (np.arange(dim + 1) * xw.size) // dim
+        feats = []
+        for i in range(dim):
+            seg = xw[idx[i]:max(idx[i + 1], idx[i] + 1)]
+            feats.append(float(round(np.sqrt(seg.mean()) / 32768.0, 6)) if seg.size else 0.0)
+        return feats
+
+    def _y4m_feature(payload: bytes) -> list:
+        v = y4m_decode_bytes(payload)
+        luma = v["frames"].reshape(v["frames"].shape[0], -1).mean(axis=1)
+        return [float(round(c / 255.0, 6)) for c in _pool_1d(luma, dim)]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        extractors = {"image": _img_feature, "audio": _wav_feature,
+                      "video": _y4m_feature}
+        for pdf in batches:
+            shas, sizes, feats = [], [], []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                b = bytes(payload or b"")
+                shas.append(hashlib.sha256(b).hexdigest())
+                sizes.append(len(b))
+                feats.append(extractors[kind](b))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload_sha256": shas,
+                    "payload_bytes": sizes,
+                    "feature": feats,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        kernel, schema=FEATURE_SCHEMA
+    )
+
+
 def wav_encode(samples: "np.ndarray", framerate: int = 8000) -> bytes:
     """PCM int16 mono samples → real RIFF/WAV bytes (stdlib writer)."""
     import io

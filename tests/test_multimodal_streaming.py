@@ -337,3 +337,56 @@ def test_png_decode_real_roundtrip_and_filters(spark):
     assert np.array_equal(out, img[ys][:, xs])
     with pytest.raises(Exception):
         MM.png_decode_bytes(b"not a png at all")
+
+
+def test_extract_features_real_all_modalities(spark):
+    """extract_features_real computes every feature value from decoded
+    content: image grid means, audio window RMS, video per-frame luma —
+    pinned against hand-computed numpy on encoder-roundtripped media."""
+    import numpy as np
+
+    from scrapix_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    pcm = (np.sin(np.linspace(0, 40, 800)) * 20000).astype(np.int16)
+    frames = rng.integers(0, 256, (6, 4, 4), dtype=np.uint8)
+
+    rows = [
+        (1, "image", "png", 8, 8, None, bytearray(MM.png_encode(img))),
+        (2, "audio", "wav", None, None, 100, bytearray(MM.wav_encode(pcm))),
+        (3, "video", "y4m", 4, 4, 240, bytearray(MM.y4m_encode(frames))),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           MM.extract_features_real(media, dim=4).collect()}
+    assert set(got) == {1, 2, 3}
+    for r in got.values():
+        assert len(r["feature"]) == 4
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])
+
+    # image: dim=4 -> 2x2 grid of quadrant means over grayscale
+    gray = img.astype(np.float64).mean(axis=2)
+    quads = [gray[:4, :4].mean(), gray[:4, 4:].mean(),
+             gray[4:, :4].mean(), gray[4:, 4:].mean()]
+    assert got[1]["feature"] == pytest.approx(
+        [q / 255.0 for q in quads], abs=1e-5)
+
+    # audio: RMS of each of the 4 windows / 32768
+    w = pcm.reshape(4, -1).astype(np.float64)
+    rms = np.sqrt((w ** 2).mean(axis=1)) / 32768.0
+    assert got[2]["feature"] == pytest.approx(list(rms), abs=1e-5)
+
+    # video: 6 frame-mean lumas block-meaned to 4 values / 255
+    luma = frames.reshape(6, -1).astype(np.float64).mean(axis=1)
+    idx = (np.arange(5) * 6) // 4
+    exp = [luma[idx[i]:max(idx[i + 1], idx[i] + 1)].mean() / 255.0
+           for i in range(4)]
+    assert got[3]["feature"] == pytest.approx(exp, abs=1e-5)
+
+    # non-decodable payload raises loudly (no fabricated features)
+    bad = spark.createDataFrame(
+        [(9, "image", "png", 2, 2, None, bytearray(b"junk"))],
+        MM.MEDIA_SCHEMA)
+    with pytest.raises(Exception):
+        MM.extract_features_real(bad).collect()
