@@ -305,6 +305,51 @@ def run_scaling(n_docs: int, runs: int = 3) -> dict:
     }
 
 
+def _hw_kernel(_: int) -> None:
+    import hashlib
+
+    h = b"x" * 65536
+    for _ in range(2500):
+        h = hashlib.sha256(h).digest() * 2048
+
+
+def _hw_kernel_noop(_: int) -> None:
+    return None
+
+
+def hw_calibration() -> dict:
+    """Fixed, code-independent kernel timed per bench run so per-query
+    walls are comparable ACROSS rounds on this shared VM: the same
+    BENCH entry measured in two windows can differ 2-4x purely from
+    neighbor load (measured: the identical commit built in 12.1s and
+    97s in two windows hours apart). Normalize cross-round comparisons
+    by the ratio of `hw_calib_sec` (1 thread) / `hw_calib_par_sec`
+    (all threads) before reading anything into a per-query delta."""
+    import concurrent.futures as cf
+
+    _hw_kernel(0)  # untimed warm pass (allocator, icache)
+    one = min(
+        (lambda t0: (_hw_kernel(0), time.time() - t0)[1])(time.time())
+        for _ in range(3)
+    )
+    n = os.cpu_count() or 1
+    # processes, not threads: the loop around the GIL-releasing hash
+    # still convoys on the GIL at 32 threads; fork-per-core measures
+    # the box itself (spawn cost is subtracted via a warm empty map)
+    with cf.ProcessPoolExecutor(n) as ex:
+        list(ex.map(_hw_kernel_noop, range(n)))  # warm the pool
+        t0 = time.time()
+        list(ex.map(_hw_kernel, range(n)))
+        par = time.time() - t0
+    return {
+        "hw_calib_sec": round(one, 3),
+        "hw_calib_par_sec": round(par, 3),
+        # n kernels of `one` seconds each, run on n threads: how many
+        # cores the box actually delivered in this window
+        "hw_effective_cores": round(n * one / par, 1) if par else None,
+    }
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
         cores, corpus = int(sys.argv[2]), sys.argv[3]
@@ -363,6 +408,7 @@ def main() -> None:
         "build_docs_per_sec": round(BUILD_DOCS / build_sec, 1),
         **qstats,
         "cpus": cpus,
+        **hw_calibration(),
     }
     spark.stop()
     print(json.dumps(result))
