@@ -453,6 +453,72 @@ def q_compact_lifecycle_topk(spark, sf_dir):
     )
 
 
+STREAM_QUERY = "stream sort merge"
+
+
+def _stream_index(spark, sf_dir) -> str:
+    """Streaming-ingest lifecycle fixture (cached per sf_dir): base
+    build over a third of the documents table, then the remaining two
+    thirds arrive as two single-file waves in a drop directory consumed
+    by stream_index_updates (readStream → foreachBatch → upsert_update
+    → atomic re-publish per micro-batch). Reference analog: pages PUT
+    into the live Meilisearch index as the crawl discovers them
+    (src/sender.ts:96-111, src/crawler.ts:176-180)."""
+    import re as _re
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import build_index, load_meta
+    from scrapix_spark.streaming.ingest import stream_index_updates
+
+    d = "/tmp/entry_stream_" + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    drop = d + "_drop"
+    if not os.path.exists(os.path.join(d, "_stream_done")):
+        raw = _docs(spark, sf_dir).select(
+            F.col("source").alias("repo"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+            F.col("doc_id").alias("_id"),
+        )
+        build_index(
+            spark, raw.filter(F.col("_id") % 3 == 0).drop("_id"), d,
+            IndexConfig(index_uid="stream", n_shards=8,
+                        exclude_paginated=False),
+            build_id="base", source_desc=sf_dir,
+        )
+        for wave in (1, 2):
+            raw.filter(F.col("_id") % 3 == wave).drop("_id").coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                os.path.join(drop, f"wave_{wave}.parquet")
+            )
+        stream_index_updates(
+            spark, os.path.join(drop, "*", "*.parquet"), d,
+            IndexConfig(index_uid="stream", n_shards=8,
+                        exclude_paginated=False),
+            max_files_per_batch=1,
+        )
+        assert load_meta(d)["N"] > 0
+        with open(os.path.join(d, "_stream_done"), "w") as f:
+            f.write("ok")
+    return d
+
+
+def q_streaming_upsert_topk(spark, sf_dir):
+    """X11+X14: BM25 top-10 over an index INCREMENTALLY BUILT BY A
+    STREAM — Structured Streaming micro-batches upserted as LSM layers
+    into the live published index. All docs arrive exactly once (no
+    tombstones), so the layered index must be score-identical to
+    exhaustive SQL over the full table: that equivalence is the gate."""
+    idx = _stream_index(spark, sf_dir)
+    topk = Q.bm25_topk_pruned(spark, idx, STREAM_QUERY, 10, hydrate=True)
+    return topk.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_bm25_wand_topk(spark, sf_dir):
     """T3/M5: block-max WAND top-10 over a PUBLISHED index (compressed
     delta+varint segments, per-shard pruning kernel + global merge).
@@ -2082,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         "events_tumbling": q_events_tumbling,
         "bm25_wand_topk": q_bm25_wand_topk,
+        "streaming_upsert_topk": q_streaming_upsert_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
         "compact_lifecycle_topk": q_compact_lifecycle_topk,
         "merged_segments_topk": q_merged_segments_topk,
@@ -3385,6 +3452,13 @@ FROM documents
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
        event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1, 2
+""",
+        # a stream-of-upserts-built layered index must score exactly like
+        # one global build — the oracle is exhaustive SQL over the table
+        "streaming_upsert_topk": _bm25_scored_sql(Q.query_terms(STREAM_QUERY))
+        + """
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
 """,
         # WAND over the compressed published index must be rank-identical
         # to exhaustive SQL scoring — that equivalence IS the check.

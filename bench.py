@@ -131,6 +131,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
     E._entry_index(spark, sf_dir)
     E._entry_pos_index(spark, sf_dir)
     E._lifecycle_index(spark, sf_dir, compacted=False)
+    E._stream_index(spark, sf_dir)
     qs = E.queries()
     headline = [
         "tokenize_tf", "term_df", "bm25_topk", "ranked_union_topk",
@@ -147,6 +148,9 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "search_quoted_phrase", "search_typo_filtered", "attribute_rule",
         "boilerplate_removed", "sample_budget", "gopher_rules",
         "mask_repeated_spans", "sample_temperature", "tokenize_custom",
+        # round-2d: stream-of-upserts-built index (fixture pre-built
+        # above; the timed part is the layered query, same as lifecycle)
+        "streaming_upsert_topk",
     ]
     out = {}
     for name in headline:

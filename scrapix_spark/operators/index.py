@@ -742,6 +742,28 @@ def delta_update(
         & (F.col("_sha_new").isNull() | (F.col("_sha_old") != F.col("_sha_new")))
     ).select(F.col("_old_id").alias("doc_id"), F.col("_old_dl").alias("doc_len"))
 
+    return _publish_delta_layer(
+        spark, index_dir, meta_old, cfg, delta_raw, dead,
+        build_id, source_desc, t0,
+    )
+
+
+def _publish_delta_layer(
+    spark: SparkSession,
+    index_dir: str,
+    meta_old: dict,
+    cfg: IndexConfig,
+    delta_raw: DataFrame,
+    dead: DataFrame,
+    build_id: str,
+    source_desc: str,
+    t0: float,
+) -> dict:
+    """Shared LSM tail of delta_update/upsert_update: resurrection
+    handling, delta layer build (tb_bits pinned to the manifest),
+    consolidated per-shard tombstone sidecar, live N/avgdl accounting,
+    atomic publish. `delta_raw` = rows to (re)index; `dead` =
+    (doc_id, doc_len) rows to tombstone."""
     # Resurrection: a doc removed in an earlier delta and re-added later
     # with the same (repo, path, commit) hashes to the SAME doc_id as
     # its standing tombstone. Re-indexing it would duplicate its docs/
@@ -858,6 +880,99 @@ def delta_update(
     publish(index_dir, build_id)
     meta["delta_wall_sec"] = time.time() - t0
     return meta
+
+
+def upsert_update(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    build_id: str = "upsert",
+    source_desc: str = "",
+    removals: DataFrame | None = None,
+) -> dict:
+    """Incremental upsert from a PARTIAL batch (the streaming
+    micro-batch shape — reference analog: the crawler PUTs each page
+    batch into a live Meilisearch index as it is discovered,
+    src/sender.ts:96-111, rather than re-pushing the whole corpus).
+
+    Unlike delta_update (which diffs a full re-crawl snapshot and
+    tombstones everything absent from it), rows NOT present in `batch`
+    are untouched. Per (repo, path) key in the batch:
+
+      - not live yet              → indexed as a fresh LSM layer
+      - live with different sha   → old doc_id tombstoned + re-indexed
+                                    (changed content must carry a new
+                                    commit — same loud guard as
+                                    delta_update)
+      - live with identical sha   → skipped, making at-least-once
+                                    streaming replay idempotent
+
+    `removals`: optional (repo, path) rows to delete explicitly (the
+    streaming analog of a 404 on re-crawl). Publishes atomically; safe
+    to call repeatedly (each call is one layer — run compact() when
+    layer count grows).
+    """
+    meta_old = load_meta(index_dir)
+    cfg = cfg or IndexConfig.from_json(json.dumps(meta_old["config"]))
+    t0 = time.time()
+
+    old_live = read_docs(spark, index_dir).join(
+        read_tombstones(spark, index_dir), "doc_id", "left_anti"
+    )
+    from pyspark.sql import Window
+
+    # one row per (repo, path) within the batch: highest commit wins
+    w = Window.partitionBy("repo", "path").orderBy(F.col("commit").desc())
+    snap = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_rn")
+        .withColumn("_sha_new", F.sha2("content", 256))
+    )
+    old_keyed = old_live.select(
+        "repo", "path", F.col("doc_id").alias("_old_id"),
+        F.col("commit").alias("_old_commit"),
+        F.col("sha256").alias("_sha_old"), F.col("doc_len").alias("_old_dl"),
+    )
+    # left join, not full_outer: live rows absent from the batch are
+    # out of scope for an upsert
+    j = snap.join(old_keyed, ["repo", "path"], "left")
+
+    n_bad = j.filter(
+        F.col("_sha_old").isNotNull()
+        & (F.col("_sha_old") != F.col("_sha_new"))
+        & (F.col("commit") == F.col("_old_commit"))
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"{n_bad} changed row(s) kept their old commit — changed "
+            "content must carry a new commit (doc identity is "
+            "(repo, path, commit))"
+        )
+
+    delta_raw = j.filter(
+        F.col("_sha_old").isNull() | (F.col("_sha_old") != F.col("_sha_new"))
+    ).select("repo", "path", "commit", "lang", "content")
+    dead = j.filter(
+        F.col("_sha_old").isNotNull()
+        & (F.col("_sha_old") != F.col("_sha_new"))
+    ).select(F.col("_old_id").alias("doc_id"), F.col("_old_dl").alias("doc_len"))
+    if removals is not None:
+        dead = dead.unionByName(
+            old_keyed.join(
+                removals.select("repo", "path").dropDuplicates(),
+                ["repo", "path"],
+            ).select(
+                F.col("_old_id").alias("doc_id"),
+                F.col("_old_dl").alias("doc_len"),
+            )
+        ).dropDuplicates(["doc_id"])
+
+    return _publish_delta_layer(
+        spark, index_dir, meta_old, cfg, delta_raw, dead,
+        build_id, source_desc, t0,
+    )
 
 
 def compact(

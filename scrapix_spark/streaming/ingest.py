@@ -140,3 +140,69 @@ def stream_ingest(
     )
     q.awaitTermination()
     return counters
+
+
+def stream_index_updates(
+    spark: SparkSession,
+    drop_dir: str,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    max_files_per_batch: int | None = None,
+) -> dict:
+    """Streaming ingest INTO the live published index: readStream over a
+    drop directory → foreachBatch → operators.index.upsert_update. After
+    every micro-batch the index is atomically re-published, so
+    concurrent IndexReader opens always see a complete snapshot — the
+    streaming analog of the reference's crawl-while-serving loop
+    (pages PUT into a live Meilisearch index as discovered,
+    src/sender.ts:96-111 + src/crawler.ts:176-180).
+
+    Semantics per micro-batch (upsert_update): new (repo, path) keys are
+    indexed as one LSM layer; changed content (new commit) tombstones the
+    old doc and indexes the new one; content-identical rows are skipped —
+    which makes the at-least-once file-source replay idempotent. Offsets
+    checkpoint under <index_dir>/_stream_checkpoint; trigger=availableNow
+    drains everything currently in the drop dir and stops (swap for a
+    continuous trigger in a long-lived server).
+
+    Returns counters {batches, docs_upserted, docs_tombstoned}.
+    """
+    from scrapix_spark.operators.index import load_meta, upsert_update
+
+    cfg = cfg or IndexConfig()
+    ckpt = os.path.join(index_dir, "_stream_checkpoint")
+    counters = {"batches": 0, "docs_upserted": 0, "docs_tombstoned": 0}
+
+    reader = spark.readStream.schema(RAW_SCHEMA)
+    if max_files_per_batch:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_batch)
+    stream = reader.parquet(drop_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        meta = upsert_update(
+            spark, batch_df, index_dir, cfg,
+            build_id=f"stream_{batch_id:06d}",
+            source_desc=f"stream_batch:{batch_id}",
+        )
+        stats = meta.get("delta_stats") or {}
+        counters["batches"] += 1
+        counters["docs_upserted"] += int(stats.get("added_or_changed", 0))
+        counters["docs_tombstoned"] += int(stats.get("tombstoned", 0))
+        # heartbeat row per micro-batch (W1 webhook `active` analog)
+        with open(os.path.join(index_dir, "_stream_heartbeat.jsonl"), "a") as f:
+            f.write(json.dumps({
+                "batch_id": batch_id,
+                "status": "active",
+                "nb_documents_sent": counters["docs_upserted"],
+                "live_N": load_meta(index_dir)["N"],
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }) + "\n")
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return counters

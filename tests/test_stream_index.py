@@ -1,0 +1,146 @@
+"""Streaming ingest into the LIVE index: upsert_update (partial-batch
+semantics) and stream_index_updates (readStream → foreachBatch →
+upsert → atomic re-publish per micro-batch).
+
+Key invariants:
+  * rows absent from an upsert batch are untouched (unlike delta_update)
+  * content-identical replay is a no-op (at-least-once safe)
+  * changed content (new commit) tombstones the old doc
+  * after draining the stream, the index is rank-identical to a
+    from-scratch rebuild over the full union
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.config import IndexConfig
+from scrapix_spark.fixtures import corpus_spark_df
+from scrapix_spark.operators.index import build_index, load_meta, upsert_update
+from scrapix_spark.operators.query import IndexReader
+from scrapix_spark.streaming.ingest import stream_index_updates
+
+CFG = dict(n_shards=8, exclude_paginated=False)
+
+
+@pytest.fixture(scope="module")
+def base(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("upsert")
+    idx = str(root / "idx")
+    snap1 = corpus_spark_df(spark, 300)
+    extra = corpus_spark_df(spark, 380).join(
+        snap1, ["repo", "path", "commit"], "left_anti"
+    )
+    build_index(spark, snap1, idx, IndexConfig(**CFG), build_id="base")
+    return idx, snap1, extra, str(root)
+
+
+def test_upsert_adds_without_touching_absent_rows(spark, base):
+    idx, snap1, extra, _ = base
+    n0 = load_meta(idx)["N"]
+    meta = upsert_update(spark, extra, idx, build_id="u1")
+    st = meta["delta_stats"]
+    assert st["tombstoned"] == 0, "absent rows must NOT be tombstoned"
+    assert st["added_or_changed"] > 0
+    assert meta["N"] == n0 + st["added_or_changed"]
+    # every base doc still live and searchable
+    r = IndexReader(spark, idx)
+    hits = r.topk_pruned("zanzibar", 10).collect()
+    assert hits, "base rare-term docs remain searchable after upsert"
+
+
+def test_upsert_replay_is_idempotent(spark, base):
+    idx, _, extra, _ = base
+    m1 = load_meta(idx)
+    m2 = upsert_update(spark, extra, idx, build_id="u1_replay")
+    # identical content: nothing indexed, nothing tombstoned, no publish
+    assert m2["build_id"] == m1["build_id"]
+    assert m2["N"] == m1["N"]
+    assert len(m2["layers"]) == len(m1["layers"])
+
+
+def test_upsert_change_and_removal(spark, base):
+    idx, snap1, _, _ = base
+    n0 = load_meta(idx)["N"]
+    victim = snap1.orderBy("repo", "path").limit(1)
+    changed = victim.withColumn(
+        "content", F.concat(F.col("content"), F.lit("\nquuxupsert marker"))
+    ).withColumn("commit", F.concat(F.col("commit"), F.lit("-u2")))
+    removal = snap1.orderBy(F.col("repo").desc(), F.col("path").desc()).limit(1)
+    meta = upsert_update(
+        spark, changed, idx, build_id="u2", removals=removal
+    )
+    st = meta["delta_stats"]
+    assert st["added_or_changed"] == 1
+    assert st["tombstoned"] == 2  # the changed doc's old id + the removal
+    assert meta["N"] == n0 - 1  # +1 new, -2 dead
+    r = IndexReader(spark, idx)
+    hits = r.topk_pruned("quuxupsert", 5, hydrate=True).collect()
+    assert len(hits) == 1
+    gone = removal.collect()[0]
+    assert not [
+        h for h in hits if h["path"] == gone["path"] and h["repo"] == gone["repo"]
+    ]
+
+
+def test_upsert_same_commit_changed_content_refused(spark, base):
+    idx, snap1, _, _ = base
+    bad = snap1.limit(1).withColumn(
+        "content", F.concat(F.col("content"), F.lit("\nmutated in place"))
+    )
+    with pytest.raises(ValueError, match="new commit"):
+        upsert_update(spark, bad, idx, build_id="u_bad")
+
+
+def test_stream_into_live_index_rank_identical_to_rebuild(
+    spark, tmp_path_factory
+):
+    root = tmp_path_factory.mktemp("stream_idx")
+    idx, drop = str(root / "idx"), str(root / "drop")
+    rebuilt = str(root / "rebuilt")
+    os.makedirs(drop)
+
+    allrows = corpus_spark_df(spark, 400).cache()
+    h = F.abs(F.xxhash64("path")) % 4
+    base_rows = allrows.filter(h == 0)
+    build_index(spark, base_rows, idx, IndexConfig(**CFG), build_id="base")
+
+    # three single-file waves + maxFilesPerTrigger=1 → three micro-batches
+    for i in (1, 2, 3):
+        allrows.filter(h == i).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(drop, f"wave_{i}.parquet")
+        )
+    counters = stream_index_updates(
+        spark, os.path.join(drop, "*", "*.parquet"), idx,
+        IndexConfig(**CFG), max_files_per_batch=1,
+    )
+    assert counters["batches"] == 3
+    assert counters["docs_tombstoned"] == 0
+
+    from scrapix_spark.operators.docs import build_docs
+
+    n_all = build_docs(allrows, IndexConfig(**CFG), tokenize=False).count()
+    assert load_meta(idx)["N"] == n_all
+    # heartbeat row per micro-batch with monotone counters
+    hb_path = os.path.join(idx, "_stream_heartbeat.jsonl")
+    assert os.path.exists(hb_path)
+
+    # draining again consumes nothing (checkpointed offsets)
+    c2 = stream_index_updates(
+        spark, os.path.join(drop, "*", "*.parquet"), idx, IndexConfig(**CFG)
+    )
+    assert c2["docs_upserted"] == 0
+
+    # rank-identical to a from-scratch rebuild of the union
+    build_index(spark, allrows, rebuilt, IndexConfig(**CFG), build_id="rb")
+    ra, rb = IndexReader(spark, idx), IndexReader(spark, rebuilt)
+    for q in ["binary search", "zanzibar", "import def main"]:
+        a = ra.topk_full(q, 10, hydrate=False).collect()
+        b = rb.topk_full(q, 10, hydrate=False).collect()
+        assert [x.doc_id for x in a] == [x.doc_id for x in b], (
+            f"stream-built index diverges from rebuild on {q!r}"
+        )
+        for xa, xb in zip(a, b):
+            assert xa.score == pytest.approx(xb.score, abs=1e-9)
+    allrows.unpersist()
