@@ -917,8 +917,10 @@ def upsert_update(
     cfg = cfg or IndexConfig.from_json(json.dumps(meta_old["config"]))
     t0 = time.time()
 
+    # tombstone side broadcast for the same reason IndexReader._drop_dead
+    # broadcasts it: the docs relation must not shuffle on doc_id here
     old_live = read_docs(spark, index_dir).join(
-        read_tombstones(spark, index_dir), "doc_id", "left_anti"
+        F.broadcast(read_tombstones(spark, index_dir)), "doc_id", "left_anti"
     )
     from pyspark.sql import Window
 
@@ -935,9 +937,15 @@ def upsert_update(
         F.col("commit").alias("_old_commit"),
         F.col("sha256").alias("_sha_old"), F.col("doc_len").alias("_old_dl"),
     )
-    # left join, not full_outer: live rows absent from the batch are
-    # out of scope for an upsert
-    j = snap.join(old_keyed, ["repo", "path"], "left")
+    # Scale shape: the docs table is the 10^12-row side and must never
+    # shuffle per micro-batch. Broadcast-semi-join it down to the
+    # batch's keys first (one scan, no exchange of the big side), then
+    # the surviving slice is batch-sized and broadcastable itself —
+    # a left-outer with a broadcast RIGHT side, which Spark supports.
+    batch_keys = snap.select("repo", "path")
+    old_hit = old_keyed.join(F.broadcast(batch_keys), ["repo", "path"],
+                             "left_semi")
+    j = snap.join(F.broadcast(old_hit), ["repo", "path"], "left")
 
     n_bad = j.filter(
         F.col("_sha_old").isNotNull()
@@ -961,7 +969,7 @@ def upsert_update(
     if removals is not None:
         dead = dead.unionByName(
             old_keyed.join(
-                removals.select("repo", "path").dropDuplicates(),
+                F.broadcast(removals.select("repo", "path").dropDuplicates()),
                 ["repo", "path"],
             ).select(
                 F.col("_old_id").alias("doc_id"),

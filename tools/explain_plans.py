@@ -494,6 +494,41 @@ def main() -> int:
          ("top-k via TakeOrdered", "TakeOrderedAndProject")],
     )
 
+    # 20. streaming upsert diff: the docs table is the 10^12-row side —
+    # it must reach the batch join via a broadcast SEMI join (one scan,
+    # no Exchange of the big relation), and the surviving batch-sized
+    # slice joins back as a broadcast. A SortMergeJoin here would mean
+    # a full docs shuffle PER MICRO-BATCH.
+    old_keyed = IX.read_docs(spark, idx).select(
+        "repo", "path", F.col("doc_id").alias("_old_id"),
+        F.col("commit").alias("_old_commit"),
+        F.col("sha256").alias("_sha_old"),
+        F.col("doc_len").alias("_old_dl"),
+    )
+    snap = raw.limit(50).withColumn("_sha_new", F.sha2("content", 256))
+    batch_keys = snap.select("repo", "path")
+    old_hit = old_keyed.join(F.broadcast(batch_keys), ["repo", "path"],
+                             "left_semi")
+    upsert_j = snap.join(F.broadcast(old_hit), ["repo", "path"], "left")
+    upsert_plan = formatted(upsert_j)
+    check(
+        "streaming upsert diff (upsert_update join shape)",
+        "Per micro-batch the live docs relation is reduced to the "
+        "batch's (repo, path) keys with a broadcast left-semi join "
+        "(the big side never shuffles), and that batch-sized slice is "
+        "itself broadcast into the outer diff join. At 10^12 docs a "
+        "sort-merge shape here would shuffle the whole docs table on "
+        "every micro-batch.",
+        upsert_plan,
+        [("batch keys broadcast into the semi join", "BroadcastHashJoin"),
+         ("no sort-merge join of the docs side", "")],
+    )
+    if "SortMergeJoin" in upsert_plan:
+        failures.append("upsert diff: SortMergeJoin of the docs side")
+        sections[-1][3].append("FAIL no SortMergeJoin in plan")
+    else:
+        sections[-1][3].append("PASS no SortMergeJoin in plan")
+
     # ---- write PLANS.md
     out = ["# PLANS — physical-plan review of the hot paths",
            "",
