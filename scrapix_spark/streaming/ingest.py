@@ -148,6 +148,7 @@ def stream_index_updates(
     index_dir: str,
     cfg: IndexConfig | None = None,
     max_files_per_batch: int | None = None,
+    compact_at: int | None = None,
 ) -> dict:
     """Streaming ingest INTO the live published index: readStream over a
     drop directory → foreachBatch → operators.index.upsert_update. After
@@ -165,13 +166,23 @@ def stream_index_updates(
     drains everything currently in the drop dir and stops (swap for a
     continuous trigger in a long-lived server).
 
-    Returns counters {batches, docs_upserted, docs_tombstoned}.
+    `compact_at`: LSM hygiene — when the published manifest reaches
+    this many layers, fold them with compact() before the next batch
+    (also atomic; queries between batches see either the layered or
+    the compacted snapshot, never a partial state). Unbounded layer
+    growth degrades query-side segment pruning and df staleness.
+
+    Returns counters {batches, docs_upserted, docs_tombstoned,
+    compactions}.
     """
-    from scrapix_spark.operators.index import load_meta, upsert_update
+    from scrapix_spark.operators.index import compact, load_meta, upsert_update
 
     cfg = cfg or IndexConfig()
     ckpt = os.path.join(index_dir, "_stream_checkpoint")
-    counters = {"batches": 0, "docs_upserted": 0, "docs_tombstoned": 0}
+    counters = {
+        "batches": 0, "docs_upserted": 0, "docs_tombstoned": 0,
+        "compactions": 0,
+    }
 
     reader = spark.readStream.schema(RAW_SCHEMA)
     if max_files_per_batch:
@@ -185,6 +196,10 @@ def stream_index_updates(
             source_desc=f"stream_batch:{batch_id}",
         )
         stats = meta.get("delta_stats") or {}
+        if compact_at and len(meta.get("layers", [])) >= compact_at:
+            compact(spark, index_dir, cfg,
+                    build_id=f"stream_compact_{batch_id:06d}")
+            counters["compactions"] += 1
         counters["batches"] += 1
         counters["docs_upserted"] += int(stats.get("added_or_changed", 0))
         counters["docs_tombstoned"] += int(stats.get("tombstoned", 0))

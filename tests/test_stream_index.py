@@ -144,3 +144,37 @@ def test_stream_into_live_index_rank_identical_to_rebuild(
         for xa, xb in zip(a, b):
             assert xa.score == pytest.approx(xb.score, abs=1e-9)
     allrows.unpersist()
+
+
+def test_stream_auto_compaction_bounds_layers(spark, tmp_path_factory):
+    """compact_at folds layers mid-stream; results stay identical to a
+    rebuild and the layer count stays bounded."""
+    root = tmp_path_factory.mktemp("stream_compact")
+    idx, drop = str(root / "idx"), str(root / "drop")
+    os.makedirs(drop)
+
+    allrows = corpus_spark_df(spark, 240).cache()
+    h = F.abs(F.xxhash64("path")) % 4
+    build_index(spark, allrows.filter(h == 0), idx,
+                IndexConfig(**CFG), build_id="base")
+    for i in (1, 2, 3):
+        allrows.filter(h == i).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(drop, f"wave_{i}.parquet")
+        )
+    counters = stream_index_updates(
+        spark, os.path.join(drop, "*", "*.parquet"), idx,
+        IndexConfig(**CFG), max_files_per_batch=1, compact_at=2,
+    )
+    assert counters["compactions"] >= 1
+    meta = load_meta(idx)
+    assert len(meta["layers"]) <= 2, "compaction must bound layer growth"
+    from scrapix_spark.operators.docs import build_docs
+
+    assert meta["N"] == build_docs(
+        allrows, IndexConfig(**CFG), tokenize=False
+    ).count()
+    r = IndexReader(spark, idx)
+    hits = r.topk_pruned("zanzibar", 10, hydrate=False).collect()
+    full = r.topk_full("zanzibar", 10, hydrate=False).collect()
+    assert hits and [x.doc_id for x in hits] == [x.doc_id for x in full]
+    allrows.unpersist()
