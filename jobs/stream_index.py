@@ -1,0 +1,70 @@
+"""spark-submit entry: streaming ingest INTO the live index.
+
+    spark-submit --py-files dist/scrapix_spark.zip jobs/stream_index.py \
+        --drop-dir /path/to/drop/'*.parquet' --index-dir /path/to/index \
+        [--max-files-per-batch 64] [--compact-at 8] [--upsert-batch /one/file]
+
+Structured Streaming over the drop directory (trigger=availableNow:
+drain everything currently there, then stop — re-run per arrival, or
+swap in a processing-time trigger for a long-lived daemon). Every
+micro-batch is upserted as one LSM layer and the index is re-published
+atomically, so concurrent readers always see a complete snapshot.
+`--compact-at N` folds layers mid-stream once the manifest reaches N.
+
+`--upsert-batch` bypasses streaming and applies ONE batch file/table
+directly through upsert_update (the ad-hoc "push these docs now" shape).
+Prints one JSON counters/manifest line.
+
+Reference analog: pages PUT into the live Meilisearch index as the
+crawl discovers them (src/sender.ts:96-111, src/crawler.ts:176-180).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="Streaming index ingest")
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--drop-dir", help="file-source glob to stream from")
+    ap.add_argument("--upsert-batch", help="one batch to upsert directly")
+    ap.add_argument("--max-files-per-batch", type=int, default=None)
+    ap.add_argument("--compact-at", type=int, default=None)
+    ap.add_argument("--format", default="parquet")
+    ap.add_argument("--build-id", default="upsert")
+    args = ap.parse_args(argv)
+    if bool(args.drop_dir) == bool(args.upsert_batch):
+        ap.error("exactly one of --drop-dir / --upsert-batch is required")
+
+    spark = SparkSession.builder.appName("scrapix-spark-stream").getOrCreate()
+
+    if args.drop_dir:
+        from scrapix_spark.streaming.ingest import stream_index_updates
+
+        out = stream_index_updates(
+            spark, args.drop_dir, args.index_dir,
+            max_files_per_batch=args.max_files_per_batch,
+            compact_at=args.compact_at,
+        )
+    else:
+        from scrapix_spark.operators.index import upsert_update
+
+        raw = (
+            spark.read.parquet(args.upsert_batch)
+            if args.format == "parquet"
+            else spark.read.table(args.upsert_batch)
+        )
+        out = upsert_update(
+            spark, raw, args.index_dir, build_id=args.build_id,
+            source_desc=f"{args.format}:{args.upsert_batch}",
+        )
+    print(json.dumps(out, sort_keys=True, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -177,7 +177,10 @@ def stream_index_updates(
     """
     from scrapix_spark.operators.index import compact, load_meta, upsert_update
 
-    cfg = cfg or IndexConfig()
+    # cfg=None means "the index's own stored config" — upsert_update and
+    # compact load it from the manifest; defaulting to IndexConfig()
+    # here would silently override the build's settings (shards,
+    # tokenizer, scoring constants) with package defaults
     ckpt = os.path.join(index_dir, "_stream_checkpoint")
     counters = {
         "batches": 0, "docs_upserted": 0, "docs_tombstoned": 0,

@@ -176,3 +176,58 @@ def test_curate_job_pipeline_and_manifest(spark, tmp_path, capsys):
     assert 0 < c["output"] == c["sample"] < c["gopher"]
     cleaned = spark.read.parquet(out)
     assert not cleaned.filter(F.col("content").contains(lic)).count()
+
+
+def test_stream_job_upsert_and_drain(spark, tiny_corpus, tmp_path_factory, capsys):
+    """jobs/stream_index.py: direct --upsert-batch and --drop-dir drain,
+    both against an index whose config must come from ITS manifest (the
+    job passes cfg=None through)."""
+    import stream_index as job_stream
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import build_index, load_meta
+
+    root = tmp_path_factory.mktemp("cli_stream")
+    index, drop = str(root / "idx"), str(root / "drop")
+    os.makedirs(drop)
+    h = F.abs(F.xxhash64("path")) % 3
+    build_index(
+        spark, tiny_corpus.filter(h == 0), index,
+        IndexConfig(index_uid="cli_stream", n_shards=4,
+                    exclude_paginated=False),
+        build_id="base",
+    )
+
+    # one direct upsert batch
+    batch = str(root / "batch")
+    tiny_corpus.filter(h == 1).write.mode("overwrite").parquet(batch)
+    rc = job_stream.main([
+        "--index-dir", index, "--upsert-batch", batch, "--build-id", "u1",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["delta_stats"]["added_or_changed"] > 0
+    assert out["config"]["n_shards"] == 4, "must keep the index's config"
+
+    # stream-drain the rest
+    tiny_corpus.filter(h == 2).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(drop, "wave.parquet")
+    )
+    rc = job_stream.main([
+        "--index-dir", index,
+        "--drop-dir", os.path.join(drop, "*", "*.parquet"),
+    ])
+    assert rc == 0
+    counters = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert counters["batches"] == 1 and counters["docs_upserted"] > 0
+
+    from scrapix_spark.operators.docs import build_docs
+
+    n_all = build_docs(
+        tiny_corpus, IndexConfig(exclude_paginated=False), tokenize=False
+    ).count()
+    assert load_meta(index)["N"] == n_all
+
+    # mutual exclusion
+    with pytest.raises(SystemExit):
+        job_stream.main(["--index-dir", index])
