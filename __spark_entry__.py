@@ -473,6 +473,13 @@ def _stream_index(spark, sf_dir) -> str:
     d = "/tmp/entry_stream_" + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
     drop = d + "_drop"
     if not os.path.exists(os.path.join(d, "_stream_done")):
+        # a half-finished previous attempt leaves a consumed checkpoint
+        # without the done marker — a rerun would drain nothing and
+        # publish an incomplete index; start from a clean slate instead
+        import shutil as _sh
+
+        _sh.rmtree(d, ignore_errors=True)
+        _sh.rmtree(drop, ignore_errors=True)
         raw = _docs(spark, sf_dir).select(
             F.col("source").alias("repo"),
             F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("path"),
@@ -1360,6 +1367,34 @@ def q_filtered_search(spark, sf_dir):
     )
 
 
+def q_filter_grammar_search(spark, sf_dir):
+    """Meilisearch FILTER GRAMMAR end-to-end (operators/filters): the
+    reference user's filter string — IN [..], lo TO hi, STARTS WITH,
+    NOT — compiles to a Spark SQL boolean (null-safe complement
+    semantics, case-insensitive strings) and restricts the BM25
+    candidate set before the top-k cut, exactly like filtered_search."""
+    from scrapix_spark.operators.filters import meili_filter_to_sql
+
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    scored = Q.bm25_topk_from_postings(
+        post, stats, n, avgdl, BM25_QUERY, 10_000_000, K1, B
+    )
+    sql = meili_filter_to_sql(
+        "lang IN [en, fr] AND n_chars 150 TO 350 "
+        "AND source STARTS WITH src AND NOT lang = de"
+    )
+    hyd = scored.join(
+        _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars"),
+        "doc_id",
+    ).filter(sql)
+    return (
+        hyd.orderBy(F.round("score", 9).desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", F.round("score", 4).alias("score"), "lang",
+                "source", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
 def q_sorted_search(spark, sf_dir):
     """sortableAttributes: sort criteria rank ABOVE relevancy
     (sort=['n_chars:desc']) over the docs matching >= 1 query word."""
@@ -2184,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crop": q_crop,
         "docssearch_ranked": q_docssearch_ranked,
         "filtered_search": q_filtered_search,
+        "filter_grammar_search": q_filter_grammar_search,
         "search_api": q_search_api,
         "sorted_search": q_sorted_search,
         "search_synonyms": q_search_synonyms,
@@ -3676,6 +3712,16 @@ ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
 SELECT s.doc_id, round(s.score, 4) AS score, d.lang, d.n_chars::BIGINT AS n_chars
 FROM scored s JOIN documents d USING (doc_id)
 WHERE d.lang = 'en' AND d.n_chars >= 150
+ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
+""",
+        "filter_grammar_search": _bm25_scored_sql(Q.query_terms(BM25_QUERY)) + """
+SELECT s.doc_id, round(s.score, 4) AS score, d.lang, d.source,
+       d.n_chars::BIGINT AS n_chars
+FROM scored s JOIN documents d USING (doc_id)
+WHERE lower(d.lang) IN ('en', 'fr')
+  AND d.n_chars BETWEEN 150 AND 350
+  AND starts_with(lower(d.source), 'src')
+  AND NOT coalesce(lower(d.lang) = 'de', false)
 ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
 """,
         "search_api": _bm25_scored_sql(Q.query_terms(BM25_QUERY)) + """

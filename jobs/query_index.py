@@ -53,6 +53,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--filter", default=None,
                     help="search mode: filterableAttributes boolean, "
                          "may embed _geoRadius/_geoBoundingBox")
+    ap.add_argument("--filter-syntax", default="sql",
+                    choices=["sql", "meili"],
+                    help="how to read --filter: a Spark SQL boolean "
+                         "(default) or the Meilisearch filter grammar "
+                         "(IN/EXISTS/IS EMPTY/TO/CONTAINS/STARTS WITH)")
     ap.add_argument("--sort", default=None,
                     help="search mode: comma list of col:asc|desc "
                          "(may include _geoPoint(lat,lng):asc)")
@@ -85,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
             matching_strategy=args.matching_strategy,
             prefix_last_word=args.prefix_last_word,
             typo_tolerance={} if args.typo_tolerance else None,
+            filter_syntax=args.filter_syntax,
         )
         for i, row in enumerate(res["hits"].collect(), start=1):
             d = row.asDict()

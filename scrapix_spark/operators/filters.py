@@ -1,0 +1,327 @@
+"""Meilisearch filter-grammar → Spark SQL translation.
+
+A scrapix-configured index exposes `filterableAttributes` (reference
+src/scrapers/default.ts:26, settings pass-through src/types.ts:16) and
+apps then filter with Meilisearch's documented grammar — `=`, `!=`,
+`>`, `>=`, `<`, `<=`, `IN [..]`, `EXISTS`, `IS NULL`, `IS EMPTY`,
+`lo TO hi`, `CONTAINS`, `STARTS WITH`, `AND`/`OR`/`NOT`, parentheses,
+and the geo predicates. The engine's `search(filter_expr=...)` takes a
+Spark SQL boolean; this module compiles the Meilisearch grammar into
+that boolean so a reference user's filter strings run unchanged
+(`search(..., filter_syntax="meili")`).
+
+The output is a plain predicate STRING over docs columns — it stays
+entirely inside Catalyst (no UDFs), so equality/range conditions on
+unmodified columns push down to the parquet scan. Two deliberate
+semantic choices, both documented Meilisearch behavior:
+
+- String comparisons are CASE-INSENSITIVE (Meilisearch lowercases both
+  sides). That compiles to `lower(col) = 'val'`, which defeats scan
+  pushdown on that condition; pass `case_insensitive=False` when the
+  data is already case-normalized and you want min/max pruning.
+- `lo TO hi` is the INCLUSIVE range (BETWEEN).
+
+Array-typed attributes (a Meilisearch array field matches if ANY
+element matches): list their names in `array_columns` and `=` /
+`IN` / `IS EMPTY` compile to `array_contains` / `arrays_overlap` /
+`size(..) = 0`.
+
+Geo predicates (`_geoRadius(..)`, `_geoBoundingBox(..)`) pass through
+verbatim as atomic booleans; callers hand the result to
+`geo.translate_geo_filter` exactly as they do for raw SQL filters —
+`IndexReader.search` already does both in order.
+"""
+
+from __future__ import annotations
+
+import re
+
+_GEO_CALL_RE = re.compile(
+    r"_geo(?:Radius|BoundingBox)\s*\((?:[^()]|\([^()]*\))*\)"
+)
+
+_NUM_RE = re.compile(r"-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+
+# one token: quoted string, bracket/paren/comma, comparison op, or a
+# bare word (anything else up to whitespace or a special character)
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<dq>"(?:[^"\\]|\\.)*")
+      | (?P<sq>'(?:[^'\\]|\\.)*')
+      | (?P<op>!=|>=|<=|=|>|<)
+      | (?P<punc>[\[\](),])
+      | (?P<word>[^\s\[\](),!=<>'"]+)
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "AND", "OR", "NOT", "IN", "EXISTS", "IS", "NULL", "EMPTY", "TO",
+    "CONTAINS", "STARTS", "WITH",
+}
+
+
+class MeiliFilterError(ValueError):
+    """Raised on a malformed Meilisearch filter expression."""
+
+
+def _tokenize(expr: str) -> list[tuple[str, str]]:
+    """→ [(kind, text)]; kind ∈ {str, op, punc, kw, word}."""
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(expr):
+        m = _TOKEN_RE.match(expr, pos)
+        if not m or m.end() == pos:
+            rest = expr[pos:].strip()
+            if not rest:
+                break
+            raise MeiliFilterError(f"cannot tokenize filter at: {rest[:40]!r}")
+        pos = m.end()
+        if m.group("dq") is not None:
+            out.append(("str", _unescape(m.group("dq")[1:-1])))
+        elif m.group("sq") is not None:
+            out.append(("str", _unescape(m.group("sq")[1:-1])))
+        elif m.group("op") is not None:
+            out.append(("op", m.group("op")))
+        elif m.group("punc") is not None:
+            out.append(("punc", m.group("punc")))
+        else:
+            w = m.group("word")
+            kind = "kw" if w.upper() in _KEYWORDS else "word"
+            out.append((kind, w.upper() if kind == "kw" else w))
+    return out
+
+
+def _unescape(s: str) -> str:
+    return re.sub(r"\\(.)", r"\1", s)
+
+
+def _sql_str(v: str, lower: bool) -> str:
+    if lower:
+        v = v.lower()
+    return "'" + v.replace("'", "''") + "'"
+
+
+def _neg(sql: str) -> str:
+    """Meilisearch NOT is a SET COMPLEMENT, not SQL three-valued NOT:
+    `NOT attr = v` (and its alias `attr != v`, and `NOT IN`) selects
+    every document that does not satisfy the condition, INCLUDING
+    documents missing the attribute — where the positive condition
+    evaluates to NULL. coalesce(.., false) pins that."""
+    return f"(NOT coalesce({sql}, false))"
+
+
+class _Parser:
+    def __init__(self, tokens, array_columns, case_insensitive, geo_subs):
+        self.toks = tokens
+        self.i = 0
+        self.arrays = frozenset(array_columns)
+        self.ci = case_insensitive
+        self.geo = geo_subs
+
+    # -- token helpers -------------------------------------------------
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def _next(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def _expect(self, kind, text=None):
+        k, v = self._next()
+        if k != kind or (text is not None and v != text):
+            raise MeiliFilterError(
+                f"expected {text or kind}, got {v!r} (token {self.i})"
+            )
+        return v
+
+    # -- grammar -------------------------------------------------------
+    def parse(self) -> str:
+        sql = self._or()
+        if self.i < len(self.toks):
+            k, v = self._peek()
+            raise MeiliFilterError(f"unexpected trailing token {v!r}")
+        return sql
+
+    def _or(self) -> str:
+        parts = [self._and()]
+        while self._peek() == ("kw", "OR"):
+            self._next()
+            parts.append(self._and())
+        return parts[0] if len(parts) == 1 else "(" + " OR ".join(parts) + ")"
+
+    def _and(self) -> str:
+        parts = [self._not()]
+        while self._peek() == ("kw", "AND"):
+            self._next()
+            parts.append(self._not())
+        return parts[0] if len(parts) == 1 else "(" + " AND ".join(parts) + ")"
+
+    def _not(self) -> str:
+        if self._peek() == ("kw", "NOT"):
+            self._next()
+            return _neg(self._not())
+        return self._primary()
+
+    def _primary(self) -> str:
+        k, v = self._peek()
+        if k == "punc" and v == "(":
+            self._next()
+            inner = self._or()
+            self._expect("punc", ")")
+            return f"({inner})"
+        if k == "word" and v in self.geo:
+            self._next()
+            return self.geo[v]  # atomic geo predicate, verbatim
+        return self._condition()
+
+    def _condition(self) -> str:
+        k, attr = self._next()
+        if k not in ("word", "str"):
+            raise MeiliFilterError(f"expected attribute, got {attr!r}")
+        col = "`" + attr.replace("`", "``") + "`"
+        is_array = attr in self.arrays
+        k, op = self._peek()
+
+        if (k, op) == ("kw", "EXISTS"):
+            self._next()
+            return f"({col} IS NOT NULL)"
+        if (k, op) == ("kw", "NOT"):
+            self._next()
+            nk, nv = self._next()
+            if (nk, nv) == ("kw", "EXISTS"):
+                return f"({col} IS NULL)"
+            if (nk, nv) == ("kw", "IN"):
+                return _neg(self._in_list(col, attr, is_array))
+            raise MeiliFilterError(f"expected EXISTS or IN after NOT, got {nv!r}")
+        if (k, op) == ("kw", "IS"):
+            self._next()
+            neg = self._peek() == ("kw", "NOT")
+            if neg:
+                self._next()
+            nk, nv = self._next()
+            if (nk, nv) == ("kw", "NULL"):
+                return f"({col} IS {'NOT ' if neg else ''}NULL)"
+            if (nk, nv) == ("kw", "EMPTY"):
+                base = (
+                    f"(size({col}) = 0)" if is_array
+                    else f"({col} IS NOT NULL AND CAST({col} AS STRING) = '')"
+                )
+                return _neg(base) if neg else base
+            raise MeiliFilterError(f"expected NULL or EMPTY after IS, got {nv!r}")
+        if (k, op) == ("kw", "IN"):
+            self._next()
+            return self._in_list(col, attr, is_array)
+        if (k, op) == ("kw", "CONTAINS"):
+            self._next()
+            lit = _sql_str(self._str_value(), lower=False)
+            lhs = f"lower({col})" if self.ci else col
+            return f"(contains({lhs}, {lit}))"
+        if (k, op) == ("kw", "STARTS"):
+            self._next()
+            self._expect("kw", "WITH")
+            lit = _sql_str(self._str_value(), lower=False)
+            lhs = f"lower({col})" if self.ci else col
+            return f"(startswith({lhs}, {lit}))"
+        if k == "op":
+            self._next()
+            kind, lit, raw = self._value()
+            # `attr = v` / `attr != v` on an array field = membership test
+            if is_array and op in ("=", "!="):
+                elem = self._elem(kind, lit, raw)
+                base = f"array_contains({col}, {elem})"
+                return _neg(base) if op == "!=" else f"({base})"
+            lhs = col
+            if kind == "str" and self.ci and op in ("=", "!="):
+                lhs = f"lower({col})"
+                lit = _sql_str(raw, lower=True)
+            if op == "!=":  # != is the complement of = (see _neg)
+                return _neg(f"({lhs} = {lit})")
+            return f"({lhs} {op} {lit})"
+        # `attr lo TO hi`
+        if k in ("word", "str", "kw"):
+            kind, lo, _ = self._value()
+            self._expect("kw", "TO")
+            kind2, hi, _ = self._value()
+            return f"({col} BETWEEN {lo} AND {hi})"
+        raise MeiliFilterError(f"expected operator after {attr!r}, got {op!r}")
+
+    def _in_list(self, col: str, attr: str, is_array: bool) -> str:
+        self._expect("punc", "[")
+        vals = []
+        elems = []
+        while True:
+            k, v = self._peek()
+            if (k, v) == ("punc", "]"):
+                self._next()
+                break
+            if vals:
+                self._expect("punc", ",")
+            kind, lit, raw = self._value()
+            if kind == "str" and self.ci and not is_array:
+                lit = _sql_str(raw, lower=True)
+            vals.append(lit)
+            elems.append(self._elem(kind, lit, raw))
+        if not vals:
+            return "(false)"
+        if is_array:
+            return f"(arrays_overlap({col}, array({', '.join(elems)})))"
+        lhs = col
+        if self.ci and any(v.startswith("'") for v in vals):
+            lhs = f"lower({col})"
+        return f"({lhs} IN ({', '.join(vals)}))"
+
+    def _elem(self, kind: str, lit: str, raw: str) -> str:
+        # array membership keeps the element's original case: Meilisearch
+        # array filters are case-insensitive too, but lowering inside
+        # array_contains needs transform(); keep exact-case for arrays
+        return lit if kind != "str" else _sql_str(raw, lower=False)
+
+    def _str_value(self) -> str:
+        kind, lit, raw = self._value()
+        if kind == "num":
+            return str(raw)
+        return raw.lower() if self.ci else raw
+
+    def _value(self) -> tuple[str, str, str]:
+        """→ (kind, sql_literal_exact_case, raw). Bare words that look
+        numeric are numbers; true/false are booleans; anything else is a
+        string. Case-insensitive lowering happens at the call sites that
+        compare case-insensitively (=, !=, IN, CONTAINS, STARTS WITH) —
+        range comparisons keep exact case."""
+        k, v = self._next()
+        if k == "str":
+            return "str", _sql_str(v, lower=False), v
+        if k == "word":
+            if _NUM_RE.match(v):
+                return "num", v, v
+            if v.lower() in ("true", "false"):
+                return "bool", v.lower(), v
+            return "str", _sql_str(v, lower=False), v
+        if k == "kw":  # a keyword used as a bare value (e.g. lang = to)
+            return "str", _sql_str(v.lower(), lower=False), v.lower()
+        raise MeiliFilterError(f"expected a value, got {v!r}")
+
+
+def meili_filter_to_sql(
+    expr: str,
+    array_columns: frozenset[str] | set[str] = frozenset(),
+    case_insensitive: bool = True,
+) -> str:
+    """Compile a Meilisearch filter expression into a Spark SQL boolean
+    over the stored docs columns. Raises MeiliFilterError on malformed
+    input. Geo calls pass through verbatim (still in Meilisearch form)
+    so the existing `translate_geo_filter` stage handles them."""
+    geo_subs: dict[str, str] = {}
+
+    def stash(m: re.Match) -> str:
+        key = f"__GEO{len(geo_subs)}__"
+        geo_subs[key] = m.group(0)
+        return f" {key} "
+
+    masked = _GEO_CALL_RE.sub(stash, expr)
+    tokens = _tokenize(masked)
+    if not tokens:
+        raise MeiliFilterError("empty filter expression")
+    return _Parser(tokens, array_columns, case_insensitive, geo_subs).parse()

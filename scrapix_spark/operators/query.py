@@ -812,6 +812,29 @@ class IndexReader:
             .select("doc_id").distinct()
         )
 
+    def _compile_filter(
+        self, filter_expr: str | None, filter_syntax: str
+    ) -> str | None:
+        """`filter_syntax="meili"` compiles the Meilisearch filter
+        grammar (IN/EXISTS/IS EMPTY/TO/CONTAINS/STARTS WITH/AND/OR/NOT,
+        geo calls pass through) into the Spark SQL boolean the rest of
+        the pipeline consumes; `"sql"` passes through. Array-typed docs
+        columns are detected from the stored schema so `attr = v`
+        compiles to membership on them."""
+        if filter_expr is None or filter_syntax == "sql":
+            return filter_expr
+        if filter_syntax != "meili":
+            raise ValueError(f"unknown filter_syntax {filter_syntax!r}")
+        from pyspark.sql.types import ArrayType
+
+        from scrapix_spark.operators.filters import meili_filter_to_sql
+
+        arrays = {
+            f.name for f in self.docs.schema.fields
+            if isinstance(f.dataType, ArrayType)
+        }
+        return meili_filter_to_sql(filter_expr, array_columns=arrays)
+
     def search(
         self,
         q: str,
@@ -845,6 +868,7 @@ class IndexReader:
         prefix_last_word: bool = False,
         max_prefix_expansions: int = 64,
         typo_tolerance: dict | None = None,
+        filter_syntax: str = "sql",
     ) -> dict:
         """The unified search request — the Meilisearch POST /search
         surface a scrapix-indexed app actually calls (q, filter, sort,
@@ -940,6 +964,12 @@ class IndexReader:
         term asc, the deterministic analog of Meilisearch's prefix-cache
         cap — each at its own idf, max-contribution like any group.
 
+        `filter_syntax="meili"` accepts the Meilisearch filter grammar
+        verbatim (`IN [..]`, `EXISTS`, `IS EMPTY`, `lo TO hi`,
+        `CONTAINS`, `STARTS WITH`, AND/OR/NOT, geo calls) and compiles
+        it to the SQL boolean (operators/filters.meili_filter_to_sql) —
+        a reference user's filter strings run unchanged.
+
         `typo_tolerance` (the Meilisearch typoTolerance setting) widens
         each WORD group with the word's edit-distance dictionary
         neighborhood (SymSpell deletion-key join, exact levenshtein
@@ -958,6 +988,7 @@ class IndexReader:
 
         if matching_strategy not in (None, "all", "last", "frequency"):
             raise ValueError(f"unknown matchingStrategy {matching_strategy!r}")
+        filter_expr = self._compile_filter(filter_expr, filter_syntax)
         parsed = parse_query_full(q, stop_words, tokenize=self._query_terms)
         words, phrases = parsed["words"], parsed["phrases"]
         plain = (
@@ -1243,6 +1274,7 @@ class IndexReader:
         fields: list[str] | None = None,
         filter_expr: str | None = None,
         order_by: str = "doc_id",
+        filter_syntax: str = "sql",
     ) -> DataFrame:
         """Meilisearch GET /indexes/{uid}/documents (browse, no
         ranking): live docs in stable `order_by` order (the internal-id
@@ -1252,6 +1284,7 @@ class IndexReader:
         projection both reach the docs parquet scan; the only cost
         beyond the scan is the order-by top-(offset+limit)."""
         docs = self._drop_dead(self.docs).drop("sha256")
+        filter_expr = self._compile_filter(filter_expr, filter_syntax)
         if filter_expr:
             docs = docs.filter(filter_expr)
         out = docs.orderBy(F.col(order_by).asc()).offset(offset).limit(limit)

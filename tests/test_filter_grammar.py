@@ -1,0 +1,128 @@
+"""Meilisearch filter grammar → Spark SQL (operators/filters).
+
+Translation is pinned at two levels: the emitted SQL strings (shape
+stability — the oracle entries replicate them) and the row sets a Spark
+filter produces against a brute-force Python evaluation of the same
+Meilisearch semantics.
+"""
+
+import pytest
+
+from scrapix_spark.operators.filters import MeiliFilterError, meili_filter_to_sql as T
+
+
+def test_translation_shapes():
+    assert T("lang = en") == "(lower(`lang`) = 'en')"
+    assert T("lang = en", case_insensitive=False) == "(`lang` = 'en')"
+    assert T("n_chars 100 TO 400") == "(`n_chars` BETWEEN 100 AND 400)"
+    assert T("lang EXISTS") == "(`lang` IS NOT NULL)"
+    assert T("lang NOT EXISTS") == "(`lang` IS NULL)"
+    assert T("lang IS NOT NULL") == "(`lang` IS NOT NULL)"
+    assert (
+        T("source IN [a, 'B']") == "(lower(`source`) IN ('a', 'b'))"
+    )
+    assert T("source NOT IN [a]") == (
+        "(NOT coalesce((lower(`source`) IN ('a')), false))"
+    )
+    assert T("x CONTAINS 'A b'") == "(contains(lower(`x`), 'a b'))"
+    assert T("x STARTS WITH Ab") == "(startswith(lower(`x`), 'ab'))"
+    # quoting: escaped quote inside a string literal doubles for SQL
+    assert T(r"t = 'it\'s'") == "(lower(`t`) = 'it''s')"
+    # ranges keep exact case (Meilisearch ordering ops are numeric)
+    assert T("v 'A' TO 'Z'") == "(`v` BETWEEN 'A' AND 'Z')"
+    # arrays: equality is membership, IN is overlap, EMPTY is size
+    assert T("tags = red", array_columns={"tags"}) == (
+        "(array_contains(`tags`, 'red'))"
+    )
+    assert T("tags IN [red, blue]", array_columns={"tags"}) == (
+        "(arrays_overlap(`tags`, array('red', 'blue')))"
+    )
+    assert T("tags IS EMPTY", array_columns={"tags"}) == "(size(`tags`) = 0)"
+    # geo calls pass through verbatim for the downstream geo stage
+    assert T("lang = en AND _geoRadius(45, 2.0, 10)") == (
+        "((lower(`lang`) = 'en') AND _geoRadius(45, 2.0, 10))"
+    )
+    # precedence: AND binds tighter than OR; NOT tightest and null-safe
+    assert T("a = 1 OR b = 2 AND NOT c = 3") == (
+        "((`a` = 1) OR ((`b` = 2) AND (NOT coalesce((`c` = 3), false))))"
+    )
+
+
+@pytest.mark.parametrize("bad", [
+    "", "lang =", "IN [a]", "a = 1 OR", "x >", "x IS BLUE",
+    "x NOT 5", "x IN [a, ]bad", "x 1 TO",
+])
+def test_malformed_raises(bad):
+    with pytest.raises(MeiliFilterError):
+        T(bad)
+
+
+def test_spark_semantics(spark):
+    rows = [
+        (0, "EN", "src0", 100, ["red", "blue"]),
+        (1, "en", "src1", 250, []),
+        (2, "fr", "SRC2", 400, ["green"]),
+        (3, None, "alpha beta", 50, None),
+        (4, "", "Alphabet", 999, ["red"]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, lang string, source string, n int, tags array<string>"
+    )
+
+    def ids(expr, **kw):
+        sql = T(expr, **kw)
+        return sorted(r["id"] for r in df.filter(sql).collect())
+
+    assert ids("lang = en") == [0, 1]                      # case-insensitive
+    assert ids("lang = en", case_insensitive=False) == [1]
+    # != is NOT(=): a set complement, so missing attributes match too
+    assert ids("lang != en") == [2, 3, 4]
+    assert ids("n 100 TO 400") == [0, 1, 2]                # inclusive range
+    assert ids("lang EXISTS") == [0, 1, 2, 4]
+    assert ids("lang NOT EXISTS") == [3]
+    assert ids("lang IS EMPTY") == [4]
+    # IS NOT EMPTY is the pure complement of IS EMPTY (Meilisearch
+    # semantics: missing attributes pass; docs say to AND an EXISTS)
+    assert ids("lang IS NOT EMPTY") == [0, 1, 2, 3]
+    assert ids("lang IS NOT EMPTY AND lang EXISTS") == [0, 1, 2]
+    assert ids("source IN [src0, SRC2]") == [0, 2]
+    assert ids("source NOT IN [src0]") == [1, 2, 3, 4]
+    assert ids("source CONTAINS alpha") == [3, 4]
+    assert ids("source STARTS WITH alpha") == [3, 4]
+    assert ids("source STARTS WITH 'alpha '") == [3]
+    assert ids("tags = red", array_columns={"tags"}) == [0, 4]
+    assert ids("tags IN [blue, green]", array_columns={"tags"}) == [0, 2]
+    assert ids("tags IS EMPTY", array_columns={"tags"}) == [1]
+    assert ids("NOT (lang = en OR n > 300)") == [3]
+    assert ids("lang = fr OR lang = en AND n < 200") == [0, 2]
+
+
+def test_search_accepts_meili_syntax(spark, tmp_path):
+    """End-to-end: search(filter_syntax='meili') returns exactly the
+    hits of the equivalent hand-written SQL filter."""
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.fixtures import corpus_spark_df
+    from scrapix_spark.operators.index import build_index
+    from scrapix_spark.operators.query import IndexReader
+
+    idx = str(tmp_path / "meilifilter_idx")
+    build_index(
+        spark, corpus_spark_df(spark, 200), idx,
+        IndexConfig(n_shards=4), build_id="f1", heartbeat_sec=None,
+    )
+    r = IndexReader(spark, idx)
+    got = r.search(
+        "binary search", k=10,
+        filter_expr="lang IN [py, rs] AND path CONTAINS 0",
+        filter_syntax="meili",
+    )["hits"].collect()
+    want = r.search(
+        "binary search", k=10,
+        filter_expr="lower(lang) IN ('py','rs') AND contains(lower(path),'0')",
+    )["hits"].collect()
+    assert [h["doc_id"] for h in got] == [h["doc_id"] for h in want]
+    assert got and all(h["lang"] in ("py", "rs") for h in got)
+
+    # documents() browse accepts the grammar too
+    docs = r.documents(limit=5, filter_expr="lang = py", filter_syntax="meili")
+    assert all(row["lang"] == "py" for row in docs.collect())
