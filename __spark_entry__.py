@@ -1485,6 +1485,26 @@ def _entry_pos_index(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+def q_search_phrase_synonym(spark, sf_dir):
+    """MULTI-WORD synonym on the unified search ("merge" → "group
+    order"): the phrase alternative matches only as an adjacent run
+    (positional relation), contributes the SUM of its component-term
+    BM25 scores, and competes by MAX with the word's own score. The
+    oracle replays both alternatives in SQL: word contribution vs
+    phrase-sum over docs passing the adjacency regex, greatest() wins."""
+    idx = _entry_pos_index(spark, sf_dir)
+    r = Q.IndexReader(spark, idx)
+    res = r.search(
+        "merge", k=10, synonyms={"merge": ["group order"]},
+        tie_cols=("path",),
+    )
+    return res["hits"].select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
 def q_ranked_chain_topk(spark, sf_dir):
     """The full default ranking-rule chain (words > typo > proximity >
     exactness) over the PUBLISHED positional index, with the per-rule
@@ -2234,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_search_on": q_bm25f_search_on,
         "video_frames_real": q_video_frames_real,
         "ranked_chain_topk": q_ranked_chain_topk,
+        "search_phrase_synonym": q_search_phrase_synonym,
         "matches_position": q_matches_position,
         "facet_stats": q_facet_stats,
         "facet_alpha": q_facet_alpha,
@@ -3856,6 +3877,41 @@ SELECT media_id, (f * 200)::INT AS ts_ms, f::INT AS frame_idx,
 FROM s
 """,
         "ranked_chain_topk": _ranked_chain_sql(),
+        "search_phrase_synonym": f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_EXPR("text")}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ('merge', 'group', 'order') GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+dfv AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+           * (tf.tf * ({K1} + 1.0))
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN dfv USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+word AS (SELECT doc_id, c AS score FROM contrib WHERE term = 'merge'),
+pair AS (
+  SELECT c.doc_id, sum(c.c) AS score
+  FROM contrib c JOIN documents d USING (doc_id)
+  WHERE c.term IN ('group', 'order')
+    AND regexp_matches(lower(d.text), '{M.phrase_regex(["group", "order"])}')
+  GROUP BY c.doc_id
+  HAVING count(DISTINCT c.term) = 2
+)
+SELECT coalesce(w.doc_id, p.doc_id) AS doc_id,
+       round(greatest(coalesce(w.score, -1e300),
+                      coalesce(p.score, -1e300)), 4) AS score,
+       1::BIGINT AS n_matched
+FROM word w FULL OUTER JOIN pair p USING (doc_id)
+ORDER BY round(greatest(coalesce(w.score, -1e300),
+                        coalesce(p.score, -1e300)), 9) DESC,
+         coalesce(w.doc_id, p.doc_id) ASC
+LIMIT 10
+""",
         "matches_position": _matches_position_sql(),
         "facet_stats": _facet_stats_sql(),
         "facet_alpha": _facet_sql("value"),

@@ -795,12 +795,38 @@ def parse_query_full(q: str, stop_words: set[str] | None = None,
     }
 
 
-def expand_synonyms(terms: list[str], synonyms: dict | None) -> list[list[str]]:
+def expand_synonyms(
+    terms: list[str],
+    synonyms: dict | None,
+    return_phrases: bool = False,
+    tokenize=None,
+):
     """word → alternatives group: the word itself plus its configured
-    synonyms (Meilisearch `synonyms` setting; one-way maps supported)."""
-    if not synonyms:
-        return [[t] for t in terms]
-    return [[t, *[s.lower() for s in synonyms.get(t, [])]] for t in terms]
+    synonyms (Meilisearch `synonyms` setting; one-way maps supported).
+
+    MULTI-WORD synonym values ("nyc" → "new york city") are PHRASES in
+    Meilisearch — they match only as an adjacent run, never as a bag of
+    tokens — so they cannot live in a flat alternatives group. With
+    `return_phrases=True` the result is `(groups, phrase_alts)` where
+    `phrase_alts` is `[(word_index, [term, ...]), ...]`; callers score
+    them through the positional relation (IndexReader._score_all_grouped
+    phrase_alts). With the default `return_phrases=False` (the legacy
+    flat-postings shape) multi-word values are DROPPED from the groups
+    rather than inserted as an unmatchable whole-string token.
+    Multi-word synonym KEYS are not supported (documented gap)."""
+    tokenize = tokenize or query_terms
+    groups: list[list[str]] = []
+    phrase_alts: list[tuple[int, list[str]]] = []
+    for wi, t in enumerate(terms):
+        g = [t]
+        for s in (synonyms or {}).get(t, []):
+            toks = tokenize(s)
+            if len(toks) == 1:
+                g.append(toks[0])
+            elif len(toks) > 1:
+                phrase_alts.append((wi, toks))
+        groups.append(g)
+    return (groups, phrase_alts) if return_phrases else groups
 
 
 def matching_strategy_last_topk(

@@ -716,7 +716,10 @@ class IndexReader:
         )
 
     def _score_all_grouped(
-        self, groups: list[list[str]], with_ws: bool = False
+        self,
+        groups: list[list[str]],
+        with_ws: bool = False,
+        phrase_alts: list[tuple[int, list[str]]] | None = None,
     ) -> DataFrame:
         """Every matching doc scored under the grouped-alternatives
         convention (operators/match.bm25_topk_grouped — the synonym/
@@ -729,9 +732,21 @@ class IndexReader:
         wi, idf) mapping is a broadcast of ≤ Σ|group| rows. Returns
         (doc_id, score, n_matched[, ws]) with no top-k cut; `ws` is the
         matched word-index set (for the matching-strategy words rule).
-        """
+
+        `phrase_alts` adds MULTI-WORD alternatives — `(wi, [t1, t2,..])`
+        pairs from phrase synonyms ("nyc" → "new york city"): a doc
+        where the run occurs adjacently (positional relation,
+        store_positions required) earns, for word `wi`, the SUM of the
+        run's component-term BM25 contributions, competing by MAX with
+        the word's single-term alternatives. Each phrase alt costs one
+        term_id-pushed aggregation plus one adjacency semi-join — config
+        synonyms are few, so the added plan stays broadcast-sized."""
         meta = self.meta
-        flat = sorted({t for g in groups for t in g})
+        phrase_alts = phrase_alts or []
+        flat = sorted(
+            {t for g in groups for t in g}
+            | {t for _, p in phrase_alts for t in p}
+        )
         drows = self.resolve_terms(flat)
         by_term = {t: (tid, df) for t, tid, df in drows}
         rows = []
@@ -740,26 +755,65 @@ class IndexReader:
                 if t in by_term:
                     tid, df = by_term[t]
                     rows.append((tid, wi, int(df)))
+        # (phrase_index, term_id, wi, df) rows for phrase alternatives
+        # whose every word exists in the dictionary (else: can't match)
+        prow = []
+        for pi, (wi, p) in enumerate(phrase_alts):
+            if all(t in by_term for t in p):
+                for t in set(p):
+                    tid, df = by_term[t]
+                    prow.append((pi, tid, wi, int(df)))
         schema = "doc_id long, score double, n_matched int" + (
             ", ws array<int>" if with_ws else ""
         )
-        if not rows:
+        if not rows and not prow:
             return self.spark.createDataFrame([], schema)
-        tids = sorted({r[0] for r in rows})
-        mapping = self.spark.createDataFrame(
-            rows, "term_id long, wi int, df long"
-        ).withColumn(
-            "idf", idf_expr(meta["N"], F.col("df").cast("double"))
-        ).drop("df")
+        tids = sorted({r[0] for r in rows} | {r[1] for r in prow})
         post = self._drop_dead(_decode_blocks_df(self._segments_for(tids)))
-        scored = post.join(F.broadcast(mapping), "term_id").withColumn(
-            "contrib",
-            bm25_score_expr(
-                F.col("tf"), F.col("dl"), F.col("idf"),
+
+        def contrib(df_col):
+            return bm25_score_expr(
+                F.col("tf"), F.col("dl"),
+                idf_expr(meta["N"], df_col.cast("double")),
                 meta["avgdl"], meta["k1"], meta["b"],
-            ),
-        )
-        perword = scored.groupBy("doc_id", "wi").agg(F.max("contrib").alias("c"))
+            )
+
+        perword = None
+        if rows:
+            mapping = self.spark.createDataFrame(
+                rows, "term_id long, wi int, df long"
+            )
+            scored = post.join(F.broadcast(mapping), "term_id").withColumn(
+                "contrib", contrib(F.col("df"))
+            )
+            perword = scored.groupBy("doc_id", "wi").agg(
+                F.max("contrib").alias("c")
+            )
+        for pi, (wi, p) in enumerate(phrase_alts):
+            pmap_rows = [r for r in prow if r[0] == pi]
+            if not pmap_rows:
+                continue
+            matched = self._phrase_docs(p)
+            if matched is None:
+                continue  # some run word absent — the phrase matches nothing
+            pmap = self.spark.createDataFrame(
+                [(tid, df) for _, tid, _, df in pmap_rows],
+                "term_id long, df long",
+            )
+            palt = (
+                post.join(F.broadcast(pmap), "term_id")
+                .withColumn("contrib", contrib(F.col("df")))
+                .join(matched, "doc_id", "semi")
+                .groupBy("doc_id")
+                .agg(F.sum("contrib").alias("c"))
+                .withColumn("wi", F.lit(wi))
+                .select("doc_id", "wi", "c")
+            )
+            perword = palt if perword is None else perword.unionByName(palt)
+        if perword is None:  # every alt unresolvable after phrase checks
+            return self.spark.createDataFrame([], schema)
+        # phrase alts compete with single-term alts by MAX within wi
+        perword = perword.groupBy("doc_id", "wi").agg(F.max("c").alias("c"))
         aggs = [
             F.sum("c").alias("score"),
             F.countDistinct("wi").cast("int").alias("n_matched"),
@@ -948,6 +1002,13 @@ class IndexReader:
         convention). Phrase words score as their own word groups, so a
         phrase both constrains and contributes relevancy.
 
+        MULTI-WORD synonym values ("nyc" → "new york city") match as
+        exact adjacent runs (Meilisearch phrase-synonym semantics) via
+        the positional relation — store_positions=True required, same
+        as quoted phrases; the run's contribution is the sum of its
+        component-term scores, competing by MAX inside the word's
+        group. Multi-word synonym KEYS are not supported.
+
         `matching_strategy` (Meilisearch matchingStrategy): None keeps
         the pure-BM25 relevancy the simple gates pin; `'all'` requires
         every word group to match; `'last'` / `'frequency'` rank by the
@@ -1016,7 +1077,10 @@ class IndexReader:
             # grouping machinery in the plan
             scored = self._score_all(q)
         else:
-            groups = expand_synonyms(words, synonyms)
+            groups, phrase_syns = expand_synonyms(
+                words, synonyms, return_phrases=True,
+                tokenize=self._query_terms,
+            )
             if typo_tolerance is not None and words:
                 from scrapix_spark.operators.match import (
                     ONE_TYPO_MIN, TWO_TYPO_MIN, typo_candidates,
@@ -1062,7 +1126,9 @@ class IndexReader:
             # phrase words score as their own word groups (the pinned
             # phrase_topk convention: n_matched counts phrase words)
             groups = groups + [[t] for p in phrases for t in p]
-            scored = self._score_all_grouped(groups, with_ws=need_ws)
+            scored = self._score_all_grouped(
+                groups, with_ws=need_ws, phrase_alts=phrase_syns
+            )
             if need_ws:
                 drows = self.resolve_terms(
                     sorted({t for g in groups[:n_word_groups] for t in g})

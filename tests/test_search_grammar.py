@@ -394,3 +394,75 @@ def test_parse_query_full_quote_roundtrip_examples():
     for q in ['"unclosed phrase', 'a "" b', '"-x" -"y', '-"', '"', "---"]:
         got = M.parse_query_full(q)
         assert isinstance(got["words"], list)
+
+
+# ------------------------------------------------ phrase synonyms
+
+
+def test_expand_synonyms_splits_phrase_values():
+    groups, palts = M.expand_synonyms(
+        ["nyc", "map"], {"nyc": ["bigapple", "new york city"]},
+        return_phrases=True,
+    )
+    assert groups == [["nyc", "bigapple"], ["map"]]
+    assert palts == [(0, ["new", "york", "city"])]
+    # legacy flat shape drops the unmatchable multi-word value
+    assert M.expand_synonyms(["nyc"], {"nyc": ["new york city", "ny"]}) == [
+        ["nyc", "ny"]
+    ]
+
+
+def test_search_phrase_synonym_matches_bruteforce(gram_index, table_level):
+    """synonyms={'zanzibar': ['binary search']}: a doc matches via the
+    rare word OR via the adjacent run; per-doc score is the MAX of the
+    word's own BM25 and the run's summed component BM25 (adjacency
+    verified against content)."""
+    import re
+
+    from scrapix_spark.operators.query import bm25_topk_from_postings
+
+    _, r = gram_index
+    post, stats, n, avgdl = table_level
+
+    res = r.search(
+        "zanzibar", k=10_000, synonyms={"zanzibar": ["binary search"]}
+    )
+    got = {
+        x["doc_id"]: (x["score"], x["n_matched"])
+        for x in res["hits"].select("doc_id", "score", "n_matched").collect()
+    }
+
+    zan = {
+        x["doc_id"]: x["score"]
+        for x in bm25_topk_from_postings(
+            post, stats, n, avgdl, "zanzibar", 10_000, K1, B
+        ).collect()
+    }
+    pair = bm25_topk_from_postings(
+        post, stats, n, avgdl, "binary search", 10_000, K1, B
+    ).collect()
+    pat = re.compile(M.phrase_regex(["binary", "search"]))
+    adj = {
+        x["doc_id"]
+        for x in r.docs.select("doc_id", "content").collect()
+        if pat.search(x["content"].lower())
+    }
+    want = {}
+    for x in pair:
+        if x["doc_id"] in adj and x["n_matched"] == 2:
+            want[x["doc_id"]] = x["score"]
+    for d, s in zan.items():
+        want[d] = max(want.get(d, float("-inf")), s)
+
+    assert set(got) == set(want) and adj and zan
+    assert set(got) - set(zan), "some hits must come only from the phrase"
+    for d, s in want.items():
+        assert got[d][0] == pytest.approx(s, rel=1e-9)
+        assert got[d][1] == 1  # one query word, however matched
+
+    # a phrase synonym with an unknown word matches nothing extra
+    res2 = r.search(
+        "zanzibar", k=10_000,
+        synonyms={"zanzibar": ["quuxify nonexistentword77"]},
+    )
+    assert {x["doc_id"] for x in res2["hits"].collect()} == set(zan)
