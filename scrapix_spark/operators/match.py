@@ -813,7 +813,15 @@ def expand_synonyms(
     phrase_alts). With the default `return_phrases=False` (the legacy
     flat-postings shape) multi-word values are DROPPED from the groups
     rather than inserted as an unmatchable whole-string token.
-    Multi-word synonym KEYS are not supported (documented gap)."""
+
+    MULTI-WORD synonym KEYS ("new york" → ["nyc"], Meilisearch allows
+    up to three words): when the key's token run appears consecutively
+    in the query, each value becomes an alternative of EVERY word group
+    the run covers — a doc containing only `nyc` then matches both
+    query words (n_matched credits the whole run, the Meilisearch
+    coverage semantics) and earns the alternative's contribution once
+    per covered word (the pinned scoring convention). Occurrences are
+    found left-to-right and may not overlap."""
     tokenize = tokenize or query_terms
     groups: list[list[str]] = []
     phrase_alts: list[tuple[int, list[str]]] = []
@@ -826,6 +834,25 @@ def expand_synonyms(
             elif len(toks) > 1:
                 phrase_alts.append((wi, toks))
         groups.append(g)
+    # multi-word keys: non-overlapping left-to-right run detection
+    for key, values in (synonyms or {}).items():
+        ktoks = tokenize(key)
+        if len(ktoks) < 2:
+            continue
+        i = 0
+        while i + len(ktoks) <= len(terms):
+            if terms[i:i + len(ktoks)] != ktoks:
+                i += 1
+                continue
+            run = range(i, i + len(ktoks))
+            for s in (values if isinstance(values, (list, tuple)) else [values]):
+                toks = tokenize(s)
+                for wi in run:
+                    if len(toks) == 1:
+                        groups[wi].append(toks[0])
+                    elif len(toks) > 1:
+                        phrase_alts.append((wi, toks))
+            i += len(ktoks)
     return (groups, phrase_alts) if return_phrases else groups
 
 

@@ -466,3 +466,55 @@ def test_search_phrase_synonym_matches_bruteforce(gram_index, table_level):
         synonyms={"zanzibar": ["quuxify nonexistentword77"]},
     )
     assert {x["doc_id"] for x in res2["hits"].collect()} == set(zan)
+
+
+def test_expand_synonyms_multiword_key():
+    groups, palts = M.expand_synonyms(
+        ["new", "york", "map"], {"new york": ["nyc", "big apple"]},
+        return_phrases=True,
+    )
+    assert groups == [["new", "nyc"], ["york", "nyc"], ["map"]]
+    assert palts == [(0, ["big", "apple"]), (1, ["big", "apple"])]
+    # no run in the query -> no expansion
+    groups2, palts2 = M.expand_synonyms(
+        ["york", "new"], {"new york": ["nyc"]}, return_phrases=True
+    )
+    assert groups2 == [["york"], ["new"]] and palts2 == []
+
+
+def test_search_multiword_synonym_key(gram_index, table_level):
+    """synonyms={'group order': ['merge']}: a doc containing only
+    `merge` covers BOTH query words (n_matched=2) and earns merge's
+    contribution once per covered word."""
+    from scrapix_spark.operators.query import bm25_topk_from_postings
+
+    _, r = gram_index
+    post, stats, n, avgdl = table_level
+
+    res = r.search(
+        "group order", k=10_000, synonyms={"group order": ["merge"]}
+    )
+    got = {
+        x["doc_id"]: (x["score"], x["n_matched"])
+        for x in res["hits"].select("doc_id", "score", "n_matched").collect()
+    }
+    base_ids = {
+        x["doc_id"]
+        for x in r.search("group order", k=10_000)["hits"].collect()
+    }
+
+    def perdoc(q):
+        return {
+            x["doc_id"]: x["score"]
+            for x in bm25_topk_from_postings(
+                post, stats, n, avgdl, q, 10_000, K1, B
+            ).collect()
+        }
+
+    merge, grp, order = perdoc("merge"), perdoc("group"), perdoc("order")
+    assert set(got) == base_ids | set(merge)
+    only_merge = set(merge) - set(grp) - set(order)
+    assert only_merge, "fixture needs docs with merge but neither word"
+    for d in only_merge:
+        assert got[d][1] == 2
+        assert got[d][0] == pytest.approx(2 * merge[d], rel=1e-9)
