@@ -2181,70 +2181,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered so the driver's 50-entry sample gates every surface:
+    # entries 1-40 are the round-2 never-driver-gated set (search API,
+    # geo, hybrid/federated, curation, grammar), 41-50 re-gate the core
+    # index/query path, the remainder were gated in r01/r02.
     return {
-        "tokenize_tf": q_tokenize_tf,
-        "term_df": q_term_df,
-        "salted_term_df": q_salted_term_df,
-        "corpus_stats": q_corpus_stats,
-        "bm25_topk": q_bm25_topk,
-        "ranked_union_topk": q_ranked_union_topk,
-        "posting_intersection": q_posting_intersection,
-        "distinct_by_source_topk": q_distinct_by_source_topk,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash_dups": q_simhash_dups,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "langid_counts": q_langid_counts,
-        "quality_scores": q_quality_scores,
-        "token_counts": q_token_counts,
-        "fingerprint": q_fingerprint,
-        "clean_text": q_clean_text,
-        "events_tumbling": q_events_tumbling,
-        "bm25_wand_topk": q_bm25_wand_topk,
-        "streaming_upsert_topk": q_streaming_upsert_topk,
-        "delta_lifecycle_topk": q_delta_lifecycle_topk,
-        "compact_lifecycle_topk": q_compact_lifecycle_topk,
-        "merged_segments_topk": q_merged_segments_topk,
-        "bm25f_topk": q_bm25f_topk,
-        "glob_scope_filter": q_glob_scope_filter,
-        "urls_tags": q_urls_tags,
-        "date_convert": q_date_convert,
-        "schema_fanout": q_schema_fanout,
-        "meta_image_clean": q_meta_image_clean,
-        "schema_dynamic_fanout": q_schema_dynamic_fanout,
-        "wav_decode": q_wav_decode,
-        "png_decode": q_png_decode,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_features_real": q_multimodal_features_real,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
-        "streaming_tumbling": q_streaming_tumbling,
-        "session_windows": q_session_windows,
-        "cosine_dup_pairs": q_cosine_dup_pairs,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "segment_default": q_segment_default,
-        "segment_docssearch": q_segment_docssearch,
-        "prefix_topk": q_prefix_topk,
-        "typo_candidates": q_typo_candidates,
-        "typo_topk": q_typo_topk,
-        "typo2_topk": q_typo2_topk,
-        "typo2_index_topk": q_typo2_index_topk,
-        "phrase_topk": q_phrase_topk,
-        "phrase_positional_topk": q_phrase_positional_topk,
-        "proximity_topk": q_proximity_topk,
-        "facet_distribution": q_facet_distribution,
-        "highlight": q_highlight,
-        "crop": q_crop,
-        "docssearch_ranked": q_docssearch_ranked,
-        "filtered_search": q_filtered_search,
         "filter_grammar_search": q_filter_grammar_search,
         "search_api": q_search_api,
-        "sorted_search": q_sorted_search,
-        "search_synonyms": q_search_synonyms,
-        "search_negative_stopwords": q_search_negative_stopwords,
-        "matching_strategy_last": q_matching_strategy_last,
         "geo_radius_sort": q_geo_radius_sort,
         "geo_bbox": q_geo_bbox,
         "hybrid_search": q_hybrid_search,
@@ -2283,6 +2226,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "docssearch_custom_rules": q_docssearch_custom_rules,
         "tokenize_custom": q_tokenize_custom,
+        "bm25_topk": q_bm25_topk,
+        "bm25_wand_topk": q_bm25_wand_topk,
+        "tokenize_tf": q_tokenize_tf,
+        "merged_segments_topk": q_merged_segments_topk,
+        "bm25f_topk": q_bm25f_topk,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_dups": q_simhash_dups,
+        "segment_docssearch": q_segment_docssearch,
+        "streaming_upsert_topk": q_streaming_upsert_topk,
+        "compact_lifecycle_topk": q_compact_lifecycle_topk,
+        "term_df": q_term_df,
+        "salted_term_df": q_salted_term_df,
+        "corpus_stats": q_corpus_stats,
+        "ranked_union_topk": q_ranked_union_topk,
+        "posting_intersection": q_posting_intersection,
+        "distinct_by_source_topk": q_distinct_by_source_topk,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "langid_counts": q_langid_counts,
+        "quality_scores": q_quality_scores,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "clean_text": q_clean_text,
+        "events_tumbling": q_events_tumbling,
+        "delta_lifecycle_topk": q_delta_lifecycle_topk,
+        "glob_scope_filter": q_glob_scope_filter,
+        "urls_tags": q_urls_tags,
+        "date_convert": q_date_convert,
+        "schema_fanout": q_schema_fanout,
+        "meta_image_clean": q_meta_image_clean,
+        "schema_dynamic_fanout": q_schema_dynamic_fanout,
+        "wav_decode": q_wav_decode,
+        "png_decode": q_png_decode,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_features_real": q_multimodal_features_real,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
+        "streaming_tumbling": q_streaming_tumbling,
+        "session_windows": q_session_windows,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "segment_default": q_segment_default,
+        "prefix_topk": q_prefix_topk,
+        "typo_candidates": q_typo_candidates,
+        "typo_topk": q_typo_topk,
+        "typo2_topk": q_typo2_topk,
+        "typo2_index_topk": q_typo2_index_topk,
+        "phrase_topk": q_phrase_topk,
+        "phrase_positional_topk": q_phrase_positional_topk,
+        "proximity_topk": q_proximity_topk,
+        "facet_distribution": q_facet_distribution,
+        "highlight": q_highlight,
+        "crop": q_crop,
+        "docssearch_ranked": q_docssearch_ranked,
+        "filtered_search": q_filtered_search,
+        "sorted_search": q_sorted_search,
+        "search_synonyms": q_search_synonyms,
+        "search_negative_stopwords": q_search_negative_stopwords,
+        "matching_strategy_last": q_matching_strategy_last,
     }
 
 
