@@ -211,6 +211,7 @@ def mask_repeated_spans(
     id_col: str,
     w: int = 13,
     min_count: int = 2,
+    hash_keys: bool = True,
 ) -> DataFrame:
     """Exact-substring dedup in token-window form (Lee et al. 2022,
     'Deduplicating Training Data Makes Language Models Better'): any
@@ -223,12 +224,28 @@ def mask_repeated_spans(
 
     Plan: window occurrences shuffle once keyed by the gram for the
     keep-first rank; coverage marks shuffle (id, token-pos) pairs; the
-    final reassembly is one id-keyed aggregation. Scale note: at 100 TB
-    key the rank window by xxhash64(gram) (64-bit keys, same result up
-    to astronomically-unlikely collisions) and pre-filter singleton
-    grams with a df aggregation before the window — this reference
-    implementation keys by the gram string so the DuckDB oracle is
-    byte-exact."""
+    final reassembly is one id-keyed aggregation.
+
+    `hash_keys=True` (the 100 TB path, and the default) replaces the
+    ~13-token gram STRING with xxhash64(gram) before anything shuffles,
+    so the exchange carries 20-byte (id, pos, gh) rows instead of ~13×
+    the corpus text, and pre-filters grams below `min_count` with a
+    map-side-combining count before the rank window — the window then
+    reuses the semi-join's hash partitioning (no second exchange). The
+    result is identical to the string path up to 64-bit hash collisions
+    (~N²/2⁶⁵ expected false merges — negligible even at 10¹² windows);
+    a parity pytest pins both paths byte-equal on the fixture corpus.
+    `hash_keys=False` keys by the gram string itself so the DuckDB
+    oracle comparison is byte-exact with no collision caveat.
+
+    Fidelity vs Lee et al. §4: the paper removes MAXIMAL repeated
+    substrings (variable length, suffix-array over bytes); this
+    operator masks fixed-`w` TOKEN windows. Every duplicated span of
+    >= w tokens is still fully masked (its windows all repeat), so
+    recall on spans >= w tokens matches the paper; duplicated spans
+    SHORTER than w tokens are missed entirely — that is the recall
+    delta, quantified by a pytest on the fixture corpus. Run a second
+    pass with smaller `w` to trade precision for short-span recall."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -250,15 +267,35 @@ def mask_repeated_spans(
             )
         ).alias("o"),
     ).select("id", "o.pos", "o.gram")
-    wspec = Window.partitionBy("gram")
-    worder = Window.partitionBy("gram").orderBy(
-        F.col("id").asc(), F.col("pos").asc()
-    )
-    masked = (
-        occ.withColumn("cnt", F.count("*").over(wspec))
-        .withColumn("rk", F.row_number().over(worder))
-        .filter((F.col("cnt") >= min_count) & (F.col("rk") >= 2))
-    )
+    if hash_keys:
+        # 100 TB path: shuffle 64-bit gram hashes, never the gram text,
+        # and drop sub-min_count grams before the rank window. The
+        # semi-join hash-partitions occ by gram; the window reuses it.
+        occ = occ.select("id", "pos", F.xxhash64("gram").alias("gram"))
+        hot = (
+            occ.groupBy("gram")
+            .agg(F.count("*").alias("_cnt"))
+            .filter(F.col("_cnt") >= min_count)
+            .select("gram")
+        )
+        worder = Window.partitionBy("gram").orderBy(
+            F.col("id").asc(), F.col("pos").asc()
+        )
+        masked = (
+            occ.join(hot, "gram", "left_semi")
+            .withColumn("rk", F.row_number().over(worder))
+            .filter(F.col("rk") >= 2)
+        )
+    else:
+        wspec = Window.partitionBy("gram")
+        worder = Window.partitionBy("gram").orderBy(
+            F.col("id").asc(), F.col("pos").asc()
+        )
+        masked = (
+            occ.withColumn("cnt", F.count("*").over(wspec))
+            .withColumn("rk", F.row_number().over(worder))
+            .filter((F.col("cnt") >= min_count) & (F.col("rk") >= 2))
+        )
     covered = masked.select(
         "id",
         F.explode(

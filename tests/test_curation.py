@@ -284,3 +284,56 @@ def test_mask_repeated_spans_matches_bruteforce(spark):
     assert got[2][2] == 10
     assert got[5] == ("", 10, 10)
     assert got[3][2] == 0 and got[4][2] == 0
+
+
+def test_mask_repeated_spans_hash_path_parity(spark):
+    # The xxhash64 scale path (hash_keys=True, the default) must produce
+    # byte-identical output to the gram-string oracle path on a corpus
+    # with dup spans, partial overlaps, empty and short docs.
+    LIC = "all rights reserved under the apache license version two zero"
+    rows = [
+        (1, LIC + " module alpha does things"),
+        (2, "prefix words then " + LIC + " and a tail"),
+        (3, LIC),
+        (4, "totally distinct content with no shared windows anywhere at all"),
+        (5, ""),
+        (6, "tiny"),
+        (7, LIC + " " + LIC),  # internal repeat across the boundary
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    key = lambda r: r["id"]
+    a = sorted(
+        C.mask_repeated_spans(df, "text", "doc_id", w=10,
+                              hash_keys=True).collect(), key=key)
+    b = sorted(
+        C.mask_repeated_spans(df, "text", "doc_id", w=10,
+                              hash_keys=False).collect(), key=key)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_mask_repeated_spans_short_span_recall_delta(spark):
+    # Fidelity vs Lee et al. 2022 §4 (suffix-array maximal repeats):
+    # duplicated spans >= w tokens are fully masked (recall 1.0 on that
+    # stratum); duplicated spans SHORTER than w are missed entirely.
+    # This test measures both, pinning the documented delta.
+    long_dup = " ".join(f"L{i}" for i in range(13))   # 13-token dup span
+    short_dup = " ".join(f"S{i}" for i in range(6))   # 6-token dup span
+    rows = [
+        (1, long_dup + " u1 " + short_dup),
+        (2, "v1 " + long_dup + " v2 v3 " + short_dup + " v4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in
+           C.mask_repeated_spans(df, "text", "doc_id", w=13).collect()}
+    # long span: doc 1 keeps the first occurrence, doc 2's copy is fully
+    # masked -> recall 13/13 on the >=w stratum
+    assert all(f"L{i}" not in got[2]["clean_text"].split() for i in range(13))
+    assert got[2]["n_masked"] == 13
+    # short span: BOTH copies survive -> recall 0/6 on the <w stratum;
+    # a second pass with w=6 recovers it
+    assert all(f"S{i}" in got[1]["clean_text"].split() for i in range(6))
+    assert all(f"S{i}" in got[2]["clean_text"].split() for i in range(6))
+    second = {r["id"]: r for r in
+              C.mask_repeated_spans(df, "text", "doc_id", w=6).collect()}
+    assert all(f"S{i}" not in second[2]["clean_text"].split()
+               for i in range(6))
