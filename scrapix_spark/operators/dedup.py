@@ -22,6 +22,20 @@ from pyspark.sql import functions as F
 
 from scrapix_spark.functions.tokenize import tokens_native
 
+# Candidate-pair relations are broadcast into the verify joins only
+# below this row count. Bucket caps bound PER-BUCKET pair counts, not
+# the global total: a near-duplicate-heavy corpus (exactly what dedup
+# targets) can surface tens of millions of candidates across buckets,
+# and an unconditional broadcast of that set is a multi-GB driver/
+# executor blow-up. Above the limit the verify joins fall back to a
+# shuffle join keyed by id — the same result, scale-safe.
+BROADCAST_PAIR_LIMIT = 1_000_000
+
+
+def _maybe_broadcast(rel: DataFrame, n_rows: int, limit: int) -> DataFrame:
+    """Broadcast `rel` only when its counted size is within `limit`."""
+    return F.broadcast(rel) if n_rows <= limit else rel
+
 # ---------------------------------------------------------------- exact
 
 
@@ -525,6 +539,7 @@ def minhash_lsh_verified_pairs(
     seed: int = 42,
     threshold: float = 0.8,
     max_bucket_size: int | None = 1024,
+    broadcast_limit: int = BROADCAST_PAIR_LIMIT,
 ) -> DataFrame:
     """MinHash+LSH candidates re-verified with EXACT shingle Jaccard.
 
@@ -547,6 +562,10 @@ def minhash_lsh_verified_pairs(
         df, text_col, id_col, num_perm, bands, shingle_n, seed,
         max_bucket_size=max_bucket_size,
     ).select("id_a", "id_b").persist()
+    # materialize + count the candidate set: the count decides whether
+    # the verify joins can broadcast it (bucket caps bound per-bucket
+    # pairs, not the global total — see BROADCAST_PAIR_LIMIT)
+    n_cand = cand.count()
     # verify ONLY candidate docs: re-shingling the whole corpus for a
     # candidate set that is orders of magnitude smaller is wasted work
     # at any scale (measured 2x on the 5k-doc driver table)
@@ -556,12 +575,13 @@ def minhash_lsh_verified_pairs(
         .dropDuplicates()
     )
     sh = word_shingles(
-        df.join(F.broadcast(ids), id_col, "left_semi"), text_col, id_col,
-        shingle_n,
+        df.join(_maybe_broadcast(ids, 2 * n_cand, broadcast_limit),
+                id_col, "left_semi"),
+        text_col, id_col, shingle_n,
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (
-        F.broadcast(cand)
+        _maybe_broadcast(cand, n_cand, broadcast_limit)
         .join(sh.withColumnRenamed("id", "id_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
@@ -598,6 +618,7 @@ def simhash_verified_dups(
     threshold: float = 0.97,
     max_bucket_size: int | None = 4096,
     probe_bits: int = 1,
+    broadcast_limit: int = BROADCAST_PAIR_LIMIT,
 ) -> DataFrame:
     """SimHash candidates re-verified with EXACT tf-weighted cosine.
 
@@ -617,13 +638,21 @@ def simhash_verified_dups(
         df, text_col, id_col, max_hamming, bands,
         max_bucket_size=max_bucket_size, probe_bits=probe_bits,
     ).select("id_a", "id_b").persist()
+    # counted-threshold broadcast gate (see BROADCAST_PAIR_LIMIT): a
+    # near-dup-heavy corpus can surface far more global candidates than
+    # any per-bucket cap suggests; above the limit the verify joins
+    # shuffle on id instead of broadcasting a multi-GB pair set
+    n_cand = cand.count()
     # tf vectors for CANDIDATE docs only (see minhash_lsh_verified_pairs)
     ids = (
         cand.select(F.col("id_a").alias(id_col))
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
         .dropDuplicates()
     )
-    toks = df.join(F.broadcast(ids), id_col, "left_semi").select(
+    toks = df.join(
+        _maybe_broadcast(ids, 2 * n_cand, broadcast_limit),
+        id_col, "left_semi",
+    ).select(
         F.col(id_col).alias("id"),
         F.explode(tokens_native(F.col(text_col))).alias("term"),
     )
@@ -632,7 +661,7 @@ def simhash_verified_dups(
     ta = tf.select(F.col("id").alias("id_a"), "term", F.col("tf").alias("tf_a"))
     tb = tf.select(F.col("id").alias("id_b"), "term", F.col("tf").alias("tf_b"))
     dot = (
-        F.broadcast(cand)
+        _maybe_broadcast(cand, n_cand, broadcast_limit)
         .join(ta, "id_a")
         .join(tb, ["id_b", "term"])
         .groupBy("id_a", "id_b")

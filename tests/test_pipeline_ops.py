@@ -324,3 +324,37 @@ def test_banded_cosine_dups_capture(spark, vectors):
         ).collect()
     }
     assert (0, 5) in banded and (0, 7) in banded
+
+
+def test_verify_join_broadcast_gate(spark, dup_docs):
+    """The candidate-pair relation is broadcast into the verify joins
+    ONLY below BROADCAST_PAIR_LIMIT: per-bucket caps bound per-bucket
+    pairs, not the global total, so a near-dup-heavy corpus can surface
+    a multi-GB pair set. Above the limit the hint must be absent (the
+    join shuffles on id) and the results must be identical."""
+    hinted = D._maybe_broadcast(dup_docs, 10, 100)
+    assert "UnresolvedHint broadcast" in (
+        hinted._jdf.queryExecution().logical().toString()
+    )
+    plain = D._maybe_broadcast(dup_docs, 101, 100)
+    assert "UnresolvedHint" not in (
+        plain._jdf.queryExecution().logical().toString()
+    )
+
+    def pairs(df):
+        return {(r["id_a"], r["id_b"]) for r in df.select("id_a", "id_b").collect()}
+
+    sh_b = pairs(D.simhash_verified_dups(
+        dup_docs, "text", "doc_id", max_hamming=7, bands=4,
+        threshold=0.9, probe_bits=1))
+    sh_s = pairs(D.simhash_verified_dups(
+        dup_docs, "text", "doc_id", max_hamming=7, bands=4,
+        threshold=0.9, probe_bits=1, broadcast_limit=0))
+    assert sh_b == sh_s and sh_b
+
+    mh_b = pairs(D.minhash_lsh_verified_pairs(
+        dup_docs, "text", "doc_id", 128, 32, threshold=0.8))
+    mh_s = pairs(D.minhash_lsh_verified_pairs(
+        dup_docs, "text", "doc_id", 128, 32, threshold=0.8,
+        broadcast_limit=0))
+    assert mh_b == mh_s and mh_b
