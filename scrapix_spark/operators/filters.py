@@ -249,7 +249,7 @@ class _Parser:
 
     def _in_list(self, col: str, attr: str, is_array: bool) -> str:
         self._expect("punc", "[")
-        vals = []
+        vals = []  # (kind, lit) — lit lowered for strings when self.ci
         elems = []
         while True:
             k, v = self._peek()
@@ -261,16 +261,41 @@ class _Parser:
             kind, lit, raw = self._value()
             if kind == "str" and self.ci and not is_array:
                 lit = _sql_str(raw, lower=True)
-            vals.append(lit)
+            vals.append((kind, lit))
             elems.append(self._elem(kind, lit, raw))
         if not vals:
             return "(false)"
         if is_array:
             return f"(arrays_overlap({col}, array({', '.join(elems)})))"
-        lhs = col
-        if self.ci and any(v.startswith("'") for v in vals):
-            lhs = f"lower({col})"
-        return f"({lhs} IN ({', '.join(vals)}))"
+        strs = [lit for kind, lit in vals if kind == "str"]
+        others = [lit for kind, lit in vals if kind != "str"]
+        if not (self.ci and strs and others):
+            # homogeneous list (or exact-case mode): one IN, lowering the
+            # column only when every member is a lowered string
+            lhs = f"lower({col})" if (self.ci and strs) else col
+            return f"({lhs} IN ({', '.join(lit for _, lit in vals)}))"
+        # mixed string/number list under case-insensitive compare: lowering
+        # the column would coerce the numeric members to string compares
+        # (e.g. x IN [10, red] on a numeric-ish column) — split into typed
+        # disjuncts. The non-string disjuncts route through try_cast of the
+        # STRING form of the column so ANSI mode never hard-fails on rows
+        # that don't parse (a string column holding 'blue' must simply not
+        # match the numeric members, not abort the scan).
+        nums = [lit for kind, lit in vals if kind == "num"]
+        bools = [lit for kind, lit in vals if kind == "bool"]
+        parts = [f"(lower(CAST({col} AS STRING)) IN ({', '.join(strs)}))"]
+        if nums:
+            cast_nums = ", ".join(f"CAST({n} AS DOUBLE)" for n in nums)
+            parts.append(
+                f"(try_cast(CAST({col} AS STRING) AS DOUBLE)"
+                f" IN ({cast_nums}))"
+            )
+        if bools:
+            parts.append(
+                f"(try_cast(CAST({col} AS STRING) AS BOOLEAN)"
+                f" IN ({', '.join(bools)}))"
+            )
+        return "(" + " OR ".join(parts) + ")"
 
     def _elem(self, kind: str, lit: str, raw: str) -> str:
         # array membership keeps the element's original case: Meilisearch
@@ -304,6 +329,39 @@ class _Parser:
         raise MeiliFilterError(f"expected a value, got {v!r}")
 
 
+def _mask_outside_quotes(expr: str, stash) -> str:
+    """Apply the geo-call mask only to the UNQUOTED spans of `expr`, so a
+    geo-call-shaped substring inside a string literal (e.g.
+    `title = "_geoRadius(1,2,3)"`) survives tokenization verbatim instead
+    of being stashed and corrupted. Quote scanning honors both quote
+    styles and backslash escapes, matching _TOKEN_RE."""
+    out: list[str] = []
+    i = 0
+    n = len(expr)
+    plain_start = 0
+    while i < n:
+        c = expr[i]
+        if c in "\"'":
+            out.append(_GEO_CALL_RE.sub(stash, expr[plain_start:i]))
+            q = c
+            j = i + 1
+            while j < n:
+                if expr[j] == "\\":
+                    j += 2
+                    continue
+                if expr[j] == q:
+                    j += 1
+                    break
+                j += 1
+            out.append(expr[i:j])  # the quoted literal, untouched
+            i = j
+            plain_start = j
+        else:
+            i += 1
+    out.append(_GEO_CALL_RE.sub(stash, expr[plain_start:]))
+    return "".join(out)
+
+
 def meili_filter_to_sql(
     expr: str,
     array_columns: frozenset[str] | set[str] = frozenset(),
@@ -320,7 +378,7 @@ def meili_filter_to_sql(
         geo_subs[key] = m.group(0)
         return f" {key} "
 
-    masked = _GEO_CALL_RE.sub(stash, expr)
+    masked = _mask_outside_quotes(expr, stash)
     tokens = _tokenize(masked)
     if not tokens:
         raise MeiliFilterError("empty filter expression")

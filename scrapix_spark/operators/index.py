@@ -127,6 +127,16 @@ class BuildHeartbeat:
         self._emit(status)
 
 
+def shuffle_partitions(spark: SparkSession) -> int:
+    """`spark.sql.shuffle.partitions` as an int, falling back to
+    defaultParallelism when the conf is non-numeric (e.g. 'auto' on
+    platforms that let AQE pick) — int() on the raw conf raises there."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def _pinned_file_session(spark: SparkSession) -> SparkSession:
     """A sibling session (shared SparkContext, PRIVATE SQLConf) with
     file↔task pinned 1:1 for parquet reads: openCostInBytes equal to a
@@ -223,7 +233,7 @@ def _build_index_inner(
     # on storage is also the resumable/scale-idiomatic choice.
     # Content is never shuffled; N is observed during the docs write.
     batches = _batch_shards(cfg.n_shards, n_batches)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = shuffle_partitions(spark)
     batch_parts = max(1, n_parts // max(1, len(batches)))
     if tb_bits is None:
         tb_bits = P.tb_bits_for(batch_parts if not cfg.sorted_staging else n_parts)
@@ -909,7 +919,11 @@ def upsert_update(
                                     streaming replay idempotent
 
     `removals`: optional (repo, path) rows to delete explicitly (the
-    streaming analog of a 404 on re-crawl). Publishes atomically; safe
+    streaming analog of a 404 on re-crawl). A key present BOTH in
+    `batch` and in `removals` stays live: the batch's (re-)assertion of
+    the document wins over the removal within one micro-batch — the
+    pinned precedence (a replayed delete must not clobber a replayed
+    upsert of a doc that still exists). Publishes atomically; safe
     to call repeatedly (each call is one layer — run compact() when
     layer count grows).
     """
@@ -967,9 +981,16 @@ def upsert_update(
         & (F.col("_sha_old") != F.col("_sha_new"))
     ).select(F.col("_old_id").alias("doc_id"), F.col("_old_dl").alias("doc_len"))
     if removals is not None:
+        # batch-wins precedence: drop removal keys the batch re-asserts
+        # (see docstring) — anti-join against the deduped batch snapshot
+        rem_keys = (
+            removals.select("repo", "path")
+            .dropDuplicates()
+            .join(snap.select("repo", "path"), ["repo", "path"], "left_anti")
+        )
         dead = dead.unionByName(
             old_keyed.join(
-                F.broadcast(removals.select("repo", "path").dropDuplicates()),
+                F.broadcast(rem_keys),
                 ["repo", "path"],
             ).select(
                 F.col("_old_id").alias("doc_id"),
@@ -1004,7 +1025,7 @@ def compact(
 
     seg = read_segments(spark, index_dir)
     avgdl = meta_old["avgdl"]
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = shuffle_partitions(spark)
     merged = P.merge_segments(
         seg, avgdl, cfg.k1, cfg.b, cfg.block_size,
         num_partitions=n_parts,

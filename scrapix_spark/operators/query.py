@@ -234,8 +234,9 @@ class IndexReader:
             # shuffle is query-server startup cost, paid once per
             # opened index.
             if "tb" in self.segments.columns:
+                nparts = IX.shuffle_partitions(spark)
                 self.segments = self.segments.repartition(
-                    int(spark.conf.get("spark.sql.shuffle.partitions")), "tb"
+                    nparts, "tb"
                 ).sortWithinPartitions("tb", "term_id")
             self.segments = self.segments.persist()
         self.docs = IX.read_docs(spark, index_dir)
@@ -1020,7 +1021,12 @@ class IndexReader:
         the positional relation — store_positions=True required, same
         as quoted phrases; the run's contribution is the sum of its
         component-term scores, competing by MAX inside the word's
-        group. Multi-word synonym KEYS are not supported.
+        group. Multi-word synonym KEYS ("new york" → "nyc") match when
+        the key's words appear as an exact adjacent run in the query:
+        the expansion then COVERS that whole run — each word in the run
+        gets the alternative added to its group, and the alternative's
+        match satisfies every covered word group at once (run-coverage
+        semantics, see operators/match.expand_synonyms).
 
         `matching_strategy` (Meilisearch matchingStrategy): None keeps
         the pure-BM25 relevancy the simple gates pin; `'all'` requires

@@ -126,3 +126,33 @@ def test_search_accepts_meili_syntax(spark, tmp_path):
     # documents() browse accepts the grammar too
     docs = r.documents(limit=5, filter_expr="lang = py", filter_syntax="meili")
     assert all(row["lang"] == "py" for row in docs.collect())
+
+
+def test_geo_shaped_string_literal_not_masked():
+    """A geo-call-shaped substring inside a quoted literal is data, not a
+    geo predicate: the pre-tokenize mask must skip quoted spans (r2
+    advice filters.py geo masking)."""
+    sql = T('title = "_geoRadius(1,2,3)"')
+    assert sql == "(lower(`title`) = '_georadius(1,2,3)')"
+    # and a REAL geo call outside quotes still passes through verbatim
+    sql = T('_geoRadius(48.8, 2.3, 500) AND note = "_geoBoundingBox(1,2,3,4)"')
+    assert "_geoRadius(48.8, 2.3, 500)" in sql
+    assert "'_geoboundingbox(1,2,3,4)'" in sql
+
+
+def test_mixed_type_in_list_splits_disjuncts(spark):
+    """x IN [10, red] under case-insensitive compare must not lower() the
+    column for the numeric members (r2 advice filters.py _in_list): the
+    compiled form splits into a lowered string IN OR an exact IN."""
+    sql = T("x IN [10, red, 20]")
+    assert "lower(CAST(`x` AS STRING)) IN ('red')" in sql
+    assert "try_cast(CAST(`x` AS STRING) AS DOUBLE)" in sql
+    df = spark.createDataFrame(
+        [(0, "10"), (1, "RED"), (2, "blue"), (3, "20")], "id int, x string"
+    )
+    got = sorted(r["id"] for r in df.filter(T("x IN [10, red, 20]")).collect())
+    assert got == [0, 1, 3]
+    # numeric column: numeric members compare numerically
+    dn = spark.createDataFrame([(0, 10), (1, 20), (2, 30)], "id int, x int")
+    got = sorted(r["id"] for r in dn.filter(T("x IN [10, red]")).collect())
+    assert got == [0]

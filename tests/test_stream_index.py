@@ -178,3 +178,37 @@ def test_stream_auto_compaction_bounds_layers(spark, tmp_path_factory):
     full = r.topk_full("zanzibar", 10, hydrate=False).collect()
     assert hits and [x.doc_id for x in hits] == [x.doc_id for x in full]
     allrows.unpersist()
+
+
+def test_upsert_batch_wins_over_removal_same_key(spark, tmp_path):
+    """A (repo, path) key present BOTH in the batch and in removals stays
+    live: the batch's re-assertion wins within a micro-batch (r2 advice
+    index.py upsert precedence). Covers the content-identical case (the
+    batch row would otherwise be skipped and the removal would silently
+    tombstone it) and checks an unrelated removal still lands."""
+    idx = str(tmp_path / "idx")
+    snap = corpus_spark_df(spark, 120)
+    build_index(spark, snap, idx, IndexConfig(**CFG), build_id="base")
+    n0 = load_meta(idx)["N"]
+
+    both = snap.orderBy("repo", "path").limit(1)          # in batch AND removals
+    only_removed = snap.orderBy(
+        F.col("repo").desc(), F.col("path").desc()
+    ).limit(1)
+    meta = upsert_update(
+        spark, both, idx, build_id="u_prec",
+        removals=both.unionByName(only_removed),
+    )
+    st = meta["delta_stats"]
+    assert st["added_or_changed"] == 0      # content-identical: skipped
+    assert st["tombstoned"] == 1            # ONLY the unrelated removal
+    assert meta["N"] == n0 - 1
+    r = IndexReader(spark, idx)
+    kept = both.collect()[0]
+    live = r.documents(
+        limit=5,
+        filter_expr=(
+            f"repo = '{kept['repo']}' AND path = '{kept['path']}'"
+        ),
+    ).collect()
+    assert len(live) == 1, "batch-asserted doc must survive the removal"
