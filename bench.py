@@ -32,6 +32,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BUILD_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
 QUERY_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 
+# FROZEN round-1 headline list (BENCH_r01.json): `core_suite_sec` sums
+# exactly these 19 per-query walls every round, so BENCH_rN vs BENCH_rM
+# is a one-line diff even as the growing suite changes the headline
+# wall's meaning. Do not add to or reorder this list.
+CORE_R1_QUERIES = (
+    "tokenize_tf", "term_df", "bm25_topk", "ranked_union_topk",
+    "distinct_by_source_topk", "ngram_jaccard", "minhash_lsh",
+    "simhash_dups", "ann_cosine_topk", "ann_lsh_topk", "langid_counts",
+    "quality_scores", "token_counts", "fingerprint", "events_tumbling",
+    "prefix_topk", "typo_topk", "phrase_topk", "proximity_topk",
+)
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
@@ -406,6 +418,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        # stable longitudinal anchor: sum of the frozen r1 19-query walls
+        "core_suite_sec": round(
+            sum(queries[q] for q in CORE_R1_QUERIES if q in queries), 2
+        ),
         "sf": sf,
         "build_docs": BUILD_DOCS,
         "build_sec": round(build_sec, 2),

@@ -35,5 +35,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # stage progress bars interleave with line-per-result tool output
+        # (check_oracles, bench) and swallow lines; nothing here is
+        # interactive enough to want them
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()

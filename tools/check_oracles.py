@@ -67,7 +67,14 @@ def main() -> int:
             failed.append(name)
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            # an entry without an oracle only gets the driver's weaker
+            # rows-only check — treat it as a failure here so the local
+            # gate forces every registered query to carry an exact oracle
+            print(
+                f"FAIL  {name}: {len(sdf)} rows but NO oracle_sql entry "
+                f"[{time.time()-t0:.1f}s]"
+            )
+            failed.append(name)
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
