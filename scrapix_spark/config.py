@@ -102,6 +102,16 @@ class IndexConfig:
     docs_records_per_file: Optional[int] = None
     shuffle_partitions: Optional[int] = None
 
+    # Webhook sink (reference src/webhook.ts:30-88 + src/types.ts:23-24):
+    # when set, every heartbeat row is ALSO POSTed as JSON to this URL
+    # with the reference's payload enrichment (index_uid, optional
+    # webhook_payload echo, ISO-8601 date) and a Bearer token from
+    # $WEBHOOK_TOKEN if present. None (default) keeps the JSONL file
+    # sink only — the sandbox-safe analog. A 401/403 response disables
+    # further posts for the build, like the reference's configured=false.
+    webhook_url: Optional[str] = None
+    webhook_payload: Optional[dict] = None
+
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)
 

@@ -59,7 +59,10 @@ class BuildHeartbeat:
     row, N `active` rows, one terminal `completed`/`failed` row."""
 
     def __init__(self, spark: SparkSession, build_dir: str,
-                 interval_sec: float = 5.0, source: str = ""):
+                 interval_sec: float = 5.0, source: str = "",
+                 webhook_url: str | None = None,
+                 webhook_payload: dict | None = None,
+                 index_uid: str = ""):
         import threading
 
         self.spark = spark
@@ -75,6 +78,43 @@ class BuildHeartbeat:
         self._rows: list[str] = []
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
+        # real webhook sink (reference src/webhook.ts): config url wins,
+        # else $WEBHOOK_URL, else file-only (the sandbox default)
+        self.webhook_url = webhook_url or os.environ.get("WEBHOOK_URL")
+        self.webhook_payload = webhook_payload
+        self.index_uid = index_uid
+
+    def _post_webhook(self, row: dict):
+        """POST one status row, reference payload shape
+        (src/webhook.ts:58-88): enrich with index_uid, the configured
+        webhook_payload echo, an ISO-8601 date, Content-Type json and a
+        Bearer token from $WEBHOOK_TOKEN; a 401/403 disables further
+        posts (configured=false analog); all other errors are swallowed
+        (the reference console.errors and continues)."""
+        if not self.webhook_url:
+            return
+        import urllib.error
+        import urllib.request
+
+        data = dict(row)
+        data["index_uid"] = self.index_uid
+        if self.webhook_payload is not None:
+            data["webhook_payload"] = self.webhook_payload
+        headers = {"Content-Type": "application/json"}
+        token = os.environ.get("WEBHOOK_TOKEN")
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        req = urllib.request.Request(
+            self.webhook_url, data=json.dumps(data).encode(),
+            headers=headers, method="POST",
+        )
+        try:
+            urllib.request.urlopen(req, timeout=5).read()
+        except urllib.error.HTTPError as ex:
+            if ex.code in (401, 403):
+                self.webhook_url = None
+        except Exception:
+            pass
 
     def _now(self) -> str:
         return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
@@ -96,16 +136,18 @@ class BuildHeartbeat:
             pass
         return self._tasks_base
 
-    def _emit(self, status: str):
+    def _emit(self, status: str, **extra):
         row = {
             "status": status, "date": self._now(), "phase": self.phase,
             "phases_done": self.phases_done,
             "tasks_done": self._tasks_done(), "source": self.source,
+            **extra,
         }
         # buffered full-file write: appends don't exist on object
         # stores, and the stream is tiny (one row per interval)
         self._rows.append(json.dumps(row, sort_keys=True))
         self._fs.write_text(self.path, "\n".join(self._rows) + "\n")
+        self._post_webhook(row)
 
     def start(self):
         self._emit("started")
@@ -120,11 +162,15 @@ class BuildHeartbeat:
         while not self._stop.wait(self.interval):
             self._emit("active")
 
-    def finish(self, status: str = "completed"):
+    def finish(self, status: str = "completed", **extra):
+        """Terminal row. Reference parity: `completed` carries
+        nb_documents_sent (src/webhook.ts:45-51), `failed` carries the
+        error message (src/webhook.ts:53-56) — callers pass them via
+        **extra."""
         self._stop.set()
         self._thread.join(timeout=2.0)
         self.phases_done += 1
-        self._emit(status)
+        self._emit(status, **extra)
 
 
 def shuffle_partitions(spark: SparkSession) -> int:
@@ -190,7 +236,12 @@ def build_index(
     build_dir = os.path.join(index_dir, f"_build_{build_id}")
     fs_for(build_dir).makedirs(build_dir)
     hb = (
-        BuildHeartbeat(spark, build_dir, heartbeat_sec, source_desc).start()
+        BuildHeartbeat(
+            spark, build_dir, heartbeat_sec, source_desc,
+            webhook_url=cfg.webhook_url,
+            webhook_payload=cfg.webhook_payload,
+            index_uid=cfg.index_uid,
+        ).start()
         if heartbeat_sec is not None
         else None
     )
@@ -200,11 +251,11 @@ def build_index(
             source_desc, publish_index, tb_bits, hb,
         )
         if hb:
-            hb.finish("completed")
+            hb.finish("completed", nb_documents_sent=meta.get("N"))
         return meta
-    except BaseException:
+    except BaseException as ex:
         if hb:
-            hb.finish("failed")
+            hb.finish("failed", error=str(ex)[:500])
         raise
 
 

@@ -109,3 +109,88 @@ def test_docs_records_per_file_opt_in(spark, tmp_path):
         )
         n = len(glob.glob(os.path.join(idx, "_build_b", "docs", "part-*")))
         assert pred(n), (tag, n)
+
+
+def test_webhook_posts_heartbeat_rows(spark, tmp_path, monkeypatch):
+    """Real webhook sink (reference src/webhook.ts:30-88): with
+    IndexConfig.webhook_url set, every heartbeat row is POSTed as JSON
+    with the reference's enrichment — index_uid, webhook_payload echo,
+    ISO date — plus a Bearer header from $WEBHOOK_TOKEN, and the
+    terminal `completed` row carries nb_documents_sent."""
+    import http.server
+    import threading
+
+    got = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            got.append((dict(self.headers), json.loads(body)))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    monkeypatch.setenv("WEBHOOK_TOKEN", "sekrit")
+    try:
+        idx = str(tmp_path / "idx")
+        build_index(
+            spark, corpus_spark_df(spark, 300), idx,
+            IndexConfig(
+                index_uid="whx", n_shards=4, exclude_paginated=False,
+                webhook_url=f"http://127.0.0.1:{srv.server_port}/hook",
+                webhook_payload={"job": "r3"},
+            ),
+            build_id="wh", heartbeat_sec=0.2,
+        )
+    finally:
+        srv.shutdown()
+    statuses = [b["status"] for _, b in got]
+    assert statuses[0] == "started" and statuses[-1] == "completed"
+    assert statuses.count("active") >= 1
+    hdrs, last = got[-1]
+    assert hdrs["Authorization"] == "Bearer sekrit"
+    assert hdrs["Content-Type"] == "application/json"
+    assert last["index_uid"] == "whx"
+    assert last["webhook_payload"] == {"job": "r3"}
+    assert last["nb_documents_sent"] > 0
+    assert "T" in last["date"] and last["date"].endswith("Z")
+    # file sink unchanged alongside the webhook
+    assert [r["status"] for r in _rows(idx, "wh")][0] == "started"
+
+
+def test_webhook_401_disables_further_posts(spark, tmp_path):
+    """A 401 response flips the sink off (configured=false analog,
+    src/webhook.ts:80-83): at most one more row lands after it."""
+    import http.server
+    import threading
+
+    n = [0]
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            n[0] += 1
+            self.send_response(401)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        idx = str(tmp_path / "idx")
+        build_index(
+            spark, corpus_spark_df(spark, 300), idx,
+            IndexConfig(n_shards=4, exclude_paginated=False,
+                        webhook_url=f"http://127.0.0.1:{srv.server_port}/"),
+            build_id="wh401", heartbeat_sec=0.2,
+        )
+    finally:
+        srv.shutdown()
+    assert n[0] == 1, "first 401 must disable the webhook"
