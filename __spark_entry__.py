@@ -888,6 +888,53 @@ def q_png_decode(spark, sf_dir):
     )
 
 
+def q_jpeg_decode(spark, sf_dir):
+    """X10 closure — REAL compressed-image decode, no stub: grayscale
+    rasters that are CONSTANT within each 8x8 block (block value a pure
+    function of media_id and block index) are encoded to actual
+    baseline-JFIF bytes (operators/jpeg.jpeg_encode, all-ones quant,
+    restart markers every 3 MCUs) and decoded back by the from-scratch
+    T.81 decoder — marker walk, DHT Huffman, destuffing, RST resync,
+    dequant, IDCT. With all-ones quant tables constant blocks have
+    exact integer DC-only spectra, so the round-trip is bit-exact and
+    the oracle recomputes dimensions and the mean from the closed-form
+    block grid."""
+    import numpy as np
+
+    from scrapix_spark.operators import jpeg as J
+
+    d = _docs(spark, sf_dir).filter("doc_id % 3 = 0").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": []}
+            for mid in pdf["media_id"]:
+                nbx = 2 + int(mid) % 3
+                nby = 2 + (int(mid) * 3) % 4
+                bi = np.arange(nby * nbx, dtype=np.int64)
+                blocks = ((int(mid) * 11 + bi * 5) % 256).astype(
+                    np.uint8
+                ).reshape(nby, nbx)
+                img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                rows["media_id"].append(mid)
+                rows["kind"].append("image")
+                rows["payload"].append(
+                    J.jpeg_encode(img, quant=1, restart_interval=3)
+                )
+            yield pd.DataFrame(rows)
+
+    media = d.mapInPandas(gen, schema="media_id long, kind string, payload binary")
+    out = MM.decode_images(media)
+    return out.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_gray"),
+    )
+
+
 def q_multimodal_features_real(spark, sf_dir):
     """X10 complete — REAL feature extraction across all three
     modalities (extract_features_real: decoded pixels / PCM windows /
@@ -2186,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # geo, hybrid/federated, curation, grammar), 41-50 re-gate the core
     # index/query path, the remainder were gated in r01/r02.
     return {
+        "jpeg_decode": q_jpeg_decode,
         "filter_grammar_search": q_filter_grammar_search,
         "search_api": q_search_api,
         "geo_radius_sort": q_geo_radius_sort,
@@ -3583,6 +3631,17 @@ SELECT doc_id,
          ELSE 'author=' || source
               || '|image=https://img/' || doc_id || '/im.png' END AS cleaned
 FROM documents
+""",
+        "jpeg_decode": """
+WITH a AS (SELECT doc_id AS media_id,
+                  2 + doc_id % 3 AS nbx,
+                  2 + (doc_id * 3) % 4 AS nby
+           FROM documents WHERE doc_id % 3 = 0)
+SELECT media_id, (nbx * 8)::INT AS width, (nby * 8)::INT AS height,
+       round(list_sum(list_transform(range(nby * nbx),
+             j -> ((media_id * 11 + j * 5) % 256)::DOUBLE))
+             / (nby * nbx), 6) AS mean_gray
+FROM a
 """,
         "png_decode": """
 WITH a AS (SELECT doc_id AS media_id,

@@ -6,15 +6,19 @@ kernels over mapInPandas.
 
 AUDIO and IMAGE decode are REAL: WAV (RIFF/PCM) parses with the stdlib
 `wave` module + numpy (decode_audio: rate/channels/samples/duration/
-waveform stats; wav_encode is the matching writer), and PNG parses
-with stdlib zlib + numpy (png_decode_bytes: chunk walk, inflate,
-per-spec unfiltering of all five scanline filters; decode_images /
-resize_images_real operate on actual pixels; png_encode is the
-writer). VIDEO decode is REAL for YUV4MPEG2 (y4m) payloads — a text
-header + raw planes, parseable with numpy alone (y4m_decode_bytes /
-sample_frames_real operate on actual pixels; y4m_encode is the
-writer). Only COMPRESSED video (mp4/h264) remains STUBBED (it
-genuinely needs codec libraries absent from this container):
+waveform stats; wav_encode is the matching writer), PNG parses with
+stdlib zlib + numpy (png_decode_bytes: chunk walk, inflate, per-spec
+unfiltering of all five scanline filters; png_encode is the writer),
+and baseline JPEG parses with a from-scratch T.81 sequential decoder
+(operators/jpeg.py: marker walk, canonical-Huffman entropy decode,
+dequant, vectorized IDCT, 4:2:0/4:2:2 chroma upsampling, restart
+markers; jpeg_encode is the matching writer). decode_images /
+extract_features_real dispatch on the payload signature and operate on
+actual pixels. VIDEO decode is REAL for YUV4MPEG2 (y4m) payloads — a
+text header + raw planes, parseable with numpy alone (y4m_decode_bytes
+/ sample_frames_real operate on actual pixels; y4m_encode is the
+writer). Only COMPRESSED video (mp4/h264) remains STUBBED (inter-frame
+codecs genuinely need libraries absent from this container):
 deterministic fake behind `fake=True`, NotImplementedError otherwise —
 its Spark-side plumbing (schema, partitioning, UDF signature, batch
 shape) is real and tested.
@@ -147,7 +151,7 @@ def extract_features_real(media: DataFrame, dim: int = 16) -> DataFrame:
         return sums / cnts
 
     def _img_feature(payload: bytes) -> list:
-        img = png_decode_bytes(payload).astype(np.float64)
+        img = decode_image_bytes(payload).astype(np.float64)
         gray = img.mean(axis=2)  # (H, W)
         g = int(np.ceil(np.sqrt(dim)))
         h, w = gray.shape
@@ -320,12 +324,27 @@ IMAGE_SCHEMA = (
 )
 
 
+def decode_image_bytes(b: bytes) -> "np.ndarray":
+    """Signature-dispatched image decode → (H, W, C) uint8. PNG goes
+    through the zlib/unfilter parser, JPEG (baseline JFIF) through the
+    real Huffman+IDCT decoder (operators/jpeg.py). Anything else raises
+    loudly — honest partial coverage, never a silent fake."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_decode_bytes(b)
+    if b[:2] == b"\xff\xd8":
+        from scrapix_spark.operators.jpeg import jpeg_decode_bytes
+
+        return jpeg_decode_bytes(b)
+    raise ValueError("unrecognized image payload (not PNG or JPEG)")
+
+
 def decode_images(media: DataFrame) -> DataFrame:
     """REAL image decode — PNG parses with stdlib zlib + numpy alone
-    (signature, chunk walk, inflate, per-spec scanline unfiltering):
-    actual pixels → dimensions and per-channel means. Same Arrow batch
-    shape and binary pruning as an imagecodecs-backed decoder for other
-    formats would use; non-PNG payloads raise loudly."""
+    (signature, chunk walk, inflate, per-spec scanline unfiltering) and
+    baseline JPEG parses with the from-scratch Huffman+IDCT decoder
+    (operators/jpeg.py): actual pixels → dimensions and per-channel
+    means. Same Arrow batch shape and binary pruning as an
+    imagecodecs-backed decoder would use; other formats raise loudly."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -333,7 +352,7 @@ def decode_images(media: DataFrame) -> DataFrame:
                 "media_id", "width", "height", "mean_r", "mean_g", "mean_b",
             )}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = png_decode_bytes(bytes(payload))
+                img = decode_image_bytes(bytes(payload))
                 if img.shape[2] == 1:
                     img = np.repeat(img, 3, axis=2)
                 h, w, _ = img.shape

@@ -1,0 +1,107 @@
+"""Baseline JPEG codec (operators/jpeg.py) — the X10 compressed-image
+closure. Properties pinned:
+
+  * constant-per-block images round-trip BIT-EXACTLY with all-ones
+    quant tables (the analytic-oracle fixture property),
+  * arbitrary content round-trips within quantization error,
+  * 4:2:0 subsampling and restart markers decode correctly,
+  * non-baseline processes (progressive SOF2) are rejected loudly,
+  * decode_images dispatches JPEG payloads by signature.
+"""
+
+import numpy as np
+import pytest
+
+from scrapix_spark.operators.jpeg import jpeg_decode_bytes, jpeg_encode
+
+
+def _block_img(seed: int, nby: int, nbx: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 256, (nby, nbx)).astype(np.uint8)
+    return np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+
+
+def test_constant_block_gray_roundtrip_exact():
+    img = _block_img(7, 5, 4)
+    dec = jpeg_decode_bytes(jpeg_encode(img, quant=1))
+    assert dec.shape == (40, 32, 1)
+    assert np.array_equal(dec[..., 0], img)
+
+
+def test_restart_markers_roundtrip_exact():
+    img = _block_img(11, 4, 6)
+    for ri in (1, 2, 5):
+        dec = jpeg_decode_bytes(jpeg_encode(img, quant=1, restart_interval=ri))
+        assert np.array_equal(dec[..., 0], img), f"restart_interval={ri}"
+
+
+def test_random_gray_bounded_error_nonmultiple_dims():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (19, 27)).astype(np.uint8)
+    dec = jpeg_decode_bytes(jpeg_encode(img, quant=1))
+    assert dec.shape == (19, 27, 1)
+    err = np.abs(dec[..., 0].astype(int) - img.astype(int)).max()
+    # quant=1: only DCT-coefficient rounding — tiny reconstruction error
+    assert err <= 4, err
+
+
+def test_rgb_444_and_420():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+    d444 = jpeg_decode_bytes(jpeg_encode(img, quant=1))
+    assert d444.shape == (16, 24, 3)
+    # color-conversion rounding only
+    assert np.abs(d444.astype(int) - img.astype(int)).max() <= 6
+    flat = np.full((24, 40, 3), [210, 40, 99], dtype=np.uint8)
+    d420 = jpeg_decode_bytes(jpeg_encode(flat, quant=1, subsample="420"))
+    assert d420.shape == flat.shape
+    assert np.abs(d420.astype(int) - flat.astype(int)).max() <= 2
+
+
+def test_real_quant_table_bounded_error():
+    xx, yy = np.meshgrid(np.arange(48), np.arange(40))
+    smooth = ((xx * 3 + yy * 2) % 256).astype(np.uint8)
+    dec = jpeg_decode_bytes(jpeg_encode(smooth, quant=8))
+    err = np.abs(dec[..., 0].astype(int) - smooth.astype(int)).max()
+    assert err <= 3 * 8, err  # within a few quantization steps
+
+
+def test_progressive_and_garbage_rejected():
+    b = bytearray(jpeg_encode(_block_img(1, 2, 2), quant=1))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="progressive|baseline"):
+        jpeg_decode_bytes(bytes(b))
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode_bytes(b"\x89PNG not a jpeg")
+
+
+def test_decode_images_dispatches_jpeg(spark):
+    """The Spark operator path: JPEG payloads flow through the same
+    mapInPandas kernel as PNG, dispatched by signature."""
+    import pandas as pd
+
+    from scrapix_spark.operators import multimodal as MM
+
+    imgs = {int(i): _block_img(i, 2 + i % 2, 3) for i in range(6)}
+    pdf = pd.DataFrame(
+        {
+            "media_id": list(imgs),
+            "kind": ["image"] * len(imgs),
+            "payload": [
+                jpeg_encode(im, quant=1) if k % 2 == 0 else MM.png_encode(
+                    np.repeat(im[..., None], 3, axis=2)
+                )
+                for k, im in imgs.items()
+            ],
+        }
+    )
+    media = spark.createDataFrame(pdf)
+    got = {
+        r["media_id"]: r
+        for r in MM.decode_images(media).collect()
+    }
+    for k, im in imgs.items():
+        assert got[k]["height"] == im.shape[0]
+        assert got[k]["width"] == im.shape[1]
+        assert got[k]["mean_r"] == pytest.approx(im.mean(), abs=1e-4)
