@@ -574,11 +574,15 @@ def minhash_lsh_verified_pairs(
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
         .dropDuplicates()
     )
+    # persist: sh feeds THREE consumers (both intersection sides + the
+    # set sizes); each re-derivation repeats the candidate-doc shingle
+    # pass (same fix as the simhash verify's tf relation). The relation
+    # is (candidate id, shingle): candidate-bounded.
     sh = word_shingles(
         df.join(_maybe_broadcast(ids, 2 * n_cand, broadcast_limit),
                 id_col, "left_semi"),
         text_col, id_col, shingle_n,
-    )
+    ).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (
         _maybe_broadcast(cand, n_cand, broadcast_limit)
