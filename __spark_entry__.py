@@ -888,6 +888,17 @@ def q_png_decode(spark, sf_dir):
     )
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """X51 — CCNet-style LM quality signal (Wenzek et al. 2019 §3.3):
+    an add-one-smoothed bigram LM trained on the corpus scores each
+    document's average negative log-likelihood (their 5-gram KenLM
+    analog, Spark-native). Plan: two hash aggregations train the LM
+    (map-side combine, token/pair keys), pairing is a map-only in-array
+    zip, scoring is key-equi joins with counted broadcast gating. The
+    oracle replays the identical counts + smoothing in SQL."""
+    return TS.lm_perplexity(_docs(spark, sf_dir), "text", "doc_id")
+
+
 def q_jpeg_decode(spark, sf_dir):
     """X10 closure — REAL compressed-image decode, no stub: grayscale
     rasters that are CONSTANT within each 8x8 block (block value a pure
@@ -2233,6 +2244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # geo, hybrid/federated, curation, grammar), 41-50 re-gate the core
     # index/query path, the remainder were gated in r01/r02.
     return {
+        "lm_perplexity": q_lm_perplexity,
         "jpeg_decode": q_jpeg_decode,
         "filter_grammar_search": q_filter_grammar_search,
         "search_api": q_search_api,
@@ -3631,6 +3643,36 @@ SELECT doc_id,
          ELSE 'author=' || source
               || '|image=https://img/' || doc_id || '/im.png' END AS cleaned
 FROM documents
+""",
+        "lm_perplexity": f"""
+WITH t AS (SELECT doc_id, {TOK_EXPR('text')} AS ts FROM documents),
+tt AS (SELECT doc_id, ts FROM t WHERE len(ts) > 0),
+uni AS (SELECT u.w AS w, count(*) AS c1
+        FROM tt, unnest(ts) AS u(w) GROUP BY 1),
+tot AS (SELECT sum(c1) AS t_tokens, count(*) AS vocab FROM uni),
+pairs AS (
+  SELECT doc_id, ts[i] AS w,
+         CASE WHEN i = 1 THEN NULL ELSE ts[i - 1] END AS w1
+  FROM tt, unnest(range(1, len(ts) + 1)) AS r(i)
+),
+bi AS (SELECT w1, w AS w2, count(*) AS c2
+       FROM pairs WHERE w1 IS NOT NULL GROUP BY 1, 2),
+sc AS (
+  SELECT p.doc_id,
+         CASE WHEN p.w1 IS NULL
+              THEN -ln((coalesce(u.c1, 0) + 1)::DOUBLE
+                       / (tot.t_tokens + tot.vocab))
+              ELSE -ln((coalesce(b.c2, 0) + 1)::DOUBLE
+                       / (coalesce(u1.c1, 0) + tot.vocab))
+         END AS nll
+  FROM pairs p
+  LEFT JOIN uni u ON u.w = p.w
+  LEFT JOIN uni u1 ON u1.w = p.w1
+  LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w
+  CROSS JOIN tot
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(nll), 6) AS avg_nll
+FROM sc GROUP BY doc_id
 """,
         "jpeg_decode": """
 WITH a AS (SELECT doc_id AS media_id,

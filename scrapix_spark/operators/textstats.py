@@ -250,3 +250,139 @@ def hash_token(t: str) -> int:
     for b in t.encode("utf-8"):
         h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
     return h
+
+
+# ----------------------------------------------- n-gram LM perplexity
+
+def train_bigram_lm(
+    df: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Corpus-trained n-gram language model (the CCNet quality signal,
+    Wenzek et al. 2019 §3.3 — there a 5-gram KenLM scores documents and
+    perplexity terciles split head/middle/tail; here an add-one-smoothed
+    bigram model, the honest no-external-model Spark-native analog).
+
+    Returns (unigrams, bigrams, totals):
+      unigrams: (w, c1)        — token counts
+      bigrams:  (w1, w2, c2)   — adjacent-pair counts
+      totals:   one row (t_tokens, vocab)
+
+    Scale shape: two hash aggregations with map-side combine; the
+    shuffled keys are tokens/pairs, never documents. At 100 TB the
+    bigram relation is large but key-partitioned — scoring joins on it
+    shuffle-join by key (broadcast only below a counted threshold),
+    exactly the postings-join discipline."""
+    toks = df.select(tokens_native(F.col(text_col)).alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    n1 = F.greatest(F.size("ts") - 1, F.lit(0))
+    bi = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("ts", 1, n1),
+                    F.slice("ts", 2, n1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    totals = uni.agg(
+        F.sum("c1").alias("t_tokens"), F.count("*").alias("vocab")
+    )
+    return uni, bi, totals
+
+
+def lm_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    broadcast_limit: int = 2_000_000,
+) -> DataFrame:
+    """Per-document average negative log-likelihood under the bigram LM
+    (lower = more fluent under the corpus distribution; CCNet keeps the
+    head/middle by this score). The first token scores by the add-one
+    unigram P(w) = (c1+1)/(T+V); each later token by the add-one bigram
+    conditional P(w2|w1) = (c2+1)/(c1(w1)+V). Unseen words/pairs get
+    the same smoothing mass, so every document scores.
+
+    Returns (id, n_tokens, avg_nll) — avg_nll in nats, rounded to 6;
+    documents with no tokens are omitted. All joins are key-equi on token/pair;
+    the LM sides broadcast only when their counted size is under
+    `broadcast_limit` rows."""
+    uni, bi, totals = lm if lm is not None else train_bigram_lm(df, text_col)
+    uni = uni.persist()
+    bi = bi.persist()
+    n_uni = uni.count()
+    n_bi = bi.count()
+    uni_j = F.broadcast(uni) if n_uni <= broadcast_limit else uni
+    bi_j = F.broadcast(bi) if n_bi <= broadcast_limit else bi
+    tot = F.broadcast(totals)
+
+    # (token, previous-token) pairing happens INSIDE the array — a
+    # map-only zip of the tokens with a null-prefixed shifted copy — so
+    # pairing costs zero shuffles (no posexplode self-join, no window)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        tokens_native(F.col(text_col)).alias("ts"),
+    ).filter(F.size("ts") > 0)
+    shifted = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice("ts", 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+    )
+    pairs = toks.select(
+        "id",
+        F.explode(
+            F.zip_with(
+                F.col("ts"), shifted,
+                lambda w, w1: F.struct(w.alias("w"), w1.alias("w1")),
+            )
+        ).alias("p"),
+    ).select("id", "p.w", "p.w1")
+    scored = (
+        pairs
+        .join(uni_j.select(F.col("w"), F.col("c1").alias("c_w")), "w", "left")
+        .join(
+            uni_j.select(F.col("w").alias("w1"), F.col("c1").alias("c_w1")),
+            "w1",
+            "left",
+        )
+        .join(
+            bi_j.select(
+                F.col("w1"), F.col("w2").alias("w"), F.col("c2")
+            ),
+            ["w1", "w"],
+            "left",
+        )
+        .crossJoin(tot)
+        .withColumn(
+            "nll",
+            F.when(
+                F.col("w1").isNull(),  # first token: unigram
+                -F.log(
+                    (F.coalesce(F.col("c_w"), F.lit(0)) + 1)
+                    / (F.col("t_tokens") + F.col("vocab"))
+                ),
+            ).otherwise(  # bigram conditional
+                -F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+                    / (F.coalesce(F.col("c_w1"), F.lit(0)) + F.col("vocab"))
+                )
+            ),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "avg_nll")
+    )

@@ -358,3 +358,29 @@ def test_verify_join_broadcast_gate(spark, dup_docs):
         dup_docs, "text", "doc_id", 128, 32, threshold=0.8,
         broadcast_limit=0))
     assert mh_b == mh_s and mh_b
+
+
+def test_lm_perplexity_hand_math(spark):
+    """Bigram-LM scoring (X51): hand-computed add-one smoothing on a
+    tiny corpus; duplicate docs score identically; empty docs omitted."""
+    import math
+
+    from scrapix_spark.operators.textstats import lm_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the cat sat on the mat"),
+         (3, "zq xv qqq zq xv"),
+         (4, "the the the the"),
+         (5, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_perplexity(df).collect()}
+    assert 5 not in out and len(out) == 4
+    assert out[1]["avg_nll"] == out[2]["avg_nll"]
+    # corpus: T=21 tokens, V=8; doc4 = "the the the the":
+    # first token unigram: c1(the)=8 -> -ln(9/29)
+    # three bigram steps: c2(the,the)=3, c1(the)=8 -> -ln(4/16) each
+    want = (-math.log(9 / 29) + 3 * -math.log(4 / 16)) / 4
+    assert out[4]["avg_nll"] == pytest.approx(want, abs=1e-6)
+    assert out[4]["n_tokens"] == 4
