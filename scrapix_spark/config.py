@@ -112,6 +112,14 @@ class IndexConfig:
     webhook_url: Optional[str] = None
     webhook_payload: Optional[dict] = None
 
+    # Meilisearch query-time settings carried through the settings sink
+    # (S7): stored in meta.json with the rest of the config so
+    # IndexReader.search() can default to them when the caller passes
+    # none — the reference applies them index-side the same way
+    # (src/sender.ts:76-82).
+    synonyms: Optional[dict] = None
+    stop_words: Optional[list] = None
+
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)
 
@@ -123,3 +131,122 @@ class IndexConfig:
     def load(cls, path: str) -> "IndexConfig":
         with open(path) as f:
             return cls(**json.load(f))
+
+    @classmethod
+    def from_reference_config(cls, obj) -> "IndexConfig":
+        """Load a REFERENCE-SHAPED config (the scrapix Config JSON a
+        user runs today — src/types.ts:6-26, examples in
+        misc/config_examples/*.json) and map every meaningful field to
+        this engine per SURVEY.md §1.3. `obj` is a dict, a JSON string,
+        or a path to a JSON file.
+
+        Mapping (reference key → here):
+          meilisearch_index_uid      → index_uid
+          strategy                   → strategy (verbatim)
+          start_urls / urls_to_index → scope_include (URL path prefix →
+                                       'path**' glob: the reference's
+                                       startsWith scope, crawler.ts:187)
+          urls_to_exclude /
+            urls_to_not_index        → scope_exclude (the reference's
+                                       two filter layers collapse onto
+                                       the one table-scope predicate)
+          batch_size                 → batch_size
+          webhook_url / _payload     → webhook_url / webhook_payload
+          meilisearch_settings:
+            searchableAttributes     → field_weights (order-decayed via
+                                       bm25f.field_weights_from_order)
+            distinctAttribute        → distinct_attribute
+            filterable/sortable
+              Attributes             → extra_doc_columns (minus the
+                                       fixed docs schema)
+            stopWords                → tokenizer.stop_words (dropped from
+                                       the token stream at BUILD time and
+                                       by the query tokenizer, like the
+                                       Meilisearch setting) AND stop_words
+                                       (search() ranking default)
+            synonyms                 → synonyms (stored in meta.json;
+                                       search() query-expansion default)
+            separatorTokens /
+              nonSeparatorTokens /
+              dictionary             → tokenizer dict
+            rankingRules             → query-time (search(ranking_rules=…));
+                                       not stored
+        Ignored crawl-only fields (no server/browser here):
+        meilisearch_url, meilisearch_api_key, primary_key (ids are
+        deterministic, SURVEY P5), headless, user_agents,
+        additional_request_headers, timeout, schema_settings (the
+        JSON-LD transforms take them as arguments).
+        """
+        from urllib.parse import urlparse
+
+        if isinstance(obj, str):
+            if obj.lstrip().startswith("{"):
+                ref = json.loads(obj)
+            else:
+                with open(obj) as f:
+                    ref = json.load(f)
+        else:
+            ref = dict(obj)
+
+        def url_globs(urls) -> list[str]:
+            out = []
+            for u in urls or []:
+                p = urlparse(u).path.lstrip("/") if "://" in u else u.lstrip("/")
+                if p:
+                    out.append(p.rstrip("/") + "**")
+            return out
+
+        kw: dict = {}
+        if ref.get("meilisearch_index_uid"):
+            kw["index_uid"] = ref["meilisearch_index_uid"]
+        if ref.get("strategy"):
+            kw["strategy"] = ref["strategy"]
+        inc = url_globs(ref.get("start_urls")) + url_globs(ref.get("urls_to_index"))
+        exc = url_globs(ref.get("urls_to_exclude")) + url_globs(
+            ref.get("urls_to_not_index")
+        )
+        if inc:
+            kw["scope_include"] = sorted(set(inc))
+        if exc:
+            kw["scope_exclude"] = sorted(set(exc))
+        if ref.get("batch_size"):
+            kw["batch_size"] = int(ref["batch_size"])
+        if ref.get("webhook_url"):
+            kw["webhook_url"] = ref["webhook_url"]
+        if ref.get("webhook_payload") is not None:
+            kw["webhook_payload"] = ref["webhook_payload"]
+
+        ms = ref.get("meilisearch_settings") or {}
+        if ms.get("searchableAttributes"):
+            from scrapix_spark.operators.bm25f import field_weights_from_order
+
+            kw["field_weights"] = field_weights_from_order(
+                list(ms["searchableAttributes"])
+            )
+        if ms.get("distinctAttribute"):
+            kw["distinct_attribute"] = ms["distinctAttribute"]
+        fixed = {"doc_id", "shard", "repo", "path", "commit", "lang",
+                 "sha256", "doc_len"}
+        extra = [
+            a
+            for a in list(ms.get("filterableAttributes") or [])
+            + list(ms.get("sortableAttributes") or [])
+            if a not in fixed
+        ]
+        if extra:
+            kw["extra_doc_columns"] = sorted(set(extra))
+        if ms.get("synonyms"):
+            kw["synonyms"] = dict(ms["synonyms"])
+        tok = {}
+        if ms.get("stopWords"):
+            kw["stop_words"] = sorted(ms["stopWords"])
+            tok["stop_words"] = tuple(sorted(ms["stopWords"]))
+        if ms.get("separatorTokens"):
+            tok["extra_separators"] = list(ms["separatorTokens"])
+        if ms.get("nonSeparatorTokens"):
+            tok["non_separators"] = list(ms["nonSeparatorTokens"])
+        if ms.get("dictionary"):
+            tok["dictionary"] = list(ms["dictionary"])
+        if tok:
+            kw["tokenizer"] = tok
+        return cls(**kw)

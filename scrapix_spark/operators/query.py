@@ -1068,6 +1068,14 @@ class IndexReader:
 
         if matching_strategy not in (None, "all", "last", "frequency"):
             raise ValueError(f"unknown matchingStrategy {matching_strategy!r}")
+        # settings-sink defaults (S7): a reference config's stopWords /
+        # synonyms land in meta.json at build time; an explicit argument
+        # always wins (pass {} / set() to suppress stored settings)
+        stored = self.meta.get("config") or {}
+        if synonyms is None and stored.get("synonyms"):
+            synonyms = stored["synonyms"]
+        if stop_words is None and stored.get("stop_words"):
+            stop_words = set(stored["stop_words"])
         filter_expr = self._compile_filter(filter_expr, filter_syntax)
         parsed = parse_query_full(q, stop_words, tokenize=self._query_terms)
         words, phrases = parsed["words"], parsed["phrases"]

@@ -1,0 +1,151 @@
+"""The switch path for a reference user: load the scrapix Config JSON
+they run TODAY (reference src/types.ts:6-26; shapes mirrored from
+misc/config_examples/*.json) via IndexConfig.from_reference_config and
+get an equivalent build — and have the stored meilisearch_settings
+(stopWords / synonyms) apply as search() defaults the way the reference
+applies them index-side (src/sender.ts:76-82)."""
+
+import json
+
+import pytest
+
+from scrapix_spark.config import IndexConfig
+from scrapix_spark.operators.index import build_index
+from scrapix_spark.operators.query import IndexReader
+
+
+# Shapes copied from the reference's own example configs (field names
+# only; values are ours): misc/config_examples/default-simple.json,
+# default-bigger_batches.json, default-exclude_urls.json,
+# openai-docsearch-strat.json.
+SIMPLE = {
+    "start_urls": ["https://platform.openai.com/docs"],
+    "meilisearch_url": "localhost:7700",
+    "meilisearch_api_key": "masterKey",
+    "meilisearch_index_uid": "openai",
+}
+
+FULL = {
+    "start_urls": ["https://meilisearch.com/docs", "https://www.meilisearch.com/docs"],
+    "urls_to_not_index": ["https://blog.meilisearch.com/page"],
+    "urls_to_exclude": ["https://meilisearch.com/docs/private"],
+    "meilisearch_url": "{{meilisearch_url}}",
+    "meilisearch_api_key": "{{key}}",
+    "meilisearch_index_uid": "docs",
+    "strategy": "docssearch",
+    "batch_size": 1000,
+    "primary_key": "uid",
+    "user_agents": ["me/1.0"],
+    "webhook_url": "http://localhost:9999/hook",
+    "webhook_payload": {"env": "test"},
+    "meilisearch_settings": {
+        "searchableAttributes": ["h1", "h2", "content"],
+        "distinctAttribute": "url",
+        "filterableAttributes": ["lang", "urls_tags"],
+        "sortableAttributes": ["page_rank"],
+        "stopWords": ["the", "a"],
+        "synonyms": {"quuxbar": ["merge"]},
+        "separatorTokens": ["|"],
+        "nonSeparatorTokens": ["-"],
+        "dictionary": ["a.b"],
+        "rankingRules": ["words", "typo", "proximity"],
+    },
+}
+
+
+def test_simple_reference_config_maps():
+    cfg = IndexConfig.from_reference_config(SIMPLE)
+    assert cfg.index_uid == "openai"
+    # start_urls become path-prefix globs on the table scope
+    assert cfg.scope_include == ["docs**"]
+    assert cfg.scope_exclude == []
+    # crawl-only fields (server url, api key) have no analog field
+    assert "meilisearch_url" not in cfg.to_json()
+
+
+def test_full_reference_config_maps():
+    cfg = IndexConfig.from_reference_config(FULL)
+    assert cfg.index_uid == "docs"
+    assert cfg.strategy == "docssearch"
+    assert cfg.batch_size == 1000
+    assert cfg.scope_include == ["docs**"]
+    # both exclude layers collapse onto the single table-scope predicate
+    assert cfg.scope_exclude == ["docs/private**", "page**"]
+    assert cfg.webhook_url == "http://localhost:9999/hook"
+    assert cfg.webhook_payload == {"env": "test"}
+    # searchableAttributes order -> decaying field weights
+    w = cfg.field_weights
+    assert list(w) == ["h1", "h2", "content"]
+    assert w["h1"] > w["h2"] > w["content"]
+    assert cfg.distinct_attribute == "url"
+    # filterable/sortable attrs beyond the fixed docs schema are carried
+    assert cfg.extra_doc_columns == ["page_rank", "urls_tags"]
+    # stopWords drop at build time (tokenizer) AND default query-side
+    assert cfg.tokenizer["stop_words"] == ("a", "the")
+    assert cfg.stop_words == ["a", "the"]
+    assert cfg.synonyms == {"quuxbar": ["merge"]}
+    assert cfg.tokenizer["extra_separators"] == ["|"]
+    assert cfg.tokenizer["non_separators"] == ["-"]
+    assert cfg.tokenizer["dictionary"] == ["a.b"]
+
+
+def test_reference_config_from_string_and_file(tmp_path):
+    s = json.dumps(SIMPLE)
+    assert IndexConfig.from_reference_config(s).index_uid == "openai"
+    p = tmp_path / "cfg.json"
+    p.write_text(s)
+    assert IndexConfig.from_reference_config(str(p)).index_uid == "openai"
+
+
+ROWS = [
+    ("r", "p0", "c", "py", "merge sort routines for the heap"),
+    ("r", "p1", "c", "py", "hash join notes without articles"),
+    ("r", "p2", "c", "py", "the the the filler document text"),
+]
+
+
+@pytest.fixture(scope="module")
+def ref_built(spark, tmp_path_factory):
+    """Build straight from a reference-shaped config (stopWords +
+    synonyms in meilisearch_settings) over the fixed docs table."""
+    ref = {
+        "meilisearch_index_uid": "refidx",
+        "start_urls": ["https://example.com/"],
+        "meilisearch_settings": {
+            "stopWords": ["the"],
+            "synonyms": {"quuxbar": ["merge"]},
+        },
+    }
+    cfg = IndexConfig.from_reference_config(ref)
+    cfg.n_shards = 2
+    cfg.exclude_paginated = False
+    cfg.store_positions = True
+    df = spark.createDataFrame(
+        ROWS, "repo string, path string, commit string, lang string, content string"
+    )
+    d = str(tmp_path_factory.mktemp("refcfg"))
+    build_index(spark, df, d, cfg, build_id="b1")
+    return IndexReader(spark, d)
+
+
+def test_stored_settings_survive_meta_roundtrip(ref_built):
+    stored = ref_built.meta["config"]
+    assert stored["synonyms"] == {"quuxbar": ["merge"]}
+    assert stored["stop_words"] == ["the"]
+    assert tuple(stored["tokenizer"]["stop_words"]) == ("the",)
+
+
+def test_search_defaults_to_stored_synonyms(ref_built):
+    # 'quuxbar' is absent from the corpus; the STORED synonym mapping
+    # makes it match the 'merge' doc with no per-request synonyms arg
+    hits = ref_built.search("quuxbar", k=10)["hits"].collect()
+    assert [h["path"] for h in hits] == ["p0"]
+    # an explicit empty mapping suppresses the stored one
+    assert ref_built.search("quuxbar", k=10, synonyms={})["hits"].count() == 0
+
+
+def test_search_defaults_to_stored_stop_words(ref_built):
+    # stop word was never indexed, so the all-words strategy still
+    # matches: 'the heap' must not demand a 'the' posting
+    hits = ref_built.search("the heap", k=10)["hits"].collect()
+    assert [h["path"] for h in hits] == ["p0"]
