@@ -9,7 +9,7 @@ parse :11-27) — run on a cluster as:
         jobs/build_index.py \
         --input  /path/to/docs_table_or_parquet \
         --index-dir /path/to/index \
-        [--config cfg.json | --config-json '{...}'] \
+        [--config cfg.json | --config-json '{...}' | --ref-config scrapix.json] \
         [--build-id 0001] [--n-batches 4] [--format parquet|iceberg]
 
 Mirrors the reference's mutual-exclusion check between inline config and
@@ -37,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--config", help="path to IndexConfig JSON")
     ap.add_argument("--config-json", help="inline IndexConfig JSON")
+    ap.add_argument("--ref-config",
+                    help="path to a REFERENCE-shaped scrapix Config JSON "
+                         "(the file a reference user runs today, src/types.ts:6-26); "
+                         "mapped via IndexConfig.from_reference_config")
     ap.add_argument("--build-id", default="0001")
     ap.add_argument("--n-batches", type=int, default=1,
                     help="resumable segment units (shard-range groups)")
@@ -48,9 +52,9 @@ def main(argv: list[str] | None = None) -> int:
                          "reference WEBHOOK_INTERVAL); <=0 disables")
     args = ap.parse_args(argv)
 
-    if args.config and args.config_json:
+    if sum(map(bool, (args.config, args.config_json, args.ref_config))) > 1:
         # mutual exclusion, reference src/bin/index.ts:48-57
-        ap.error("--config and --config-json are mutually exclusive")
+        ap.error("--config, --config-json and --ref-config are mutually exclusive")
 
     from scrapix_spark.config import IndexConfig
     from scrapix_spark.operators.index import build_index
@@ -59,6 +63,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg = IndexConfig.load(args.config)
     elif args.config_json:
         cfg = IndexConfig.from_json(args.config_json)
+    elif args.ref_config:
+        cfg = IndexConfig.from_reference_config(args.ref_config)
     else:
         cfg = IndexConfig()
 

@@ -51,6 +51,34 @@ def test_build_job_config_mutual_exclusion(cli_index):
             "--input", corpus, "--index-dir", index,
             "--config", "/tmp/x.json", "--config-json", "{}",
         ])
+    with pytest.raises(SystemExit):
+        job_build.main([
+            "--input", corpus, "--index-dir", index,
+            "--config-json", "{}", "--ref-config", "/tmp/x.json",
+        ])
+
+
+def test_build_job_accepts_reference_config(cli_index, tmp_path, capsys):
+    """A reference user's own scrapix config file drives the build
+    unchanged (switch path X52)."""
+    corpus, _ = cli_index
+    index = str(tmp_path / "refidx")
+    ref = tmp_path / "scrapix.json"
+    ref.write_text(json.dumps({
+        "start_urls": ["https://example.com/"],
+        "meilisearch_url": "localhost:7700",
+        "meilisearch_api_key": "masterKey",
+        "meilisearch_index_uid": "refcli",
+        "batch_size": 500,
+    }))
+    rc = job_build.main([
+        "--input", corpus, "--index-dir", index, "--ref-config", str(ref),
+    ])
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["index_uid"] == "refcli"
+    assert manifest["N"] > 0
+    assert os.path.exists(os.path.join(index, "_CURRENT"))
 
 
 def test_query_job_wand_and_full_rank_identical(cli_index, capsys):
