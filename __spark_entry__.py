@@ -262,6 +262,28 @@ def q_ann_lsh_topk(spark, sf_dir):
     return SIM.cosine_topk_lsh(emb, qv, k=10, n_planes=12, max_hamming=4)
 
 
+def q_ann_sq8_topk(spark, sf_dir):
+    """X53 — SQ8 scalar-quantized ANN: per-dim min/max bounds train in
+    one agg pass, uint8 codes generate 4·k candidates by approximate
+    cosine (the 4×-smaller relation a 100 TB deployment scans), exact
+    cosine re-ranks candidates only. Oracle replays bounds, the
+    floor(clamp·255+½) quantizer, affine decode, the round-9 candidate
+    cut and the exact rescore value-for-value."""
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return SIM.cosine_topk_sq8(emb, qv, k=10, rescore=4)
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """X54 — per-doc top-3 keywords by tf·ln(N/df)."""
+    return TS.tfidf_keywords(_docs(spark, sf_dir), "text", k=3)
+
+
+def q_top_ngrams(spark, sf_dir):
+    """X55 — corpus 3-gram profiler: top-20 by total occurrences."""
+    return TS.top_ngrams(_docs(spark, sf_dir), n=3, k=20)
+
+
 def q_langid_counts(spark, sf_dir):
     """Language-ID (stopword-marker heuristic) → predicted-lang counts."""
     pred = TS.language_id(_docs(spark, sf_dir), "text")
@@ -2246,6 +2268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lm_perplexity": q_lm_perplexity,
         "jpeg_decode": q_jpeg_decode,
+        "ann_sq8_topk": q_ann_sq8_topk,
+        "tfidf_keywords": q_tfidf_keywords,
+        "top_ngrams": q_top_ngrams,
         "filter_grammar_search": q_filter_grammar_search,
         "search_api": q_search_api,
         "geo_radius_sort": q_geo_radius_sort,
@@ -3521,6 +3546,69 @@ s AS (SELECT vec_id AS id,
       FROM embeddings CROSS JOIN q)
 SELECT id, round(cos, 6) AS cosine FROM s
 ORDER BY round(cos, 6) DESC, id LIMIT 10
+""",
+        "ann_sq8_topk": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+dims AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS lo,
+                max(CAST(embedding[i] AS DOUBLE)) AS hi
+         FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+         GROUP BY i),
+b AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM dims),
+coded AS (SELECT vec_id, embedding,
+            list_transform(range(1, 65), i ->
+              floor(least(255.0, greatest(0.0,
+                (CAST(embedding[i] AS DOUBLE) - lo[i])
+                * (CASE WHEN hi[i] > lo[i] THEN 255.0 / (hi[i] - lo[i])
+                        ELSE 0.0 END))) + 0.5)) AS code
+          FROM embeddings CROSS JOIN b),
+recon AS (SELECT vec_id,
+            list_transform(range(1, 65), i ->
+              code[i] * (CASE WHEN hi[i] > lo[i] THEN (hi[i] - lo[i]) / 255.0
+                              ELSE 0.0 END) + lo[i]) AS xr
+          FROM coded CROSS JOIN b),
+approx AS (SELECT vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> xr[i] * CAST(qe[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(xr, x -> x * x)))
+                * sqrt(list_sum(list_transform(qe,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS a
+           FROM recon CROSS JOIN q),
+cand AS (SELECT vec_id FROM approx ORDER BY round(a, 9) DESC, vec_id LIMIT 40),
+s AS (SELECT e.vec_id AS id,
+        list_sum(list_transform(range(1, 65),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(qe,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q)
+SELECT id, round(cos, 6) AS cosine FROM s
+ORDER BY round(cos, 6) DESC, id LIMIT 10
+""",
+        "tfidf_keywords": f"""
+WITH t AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY doc_id, term),
+dfv AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+s AS (SELECT doc_id, term, tf, tf * ln(n_docs / df) AS score
+      FROM tf JOIN dfv USING (term) CROSS JOIN n),
+r AS (SELECT doc_id, term, tf, score,
+        row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term ASC) AS rank
+      FROM s)
+SELECT doc_id, term, tf, round(score, 6) AS score, rank::INT AS rank
+FROM r WHERE rank <= 3
+""",
+        "top_ngrams": f"""
+WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+g AS (SELECT doc_id,
+        unnest(list_transform(range(1, len(toks) - 1),
+          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS ngram
+      FROM t WHERE len(toks) >= 3),
+pd AS (SELECT doc_id, ngram, count(*)::BIGINT AS tf_doc
+       FROM g GROUP BY doc_id, ngram)
+SELECT ngram, sum(tf_doc)::BIGINT AS tf, count(*)::BIGINT AS df
+FROM pd GROUP BY ngram ORDER BY tf DESC, ngram ASC LIMIT 20
 """,
         "langid_counts": f"""
 WITH t AS (SELECT {tok} AS toks FROM documents),

@@ -380,3 +380,102 @@ def hybrid_topk(
     return blended.orderBy(
         F.round(F.col("hybrid"), 9).desc(), F.col("id").asc()
     ).limit(k)
+
+
+def sq8_bounds(df: DataFrame, dim: int, vec_col: str = "embedding") -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) training bounds for SQ8 scalar
+    quantization — one aggregation pass over the corpus (2·dim scalar
+    aggregates, map-side combined; the result is 2·dim doubles on the
+    driver, same bounded footprint as IVF centroids).
+    """
+    aggs = [F.min(F.col(vec_col)[i].cast("double")).alias(f"lo{i}") for i in range(dim)]
+    aggs += [F.max(F.col(vec_col)[i].cast("double")).alias(f"hi{i}") for i in range(dim)]
+    row = df.agg(*aggs).first()
+    return (
+        [float(row[f"lo{i}"]) for i in range(dim)],
+        [float(row[f"hi{i}"]) for i in range(dim)],
+    )
+
+
+def sq8_quantize(
+    df: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    vec_col: str = "embedding",
+    code_col: str = "code",
+) -> DataFrame:
+    """Attach the SQ8 code column: per-dimension affine uint8
+    quantization (the Faiss ScalarQuantizer/QT_8bit layout, public
+    knowledge) — code[i] = floor(clamp((x-lo)/(hi-lo), 0, 1)·255 + ½).
+
+    Pure in-plan arithmetic (zip_with over array literals, whole-stage
+    codegen); at 100 TB the code relation is the PERSISTED artifact —
+    4× smaller than float32, 8× smaller than the double math here — and
+    scans of it replace full-precision scans for candidate generation.
+    """
+    lo_a = F.array(*[F.lit(float(v)) for v in lo])
+    scale = F.array(
+        *[F.lit(255.0 / (h - l) if h > l else 0.0) for l, h in zip(lo, hi)]
+    )
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    norm = F.zip_with(x, lo_a, lambda v, l: v - l)
+    code = F.zip_with(
+        norm,
+        scale,
+        lambda d, s: F.floor(
+            F.least(F.lit(255.0), F.greatest(F.lit(0.0), d * s)) + F.lit(0.5)
+        ).cast("int"),
+    )
+    return df.withColumn(code_col, code)
+
+
+def cosine_topk_sq8(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bounds: tuple[list[float], list[float]] | None = None,
+) -> DataFrame:
+    """X53 — SQ8-compressed ANN: approximate cosine over the uint8
+    codes picks `rescore`·k candidates, then the exact cosine re-ranks
+    only those and returns top-k (id, cosine) — same output contract as
+    cosine_topk_bruteforce on the candidate set.
+
+    Scale shape: the candidate scan reads the 4×-smaller code relation
+    (embarrassingly parallel, TakeOrdered partial top-k per partition,
+    tiny merge); the rescore is a broadcast semi-join of rescore·k ids
+    back into the full-precision relation, so full floats are touched
+    for O(k) rows only. Decode is affine (x̂ = lo + code/255·(hi-lo)) —
+    in-plan, no UDF anywhere.
+    """
+    dim = len(query_vec)
+    if bounds is None:
+        bounds = sq8_bounds(df, dim, vec_col)
+    lo, hi = bounds
+    coded = sq8_quantize(df, lo, hi, vec_col)
+    # decode: x̂[i] = lo[i] + code[i]/255·(hi[i]-lo[i])
+    lo_a = F.array(*[F.lit(float(v)) for v in lo])
+    step = F.array(
+        *[F.lit((h - l) / 255.0 if h > l else 0.0) for l, h in zip(lo, hi)]
+    )
+    recon = F.zip_with(
+        F.zip_with(F.col("code"), step, lambda c, s: c.cast("double") * s),
+        lo_a,
+        lambda d, l: d + l,
+    )
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
+    approx = _dot(recon, q) / (_norm(recon) * F.lit(qn))
+    # round-9 the cut key: last-ulp summation drift must not flip the
+    # candidate boundary between engines — ties then break by id
+    cand = (
+        coded.select(F.col(id_col).alias("id"), approx.alias("approx"))
+        .orderBy(F.round(F.col("approx"), 9).desc(), F.col("id").asc())
+        .limit(int(rescore) * k)
+    )
+    exact_src = df.join(
+        F.broadcast(cand.select("id")), F.col(id_col) == F.col("id"), "left_semi"
+    )
+    return cosine_topk_bruteforce(exact_src, query_vec, k=k, id_col=id_col, vec_col=vec_col)

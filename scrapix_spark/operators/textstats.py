@@ -386,3 +386,108 @@ def lm_perplexity(
         )
         .select(F.col("id").alias(id_col), "n_tokens", "avg_nll")
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """X54 — per-document keyword extraction: the top-`k` terms of each
+    document by tf·idf (idf = ln(N/df), the classic smooth-free form).
+
+    The training-data analysis primitive behind topic labeling and
+    "representative term" reports over a crawled corpus (the reference
+    stores raw page fields only — reference src/scrapers/default.ts
+    keeps h1/h2/p text verbatim; this derives the signal downstream).
+
+    Scale shape: tokenize is one Arrow-free native split (JVM), tf is a
+    (doc, term)-keyed aggregation with map-side combine, df is a
+    term-keyed aggregation OVER the tf relation (never re-reads text),
+    N rides a 1-row broadcast cross join, and the top-k cut is a
+    row_number window partitioned by doc — every shuffle key is (doc)
+    or (term), no global ordering anywhere. 100× data → same plan.
+
+    Columns: doc_id, term, tf, score (round 6), rank.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_native(F.col(text_col)).alias("toks")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    n = toks.agg(F.count("*").cast("double").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X55 — corpus n-gram profiler: the `k` most frequent word
+    `n`-grams corpus-wide with total occurrences and document
+    frequency. The standard pre-training corpus diagnostic (boilerplate
+    discovery, contamination screening, dedup-threshold tuning).
+
+    Scale shape: n-gram generation is a pure in-array transform (no
+    explode until counting), the count is one (ngram)-keyed aggregation
+    with map-side combine carrying (tf, df) together via count +
+    count(distinct doc) — distinct-by-doc stays partial because the
+    explode emits (doc, ngram) once per occurrence and df aggregates a
+    pre-deduped (doc, ngram) relation. The final k-cut is a
+    TakeOrdered, not a global sort. Hot n-grams are the OUTPUT (k
+    rows), not a join key — skew-immune.
+
+    Columns: ngram, tf, df.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_native(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= n)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.array_join(F.slice("toks", i, n), " "),
+            )
+        ).alias("ngram"),
+    )
+    per_doc = grams.groupBy("doc_id", "ngram").agg(
+        F.count("*").cast("long").alias("tf_doc")
+    )
+    return (
+        per_doc.groupBy("ngram")
+        .agg(
+            F.sum("tf_doc").cast("long").alias("tf"),
+            F.count("*").cast("long").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

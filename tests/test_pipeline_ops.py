@@ -384,3 +384,63 @@ def test_lm_perplexity_hand_math(spark):
     want = (-math.log(9 / 29) + 3 * -math.log(4 / 16)) / 4
     assert out[4]["avg_nll"] == pytest.approx(want, abs=1e-6)
     assert out[4]["n_tokens"] == 4
+
+
+def test_sq8_codes_and_recall(spark, vectors):
+    """X53: SQ8 codes are valid uint8, bounds map to the endpoints, and
+    the quantized ANN recovers the exact brute-force top-k after the
+    rescore pass."""
+    df, vecs = vectors
+    lo, hi = SIM.sq8_bounds(df, 16)
+    assert lo == [float(x) for x in vecs.astype(np.float64).min(axis=0)]
+    assert hi == [float(x) for x in vecs.astype(np.float64).max(axis=0)]
+    coded = SIM.sq8_quantize(df, lo, hi).select("vec_id", "code").collect()
+    allc = [c for r in coded for c in r["code"]]
+    assert min(allc) >= 0 and max(allc) <= 255
+    # a vector sitting ON the per-dim min quantizes to 0 in that dim
+    amin = vecs.astype(np.float64).argmin(axis=0)
+    by_id = {r["vec_id"]: r["code"] for r in coded}
+    for d in range(16):
+        assert by_id[int(amin[d])][d] == 0
+    q = [float(x) for x in vecs[0]]
+    got = [r["id"] for r in SIM.cosine_topk_sq8(df, q, k=5, rescore=4).collect()]
+    want = [r["id"] for r in SIM.cosine_topk_bruteforce(df, q, k=5).collect()]
+    assert got == want
+
+
+def test_tfidf_keywords_hand_math(spark):
+    """X54: tf·ln(N/df) on a 3-doc corpus, top-1 per doc by hand."""
+    import math
+
+    from scrapix_spark.operators.textstats import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"),
+         (2, "banana cherry"),
+         (3, "cherry cherry cherry durian")],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(df, "text", k=1).collect()
+    top = {r["doc_id"]: r for r in out}
+    # doc1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert top[1]["term"] == "apple"
+    assert top[1]["score"] == pytest.approx(2 * math.log(3), abs=1e-6)
+    # doc3: cherry tf=3 df=2 -> 3*ln(1.5)=1.216; durian 1*ln(3)=1.098
+    assert top[3]["term"] == "cherry"
+    assert top[3]["rank"] == 1 and top[3]["tf"] == 3
+
+
+def test_top_ngrams_counts(spark):
+    """X55: 3-gram tf counts every occurrence, df counts documents."""
+    from scrapix_spark.operators.textstats import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"),      # 'a b c' x2 (+ 'b c a', 'c a b')
+         (2, "a b c"),             # 'a b c' x1
+         (3, "x y")],              # too short -> no grams
+        "doc_id long, text string",
+    )
+    out = {r["ngram"]: (r["tf"], r["df"]) for r in top_ngrams(df, n=3, k=10).collect()}
+    assert out["a b c"] == (3, 2)
+    assert out["b c a"] == (1, 1)
+    assert len(out) == 3
