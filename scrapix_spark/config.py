@@ -168,7 +168,10 @@ class IndexConfig:
                                        search() query-expansion default)
             separatorTokens /
               nonSeparatorTokens /
-              dictionary             → tokenizer dict
+              dictionary             → tokenizer dict (always with
+                                       fold_diacritics=True — the
+                                       charabia Latin-normalizer analog
+                                       Meilisearch applies implicitly)
             rankingRules             → query-time (search(ranking_rules=…));
                                        not stored
         Ignored crawl-only fields (no server/browser here):
@@ -237,7 +240,10 @@ class IndexConfig:
             kw["extra_doc_columns"] = sorted(set(extra))
         if ms.get("synonyms"):
             kw["synonyms"] = dict(ms["synonyms"])
-        tok = {}
+        # Meilisearch normalizes Latin diacritics on everything it
+        # indexes (charabia); a reference user switching over expects
+        # 'café' and 'cafe' to keep matching — always on for ref configs
+        tok: dict = {"fold_diacritics": True}
         if ms.get("stopWords"):
             kw["stop_words"] = sorted(ms["stopWords"])
             tok["stop_words"] = tuple(sorted(ms["stopWords"]))

@@ -88,6 +88,35 @@ _BASE_SEP_CHARS = (
 # corpus tokens is the documented assumption (astronomically unlikely)
 _DICT_SENT = "ϯ{i}ϯ"
 
+# Latin diacritic folding (the charabia/Meilisearch Latin-normalizer
+# analog, opt-in via tokenizer setting fold_diacritics). One explicit
+# table shared by all four consumers — NOT locale/NFKD magic, so JVM
+# translate, DuckDB translate, Python str.translate and the Arrow
+# replace chain produce byte-identical streams. Applied AFTER
+# lowercasing, so only lowercase forms appear.
+_FOLD_GROUPS = {
+    "a": "àáâãäåāăą", "c": "çćĉċč", "d": "ďđð", "e": "èéêëēĕėęě",
+    "g": "ĝğġģ", "h": "ĥħ", "i": "ìíîïĩīĭįı", "j": "ĵ", "k": "ķ",
+    "l": "ĺļľŀł", "n": "ñńņň", "o": "òóôõöøōŏő", "r": "ŕŗř",
+    "s": "śŝşš", "t": "ţťŧ", "u": "ùúûüũūŭůűų", "w": "ŵ",
+    "y": "ýÿŷ", "z": "źżž",
+}
+_FOLD_SRC = "".join(chars for base, chars in sorted(_FOLD_GROUPS.items()))
+_FOLD_DST = "".join(
+    base * len(chars) for base, chars in sorted(_FOLD_GROUPS.items())
+)
+# 1→2 expansions translate() can't express; replace chain in every path
+_FOLD_MULTI = [("æ", "ae"), ("œ", "oe"), ("ß", "ss"), ("þ", "th")]
+_FOLD_TABLE = str.maketrans(_FOLD_SRC, _FOLD_DST)
+
+
+def fold_diacritics_py(t: str) -> str:
+    """Python-side fold (lowercase input expected)."""
+    t = t.translate(_FOLD_TABLE)
+    for src, dst in _FOLD_MULTI:
+        t = t.replace(src, dst)
+    return t
+
 
 def _render_class(chars: set[str]) -> str:
     """Char set → regex class readable identically by Python re, Java
@@ -104,6 +133,7 @@ def make_tokenizer(
     non_separators: tuple[str, ...] = (),
     dictionary: tuple[str, ...] = (),
     stop_words: tuple[str, ...] = (),
+    fold_diacritics: bool = False,
 ):
     """Meilisearch tokenizer settings (v1.4): `extra_separators` =
     separatorTokens (single chars join the class; multi-char strings
@@ -122,7 +152,12 @@ def make_tokenizer(
     All three lowercase first; dictionary entries match lowercased.
     `stop_words` (the Meilisearch stopWords index setting) drop from
     the TOKEN STREAM itself — stop words are never indexed, positions
-    number the kept tokens, dl counts kept tokens."""
+    number the kept tokens, dl counts kept tokens.
+    `fold_diacritics` enables the charabia-analog Latin normalizer
+    (_FOLD_GROUPS/_FOLD_MULTI): applied right after lowercasing, before
+    dictionary protection and splitting, so 'café' and 'cafe' share one
+    vocabulary entry; dictionary words and stop words are folded at
+    setup to match."""
     for ns in non_separators:
         if len(ns) != 1:
             raise ValueError(
@@ -141,8 +176,10 @@ def make_tokenizer(
         pattern = f"(?:{arms}|{cls})+"
     else:
         pattern = cls + "+"
-    dwords = [w.lower() for w in dictionary]
-    stops = {w.lower() for w in stop_words}
+    fold = bool(fold_diacritics)
+    norm = (lambda w: fold_diacritics_py(w.lower())) if fold else str.lower
+    dwords = [norm(w) for w in dictionary]
+    stops = {norm(w) for w in stop_words}
     sents = [_DICT_SENT.format(i=i) for i in range(len(dwords))]
     # NUL-pad the sentinel so a dictionary hit SEGMENTS the text (the
     # Meilisearch dictionary semantics): 'j.r.r.extra' → 'j.r.r.',
@@ -152,6 +189,10 @@ def make_tokenizer(
 
     def native_fn(col: Column) -> Column:
         t = F.lower(col)
+        if fold:
+            t = F.translate(t, _FOLD_SRC, _FOLD_DST)
+            for src, dst in _FOLD_MULTI:
+                t = F.replace(t, F.lit(src), F.lit(dst))
         for w, s in zip(dwords, pads):
             t = F.replace(t, F.lit(w), F.lit(s))
         toks = F.filter(F.split(t, pattern, -1), lambda x: x != F.lit(""))
@@ -170,6 +211,10 @@ def make_tokenizer(
 
     def duckdb_fn(expr: str) -> str:
         t = f"lower({expr})"
+        if fold:
+            t = f"translate({t}, '{_FOLD_SRC}', '{_FOLD_DST}')"
+            for src, dst in _FOLD_MULTI:
+                t = f"replace({t}, '{src}', '{dst}')"
         for w, s in zip(dwords, sents):
             # NUL can't sit in a SQL literal: concatenate chr(0)
             t = f"replace({t}, '{w}', chr(0) || '{s}' || chr(0))"
@@ -191,6 +236,8 @@ def make_tokenizer(
 
     def py_fn(s: str) -> list[str]:
         t = (s or "").lower()
+        if fold:
+            t = fold_diacritics_py(t)
         for w, sent in zip(dwords, pads):
             t = t.replace(w, sent)
         back = dict(zip(sents, dwords))
@@ -218,23 +265,25 @@ def _tokenize_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarra
 
 def _custom_arrow_plan(settings: dict | None):
     """settings dict → (pattern, [(word, padded_sentinel)],
-    {sent: word}, {stop words}) for the Arrow batch path; None → the
-    pinned default (no-op plan)."""
+    {sent: word}, {stop words}, fold flag) for the Arrow batch path;
+    None → the pinned default (no-op plan)."""
     if not settings:
-        return SEP_PATTERN, [], {}, set()
+        return SEP_PATTERN, [], {}, set(), False
     pattern, _, _, _ = make_tokenizer(**settings)
+    fold = bool(settings.get("fold_diacritics"))
+    nrm = (lambda w: fold_diacritics_py(w.lower())) if fold else str.lower
     rx = re.compile(pattern)
     # a dictionary word with no separator in it already tokenizes to
     # itself — protecting it would give the same string two vocabulary
     # codes (sentinel-restored + plain), breaking tf grouping
     dwords = [
-        w.lower() for w in settings.get("dictionary", ())
-        if rx.search(w.lower())
+        nrm(w) for w in settings.get("dictionary", ())
+        if rx.search(nrm(w))
     ]
     sents = [_DICT_SENT.format(i=i) for i in range(len(dwords))]
     repl = [(w, "\x00" + s + "\x00") for w, s in zip(dwords, sents)]
-    stops = {w.lower() for w in settings.get("stop_words", ())}
-    return pattern, repl, dict(zip(sents, dwords)), stops
+    stops = {nrm(w) for w in settings.get("stop_words", ())}
+    return pattern, repl, dict(zip(sents, dwords)), stops, fold
 
 
 def _tokenize_batch_codes(
@@ -243,6 +292,7 @@ def _tokenize_batch_codes(
     repl: list[tuple[str, str]] = (),
     back: dict[str, str] | None = None,
     stops: set[str] | None = None,
+    fold: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Arrow-native tokenize: batch → (row_idx, codes, vocab).
 
@@ -262,6 +312,14 @@ def _tokenize_batch_codes(
             np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, object)
         )
     arr = pc.utf8_lower(pa.Array.from_pandas(texts.fillna("").astype(str)))
+    if fold:
+        # diacritic folding as a literal replace chain — each step is a
+        # vectorized Arrow C++ pass; opt-in cost, table shared with the
+        # JVM/DuckDB/python consumers (NOT NFKD, so all four agree)
+        for s, d in zip(_FOLD_SRC, _FOLD_DST):
+            arr = pc.replace_substring(arr, pattern=s, replacement=d)
+        for s, d in _FOLD_MULTI:
+            arr = pc.replace_substring(arr, pattern=s, replacement=d)
     for w, padded in repl:
         # dictionary protection, Arrow-side: literal substring replace
         arr = pc.replace_substring(arr, pattern=w, replacement=padded)
@@ -298,6 +356,7 @@ def _count_doc_terms(
     repl: list[tuple[str, str]] = (),
     back: dict[str, str] | None = None,
     stops: set[str] | None = None,
+    fold: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Shared tf-counting core: batch → (rows, term_codes, tf, dl, vocab).
 
@@ -306,7 +365,7 @@ def _count_doc_terms(
     (row, code) pairs — no string comparisons.
     """
     row_idx, codes, vocab = _tokenize_batch_codes(
-        texts, pattern, repl, back, stops
+        texts, pattern, repl, back, stops, fold
     )
     dl = np.bincount(row_idx, minlength=len(texts)).astype(np.int64)
     if row_idx.size == 0:
@@ -349,12 +408,12 @@ def make_tokenize_counted(settings: dict | None = None):
     pinned-default UDF unchanged."""
     if not settings:
         return tokenize_counted
-    pattern, repl, back, stops = _custom_arrow_plan(settings)
+    pattern, repl, back, stops, fold = _custom_arrow_plan(settings)
 
     @F.pandas_udf(ArrayType(TOKEN_STRUCT))
     def tokenize_counted_custom(texts: pd.Series) -> pd.Series:
         rows, cols, tf, _, vocab = _count_doc_terms(
-            texts, pattern, repl, back, stops
+            texts, pattern, repl, back, stops, fold
         )
         out: list[list[dict]] = [[] for _ in range(len(texts))]
         for ri, ci, c in zip(rows.tolist(), cols.tolist(), tf.tolist()):

@@ -62,7 +62,9 @@ def postings_from_content(docs: DataFrame, text_col: str = "content",
 
     # tokenizer settings (IndexConfig.tokenizer): custom separator
     # pattern + dictionary-protection replacements; None = pinned default
-    pattern, repl, back, stops = _custom_arrow_plan(settings)
+    pattern, repl, back, stops, fold = _custom_arrow_plan(settings)
+    if fold:
+        from scrapix_spark.functions.tokenize import _FOLD_MULTI, _FOLD_DST, _FOLD_SRC
 
     # tf/dl are int32 on the wire: both fit comfortably (tf, dl < 2^31)
     # and the posting relation is the widest thing the build shuffles —
@@ -75,6 +77,15 @@ def postings_from_content(docs: DataFrame, text_col: str = "content",
     def kernel(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for batch in batches:
             texts = pc.utf8_lower(pc.fill_null(batch.column(text_col), ""))
+            if fold:
+                # Latin diacritic folding (tokenizer fold_diacritics):
+                # same explicit table as the JVM/DuckDB/python paths
+                for s, d in zip(_FOLD_SRC, _FOLD_DST):
+                    texts = pc.replace_substring(texts, pattern=s,
+                                                 replacement=d)
+                for s, d in _FOLD_MULTI:
+                    texts = pc.replace_substring(texts, pattern=s,
+                                                 replacement=d)
             for w, padded in repl:
                 texts = pc.replace_substring(texts, pattern=w,
                                              replacement=padded)

@@ -105,3 +105,36 @@ def test_stop_words_never_indexed(spark, tmp_path_factory):
         == ["p0", "p1"]
     # phrases skip stop words: 'best table' adjacency holds in kept stream
     assert [x["path"] for x in r.topk_phrase("best table", 10).collect()] == ["p0"]
+
+
+def test_fold_diacritics_end_to_end(spark, tmp_path_factory):
+    """X56: an index built with tokenizer fold_diacritics matches
+    accented and unaccented spellings both ways — the charabia-analog
+    Latin normalization Meilisearch applies to everything it indexes."""
+    rows = [("r", f"p{i}", "c", "py", t) for i, t in enumerate([
+        "café crème reviews",
+        "cafe creme plain ascii",
+        "unrelated señor document",
+    ])]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    d = str(tmp_path_factory.mktemp("foldidx"))
+    build_index(
+        spark, df, d,
+        IndexConfig(index_uid="fold", n_shards=2, exclude_paginated=False,
+                    store_positions=True,
+                    tokenizer={"fold_diacritics": True}),
+        build_id="f1",
+    )
+    r = IndexReader(spark, d)
+    # the stored dictionary holds folded forms only
+    terms = {x["term"] for x in r.dict_df.select("term").collect()}
+    assert "cafe" in terms and "café" not in terms
+    assert "senor" in terms
+    # accented query matches ascii doc and vice versa
+    assert _paths(r.topk_pruned("café", 10)) == ["p0", "p1"]
+    assert _paths(r.topk_pruned("creme", 10)) == ["p0", "p1"]
+    assert _paths(r.topk_pruned("SEÑOR", 10)) == ["p2"]
+    # phrase across folded tokens uses the positional relation
+    assert _paths(r.topk_phrase("cafe crème", 10)) == ["p0", "p1"]

@@ -148,3 +148,62 @@ def test_make_tokenizer_rejects_multichar_non_separator():
 
     with _pytest.raises(ValueError):
         make_tokenizer(non_separators=("ab",))
+
+
+def test_fold_diacritics_four_way_parity(spark):
+    """X56: fold_diacritics produces the same token stream in all four
+    consumers — python, JVM native, DuckDB, and the Arrow batch path —
+    and folds dictionary/stop words at setup."""
+    import duckdb
+
+    from scrapix_spark.functions.tokenize import (
+        _custom_arrow_plan,
+        _tokenize_batch_codes,
+        make_tokenizer,
+    )
+
+    settings = dict(
+        fold_diacritics=True,
+        dictionary=("J.R.R.",),
+        stop_words=("thé",),  # folds to 'the' at setup
+    )
+    _, native, ducksql, py = make_tokenizer(**settings)
+    texts = [
+        "Café crème à Zürich",               # common accents
+        "naïve œuvre straße Æon þorn",       # 1->2 expansions
+        "the thé over señor's piñata",       # folded stop word
+        "J.R.R. wrote",                      # dictionary under folding
+        "plain ascii stays",
+    ]
+    want = [
+        ["cafe", "creme", "a", "zurich"],
+        ["naive", "oeuvre", "strasse", "aeon", "thorn"],
+        ["over", "senor", "s", "pinata"],
+        ["j.r.r.", "wrote"],
+        ["plain", "ascii", "stays"],
+    ]
+    assert [py(t) for t in texts] == want
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    got_native = [
+        r["toks"]
+        for r in df.select("i", native(F.col("t")).alias("toks"))
+        .orderBy("i").collect()
+    ]
+    assert got_native == want
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {ducksql('?')}", [t]).fetchone()[0]
+        for t in texts
+    ]
+    assert got_duck == want
+    pattern, repl, back, stops, fold = _custom_arrow_plan(settings)
+    assert fold and "the" in stops
+    row_idx, codes, vocab = _tokenize_batch_codes(
+        pd.Series(texts), pattern, repl, back, stops, fold
+    )
+    got_arrow = [[] for _ in texts]
+    for r, c in zip(row_idx.tolist(), codes.tolist()):
+        got_arrow[r].append(vocab[c])
+    assert got_arrow == want
