@@ -284,6 +284,19 @@ def q_top_ngrams(spark, sf_dir):
     return TS.top_ngrams(_docs(spark, sf_dir), n=3, k=20)
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """X57 — streaming frontier dedup (applyInPandasWithState keyed by
+    source): at-most-once per key across micro-batches, min-doc_id
+    survivor — the crawler visited-URL-set analog as a stateful stream
+    operator. Bounded input = one batch, so the oracle is the
+    row_number()=1 form of the same pinned semantics."""
+    from scrapix_spark.streaming.dedup_stream import dedup_stream
+
+    return dedup_stream(
+        spark, f"{sf_dir}/documents.parquet", query_name="q_streaming_dedup"
+    )
+
+
 def q_langid_counts(spark, sf_dir):
     """Language-ID (stopword-marker heuristic) → predicted-lang counts."""
     pred = TS.language_id(_docs(spark, sf_dir), "text")
@@ -2271,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8_topk": q_ann_sq8_topk,
         "tfidf_keywords": q_tfidf_keywords,
         "top_ngrams": q_top_ngrams,
+        "streaming_dedup": q_streaming_dedup,
         "filter_grammar_search": q_filter_grammar_search,
         "search_api": q_search_api,
         "geo_radius_sort": q_geo_radius_sort,
@@ -3609,6 +3623,12 @@ pd AS (SELECT doc_id, ngram, count(*)::BIGINT AS tf_doc
        FROM g GROUP BY doc_id, ngram)
 SELECT ngram, sum(tf_doc)::BIGINT AS tf, count(*)::BIGINT AS df
 FROM pd GROUP BY ngram ORDER BY tf DESC, ngram ASC LIMIT 20
+""",
+        "streaming_dedup": """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
 """,
         "langid_counts": f"""
 WITH t AS (SELECT {tok} AS toks FROM documents),

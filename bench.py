@@ -163,6 +163,9 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         # round-2d: stream-of-upserts-built index (fixture pre-built
         # above; the timed part is the layered query, same as lifecycle)
         "streaming_upsert_topk",
+        # round-3 additions (BASELINE.md records their first window)
+        "lm_perplexity", "jpeg_decode", "ann_sq8_topk",
+        "tfidf_keywords", "top_ngrams",
     ]
     out = {}
     for name in headline:

@@ -1,0 +1,99 @@
+"""Streaming frontier dedup: at-most-once per key across micro-batches.
+
+The continuous-ingest analog of the reference crawler's visited-URL
+set (reference src/crawler.ts:145-175 enqueues links through Crawlee's
+request queue, which drops already-seen URLs; SURVEY §2 U1 maps the
+batch side to docs.adaptive_dedup) — here the frontier arrives as an
+UNBOUNDED stream and the seen-set must survive micro-batch boundaries.
+
+Semantics (pinned, shared with the SQL oracle): per key (default: the
+source/url column), the row with the smallest doc_id in the EARLIEST
+micro-batch containing that key survives; every later arrival of the
+key — same batch or any later batch — is dropped. On a bounded
+single-batch input this degenerates to row_number() = 1 per (key,
+doc_id-order), which is the oracle form.
+
+Why applyInPandasWithState and not the built-in dropDuplicates():
+streaming dropDuplicates keeps an ARBITRARY within-batch survivor, so
+its output is not value-reproducible; the exact-oracle contract needs
+the min-doc_id row. The state per key is a single long (the surviving
+doc_id), so memory scales with DISTINCT keys, not stream volume, and
+the only shuffle is the same single exchange a groupBy(key) would pay.
+At 100 TB the key space (URLs) is large but each state entry is ~8
+bytes + key; RocksDB state store handles spill.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DOCS_STREAM_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+OUT_SCHEMA = "doc_id long, source string"
+STATE_SCHEMA = "doc_id long"
+
+
+def _dedup_fn(key, pdf_iter, state: GroupState):
+    src = key[0]
+    if state.exists:
+        # key already admitted by an earlier micro-batch: drain and drop
+        for _ in pdf_iter:
+            pass
+        return
+    best = None
+    for pdf in pdf_iter:
+        if len(pdf):
+            m = int(pdf["doc_id"].min())
+            best = m if best is None else min(best, m)
+    if best is None:
+        return
+    state.update((best,))
+    yield pd.DataFrame({"doc_id": [best], "source": [src]})
+
+
+def dedup_stream(
+    spark: SparkSession,
+    docs_path: str,
+    key_col: str = "source",
+    query_name: str = "dedup_stream",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Run the stateful frontier dedup over a (bounded) document stream
+    with trigger=availableNow and return the surviving (doc_id, source)
+    rows. `max_files_per_trigger` slices a multi-file input into several
+    micro-batches so the cross-batch drop path is exercised."""
+    if os.path.isfile(docs_path):
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="dedup_src_")
+        os.symlink(docs_path, os.path.join(d, os.path.basename(docs_path)))
+        docs_path = d
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_path)
+    # prune to the two columns the operator needs before the exchange
+    src = stream.select(F.col(key_col).alias("source"), "doc_id")
+    out = src.groupBy("source").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).select("doc_id", "source")

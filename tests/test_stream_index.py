@@ -212,3 +212,40 @@ def test_upsert_batch_wins_over_removal_same_key(spark, tmp_path):
         ),
     ).collect()
     assert len(live) == 1, "batch-asserted doc must survive the removal"
+
+
+def test_streaming_frontier_dedup_cross_batch(spark, tmp_path):
+    """X57: at-most-once per key ACROSS micro-batches — a key admitted
+    in batch 1 drops every later arrival, even one with a smaller
+    doc_id (first-arrival streaming contract); within one batch the
+    min-doc_id row survives."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from scrapix_spark.streaming.dedup_stream import dedup_stream
+
+    d = tmp_path / "docs_src"
+    d.mkdir()
+    f1 = d / "b1.parquet"
+    f2 = d / "b2.parquet"
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    pd.DataFrame(
+        [[5, "t5", "en", "a.com", 2], [9, "t9", "en", "a.com", 2]],
+        columns=cols,
+    ).to_parquet(f1)
+    pd.DataFrame(
+        [[1, "t1", "en", "a.com", 2], [7, "t7", "en", "b.com", 2]],
+        columns=cols,
+    ).to_parquet(f2)
+    # FileStreamSource orders files by modification time: pin b1 first
+    now = time.time()
+    os.utime(f1, (now - 100, now - 100))
+    os.utime(f2, (now, now))
+    out = dedup_stream(
+        spark, str(d), query_name="dedup_xbatch", max_files_per_trigger=1
+    ).collect()
+    got = {(r["doc_id"], r["source"]) for r in out}
+    # a.com admitted in batch 1 with min doc_id 5; doc 1 (batch 2) drops
+    assert got == {(5, "a.com"), (7, "b.com")}
