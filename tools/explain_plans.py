@@ -529,6 +529,57 @@ def main() -> int:
     else:
         sections[-1][3].append("PASS no SortMergeJoin in plan")
 
+    # ---- round-3 ops: SQ8 ANN rescore, tf-idf keywords, n-gram profiler
+    from scrapix_spark.operators import similarity as SIM
+    from scrapix_spark.operators import textstats as TS
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    sq8_plan = formatted(SIM.cosine_topk_sq8(emb, qv, k=10, rescore=4))
+    check(
+        "SQ8 ANN (quantized candidates + exact rescore)",
+        "The candidate cut must be a TakeOrdered partial top-k (never a "
+        "global sort of the scored relation), the rescore side must "
+        "reach the full-precision table through a broadcast left-semi "
+        "join of the O(k) candidate ids, and every arithmetic step "
+        "(quantize, decode, dot) must stay in whole-stage codegen — no "
+        "Python evaluation anywhere.",
+        sq8_plan,
+        [("candidate cut is a partial top-k", "TakeOrderedAndProject"),
+         ("candidate ids broadcast into the semi join", "BroadcastHashJoin"),
+         ("no row-at-a-time Python", "")],
+    )
+    if "BatchEvalPython" in sq8_plan:
+        failures.append("sq8: BatchEvalPython in plan")
+        sections[-1][3].append("FAIL no BatchEvalPython in plan")
+    else:
+        sections[-1][3].append("PASS no BatchEvalPython in plan")
+
+    docs_t = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tfidf_plan = formatted(TS.tfidf_keywords(docs_t, "text", k=3))
+    check(
+        "tf-idf keywords (per-doc top-k terms)",
+        "tf and df are hash aggregations with map-side partial combine "
+        "(the token explode never reaches an exchange raw), the corpus "
+        "count N joins as a broadcast, and the per-doc cut is a window "
+        "over the doc-keyed shuffle — no global ordering.",
+        tfidf_plan,
+        [("partial+final hash aggs", "HashAggregate"),
+         ("N rides a broadcast join", "BroadcastNestedLoopJoin"),
+         ("doc-partitioned window cut", "Window")],
+    )
+
+    ngram_plan = formatted(TS.top_ngrams(docs_t, n=3, k=20))
+    check(
+        "n-gram profiler (corpus top-k)",
+        "n-gram generation is an in-array transform inside the scan "
+        "stage; both aggregations are partial+final; the k-cut is a "
+        "TakeOrdered, never a global sort of the n-gram relation.",
+        ngram_plan,
+        [("partial+final hash aggs", "HashAggregate"),
+         ("k-cut is a partial top-k", "TakeOrderedAndProject")],
+    )
+
     # ---- write PLANS.md
     out = ["# PLANS — physical-plan review of the hot paths",
            "",
