@@ -1750,6 +1750,21 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """X58 — canonical-doc selection: one survivor per near-dup cluster
+    (3-gram-Jaccard graph, threshold 0.12) by highest quality score,
+    ties to min doc_id; singletons pass through as their own cluster.
+    Oracle composes the recursive cluster walk, the quality formula and
+    the same window/anti-join reduction."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.12
+    )
+    clusters = D.dedup_clusters(pairs)
+    score = TS.quality_features(docs, "text").select("doc_id", "quality_score")
+    return D.canonical_per_cluster(clusters, score)
+
+
 def q_search_score_threshold(spark, sf_dir):
     """rankingScoreThreshold (Meilisearch v1.9): hits below the
     normalized ranking score are excluded before totals/pagination;
@@ -2285,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "top_ngrams": q_top_ngrams,
         "streaming_dedup": q_streaming_dedup,
+        "dedup_canonical": q_dedup_canonical,
         "filter_grammar_search": q_filter_grammar_search,
         "search_api": q_search_api,
         "geo_radius_sort": q_geo_radius_sort,
@@ -4176,6 +4192,61 @@ walk(id, lab) AS (
   SELECT e.a, w.lab FROM e JOIN walk w ON w.id = e.b
 )
 SELECT id AS doc_id, min(lab)::BIGINT AS cluster FROM walk GROUP BY id
+""",
+        "dedup_canonical": f"""
+WITH RECURSIVE toks AS (SELECT doc_id, text, {tok} AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         range(greatest(len(t) - 2, 0)),
+         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+       FROM toks),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+p AS (SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.12),
+e AS (SELECT id_a AS a, id_b AS b FROM p
+      UNION SELECT id_b, id_a FROM p),
+walk(id, lab) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT e.a, w.lab FROM e JOIN walk w ON w.id = e.b
+),
+lab AS (SELECT id AS doc_id, min(lab)::BIGINT AS cluster FROM walk GROUP BY id),
+f AS (SELECT doc_id,
+        len(t)::BIGINT AS n_tokens,
+        length(coalesce(text, '')) AS n_chars,
+        length(coalesce(text, ''))
+          - length(regexp_replace(coalesce(text, ''), '[^\\w\\s]', '', 'g')) AS n_punct,
+        len(list_filter(t, x -> x IN ({sw})))::BIGINT AS n_stop
+      FROM toks),
+q AS (SELECT doc_id,
+        least(1.0, n_tokens / 100.0)
+        * (1.0 - CASE WHEN n_chars > 0
+                      THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END)
+        * (0.5 + 0.5 * CASE WHEN n_tokens > 0
+                            THEN n_stop / CAST(n_tokens AS DOUBLE)
+                            ELSE 0.0 END) AS qs
+      FROM f),
+member AS (SELECT l.cluster, l.doc_id, q.qs
+           FROM lab l JOIN q ON q.doc_id = l.doc_id),
+stats AS (SELECT cluster, count(*)::BIGINT AS n_members
+          FROM member GROUP BY cluster),
+best AS (SELECT cluster, doc_id AS keep_id, qs,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY qs DESC, doc_id) AS rn
+         FROM member),
+singles AS (SELECT q.doc_id AS cluster, q.doc_id AS keep_id,
+              1::BIGINT AS n_members, q.qs
+            FROM q LEFT JOIN lab ON lab.doc_id = q.doc_id
+            WHERE lab.cluster IS NULL)
+SELECT cluster, keep_id, n_members, round(qs, 6) AS quality FROM (
+  SELECT b.cluster, b.keep_id, s.n_members, b.qs
+  FROM best b JOIN stats s ON s.cluster = b.cluster WHERE b.rn = 1
+  UNION ALL
+  SELECT cluster, keep_id, n_members, qs FROM singles)
 """,
         "search_score_threshold": _bm25_scored_sql(Q.query_terms(BM25_QUERY))
         + """

@@ -687,3 +687,63 @@ def simhash_verified_dups(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def canonical_per_cluster(
+    clusters: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """X58 — canonical-document selection: the reduction every dedup
+    pipeline actually ships. Given near-dup cluster labels (dedup_clusters
+    output: id, cluster) and a per-doc score relation, keep ONE doc per
+    cluster — the highest-scoring member, ties to the smallest doc id —
+    and pass singletons (docs in no pair) through as their own cluster.
+
+    Output: cluster, keep_id, n_members, quality (round 6).
+
+    Scale shape: labels join the score relation key-equi on doc id; the
+    per-cluster argmax is a cluster-partitioned row_number window (the
+    WindowGroupLimit rank-pushdown form, never a global sort); the
+    singleton pass-through is one broadcast-able left-anti join of doc
+    ids against the (small) clustered-id set plus a map-only projection.
+    Nothing here carries document text.
+    """
+    from pyspark.sql import Window
+
+    lab = clusters.select(
+        F.col("id").alias(id_col), F.col("cluster").cast("long").alias("cluster")
+    )
+    member = lab.join(
+        score.select(id_col, F.col(score_col).alias("_q")), id_col
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("_q").desc(), F.col(id_col).asc()
+    )
+    stats = member.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    best = (
+        member.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cluster", F.col(id_col).alias("keep_id"), "_q")
+        .join(stats, "cluster")
+    )
+    singles = (
+        score.select(id_col, F.col(score_col).alias("_q"))
+        .join(lab.select(id_col), id_col, "left_anti")
+        .select(
+            F.col(id_col).cast("long").alias("cluster"),
+            F.col(id_col).alias("keep_id"),
+            F.lit(1).cast("long").alias("n_members"),
+            "_q",
+        )
+    )
+    return (
+        best.select("cluster", "keep_id", "n_members", "_q")
+        .unionByName(singles)
+        .select(
+            "cluster", "keep_id", "n_members", F.round("_q", 6).alias("quality")
+        )
+    )

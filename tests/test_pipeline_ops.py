@@ -444,3 +444,22 @@ def test_top_ngrams_counts(spark):
     assert out["a b c"] == (3, 2)
     assert out["b c a"] == (1, 1)
     assert len(out) == 3
+
+
+def test_canonical_per_cluster_reduction(spark):
+    """X58: argmax-quality survivor per cluster, ties to min doc_id,
+    singletons pass through as their own cluster."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5), (7, 5)], "id long, cluster long"
+    )
+    score = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.7), (5, 0.4), (6, 0.4), (7, 0.2)],
+        "doc_id long, quality_score double",
+    )
+    out = {r["cluster"]: r for r in
+           D.canonical_per_cluster(clusters, score).collect()}
+    assert out[1]["keep_id"] == 2 and out[1]["n_members"] == 2
+    assert out[5]["keep_id"] == 5 and out[5]["n_members"] == 3  # tie -> min id
+    assert out[3]["keep_id"] == 3 and out[3]["n_members"] == 1
+    assert out[3]["quality"] == 0.7
+    assert len(out) == 3
