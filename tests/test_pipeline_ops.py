@@ -463,3 +463,45 @@ def test_canonical_per_cluster_reduction(spark):
     assert out[3]["keep_id"] == 3 and out[3]["n_members"] == 1
     assert out[3]["quality"] == 0.7
     assert len(out) == 3
+
+
+def test_round3_ops_partitioning_invariant(spark):
+    """The round-3 ops produce IDENTICAL rows regardless of input
+    partitioning (1 vs 13 partitions) — nothing may depend on task
+    count or scheduling order (SURVEY §5 invariance contract)."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_TEST", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+
+    from scrapix_spark.operators.textstats import (
+        quality_features,
+        tfidf_keywords,
+        top_ngrams,
+    )
+
+    def runs(df_docs, df_emb):
+        pairs = D.ngram_jaccard_pairs(df_docs, "text", "doc_id",
+                                      n=3, threshold=0.12)
+        score = quality_features(df_docs, "text").select(
+            "doc_id", "quality_score")
+        return {
+            "sq8": SIM.cosine_topk_sq8(df_emb, qv, k=10, rescore=4),
+            "tfidf": tfidf_keywords(df_docs, "text", k=3),
+            "ngrams": top_ngrams(df_docs, n=3, k=20),
+            "canonical": D.canonical_per_cluster(
+                D.dedup_clusters(pairs), score),
+        }
+
+    def snap(ops):
+        return {
+            k: sorted(map(tuple, df.collect())) for k, df in ops.items()
+        }
+
+    a = snap(runs(docs.repartition(1), emb.repartition(1)))
+    b = snap(runs(docs.repartition(13), emb.repartition(13)))
+    assert a == b
