@@ -1196,6 +1196,14 @@ def q_prefix_topk(spark, sf_dir):
     )
 
 
+def q_completions(spark, sf_dir):
+    """X59 — search-as-you-type completions: top-8 dictionary terms
+    extending the prefix 's' by df (ties alphabetical); StringStartsWith
+    pushdown on the dictionary, postings untouched."""
+    post = _postings(spark, sf_dir)
+    return M.completions(P.term_stats(post), "s", k=8)
+
+
 def q_typo_candidates(spark, sf_dir):
     """SymSpell deletion-key join: dictionary terms within edit distance
     1 of the misspelled word, exact-verified with native levenshtein."""
@@ -2301,6 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "streaming_dedup": q_streaming_dedup,
         "dedup_canonical": q_dedup_canonical,
+        "completions": q_completions,
         "filter_grammar_search": q_filter_grammar_search,
         "search_api": q_search_api,
         "geo_radius_sort": q_geo_radius_sort,
@@ -3645,6 +3654,13 @@ SELECT doc_id, source FROM (
   SELECT doc_id, source,
          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
   FROM documents) WHERE rn = 1
+""",
+        "completions": f"""
+WITH tf AS ({_tf_sql()}),
+d AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+      FROM tf GROUP BY term)
+SELECT term, df, cf FROM d WHERE term LIKE 's%'
+ORDER BY df DESC, term LIMIT 8
 """,
         "langid_counts": f"""
 WITH t AS (SELECT {tok} AS toks FROM documents),

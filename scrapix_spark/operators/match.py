@@ -959,3 +959,30 @@ def _leading_run_topk(
         F.round(F.col("score"), SCORE_ROUND).desc(),
         F.col("doc_id").asc(),
     ).limit(k)
+
+
+def completions(
+    term_stats: DataFrame, prefix: str, k: int = 8
+) -> DataFrame:
+    """X59 — search-as-you-type suggestions: the `k` most
+    document-frequent dictionary terms extending `prefix` (the
+    suggestion list an app renders under the search box while the user
+    types — the Meilisearch client pattern of issuing the prefix query
+    and showing completions).
+
+    Scale shape: the prefix filter compiles to a StringStartsWith
+    pushdown on the dictionary scan (the same pruned scan
+    prefix_expansions uses — postings are never touched) and the k-cut
+    is a TakeOrdered partial top-k, never a global sort of the
+    dictionary. Columns: term, df, cf.
+    """
+    return (
+        prefix_expansions(term_stats, prefix)
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(k)
+    )

@@ -350,3 +350,26 @@ def test_index_reader_typo_matches_table_operator(spark, index_dir_match):
         assert [x["doc_id"] for x in got] == [x["doc_id"] for x in want], q
         for g, w in zip(got, want):
             assert g["score"] == pytest.approx(w["score"], rel=1e-9), q
+
+
+def test_completions_order_and_pushdown(spark):
+    """X59: completions ranks prefix-extending terms by df desc then
+    term; k-cut respected."""
+    from scrapix_spark.operators import postings as P
+    from scrapix_spark.operators.match import completions
+
+    rows = [
+        (1, "spark sql sort"), (2, "spark sort"), (3, "spark table"),
+        (4, "other words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from scrapix_spark.functions.tokenize import tokens_native
+
+    post = (
+        docs.select("doc_id", F.explode(tokens_native(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
+    out = completions(P.term_stats(post), "s", k=3).collect()
+    assert [(r["term"], r["df"]) for r in out] == [
+        ("spark", 3), ("sort", 2), ("sql", 1)
+    ]
