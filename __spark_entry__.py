@@ -1929,6 +1929,36 @@ _TOKSET_SRC_SQL = (
 )
 
 
+# code-search tokenization (X60): camel/acronym/digit boundaries plus a
+# data-derived camel word per row ('parse' + Titlecased lang + 'Request')
+_IDSET = dict(split_identifiers=True)
+_IDSET_SRC_SQL = (
+    "'getHTMLParser sha256Sum parse' || upper(substr(lang, 1, 1)) || "
+    "substr(lang, 2) || 'Request ' || replace(text, ' table', ' hashTableSize')"
+)
+
+
+def q_tokenize_identifiers(spark, sf_dir):
+    """Code-search identifier tokenization (X60): split_identifiers
+    splits camelCase / acronym / digit boundaries BEFORE lowercasing
+    ('getHTMLParser' → get, html, parser), so a query for 'user' matches
+    a corpus 'getUserName' — the tokenization a source-code index wants
+    (reference indexes code sites, src/scrapers/docssearch.ts). The SAME
+    make_tokenizer call derives the JVM expression and the DuckDB oracle
+    expression; planted text exercises acronym runs, digit boundaries
+    and a data-derived camel word."""
+    from scrapix_spark.functions.tokenize import make_tokenizer
+
+    _, native, _, _ = make_tokenizer(**_IDSET)
+    src = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_IDSET_SRC_SQL).alias("t2")
+    )
+    toks = src.select("doc_id", F.explode(native(F.col("t2"))).alias("term"))
+    return toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+
+
 def q_tokenize_custom(spark, sf_dir):
     """Configurable tokenization (Meilisearch separatorTokens /
     nonSeparatorTokens / dictionary, v1.4): the same settings object
@@ -2310,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "dedup_canonical": q_dedup_canonical,
         "completions": q_completions,
+        "tokenize_identifiers": q_tokenize_identifiers,
         "filter_grammar_search": q_filter_grammar_search,
         "search_api": q_search_api,
         "geo_radius_sort": q_geo_radius_sort,
@@ -2884,6 +2915,20 @@ def _tokenize_custom_sql() -> str:
     _, _, ducksql, _ = make_tokenizer(**_TOKSET)
     return f"""
 WITH src AS (SELECT doc_id, {_TOKSET_SRC_SQL} AS t2 FROM documents),
+tok AS (SELECT doc_id, unnest({ducksql('t2')}) AS term FROM src)
+SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
+"""
+
+
+def _tokenize_identifiers_sql() -> str:
+    """Oracle for code-search identifier splitting (X60): same
+    make_tokenizer settings emit the DuckDB expression (RE2
+    capture-group replaces, identical pattern strings)."""
+    from scrapix_spark.functions.tokenize import make_tokenizer
+
+    _, _, ducksql, _ = make_tokenizer(**_IDSET)
+    return f"""
+WITH src AS (SELECT doc_id, {_IDSET_SRC_SQL} AS t2 FROM documents),
 tok AS (SELECT doc_id, unnest({ducksql('t2')}) AS term FROM src)
 SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
 """
@@ -4318,6 +4363,7 @@ ORDER BY doc_id OFFSET 7 LIMIT 12
         "curation_pipeline": _curation_pipeline_sql(),
         "docssearch_custom_rules": _docssearch_custom_rules_sql(),
         "tokenize_custom": _tokenize_custom_sql(),
+        "tokenize_identifiers": _tokenize_identifiers_sql(),
         "search_prefix_word": _contrib_cte() + f"""
 , map AS (
   SELECT 'fast' AS term, 0 AS wi

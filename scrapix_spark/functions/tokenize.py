@@ -118,6 +118,27 @@ def fold_diacritics_py(t: str) -> str:
     return t
 
 
+# camelCase / acronym identifier splitting (code-search tokenization for
+# source-code corpora, opt-in via tokenizer setting split_identifiers).
+# Two capture-group passes applied BEFORE lowercasing (case carries the
+# boundary information), inserting a space — '\x20' is a separator in
+# the base class and make_tokenizer rejects removing it when this
+# setting is on. Pass order is pinned: acronym boundary first
+# ('getHTMLParser' → 'getHTML Parser'), then lower/digit→upper
+# ('getHTML' → 'get HTML', 'sha256Sum' → 'sha256 Sum'). Capture-group
+# backreferences (not lookaround) so Python re, Java regex and RE2
+# (Arrow, DuckDB) all accept the identical pattern; only the
+# backreference SPELLING differs per engine ($1 vs \1).
+_CAMEL_PASSES = ["([A-Z]+)([A-Z][a-z])", "([a-z0-9])([A-Z])"]
+
+
+def split_identifiers_py(t: str) -> str:
+    """Python-side identifier split (pre-lowercase input expected)."""
+    for pat in _CAMEL_PASSES:
+        t = re.sub(pat, r"\1 \2", t)
+    return t
+
+
 def _render_class(chars: set[str]) -> str:
     """Char set → regex class readable identically by Python re, Java
     regex and RE2, and embeddable in a SQL string literal: ASCII as
@@ -134,6 +155,7 @@ def make_tokenizer(
     dictionary: tuple[str, ...] = (),
     stop_words: tuple[str, ...] = (),
     fold_diacritics: bool = False,
+    split_identifiers: bool = False,
 ):
     """Meilisearch tokenizer settings (v1.4): `extra_separators` =
     separatorTokens (single chars join the class; multi-char strings
@@ -157,7 +179,12 @@ def make_tokenizer(
     (_FOLD_GROUPS/_FOLD_MULTI): applied right after lowercasing, before
     dictionary protection and splitting, so 'café' and 'cafe' share one
     vocabulary entry; dictionary words and stop words are folded at
-    setup to match."""
+    setup to match.
+    `split_identifiers` enables code-search identifier splitting
+    (_CAMEL_PASSES): camelCase / acronym boundaries become spaces
+    BEFORE lowercasing ('getHTMLParser' → get, html, parser;
+    snake_case already splits on '_'), so a query for 'user' matches a
+    corpus 'getUserName' — the tokenization a source-code index wants."""
     for ns in non_separators:
         if len(ns) != 1:
             raise ValueError(
@@ -165,6 +192,11 @@ def make_tokenizer(
                 "(multi-char non-separators cannot be expressed as class "
                 "subtraction)"
             )
+    if split_identifiers and " " in non_separators:
+        raise ValueError(
+            "split_identifiers inserts '\\x20' word boundaries; ' ' cannot "
+            "be a nonSeparatorToken at the same time"
+        )
     chars = set(_BASE_SEP_CHARS) - set(non_separators)
     multi = sorted(
         {s for s in extra_separators if len(s) > 1}, key=len, reverse=True
@@ -187,8 +219,14 @@ def make_tokenizer(
     # non_separators is rejected implicitly by it being unprintable)
     pads = ["\x00" + s + "\x00" for s in sents]
 
+    camel = bool(split_identifiers)
+
     def native_fn(col: Column) -> Column:
-        t = F.lower(col)
+        t = col
+        if camel:
+            for p in _CAMEL_PASSES:
+                t = F.regexp_replace(t, p, "$1 $2")
+        t = F.lower(t)
         if fold:
             t = F.translate(t, _FOLD_SRC, _FOLD_DST)
             for src, dst in _FOLD_MULTI:
@@ -210,7 +248,11 @@ def make_tokenizer(
         return toks
 
     def duckdb_fn(expr: str) -> str:
-        t = f"lower({expr})"
+        t = expr
+        if camel:
+            for p in _CAMEL_PASSES:
+                t = f"regexp_replace({t}, '{p}', '\\1 \\2', 'g')"
+        t = f"lower({t})"
         if fold:
             t = f"translate({t}, '{_FOLD_SRC}', '{_FOLD_DST}')"
             for src, dst in _FOLD_MULTI:
@@ -235,7 +277,10 @@ def make_tokenizer(
     rx = re.compile(pattern)
 
     def py_fn(s: str) -> list[str]:
-        t = (s or "").lower()
+        t = s or ""
+        if camel:
+            t = split_identifiers_py(t)
+        t = t.lower()
         if fold:
             t = fold_diacritics_py(t)
         for w, sent in zip(dwords, pads):
@@ -265,12 +310,13 @@ def _tokenize_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarra
 
 def _custom_arrow_plan(settings: dict | None):
     """settings dict → (pattern, [(word, padded_sentinel)],
-    {sent: word}, {stop words}, fold flag) for the Arrow batch path;
-    None → the pinned default (no-op plan)."""
+    {sent: word}, {stop words}, fold flag, camel flag) for the Arrow
+    batch path; None → the pinned default (no-op plan)."""
     if not settings:
-        return SEP_PATTERN, [], {}, set(), False
+        return SEP_PATTERN, [], {}, set(), False, False
     pattern, _, _, _ = make_tokenizer(**settings)
     fold = bool(settings.get("fold_diacritics"))
+    camel = bool(settings.get("split_identifiers"))
     nrm = (lambda w: fold_diacritics_py(w.lower())) if fold else str.lower
     rx = re.compile(pattern)
     # a dictionary word with no separator in it already tokenizes to
@@ -283,7 +329,7 @@ def _custom_arrow_plan(settings: dict | None):
     sents = [_DICT_SENT.format(i=i) for i in range(len(dwords))]
     repl = [(w, "\x00" + s + "\x00") for w, s in zip(dwords, sents)]
     stops = {nrm(w) for w in settings.get("stop_words", ())}
-    return pattern, repl, dict(zip(sents, dwords)), stops, fold
+    return pattern, repl, dict(zip(sents, dwords)), stops, fold, camel
 
 
 def _tokenize_batch_codes(
@@ -293,6 +339,7 @@ def _tokenize_batch_codes(
     back: dict[str, str] | None = None,
     stops: set[str] | None = None,
     fold: bool = False,
+    camel: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Arrow-native tokenize: batch → (row_idx, codes, vocab).
 
@@ -311,7 +358,14 @@ def _tokenize_batch_codes(
         return (
             np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, object)
         )
-    arr = pc.utf8_lower(pa.Array.from_pandas(texts.fillna("").astype(str)))
+    arr = pa.Array.from_pandas(texts.fillna("").astype(str))
+    if camel:
+        # identifier splitting BEFORE lowercasing (case carries the
+        # boundary); RE2 capture-group replace, vectorized in Arrow C++
+        for p in _CAMEL_PASSES:
+            arr = pc.replace_substring_regex(arr, pattern=p,
+                                             replacement=r"\1 \2")
+    arr = pc.utf8_lower(arr)
     if fold:
         # diacritic folding as a literal replace chain — each step is a
         # vectorized Arrow C++ pass; opt-in cost, table shared with the
@@ -357,6 +411,7 @@ def _count_doc_terms(
     back: dict[str, str] | None = None,
     stops: set[str] | None = None,
     fold: bool = False,
+    camel: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Shared tf-counting core: batch → (rows, term_codes, tf, dl, vocab).
 
@@ -365,7 +420,7 @@ def _count_doc_terms(
     (row, code) pairs — no string comparisons.
     """
     row_idx, codes, vocab = _tokenize_batch_codes(
-        texts, pattern, repl, back, stops, fold
+        texts, pattern, repl, back, stops, fold, camel
     )
     dl = np.bincount(row_idx, minlength=len(texts)).astype(np.int64)
     if row_idx.size == 0:
@@ -408,12 +463,12 @@ def make_tokenize_counted(settings: dict | None = None):
     pinned-default UDF unchanged."""
     if not settings:
         return tokenize_counted
-    pattern, repl, back, stops, fold = _custom_arrow_plan(settings)
+    pattern, repl, back, stops, fold, camel = _custom_arrow_plan(settings)
 
     @F.pandas_udf(ArrayType(TOKEN_STRUCT))
     def tokenize_counted_custom(texts: pd.Series) -> pd.Series:
         rows, cols, tf, _, vocab = _count_doc_terms(
-            texts, pattern, repl, back, stops, fold
+            texts, pattern, repl, back, stops, fold, camel
         )
         out: list[list[dict]] = [[] for _ in range(len(texts))]
         for ri, ci, c in zip(rows.tolist(), cols.tolist(), tf.tolist()):

@@ -62,9 +62,11 @@ def postings_from_content(docs: DataFrame, text_col: str = "content",
 
     # tokenizer settings (IndexConfig.tokenizer): custom separator
     # pattern + dictionary-protection replacements; None = pinned default
-    pattern, repl, back, stops, fold = _custom_arrow_plan(settings)
+    pattern, repl, back, stops, fold, camel = _custom_arrow_plan(settings)
     if fold:
         from scrapix_spark.functions.tokenize import _FOLD_MULTI, _FOLD_DST, _FOLD_SRC
+    if camel:
+        from scrapix_spark.functions.tokenize import _CAMEL_PASSES
 
     # tf/dl are int32 on the wire: both fit comfortably (tf, dl < 2^31)
     # and the posting relation is the widest thing the build shuffles —
@@ -76,7 +78,15 @@ def postings_from_content(docs: DataFrame, text_col: str = "content",
 
     def kernel(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for batch in batches:
-            texts = pc.utf8_lower(pc.fill_null(batch.column(text_col), ""))
+            texts = pc.fill_null(batch.column(text_col), "")
+            if camel:
+                # identifier split BEFORE lowercasing (tokenizer setting
+                # split_identifiers — case carries the boundary info)
+                for p in _CAMEL_PASSES:
+                    texts = pc.replace_substring_regex(
+                        texts, pattern=p, replacement=r"\1 \2"
+                    )
+            texts = pc.utf8_lower(texts)
             if fold:
                 # Latin diacritic folding (tokenizer fold_diacritics):
                 # same explicit table as the JVM/DuckDB/python paths

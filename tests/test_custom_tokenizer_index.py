@@ -138,3 +138,40 @@ def test_fold_diacritics_end_to_end(spark, tmp_path_factory):
     assert _paths(r.topk_pruned("SEÑOR", 10)) == ["p2"]
     # phrase across folded tokens uses the positional relation
     assert _paths(r.topk_phrase("cafe crème", 10)) == ["p0", "p1"]
+
+
+def test_split_identifiers_end_to_end(spark, tmp_path_factory):
+    """X60: an index built with tokenizer split_identifiers tokenizes
+    camelCase / acronym identifiers into their words, so a plain-word
+    query hits source code — getUserName matches 'user'. The setting
+    round-trips through meta.json into the reader's query parsing."""
+    rows = [("r", f"p{i}", "c", "py", t) for i, t in enumerate([
+        "def getUserName(self): return self.userName",
+        "XMLHttpRequest handler for the parser",
+        "plain prose about a user name",
+        "sha256Sum of the payload",
+    ])]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    d = str(tmp_path_factory.mktemp("cameldx"))
+    build_index(
+        spark, df, d,
+        IndexConfig(index_uid="camel", n_shards=2, exclude_paginated=False,
+                    store_positions=True,
+                    tokenizer={"split_identifiers": True}),
+        build_id="c1",
+    )
+    r = IndexReader(spark, d)
+    terms = {x["term"] for x in r.dict_df.select("term").collect()}
+    # identifiers are stored split + lowercased; glued forms are gone
+    assert {"get", "user", "name", "xml", "http", "request",
+            "sha256", "sum"} <= terms
+    assert "getusername" not in terms and "xmlhttprequest" not in terms
+    # plain-word query reaches inside identifiers (both code and prose)
+    assert _paths(r.topk_pruned("user", 10)) == ["p0", "p2"]
+    # query-side identifiers split the same way (meta round-trip)
+    assert _paths(r.topk_pruned("sha256Sum", 10)) == ["p3"]
+    # phrase adjacency holds across the split tokens
+    assert _paths(r.topk_phrase("user name", 10)) == ["p0", "p2"]
+    assert r.meta["config"]["tokenizer"]["split_identifiers"] is True

@@ -198,12 +198,75 @@ def test_fold_diacritics_four_way_parity(spark):
         for t in texts
     ]
     assert got_duck == want
-    pattern, repl, back, stops, fold = _custom_arrow_plan(settings)
+    pattern, repl, back, stops, fold, camel = _custom_arrow_plan(settings)
     assert fold and "the" in stops
     row_idx, codes, vocab = _tokenize_batch_codes(
-        pd.Series(texts), pattern, repl, back, stops, fold
+        pd.Series(texts), pattern, repl, back, stops, fold, camel
     )
     got_arrow = [[] for _ in texts]
     for r, c in zip(row_idx.tolist(), codes.tolist()):
         got_arrow[r].append(vocab[c])
     assert got_arrow == want
+
+
+def test_split_identifiers_four_way_parity(spark):
+    """X60: split_identifiers (code-search camelCase/acronym splitting)
+    produces the same token stream in all four consumers — python, JVM
+    native, DuckDB, and the Arrow batch path. Splits happen BEFORE
+    lowercasing (case carries the boundary), acronym pass first."""
+    from scrapix_spark.functions.tokenize import (
+        _custom_arrow_plan,
+        _tokenize_batch_codes,
+        make_tokenizer,
+    )
+
+    settings = dict(split_identifiers=True)
+    _, native, ducksql, py = make_tokenizer(**settings)
+    texts = [
+        "getHTMLParser returns XMLHttpRequest2",  # acronym boundaries
+        "sha256Sum fooBar snake_case kebab-case",  # digit->upper, sep kinds
+        "IOError parseURL x A aB",                 # short runs / singles
+        "ALLCAPS lowercase Capitalized",           # no internal boundary
+        "",
+    ]
+    want = [
+        ["get", "html", "parser", "returns", "xml", "http", "request2"],
+        ["sha256", "sum", "foo", "bar", "snake", "case", "kebab", "case"],
+        ["io", "error", "parse", "url", "x", "a", "a", "b"],
+        ["allcaps", "lowercase", "capitalized"],
+        [],
+    ]
+    assert [py(t) for t in texts] == want
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    got_native = [
+        r["toks"]
+        for r in df.select("i", native(F.col("t")).alias("toks"))
+        .orderBy("i").collect()
+    ]
+    assert got_native == want
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {ducksql('?')}", [t]).fetchone()[0]
+        for t in texts
+    ]
+    assert got_duck == want
+    pattern, repl, back, stops, fold, camel = _custom_arrow_plan(settings)
+    assert camel and not fold
+    row_idx, codes, vocab = _tokenize_batch_codes(
+        pd.Series(texts), pattern, repl, back, stops, fold, camel
+    )
+    got_arrow = [[] for _ in texts]
+    for r, c in zip(row_idx.tolist(), codes.tolist()):
+        got_arrow[r].append(vocab[c])
+    assert got_arrow == want
+
+
+def test_split_identifiers_rejects_space_non_separator():
+    import pytest as _pytest
+
+    from scrapix_spark.functions.tokenize import make_tokenizer
+
+    with _pytest.raises(ValueError):
+        make_tokenizer(split_identifiers=True, non_separators=(" ",))
