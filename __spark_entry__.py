@@ -1929,6 +1929,59 @@ _TOKSET_SRC_SQL = (
 )
 
 
+def _settings_update_index(spark, sf_dir) -> str:
+    """X61 lifecycle fixture (cached per sf_dir): base build → a
+    metadata-only settings generation (distinctAttribute; zero segment
+    bytes move) → a reindex generation under the identifier-splitting
+    tokenizer (Meilisearch's invalidate-and-reindex settings path),
+    with the per-row sha256 invariant checked against the source."""
+    import re as _re
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import build_index, update_settings
+
+    d = "/tmp/entry_setupd_" + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    if not os.path.exists(os.path.join(d, "_build_su2", "meta.json")):
+        import shutil as _sh
+
+        _sh.rmtree(d, ignore_errors=True)
+        raw = _docs(spark, sf_dir).select(
+            F.col("source").alias("repo"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+        build_index(
+            spark, raw, d,
+            IndexConfig(index_uid="setupd", n_shards=8,
+                        exclude_paginated=False),
+            build_id="su1", source_desc=sf_dir,
+        )
+        update_settings(spark, d, {"distinct_attribute": "repo"},
+                        build_id="su1m")
+        update_settings(
+            spark, d, {"tokenizer": {"split_identifiers": True}},
+            build_id="su2", source=raw,
+        )
+    return d
+
+
+def q_settings_update_df(spark, sf_dir):
+    """X61 driver gate — PATCH /settings end-to-end: after a
+    metadata-only generation and a tokenizer-changing reindex
+    generation, the published dictionary must be EXACTLY the df
+    relation of the new tokenizer over the same documents (proving the
+    reindex re-tokenized everything and the atomic-publish chain kept
+    one live layer). Oracle: the same make_tokenizer settings emit the
+    DuckDB expression."""
+    from scrapix_spark.operators import index as IX
+
+    idx = _settings_update_index(spark, sf_dir)
+    dic = IX.read_dict(spark, idx)
+    return dic.select("term", F.col("df").cast("long").alias("df"))
+
+
 # code-search tokenization (X60): camel/acronym/digit boundaries plus a
 # data-derived camel word per row ('parse' + Titlecased lang + 'Request')
 _IDSET = dict(split_identifiers=True)
@@ -2341,6 +2394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "completions": q_completions,
         "tokenize_identifiers": q_tokenize_identifiers,
+        "settings_update_df": q_settings_update_df,
         "filter_grammar_search": q_filter_grammar_search,
         "search_api": q_search_api,
         "geo_radius_sort": q_geo_radius_sort,
@@ -2917,6 +2971,18 @@ def _tokenize_custom_sql() -> str:
 WITH src AS (SELECT doc_id, {_TOKSET_SRC_SQL} AS t2 FROM documents),
 tok AS (SELECT doc_id, unnest({ducksql('t2')}) AS term FROM src)
 SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
+"""
+
+
+def _settings_update_df_sql() -> str:
+    """X61 oracle: dictionary df after the settings reindex == distinct
+    doc count per term under the NEW tokenizer over the same documents."""
+    from scrapix_spark.functions.tokenize import make_tokenizer
+
+    _, _, ducksql, _ = make_tokenizer(split_identifiers=True)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({ducksql('text')}) AS term FROM documents)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term
 """
 
 
@@ -4364,6 +4430,7 @@ ORDER BY doc_id OFFSET 7 LIMIT 12
         "docssearch_custom_rules": _docssearch_custom_rules_sql(),
         "tokenize_custom": _tokenize_custom_sql(),
         "tokenize_identifiers": _tokenize_identifiers_sql(),
+        "settings_update_df": _settings_update_df_sql(),
         "search_prefix_word": _contrib_cte() + f"""
 , map AS (
   SELECT 'fast' AS term, 0 AS wi

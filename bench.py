@@ -238,8 +238,18 @@ def hardware_ceiling(lo: int, hi: int, corpus_path: str, runs: int = 3) -> dict:
     runtime on this box can exceed. A real N→4N-node cluster multiplies
     memory channels and disks with the cores and does not hit this
     wall; engine coordination efficiency = raw_efficiency / ceiling is
-    the portable number."""
+    the portable number.
+
+    Each worker is pinned to its own core (same cpuset the pinned
+    scaling children use), so the 1-proc and c-proc walls compare
+    core-for-core with the build levels."""
     root = os.path.dirname(os.path.abspath(__file__))
+
+    def pin_one(i: int) -> list[str]:
+        # pin worker i to the i-th core of the same cpuset the scaling
+        # children get, one core per worker
+        cs = _pin_cmd(i + 1)
+        return ["taskset", "-c", cs[-1].split(",")[-1]] if cs else []
 
     def wall(c: int) -> float:
         best = float("inf")
@@ -247,10 +257,12 @@ def hardware_ceiling(lo: int, hi: int, corpus_path: str, runs: int = 3) -> dict:
             t0 = time.time()
             ps = [
                 subprocess.Popen(
-                    [sys.executable, "-c", _CEILING_WORKER, root, corpus_path],
+                    pin_one(i)
+                    + [sys.executable, "-c", _CEILING_WORKER, root,
+                       corpus_path],
                     stdout=subprocess.PIPE,
                 )
-                for _ in range(c)
+                for i in range(c)
             ]
             for p in ps:
                 p.communicate()
@@ -265,6 +277,28 @@ def hardware_ceiling(lo: int, hi: int, corpus_path: str, runs: int = 3) -> dict:
     }
 
 
+def _pin_cmd(cores: int) -> list[str]:
+    """cpuset prefix bounding a child's WHOLE process tree (JVM + Python
+    workers) to exactly `cores` physical cores.
+
+    Without this, `local[1]` silently freeloads a second core: the JVM
+    task thread (parquet scan, Arrow IPC, snappy write) pipelines with
+    the Python Arrow worker, so the "1-core" build really consumes ~2
+    cores while `local[4]`'s 8 active threads only get ~4-6 — measured
+    100k-doc builds: unpinned 57.4 s/25.6 s (raw efficiency 0.56) vs
+    pinned 83.6 s/28.3 s (0.74) in the same window. A real N-core
+    executor node has N cores, full stop, so the pinned number is the
+    honest stand-in. Falls back to no prefix where taskset is absent."""
+    if not shutil.which("taskset"):
+        return []
+    try:
+        avail = sorted(os.sched_getaffinity(0))
+    except AttributeError:
+        avail = list(range(os.cpu_count() or cores))
+    picked = avail[:cores] if len(avail) >= cores else avail
+    return ["taskset", "-c", ",".join(str(c) for c in picked)]
+
+
 def run_scaling(n_docs: int, runs: int = 3) -> dict:
     """Same job, same input, two parallelism levels — the sandbox
     stand-in for N vs 4N executors (BASELINE.md protocol).
@@ -277,6 +311,7 @@ def run_scaling(n_docs: int, runs: int = 3) -> dict:
     measurable via SPARK_GRAFT_SCALE_CORES=2,8 etc.; the saturation
     curve is documented in BASELINE.md.
 
+    Each child is cpuset-pinned to exactly its core budget (_pin_cmd).
     Each level runs `runs` times; min wall-clock is used (host noise is
     strictly additive; measured run-to-run spread up to 2x on this VM).
     efficiency = (T_N / T_4N) / 4.
@@ -296,7 +331,8 @@ def run_scaling(n_docs: int, runs: int = 3) -> dict:
     for r in range(runs):
         for cores in (lo, hi):
             out = subprocess.run(
-                [sys.executable, __file__, "--scaling-child", str(cores), corpus],
+                _pin_cmd(cores)
+                + [sys.executable, __file__, "--scaling-child", str(cores), corpus],
                 capture_output=True, text=True, timeout=2400,
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("CHILD_SEC ")]
@@ -310,6 +346,7 @@ def run_scaling(n_docs: int, runs: int = 3) -> dict:
     ceil = hardware_ceiling(lo, hi, corpus)
     return {
         "cores": [lo, hi],
+        "pinned": bool(_pin_cmd(1)),
         **ceil,
         "engine_coordination_eff": round(
             min(eff / ceil["hardware_ceiling_eff"], 9.99), 3

@@ -7,11 +7,20 @@
     spark-submit --py-files dist/scrapix_spark.zip jobs/update_index.py \
         compact --index-dir /path/to/index [--build-id c0001]
 
+    spark-submit --py-files dist/scrapix_spark.zip jobs/update_index.py \
+        settings --index-dir /path/to/index --patch '{"stop_words": ["the"]}' \
+        [--input /path/to/source] [--build-id s0001]
+
 `delta` diffs the NEW FULL SNAPSHOT against the live index on
 (repo, path) — the reference's re-crawl shape (scrapix rebuilds and
 atomically swaps; this publishes only the changed slice as an LSM layer
 plus tombstones, same atomic swap). `compact` folds layers + tombstones
 back into one segment set, rank-identical to a fresh rebuild.
+`settings` is the Meilisearch PATCH /settings analog (X61): query-time
+keys publish a metadata-only generation; index-affecting keys reindex
+the same documents from --input (or the stored content) under the new
+config. --patch takes inline JSON or a path to a JSON file; a key set
+to null resets it to the engine default.
 Prints one JSON manifest line.
 """
 
@@ -26,14 +35,18 @@ from pyspark.sql import SparkSession
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="Incremental index maintenance")
-    ap.add_argument("action", choices=["delta", "compact"])
+    ap.add_argument("action", choices=["delta", "compact", "settings"])
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--input", help="new snapshot (required for delta)")
     ap.add_argument("--build-id", default=None)
     ap.add_argument("--format", default="parquet")
+    ap.add_argument("--patch", help="settings patch: inline JSON or a file "
+                                    "path (required for settings)")
     args = ap.parse_args(argv)
 
-    from scrapix_spark.operators.index import compact, delta_update
+    from scrapix_spark.operators.index import (
+        compact, delta_update, update_settings,
+    )
 
     spark = SparkSession.builder.appName(
         f"scrapix-spark-{args.action}"
@@ -51,6 +64,25 @@ def main(argv: list[str] | None = None) -> int:
             spark, raw, args.index_dir,
             build_id=args.build_id or "delta",
             source_desc=f"{args.format}:{args.input}",
+        )
+    elif args.action == "settings":
+        if not args.patch:
+            ap.error("settings requires --patch")
+        patch = (
+            json.loads(args.patch)
+            if args.patch.lstrip().startswith("{")
+            else json.load(open(args.patch))
+        )
+        source = None
+        if args.input:
+            source = (
+                spark.read.parquet(args.input)
+                if args.format == "parquet"
+                else spark.read.table(args.input)
+            )
+        meta = update_settings(
+            spark, args.index_dir, patch,
+            build_id=args.build_id or "settings", source=source,
         )
     else:
         meta = compact(spark, args.index_dir, build_id=args.build_id or "compact")

@@ -1141,3 +1141,129 @@ def compact(
     publish(index_dir, build_id)
     meta["compact_wall_sec"] = time.time() - t0
     return meta
+
+
+# Settings the query server reads LIVE from meta.json — patching one is
+# a metadata-only generation (no segment byte moves). Everything else is
+# baked into stored artifacts: tokenizer/strategy/scope into the token
+# stream, k1/b into the block_max_impact pruning bounds (a stored bound
+# computed under old constants is NOT a sound WAND bound under new ones),
+# n_shards/block_size/tb_bits into the physical layout, extra_doc_columns
+# into the docs schema — those force a reindex of the documents.
+QUERY_TIME_SETTINGS = frozenset({
+    "synonyms", "stop_words", "distinct_attribute",
+    "webhook_url", "webhook_payload", "batch_size",
+    "docs_records_per_file", "shuffle_partitions",
+})
+
+
+def update_settings(
+    spark: SparkSession,
+    index_dir: str,
+    patch: dict,
+    build_id: str,
+    source: DataFrame | None = None,
+    n_batches: int = 1,
+) -> dict:
+    """Meilisearch PATCH /indexes/{uid}/settings (X61): apply a partial
+    settings patch to a live index. A key's value None resets it to the
+    engine default (the DELETE /settings/<key> analog).
+
+    Two paths, chosen by what the changed keys touch:
+
+    - every changed key in QUERY_TIME_SETTINGS → **metadata-only
+      generation**: a new `_build_<id>` directory holding ONLY meta.json
+      whose layer list keeps pointing at the existing builds; the atomic
+      pointer swap publishes it and the publish GC keeps every
+      referenced layer. O(1) at any index size — no segment is read or
+      written (Meilisearch likewise applies synonym/stop-word updates
+      without reindexing).
+    - anything else → **full reindex** of the same documents under the
+      new config, double-buffered into `_build_<id>` and atomically
+      published (Meilisearch's invalidate-and-reindex path,
+      settings-update task analog).
+
+    Reindex document source: `source` (the docs table the index was
+    built from) or, when the index stores its own content
+    (extra_doc_columns includes 'content'), the stored docs relation —
+    self-contained like Meilisearch. With an external `source`, the
+    north-rule per-row invariant is enforced BEFORE anything is written:
+    every live stored doc must appear in `source` with an identical
+    content sha256 (a settings update re-expresses the same documents;
+    content changes belong to delta_update/upsert_update), and rows
+    outside the stored identity set are ignored."""
+    import dataclasses
+
+    meta_old = load_meta(index_dir)
+    cfg = IndexConfig.from_json(json.dumps(meta_old["config"]))
+    defaults = IndexConfig()
+    known = {f.name for f in dataclasses.fields(IndexConfig)}
+    unknown = set(patch) - known
+    if unknown:
+        raise ValueError(f"unknown settings: {sorted(unknown)}")
+    changed: dict = {}
+    for k, v in patch.items():
+        new = getattr(defaults, k) if v is None else v
+        if new != getattr(cfg, k):
+            setattr(cfg, k, new)
+            changed[k] = new
+    if not changed:
+        return meta_old  # no-op patch: keep the serving generation
+
+    if set(changed) <= QUERY_TIME_SETTINGS:
+        build_dir = os.path.join(serving_root(index_dir), f"_build_{build_id}")
+        fs = fs_for(build_dir)
+        fs.makedirs(build_dir)
+        meta = dict(meta_old)
+        meta["build_id"] = build_id
+        meta["config"] = json.loads(cfg.to_json())
+        meta["distinct_attribute"] = cfg.distinct_attribute
+        meta["settings_update"] = sorted(changed)
+        fs.write_text(
+            os.path.join(build_dir, "meta.json"),
+            json.dumps(meta, indent=1, sort_keys=True),
+        )
+        publish(index_dir, build_id)
+        return meta
+
+    live = read_docs(spark, index_dir)
+    if meta_old.get("tombstone_dirs"):
+        live = live.join(read_tombstones(spark, index_dir), "doc_id", "left_anti")
+    extra = [c for c in cfg.extra_doc_columns if c != "content"]
+    if source is None:
+        if "content" not in live.columns:
+            raise ValueError(
+                "stored docs carry no 'content' column; pass source=<the "
+                "docs table this index was built from>, or build with "
+                "extra_doc_columns=['content'] for self-contained "
+                "settings reindexing"
+            )
+        raw = live.select("repo", "path", "commit", "lang", "content", *extra)
+    else:
+        key = ["repo", "path", "commit"]
+        src = source.withColumn("_sha_src", F.sha2("content", 256))
+        drifted = (
+            live.select(*key, "sha256")
+            .join(src.select(*key, "_sha_src"), key, "left")
+            .filter(
+                F.col("_sha_src").isNull()
+                | (F.col("_sha_src") != F.col("sha256"))
+            )
+            .count()
+        )
+        if drifted:
+            raise ValueError(
+                f"{drifted} live docs missing from source or with drifted "
+                "content (sha256 mismatch) — a settings update reindexes "
+                "the SAME documents; route content changes through "
+                "delta_update/upsert_update"
+            )
+        raw = (
+            src.join(live.select(*key), key, "left_semi")
+            .drop("_sha_src")
+            .select("repo", "path", "commit", "lang", "content", *extra)
+        )
+    return build_index(
+        spark, raw, index_dir, cfg, build_id=build_id, n_batches=n_batches,
+        source_desc=f"settings_update:{','.join(sorted(changed))}",
+    )

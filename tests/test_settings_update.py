@@ -1,0 +1,198 @@
+"""X61 — Meilisearch PATCH /indexes/{uid}/settings analog.
+
+Two paths, both atomic-publish generations:
+- query-time keys (synonyms / stopWords / distinctAttribute / sink
+  knobs) → metadata-only generation whose layer list keeps pointing at
+  the existing builds: no segment byte moves (Meilisearch applies these
+  without reindexing);
+- index-affecting keys (tokenizer, k1/b — baked into block_max_impact
+  pruning bounds — shards, positions, scope) → full reindex of the SAME
+  documents, guarded by the north-rule per-row sha256 invariant when an
+  external source is supplied.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.config import IndexConfig
+from scrapix_spark.operators.index import (
+    build_index,
+    current_build_dir,
+    load_meta,
+    update_settings,
+)
+from scrapix_spark.operators.query import IndexReader
+
+ROWS = [
+    ("r", "p0", "c", "py", "def getUserName(self): return self.userName"),
+    ("r", "p1", "c", "py", "the quick brown fox jumps the lazy dog"),
+    ("r", "p2", "c", "py", "plain prose about a user name"),
+    ("r", "p3", "c", "py", "quick notes on the fox protocol"),
+]
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def _build(spark, d, **cfg_kw):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    build_index(
+        spark, df, d,
+        IndexConfig(index_uid="su", n_shards=2, exclude_paginated=False,
+                    store_positions=True, **cfg_kw),
+        build_id="b1",
+    )
+    return df
+
+
+def _paths(df):
+    return sorted(r["path"] for r in df.collect())
+
+
+def test_metadata_only_update(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    _build(spark, d)
+    seg_dir = os.path.join(d, "_build_b1", "segments")
+    files_before = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(seg_dir) for f in fs
+    )
+    mtimes_before = [os.path.getmtime(p) for p in files_before]
+
+    meta = update_settings(
+        spark, d,
+        {"stop_words": ["the", "a"], "synonyms": {"fox": ["dog"]},
+         "distinct_attribute": "repo"},
+        build_id="s1",
+    )
+    # a NEW generation serves, whose layers still point at the old build
+    assert current_build_dir(d).endswith("_build_s1")
+    assert meta["settings_update"] == ["distinct_attribute", "stop_words",
+                                       "synonyms"]
+    assert [ly["build"] for ly in meta["layers"]] == ["_build_b1"]
+    assert os.path.exists(os.path.join(d, "_build_b1", "meta.json"))
+    # zero segment bytes moved
+    files_after = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(seg_dir) for f in fs
+    )
+    assert files_after == files_before
+    assert [os.path.getmtime(p) for p in files_after] == mtimes_before
+    # the new defaults are live: stop word dropped at parse, synonym joins
+    r = IndexReader(spark, d)
+    hits = r.search("the fox", k=10)["hits"]
+    assert _paths(hits) == ["p1", "p3"]  # 'the' dropped; fox docs match
+    assert r.meta["config"]["stop_words"] == ["the", "a"]
+    assert r.meta["distinct_attribute"] == "repo"
+
+
+def test_noop_and_unknown_patch(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    _build(spark, d)
+    before = current_build_dir(d)
+    meta = update_settings(spark, d, {"stop_words": None}, build_id="z9")
+    assert current_build_dir(d) == before  # already default → no-op
+    assert meta["build_id"] == "b1"
+    with pytest.raises(ValueError, match="unknown settings"):
+        update_settings(spark, d, {"rankingRules": []}, build_id="z8")
+
+
+def test_reset_to_default(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    _build(spark, d, stop_words=["the"])
+    update_settings(spark, d, {"stop_words": None}, build_id="s1")
+    assert load_meta(d)["config"]["stop_words"] is None
+
+
+def test_reindex_on_tokenizer_change(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    df = _build(spark, d)
+    r0 = IndexReader(spark, d)
+    assert _paths(r0.topk_pruned("user", 10)) == ["p2"]  # glued identifier
+    ids0 = {x["path"]: x["doc_id"]
+            for x in r0.docs.select("path", "doc_id").collect()}
+
+    meta = update_settings(
+        spark, d, {"tokenizer": {"split_identifiers": True}},
+        build_id="s2", source=df,
+    )
+    assert current_build_dir(d).endswith("_build_s2")
+    assert meta["source"] == "settings_update:tokenizer"
+    # old generation is GC'd by the publish (full reindex replaces layers)
+    assert not os.path.exists(os.path.join(d, "_build_b1"))
+    r = IndexReader(spark, d)
+    assert _paths(r.topk_pruned("user", 10)) == ["p0", "p2"]
+    # doc identity is deterministic → doc_ids survive the reindex
+    ids1 = {x["path"]: x["doc_id"]
+            for x in r.docs.select("path", "doc_id").collect()}
+    assert ids0 == ids1
+
+
+def test_reindex_on_k1_change_keeps_wand_sound(spark, tmp_path):
+    # k1/b are baked into block_max_impact — a k1 patch must take the
+    # reindex path, and the rebuilt bounds must keep WAND rank-identical
+    # to full scoring under the NEW constants
+    d = str(tmp_path / "idx")
+    df = _build(spark, d)
+    update_settings(spark, d, {"k1": 2.0, "b": 0.5}, build_id="s3", source=df)
+    m = load_meta(d)
+    assert m["k1"] == 2.0 and m["b"] == 0.5
+    r = IndexReader(spark, d)
+    for q in ["quick fox", "user name", "prose protocol"]:
+        p = [x["doc_id"] for x in r.topk_pruned(q, 10, hydrate=False).collect()]
+        f = [x["doc_id"] for x in r.topk_full(q, 10, hydrate=False).collect()]
+        assert p == f
+
+
+def test_sha_drift_source_rejected(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    df = _build(spark, d)
+    drifted = df.withColumn(
+        "content",
+        F.when(F.col("path") == "p1", F.lit("tampered")).otherwise(
+            F.col("content")
+        ),
+    )
+    with pytest.raises(ValueError, match="sha256 mismatch"):
+        update_settings(
+            spark, d, {"tokenizer": {"split_identifiers": True}},
+            build_id="s4", source=drifted,
+        )
+    # nothing was published
+    assert current_build_dir(d).endswith("_build_b1")
+
+
+def test_reindex_without_content_requires_source(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    _build(spark, d)
+    with pytest.raises(ValueError, match="content"):
+        update_settings(
+            spark, d, {"tokenizer": {"split_identifiers": True}},
+            build_id="s5",
+        )
+
+
+def test_self_contained_reindex_from_stored_content(spark, tmp_path):
+    # extra_doc_columns=['content'] makes the index self-contained, the
+    # Meilisearch shape: settings reindex needs no external source
+    d = str(tmp_path / "idx")
+    _build(spark, d, extra_doc_columns=["content"])
+    update_settings(
+        spark, d, {"tokenizer": {"split_identifiers": True}}, build_id="s6",
+    )
+    r = IndexReader(spark, d)
+    assert _paths(r.topk_pruned("user", 10)) == ["p0", "p2"]
+    # content column survives into the rebuilt docs relation
+    assert "content" in r.docs.columns
+
+
+def test_extra_source_rows_ignored(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    df = _build(spark, d)
+    extra = spark.createDataFrame(
+        [("r", "p9", "c", "py", "a brand new page not in the index")], SCHEMA
+    )
+    update_settings(
+        spark, d, {"tokenizer": {"split_identifiers": True}},
+        build_id="s7", source=df.unionByName(extra),
+    )
+    r = IndexReader(spark, d)
+    assert _paths(r.docs.select("path")) == ["p0", "p1", "p2", "p3"]
