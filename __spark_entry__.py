@@ -2374,6 +2374,50 @@ def q_video_frames_real(spark, sf_dir):
     )
 
 
+def q_avi_frames_real(spark, sf_dir):
+    """X62 — REAL compressed-video decode, no stub: luma rasters that
+    are constant within each 8x8 block (block value a pure function of
+    media_id, frame and block index) are JPEG-encoded per frame
+    (all-ones quant, RST every 2 MCUs) into a real AVI-1.0/MJPG RIFF
+    container (avi_encode) and decoded back by the from-scratch chunk
+    walk + T.81 decoder; frame sampling at 400 ms emits stats of the
+    ACTUAL pixels (bit-exact round-trip), and the oracle recomputes
+    them from the closed-form block grid."""
+    import numpy as np
+
+    d = _docs(spark, sf_dir).filter("doc_id % 3 = 1").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": []}
+            for mid in pdf["media_id"]:
+                t = 2 + int(mid) % 4
+                j = np.arange(6, dtype=np.int64)
+                frames = np.stack([
+                    np.repeat(np.repeat(
+                        ((int(mid) * 11 + f * 17 + j * 5) % 256)
+                        .astype(np.uint8).reshape(2, 3), 8, 0), 8, 1)
+                    for f in range(t)
+                ])
+                rows["media_id"].append(mid)
+                rows["kind"].append("video")
+                rows["payload"].append(
+                    MM.avi_encode(frames, fps=(5, 1), restart_interval=2)
+                )
+            yield pd.DataFrame(rows)
+
+    media = d.mapInPandas(gen, schema="media_id long, kind string, payload binary")
+    out = MM.sample_frames_real(media, every_ms=400)
+    return out.select(
+        "media_id", "ts_ms", "frame_idx", "width", "height",
+        F.round("mean_luma", 6).alias("mean_luma"), "min_luma", "max_luma",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-scoring BM25 top-10 on sf0.001 documents."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -2435,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "docssearch_custom_rules": q_docssearch_custom_rules,
         "tokenize_custom": q_tokenize_custom,
+        "avi_frames_real": q_avi_frames_real,
         "bm25_topk": q_bm25_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "tokenize_tf": q_tokenize_tf,
@@ -4214,6 +4259,24 @@ ORDER BY count DESC, value LIMIT 100
         "bm25f_search_on": _bm25f_sql(
             [("p", 0.8, "text"), ("title", 0.8 ** 2, "lang")]
         ),
+        "avi_frames_real": """
+WITH m AS (SELECT doc_id AS media_id, 2 + doc_id % 4 AS t
+           FROM documents WHERE doc_id % 3 = 1),
+fr AS (SELECT media_id, t, unnest(range(t)) AS f FROM m),
+samp AS (SELECT media_id, f FROM fr WHERE f % 2 = 0),
+cell AS (SELECT media_id, f, unnest(range(6)) AS j FROM samp),
+v AS (SELECT media_id, f,
+        (media_id * 11 + f * 17 + j * 5) % 256 AS val
+      FROM cell),
+s AS (SELECT media_id, f, avg(val) AS mean_luma, min(val) AS mn,
+             max(val) AS mx
+      FROM v GROUP BY media_id, f)
+SELECT media_id, (f * 200)::INT AS ts_ms, f::INT AS frame_idx,
+       24::INT AS width, 16::INT AS height,
+       round(mean_luma, 6) AS mean_luma, mn::INT AS min_luma,
+       mx::INT AS max_luma
+FROM s
+""",
         "video_frames_real": """
 WITH m AS (SELECT doc_id AS media_id, 5 + doc_id % 6 AS t
            FROM documents WHERE doc_id % 3 = 2),

@@ -131,7 +131,8 @@ def extract_features_real(media: DataFrame, dim: int = 16) -> DataFrame:
 
     - image (PNG):  grayscale block-mean pooled to `dim` cells / 255
     - audio (WAV):  per-window RMS over `dim` equal windows / 32768
-    - video (Y4M):  per-frame mean luma resampled to `dim` steps / 255
+    - video (Y4M or AVI/MJPG): per-frame mean luma resampled to `dim`
+      steps / 255
 
     All three produce an array<float> of length `dim` in [0, 1] — a
     drop-in column for the similarity operators. Unsupported containers
@@ -182,14 +183,14 @@ def extract_features_real(media: DataFrame, dim: int = 16) -> DataFrame:
             feats.append(float(round(np.sqrt(seg.mean()) / 32768.0, 6)) if seg.size else 0.0)
         return feats
 
-    def _y4m_feature(payload: bytes) -> list:
-        v = y4m_decode_bytes(payload)
+    def _video_feature(payload: bytes) -> list:
+        v = video_decode_bytes(payload)
         luma = v["frames"].reshape(v["frames"].shape[0], -1).mean(axis=1)
         return [float(round(c / 255.0, 6)) for c in _pool_1d(luma, dim)]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         extractors = {"image": _img_feature, "audio": _wav_feature,
-                      "video": _y4m_feature}
+                      "video": _video_feature}
         for pdf in batches:
             shas, sizes, feats = [], [], []
             for kind, payload in zip(pdf["kind"], pdf["payload"]):
@@ -593,6 +594,144 @@ def y4m_decode_bytes(b: bytes) -> dict:
     }
 
 
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    # RIFF chunks are word-aligned; the pad byte is not counted in size
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + len(payload).to_bytes(4, "little") + payload + pad
+
+
+def _riff_list(list_type: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + payload)
+
+
+def avi_encode(
+    frames: "np.ndarray",
+    fps: tuple[int, int] = (25, 1),
+    quant=1,
+    restart_interval: int = 0,
+) -> bytes:
+    """(T, H, W) uint8 luma frames → a real AVI-1.0 RIFF container with
+    one MJPG video stream (each frame an actual baseline-JFIF image
+    from operators/jpeg.jpeg_encode) plus the idx1 keyframe index —
+    the layout OpenDML/VfW writers emit for motion-JPEG. With the
+    default all-ones quant table, constant-per-8x8-block frames
+    round-trip bit-exactly, same as the still-image fixtures."""
+    import struct
+
+    from scrapix_spark.operators.jpeg import jpeg_encode
+
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    t, h, w = frames.shape
+    usec = 1_000_000 * fps[1] // fps[0] if fps[0] else 0
+    jpegs = [
+        jpeg_encode(frames[i], quant=quant, restart_interval=restart_interval)
+        for i in range(t)
+    ]
+    maxb = max((len(j) for j in jpegs), default=0)
+    avih = struct.pack(
+        "<10I", usec, maxb * fps[0] // max(fps[1], 1), 0,
+        0x10,  # AVIF_HASINDEX
+        t, 0, 1, maxb, w, h,
+    ) + b"\x00" * 16  # dwReserved[4]
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        fps[1], fps[0],  # dwScale, dwRate → fps = rate/scale
+        0, t, maxb, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                     + _riff_chunk(b"strf", strf)),
+    )
+    movi_body, idx, off = [], [], 4  # offsets count from the movi fourcc
+    for j in jpegs:
+        ck = _riff_chunk(b"00dc", j)
+        movi_body.append(ck)
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(j)))
+        off += len(ck)
+    movi = _riff_list(b"movi", b"".join(movi_body))
+    idx1 = _riff_chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def avi_decode_bytes(b: bytes) -> dict:
+    """Real AVI (RIFF) decode for MJPG streams, pure stdlib + numpy: a
+    recursive chunk walk collects avih dimensions, the vids strh
+    scale/rate pair, and every '..dc'/'..db' stream chunk; each chunk
+    decodes through the from-scratch baseline-JPEG decoder. Returns the
+    same dict shape as y4m_decode_bytes ({"width","height","fps_num",
+    "fps_den","frames": (T,H,W) uint8 luma}; RGB frames fold to BT.601
+    luma). Non-AVI bytes, truncated chunks, and non-JPEG stream payloads
+    (e.g. H.264 in AVI) raise loudly — no fabricated frames."""
+    from scrapix_spark.operators.jpeg import jpeg_decode_bytes
+
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF/'AVI ' signature missing)")
+    meta = {"w": None, "h": None, "num": 25, "den": 1}
+    payloads: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = b[pos:pos + 4]
+            size = int.from_bytes(b[pos + 4:pos + 8], "little")
+            b0, b1 = pos + 8, pos + 8 + size
+            if b1 > end:
+                raise ValueError(f"truncated AVI chunk at byte {pos}")
+            if fourcc == b"LIST":
+                walk(b0 + 4, b1)
+            elif fourcc == b"avih":
+                meta["w"] = int.from_bytes(b[b0 + 32:b0 + 36], "little")
+                meta["h"] = int.from_bytes(b[b0 + 36:b0 + 40], "little")
+            elif fourcc == b"strh" and b[b0:b0 + 4] == b"vids":
+                scale = int.from_bytes(b[b0 + 20:b0 + 24], "little")
+                rate = int.from_bytes(b[b0 + 24:b0 + 28], "little")
+                if scale and rate:
+                    meta["num"], meta["den"] = rate, scale
+            elif fourcc[2:4] in (b"dc", b"db") and size:
+                payloads.append(b[b0:b1])
+            pos = b1 + (size & 1)
+
+    walk(12, min(len(b), 8 + int.from_bytes(b[4:8], "little")))
+    if meta["w"] is None:
+        raise ValueError("AVI missing avih main header")
+    frames = []
+    for p in payloads:
+        img = jpeg_decode_bytes(p)
+        if img.shape[2] == 1:
+            luma = img[..., 0]
+        else:
+            f = img.astype(np.float64)
+            luma = np.clip(
+                np.round(0.299 * f[..., 0] + 0.587 * f[..., 1]
+                         + 0.114 * f[..., 2]), 0, 255,
+            ).astype(np.uint8)
+        frames.append(luma)
+    w, h = meta["w"], meta["h"]
+    return {
+        "width": w, "height": h, "fps_num": meta["num"],
+        "fps_den": meta["den"],
+        "frames": np.stack(frames) if frames else np.zeros((0, h, w), np.uint8),
+    }
+
+
+def video_decode_bytes(b: bytes) -> dict:
+    """Signature-dispatched video decode → the y4m_decode_bytes dict.
+    YUV4MPEG2 goes through the raw-plane parser, RIFF/AVI through the
+    MJPG chunk walk + real JPEG decode. Anything else (MP4/H.264 — a
+    licensed-codec gap) raises loudly, mirroring decode_image_bytes."""
+    if b[:9] == b"YUV4MPEG2":
+        return y4m_decode_bytes(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return avi_decode_bytes(b)
+    raise ValueError("unrecognized video payload (not Y4M or AVI/MJPG)")
+
+
 FRAME_STATS_SCHEMA = (
     "media_id long, ts_ms int, frame_idx int, width int, height int, "
     "mean_luma double, min_luma int, max_luma int"
@@ -601,12 +740,13 @@ FRAME_STATS_SCHEMA = (
 
 def sample_frames_real(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """REAL frame sampling — Y4M payloads decode with the stdlib parser
-    above, so each sampled row carries statistics of ACTUAL pixels: for
-    ts = 0, every_ms, 2·every_ms … < duration, frame_idx =
+    above and AVI/MJPG payloads with avi_decode_bytes (real baseline-
+    JPEG frames), so each sampled row carries statistics of ACTUAL
+    pixels: for ts = 0, every_ms, 2·every_ms … < duration, frame_idx =
     ts·fps/1000 (floor), emit (ts_ms, frame_idx, dims, mean/min/max
     luma). Same plumbing as sample_frames (binary pruned after the
-    kernel, one output row per sampled frame); compressed formats (mp4)
-    still go through the honestly-stubbed sample_frames."""
+    kernel, one output row per sampled frame); MP4/H.264 still goes
+    through the honestly-stubbed sample_frames."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -615,7 +755,7 @@ def sample_frames_real(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 "mean_luma", "min_luma", "max_luma",
             )}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                v = y4m_decode_bytes(bytes(payload))
+                v = video_decode_bytes(bytes(payload))
                 t = v["frames"].shape[0]
                 if not t:
                     continue

@@ -390,3 +390,83 @@ def test_extract_features_real_all_modalities(spark):
         MM.MEDIA_SCHEMA)
     with pytest.raises(Exception):
         MM.extract_features_real(bad).collect()
+
+
+def test_avi_mjpg_roundtrip_exact_and_lossy():
+    """Constant-per-8x8-block frames round-trip bit-exactly through the
+    MJPG path (all-ones quant); arbitrary frames come back same-shape
+    within JPEG error; container metadata (dims, fps, T) is exact."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    blocks = rng.integers(0, 256, size=(4, 2, 3), dtype=np.int64)
+    exact = np.repeat(np.repeat(blocks.astype(np.uint8), 8, 1), 8, 2)
+    b = MM.avi_encode(exact, fps=(12, 1), restart_interval=2)
+    v = MM.avi_decode_bytes(b)
+    assert (v["width"], v["height"]) == (24, 16)
+    assert (v["fps_num"], v["fps_den"]) == (12, 1)
+    assert np.array_equal(v["frames"], exact)
+
+    noisy = rng.integers(0, 256, size=(2, 16, 16), dtype=np.int64).astype(np.uint8)
+    v2 = MM.avi_decode_bytes(MM.avi_encode(noisy))
+    assert v2["frames"].shape == noisy.shape
+    assert np.abs(v2["frames"].astype(int) - noisy.astype(int)).mean() < 16
+
+    empty = MM.avi_decode_bytes(MM.avi_encode(np.zeros((0, 8, 8), np.uint8)))
+    assert empty["frames"].shape == (0, 8, 8)
+
+
+def test_video_decode_dispatch_and_errors():
+    import numpy as np
+
+    fr = np.full((2, 8, 8), 33, np.uint8)
+    assert np.array_equal(
+        MM.video_decode_bytes(MM.y4m_encode(fr))["frames"], fr)
+    assert np.array_equal(
+        MM.video_decode_bytes(MM.avi_encode(fr))["frames"], fr)
+    with pytest.raises(ValueError, match="not Y4M or AVI"):
+        MM.video_decode_bytes(b"\x00\x00\x00\x18ftypmp42 not a codec we fake")
+    with pytest.raises(ValueError, match="truncated AVI chunk"):
+        MM.avi_decode_bytes(MM.avi_encode(fr)[:40])
+
+
+def test_sample_frames_real_mixed_containers(spark):
+    """One video column carrying BOTH Y4M and AVI/MJPG payloads samples
+    through the same operator; stats come from actual decoded pixels."""
+    import numpy as np
+    import pandas as pd
+
+    fr_a = np.repeat(np.repeat(
+        np.arange(6, dtype=np.uint8).reshape(1, 2, 3) * 40, 8, 1), 8, 2)
+    rows = [
+        (1, "video", MM.y4m_encode(np.full((3, 8, 8), 7, np.uint8), fps=(2, 1))),
+        (2, "video", MM.avi_encode(fr_a, fps=(2, 1))),
+        (3, "image", b"\x89PNG not read by the video op"),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+    )
+    got = {
+        (r.media_id, r.frame_idx): r
+        for r in MM.sample_frames_real(media, every_ms=500).collect()
+    }
+    assert set(got) == {(1, 0), (1, 1), (1, 2)} | {(2, 0)}
+    assert got[(1, 1)].mean_luma == 7.0 and got[(1, 1)].ts_ms == 500
+    assert got[(2, 0)].width == 24 and got[(2, 0)].height == 16
+    assert got[(2, 0)].mean_luma == pytest.approx((0+40+80+120+160+200)/6)
+    assert got[(2, 0)].min_luma == 0 and got[(2, 0)].max_luma == 200
+
+
+def test_extract_features_real_avi_video(spark):
+    """Video features from an AVI/MJPG payload are the pooled per-frame
+    mean lumas of the ACTUAL decoded frames."""
+    import numpy as np
+    import pandas as pd
+
+    frames = np.stack([np.full((8, 8), v, np.uint8) for v in (10, 50, 90, 130)])
+    media = spark.createDataFrame(pd.DataFrame(
+        [(9, "video", MM.avi_encode(frames))],
+        columns=["media_id", "kind", "payload"],
+    ))
+    feat = MM.extract_features_real(media, dim=4).collect()[0].feature
+    assert feat == pytest.approx([10/255, 50/255, 90/255, 130/255], abs=1e-6)
