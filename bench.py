@@ -166,6 +166,8 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         # round-3 additions (BASELINE.md records their first window)
         "lm_perplexity", "jpeg_decode", "ann_sq8_topk",
         "tfidf_keywords", "top_ngrams",
+        "code_quality_rules", "license_detect", "secret_scan",
+        "repo_stats", "pack_sequences",
     ]
     out = {}
     for name in headline:

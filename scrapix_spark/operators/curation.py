@@ -465,3 +465,116 @@ def gopher_rules(
     for name in rules:
         keep = keep & F.col(name)
     return out.withColumn("gopher_keep", keep)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+    nparts: int | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents are laid
+    end-to-end in `id_col` order into one global token stream, which is
+    chunked into fixed-`budget` training sequences (documents may
+    straddle a boundary — the standard causal-LM packing, GPT-3 Brown
+    et al. 2020 §2.3 / GPT-NeoX data tooling, both public).
+
+    Returns one row per non-empty document: (id, n_tokens,
+    start_offset, first_seq, last_seq, n_seqs) where start_offset is
+    the document's exclusive global prefix sum and seq = offset //
+    budget. A writer can groupBy first_seq..last_seq to materialize the
+    packed batches; this operator computes the placement, which is the
+    part that needs a global order.
+
+    Plan shape (the point): a global running sum, WITHOUT the
+    single-partition window a naive `SUM() OVER (ORDER BY id)` plans —
+    that serializes the whole corpus through one task at 100 TB. This
+    is the classic two-pass distributed prefix sum:
+
+      1. repartitionByRange(id) + sortWithinPartitions(id) — one
+         range-exchange, the same one any global sort pays;
+      2. per-partition token totals (nparts rows) collect to the
+         driver — O(parallelism), independent of corpus size — and
+         their exclusive prefix becomes each partition's base offset;
+      3. one Arrow mapInPandas pass adds base + in-partition running
+         sum, streaming batch-to-batch state inside each partition.
+
+    The ranged relation is persisted between passes so both actions
+    see identical partition boundaries (RangePartitioner samples).
+
+    Output values are partitioning-invariant: prefix sums compose, so
+    where the range boundaries fall cannot change any offset (pinned by
+    tests/test_parallelism_invariance.py).
+
+    Oracle: the DuckDB window form (tiny data) — SUM(n) OVER (ORDER BY
+    id ROWS UNBOUNDED PRECEDING AND 1 PRECEDING).
+    """
+    import pandas as pd
+
+    from scrapix_spark.functions.tokenize import tokens_native
+    from scrapix_spark.operators.index import shuffle_partitions
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    n_tok = (
+        F.col(token_count_col).cast("bigint")
+        if token_count_col
+        else F.size(tokens_native(F.col(text_col))).cast("bigint")
+    )
+    spark = df.sparkSession
+    nparts = nparts or shuffle_partitions(spark)
+    base = (
+        df.select(F.col(id_col).alias("id"), n_tok.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .repartitionByRange(nparts, "id")
+        .sortWithinPartitions("id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = {
+        r["_pid"]: r["s"]
+        for r in base.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"`{id_col}` {id_type}, n_tokens bigint, start_offset bigint, "
+        "first_seq bigint, last_seq bigint, n_seqs bigint"
+    )
+
+    def place(batches):
+        run = None  # running offset within this partition
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets[int(pdf["_pid"].iloc[0])]
+            n = pdf["n_tokens"].to_numpy()
+            ends = n.cumsum() + run
+            starts = ends - n
+            run = int(ends[-1])
+            out = pd.DataFrame(
+                {
+                    id_col: pdf["id"].to_numpy(),
+                    "n_tokens": n,
+                    "start_offset": starts,
+                    "first_seq": starts // budget,
+                    "last_seq": (ends - 1) // budget,
+                }
+            )
+            out["n_seqs"] = out["last_seq"] - out["first_seq"] + 1
+            yield out
+
+    # NOTE: `base` stays persisted — the caller's action reads it, and
+    # an eager unpersist here would drop the blocks before that action
+    # runs. Spark evicts it with the plan (MEMORY_AND_DISK, LRU).
+    return base.mapInPandas(place, schema=schema)
