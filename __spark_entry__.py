@@ -2012,6 +2012,34 @@ def q_tokenize_identifiers(spark, sf_dir):
     )
 
 
+_CJKSET = dict(cjk_bigrams=True, dictionary=("东京都",))
+_CJKSET_SRC_SQL = (
+    "text || CASE WHEN doc_id % 2 = 0 THEN ' Spark引擎は速い abc日本' "
+    "ELSE ' 東京タワー 한국어처리 테스트' END "
+    "|| CASE WHEN doc_id % 5 = 0 THEN ' 东京都 日' ELSE '' END"
+)
+
+
+def q_tokenize_cjk(spark, sf_dir):
+    """CJK bigram tokenization (X68, charabia/Lucene-CJKAnalyzer
+    analog): cjk_bigrams splits Latin↔CJK script boundaries and indexes
+    overlapping character bigrams of all-CJK runs (东京都 dictionary
+    word pinned whole). The SAME make_tokenizer call derives the JVM
+    expression and the DuckDB oracle expression; planted text exercises
+    Han/Hiragana/Katakana+prolonged-mark/Hangul runs, a lone CJK char,
+    a mixed latin+CJK token, and the dictionary carve-out."""
+    from scrapix_spark.functions.tokenize import make_tokenizer
+
+    _, native, _, _ = make_tokenizer(**_CJKSET)
+    src = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_CJKSET_SRC_SQL).alias("t2")
+    )
+    toks = src.select("doc_id", F.explode(native(F.col("t2"))).alias("term"))
+    return toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+
+
 def q_tokenize_custom(spark, sf_dir):
     """Configurable tokenization (Meilisearch separatorTokens /
     nonSeparatorTokens / dictionary, v1.4): the same settings object
@@ -2616,6 +2644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secret_scan": q_secret_scan,
         "repo_stats": q_repo_stats,
         "pack_sequences": q_pack_sequences,
+        "tokenize_cjk": q_tokenize_cjk,
         "lm_perplexity": q_lm_perplexity,
         "jpeg_decode": q_jpeg_decode,
         "ann_sq8_topk": q_ann_sq8_topk,
@@ -3215,6 +3244,20 @@ def _settings_update_df_sql() -> str:
     return f"""
 WITH tok AS (SELECT doc_id, unnest({ducksql('text')}) AS term FROM documents)
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term
+"""
+
+
+def _tokenize_cjk_sql() -> str:
+    """Oracle for CJK bigram tokenization (X68): same make_tokenizer
+    settings emit the DuckDB expression (RE2 boundary replaces + list
+    bigram expansion, identical pattern strings)."""
+    from scrapix_spark.functions.tokenize import make_tokenizer
+
+    _, _, ducksql, _ = make_tokenizer(**_CJKSET)
+    return f"""
+WITH src AS (SELECT doc_id, {_CJKSET_SRC_SQL} AS t2 FROM documents),
+tok AS (SELECT doc_id, unnest({ducksql('t2')}) AS term FROM src)
+SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
 """
 
 
@@ -3863,6 +3906,7 @@ def oracle_sql() -> dict[str, str]:
         "secret_scan": _secret_sql(),
         "repo_stats": _repo_stats_sql(),
         "pack_sequences": _pack_sequences_sql(),
+        "tokenize_cjk": _tokenize_cjk_sql(),
         "tokenize_tf": _tf_sql(),
         "term_df": (
             f"SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf "

@@ -139,6 +139,53 @@ def split_identifiers_py(t: str) -> str:
     return t
 
 
+# CJK overlapping-bigram segmentation (the charabia/Lucene-CJKAnalyzer
+# analog, opt-in via tokenizer setting cjk_bigrams). CJK scripts carry
+# no word boundaries, so a separator-class split leaves whole runs as
+# single tokens; the standard public fallback (Lucene CJKAnalyzer,
+# charabia without jieba/lindera) indexes every overlapping character
+# bigram of a run ('东京都' → 东京, 京都), with a lone CJK char kept
+# whole. Expansion applies AFTER the split and dictionary restore
+# (a dictionary CJK word stays whole — Meilisearch dictionary wins)
+# and BEFORE stop-word filtering, to tokens consisting ENTIRELY of CJK
+# characters; mixed Latin+CJK tokens stay whole (both documents and
+# queries tokenize identically, so matching stays consistent).
+# Covered blocks: Han U+4E00-9FFF, Hiragana U+3041-3096, Katakana
+# U+30A1-30FA + prolonged mark U+30FC, Hangul syllables U+AC00-D7A3 —
+# verbatim range endpoints readable identically by Python re, Java
+# regex, and RE2 (DuckDB).
+_CJK_CLASS = "[一-鿿ぁ-ゖァ-ヺー가-힣]"
+_CJK_RUN = f"^{_CJK_CLASS}+$"
+_CJK_RX = re.compile(_CJK_RUN)
+
+# Latin/digit ↔ CJK script boundaries become word boundaries (Lucene
+# CJKAnalyzer does the same), so 'spark引擎' segments into 'spark' +
+# bigrams of '引擎'. Applied post-lowercase (hence [0-9a-z]), before
+# dictionary protection; capture-group replaces valid in all engines.
+_CJK_BOUNDARY_PASSES = [
+    f"([0-9a-z])({_CJK_CLASS})",
+    f"({_CJK_CLASS})([0-9a-z])",
+]
+
+
+def cjk_boundary_py(t: str) -> str:
+    """Python-side script-boundary split (lowercase input expected)."""
+    for pat in _CJK_BOUNDARY_PASSES:
+        t = re.sub(pat, r"\1 \2", t)
+    return t
+
+
+def cjk_bigrams_py(tokens: list[str], skip: set[str] = frozenset()) -> list[str]:
+    """Python-side bigram expansion (post-split token list)."""
+    out: list[str] = []
+    for x in tokens:
+        if len(x) >= 2 and x not in skip and _CJK_RX.match(x):
+            out.extend(x[i:i + 2] for i in range(len(x) - 1))
+        else:
+            out.append(x)
+    return out
+
+
 def _render_class(chars: set[str]) -> str:
     """Char set → regex class readable identically by Python re, Java
     regex and RE2, and embeddable in a SQL string literal: ASCII as
@@ -156,6 +203,7 @@ def make_tokenizer(
     stop_words: tuple[str, ...] = (),
     fold_diacritics: bool = False,
     split_identifiers: bool = False,
+    cjk_bigrams: bool = False,
 ):
     """Meilisearch tokenizer settings (v1.4): `extra_separators` =
     separatorTokens (single chars join the class; multi-char strings
@@ -184,7 +232,10 @@ def make_tokenizer(
     (_CAMEL_PASSES): camelCase / acronym boundaries become spaces
     BEFORE lowercasing ('getHTMLParser' → get, html, parser;
     snake_case already splits on '_'), so a query for 'user' matches a
-    corpus 'getUserName' — the tokenization a source-code index wants."""
+    corpus 'getUserName' — the tokenization a source-code index wants.
+    `cjk_bigrams` enables overlapping CJK character bigrams on all-CJK
+    tokens (_CJK_CLASS blocks), after dictionary restore and before
+    stop-word filtering — see the _CJK_CLASS comment for semantics."""
     for ns in non_separators:
         if len(ns) != 1:
             raise ValueError(
@@ -220,6 +271,8 @@ def make_tokenizer(
     pads = ["\x00" + s + "\x00" for s in sents]
 
     camel = bool(split_identifiers)
+    cjk = bool(cjk_bigrams)
+    dset = set(dwords)
 
     def native_fn(col: Column) -> Column:
         t = col
@@ -231,6 +284,9 @@ def make_tokenizer(
             t = F.translate(t, _FOLD_SRC, _FOLD_DST)
             for src, dst in _FOLD_MULTI:
                 t = F.replace(t, F.lit(src), F.lit(dst))
+        if cjk:
+            for p in _CJK_BOUNDARY_PASSES:
+                t = F.regexp_replace(t, p, "$1 $2")
         for w, s in zip(dwords, pads):
             t = F.replace(t, F.lit(w), F.lit(s))
         toks = F.filter(F.split(t, pattern, -1), lambda x: x != F.lit(""))
@@ -242,6 +298,20 @@ def make_tokenizer(
                 return out
 
             toks = F.transform(toks, restore)
+        if cjk:
+            darr = F.array(*[F.lit(w) for w in sorted(dset)]) if dset else None
+
+            def expand(x):
+                is_run = x.rlike(_CJK_RUN) & (F.length(x) >= 2)
+                if darr is not None:
+                    is_run = is_run & ~F.array_contains(darr, x)
+                bi = F.transform(
+                    F.sequence(F.lit(1), F.length(x) - 1),
+                    lambda i: x.substr(i, F.lit(2)),
+                )
+                return F.when(is_run, bi).otherwise(F.array(x))
+
+            toks = F.flatten(F.transform(toks, expand))
         if stops:
             sw = F.array(*[F.lit(w) for w in sorted(stops)])
             toks = F.filter(toks, lambda x: ~F.array_contains(sw, x))
@@ -257,6 +327,9 @@ def make_tokenizer(
             t = f"translate({t}, '{_FOLD_SRC}', '{_FOLD_DST}')"
             for src, dst in _FOLD_MULTI:
                 t = f"replace({t}, '{src}', '{dst}')"
+        if cjk:
+            for p in _CJK_BOUNDARY_PASSES:
+                t = f"regexp_replace({t}, '{p}', '\\1 \\2', 'g')"
         for w, s in zip(dwords, sents):
             # NUL can't sit in a SQL literal: concatenate chr(0)
             t = f"replace({t}, '{w}', chr(0) || '{s}' || chr(0))"
@@ -269,6 +342,15 @@ def make_tokenizer(
             for w, s in zip(dwords, sents):
                 case = f"CASE WHEN x = '{s}' THEN '{w}' ELSE {case} END"
             toks = f"list_transform({toks}, x -> {case})"
+        if cjk:
+            cond = f"length(x) >= 2 AND regexp_matches(x, '{_CJK_RUN}')"
+            if dset:
+                dlst = ", ".join(f"'{w}'" for w in sorted(dset))
+                cond += f" AND x NOT IN ({dlst})"
+            bi = ("list_transform(range(1, length(x)::BIGINT), "
+                  "i -> substring(x, i::INT, 2))")
+            toks = (f"flatten(list_transform({toks}, "
+                    f"x -> CASE WHEN {cond} THEN {bi} ELSE [x] END))")
         if stops:
             lst = ", ".join(f"'{w}'" for w in sorted(stops))
             toks = f"list_filter({toks}, x -> x NOT IN ({lst}))"
@@ -283,10 +365,14 @@ def make_tokenizer(
         t = t.lower()
         if fold:
             t = fold_diacritics_py(t)
+        if cjk:
+            t = cjk_boundary_py(t)
         for w, sent in zip(dwords, pads):
             t = t.replace(w, sent)
         back = dict(zip(sents, dwords))
         out = [back.get(x, x) for x in rx.split(t) if x != ""]
+        if cjk:
+            out = cjk_bigrams_py(out, dset)
         return [x for x in out if x not in stops] if stops else out
 
     return pattern, native_fn, duckdb_fn, py_fn
@@ -310,10 +396,14 @@ def _tokenize_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarra
 
 def _custom_arrow_plan(settings: dict | None):
     """settings dict → (pattern, [(word, padded_sentinel)],
-    {sent: word}, {stop words}, fold flag, camel flag) for the Arrow
-    batch path; None → the pinned default (no-op plan)."""
+    {sent: word}, {stop words}, fold flag, camel flag, cjk) for the
+    Arrow batch path; None → the pinned default (no-op plan). `cjk` is
+    None when bigram expansion is off, else the frozenset of ALL
+    normalized dictionary words (the expansion skip set — a dictionary
+    CJK word stays whole, and the skip must cover unprotected
+    no-separator words too, which `back` alone does not)."""
     if not settings:
-        return SEP_PATTERN, [], {}, set(), False, False
+        return SEP_PATTERN, [], {}, set(), False, False, None
     pattern, _, _, _ = make_tokenizer(**settings)
     fold = bool(settings.get("fold_diacritics"))
     camel = bool(settings.get("split_identifiers"))
@@ -329,7 +419,12 @@ def _custom_arrow_plan(settings: dict | None):
     sents = [_DICT_SENT.format(i=i) for i in range(len(dwords))]
     repl = [(w, "\x00" + s + "\x00") for w, s in zip(dwords, sents)]
     stops = {nrm(w) for w in settings.get("stop_words", ())}
-    return pattern, repl, dict(zip(sents, dwords)), stops, fold, camel
+    cjk = (
+        frozenset(nrm(w) for w in settings.get("dictionary", ()))
+        if settings.get("cjk_bigrams")
+        else None
+    )
+    return pattern, repl, dict(zip(sents, dwords)), stops, fold, camel, cjk
 
 
 def _tokenize_batch_codes(
@@ -340,6 +435,7 @@ def _tokenize_batch_codes(
     stops: set[str] | None = None,
     fold: bool = False,
     camel: bool = False,
+    cjk: frozenset | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Arrow-native tokenize: batch → (row_idx, codes, vocab).
 
@@ -374,6 +470,10 @@ def _tokenize_batch_codes(
             arr = pc.replace_substring(arr, pattern=s, replacement=d)
         for s, d in _FOLD_MULTI:
             arr = pc.replace_substring(arr, pattern=s, replacement=d)
+    if cjk is not None:
+        for p in _CJK_BOUNDARY_PASSES:
+            arr = pc.replace_substring_regex(arr, pattern=p,
+                                             replacement=r"\1 \2")
     for w, padded in repl:
         # dictionary protection, Arrow-side: literal substring replace
         arr = pc.replace_substring(arr, pattern=w, replacement=padded)
@@ -391,6 +491,8 @@ def _tokenize_batch_codes(
         # sentinels only ever surface as WHOLE tokens, so dictionary
         # restoration is an O(vocab) substitution — never per-token
         vocab = np.asarray([back.get(v, v) for v in vocab], dtype=object)
+    if cjk is not None and len(vocab):
+        row_idx, codes, vocab = _expand_cjk_codes(row_idx, codes, vocab, cjk)
     if stops:
         # stop-word removal at the CODE level: one vocab membership
         # test, one boolean gather — no per-token string work
@@ -404,6 +506,53 @@ def _tokenize_batch_codes(
     return row_idx, codes, vocab
 
 
+def _expand_cjk_codes(
+    row_idx: np.ndarray,
+    codes: np.ndarray,
+    vocab: np.ndarray,
+    skip: frozenset,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """CJK bigram expansion at the VOCAB level: each distinct token maps
+    to 1+ output codes (O(vocab) Python), then the occurrence stream is
+    expanded with pure integer gathers — order-preserving (positions
+    number the bigram stream), never per-token string work. Shared by
+    _tokenize_batch_codes and the build-path kernel (operators/postings).
+    """
+    new_vocab: list[str] = []
+    new_index: dict[str, int] = {}
+
+    def _code(tok: str) -> int:
+        c = new_index.get(tok)
+        if c is None:
+            c = len(new_vocab)
+            new_index[tok] = c
+            new_vocab.append(tok)
+        return c
+
+    exp_lists = [
+        [_code(v[i:i + 2]) for i in range(len(v) - 1)]
+        if len(v) >= 2 and v not in skip and _CJK_RX.match(v)
+        else [_code(v)]
+        for v in vocab
+    ]
+    exp_counts = np.asarray([len(l) for l in exp_lists], np.int64)
+    exp_offsets = np.concatenate(
+        ([0], np.cumsum(exp_counts)[:-1])
+    ).astype(np.int64)
+    exp_flat = np.asarray([c for l in exp_lists for c in l], np.int64)
+    lens = exp_counts[codes]
+    starts = exp_offsets[codes]
+    total = int(lens.sum())
+    pos = np.arange(total, dtype=np.int64)
+    grp_start = np.cumsum(lens) - lens
+    idx = pos - np.repeat(grp_start, lens) + np.repeat(starts, lens)
+    return (
+        np.repeat(row_idx, lens),
+        exp_flat[idx],
+        np.asarray(new_vocab, dtype=object),
+    )
+
+
 def _count_doc_terms(
     texts: pd.Series,
     pattern: str = SEP_PATTERN,
@@ -412,6 +561,7 @@ def _count_doc_terms(
     stops: set[str] | None = None,
     fold: bool = False,
     camel: bool = False,
+    cjk: frozenset | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Shared tf-counting core: batch → (rows, term_codes, tf, dl, vocab).
 
@@ -420,7 +570,7 @@ def _count_doc_terms(
     (row, code) pairs — no string comparisons.
     """
     row_idx, codes, vocab = _tokenize_batch_codes(
-        texts, pattern, repl, back, stops, fold, camel
+        texts, pattern, repl, back, stops, fold, camel, cjk
     )
     dl = np.bincount(row_idx, minlength=len(texts)).astype(np.int64)
     if row_idx.size == 0:
@@ -463,12 +613,12 @@ def make_tokenize_counted(settings: dict | None = None):
     pinned-default UDF unchanged."""
     if not settings:
         return tokenize_counted
-    pattern, repl, back, stops, fold, camel = _custom_arrow_plan(settings)
+    pattern, repl, back, stops, fold, camel, cjk = _custom_arrow_plan(settings)
 
     @F.pandas_udf(ArrayType(TOKEN_STRUCT))
     def tokenize_counted_custom(texts: pd.Series) -> pd.Series:
         rows, cols, tf, _, vocab = _count_doc_terms(
-            texts, pattern, repl, back, stops, fold, camel
+            texts, pattern, repl, back, stops, fold, camel, cjk
         )
         out: list[list[dict]] = [[] for _ in range(len(texts))]
         for ri, ci, c in zip(rows.tolist(), cols.tolist(), tf.tolist()):

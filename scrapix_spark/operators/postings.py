@@ -62,11 +62,16 @@ def postings_from_content(docs: DataFrame, text_col: str = "content",
 
     # tokenizer settings (IndexConfig.tokenizer): custom separator
     # pattern + dictionary-protection replacements; None = pinned default
-    pattern, repl, back, stops, fold, camel = _custom_arrow_plan(settings)
+    pattern, repl, back, stops, fold, camel, cjk = _custom_arrow_plan(settings)
     if fold:
         from scrapix_spark.functions.tokenize import _FOLD_MULTI, _FOLD_DST, _FOLD_SRC
     if camel:
         from scrapix_spark.functions.tokenize import _CAMEL_PASSES
+    if cjk is not None:
+        from scrapix_spark.functions.tokenize import (
+            _CJK_BOUNDARY_PASSES,
+            _expand_cjk_codes,
+        )
 
     # tf/dl are int32 on the wire: both fit comfortably (tf, dl < 2^31)
     # and the posting relation is the widest thing the build shuffles —
@@ -96,6 +101,13 @@ def postings_from_content(docs: DataFrame, text_col: str = "content",
                 for s, d in _FOLD_MULTI:
                     texts = pc.replace_substring(texts, pattern=s,
                                                  replacement=d)
+            if cjk is not None:
+                # Latin↔CJK script boundaries split (tokenizer setting
+                # cjk_bigrams), before dictionary protection
+                for p in _CJK_BOUNDARY_PASSES:
+                    texts = pc.replace_substring_regex(
+                        texts, pattern=p, replacement=r"\1 \2"
+                    )
             for w, padded in repl:
                 texts = pc.replace_substring(texts, pattern=w,
                                              replacement=padded)
@@ -110,13 +122,15 @@ def postings_from_content(docs: DataFrame, text_col: str = "content",
             keep = pc.not_equal(flat, "")
             flat = flat.filter(keep)
             row_idx = row_idx[keep.to_numpy(zero_copy_only=False)]
-            if stops:
+            if stops and cjk is None:
+                # (with cjk on, stop filtering moves to the CODE level
+                # after bigram expansion — parity with make_tokenizer's
+                # expand-then-filter order)
                 keep_sw = pc.invert(
                     pc.is_in(flat, value_set=pa.array(sorted(stops)))
                 )
                 flat = flat.filter(keep_sw)
                 row_idx = row_idx[keep_sw.to_numpy(zero_copy_only=False)]
-            dl = np.bincount(row_idx, minlength=batch.num_rows).astype(np.int64)
             if row_idx.size == 0:
                 yield pa.RecordBatch.from_pydict(
                     {n: [] for n in out_schema_pa.names}, schema=out_schema_pa
@@ -132,7 +146,28 @@ def postings_from_content(docs: DataFrame, text_col: str = "content",
                     [back.get(v, v) for v in vocab_arr.to_pylist()],
                     pa.string(),
                 )
-            nv = np.int64(len(enc.dictionary))
+            if cjk is not None:
+                vocab_np = np.asarray(vocab_arr.to_pylist(), dtype=object)
+                row_idx, codes, vocab_np = _expand_cjk_codes(
+                    row_idx, codes, vocab_np, cjk
+                )
+                if stops:
+                    stop_codes = np.flatnonzero(
+                        np.asarray([v in stops for v in vocab_np], bool)
+                    )
+                    if stop_codes.size:
+                        keep2 = ~np.isin(codes, stop_codes)
+                        codes = codes[keep2]
+                        row_idx = row_idx[keep2]
+                vocab_arr = pa.array(vocab_np.tolist(), pa.string())
+                if row_idx.size == 0:
+                    yield pa.RecordBatch.from_pydict(
+                        {n: [] for n in out_schema_pa.names},
+                        schema=out_schema_pa,
+                    )
+                    continue
+            dl = np.bincount(row_idx, minlength=batch.num_rows).astype(np.int64)
+            nv = np.int64(len(vocab_arr))
             key = row_idx * nv + codes
             uk, tf = np.unique(key, return_counts=True)
             rows = uk // nv

@@ -175,3 +175,68 @@ def test_split_identifiers_end_to_end(spark, tmp_path_factory):
     # phrase adjacency holds across the split tokens
     assert _paths(r.topk_phrase("user name", 10)) == ["p0", "p2"]
     assert r.meta["config"]["tokenizer"]["split_identifiers"] is True
+
+
+CJK_ROWS = [
+    ("r0", "c0", "c", "zh", "Spark引擎は速い documentation"),
+    ("r0", "c1", "c", "zh", "东京都 guide for visitors"),
+    ("r0", "c2", "c", "ja", "東京タワー photos"),
+    ("r0", "c3", "c", "en", "plain english only"),
+    ("r0", "c4", "c", "ko", "한국어처리 테스트 suite"),
+]
+
+
+@pytest.fixture(scope="module")
+def cjk_idx(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        CJK_ROWS,
+        "repo string, path string, commit string, lang string, content string",
+    )
+    d = str(tmp_path_factory.mktemp("cjktok"))
+    build_index(
+        spark, df, d,
+        IndexConfig(index_uid="cjk", n_shards=2, exclude_paginated=False,
+                    store_positions=True,
+                    tokenizer={"cjk_bigrams": True, "dictionary": ("东京都",)}),
+        build_id="t1",
+    )
+    return IndexReader(spark, d)
+
+
+def test_cjk_substring_query_matches(cjk_idx):
+    # X68: the query '引擎' bigram-tokenizes to [引擎], which the build
+    # indexed from the run '引擎は速い' — substring match via shared
+    # bigrams, the whole point of CJK bigram segmentation
+    assert _paths(cjk_idx.topk_pruned("引擎", 10)) == ["c0"]
+    # Japanese run with prolonged mark; query a 2-char substring
+    assert _paths(cjk_idx.topk_pruned("タワー", 10)) == ["c2"]
+    # Hangul substring
+    assert _paths(cjk_idx.topk_pruned("한국어", 10)) == ["c4"]
+
+
+def test_cjk_dictionary_word_whole(cjk_idx):
+    # the dictionary word is pinned whole: querying it matches c1, and
+    # its bigram '东京' was never emitted for c1, so no other doc hits
+    assert _paths(cjk_idx.topk_pruned("东京都", 10)) == ["c1"]
+
+
+def test_cjk_latin_terms_unaffected(cjk_idx):
+    assert _paths(cjk_idx.topk_pruned("documentation", 10)) == ["c0"]
+    assert _paths(cjk_idx.topk_pruned("english", 10)) == ["c3"]
+
+
+def test_cjk_rank_identity_and_meta(cjk_idx):
+    assert cjk_idx.meta["config"]["tokenizer"]["cjk_bigrams"] is True
+    for q in ["引擎は", "東京", "plain english"]:
+        p = [x["doc_id"]
+             for x in cjk_idx.topk_pruned(q, 10, hydrate=False).collect()]
+        f = [x["doc_id"]
+             for x in cjk_idx.topk_full(q, 10, hydrate=False).collect()]
+        assert p == f
+
+
+def test_cjk_phrase_adjacency(cjk_idx):
+    # consecutive bigrams of one run are position-adjacent: the phrase
+    # "引擎は速い" = bigrams [引擎, 擎は, は速, 速い] at consecutive
+    # positions — phrase search verifies exact adjacency
+    assert _paths(cjk_idx.topk_phrase("引擎は速い", 10)) == ["c0"]

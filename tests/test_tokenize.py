@@ -198,10 +198,10 @@ def test_fold_diacritics_four_way_parity(spark):
         for t in texts
     ]
     assert got_duck == want
-    pattern, repl, back, stops, fold, camel = _custom_arrow_plan(settings)
-    assert fold and "the" in stops
+    pattern, repl, back, stops, fold, camel, cjk = _custom_arrow_plan(settings)
+    assert fold and "the" in stops and cjk is None
     row_idx, codes, vocab = _tokenize_batch_codes(
-        pd.Series(texts), pattern, repl, back, stops, fold, camel
+        pd.Series(texts), pattern, repl, back, stops, fold, camel, cjk
     )
     got_arrow = [[] for _ in texts]
     for r, c in zip(row_idx.tolist(), codes.tolist()):
@@ -252,10 +252,10 @@ def test_split_identifiers_four_way_parity(spark):
         for t in texts
     ]
     assert got_duck == want
-    pattern, repl, back, stops, fold, camel = _custom_arrow_plan(settings)
-    assert camel and not fold
+    pattern, repl, back, stops, fold, camel, cjk = _custom_arrow_plan(settings)
+    assert camel and not fold and cjk is None
     row_idx, codes, vocab = _tokenize_batch_codes(
-        pd.Series(texts), pattern, repl, back, stops, fold, camel
+        pd.Series(texts), pattern, repl, back, stops, fold, camel, cjk
     )
     got_arrow = [[] for _ in texts]
     for r, c in zip(row_idx.tolist(), codes.tolist()):
@@ -270,3 +270,72 @@ def test_split_identifiers_rejects_space_non_separator():
 
     with _pytest.raises(ValueError):
         make_tokenizer(split_identifiers=True, non_separators=(" ",))
+
+
+def test_cjk_bigrams_four_way_parity(spark):
+    """X68: cjk_bigrams (charabia/Lucene-CJKAnalyzer analog) produces
+    the same token stream in all four consumers — python, JVM native,
+    DuckDB, and the Arrow batch path. Script boundaries split, all-CJK
+    runs become overlapping bigrams, lone CJK chars and dictionary
+    words stay whole, stop filtering runs after expansion."""
+    import duckdb
+
+    from scrapix_spark.functions.tokenize import (
+        _custom_arrow_plan,
+        _tokenize_batch_codes,
+        make_tokenizer,
+    )
+
+    settings = dict(
+        cjk_bigrams=True,
+        dictionary=("\u4e1c\u4eac\u90fd",),   # 东京都 stays whole
+        stop_words=("and",),
+    )
+    _, native, ducksql, py = make_tokenizer(**settings)
+    texts = [
+        "Spark\u5f15\u64ce\u306f\u901f\u3044 and \u4e1c\u4eac\u90fd great",
+        "\u65e5",                                  # lone CJK char
+        "\ud55c\uad6d\uc5b4\ucc98\ub9ac \ud14c\uc2a4\ud2b8",  # hangul
+        "abc\u65e5\u672c mixed",                  # latin->CJK boundary
+        "\u6771\u4eac\u30bf\u30ef\u30fc",      # han+katakana+prolonged
+        "\u7b2c3\u7ae0\u306e\u5185\u5bb9",     # digits inside a run
+        "",
+    ]
+    want = [
+        ["spark", "\u5f15\u64ce", "\u64ce\u306f", "\u306f\u901f",
+         "\u901f\u3044", "\u4e1c\u4eac\u90fd", "great"],
+        ["\u65e5"],
+        ["\ud55c\uad6d", "\uad6d\uc5b4", "\uc5b4\ucc98",
+         "\ucc98\ub9ac", "\ud14c\uc2a4", "\uc2a4\ud2b8"],
+        ["abc", "\u65e5\u672c", "mixed"],
+        ["\u6771\u4eac", "\u4eac\u30bf", "\u30bf\u30ef",
+         "\u30ef\u30fc"],
+        ["\u7b2c", "3", "\u7ae0\u306e", "\u306e\u5185",
+         "\u5185\u5bb9"],
+        [],
+    ]
+    assert [py(t) for t in texts] == want
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    got_native = [
+        r["toks"]
+        for r in df.select("i", native(F.col("t")).alias("toks"))
+        .orderBy("i").collect()
+    ]
+    assert got_native == want
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {ducksql('?')}", [t]).fetchone()[0]
+        for t in texts
+    ]
+    assert got_duck == want
+    pattern, repl, back, stops, fold, camel, cjk = _custom_arrow_plan(settings)
+    assert cjk is not None and "\u4e1c\u4eac\u90fd" in cjk
+    row_idx, codes, vocab = _tokenize_batch_codes(
+        pd.Series(texts), pattern, repl, back, stops, fold, camel, cjk
+    )
+    got_arrow = [[] for _ in texts]
+    for r, c in zip(row_idx.tolist(), codes.tolist()):
+        got_arrow[r].append(vocab[c])
+    assert got_arrow == want
