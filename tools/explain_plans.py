@@ -580,6 +580,84 @@ def main() -> int:
          ("k-cut is a partial top-k", "TakeOrderedAndProject")],
     )
 
+    # ---- round-3 code-payload curation family (X63-X67)
+    from scrapix_spark.operators import code as C
+    from scrapix_spark.operators.curation import pack_sequences
+
+    codeq_plan = formatted(C.code_quality_rules(raw, "content"))
+    check(
+        "code quality rules (X63)",
+        "The Stack/StarCoder filters — every column is an array/regexp "
+        "expression over the row's own content. Map-only: no Exchange, "
+        "no Python, survives any scale-up unchanged. (The line-stats "
+        "Project is interpreted, not codegen'd — Spark's higher-order "
+        "lambdas opt out of codegen — but it is still JVM-side.)",
+        codeq_plan,
+        [("columnar parquet scan", "Scan parquet")],
+    )
+    if "Exchange" in codeq_plan:
+        failures.append("code quality rules: unexpected Exchange")
+        sections[-1][3].append("FAIL no Exchange in plan")
+    else:
+        sections[-1][3].append("PASS no Exchange in plan")
+    for bad in ("BatchEvalPython", "MapInPandas"):
+        if bad in codeq_plan:
+            failures.append(f"code quality rules: unexpected {bad}")
+            sections[-1][3].append(f"FAIL no {bad}")
+        else:
+            sections[-1][3].append(f"PASS no {bad}")
+
+    lic_secret_plan = formatted(
+        C.secret_signals(C.detect_license(raw, "content"), "content")
+    )
+    check(
+        "license detection + secret scan (X64/X65)",
+        "One lowered head substring reused by every license probe; "
+        "regexp_count/replace chains for secrets. Catalyst folds both "
+        "into the scan's projection stage — map-only even composed.",
+        lic_secret_plan,
+        [("columnar parquet scan", "Scan parquet")],
+    )
+    if "Exchange" in lic_secret_plan:
+        failures.append("license+secrets: unexpected Exchange")
+        sections[-1][3].append("FAIL no Exchange in plan")
+    else:
+        sections[-1][3].append("PASS no Exchange in plan")
+
+    repo_plan = formatted(C.repo_stats(raw))
+    check(
+        "per-repo stats (X66)",
+        "One hash aggregation keyed by repo with map-side partial "
+        "combine: the shuffle carries (repo, partials), never content.",
+        repo_plan,
+        [("partial+final hash aggs", "HashAggregate")],
+    )
+    n_exchange = repo_plan.count("Exchange (")  # tree nodes, not detail rows
+    if n_exchange > 2:  # exact count_distinct legitimately adds a 2nd stage
+        failures.append(f"repo_stats: too many Exchanges ({n_exchange})")
+        sections[-1][3].append(f"FAIL at most two Exchanges (saw {n_exchange})")
+    else:
+        sections[-1][3].append(f"PASS at most two Exchanges (saw {n_exchange})")
+
+    pack_plan = formatted(
+        pack_sequences(raw, budget=512, id_col="path", text_col="content")
+    )
+    check(
+        "sequence packing (X67)",
+        "Two-pass distributed prefix sum: ONE range exchange + an Arrow "
+        "mapInPandas with batch-carried state. The plan must NOT contain "
+        "a Window — a `SUM() OVER (ORDER BY id)` window would serialize "
+        "the whole corpus through a single partition at 100 TB.",
+        pack_plan,
+        [("range exchange", "rangepartitioning"),
+         ("Arrow-batched placement pass", "MapInPandas")],
+    )
+    if "Window" in pack_plan:
+        failures.append("pack_sequences: unexpected Window (global sort)")
+        sections[-1][3].append("FAIL no Window in plan")
+    else:
+        sections[-1][3].append("PASS no Window in plan")
+
     # ---- write PLANS.md
     out = ["# PLANS — physical-plan review of the hot paths",
            "",
