@@ -7,7 +7,14 @@
         [--min-line-docs 50] [--span-w 13] \
         [--gopher-min-words 50] [--sample-rate 0.5] \
         [--strat-col lang] [--budget-tokens 0] [--temperature-docs 0] \
-        [--json]
+        [--pack-budget 0] [--json]
+
+Code-payload steps (operators/code.py, The Stack / StarCoder public
+recipe): `license` keeps permissively-licensed files, `code_quality`
+applies the line-length/alnum/autogen rules, `secrets` REPLACES the
+text column with its secret-redacted form. `--pack-budget N` appends
+GPT-style sequence-packing placement columns (start_offset, first_seq,
+last_seq, n_seqs) to the final output.
 
 Chains the curation operators (operators/curation.py, operators/dedup.py)
 in the canonical pre-training order — exact dedup → boilerplate line
@@ -27,7 +34,8 @@ import sys
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-ALL_STEPS = ["exact_dedup", "boilerplate", "spans", "gopher", "sample"]
+ALL_STEPS = ["exact_dedup", "boilerplate", "spans", "gopher",
+             "license", "code_quality", "secrets", "sample"]
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -51,12 +59,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="token-count column for --budget-tokens")
     ap.add_argument("--temperature-docs", type=int, default=0,
                     help="tempered (alpha=0.5) per-stratum doc target (0 = off)")
+    ap.add_argument("--pack-budget", type=int, default=0,
+                    help="append sequence-packing placement at this token "
+                         "budget (0 = off)")
     args = ap.parse_args(argv)
     steps = [s for s in args.steps.split(",") if s]
     unknown = set(steps) - set(ALL_STEPS)
     if unknown:
         ap.error(f"unknown steps: {sorted(unknown)} (choose from {ALL_STEPS})")
 
+    from scrapix_spark.operators import code as CO
     from scrapix_spark.operators import curation as CU
     from scrapix_spark.operators import dedup as DD
 
@@ -92,6 +104,24 @@ def main(argv: list[str] | None = None) -> int:
         df = df.drop(*[c for c in df.columns if c.startswith("r_")],
                      "gopher_keep")
         counts["gopher"] = df.count()
+    if "license" in steps:
+        df = CO.detect_license(df, tcol).filter("license_permissive")
+        df = df.drop("license_permissive")  # keep `license` for mixing
+        counts["license"] = df.count()
+    if "code_quality" in steps:
+        df = CO.code_quality_rules(df, tcol).filter("code_keep")
+        df = df.drop("n_lines", "avg_line_len", "max_line_len",
+                     "alnum_frac", "code_keep",
+                     *[c for c in df.columns if c.startswith("r_")])
+        counts["code_quality"] = df.count()
+    if "secrets" in steps:
+        red = CO.secret_signals(df, tcol, redact=True)
+        counts["secrets_docs_hit"] = red.filter("has_secrets").count()
+        df = (red.drop(tcol, "n_secrets", "has_secrets",
+                       *[c for c in red.columns
+                         if c.startswith("n_secret_")])
+              .withColumnRenamed("redacted_code", tcol))
+        counts["secrets"] = df.count()
     if "sample" in steps:
         if args.temperature_docs and args.strat_col:
             df = CU.temperature_sample(
@@ -105,6 +135,11 @@ def main(argv: list[str] | None = None) -> int:
             df = CU.deterministic_sample(df, args.sample_rate, idc)
         counts["sample"] = df.count()
 
+    if args.pack_budget > 0:
+        place = CU.pack_sequences(
+            df, budget=args.pack_budget, id_col=idc, text_col=tcol
+        ).drop("n_tokens")
+        df = df.join(place, idc, "left")
     df.write.mode("overwrite").parquet(args.output)
     counts["output"] = spark.read.parquet(args.output).count()
     print(json.dumps({"steps": steps, "counts": counts}, sort_keys=True))

@@ -259,3 +259,44 @@ def test_stream_job_upsert_and_drain(spark, tiny_corpus, tmp_path_factory, capsy
     # mutual exclusion
     with pytest.raises(SystemExit):
         job_stream.main(["--index-dir", index])
+
+
+def test_curate_job_code_steps_and_packing(spark, tmp_path, capsys):
+    """jobs/curate_corpus.py code-payload steps: license gate keeps
+    permissive files, code_quality drops the long-line file, secrets
+    step redacts in place, --pack-budget appends placement columns."""
+    import curate_corpus as job_curate
+
+    body = "def main(): return compute(1, 2)  # small helper\n" * 3
+    rows = [
+        (1, "py", "SPDX-License-Identifier: MIT\n" + body),
+        (2, "py", "SPDX-License-Identifier: GPL-3.0-only\n" + body),  # dropped
+        (3, "py", "SPDX-License-Identifier: MIT\n" + "y" * 1500),     # dropped
+        (4, "py", "SPDX-License-Identifier: MIT\npassword = "
+                  '"hunter2hunter2"\n' + body),                        # redacted
+    ]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(rows, "doc_id long, lang string, content string") \
+        .write.parquet(src)
+    rc = job_curate.main([
+        "--input", src, "--output", out,
+        "--steps", "license,code_quality,secrets",
+        "--pack-budget", "16",
+    ])
+    assert rc == 0
+    man = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    c = man["counts"]
+    assert c["license"] == 3 and c["code_quality"] == 2 and c["secrets"] == 2
+    assert c["secrets_docs_hit"] == 1
+    got = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 4]
+    assert {r["license"] for r in got.collect()} == {"MIT"}
+    red = got.filter("doc_id = 4").first()["content"]
+    assert "<CRED>" in red and "hunter2hunter2" not in red
+    # packing placement: offsets tile in doc_id order
+    p = {r["doc_id"]: r for r in got.collect()}
+    assert p[1]["start_offset"] == 0
+    assert p[4]["start_offset"] > 0  # doc 4 starts after doc 1's tokens
+    assert p[4]["first_seq"] == p[4]["start_offset"] // 16
+    assert p[1]["n_seqs"] == p[1]["last_seq"] - p[1]["first_seq"] + 1
