@@ -934,6 +934,18 @@ def q_lm_perplexity(spark, sf_dir):
     return TS.lm_perplexity(_docs(spark, sf_dir), "text", "doc_id")
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """X69 — CCNet head/middle/tail perplexity bucketing (Wenzek et al.
+    2019 §4.3): per-language perplexity terciles over the bigram-LM
+    scores, 'head' = most fluent third. Cutoffs are one exact-percentile
+    agg (one row per language) broadcast back; the docstring documents
+    the cutoff_sample_rate scale path (CCNet derives cutoffs from a
+    sample). Oracle replays the LM plus quantile_cont terciles."""
+    return TS.perplexity_buckets(
+        _docs(spark, sf_dir), "text", "doc_id", by_col="lang"
+    ).select("doc_id", "lang", "n_tokens", "avg_nll", "ppl_bucket")
+
+
 def q_jpeg_decode(spark, sf_dir):
     """X10 closure — REAL compressed-image decode, no stub: grayscale
     rasters that are CONSTANT within each 8x8 block (block value a pure
@@ -2645,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_stats": q_repo_stats,
         "pack_sequences": q_pack_sequences,
         "tokenize_cjk": q_tokenize_cjk,
+        "ppl_buckets": q_ppl_buckets,
         "lm_perplexity": q_lm_perplexity,
         "jpeg_decode": q_jpeg_decode,
         "ann_sq8_topk": q_ann_sq8_topk,
@@ -3891,6 +3904,42 @@ FROM fp
 """
 
 
+def _lm_scores_sql() -> str:
+    """DuckDB replay of train_bigram_lm + lm_perplexity (X51): token
+    arrays, add-one smoothed unigram/bigram NLL, per-doc average.
+    Shared by the lm_perplexity gate and the ppl_buckets gate."""
+    return f"""
+WITH t AS (SELECT doc_id, {TOK_EXPR('text')} AS ts FROM documents),
+tt AS (SELECT doc_id, ts FROM t WHERE len(ts) > 0),
+uni AS (SELECT u.w AS w, count(*) AS c1
+        FROM tt, unnest(ts) AS u(w) GROUP BY 1),
+tot AS (SELECT sum(c1) AS t_tokens, count(*) AS vocab FROM uni),
+pairs AS (
+  SELECT doc_id, ts[i] AS w,
+         CASE WHEN i = 1 THEN NULL ELSE ts[i - 1] END AS w1
+  FROM tt, unnest(range(1, len(ts) + 1)) AS r(i)
+),
+bi AS (SELECT w1, w AS w2, count(*) AS c2
+       FROM pairs WHERE w1 IS NOT NULL GROUP BY 1, 2),
+sc AS (
+  SELECT p.doc_id,
+         CASE WHEN p.w1 IS NULL
+              THEN -ln((coalesce(u.c1, 0) + 1)::DOUBLE
+                       / (tot.t_tokens + tot.vocab))
+              ELSE -ln((coalesce(b.c2, 0) + 1)::DOUBLE
+                       / (coalesce(u1.c1, 0) + tot.vocab))
+         END AS nll
+  FROM pairs p
+  LEFT JOIN uni u ON u.w = p.w
+  LEFT JOIN uni u1 ON u1.w = p.w1
+  LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w
+  CROSS JOIN tot
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(nll), 6) AS avg_nll
+FROM sc GROUP BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     tok = TOK_EXPR("text")
     en = ", ".join(f"'{w}'" for w in TS.LANG_MARKERS["en"])
@@ -4176,35 +4225,19 @@ SELECT doc_id,
               || '|image=https://img/' || doc_id || '/im.png' END AS cleaned
 FROM documents
 """,
-        "lm_perplexity": f"""
-WITH t AS (SELECT doc_id, {TOK_EXPR('text')} AS ts FROM documents),
-tt AS (SELECT doc_id, ts FROM t WHERE len(ts) > 0),
-uni AS (SELECT u.w AS w, count(*) AS c1
-        FROM tt, unnest(ts) AS u(w) GROUP BY 1),
-tot AS (SELECT sum(c1) AS t_tokens, count(*) AS vocab FROM uni),
-pairs AS (
-  SELECT doc_id, ts[i] AS w,
-         CASE WHEN i = 1 THEN NULL ELSE ts[i - 1] END AS w1
-  FROM tt, unnest(range(1, len(ts) + 1)) AS r(i)
-),
-bi AS (SELECT w1, w AS w2, count(*) AS c2
-       FROM pairs WHERE w1 IS NOT NULL GROUP BY 1, 2),
-sc AS (
-  SELECT p.doc_id,
-         CASE WHEN p.w1 IS NULL
-              THEN -ln((coalesce(u.c1, 0) + 1)::DOUBLE
-                       / (tot.t_tokens + tot.vocab))
-              ELSE -ln((coalesce(b.c2, 0) + 1)::DOUBLE
-                       / (coalesce(u1.c1, 0) + tot.vocab))
-         END AS nll
-  FROM pairs p
-  LEFT JOIN uni u ON u.w = p.w
-  LEFT JOIN uni u1 ON u1.w = p.w1
-  LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w
-  CROSS JOIN tot
-)
-SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(nll), 6) AS avg_nll
-FROM sc GROUP BY doc_id
+        "lm_perplexity": _lm_scores_sql(),
+        "ppl_buckets": f"""
+WITH scores AS ({_lm_scores_sql()}),
+l AS (SELECT s.doc_id, s.n_tokens, s.avg_nll, d.lang
+      FROM scores s JOIN documents d USING (doc_id)),
+c AS (SELECT lang, quantile_cont(avg_nll, 1.0/3) AS c1,
+             quantile_cont(avg_nll, 2.0/3) AS c2
+      FROM l GROUP BY lang)
+SELECT l.doc_id, l.lang, l.n_tokens, l.avg_nll,
+       CASE WHEN l.avg_nll <= c.c1 THEN 'head'
+            WHEN l.avg_nll <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM l JOIN c USING (lang)
 """,
         "jpeg_decode": """
 WITH a AS (SELECT doc_id AS media_id,

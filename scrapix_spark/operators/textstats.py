@@ -491,3 +491,57 @@ def top_ngrams(
         .orderBy(F.col("tf").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by_col: str | None = None,
+    lm: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    cutoff_sample_rate: float = 1.0,
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2019 §4.3): docs
+    split into perplexity terciles — per `by_col` stratum (CCNet
+    buckets per language) when given — with 'head' = most fluent third
+    under the corpus LM. Adds `ppl_bucket` to the lm_perplexity output.
+
+    Plan shape: scoring is lm_perplexity (key-equi joins, counted
+    broadcasts); cutoffs are ONE exact-percentile aggregation whose
+    output is one row per stratum, broadcast back. Exact percentile
+    materializes each stratum's score vector in the agg buffer —
+    corpus-sized at 100 TB — so `cutoff_sample_rate` < 1 computes the
+    cutoffs on a deterministic xxhash64 document sample instead
+    (CCNet itself derives cutoffs from a sample); every document is
+    still scored and bucketed, only the tercile estimation samples.
+    """
+    from scrapix_spark.operators.curation import SAMPLE_MOD, sample_hash
+
+    scores = lm_perplexity(df, text_col, id_col, lm=lm)
+    key = [by_col] if by_col else []
+    if by_col:
+        scores = scores.join(
+            df.select(F.col(id_col), F.col(by_col)), id_col
+        )
+    est = scores
+    if cutoff_sample_rate < 1.0:
+        est = scores.filter(
+            sample_hash(F.col(id_col))
+            < int(cutoff_sample_rate * SAMPLE_MOD)
+        )
+    grp = est.groupBy(*key) if key else est.groupBy()
+    cuts = grp.agg(
+        F.expr(f"percentile(avg_nll, {1 / 3!r})").alias("_c1"),
+        F.expr(f"percentile(avg_nll, {2 / 3!r})").alias("_c2"),
+    )
+    joined = (
+        scores.join(F.broadcast(cuts), key)
+        if key
+        else scores.crossJoin(F.broadcast(cuts))
+    )
+    bucket = (
+        F.when(F.col("avg_nll") <= F.col("_c1"), F.lit("head"))
+        .when(F.col("avg_nll") <= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return joined.withColumn("ppl_bucket", bucket).drop("_c1", "_c2")

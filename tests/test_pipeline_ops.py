@@ -505,3 +505,39 @@ def test_round3_ops_partitioning_invariant(spark):
     a = snap(runs(docs.repartition(1), emb.repartition(1)))
     b = snap(runs(docs.repartition(13), emb.repartition(13)))
     assert a == b
+
+
+def test_perplexity_buckets(spark):
+    """X69: per-stratum terciles — each language splits into
+    head/middle/tail by avg_nll with heads the most fluent third, and
+    the sampled-cutoff path still buckets every document."""
+    rows = []
+    # 9 'en' docs: three repetition levels -> three distinct nll levels
+    for i in range(9):
+        level = i % 3
+        body = ["alpha beta gamma delta", "alpha beta alpha beta",
+                "alpha alpha alpha alpha"][level]
+        rows.append((i, "en", (body + " ") * 4 + f"tail{i}"))
+    # one other language, all identical (degenerate cutoffs)
+    for i in range(9, 12):
+        rows.append((i, "de", "ein zwei drei vier"))
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = TS.perplexity_buckets(df, "text", "doc_id", by_col="lang")
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 12
+    en = [got[i] for i in range(9)]
+    for b in ("head", "middle", "tail"):
+        assert sum(1 for r in en if r["ppl_bucket"] == b) == 3, b
+    # bucket order tracks avg_nll order
+    by_nll = sorted(en, key=lambda r: r["avg_nll"])
+    assert [r["ppl_bucket"] for r in by_nll] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    # identical scores -> everything at the cutoff -> all 'head'
+    assert all(got[i]["ppl_bucket"] == "head" for i in range(9, 12))
+    # sampled-cutoff path: every doc still gets a bucket
+    sampled = TS.perplexity_buckets(
+        df, "text", "doc_id", by_col="lang", cutoff_sample_rate=0.5
+    )
+    assert sampled.filter("ppl_bucket IS NULL").count() == 0
+    assert sampled.count() == 12
