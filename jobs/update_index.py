@@ -11,6 +11,14 @@
         settings --index-dir /path/to/index --patch '{"stop_words": ["the"]}' \
         [--input /path/to/source] [--build-id s0001]
 
+    spark-submit --py-files dist/scrapix_spark.zip jobs/update_index.py \
+        dump --index-dir /path/to/index --dump-dir /path/to/dump \
+        [--input /path/to/source]
+
+    spark-submit --py-files dist/scrapix_spark.zip jobs/update_index.py \
+        restore --index-dir /path/to/new_index --dump-dir /path/to/dump \
+        [--build-id r0001]
+
 `delta` diffs the NEW FULL SNAPSHOT against the live index on
 (repo, path) — the reference's re-crawl shape (scrapix rebuilds and
 atomically swaps; this publishes only the changed slice as an LSM layer
@@ -21,6 +29,9 @@ keys publish a metadata-only generation; index-affecting keys reindex
 the same documents from --input (or the stored content) under the new
 config. --patch takes inline JSON or a path to a JSON file; a key set
 to null resets it to the engine default.
+`dump`/`restore` are the Meilisearch dump analog: a portable logical
+snapshot (live documents + settings) and its rebuild — the restored
+index answers rank-identically without copying segment bytes.
 Prints one JSON manifest line.
 """
 
@@ -35,17 +46,20 @@ from pyspark.sql import SparkSession
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="Incremental index maintenance")
-    ap.add_argument("action", choices=["delta", "compact", "settings"])
+    ap.add_argument("action",
+                    choices=["delta", "compact", "settings", "dump",
+                             "restore"])
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--input", help="new snapshot (required for delta)")
     ap.add_argument("--build-id", default=None)
     ap.add_argument("--format", default="parquet")
     ap.add_argument("--patch", help="settings patch: inline JSON or a file "
                                     "path (required for settings)")
+    ap.add_argument("--dump-dir", help="dump directory (dump/restore)")
     args = ap.parse_args(argv)
 
     from scrapix_spark.operators.index import (
-        compact, delta_update, update_settings,
+        compact, delta_update, dump_index, restore_index, update_settings,
     )
 
     spark = SparkSession.builder.appName(
@@ -83,6 +97,24 @@ def main(argv: list[str] | None = None) -> int:
         meta = update_settings(
             spark, args.index_dir, patch,
             build_id=args.build_id or "settings", source=source,
+        )
+    elif args.action == "dump":
+        if not args.dump_dir:
+            ap.error("dump requires --dump-dir")
+        source = None
+        if args.input:
+            source = (
+                spark.read.parquet(args.input)
+                if args.format == "parquet"
+                else spark.read.table(args.input)
+            )
+        meta = dump_index(spark, args.index_dir, args.dump_dir, source=source)
+    elif args.action == "restore":
+        if not args.dump_dir:
+            ap.error("restore requires --dump-dir")
+        meta = restore_index(
+            spark, args.dump_dir, args.index_dir,
+            build_id=args.build_id or "restore",
         )
     else:
         meta = compact(spark, args.index_dir, build_id=args.build_id or "compact")

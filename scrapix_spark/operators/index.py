@@ -1226,8 +1226,31 @@ def update_settings(
         publish(index_dir, build_id)
         return meta
 
+    raw = _live_docs_source(spark, index_dir, cfg, meta_old, source,
+                            "a settings update reindexes")
+    return build_index(
+        spark, raw, index_dir, cfg, build_id=build_id, n_batches=n_batches,
+        source_desc=f"settings_update:{','.join(sorted(changed))}",
+    )
+
+
+def _live_docs_source(
+    spark: SparkSession,
+    index_dir: str,
+    cfg: "IndexConfig",
+    meta: dict,
+    source: DataFrame | None,
+    verb: str,
+) -> DataFrame:
+    """Resolve the LIVE document set of an index as a rebuildable raw
+    relation (repo, path, commit, lang, content, extras): the stored
+    docs relation when the index is self-contained, else an external
+    `source` gated by the north-rule per-row sha256 invariant (every
+    live stored doc must appear with identical content; rows outside
+    the stored identity set are ignored). Shared by update_settings
+    (reindex) and dump_index (portable snapshot)."""
     live = read_docs(spark, index_dir)
-    if meta_old.get("tombstone_dirs"):
+    if meta.get("tombstone_dirs"):
         live = live.join(read_tombstones(spark, index_dir), "doc_id", "left_anti")
     extra = [c for c in cfg.extra_doc_columns if c != "content"]
     if source is None:
@@ -1235,35 +1258,94 @@ def update_settings(
             raise ValueError(
                 "stored docs carry no 'content' column; pass source=<the "
                 "docs table this index was built from>, or build with "
-                "extra_doc_columns=['content'] for self-contained "
-                "settings reindexing"
+                "extra_doc_columns=['content'] for a self-contained index"
             )
-        raw = live.select("repo", "path", "commit", "lang", "content", *extra)
-    else:
-        key = ["repo", "path", "commit"]
-        src = source.withColumn("_sha_src", F.sha2("content", 256))
-        drifted = (
-            live.select(*key, "sha256")
-            .join(src.select(*key, "_sha_src"), key, "left")
-            .filter(
-                F.col("_sha_src").isNull()
-                | (F.col("_sha_src") != F.col("sha256"))
-            )
-            .count()
+        return live.select("repo", "path", "commit", "lang", "content", *extra)
+    key = ["repo", "path", "commit"]
+    src = source.withColumn("_sha_src", F.sha2("content", 256))
+    drifted = (
+        live.select(*key, "sha256")
+        .join(src.select(*key, "_sha_src"), key, "left")
+        .filter(
+            F.col("_sha_src").isNull()
+            | (F.col("_sha_src") != F.col("sha256"))
         )
-        if drifted:
-            raise ValueError(
-                f"{drifted} live docs missing from source or with drifted "
-                "content (sha256 mismatch) — a settings update reindexes "
-                "the SAME documents; route content changes through "
-                "delta_update/upsert_update"
-            )
-        raw = (
-            src.join(live.select(*key), key, "left_semi")
-            .drop("_sha_src")
-            .select("repo", "path", "commit", "lang", "content", *extra)
+        .count()
+    )
+    if drifted:
+        raise ValueError(
+            f"{drifted} live docs missing from source or with drifted "
+            f"content (sha256 mismatch) — {verb} the SAME documents; "
+            "route content changes through delta_update/upsert_update"
         )
+    return (
+        src.join(live.select(*key), key, "left_semi")
+        .drop("_sha_src")
+        .select("repo", "path", "commit", "lang", "content", *extra)
+    )
+
+
+def dump_index(
+    spark: SparkSession,
+    index_dir: str,
+    dump_dir: str,
+    source: DataFrame | None = None,
+) -> dict:
+    """Meilisearch dump analog (POST /dumps): a self-contained,
+    PORTABLE snapshot — the live documents (tombstones applied) plus
+    the index settings — that restore_index() rebuilds an equivalent
+    index from anywhere. Unlike a filesystem snapshot, a dump stores
+    LOGICAL content rather than segments, so it survives engine layout
+    changes (the documented Meilisearch dump-vs-snapshot distinction).
+
+    Layout: `<dump_dir>/documents/` (parquet, the raw rebuild relation)
+    + `<dump_dir>/dump.json` (settings + provenance). The parquet write
+    is fully distributed; only the manifest touches the driver.
+    """
+    meta = load_meta(index_dir)
+    cfg = IndexConfig.from_json(json.dumps(meta["config"]))
+    raw = _live_docs_source(spark, index_dir, cfg, meta, source,
+                            "a dump snapshots")
+    fs = fs_for(dump_dir)
+    fs.makedirs(dump_dir)
+    docs_path = os.path.join(dump_dir, "documents")
+    raw.write.mode("overwrite").parquet(docs_path)
+    manifest = {
+        "dump_version": 1,
+        "index_uid": cfg.index_uid,
+        "config": json.loads(cfg.to_json()),
+        "from_build": meta.get("build_id"),
+        "n_docs": spark.read.parquet(docs_path).count(),
+    }
+    fs.write_text(
+        os.path.join(dump_dir, "dump.json"),
+        json.dumps(manifest, indent=1, sort_keys=True),
+    )
+    return manifest
+
+
+def restore_index(
+    spark: SparkSession,
+    dump_dir: str,
+    index_dir: str,
+    build_id: str = "restore",
+    n_batches: int = 1,
+) -> dict:
+    """Rebuild an index from a dump_index() snapshot (the Meilisearch
+    import-dump analog): the dumped documents are indexed under the
+    dumped settings into a fresh (or existing — double-buffered swap)
+    index directory. Restoring re-derives every segment, so a restored
+    index answers queries rank-identically to the dumped one (pinned by
+    tests) without copying any physical segment bytes."""
+    fs = fs_for(dump_dir)
+    manifest = json.loads(fs.read_text(os.path.join(dump_dir, "dump.json")))
+    if manifest.get("dump_version") != 1:
+        raise ValueError(
+            f"unsupported dump_version {manifest.get('dump_version')!r}"
+        )
+    cfg = IndexConfig.from_json(json.dumps(manifest["config"]))
+    raw = spark.read.parquet(os.path.join(dump_dir, "documents"))
     return build_index(
         spark, raw, index_dir, cfg, build_id=build_id, n_batches=n_batches,
-        source_desc=f"settings_update:{','.join(sorted(changed))}",
+        source_desc=f"restore:{dump_dir}",
     )

@@ -84,3 +84,69 @@ def test_swap_indexes_exchanges_served_builds(spark, tmp_path_factory):
     assert IX.load_meta(da)["N"] == n_a
     cur = open(f"{da}/_CURRENT").read().strip()
     assert cur == "_build_a1"
+
+
+def test_dump_and_restore_rank_identical(spark, tiny_corpus, tmp_path_factory):
+    """X70: dump_index writes a portable logical snapshot (live docs +
+    settings); restore_index rebuilds an index that answers every query
+    rank-identically — and the restored config round-trips."""
+    import json
+    import os
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import (
+        build_index, dump_index, load_meta, restore_index,
+    )
+    from scrapix_spark.operators.query import IndexReader
+
+    root = tmp_path_factory.mktemp("dump")
+    idx, dmp, idx2 = str(root / "idx"), str(root / "dump"), str(root / "idx2")
+    cfg = IndexConfig(index_uid="dumpme", n_shards=4,
+                      exclude_paginated=False, store_positions=True,
+                      extra_doc_columns=["content"],
+                      tokenizer={"split_identifiers": True})
+    build_index(spark, tiny_corpus, idx, cfg, build_id="b1")
+
+    man = dump_index(spark, idx, dmp)
+    assert man["dump_version"] == 1 and man["index_uid"] == "dumpme"
+    assert os.path.exists(os.path.join(dmp, "dump.json"))
+    with open(os.path.join(dmp, "dump.json")) as f:
+        assert json.load(f)["n_docs"] == man["n_docs"]
+
+    restore_index(spark, dmp, idx2, build_id="r1")
+    a, b = IndexReader(spark, idx), IndexReader(spark, idx2)
+    assert load_meta(idx2)["config"]["tokenizer"] == \
+        load_meta(idx)["config"]["tokenizer"]
+    for q in ["zanzibar", "binary search", "import"]:
+        pa = [r["doc_id"] for r in a.topk_pruned(q, 10, hydrate=False).collect()]
+        pb = [r["doc_id"] for r in b.topk_pruned(q, 10, hydrate=False).collect()]
+        assert pa == pb, q
+    assert b.docs.count() == man["n_docs"]
+
+
+def test_dump_requires_content_or_source(spark, tiny_corpus, tmp_path_factory):
+    """A non-self-contained index refuses a sourceless dump; an external
+    source with drifted content trips the sha256 invariant; the correct
+    source dumps fine."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import build_index, dump_index
+
+    root = tmp_path_factory.mktemp("dump_nc")
+    idx, dmp = str(root / "idx"), str(root / "dump")
+    build_index(
+        spark, tiny_corpus, idx,
+        IndexConfig(index_uid="nc", n_shards=2, exclude_paginated=False),
+        build_id="b1",
+    )
+    with _pytest.raises(ValueError, match="content"):
+        dump_index(spark, idx, dmp)
+    drifted = tiny_corpus.withColumn(
+        "content", F.concat(F.col("content"), F.lit(" tampered"))
+    )
+    with _pytest.raises(ValueError, match="sha256"):
+        dump_index(spark, idx, dmp, source=drifted)
+    man = dump_index(spark, idx, dmp, source=tiny_corpus)
+    assert man["n_docs"] > 0

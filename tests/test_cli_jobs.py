@@ -300,3 +300,32 @@ def test_curate_job_code_steps_and_packing(spark, tmp_path, capsys):
     assert p[4]["start_offset"] > 0  # doc 4 starts after doc 1's tokens
     assert p[4]["first_seq"] == p[4]["start_offset"] // 16
     assert p[1]["n_seqs"] == p[1]["last_seq"] - p[1]["first_seq"] + 1
+
+
+def test_update_job_dump_restore(spark, tiny_corpus, tmp_path_factory, capsys):
+    """jobs/update_index.py dump + restore actions round-trip an index
+    through the portable snapshot."""
+    import update_index as job_update
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import build_index
+    from scrapix_spark.operators.query import IndexReader
+
+    root = tmp_path_factory.mktemp("cli_dump")
+    idx, dmp, idx2 = str(root / "idx"), str(root / "dump"), str(root / "idx2")
+    build_index(
+        spark, tiny_corpus, idx,
+        IndexConfig(index_uid="cli_dump", n_shards=2,
+                    exclude_paginated=False,
+                    extra_doc_columns=["content"]),
+        build_id="b1",
+    )
+    assert job_update.main(
+        ["dump", "--index-dir", idx, "--dump-dir", dmp]) == 0
+    man = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert man["index_uid"] == "cli_dump"
+    assert job_update.main(
+        ["restore", "--index-dir", idx2, "--dump-dir", dmp,
+         "--build-id", "r1"]) == 0
+    r = IndexReader(spark, idx2)
+    assert r.docs.count() == man["n_docs"]
