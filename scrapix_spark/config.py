@@ -93,6 +93,13 @@ class IndexConfig:
     n_shards: int = DEFAULT_N_SHARDS
     block_size: int = DEFAULT_BLOCK_SIZE
     batch_size: int = DEFAULT_BATCH_SIZE
+    # LSM merge policy (the Lucene TieredMergePolicy / Meilisearch
+    # auto-compaction analog, OPT-IN): after a delta/upsert publish
+    # leaves MORE than this many layers, compact() runs automatically
+    # as its own double-buffered atomic generation. 0 = manual only.
+    # Bounds query-side layer fan-in (every query unions all layers)
+    # and df staleness without the operator having to schedule merges.
+    max_layers: int = 0
     # T4 storage analog of batch_size, OPT-IN: cap docs-table rows per
     # output file (maxRecordsPerFile). The reference's batch_size is an
     # HTTP flush unit; mapping it to FILE granularity by default would

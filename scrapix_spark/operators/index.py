@@ -940,7 +940,7 @@ def _publish_delta_layer(
     )
     publish(index_dir, build_id)
     meta["delta_wall_sec"] = time.time() - t0
-    return meta
+    return _maybe_auto_compact(spark, index_dir, cfg, meta, build_id)
 
 
 def upsert_update(
@@ -1153,8 +1153,25 @@ def compact(
 QUERY_TIME_SETTINGS = frozenset({
     "synonyms", "stop_words", "distinct_attribute",
     "webhook_url", "webhook_payload", "batch_size",
-    "docs_records_per_file", "shuffle_partitions",
+    "docs_records_per_file", "shuffle_partitions", "max_layers",
 })
+
+
+def _maybe_auto_compact(
+    spark: SparkSession, index_dir: str, cfg: IndexConfig, meta: dict,
+    build_id: str,
+) -> dict:
+    """Size-tiered auto-compaction (IndexConfig.max_layers, X71): when
+    an incremental publish leaves more than max_layers layers, fold
+    them immediately with compact() — its own atomic generation, so a
+    crash between the two publishes leaves the (valid) layered index.
+    Returns the compaction meta (annotated with the triggering build)
+    or the incoming meta unchanged."""
+    if not cfg.max_layers or len(meta.get("layers", [])) <= cfg.max_layers:
+        return meta
+    out = compact(spark, index_dir, cfg, build_id=f"{build_id}_ac")
+    out["auto_compacted_from"] = build_id
+    return out
 
 
 def update_settings(

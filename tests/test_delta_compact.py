@@ -262,3 +262,52 @@ def test_tombstoned_doc_resurrected_by_later_delta(spark, tmp_path_factory):
     delta_update(spark, snap_del, idx, build_id="d3")
     with pytest.raises(ValueError, match="re-added"):
         delta_update(spark, bad, idx, build_id="d4")
+
+
+def test_auto_compaction_bounds_layers(spark, tiny_corpus, tmp_path_factory):
+    """X71: with max_layers set, incremental upserts auto-compact once
+    the layer count exceeds the bound — the published generation is the
+    compaction, layer fan-in stays bounded, results stay rank-identical
+    to the manual lifecycle."""
+    from pyspark.sql import functions as F
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import (
+        build_index, load_meta, upsert_update,
+    )
+    from scrapix_spark.operators.query import IndexReader
+
+    root = tmp_path_factory.mktemp("autoc")
+    idx = str(root / "idx")
+    h = F.abs(F.xxhash64("path")) % 4
+    cfg = IndexConfig(index_uid="autoc", n_shards=4,
+                      exclude_paginated=False, max_layers=2)
+    build_index(spark, tiny_corpus.filter(h == 0), idx, cfg, build_id="base")
+
+    m1 = upsert_update(spark, tiny_corpus.filter(h == 1), idx,
+                       build_id="u1")
+    assert "auto_compacted_from" not in m1      # 2 layers <= bound
+    assert len(m1["layers"]) == 2
+    m2 = upsert_update(spark, tiny_corpus.filter(h == 2), idx,
+                       build_id="u2")
+    assert m2.get("auto_compacted_from") == "u2"  # 3 layers > bound
+    assert len(m2["layers"]) == 1                 # folded
+    meta = load_meta(idx)
+    assert meta["build_id"] == "u2_ac"
+    assert meta["N"] == tiny_corpus.filter(h <= 2).count()
+
+    # rank identity vs a fresh build of the same live set
+    fresh = str(root / "fresh")
+    build_index(spark, tiny_corpus.filter(h <= 2), fresh,
+                IndexConfig(index_uid="f", n_shards=4,
+                            exclude_paginated=False), build_id="f1")
+    a, b = IndexReader(spark, idx), IndexReader(spark, fresh)
+    for q in ["binary search", "import", "zanzibar"]:
+        pa = [r["doc_id"] for r in a.topk_pruned(q, 10, hydrate=False).collect()]
+        pb = [r["doc_id"] for r in b.topk_pruned(q, 10, hydrate=False).collect()]
+        assert pa == pb, q
+
+    # max_layers is a query-time setting: patching it is metadata-only
+    from scrapix_spark.operators.index import update_settings
+    m3 = update_settings(spark, idx, {"max_layers": 5}, build_id="s1")
+    assert m3.get("settings_update") == ["max_layers"]
