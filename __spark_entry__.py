@@ -1197,6 +1197,23 @@ def _corpus_for_match(spark, sf_dir):
     return post, stats, int(row["n"]), float(row["a"])
 
 
+SUGGEST_QUERY = "custemor windoww table qqqqqq"
+SUGGEST_2MIN = 8  # same corpus-fit two-typo threshold as TYPO2_MIN
+
+
+def q_suggest_query(spark, sf_dir):
+    """X72 — did-you-mean query correction: per query word the best
+    dictionary replacement under the word's typo budget, ranked
+    (dist asc, df desc, term asc). SymSpell deletion-key join per word
+    + 1-row TakeOrdered; never a levenshtein scan of the dictionary.
+    Exercises a 2-edit fix, a 1-edit fix, an exact word (dist 0) and
+    an uncorrectable word (NULL dist, corrected=false)."""
+    _, stats, _, _ = _corpus_for_match(spark, sf_dir)
+    return M.suggest_query(
+        stats, SUGGEST_QUERY, max_dist=2, two_typo_min=SUGGEST_2MIN
+    )
+
+
 def q_prefix_topk(spark, sf_dir):
     """Search-as-you-type: last query word is a prefix; its expansions
     contribute max-per-doc and count as one matched word."""
@@ -2658,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "tokenize_cjk": q_tokenize_cjk,
         "ppl_buckets": q_ppl_buckets,
+        "suggest_query": q_suggest_query,
         "lm_perplexity": q_lm_perplexity,
         "jpeg_decode": q_jpeg_decode,
         "ann_sq8_topk": q_ann_sq8_topk,
@@ -3388,6 +3406,37 @@ ORDER BY sum(n_matched) DESC, round(sum(score), 9) DESC, doc_id LIMIT 10
 """
 
 
+def _suggest_sql() -> str:
+    """Oracle for did-you-mean: per word, the levenshtein-minimal
+    dictionary term within the word's budget (full-scan levenshtein is
+    fine at oracle scale), ties by df desc then term asc."""
+    words = Q.query_terms(SUGGEST_QUERY)
+    wsel = " UNION ALL ".join(
+        f"SELECT {i} AS pos, '{w}' AS word, "
+        f"{M.typo_budget(w, 5, SUGGEST_2MIN)} AS a"
+        for i, w in enumerate(words)
+    )
+    return _contrib_cte() + f"""
+, words AS ({wsel}),
+cand AS (
+  SELECT w.pos, w.word, d.term, levenshtein(d.term, w.word) AS dist, d.df,
+         row_number() OVER (
+           PARTITION BY w.pos
+           ORDER BY levenshtein(d.term, w.word) ASC, d.df DESC, d.term ASC
+         ) AS rn
+  FROM words w JOIN dict d
+    ON abs(len(d.term) - len(w.word)) <= least(2, w.a)
+   AND levenshtein(d.term, w.word) <= least(2, w.a)
+)
+SELECT w.pos, w.word,
+       coalesce(c.term, w.word) AS suggestion,
+       c.dist::INT AS dist, c.df::BIGINT AS df,
+       (c.term IS NOT NULL AND c.term <> w.word) AS corrected
+FROM words w LEFT JOIN cand c ON c.pos = w.pos AND c.rn = 1
+ORDER BY w.pos
+"""
+
+
 def _typo_sql() -> str:
     words = Q.query_terms(TYPO_QUERY)
     wsel = " UNION ALL ".join(
@@ -3956,6 +4005,7 @@ def oracle_sql() -> dict[str, str]:
         "repo_stats": _repo_stats_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "tokenize_cjk": _tokenize_cjk_sql(),
+        "suggest_query": _suggest_sql(),
         "tokenize_tf": _tf_sql(),
         "term_df": (
             f"SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf "

@@ -986,3 +986,70 @@ def completions(
         .orderBy(F.col("df").desc(), F.col("term").asc())
         .limit(k)
     )
+
+
+def suggest_query(
+    term_stats: DataFrame,
+    q: str,
+    max_dist: int = 2,
+    min_len: int = ONE_TYPO_MIN,
+    two_typo_min: int = TWO_TYPO_MIN,
+) -> DataFrame:
+    """X72 — did-you-mean query correction: one row per query word with
+    the best dictionary replacement under the word's typo budget.
+
+    `suggestion` minimizes (edit distance, -df, term) — prefer the
+    closest spelling, break ties toward the more document-frequent
+    term, then alphabetically (deterministic). A word already in the
+    dictionary suggests itself at dist 0 (df ties still resolve to it:
+    nothing beats dist 0); a word with NO in-budget candidate keeps
+    itself with NULL dist/df and corrected=false. Columns:
+    (pos, word, suggestion, dist, df, corrected).
+
+    Scale shape: per word, ONE SymSpell deletion-key join against the
+    dictionary (typo_candidates — never a levenshtein scan of the full
+    dictionary) followed by a 1-row TakeOrdered; the per-word plans
+    union (query length is bounded, ~handful of words). The dictionary
+    relation is the SMALLEST index relation, same as completions/typo.
+    """
+    spark = term_stats.sparkSession
+    words = query_terms(q)
+    words_df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "pos int, word string"
+    )
+    if not words:
+        return words_df.select(
+            "pos", "word", F.lit(None).cast("string").alias("suggestion"),
+            F.lit(None).cast("int").alias("dist"),
+            F.lit(None).cast("long").alias("df"),
+            F.lit(False).alias("corrected"),
+        )
+    bests = []
+    for i, w in enumerate(words):
+        cand = typo_candidates(
+            term_stats, w, max_dist=max_dist, min_len=min_len,
+            two_typo_min=two_typo_min,
+        )
+        bests.append(
+            cand.orderBy(
+                F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+            )
+            .limit(1)
+            .select(
+                F.lit(i).alias("pos"),
+                F.col("term").alias("suggestion"),
+                F.col("dist").cast("int").alias("dist"),
+                F.col("df").cast("long").alias("df"),
+            )
+        )
+    best = bests[0]
+    for b in bests[1:]:
+        best = best.unionByName(b)
+    out = words_df.join(F.broadcast(best), "pos", "left")
+    return out.select(
+        "pos", "word",
+        F.coalesce(F.col("suggestion"), F.col("word")).alias("suggestion"),
+        "dist", "df",
+        (F.col("suggestion").isNotNull()
+         & (F.col("suggestion") != F.col("word"))).alias("corrected"),
+    ).orderBy("pos")

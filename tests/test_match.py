@@ -373,3 +373,33 @@ def test_completions_order_and_pushdown(spark):
     assert [(r["term"], r["df"]) for r in out] == [
         ("spark", 3), ("sort", 2), ("sql", 1)
     ]
+
+
+def test_suggest_query_did_you_mean(spark):
+    """X72: per-word best dictionary replacement under the typo budget —
+    2-edit fix, 1-edit fix, exact self-suggestion, uncorrectable word,
+    and the (dist, -df, term) tie-break."""
+    from scrapix_spark.operators.match import suggest_query
+
+    stats = spark.createDataFrame(
+        [("customer", 50, 80), ("customs", 10, 12), ("tables", 90, 100),
+         ("tablet", 40, 60), ("table", 30, 33)],
+        "term string, df long, cf long",
+    )
+    out = {r["word"]: r for r in suggest_query(
+        stats, "custemor tablez table qqqqqq",
+        max_dist=2, two_typo_min=8,
+    ).collect()}
+    # 2-edit fix: custemor -> customer (dist 2); customs is dist 3
+    assert out["custemor"]["suggestion"] == "customer"
+    assert out["custemor"]["dist"] == 2 and out["custemor"]["corrected"]
+    # equal-distance tie: tables (df 90) and tablet (df 40) are both
+    # dist 1 from 'tablez' -> df breaks the tie toward 'tables'
+    assert out["tablez"]["suggestion"] == "tables"
+    assert out["tablez"]["dist"] == 1
+    # exact word suggests itself at dist 0 (beats any dist-1 neighbor)
+    assert out["table"]["suggestion"] == "table"
+    assert out["table"]["dist"] == 0 and not out["table"]["corrected"]
+    # nothing in budget: keep the word, NULL dist, corrected=false
+    assert out["qqqqqq"]["suggestion"] == "qqqqqq"
+    assert out["qqqqqq"]["dist"] is None and not out["qqqqqq"]["corrected"]
