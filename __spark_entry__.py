@@ -2522,6 +2522,62 @@ _SECRET_SRC_SQL = (
 _PACK_BUDGET = 512
 
 
+_IMP_LANG_SQL = (
+    "CASE doc_id % 5 WHEN 0 THEN 'py' WHEN 1 THEN 'js' WHEN 2 THEN 'go' "
+    "WHEN 3 THEN 'java' ELSE 'txt' END"
+)
+_IMP_SRC_SQL = (
+    "text || chr(10) || CASE doc_id % 5 "
+    "WHEN 0 THEN 'import mod_' || CAST(doc_id % 7 AS STRING) || chr(10) || "
+    "'from pkg_' || CAST(doc_id % 3 AS STRING) || ' import thing' "
+    "WHEN 1 THEN 'import {x} from ' || chr(39) || 'lib_' || "
+    "CAST(doc_id % 7 AS STRING) || chr(39) || chr(10) || "
+    "'const z = require(' || chr(34) || 'dep_' || "
+    "CAST(doc_id % 3 AS STRING) || chr(34) || ')' "
+    "WHEN 2 THEN 'import ' || chr(34) || 'gomod_' || "
+    "CAST(doc_id % 7 AS STRING) || chr(34) "
+    "WHEN 3 THEN 'import com.ex.pkg' || CAST(doc_id % 7 AS STRING) || ';' "
+    "ELSE '' END"
+)
+
+
+def q_import_edges(spark, sf_dir):
+    """X73 — import-edge extraction over planted per-language import
+    statements (py/js require+esm/go/java; 'txt' rows yield nothing):
+    the dependency-graph edge relation. Map-only JVM regexes + one
+    partial-aggregable per-doc dedup. operators/graph.py."""
+    from scrapix_spark.operators import graph as G
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_IMP_LANG_SQL).alias("lang2"),
+        F.expr(_IMP_SRC_SQL).alias("content"),
+    )
+    return G.extract_imports(docs, "content", "lang2", "doc_id").select(
+        "doc_id", F.col("lang").alias("code_lang"), "module"
+    )
+
+
+def q_pagerank(spark, sf_dir):
+    """X74 — PageRank by power iteration (5 rounds, d=0.85) over a
+    planted graph on 97 nodes (residues; sources restricted to < 90 so
+    nodes 90-96 are DANGLING and exercise the dangling-mass term).
+    Per-iteration rank rounding pins the trajectory so the unrolled
+    DuckDB oracle matches exactly. operators/graph.py pagerank."""
+    from scrapix_spark.operators import graph as G
+
+    docs = _docs(spark, sf_dir).filter("doc_id % 97 < 90")
+    e1 = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 97).alias("dst"),
+    )
+    e2 = docs.select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 13 + 5) % 97).alias("dst"),
+    )
+    pr = G.pagerank(e1.unionByName(e2), iterations=5, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def q_code_quality(spark, sf_dir):
     """StarCoder/The-Stack code quality rules over planted long-line /
     autogen / symbol-soup noise; map-only. operators/code.py (X63)."""
@@ -2676,6 +2732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_cjk": q_tokenize_cjk,
         "ppl_buckets": q_ppl_buckets,
         "suggest_query": q_suggest_query,
+        "import_edges": q_import_edges,
+        "pagerank": q_pagerank,
         "lm_perplexity": q_lm_perplexity,
         "jpeg_decode": q_jpeg_decode,
         "ann_sq8_topk": q_ann_sq8_topk,
@@ -3953,6 +4011,66 @@ FROM fp
 """
 
 
+def _import_edges_sql() -> str:
+    """Oracle for import extraction: identical pattern strings via
+    regexp_extract_all, per-arm group concat for js, distinct."""
+    from scrapix_spark.operators.graph import IMPORT_PATTERNS
+
+    py, js = IMPORT_PATTERNS["py"], IMPORT_PATTERNS["js"]
+    go, java = IMPORT_PATTERNS["go"], IMPORT_PATTERNS["java"]
+    return f"""
+WITH s AS (SELECT doc_id, {_IMP_LANG_SQL} AS code_lang,
+                  {_IMP_SRC_SQL} AS t FROM documents),
+m AS (SELECT doc_id, code_lang,
+        CASE code_lang
+          WHEN 'py' THEN regexp_extract_all(t, '{py}', 1)
+          WHEN 'js' THEN list_concat(regexp_extract_all(t, '{js}', 1),
+                                     regexp_extract_all(t, '{js}', 2))
+          WHEN 'go' THEN regexp_extract_all(t, '{go}', 1)
+          WHEN 'java' THEN regexp_extract_all(t, '{java}', 1)
+          ELSE [] END AS mods
+      FROM s)
+SELECT DISTINCT doc_id, code_lang, u.module
+FROM m, unnest(mods) AS u(module) WHERE u.module <> ''
+"""
+
+
+def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
+    """Oracle for PageRank: the SAME power iteration unrolled as
+    chained CTEs, with the identical per-iteration round( , 9) that
+    makes the float trajectory engine-independent."""
+    ctes = ["""e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id % 97 AS src, (doc_id * 7 + 3) % 97 AS dst
+    FROM documents WHERE doc_id % 97 < 90
+    UNION ALL
+    SELECT doc_id % 97, (doc_id * 13 + 5) % 97
+    FROM documents WHERE doc_id % 97 < 90))""",
+            "nodes AS (SELECT DISTINCT src AS node FROM e "
+            "UNION SELECT DISTINCT dst FROM e)",
+            "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+            "outdeg AS (SELECT src AS node, count(*)::DOUBLE AS deg "
+            "FROM e GROUP BY src)",
+            "r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)"]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        ctes.append(f"""r{i} AS (
+  SELECT n.node,
+         round((1.0 - {d}) / nn.n
+               + {d} * (coalesce(c.s, 0) + dg.m / nn.n), 9) AS r
+  FROM nodes n
+  LEFT JOIN (SELECT e.dst AS node, sum(r.r / o.deg) AS s
+             FROM e JOIN {p} r ON r.node = e.src
+             JOIN outdeg o ON o.node = e.src
+             GROUP BY e.dst) c ON c.node = n.node
+  CROSS JOIN (SELECT coalesce(sum(r.r), 0) AS m FROM {p} r
+              LEFT JOIN outdeg o ON o.node = r.node
+              WHERE o.node IS NULL) dg
+  CROSS JOIN nn)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, round(r, 6) AS rank FROM r{iters}")
+
+
 def _lm_scores_sql() -> str:
     """DuckDB replay of train_bigram_lm + lm_perplexity (X51): token
     arrays, add-one smoothed unigram/bigram NLL, per-doc average.
@@ -4006,6 +4124,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_sql(),
         "tokenize_cjk": _tokenize_cjk_sql(),
         "suggest_query": _suggest_sql(),
+        "import_edges": _import_edges_sql(),
+        "pagerank": _pagerank_sql(),
         "tokenize_tf": _tf_sql(),
         "term_df": (
             f"SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf "

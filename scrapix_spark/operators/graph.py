@@ -1,0 +1,166 @@
+"""Dependency-graph operators for source-code corpora: import-edge
+extraction and PageRank.
+
+Code-data pipelines weight files/repos by graph centrality (PageRank
+over the import/dependency graph is the public recipe — e.g. the
+GitHub-graph quality signals described in open code-LM dataset work)
+before sampling; these two operators produce the edge relation from
+raw file content and the stationary scores from any edge relation.
+
+Reference parity: scrapix has no graph stage (its link graph IS the
+crawl frontier, consumed imperatively in src/crawler.ts:167-184);
+this module is part of the engine-extension family (SURVEY.md §2.12).
+
+Scale notes are on each operator; nothing here ever collects an edge
+or node relation to the driver — only the node COUNT (one long).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# lang → (pattern, group) for regexp_extract_all. Patterns live in the
+# RE2 ∩ java.util.regex common subset ((?m) multiline, no lookaround;
+# quotes via \x22/\x27 classes) so the identical strings drive the
+# DuckDB oracle — the same discipline as PII/secret patterns.
+IMPORT_PATTERNS: dict[str, str] = {
+    "py": r"(?m)^[ \t]*(?:from|import)[ \t]+([A-Za-z_][A-Za-z0-9_.]*)",
+    "js": r"(?m)(?:^[ \t]*import[^\n]*?from[ \t]*[\x22\x27]([^\x22\x27]+)"
+          r"[\x22\x27]|require\([ \t]*[\x22\x27]([^\x22\x27]+)[\x22\x27])",
+    "go": r"(?m)^[ \t]*import[ \t]+[\x22]([^\x22]+)[\x22]",
+    "java": r"(?m)^[ \t]*import[ \t]+([A-Za-z_][A-Za-z0-9_.]*)[ \t]*;",
+}
+
+
+def extract_imports(
+    df: DataFrame,
+    text_col: str = "content",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Import-edge extraction (X73): one row per distinct (file,
+    imported module) — the edge relation a dependency graph / PageRank
+    stage consumes. Languages without a pattern yield no rows.
+
+    Map-only + one per-doc dedup that stays partial-aggregable: the
+    regexes run JVM-side (regexp_extract_all, whole-stage codegen),
+    arrays explode in the scan stage, and content never shuffles —
+    only (id, lang, module) strings do. Multi-group patterns (js) emit
+    one capture per alternation arm; empty groups are filtered.
+
+    Columns: (id_col, lang, module).
+    """
+    import re as _re
+
+    ext = F.array().cast("array<string>")
+    for lang, pat in IMPORT_PATTERNS.items():
+        groups = _re.compile(pat).groups
+        arms = [
+            F.expr(
+                f"regexp_extract_all({text_col}, '{_sql_escape(pat)}', {g})"
+            )
+            for g in range(1, groups + 1)
+        ]
+        arr = F.concat(*arms) if len(arms) > 1 else arms[0]
+        ext = F.when(F.col(lang_col) == lang, arr).otherwise(ext)
+    out = (
+        df.select(F.col(id_col), F.col(lang_col).alias("lang"),
+                  ext.alias("_mods"))
+        .select(id_col, "lang", F.explode("_mods").alias("module"))
+        .filter(F.col("module") != "")
+        .dropDuplicates([id_col, "module"])
+    )
+    return out
+
+
+def _sql_escape(pat: str) -> str:
+    """Escape a pattern for embedding in a Spark SQL string literal
+    (regexp_extract_all is called via F.expr so the multi-group index
+    can vary): backslashes double, quotes are already \\xNN classes."""
+    return pat.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_digits: int = 9,
+) -> DataFrame:
+    """PageRank (X74) by power iteration over an edge relation —
+    the centrality weight code-data pipelines mix into sampling scores.
+
+    Semantics (the textbook formulation, Page et al. 1999): nodes are
+    distinct(src ∪ dst); r_0 = 1/N; each step
+        r'(v) = (1-d)/N + d * (Σ_{(u,v)∈E} r(u)/deg(u) + dangling/N)
+    where dangling = Σ r(u) over nodes with no out-edges. Ranks are
+    rounded to `round_digits` at the END of every iteration — that
+    rounding is part of the operator contract: it pins the fixpoint
+    trajectory across engines/partitionings (the DuckDB oracle unrolls
+    the same iterations and matches bit-for-bit at 6dp), the same trick
+    the BM25 oracles use for float determinism.
+
+    Scale shape: per iteration ONE key-equi join (ranks ⋈ edges on src
+    — both sides hash-partitioned on the node key, so co-partitioning
+    is reused across iterations) + one partial-aggregable groupBy(dst)
+    + one 1-row dangling aggregate (broadcast via crossJoin). Each
+    iteration's ranks are localCheckpoint-ed — the next round
+    references them three times (dangling, contrib, join), so without
+    lineage truncation the LOGICAL plan grows geometrically and the
+    driver dies of plan bloat long before the data is big (the same
+    failure mode dedup.near_dup_clusters documents; on a cluster swap
+    in checkpoint() over durable storage to survive executor loss).
+    No driver-side graph; nothing collects beyond the node count.
+
+    Returns (node, rank), Σ rank ≈ 1.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).dropDuplicates(["src", "dst"]).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .dropDuplicates(["node"])
+        .persist()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    ).persist()
+    d = float(damping)
+    ranks = nodes.withColumn("r", F.lit(1.0 / n)).localCheckpoint()
+    for _ in range(iterations):
+        with_deg = ranks.join(outdeg, "node", "left")
+        dang = with_deg.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("_dang")
+        )
+        contrib = (
+            e.join(
+                with_deg.filter(F.col("deg").isNotNull())
+                .select(F.col("node").alias("src"), "r", "deg"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("_c"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                F.round(
+                    F.lit((1.0 - d) / n)
+                    + d * (F.coalesce(F.col("_c"), F.lit(0.0))
+                           + F.col("_dang") / n),
+                    round_digits,
+                ).alias("r"),
+            )
+        )
+        # truncate lineage: materializes eagerly, so the next round's
+        # three references read the checkpointed blocks, not the plan
+        ranks = new_ranks.localCheckpoint()
+    return ranks.select("node", F.col("r").alias("rank"))

@@ -1,0 +1,89 @@
+"""Dependency-graph operators (X73/X74): import extraction per
+language, and PageRank checked against an in-Python power iteration
+with the identical per-iteration rounding."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.operators.graph import extract_imports, pagerank
+
+
+def test_extract_imports_per_language(spark):
+    rows = [
+        (1, "py", "import os\nfrom collections import deque\n  import re"),
+        (2, "js", "import {a} from 'react'\nconst b = require(\"lodash\")"),
+        (3, "go", 'import "fmt"\nfunc main() {}'),
+        (4, "java", "import java.util.List;\nclass A {}"),
+        (5, "rs", "use std::io;"),          # no pattern -> no rows
+        (6, "py", "import os\nimport os"),  # per-doc dedup
+        (7, "py", None),
+        (8, "py", "x = 'import fake' # not at line start after code"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, content string")
+    got = sorted(
+        (r["doc_id"], r["module"]) for r in extract_imports(df).collect()
+    )
+    assert got == [
+        (1, "collections"), (1, "os"), (1, "re"),
+        (2, "lodash"), (2, "react"),
+        (3, "fmt"),
+        (4, "java.util.List"),
+        (6, "os"),
+    ]
+
+
+def _py_pagerank(edges, iters=5, d=0.85, digits=9):
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[idx[t]] += r[idx[s]] / deg[idx[s]]
+        dang = r[deg == 0].sum()
+        r = np.round((1.0 - d) / n + d * (contrib + dang / n), digits)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4), (5, 1), (5, 2)]
+    # node 4 is dangling (no out-edges)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(e, iterations=7).collect()}
+    want = _py_pagerank(edges, iters=7)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-9), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    # a pure cycle's stationary distribution is uniform and the power
+    # iteration preserves it exactly from the uniform start
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(e, iterations=6).collect()}
+    for v in (1, 2, 3):
+        assert got[v] == pytest.approx(1 / 3, abs=1e-8)
+
+
+def test_pagerank_partitioning_invariance(spark):
+    edges = [(i, (i * 7 + 3) % 23) for i in range(23)] + [
+        (i, (i * 13 + 5) % 23) for i in range(23)
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["node"]: r["rank"]
+         for r in pagerank(e.repartition(2), iterations=5).collect()}
+    b = {r["node"]: r["rank"]
+         for r in pagerank(e.repartition(17), iterations=5).collect()}
+    assert a == b  # per-iteration rounding pins the trajectory exactly
+
+
+def test_pagerank_rejects_bad_iterations(spark):
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(e, iterations=0)
