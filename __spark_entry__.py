@@ -2578,6 +2578,80 @@ def q_pagerank(spark, sf_dir):
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+_SYM_SRC_SQL = (
+    "text || chr(10) || CASE doc_id % 5 "
+    "WHEN 0 THEN 'def fn_' || CAST(doc_id % 7 AS STRING) || '(x):' || "
+    "chr(10) || 'class Kls_' || CAST(doc_id % 3 AS STRING) || ':' "
+    "WHEN 1 THEN 'export function jsf_' || CAST(doc_id % 7 AS STRING) || "
+    "'() {}' || chr(10) || 'class JsC_' || CAST(doc_id % 3 AS STRING) || "
+    "' {}' "
+    "WHEN 2 THEN 'func GoFn_' || CAST(doc_id % 7 AS STRING) || '() {}' || "
+    "chr(10) || 'type GoT_' || CAST(doc_id % 3 AS STRING) || ' struct {}' "
+    "WHEN 3 THEN 'class JC_' || CAST(doc_id % 7 AS STRING) || ' {}' "
+    "ELSE '' END"
+)
+
+_COMMENT_SRC_SQL = (
+    "CASE doc_id % 5 WHEN 0 THEN '# header comment' || chr(10) "
+    "WHEN 1 THEN '// js note' || chr(10) || '   // indented' || chr(10) "
+    "WHEN 3 THEN '/* block open' || chr(10) || ' * body' || chr(10) "
+    "ELSE '' END || text"
+)
+
+
+def q_extract_symbols(spark, sf_dir):
+    """X75 — symbol-definition extraction (function/class/type per
+    language) over planted definitions: the tree-sitter-less symbol
+    table. Map-only per-(lang,kind) JVM regexes. operators/code.py."""
+    from scrapix_spark.operators import code as C
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_IMP_LANG_SQL).alias("lang2"),
+        F.expr(_SYM_SRC_SQL).alias("content"),
+    )
+    return C.extract_symbols(docs, "content", "lang2", "doc_id").select(
+        "doc_id", F.col("lang").alias("code_lang"), "kind", "symbol"
+    )
+
+
+def q_comment_signals(spark, sf_dir):
+    """X76 — comment-density signals + full-line comment stripping over
+    planted per-language comment lines; one split shared by every
+    output column, map-only. operators/code.py comment_signals."""
+    from scrapix_spark.operators import code as C
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_IMP_LANG_SQL).alias("lang2"),
+        F.expr(_COMMENT_SRC_SQL).alias("content"),
+    )
+    out = C.comment_signals(docs, "content", "lang2")
+    return out.select(
+        "doc_id", "n_lines", "n_comment_lines",
+        F.round("comment_ratio", 6).alias("comment_ratio"), "code_text",
+    )
+
+
+_EMBED_DIM = 32
+
+
+def q_hashing_embed(spark, sf_dir):
+    """X77 — feature-hashing TF-IDF embeddings (Weinberger et al. 2009
+    hashing trick): signed tf-idf masses folded into a fixed-dim vector
+    per document, no vocabulary state. The token hash is a polynomial
+    code-point fold replicated EXACTLY in the DuckDB oracle
+    (similarity.token_hash31_sql) — never an engine-private hash.
+    Output exploded to (doc_id, pos, val) rows so the driver's value
+    hash compares scalars, not array renderings."""
+    from scrapix_spark.operators import similarity as SIM
+
+    emb = SIM.hashing_tfidf_embeddings(
+        _docs(spark, sf_dir), "text", "doc_id", dim=_EMBED_DIM
+    )
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "val")
+
+
 def q_code_quality(spark, sf_dir):
     """StarCoder/The-Stack code quality rules over planted long-line /
     autogen / symbol-soup noise; map-only. operators/code.py (X63)."""
@@ -2719,10 +2793,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry sample gates the never-gated
     # surfaces first: round-3 additions lead (code-curation family,
-    # then the X51-X62 ops), followed by the round-2 never-driver-gated
-    # set (search API, geo, hybrid/federated, curation, grammar); the
-    # remainder were gated in r01/r02 and stay locally gated via
-    # tools/check_oracles.py every session.
+    # CJK/ppl/suggest/graph, then the X51-X62 ops), followed by the
+    # round-2 never-driver-gated set (search API, geo, hybrid/
+    # federated, curation, grammar); the remainder were gated in
+    # r01/r02 and stay locally gated via tools/check_oracles.py
+    # (run with no args = full registry, exits nonzero on any failure
+    # or missing oracle) every session.
     return {
         "code_quality_rules": q_code_quality,
         "license_detect": q_license_detect,
@@ -2734,6 +2810,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_query": q_suggest_query,
         "import_edges": q_import_edges,
         "pagerank": q_pagerank,
+        "extract_symbols": q_extract_symbols,
+        "comment_signals": q_comment_signals,
+        "hashing_embed": q_hashing_embed,
         "lm_perplexity": q_lm_perplexity,
         "jpeg_decode": q_jpeg_decode,
         "ann_sq8_topk": q_ann_sq8_topk,
@@ -4011,6 +4090,88 @@ FROM fp
 """
 
 
+def _hashing_embed_sql() -> str:
+    """Oracle for feature-hashing embeddings: replay tf/df/N, the
+    polynomial token hash (token_hash31_sql), signed bucket masses and
+    the dense explode (buckets absent from a doc emit 0.0)."""
+    from scrapix_spark.operators.similarity import token_hash31_sql
+
+    tok = TOK_EXPR("text")
+    h = token_hash31_sql("term")
+    d = _EMBED_DIM
+    return f"""
+WITH t AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+m AS (SELECT tf.doc_id,
+             (({h}) // 2) % {d} AS bucket,
+             (CASE WHEN ({h}) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+               * tf.tf * ln((nn.n + 1)::DOUBLE / (df.df + 1)) AS mass
+      FROM tf JOIN df USING (term) CROSS JOIN nn),
+b AS (SELECT doc_id, bucket, sum(mass) AS v FROM m
+      GROUP BY doc_id, bucket),
+docs AS (SELECT DISTINCT doc_id FROM tf),
+grid AS (SELECT d.doc_id, p.pos
+         FROM docs d, (SELECT unnest(range({d})) AS pos) p)
+SELECT g.doc_id, g.pos::BIGINT AS pos,
+       round(coalesce(b.v, 0.0), 6) AS val
+FROM grid g LEFT JOIN b ON b.doc_id = g.doc_id AND b.bucket = g.pos
+"""
+
+
+def _extract_symbols_sql() -> str:
+    """Oracle for symbol extraction: one UNION ALL arm per
+    (language, kind) pattern, identical pattern strings."""
+    from scrapix_spark.operators.code import SYMBOL_PATTERNS
+
+    arms = []
+    for lang, pats in SYMBOL_PATTERNS.items():
+        for kind, pat in pats:
+            arms.append(
+                f"SELECT doc_id, code_lang, '{kind}' AS kind, u.symbol "
+                f"FROM s, unnest(regexp_extract_all(t, '{pat}', 1)) "
+                f"AS u(symbol) WHERE code_lang = '{lang}' AND u.symbol <> ''"
+            )
+    union = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH s AS (SELECT doc_id, {_IMP_LANG_SQL} AS code_lang,
+                  {_SYM_SRC_SQL} AS t FROM documents)
+SELECT DISTINCT doc_id, code_lang, kind, symbol FROM ({union})
+"""
+
+
+def _comment_signals_sql() -> str:
+    """Oracle for comment signals: the same per-language full-line
+    pattern dispatched by CASE ('$^' matches nothing for languages
+    without one), list_filter + array_to_string replay."""
+    from scrapix_spark.operators.code import LINE_COMMENT_PATTERNS
+
+    case = "CASE code_lang " + " ".join(
+        f"WHEN '{lang}' THEN '{pat}'"
+        for lang, pat in LINE_COMMENT_PATTERNS.items()
+    ) + " ELSE '$^' END"
+    return f"""
+WITH s AS (SELECT doc_id, {_IMP_LANG_SQL} AS code_lang,
+                  {_COMMENT_SRC_SQL} AS t FROM documents),
+l AS (SELECT doc_id, string_split(coalesce(t, ''), chr(10)) AS ls,
+             {case} AS pat FROM s),
+m AS (SELECT doc_id,
+        len(ls)::BIGINT AS n_lines,
+        len(list_filter(ls, x -> regexp_matches(x, pat)))::BIGINT
+          AS n_comment_lines,
+        array_to_string(list_filter(ls, x -> NOT regexp_matches(x, pat)),
+                        chr(10)) AS code_text
+      FROM l)
+SELECT doc_id, n_lines, n_comment_lines,
+       round(n_comment_lines::DOUBLE / greatest(n_lines, 1), 6)
+         AS comment_ratio,
+       code_text
+FROM m
+"""
+
+
 def _import_edges_sql() -> str:
     """Oracle for import extraction: identical pattern strings via
     regexp_extract_all, per-arm group concat for js, distinct."""
@@ -4126,6 +4287,9 @@ def oracle_sql() -> dict[str, str]:
         "suggest_query": _suggest_sql(),
         "import_edges": _import_edges_sql(),
         "pagerank": _pagerank_sql(),
+        "extract_symbols": _extract_symbols_sql(),
+        "comment_signals": _comment_signals_sql(),
+        "hashing_embed": _hashing_embed_sql(),
         "tokenize_tf": _tf_sql(),
         "term_df": (
             f"SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf "

@@ -168,6 +168,9 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "tfidf_keywords", "top_ngrams",
         "code_quality_rules", "license_detect", "secret_scan",
         "repo_stats", "pack_sequences",
+        # round-3b additions
+        "tokenize_cjk", "ppl_buckets", "suggest_query", "import_edges",
+        "pagerank", "extract_symbols", "comment_signals", "hashing_embed",
     ]
     out = {}
     for name in headline:

@@ -479,3 +479,99 @@ def cosine_topk_sq8(
         F.broadcast(cand.select("id")), F.col(id_col) == F.col("id"), "left_semi"
     )
     return cosine_topk_bruteforce(exact_src, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ------------------------------------------- feature-hashing embeddings
+
+HASH_MOD = 2_147_483_647  # 2^31 - 1: products stay inside a 64-bit long
+
+
+def _token_hash31(t):
+    """Deterministic polynomial code-point hash as a NATIVE expression:
+    fold acc = (acc*31 + codepoint) % (2^31-1) over the token's chars,
+    init 7. Code points (not bytes), so the DuckDB replica — the same
+    fold via list_reduce/ord — is exact for any unicode token; never
+    xxhash64/crc32, whose cross-engine replicas don't exist."""
+    cps = F.transform(
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: F.ascii(F.substr(t, i, F.lit(1))).cast("bigint"),
+    )
+    return F.aggregate(
+        cps, F.lit(7).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % HASH_MOD,
+    )
+
+
+def token_hash31_sql(expr: str) -> str:
+    """DuckDB replica of _token_hash31 (same fold, same init)."""
+    return (
+        f"list_reduce(list_prepend(7::BIGINT, "
+        f"list_transform(range(1, length({expr}) + 1), "
+        f"i -> ord(substr({expr}, i::INT, 1))::BIGINT)), "
+        f"(acc, x) -> (acc * 31 + x) % {HASH_MOD})"
+    )
+
+
+def hashing_tfidf_embeddings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashing TF-IDF document embeddings (X77, the hashing
+    trick — Weinberger et al. 2009, the classic HashingTF): each term
+    hashes to a bucket with a ±1 sign hash; the document vector is the
+    signed sum of tf·idf masses per bucket. No vocabulary relation, no
+    model state — the embedding that bootstraps the ANN family
+    (cosine/LSH/IVF/SQ8 all consume it) from raw text alone.
+
+    bucket = (h/2) mod dim and sign = ±1 from h's low bit, where h is
+    the SQL-replicable polynomial fold (_token_hash31); idf is the
+    smoothed ln((N+1)/(df+1)). Elements round to 6dp (float-sum
+    determinism across engines, the BM25-oracle convention).
+
+    Plan shape: one tokenize+explode, tf/df hash aggregations with
+    map-side combine (keys: (doc,term)/(term)), N as a 1-row broadcast
+    crossJoin, and the vector assembly is map_from_entries over the
+    per-doc collected (bucket, mass) pairs — at most `dim` entries per
+    doc, never a dim-wide shuffle row.
+    """
+    from scrapix_spark.functions.tokenize import tokens_native
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_native(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = df.select(F.count("*").alias("n"))
+    h = _token_hash31(F.col("term"))
+    masses = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("_h", h)
+        .withColumn("bucket", ((F.col("_h") / 2).cast("bigint") % dim))
+        .withColumn(
+            "sign",
+            F.when(F.col("_h") % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+        )
+        .withColumn(
+            "mass",
+            F.col("sign") * F.col("tf")
+            * F.log((F.col("n") + 1) / (F.col("df") + 1)),
+        )
+        .groupBy("id", "bucket")
+        .agg(F.sum("mass").alias("v"))
+    )
+    vecs = masses.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "v"))
+        ).alias("_m")
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.round(
+            F.coalesce(F.col("_m")[i.cast("bigint")], F.lit(0.0)), 6
+        ),
+    )
+    return vecs.select(F.col("id").alias(id_col), emb.alias("embedding"))

@@ -541,3 +541,50 @@ def test_perplexity_buckets(spark):
     )
     assert sampled.filter("ppl_bucket IS NULL").count() == 0
     assert sampled.count() == 12
+
+
+def test_hashing_tfidf_embeddings(spark):
+    """X77: feature-hashing embeddings match a from-scratch python
+    replay (same polynomial hash, sign, smoothed idf), are
+    partitioning-invariant, and omit token-less documents."""
+    import math
+
+    from scrapix_spark.operators.similarity import (
+        HASH_MOD, hashing_tfidf_embeddings,
+    )
+
+    def h31(t):
+        acc = 7
+        for ch in t:
+            acc = (acc * 31 + ord(ch)) % HASH_MOD
+        return acc
+
+    rows = [(1, "alpha beta beta"), (2, "alpha gamma"), (3, "")]
+    dim, n = 8, len(rows)
+    tf = {1: {"alpha": 1, "beta": 2}, 2: {"alpha": 1, "gamma": 1}}
+    df_ = {"alpha": 2, "beta": 1, "gamma": 1}
+    want = {}
+    for doc, terms in tf.items():
+        v = [0.0] * dim
+        for t, c in terms.items():
+            h = h31(t)
+            sign = 1.0 if h % 2 == 0 else -1.0
+            v[(h // 2) % dim] += sign * c * math.log((n + 1) / (df_[t] + 1))
+        want[doc] = [round(x, 6) for x in v]
+
+    src = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: list(r["embedding"])
+        for r in hashing_tfidf_embeddings(src, dim=dim).collect()
+    }
+    assert set(got) == {1, 2}  # the token-less doc is omitted
+    for doc in want:
+        assert got[doc] == pytest.approx(want[doc], abs=1e-9), doc
+    # partitioning invariance (rounding + exact hash -> identical)
+    got2 = {
+        r["doc_id"]: list(r["embedding"])
+        for r in hashing_tfidf_embeddings(
+            src.repartition(7), dim=dim
+        ).collect()
+    }
+    assert got == got2
