@@ -561,6 +561,48 @@ def q_streaming_upsert_topk(spark, sf_dir):
     )
 
 
+def _for_index(spark: SparkSession, sf_dir: str) -> str:
+    """_entry_index built under IndexConfig.codec='for' (X78: the FOR
+    bitpacked block codec) — cached separately; same corpus, same
+    query semantics, different segment bytes."""
+    import re as _re
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import build_index
+
+    d = "/tmp/for_index_" + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    if not os.path.exists(os.path.join(d, "_CURRENT")):
+        raw = _docs(spark, sf_dir).select(
+            F.col("source").alias("repo"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+        build_index(
+            spark, raw, d,
+            IndexConfig(index_uid="entry_for", n_shards=8,
+                        exclude_paginated=False, codec="for"),
+            build_id="0001",
+        )
+    return d
+
+
+def q_bm25_for_codec_topk(spark, sf_dir):
+    """X78 — block-max pruned top-10 over an index whose segments use
+    the FOR bitpacked codec (IndexConfig.codec='for'): per-block width
+    headers, doc-id gaps anchored on first_doc_id metadata. The oracle
+    is the SAME full-scoring BM25 SQL as the varint WAND gate — the
+    codec is lossless and invisible above the block layer, end to end
+    through build, publish and the pruning kernel."""
+    idx = _for_index(spark, sf_dir)
+    topk = Q.bm25_topk_pruned(spark, idx, WAND_QUERY, 10, hydrate=True)
+    return topk.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_bm25_wand_topk(spark, sf_dir):
     """T3/M5: block-max WAND top-10 over a PUBLISHED index (compressed
     delta+varint segments, per-shard pruning kernel + global merge).
@@ -2813,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_symbols": q_extract_symbols,
         "comment_signals": q_comment_signals,
         "hashing_embed": q_hashing_embed,
+        "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "lm_perplexity": q_lm_perplexity,
         "jpeg_decode": q_jpeg_decode,
         "ann_sq8_topk": q_ann_sq8_topk,
@@ -4290,6 +4333,11 @@ def oracle_sql() -> dict[str, str]:
         "extract_symbols": _extract_symbols_sql(),
         "comment_signals": _comment_signals_sql(),
         "hashing_embed": _hashing_embed_sql(),
+        "bm25_for_codec_topk": _bm25_scored_sql(Q.query_terms(WAND_QUERY))
+        + """
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
+""",
         "tokenize_tf": _tf_sql(),
         "term_df": (
             f"SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf "

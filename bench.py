@@ -171,6 +171,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         # round-3b additions
         "tokenize_cjk", "ppl_buckets", "suggest_query", "import_edges",
         "pagerank", "extract_symbols", "comment_signals", "hashing_embed",
+        "bm25_for_codec_topk",
     ]
     out = {}
     for name in headline:

@@ -92,6 +92,13 @@ class IndexConfig:
     sorted_staging: bool = False
     n_shards: int = DEFAULT_N_SHARDS
     block_size: int = DEFAULT_BLOCK_SIZE
+    # posting-block byte codec: 'varint' (delta + LEB128, the default)
+    # or 'for' (frame-of-reference bitpacking: per-block width header,
+    # doc-id gaps anchored on the block's first_doc_id metadata —
+    # smaller blocks, per-block encode overhead; see operators/codec).
+    # Index-affecting: baked into every segment byte, so changing it via
+    # update_settings reindexes (NOT in QUERY_TIME_SETTINGS, like k1/b).
+    codec: str = "varint"
     batch_size: int = DEFAULT_BATCH_SIZE
     # LSM merge policy (the Lucene TieredMergePolicy / Meilisearch
     # auto-compaction analog, OPT-IN): after a delta/upsert publish

@@ -320,3 +320,172 @@ def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     tf = varint_decode(row["tfs_enc"]).astype(np.int64)
     dl = varint_decode(row["dls_enc"]).astype(np.int64)
     return ids, tf, dl
+
+
+# ---------------------------------------------------------------------
+# Alternative block codec: FOR (frame-of-reference) bitpacking.
+# Format per stream per block: 1 header byte = bit width w (0 = all
+# values zero), then ceil(n*w/8) bytes of little-endian-bit packed
+# values. doc_id streams store per-block deltas with the BLOCK-FIRST
+# delta forced to 0 — the absolute first id already lives in the
+# block's `first_doc_id` metadata column, so the widest value a block
+# ever packs is its largest gap, not a 63-bit absolute id (the point
+# of FOR). Lossless; selected per index via IndexConfig.codec and
+# baked into meta.json like k1/b (an index-affecting setting).
+# ---------------------------------------------------------------------
+
+CODECS = ("varint", "for")
+
+
+def pack_bits(values: np.ndarray) -> bytes:
+    """Bitpack a non-negative int array at its minimal fixed width."""
+    a = np.asarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return bytes([0])
+    m = int(a.max())
+    if m == 0:
+        return bytes([0])
+    width = m.bit_length()
+    bits = (
+        (a[:, None] >> np.arange(width, dtype=np.uint64)) & np.uint64(1)
+    ).astype(np.uint8)
+    return bytes([width]) + np.packbits(
+        bits.ravel(), bitorder="little"
+    ).tobytes()
+
+
+def unpack_bits(buf: bytes, n: int) -> np.ndarray:
+    """Inverse of pack_bits given the value count."""
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    width = buf[0]
+    if width == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8, offset=1),
+        bitorder="little", count=n * width,
+    )
+    vals = bits.reshape(n, width).astype(np.uint64) << np.arange(
+        width, dtype=np.uint64
+    )
+    return vals.sum(axis=1, dtype=np.uint64)
+
+
+def encode_partition_for(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    run_starts: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+) -> dict:
+    """encode_partition with the FOR bitpacked block format. Identical
+    output structure/metadata; only the *_enc byte formats differ.
+
+    Packing runs per block (each block has its own width header), with
+    the block/run math shared with the varint path. Per-block python
+    overhead is the documented tradeoff vs the fully-stream-vectorized
+    varint encoder — encode cost is one-time; the read side stays
+    batch-vectorized per width via unpack_bits."""
+    n = doc_ids.size
+    base = encode_partition(
+        doc_ids, tfs, dls, run_starts, avgdl, k1, b, block_size
+    )
+    if n == 0:
+        return base
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    run_starts = np.asarray(run_starts, dtype=np.int64)
+    run_ends = np.concatenate((run_starts[1:], [n]))
+    run_lens = run_ends - run_starts
+    nblocks = ((run_lens + block_size - 1) // block_size).astype(np.int64)
+    run_idx = np.repeat(np.arange(run_starts.size, dtype=np.int64), nblocks)
+    first_block_of_run = np.concatenate(([0], np.cumsum(nblocks)[:-1]))
+    block_id = (
+        np.arange(int(nblocks.sum()), dtype=np.int64)
+        - first_block_of_run[run_idx]
+    )
+    block_starts = run_starts[run_idx] + block_id * block_size
+    block_ends = np.minimum(block_starts + block_size, run_ends[run_idx])
+
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = np.uint64(0)
+    if n > 1:
+        deltas[1:] = np.diff(ids).astype(np.uint64)
+    deltas[block_starts] = np.uint64(0)  # absolute id rides metadata
+
+    tfs_u = np.asarray(tfs, dtype=np.uint64)
+    dls_u = np.asarray(dls, dtype=np.uint64)
+    for name, vals in (("doc_ids_enc", deltas), ("tfs_enc", tfs_u),
+                       ("dls_enc", dls_u)):
+        base[name] = [
+            pack_bits(vals[lo:hi])
+            for lo, hi in zip(block_starts, block_ends)
+        ]
+    return base
+
+
+def decode_blocks_batch_for(
+    doc_ids_enc: list, tfs_enc: list, dls_enc: list, n_docs, first_doc_ids
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch-decode FOR blocks. Per-block unpack (widths vary), then
+    ONE segment-wise cumsum re-anchored at each block's first_doc_id
+    recovers absolute ids — same reconstruction shape as the varint
+    batch decoder, plus the metadata anchor."""
+    nd = np.asarray(n_docs, dtype=np.int64)
+    if nd.size == 0 or nd.sum() == 0:
+        e = np.empty(0, np.int64)
+        return e, e.copy(), e.copy()
+    deltas = np.concatenate(
+        [unpack_bits(b_, int(k)) for b_, k in zip(doc_ids_enc, nd)]
+    )
+    starts = np.concatenate(([0], np.cumsum(nd)[:-1]))
+    cs = np.cumsum(deltas, dtype=np.uint64)
+    prev = np.where(starts > 0, cs[starts - 1], np.uint64(0))
+    rel = (cs - np.repeat(prev, nd)).astype(np.int64)
+    ids = rel + np.repeat(np.asarray(first_doc_ids, dtype=np.int64), nd)
+    tf = np.concatenate(
+        [unpack_bits(b_, int(k)) for b_, k in zip(tfs_enc, nd)]
+    ).astype(np.int64)
+    dl = np.concatenate(
+        [unpack_bits(b_, int(k)) for b_, k in zip(dls_enc, nd)]
+    ).astype(np.int64)
+    return ids, tf, dl
+
+
+def encode_partition_codec(codec: str, *args, **kwargs) -> dict:
+    """Dispatch: 'varint' (default) or 'for'."""
+    if codec == "for":
+        return encode_partition_for(*args, **kwargs)
+    if codec == "varint":
+        return encode_partition(*args, **kwargs)
+    raise ValueError(f"unknown codec {codec!r} (choose from {CODECS})")
+
+
+def decode_blocks_batch_codec(
+    codec: str, doc_ids_enc, tfs_enc, dls_enc, n_docs, first_doc_ids=None
+):
+    """Dispatch: 'varint' ignores first_doc_ids (absolute ids are in
+    the stream); 'for' requires it."""
+    if codec == "for":
+        return decode_blocks_batch_for(
+            doc_ids_enc, tfs_enc, dls_enc, n_docs, first_doc_ids
+        )
+    if codec == "varint":
+        return decode_blocks_batch(doc_ids_enc, tfs_enc, dls_enc, n_docs)
+    raise ValueError(f"unknown codec {codec!r} (choose from {CODECS})")
+
+
+def decode_block_codec(codec: str, row):
+    """Single-row dispatch (mapping with *_enc, n_docs, first_doc_id)."""
+    if codec == "for":
+        n = int(row["n_docs"])
+        deltas = unpack_bits(row["doc_ids_enc"], n).astype(np.int64)
+        ids = int(row["first_doc_id"]) + np.cumsum(deltas)
+        tf = unpack_bits(row["tfs_enc"], n).astype(np.int64)
+        dl = unpack_bits(row["dls_enc"], n).astype(np.int64)
+        return ids, tf, dl
+    if codec == "varint":
+        return decode_block(row)
+    raise ValueError(f"unknown codec {codec!r} (choose from {CODECS})")

@@ -411,7 +411,7 @@ def _build_index_inner(
             part = part.filter(pred)
             enc = P.encode_presorted(
                 part, stats["avgdl"], cfg.k1, cfg.b, cfg.block_size,
-                tb_bits,
+                tb_bits, block_codec=cfg.codec,
             )
             enc.write.mode("overwrite").partitionBy("tb").parquet(batch_dir)
         else:
@@ -424,6 +424,7 @@ def _build_index_inner(
             enc = P.encode_segments(
                 part, stats["avgdl"], cfg.k1, cfg.b, cfg.block_size,
                 num_partitions=batch_parts, tb_bits=tb_bits,
+                block_codec=cfg.codec,
             )
             # tb directories = analytic term-range partitions: query-term
             # lookups prune whole directories before any footer is read
@@ -1080,6 +1081,7 @@ def compact(
     merged = P.merge_segments(
         seg, avgdl, cfg.k1, cfg.b, cfg.block_size,
         num_partitions=n_parts,
+        block_codec=cfg.codec,
         # executor-side per-shard tombstone sidecars (never a driver
         # collect: at 10^9+ deletes the dead set must not route through
         # the driver); the merge kernel reads its own shard's files
@@ -1104,7 +1106,7 @@ def compact(
     from scrapix_spark.operators.query import _decode_blocks_df
 
     mseg = spark.read.parquet(os.path.join(build_dir, "segments")).drop("batch")
-    exact = _decode_blocks_df(mseg).groupBy("term_id").agg(
+    exact = _decode_blocks_df(mseg, cfg.codec).groupBy("term_id").agg(
         F.count("*").alias("df"), F.sum("tf").alias("cf")
     )
     strings = read_dict(spark, index_dir).select("term", "term_id").dropDuplicates(

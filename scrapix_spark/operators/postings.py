@@ -273,6 +273,7 @@ def encode_presorted(
     b: float,
     block_size: int,
     tb_bits: int,
+    block_codec: str = "varint",
 ) -> DataFrame:
     """encode_segments for input ALREADY distributed on (tb, shard) and
     sorted by (term_id, shard, doc_id) within partitions — a pure map
@@ -283,7 +284,8 @@ def encode_presorted(
     keyed = postings.select(
         F.xxhash64("term").alias("term_id"), "shard", "doc_id", "tf", "dl"
     )
-    return _encode_stream(keyed, avgdl, k1, b, block_size, tb_bits)
+    return _encode_stream(keyed, avgdl, k1, b, block_size, tb_bits,
+                          block_codec)
 
 
 def encode_segments(
@@ -294,6 +296,7 @@ def encode_segments(
     block_size: int,
     num_partitions: int | None = None,
     tb_bits: int | None = None,
+    block_codec: str = "varint",
 ) -> DataFrame:
     """Postings → encoded block rows, one row per (term_id, shard, block).
 
@@ -317,12 +320,13 @@ def encode_segments(
     else:
         ordered = keyed.repartition("tb", "shard")
     ordered = ordered.drop("tb").sortWithinPartitions("term_id", "shard", "doc_id")
-    return _encode_stream(ordered, avgdl, k1, b, block_size, kb)
+    return _encode_stream(ordered, avgdl, k1, b, block_size, kb,
+                          block_codec)
 
 
 def _encode_stream(
     ordered: DataFrame, avgdl: float, k1: float, b: float,
-    block_size: int, kb: int,
+    block_size: int, kb: int, block_codec: str = "varint",
 ) -> DataFrame:
     """The Arrow encode kernel over (term_id, shard, doc_id)-sorted
     partitions: complete runs encode per batch, the trailing run is held
@@ -340,8 +344,8 @@ def _encode_stream(
 
     def emit(tids, shards, ids, tf, dl, run_starts):
         """Encode complete runs → one RecordBatch of block rows."""
-        enc = codec.encode_partition(
-            ids, tf, dl, run_starts, avgdl, k1, b, block_size
+        enc = codec.encode_partition_codec(
+            block_codec, ids, tf, dl, run_starts, avgdl, k1, b, block_size
         )
         ri = enc["run_idx"]
         rs = run_starts[ri]
@@ -413,6 +417,7 @@ def merge_segments(
     tb_bits: int | None = None,
     dead_ids=None,
     dead_paths: list[str] | None = None,
+    block_codec: str = "varint",
 ) -> DataFrame:
     """Merge stage (U4): union of segment block rows → one merged list
     per (term_id, shard), re-blocked and re-encoded — the LSM/Lucene
@@ -485,7 +490,9 @@ def merge_segments(
         new_rs = np.concatenate(
             ([0], np.flatnonzero(run_id[1:] != run_id[:-1]) + 1)
         ).astype(np.int64)
-        enc = codec.encode_partition(ids, tf, dl, new_rs, avgdl, k1, b, block_size)
+        enc = codec.encode_partition_codec(
+            block_codec, ids, tf, dl, new_rs, avgdl, k1, b, block_size
+        )
         ri = enc["run_idx"]
         out_run = run_id[new_rs][ri]
         return pa.RecordBatch.from_arrays(
@@ -525,11 +532,13 @@ def merge_segments(
             n_docs = batch.column("n_docs").to_numpy(zero_copy_only=False)
             btid = batch.column("term_id").to_numpy(zero_copy_only=False)
             bshard = batch.column("shard").to_numpy(zero_copy_only=False)
-            ids, tf, dl = codec.decode_blocks_batch(
+            ids, tf, dl = codec.decode_blocks_batch_codec(
+                block_codec,
                 batch.column("doc_ids_enc").to_pylist(),
                 batch.column("tfs_enc").to_pylist(),
                 batch.column("dls_enc").to_pylist(),
                 n_docs,
+                batch.column("first_doc_id").to_numpy(zero_copy_only=False),
             )
             tids = np.repeat(btid, n_docs)
             shards = np.repeat(bshard, n_docs)

@@ -196,6 +196,8 @@ class IndexReader:
         self.spark = spark
         self.index_dir = index_dir
         self.meta = IX.load_meta(index_dir)
+        # posting-block byte codec, baked at build time (IndexConfig.codec)
+        self._codec = (self.meta.get("config") or {}).get("codec", "varint")
         # query-side tokenizer: custom indexes record their settings in
         # the stored config; queries MUST segment like the build did
         tok_set = (self.meta.get("config") or {}).get("tokenizer")
@@ -306,7 +308,9 @@ class IndexReader:
         drows = self.resolve_terms(self._query_terms(q))
         tids = [tid for _, tid, _ in drows]
         seg = self._segments_for(tids)
-        post = self._drop_dead(_decode_blocks_df(seg)).withColumnRenamed(
+        post = self._drop_dead(
+            _decode_blocks_df(seg, self._codec)
+        ).withColumnRenamed(
             "term_id", "term"
         )
         tstats = self.spark.createDataFrame(
@@ -335,6 +339,7 @@ class IndexReader:
         seg = self._segments_for(list(idf_map))
         avgdl, k1, b = meta["avgdl"], meta["k1"], meta["b"]
         tomb_paths = self._tomb_paths
+        bcodec = self._codec
 
         def shard_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
             # executor-side: read this shard's dead ids from the
@@ -343,7 +348,8 @@ class IndexReader:
                 IX.dead_ids_for_shard(tomb_paths, int(key[0]))
                 if tomb_paths else None
             )
-            return _blockmax_topk_kernel(pdf, idf_map, avgdl, k1, b, k, dead)
+            return _blockmax_topk_kernel(pdf, idf_map, avgdl, k1, b, k, dead,
+                                         block_codec=bcodec)
 
         per_shard = seg.groupBy("shard").applyInPandas(
             shard_topk, schema="doc_id long, score double"
@@ -404,7 +410,8 @@ class IndexReader:
                 [], "doc_id long, score double, n_matched int"
             )
             return self._hydrate(empty) if hydrate else empty
-        post = self._drop_dead(_decode_blocks_df(self._segments_for(all_tids)))
+        post = self._drop_dead(
+            _decode_blocks_df(self._segments_for(all_tids), self._codec))
         # a term can play BOTH roles (an exact query word that the
         # prefix also matches) — it then contributes in both groups,
         # exactly like the table-level operator and its SQL oracle
@@ -490,7 +497,8 @@ class IndexReader:
         if not mapping_rows:
             return self._hydrate(empty) if hydrate else empty
         tids = sorted({t for t, _, _ in mapping_rows})
-        post = self._drop_dead(_decode_blocks_df(self._segments_for(tids)))
+        post = self._drop_dead(
+            _decode_blocks_df(self._segments_for(tids), self._codec))
         mapping = self.spark.createDataFrame(
             mapping_rows, "term_id long, wi int, idf double"
         )
@@ -719,7 +727,7 @@ class IndexReader:
         drows = self.resolve_terms(self._query_terms(q))
         tids = [tid for _, tid, _ in drows]
         post = self._drop_dead(
-            _decode_blocks_df(self._segments_for(tids))
+            _decode_blocks_df(self._segments_for(tids), self._codec)
         ).withColumnRenamed("term_id", "term")
         tstats = self.spark.createDataFrame(
             [(tid, df) for _, tid, df in drows], "term long, df long"
@@ -783,7 +791,8 @@ class IndexReader:
         if not rows and not prow:
             return self.spark.createDataFrame([], schema)
         tids = sorted({r[0] for r in rows} | {r[1] for r in prow})
-        post = self._drop_dead(_decode_blocks_df(self._segments_for(tids)))
+        post = self._drop_dead(
+            _decode_blocks_df(self._segments_for(tids), self._codec))
 
         def contrib(df_col):
             return bm25_score_expr(
@@ -876,7 +885,7 @@ class IndexReader:
         if not tids:
             return self.spark.createDataFrame([], "doc_id long")
         return (
-            _decode_blocks_df(self._segments_for(tids))
+            _decode_blocks_df(self._segments_for(tids), self._codec)
             .select("doc_id").distinct()
         )
 
@@ -1430,20 +1439,23 @@ def bm25_topk_full(
     return IndexReader(spark, index_dir).topk_full(q, k, hydrate)
 
 
-def _decode_blocks_df(seg: DataFrame) -> DataFrame:
+def _decode_blocks_df(seg: DataFrame, block_codec: str = "varint") -> DataFrame:
     """Encoded block rows → (term_id, doc_id, tf, dl) via Arrow
     mapInPandas — all blocks of a batch decoded in three vectorized
     stream passes (codec.decode_blocks_batch), one output frame per
-    batch (the per-block pd.DataFrame constructor dominated decode)."""
+    batch (the per-block pd.DataFrame constructor dominated decode).
+    `block_codec` comes from the index meta (IndexConfig.codec)."""
     def decode(batches):
         for pdf in batches:
             if not len(pdf):
                 yield pd.DataFrame(columns=["term_id", "doc_id", "tf", "dl"])
                 continue
             nd = pdf["n_docs"].to_numpy()
-            ids, tf, dl = codec.decode_blocks_batch(
+            ids, tf, dl = codec.decode_blocks_batch_codec(
+                block_codec,
                 pdf["doc_ids_enc"].tolist(), pdf["tfs_enc"].tolist(),
                 pdf["dls_enc"].tolist(), nd,
+                pdf["first_doc_id"].to_numpy(),
             )
             yield pd.DataFrame({
                 "term_id": np.repeat(pdf["term_id"].to_numpy(), nd),
@@ -1471,6 +1483,7 @@ def _blockmax_topk_kernel(
     b: float,
     k: int,
     dead: "np.ndarray | None" = None,
+    block_codec: str = "varint",
 ) -> pd.DataFrame:
     """Vectorized block-max MaxScore over one shard's query-term blocks.
 
@@ -1496,7 +1509,7 @@ def _blockmax_topk_kernel(
     sum_U = sum(U.values())
 
     def contributions(row, t):
-        ids, tf, dl = codec.decode_block(row)
+        ids, tf, dl = codec.decode_block_codec(block_codec, row)
         if dead is not None and len(dead) and ids.size:
             pos = np.searchsorted(dead, ids)
             pos[pos >= len(dead)] = 0
@@ -1529,9 +1542,11 @@ def _blockmax_topk_kernel(
         if not len(surv):
             continue
         nd = surv["n_docs"].to_numpy()
-        ids, tf, dl = codec.decode_blocks_batch(
+        ids, tf, dl = codec.decode_blocks_batch_codec(
+            block_codec,
             surv["doc_ids_enc"].tolist(), surv["tfs_enc"].tolist(),
             surv["dls_enc"].tolist(), nd,
+            surv["first_doc_id"].to_numpy(),
         )
         if dead is not None and len(dead) and ids.size:
             pos = np.searchsorted(dead, ids)

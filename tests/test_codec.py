@@ -154,3 +154,111 @@ def test_decode_blocks_batch_matches_per_block_and_survives_overflow():
         assert np.array_equal(dl_b[off:off + n], dl)
         off += n
     assert off == ids_b.size
+
+
+# ---------------------------------------------------------------- FOR codec
+
+def test_pack_bits_roundtrip_properties():
+    import numpy as np
+
+    from scrapix_spark.operators.codec import pack_bits, unpack_bits
+
+    rng = np.random.default_rng(7)
+    for _ in range(100):
+        n = int(rng.integers(0, 300))
+        hi = int(rng.choice([1, 2, 255, 2**16, 2**40]))
+        a = rng.integers(0, hi, n).astype(np.uint64)
+        assert np.array_equal(unpack_bits(pack_bits(a), n), a)
+    # all-zero and empty edge cases: header-only buffers
+    assert pack_bits(np.zeros(5, np.uint64)) == bytes([0])
+    assert np.array_equal(
+        unpack_bits(bytes([0]), 5), np.zeros(5, np.uint64)
+    )
+    assert pack_bits(np.empty(0, np.uint64)) == bytes([0])
+
+
+def test_encode_partition_for_matches_varint_decode():
+    import numpy as np
+
+    from scrapix_spark.operators import codec as C
+
+    rng = np.random.default_rng(3)
+    ids = np.cumsum(rng.integers(1, 500, 1000)).astype(np.int64)
+    tf = rng.integers(1, 40, 1000).astype(np.int64)
+    dl = rng.integers(1, 3000, 1000).astype(np.int64)
+    rs = np.array([0, 337, 801], np.int64)
+    v = C.encode_partition_codec("varint", ids, tf, dl, rs, 80.0, 1.2, 0.75, 64)
+    f = C.encode_partition_codec("for", ids, tf, dl, rs, 80.0, 1.2, 0.75, 64)
+    for k in ("run_idx", "block_id", "n_docs", "first_doc_id",
+              "last_doc_id", "block_max_impact"):
+        assert np.array_equal(np.asarray(v[k]), np.asarray(f[k])), k
+    di, dt, dd = C.decode_blocks_batch_codec(
+        "for", f["doc_ids_enc"], f["tfs_enc"], f["dls_enc"],
+        f["n_docs"], f["first_doc_id"],
+    )
+    assert np.array_equal(di, ids)
+    assert np.array_equal(dt, tf) and np.array_equal(dd, dl)
+    # FOR is smaller on gap-dominated streams (absolute ids never packed)
+    fb = sum(map(len, f["doc_ids_enc"]))
+    vb = sum(map(len, v["doc_ids_enc"]))
+    assert fb < vb
+
+
+def test_unknown_codec_raises():
+    import numpy as np
+
+    import pytest as _pytest
+
+    from scrapix_spark.operators import codec as C
+
+    with _pytest.raises(ValueError, match="unknown codec"):
+        C.encode_partition_codec(
+            "snappy", np.array([1]), np.array([1]), np.array([1]),
+            np.array([0]), 1.0, 1.2, 0.75, 8,
+        )
+
+
+def test_for_codec_index_end_to_end(spark, tiny_corpus, tmp_path_factory):
+    """An index built with codec='for' answers every query mode with
+    scores IDENTICAL to the varint index (the codec is lossless and
+    invisible above the block layer), through delta + compact too."""
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import (
+        build_index, compact, load_meta, upsert_update,
+    )
+    from scrapix_spark.operators.query import IndexReader
+
+    root = tmp_path_factory.mktemp("forc")
+    iv, ifor = str(root / "v"), str(root / "f")
+    from pyspark.sql import functions as F
+    h = F.abs(F.xxhash64("path")) % 3
+    base = tiny_corpus.filter(h <= 1)
+    extra = tiny_corpus.filter(h == 2)
+    for d, cname in ((iv, "varint"), (ifor, "for")):
+        build_index(
+            spark, base, d,
+            IndexConfig(index_uid=f"c_{cname}", n_shards=4,
+                        exclude_paginated=False, store_positions=True,
+                        codec=cname),
+            build_id="b1",
+        )
+        upsert_update(spark, extra, d, build_id="u1")
+    assert load_meta(ifor)["config"]["codec"] == "for"
+    a, b = IndexReader(spark, iv), IndexReader(spark, ifor)
+    for q in ["binary search", "import", "zanzibar", "merge.block(shard)"]:
+        ra = [(r["doc_id"], round(r["score"], 9))
+              for r in a.topk_pruned(q, 10, hydrate=False).collect()]
+        rb = [(r["doc_id"], round(r["score"], 9))
+              for r in b.topk_pruned(q, 10, hydrate=False).collect()]
+        assert ra == rb, q
+        fa = [r["doc_id"] for r in a.topk_full(q, 10, hydrate=False).collect()]
+        assert [x for x, _ in ra] == fa, q
+    # compaction re-encodes under the stored codec and stays identical
+    compact(spark, ifor, build_id="c1")
+    c = IndexReader(spark, ifor)
+    for q in ["binary search", "import"]:
+        rb = [(r["doc_id"], round(r["score"], 9))
+              for r in c.topk_pruned(q, 10, hydrate=False).collect()]
+        ra = [(r["doc_id"], round(r["score"], 9))
+              for r in a.topk_pruned(q, 10, hydrate=False).collect()]
+        assert ra == rb, q
