@@ -144,6 +144,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
     E._entry_pos_index(spark, sf_dir)
     E._lifecycle_index(spark, sf_dir, compacted=False)
     E._stream_index(spark, sf_dir)
+    E._for_index(spark, sf_dir)
     qs = E.queries()
     headline = [
         "tokenize_tf", "term_df", "bm25_topk", "ranked_union_topk",
@@ -179,6 +180,40 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         n = qs[name](spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)
         log(f"  {name}: {out[name]}s ({n} rows)")
+    return out
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def codec_size_report(sf_dir: str) -> dict:
+    """Segment bytes of the SAME corpus under both block codecs (the
+    entry and for-codec fixture indexes built above) — the measured
+    size side of the X78 tradeoff."""
+    import re as _re
+
+    suffix = _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    out = {}
+    for key, d in (("varint", f"/tmp/entry_index2_{suffix}"),
+                   ("for", f"/tmp/for_index_{suffix}")):
+        try:
+            cur = open(os.path.join(d, "_CURRENT")).read().strip()
+            seg = os.path.join(d, cur, "segments")
+            out[f"segment_bytes_{key}"] = _dir_bytes(seg)
+        except OSError:
+            pass
+    if out.get("segment_bytes_varint") and out.get("segment_bytes_for"):
+        out["for_vs_varint_ratio"] = round(
+            out["segment_bytes_for"] / out["segment_bytes_varint"], 3
+        )
     return out
 
 
@@ -473,6 +508,7 @@ def main() -> None:
         "build_sec": round(build_sec, 2),
         "build_docs_per_sec": round(BUILD_DOCS / build_sec, 1),
         **qstats,
+        **codec_size_report(sf_dir),
         "cpus": cpus,
         **hw_calibration(),
     }
