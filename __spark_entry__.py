@@ -1677,6 +1677,44 @@ def q_search_phrase_synonym(spark, sf_dir):
     )
 
 
+SPLIT_WORD = "valuetable"  # concatenation of two adjacent corpus words
+
+
+def q_split_word_best(spark, sf_dir):
+    """X79 — Meilisearch split-word derivation (milli's
+    split_best_frequency): among the splits of 'valuetable' into two
+    dictionary terms, the one whose halves appear ADJACENT in the most
+    documents. The oracle enumerates every boundary split as literals
+    and counts token-level adjacency from the same tokenizer."""
+    docs = _docs(spark, sf_dir)
+    pos = M.positional_postings(docs, "text")
+    stats = P.term_stats(pos.select("term", "doc_id", "tf"))
+    return M.split_word_best(pos, stats, SPLIT_WORD).select(
+        F.col("left").alias("lhs"), F.col("right").alias("rhs"),
+        F.col("pair_df").cast("long").alias("pair_df"),
+    )
+
+
+def q_search_split_words(spark, sf_dir):
+    """X79 — split words on the unified search: 'valuetable merge'
+    where 'valuetable' is no dictionary term but splits into the
+    adjacent pair ('value', 'table'); the split joins the word's group
+    as a phrase alternative (sum of component contributions over docs
+    with the adjacent run, MAX vs the word's own — absent — score)
+    while 'merge' scores normally. The oracle derives the same best
+    split in SQL, then replays both word groups."""
+    idx = _entry_pos_index(spark, sf_dir)
+    r = Q.IndexReader(spark, idx)
+    res = r.search(
+        f"{SPLIT_WORD} merge", k=10, split_words=True, tie_cols=("path",)
+    )
+    return res["hits"].select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
 def q_ranked_chain_topk(spark, sf_dir):
     """The full default ranking-rule chain (words > typo > proximity >
     exactness) over the PUBLISHED positional index, with the per-rule
@@ -2842,6 +2880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (run with no args = full registry, exits nonzero on any failure
     # or missing oracle) every session.
     return {
+        "split_word_best": q_split_word_best,
+        "search_split_words": q_search_split_words,
         "code_quality_rules": q_code_quality,
         "license_detect": q_license_detect,
         "secret_scan": q_secret_scan,
@@ -3698,6 +3738,71 @@ ORDER BY n_matched DESC, proximity ASC, round(score, 9) DESC, doc_id LIMIT 10
 """
 
 
+def _split_literals(word: str, min_side: int = 1) -> str:
+    """Every boundary split of `word` as SQL VALUES literals — purely
+    mechanical string slicing (the dictionary check and the adjacency
+    ranking both stay in SQL)."""
+    return ", ".join(
+        f"({i}, '{word[:i]}', '{word[i:]}')"
+        for i in range(min_side, len(word) - min_side + 1)
+    )
+
+
+def _split_adj_ctes(word: str) -> str:
+    """Shared CTEs: candidate splits of `word` + adjacent-pair doc
+    counts from the tokenizer's own token stream (1-based DuckDB list
+    indexing; adjacency = t[i] = left AND t[i+1] = right)."""
+    tok = TOK_EXPR("text")
+    return f"""
+splits(split_pos, l, r) AS (VALUES {_split_literals(word)}),
+tokarr AS (SELECT doc_id, {tok} AS t FROM documents),
+adjc AS (SELECT s.split_pos, s.l, s.r, count(*)::BIGINT AS pair_df
+         FROM splits s JOIN tokarr d
+           ON len(list_filter(range(1, len(d.t)),
+                i -> d.t[i] = s.l AND d.t[i+1] = s.r)) > 0
+         GROUP BY s.split_pos, s.l, s.r),
+best AS (SELECT l, r FROM adjc ORDER BY pair_df DESC, split_pos LIMIT 1)
+"""
+
+
+def _split_best_sql() -> str:
+    return f"""
+WITH {_split_adj_ctes(SPLIT_WORD)}
+SELECT l AS lhs, r AS rhs, pair_df
+FROM adjc ORDER BY pair_df DESC, split_pos LIMIT 1
+"""
+
+
+def _search_split_sql() -> str:
+    """search('valuetable merge', split_words=True) replayed: the best
+    split derived in SQL, word 0 = MAX(own contribution — none —,
+    split-run sum over adjacency docs), word 1 = 'merge' contribution;
+    score sums the word groups, n_matched counts them."""
+    return _contrib_cte() + f""",
+{_split_adj_ctes(SPLIT_WORD)},
+mdocs AS (SELECT d.doc_id FROM tokarr d, best b
+          WHERE len(list_filter(range(1, len(d.t)),
+                  i -> d.t[i] = b.l AND d.t[i+1] = b.r)) > 0),
+runsum AS (SELECT c.doc_id, sum(c.c) AS c
+           FROM contrib c JOIN best b ON c.term = b.l OR c.term = b.r
+           WHERE c.doc_id IN (SELECT doc_id FROM mdocs)
+           GROUP BY c.doc_id),
+w0 AS (SELECT doc_id, max(c) AS c FROM (
+         SELECT doc_id, c FROM contrib WHERE term = '{SPLIT_WORD}'
+         UNION ALL SELECT doc_id, c FROM runsum
+       ) GROUP BY doc_id),
+w1 AS (SELECT doc_id, c FROM contrib WHERE term = 'merge')
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       round(coalesce(a.c, 0) + coalesce(b.c, 0), 4) AS score,
+       ((a.doc_id IS NOT NULL)::INT + (b.doc_id IS NOT NULL)::INT)::BIGINT
+         AS n_matched
+FROM w0 a FULL OUTER JOIN w1 b ON a.doc_id = b.doc_id
+ORDER BY round(coalesce(a.c, 0) + coalesce(b.c, 0), 9) DESC,
+         coalesce(a.doc_id, b.doc_id) ASC
+LIMIT 10
+"""
+
+
 def _ranked_chain_sql() -> str:
     """The full ranking-rule chain replayed in SQL: levenshtein
     expansion under the per-word budget, best expansion per (doc, word)
@@ -4328,6 +4433,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_sql(),
         "tokenize_cjk": _tokenize_cjk_sql(),
         "suggest_query": _suggest_sql(),
+        "split_word_best": _split_best_sql(),
+        "search_split_words": _search_split_sql(),
         "import_edges": _import_edges_sql(),
         "pagerank": _pagerank_sql(),
         "extract_symbols": _extract_symbols_sql(),

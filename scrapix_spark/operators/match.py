@@ -1053,3 +1053,119 @@ def suggest_query(
         (F.col("suggestion").isNotNull()
          & (F.col("suggestion") != F.col("word"))).alias("corrected"),
     ).orderBy("pos")
+
+
+# -------------------------------------------------------- split words
+
+
+def split_word_candidates(
+    term_stats: DataFrame, word: str, min_side: int = 1
+) -> DataFrame:
+    """X79 — Meilisearch split-word derivation, candidate relation.
+
+    Meilisearch derives, for every query word, the ways it splits into
+    TWO dictionary words ("newyork" matches documents saying "new
+    york"); milli iterates every character boundary and keeps splits
+    whose halves both exist in the word docids (milli
+    src/search/new/query_term/compute_derivations.rs, the
+    `split_best_frequency` candidate loop). The split then behaves as a
+    PHRASE derivation of the original word: it matches only where the
+    two halves appear adjacent, in order.
+
+    Returns (split_pos, left, right, df_left, df_right) — one row per
+    boundary where BOTH halves are dictionary terms. The word is
+    bounded (a query token), so the split list is a tiny driver-side
+    literal relation; the dictionary is read ONCE with an IN-set filter
+    that pushes into its parquet scan, and both equi-joins broadcast
+    the tiny side. No full-dictionary scan, ever.
+    """
+    spark = term_stats.sparkSession
+    splits = [
+        (i, word[:i], word[i:])
+        for i in range(min_side, len(word) - min_side + 1)
+        if word[:i] and word[i:]
+    ]
+    schema = (
+        "split_pos int, left string, right string, "
+        "df_left long, df_right long"
+    )
+    if not splits:
+        return spark.createDataFrame([], schema)
+    sdf = spark.createDataFrame(splits, "split_pos int, left string, right string")
+    sides = sorted({s for _, l, r in splits for s in (l, r)})
+    dd = (
+        term_stats.filter(F.col("term").isin(sides))
+        .groupBy("term").agg(F.sum("df").alias("df"))
+    )
+    return (
+        dd.select(F.col("term").alias("left"), F.col("df").alias("df_left"))
+        .join(F.broadcast(sdf), "left")
+        .join(
+            F.broadcast(
+                dd.select(
+                    F.col("term").alias("right"),
+                    F.col("df").alias("df_right"),
+                )
+            ),
+            "right",
+        )
+        .select("split_pos", "left", "right", "df_left", "df_right")
+    )
+
+
+def split_word_best(
+    positional: DataFrame,
+    term_stats: DataFrame,
+    word: str,
+    min_side: int = 1,
+) -> DataFrame:
+    """X79 — the split Meilisearch actually uses: among the dictionary-
+    valid splits of `word`, the one whose halves occur ADJACENT (left
+    immediately before right) in the most documents — milli's
+    `split_best_frequency`, which ranks candidate splits by the
+    word-pair-proximity(1) docid count. 0 or 1 row: (left, right,
+    pair_df); no row when no split's halves ever appear adjacent
+    (pair_df = 0 splits are not usable derivations).
+
+    Ties break toward the LEFTMOST boundary (deterministic; milli keeps
+    the first maximum). Plan: candidates (tiny, broadcast) ⋈ the
+    positional relation filtered to the candidate terms (term-pushdown
+    scan), adjacency = arrays_overlap(left.positions + 1,
+    right.positions) — no explode, no per-row Python — then a 1-row
+    TakeOrdered. The positional relation is read only for the bounded
+    candidate-term set, the same scan shape as phrase queries.
+    """
+    spark = positional.sparkSession
+    cands = split_word_candidates(term_stats, word, min_side=min_side)
+    sides = sorted(
+        {word[:i] for i in range(min_side, len(word) - min_side + 1)}
+        | {word[i:] for i in range(min_side, len(word) - min_side + 1)}
+    )
+    out_schema = "left string, right string, pair_df long"
+    if not sides:
+        return spark.createDataFrame([], out_schema)
+    pos = positional.filter(F.col("term").isin(sides))
+    lhs = pos.select(
+        F.col("term").alias("left"), "doc_id",
+        F.col("positions").alias("lp"),
+    )
+    rhs = pos.select(
+        F.col("term").alias("right"), "doc_id",
+        F.col("positions").alias("rp"),
+    )
+    adj = (
+        lhs.join(F.broadcast(cands.select("split_pos", "left", "right")), "left")
+        .join(rhs, ["right", "doc_id"])
+        .filter(
+            F.arrays_overlap(
+                F.transform("lp", lambda x: x + F.lit(1)), F.col("rp")
+            )
+        )
+        .groupBy("split_pos", "left", "right")
+        .agg(F.count("*").cast("long").alias("pair_df"))
+    )
+    return (
+        adj.orderBy(F.col("pair_df").desc(), F.col("split_pos").asc())
+        .limit(1)
+        .select("left", "right", "pair_df")
+    )

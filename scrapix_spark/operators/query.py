@@ -860,6 +860,18 @@ class IndexReader:
         drows = self.resolve_terms(terms)
         if len({t for t, _, _ in drows}) < len(set(terms)):
             return None
+        return phrase_match_docs(self._positional_for(drows), terms)
+
+    def _positional_for(self, drows) -> DataFrame:
+        """(term, doc_id, positions) for the resolved dictionary rows
+        `drows` — the term-pushdown scan of the index's `.pos` stream
+        every positional consumer (phrases, phrase synonyms, split
+        words) shares. Requires store_positions=True."""
+        if not self.meta.get("store_positions"):
+            raise ValueError(
+                "index was built without store_positions=True — "
+                "positional constraints need the positional relation"
+            )
         if not hasattr(self, "_positions_df"):
             self._positions_df = IX.read_positions(self.spark, self.index_dir)
         tids = [tid for _, tid, _ in drows]
@@ -872,10 +884,39 @@ class IndexReader:
         mapping = self.spark.createDataFrame(
             [(tid, t) for t, tid, _ in drows], "term_id long, term string"
         )
-        pos = pos.join(F.broadcast(mapping), "term_id").select(
+        return pos.join(F.broadcast(mapping), "term_id").select(
             "term", "doc_id", "positions"
         )
-        return phrase_match_docs(pos, terms)
+
+    def _best_split(self, word: str, min_side: int = 1) -> list[str] | None:
+        """X79 — the index-level `split_best_frequency`: the split of
+        `word` into two dictionary terms whose halves appear adjacent
+        in the most documents (operators/match.split_word_best over the
+        index's own dictionary + positional relation), or None when no
+        split ever occurs adjacently. The candidate set is bounded by
+        the word's length, so the whole computation is one term-pushed
+        positional scan plus a 1-row TakeOrdered — the same cost class
+        as resolving a quoted phrase."""
+        from scrapix_spark.operators.match import split_word_best
+
+        sides = sorted(
+            {word[:i] for i in range(min_side, len(word) - min_side + 1)}
+            | {word[i:] for i in range(min_side, len(word) - min_side + 1)}
+        )
+        if not sides:
+            return None
+        drows = self.resolve_terms(sides)
+        if not drows:
+            return None
+        dict_df = self.spark.createDataFrame(
+            [(t, int(df)) for t, _, df in drows], "term string, df long"
+        )
+        rows = split_word_best(
+            self._positional_for(drows), dict_df, word, min_side=min_side
+        ).collect()  # ≤ 1 row: the chosen split
+        if not rows or rows[0]["pair_df"] <= 0:
+            return None
+        return [rows[0]["left"], rows[0]["right"]]
 
     def _matched_doc_ids(self, terms: list[str]) -> DataFrame:
         """Distinct doc_ids containing ANY of `terms` (negative-keyword
@@ -945,6 +986,7 @@ class IndexReader:
         prefix_last_word: bool = False,
         max_prefix_expansions: int = 64,
         typo_tolerance: dict | None = None,
+        split_words: bool = False,
         filter_syntax: str = "sql",
     ) -> dict:
         """The unified search request — the Meilisearch POST /search
@@ -1066,6 +1108,16 @@ class IndexReader:
         `minWordSizeForOneTypo` (5), `minWordSizeForTwoTypos` (9),
         `disableOnWords` (per-word opt-out). Quoted phrases stay
         typo-exact, matching Meilisearch.
+
+        `split_words` (X79, Meilisearch split-word derivations — on by
+        default in Meilisearch, opt-in here to keep the simple gates'
+        plans untouched): each query word also matches its best split
+        into two adjacent dictionary words ("newyork" ⇒ "new york") —
+        the split chosen by adjacent-pair document frequency (milli's
+        split_best_frequency), matching only as an adjacent run via the
+        positional relation (store_positions required), contributing
+        the run's summed component scores, MAX-competing with the
+        word's own score.
         """
         from scrapix_spark.operators.geo import (
             haversine_sql, parse_geo_sort, translate_geo_filter,
@@ -1092,7 +1144,7 @@ class IndexReader:
             not phrases and not parsed["neg_words"]
             and not parsed["neg_phrases"] and synonyms is None
             and matching_strategy is None and not prefix_last_word
-            and typo_tolerance is None
+            and typo_tolerance is None and not split_words
         )
         need_ws = matching_strategy in ("last", "frequency")
         word_dfs: dict[int, int] = {}
@@ -1144,6 +1196,18 @@ class IndexReader:
                         ).collect()
                     ]  # a word's neighborhood: tiny, dictionary-only
                     groups[wi] = sorted(set(groups[wi]) | set(cands))
+            if split_words and words:
+                # X79 split-word derivations: each word's best split
+                # (two dictionary terms, adjacent-pair df — milli's
+                # split_best_frequency) joins the word's group as a
+                # PHRASE alternative: it matches only as the adjacent
+                # run, contributes the run's summed component scores,
+                # and competes by MAX with the word's own score — the
+                # same machinery phrase synonyms use.
+                for wi, w in enumerate(words):
+                    best = self._best_split(w)
+                    if best is not None:
+                        phrase_syns = list(phrase_syns) + [(wi, best)]
             if prefix_last_word and words:
                 # deterministic prefix-expansion cap: df desc, term asc
                 # (the dictionary is the only string-keyed relation; the

@@ -403,3 +403,112 @@ def test_suggest_query_did_you_mean(spark):
     # nothing in budget: keep the word, NULL dist, corrected=false
     assert out["qqqqqq"]["suggestion"] == "qqqqqq"
     assert out["qqqqqq"]["dist"] is None and not out["qqqqqq"]["corrected"]
+
+
+# ------------------------------------------------------ X79 split words
+
+
+def test_split_word_candidates_dictionary_only(tiny):
+    """Only boundaries where BOTH halves are dictionary terms survive;
+    df columns carry each half's document frequency."""
+    _, _, stats, _, _ = tiny
+    rows = M.split_word_candidates(stats, "valuetable").collect()
+    assert [(r["split_pos"], r["left"], r["right"]) for r in rows] == [
+        (5, "value", "table")
+    ]
+    r = rows[0]
+    assert r["df_left"] == 3 and r["df_right"] == 4  # docs 4,5,7 / 1,4,5,7
+    # a word with no dictionary-valid split yields the empty relation
+    assert M.split_word_candidates(stats, "zzzzqq").count() == 0
+
+
+def test_split_word_best_requires_adjacency(spark, tiny):
+    """pair_df counts docs where left immediately precedes right: docs
+    4 and 7 qualify (doc 7 across punctuation), doc 5 (non-adjacent
+    'table of value') does not; a dictionary word with no adjacent
+    split resolves to no row."""
+    df, _, stats, _, _ = tiny
+    pos = M.positional_postings(df, "text")
+    rows = M.split_word_best(pos, stats, "valuetable").collect()
+    assert len(rows) == 1
+    assert (rows[0]["left"], rows[0]["right"]) == ("value", "table")
+    assert rows[0]["pair_df"] == 2
+    assert M.split_word_best(pos, stats, "sorted").count() == 0
+
+
+def test_split_word_best_tie_breaks_leftmost(spark):
+    """Two splits with equal adjacent-pair df: the leftmost boundary
+    wins (milli keeps the first maximum)."""
+    df = spark.createDataFrame(
+        [(1, "a bc q"), (2, "ab c q")], "doc_id long, text string"
+    )
+    pos = M.positional_postings(df, "text")
+    stats = P.term_stats(pos.select("term", "doc_id", "tf"))
+    rows = M.split_word_best(pos, stats, "abc").collect()
+    assert len(rows) == 1
+    assert (rows[0]["left"], rows[0]["right"], rows[0]["pair_df"]) == (
+        "a", "bc", 1
+    )
+
+
+@pytest.fixture(scope="module")
+def pos_index_match(spark, tmp_path_factory):
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import build_index
+
+    raw = spark.createDataFrame(
+        [("r", f"{i:04d}", "c0", "txt", t) for i, t in DOCS],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    d = str(tmp_path_factory.mktemp("splitidx"))
+    build_index(
+        spark, raw, d,
+        IndexConfig(index_uid="sw", n_shards=4, exclude_paginated=False,
+                    store_positions=True),
+        build_id="s1",
+    )
+    return d
+
+
+def test_search_split_words_matches_quoted_phrase_scores(spark, pos_index_match):
+    """search('valuetable', split_words=True) must hit exactly the docs
+    where the split run is adjacent, with the SAME scores as the quoted
+    phrase '"value table"' (both sum the run's component contributions
+    over adjacency docs) — but as ONE matched word, not two."""
+    from scrapix_spark.operators.query import IndexReader
+
+    r = IndexReader(spark, pos_index_match)
+    sw = {
+        row["path"]: row
+        for row in r.search("valuetable", k=10, split_words=True,
+                            tie_cols=("path",))["hits"].collect()
+    }
+    ph = {
+        row["path"]: row
+        for row in r.search('"value table"', k=10,
+                            tie_cols=("path",))["hits"].collect()
+    }
+    assert set(sw) == set(ph) == {"0004", "0007"}  # doc 5 not adjacent
+    for p in sw:
+        assert abs(sw[p]["score"] - ph[p]["score"]) < 1e-9
+        assert sw[p]["n_matched"] == 1 and ph[p]["n_matched"] == 2
+
+
+def test_search_split_words_mixed_query_n_matched(spark, pos_index_match):
+    """'valuetable fast' — the split word and a plain dictionary word
+    are independent word groups; only docs with both get n_matched=2,
+    and a word with no split and no dictionary entry contributes
+    nothing (query still runs)."""
+    from scrapix_spark.operators.query import IndexReader
+
+    r = IndexReader(spark, pos_index_match)
+    hits = {
+        row["path"]: row
+        for row in r.search("valuetable fast", k=10, split_words=True,
+                            tie_cols=("path",))["hits"].collect()
+    }
+    assert hits["0002"]["n_matched"] == 1   # fast only
+    assert hits["0004"]["n_matched"] == 1   # split run only
+    out = r.search("zzqqxx valuetable", k=10, split_words=True,
+                   tie_cols=("path",))["hits"].collect()
+    assert {row["path"] for row in out} == {"0004", "0007"}
