@@ -1677,6 +1677,114 @@ def q_search_phrase_synonym(spark, sf_dir):
     )
 
 
+def _entry_facet_index(spark: SparkSession, sf_dir: str) -> str:
+    """Published index WITH the X80 facet posting relation
+    (filterable_attributes = lang, n_chars, repo; n_chars carried as an
+    extra docs column). Separate fixture so the other gates' cached
+    builds stay untouched."""
+    import re as _re
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import build_index
+
+    d = "/tmp/entry_facidx_" + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    if not os.path.exists(os.path.join(d, "_CURRENT")):
+        raw = _docs(spark, sf_dir).select(
+            F.col("source").alias("repo"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+            F.col("n_chars"),
+        )
+        build_index(
+            spark, raw, d,
+            IndexConfig(index_uid="entryfac", n_shards=8,
+                        exclude_paginated=False,
+                        extra_doc_columns=["n_chars"],
+                        filterable_attributes=["lang", "n_chars", "repo"]),
+            build_id="x1", source_desc=sf_dir,
+        )
+    return d
+
+
+FACET_QUERY = "hash stream window"
+
+
+def q_facet_index_search(spark, sf_dir):
+    """X80 — index-backed filters on the unified search: the equality +
+    range conjunction resolves from the facet posting relation (field-
+    pruned scans, one (doc_id, ordinal) aggregation, doc_id semi-join)
+    — the docs table is touched only for hydration. The oracle applies
+    the same predicates as a plain WHERE; identity with the scan path
+    is exactly what the gate pins."""
+    idx = _entry_facet_index(spark, sf_dir)
+    r = Q.IndexReader(spark, idx)
+    res = r.search(
+        FACET_QUERY, k=10,
+        index_filters=[("lang", "IN", ["en", "fr"]),
+                       ("n_chars", "TO", (150, 350))],
+        tie_cols=("path",),
+    )
+    return res["hits"].select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "lang",
+    )
+
+
+def q_facet_index_counts(spark, sf_dir):
+    """X80 — facetDistribution served FROM the facet posting index:
+    per-value live-doc counts of `lang` with the docs relation never
+    scanned (one field-pruned facet read + one aggregation)."""
+    idx = _entry_facet_index(spark, sf_dir)
+    r = Q.IndexReader(spark, idx)
+    return r.facet_counts_indexed("lang").select(
+        "value", F.col("count").cast("long").alias("count")
+    )
+
+
+# X81 fixture model: deterministic weights standing in for an
+# offline-trained fastText-style quality classifier (inference is the
+# engine's job; training is not). Mixed-sign, bounded in [-1, 1].
+CLS_DIM = 64
+CLS_W = [(((b * 37 + 11) % 101) - 50) / 50.0 for b in range(CLS_DIM)]
+CLS_BIAS = 0.25
+
+
+def q_quality_classifier(spark, sf_dir):
+    """X81 — fastText-style linear quality-classifier inference over
+    hashed bag-of-words features: bucket = polynomial-fold hash mod
+    dim, x = tf/n_tokens, score = sigmoid(bias + w·x), keep = score >=
+    0.5. Weights ride as a literal array (element_at — no join); the
+    oracle replays the identical fold and arithmetic in SQL."""
+    import scrapix_spark.operators.curation as C
+
+    return C.linear_classifier_scores(
+        _docs(spark, sf_dir), CLS_W, bias=CLS_BIAS
+    ).select("doc_id", "score", "keep")
+
+
+def _quality_classifier_sql() -> str:
+    from scrapix_spark.operators.similarity import token_hash31_sql
+
+    tok = TOK_EXPR("text")
+    arr = ", ".join(repr(w) for w in CLS_W)
+    h = token_hash31_sql("term")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+b AS (SELECT doc_id, ({h}) % {CLS_DIM} AS bucket,
+             count(*)::DOUBLE AS tf
+      FROM tok GROUP BY doc_id, bucket),
+z AS (SELECT doc_id,
+             sum(([{arr}])[bucket + 1] * tf) / sum(tf) + {CLS_BIAS} AS z
+      FROM b GROUP BY doc_id)
+SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+       round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+FROM z
+"""
+
+
 SPLIT_WORD = "valuetable"  # concatenation of two adjacent corpus words
 
 
@@ -2882,6 +2990,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "split_word_best": q_split_word_best,
         "search_split_words": q_search_split_words,
+        "facet_index_search": q_facet_index_search,
+        "facet_index_counts": q_facet_index_counts,
+        "quality_classifier": q_quality_classifier,
         "code_quality_rules": q_code_quality,
         "license_detect": q_license_detect,
         "secret_scan": q_secret_scan,
@@ -4435,6 +4546,16 @@ def oracle_sql() -> dict[str, str]:
         "suggest_query": _suggest_sql(),
         "split_word_best": _split_best_sql(),
         "search_split_words": _search_split_sql(),
+        "facet_index_search": _bm25_scored_sql(Q.query_terms(FACET_QUERY)) + """
+SELECT s.doc_id, round(s.score, 4) AS score, d.lang
+FROM scored s JOIN documents d USING (doc_id)
+WHERE d.lang IN ('en', 'fr') AND d.n_chars BETWEEN 150 AND 350
+ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
+""",
+        "facet_index_counts": """
+SELECT lang AS value, count(*)::BIGINT AS count FROM documents GROUP BY lang
+""",
+        "quality_classifier": _quality_classifier_sql(),
         "import_edges": _import_edges_sql(),
         "pagerank": _pagerank_sql(),
         "extract_symbols": _extract_symbols_sql(),

@@ -78,6 +78,18 @@ class IndexConfig:
     # _geoRadius/_geoPoint grammar). Column-pruned everywhere except
     # hydration — postings never carry them.
     extra_doc_columns: list[str] = field(default_factory=list)
+    # X80 facet posting index (the Meilisearch facet_id_string_docids /
+    # facet_id_f64_docids analog — milli keeps value → RoaringBitmap per
+    # filterable attribute): columns listed here get a stored inverted
+    # relation facets/(field, value_str, value_num, doc_id) built with
+    # the index, enabling index-backed filters
+    # (IndexReader.search(index_filters=...) — selectivity resolved by
+    # the facet index, the docs table touched only for hydration) and
+    # docs-scan-free facet counts (facet_counts_indexed). Each column
+    # must be a stored docs column (fixed schema or extra_doc_columns);
+    # array columns explode to one row per element. Index-affecting:
+    # changing it reindexes (the relation is a stored artifact).
+    filterable_attributes: list[str] = field(default_factory=list)
 
     # Physical layout
     # store_positions: also build the positional relation (the Lucene
@@ -252,6 +264,16 @@ class IndexConfig:
         ]
         if extra:
             kw["extra_doc_columns"] = sorted(set(extra))
+        # filterableAttributes that land on a stored docs column also
+        # get the X80 facet posting index, like Meilisearch building
+        # facet_id_*_docids for every declared filterable attribute
+        storable = {"repo", "path", "commit", "lang"} | set(extra)
+        fa = sorted(
+            {a for a in (ms.get("filterableAttributes") or [])
+             if a in storable}
+        )
+        if fa:
+            kw["filterable_attributes"] = fa
         if ms.get("synonyms"):
             kw["synonyms"] = dict(ms["synonyms"])
         # Meilisearch normalizes Latin diacritics on everything it

@@ -578,3 +578,65 @@ def pack_sequences(
     # an eager unpersist here would drop the blocks before that action
     # runs. Spark evicts it with the plan (MEMORY_AND_DISK, LRU).
     return base.mapInPandas(place, schema=schema)
+
+
+def linear_classifier_scores(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """X81 — fastText-style linear quality-classifier INFERENCE (the
+    model-based document filter every open LM-data recipe runs —
+    CCNet's fastText LM filter, GPT-3 / The Pile's quality classifier,
+    RefinedWeb's curation stages; Joulin et al. 2016 `fastText`
+    architecture: a linear layer over averaged hashed bag-of-words
+    features, sigmoid for the keep probability).
+
+    Features are the hashing-trick buckets the embedding family already
+    uses: bucket = hash(token) mod dim with the SQL-replicable
+    polynomial fold (similarity._token_hash31 — never an engine-private
+    hash), feature value = tf / n_tokens (the fastText mean-of-one-hots
+    normalization). score = sigmoid(bias + w · x), label = score >=
+    threshold. `weights` IS the trained model (len(weights) = dim) —
+    training happens offline; this operator is the 100 TB inference
+    pass.
+
+    Scale shape: one tokenize+explode, one (doc, bucket) partial-
+    aggregable count, one per-doc agg; the weight vector rides as a
+    LITERAL array column (element_at lookup — no join, no broadcast
+    relation, no Python in the plan). Columns: (id, score, keep).
+
+    Output rounds to 6 decimals to pin float determinism across
+    engines (the convention every scored gate here uses).
+    """
+    from scrapix_spark.functions.tokenize import tokens_native
+    from scrapix_spark.operators.similarity import _token_hash31
+
+    dim = len(weights)
+    if dim == 0:
+        raise ValueError("weights must be non-empty (len(weights) = dim)")
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_native(F.col(text_col))).alias("term"),
+    )
+    per = toks.withColumn(
+        "bucket", (_token_hash31(F.col("term")) % F.lit(dim)).cast("int")
+    ).groupBy("id", "bucket").agg(F.count("*").cast("double").alias("tf"))
+    z = (
+        per.withColumn("w", F.element_at(warr, F.col("bucket") + 1))
+        .groupBy("id")
+        .agg(
+            ((F.sum(F.col("w") * F.col("tf")) / F.sum("tf"))
+             + F.lit(float(bias))).alias("_z")
+        )
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z"))), 6)
+    return z.select(
+        F.col("id").alias(id_col),
+        score.alias("score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )

@@ -12,6 +12,7 @@ src/taskQueue.ts:47-67 failure cleanup) with the HDFS/Iceberg idiom:
         dict/                     # term, term_id → df, cf
         docs/                     # doc_id → repo,path,commit,lang,sha256,doc_len
         positions/                # optional .pos-stream analog (store_positions)
+        facets/field=<f>/         # optional facet postings (filterable_attributes)
         tombstones/               # dead doc_ids (delta updates only)
         meta.json                 # N, avgdl, k1, b, layers, tombstone_dirs, …
         metrics/                  # per-partition lineage + metrics rows
@@ -455,6 +456,31 @@ def _build_index_inner(
             )
         phases["positions"] = round(time.time() - tp, 2)
 
+    # X80 facet posting index (Meilisearch facet_id_string_docids /
+    # facet_id_f64_docids analog): (field, value → doc_id) inverted
+    # relation per filterable attribute — index-backed filters resolve
+    # selectivity HERE (field directory pruning + value row-group
+    # stats), never by scanning the docs table
+    if cfg.filterable_attributes:
+        tp = time.time()
+        fac_path = os.path.join(build_dir, "facets")
+        if not _done(fac_path):
+            frel = _facet_rows(docs, cfg.filterable_attributes)
+            (
+                # range-partition by (field, value): parallel per-field
+                # writes whose row groups carry tight value min/max —
+                # an equality or range filter prunes to a handful of
+                # row groups inside one field directory
+                frel.repartitionByRange(
+                    batch_parts, "field", "value_str", "doc_id"
+                )
+                .sortWithinPartitions("field", "value_str", "doc_id")
+                .write.mode("overwrite")
+                .partitionBy("field")
+                .parquet(fac_path)
+            )
+        phases["facets"] = round(time.time() - tp, 2)
+
     meta = {
         "index_uid": cfg.index_uid,
         "store_positions": cfg.store_positions,
@@ -626,6 +652,44 @@ def serving_root(index_dir: str) -> str:
     return os.path.dirname(current_build_dir(index_dir).rstrip("/"))
 
 
+def _facet_rows(docs: DataFrame, fields: list[str]) -> DataFrame:
+    """X80 — the facet posting relation: one row per (field, value,
+    doc) for each filterable attribute. value_str is the string form
+    (equality/IN filters, facet counts); value_num the numeric form
+    (range filters; NULL for non-numeric values — try_cast, never a
+    runtime error under ANSI). Array columns explode to one row per
+    element (Meilisearch's array-facet semantics); NULLs emit no row
+    (an absent value matches no facet filter)."""
+    from pyspark.sql.types import ArrayType
+
+    missing = [f for f in fields if f not in docs.columns]
+    if missing:
+        raise ValueError(
+            f"filterable_attributes {missing} are not stored docs "
+            "columns (fixed schema or extra_doc_columns)"
+        )
+    parts = []
+    for f in fields:
+        dt = docs.schema[f].dataType
+        v = (
+            F.explode(F.col(f)) if isinstance(dt, ArrayType) else F.col(f)
+        ).alias("_v")
+        parts.append(
+            docs.select("doc_id", v)
+            .where(F.col("_v").isNotNull())
+            .select(
+                F.lit(f).alias("field"),
+                F.col("_v").cast("string").alias("value_str"),
+                F.col("_v").try_cast("double").alias("value_num"),
+                "doc_id",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _union_layers(spark: SparkSession, index_dir: str, sub: str, drop=()):
     """Union one artifact across layers, tagging rows with the layer
     ordinal (seg_seq — newer layers win at merge) and the layer's
@@ -671,6 +735,16 @@ def read_positions(spark: SparkSession, index_dir: str) -> DataFrame:
     """Positional relation (term_id, doc_id, tf, dl, positions, tb);
     only present when the build ran with store_positions."""
     return _union_layers(spark, index_dir, "positions").drop(
+        "seg_seq", "avgdl_build"
+    )
+
+
+def read_facets(spark: SparkSession, index_dir: str) -> DataFrame:
+    """X80 facet posting relation (field, value_str, value_num, doc_id)
+    unioned across layers; only present when the build declared
+    filterable_attributes. Tombstones are NOT applied here — query
+    consumers anti-join the dead set like every other relation."""
+    return _union_layers(spark, index_dir, "facets").drop(
         "seg_seq", "avgdl_build"
     )
 
@@ -798,7 +872,8 @@ def delta_update(
     delta_raw = j.filter(
         F.col("_sha_new").isNotNull()
         & (F.col("_sha_old").isNull() | (F.col("_sha_old") != F.col("_sha_new")))
-    ).select("repo", "path", "commit", "lang", "content")
+    ).select("repo", "path", "commit", "lang", "content",
+             *cfg.extra_doc_columns)
     dead = j.filter(
         F.col("_sha_old").isNotNull()
         & (F.col("_sha_new").isNull() | (F.col("_sha_old") != F.col("_sha_new")))
@@ -1027,7 +1102,8 @@ def upsert_update(
 
     delta_raw = j.filter(
         F.col("_sha_old").isNull() | (F.col("_sha_old") != F.col("_sha_new"))
-    ).select("repo", "path", "commit", "lang", "content")
+    ).select("repo", "path", "commit", "lang", "content",
+             *cfg.extra_doc_columns)
     dead = j.filter(
         F.col("_sha_old").isNotNull()
         & (F.col("_sha_old") != F.col("_sha_new"))
@@ -1122,6 +1198,20 @@ def compact(
             read_tombstones(spark, index_dir), "doc_id", "left_anti"
         ).write.mode("overwrite").partitionBy("tb").parquet(
             os.path.join(build_dir, "positions")
+        )
+
+    if cfg.filterable_attributes:
+        # X80: fold the facet layers, dropping dead docs (same live-only
+        # contract as docs/positions after compaction)
+        fac = read_facets(spark, index_dir).join(
+            read_tombstones(spark, index_dir), "doc_id", "left_anti"
+        )
+        (
+            fac.repartitionByRange(n_parts, "field", "value_str", "doc_id")
+            .sortWithinPartitions("field", "value_str", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("field")
+            .parquet(os.path.join(build_dir, "facets"))
         )
 
     meta = {

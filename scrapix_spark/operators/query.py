@@ -860,9 +860,9 @@ class IndexReader:
         drows = self.resolve_terms(terms)
         if len({t for t, _, _ in drows}) < len(set(terms)):
             return None
-        return phrase_match_docs(self._positional_for(drows), terms)
+        return phrase_match_docs(self._positional_rows_for(drows), terms)
 
-    def _positional_for(self, drows) -> DataFrame:
+    def _positional_rows_for(self, drows) -> DataFrame:
         """(term, doc_id, positions) for the resolved dictionary rows
         `drows` — the term-pushdown scan of the index's `.pos` stream
         every positional consumer (phrases, phrase synonyms, split
@@ -912,11 +912,111 @@ class IndexReader:
             [(t, int(df)) for t, _, df in drows], "term string, df long"
         )
         rows = split_word_best(
-            self._positional_for(drows), dict_df, word, min_side=min_side
+            self._positional_rows_for(drows), dict_df, word, min_side=min_side
         ).collect()  # ≤ 1 row: the chosen split
         if not rows or rows[0]["pair_df"] <= 0:
             return None
         return [rows[0]["left"], rows[0]["right"]]
+
+    def _facets_df(self) -> DataFrame:
+        """X80 facet posting relation across layers; raises when the
+        index was built without filterable_attributes."""
+        if not (self.meta.get("config") or {}).get("filterable_attributes"):
+            raise ValueError(
+                "index was built without filterable_attributes — "
+                "index-backed filters need the facet posting relation"
+            )
+        if not hasattr(self, "_facet_rel"):
+            self._facet_rel = IX.read_facets(self.spark, self.index_dir)
+        return self._facet_rel
+
+    def facet_doc_ids(self, index_filters: list[tuple]) -> DataFrame:
+        """X80 — doc_ids satisfying a CONJUNCTION of facet predicates,
+        resolved entirely from the facet posting index (the Meilisearch
+        execution model: filters intersect facet_id_*_docids bitmaps,
+        the documents themselves are never scanned).
+
+        `index_filters` = [(field, op, value), ...] with op one of:
+          "="  — equality: numbers compare on value_num, strings on
+                 value_str (array columns: membership, since each
+                 element has its own facet row);
+          "IN" — value is a list, same typing rule;
+          "TO" — value is (lo, hi), the Meilisearch inclusive range,
+                 on value_num.
+
+        Plan: each predicate is its OWN pushed scan of the facet
+        relation (field= directory pruning + value row-group stats),
+        tagged with its ordinal; ONE aggregation keeps doc_ids whose
+        distinct-ordinal count equals the predicate count. k predicates
+        = k pruned scans + one shuffle of (doc_id, ordinal) pairs —
+        never a docs-table scan, never a chained join tree."""
+        fac = self._facets_df()
+        allowed = set(
+            (self.meta.get("config") or {}).get("filterable_attributes") or []
+        )
+        parts = []
+        for i, (fld, op, val) in enumerate(index_filters):
+            if fld not in allowed:
+                raise ValueError(
+                    f"{fld!r} is not a filterable attribute of this index "
+                    f"(declared: {sorted(allowed)})"
+                )
+            base = fac.filter(F.col("field") == fld)
+
+            def _sval(v):  # Spark's string form of booleans is lowercase
+                return ("true" if v else "false") if isinstance(v, bool) else str(v)
+
+            if op == "=":
+                if isinstance(val, bool) or not isinstance(val, (int, float)):
+                    cond = F.col("value_str") == _sval(val)
+                else:
+                    cond = F.col("value_num") == float(val)
+            elif op == "IN":
+                vals = list(val)
+                nums = [v for v in vals
+                        if isinstance(v, (int, float))
+                        and not isinstance(v, bool)]
+                strs = [_sval(v) for v in vals
+                        if isinstance(v, bool)
+                        or not isinstance(v, (int, float))]
+                cond = F.lit(False)
+                if nums:
+                    cond = cond | F.col("value_num").isin([float(v) for v in nums])
+                if strs:
+                    cond = cond | F.col("value_str").isin(strs)
+            elif op == "TO":
+                lo, hi = val
+                cond = F.col("value_num").between(float(lo), float(hi))
+            else:
+                raise ValueError(f"unsupported index-filter op {op!r}")
+            parts.append(
+                base.filter(cond).select("doc_id", F.lit(i).alias("_p"))
+            )
+        if not parts:
+            return self._drop_dead(self.docs.select("doc_id"))
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return self._drop_dead(
+            u.groupBy("doc_id")
+            .agg(F.countDistinct("_p").alias("_np"))
+            .filter(F.col("_np") == len(index_filters))
+            .select("doc_id")
+        )
+
+    def facet_counts_indexed(self, fld: str, sort_by: str = "count") -> DataFrame:
+        """X80 — facetDistribution served FROM the facet posting index:
+        (value, count) over live docs, the docs table untouched (one
+        field-pruned facet scan + tombstone anti-join + one agg).
+        sort_by = 'count' (desc, value asc ties) | 'alpha'."""
+        fac = self._facets_df().filter(F.col("field") == fld)
+        live = self._drop_dead(fac.select("doc_id", "value_str"))
+        out = live.groupBy(F.col("value_str").alias("value")).agg(
+            F.count("*").cast("long").alias("count")
+        )
+        if sort_by == "alpha":
+            return out.orderBy(F.col("value").asc())
+        return out.orderBy(F.col("count").desc(), F.col("value").asc())
 
     def _matched_doc_ids(self, terms: list[str]) -> DataFrame:
         """Distinct doc_ids containing ANY of `terms` (negative-keyword
@@ -987,6 +1087,7 @@ class IndexReader:
         max_prefix_expansions: int = 64,
         typo_tolerance: dict | None = None,
         split_words: bool = False,
+        index_filters: list[tuple] | None = None,
         filter_syntax: str = "sql",
     ) -> dict:
         """The unified search request — the Meilisearch POST /search
@@ -1094,6 +1195,13 @@ class IndexReader:
         extending it — capped at `max_prefix_expansions` by df desc,
         term asc, the deterministic analog of Meilisearch's prefix-cache
         cap — each at its own idf, max-contribution like any group.
+
+        `index_filters` (X80) applies a CONJUNCTION of facet predicates
+        [(field, "="|"IN"|"TO", value), ...] resolved from the facet
+        posting index (requires IndexConfig.filterable_attributes) at
+        the same semantic point as `filter_expr` — the two compose (AND)
+        when both are given; predicates outside the supported subset
+        (CONTAINS, NOT, geo) belong in `filter_expr`.
 
         `filter_syntax="meili"` accepts the Meilisearch filter grammar
         verbatim (`IN [..]`, `EXISTS`, `IS EMPTY`, `lo TO hi`,
@@ -1319,6 +1427,12 @@ class IndexReader:
                 hyd = hyd.drop("_ranking_score")
         if filter_expr:
             hyd = hyd.filter(translate_geo_filter(filter_expr, *geo_columns))
+        if index_filters:
+            # X80 index-backed filters: the same semantic point as
+            # filter_expr (before facets/totals/pagination), but
+            # selectivity comes from the facet posting index — a
+            # doc_id semi-join, no predicate ever touches docs columns
+            hyd = hyd.join(self.facet_doc_ids(index_filters), "doc_id", "semi")
         facets_df = None
         fstats_df = None
         if facets:

@@ -337,3 +337,47 @@ def test_mask_repeated_spans_short_span_recall_delta(spark):
               C.mask_repeated_spans(df, "text", "doc_id", w=6).collect()}
     assert all(f"S{i}" not in second[2]["clean_text"].split()
                for i in range(6))
+
+
+# ------------------------------------------------- X81 linear classifier
+
+
+def test_linear_classifier_scores_python_replay(spark):
+    """Engine scores must equal a plain-Python replay of the fastText
+    inference arithmetic (hash -> bucket tf -> mean -> sigmoid), and
+    the keep label must follow the threshold."""
+    import math
+
+    from scrapix_spark.operators.curation import linear_classifier_scores
+
+    HASH_MOD = (1 << 31) - 1
+
+    def h31(t):
+        acc = 7
+        for ch in t:
+            acc = (acc * 31 + ord(ch)) % HASH_MOD
+        return acc
+
+    docs = [(1, "good clean prose here"), (2, "spam spam spam spam"),
+            (3, "mixed bag of words")]
+    dim, bias = 16, 0.1
+    w = [(((b * 13 + 5) % 21) - 10) / 10.0 for b in range(dim)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           linear_classifier_scores(df, w, bias=bias, threshold=0.5).collect()}
+    for doc_id, text in docs:
+        toks = [t for t in __import__("re").split(r"[^0-9a-z]+", text.lower()) if t]
+        z = sum(w[h31(t) % dim] for t in toks) / len(toks) + bias
+        want = round(1.0 / (1.0 + math.exp(-z)), 6)
+        assert abs(got[doc_id]["score"] - want) < 1e-9, doc_id
+        assert got[doc_id]["keep"] == (want >= 0.5)
+
+
+def test_linear_classifier_rejects_empty_weights(spark):
+    import pytest as _pytest
+
+    from scrapix_spark.operators.curation import linear_classifier_scores
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="non-empty"):
+        linear_classifier_scores(df, [])

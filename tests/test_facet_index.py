@@ -1,0 +1,148 @@
+"""X80 facet posting index: build-time (field, value → doc_id) relation
+per filterable attribute, index-backed filters, docs-scan-free facet
+counts, and the full LSM lifecycle (delta layers, tombstones, compact)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.config import IndexConfig
+from scrapix_spark.operators.index import (
+    build_index,
+    compact,
+    delta_update,
+    read_facets,
+)
+from scrapix_spark.operators.query import IndexReader
+
+ROWS = [
+    # (repo, path, commit, lang, content, stars, tags)
+    ("ra", "p1", "c0", "py", "alpha beta gamma", 10, ["web", "ml"]),
+    ("ra", "p2", "c0", "py", "alpha beta", 25, ["web"]),
+    ("rb", "p3", "c0", "go", "alpha gamma gamma", 5, ["cli"]),
+    ("rb", "p4", "c0", "js", "beta beta beta", 40, []),
+    ("rc", "p5", "c0", "py", "gamma delta", 15, ["ml", "cli"]),
+]
+SCHEMA = ("repo string, path string, commit string, lang string, "
+          "content string, stars int, tags array<string>")
+CFG = IndexConfig(
+    index_uid="fx", n_shards=4, exclude_paginated=False,
+    extra_doc_columns=["stars", "tags"],
+    filterable_attributes=["lang", "stars", "tags"],
+)
+
+
+@pytest.fixture(scope="module")
+def fidx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("facidx"))
+    build_index(spark, spark.createDataFrame(ROWS, SCHEMA), d, CFG,
+                build_id="f1")
+    return d
+
+
+def test_facet_relation_shape(spark, fidx):
+    fac = read_facets(spark, fidx)
+    by_field = {
+        r["field"]: r["n"]
+        for r in fac.groupBy("field").agg(F.count("*").alias("n")).collect()
+    }
+    # arrays explode (6 tag elements), scalars one row per non-null doc
+    assert by_field == {"lang": 5, "stars": 5, "tags": 6}
+    stars = fac.filter("field = 'stars'")
+    assert stars.filter(F.col("value_num").isNull()).count() == 0
+    lang = fac.filter("field = 'lang'")
+    assert lang.filter(F.col("value_num").isNotNull()).count() == 0
+
+
+def test_index_filters_equality_range_in_and_arrays(spark, fidx):
+    r = IndexReader(spark, fidx)
+    paths = lambda ids: {  # noqa: E731
+        x["path"] for x in r.docs.join(ids, "doc_id").select("path").collect()
+    }
+    assert paths(r.facet_doc_ids([("lang", "=", "py")])) == {"p1", "p2", "p5"}
+    assert paths(r.facet_doc_ids([("stars", "TO", (10, 25))])) == {
+        "p1", "p2", "p5"}
+    # array column: equality means membership
+    assert paths(r.facet_doc_ids([("tags", "=", "ml")])) == {"p1", "p5"}
+    assert paths(r.facet_doc_ids([("lang", "IN", ["go", "js"])])) == {
+        "p3", "p4"}
+    # conjunction across fields
+    assert paths(r.facet_doc_ids(
+        [("lang", "=", "py"), ("tags", "=", "web"), ("stars", "TO", (0, 20))]
+    )) == {"p1"}
+    # numeric equality compares on value_num
+    assert paths(r.facet_doc_ids([("stars", "=", 40)])) == {"p4"}
+    with pytest.raises(ValueError, match="not a filterable attribute"):
+        r.facet_doc_ids([("path", "=", "p1")])
+    with pytest.raises(ValueError, match="unsupported index-filter op"):
+        r.facet_doc_ids([("lang", "CONTAINS", "p")])
+
+
+def test_search_index_filters_match_scan_filter(spark, fidx):
+    r = IndexReader(spark, fidx)
+    a = r.search("alpha beta", k=10,
+                 index_filters=[("lang", "=", "py"), ("stars", "TO", (0, 20))],
+                 tie_cols=("path",))["hits"]
+    b = r.search("alpha beta", k=10,
+                 filter_expr="lang = 'py' AND stars <= 20",
+                 tie_cols=("path",))["hits"]
+    ka = [(x["path"], round(x["score"], 9)) for x in a.collect()]
+    kb = [(x["path"], round(x["score"], 9)) for x in b.collect()]
+    assert ka == kb and len(ka) > 0
+
+
+def test_facet_counts_indexed(spark, fidx):
+    r = IndexReader(spark, fidx)
+    got = [(x["value"], x["count"])
+           for x in r.facet_counts_indexed("lang").collect()]
+    assert got == [("py", 3), ("go", 1), ("js", 1)]  # count desc, value asc
+    tags = dict((x["value"], x["count"])
+                for x in r.facet_counts_indexed("tags").collect())
+    assert tags == {"web": 2, "ml": 2, "cli": 2}
+
+
+def test_facets_across_delta_tombstones_and_compact(spark, tmp_path_factory):
+    """A delta that changes one doc and removes another: the facet index
+    must serve the LIVE values (new layer rows visible, tombstoned and
+    superseded rows excluded), and compaction must fold to the same
+    answer with a single layer."""
+    d = str(tmp_path_factory.mktemp("faclife"))
+    build_index(spark, spark.createDataFrame(ROWS, SCHEMA), d, CFG,
+                build_id="f1")
+    snap2 = [r for r in ROWS if r[1] != "p4"]  # drop p4 (js)
+    # change p5: new commit, lang py -> go, stars 15 -> 99
+    snap2 = [("rc", "p5", "c1", "go", "gamma delta epsilon", 99, ["ml"])
+             if r[1] == "p5" else r for r in snap2]
+    delta_update(spark, spark.createDataFrame(snap2, SCHEMA), d, CFG,
+                 build_id="f2")
+
+    def live_counts(idx):
+        r = IndexReader(spark, idx)
+        return dict((x["value"], x["count"])
+                    for x in r.facet_counts_indexed("lang").collect())
+
+    assert live_counts(d) == {"py": 2, "go": 2}
+    r = IndexReader(spark, d)
+    hit = r.facet_doc_ids([("stars", "=", 99)])
+    assert {x["path"] for x in r.docs.join(hit, "doc_id")
+            .select("path").collect()} == {"p5"}
+    # the old p5 facet row (stars=15) is dead: its doc_id is tombstoned
+    # and facet_doc_ids applies the dead-set anti-join itself
+    assert r.facet_doc_ids([("stars", "=", 15)]).count() == 0
+    compact(spark, d, CFG, build_id="f3")
+    assert live_counts(d) == {"py": 2, "go": 2}
+    r3 = IndexReader(spark, d)
+    fac = read_facets(spark, d)
+    # compaction rewrote the relation live-only: no stars=15 row at all
+    assert fac.filter("field = 'stars' AND value_num = 15").count() == 0
+    assert {x["path"] for x in r3.docs.join(
+        r3.facet_doc_ids([("stars", "=", 99)]), "doc_id")
+        .select("path").collect()} == {"p5"}
+
+
+def test_build_rejects_unstored_filterable(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("facbad"))
+    cfg = IndexConfig(index_uid="bad", n_shards=2, exclude_paginated=False,
+                      filterable_attributes=["nope"])
+    with pytest.raises(ValueError, match="not stored docs columns"):
+        build_index(spark, spark.createDataFrame(ROWS, SCHEMA), d, cfg,
+                    build_id="b1")
