@@ -1359,6 +1359,55 @@ def q_phrase_positional_topk(spark, sf_dir):
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+SLOPPY_QUERY = "window stream"      # sloppy phrase (ordered window)
+SLOPPY_SLOP = 3
+
+
+def q_sloppy_phrase_topk(spark, sf_dir):
+    """X82: sloppy phrase — terms in order with <= slop intervening
+    tokens per consecutive pair (Lucene PhraseQuery~slop analog),
+    answered from the positional relation alone via the slop-window
+    chain-fold; BM25-ranked over the phrase terms."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    pos = M.positional_postings(_docs(spark, sf_dir), "text")
+    out = M.sloppy_phrase_topk(
+        pos, stats, n, avgdl, SLOPPY_QUERY, SLOPPY_SLOP, 10, K1, B
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _sloppy_phrase_sql() -> str:
+    """Chained-CTE oracle: per-term position relations joined left to
+    right under the same ordered slop window, then the shared BM25 CTE
+    over the phrase terms restricted to matched docs."""
+    terms = Q.query_terms(SLOPPY_QUERY)
+    tok = TOK_EXPR("text")
+    w = SLOPPY_SLOP + 1
+    ctes = [
+        f"ptok AS (SELECT doc_id, unnest({tok}) AS term, "
+        f"generate_subscripts({tok}, 1) - 1 AS pos FROM documents)",
+        f"c0 AS (SELECT doc_id, pos FROM ptok WHERE term = '{terms[0]}')",
+    ]
+    for i, t in enumerate(terms[1:], start=1):
+        ctes.append(
+            f"c{i} AS (SELECT DISTINCT b.doc_id, b.pos FROM c{i-1} a "
+            f"JOIN ptok b ON b.doc_id = a.doc_id AND b.term = '{t}' "
+            f"AND b.pos > a.pos AND b.pos <= a.pos + {w})"
+        )
+    last = len(terms) - 1
+    return (
+        _bm25_scored_sql(terms)
+        + ", "
+        + ", ".join(ctes)
+        + f""",
+matched AS (SELECT DISTINCT doc_id FROM c{last})
+SELECT s.doc_id, round(s.score, 4) AS score
+FROM scored s JOIN matched m USING (doc_id)
+ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
+"""
+    )
+
+
 def q_proximity_topk(spark, sf_dir):
     """Proximity ranking rule: n_matched desc, capped min-pairwise-token-
     distance sum asc, BM25 desc — all native array expressions."""
@@ -2988,6 +3037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (run with no args = full registry, exits nonzero on any failure
     # or missing oracle) every session.
     return {
+        "sloppy_phrase_topk": q_sloppy_phrase_topk,
         "split_word_best": q_split_word_best,
         "search_split_words": q_search_split_words,
         "facet_index_search": q_facet_index_search,
@@ -5008,6 +5058,7 @@ WHERE s.n_matched = {len(set(Q.query_terms(PHRASE_POS_QUERY)))}
 ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
 """,
         "proximity_topk": _proximity_sql(),
+        "sloppy_phrase_topk": _sloppy_phrase_sql(),
         "docssearch_ranked": _docssearch_ranked_sql(),
         "filtered_search": _bm25_scored_sql(Q.query_terms(BM25_QUERY)) + """
 SELECT s.doc_id, round(s.score, 4) AS score, d.lang, d.n_chars::BIGINT AS n_chars

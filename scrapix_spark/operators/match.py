@@ -486,6 +486,98 @@ def phrase_topk_positional(
     ).limit(k)
 
 
+def _chain_positions_within(cur_col, next_col, slop: int):
+    """positions of the next term reachable from any chain end with at
+    most `slop` intervening tokens: keep p in next where some chain end
+    c satisfies c < p <= c + 1 + slop. slop=0 degenerates to the exact
+    `_chain_positions` adjacency fold. The fold is exact for ordered
+    windows (every kept position is witnessed by a full left-to-right
+    chain; pairwise checks would admit the same false positives the
+    exact fold's docstring describes)."""
+    return F.filter(
+        next_col,
+        lambda p: F.exists(
+            cur_col, lambda c: (p > c) & (p <= c + F.lit(slop + 1))
+        ),
+    )
+
+
+def sloppy_phrase_match_docs(
+    positional: DataFrame, terms: list[str], slop: int
+) -> DataFrame:
+    """doc_ids whose token stream contains `terms` IN ORDER with at most
+    `slop` tokens between each consecutive pair — the Lucene
+    `PhraseQuery~slop` / ordered `SpanNearQuery` analog (the reference's
+    Meilisearch backend exposes the same need through its proximity
+    ranking rule; this is the boolean-match form). One row per matching
+    doc, column `doc_id`. Same term-pushdown scan shape as
+    phrase_match_docs: only the query terms' position rows are read."""
+    if slop <= 0:
+        return phrase_match_docs(positional, terms)
+    pos = positional.filter(F.col("term").isin(list(set(terms))))
+
+    def pos_of(t: str, alias: str) -> DataFrame:
+        return pos.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(alias)
+        )
+
+    cur = pos_of(terms[0], "chain")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = pos_of(t, f"p{i}")
+        cur = (
+            cur.join(nxt, "doc_id")
+            .select(
+                "doc_id",
+                _chain_positions_within(
+                    F.col("chain"), F.col(f"p{i}"), slop
+                ).alias("chain"),
+            )
+            .filter(F.size("chain") > 0)
+        )
+    return cur.select("doc_id")
+
+
+def sloppy_phrase_topk(
+    positional: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    phrase: str,
+    slop: int,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """Sloppy-phrase top-k from the positional relation alone: ordered
+    proximity-window match (<= slop intervening tokens per consecutive
+    pair), BM25-ranked over the phrase terms. slop=0 is rank-identical
+    to phrase_topk_positional by construction. The positional relation
+    is read only for the phrase terms (term pushdown); scoring joins a
+    broadcast idf slice — same plan shape as the exact-phrase path."""
+    terms = query_terms(phrase) if terms is None else terms
+    if not terms:
+        return positional.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    pos = positional.filter(F.col("term").isin(list(set(terms))))
+    matched = sloppy_phrase_match_docs(positional, terms, slop)
+
+    tstats = term_stats.filter(F.col("term").isin(terms)).withColumn(
+        "idf", idf_expr(N, F.col("df").cast("double"))
+    )
+    scored = pos.join(F.broadcast(tstats.select("term", "idf")), "term").withColumn(
+        "contrib",
+        bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, k1, b),
+    )
+    agg = scored.join(matched, "doc_id").groupBy("doc_id").agg(
+        F.sum("contrib").alias("score")
+    )
+    return agg.orderBy(
+        F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
+    ).limit(k)
+
+
 PROXIMITY_CAP = 8  # Meilisearch clamps pairwise word distance at 8
 
 

@@ -512,3 +512,66 @@ def test_search_split_words_mixed_query_n_matched(spark, pos_index_match):
     out = r.search("zzqqxx valuetable", k=10, split_words=True,
                    tie_cols=("path",))["hits"].collect()
     assert {row["path"] for row in out} == {"0004", "0007"}
+
+
+# ------------------------------------------------ X82: sloppy phrase
+
+
+SLOPPY_DOCS = [
+    (1, "window stream open"),                       # gap 0 (exact)
+    (2, "window the data stream"),                   # gap 2
+    (3, "window a b c d stream"),                    # gap 4 (too far at slop 3)
+    (4, "stream before window here"),                # wrong order
+    (5, "window w stream w window stream"),          # multiple chains
+    (6, "nothing relevant here"),
+]
+
+
+def _sloppy_fix(spark):
+    df = spark.createDataFrame(SLOPPY_DOCS, "doc_id long, text string")
+    pos = M.positional_postings(df, "text")
+    stats = pos.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    return df, pos, stats
+
+
+def test_sloppy_phrase_window_and_order(spark):
+    """<= slop intervening tokens, in order: gap 2 matches at slop 3,
+    gap 4 doesn't, reversed order never does."""
+    _, pos, _ = _sloppy_fix(spark)
+    got = {
+        r["doc_id"]
+        for r in M.sloppy_phrase_match_docs(
+            pos, ["window", "stream"], slop=3
+        ).collect()
+    }
+    assert got == {1, 2, 5}
+    # widen the window: the gap-4 doc joins, order still excludes doc 4
+    got5 = {
+        r["doc_id"]
+        for r in M.sloppy_phrase_match_docs(
+            pos, ["window", "stream"], slop=4
+        ).collect()
+    }
+    assert got5 == {1, 2, 3, 5}
+
+
+def test_sloppy_slop_zero_equals_exact_phrase(spark):
+    _, pos, stats = _sloppy_fix(spark)
+    sloppy = M.sloppy_phrase_topk(pos, stats, 6, 4.0, "window stream", 0, 10)
+    exact = M.phrase_topk_positional(pos, stats, 6, 4.0, "window stream", 10)
+    assert sloppy.collect() == exact.collect()
+
+
+def test_sloppy_chain_fold_is_ordered_not_pairwise(spark):
+    """3-term chain: each consecutive pair within slop somewhere in the
+    doc, but no single left-to-right chain — the fold must reject."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta w w w w w w w w w w alpha w w w w w w w w w w beta gamma"),
+         (2, "alpha x beta y gamma")],
+        "doc_id long, text string",
+    )
+    pos = M.positional_postings(df, "text")
+    out = M.sloppy_phrase_match_docs(pos, ["alpha", "beta", "gamma"], slop=2)
+    assert [r["doc_id"] for r in out.collect()] == [2]
