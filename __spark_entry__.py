@@ -1408,6 +1408,50 @@ ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
     )
 
 
+NEAR_QUERY = "merge sort vector"    # unordered window co-occurrence
+NEAR_WINDOW = 10
+
+
+def q_unordered_near_topk(spark, sf_dir):
+    """X83: unordered span-near — all terms within a token window in any
+    order (Lucene SpanNearQuery inOrder=false analog), answered from the
+    positional relation via the anchor-coverage array test; BM25-ranked
+    over the query terms."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    pos = M.positional_postings(_docs(spark, sf_dir), "text")
+    out = M.unordered_near_topk(
+        pos, stats, n, avgdl, NEAR_QUERY, NEAR_WINDOW, 10, K1, B
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _unordered_near_sql() -> str:
+    """Anchor-coverage oracle: every query-term occurrence is a window
+    anchor; a doc matches when some anchor's [a, a+window] contains an
+    occurrence of every term (correlated EXISTS per term), then the
+    shared BM25 CTE restricted to matched docs."""
+    terms = Q.query_terms(NEAR_QUERY)
+    tok = TOK_EXPR("text")
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    ex = " AND ".join(
+        f"EXISTS (SELECT 1 FROM ptok t WHERE t.doc_id = a.doc_id "
+        f"AND t.term = '{t}' AND t.pos BETWEEN a.pos AND a.pos + {NEAR_WINDOW})"
+        for t in terms
+    )
+    return (
+        _bm25_scored_sql(terms)
+        + f""",
+ptok AS (SELECT doc_id, unnest({tok}) AS term,
+         generate_subscripts({tok}, 1) - 1 AS pos FROM documents),
+anchors AS (SELECT DISTINCT doc_id, pos FROM ptok WHERE term IN ({tlist})),
+matched AS (SELECT DISTINCT a.doc_id FROM anchors a WHERE {ex})
+SELECT s.doc_id, round(s.score, 4) AS score
+FROM scored s JOIN matched m USING (doc_id)
+ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
+"""
+    )
+
+
 def q_proximity_topk(spark, sf_dir):
     """Proximity ranking rule: n_matched desc, capped min-pairwise-token-
     distance sum asc, BM25 desc — all native array expressions."""
@@ -3038,6 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # or missing oracle) every session.
     return {
         "sloppy_phrase_topk": q_sloppy_phrase_topk,
+        "unordered_near_topk": q_unordered_near_topk,
         "split_word_best": q_split_word_best,
         "search_split_words": q_search_split_words,
         "facet_index_search": q_facet_index_search,
@@ -5059,6 +5104,7 @@ ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
 """,
         "proximity_topk": _proximity_sql(),
         "sloppy_phrase_topk": _sloppy_phrase_sql(),
+        "unordered_near_topk": _unordered_near_sql(),
         "docssearch_ranked": _docssearch_ranked_sql(),
         "filtered_search": _bm25_scored_sql(Q.query_terms(BM25_QUERY)) + """
 SELECT s.doc_id, round(s.score, 4) AS score, d.lang, d.n_chars::BIGINT AS n_chars

@@ -578,6 +578,85 @@ def sloppy_phrase_topk(
     ).limit(k)
 
 
+def unordered_near_match_docs(
+    positional: DataFrame, terms: list[str], window: int
+) -> DataFrame:
+    """doc_ids where ALL `terms` co-occur within a token window of width
+    `window`, in ANY order — the Lucene SpanNearQuery(inOrder=false)
+    analog. Anchor formulation: a doc matches iff some occurrence `a` of
+    any query term has every term present in [a, a+window] (if a valid
+    set exists, its minimum position is such an anchor; any passing
+    anchor yields a valid set). One row per matching doc, column
+    `doc_id`. Same term-pushdown scan as the ordered fold: only the
+    query terms' position rows are read, and the window test is a pure
+    array expression — zero Python, no explode."""
+    uniq = list(dict.fromkeys(terms))
+    pos = positional.filter(F.col("term").isin(uniq))
+
+    cur = None
+    for i, t in enumerate(uniq):
+        nxt = pos.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"a{i}")
+        )
+        cur = nxt if cur is None else cur.join(nxt, "doc_id")
+
+    anchors = F.col("a0")
+    for i in range(1, len(uniq)):
+        anchors = F.array_union(anchors, F.col(f"a{i}"))
+
+    def covered(a):
+        def term_in_window(name):
+            return F.exists(
+                F.col(name), lambda p: (p >= a) & (p <= a + F.lit(window))
+            )
+
+        out = term_in_window("a0")
+        for i in range(1, len(uniq)):
+            out = out & term_in_window(f"a{i}")
+        return out
+
+    return cur.filter(F.exists(anchors, covered)).select("doc_id")
+
+
+def unordered_near_topk(
+    positional: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    phrase: str,
+    window: int,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """Unordered span-near top-k: all query terms within a token window
+    of width `window` in any order, BM25-ranked over the query terms.
+    Plan shape identical to sloppy_phrase_topk (term-pushdown positional
+    scan + broadcast idf slice); only the boolean match differs."""
+    terms = query_terms(phrase) if terms is None else terms
+    if not terms:
+        return positional.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    pos = positional.filter(F.col("term").isin(list(set(terms))))
+    matched = unordered_near_match_docs(positional, terms, window)
+
+    tstats = term_stats.filter(F.col("term").isin(terms)).withColumn(
+        "idf", idf_expr(N, F.col("df").cast("double"))
+    )
+    scored = pos.join(F.broadcast(tstats.select("term", "idf")), "term").withColumn(
+        "contrib",
+        bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, k1, b),
+    )
+    agg = scored.join(matched, "doc_id").groupBy("doc_id").agg(
+        F.sum("contrib").alias("score")
+    )
+    return agg.orderBy(
+        F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
+    ).limit(k)
+
+
 PROXIMITY_CAP = 8  # Meilisearch clamps pairwise word distance at 8
 
 

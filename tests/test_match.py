@@ -575,3 +575,56 @@ def test_sloppy_chain_fold_is_ordered_not_pairwise(spark):
     pos = M.positional_postings(df, "text")
     out = M.sloppy_phrase_match_docs(pos, ["alpha", "beta", "gamma"], slop=2)
     assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+# ------------------------------------------- X83: unordered span-near
+
+
+def test_unordered_near_any_order_within_window(spark):
+    df = spark.createDataFrame(
+        [(1, "merge the sort now"),            # both, in order, span 2
+         (2, "sort then later merge"),         # reversed order, span 3
+         (3, "merge a b c d e f g h sort"),    # span 9 > window 4
+         (4, "merge only here"),
+         (5, "sort only here")],
+        "doc_id long, text string",
+    )
+    pos = M.positional_postings(df, "text")
+    got = {
+        r["doc_id"]
+        for r in M.unordered_near_match_docs(pos, ["merge", "sort"], 4).collect()
+    }
+    assert got == {1, 2}
+    wide = {
+        r["doc_id"]
+        for r in M.unordered_near_match_docs(pos, ["merge", "sort"], 9).collect()
+    }
+    assert wide == {1, 2, 3}
+
+
+def test_unordered_near_requires_all_terms_one_window(spark):
+    """Three terms pairwise-near in different spots but never all three
+    in one window must NOT match; a clustered doc must."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta w w w w w w w w beta gamma w w w w w w w w gamma alpha"),
+         (2, "gamma alpha beta")],
+        "doc_id long, text string",
+    )
+    pos = M.positional_postings(df, "text")
+    out = M.unordered_near_match_docs(pos, ["alpha", "beta", "gamma"], 3)
+    assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_unordered_near_topk_scores_match_bm25_restriction(spark):
+    """unordered_near_topk = BM25 over the query terms restricted to the
+    window-matched docs."""
+    df = spark.createDataFrame(SLOPPY_DOCS, "doc_id long, text string")
+    pos = M.positional_postings(df, "text")
+    stats = pos.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    out = M.unordered_near_topk(pos, stats, 6, 4.0, "stream window", 2, 10)
+    got = [r["doc_id"] for r in out.collect()]
+    # docs 1, 4, 5 have the pair within a 2-token span (4 reversed —
+    # order must NOT matter here); doc 2 spans 3; doc 3 spans 5
+    assert set(got) == {1, 4, 5}
