@@ -1452,6 +1452,51 @@ ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
     )
 
 
+def q_proximity_pairs_topk(spark, sf_dir):
+    """X84: proximity rule answered from the precomputed word-pair
+    relation (Meilisearch word_pair_proximity_docids analog) instead of
+    position arrays — rank-identical to proximity_topk by construction,
+    so it shares that gate's oracle."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    pos = M.positional_postings(_docs(spark, sf_dir), "text")
+    pairs = M.word_pair_proximities(pos)
+    out = M.proximity_topk_from_pairs(
+        pos, pairs, stats, n, avgdl, PROX_QUERY, 10, K1, B
+    )
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        F.col("proximity").cast("long").alias("proximity"),
+    )
+
+
+WPAIR_W1, WPAIR_W2 = "window", "stream"
+
+
+def q_word_pairs_rel(spark, sf_dir):
+    """X84 relation gate: the stored (w1, w2, prox, doc_id) rows for one
+    ordered pair — min forward token distance in 1..8 per doc."""
+    pos = M.positional_postings(_docs(spark, sf_dir), "text")
+    pairs = M.word_pair_proximities(pos)
+    return (
+        pairs.filter((F.col("w1") == WPAIR_W1) & (F.col("w2") == WPAIR_W2))
+        .select("doc_id", F.col("prox").cast("long").alias("prox"))
+    )
+
+
+def _word_pairs_sql() -> str:
+    tok = TOK_EXPR("text")
+    return f"""
+WITH ptok AS (SELECT doc_id, unnest({tok}) AS term,
+              generate_subscripts({tok}, 1) - 1 AS pos FROM documents)
+SELECT a.doc_id, min(b.pos - a.pos)::BIGINT AS prox
+FROM ptok a JOIN ptok b
+  ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos <= a.pos + {M.PROXIMITY_CAP}
+WHERE a.term = '{WPAIR_W1}' AND b.term = '{WPAIR_W2}'
+GROUP BY a.doc_id
+"""
+
+
 def q_proximity_topk(spark, sf_dir):
     """Proximity ranking rule: n_matched desc, capped min-pairwise-token-
     distance sum asc, BM25 desc — all native array expressions."""
@@ -3083,6 +3128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sloppy_phrase_topk": q_sloppy_phrase_topk,
         "unordered_near_topk": q_unordered_near_topk,
+        "proximity_pairs_topk": q_proximity_pairs_topk,
+        "word_pairs_rel": q_word_pairs_rel,
         "split_word_best": q_split_word_best,
         "search_split_words": q_search_split_words,
         "facet_index_search": q_facet_index_search,
@@ -5105,6 +5152,8 @@ ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
         "proximity_topk": _proximity_sql(),
         "sloppy_phrase_topk": _sloppy_phrase_sql(),
         "unordered_near_topk": _unordered_near_sql(),
+        "proximity_pairs_topk": _proximity_sql(),
+        "word_pairs_rel": _word_pairs_sql(),
         "docssearch_ranked": _docssearch_ranked_sql(),
         "filtered_search": _bm25_scored_sql(Q.query_terms(BM25_QUERY)) + """
 SELECT s.doc_id, round(s.score, 4) AS score, d.lang, d.n_chars::BIGINT AS n_chars

@@ -726,6 +726,141 @@ def proximity_topk(
     ).limit(k)
 
 
+def word_pair_proximities(
+    positional: DataFrame, cap: int = PROXIMITY_CAP
+) -> DataFrame:
+    """Precomputed word-pair proximity relation — the Meilisearch
+    word_pair_proximity_docids analog (milli stores (w1, w2, prox) →
+    doc bitmap for prox 1..8 so the proximity rule never reads
+    positions at query time). Emits one row per ordered pair occurring
+    within `cap` tokens: (w1, w2, prox, doc_id) with prox = MIN forward
+    token distance p2 - p1 in 1..cap for that doc.
+
+    Scale shape: the naive per-doc pair join is O(dl^2); this is the
+    linear form — explode each token into its `cap` forward gap slots
+    (one sequence-transform, map-side), then ONE equi-join on
+    (doc_id, pos) against the token stream, then a partial-aggregable
+    min. Rows pre-agg = tokens x cap, the same budget milli pays when
+    it extracts pairs at indexing time."""
+    toks = positional.select(
+        "doc_id", F.col("term").alias("w1"), F.explode("positions").alias("pos")
+    )
+    probes = toks.select(
+        "doc_id",
+        "w1",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(cap)),
+                lambda g: F.struct(
+                    (F.col("pos") + g).alias("tpos"), g.alias("g")
+                ),
+            )
+        ).alias("slot"),
+    ).select("doc_id", "w1", F.col("slot.tpos").alias("pos"), F.col("slot.g").alias("g"))
+    pairs = probes.join(
+        toks.select("doc_id", F.col("w1").alias("w2"), "pos"),
+        ["doc_id", "pos"],
+    )
+    return pairs.groupBy("w1", "w2", "doc_id").agg(
+        F.min("g").cast("int").alias("prox")
+    ).select("w1", "w2", "prox", "doc_id")
+
+
+def proximity_topk_from_pairs(
+    positional: DataFrame,
+    pairs: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    q: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """proximity_topk answered from the precomputed pair relation
+    instead of position arrays — rank-identical by construction: the
+    table-level cost is min(|p_i - p_j|) capped, and min over both
+    stored directions of the forward distance IS min |p_i - p_j| when
+    it is <= cap (both absent <=> true min > cap <=> cost = cap; a
+    repeated adjacent query word costs 0 at the table level since the
+    same occurrence serves both sides, special-cased here). The pair
+    scan reads ONLY the query's adjacent (w1, w2) rows — at the index
+    level that is an equi-pushdown on two key columns, never a
+    positions read."""
+    terms = query_terms(q) if terms is None else terms
+    if not terms:
+        return positional.sparkSession.createDataFrame(
+            [], "doc_id long, score double, n_matched int, proximity int"
+        )
+    pos = positional.filter(F.col("term").isin(terms))
+    tstats = term_stats.filter(F.col("term").isin(terms)).withColumn(
+        "idf", idf_expr(N, F.col("df").cast("double"))
+    )
+    scored = pos.join(F.broadcast(tstats.select("term", "idf")), "term").withColumn(
+        "contrib",
+        bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, k1, b),
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.count("*").cast("int").alias("n_matched"),
+        F.collect_set("term").alias("present"),
+    )
+
+    cap = F.lit(PROXIMITY_CAP)
+    qpairs = [
+        (a, bterm) for a, bterm in zip(terms, terms[1:]) if a != bterm
+    ]
+    # one pushdown scan over the pair relation for all adjacent query
+    # pairs, both directions, folded to min per (doc, query-pair ordinal)
+    cost_by_doc = None
+    if qpairs:
+        conds = None
+        for i, (a, bterm) in enumerate(qpairs):
+            c = (
+                ((F.col("w1") == a) & (F.col("w2") == bterm))
+                | ((F.col("w1") == bterm) & (F.col("w2") == a))
+            )
+            conds = c if conds is None else (conds | c)
+        rel = pairs.filter(conds)
+        per_pair = None
+        for i, (a, bterm) in enumerate(qpairs):
+            sel = rel.filter(
+                ((F.col("w1") == a) & (F.col("w2") == bterm))
+                | ((F.col("w1") == bterm) & (F.col("w2") == a))
+            ).groupBy("doc_id").agg(F.min("prox").alias("d")).select(
+                "doc_id", F.lit(i).alias("ord"), "d"
+            )
+            per_pair = sel if per_pair is None else per_pair.unionByName(sel)
+        cost_by_doc = per_pair.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("ord"), F.col("d")))
+            ).alias("dmap")
+        )
+
+    out = perdoc
+    if cost_by_doc is not None:
+        out = out.join(cost_by_doc, "doc_id", "left")
+    total = F.lit(0)
+    j = 0
+    for a, bterm in zip(terms, terms[1:]):
+        if a == bterm:
+            # same occurrence serves both sides at the table level
+            pc = F.when(F.array_contains(F.col("present"), a), F.lit(0)).otherwise(cap)
+        else:
+            d = F.col("dmap").getItem(j) if cost_by_doc is not None else F.lit(None)
+            pc = F.when(d.isNull(), cap).otherwise(F.least(d, cap))
+            j += 1
+        total = total + pc
+    out = out.withColumn("proximity", total.cast("int"))
+    return out.select("doc_id", "score", "n_matched", "proximity").orderBy(
+        F.col("n_matched").desc(),
+        F.col("proximity").asc(),
+        F.round(F.col("score"), SCORE_ROUND).desc(),
+        F.col("doc_id").asc(),
+    ).limit(k)
+
+
 def ranked_chain_topk(
     positional: DataFrame,
     term_stats: DataFrame,

@@ -628,3 +628,51 @@ def test_unordered_near_topk_scores_match_bm25_restriction(spark):
     # docs 1, 4, 5 have the pair within a 2-token span (4 reversed —
     # order must NOT matter here); doc 2 spans 3; doc 3 spans 5
     assert set(got) == {1, 4, 5}
+
+
+# ---------------------------------- X84: word-pair proximity relation
+
+
+def test_word_pair_proximities_min_forward_distance(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha x beta y alpha beta"),     # a->b: 2 and 1 -> min 1
+         (2, "beta alpha"),                    # only b->a
+         (3, "alpha w w w w w w w w w beta")], # distance 10 > cap
+        "doc_id long, text string",
+    )
+    pos = M.positional_postings(df, "text")
+    pairs = M.word_pair_proximities(pos)
+    got = {
+        (r["w1"], r["w2"], r["doc_id"]): r["prox"]
+        for r in pairs.filter(
+            F.col("w1").isin("alpha", "beta") & F.col("w2").isin("alpha", "beta")
+        ).collect()
+    }
+    assert got[("alpha", "beta", 1)] == 1
+    assert got[("beta", "alpha", 2)] == 1
+    assert ("alpha", "beta", 3) not in got       # beyond the cap
+    assert ("alpha", "beta", 2) not in got       # wrong direction only
+
+
+def test_proximity_from_pairs_rank_identical(spark):
+    """The pair-relation path must reproduce the positional proximity
+    ranking exactly — including repeated adjacent query words (cost 0)
+    and missing-word cap costs."""
+    from scrapix_spark.fixtures import corpus_spark_df
+
+    corpus = corpus_spark_df(spark, 200).withColumn(
+        "doc_id", F.xxhash64("repo", "path")
+    )
+    pos = M.positional_postings(corpus, "content", "doc_id")
+    stats = pos.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    n = corpus.count()
+    avgdl = float(pos.select(F.avg("dl")).first()[0])
+    pairs = M.word_pair_proximities(pos)
+    for q in ["binary search", "merge sort merge", "import zanzibar", "def def"]:
+        a = M.proximity_topk(pos, stats, n, avgdl, q, 10).collect()
+        b = M.proximity_topk_from_pairs(
+            pos, pairs, stats, n, avgdl, q, 10
+        ).collect()
+        assert a == b, q
