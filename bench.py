@@ -173,6 +173,8 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "tokenize_cjk", "ppl_buckets", "suggest_query", "import_edges",
         "pagerank", "extract_symbols", "comment_signals", "hashing_embed",
         "bm25_for_codec_topk",
+        # round-3c additions (BASELINE.md records their first window)
+        "sloppy_phrase_topk", "unordered_near_topk", "proximity_pairs_topk",
     ]
     out = {}
     for name in headline:
