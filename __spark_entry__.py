@@ -2207,6 +2207,56 @@ def q_search_quoted_phrase(spark, sf_dir):
     )
 
 
+SLOPPY_SEARCH_Q = 'merge "window stream"~3'   # word + sloppy phrase
+
+
+def q_search_sloppy_phrase(spark, sf_dir):
+    """X85: Lucene-style `"..."~N` slop syntax in the unified search()
+    grammar — the quoted run becomes an ordered slop-window constraint
+    (match.sloppy_phrase_match_docs over the index's positional
+    relation) while its words still score as their own word groups,
+    exactly like exact quoted phrases."""
+    idx = _entry_pos_index(spark, sf_dir)
+    r = Q.IndexReader(spark, idx)
+    res = r.search(SLOPPY_SEARCH_Q, k=10, tie_cols=("path",))
+    return res["hits"].select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+def _search_sloppy_sql() -> str:
+    """search_quoted_phrase's oracle with the regex adjacency filter
+    replaced by the chained slop-window CTE (same construction as
+    _sloppy_phrase_sql)."""
+    pterms = ["window", "stream"]
+    tok = TOK_EXPR("text")
+    w = 3 + 1
+    ctes = [
+        f"ptok AS (SELECT doc_id, unnest({tok}) AS term, "
+        f"generate_subscripts({tok}, 1) - 1 AS pos FROM documents)",
+        f"c0 AS (SELECT doc_id, pos FROM ptok WHERE term = '{pterms[0]}')",
+    ]
+    for i, t in enumerate(pterms[1:], start=1):
+        ctes.append(
+            f"c{i} AS (SELECT DISTINCT b.doc_id, b.pos FROM c{i-1} a "
+            f"JOIN ptok b ON b.doc_id = a.doc_id AND b.term = '{t}' "
+            f"AND b.pos > a.pos AND b.pos <= a.pos + {w})"
+        )
+    return (
+        _bm25_scored_sql(["merge", "window", "stream"])
+        + ", "
+        + ", ".join(ctes)
+        + f""",
+matched AS (SELECT DISTINCT doc_id FROM c{len(pterms)-1})
+SELECT s.doc_id, round(s.score, 4) AS score, s.n_matched
+FROM scored s JOIN matched m USING (doc_id)
+ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
+"""
+    )
+
+
 def q_search_negative_phrase(spark, sf_dir):
     """Negative phrases + negative keywords (Meilisearch v1.8):
     `value -"value table" -join` keeps docs containing `value`
@@ -3130,6 +3180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unordered_near_topk": q_unordered_near_topk,
         "proximity_pairs_topk": q_proximity_pairs_topk,
         "word_pairs_rel": q_word_pairs_rel,
+        "search_sloppy_phrase": q_search_sloppy_phrase,
         "split_word_best": q_split_word_best,
         "search_split_words": q_search_split_words,
         "facet_index_search": q_facet_index_search,
@@ -5154,6 +5205,7 @@ ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
         "unordered_near_topk": _unordered_near_sql(),
         "proximity_pairs_topk": _proximity_sql(),
         "word_pairs_rel": _word_pairs_sql(),
+        "search_sloppy_phrase": _search_sloppy_sql(),
         "docssearch_ranked": _docssearch_ranked_sql(),
         "filtered_search": _bm25_scored_sql(Q.query_terms(BM25_QUERY)) + """
 SELECT s.doc_id, round(s.score, 4) AS score, d.lang, d.n_chars::BIGINT AS n_chars

@@ -1057,23 +1057,28 @@ def parse_query(q: str, stop_words: set[str] | None = None):
     return pos, neg
 
 
-_QTOKEN_RE = re.compile(r'(-?)"([^"]*)"|(-?)(\S+)')
+_QTOKEN_RE = re.compile(r'(-?)"([^"]*)"(?:~(\d+))?|(-?)(\S+)')
 
 
 def parse_query_full(q: str, stop_words: set[str] | None = None,
                      tokenize=None) -> dict:
     """The FULL Meilisearch query-string grammar: double-quoted runs are
-    phrases (exact-adjacency constraints), `-` negates the word or
+    phrases (exact-adjacency constraints), an optional Lucene-style
+    `~N` suffix on the closing quote relaxes the run to a sloppy phrase
+    (in order, <= N intervening tokens per consecutive pair —
+    operators/match.sloppy_phrase_match_docs), `-` negates the word or
     phrase it prefixes (negative keywords / negative phrases, v1.8), and
     stop words drop from the positive WORD list only — quoting a phrase
     opts its words out of stop-word removal (Meilisearch keeps phrase
     tokens verbatim), and excluding by a stop word still works.
 
     Returns {"words": [...], "neg_words": [...], "phrases": [[...],...],
-    "neg_phrases": [[...],...]} — words in first-occurrence order with
+    "neg_phrases": [[...],...], "phrase_slops": [...],
+    "neg_phrase_slops": [...]} — words in first-occurrence order with
     duplicates dropped; each phrase is its tokenized term list (empty
-    phrases dropped). Phrase words are NOT echoed into "words": the
-    caller scores them as their own word groups so the phrase both
+    phrases dropped) with its slop (0 = exact) at the same ordinal in
+    the parallel slops list. Phrase words are NOT echoed into "words":
+    the caller scores them as their own word groups so the phrase both
     constrains (adjacency) and contributes relevancy, the same
     convention the phrase_topk oracles pin.
     """
@@ -1082,14 +1087,22 @@ def parse_query_full(q: str, stop_words: set[str] | None = None,
     neg_words: list[str] = []
     phrases: list[list[str]] = []
     neg_phrases: list[list[str]] = []
+    phrase_slops: list[int] = []
+    neg_phrase_slops: list[int] = []
     for m in _QTOKEN_RE.finditer(q):
         if m.group(2) is not None:
             terms = tokenize(m.group(2))
             if terms:
-                (neg_phrases if m.group(1) else phrases).append(terms)
+                slop = int(m.group(3)) if m.group(3) else 0
+                if m.group(1):
+                    neg_phrases.append(terms)
+                    neg_phrase_slops.append(slop)
+                else:
+                    phrases.append(terms)
+                    phrase_slops.append(slop)
         else:
-            is_neg = bool(m.group(3))
-            for t in tokenize(m.group(4)):
+            is_neg = bool(m.group(4))
+            for t in tokenize(m.group(5)):
                 bucket = neg_words if is_neg else words
                 if t not in bucket and (
                     is_neg or not stop_words or t not in stop_words
@@ -1098,6 +1111,7 @@ def parse_query_full(q: str, stop_words: set[str] | None = None,
     return {
         "words": words, "neg_words": neg_words,
         "phrases": phrases, "neg_phrases": neg_phrases,
+        "phrase_slops": phrase_slops, "neg_phrase_slops": neg_phrase_slops,
     }
 
 

@@ -845,12 +845,18 @@ class IndexReader:
             aggs.append(F.collect_set("wi").alias("ws"))
         return perword.groupBy("doc_id").agg(*aggs)
 
-    def _phrase_docs(self, terms: list[str]) -> DataFrame | None:
-        """doc_ids containing `terms` as an exact phrase, from the
-        positional relation (operators/match.phrase_match_docs), or
-        None when some phrase word is absent from the dictionary — the
-        phrase can match nothing. Requires store_positions=True."""
-        from scrapix_spark.operators.match import phrase_match_docs
+    def _phrase_docs(
+        self, terms: list[str], slop: int = 0
+    ) -> DataFrame | None:
+        """doc_ids containing `terms` as a phrase — exact adjacency at
+        slop 0 (operators/match.phrase_match_docs), else the ordered
+        slop-window fold (sloppy_phrase_match_docs, the `"..."~N`
+        grammar) — or None when some phrase word is absent from the
+        dictionary: the phrase can match nothing. Requires
+        store_positions=True."""
+        from scrapix_spark.operators.match import (
+            phrase_match_docs, sloppy_phrase_match_docs,
+        )
 
         if not self.meta.get("store_positions"):
             raise ValueError(
@@ -860,7 +866,10 @@ class IndexReader:
         drows = self.resolve_terms(terms)
         if len({t for t, _, _ in drows}) < len(set(terms)):
             return None
-        return phrase_match_docs(self._positional_rows_for(drows), terms)
+        rows = self._positional_rows_for(drows)
+        if slop > 0:
+            return sloppy_phrase_match_docs(rows, terms, slop)
+        return phrase_match_docs(rows, terms)
 
     def _positional_rows_for(self, drows) -> DataFrame:
         """(term, doc_id, positions) for the resolved dictionary rows
@@ -1160,7 +1169,9 @@ class IndexReader:
         **Query-string grammar** (operators/match.parse_query_full):
         `q` supports the full Meilisearch syntax — `"quoted runs"` are
         exact-phrase constraints verified against the positional
-        relation (requires store_positions=True), `-word` / `-"quoted
+        relation (requires store_positions=True), `"quoted runs"~N`
+        relaxes a run to a sloppy phrase (in order, <= N intervening
+        tokens per consecutive pair), `-word` / `-"quoted
         run"` are negative keywords / negative phrases (anti-joined
         BEFORE ranking), `stop_words` drop from positive words only,
         and `synonyms` expands each word to an alternatives group
@@ -1346,8 +1357,8 @@ class IndexReader:
                     wi: min((dfs[t] for t in g if t in dfs), default=-1)
                     for wi, g in enumerate(groups[:n_word_groups])
                 }
-            for p in phrases:
-                matched = self._phrase_docs(p)
+            for p, slop in zip(phrases, parsed["phrase_slops"]):
+                matched = self._phrase_docs(p, slop)
                 if matched is None:
                     scored = scored.limit(0)
                     break
@@ -1383,8 +1394,8 @@ class IndexReader:
                 )
             if need_ws:
                 scored = scored.drop("ws")
-        for np_ in parsed["neg_phrases"]:
-            matched = self._phrase_docs(np_)
+        for np_, slop in zip(parsed["neg_phrases"], parsed["neg_phrase_slops"]):
+            matched = self._phrase_docs(np_, slop)
             if matched is not None:
                 scored = scored.join(matched, "doc_id", "left_anti")
         if parsed["neg_words"]:

@@ -518,3 +518,34 @@ def test_search_multiword_synonym_key(gram_index, table_level):
     for d in only_merge:
         assert got[d][1] == 2
         assert got[d][0] == pytest.approx(2 * merge[d], rel=1e-9)
+
+
+# ------------------------------------------------ X85: "..."~N slop
+
+
+def test_parse_query_full_slop_suffix():
+    got = M.parse_query_full('alpha "beta gamma"~2 -"delta eps"~4 "x y"')
+    assert got["phrases"] == [["beta", "gamma"], ["x", "y"]]
+    assert got["phrase_slops"] == [2, 0]
+    assert got["neg_phrases"] == [["delta", "eps"]]
+    assert got["neg_phrase_slops"] == [4]
+    # a bare ~N not attached to a closing quote is just a word boundary
+    got2 = M.parse_query_full("alpha~2")
+    assert got2["words"] == ["alpha", "2"] and got2["phrases"] == []
+
+
+def test_search_sloppy_phrase_widens_exact(gram_index):
+    """`"..."~N` must be a superset of the exact quoted phrase and a
+    subset of the unconstrained AND of its words, honoring order +
+    window; scores must agree with the exact path on shared docs."""
+    _, r = gram_index
+    exact = {x["doc_id"]: x["score"] for x in
+             r.search('"binary search"', k=10**6)["hits"].collect()}
+    sloppy = {x["doc_id"]: x["score"] for x in
+              r.search('"binary search"~3', k=10**6)["hits"].collect()}
+    bag = {x["doc_id"] for x in
+           r.search("binary search", k=10**6,
+                    matching_strategy="all")["hits"].collect()}
+    assert set(exact) <= set(sloppy) <= bag
+    for d, s in exact.items():
+        assert sloppy[d] == pytest.approx(s, rel=1e-9)
