@@ -582,6 +582,52 @@ class IndexReader:
         )
         return self._hydrate(topk) if hydrate else topk
 
+    def topk_sloppy_phrase(
+        self, q: str, slop: int, k: int = 10, hydrate: bool = True
+    ) -> DataFrame:
+        """Sloppy-phrase top-k from the index's positional relation
+        (ordered slop-window chain-fold; operators/match.
+        sloppy_phrase_topk). slop=0 is rank-identical to topk_phrase."""
+        from scrapix_spark.operators.match import sloppy_phrase_topk
+
+        got = self._positional_for(q)
+        if got is None:
+            empty = self.spark.createDataFrame([], "doc_id long, score double")
+            return self._hydrate(empty) if hydrate else empty
+        pos, tstats, terms = got
+        if len(self.resolve_terms(terms)) < len(set(terms)):
+            empty = self.spark.createDataFrame([], "doc_id long, score double")
+            return self._hydrate(empty) if hydrate else empty
+        meta = self.meta
+        topk = sloppy_phrase_topk(
+            pos, tstats, meta["N"], meta["avgdl"], q, slop, k, meta["k1"],
+            meta["b"], terms=terms,
+        )
+        return self._hydrate(topk) if hydrate else topk
+
+    def topk_near(
+        self, q: str, window: int, k: int = 10, hydrate: bool = True
+    ) -> DataFrame:
+        """Unordered span-near top-k from the index's positional
+        relation: all query terms within a `window`-token span in any
+        order (operators/match.unordered_near_topk)."""
+        from scrapix_spark.operators.match import unordered_near_topk
+
+        got = self._positional_for(q)
+        if got is None:
+            empty = self.spark.createDataFrame([], "doc_id long, score double")
+            return self._hydrate(empty) if hydrate else empty
+        pos, tstats, terms = got
+        if len(self.resolve_terms(terms)) < len(set(terms)):
+            empty = self.spark.createDataFrame([], "doc_id long, score double")
+            return self._hydrate(empty) if hydrate else empty
+        meta = self.meta
+        topk = unordered_near_topk(
+            pos, tstats, meta["N"], meta["avgdl"], q, window, k, meta["k1"],
+            meta["b"], terms=terms,
+        )
+        return self._hydrate(topk) if hydrate else topk
+
     def topk_proximity(
         self, q: str, k: int = 10, hydrate: bool = False
     ) -> DataFrame:

@@ -676,3 +676,51 @@ def test_proximity_from_pairs_rank_identical(spark):
             pos, pairs, stats, n, avgdl, q, 10
         ).collect()
         assert a == b, q
+
+
+def test_index_window_queries_match_table_operators(spark, tmp_path_factory):
+    """topk_sloppy_phrase / topk_near over the published index's
+    positional relation must be rank-identical to the table-level
+    operators over raw content."""
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.fixtures import corpus_spark_df
+    from scrapix_spark.operators.docs import build_docs
+    from scrapix_spark.operators.index import build_index
+    from scrapix_spark.operators.query import IndexReader
+
+    corpus = corpus_spark_df(spark, 300)
+    d = str(tmp_path_factory.mktemp("widx"))
+    build_index(
+        spark, corpus, d,
+        IndexConfig(index_uid="w", n_shards=8, exclude_paginated=False,
+                    store_positions=True),
+        build_id="w1",
+    )
+    r = IndexReader(spark, d)
+
+    docs = build_docs(corpus, IndexConfig(exclude_paginated=False), tokenize=False)
+    pos = M.positional_postings(docs, "content", "doc_id")
+    stats = pos.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    n = docs.count()
+    avgdl = float(pos.select(F.avg("dl")).first()[0])
+    meta = r.meta
+
+    got = r.topk_sloppy_phrase("binary search", 3, 10, hydrate=False).collect()
+    want = M.sloppy_phrase_topk(
+        pos, stats, meta["N"], meta["avgdl"], "binary search", 3, 10,
+        meta["k1"], meta["b"],
+    ).collect()
+    assert [x["doc_id"] for x in got] == [x["doc_id"] for x in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+
+    got = r.topk_near("search binary", 6, 10, hydrate=False).collect()
+    want = M.unordered_near_topk(
+        pos, stats, meta["N"], meta["avgdl"], "search binary", 6, 10,
+        meta["k1"], meta["b"],
+    ).collect()
+    assert [x["doc_id"] for x in got] == [x["doc_id"] for x in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], rel=1e-9)
