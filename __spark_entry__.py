@@ -3168,7 +3168,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry sample gates the never-gated
-    # surfaces first: round-3 additions lead (code-curation family,
+    # surfaces first: the newest round-3c positional-window ops
+    # (X82-X85) lead, then the earlier round-3 additions (code-curation
+    # family,
     # CJK/ppl/suggest/graph, then the X51-X62 ops), followed by the
     # round-2 never-driver-gated set (search API, geo, hybrid/
     # federated, curation, grammar); the remainder were gated in
