@@ -2682,7 +2682,11 @@ def q_geo_bbox(spark, sf_dir):
     return (
         G.geo_bounding_box(d, (30.0, -150.0), (-10.0, 150.0))
         .orderBy("doc_id")
-        .select("doc_id", "lat", "lng")
+        .select(
+            "doc_id",
+            F.round("lat", 4).cast("double").alias("lat"),
+            F.round("lng", 4).cast("double").alias("lng"),
+        )
     )
 
 
@@ -5281,7 +5285,7 @@ ORDER BY round(dist, 6), doc_id LIMIT 50
         "geo_bbox": f"""
 WITH g AS (SELECT doc_id, {_GEO_LAT_SQL} AS lat, {_GEO_LNG_SQL} AS lng
            FROM documents)
-SELECT doc_id, lat, lng FROM g
+SELECT doc_id, round(lat, 4) AS lat, round(lng, 4) AS lng FROM g
 WHERE lat <= 30.0 AND lat >= -10.0 AND (lng >= 150.0 OR lng <= -150.0)
 ORDER BY doc_id
 """,

@@ -659,7 +659,11 @@ def _facet_rows(docs: DataFrame, fields: list[str]) -> DataFrame:
     (range filters; NULL for non-numeric values — try_cast, never a
     runtime error under ANSI). Array columns explode to one row per
     element (Meilisearch's array-facet semantics); NULLs emit no row
-    (an absent value matches no facet filter)."""
+    (an absent value matches no facet filter). Repeated values inside
+    one document's array are deduplicated so facetDistribution counts
+    DOCUMENTS, not occurrences (Meilisearch semantics: tags=["a","a"]
+    contributes 1 to "a") — the dedup also shrinks the persisted
+    relation."""
     from pyspark.sql.types import ArrayType
 
     missing = [f for f in fields if f not in docs.columns]
@@ -687,7 +691,7 @@ def _facet_rows(docs: DataFrame, fields: list[str]) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return out.dropDuplicates(["field", "value_str", "doc_id"])
 
 
 def _union_layers(spark: SparkSession, index_dir: str, sub: str, drop=()):

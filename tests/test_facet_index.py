@@ -139,6 +139,26 @@ def test_facets_across_delta_tombstones_and_compact(spark, tmp_path_factory):
         .select("path").collect()} == {"p5"}
 
 
+def test_repeated_array_values_count_documents(spark, tmp_path_factory):
+    """Meilisearch facetDistribution counts DOCUMENTS: tags=["a","a"]
+    contributes 1 to "a", not 2 — _facet_rows dedups (field, value,
+    doc) so the posting relation never double-counts one doc."""
+    d = str(tmp_path_factory.mktemp("facdup"))
+    rows = [
+        ("ra", "p1", "c0", "py", "alpha beta", 1, ["a", "a", "b"]),
+        ("ra", "p2", "c0", "py", "alpha", 2, ["a"]),
+    ]
+    build_index(spark, spark.createDataFrame(rows, SCHEMA), d, CFG,
+                build_id="d1")
+    fac = read_facets(spark, d)
+    # one row per (doc, value): p1 contributes ("a","b"), p2 ("a")
+    assert fac.filter("field = 'tags'").count() == 3
+    r = IndexReader(spark, d)
+    got = dict((x["value"], x["count"])
+               for x in r.facet_counts_indexed("tags").collect())
+    assert got == {"a": 2, "b": 1}
+
+
 def test_build_rejects_unstored_filterable(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("facbad"))
     cfg = IndexConfig(index_uid="bad", n_shards=2, exclude_paginated=False,
