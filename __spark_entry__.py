@@ -380,16 +380,10 @@ def _entry_index(spark: SparkSession, sf_dir: str) -> str:
 
     d = "/tmp/entry_index2_" + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
     if not os.path.exists(os.path.join(d, "_CURRENT")):
-        raw = _docs(spark, sf_dir).select(
-            F.col("source").alias("repo"),
-            # zero-padded so path STRING order == original doc_id order
-            # (ties in rounded scores must break identically in Spark
-            # and the original-id-keyed SQL oracle)
-            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("path"),
-            F.lit("c0").alias("commit"),
-            F.col("lang"),
-            F.col("text").alias("content"),
-        )
+        # zero-padded path so STRING order == original doc_id order
+        # (ties in rounded scores must break identically in Spark and
+        # the original-id-keyed SQL oracle)
+        raw = _entry_raw(spark, sf_dir)
         build_index(
             spark, raw, d,
             IndexConfig(index_uid="entry", n_shards=8, exclude_paginated=False,
@@ -485,6 +479,190 @@ def q_compact_lifecycle_topk(spark, sf_dir):
     return topk.select(
         F.col("path").cast("long").alias("doc_id"),
         F.round("score", 4).alias("score"),
+    )
+
+
+def _entry_raw(spark, sf_dir):
+    """The documents table mapped onto the engine's (repo, path,
+    commit, lang, content) input shape — identical projection to
+    _entry_index's build input (path carries the zero-padded doc_id),
+    reused by the dump/restore fixture as the external dump source
+    (the sha256 invariant requires byte-identical content)."""
+    return _docs(spark, sf_dir).select(
+        F.col("source").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def _restored_index(spark, sf_dir) -> str:
+    """X70 fixture (cached per sf_dir): dump_index() over the entry
+    index (live docs + settings — the entry index doesn't store
+    content, so the dump takes the external source and verifies its
+    sha256 against the stored docs), then restore_index() into a fresh
+    directory. Every segment is RE-DERIVED from the dumped documents;
+    the gate pins that the rebuilt index answers the standard BM25
+    query value-identically to the from-scratch SQL oracle."""
+    import re as _re
+
+    from scrapix_spark.operators.index import dump_index, restore_index
+
+    d = "/tmp/entry_restore_" + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    dmp = d + "_dump"
+    if not os.path.exists(os.path.join(d, "_CURRENT")):
+        src = _entry_index(spark, sf_dir)
+        dump_index(spark, src, dmp, source=_entry_raw(spark, sf_dir))
+        restore_index(spark, dmp, d, build_id="r1")
+    return d
+
+
+def q_dump_restore_topk(spark, sf_dir):
+    """X70 driver gate: block-max WAND top-10 served from the RESTORED
+    index (dump → restore round trip). Restore re-indexes the dumped
+    logical documents, so the result must be value-identical to plain
+    BM25 over the documents table — the same oracle as bm25_topk."""
+    idx = _restored_index(spark, sf_dir)
+    topk = Q.bm25_topk_pruned(spark, idx, BM25_QUERY, 10, hydrate=True)
+    return topk.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _auto_compact_index(spark, sf_dir) -> str:
+    """X71 fixture (cached per sf_dir): base build with max_layers=1,
+    then one delta_update — the publish leaves 2 layers > max_layers,
+    so size-tiered auto-compaction fires immediately and folds the
+    index back to a single layer in its own atomic generation
+    (_build_d1_ac)."""
+    import re as _re
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import build_index, delta_update
+
+    d = "/tmp/entry_autocompact_" + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    if not os.path.exists(os.path.join(d, "_build_d1_ac", "meta.json")):
+        base, snap2 = _delta_snapshots(spark, sf_dir)
+        build_index(
+            spark, base, d,
+            IndexConfig(index_uid="autocompact", n_shards=8,
+                        exclude_paginated=False, max_layers=1),
+            build_id="b", source_desc=sf_dir,
+        )
+        delta_update(spark, snap2, d, build_id="d1")
+    return d
+
+
+def q_auto_compact_topk(spark, sf_dir):
+    """X71 driver gate: after a delta publish exceeds max_layers=1,
+    auto-compaction must have folded the index to ONE layer published
+    under the `<build>_ac` generation (`via` pins the auto path, not a
+    manual compact()), answering rank-identically to plain BM25 over
+    the live snapshot with exact df — the compacted-state oracle."""
+    from scrapix_spark.operators.index import load_meta
+
+    idx = _auto_compact_index(spark, sf_dir)
+    meta = load_meta(idx)
+    topk = Q.bm25_topk_pruned(spark, idx, DELTA_QUERY, 10, hydrate=True)
+    return topk.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        F.lit(len(meta.get("layers", []))).cast("long").alias("n_layers"),
+        F.lit(meta.get("build_id")).alias("via"),
+    )
+
+
+def q_tokenize_folded(spark, sf_dir):
+    """X56 driver gate: Latin diacritic folding (the charabia-analog
+    normalizer). The corpus is pure ASCII, so injecting accents with
+    native expressions — translate a→à e→é i→î o→õ u→ü n→ñ plus the
+    1→2 expansions ss→ß and ae→æ — and tokenizing with
+    fold_diacritics=True must reproduce the PLAIN tokenizer's
+    (doc, term, tf) relation over the ORIGINAL text exactly
+    (fold ∘ inject ≡ identity); the oracle is the unfolded tf SQL."""
+    from scrapix_spark.functions.tokenize import make_tokenizer
+
+    _, native, _, _ = make_tokenizer(fold_diacritics=True)
+    injected = F.translate(
+        F.replace(
+            F.replace(F.col("text"), F.lit("ss"), F.lit("ß")),
+            F.lit("ae"), F.lit("æ"),
+        ),
+        "aeioun", "àéîõüñ",
+    )
+    src = _docs(spark, sf_dir).select("doc_id", injected.alias("t2"))
+    toks = src.select("doc_id", F.explode(native(F.col("t2"))).alias("term"))
+    return toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+
+
+HB_FINAL_PHASES = 5  # tokenize_postings..metrics_publish (4 advances) + finish
+
+
+def _heartbeat_file(spark, sf_dir) -> str:
+    """X16 fixture (cached per sf_dir): a small single-batch build
+    (every 5th document) with a 0.2 s heartbeat — the rows land in
+    <build>/heartbeat.jsonl."""
+    import re as _re
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import build_index
+
+    d = "/tmp/entry_hb_" + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    p = os.path.join(d, "_build_h1", "heartbeat.jsonl")
+    if not os.path.exists(p):
+        raw = _entry_raw(spark, sf_dir).filter(
+            F.col("path").cast("long") % 5 == 0
+        )
+        build_index(
+            spark, raw, d,
+            IndexConfig(index_uid="hb", n_shards=4,
+                        exclude_paginated=False),
+            build_id="h1", source_desc=sf_dir, heartbeat_sec=0.2,
+        )
+    return p
+
+
+def q_heartbeat_rows(spark, sf_dir):
+    """X16 driver gate: build-progress heartbeat invariants (the
+    reference webhook stream, src/crawler.ts:111-122) — exactly one
+    `started` and one terminal `completed` row, zero `failed`, counters
+    monotone non-decreasing in emit (seq) order, and the terminal
+    phases_done equal to the build's fixed phase count. Timing-
+    dependent facts (number of `active` rows, wall times) are
+    deliberately NOT part of the gate; the oracle is the invariant
+    itself, a constant row."""
+    from pyspark.sql import Window
+
+    p = _heartbeat_file(spark, sf_dir)
+    rows = spark.read.schema(
+        "status string, seq long, tasks_done long, phases_done long"
+    ).json(p)
+    w = Window.orderBy("seq")  # bounded: one row per 0.2 s of build
+    m = rows.select(
+        "status", "seq", "tasks_done", "phases_done",
+        (
+            (F.col("tasks_done")
+             >= F.coalesce(F.lag("tasks_done").over(w), F.col("tasks_done")))
+            & (F.col("phases_done")
+               >= F.coalesce(F.lag("phases_done").over(w),
+                             F.col("phases_done")))
+        ).alias("ok"),
+    )
+    mx = F.max("seq")
+    return m.agg(
+        F.sum((F.col("status") == "started").cast("long")).alias("n_started"),
+        F.sum((F.col("status") == "completed").cast("long")).alias(
+            "n_completed"),
+        F.sum((F.col("status") == "failed").cast("long")).alias("n_failed"),
+        F.bool_and("ok").alias("monotone"),
+        F.max(F.when(F.col("status") == "completed", F.col("phases_done")))
+        .cast("long").alias("final_phases"),
+        F.max(F.when(F.col("seq") == 0, F.col("status"))).alias(
+            "first_status"),
     )
 
 
@@ -1275,17 +1453,6 @@ def q_completions(spark, sf_dir):
     return M.completions(P.term_stats(post), "s", k=8)
 
 
-def q_typo_candidates(spark, sf_dir):
-    """SymSpell deletion-key join: dictionary terms within edit distance
-    1 of the misspelled word, exact-verified with native levenshtein."""
-    post = _postings(spark, sf_dir)
-    stats = P.term_stats(post)
-    return M.typo_candidates(stats, "vakue").select(
-        "term", F.col("df").cast("long").alias("df"),
-        F.col("dist").cast("long").alias("dist"),
-    )
-
-
 def q_typo_topk(spark, sf_dir):
     """Typo-tolerant top-k: each query word expands to its distance<=1
     neighborhood; contribution = max over expansions per word."""
@@ -1722,23 +1889,6 @@ def q_sorted_search(spark, sf_dir):
         .limit(10)
         .select("doc_id", F.round("score", 4).alias("score"),
                 F.col("n_chars").cast("long").alias("n_chars"))
-    )
-
-
-def q_facet_distribution(spark, sf_dir):
-    """Meilisearch facetDistribution over the docs matching the BM25
-    query (filterableAttributes analog, default.ts:26): per-attribute
-    value counts, top-100 per attribute by (count desc, value)."""
-    from scrapix_spark.operators import results as R
-
-    post = _postings(spark, sf_dir)
-    matched = (
-        post.filter(F.col("term").isin(Q.query_terms(BM25_QUERY)))
-        .select("doc_id").distinct()
-    )
-    hits = matched.join(_docs(spark, sf_dir), "doc_id")
-    return R.facet_distribution(hits, ["lang", "source"]).select(
-        "attr", "value", F.col("count").cast("long").alias("count")
     )
 
 
@@ -3171,67 +3321,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered so the driver's 50-entry sample gates the never-gated
-    # surfaces first: the newest round-3c positional-window ops
-    # (X82-X85) lead, then the earlier round-3 additions (code-curation
-    # family,
-    # CJK/ppl/suggest/graph, then the X51-X62 ops), followed by the
-    # round-2 never-driver-gated set (search API, geo, hybrid/
-    # federated, curation, grammar); the remainder were gated in
-    # r01/r02 and stay locally gated via tools/check_oracles.py
-    # (run with no args = full registry, exits nonzero on any failure
-    # or missing oracle) every session.
+    # Ordered for the driver's 50-entry sample (round 4): the 25
+    # never-driver-gated round-2c surfaces lead (draining the backlog to
+    # 0), then this round's fixes (geo_bbox rounding, facet document-
+    # count semantics), the four new lifecycle gates (X70 dump/restore,
+    # X71 auto-compact, X56 folded tokenize, X16 heartbeat invariants),
+    # and 18 re-gates of the pruned/layered query + build paths touched
+    # by the round-4 performance work. Everything else has a green
+    # driver row in r01-r03 and stays locally gated via
+    # tools/check_oracles.py (no args = full registry) every session.
     return {
-        "sloppy_phrase_topk": q_sloppy_phrase_topk,
-        "unordered_near_topk": q_unordered_near_topk,
-        "proximity_pairs_topk": q_proximity_pairs_topk,
-        "word_pairs_rel": q_word_pairs_rel,
-        "search_sloppy_phrase": q_search_sloppy_phrase,
-        "split_word_best": q_split_word_best,
-        "search_split_words": q_search_split_words,
-        "facet_index_search": q_facet_index_search,
-        "facet_index_counts": q_facet_index_counts,
-        "quality_classifier": q_quality_classifier,
-        "code_quality_rules": q_code_quality,
-        "license_detect": q_license_detect,
-        "secret_scan": q_secret_scan,
-        "repo_stats": q_repo_stats,
-        "pack_sequences": q_pack_sequences,
-        "tokenize_cjk": q_tokenize_cjk,
-        "ppl_buckets": q_ppl_buckets,
-        "suggest_query": q_suggest_query,
-        "import_edges": q_import_edges,
-        "pagerank": q_pagerank,
-        "extract_symbols": q_extract_symbols,
-        "comment_signals": q_comment_signals,
-        "hashing_embed": q_hashing_embed,
-        "bm25_for_codec_topk": q_bm25_for_codec_topk,
-        "lm_perplexity": q_lm_perplexity,
-        "jpeg_decode": q_jpeg_decode,
-        "ann_sq8_topk": q_ann_sq8_topk,
-        "tfidf_keywords": q_tfidf_keywords,
-        "top_ngrams": q_top_ngrams,
-        "streaming_dedup": q_streaming_dedup,
-        "dedup_canonical": q_dedup_canonical,
-        "completions": q_completions,
-        "tokenize_identifiers": q_tokenize_identifiers,
-        "settings_update_df": q_settings_update_df,
-        "filter_grammar_search": q_filter_grammar_search,
-        "search_api": q_search_api,
-        "geo_radius_sort": q_geo_radius_sort,
-        "geo_bbox": q_geo_bbox,
-        "hybrid_search": q_hybrid_search,
-        "federated_search": q_federated_search,
-        "facet_search": q_facet_search,
-        "matching_strategy_frequency": q_matching_strategy_frequency,
-        "bm25f_search_on": q_bm25f_search_on,
-        "video_frames_real": q_video_frames_real,
-        "ranked_chain_topk": q_ranked_chain_topk,
-        "search_phrase_synonym": q_search_phrase_synonym,
-        "matches_position": q_matches_position,
-        "facet_stats": q_facet_stats,
-        "facet_alpha": q_facet_alpha,
-        "similar_docs": q_similar_docs,
         "pii_redact": q_pii_redact,
         "repetition_signals": q_repetition_signals,
         "decontaminate": q_decontaminate,
@@ -3257,22 +3356,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docssearch_custom_rules": q_docssearch_custom_rules,
         "tokenize_custom": q_tokenize_custom,
         "avi_frames_real": q_avi_frames_real,
-        "bm25_topk": q_bm25_topk,
+        "geo_bbox": q_geo_bbox,
+        "facet_index_counts": q_facet_index_counts,
+        "facet_index_search": q_facet_index_search,
+        "dump_restore_topk": q_dump_restore_topk,
+        "auto_compact_topk": q_auto_compact_topk,
+        "tokenize_folded": q_tokenize_folded,
+        "heartbeat_rows": q_heartbeat_rows,
         "bm25_wand_topk": q_bm25_wand_topk,
-        "tokenize_tf": q_tokenize_tf,
+        "bm25_for_codec_topk": q_bm25_for_codec_topk,
+        "delta_lifecycle_topk": q_delta_lifecycle_topk,
+        "compact_lifecycle_topk": q_compact_lifecycle_topk,
+        "streaming_upsert_topk": q_streaming_upsert_topk,
+        "distinct_by_source_topk": q_distinct_by_source_topk,
+        "matches_position": q_matches_position,
+        "bm25_topk": q_bm25_topk,
         "merged_segments_topk": q_merged_segments_topk,
+        "search_api": q_search_api,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
+        "prefix_topk": q_prefix_topk,
+        "typo_topk": q_typo_topk,
+        "phrase_topk": q_phrase_topk,
+        "proximity_topk": q_proximity_topk,
+        "ranked_chain_topk": q_ranked_chain_topk,
+        "facet_stats": q_facet_stats,
+        "hybrid_search": q_hybrid_search,
+        "sloppy_phrase_topk": q_sloppy_phrase_topk,
+        "unordered_near_topk": q_unordered_near_topk,
+        "proximity_pairs_topk": q_proximity_pairs_topk,
+        "word_pairs_rel": q_word_pairs_rel,
+        "search_sloppy_phrase": q_search_sloppy_phrase,
+        "split_word_best": q_split_word_best,
+        "search_split_words": q_search_split_words,
+        "quality_classifier": q_quality_classifier,
+        "code_quality_rules": q_code_quality,
+        "license_detect": q_license_detect,
+        "secret_scan": q_secret_scan,
+        "repo_stats": q_repo_stats,
+        "pack_sequences": q_pack_sequences,
+        "tokenize_cjk": q_tokenize_cjk,
+        "ppl_buckets": q_ppl_buckets,
+        "suggest_query": q_suggest_query,
+        "import_edges": q_import_edges,
+        "pagerank": q_pagerank,
+        "extract_symbols": q_extract_symbols,
+        "comment_signals": q_comment_signals,
+        "hashing_embed": q_hashing_embed,
+        "lm_perplexity": q_lm_perplexity,
+        "jpeg_decode": q_jpeg_decode,
+        "ann_sq8_topk": q_ann_sq8_topk,
+        "tfidf_keywords": q_tfidf_keywords,
+        "top_ngrams": q_top_ngrams,
+        "streaming_dedup": q_streaming_dedup,
+        "dedup_canonical": q_dedup_canonical,
+        "completions": q_completions,
+        "tokenize_identifiers": q_tokenize_identifiers,
+        "settings_update_df": q_settings_update_df,
+        "filter_grammar_search": q_filter_grammar_search,
+        "geo_radius_sort": q_geo_radius_sort,
+        "federated_search": q_federated_search,
+        "facet_search": q_facet_search,
+        "matching_strategy_frequency": q_matching_strategy_frequency,
+        "bm25f_search_on": q_bm25f_search_on,
+        "video_frames_real": q_video_frames_real,
+        "search_phrase_synonym": q_search_phrase_synonym,
+        "facet_alpha": q_facet_alpha,
+        "similar_docs": q_similar_docs,
+        "tokenize_tf": q_tokenize_tf,
         "bm25f_topk": q_bm25f_topk,
         "minhash_lsh": q_minhash_lsh,
         "simhash_dups": q_simhash_dups,
         "segment_docssearch": q_segment_docssearch,
-        "streaming_upsert_topk": q_streaming_upsert_topk,
-        "compact_lifecycle_topk": q_compact_lifecycle_topk,
         "term_df": q_term_df,
         "salted_term_df": q_salted_term_df,
         "corpus_stats": q_corpus_stats,
         "ranked_union_topk": q_ranked_union_topk,
         "posting_intersection": q_posting_intersection,
-        "distinct_by_source_topk": q_distinct_by_source_topk,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -3283,7 +3442,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "clean_text": q_clean_text,
         "events_tumbling": q_events_tumbling,
-        "delta_lifecycle_topk": q_delta_lifecycle_topk,
         "glob_scope_filter": q_glob_scope_filter,
         "urls_tags": q_urls_tags,
         "date_convert": q_date_convert,
@@ -3298,18 +3456,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "streaming_tumbling": q_streaming_tumbling,
         "session_windows": q_session_windows,
-        "cosine_dup_pairs": q_cosine_dup_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
         "segment_default": q_segment_default,
-        "prefix_topk": q_prefix_topk,
-        "typo_candidates": q_typo_candidates,
-        "typo_topk": q_typo_topk,
         "typo2_topk": q_typo2_topk,
         "typo2_index_topk": q_typo2_index_topk,
-        "phrase_topk": q_phrase_topk,
         "phrase_positional_topk": q_phrase_positional_topk,
-        "proximity_topk": q_proximity_topk,
-        "facet_distribution": q_facet_distribution,
         "highlight": q_highlight,
         "crop": q_crop,
         "docssearch_ranked": q_docssearch_ranked,
@@ -4331,9 +4482,11 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
 """
 
 
-def _compact_lifecycle_sql() -> str:
+def _compact_lifecycle_sql(extra_cols: str = "") -> str:
     """BM25 over the live snapshot with EXACT df — the post-compaction
-    state (rank-identical to a fresh rebuild of the live snapshot)."""
+    state (rank-identical to a fresh rebuild of the live snapshot).
+    `extra_cols` appends constant projections (the auto-compaction gate
+    pins n_layers=1 and the `<build>_ac` generation id on top)."""
     tok = TOK_EXPR("text")
     tlist = ", ".join(f"'{t}'" for t in Q.query_terms(DELTA_QUERY))
     return f"""
@@ -4352,7 +4505,7 @@ scored AS (
   FROM tf JOIN dfv USING (term)
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats GROUP BY tf.doc_id)
-SELECT doc_id, round(score, 4) AS score
+SELECT doc_id, round(score, 4) AS score{extra_cols}
 FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
 """
 
@@ -4988,6 +5141,27 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "attribute_rule": _bm25f_attr_sql(),
         "delta_lifecycle_topk": _delta_lifecycle_sql(),
         "compact_lifecycle_topk": _compact_lifecycle_sql(),
+        # X70: the restored index re-derives every segment from the
+        # dumped documents, so the oracle is plain from-scratch BM25
+        "dump_restore_topk": _bm25_scored_sql(Q.query_terms(BM25_QUERY))
+        + """
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
+""",
+        # X71: post-auto-compaction state == compacted-lifecycle oracle,
+        # plus the pinned layer count and auto-generation id
+        "auto_compact_topk": _compact_lifecycle_sql(
+            ", 1::BIGINT AS n_layers, 'd1_ac' AS via"
+        ),
+        # X56: fold ∘ inject ≡ identity on the ASCII corpus — the
+        # oracle is the UNFOLDED tf relation over the original text
+        "tokenize_folded": _tf_sql(),
+        # X16: the invariant itself (timing-dependent facts excluded)
+        "heartbeat_rows": """
+SELECT 1::BIGINT AS n_started, 1::BIGINT AS n_completed,
+       0::BIGINT AS n_failed, true AS monotone,
+       5::BIGINT AS final_phases, 'started' AS first_status
+""",
         "glob_scope_filter": _glob_scope_sql(),
         "urls_tags": """
 SELECT doc_id, array_to_string(list_slice(sp, 2, len(sp) - 1), '>') AS tags
@@ -5187,14 +5361,6 @@ FROM events GROUP BY 1, 2
         "segment_default": _segment_default_sql(),
         "segment_docssearch": _segment_docssearch_sql(),
         "prefix_topk": _prefix_sql(),
-        "typo_candidates": f"""
-WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
-tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
-dict AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
-SELECT term, df, levenshtein(term, 'vakue')::BIGINT AS dist
-FROM dict WHERE levenshtein(term, 'vakue') <= 1
-ORDER BY dist, term
-""",
         "typo_topk": _typo_sql(),
         "typo2_topk": _typo2_sql(),
         "typo2_index_topk": _typo2_sql(),
@@ -5248,7 +5414,6 @@ ORDER BY d.n_chars DESC, round(s.score, 9) DESC, s.doc_id LIMIT 10
             M.parse_query(NEGSTOP_QUERY, STOP_WORDS)[1],
         ),
         "matching_strategy_last": _matching_last_sql(),
-        "facet_distribution": _facet_sql(),
         "highlight": _highlight_sql(select="doc_id, formatted"),
         "crop": _highlight_sql(
             select=(

@@ -142,6 +142,10 @@ class BuildHeartbeat:
             "status": status, "date": self._now(), "phase": self.phase,
             "phases_done": self.phases_done,
             "tasks_done": self._tasks_done(), "source": self.source,
+            # emit ordinal: webhook deliveries and object-store reads
+            # can reorder rows, and `date` has 1 s resolution — seq is
+            # the consumer's total order for monotonicity checks
+            "seq": len(self._rows),
             **extra,
         }
         # buffered full-file write: appends don't exist on object
