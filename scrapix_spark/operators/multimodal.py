@@ -93,8 +93,10 @@ def extract_features(media: DataFrame, dim: int = 8, fake: bool = True) -> DataF
     """
     if not fake:
         raise NotImplementedError(
-            "real decode requires image/audio codec libraries not present "
-            "in this environment; run with fake=True for plumbing"
+            "MP4/H.264 decode is a permanent documented exclusion "
+            "(SURVEY.md X10): patent-licensed codec, no library in this "
+            "environment; WAV/PNG/Y4M/JPEG/AVI-MJPG have real decoders. "
+            "Run with fake=True for plumbing"
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -462,7 +464,9 @@ def resize_images(
     """Resize kernel (images only). Stubbed: fake=True passes payloads
     through and rescales the metadata dims deterministically."""
     if not fake:
-        raise NotImplementedError("real resize requires an image codec library")
+        raise NotImplementedError(
+            "resize for codec-lib formats is a permanent documented "
+            "exclusion (SURVEY.md X10); PNG/JPEG resize is real")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -492,7 +496,9 @@ def sample_frames(
     """Frame-sampling kernel (video): one row per sampled timestamp.
     Stubbed: frame payload = sha256(payload || ts) — deterministic."""
     if not fake:
-        raise NotImplementedError("real frame sampling requires a video codec")
+        raise NotImplementedError(
+            "MP4/H.264 frame sampling is a permanent documented exclusion "
+            "(SURVEY.md X10); Y4M and AVI/MJPG sampling is real")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

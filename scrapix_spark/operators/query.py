@@ -192,7 +192,20 @@ class IndexReader:
         measured 1.7x lower p50 on the bench query set. The cache holds
         the hot subset at any index size (eviction does the rest, the
         role the OS page cache plays for Lucene); leave False for
-        one-shot or many-reader workloads."""
+        one-shot or many-reader workloads.
+
+        The query-server shape also runs in a PRIVATE sibling session
+        (shared SparkContext, own SQLConf) with AQE disabled: every AQE
+        query stage is a materialize-and-replan driver round trip, pure
+        fixed cost on a top-k micro-query whose shuffles are k rows per
+        shard (measured at the bench calibration: p50 486 → 357 ms).
+        Index builds and analytics keep AQE (skew joins, coalescing);
+        a sibling session — not a set/restore on the caller's — so
+        concurrent jobs never observe the flag (same concurrency rule
+        as index._pinned_file_session)."""
+        if cache:
+            spark = spark.newSession()
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
         self.spark = spark
         self.index_dir = index_dir
         self.meta = IX.load_meta(index_dir)
@@ -236,7 +249,21 @@ class IndexReader:
             # shuffle is query-server startup cost, paid once per
             # opened index.
             if "tb" in self.segments.columns:
-                nparts = IX.shuffle_partitions(spark)
+                # Size the cached relation by DATA, not by the session's
+                # shuffle width: every per-query scan launches one task
+                # per cached partition, so a small index cached at the
+                # full shuffle width pays pure scheduling overhead
+                # (measured at the bench calibration: 64 partitions for
+                # a 1.1M-posting index → p50 584 ms; 8-16 → 444 ms).
+                # One partition per ~4M postings (≈16-32 MB encoded),
+                # floor 8 (kernel parallelism comes from the shard
+                # shuffle, not this scan), cap at the shuffle width —
+                # a 100 TB index still caches at full width.
+                total_tf = int(self.meta.get("total_tf") or 0)
+                nparts = min(
+                    IX.shuffle_partitions(spark),
+                    max(8, total_tf // 4_000_000 + 1),
+                )
                 self.segments = self.segments.repartition(
                     nparts, "tb"
                 ).sortWithinPartitions("tb", "term_id")
