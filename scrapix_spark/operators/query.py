@@ -264,9 +264,21 @@ class IndexReader:
                     IX.shuffle_partitions(spark),
                     max(8, total_tf // 4_000_000 + 1),
                 )
+                # Cluster by SHARD (the bucketed-table trick): every
+                # shard's blocks land whole in one cached partition, so
+                # the pruned top-k runs as a single exchange-free
+                # mapInPandas stage (per-shard kernel inside the
+                # partition, TakeOrdered on its output) — one Spark
+                # stage per query instead of two. Within partitions
+                # rows sort by (shard, tb, term_id): term_id ranges
+                # reset per shard run, so the in-memory batch min/max
+                # stats still prune a query's (tb, term_id) filter.
+                # Kernel parallelism is unchanged — the exchange path's
+                # effective width was also min(width, n_shards).
                 self.segments = self.segments.repartition(
-                    nparts, "tb"
-                ).sortWithinPartitions("tb", "term_id")
+                    nparts, "shard"
+                ).sortWithinPartitions("shard", "tb", "term_id")
+                self._shard_colocated = True
             self.segments = self.segments.persist()
         self.docs = IX.read_docs(spark, index_dir)
         self.dict_df = IX.read_dict(spark, index_dir)
@@ -281,6 +293,7 @@ class IndexReader:
             IX.tombstone_paths(index_dir) if self._has_dead else []
         )
         self._term_cache: dict[str, tuple[int, int] | None] = {}
+        self._shard_colocated = getattr(self, "_shard_colocated", False)
 
     def _drop_dead(self, df: DataFrame) -> DataFrame:
         if not self._has_dead:
@@ -368,19 +381,47 @@ class IndexReader:
         tomb_paths = self._tomb_paths
         bcodec = self._codec
 
-        def shard_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            # executor-side: read this shard's dead ids from the
-            # tombstone sidecar (partition-pruned), never via the driver
-            dead = (
-                IX.dead_ids_for_shard(tomb_paths, int(key[0]))
-                if tomb_paths else None
-            )
-            return _blockmax_topk_kernel(pdf, idf_map, avgdl, k1, b, k, dead,
-                                         block_codec=bcodec)
+        if self._shard_colocated:
+            # cache=True clusters the persisted relation by shard, so
+            # every shard's blocks are WHOLE inside one partition: run
+            # the per-shard kernel inside a partition-spanning
+            # mapInPandas (the iterator covers the whole partition) —
+            # no exchange, one stage, TakeOrdered merges. Identical
+            # kernel per shard group ⇒ identical results to the
+            # shuffle path (pinned by the WAND property tests).
+            def part_topk(batches):
+                acc = [pdf for pdf in batches if len(pdf)]
+                if not acc:
+                    return
+                whole = pd.concat(acc, ignore_index=True)
+                outs = []
+                for s, g in whole.groupby("shard"):
+                    dead = (
+                        IX.dead_ids_for_shard(tomb_paths, int(s))
+                        if tomb_paths else None
+                    )
+                    outs.append(_blockmax_topk_kernel(
+                        g, idf_map, avgdl, k1, b, k, dead,
+                        block_codec=bcodec))
+                yield pd.concat(outs, ignore_index=True)
 
-        per_shard = seg.groupBy("shard").applyInPandas(
-            shard_topk, schema="doc_id long, score double"
-        )
+            per_shard = seg.mapInPandas(
+                part_topk, schema="doc_id long, score double"
+            )
+        else:
+            def shard_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                # executor-side: read this shard's dead ids from the
+                # tombstone sidecar (partition-pruned), never the driver
+                dead = (
+                    IX.dead_ids_for_shard(tomb_paths, int(key[0]))
+                    if tomb_paths else None
+                )
+                return _blockmax_topk_kernel(
+                    pdf, idf_map, avgdl, k1, b, k, dead, block_codec=bcodec)
+
+            per_shard = seg.groupBy("shard").applyInPandas(
+                shard_topk, schema="doc_id long, score double"
+            )
         topk = per_shard.orderBy(
             F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
         ).limit(k)

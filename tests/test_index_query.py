@@ -267,3 +267,49 @@ def test_search_api_retrieve_and_total(spark, index_dir):
     n_all = r.search("binary search", k=10**6,
                      filter_expr="lang = 'py'")["hits"].count()
     assert res["estimated_total_hits"] == n_all
+
+
+def test_cached_reader_colocated_path_matches_on_layered_index(
+    spark, tiny_corpus, tmp_path_factory
+):
+    """The cache=True query-server reader answers from the shard-
+    colocated exchange-free mapInPandas path; it must be rank- AND
+    score-identical to the one-shot exchange path and the full-scoring
+    oracle on a LAYERED index with standing tombstones (the per-shard
+    dead-set read moves inside the partition kernel there)."""
+    d = str(tmp_path_factory.mktemp("colidx"))
+    cfg = IndexConfig(index_uid="col", n_shards=8, exclude_paginated=False)
+    IX.build_index(spark, tiny_corpus, d, cfg, build_id="b1")
+    # delta: drop ~1/7 of docs, change ~1/5 (tombstones + new layer)
+    snap2 = (
+        tiny_corpus.withColumn(
+            "_h", F.abs(F.xxhash64("path")) % 35
+        )
+        .filter(F.col("_h") % 7 != 3)
+        .withColumn(
+            "content",
+            F.when(F.col("_h") % 5 == 2,
+                   F.concat("content", F.lit(" colmarker")))
+            .otherwise(F.col("content")),
+        )
+        .withColumn(
+            "commit",
+            F.when(F.col("_h") % 5 == 2, F.lit("c2"))
+            .otherwise(F.col("commit")),
+        )
+        .drop("_h")
+    )
+    IX.delta_update(spark, snap2, d, build_id="d1")
+    cached = Q.IndexReader(spark, d, cache=True)
+    oneshot = Q.IndexReader(spark, d)
+    assert cached._shard_colocated and not oneshot._shard_colocated
+    for q, k in [("binary search", 10), ("zanzibar", 5),
+                 ("colmarker merge", 10), ("import", 7)]:
+        a = cached.topk_pruned(q, k, hydrate=False).collect()
+        b = oneshot.topk_pruned(q, k, hydrate=False).collect()
+        c = cached.topk_full(q, k, hydrate=False).collect()
+        assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b] \
+            == [r["doc_id"] for r in c], q
+        for ra, rb in zip(a, b):
+            assert ra["score"] == pytest.approx(rb["score"], rel=1e-12), q
+    cached.segments.unpersist()
