@@ -145,6 +145,9 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
     E._lifecycle_index(spark, sf_dir, compacted=False)
     E._stream_index(spark, sf_dir)
     E._for_index(spark, sf_dir)
+    E._restored_index(spark, sf_dir)
+    E._auto_compact_index(spark, sf_dir)
+    E._heartbeat_file(spark, sf_dir)
     qs = E.queries()
     headline = [
         "tokenize_tf", "term_df", "bm25_topk", "ranked_union_topk",
@@ -175,6 +178,10 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "bm25_for_codec_topk",
         # round-3c additions (BASELINE.md records their first window)
         "sloppy_phrase_topk", "unordered_near_topk", "proximity_pairs_topk",
+        # round-4 additions (X70/X71/X56/X16 lifecycle gates; fixtures
+        # pre-built above — the timed part is the query/read side)
+        "dump_restore_topk", "auto_compact_topk", "tokenize_folded",
+        "heartbeat_rows",
     ]
     out = {}
     for name in headline:
