@@ -1466,3 +1466,161 @@ def restore_index(
         spark, raw, index_dir, cfg, build_id=build_id, n_batches=n_batches,
         source_desc=f"restore:{dump_dir}",
     )
+
+
+def delete_by_filter(
+    spark: SparkSession,
+    index_dir: str,
+    filter_expr: str,
+    filter_syntax: str = "meili",
+    array_columns: frozenset[str] | set[str] = frozenset(),
+    cfg: IndexConfig | None = None,
+    build_id: str = "delete",
+    source_desc: str = "",
+) -> dict:
+    """Meilisearch delete-documents-by-filter analog
+    (POST /indexes/{uid}/documents/delete, the filter form). The filter
+    runs over the STORED docs columns (repo, path, commit, lang,
+    doc_len, extras) in either Meilisearch grammar (default — the
+    grammar a reference user already writes, compiled by
+    `filters.meili_filter_to_sql`) or raw Spark SQL.
+
+    Scale shape: one predicate scan of the live docs relation (the
+    predicate stays in Catalyst, so equality/range conditions prune
+    parquet row groups), then the standard LSM tombstone publish —
+    matched doc_ids become tombstones in a new atomic generation; no
+    segment is rewritten (Lucene delete-by-query semantics: df stays
+    stale until compact(), recorded in meta as df_staleness). Publishes
+    nothing if the filter matches zero live docs.
+    """
+    meta_old = load_meta(index_dir)
+    cfg = cfg or IndexConfig.from_json(json.dumps(meta_old["config"]))
+    t0 = time.time()
+    if filter_syntax == "meili":
+        from .filters import meili_filter_to_sql
+
+        pred = meili_filter_to_sql(filter_expr, array_columns=array_columns)
+    elif filter_syntax == "sql":
+        pred = filter_expr
+    else:
+        raise ValueError(f"unknown filter_syntax {filter_syntax!r}")
+
+    live = read_docs(spark, index_dir)
+    if meta_old.get("tombstone_dirs"):
+        live = live.join(
+            F.broadcast(read_tombstones(spark, index_dir)),
+            "doc_id", "left_anti",
+        )
+    dead = live.filter(F.expr(pred)).select("doc_id", "doc_len")
+
+    from pyspark.sql import types as T
+
+    fields = [T.StructField(c, T.StringType())
+              for c in ("repo", "path", "commit", "lang", "content")]
+    for c in cfg.extra_doc_columns:
+        src = next((f for f in live.schema.fields if f.name == c), None)
+        fields.append(T.StructField(c, src.dataType if src else T.StringType()))
+    empty_delta = spark.createDataFrame([], T.StructType(fields))
+    return _publish_delta_layer(
+        spark, index_dir, meta_old, cfg, empty_delta, dead,
+        build_id, source_desc or f"delete_by_filter:{filter_expr!r}", t0,
+    )
+
+
+def edit_by_function(
+    spark: SparkSession,
+    index_dir: str,
+    edits: "dict[str, str] | str",
+    where: str | None = None,
+    filter_syntax: str = "meili",
+    array_columns: frozenset[str] | set[str] = frozenset(),
+    source: DataFrame | None = None,
+    cfg: IndexConfig | None = None,
+    build_id: str = "edit",
+    source_desc: str = "",
+) -> dict:
+    """Meilisearch edit-documents-by-function analog
+    (POST /indexes/{uid}/documents/edit: a per-document rewrite function
+    plus an optional filter). Here the function is a mapping of
+    column -> Spark SQL expression evaluated over each matching live
+    document row (a bare string is shorthand for
+    ``{"content": expr}``), so the rewrite is a pure Catalyst
+    projection — fully distributed, no Python in the plan.
+
+    Semantics:
+      - `where` scopes the rewrite (Meilisearch grammar by default,
+        raw SQL with filter_syntax="sql"; None = every live doc).
+      - Identity columns (repo, path, commit) cannot be edited —
+        doc identity is (repo, path, commit).
+      - Rows the function leaves value-identical are SKIPPED, making
+        replays idempotent (the same convention as upsert_update).
+      - A changed row mints the identity `commit || '#' || build_id`
+        (changed content must carry a new commit — the delta-path
+        invariant), is re-indexed as a fresh LSM layer, and its old
+        doc_id is tombstoned. Publishes atomically; N/avgdl stay
+        live-exact, df stays layer-summed until compact().
+
+    `source`: the original raw docs relation when the index is not
+    self-contained (same contract as dump_index / update_settings —
+    per-row sha256-verified before use).
+    """
+    meta_old = load_meta(index_dir)
+    cfg = cfg or IndexConfig.from_json(json.dumps(meta_old["config"]))
+    t0 = time.time()
+    if isinstance(edits, str):
+        edits = {"content": edits}
+    banned = {"repo", "path", "commit"} & set(edits)
+    if banned:
+        raise ValueError(
+            f"cannot edit identity column(s) {sorted(banned)} — doc "
+            "identity is (repo, path, commit); delete + re-add instead"
+        )
+    if where is None:
+        pred = "true"
+    elif filter_syntax == "meili":
+        from .filters import meili_filter_to_sql
+
+        pred = meili_filter_to_sql(where, array_columns=array_columns)
+    elif filter_syntax == "sql":
+        pred = where
+    else:
+        raise ValueError(f"unknown filter_syntax {filter_syntax!r}")
+
+    raw = _live_docs_source(spark, index_dir, cfg, meta_old, source,
+                            "an edit rewrites")
+    matched = raw.filter(F.expr(pred)).withColumn(
+        "_old_id",
+        F.shiftrightunsigned(F.xxhash64("repo", "path", "commit"), 1)
+        .cast("long"),
+    )
+    work = matched
+    for c, e in edits.items():
+        work = work.withColumn(f"_new_{c}", F.expr(e))
+    chg = None
+    for c in edits:
+        t = F.expr(f"NOT (_new_{c} <=> {c})")
+        chg = t if chg is None else (chg | t)
+    changed = work.filter(chg)
+
+    cols = [
+        F.col(f"_new_{c}").alias(c) if c in edits else F.col(c)
+        for c in ("lang", "content", *cfg.extra_doc_columns)
+    ]
+    delta_raw = changed.select(
+        "repo", "path",
+        F.concat_ws("#", F.col("commit"), F.lit(build_id)).alias("commit"),
+        *cols,
+    )
+
+    stored = read_docs(spark, index_dir).select("doc_id", "doc_len")
+    dead = (
+        stored.join(
+            changed.select(F.col("_old_id").alias("doc_id")),
+            "doc_id", "left_semi",
+        )
+        .dropDuplicates(["doc_id"])
+    )
+    return _publish_delta_layer(
+        spark, index_dir, meta_old, cfg, delta_raw, dead,
+        build_id, source_desc or f"edit_by_function:{sorted(edits)}", t0,
+    )

@@ -1,0 +1,195 @@
+"""delete_by_filter / edit_by_function (X86/X87) — the Meilisearch
+document-mutation endpoints the reference's users drive against a live
+index (delete-by-filter: DELETE /indexes/{uid}/documents with a filter
+body; edit-by-function: POST /indexes/{uid}/documents/edit), re-expressed
+on the LSM tombstone path: deletes publish a tombstone-only generation,
+edits mint new (repo, path, commit#build) identities and tombstone the
+old doc_ids, and compact() folds either back to a state rank-identical
+to a from-scratch rebuild of the surviving/edited corpus.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.config import IndexConfig
+from scrapix_spark.fixtures import corpus_spark_df
+from scrapix_spark.operators import index as IX
+from scrapix_spark.operators.index import (
+    build_index,
+    compact,
+    delete_by_filter,
+    edit_by_function,
+)
+from scrapix_spark.operators.query import IndexReader
+
+CFG = dict(n_shards=8, exclude_paginated=False)
+QUERIES = ["binary search", "zanzibar", "import def"]
+
+
+@pytest.fixture(scope="module")
+def base(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("deledit")
+    idx = str(root / "idx")
+    snap = corpus_spark_df(spark, 400)
+    build_index(spark, snap, idx, IndexConfig(**CFG), build_id="base")
+    return idx, snap, str(root)
+
+
+def _rank_identical(spark, idx_a, idx_b, queries=QUERIES):
+    ra, rb = IndexReader(spark, idx_a), IndexReader(spark, idx_b)
+    for q in queries:
+        got = ra.topk_full(q, 10, hydrate=False).collect()
+        want = rb.topk_full(q, 10, hydrate=False).collect()
+        assert [x.doc_id for x in got] == [x.doc_id for x in want], q
+        for g, w in zip(got, want):
+            assert g.score == pytest.approx(w.score, rel=1e-12), q
+
+
+def test_delete_by_filter_meili_grammar(spark, base, tmp_path_factory):
+    idx, snap, _ = base
+    meta0 = IX.load_meta(idx)
+    meta = delete_by_filter(spark, idx, "lang = py", build_id="del1")
+    n_py = snap.filter(F.col("lang") == "py").count()
+    assert n_py > 0
+    assert meta["delta_stats"]["tombstoned"] == n_py
+    assert meta["delta_stats"]["added_or_changed"] == 0
+    assert meta["N"] == meta0["N"] - n_py
+    # deleted docs never surface, pruned and full paths agree
+    r = IndexReader(spark, idx)
+    dead = {x["doc_id"] for x in IX.read_tombstones(spark, idx).collect()}
+    assert len(dead) == n_py
+    for q in QUERIES:
+        got = r.topk_pruned(q, 10).collect()
+        assert not ({x.doc_id for x in got} & dead), q
+        full = [x.doc_id for x in r.topk_full(q, 10, hydrate=False).collect()]
+        assert [x.doc_id for x in got] == full, q
+
+
+def test_delete_then_compact_equals_fresh(spark, base, tmp_path_factory):
+    idx, snap, _ = base  # runs after the delete above (module-ordered)
+    compact(spark, idx, build_id="delc")
+    fresh = str(tmp_path_factory.mktemp("deledit_fresh") / "idx")
+    build_index(
+        spark, snap.filter(F.col("lang") != "py"), fresh,
+        IndexConfig(**CFG), build_id="f",
+    )
+    _rank_identical(spark, idx, fresh)
+
+
+def test_delete_zero_matches_is_noop(spark, base):
+    idx, _, _ = base
+    meta0 = IX.load_meta(idx)
+    meta = delete_by_filter(
+        spark, idx, "lang = nosuchlang", build_id="del_nothing"
+    )
+    assert meta["build_id"] == meta0["build_id"]  # nothing published
+
+
+def test_delete_sql_syntax_and_bad_syntax(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("delsql")
+    idx = str(root / "idx")
+    snap = corpus_spark_df(spark, 150)
+    build_index(spark, snap, idx, IndexConfig(**CFG), build_id="b")
+    meta = delete_by_filter(
+        spark, idx, "doc_len > 120", filter_syntax="sql", build_id="d"
+    )
+    live = IX.read_docs(spark, idx).join(
+        IX.read_tombstones(spark, idx), "doc_id", "left_anti"
+    )
+    assert live.filter("doc_len > 120").count() == 0
+    assert meta["N"] == live.count()
+    with pytest.raises(ValueError):
+        delete_by_filter(spark, idx, "x", filter_syntax="wat")
+
+
+@pytest.fixture(scope="module")
+def edited(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("editfn")
+    idx = str(root / "idx")
+    snap = corpus_spark_df(spark, 400)
+    build_index(spark, snap, idx, IndexConfig(**CFG), build_id="base")
+    meta = edit_by_function(
+        spark, idx,
+        {"content": "concat(content, '\\nzzgraftmark appended')"},
+        where="lang = py",
+        source=snap,
+        build_id="e1",
+    )
+    return idx, snap, meta
+
+
+def test_edit_marks_matching_docs_only(spark, edited):
+    idx, snap, meta = edited
+    n_py = snap.filter(F.col("lang") == "py").count()
+    assert meta["delta_stats"]["added_or_changed"] == n_py
+    assert meta["delta_stats"]["tombstoned"] == n_py
+    assert meta["N"] == snap.count()  # edit rewrites, never changes N
+    r = IndexReader(spark, idx)
+    hits = r.topk_full("zzgraftmark", 1000, hydrate=True).collect()
+    assert len(hits) == n_py
+    assert all(h.lang == "py" for h in hits)
+
+
+def test_edit_then_compact_equals_fresh(spark, edited, tmp_path_factory):
+    idx, snap, _ = edited
+    compact(spark, idx, build_id="ec")
+    fresh = str(tmp_path_factory.mktemp("editfn_fresh") / "idx")
+    edited_snap = snap.withColumn(
+        "content",
+        F.when(
+            F.col("lang") == "py",
+            F.concat(F.col("content"), F.lit("\nzzgraftmark appended")),
+        ).otherwise(F.col("content")),
+    ).withColumn(
+        "commit",
+        F.when(
+            F.col("lang") == "py", F.concat_ws("#", F.col("commit"), F.lit("e1"))
+        ).otherwise(F.col("commit")),
+    )
+    build_index(spark, edited_snap, fresh, IndexConfig(**CFG), build_id="f")
+    _rank_identical(spark, idx, fresh, QUERIES + ["zzgraftmark"])
+
+
+def test_edit_replay_is_idempotent_noop(spark, edited):
+    """A guarded function (the Meilisearch idempotent-edit pattern:
+    only rewrite docs not yet carrying the mark) replayed over an
+    already-edited index changes zero rows → nothing is published."""
+    idx, snap, _ = edited
+    meta0 = IX.load_meta(idx)
+    guarded = (
+        "CASE WHEN content LIKE '%zzgraftmark%' THEN content "
+        "ELSE concat(content, '\\nzzgraftmark appended') END"
+    )
+    meta = edit_by_function(
+        spark, idx, {"content": guarded}, where="lang = py",
+        source=_resync(spark, idx, snap), build_id="e2",
+    )
+    assert meta["build_id"] == meta0["build_id"]  # no-op: nothing published
+
+
+def _resync(spark, idx, snap):
+    """Rebuild the raw source matching the index's CURRENT live
+    identities (edits minted new commits)."""
+    live = IX.read_docs(spark, idx).join(
+        IX.read_tombstones(spark, idx), "doc_id", "left_anti"
+    ).select("repo", "path", "commit")
+    # original rows, possibly re-stamped with the edited commit/content
+    base = snap.withColumn(
+        "content",
+        F.when(
+            F.col("lang") == "py",
+            F.concat(F.col("content"), F.lit("\nzzgraftmark appended")),
+        ).otherwise(F.col("content")),
+    ).withColumn(
+        "commit",
+        F.when(
+            F.col("lang") == "py", F.concat_ws("#", F.col("commit"), F.lit("e1"))
+        ).otherwise(F.col("commit")),
+    )
+    return base.join(live, ["repo", "path", "commit"], "left_semi")
+
+
+def test_edit_identity_column_refused(spark, edited):
+    idx, snap, _ = edited
+    with pytest.raises(ValueError, match="identity"):
+        edit_by_function(spark, idx, {"path": "upper(path)"}, source=snap)
