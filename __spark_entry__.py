@@ -3320,6 +3320,172 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
+# ------------------------------------------------- round-4 additions
+# X86-X93: document-mutation endpoints (delete-by-filter / edit-by-
+# function), RAG chunking, stop-word autodetection, length-bucketed
+# batching, authority-boosted ranking, MOSS winnowing, distributed BPE.
+
+EDIT_QUERY = "editmarker merge table"
+
+
+def _delfil_index(spark, sf_dir) -> str:
+    """X86 fixture (cached per sf_dir): entry-shaped build, then
+    delete_by_filter with a Meilisearch-grammar filter (lang IN
+    [zh, es]) and compact() — post-compact df is exact, so the oracle
+    is plain BM25 over the surviving corpus."""
+    import re as _re
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import (build_index, compact,
+                                               delete_by_filter)
+
+    d = "/tmp/entry_delfil_" + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    if not os.path.exists(os.path.join(d, "_build_dzc", "meta.json")):
+        build_index(
+            spark, _entry_raw(spark, sf_dir), d,
+            IndexConfig(index_uid="delfil", n_shards=8,
+                        exclude_paginated=False),
+            build_id="b", source_desc=sf_dir,
+        )
+        delete_by_filter(spark, d, "lang IN [zh, es]", build_id="dz")
+        compact(spark, d, build_id="dzc")
+    return d
+
+
+def q_delete_filter_topk(spark, sf_dir):
+    """X86 driver gate: BM25 top-10 after delete-by-filter (Meilisearch
+    grammar) + compact. Deleted docs must be gone from results AND from
+    the statistics — the oracle scores only the surviving corpus."""
+    idx = _delfil_index(spark, sf_dir)
+    topk = Q.bm25_topk_pruned(spark, idx, BM25_QUERY, 10, hydrate=True)
+    return topk.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _editfn_index(spark, sf_dir) -> str:
+    """X87 fixture (cached per sf_dir): entry-shaped build, then
+    edit_by_function appending a marker to every lang=fr doc (Meili
+    filter grammar scope; pure-Catalyst rewrite expression) and
+    compact(). The edit mints commit#ef identities and tombstones the
+    old doc_ids; compaction folds back to exact df."""
+    import re as _re
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import (build_index, compact,
+                                               edit_by_function)
+
+    d = "/tmp/entry_editfn_" + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    if not os.path.exists(os.path.join(d, "_build_efc", "meta.json")):
+        build_index(
+            spark, _entry_raw(spark, sf_dir), d,
+            IndexConfig(index_uid="editfn", n_shards=8,
+                        exclude_paginated=False),
+            build_id="b", source_desc=sf_dir,
+        )
+        edit_by_function(
+            spark, d,
+            {"content": "concat(content, ' editmarker editmarker')"},
+            where="lang = fr", source=_entry_raw(spark, sf_dir),
+            build_id="ef",
+        )
+        compact(spark, d, build_id="efc")
+    return d
+
+
+def q_edit_function_topk(spark, sf_dir):
+    """X87 driver gate: BM25 top-10 for a query containing the edited-
+    in marker term. Only lang=fr docs carry it; scores must equal a
+    from-scratch build over the rewritten corpus (the oracle applies
+    the same CASE rewrite in SQL)."""
+    idx = _editfn_index(spark, sf_dir)
+    topk = Q.bm25_topk_pruned(spark, idx, EDIT_QUERY, 10, hydrate=True)
+    return topk.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_chunk_overlap(spark, sf_dir):
+    """X88 — RAG sliding-window chunking (size 32, overlap 8) over the
+    documents table; map-only native plan. operators/curation.py
+    chunk_with_overlap."""
+    from scrapix_spark.operators.curation import chunk_with_overlap
+
+    return chunk_with_overlap(
+        _docs(spark, sf_dir).filter("doc_id < 300"), size=32, overlap=8
+    )
+
+
+def q_stopword_autodetect(spark, sf_dir):
+    """X89 — corpus-driven stop-word detection (df ratio >= 0.3, top
+    50). operators/textstats.py detect_stopwords."""
+    return TS.detect_stopwords(_docs(spark, sf_dir), df_ratio=0.3,
+                               max_terms=50)
+
+
+def q_length_buckets(spark, sf_dir):
+    """X90 — pow-2 length-bucketed inference batching (batch_size 8,
+    min_bucket 16); the per-bucket rank is the two-pass distributed
+    prefix pattern, value-identical to the oracle's window form.
+    operators/curation.py length_bucketed_batches."""
+    from scrapix_spark.operators.curation import length_bucketed_batches
+
+    return length_bucketed_batches(_docs(spark, sf_dir), batch_size=8)
+
+
+def q_authority_boosted_topk(spark, sf_dir):
+    """X91 — PageRank × BM25 authority boost (Brin & Page 1998): the
+    BM25 top-50 of the standard query re-ranked by
+    score * (1 + 0.5 * rank/max_rank) over the planted 97-node graph
+    (same graph as the pagerank gate), top-10 by boosted score.
+    operators/graph.py authority_boost."""
+    from scrapix_spark.operators import graph as G
+
+    gdocs = _docs(spark, sf_dir).filter("doc_id % 97 < 90")
+    e1 = gdocs.select((F.col("doc_id") % 97).alias("src"),
+                      ((F.col("doc_id") * 7 + 3) % 97).alias("dst"))
+    e2 = gdocs.select((F.col("doc_id") % 97).alias("src"),
+                      ((F.col("doc_id") * 13 + 5) % 97).alias("dst"))
+    pr = G.pagerank(e1.unionByName(e2), iterations=5, damping=0.85).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
+    idx = _entry_index(spark, sf_dir)
+    top50 = Q.bm25_topk_pruned(spark, idx, BM25_QUERY, 50, hydrate=True).select(
+        F.col("path").cast("long").alias("doc_id"), "score"
+    )
+    boosted = G.authority_boost(
+        top50, pr, F.col("doc_id") % 97, alpha=0.5
+    )
+    return (
+        boosted.select("doc_id", F.round("boosted", 4).alias("boosted"))
+        .orderBy(F.desc(F.round("boosted", 9)), "doc_id")
+        .limit(10)
+    )
+
+
+def q_winnow_fps(spark, sf_dir):
+    """X92 — MOSS winnowing fingerprints (k=4, w=5; Schleimer et al.
+    SIGMOD 2003): rightmost-min selection over k-gram FNV/Horner
+    hashes; the oracle replays the exact HUGEINT arithmetic.
+    operators/dedup.py winnow_fingerprints."""
+    return D.winnow_fingerprints(
+        _docs(spark, sf_dir).filter("doc_id < 80"), k=4, w=5
+    )
+
+
+def q_bpe_merges(spark, sf_dir):
+    """X93 — distributed BPE merge training (Sennrich et al. 2016),
+    8 merges over the sub-corpus vocabulary; ties break on (left,
+    right) so the unrolled DuckDB replay matches the merge table
+    exactly. functions/bpe.py bpe_train."""
+    from scrapix_spark.functions.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir).filter("doc_id < 400"),
+                     n_merges=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -3363,6 +3529,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_compact_topk": q_auto_compact_topk,
         "tokenize_folded": q_tokenize_folded,
         "heartbeat_rows": q_heartbeat_rows,
+        # round-4 additions X86-X93 (never driver-gated -> sample front)
+        "delete_filter_topk": q_delete_filter_topk,
+        "edit_function_topk": q_edit_function_topk,
+        "chunk_overlap": q_chunk_overlap,
+        "stopword_autodetect": q_stopword_autodetect,
+        "length_buckets": q_length_buckets,
+        "authority_boosted_topk": q_authority_boosted_topk,
+        "winnow_fps": q_winnow_fps,
+        "bpe_merges": q_bpe_merges,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -4879,6 +5054,189 @@ FROM sc GROUP BY doc_id
 """
 
 
+def _live_scored_sql(live_sql: str, query: str) -> str:
+    """Generic BM25-over-a-rewritten-live-corpus oracle (exact df —
+    the post-compaction state): shared by the delete-by-filter and
+    edit-by-function gates, same body as _compact_lifecycle_sql with
+    the live CTE and query parameterized."""
+    tok = TOK_EXPR("text")
+    tlist = ", ".join(f"'{t}'" for t in Q.query_terms(query))
+    return f"""
+WITH live AS ({live_sql}),
+ltok AS (SELECT doc_id, unnest({tok}) AS term FROM live),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ltok
+       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM ltok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+dfv AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN dfv USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
+"""
+
+
+def _chunk_overlap_sql(size: int = 32, overlap: int = 8,
+                       max_id: int = 300) -> str:
+    """Oracle for chunk_with_overlap: list slicing over the token
+    array with the same chunk-count formula (stride = size - overlap;
+    ceil((n - size) / stride) + 1 for n > size, else 1)."""
+    tok = TOK_EXPR("text")
+    st = size - overlap
+    return f"""
+WITH t AS (SELECT doc_id, {tok} AS ts FROM documents WHERE doc_id < {max_id}),
+nn AS (SELECT doc_id, ts, len(ts)::BIGINT AS n FROM t WHERE len(ts) > 0),
+c AS (SELECT doc_id, ts, n,
+        CASE WHEN n <= {size} THEN 1::BIGINT
+             ELSE ceil((n - {size}) / {st}.0)::BIGINT + 1 END AS nc
+      FROM nn),
+e AS (SELECT doc_id, ts, unnest(range(nc)) AS chunk_id FROM c)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+       (chunk_id * {st})::BIGINT AS start_tok,
+       len(ts[chunk_id * {st} + 1 : chunk_id * {st} + {size}])::BIGINT
+         AS n_tokens,
+       array_to_string(ts[chunk_id * {st} + 1 : chunk_id * {st} + {size}],
+                       ' ') AS chunk_text
+FROM e
+"""
+
+
+def _length_buckets_sql(batch_size: int = 8, min_bucket: int = 16) -> str:
+    """Oracle for length_bucketed_batches: the window form the engine
+    deliberately avoids (row_number over bucket) — tiny data only. The
+    bucket uses the identical binary-string-length construction."""
+    tok = TOK_EXPR("text")
+    return f"""
+WITH t AS (SELECT doc_id, len({tok})::BIGINT AS n FROM documents),
+nz AS (SELECT doc_id, n FROM t WHERE n > 0),
+b AS (SELECT doc_id, n,
+        greatest(CASE WHEN n <= 1 THEN 1::BIGINT
+                      ELSE (1::BIGINT << length(bin(n - 1))) END,
+                 {min_bucket})::BIGINT AS bucket
+      FROM nz),
+r AS (SELECT doc_id, n, bucket,
+        (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)::BIGINT
+          AS rk
+      FROM b)
+SELECT doc_id, n AS n_tokens, bucket, rk AS rank_in_bucket,
+       (rk // {batch_size})::BIGINT AS batch_id,
+       (bucket - n)::BIGINT AS pad_tokens
+FROM r
+"""
+
+
+def _authority_boost_sql() -> str:
+    """Oracle for authority_boost: BM25 top-50 (the engine's staged
+    candidate set) re-ranked by round(score,9) * (1 + 0.5*rank/max),
+    PageRank replayed via the unrolled-CTE oracle as a subquery."""
+    return _bm25_scored_sql(Q.query_terms(BM25_QUERY)) + f""",
+top50 AS (SELECT doc_id, score FROM scored
+          ORDER BY round(score, 9) DESC, doc_id LIMIT 50),
+pr AS (SELECT node, rank FROM ({_pagerank_sql()}) sub),
+mx AS (SELECT max(rank) AS mxr FROM pr),
+boosted AS (
+  SELECT t.doc_id,
+         round(t.score, 9) * (1 + 0.5 * coalesce(p.rank / mx.mxr, 0)) AS b
+  FROM top50 t LEFT JOIN pr p ON p.node = t.doc_id % 97 CROSS JOIN mx)
+SELECT doc_id, round(b, 4) AS boosted
+FROM boosted ORDER BY round(b, 9) DESC, doc_id LIMIT 10
+"""
+
+
+def _winnow_sql(k: int = 4, w: int = 5, max_id: int = 80) -> str:
+    """Oracle for winnow_fingerprints: FNV-1a token hashes and the
+    k-gram Horner fold in HUGEINT (the _fingerprint_sql machinery),
+    then per window end e the rightmost minimum via
+    list_position(list_reverse(window), min)."""
+    tok = TOK_EXPR("text")
+    m64 = "18446744073709551616::HUGEINT"
+    fnv_init = "14695981039346656037::HUGEINT"
+    prime = "1099511628211::HUGEINT"
+    return f"""
+WITH toks AS (SELECT doc_id, {tok} AS t FROM documents
+              WHERE doc_id < {max_id}),
+th AS (
+  SELECT doc_id,
+         list_transform(t, tk ->
+           list_reduce(
+             list_prepend({fnv_init},
+               list_transform(range(length(tk)),
+                              i -> ord(substr(tk, i::INT + 1, 1))::HUGEINT)),
+             (acc, b) -> (((acc // 256) * 256
+                           + xor((acc % 256)::BIGINT, b::BIGINT)::HUGEINT)
+                          * {prime}) % {m64}
+           )) AS hs,
+         len(t)::BIGINT AS n
+  FROM toks),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, n - {k} + 2), i ->
+           list_reduce(list_prepend({fnv_init}, hs[i : i + {k - 1}]),
+                       (acc, x) -> (acc * {prime} + x) % {m64})) AS gs,
+         (n - {k} + 1)::BIGINT AS m
+  FROM th WHERE n >= {k}),
+wnd AS (SELECT doc_id, gs, m, least({w}, m)::BIGINT AS ww FROM g),
+sel AS (
+  SELECT doc_id, gs,
+         e - list_position(list_reverse(gs[e - ww + 1 : e]),
+                           list_min(gs[e - ww + 1 : e])) + 1 AS pos1
+  FROM wnd, unnest(range(ww, m + 1)) AS u(e)),
+outp AS (SELECT DISTINCT doc_id, (pos1 - 1)::BIGINT AS pos,
+                gs[pos1::INT] AS gg
+         FROM sel)
+SELECT doc_id, pos,
+       (CASE WHEN gg >= 9223372036854775808::HUGEINT
+             THEN gg - {m64} ELSE gg END)::BIGINT AS fp
+FROM outp
+"""
+
+
+def _bpe_sql(n_merges: int = 8, max_id: int = 400) -> str:
+    """Oracle for bpe_train: the merge loop UNROLLED as chained CTEs
+    over the same chr(31)-separated symbol-string encoding — replace()
+    substitutes leftmost-first non-overlapping occurrences in both
+    engines, which IS greedy left-to-right BPE merging. Ties break on
+    (cnt DESC, left, right) exactly as the engine's TakeOrdered."""
+    tok = TOK_EXPR("text")
+    ctes = [
+        f"w AS (SELECT unnest({tok}) AS word FROM documents "
+        f"WHERE doc_id < {max_id})",
+        "v0 AS (SELECT word, count(*)::BIGINT AS freq,\n"
+        "  array_to_string(regexp_extract_all(word, '.'), chr(31))\n"
+        "    || chr(31) || '</w>' AS enc\n"
+        "  FROM w GROUP BY word)",
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"v{i - 1}"
+        ctes.append(f"""p{i} AS (
+  SELECT l, r, sum(freq)::BIGINT AS cnt FROM (
+    SELECT freq, ss[i] AS l, ss[i + 1] AS r
+    FROM (SELECT freq, string_split(enc, chr(31)) AS ss FROM {prev}),
+         unnest(range(1, len(ss))) AS u(i))
+  GROUP BY l, r)""")
+        ctes.append(
+            f"m{i} AS (SELECT {i - 1}::BIGINT AS rank, l, r, cnt FROM p{i} "
+            f"ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        if i < n_merges:
+            ctes.append(
+                f"v{i} AS (SELECT freq, replace(enc, "
+                f"m{i}.l || chr(31) || m{i}.r, m{i}.l || m{i}.r) AS enc "
+                f"FROM {prev} CROSS JOIN m{i})"
+            )
+    union = "\nUNION ALL\n".join(
+        f'SELECT rank, l AS "left", r AS "right", cnt FROM m{i}'
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
 def oracle_sql() -> dict[str, str]:
     tok = TOK_EXPR("text")
     en = ", ".join(f"'{w}'" for w in TS.LANG_MARKERS["en"])
@@ -4889,6 +5247,28 @@ def oracle_sql() -> dict[str, str]:
     and_terms = ", ".join(f"'{t}'" for t in AND_QUERY)
 
     return {
+        "delete_filter_topk": _live_scored_sql(
+            "SELECT doc_id, text FROM documents "
+            "WHERE lang NOT IN ('zh', 'es')", BM25_QUERY),
+        "edit_function_topk": _live_scored_sql(
+            "SELECT doc_id, CASE WHEN lang = 'fr' "
+            "THEN text || ' editmarker editmarker' ELSE text END AS text "
+            "FROM documents", EDIT_QUERY),
+        "chunk_overlap": _chunk_overlap_sql(),
+        "stopword_autodetect": f"""
+WITH t AS (SELECT doc_id, {tok} AS ts FROM documents),
+d AS (SELECT doc_id, unnest(list_distinct(ts)) AS term FROM t),
+dfv AS (SELECT term, count(*)::BIGINT AS df FROM d GROUP BY term),
+nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+SELECT term, df, n_docs, round(df::DOUBLE / n_docs, 6) AS ratio
+FROM dfv CROSS JOIN nd
+WHERE df >= ceil(0.3 * n_docs)
+ORDER BY df DESC, term LIMIT 50
+""",
+        "length_buckets": _length_buckets_sql(),
+        "authority_boosted_topk": _authority_boost_sql(),
+        "winnow_fps": _winnow_sql(),
+        "bpe_merges": _bpe_sql(),
         "code_quality_rules": _code_quality_sql(),
         "license_detect": _license_sql(),
         "secret_scan": _secret_sql(),

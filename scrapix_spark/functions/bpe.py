@@ -1,0 +1,183 @@
+"""Distributed byte-pair-encoding merge training (Sennrich, Haddow &
+Birch, "Neural Machine Translation of Rare Words with Subword Units",
+ACL 2016 — the public BPE algorithm every modern tokenizer derives
+from). This is the TRAINING side a corpus pipeline needs: learn the
+merge table from the corpus itself; applying it at tokenization time is
+a driver-side table lookup.
+
+Representation (the whole trick): a word's symbol sequence is ONE
+STRING with EVERY symbol wrapped in its own unit separators
+(U+001F — the tokenizer strips control chars, so no symbol can contain
+it): symbols [a, b] encode as "␟a␟␟b␟". That makes both BPE primitives
+pure Catalyst string ops:
+
+  * pair counting  = split on the separator, drop empties, explode
+    adjacent pairs;
+  * applying merge (l, r) = replace(enc, ␟l␟␟r␟, ␟lr␟) — Spark's
+    replace() substitutes leftmost-first non-overlapping occurrences,
+    which IS greedy left-to-right BPE merging ("a a a a" under merge
+    (a,a) → "aa aa", never "a aa a").
+
+The PER-SYMBOL wrapping (not a plain join) is load-bearing twice over:
+a plain "l␟r" pattern can match across symbol boundaries when one
+symbol's SUFFIX is the merge's left side ("ind␟e" contains "d␟e"), and
+a whole-boundary pattern "␟l␟r␟" consumes the separator the NEXT
+match needs ("␟a␟a␟a␟a␟" would merge only once). With each symbol
+carrying its own separators, a match is exactly a symbol-boundary
+match and replacements never steal the neighbour's delimiter.
+
+No Python touches row data at any point; the driver holds only the
+learned merge list (n_merges rows) and per-iteration 1-row argmaxes.
+
+Scale shape (100 TB): the corpus is reduced ONCE to the word-frequency
+vocabulary (one hash agg — the only corpus-sized shuffle). Every
+training iteration then runs over the vocab relation (distinct words —
+orders of magnitude smaller, bounded by morphology not corpus size):
+one pair-count hash agg + one TakeOrdered(1) + one map-only replace.
+The vocab is localCheckpointed every few merges so the plan doesn't
+grow with the merge count (the pagerank lesson).
+
+The whole trajectory is deterministic: ties on pair count break on
+(left, right) lexicographic order, so the DuckDB oracle (the same
+iterations unrolled as chained CTEs over the same string encoding)
+matches the merge table EXACTLY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEP = "\x1f"           # unit separator — never inside a symbol
+END_WORD = "</w>"      # Sennrich end-of-word marker
+
+
+def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus → (word, freq) vocabulary with the word pre-split into
+    the initial symbol encoding: characters joined by SEP, plus the
+    end-of-word marker. One corpus-sized tokenize + hash agg; this is
+    the only step that touches the full corpus."""
+    from scrapix_spark.functions.tokenize import tokens_native
+
+    words = df.select(
+        F.explode(tokens_native(F.col(text_col))).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count("*").cast("long").alias("freq"))
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))
+    syms = F.concat(chars, F.array(F.lit(END_WORD)))
+    enc = F.concat(F.lit(SEP), F.array_join(syms, SEP + SEP), F.lit(SEP))
+    return vocab.select("word", "freq", enc.alias("enc"))
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair frequencies over the encoded vocabulary,
+    weighted by word frequency: (left, right, cnt). One explode over
+    per-word symbol counts (bounded by word length) + one hash agg."""
+    syms = F.filter(F.split(F.col("enc"), SEP), lambda x: x != F.lit(""))
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.slice(syms, 1, F.size(syms) - 1),
+                lambda s, i: F.struct(
+                    s.alias("left"),
+                    F.element_at(syms, i + 2).alias("right"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.select(F.col("p.left").alias("left"),
+                     F.col("p.right").alias("right"), "freq")
+        .groupBy("left", "right")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Learn `n_merges` BPE merges from the corpus. Returns the merge
+    table as a DataFrame: (rank, left, right, cnt) with rank the merge
+    order (0-based) and cnt the pair's frequency at the time it was
+    chosen — exactly the table a BPE tokenizer consumes, in exactly the
+    order it must apply them.
+
+    Each iteration: count pairs over the current vocab encoding, take
+    the (cnt DESC, left, right) argmax (TakeOrdered(1) — one driver
+    row), rewrite the encoding with one native replace(). Stops early
+    if no pair is left (fully merged vocabulary).
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    spark: SparkSession = df.sparkSession
+    vocab = word_vocab(df, text_col).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            pair_counts(vocab)
+            .orderBy(F.desc("cnt"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["cnt"])
+        merges.append((rank, left, right, cnt))
+        vocab = vocab.withColumn(
+            "enc",
+            F.replace(
+                F.col("enc"),
+                F.lit(SEP + left + SEP + SEP + right + SEP),
+                F.lit(SEP + left + right + SEP),
+            ),
+        )
+        if (rank + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+    return spark.createDataFrame(
+        merges, schema="rank long, left string, right string, cnt long"
+    )
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge table to a corpus: per document, the
+    subword symbol stream after all merges, as (doc columns...,
+    subwords array<string>). Map-only — the merge list unrolls into a
+    chain of native replace() calls over the same SEP encoding (merge
+    order is the application order, per the BPE contract)."""
+    from scrapix_spark.functions.tokenize import tokens_native
+
+    chars = lambda w: F.filter(F.split(w, ""), lambda c: c != F.lit(""))  # noqa: E731
+
+    def enc_one(w):
+        syms = F.concat(chars(w), F.array(F.lit(END_WORD)))
+        return F.concat(F.lit(SEP), F.array_join(syms, SEP + SEP), F.lit(SEP))
+
+    def apply_merges(col):
+        out = col
+        for left, right in merges:
+            out = F.replace(
+                out,
+                F.lit(SEP + left + SEP + SEP + right + SEP),
+                F.lit(SEP + left + right + SEP),
+            )
+        return out
+
+    toks = tokens_native(F.col(text_col))
+    segs = F.flatten(
+        F.transform(
+            toks,
+            lambda w: F.filter(
+                F.split(apply_merges(enc_one(w)), SEP),
+                lambda x: x != F.lit(""),
+            ),
+        )
+    )
+    return df.withColumn("subwords", segs)

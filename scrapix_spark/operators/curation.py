@@ -640,3 +640,191 @@ def linear_classifier_scores(
         score.alias("score"),
         (score >= F.lit(float(threshold))).alias("keep"),
     )
+
+
+def chunk_with_overlap(
+    df: DataFrame,
+    size: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style sliding-window token chunking: each document's token
+    stream is cut into chunks of `size` tokens with `overlap` tokens
+    shared between consecutive chunks (stride = size - overlap) — the
+    standard retrieval-corpus preparation (LangChain/LlamaIndex-shape
+    splitters, public). Chunk i covers tokens
+    [i*stride, i*stride + size); the chunk count is the smallest c
+    whose last window reaches the end of the document, so a document
+    shorter than `size` yields exactly one (short) chunk and no chunk
+    is a strict suffix-duplicate of its predecessor.
+
+    Returns one row per chunk: (id, chunk_id, start_tok, n_tokens,
+    chunk_text) with chunk_text the space-joined token slice (the
+    tokenizer is separator-destructive; retrieval chunks are embedded,
+    not displayed, so the canonical-token form is the useful one).
+
+    Scale shape: map-only — tokenize, a native sequence()+explode fan-
+    out, slice/array_join projections. No shuffle, no Python; the
+    fan-out factor is ~n_tokens/stride per document, and column pruning
+    means only (id, text) is ever read.
+    """
+    if size <= 0:
+        raise ValueError("size must be positive")
+    if not 0 <= overlap < size:
+        raise ValueError("overlap must satisfy 0 <= overlap < size")
+    from scrapix_spark.functions.tokenize import tokens_native
+
+    stride = size - overlap
+    base = (
+        df.select(F.col(id_col), tokens_native(F.col(text_col)).alias("_ts"))
+        .withColumn("_n", F.size("_ts"))
+        .filter(F.col("_n") > 0)
+    )
+    n_chunks = F.when(F.col("_n") <= size, F.lit(1)).otherwise(
+        F.ceil((F.col("_n") - F.lit(size)) / F.lit(stride)).cast("long") + 1
+    )
+    out = base.withColumn(
+        "chunk_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)),
+    )
+    start = (F.col("chunk_id") * stride).cast("long")
+    chunk = F.slice(F.col("_ts"), (start + 1).cast("int"), size)
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        start.alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    batch_size: int,
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+    min_bucket: int = 16,
+    nparts: int | None = None,
+) -> DataFrame:
+    """Length-bucketed inference batching: documents are padded to the
+    next power of two of their token count (floored at `min_bucket`)
+    and grouped into fixed-`batch_size` batches WITHIN each bucket, in
+    deterministic `id_col` order — the standard padding-waste
+    minimization for batched model inference over a corpus (docs of
+    similar length share a batch, so padding = bucket - n_tokens
+    instead of max_doc_len - n_tokens).
+
+    Returns one row per non-empty document: (id, n_tokens, bucket,
+    rank_in_bucket, batch_id, pad_tokens) where batch_id numbers
+    batches within the bucket (rank_in_bucket // batch_size).
+
+    The bucket is integer-exact on every engine: for n > 1 it is
+    2^bitlength(n-1) computed as a binary-string length (bin(n-1)),
+    never floating log2 (log2 of a power of two is only exact by
+    accident of libm).
+
+    Plan shape (100 TB): the per-bucket rank is the SAME two-pass
+    distributed prefix pattern as pack_sequences — a naive
+    row_number() OVER (PARTITION BY bucket ORDER BY id) makes each
+    bucket a single sort partition, and with ~30 buckets over 10^11
+    docs each partition is ~3·10^9 rows through one task. Instead:
+
+      1. repartitionByRange(nparts, bucket, id) + sortWithinPartitions
+         — one range exchange, parallelism decoupled from bucket count;
+      2. per-(partition, bucket) counts collect to the driver —
+         O(parallelism × live buckets) rows, independent of corpus
+         size — and their per-bucket exclusive prefix becomes each
+         (partition, bucket)'s base rank;
+      3. one Arrow pass adds base + in-partition running count.
+
+    Output values are partitioning-invariant (prefix counts compose),
+    pinned by tests/test_parallelism_invariance.py.
+    """
+    import pandas as pd
+
+    from scrapix_spark.functions.tokenize import tokens_native
+    from scrapix_spark.operators.index import shuffle_partitions
+
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
+    if min_bucket < 1:
+        raise ValueError("min_bucket must be >= 1")
+    n_tok = (
+        F.col(token_count_col).cast("bigint")
+        if token_count_col
+        else F.size(tokens_native(F.col(text_col))).cast("bigint")
+    )
+    spark = df.sparkSession
+    nparts = nparts or shuffle_partitions(spark)
+    pow2 = F.when(
+        F.col("n_tokens") <= 1, F.lit(1).cast("bigint")
+    ).otherwise(
+        # SQL form: F.shiftleft only takes a literal bit count
+        F.expr("shiftleft(1L, cast(length(bin(n_tokens - 1)) as int))")
+        .cast("bigint")
+    )
+    base = (
+        df.select(F.col(id_col).alias("id"), n_tok.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("bucket", F.greatest(pow2, F.lit(min_bucket).cast("bigint")))
+        .repartitionByRange(nparts, "bucket", "id")
+        .sortWithinPartitions("bucket", "id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = (
+        base.groupBy("_pid", "bucket").agg(F.count("*").alias("c")).collect()
+    )
+    per_bucket: dict[int, int] = {}
+    bases: dict[tuple[int, int], int] = {}
+    for r in sorted(counts, key=lambda r: (r["bucket"], r["_pid"])):
+        key = int(r["bucket"])
+        bases[(int(r["_pid"]), key)] = per_bucket.get(key, 0)
+        per_bucket[key] = per_bucket.get(key, 0) + int(r["c"])
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"`{id_col}` {id_type}, n_tokens bigint, bucket bigint, "
+        "rank_in_bucket bigint, batch_id bigint, pad_tokens bigint"
+    )
+
+    def assign(batches):
+        run: dict[int, int] = {}
+        pid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+            bk = pdf["bucket"].to_numpy()
+            # per-bucket running rank within this partition, carried
+            # batch-to-batch: group positions by bucket value (sorted
+            # within partition, so buckets are contiguous runs)
+            out_rank = []
+            i = 0
+            while i < len(bk):
+                j = i
+                while j < len(bk) and bk[j] == bk[i]:
+                    j += 1
+                b = int(bk[i])
+                start = run.get(b)
+                if start is None:
+                    start = bases[(pid, b)]
+                out_rank.extend(range(start, start + (j - i)))
+                run[b] = start + (j - i)
+                i = j
+            out = pd.DataFrame(
+                {
+                    id_col: pdf["id"].to_numpy(),
+                    "n_tokens": pdf["n_tokens"].to_numpy(),
+                    "bucket": bk,
+                    "rank_in_bucket": out_rank,
+                }
+            )
+            out["batch_id"] = out["rank_in_bucket"] // batch_size
+            out["pad_tokens"] = out["bucket"] - out["n_tokens"]
+            yield out
+
+    return base.mapInPandas(assign, schema=schema)

@@ -747,3 +747,115 @@ def canonical_per_cluster(
             "cluster", "keep_id", "n_members", F.round("_q", 6).alias("quality")
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the code-clone / plagiarism selection scheme): hash every
+    k-gram of the token stream, slide a window of `w` consecutive
+    k-gram hashes, and select the MINIMUM hash of each window, taking
+    the RIGHTMOST position on ties; duplicate selections collapse. The
+    guarantee (the paper's point): any shared substring of at least
+    w + k - 1 tokens between two documents yields at least one shared
+    selected fingerprint, while only ~2/(w+1) of all k-grams are kept.
+
+    A document with fewer than w k-grams contributes its single
+    rightmost-minimum (at least one fingerprint per non-trivial doc).
+    Documents with fewer than k tokens yield nothing.
+
+    Hashing is the repo's standard FNV-1a token hash folded through the
+    64-bit Horner recurrence (textstats.fingerprint's primitives), so
+    the DuckDB oracle replays it exactly in HUGEINT arithmetic.
+
+    Returns (id, pos, fp): pos is the 0-based token index where the
+    selected k-gram starts, fp its int64-cast hash. Join two documents'
+    relations on fp to get clone candidates (the MOSS match step); the
+    relation is ~2n/(w+1) rows per n-token doc.
+
+    Scale shape: one Arrow mapInPandas pass, per-doc numpy (vectorized
+    Horner over token-hash arrays + sliding_window_view argmin) — no
+    shuffle at all; downstream candidate joins are fp-key equi-joins.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    from scrapix_spark.functions.tokenize import _SEP_RE
+    from scrapix_spark.operators.textstats import hash_token
+
+    FNV_INIT = np.uint64(14695981039346656037)
+    PRIME = np.uint64(1099511628211)
+
+    def kern(batches):
+        err = np.seterr(over="ignore")  # uint64 wraparound is the hash
+        try:
+            for pdf in batches:
+                out_id, out_pos, out_fp = [], [], []
+                for did, text in zip(pdf[id_col], pdf[text_col]):
+                    toks = [t for t in _SEP_RE.split((text or "").lower()) if t]
+                    m = len(toks) - k + 1
+                    if m < 1:
+                        continue
+                    th = np.array([hash_token(t) for t in toks],
+                                  dtype=np.uint64)
+                    g = np.full(m, FNV_INIT, dtype=np.uint64)
+                    for j in range(k):  # k is small; vector per step
+                        g = g * PRIME + th[j:j + m]
+                    ww = min(w, m)
+                    win = np.lib.stride_tricks.sliding_window_view(g, ww)
+                    # rightmost argmin: argmin of the reversed window
+                    ra = (ww - 1) - np.argmin(win[:, ::-1], axis=1)
+                    pos = np.arange(len(win)) + ra
+                    sel = np.unique(pos)
+                    out_id.extend([did] * len(sel))
+                    out_pos.extend(sel.tolist())
+                    out_fp.extend(g[sel].astype(np.int64).tolist())
+                yield pd.DataFrame(
+                    {id_col: out_id, "pos": out_pos, "fp": out_fp}
+                )
+        finally:
+            np.seterr(**err)
+
+    return df.select(id_col, text_col).mapInPandas(
+        kern, schema=f"{id_col} long, pos long, fp long"
+    )
+
+
+def winnow_clone_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_fp_df: int = 200,
+) -> DataFrame:
+    """MOSS match step over winnow_fingerprints output: documents
+    sharing >= `min_shared` selected fingerprints, with the shared
+    count (the MOSS similarity numerator). Fingerprints appearing in
+    more than `max_fp_df` documents are dropped first (boilerplate
+    k-grams — the same hot-shingle cap as ngram_jaccard_pairs; at scale
+    a license-header k-gram would otherwise fan out quadratically).
+
+    Scale shape: fp-key equi-self-join after the df cap — candidate
+    volume is sum over fps of df², bounded by max_fp_df; never an
+    all-pairs join.
+    """
+    per_fp = fps.select(id_col, "fp").dropDuplicates()
+    hot = (
+        per_fp.groupBy("fp").agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_fp_df)
+        .select("fp")
+    )
+    cool = per_fp.join(hot, "fp", "left_anti")
+    a = cool.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = cool.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -164,3 +164,51 @@ def pagerank(
         # three references read the checkpointed blocks, not the plan
         ranks = new_ranks.localCheckpoint()
     return ranks.select("node", F.col("r").alias("rank"))
+
+
+def authority_boost(
+    scored: DataFrame,
+    ranks: DataFrame,
+    doc_to_node,
+    alpha: float = 1.0,
+    score_col: str = "score",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Static-authority re-ranking: combine a relevance score (BM25)
+    with a precomputed link-authority rank (PageRank) — the classic
+    web-search composition (Brin & Page 1998, public). The boosted
+    score is
+
+        boosted = round(score, d) * (1 + alpha * rank / max_rank)
+
+    with rank max-normalized so `alpha` is corpus-size-independent and
+    docs missing from the graph (rank NULL) get exactly the base score.
+    The pre-round on the BM25 side pins the float trajectory
+    cross-engine (the same discipline as pagerank's per-iteration
+    round).
+
+    `doc_to_node`: a Column mapping the scored relation's doc key to
+    the graph node key (e.g. ``F.col("doc_id") % 97`` for the planted
+    gate graph, or a repo-url hash in a real link graph).
+
+    Scale shape: one 1-row max agg broadcast-crossJoined into the rank
+    relation (the graph.py normalizer pattern), then a key equi-join
+    of the scored top-k against ranks. The scored side is a top-k
+    (bounded) in the query path, so Catalyst broadcasts it; in a bulk
+    re-rank both sides shuffle on the node key — no skew (node keys are
+    hashes).
+    """
+    mx = ranks.agg(F.max("rank").alias("_mx"))
+    norm = ranks.crossJoin(F.broadcast(mx)).select(
+        "node", (F.col("rank") / F.col("_mx")).alias("_nr")
+    )
+    out = (
+        scored.withColumn("node", doc_to_node)
+        .join(norm, "node", "left")
+        .withColumn(
+            "boosted",
+            F.round(F.col(score_col), round_digits)
+            * (1.0 + alpha * F.coalesce(F.col("_nr"), F.lit(0.0))),
+        )
+    )
+    return out.drop("_nr")

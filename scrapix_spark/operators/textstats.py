@@ -545,3 +545,49 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
     )
     return joined.withColumn("ppl_bucket", bucket).drop("_c1", "_c2")
+
+
+def detect_stopwords(
+    df: DataFrame,
+    text_col: str = "text",
+    df_ratio: float = 0.5,
+    max_terms: int = 100,
+) -> DataFrame:
+    """Corpus-driven stop-word autodetection: terms whose DOCUMENT
+    frequency exceeds `df_ratio` of the corpus (the classic
+    collection-frequency heuristic behind every packaged stop list —
+    Meilisearch ships none and asks users to derive their own; this is
+    the deriving). Feed the result straight into the engine's
+    stopWords setting (match.py honors it in scoring) or into
+    IndexConfig for build-time pruning — on a code corpus this is how
+    `def`/`import`/`the` get out of the posting lists' hot tier.
+
+    Returns (term, df, n_docs, ratio) for the top `max_terms` by df
+    (ties broken by term), ratio rounded to 6dp for cross-engine
+    comparison.
+
+    Scale shape: one map-side-distinct explode + hash agg on term (the
+    same shuffle as term_df), a 1-row corpus count broadcast into a
+    crossJoin (never a window), and a TakeOrdered top-k. No Python.
+    """
+    from scrapix_spark.functions.tokenize import tokens_native
+
+    if not 0 < df_ratio <= 1:
+        raise ValueError("df_ratio must be in (0, 1]")
+    toks = df.select(
+        F.col(text_col).alias("_t")
+    ).select(
+        F.explode(F.array_distinct(tokens_native(F.col("_t")))).alias("term")
+    )
+    term_df = toks.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = df.select(F.count("*").cast("long").alias("n_docs"))
+    return (
+        term_df.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") >= F.ceil(F.lit(df_ratio) * F.col("n_docs")))
+        .select(
+            "term", "df", "n_docs",
+            F.round(F.col("df") / F.col("n_docs"), 6).alias("ratio"),
+        )
+        .orderBy(F.desc("df"), "term")
+        .limit(max_terms)
+    )

@@ -1,0 +1,267 @@
+"""Round-4 operators: RAG chunking, length-bucketed batching, stop-word
+autodetection, MOSS winnowing, distributed BPE training.
+
+Each has an exact driver gate in __spark_entry__.py; these tests pin
+the algorithmic invariants the row/hash gate can't express (the
+winnowing guarantee, BPE-vs-reference trajectory, partitioning
+invariance of the bucketed ranks).
+"""
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.fixtures import corpus_spark_df
+from scrapix_spark.functions.bpe import END_WORD, bpe_segment, bpe_train
+from scrapix_spark.functions.tokenize import _SEP_RE, tokens_native
+from scrapix_spark.operators.curation import (
+    chunk_with_overlap,
+    length_bucketed_batches,
+)
+from scrapix_spark.operators.dedup import winnow_clone_pairs, winnow_fingerprints
+from scrapix_spark.operators.textstats import detect_stopwords
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        corpus_spark_df(spark, 80)
+        .select(F.xxhash64("path").alias("doc_id"),
+                F.col("content").alias("text"))
+        .cache()
+    )
+
+
+# ------------------------------------------------------------ chunking
+
+def test_chunks_cover_exactly_and_overlap(spark, docs):
+    size, overlap = 40, 10
+    ch = chunk_with_overlap(docs, size=size, overlap=overlap).cache()
+    n = docs.select("doc_id", F.size(tokens_native(F.col("text"))).alias("n"))
+    j = (
+        ch.groupBy("doc_id")
+        .agg(
+            F.max(F.col("start_tok") + F.col("n_tokens")).alias("end"),
+            F.min("start_tok").alias("first"),
+            F.count("*").alias("c"),
+            F.max("chunk_id").alias("mx"),
+        )
+        .join(n.filter("n > 0"), "doc_id", "full_outer")
+    )
+    assert j.filter("end != n OR first != 0 OR mx != c - 1").count() == 0
+    assert j.filter("c IS NULL OR n IS NULL").count() == 0  # 1:1 coverage
+    # consecutive chunks start stride apart
+    stride = size - overlap
+    assert ch.filter(F.col("start_tok") % stride != 0).count() == 0
+    # overlap: chunk i's last `overlap` tokens == chunk i+1's first ones
+    a = ch.select("doc_id", "chunk_id", "chunk_text")
+    b = a.withColumnRenamed("chunk_text", "next_text").withColumn(
+        "chunk_id", F.col("chunk_id") - 1
+    )
+    both = a.join(b, ["doc_id", "chunk_id"]).filter(
+        F.size(F.split("next_text", " ")) >= overlap
+    )
+    tail = F.slice(F.split("chunk_text", " "), size - overlap + 1, overlap)
+    head = F.slice(F.split("next_text", " "), 1, overlap)
+    full = both.filter(F.size(F.split("chunk_text", " ")) == size)
+    assert full.filter(tail != head).count() == 0
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    one = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    rows = chunk_with_overlap(one, size=10, overlap=3).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_tokens"] == 3 and rows[0]["chunk_text"] == "alpha beta gamma"
+
+
+def test_chunk_bad_params(spark, docs):
+    with pytest.raises(ValueError):
+        chunk_with_overlap(docs, size=0)
+    with pytest.raises(ValueError):
+        chunk_with_overlap(docs, size=8, overlap=8)
+
+
+# ----------------------------------------------------- length buckets
+
+def test_length_buckets_shape_and_invariance(spark, docs):
+    lb = length_bucketed_batches(docs, batch_size=4).cache()
+    # bucket is the next pow-2 >= n (floored at 16)
+    bad = lb.filter(
+        (F.col("bucket") < F.col("n_tokens"))
+        | (F.col("bucket") < 16)
+        | ((F.col("bucket") > 16) & (F.col("bucket") / 2 >= F.col("n_tokens")))
+        | (F.col("pad_tokens") != F.col("bucket") - F.col("n_tokens"))
+    )
+    assert bad.count() == 0
+    # ranks dense per bucket, batches full except the last
+    agg = lb.groupBy("bucket").agg(
+        F.count("*").alias("c"),
+        F.max("rank_in_bucket").alias("mx"),
+        F.min("rank_in_bucket").alias("mn"),
+        F.countDistinct("rank_in_bucket").alias("d"),
+    )
+    assert agg.filter("mx != c-1 OR mn != 0 OR d != c").count() == 0
+    assert lb.filter(
+        F.col("batch_id") != F.floor(F.col("rank_in_bucket") / 4)
+    ).count() == 0
+    # partitioning invariance: 1 part vs many parts, same assignment
+    a = {tuple(r) for r in lb.collect()}
+    b = {
+        tuple(r)
+        for r in length_bucketed_batches(
+            docs.repartition(13), batch_size=4, nparts=3
+        ).collect()
+    }
+    assert a == b
+
+
+# --------------------------------------------------------- stop words
+
+def test_detect_stopwords_threshold(spark, docs):
+    got = detect_stopwords(docs, df_ratio=0.5, max_terms=10).collect()
+    n_docs = docs.count()
+    assert got, "fixture hot terms (import/def/token) exceed 50% df"
+    for r in got:
+        assert r["df"] >= 0.5 * n_docs
+        assert r["n_docs"] == n_docs
+    dfs = [r["df"] for r in got]
+    assert dfs == sorted(dfs, reverse=True)
+    with pytest.raises(ValueError):
+        detect_stopwords(docs, df_ratio=0.0)
+
+
+# ---------------------------------------------------------- winnowing
+
+def test_winnowing_guarantee_and_density(spark):
+    """The paper's guarantee: two docs sharing a substring of at least
+    w + k - 1 tokens share at least one selected fingerprint."""
+    k, w = 5, 4
+    shared = " ".join(f"shared{i}" for i in range(k + w - 1))
+    rows = [
+        (1, " ".join(f"alpha{i}" for i in range(30)) + " " + shared + " "
+            + " ".join(f"omega{i}" for i in range(25))),
+        (2, " ".join(f"beta{i}" for i in range(40)) + " " + shared + " "
+            + " ".join(f"psi{i}" for i in range(35))),
+        (3, " ".join(f"gamma{i} delta{i}" for i in range(50))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=k, w=w).cache()
+    f1 = {r["fp"] for r in fps.filter("doc_id = 1").collect()}
+    f2 = {r["fp"] for r in fps.filter("doc_id = 2").collect()}
+    f3 = {r["fp"] for r in fps.filter("doc_id = 3").collect()}
+    assert f1 & f2, "shared window must yield a shared fingerprint"
+    assert not (f1 & f3) and not (f2 & f3)
+    # density ~ 2/(w+1): selections well below the k-gram count
+    n_grams = len([t for t in _SEP_RE.split(rows[0][1].lower()) if t]) - k + 1
+    assert len(fps.filter("doc_id = 1").collect()) < 0.8 * n_grams
+    # positions are valid k-gram starts
+    assert fps.filter(F.col("pos") < 0).count() == 0
+
+
+def test_winnowing_brute_force_parity(spark):
+    """Engine selections == brute-force rightmost-min reference."""
+    from scrapix_spark.operators.textstats import hash_token
+
+    k, w = 3, 4
+    text = "one two three two three four one two three five six two"
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    got = {(r["pos"], r["fp"])
+           for r in winnow_fingerprints(df, k=k, w=w).collect()}
+    toks = [t for t in _SEP_RE.split(text.lower()) if t]
+    grams = []
+    for i in range(len(toks) - k + 1):
+        h = 14695981039346656037
+        for t in toks[i:i + k]:
+            h = (h * 1099511628211 + hash_token(t)) & 0xFFFFFFFFFFFFFFFF
+        grams.append(h)
+    want = set()
+    ww = min(w, len(grams))
+    for e in range(ww - 1, len(grams)):
+        win = grams[e - ww + 1:e + 1]
+        m = min(win)
+        pos = e - list(reversed(win)).index(m)
+        s = grams[pos]
+        want.add((pos, s - (1 << 64) if s >= (1 << 63) else s))
+    assert got == want
+
+
+def test_winnow_clone_pairs_planted(spark):
+    body = " ".join(f"tok{i % 17}x{i % 5}" for i in range(60))
+    rows = [(1, "aa bb " + body), (2, "cc dd " + body),
+            (3, "unrelated words only here " * 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=4, w=4)
+    pairs = winnow_clone_pairs(fps, min_shared=3).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+# ---------------------------------------------------------------- BPE
+
+def _ref_bpe(texts, n_merges):
+    vocab = collections.Counter()
+    for t in texts:
+        for w in [x for x in _SEP_RE.split((t or "").lower()) if x]:
+            vocab[w] += 1
+    enc = {w: list(w) + [END_WORD] for w in vocab}
+    out = []
+    for rank in range(n_merges):
+        pc = collections.Counter()
+        for w, f in vocab.items():
+            s = enc[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, l, r, c))
+        for w in enc:
+            s = enc[w]
+            res, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            enc[w] = res
+    return out, enc
+
+
+def test_bpe_train_matches_reference(spark, docs):
+    sub = docs.filter("pmod(doc_id, 3) = 0")
+    got = [
+        (r["rank"], r["left"], r["right"], r["cnt"])
+        for r in bpe_train(sub, n_merges=10).collect()
+    ]
+    ref, _ = _ref_bpe([r["text"] for r in sub.collect()], 10)
+    assert got == ref
+
+
+def test_bpe_segment_roundtrip(spark, docs):
+    """Subwords re-concatenate to the original word + END_WORD, and
+    every subword is a learned merge product or a single char."""
+    sub = docs.filter("pmod(doc_id, 5) = 0")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(sub, n_merges=12).collect()
+    ]
+    seg = bpe_segment(sub, merges)
+    row = seg.select("text", "subwords").first()
+    toks = [t for t in _SEP_RE.split(row["text"].lower()) if t]
+    joined = "".join(row["subwords"])
+    assert joined == "".join(t + END_WORD for t in toks)
+    # reference segmentation of the same words agrees
+    _, enc = _ref_bpe([r["text"] for r in sub.collect()], 12)
+    out = []
+    for t in toks:
+        out.extend(enc[t])
+    assert row["subwords"] == out
+
+
+def test_bpe_bad_params(spark, docs):
+    with pytest.raises(ValueError):
+        bpe_train(docs, n_merges=0)
