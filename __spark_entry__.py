@@ -3486,6 +3486,47 @@ def q_bpe_merges(spark, sf_dir):
                      n_merges=8)
 
 
+def _timetravel_snapshot(spark, sf_dir) -> str:
+    """X94 fixture (cached per sf_dir): entry-shaped build (g1), then
+    delete_by_filter lang IN [zh, es] (g2, tombstone-only — g1 stays
+    referenced as g2's layer, no retention needed), then an as_of(g1)
+    pointer-only snapshot root. The snapshot must serve the PRE-delete
+    state: exact df (g1 is a fresh build), every zh/es doc scorable."""
+    import re as _re
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import (as_of, build_index,
+                                               delete_by_filter)
+
+    base = "/tmp/entry_ttrav_" + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    d, snap = base + "_idx", base + "_snap"
+    if not os.path.exists(os.path.join(snap, "_CURRENT")):
+        build_index(
+            spark, _entry_raw(spark, sf_dir), d,
+            IndexConfig(index_uid="ttrav", n_shards=8,
+                        exclude_paginated=False),
+            build_id="g1", source_desc=sf_dir,
+        )
+        delete_by_filter(spark, d, "lang IN [zh, es]", build_id="g2")
+        as_of(d, "g1", snap)
+    return snap
+
+
+def q_time_travel_topk(spark, sf_dir):
+    """X94 driver gate: BM25 top-10 served from an as_of(g1) snapshot
+    taken AFTER a delete-by-filter published g2. The oracle scores the
+    FULL corpus — results the live (post-delete) index cannot produce,
+    so a green row proves the snapshot serves the historical generation
+    bit-exactly through the unchanged reader path.
+    operators/index.py as_of/generations/publish retention."""
+    snap = _timetravel_snapshot(spark, sf_dir)
+    topk = Q.bm25_topk_pruned(spark, snap, BM25_QUERY, 10, hydrate=True)
+    return topk.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -3538,6 +3579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "authority_boosted_topk": q_authority_boosted_topk,
         "winnow_fps": q_winnow_fps,
         "bpe_merges": q_bpe_merges,
+        "time_travel_topk": q_time_travel_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -5269,6 +5311,11 @@ ORDER BY df DESC, term LIMIT 50
         "authority_boosted_topk": _authority_boost_sql(),
         "winnow_fps": _winnow_sql(),
         "bpe_merges": _bpe_sql(),
+        # X94: the snapshot serves the PRE-delete generation, so the
+        # oracle is BM25 over the FULL corpus (exact df — g1 is a
+        # fresh build); the live post-delete index could not match.
+        "time_travel_topk": _live_scored_sql(
+            "SELECT doc_id, text FROM documents", BM25_QUERY),
         "code_quality_rules": _code_quality_sql(),
         "license_detect": _license_sql(),
         "secret_scan": _secret_sql(),

@@ -119,6 +119,16 @@ class IndexConfig:
     # Bounds query-side layer fan-in (every query unions all layers)
     # and df staleness without the operator having to schedule merges.
     max_layers: int = 0
+    # Snapshot retention (the Iceberg snapshot-log / expire_snapshots
+    # analog, OPT-IN): publish GC normally deletes every _build_* dir
+    # the NEW manifest doesn't reference. With retain_generations=R>0,
+    # the last R published generations (per the _GENERATIONS log) are
+    # ALSO kept — each with its layers and tombstone sidecars — so
+    # as_of() time-travel reads survive compaction. 0 = current
+    # behavior (delta-chain generations still survive naturally,
+    # because an old generation's build dir IS a layer of the new one;
+    # only compact()/rebuild GC them).
+    retain_generations: int = 0
     # T4 storage analog of batch_size, OPT-IN: cap docs-table rows per
     # output file (maxRecordsPerFile). The reference's batch_size is an
     # HTTP flush unit; mapping it to FILE granularity by default would

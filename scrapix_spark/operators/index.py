@@ -557,23 +557,104 @@ def publish(index_dir: str, build_id: str) -> None:
     via write-tmp + rename, then GC builds not referenced by the new
     manifest's layer/tombstone lists (S8 stale-tmp delete). All
     operations route through the FS shim, so the same protocol runs on
-    file://, hdfs:// or an object store (scrapix_spark.fs)."""
+    file://, hdfs:// or an object store (scrapix_spark.fs).
+
+    Every publish also appends one line to the `_GENERATIONS` jsonl log
+    (the Iceberg snapshot-log analog: seq + build name), and when the
+    published config sets `retain_generations=R`, the last R logged
+    generations are exempt from GC — together with each one's layer
+    builds and tombstone sidecars — so `as_of()` snapshot reads keep
+    working across compact()/rebuild. The log itself is tiny (one line
+    per publish) and rewritten through the same write-tmp + rename."""
     fs = fs_for(index_dir)
     cur = os.path.join(index_dir, "_CURRENT")
     tmp = cur + ".tmp"
     live = f"_build_{build_id}"
     fs.write_text(tmp, live)
     fs.replace(tmp, cur)  # atomic rename — the swapIndexes analog
+
+    glog = os.path.join(index_dir, "_GENERATIONS")
+    entries = generations(index_dir)
+    entries.append({"seq": len(entries), "build": live})
+    gtmp = glog + ".tmp"
+    fs.write_text(gtmp, "".join(json.dumps(e) + "\n" for e in entries))
+    fs.replace(gtmp, glog)
+
+    def _refs(meta: dict) -> set[str]:
+        refs = {ly["build"] for ly in meta.get("layers", [])}
+        refs |= {d.split("/")[0] for d in meta.get("tombstone_dirs", [])}
+        return refs
+
     keep = {live}
+    retain = 0
     try:
         m = json.loads(fs.read_text(os.path.join(index_dir, live, "meta.json")))
-        keep |= {ly["build"] for ly in m.get("layers", [])}
-        keep |= {d.split("/")[0] for d in m.get("tombstone_dirs", [])}
+        keep |= _refs(m)
+        retain = int(m.get("config", {}).get("retain_generations", 0) or 0)
     except Exception:
         pass
+    if retain > 0:
+        for e in entries[-retain:]:
+            gdir = e["build"]
+            keep.add(gdir)
+            try:
+                gm = json.loads(fs.read_text(
+                    os.path.join(index_dir, gdir, "meta.json")))
+                keep |= _refs(gm)
+            except Exception:
+                pass
     for name in fs.listdir(index_dir):
         if name.startswith("_build_") and name not in keep:
             fs.rmtree(os.path.join(index_dir, name))
+
+
+def generations(index_dir: str) -> list[dict]:
+    """The index's snapshot log (Iceberg `history` analog): one dict
+    per publish, oldest first — ``{"seq": n, "build": "_build_<id>"}``.
+    Empty list for an index published before the log existed (the
+    first post-upgrade publish starts it)."""
+    fs = fs_for(index_dir)
+    glog = os.path.join(index_dir, "_GENERATIONS")
+    if not fs.exists(glog):
+        return []
+    return [json.loads(ln) for ln in fs.read_text(glog).splitlines()
+            if ln.strip()]
+
+
+def as_of(index_dir: str, build_id: str, snapshot_root: str) -> str:
+    """Iceberg-style time travel over the LSM generation chain: create
+    a snapshot index root that SERVES generation ``build_id`` of
+    `index_dir`. The snapshot is a directory holding only a `_CURRENT`
+    pointer — the absolute cross-root pointer form `swap_indexes`
+    already writes and `current_build_dir` already resolves — so every
+    existing reader (IndexReader, search(), bm25_topk_*) works on it
+    unchanged, at any index size, with zero data movement.
+
+    The target generation must still exist: delta-chain generations
+    survive publish GC naturally (an old generation's build dir is a
+    layer of the new one); surviving compact()/rebuild requires
+    `IndexConfig.retain_generations` (see `publish`). Raises
+    FileNotFoundError if the generation's meta.json is gone.
+
+    Lifetime contract (same as a borrowed swap_indexes pointer): the
+    snapshot borrows the home root's storage — publishing into the
+    home index with retention too low to cover the pinned generation
+    invalidates the snapshot."""
+    live = f"_build_{build_id}"
+    gen_dir = os.path.join(index_dir, live)
+    if not fs_for(index_dir).exists(os.path.join(gen_dir, "meta.json")):
+        raise FileNotFoundError(
+            f"generation {build_id!r} has no meta.json under {index_dir} "
+            "— GC'd (raise IndexConfig.retain_generations) or never "
+            "published")
+    sfs = fs_for(snapshot_root)
+    sfs.makedirs(snapshot_root)
+    cur = os.path.join(snapshot_root, "_CURRENT")
+    tmp = cur + ".tmp"
+    sfs.write_text(tmp, os.path.abspath(gen_dir)
+                   if "://" not in gen_dir else gen_dir)
+    sfs.replace(tmp, cur)
+    return snapshot_root
 
 
 def swap_indexes(index_dir_a: str, index_dir_b: str) -> None:

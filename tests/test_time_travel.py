@@ -1,0 +1,155 @@
+"""X94 — generation time travel (`as_of`) + snapshot log + retention.
+
+The Iceberg snapshot-log / time-travel analog over the LSM generation
+chain: every `publish` appends to `_GENERATIONS`; `as_of(dir, build,
+snap_root)` materializes a pointer-only snapshot root serving that
+generation through the existing cross-root `_CURRENT` machinery, so
+every reader works on it unchanged; `IndexConfig.retain_generations`
+exempts the last R generations (plus their layers/tombstones) from
+publish GC so snapshots survive compact().
+
+The reference's users get this surface from Meilisearch dumps/swaps
+(src/sender.ts tmp-index double buffer); here it is a zero-copy read.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.config import IndexConfig
+from scrapix_spark.fixtures import corpus_spark_df
+from scrapix_spark.operators import index as IX
+from scrapix_spark.operators.index import (
+    as_of,
+    build_index,
+    compact,
+    delete_by_filter,
+    delta_update,
+    generations,
+)
+from scrapix_spark.operators.query import IndexReader
+
+CFG = dict(n_shards=8, exclude_paginated=False)
+QUERIES = ["binary search", "zanzibar", "import def"]
+
+
+def _topk(spark, idx, q, k=10):
+    return [
+        (x.doc_id, x.score)
+        for x in IndexReader(spark, idx).topk_full(q, k, hydrate=False).collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def chain(spark, tmp_path_factory):
+    """g1 = 300-doc build; g2 = delete lang=py; g3 = delta re-add of a
+    fresh slice under new commits."""
+    root = tmp_path_factory.mktemp("ttrav")
+    idx = str(root / "idx")
+    snap = corpus_spark_df(spark, 300)
+    build_index(spark, snap, idx, IndexConfig(**CFG), build_id="g1")
+    delete_by_filter(spark, idx, "lang = py", build_id="g2")
+    # delta_update takes a FULL new snapshot (re-crawl shape): the
+    # surviving corpus plus 60 brand-new docs under fresh identities
+    extra = (
+        corpus_spark_df(spark, 360)
+        .join(snap.select("repo", "path"), ["repo", "path"], "left_anti")
+        .withColumn("commit", F.concat(F.col("commit"), F.lit("#g3")))
+    )
+    new_snap = snap.filter(F.col("lang") != "py").unionByName(extra)
+    delta_update(spark, new_snap, idx, build_id="g3")
+    return idx, snap, str(root)
+
+
+def test_generation_log(spark, chain):
+    idx, _, _ = chain
+    gens = generations(idx)
+    assert [g["build"] for g in gens] == ["_build_g1", "_build_g2",
+                                          "_build_g3"]
+    assert [g["seq"] for g in gens] == [0, 1, 2]
+
+
+def test_as_of_serves_pre_delete_state(spark, chain, tmp_path_factory):
+    idx, snap, root = chain
+    snap1 = as_of(idx, "g1", str(tmp_path_factory.mktemp("tt_s1")))
+    # snapshot == a fresh build of the original corpus, rank-identical
+    fresh = str(tmp_path_factory.mktemp("tt_f1") / "idx")
+    build_index(spark, snap, fresh, IndexConfig(**CFG), build_id="f")
+    for q in QUERIES:
+        assert _topk(spark, snap1, q) == _topk(spark, fresh, q), q
+    # live index must NOT serve deleted docs; the snapshot must
+    dead = {x["doc_id"] for x in IX.read_tombstones(spark, idx).collect()}
+    assert dead
+    snap_ids = {d for q in QUERIES for d, _ in _topk(spark, snap1, q, 50)}
+    live_ids = {d for q in QUERIES for d, _ in _topk(spark, idx, q, 50)}
+    assert not (live_ids & dead)
+    assert snap_ids & dead  # py docs score in the pre-delete snapshot
+
+
+def test_mid_chain_needs_retention(spark, chain, tmp_path_factory):
+    # g2 was tombstone-only; g3's publish consolidated its tombstones
+    # into g3's own sidecar and GC'd the g2 dir (nothing references
+    # it). Without retain_generations, only generations that ARE
+    # layers of the live manifest (g1 here) stay readable — the
+    # retention test below pins the retained mid-chain read.
+    idx, _, _ = chain
+    with pytest.raises(FileNotFoundError):
+        as_of(idx, "g2", str(tmp_path_factory.mktemp("tt_s2")))
+
+
+def test_compact_without_retention_drops_history(spark, chain,
+                                                 tmp_path_factory):
+    idx, _, _ = chain
+    compact(spark, idx, build_id="g4")
+    # the live index keeps serving (rank/score identity of a compacted
+    # index vs a fresh rebuild is pinned by test_delete_edit.py; here
+    # ranks may shift because compact resolves g2's df staleness)
+    assert len(_topk(spark, idx, QUERIES[0])) == 10
+    with pytest.raises(FileNotFoundError):
+        as_of(idx, "g1", str(tmp_path_factory.mktemp("tt_gone")))
+    # the log still records history even though the dirs are GC'd
+    assert [g["build"] for g in generations(idx)][-1] == "_build_g4"
+
+
+def test_retention_survives_compaction(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ttret")
+    idx = str(root / "idx")
+    snap = corpus_spark_df(spark, 200)
+    cfg = IndexConfig(retain_generations=2, **CFG)
+    build_index(spark, snap, idx, cfg, build_id="r1")
+    delete_by_filter(spark, idx, "lang = go", build_id="r2")
+    # a snapshot must reproduce the HISTORICAL serving state bit-exact
+    # — including r2's deliberate df staleness (Lucene delete-by-query
+    # semantics: df exactifies only at compact) — so the expectation
+    # is the live results captured while r2 served, NOT a fresh
+    # rebuild of the surviving corpus.
+    want_r2 = {q: _topk(spark, idx, q) for q in QUERIES}
+    compact(spark, idx, build_id="r3")
+    # r2 is within the last-2 retention window: readable post-compact
+    # (without retention, compact's publish GC would have deleted it —
+    # test_compact_without_retention_drops_history pins that side)
+    snap2 = as_of(idx, "r2", str(tmp_path_factory.mktemp("ttret_s2")))
+    for q in QUERIES:
+        assert _topk(spark, snap2, q) == want_r2[q], q
+    # a second delete + compact pushes the window to [r4, r5]; r2 is
+    # now unreferenced by any retained generation and gets GC'd (r1
+    # stays reachable only while a retained tombstone-only generation
+    # lists it as a layer — after this compact nothing does)
+    delete_by_filter(spark, idx, "lang = rs", build_id="r4")
+    want_r4 = {q: _topk(spark, idx, q) for q in QUERIES}
+    compact(spark, idx, build_id="r5")
+    for gone in ("r1", "r2"):
+        with pytest.raises(FileNotFoundError):
+            as_of(idx, gone, str(tmp_path_factory.mktemp(f"ttret_{gone}")))
+    # r4 and r5 are retained and serve distinct states
+    snap4 = as_of(idx, "r4", str(tmp_path_factory.mktemp("ttret_s4")))
+    for q in QUERIES:
+        assert _topk(spark, snap4, q) == want_r4[q], q
+    snap5 = as_of(idx, "r5", str(tmp_path_factory.mktemp("ttret_s5")))
+    for q in QUERIES:
+        assert _topk(spark, snap5, q) == _topk(spark, idx, q), q
+
+
+def test_as_of_unknown_generation_raises(spark, chain, tmp_path_factory):
+    idx, _, _ = chain
+    with pytest.raises(FileNotFoundError):
+        as_of(idx, "nope", str(tmp_path_factory.mktemp("tt_nope")))
