@@ -3486,6 +3486,41 @@ def q_bpe_merges(spark, sf_dir):
                      n_merges=8)
 
 
+def q_fork_pairs(spark, sf_dir):
+    """X95 — repo-level fork/mirror detection (The Stack, Kocetkov et
+    al. 2022 §3): Jaccard over per-repo distinct content-sha sets. The
+    corpus has no cross-source exact dups, so the gate PLANTS forks
+    deterministically: every doc_id % 3 == 0 row is relabeled
+    source+'+f', making each (S, S+f) pair share exactly the planted
+    slice (J ≈ 1/3). operators/dedup.py fork_pairs."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    forks = d.filter("doc_id % 3 = 0").withColumn(
+        "source", F.concat(F.col("source"), F.lit("+f"))
+    )
+    allr = d.unionByName(forks).select("source", "text")
+    return D.fork_pairs(allr, repo_col="source", min_jaccard=0.2)
+
+
+def q_winnow_type2(spark, sf_dir):
+    """X96 — type-2 (rename-insensitive) clone fingerprints: MOSS
+    winnowing (k=4, w=5) over type2-normalized tokens (keywords keep
+    identity, integer literals -> 'n', identifiers -> 'i'; Roy & Cordy
+    2007 / CCFinder). The word-soup corpus has no reserved words, so
+    the gate plants code shape deterministically: each doc becomes
+    'def f<id%7> do <text> return <id%5>' — all three token classes
+    present. operators/dedup.py winnow_fingerprints(normalize)."""
+    base = _docs(spark, sf_dir).filter("doc_id < 60").select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.lit("def"),
+            F.concat(F.lit("f"), (F.col("doc_id") % 7).cast("string")),
+            F.lit("do"), F.col("text"), F.lit("return"),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("text"),
+    )
+    return D.winnow_fingerprints(base, k=4, w=5, normalize="type2")
+
+
 def _timetravel_snapshot(spark, sf_dir) -> str:
     """X94 fixture (cached per sf_dir): entry-shaped build (g1), then
     delete_by_filter lang IN [zh, es] (g2, tombstone-only — g1 stays
@@ -3580,6 +3615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fps": q_winnow_fps,
         "bpe_merges": q_bpe_merges,
         "time_travel_topk": q_time_travel_topk,
+        "fork_pairs": q_fork_pairs,
+        "winnow_type2": q_winnow_type2,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -5191,12 +5228,22 @@ FROM boosted ORDER BY round(b, 9) DESC, doc_id LIMIT 10
 """
 
 
-def _winnow_sql(k: int = 4, w: int = 5, max_id: int = 80) -> str:
+def _winnow_sql(k: int = 4, w: int = 5, max_id: int = 80,
+                text_sql: str = "text", normalize: bool = False) -> str:
     """Oracle for winnow_fingerprints: FNV-1a token hashes and the
     k-gram Horner fold in HUGEINT (the _fingerprint_sql machinery),
     then per window end e the rightmost minimum via
-    list_position(list_reverse(window), min)."""
-    tok = TOK_EXPR("text")
+    list_position(list_reverse(window), min). With `normalize`, every
+    token first passes the type-2 class map (keyword kept, pure int ->
+    'n', else 'i') — the exact CASE replay of
+    dedup.type2_normalize_token over dedup.TYPE2_KEYWORDS."""
+    tok = TOK_EXPR(text_sql)
+    if normalize:
+        kws = ", ".join(f"'{kw}'" for kw in sorted(D.TYPE2_KEYWORDS))
+        tok = (
+            f"list_transform({tok}, tk -> CASE WHEN tk IN ({kws}) THEN tk "
+            "WHEN regexp_matches(tk, '^[0-9]+$') THEN 'n' ELSE 'i' END)"
+        )
     m64 = "18446744073709551616::HUGEINT"
     fnv_init = "14695981039346656037::HUGEINT"
     prime = "1099511628211::HUGEINT"
@@ -5316,6 +5363,31 @@ ORDER BY df DESC, term LIMIT 50
         # fresh build); the live post-delete index could not match.
         "time_travel_topk": _live_scored_sql(
             "SELECT doc_id, text FROM documents", BM25_QUERY),
+        # X95: forks planted by relabeling the doc_id%3 slice; exact
+        # Jaccard over per-source distinct text sets (sha256 on the
+        # Spark side is injective over distinct texts, so text
+        # equality replays it)
+        "fork_pairs": """
+WITH allr AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT source || '+f' AS source, text FROM documents
+  WHERE doc_id % 3 = 0),
+s AS (SELECT DISTINCT source, text FROM allr),
+sz AS (SELECT source, count(*)::BIGINT AS files FROM s GROUP BY source),
+i AS (SELECT a.source AS repo_a, b.source AS repo_b,
+             count(*)::BIGINT AS shared
+      FROM s a JOIN s b ON a.text = b.text AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT repo_a, repo_b, shared, x.files AS files_a, y.files AS files_b,
+       round(shared::DOUBLE / (x.files + y.files - shared), 6) AS jaccard
+FROM i JOIN sz x ON x.source = repo_a JOIN sz y ON y.source = repo_b
+WHERE round(shared::DOUBLE / (x.files + y.files - shared), 6) >= 0.2
+""",
+        "winnow_type2": _winnow_sql(
+            k=4, w=5, max_id=60, normalize=True,
+            text_sql="'def f' || (doc_id % 7)::VARCHAR || ' do ' || text"
+                     " || ' return ' || (doc_id % 5)::VARCHAR"),
         "code_quality_rules": _code_quality_sql(),
         "license_detect": _license_sql(),
         "secret_scan": _secret_sql(),

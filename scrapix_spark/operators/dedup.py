@@ -749,12 +749,44 @@ def canonical_per_cluster(
     )
 
 
+# Multi-language reserved-word set for type-2 clone normalization
+# (public knowledge: the keyword tables of Python/JS/TS/Go/Rust/Java/C).
+# Kept deliberately small and stable — it is part of the fingerprint
+# definition, so changing it changes every stored fingerprint.
+TYPE2_KEYWORDS = frozenset("""
+abstract as assert async await bool break case catch chan class const
+continue crate def defer del do elif else enum except extends false
+final finally fn for from func function go goto if impl implements
+import in instanceof interface is lambda let loop map match mod mut
+new nil none not null or pass print priv pub raise range return self
+static struct super switch this throw throws trait true try type
+typeof unsafe use var void where while with yield
+""".split())
+
+
+def type2_normalize_token(t: str) -> str:
+    """The per-token class map of type-2 (rename-insensitive) clone
+    detection (Roy & Cordy 2007 taxonomy; CCFinder's parameterized
+    token replacement): reserved words keep their identity, pure
+    integer literals collapse to 'n', every other token — identifiers,
+    user names, renamed variables — collapses to 'i'. Applying this
+    before fingerprinting makes two code fragments that differ only by
+    consistent (or inconsistent) identifier renaming hash identically.
+    """
+    if t in TYPE2_KEYWORDS:
+        return t
+    if t and all("0" <= c <= "9" for c in t):
+        return "n"
+    return "i"
+
+
 def winnow_fingerprints(
     df: DataFrame,
     k: int = 5,
     w: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    normalize: str | None = None,
 ) -> DataFrame:
     """MOSS-style winnowing fingerprints (Schleimer, Wilkerson & Aiken,
     "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
@@ -782,9 +814,17 @@ def winnow_fingerprints(
     Scale shape: one Arrow mapInPandas pass, per-doc numpy (vectorized
     Horner over token-hash arrays + sliding_window_view argmin) — no
     shuffle at all; downstream candidate joins are fp-key equi-joins.
+
+    `normalize="type2"` applies `type2_normalize_token` to every token
+    before hashing (X96): fingerprints become insensitive to
+    identifier renaming and integer-literal changes, turning the MOSS
+    match step into type-2 clone detection (Roy & Cordy 2007). Same
+    plan shape — the class map runs inside the same Arrow kernel.
     """
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
+    if normalize not in (None, "type2"):
+        raise ValueError(f"unknown normalize mode {normalize!r}")
     from scrapix_spark.functions.tokenize import _SEP_RE
     from scrapix_spark.operators.textstats import hash_token
 
@@ -798,6 +838,8 @@ def winnow_fingerprints(
                 out_id, out_pos, out_fp = [], [], []
                 for did, text in zip(pdf[id_col], pdf[text_col]):
                     toks = [t for t in _SEP_RE.split((text or "").lower()) if t]
+                    if normalize == "type2":
+                        toks = [type2_normalize_token(t) for t in toks]
                     m = len(toks) - k + 1
                     if m < 1:
                         continue
@@ -858,4 +900,81 @@ def winnow_clone_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def fork_pairs(
+    df: DataFrame,
+    repo_col: str = "source",
+    text_col: str = "text",
+    min_jaccard: float = 0.5,
+    max_sha_df: int = 1000,
+) -> DataFrame:
+    """Repo-level fork/mirror detection (the repository dedup pass of
+    The Stack, Kocetkov et al. 2022 §3 — forks share most file CONTENT
+    even when paths/metadata differ): Jaccard similarity between two
+    repos' sets of distinct file-content hashes,
+
+        J(A, B) = |sha(A) ∩ sha(B)| / |sha(A) ∪ sha(B)|,
+
+    reported for every pair with J >= `min_jaccard`. Content identity
+    is sha256 of the raw text — the same per-row invariant the index
+    build pins — so a byte-identical file counts as shared regardless
+    of its path or commit.
+
+    Returns (repo_a, repo_b, shared, files_a, files_b, jaccard) with
+    repo_a < repo_b, jaccard rounded to 6dp, ordered-by nothing (the
+    caller sorts); `files_*` count DISTINCT content hashes per repo
+    (vendored duplicates inside one repo count once — fork similarity
+    is about the content set, not the file count).
+
+    Scale shape: the candidate generator is a sha-key equi-self-join
+    after a hot-sha cap (`max_sha_df`): content present in more repos
+    than the cap — empty files, vendored licenses, generated
+    boilerplate — is dropped BEFORE the join, exactly the hot-shingle
+    cap of ngram_jaccard_pairs/winnow_clone_pairs, so candidate volume
+    is sum-over-shas of df² bounded by the cap, never an all-pairs
+    repo join. Per-repo set sizes ride a separate hash agg and join
+    back on the (tiny) surviving pair relation. At 10^12 files the
+    sha relation shuffles key-partitioned; no broadcast is assumed.
+    """
+    if not 0 < min_jaccard <= 1:
+        raise ValueError("min_jaccard must be in (0, 1]")
+    shas = (
+        df.select(F.col(repo_col).alias("repo"),
+                  F.sha2(F.col(text_col), 256).alias("sha"))
+        .dropDuplicates()
+    )
+    sizes = shas.groupBy("repo").agg(F.count("*").cast("long").alias("files"))
+    hot = (
+        shas.groupBy("sha").agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_sha_df)
+        .select("sha")
+    )
+    cool = shas.join(hot, "sha", "left_anti")
+    a = cool.select("sha", F.col("repo").alias("repo_a"))
+    b = cool.select("sha", F.col("repo").alias("repo_b"))
+    inter = (
+        a.join(b, "sha")
+        .filter(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    sz_a = sizes.select(F.col("repo").alias("repo_a"),
+                        F.col("files").alias("files_a"))
+    sz_b = sizes.select(F.col("repo").alias("repo_b"),
+                        F.col("files").alias("files_b"))
+    return (
+        inter.join(sz_a, "repo_a").join(sz_b, "repo_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("files_a") + F.col("files_b") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("repo_a", "repo_b", "shared", "files_a", "files_b",
+                "jaccard")
     )

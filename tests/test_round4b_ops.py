@@ -1,0 +1,115 @@
+"""X95 fork/mirror detection + X96 type-2 clone winnowing."""
+
+import pytest
+
+from scrapix_spark.operators.dedup import (
+    TYPE2_KEYWORDS,
+    fork_pairs,
+    type2_normalize_token,
+    winnow_clone_pairs,
+    winnow_fingerprints,
+)
+
+
+def _repo_df(spark, rows):
+    return spark.createDataFrame(rows, "source string, text string")
+
+
+def test_fork_pairs_exact_jaccard(spark):
+    rows = (
+        [("A", f"file {i} body") for i in range(4)]
+        + [("B", f"file {i} body") for i in range(3)] + [("B", "b only")]
+        + [("C", "c one"), ("C", "c two")]
+    )
+    got = {
+        (r.repo_a, r.repo_b): r
+        for r in fork_pairs(_repo_df(spark, rows), min_jaccard=0.5).collect()
+    }
+    assert set(got) == {("A", "B")}
+    r = got[("A", "B")]
+    assert (r.shared, r.files_a, r.files_b) == (3, 4, 4)
+    assert r.jaccard == pytest.approx(3 / 5, abs=1e-9)
+
+
+def test_fork_pairs_within_repo_dups_count_once(spark):
+    rows = [("A", "same"), ("A", "same"), ("A", "other"),
+            ("B", "same"), ("B", "other")]
+    r = fork_pairs(_repo_df(spark, rows), min_jaccard=0.9).collect()
+    assert len(r) == 1 and r[0].jaccard == 1.0
+    assert (r[0].files_a, r[0].files_b, r[0].shared) == (2, 2, 2)
+
+
+def test_fork_pairs_hot_sha_cap(spark):
+    # "license" appears in all three repos; cap at 2 drops it from the
+    # intersection but NOT from the per-repo set sizes (documented
+    # under-count of boilerplate-only similarity)
+    rows = [(s, "license") for s in "ABC"] + [
+        ("A", "x"), ("B", "x"), ("C", "y")]
+    got = {
+        (r.repo_a, r.repo_b): r
+        for r in fork_pairs(_repo_df(spark, rows), min_jaccard=0.1,
+                            max_sha_df=2).collect()
+    }
+    assert set(got) == {("A", "B")}
+    assert got[("A", "B")].shared == 1  # only "x"; "license" capped out
+    assert got[("A", "B")].files_a == 2
+
+
+def test_fork_pairs_threshold_validation(spark):
+    with pytest.raises(ValueError):
+        fork_pairs(_repo_df(spark, [("A", "t")]), min_jaccard=0.0)
+
+
+def test_type2_normalize_token():
+    assert type2_normalize_token("def") == "def"
+    assert type2_normalize_token("return") == "return"
+    assert type2_normalize_token("42") == "n"
+    assert type2_normalize_token("myvariable") == "i"
+    assert type2_normalize_token("f3") == "i"  # not a pure int literal
+    assert "def" in TYPE2_KEYWORDS and "while" in TYPE2_KEYWORDS
+
+
+CODE_A = ("def total(items) for item in items if item "
+          "total = total + item return total")
+CODE_B = ("def summe(werte) for wert in werte if wert "
+          "summe = summe + wert return summe")  # consistent rename
+CODE_C = ("while total(items) for item in items if item "
+          "total = total + item return total")  # keyword changed
+
+
+def _fps(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_fingerprints(df, k=4, w=3, **kw).collect()
+    return {
+        did: sorted((r.pos, r.fp) for r in out if r.doc_id == did)
+        for did in {r.doc_id for r in out}
+    }
+
+
+def test_type2_rename_invariance(spark):
+    rows = [(1, CODE_A), (2, CODE_B), (3, CODE_C)]
+    plain = _fps(spark, rows)
+    t2 = _fps(spark, rows, normalize="type2")
+    # type-1 fingerprints see the renamed identifiers as different docs
+    assert plain[1] != plain[2]
+    # type-2 fingerprints are identical under consistent renaming
+    assert t2[1] == t2[2]
+    # but a changed KEYWORD still breaks the clone
+    assert t2[1] != t2[3]
+
+
+def test_type2_clone_pairs_end_to_end(spark):
+    df = spark.createDataFrame(
+        [(1, CODE_A), (2, CODE_B), (3, "completely unrelated words here "
+                                       "nothing shared at all today")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=4, w=3, normalize="type2")
+    pairs = winnow_clone_pairs(fps, min_shared=2).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+def test_winnow_unknown_normalize_raises(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, normalize="nope")
