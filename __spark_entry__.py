@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from scrapix_spark.functions.tokenize import SEP_PATTERN, with_tokens  # noqa: E402
 from scrapix_spark.operators import bm25f as BF  # noqa: E402
 from scrapix_spark.operators import dedup as D  # noqa: E402
+from scrapix_spark.operators import geo as GEO  # noqa: E402
 from scrapix_spark.operators import multimodal as MM  # noqa: E402
 from scrapix_spark.operators import query as Q  # noqa: E402
 from scrapix_spark.operators import segmentation as SEG  # noqa: E402
@@ -3521,6 +3522,43 @@ def q_winnow_type2(spark, sf_dir):
     return D.winnow_fingerprints(base, k=4, w=5, normalize="type2")
 
 
+POLY_VERTS = [(40.0, -60.0), (50.0, 10.0), (20.0, 60.0),
+              (-20.0, 40.0), (-30.0, -40.0)]
+
+
+def q_geo_polygon(spark, sf_dir):
+    """X97 — `_geoPolygon` filter (Meilisearch v1.14 geo surface):
+    even-odd ray-cast point-in-polygon as a pure literal predicate in
+    whole-stage codegen (pushes to the scan); the oracle replays the
+    identical per-edge arithmetic via point_in_polygon_sql.
+    operators/geo.py geo_polygon/point_in_polygon."""
+    from scrapix_spark.operators import geo as G
+
+    d = _geo_docs(spark, sf_dir)
+    return (
+        G.geo_polygon(d, POLY_VERTS)
+        .orderBy("doc_id")
+        .select(
+            "doc_id",
+            F.round("lat", 4).cast("double").alias("lat"),
+            F.round("lng", 4).cast("double").alias("lng"),
+        )
+    )
+
+
+def q_ann_bq_topk(spark, sf_dir):
+    """X98 — binary-quantized ANN (Meilisearch v1.10 binaryQuantized
+    embedder mode): sign-bit packing into 64-bit words (32× smaller
+    candidate relation), Hamming-distance candidate cut (integer-exact
+    — no rounding discipline needed), exact cosine rescore of 4·k ids.
+    The oracle computes the same Hamming count as a sign-disagreement
+    sum, then replays the exact rescore.
+    operators/similarity.py bq_quantize/cosine_topk_bq."""
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return SIM.cosine_topk_bq(emb, qv, k=10, rescore=4)
+
+
 def _timetravel_snapshot(spark, sf_dir) -> str:
     """X94 fixture (cached per sf_dir): entry-shaped build (g1), then
     delete_by_filter lang IN [zh, es] (g2, tombstone-only — g1 stays
@@ -3617,6 +3655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_topk": q_time_travel_topk,
         "fork_pairs": q_fork_pairs,
         "winnow_type2": q_winnow_type2,
+        "geo_polygon": q_geo_polygon,
+        "ann_bq_topk": q_ann_bq_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -5388,6 +5428,37 @@ WHERE round(shared::DOUBLE / (x.files + y.files - shared), 6) >= 0.2
             k=4, w=5, max_id=60, normalize=True,
             text_sql="'def f' || (doc_id % 7)::VARCHAR || ' do ' || text"
                      " || ' return ' || (doc_id % 5)::VARCHAR"),
+        # X97: identical per-edge ray-cast arithmetic via
+        # point_in_polygon_sql over the same derived coordinates
+        "geo_polygon": f"""
+WITH g AS (SELECT doc_id, {_GEO_LAT_SQL} AS lat, {_GEO_LNG_SQL} AS lng
+           FROM documents)
+SELECT doc_id, round(lat, 4) AS lat, round(lng, 4) AS lng
+FROM g WHERE {GEO.point_in_polygon_sql(POLY_VERTS)}
+ORDER BY doc_id
+""",
+        # X98: Hamming = sign-disagreement count (identical to the
+        # packed-word xor/bit_count the engine runs), then the exact
+        # cosine rescore of the same 40 candidates
+        "ann_bq_topk": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+h AS (SELECT vec_id,
+        len(list_filter(range(1, 65), i ->
+          (CAST(embedding[i] AS DOUBLE) > 0)
+          <> (CAST(qe[i] AS DOUBLE) > 0)))::BIGINT AS ham
+      FROM embeddings CROSS JOIN q),
+cand AS (SELECT vec_id FROM h ORDER BY ham ASC, vec_id LIMIT 40),
+s AS (SELECT e.vec_id AS id,
+        list_sum(list_transform(range(1, 65),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(qe,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q)
+SELECT id, round(cos, 6) AS cosine FROM s
+ORDER BY round(cos, 6) DESC, id LIMIT 10
+""",
         "code_quality_rules": _code_quality_sql(),
         "license_detect": _license_sql(),
         "secret_scan": _secret_sql(),

@@ -123,6 +123,103 @@ def geo_bounding_box(
     return df.filter(pred)
 
 
+def point_in_polygon(
+    vertices: list[tuple[float, float]],
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> Column:
+    """Planar ray-casting point-in-polygon predicate (the classic
+    even-odd rule; Meilisearch v1.14's `_geoPolygon` filter is the
+    product surface): cast a ray in the +lng direction from the point
+    and count crossed edges — odd = inside. Vertices are (lat, lng)
+    literals; the per-edge test is
+
+        (lat_i > P) != (lat_j > P)
+        AND P_lng < (lng_j - lng_i) * (P_lat - lat_i)
+                    / (lat_j - lat_i) + lng_i
+
+    folded with boolean XOR. Pure literal arithmetic in whole-stage
+    codegen, one expression per edge — the filter pushes to the scan
+    like any other predicate. Planar (treats lat/lng as a flat plane,
+    fine for city-scale polygons away from the antimeridian); boundary
+    points follow the usual even-odd half-open convention.
+    `point_in_polygon_sql` replays the identical operation order.
+    """
+    if len(vertices) < 3:
+        raise ValueError("a polygon needs at least 3 vertices")
+    plat, plng = F.col(lat_col).cast("double"), F.col(lng_col).cast("double")
+    inside = F.lit(False)
+    n = len(vertices)
+    for i in range(n):
+        lat_i, lng_i = (float(v) for v in vertices[i])
+        lat_j, lng_j = (float(v) for v in vertices[(i + 1) % n])
+        crosses = (F.lit(lat_i) > plat) != (F.lit(lat_j) > plat)
+        if lat_j == lat_i:
+            edge = F.lit(False)  # horizontal edge never crosses the ray
+        else:
+            xint = (
+                (F.lit(lng_j) - F.lit(lng_i))
+                * (plat - F.lit(lat_i))
+                / (F.lit(lat_j) - F.lit(lat_i))
+                + F.lit(lng_i)
+            )
+            edge = crosses & (plng < xint)
+        inside = inside != edge  # boolean XOR fold (crossing parity)
+    return inside
+
+
+def geo_polygon(
+    df: DataFrame,
+    vertices: list[tuple[float, float]],
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """`_geoPolygon([lat,lng],[lat,lng],[lat,lng],…)` filter —
+    Meilisearch's polygon form of the geo surface. See
+    `point_in_polygon` for semantics."""
+    return df.filter(point_in_polygon(vertices, lat_col, lng_col))
+
+
+def point_in_polygon_sql(
+    vertices: list[tuple[float, float]],
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> str:
+    """The same even-odd ray cast as `point_in_polygon`, as a SQL
+    boolean STRING with identical operation order — usable in expr()
+    and verbatim as the DuckDB oracle replica."""
+    if len(vertices) < 3:
+        raise ValueError("a polygon needs at least 3 vertices")
+    n = len(vertices)
+    terms = []
+    for i in range(n):
+        lat_i, lng_i = (float(v) for v in vertices[i])
+        lat_j, lng_j = (float(v) for v in vertices[(i + 1) % n])
+        if lat_j == lat_i:
+            terms.append("FALSE")
+            continue
+        xint = (
+            f"(({lng_j!r} - {lng_i!r}) * ({lat_col} - {lat_i!r})"
+            f" / ({lat_j!r} - {lat_i!r}) + {lng_i!r})"
+        )
+        terms.append(
+            f"((({lat_i!r} > {lat_col}) <> ({lat_j!r} > {lat_col}))"
+            f" AND {lng_col} < {xint})"
+        )
+    # explicit left-nested XOR fold: comparison operators don't chain
+    # in SQL parsers, so ((FALSE <> t1) <> t2) <> ...
+    acc = "FALSE"
+    for t in terms:
+        acc = f"({acc} <> {t})"
+    return acc
+
+
+_GEO_POLY_RE = re.compile(
+    r"_geoPolygon\(\s*((?:\[\s*-?[\d.]+\s*,\s*-?[\d.]+\s*\]\s*,?\s*){3,})\)"
+)
+_GEO_PAIR_RE = re.compile(r"\[\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*\]")
+
+
 def geo_sort(
     df: DataFrame,
     lat: float,
@@ -178,8 +275,14 @@ def translate_geo_filter(
 ) -> str:
     """Rewrite Meilisearch geo filter grammar embedded in a SQL boolean
     (`_geoRadius(lat, lng, meters)` / `_geoBoundingBox([lat,lng],
-    [lat,lng])`) into plain predicates over the stored coordinate
-    columns. Non-geo parts of the expression pass through untouched."""
+    [lat,lng])` / `_geoPolygon([lat,lng],…×3+)`) into plain predicates
+    over the stored coordinate columns. Non-geo parts of the
+    expression pass through untouched."""
+
+    def poly(m):
+        verts = [(float(a), float(b))
+                 for a, b in _GEO_PAIR_RE.findall(m.group(1))]
+        return point_in_polygon_sql(verts, lat_col, lng_col)
 
     def rad(m):
         lat, lng, meters = (float(g) for g in m.groups())
@@ -194,7 +297,9 @@ def translate_geo_filter(
             lng_pred = f"{lng_col} >= {lng_bl!r} OR {lng_col} <= {lng_tr!r}"
         return f"(({lat_pred}) AND ({lng_pred}))"
 
-    return _GEO_BOX_RE.sub(box, _GEO_RADIUS_RE.sub(rad, expr))
+    return _GEO_POLY_RE.sub(
+        poly, _GEO_BOX_RE.sub(box, _GEO_RADIUS_RE.sub(rad, expr))
+    )
 
 
 def parse_geo_sort(entry: str) -> tuple[float, float] | None:

@@ -575,3 +575,106 @@ def hashing_tfidf_embeddings(
         ),
     )
     return vecs.select(F.col("id").alias(id_col), emb.alias("embedding"))
+
+
+# ------------------------------------------------- binary quantization
+
+def _bq_bit_lit(j: int) -> "F.Column":
+    # bit j as a SIGNED long literal; j=63 is Long.MIN_VALUE (the sign
+    # bit) — 1<<63 does not fit a positive LongType literal, but the
+    # BIT PATTERN is what the OR/XOR/bit_count pipeline consumes
+    return F.lit(-(1 << 63) if j == 63 else (1 << j)).cast("long")
+
+
+def bq_quantize(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    code_col: str = "bits",
+) -> DataFrame:
+    """X98 — binary quantization (the Meilisearch v1.10 / arroy
+    `binaryQuantized` embedder mode, public: each dimension keeps only
+    its SIGN): bit j of word w is 1 iff x[64w+j] > 0, packed into
+    ceil(dim/64) signed 64-bit words — a 32× compression of float32
+    vectors. Hamming distance between two codes is then a monotone
+    proxy for angular distance (Charikar 2002 SimHash bound — the same
+    theory behind srp_lsh here, applied as a quantizer instead of a
+    bucketing scheme).
+
+    Pure in-plan bit arithmetic (whole-stage codegen): per word, an OR
+    fold of 64 conditional bit literals. No UDF, no shuffle; at 100 TB
+    the packed relation is the PERSISTED artifact scanned for
+    candidate generation, 32× smaller than the float relation.
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    x = F.col(vec_col)
+    words = []
+    for w in range(0, dim, 64):
+        bits = F.lit(0).cast("long")
+        for j in range(min(64, dim - w)):
+            bits = bits.bitwiseOR(
+                F.when(x[w + j].cast("double") > 0.0, _bq_bit_lit(j))
+                .otherwise(F.lit(0).cast("long"))
+            )
+        words.append(bits)
+    return df.withColumn(code_col, F.array(*words))
+
+
+def bq_pack_query(query_vec: list[float]) -> list[int]:
+    """Pack a query vector into the same signed-word layout as
+    bq_quantize (driver-side — the query is one row)."""
+    out = []
+    for w in range(0, len(query_vec), 64):
+        bits = 0
+        for j, v in enumerate(query_vec[w:w + 64]):
+            if float(v) > 0.0:
+                bits |= 1 << j
+        if bits >= 1 << 63:
+            bits -= 1 << 64  # to signed
+        out.append(bits)
+    return out
+
+
+def cosine_topk_bq(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X98 — binary-quantized ANN: Hamming distance over the packed
+    sign bits picks `rescore`·k candidates (ascending — fewer flipped
+    signs ≈ smaller angle), then exact cosine re-ranks only those and
+    returns top-k (id, cosine); same output contract as
+    cosine_topk_bruteforce on the candidate set, same two-stage shape
+    as cosine_topk_sq8 with a 32× (vs 4×) smaller candidate relation.
+
+    The Hamming scan is XOR + bit_count per word — integer-exact on
+    every engine, so the candidate cut needs NO rounding discipline
+    (ties break by id). Scale shape: embarrassingly parallel
+    TakeOrdered over the packed relation; the rescore is a broadcast
+    semi-join touching full floats for O(k) rows only.
+    """
+    dim = len(query_vec)
+    coded = bq_quantize(df, dim, vec_col)
+    qw = bq_pack_query(query_vec)
+    qlit = F.array(*[F.lit(int(w)).cast("long") for w in qw])
+    ham = F.aggregate(
+        F.zip_with(F.col("bits"), qlit,
+                   lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        coded.select(F.col(id_col).alias("id"), ham.alias("ham"))
+        .orderBy(F.col("ham").asc(), F.col("id").asc())
+        .limit(int(rescore) * k)
+    )
+    exact_src = df.join(
+        F.broadcast(cand.select("id")), F.col(id_col) == F.col("id"),
+        "left_semi",
+    )
+    return cosine_topk_bruteforce(exact_src, query_vec, k=k,
+                                  id_col=id_col, vec_col=vec_col)

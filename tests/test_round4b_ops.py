@@ -113,3 +113,116 @@ def test_winnow_unknown_normalize_raises(spark):
     df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
     with pytest.raises(ValueError):
         winnow_fingerprints(df, normalize="nope")
+
+
+# ------------------------------ X97 geo polygon / X98 binary-quantized ANN
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from scrapix_spark.operators.geo import (  # noqa: E402
+    geo_polygon,
+    point_in_polygon,
+    point_in_polygon_sql,
+    translate_geo_filter,
+)
+from scrapix_spark.operators.similarity import (  # noqa: E402
+    bq_pack_query,
+    bq_quantize,
+    cosine_topk_bq,
+    cosine_topk_bruteforce,
+)
+
+SQUARE = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+# U-shape: concave notch between lng 4 and 6 above lat 4
+USHAPE = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 6.0),
+          (4.0, 6.0), (4.0, 4.0), (10.0, 4.0), (10.0, 0.0)]
+
+
+def _pts(spark, pts):
+    return spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(pts)],
+        "doc_id long, lat double, lng double",
+    )
+
+
+def test_geo_polygon_square(spark):
+    pts = [(5.0, 5.0), (15.0, 5.0), (5.0, 15.0), (-1.0, 5.0), (9.9, 9.9)]
+    got = {r.doc_id for r in geo_polygon(_pts(spark, pts), SQUARE).collect()}
+    assert got == {0, 4}
+
+
+def test_geo_polygon_concave(spark):
+    # (8, 5) sits in the notch of the U — inside the convex hull but
+    # OUTSIDE the polygon; (2, 5) is in the solid base
+    pts = [(8.0, 5.0), (2.0, 5.0), (8.0, 8.0)]
+    got = {r.doc_id for r in geo_polygon(_pts(spark, pts), USHAPE).collect()}
+    assert got == {1, 2}
+
+
+def test_geo_polygon_sql_parity(spark):
+    import itertools
+    pts = [(float(a), float(b))
+           for a, b in itertools.product(range(-2, 13, 3), repeat=2)]
+    df = _pts(spark, pts)
+    for poly in (SQUARE, USHAPE):
+        a = {r.doc_id for r in df.filter(point_in_polygon(poly)).collect()}
+        b = {r.doc_id
+             for r in df.filter(F.expr(point_in_polygon_sql(poly))).collect()}
+        assert a == b
+
+
+def test_geo_polygon_grammar(spark):
+    expr = translate_geo_filter(
+        "_geoPolygon([0, 0], [10, 0], [10, 10], [0, 10]) AND doc_id >= 0"
+    )
+    pts = [(5.0, 5.0), (15.0, 5.0)]
+    got = {r.doc_id for r in _pts(spark, pts).filter(F.expr(expr)).collect()}
+    assert got == {0}
+
+
+def test_geo_polygon_validation(spark):
+    with pytest.raises(ValueError):
+        point_in_polygon(SQUARE[:2])
+    with pytest.raises(ValueError):
+        point_in_polygon_sql(SQUARE[:2])
+
+
+def _vec_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_bq_pack_parity_and_sign_bit(spark):
+    # dim 64 with ONLY dim 63 positive -> the sign-bit word
+    v = [0.0] * 64
+    v[63] = 1.0
+    df = bq_quantize(_vec_df(spark, [v]), dim=64)
+    got = df.select("bits").first()["bits"]
+    assert got == [-(1 << 63)]
+    assert bq_pack_query(v) == [-(1 << 63)]
+    # dim 70 packs into two words; python packer matches the plan
+    w = [1.0 if i % 3 == 0 else -1.0 for i in range(70)]
+    df2 = bq_quantize(_vec_df(spark, [w]), dim=70)
+    assert df2.select("bits").first()["bits"] == bq_pack_query(w)
+
+
+def test_bq_topk_matches_bruteforce_when_rescore_covers_all(spark):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(30, 64)).tolist()
+    df = _vec_df(spark, vecs)
+    q = vecs[0]
+    got = cosine_topk_bq(df, q, k=5, rescore=6).collect()  # 30 cands = all
+    want = cosine_topk_bruteforce(df, q, k=5).collect()
+    assert [(r.id, r.cosine) for r in got] == [(r.id, r.cosine) for r in want]
+
+
+def test_bq_hamming_candidates_find_identical_vector(spark):
+    import numpy as np
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(50, 64)).tolist()
+    df = _vec_df(spark, vecs)
+    got = cosine_topk_bq(df, vecs[17], k=1, rescore=2).collect()
+    assert got[0].id == 17 and got[0].cosine == 1.0
