@@ -909,6 +909,7 @@ def fork_pairs(
     text_col: str = "text",
     min_jaccard: float = 0.5,
     max_sha_df: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Repo-level fork/mirror detection (the repository dedup pass of
     The Stack, Kocetkov et al. 2022 §3 — forks share most file CONTENT
@@ -937,6 +938,15 @@ def fork_pairs(
     repo join. Per-repo set sizes ride a separate hash agg and join
     back on the (tiny) surviving pair relation. At 10^12 files the
     sha relation shuffles key-partitioned; no broadcast is assumed.
+
+    The distinct (repo, sha) relation has FOUR consumers (sizes ×2,
+    hot-sha counts, the self-join) — without materialization Spark
+    recomputes its lineage for each, i.e. four raw-text scans + sha256
+    passes. `materialize=True` (default) localCheckpoints it once:
+    one text scan, and every consumer reads the (tiny relative to raw
+    text — two short columns) checkpointed relation. Set False only
+    for cost-model experiments or when the caller already persisted
+    the relation.
     """
     if not 0 < min_jaccard <= 1:
         raise ValueError("min_jaccard must be in (0, 1]")
@@ -945,6 +955,8 @@ def fork_pairs(
                   F.sha2(F.col(text_col), 256).alias("sha"))
         .dropDuplicates()
     )
+    if materialize:
+        shas = shas.localCheckpoint()
     sizes = shas.groupBy("repo").agg(F.count("*").cast("long").alias("files"))
     hot = (
         shas.groupBy("sha").agg(F.count("*").alias("_df"))
