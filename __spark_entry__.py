@@ -3606,10 +3606,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 0), then this round's fixes (geo_bbox rounding, facet document-
     # count semantics), the four new lifecycle gates (X70 dump/restore,
     # X71 auto-compact, X56 folded tokenize, X16 heartbeat invariants),
-    # and 18 re-gates of the pruned/layered query + build paths touched
-    # by the round-4 performance work. Everything else has a green
-    # driver row in r01-r03 and stays locally gated via
-    # tools/check_oracles.py (no args = full registry) every session.
+    # the round-4 operators X86-X98 (mutation endpoints, chunking,
+    # stop-words, buckets, authority, winnowing, BPE, time travel,
+    # forks, type-2, polygon, BQ-ANN), and re-gates of the pruned/
+    # layered query paths touched by the round-4 performance work.
+    # That is 45 must-gate entries + 5 re-gates = exactly the sample.
+    # Everything else has a green driver row in r01-r03 and stays
+    # locally gated via tools/check_oracles.py (no args = full
+    # registry) every session.
     return {
         "pii_redact": q_pii_redact,
         "repetition_signals": q_repetition_signals,

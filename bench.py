@@ -148,6 +148,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
     E._restored_index(spark, sf_dir)
     E._auto_compact_index(spark, sf_dir)
     E._heartbeat_file(spark, sf_dir)
+    E._timetravel_snapshot(spark, sf_dir)
     qs = E.queries()
     headline = [
         "tokenize_tf", "term_df", "bm25_topk", "ranked_union_topk",
@@ -182,6 +183,10 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         # pre-built above — the timed part is the query/read side)
         "dump_restore_topk", "auto_compact_topk", "tokenize_folded",
         "heartbeat_rows",
+        # round-4b additions (X94-X98; the time-travel fixture is
+        # pre-built above — the timed part is the snapshot read)
+        "time_travel_topk", "fork_pairs", "winnow_type2",
+        "geo_polygon", "ann_bq_topk",
     ]
     out = {}
     for name in headline:
