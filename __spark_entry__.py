@@ -3559,6 +3559,69 @@ def q_ann_bq_topk(spark, sf_dir):
     return SIM.cosine_topk_bq(emb, qv, k=10, rescore=4)
 
 
+def q_semdedup_survivors(spark, sf_dir):
+    """X99 — SemDeDup (Abbas et al. 2023): fully distributed Lloyd's
+    k-means (init = vectors of the 4 lowest ids, 2 iterations, per-dim
+    means rounded to 6 dp, distances rounded to 9 dp before the argmin,
+    ties to the lowest cluster id) followed by the within-cluster
+    cosine cut — a vector is removed iff a lower-id same-cluster vector
+    has round(cosine, 6) >= 0.4. The oracle replays the full centroid
+    trajectory AND the pair cut, so both the clustering and the dedup
+    are value-checked. operators/clustering.py kmeans_fit/semdedup."""
+    from scrapix_spark.operators import clustering as CL
+
+    surv = CL.semdedup(_emb(spark, sf_dir), k=4, n_iter=2, threshold=0.4)
+    return surv.orderBy("vec_id").select("vec_id", "cluster")
+
+
+def _semdedup_sql(dim: int = 64, k: int = 4, threshold: float = 0.4) -> str:
+    """X99 oracle: two explicit Lloyd iterations + the pair anti-join.
+
+    Each assignment step is the same windowed argmin over
+    round(Σ(v−c)², 9) with ties to the lowest cluster id; each update
+    step is round(avg, 6) per dim with emptied clusters keeping the
+    previous centroid (the engine's pinned contract)."""
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (SELECT vec_id, cid FROM (
+   SELECT v.vec_id, c.cid,
+     row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       round(list_sum(list_transform(range({dim}), i ->
+         (v.e[i+1]-c.ce[i+1])*(v.e[i+1]-c.ce[i+1]))), 9) ASC, c.cid ASC) AS rn
+   FROM v CROSS JOIN {cents} c) WHERE rn = 1)"""
+
+    def update(name: str, assigned: str) -> str:
+        return f"""{name} AS (SELECT c0.cid, coalesce(n.ce, c0.ce) AS ce
+   FROM c0 LEFT JOIN (
+     SELECT cid, list(m ORDER BY i) AS ce FROM (
+       SELECT {assigned}.cid, ix.i, round(avg(v.e[ix.i]), 6) AS m
+       FROM {assigned} JOIN v USING (vec_id)
+       CROSS JOIN (SELECT unnest(range(1, {dim}+1)) AS i) ix
+       GROUP BY {assigned}.cid, ix.i) GROUP BY cid) n USING (cid))"""
+
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+              list_transform(e, x -> round(x, 6)) AS ce
+       FROM v ORDER BY vec_id LIMIT {k}),
+{assign('a0', 'c0')},
+{update('c1', 'a0')},
+{assign('a1', 'c1')},
+{update('c2', 'a1')},
+{assign('a2', 'c2')},
+u AS (SELECT vec_id, cid,
+        list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y*y)))) AS un
+      FROM v JOIN a2 USING (vec_id)),
+removed AS (SELECT DISTINCT b.vec_id FROM u a JOIN u b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE round(list_sum(list_transform(range({dim}),
+                i -> a.un[i+1]*b.un[i+1])), 6) >= {threshold})
+SELECT vec_id, CAST(cid AS INT) AS cluster FROM a2 ANTI JOIN removed USING (vec_id)
+ORDER BY vec_id
+"""
+
+
 def _timetravel_snapshot(spark, sf_dir) -> str:
     """X94 fixture (cached per sf_dir): entry-shaped build (g1), then
     delete_by_filter lang IN [zh, es] (g2, tombstone-only — g1 stays
@@ -3661,6 +3724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_type2": q_winnow_type2,
         "geo_polygon": q_geo_polygon,
         "ann_bq_topk": q_ann_bq_topk,
+        # round-4c additions X99+ (never driver-gated -> before re-gates)
+        "semdedup_survivors": q_semdedup_survivors,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -5463,6 +5528,7 @@ s AS (SELECT e.vec_id AS id,
 SELECT id, round(cos, 6) AS cosine FROM s
 ORDER BY round(cos, 6) DESC, id LIMIT 10
 """,
+        "semdedup_survivors": _semdedup_sql(),
         "code_quality_rules": _code_quality_sql(),
         "license_detect": _license_sql(),
         "secret_scan": _secret_sql(),

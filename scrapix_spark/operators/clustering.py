@@ -1,0 +1,245 @@
+"""Distributed embedding clustering: Lloyd's k-means and SemDeDup.
+
+Training-data pipelines cluster embeddings to drive *semantic*
+deduplication (SemDeDup, Abbas et al. 2023: k-means the corpus
+embeddings, then drop near-identical pairs WITHIN each cluster — the
+clustering bounds the pair search so it never goes all-pairs) and to
+build coarse quantizers larger than a driver sample supports.
+
+`ivf_centroids` (similarity.py) trains on a capped driver-side sample
+— the right tool for a 16-list coarse quantizer. THIS module is the
+fully distributed path: every Lloyd iteration reduces the corpus to
+O(parallelism · k) partial rows; only k×dim centroid doubles ever
+reach the driver, so k and the corpus can both grow without a
+driver-memory cliff.
+
+Determinism contract (what makes the DuckDB oracle exact):
+  - init centroids = the vectors of the k smallest ids;
+  - distances are squared-L2, rounded to `dist_dp` BEFORE the argmin,
+    ties to the lowest cluster id;
+  - updated centroids are per-dim means rounded to `round_dp` (this
+    pins the float trajectory across engines and across Spark's own
+    order-dependent partial-sum aggregation — the X91 discipline);
+  - an emptied cluster keeps its previous centroid.
+
+Reference parity: scrapix has no clustering stage; this module is part
+of the engine-extension family (SURVEY.md §2.12) alongside the dedup
+operators it feeds (dedup.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Per-slice element budget for the N×k×dim distance tensor inside the
+# Arrow kernels — bounds kernel memory to ~16 MB of float64 regardless
+# of batch size, k, or dim.
+_DIST_SLICE_ELEMS = 2_000_000
+
+
+def _assign_ids(vecs: np.ndarray, cents: np.ndarray, dist_dp: int) -> np.ndarray:
+    """argmin_c round(||v - c||², dist_dp), ties → lowest cluster id.
+
+    Direct (v - c)² evaluation, not the dot-product expansion: the
+    oracle computes the same subtract-square-sum, so the two engines
+    round the same value. np.argmin already returns the FIRST minimal
+    index, which is the lowest cluster id.
+    """
+    k, dim = cents.shape
+    step = max(1, _DIST_SLICE_ELEMS // max(1, k * dim))
+    out = np.empty(len(vecs), dtype=np.int32)
+    for lo in range(0, len(vecs), step):
+        chunk = vecs[lo : lo + step]
+        d2 = ((chunk[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        out[lo : lo + step] = np.round(d2, dist_dp).argmin(axis=1)
+    return out
+
+
+def _stack(col: pd.Series) -> np.ndarray:
+    return np.stack(col.to_numpy()).astype(np.float64)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    dist_dp: int = 9,
+) -> np.ndarray:
+    """Fully distributed Lloyd's k-means; returns the (k, dim) centroids.
+
+    Per iteration: one map-only Arrow pass emits PER-BATCH partials
+    (cluster, count, per-dim sums) — at most k rows per Arrow batch —
+    then a posexplode + hash agg reduces them to k·dim scalar rows.
+    Driver traffic per iteration is exactly k·dim + k values; the
+    corpus never shuffles (the partial relation, ~parallelism·k rows,
+    does). At 10^11 vectors this is a scan + an O(cores·k) reduce per
+    iteration — the textbook scalable Lloyd shape.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    init_rows = (
+        df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"corpus has {len(init_rows)} rows < k={k}")
+    cents = np.round(
+        np.array([[float(x) for x in r[vec_col]] for r in init_rows], dtype=np.float64),
+        round_dp,
+    )
+    dim = cents.shape[1]
+
+    for _ in range(n_iter):
+        broadcast_cents = cents  # closed over; ships with the kernel
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vecs = _stack(pdf[vec_col])
+                assign = _assign_ids(vecs, broadcast_cents, dist_dp)
+                rows = []
+                for c in np.unique(assign):
+                    member = vecs[assign == c]
+                    rows.append(
+                        {
+                            "cluster": int(c),
+                            "cnt": int(len(member)),
+                            "sums": member.sum(axis=0).tolist(),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        part = df.select(vec_col).mapInPandas(
+            partials, schema="cluster int, cnt long, sums array<double>"
+        )
+        dim_rows = (
+            part.select(
+                "cluster", "cnt", F.posexplode("sums").alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum("val").alias("s"),
+                # cnt repeats once per pos within a partial row, so
+                # sum it at one pinned pos rather than re-aggregating.
+                F.sum(F.when(F.col("pos") == 0, F.col("cnt"))).alias("n0"),
+            )
+            .collect()
+        )  # exactly k·dim rows — the ONLY driver traffic per iteration
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in dim_rows:
+            sums[r["cluster"], r["pos"]] = r["s"]
+            if r["pos"] == 0:
+                counts[r["cluster"]] = r["n0"]
+        new = cents.copy()
+        nonempty = counts > 0
+        new[nonempty] = np.round(
+            sums[nonempty] / counts[nonempty, None], round_dp
+        )
+        cents = new
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_dp: int = 9,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid: (id, cluster).
+
+    Map-only Arrow pass (the IVF-assign shape); at scale this is the
+    write path — `.write.partitionBy('cluster')` makes the SemDeDup
+    pair stage a partition-pruned, co-located scan.
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            assign = _assign_ids(_stack(pdf[vec_col]), cents, dist_dp)
+            yield pd.DataFrame({"id": pdf[id_col], "cluster": assign})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, schema=f"id long, cluster int"
+    ).withColumnRenamed("id", id_col)
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 10,
+    n_iter: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    dist_dp: int = 9,
+    cos_dp: int = 6,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup via k-means + a
+    within-cluster cosine cut. Returns the SURVIVORS as
+    (id_col, cluster), one row per kept vector.
+
+    Removal rule (deterministic greedy, SQL-replayable): a vector is
+    removed iff a LOWER-id vector in the same cluster has
+    round(cosine, cos_dp) >= threshold. The paper keeps one arbitrary
+    member per near-duplicate group; pinning "lowest id survives each
+    pair" makes the survivor set reproducible and expressible as one
+    anti-join — no connected components needed.
+
+    Scale: the pair search is an equi-self-join ON THE CLUSTER KEY —
+    candidate volume is Σ_c |c|² instead of N². k is the knob: SemDeDup
+    runs with clusters of ~10³-10⁴ docs at web scale (k grows with N),
+    so each cluster's pair block stays executor-sized; the join
+    shuffles both sides keyed by cluster, no broadcast assumed.
+    """
+    if centroids is None:
+        centroids = kmeans_fit(
+            df, k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+            round_dp=round_dp, dist_dp=dist_dp,
+        )
+    assigned = kmeans_assign(df, centroids, id_col=id_col, vec_col=vec_col,
+                             dist_dp=dist_dp)
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vec_d, F.lit(0.0), lambda a, x: a + x * x))
+    normed = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(vec_d, lambda x: x / norm).alias("unit"),
+        )
+        .join(assigned.withColumnRenamed(id_col, "id"), "id")
+    )
+    lo = normed.select(
+        F.col("cluster"), F.col("id").alias("lo_id"), F.col("unit").alias("lo_u")
+    )
+    hi = normed.select(
+        F.col("cluster"), F.col("id").alias("hi_id"), F.col("unit").alias("hi_u")
+    )
+    cos = F.aggregate(
+        F.zip_with("lo_u", "hi_u", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    removed = (
+        lo.join(hi, "cluster")
+        .filter(F.col("lo_id") < F.col("hi_id"))
+        .filter(F.round(cos, cos_dp) >= F.lit(float(threshold)))
+        .select(F.col("hi_id").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.withColumnRenamed(id_col, "id")
+        .join(removed, "id", "left_anti")
+        .select(F.col("id").alias(id_col), "cluster")
+    )

@@ -1,0 +1,95 @@
+"""X99 distributed k-means + SemDeDup (and later round-4c operators)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.operators.clustering import (
+    kmeans_assign,
+    kmeans_fit,
+    semdedup,
+)
+
+
+def _vec_df(spark, vecs, n_parts=1):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df.repartition(n_parts) if n_parts > 1 else df
+
+
+def _numpy_lloyd(X, k, n_iter, round_dp=6, dist_dp=9):
+    cents = np.round(X[:k].astype(np.float64), round_dp)
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.round(d2, dist_dp).argmin(axis=1)
+        new = cents.copy()
+        for c in range(k):
+            m = X[assign == c]
+            if len(m):
+                new[c] = np.round(m.mean(axis=0), round_dp)
+        cents = new
+    return cents
+
+
+def test_kmeans_matches_reference_lloyd(spark):
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(60, 8)).astype(np.float32).astype(np.float64)
+    got = kmeans_fit(_vec_df(spark, X), k=3, n_iter=3)
+    want = _numpy_lloyd(X, k=3, n_iter=3)
+    assert np.array_equal(got, want)
+
+
+def test_kmeans_partitioning_invariance(spark):
+    rng = np.random.default_rng(12)
+    X = rng.normal(size=(80, 6)).astype(np.float32).astype(np.float64)
+    c1 = kmeans_fit(_vec_df(spark, X, n_parts=1), k=4, n_iter=2)
+    c8 = kmeans_fit(_vec_df(spark, X, n_parts=8), k=4, n_iter=2)
+    assert np.array_equal(c1, c8)
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # init centroids are rows 0 and 1; after iteration 1 both clusters
+    # are non-empty (row 1 holds itself), but the reference replay must
+    # agree bit-for-bit on the retention branch either way
+    X = np.array([[0.0, 0.0], [100.0, 100.0]] + [[0.1 * i, 0.0] for i in range(1, 9)])
+    cents = kmeans_fit(_vec_df(spark, X), k=2, n_iter=2)
+    want = _numpy_lloyd(X, k=2, n_iter=2)
+    assert np.array_equal(cents, want)
+
+
+def test_kmeans_k_larger_than_corpus_raises(spark):
+    with pytest.raises(ValueError):
+        kmeans_fit(_vec_df(spark, np.eye(2)), k=5, n_iter=1)
+
+
+def test_assign_ties_to_lowest_cluster(spark):
+    # point equidistant from both centroids -> cluster 0
+    X = np.array([[0.0, 0.0], [2.0, 0.0], [1.0, 0.0]])
+    cents = np.array([[0.0, 0.0], [2.0, 0.0]])
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(_vec_df(spark, X), cents).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 0}
+
+
+def test_semdedup_removes_higher_id_near_duplicates(spark):
+    base = np.zeros((6, 4))
+    base[0] = [1, 0, 0, 0]
+    base[1] = [1, 1e-4, 0, 0]      # near-dup of 0 -> removed
+    base[2] = [0, 1, 0, 0]
+    base[3] = [0, 1, 1e-4, 0]      # near-dup of 2 -> removed
+    base[4] = [0, 0, 1, 0]
+    base[5] = [0.5, 0.5, 0.0, 0.0]  # cos ~= 0.707 to 0..3: kept at 0.99
+    surv = semdedup(
+        _vec_df(spark, base), k=2, n_iter=1, threshold=0.99
+    )
+    kept = sorted(r["vec_id"] for r in surv.collect())
+    assert kept == [0, 2, 4, 5]
+
+
+def test_semdedup_threshold_one_keeps_everything_distinct(spark):
+    rng = np.random.default_rng(13)
+    X = rng.normal(size=(30, 5))
+    surv = semdedup(_vec_df(spark, X), k=2, n_iter=1, threshold=1.0)
+    assert surv.count() == 30
