@@ -280,6 +280,14 @@ def q_tfidf_keywords(spark, sf_dir):
     return TS.tfidf_keywords(_docs(spark, sf_dir), "text", k=3)
 
 
+def q_phrase_mining(spark, sf_dir):
+    """X100 — word2vec phrase mining (Mikolov et al. 2013 / gensim
+    Phrases score): top-20 bigram collocations by
+    (cab - delta) * V / (ca * cb). operators/textstats.py
+    phrase_mining."""
+    return TS.phrase_mining(_docs(spark, sf_dir), delta=5, min_count=5, k=20)
+
+
 def q_top_ngrams(spark, sf_dir):
     """X55 — corpus 3-gram profiler: top-20 by total occurrences."""
     return TS.top_ngrams(_docs(spark, sf_dir), n=3, k=20)
@@ -3726,6 +3734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bq_topk": q_ann_bq_topk,
         # round-4c additions X99+ (never driver-gated -> before re-gates)
         "semdedup_survivors": q_semdedup_survivors,
+        "phrase_mining": q_phrase_mining,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -5691,6 +5700,24 @@ pd AS (SELECT doc_id, ngram, count(*)::BIGINT AS tf_doc
        FROM g GROUP BY doc_id, ngram)
 SELECT ngram, sum(tf_doc)::BIGINT AS tf, count(*)::BIGINT AS df
 FROM pd GROUP BY ngram ORDER BY tf DESC, ngram ASC LIMIT 20
+""",
+        "phrase_mining": f"""
+WITH t AS (SELECT {tok} AS toks FROM documents),
+uni AS (SELECT w, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+v AS (SELECT count(*)::BIGINT AS v FROM uni),
+bi AS (SELECT a, b, count(*)::BIGINT AS cab FROM (
+         SELECT unnest(list_transform(range(1, len(toks)),
+                  i -> struct_pack(a := toks[i], b := toks[i+1]))) AS g
+         FROM t WHERE len(toks) >= 2)
+       CROSS JOIN LATERAL (SELECT g.a AS a, g.b AS b)
+       GROUP BY a, b HAVING count(*) >= 5 AND count(*) > 5),
+s AS (SELECT concat_ws(' ', bi.a, bi.b) AS phrase, bi.cab,
+        (bi.cab - 5) * v.v / (ua.cnt * ub.cnt) AS sc
+      FROM bi JOIN uni ua ON bi.a = ua.w JOIN uni ub ON bi.b = ub.w
+      CROSS JOIN v)
+SELECT phrase, cab, round(sc, 6) AS score FROM s
+ORDER BY round(sc, 9) DESC, phrase ASC LIMIT 20
 """,
         "streaming_dedup": """
 SELECT doc_id, source FROM (

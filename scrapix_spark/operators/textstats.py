@@ -591,3 +591,83 @@ def detect_stopwords(
         .orderBy(F.desc("df"), "term")
         .limit(max_terms)
     )
+
+
+def phrase_mining(
+    df: DataFrame,
+    delta: int = 5,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X100 — word2vec phrase mining (Mikolov et al. 2013 §4, the
+    gensim-Phrases normalization): collocations scored by
+
+        score(a, b) = (count(ab) - delta) * V / (count(a) * count(b))
+
+    with V the unigram vocabulary size — the discount `delta` kills
+    rare-pair noise, and the V scaling makes the threshold
+    corpus-size-independent. The top-k scored bigrams are the phrases a
+    pipeline feeds back as single tokens ("new_york") before training.
+
+    Scale shape: one unigram hash agg (term-keyed, map-side combine),
+    one bigram hash agg over an in-array zip (no explode until the
+    count), the `min_count` cut BEFORE the two unigram-count equi-joins
+    (so only surviving bigrams — a df-cut relation — shuffle; the
+    unigram relation joins term-keyed, never broadcast-assumed), V as a
+    1-row broadcast cross join, and a TakeOrdered k-cut. No Python.
+
+    Columns: (phrase, cab, score) — counts long, score rounded 6dp.
+    """
+    if delta < 0 or min_count < 1:
+        raise ValueError("delta must be >= 0 and min_count >= 1")
+    toks = df.select(tokens_native(F.col(text_col)).alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    vocab = uni.agg(F.count("*").cast("long").alias("v"))
+    bi = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.col("toks")[i - 1].alias("a"),
+                        F.col("toks")[i].alias("b"),
+                    ),
+                )
+            ).alias("g")
+        )
+        .select("g.a", "g.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("cab"))
+        .filter(
+            (F.col("cab") >= F.lit(int(min_count)))
+            & (F.col("cab") > F.lit(int(delta)))
+        )
+    )
+    ua = uni.select(F.col("w").alias("a"), F.col("cnt").alias("ca"))
+    ub = uni.select(F.col("w").alias("b"), F.col("cnt").alias("cb"))
+    scored = (
+        bi.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("phrase"),
+            "cab",
+            (
+                (F.col("cab") - F.lit(int(delta)))
+                * F.col("v")
+                / (F.col("ca") * F.col("cb"))
+            ).alias("_s"),
+        )
+    )
+    return (
+        scored.orderBy(F.round("_s", 9).desc(), F.col("phrase").asc())
+        .limit(k)
+        .select("phrase", "cab", F.round("_s", 6).alias("score"))
+    )

@@ -93,3 +93,54 @@ def test_semdedup_threshold_one_keeps_everything_distinct(spark):
     X = rng.normal(size=(30, 5))
     surv = semdedup(_vec_df(spark, X), k=2, n_iter=1, threshold=1.0)
     assert surv.count() == 30
+
+
+# ---------------------------------------------------------- X100 phrases
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_phrase_mining_score_arithmetic(spark):
+    from scrapix_spark.operators.textstats import phrase_mining
+
+    # "new york" 6x, "san francisco" 5x, unigrams padded with noise
+    texts = ["new york " * 6 + "san francisco " * 5 + "alpha beta gamma"]
+    got = {
+        r["phrase"]: r
+        for r in phrase_mining(
+            _docs_df(spark, texts), delta=2, min_count=3, k=10
+        ).collect()
+    }
+    # V = 7 distinct unigrams; score(new,york) = (6-2)*7/(6*6)
+    assert got["new york"].cab == 6
+    assert got["new york"].score == round((6 - 2) * 7 / 36, 6)
+    assert got["san francisco"].score == round((5 - 2) * 7 / 25, 6)
+    # cross-boundary bigram "york new" occurs 5x -> present at min_count 3
+    assert "york new" in got
+
+
+def test_phrase_mining_delta_and_min_count_cut(spark):
+    from scrapix_spark.operators.textstats import phrase_mining
+
+    texts = ["rare pair", "rare pair", "hot item " * 10]
+    got = {
+        r["phrase"]
+        for r in phrase_mining(
+            _docs_df(spark, texts), delta=2, min_count=2, k=10
+        ).collect()
+    }
+    assert "hot item" in got
+    assert "rare pair" not in got  # cab=2 fails cab > delta=2
+
+
+def test_phrase_mining_validation(spark):
+    from scrapix_spark.operators.textstats import phrase_mining
+
+    with pytest.raises(ValueError):
+        phrase_mining(_docs_df(spark, ["x"]), delta=-1)
+    with pytest.raises(ValueError):
+        phrase_mining(_docs_df(spark, ["x"]), min_count=0)
