@@ -2777,6 +2777,19 @@ def q_sample_temperature(spark, sf_dir):
     return out.select("doc_id", "lang", "keep_rate")
 
 
+def q_dsir_scores(spark, sf_dir):
+    """X101 — DSIR importance resampling (Xie et al. 2023): per-doc log
+    importance weight of hashed unigram+bigram features, target = the
+    English slice, raw = the whole corpus, 512 Laplace-smoothed
+    buckets. operators/curation.py dsir_scores."""
+    from scrapix_spark.operators import curation as CU
+
+    docs = _docs(spark, sf_dir)
+    return CU.dsir_scores(
+        docs, docs.filter("lang = 'en'"), n_buckets=512, alpha=1.0
+    ).orderBy("doc_id")
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher document-quality rules (Rae et al. 2021 table A1) over
     planted bullet/ellipsis/symbol noise: one boolean per heuristic plus
@@ -3735,6 +3748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4c additions X99+ (never driver-gated -> before re-gates)
         "semdedup_survivors": q_semdedup_survivors,
         "phrase_mining": q_phrase_mining,
+        "dsir_scores": q_dsir_scores,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -5073,6 +5087,40 @@ FROM fp
 """
 
 
+def _dsir_sql(n_buckets: int = 512) -> str:
+    """X101 oracle: replay the hashed unigram+bigram features, the
+    Laplace-smoothed target/raw bucket distributions over a full
+    range(B) spine, and the per-doc log-weight sum."""
+    from scrapix_spark.operators.similarity import token_hash31_sql
+
+    tok = TOK_EXPR("text")
+    h = token_hash31_sql("gram")
+    B = n_buckets
+    return f"""
+WITH t AS (SELECT doc_id, lang, {tok} AS toks FROM documents),
+g AS (SELECT doc_id, lang, unnest(list_concat(toks,
+        CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+               i -> concat_ws(' ', toks[i], toks[i+1]))
+             ELSE [] END)) AS gram
+      FROM t),
+hb AS (SELECT doc_id, lang, {h} % {B} AS bucket FROM g),
+ct AS (SELECT bucket, count(*)::BIGINT AS c_t FROM hb
+       WHERE lang = 'en' GROUP BY bucket),
+cr AS (SELECT bucket, count(*)::BIGINT AS c_r FROM hb GROUP BY bucket),
+spine AS (SELECT unnest(range({B})) AS bucket),
+counts AS (SELECT s.bucket, coalesce(ct.c_t, 0) AS c_t,
+                  coalesce(cr.c_r, 0) AS c_r
+           FROM spine s LEFT JOIN ct USING (bucket)
+           LEFT JOIN cr USING (bucket)),
+tot AS (SELECT sum(c_t)::BIGINT AS tt, sum(c_r)::BIGINT AS tr FROM counts),
+w AS (SELECT bucket,
+        ln((c_t + 1.0) / (tt + {B}.0)) - ln((c_r + 1.0) / (tr + {B}.0)) AS w
+      FROM counts CROSS JOIN tot)
+SELECT hb.doc_id, count(*)::BIGINT AS n_grams, round(sum(w.w), 6) AS score
+FROM hb JOIN w USING (bucket) GROUP BY hb.doc_id ORDER BY hb.doc_id
+"""
+
+
 def _hashing_embed_sql() -> str:
     """Oracle for feature-hashing embeddings: replay tf/df/N, the
     polynomial token hash (token_hash31_sql), signed bucket masses and
@@ -5562,6 +5610,7 @@ SELECT lang AS value, count(*)::BIGINT AS count FROM documents GROUP BY lang
         "extract_symbols": _extract_symbols_sql(),
         "comment_signals": _comment_signals_sql(),
         "hashing_embed": _hashing_embed_sql(),
+        "dsir_scores": _dsir_sql(),
         "bm25_for_codec_topk": _bm25_scored_sql(Q.query_terms(WAND_QUERY))
         + """
 SELECT doc_id, round(score, 4) AS score

@@ -828,3 +828,103 @@ def length_bucketed_batches(
             yield out
 
     return base.mapInPandas(assign, schema=schema)
+
+
+# ------------------------------------------------- DSIR importance scores
+
+
+def _hashed_grams(df, text_col: str, id_col: str):
+    """(id, gram) rows: unigrams + space-joined bigrams — the hashed
+    n-gram feature set DSIR uses. Docs with no tokens emit no rows."""
+    from scrapix_spark.functions.tokenize import tokens_native
+
+    toks = tokens_native(F.col(text_col))
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", toks[i - 1], toks[i]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.explode(F.concat(toks, bi)).alias("gram")
+    )
+
+
+def dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X101 — DSIR data selection via importance resampling (Xie et al.
+    2023, NeurIPS): score every raw document by the log importance
+    weight of its hashed n-gram features under a bag-of-hashed-ngrams
+    model of the TARGET distribution vs the RAW distribution:
+
+        score(doc) = Σ_g [ ln p_t(h(g)) − ln p_r(h(g)) ]
+
+    over unigrams+bigrams g, h = polynomial hash mod `n_buckets`,
+    each p Laplace-smoothed: (count_b + α) / (total + α·B). High
+    scores = documents that look like the target domain; select the
+    top fraction (or Gumbel-resample downstream) to build a
+    domain-matched pre-training subset.
+
+    Scale shape: two bucket-keyed hash aggs (one per corpus) reduce to
+    exactly `n_buckets` rows each; the weight relation is built on a
+    range(B) spine (every bucket gets the smoothed weight even at
+    count 0) and broadcast — B is a bounded PARAMETER (thousands), not
+    data-sized. Scoring is one gram explode, a broadcast equi-join and
+    one doc-keyed sum. Documents with no tokens emit no row.
+
+    Columns: (id_col, n_grams, score) — score rounded 6dp.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (Laplace smoothing)")
+    from scrapix_spark.operators.similarity import _token_hash31
+
+    spark = raw.sparkSession
+    B = int(n_buckets)
+
+    def bucket_counts(df: DataFrame, name: str) -> DataFrame:
+        g = _hashed_grams(df, text_col, id_col)
+        return (
+            g.select((_token_hash31(F.col("gram")) % B).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    ct = bucket_counts(target, "c_t")
+    cr = bucket_counts(raw, "c_r")
+    spine = spark.range(B).select(F.col("id").alias("bucket"))
+    counts = (
+        spine.join(ct, "bucket", "left")
+        .join(cr, "bucket", "left")
+        .fillna(0, subset=["c_t", "c_r"])
+    )
+    tot = counts.agg(
+        F.sum("c_t").cast("long").alias("tt"), F.sum("c_r").cast("long").alias("tr")
+    )
+    a = F.lit(float(alpha))
+    weights = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("c_t") + a) / (F.col("tt") + a * B))
+            - F.log((F.col("c_r") + a) / (F.col("tr") + a * B))
+        ).alias("w"),
+    )
+    scored = (
+        _hashed_grams(raw, text_col, id_col)
+        .select(F.col(id_col), (_token_hash31(F.col("gram")) % B).alias("bucket"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.round(F.sum("w"), 6).alias("score"),
+        )
+    )
+    return scored

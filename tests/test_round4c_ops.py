@@ -144,3 +144,74 @@ def test_phrase_mining_validation(spark):
         phrase_mining(_docs_df(spark, ["x"]), delta=-1)
     with pytest.raises(ValueError):
         phrase_mining(_docs_df(spark, ["x"]), min_count=0)
+
+
+# ---------------------------------------------------------- X101 DSIR
+
+
+def test_dsir_scores_prefer_target_like_docs(spark):
+    from scrapix_spark.operators.curation import dsir_scores
+
+    target_like = "alpha beta gamma delta " * 5
+    off_domain = "zeta eta theta iota " * 5
+    raw = _docs_df(spark, [target_like, off_domain, target_like, off_domain])
+    target = _docs_df(spark, [target_like, target_like])
+    got = {
+        r["doc_id"]: r["score"]
+        for r in dsir_scores(raw, target, n_buckets=64).collect()
+    }
+    assert got[0] > got[1] and got[2] > got[3]
+    assert got[0] == got[2] and got[1] == got[3]  # same text, same score
+
+
+def test_dsir_reference_arithmetic(spark):
+    import math
+
+    from scrapix_spark.operators.curation import dsir_scores
+    from scrapix_spark.operators.similarity import HASH_MOD
+
+    def h31(s):
+        acc = 7
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % HASH_MOD
+        return acc
+
+    B, a = 16, 1.0
+    raw_texts = ["cat dog", "bird"]
+    tgt_texts = ["cat"]
+    # features: unigrams + bigrams
+    def grams(t):
+        ts = t.split()
+        return ts + [f"{ts[i]} {ts[i+1]}" for i in range(len(ts) - 1)]
+
+    from collections import Counter
+    cr = Counter(h31(g) % B for t in raw_texts for g in grams(t))
+    ct = Counter(h31(g) % B for t in tgt_texts for g in grams(t))
+    tr, tt = sum(cr.values()), sum(ct.values())
+
+    def w(b):
+        return math.log((ct[b] + a) / (tt + a * B)) - math.log(
+            (cr[b] + a) / (tr + a * B)
+        )
+
+    want = {
+        i: round(sum(w(h31(g) % B) for g in grams(t)), 6)
+        for i, t in enumerate(raw_texts)
+    }
+    got = {
+        r["doc_id"]: r["score"]
+        for r in dsir_scores(
+            _docs_df(spark, raw_texts), _docs_df(spark, tgt_texts), n_buckets=B
+        ).collect()
+    }
+    assert got == want
+
+
+def test_dsir_validation(spark):
+    from scrapix_spark.operators.curation import dsir_scores
+
+    d = _docs_df(spark, ["x"])
+    with pytest.raises(ValueError):
+        dsir_scores(d, d, n_buckets=1)
+    with pytest.raises(ValueError):
+        dsir_scores(d, d, alpha=0.0)
