@@ -1713,6 +1713,27 @@ def q_search_api(spark, sf_dir):
     )
 
 
+def q_tenant_search(spark, sf_dir):
+    """X102 — multi-tenant scoped search (Meilisearch tenant tokens):
+    the token's searchRules filter (meili grammar) is ENFORCED and
+    AND-composed with the request filter, so the request can narrow
+    but never widen the tenant slice. operators/query.py search()
+    tenant_filter."""
+    idx = _entry_index(spark, sf_dir)
+    r = Q.IndexReader(spark, idx)
+    out = r.search(
+        BM25_QUERY, k=10,
+        filter_expr="repo != 'src7'",
+        tenant_filter="lang IN [en, fr] AND NOT repo = src3",
+        tie_cols=("path",),
+    )["hits"]
+    return out.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "lang",
+    )
+
+
 def q_docssearch_ranked(spark, sf_dir):
     """The docssearch ranking chain end-to-end (T1, reference
     src/scrapers/docssearch.ts:47-71): G2 segmentation → BM25F over the
@@ -3749,6 +3770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_survivors": q_semdedup_survivors,
         "phrase_mining": q_phrase_mining,
         "dsir_scores": q_dsir_scores,
+        "tenant_search": q_tenant_search,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -6109,6 +6131,14 @@ WHERE lower(d.lang) IN ('en', 'fr')
   AND d.n_chars BETWEEN 150 AND 350
   AND starts_with(lower(d.source), 'src')
   AND NOT coalesce(lower(d.lang) = 'de', false)
+ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
+""",
+        "tenant_search": _bm25_scored_sql(Q.query_terms(BM25_QUERY)) + """
+SELECT s.doc_id, round(s.score, 4) AS score, d.lang
+FROM scored s JOIN documents d USING (doc_id)
+WHERE lower(d.lang) IN ('en', 'fr')
+  AND NOT coalesce(lower(d.source) = 'src3', false)
+  AND d.source != 'src7'
 ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
 """,
         "search_api": _bm25_scored_sql(Q.query_terms(BM25_QUERY)) + """

@@ -1212,6 +1212,8 @@ class IndexReader:
         split_words: bool = False,
         index_filters: list[tuple] | None = None,
         filter_syntax: str = "sql",
+        tenant_filter: str | None = None,
+        tenant_filter_syntax: str = "meili",
     ) -> dict:
         """The unified search request — the Meilisearch POST /search
         surface a scrapix-indexed app actually calls (q, filter, sort,
@@ -1334,6 +1336,12 @@ class IndexReader:
         it to the SQL boolean (operators/filters.meili_filter_to_sql) —
         a reference user's filter strings run unchanged.
 
+        `tenant_filter` (X102, the Meilisearch tenant-token searchRules
+        filter): an ENFORCED predicate — its own grammar via
+        `tenant_filter_syntax` (default "meili", like real tokens) —
+        AND-composed with any request `filter_expr`, so a scoped API
+        key can never widen its tenant's document slice.
+
         `typo_tolerance` (the Meilisearch typoTolerance setting) widens
         each WORD group with the word's edit-distance dictionary
         neighborhood (SymSpell deletion-key join, exact levenshtein
@@ -1371,6 +1379,15 @@ class IndexReader:
         if stop_words is None and stored.get("stop_words"):
             stop_words = set(stored["stop_words"])
         filter_expr = self._compile_filter(filter_expr, filter_syntax)
+        # X102 multi-tenancy (Meilisearch tenant tokens): the token's
+        # searchRules filter is ENFORCED — compiled separately (its own
+        # grammar, default meili like real tokens) and AND-composed so
+        # no request filter can widen the tenant's slice.
+        tenant = self._compile_filter(tenant_filter, tenant_filter_syntax)
+        if tenant:
+            filter_expr = (
+                f"({tenant}) AND ({filter_expr})" if filter_expr else tenant
+            )
         parsed = parse_query_full(q, stop_words, tokenize=self._query_terms)
         words, phrases = parsed["words"], parsed["phrases"]
         plain = (

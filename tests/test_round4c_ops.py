@@ -215,3 +215,53 @@ def test_dsir_validation(spark):
         dsir_scores(d, d, n_buckets=1)
     with pytest.raises(ValueError):
         dsir_scores(d, d, alpha=0.0)
+
+
+# ------------------------------------------------- X102 tenant tokens
+
+
+def test_tenant_filter_scopes_and_composes(spark, tmp_path):
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.fixtures import corpus_spark_df
+    from scrapix_spark.operators.index import build_index
+    from scrapix_spark.operators.query import IndexReader
+
+    idx = str(tmp_path / "tnidx")
+    build_index(
+        spark, corpus_spark_df(spark, 250), idx,
+        IndexConfig(n_shards=4), build_id="t1", heartbeat_sec=None,
+    )
+    r = IndexReader(spark, idx)
+    q = "binary search"
+    all_hits = r.search(q, k=100)["hits"].collect()
+    langs = {h.lang for h in all_hits}
+    assert len(langs) > 1  # corpus spans languages; scoping is observable
+
+    tenant_lang = sorted(langs)[0]
+    scoped = r.search(q, k=100, tenant_filter=f"lang = {tenant_lang}")["hits"]
+    rows = scoped.collect()
+    assert rows and all(h.lang == tenant_lang for h in rows)
+
+    # the request filter NARROWS the tenant slice
+    repo = rows[0].repo
+    both = r.search(
+        q, k=100, tenant_filter=f"lang = {tenant_lang}",
+        filter_expr=f"repo = '{repo}'",
+    )["hits"].collect()
+    assert both and all(h.lang == tenant_lang and h.repo == repo for h in both)
+
+    # ...and can never WIDEN it: a contradictory request filter yields
+    # the empty intersection, not the other language's docs
+    other = sorted(langs)[1]
+    none = r.search(
+        q, k=100, tenant_filter=f"lang = {tenant_lang}",
+        filter_expr=f"lang = '{other}'",
+    )["hits"].collect()
+    assert none == []
+
+    # sql-syntax tenant filter accepted too
+    sql_scoped = r.search(
+        q, k=100, tenant_filter=f"lang = '{tenant_lang}'",
+        tenant_filter_syntax="sql",
+    )["hits"].collect()
+    assert [h.path for h in sql_scoped] == [h.path for h in rows]
