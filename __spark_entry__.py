@@ -2927,6 +2927,31 @@ def q_federated_search(spark, sf_dir):
     )
 
 
+def q_rrf_fusion(spark, sf_dir):
+    """X103 — Reciprocal Rank Fusion (Cormack et al. 2009, the
+    Elasticsearch/OpenSearch hybrid-merge rule): fuse the BM25 top-20
+    with the exact-cosine top-20 (embeddings keyed by the same ids)
+    via Σ 1/(60 + rank) — rank-based, no score calibration.
+    operators/results.py rrf_fuse."""
+    from scrapix_spark.operators import results as R
+
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    kw = Q.bm25_topk_from_postings(
+        post, stats, int(row["n"]), float(row["a"]), BM25_QUERY, 20, K1, B
+    ).select(F.col("doc_id").alias("id"), "score")
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    sem = SIM.cosine_topk_bruteforce(emb, qv, k=20).select(
+        "id", F.col("cosine").alias("score")
+    )
+    return R.rrf_fuse(
+        [(kw, "kw"), (sem, "sem")], k0=60, k=10, id_col="id"
+    ).select(F.col("id").alias("doc_id"), "rrf", "n_runs")
+
+
 def q_facet_search(spark, sf_dir):
     """POST /facet-search: facet VALUES of `source` matching prefix
     'src1', with hit counts, count desc then value asc."""
@@ -3771,6 +3796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_mining": q_phrase_mining,
         "dsir_scores": q_dsir_scores,
         "tenant_search": q_tenant_search,
+        "rrf_fusion": q_rrf_fusion,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -6132,6 +6158,28 @@ WHERE lower(d.lang) IN ('en', 'fr')
   AND starts_with(lower(d.source), 'src')
   AND NOT coalesce(lower(d.lang) = 'de', false)
 ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
+""",
+        "rrf_fusion": _bm25_scored_sql(Q.query_terms(BM25_QUERY)) + """
+, kw AS (SELECT doc_id FROM scored
+         ORDER BY round(score, 9) DESC, doc_id LIMIT 20),
+kwr AS (SELECT s.doc_id AS id,
+          row_number() OVER (ORDER BY round(s.score, 9) DESC, s.doc_id) AS rank
+        FROM scored s JOIN kw USING (doc_id)),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cosv AS (SELECT vec_id AS id,
+           round(list_sum(list_transform(range(len(embedding)),
+             i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qe[i+1] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(qe,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+         FROM embeddings CROSS JOIN q),
+sem AS (SELECT id, cos FROM cosv ORDER BY cos DESC, id LIMIT 20),
+semr AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS rank FROM sem),
+ranked AS (SELECT id, rank FROM kwr UNION ALL SELECT id, rank FROM semr)
+SELECT id AS doc_id, round(sum(1.0 / (60 + rank)), 9) AS rrf,
+       count(*)::BIGINT AS n_runs
+FROM ranked GROUP BY id ORDER BY rrf DESC, id LIMIT 10
 """,
         "tenant_search": _bm25_scored_sql(Q.query_terms(BM25_QUERY)) + """
 SELECT s.doc_id, round(s.score, 4) AS score, d.lang

@@ -254,3 +254,63 @@ def federated_topk(
         .orderBy(F.round(F.col("wscore"), 9).desc(), F.col("id").asc())
         .limit(k)
     )
+
+
+def rrf_fuse(
+    runs: list[tuple[DataFrame, str]],
+    k0: int = 60,
+    k: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """X103 — Reciprocal Rank Fusion (Cormack, Clarke & Büttcher,
+    SIGIR 2009; the hybrid-merge rule Elasticsearch/OpenSearch ship):
+    fuse several ranked runs by
+
+        rrf(d) = Σ_runs 1 / (k0 + rank_run(d))
+
+    with rank = 1-based position under (round(score, 9) DESC, id ASC)
+    within each run, and absent documents contributing nothing. Rank-
+    based fusion needs no score calibration across runs — the natural
+    complement to federated_topk's weighted score-normalized merge and
+    hybrid_topk's interpolated blend.
+
+    Inputs are (run DataFrame, label) pairs — feed BOUNDED runs (each
+    engine's top-N candidate list): ranking inside a run is a window
+    partitioned by the run label, so each run ranks in a single task —
+    exactly right for N≲10⁴-row candidate lists, and the reason this
+    function is documented as fusing top-N lists, not whole corpora.
+    The fusion itself is one id-keyed hash agg.
+
+    Columns: (id_col, rrf rounded 9dp, n_runs).
+    """
+    if not runs:
+        raise ValueError("rrf_fuse needs at least one run")
+    if k0 < 1:
+        raise ValueError("k0 must be >= 1")
+    parts = [
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(score_col).alias("s"),
+            F.lit(label).alias("run"),
+        )
+        for df, label in runs
+    ]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    w = Window.partitionBy("run").orderBy(
+        F.round(F.col("s"), 9).desc(), F.col("id").asc()
+    )
+    ranked = un.select("id", F.row_number().over(w).alias("rank"))
+    fused = ranked.groupBy("id").agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(int(k0)) + F.col("rank"))), 9
+        ).alias("rrf"),
+        F.count("*").cast("long").alias("n_runs"),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("id").asc())
+        .limit(k)
+        .select(F.col("id").alias(id_col), "rrf", "n_runs")
+    )

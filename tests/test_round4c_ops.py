@@ -265,3 +265,44 @@ def test_tenant_filter_scopes_and_composes(spark, tmp_path):
         tenant_filter_syntax="sql",
     )["hits"].collect()
     assert [h.path for h in sql_scoped] == [h.path for h in rows]
+
+
+# ---------------------------------------------------------- X103 RRF
+
+
+def _run_df(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_id long, score double")
+
+
+def test_rrf_reference_arithmetic(spark):
+    from scrapix_spark.operators.results import rrf_fuse
+
+    r1 = _run_df(spark, [(1, 3.0), (2, 2.0), (3, 1.0)])
+    r2 = _run_df(spark, [(3, 0.9), (1, 0.8), (4, 0.7)])
+    got = {
+        r["doc_id"]: (r["rrf"], r["n_runs"])
+        for r in rrf_fuse([(r1, "a"), (r2, "b")], k0=60, k=10).collect()
+    }
+    assert got[1] == (round(1 / 61 + 1 / 62, 9), 2)
+    assert got[3] == (round(1 / 63 + 1 / 61, 9), 2)
+    assert got[2] == (round(1 / 62, 9), 1)
+    assert got[4] == (round(1 / 63, 9), 1)
+
+
+def test_rrf_rank_ties_break_by_id(spark):
+    from scrapix_spark.operators.results import rrf_fuse
+
+    r1 = _run_df(spark, [(5, 1.0), (2, 1.0)])  # tie -> id 2 ranks first
+    got = {r["doc_id"]: r["rrf"] for r in rrf_fuse([(r1, "a")], k0=1).collect()}
+    assert got[2] == round(1 / 2, 9) and got[5] == round(1 / 3, 9)
+
+
+def test_rrf_k_cut_and_validation(spark):
+    from scrapix_spark.operators.results import rrf_fuse
+
+    r1 = _run_df(spark, [(i, float(10 - i)) for i in range(6)])
+    assert rrf_fuse([(r1, "a")], k=3).count() == 3
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    with pytest.raises(ValueError):
+        rrf_fuse([(r1, "a")], k0=0)
