@@ -2798,6 +2798,32 @@ def q_sample_temperature(spark, sf_dir):
     return out.select("doc_id", "lang", "keep_rate")
 
 
+def q_domain_blocklist(spark, sf_dir):
+    """X104 — UT1-style URL blocklist curation: hosts derived from the
+    documents table (subdomain on doc_id%4==0, TLD flips on
+    doc_id%3==0), blocked when equal to OR dot-under a blocklist
+    domain; suffix matching runs as an exploded-suffix anti equi-join
+    (no broadcast assumed). operators/docs.py filter_blocked_domains."""
+    from scrapix_spark.operators.docs import filter_blocked_domains
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.col("source"),
+            F.lit(".example."),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("org")).otherwise(F.lit("com")),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    kept = filter_blocked_domains(
+        docs, ["src3.example.com", "src5.example.org"]
+    )
+    return kept.select("doc_id", "host").orderBy("doc_id")
+
+
 def q_dsir_scores(spark, sf_dir):
     """X101 — DSIR importance resampling (Xie et al. 2023): per-doc log
     importance weight of hashed unigram+bigram features, target = the
@@ -3797,6 +3823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_scores": q_dsir_scores,
         "tenant_search": q_tenant_search,
         "rrf_fusion": q_rrf_fusion,
+        "domain_blocklist": q_domain_blocklist,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -5659,6 +5686,23 @@ SELECT lang AS value, count(*)::BIGINT AS count FROM documents GROUP BY lang
         "comment_signals": _comment_signals_sql(),
         "hashing_embed": _hashing_embed_sql(),
         "dsir_scores": _dsir_sql(),
+        "domain_blocklist": r"""
+WITH u AS (SELECT doc_id,
+        'https://' || (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END)
+        || source || '.example.'
+        || (CASE WHEN doc_id % 3 = 0 THEN 'org' ELSE 'com' END)
+        || '/p/' || doc_id AS url
+      FROM documents),
+h AS (SELECT doc_id,
+        lower(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS host
+      FROM u),
+bl AS (SELECT unnest(['src3.example.com', 'src5.example.org']) AS dom)
+SELECT doc_id, host FROM h
+WHERE host = '' OR NOT EXISTS (
+  SELECT 1 FROM bl WHERE h.host = bl.dom OR h.host LIKE '%.' || bl.dom)
+ORDER BY doc_id
+""",
         "bm25_for_codec_topk": _bm25_scored_sql(Q.query_terms(WAND_QUERY))
         + """
 SELECT doc_id, round(score, 4) AS score

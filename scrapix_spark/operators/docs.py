@@ -172,3 +172,73 @@ def sha256_invariant_violations(docs: DataFrame, source: DataFrame) -> int:
         src, ["repo", "path", "commit"], "inner"
     )
     return joined.filter(F.col("sha256") != F.col("src_sha")).count()
+
+
+# ------------------------------------------------- domain blocklists
+
+
+URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
+
+
+def url_host(url_col: Column) -> Column:
+    """Lowercased host of an absolute URL (userinfo and port stripped);
+    '' when the value has no scheme://host shape. One regexp_extract —
+    the pattern lives in the RE2 ∩ java.util.regex ∩ DuckDB common
+    subset so oracles replay it verbatim."""
+    return F.lower(F.regexp_extract(url_col, URL_HOST_RE, 1))
+
+
+def domain_suffixes(host_col: Column) -> Column:
+    """All dot-suffixes of a host, most-specific first:
+    a.b.example.com → [a.b.example.com, b.example.com, example.com,
+    com]. Bounded by the label count (≤ ~10), the fan-out that turns
+    blocklist suffix matching into an equi-join."""
+    parts = F.split(host_col, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n), "."),
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocklist: DataFrame | list[str],
+    url_col: str = "url",
+) -> DataFrame:
+    """X104 — URL blocklist filtering (the RefinedWeb §3.1 / UT1-style
+    curation gate): drop every row whose URL's host equals a blocklist
+    domain OR sits under one (suffix match on dot boundaries —
+    blocking `example.org` blocks `a.example.org`, never
+    `notexample.org`). Rows whose URL yields no host are KEPT (no
+    evidence to block). Adds a `host` column to the survivors.
+
+    Scale shape: real blocklists run to millions of domains (UT1), so
+    no broadcast is assumed — the host explodes into its ≤~10 dot-
+    suffixes and the block test is a suffix-keyed LEFT ANTI equi-join
+    against the blocklist relation (Catalyst/AQE still broadcasts it
+    when it's actually small). The fan-out is bounded; document bodies
+    never join — only (id-less) suffix strings shuffle.
+    """
+    if isinstance(blocklist, list):
+        spark = df.sparkSession
+        blocklist = spark.createDataFrame(
+            [(d,) for d in blocklist], "domain string"
+        )
+    bl = blocklist.select(F.lower(F.col("domain")).alias("_bldom")).distinct()
+    withhost = df.withColumn("host", url_host(F.col(url_col)))
+    exploded = withhost.select(
+        "*", F.explode_outer(domain_suffixes(F.col("host"))).alias("_sfx")
+    )
+    blocked_keys = (
+        exploded.join(bl, exploded["_sfx"] == bl["_bldom"], "left_semi")
+        .select(F.col("host").alias("_bh"))
+        .distinct()
+    )
+    return (
+        withhost.join(
+            blocked_keys,
+            (F.col("host") == F.col("_bh")) & (F.col("host") != ""),
+            "left_anti",
+        )
+    )

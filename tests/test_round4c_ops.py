@@ -306,3 +306,35 @@ def test_rrf_k_cut_and_validation(spark):
         rrf_fuse([])
     with pytest.raises(ValueError):
         rrf_fuse([(r1, "a")], k0=0)
+
+
+# ------------------------------------------- X104 domain blocklists
+
+
+def test_blocklist_suffix_semantics(spark):
+    from scrapix_spark.operators.docs import filter_blocked_domains
+
+    rows = [
+        (1, "https://example.org/x"),           # exact -> blocked
+        (2, "https://a.example.org/y"),         # suffix -> blocked
+        (3, "https://notexample.org/z"),        # no dot boundary -> kept
+        (4, "https://user:pw@b.example.org:8080/q"),  # userinfo+port -> blocked
+        (5, "https://EXAMPLE.ORG/upper"),       # case-folded -> blocked
+        (6, "https://example.com/ok"),          # other domain -> kept
+        (7, "not a url"),                       # no host -> kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = filter_blocked_domains(df, ["example.org"])
+    got = {r.doc_id: r.host for r in kept.collect()}
+    assert sorted(got) == [3, 6, 7]
+    assert got[3] == "notexample.org" and got[7] == ""
+
+
+def test_blocklist_dataframe_input_and_no_block(spark):
+    from scrapix_spark.operators.docs import filter_blocked_domains
+
+    df = spark.createDataFrame(
+        [(1, "https://keep.me/x")], "doc_id long, url string"
+    )
+    bl = spark.createDataFrame([("other.com",)], "domain string")
+    assert filter_blocked_domains(df, bl).count() == 1
