@@ -234,6 +234,21 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_minhash_xjoin(spark, sf_dir):
+    """X105 — cross-corpus MinHash join (benchmark-overlap /
+    data-lineage search): every (corpus doc, benchmark doc) pair with
+    exact 3-gram Jaccard >= 0.8, the benchmark being the doc_id%7==0
+    slice; candidates come from the banded cross-join, verification is
+    exact, identity pairs included. Same 32x4 banding discipline as
+    q_minhash_lsh (miss < 5e-8 at 0.8). operators/dedup.py
+    minhash_join."""
+    docs = _docs(spark, sf_dir)
+    return D.minhash_join(
+        docs, docs.filter("doc_id % 7 = 0"), "text", "doc_id",
+        num_perm=128, bands=32, shingle_n=3, threshold=0.8,
+    ).orderBy("id_l", "id_r")
+
+
 def q_simhash_dups(spark, sf_dir):
     """SimHash(64-bit, 4 wide bands + single-bit multiprobe,
     hamming ≤ 7) candidates re-verified with EXACT tf-weighted cosine
@@ -3824,6 +3839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tenant_search": q_tenant_search,
         "rrf_fusion": q_rrf_fusion,
         "domain_blocklist": q_domain_blocklist,
+        "minhash_xjoin": q_minhash_xjoin,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -6162,6 +6178,24 @@ FROM events GROUP BY 1, 2
 """,
         "cosine_dup_pairs": _cosine_dup_pairs_sql(0.4, 12, 64, 42),
         "minhash_lsh": _minhash_verified_sql(0.8),
+        "minhash_xjoin": f"""
+WITH toks AS (SELECT doc_id, {TOK_EXPR('text')} AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         range(greatest(len(t) - 2, 0)),
+         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+       FROM toks),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+                 count(*)::BIGINT AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+          WHERE b.doc_id % 7 = 0
+          GROUP BY a.doc_id, b.doc_id)
+SELECT id_l, id_r,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_l JOIN sizes sb ON sb.doc_id = id_r
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+ORDER BY id_l, id_r
+""",
         "simhash_dups": _simhash_verified_sql(0.97),
         "ann_lsh_topk": _ann_lsh_sql(12, 4, 64, 42),
         "ann_ivf_topk": _ann_ivf_sql(16, 4, 64, 7),

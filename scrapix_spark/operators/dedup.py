@@ -313,6 +313,34 @@ def minhash_signatures(
     )
 
 
+def _band_buckets(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, signature, band, bucket): each signature sliced into
+    `bands` bands of `rows` components, each band hashed to a bucket
+    key. Shared by the within-corpus pair generator and the
+    cross-corpus join."""
+    return sigs.select(
+        "id",
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("signature", bi * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "signature", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -338,27 +366,7 @@ def minhash_lsh_pairs(
     """
     rows = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed)
-    banded = sigs.select(
-        "id",
-        "signature",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice("signature", bi * rows + 1, rows),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "signature", "bb.band", "bb.bucket")
+    banded = _band_buckets(sigs, bands, rows)
     if max_bucket_size is not None:
         over = (
             banded.groupBy("band", "bucket")
@@ -989,4 +997,103 @@ def fork_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("repo_a", "repo_b", "shared", "files_a", "files_b",
                 "jaccard")
+    )
+
+
+def minhash_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = 1024,
+    broadcast_limit: int = BROADCAST_PAIR_LIMIT,
+) -> DataFrame:
+    """X105 — cross-corpus fuzzy join by MinHash+LSH with exact
+    verification: every (left doc, right doc) pair whose exact
+    `shingle_n`-gram Jaccard is >= `threshold`, found WITHOUT an
+    all-pairs comparison. The generalization of decontamination /
+    benchmark-overlap search (find eval-set near-matches inside a
+    training corpus) and data-lineage tracing (which corpus-A docs
+    survived into corpus B) — where X31 decontaminate needs an exact
+    13-gram hit, this reports graded near-overlap.
+
+    Both sides hash with the SAME seeded permutations (signatures are
+    comparable across corpora by construction); candidates come from a
+    (band, bucket)-keyed equi-join of the two banded relations — never
+    L×R — with the bucket cap applied to the UNION occupancy (a hot
+    boilerplate bucket explodes as |L_b|·|R_b| here). Verification
+    recomputes exact Jaccard over candidate docs only, with the same
+    counted-broadcast gating as the within-corpus path. Banding
+    discipline: pick (bands, rows) so the miss probability
+    (1 - t^rows)^bands at t = threshold rounds to zero — 32x4 at 0.8
+    is < 5e-8 — making the output exactly checkable against an
+    all-pairs oracle.
+
+    Columns: (id_l, id_r, jaccard rounded 6dp).
+    """
+    rows = num_perm // bands
+    sig_l = minhash_signatures(left, text_col, id_col, num_perm, shingle_n, seed)
+    sig_r = minhash_signatures(right, text_col, id_col, num_perm, shingle_n, seed)
+    band_l = _band_buckets(sig_l, bands, rows).select("id", "band", "bucket")
+    band_r = _band_buckets(sig_r, bands, rows).select("id", "band", "bucket")
+    if max_bucket_size is not None:
+        occ = (
+            band_l.select("band", "bucket")
+            .unionByName(band_r.select("band", "bucket"))
+            .groupBy("band", "bucket")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        band_l = band_l.join(occ, ["band", "bucket"], "left_anti")
+        band_r = band_r.join(occ, ["band", "bucket"], "left_anti")
+    cand = (
+        band_l.withColumnRenamed("id", "id_l")
+        .join(band_r.withColumnRenamed("id", "id_r"), ["band", "bucket"])
+        .select("id_l", "id_r")
+        .dropDuplicates(["id_l", "id_r"])
+        .persist()
+    )
+    n_cand = cand.count()
+
+    def _cand_shingles(df: DataFrame, ids: DataFrame) -> DataFrame:
+        return word_shingles(
+            df.join(_maybe_broadcast(ids, n_cand, broadcast_limit),
+                    id_col, "left_semi"),
+            text_col, id_col, shingle_n,
+        )
+
+    sh_l = _cand_shingles(
+        left, cand.select(F.col("id_l").alias(id_col)).dropDuplicates()
+    ).persist()
+    sh_r = _cand_shingles(
+        right, cand.select(F.col("id_r").alias(id_col)).dropDuplicates()
+    ).persist()
+    size_l = sh_l.groupBy("id").agg(F.count("*").alias("sh_l"))
+    size_r = sh_r.groupBy("id").agg(F.count("*").alias("sh_r"))
+    inter = (
+        _maybe_broadcast(cand, n_cand, broadcast_limit)
+        .join(sh_l.withColumnRenamed("id", "id_l"), "id_l")
+        .join(sh_r.withColumnRenamed("id", "id_r"), ["id_r", "shingle"])
+        .groupBy("id_l", "id_r")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(size_l.withColumnRenamed("id", "id_l"), "id_l")
+        .join(size_r.withColumnRenamed("id", "id_r"), "id_r")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sh_l") + F.col("sh_r") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_l", "id_r", "jaccard")
     )

@@ -338,3 +338,44 @@ def test_blocklist_dataframe_input_and_no_block(spark):
     )
     bl = spark.createDataFrame([("other.com",)], "domain string")
     assert filter_blocked_domains(df, bl).count() == 1
+
+
+# ----------------------------------------- X105 cross-corpus minhash
+
+
+def test_minhash_join_finds_planted_overlap(spark):
+    from scrapix_spark.operators.dedup import minhash_join
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    left = _docs_df(spark, [body, body + "lambda mu", "totally different words here now one two three"])
+    right = spark.createDataFrame(
+        [(100, body), (101, "nothing shared at all between these corpora")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_l, r.id_r): r.jaccard
+        for r in minhash_join(left, right, threshold=0.8, bands=32,
+                              num_perm=128).collect()
+    }
+    assert got[(0, 100)] == 1.0
+    assert (1, 100) in got and got[(1, 100)] >= 0.8
+    assert all(l != 2 and r != 101 for l, r in got)
+
+
+def test_minhash_join_bucket_cap_prunes_hot_buckets(spark):
+    from scrapix_spark.operators.dedup import minhash_join
+
+    same = "one two three four five six seven eight nine ten " * 3
+    left = _docs_df(spark, [same] * 6)
+    right = spark.createDataFrame(
+        [(100 + i, same) for i in range(6)], "doc_id long, text string"
+    )
+    # cap below the union occupancy (12 in every bucket) -> all pruned
+    assert (
+        minhash_join(left, right, threshold=0.8, max_bucket_size=4).count() == 0
+    )
+    # uncapped -> full 6x6 grid
+    assert (
+        minhash_join(left, right, threshold=0.8, max_bucket_size=None).count()
+        == 36
+    )
