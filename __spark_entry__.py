@@ -249,6 +249,21 @@ def q_minhash_xjoin(spark, sf_dir):
     ).orderBy("id_l", "id_r")
 
 
+def q_leakage_split(spark, sf_dir):
+    """X106 — leakage-safe train/val/test split: the unit of assignment
+    is the near-dup cluster (X33's CC over the 3-gram-Jaccard graph,
+    singletons their own cluster), split = deterministic sample hash of
+    the CLUSTER id vs cumulative cuts 0.8/0.1/0.1 — near-duplicates can
+    never straddle splits. operators/curation.py leakage_safe_split."""
+    from scrapix_spark.operators import curation as CU
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.12)
+    return CU.leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).orderBy("doc_id")
+
+
 def q_simhash_dups(spark, sf_dir):
     """SimHash(64-bit, 4 wide bands + single-bit multiprobe,
     hamming ≤ 7) candidates re-verified with EXACT tf-weighted cosine
@@ -3840,6 +3855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "domain_blocklist": q_domain_blocklist,
         "minhash_xjoin": q_minhash_xjoin,
+        "leakage_split": q_leakage_split,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -5212,6 +5228,52 @@ FROM hb JOIN w USING (bucket) GROUP BY hb.doc_id ORDER BY hb.doc_id
 """
 
 
+def _leakage_split_sql() -> str:
+    """X106 oracle: the dedup_clusters recursive label walk, singleton
+    coalesce, the shared sample hash of the CLUSTER id, and the same
+    cumulative cuts (computed with the identical python round)."""
+    from scrapix_spark.operators.curation import (
+        _SAMPLE_A, _SAMPLE_C, SAMPLE_MOD,
+    )
+
+    tok = TOK_EXPR("text")
+    cut_train = int(round(0.8 * SAMPLE_MOD))
+    cut_val = int(round(0.9 * SAMPLE_MOD))
+    return f"""
+WITH RECURSIVE toks AS (SELECT doc_id, {tok} AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         range(greatest(len(t) - 2, 0)),
+         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+       FROM toks),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+p AS (SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.12),
+e AS (SELECT id_a AS a, id_b AS b FROM p
+      UNION SELECT id_b, id_a FROM p),
+walk(id, lab) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT e.a, w.lab FROM e JOIN walk w ON w.id = e.b
+),
+cl AS (SELECT id AS doc_id, min(lab)::BIGINT AS cluster FROM walk GROUP BY id),
+allrows AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id)::BIGINT AS cluster
+            FROM documents d LEFT JOIN cl USING (doc_id)),
+h1 AS (SELECT *, ((cluster % {SAMPLE_MOD}) * {_SAMPLE_A}
+                  + {_SAMPLE_C}) % {SAMPLE_MOD} AS h1v FROM allrows),
+hashed AS (SELECT *, (h1v * h1v + h1v) % {SAMPLE_MOD} AS hv FROM h1)
+SELECT doc_id, cluster,
+       CASE WHEN hv < {cut_train} THEN 'train'
+            WHEN hv < {cut_val} THEN 'val'
+            ELSE 'test' END AS split
+FROM hashed ORDER BY doc_id
+"""
+
+
 def _hashing_embed_sql() -> str:
     """Oracle for feature-hashing embeddings: replay tf/df/N, the
     polynomial token hash (token_hash31_sql), signed bucket masses and
@@ -5702,6 +5764,7 @@ SELECT lang AS value, count(*)::BIGINT AS count FROM documents GROUP BY lang
         "comment_signals": _comment_signals_sql(),
         "hashing_embed": _hashing_embed_sql(),
         "dsir_scores": _dsir_sql(),
+        "leakage_split": _leakage_split_sql(),
         "domain_blocklist": r"""
 WITH u AS (SELECT doc_id,
         'https://' || (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END)

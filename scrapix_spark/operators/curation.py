@@ -928,3 +928,65 @@ def dsir_scores(
         )
     )
     return scored
+
+
+# --------------------------------------------- leakage-safe splitting
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """X106 — leakage-safe train/val/test split: assign every document
+    a split label such that NEAR-DUPLICATES NEVER STRADDLE SPLITS. A
+    random per-document split leaks: a test doc's near-duplicate lands
+    in train and the eval is contaminated (the failure documented by
+    the dedup literature, e.g. Lee et al. 2022 §6.2). Here the unit of
+    assignment is the near-dup CLUSTER — connected components over the
+    candidate-pair graph (X33), singletons being their own cluster —
+    and the split is the deterministic sample hash of the CLUSTER id
+    against cumulative fraction cuts, so the assignment is
+    reproducible, order-independent and leakage-free by construction.
+
+    `fractions` is an ordered {name: fraction} mapping summing to 1
+    (e.g. {"train": .9, "val": .05, "test": .05}); cluster-hash cuts
+    follow the insertion order. Per-split sizes are only ~fractions
+    (hashing variance, cluster-size granularity) — exactness is
+    impossible without splitting a cluster, which is the bug this
+    operator exists to prevent.
+
+    Scale: dedup_clusters is O(diameter) label-propagation rounds (one
+    (node, label) shuffle each); the singleton fill is a left join on
+    the id; the split itself is pure integer hash arithmetic — no
+    window, no driver state.
+
+    Columns: (id_col, cluster, split).
+    """
+    total = sum(fractions.values())
+    if not fractions or abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    from scrapix_spark.operators.dedup import dedup_clusters
+
+    cl = dedup_clusters(pairs, id_a, id_b)
+    full = (
+        df.select(F.col(id_col))
+        .join(cl.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster"), F.col(id_col)).cast("long").alias("cluster"),
+        )
+    )
+    h = sample_hash(F.col("cluster"))
+    names = list(fractions)
+    cum, cuts = 0.0, []
+    for name in names[:-1]:
+        cum += fractions[name]
+        cuts.append((name, int(round(cum * SAMPLE_MOD))))
+    expr = F.lit(names[-1])
+    for name, cut in reversed(cuts):
+        expr = F.when(h < cut, F.lit(name)).otherwise(expr)
+    return full.select(id_col, "cluster", expr.alias("split"))

@@ -379,3 +379,46 @@ def test_minhash_join_bucket_cap_prunes_hot_buckets(spark):
         minhash_join(left, right, threshold=0.8, max_bucket_size=None).count()
         == 36
     )
+
+
+# ------------------------------------------- X106 leakage-safe split
+
+
+def test_leakage_split_clusters_never_straddle(spark):
+    from scrapix_spark.operators.curation import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(50)], "doc_id long"
+    )
+    # pair graph: chains {0,1,2}, {10,11}, rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(
+        docs, pairs, {"train": 0.6, "val": 0.2, "test": 0.2}
+    ).collect()
+    assert len(out) == 50
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[0].cluster == by_id[1].cluster == by_id[2].cluster == 0
+    assert by_id[0].split == by_id[1].split == by_id[2].split
+    assert by_id[10].split == by_id[11].split
+    assert {r.split for r in out} <= {"train", "val", "test"}
+    # deterministic: re-run gives the identical assignment
+    again = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(
+            docs, pairs, {"train": 0.6, "val": 0.2, "test": 0.2}
+        ).collect()
+    }
+    assert again == {r.doc_id: r.split for r in out}
+
+
+def test_leakage_split_fraction_validation(spark):
+    from scrapix_spark.operators.curation import leakage_safe_split
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, pairs, {"train": 0.5, "test": 0.4})
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, pairs, {})
