@@ -3796,10 +3796,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stop-words, buckets, authority, winnowing, BPE, time travel,
     # forks, type-2, polygon, BQ-ANN), and re-gates of the pruned/
     # layered query paths touched by the round-4 performance work.
-    # That is 45 must-gate entries + 5 re-gates = exactly the sample.
-    # Everything else has a green driver row in r01-r03 and stays
-    # locally gated via tools/check_oracles.py (no args = full
-    # registry) every session.
+    # That was 45 must-gate entries; the round-4c operators X99-X106
+    # (8 gates) follow them, so the 50-sample covers the 45 + the first
+    # 5 new ones; the remaining 3 (domain_blocklist, minhash_xjoin,
+    # leakage_split) lead the round-5 sample. Everything else has a
+    # green driver row in r01-r03 and stays locally gated via
+    # tools/check_oracles.py (no args = full registry) every session.
     return {
         "pii_redact": q_pii_redact,
         "repetition_signals": q_repetition_signals,
@@ -5195,22 +5197,26 @@ FROM fp
 
 
 def _dsir_sql(n_buckets: int = 512) -> str:
-    """X101 oracle: replay the hashed unigram+bigram features, the
+    """X101 oracle: replay the hashed unigram+bigram features (per-
+    token char fold once, bigram = (h_a*8191 + h_b) mod HASH_MOD), the
     Laplace-smoothed target/raw bucket distributions over a full
     range(B) spine, and the per-doc log-weight sum."""
-    from scrapix_spark.operators.similarity import token_hash31_sql
+    from scrapix_spark.operators.curation import _BIGRAM_MULT
+    from scrapix_spark.operators.similarity import HASH_MOD, token_hash31_sql
 
     tok = TOK_EXPR("text")
-    h = token_hash31_sql("gram")
+    h = token_hash31_sql("t")
     B = n_buckets
     return f"""
-WITH t AS (SELECT doc_id, lang, {tok} AS toks FROM documents),
-g AS (SELECT doc_id, lang, unnest(list_concat(toks,
-        CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
-               i -> concat_ws(' ', toks[i], toks[i+1]))
-             ELSE [] END)) AS gram
-      FROM t),
-hb AS (SELECT doc_id, lang, {h} % {B} AS bucket FROM g),
+WITH t AS (SELECT doc_id, lang,
+             list_transform({tok}, t -> {h}) AS th
+           FROM documents),
+hb AS (SELECT doc_id, lang, unnest(list_concat(
+         list_transform(th, h -> h % {B}),
+         CASE WHEN len(th) >= 2 THEN list_transform(range(1, len(th)),
+                i -> ((th[i] * {_BIGRAM_MULT} + th[i+1]) % {HASH_MOD}) % {B})
+              ELSE [] END)) AS bucket
+       FROM t),
 ct AS (SELECT bucket, count(*)::BIGINT AS c_t FROM hb
        WHERE lang = 'en' GROUP BY bucket),
 cr AS (SELECT bucket, count(*)::BIGINT AS c_r FROM hb GROUP BY bucket),

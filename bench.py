@@ -187,6 +187,11 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         # pre-built above — the timed part is the snapshot read)
         "time_travel_topk", "fork_pairs", "winnow_type2",
         "geo_polygon", "ann_bq_topk",
+        # round-4c additions (X99-X106; BASELINE.md records their
+        # first window)
+        "semdedup_survivors", "phrase_mining", "dsir_scores",
+        "tenant_search", "rrf_fusion", "domain_blocklist",
+        "minhash_xjoin", "leakage_split",
     ]
     out = {}
     for name in headline:

@@ -833,21 +833,46 @@ def length_bucketed_batches(
 # ------------------------------------------------- DSIR importance scores
 
 
-def _hashed_grams(df, text_col: str, id_col: str):
-    """(id, gram) rows: unigrams + space-joined bigrams — the hashed
-    n-gram feature set DSIR uses. Docs with no tokens emit no rows."""
-    from scrapix_spark.functions.tokenize import tokens_native
+# Bigram feature hash: combine the two token hashes arithmetically,
+# h(a,b) = (h31(a)·8191 + h31(b)) mod (2^31−1). Each token's char fold
+# runs ONCE per occurrence (the fold is the expensive part — measured
+# 3× on the driver tables vs hashing concatenated bigram strings),
+# max intermediate ≈ 2^31·8191 + 2^31 < 2^45: BIGINT-safe in both
+# engines.
+_BIGRAM_MULT = 8191
 
-    toks = tokens_native(F.col(text_col))
+
+def _gram_buckets(df, text_col: str, id_col: str, n_buckets: int):
+    """(id, bucket) rows for the DSIR feature set: hashed unigrams +
+    hashed bigrams (token-hash combination above), bucket = hash mod
+    `n_buckets`. Docs with no tokens emit no rows.
+
+    The token-hash array materializes in its OWN projection and every
+    later use is a column reference: inlining `th` into the bigram
+    lambda makes Catalyst re-evaluate the whole char-fold array per
+    subscript — O(n²·chars) per document (measured 40× on the driver
+    tables). CollapseProject keeps the split because `th` is non-cheap
+    and multiply-referenced."""
+    from scrapix_spark.functions.tokenize import tokens_native
+    from scrapix_spark.operators.similarity import HASH_MOD, _token_hash31
+
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(tokens_native(F.col(text_col)), _token_hash31).alias("th"),
+    )
+    th = F.col("th")
+    uni = F.transform(th, lambda h: h % n_buckets)
     bi = F.when(
-        F.size(toks) >= 2,
+        F.size(th) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", toks[i - 1], toks[i]),
+            F.sequence(F.lit(1), F.size(th) - 1),
+            lambda i: (
+                (th[i - 1] * _BIGRAM_MULT + th[i]) % HASH_MOD
+            ) % n_buckets,
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        F.col(id_col), F.explode(F.concat(toks, bi)).alias("gram")
+    ).otherwise(F.array().cast("array<bigint>"))
+    return hashed.select(
+        F.col(id_col), F.explode(F.concat(uni, bi)).alias("bucket")
     )
 
 
@@ -866,7 +891,10 @@ def dsir_scores(
 
         score(doc) = Σ_g [ ln p_t(h(g)) − ln p_r(h(g)) ]
 
-    over unigrams+bigrams g, h = polynomial hash mod `n_buckets`,
+    over unigrams+bigrams g; h = the X77 polynomial token hash for
+    unigrams and the token-hash combination (h_a·8191 + h_b) mod
+    (2³¹−1) for bigrams — each token's char fold runs once — mod
+    `n_buckets`,
     each p Laplace-smoothed: (count_b + α) / (total + α·B). High
     scores = documents that look like the target domain; select the
     top fraction (or Gumbel-resample downstream) to build a
@@ -885,21 +913,20 @@ def dsir_scores(
         raise ValueError("n_buckets must be >= 2")
     if alpha <= 0:
         raise ValueError("alpha must be > 0 (Laplace smoothing)")
-    from scrapix_spark.operators.similarity import _token_hash31
-
     spark = raw.sparkSession
     B = int(n_buckets)
 
-    def bucket_counts(df: DataFrame, name: str) -> DataFrame:
-        g = _hashed_grams(df, text_col, id_col)
-        return (
-            g.select((_token_hash31(F.col("gram")) % B).alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count("*").cast("long").alias(name))
-        )
-
-    ct = bucket_counts(target, "c_t")
-    cr = bucket_counts(raw, "c_r")
+    # the raw-corpus bucket relation feeds BOTH the distribution count
+    # and the scoring join: persist it so the (per-char token-hash
+    # fold + explode) pass runs once, not twice — measured 1.5x on the
+    # driver tables, and at scale it is the dominant scan
+    hb_raw = _gram_buckets(raw, text_col, id_col, B).persist()
+    ct = (
+        _gram_buckets(target, text_col, id_col, B)
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("c_t"))
+    )
+    cr = hb_raw.groupBy("bucket").agg(F.count("*").cast("long").alias("c_r"))
     spine = spark.range(B).select(F.col("id").alias("bucket"))
     counts = (
         spine.join(ct, "bucket", "left")
@@ -918,9 +945,7 @@ def dsir_scores(
         ).alias("w"),
     )
     scored = (
-        _hashed_grams(raw, text_col, id_col)
-        .select(F.col(id_col), (_token_hash31(F.col("gram")) % B).alias("bucket"))
-        .join(F.broadcast(weights), "bucket")
+        hb_raw.join(F.broadcast(weights), "bucket")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_grams"),

@@ -179,14 +179,17 @@ def test_dsir_reference_arithmetic(spark):
     B, a = 16, 1.0
     raw_texts = ["cat dog", "bird"]
     tgt_texts = ["cat"]
-    # features: unigrams + bigrams
+    # features: hashed unigrams + combined-token-hash bigrams
     def grams(t):
-        ts = t.split()
-        return ts + [f"{ts[i]} {ts[i+1]}" for i in range(len(ts) - 1)]
+        hs = [h31(w) for w in t.split()]
+        return [h % B for h in hs] + [
+            ((hs[i] * 8191 + hs[i + 1]) % HASH_MOD) % B
+            for i in range(len(hs) - 1)
+        ]
 
     from collections import Counter
-    cr = Counter(h31(g) % B for t in raw_texts for g in grams(t))
-    ct = Counter(h31(g) % B for t in tgt_texts for g in grams(t))
+    cr = Counter(b for t in raw_texts for b in grams(t))
+    ct = Counter(b for t in tgt_texts for b in grams(t))
     tr, tt = sum(cr.values()), sum(ct.values())
 
     def w(b):
@@ -195,7 +198,7 @@ def test_dsir_reference_arithmetic(spark):
         )
 
     want = {
-        i: round(sum(w(h31(g) % B) for g in grams(t)), 6)
+        i: round(sum(w(b) for b in grams(t)), 6)
         for i, t in enumerate(raw_texts)
     }
     got = {
