@@ -211,15 +211,25 @@ def semdedup(
         )
     assigned = kmeans_assign(df, centroids, id_col=id_col, vec_col=vec_col,
                              dist_dp=dist_dp)
+    # norm materializes as its own column before the per-element
+    # division: inlining the norm fold into the transform lambda makes
+    # Catalyst re-evaluate it per element — O(dim²) per row (the DSIR
+    # array-lambda lesson, BASELINE.md round-4c)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(vec_d, F.lit(0.0), lambda a, x: a + x * x))
-    normed = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.transform(vec_d, lambda x: x / norm).alias("unit"),
-        )
-        .join(assigned.withColumnRenamed(id_col, "id"), "id")
+    with_norm = df.select(
+        F.col(id_col).alias("id"),
+        vec_d.alias("_vd"),
+    ).select(
+        "id",
+        "_vd",
+        F.sqrt(
+            F.aggregate(F.col("_vd"), F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("_nrm"),
     )
+    normed = with_norm.select(
+        "id",
+        F.transform(F.col("_vd"), lambda x: x / F.col("_nrm")).alias("unit"),
+    ).join(assigned.withColumnRenamed(id_col, "id"), "id")
     lo = normed.select(
         F.col("cluster"), F.col("id").alias("lo_id"), F.col("unit").alias("lo_u")
     )
