@@ -3008,6 +3008,22 @@ def q_rrf_fusion(spark, sf_dir):
     ).select(F.col("id").alias("doc_id"), "rrf", "n_runs")
 
 
+def q_more_like_this(spark, sf_dir):
+    """X107 — Lucene/ES More-Like-This: the seed doc's top terms by
+    tf·ln(N/df) (tf >= 2, df >= 2, top 8, ties by term) run as a BM25
+    query excluding the seed — the keyword sibling of similar_docs.
+    operators/query.py more_like_this."""
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    out = Q.more_like_this(
+        post, stats, int(row["n"]), float(row["a"]), seed_id=0,
+        max_query_terms=8, min_term_freq=2, min_doc_freq=2, k=10, k1=K1, b=B,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"), "n_matched")
+
+
 def q_facet_search(spark, sf_dir):
     """POST /facet-search: facet VALUES of `source` matching prefix
     'src1', with hit counts, count desc then value asc."""
@@ -3858,6 +3874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist": q_domain_blocklist,
         "minhash_xjoin": q_minhash_xjoin,
         "leakage_split": q_leakage_split,
+        "more_like_this": q_more_like_this,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -5771,6 +5788,32 @@ SELECT lang AS value, count(*)::BIGINT AS count FROM documents GROUP BY lang
         "hashing_embed": _hashing_embed_sql(),
         "dsir_scores": _dsir_sql(),
         "leakage_split": _leakage_split_sql(),
+        "more_like_this": f"""
+WITH tok AS (SELECT doc_id, unnest({TOK_EXPR('text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+dfv AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+seed AS (SELECT tf.term FROM tf JOIN dfv USING (term) CROSS JOIN stats
+         WHERE tf.doc_id = 0 AND tf.tf >= 2 AND dfv.df >= 2
+         ORDER BY round(tf.tf * ln(CAST(stats.n AS DOUBLE) / dfv.df), 9) DESC,
+                  tf.term ASC LIMIT 8),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS score,
+         count(*)::INT AS n_matched
+  FROM tf
+  JOIN seed USING (term)
+  JOIN dfv USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE tf.doc_id != 0
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score, n_matched
+FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
+""",
         "domain_blocklist": r"""
 WITH u AS (SELECT doc_id,
         'https://' || (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END)

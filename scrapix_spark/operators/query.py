@@ -127,6 +127,61 @@ def _bm25_topk_from_postings_terms(
     ).limit(k)
 
 
+def more_like_this(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    seed_id: int,
+    max_query_terms: int = 10,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 2,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """X107 — term-based More-Like-This (the Lucene/Elasticsearch MLT
+    query, public semantics): take the seed document's most
+    representative terms — tf ≥ `min_term_freq` in the seed, df ≥
+    `min_doc_freq` corpus-wide, ranked by tf·ln(N/df), top
+    `max_query_terms`, ties by term — and run them as a BM25 query,
+    excluding the seed itself. The keyword-side sibling of X28's
+    embedding similar-documents endpoint: no vectors required, works
+    on any published index.
+
+    Scale shape: the seed's term rows are ONE doc's postings (an
+    id-keyed filter that prunes to a single shard/row-group on a
+    published index); term selection is a bounded
+    TakeOrdered(max_query_terms) whose collect is the same
+    query-dictionary-sized driver traffic every query issues; scoring
+    is the standard pruned BM25 plan over the selected terms.
+
+    Columns: (doc_id, score, n_matched) — the bm25_topk contract.
+    """
+    seed_rows = postings.filter(F.col("doc_id") == seed_id).filter(
+        F.col("tf") >= int(min_term_freq)
+    )
+    # broadcast the SEED side (bounded by one document's vocabulary),
+    # never the corpus-wide term_stats relation
+    seed_terms = (
+        term_stats.select("term", "df")
+        .join(F.broadcast(seed_rows.select("term", "tf")), "term")
+        .filter(F.col("df") >= int(min_doc_freq))
+        .withColumn(
+            "_sel",
+            F.col("tf").cast("double") * F.log(F.lit(float(N)) / F.col("df")),
+        )
+        .orderBy(F.round(F.col("_sel"), 9).desc(), F.col("term").asc())
+        .limit(int(max_query_terms))
+    )
+    terms = [r["term"] for r in seed_terms.select("term").collect()]
+    topk = _bm25_topk_from_postings_terms(
+        postings.filter(F.col("doc_id") != seed_id),
+        term_stats, N, avgdl, terms, k, k1, b,
+    )
+    return topk
+
+
 def ranked_union_topk(
     postings: DataFrame,
     term_stats: DataFrame,

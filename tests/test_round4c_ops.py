@@ -425,3 +425,61 @@ def test_leakage_split_fraction_validation(spark):
         leakage_safe_split(docs, pairs, {"train": 0.5, "test": 0.4})
     with pytest.raises(ValueError):
         leakage_safe_split(docs, pairs, {})
+
+
+# --------------------------------------------- X107 more-like-this
+
+
+def _mlt_fixture(spark):
+    from scrapix_spark.functions.tokenize import with_tokens
+    from scrapix_spark.operators.postings import term_stats
+
+    texts = [
+        "spark spark shuffle join join join noise0",        # seed
+        "spark shuffle join cluster",                        # shares 3 terms
+        "join join window",                                  # shares 1
+        "unrelated words entirely different tokens",
+        "spark spark spark shuffle shuffle join",            # shares 3, high tf
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    t = with_tokens(docs, "text")
+    post = t.select(
+        "doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("tk")
+    ).select("tk.term", "doc_id", F.col("tk.tf").cast("long").alias("tf"), "dl")
+    return post, term_stats(post), t
+
+
+def test_mlt_excludes_seed_and_ranks_overlap(spark):
+    from pyspark.sql import functions as F2
+
+    from scrapix_spark.operators.query import more_like_this
+
+    post, stats, t = _mlt_fixture(spark)
+    row = t.agg(F2.count("*").alias("n"), F2.avg("doc_len").alias("a")).collect()[0]
+    out = more_like_this(
+        post, stats, int(row["n"]), float(row["a"]), seed_id=0,
+        max_query_terms=3, min_term_freq=1, min_doc_freq=2, k=10,
+    ).collect()
+    ids = [r.doc_id for r in out]
+    assert 0 not in ids                       # seed excluded
+    assert set(ids) <= {1, 2, 4}              # doc 3 shares no term
+    assert ids[0] == 4                        # highest term overlap + tf wins
+    assert out[0].n_matched >= out[-1].n_matched
+
+
+def test_mlt_min_doc_freq_drops_seed_only_terms(spark):
+    from pyspark.sql import functions as F2
+
+    from scrapix_spark.operators.query import more_like_this
+
+    post, stats, t = _mlt_fixture(spark)
+    row = t.agg(F2.count("*").alias("n"), F2.avg("doc_len").alias("a")).collect()[0]
+    # noise0 appears only in the seed: with min_doc_freq=2 it can never
+    # be selected, so every match shares a REAL term
+    out = more_like_this(
+        post, stats, int(row["n"]), float(row["a"]), seed_id=0,
+        max_query_terms=10, min_term_freq=1, min_doc_freq=2, k=10,
+    )
+    assert all(r.n_matched >= 1 for r in out.collect())
