@@ -3024,6 +3024,66 @@ def q_more_like_this(spark, sf_dir):
     return out.select("doc_id", F.round("score", 4).alias("score"), "n_matched")
 
 
+MULTI_QUERIES = {"qa": BM25_QUERY, "qb": UNION_QUERY, "qc": DISTINCT_QUERY}
+
+
+def q_multi_search(spark, sf_dir):
+    """X108 — batched multi-search: three queries scored in ONE plan
+    (one postings pass over the union of their terms); per-query top-5
+    via the rank filter Spark rewrites to WindowGroupLimit partial
+    top-k. operators/query.py bm25_multi_topk."""
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    out = Q.bm25_multi_topk(
+        post, stats, int(row["n"]), float(row["a"]), MULTI_QUERIES,
+        k=5, k1=K1, b=B,
+    )
+    return out.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score"),
+        "n_matched", "rank",
+    ).orderBy("query_id", "rank")
+
+
+def _multi_search_sql() -> str:
+    """X108 oracle: one shared tf/dl/stats/dfv pass, a VALUES relation
+    of (query_id, term), per-query BM25 and the rank-filter cut."""
+    vals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, q in MULTI_QUERIES.items()
+        for t in sorted(set(Q.query_terms(q)))
+    )
+    tok = TOK_EXPR("text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+dfv AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+qt(query_id, term) AS (VALUES {vals}),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS score,
+         count(*)::INT AS n_matched
+  FROM tf
+  JOIN qt USING (term)
+  JOIN dfv USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score, n_matched,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT query_id, doc_id, round(score, 4) AS score, n_matched, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_facet_search(spark, sf_dir):
     """POST /facet-search: facet VALUES of `source` matching prefix
     'src1', with hit counts, count desc then value asc."""
@@ -3875,6 +3935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_xjoin": q_minhash_xjoin,
         "leakage_split": q_leakage_split,
         "more_like_this": q_more_like_this,
+        "multi_search": q_multi_search,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -5788,6 +5849,7 @@ SELECT lang AS value, count(*)::BIGINT AS count FROM documents GROUP BY lang
         "hashing_embed": _hashing_embed_sql(),
         "dsir_scores": _dsir_sql(),
         "leakage_split": _leakage_split_sql(),
+        "multi_search": _multi_search_sql(),
         "more_like_this": f"""
 WITH tok AS (SELECT doc_id, unnest({TOK_EXPR('text')}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),

@@ -32,7 +32,7 @@ import re
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scrapix_spark.functions.tokenize import SEP_PATTERN
@@ -180,6 +180,66 @@ def more_like_this(
         term_stats, N, avgdl, terms, k, k1, b,
     )
     return topk
+
+
+def bm25_multi_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    queries: dict[str, str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """X108 — batched multi-search: score MANY queries in ONE plan (the
+    Meilisearch POST /multi-search batch without federation — each
+    query keeps its own ranked result list). The point is scan
+    sharing: Q queries cost one postings pass over the UNION of their
+    terms instead of Q passes — the shape a 1000-query eval batch or a
+    dashboard's query fan needs at 100 TB.
+
+    Plan: the (query_id, term) relation (bounded: Σ query lengths)
+    broadcasts into the postings scan, contributions aggregate by
+    (query_id, doc_id), and the per-query k-cut is a row_number rank
+    filter that Spark's InferWindowGroupLimit rewrites into per-
+    partition group limits BEFORE the exchange (WindowGroupLimit in
+    the plan) — the multi-group equivalent of TakeOrdered's partial
+    top-k, so no query's full match set ever sorts in one task.
+
+    Columns: (query_id, doc_id, score, n_matched, rank), rank 1-based
+    per query under (round(score, 9) DESC, doc_id ASC).
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    spark = postings.sparkSession
+    qrows = [
+        (qid, t) for qid, q in queries.items() for t in set(query_terms(q))
+    ]
+    qterms = spark.createDataFrame(qrows, "query_id string, term string")
+    tstats = term_stats.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).withColumn("idf", idf_expr(N, F.col("df").cast("double")))
+    cand = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(tstats.select("term", "idf")), "term")
+    )
+    scored = cand.withColumn(
+        "contrib",
+        bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, k1, b),
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.count("*").cast("int").alias("n_matched"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "doc_id", "score", "n_matched", "rank")
+    )
 
 
 def ranked_union_topk(

@@ -483,3 +483,48 @@ def test_mlt_min_doc_freq_drops_seed_only_terms(spark):
         max_query_terms=10, min_term_freq=1, min_doc_freq=2, k=10,
     )
     assert all(r.n_matched >= 1 for r in out.collect())
+
+
+# ---------------------------------------------- X108 multi-search
+
+
+def test_multi_search_matches_single_query_results(spark):
+    from scrapix_spark.operators.query import (
+        _bm25_topk_from_postings_terms,
+        bm25_multi_topk,
+        query_terms,
+    )
+
+    post, stats, t = _mlt_fixture(spark)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    n, a = int(row["n"]), float(row["a"])
+    queries = {"q1": "spark shuffle", "q2": "join window"}
+    multi = bm25_multi_topk(post, stats, n, a, queries, k=3).collect()
+    for qid, q in queries.items():
+        single = _bm25_topk_from_postings_terms(
+            post, stats, n, a, query_terms(q), 3
+        ).collect()
+        mine = sorted(
+            (r for r in multi if r.query_id == qid), key=lambda r: r.rank
+        )
+        assert [(r.doc_id, round(r.score, 9)) for r in mine] == [
+            (r.doc_id, round(r.score, 9)) for r in single
+        ]
+
+
+def test_multi_search_plan_has_window_group_limit(spark):
+    from scrapix_spark.operators.query import bm25_multi_topk
+
+    post, stats, _ = _mlt_fixture(spark)
+    plan = bm25_multi_topk(
+        post, stats, 5, 5.0, {"q": "spark"}, k=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_multi_search_empty_queries_raise(spark):
+    from scrapix_spark.operators.query import bm25_multi_topk
+
+    post, stats, _ = _mlt_fixture(spark)
+    with pytest.raises(ValueError):
+        bm25_multi_topk(post, stats, 5, 5.0, {})
