@@ -191,7 +191,8 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         # first window)
         "semdedup_survivors", "phrase_mining", "dsir_scores",
         "tenant_search", "rrf_fusion", "domain_blocklist",
-        "minhash_xjoin", "leakage_split",
+        "minhash_xjoin", "leakage_split", "more_like_this",
+        "multi_search",
     ]
     out = {}
     for name in headline:
