@@ -3024,6 +3024,36 @@ def q_more_like_this(spark, sf_dir):
     return out.select("doc_id", F.round("score", 4).alias("score"), "n_matched")
 
 
+def q_source_roundtrip(spark, sf_dir):
+    """X109 — multi-format corpus sources (scrapix_spark.sources): the
+    documents table written to CSV and JSON-lines with write_corpus,
+    read back with read_corpus's explicit schema, and value-verified —
+    (fmt, doc_id, lang, sha256(content)) must equal the parquet truth
+    for BOTH formats, proving the connectors are byte-faithful."""
+    import re as _re
+
+    from scrapix_spark.sources import read_corpus, write_corpus
+
+    base = "/tmp/entry_src_" + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    raw = _entry_raw(spark, sf_dir)
+    for fmt in ("csv", "jsonl"):
+        d = f"{base}/{fmt}"
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            write_corpus(raw, d, fmt)
+    parts = []
+    for fmt in ("csv", "jsonl"):
+        df = read_corpus(spark, f"{base}/{fmt}", fmt)
+        parts.append(
+            df.select(
+                F.lit(fmt).alias("fmt"),
+                F.col("path").cast("long").alias("doc_id"),
+                "lang",
+                F.sha2(F.col("content"), 256).alias("sha"),
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("fmt", "doc_id")
+
+
 MULTI_QUERIES = {"qa": BM25_QUERY, "qb": UNION_QUERY, "qc": DISTINCT_QUERY}
 
 
@@ -3936,6 +3966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split": q_leakage_split,
         "more_like_this": q_more_like_this,
         "multi_search": q_multi_search,
+        "source_roundtrip": q_source_roundtrip,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -5850,6 +5881,12 @@ SELECT lang AS value, count(*)::BIGINT AS count FROM documents GROUP BY lang
         "dsir_scores": _dsir_sql(),
         "leakage_split": _leakage_split_sql(),
         "multi_search": _multi_search_sql(),
+        "source_roundtrip": """
+SELECT f.fmt, d.doc_id, d.lang, sha256(d.text) AS sha
+FROM (SELECT unnest(['csv', 'jsonl']) AS fmt) f
+CROSS JOIN documents d
+ORDER BY f.fmt, d.doc_id
+""",
         "more_like_this": f"""
 WITH tok AS (SELECT doc_id, unnest({TOK_EXPR('text')}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),

@@ -1,0 +1,120 @@
+"""Corpus source connectors: one reader/writer pair per storage format.
+
+The reference ingests web pages (scrapix src/crawler.ts) and its users
+configure WHERE documents come from in config.json; this engine's
+equivalent surface is "read a document table from any of the formats a
+data platform actually stores" — parquet (the native layout), ORC,
+CSV, JSON-lines, and one-record-per-file text trees. Every reader
+lands on the SAME validated schema, so every downstream operator
+(build_index, the curation family, dedup, search) runs unchanged no
+matter the wire format.
+
+Scale notes: all readers are `spark.read` DataFrame sources — Catalyst
+pushes column pruning into parquet/ORC scans, and CSV/JSON scans
+parallelize by file split exactly like any Spark job. Schema is always
+EXPLICIT (never inferSchema): inference is a second full pass over the
+data at 100 TB, and silently drifts types between runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# the engine's ingestion shape (build_docs input; FIXTURES.md §1)
+CORPUS_FIELDS: dict[str, T.DataType] = {
+    "repo": T.StringType(),
+    "path": T.StringType(),
+    "commit": T.StringType(),
+    "lang": T.StringType(),
+    "content": T.StringType(),
+}
+
+_FORMATS = ("parquet", "orc", "csv", "jsonl", "text")
+
+
+def corpus_schema(extra: dict[str, T.DataType] | None = None) -> T.StructType:
+    """The explicit corpus schema, optionally widened with extra typed
+    columns (the IndexConfig.extra_doc_columns path)."""
+    fields = dict(CORPUS_FIELDS)
+    if extra:
+        fields.update(extra)
+    return T.StructType(
+        [T.StructField(n, t, True) for n, t in fields.items()]
+    )
+
+
+def read_corpus(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    extra: dict[str, T.DataType] | None = None,
+    **options,
+) -> DataFrame:
+    """Read a document corpus from `path` in any supported format and
+    return it in the engine's validated column order. Raises on an
+    unknown format or a source missing required columns — silently
+    null-filling a 100 TB ingest hides upstream breakage.
+
+    `text` reads one document per FILE (wholetext): repo/path derive
+    from the file path (two trailing segments), commit/lang are
+    filled with '' — the bulk-import shape for raw dumps.
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"unknown corpus format {fmt!r}; one of {_FORMATS}")
+    schema = corpus_schema(extra)
+    if fmt == "parquet":
+        df = spark.read.schema(schema).parquet(path)
+    elif fmt == "orc":
+        df = spark.read.schema(schema).orc(path)
+    elif fmt == "csv":
+        df = spark.read.schema(schema).options(
+            header="true", escape='"', multiLine="true", **options
+        ).csv(path)
+    elif fmt == "jsonl":
+        df = spark.read.schema(schema).options(**options).json(path)
+    else:  # text: one doc per file
+        raw = spark.read.format("text").option("wholetext", "true").load(path)
+        parts = F.split(F.input_file_name(), "/")
+        df = raw.select(
+            F.element_at(parts, -2).alias("repo"),
+            F.element_at(parts, -1).alias("path"),
+            F.lit("").alias("commit"),
+            F.lit("").alias("lang"),
+            F.col("value").alias("content"),
+        )
+        if extra:
+            for name, typ in extra.items():
+                df = df.withColumn(name, F.lit(None).cast(typ))
+    missing = [c for c in schema.fieldNames() if c not in df.columns]
+    if missing:
+        raise ValueError(f"source at {path} missing columns {missing}")
+    return df.select(*schema.fieldNames())
+
+
+def write_corpus(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Write a corpus in any supported format (except `text`, which is
+    read-only by design — a write would need one file per row).
+    Distributed writer, no coalesce: output parallelism = input
+    partitioning, optionally re-laid-out by `partition_by` (e.g.
+    ['lang'] for partition-pruned language scans)."""
+    if fmt == "text":
+        raise ValueError("text corpora are read-only (one file per doc)")
+    if fmt not in _FORMATS:
+        raise ValueError(f"unknown corpus format {fmt!r}; one of {_FORMATS}")
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if fmt == "csv":
+        w = w.options(header="true", escape='"', **options)
+    else:
+        w = w.options(**options)
+    getattr(w, "json" if fmt == "jsonl" else fmt)(path)

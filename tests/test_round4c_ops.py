@@ -528,3 +528,49 @@ def test_multi_search_empty_queries_raise(spark):
     post, stats, _ = _mlt_fixture(spark)
     with pytest.raises(ValueError):
         bm25_multi_topk(post, stats, 5, 5.0, {})
+
+
+# ----------------------------------------------- X109 source formats
+
+
+def test_source_roundtrip_all_writable_formats(spark, tmp_path):
+    from scrapix_spark.sources import read_corpus, write_corpus
+
+    rows = [
+        ("r1", "a.py", "c1", "py", 'line with "quotes", commas\nand newline'),
+        ("r2", "b.js", "c2", "js", "plain"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    for fmt in ("parquet", "orc", "csv", "jsonl"):
+        d = str(tmp_path / fmt)
+        write_corpus(df, d, fmt)
+        back = read_corpus(spark, d, fmt)
+        assert sorted(map(tuple, back.collect())) == sorted(rows), fmt
+
+
+def test_source_text_tree_reader(spark, tmp_path):
+    from scrapix_spark.sources import read_corpus
+
+    d = tmp_path / "corpus" / "repoA"
+    d.mkdir(parents=True)
+    (d / "one.txt").write_text("hello world")
+    (d / "two.txt").write_text("second doc")
+    got = {
+        (r.repo, r.path): r.content
+        for r in read_corpus(spark, str(tmp_path / "corpus" / "*"), "text").collect()
+    }
+    assert got[("repoA", "one.txt")] == "hello world"
+    assert got[("repoA", "two.txt")] == "second doc"
+
+
+def test_source_validation_errors(spark, tmp_path):
+    from scrapix_spark.sources import read_corpus, write_corpus
+
+    df = spark.createDataFrame([("r", "p", "c", "l", "t")],
+        "repo string, path string, commit string, lang string, content string")
+    with pytest.raises(ValueError):
+        read_corpus(spark, "/tmp/x", "avro")
+    with pytest.raises(ValueError):
+        write_corpus(df, "/tmp/x", "text")
