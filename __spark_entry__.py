@@ -3054,6 +3054,28 @@ def q_source_roundtrip(spark, sf_dir):
     return parts[0].unionByName(parts[1]).orderBy("fmt", "doc_id")
 
 
+def q_best_passage(spark, sf_dir):
+    """X110 — best-passage selection (Lucene unified-highlighter
+    semantics): over the BM25 top-10, the 20-token window maximizing
+    (distinct matched terms, total matches, earliest start) — the
+    snippet surface beyond X12's first-match crop.
+    operators/results.py best_passage."""
+    from scrapix_spark.operators import results as R
+
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    top = Q.bm25_topk_from_postings(
+        post, stats, int(row["n"]), float(row["a"]), BM25_QUERY, 10, K1, B
+    )
+    hydrated = top.join(_docs(spark, sf_dir), "doc_id")
+    out = R.best_passage(
+        hydrated, Q.query_terms(BM25_QUERY), window_tokens=20
+    )
+    return out.orderBy("doc_id")
+
+
 MULTI_QUERIES = {"qa": BM25_QUERY, "qb": UNION_QUERY, "qc": DISTINCT_QUERY}
 
 
@@ -3967,6 +3989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": q_more_like_this,
         "multi_search": q_multi_search,
         "source_roundtrip": q_source_roundtrip,
+        "best_passage": q_best_passage,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -5886,6 +5909,30 @@ SELECT f.fmt, d.doc_id, d.lang, sha256(d.text) AS sha
 FROM (SELECT unnest(['csv', 'jsonl']) AS fmt) f
 CROSS JOIN documents d
 ORDER BY f.fmt, d.doc_id
+""",
+        "best_passage": _bm25_scored_sql(Q.query_terms(BM25_QUERY)) + f"""
+, topd AS (SELECT doc_id FROM scored
+           ORDER BY round(score, 9) DESC, doc_id LIMIT 10),
+tk AS (SELECT d.doc_id, {TOK_EXPR('d.text')} AS t
+       FROM documents d JOIN topd USING (doc_id)),
+m AS (SELECT doc_id, u.p.pos AS pos, u.p.tok AS tok FROM tk,
+        unnest(list_transform(range(len(t)),
+          i -> struct_pack(pos := i, tok := t[i+1]))) AS u(p)
+      WHERE u.p.tok IN ({', '.join(repr(t) for t in sorted(set(Q.query_terms(BM25_QUERY))))})),
+sc AS (SELECT a.doc_id, a.pos AS a,
+         count(DISTINCT q.tok)::INT AS n_distinct,
+         count(*)::INT AS n_matches
+       FROM m a JOIN m q ON a.doc_id = q.doc_id
+        AND q.pos >= a.pos AND q.pos < a.pos + 20
+       GROUP BY a.doc_id, a.pos),
+best AS (SELECT doc_id, a, n_distinct, n_matches FROM (
+   SELECT *, row_number() OVER (PARTITION BY doc_id
+     ORDER BY n_distinct DESC, n_matches DESC, a ASC) AS rn FROM sc)
+   WHERE rn = 1)
+SELECT b.doc_id, b.a::BIGINT AS start_tok, b.n_distinct, b.n_matches,
+       array_to_string(list_slice(tk.t, b.a + 1, b.a + 20), ' ') AS passage
+FROM best b JOIN tk ON tk.doc_id = b.doc_id
+ORDER BY b.doc_id
 """,
         "more_like_this": f"""
 WITH tok AS (SELECT doc_id, unnest({TOK_EXPR('text')}) AS term FROM documents),

@@ -314,3 +314,72 @@ def rrf_fuse(
         .limit(k)
         .select(F.col("id").alias(id_col), "rrf", "n_runs")
     )
+
+
+def best_passage(
+    hits: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 30,
+) -> DataFrame:
+    """X110 — best-passage selection (the Lucene unified-highlighter
+    semantics, public): for each hit, the `window_tokens`-token window
+    maximizing (distinct matched query terms, then total matches, then
+    earliest start) — the snippet a result page should show, where
+    X12's crop centers on the FIRST match regardless of how much of
+    the query it covers.
+
+    A display-time operator: run it on the hydrated TOP-K hits (k
+    rows), never the corpus — per doc it considers only windows
+    anchored at a match position (the optimum always starts at one)
+    via a per-doc (anchor × match) self-join, O(m²) in the doc's
+    match-occurrence count m, which is k-bounded input by contract.
+
+    Columns: (id_col, start_tok, n_distinct, n_matches, passage).
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if window_tokens < 1:
+        raise ValueError("window_tokens must be >= 1")
+    lower = [t.lower() for t in dict.fromkeys(terms)]
+    toked = hits.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), SEP_PATTERN),
+            lambda t: t != F.lit(""),
+        ).alias("t"),
+    )
+    matches = toked.select(
+        "id",
+        F.posexplode("t").alias("pos", "tok"),
+    ).filter(F.col("tok").isin(lower))
+    anchors = matches.select("id", F.col("pos").alias("a"))
+    w = int(window_tokens)
+    scored = (
+        anchors.join(
+            matches.select("id", F.col("pos").alias("q"), "tok"), "id"
+        )
+        .filter((F.col("q") >= F.col("a")) & (F.col("q") < F.col("a") + w))
+        .groupBy("id", "a")
+        .agg(
+            F.countDistinct("tok").cast("int").alias("n_distinct"),
+            F.count("*").cast("int").alias("n_matches"),
+        )
+    )
+    rw = Window.partitionBy("id").orderBy(
+        F.col("n_distinct").desc(), F.col("n_matches").desc(), F.col("a").asc()
+    )
+    best = scored.withColumn("_rn", F.row_number().over(rw)).filter("_rn = 1")
+    return (
+        best.join(toked, "id")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("a").cast("long").alias("start_tok"),
+            "n_distinct",
+            "n_matches",
+            F.array_join(
+                F.slice(F.col("t"), F.col("a") + 1, w), " "
+            ).alias("passage"),
+        )
+    )

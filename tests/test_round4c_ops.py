@@ -574,3 +574,37 @@ def test_source_validation_errors(spark, tmp_path):
         read_corpus(spark, "/tmp/x", "avro")
     with pytest.raises(ValueError):
         write_corpus(df, "/tmp/x", "text")
+
+
+# ----------------------------------------------- X110 best passage
+
+
+def test_best_passage_prefers_term_coverage_over_position(spark):
+    from scrapix_spark.operators.results import best_passage
+
+    # first window has one term twice; a later window covers BOTH terms
+    text = "alpha alpha " + "x " * 30 + "alpha beta tail"
+    out = best_passage(
+        _docs_df(spark, [text]), ["alpha", "beta"], window_tokens=5
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_distinct == 2
+    assert r.passage.startswith("alpha beta")
+
+
+def test_best_passage_tie_breaks_earliest(spark):
+    from scrapix_spark.operators.results import best_passage
+
+    text = "alpha x x x x x alpha"
+    r = best_passage(_docs_df(spark, [text]), ["alpha"], window_tokens=3).first()
+    assert r.start_tok == 0 and r.passage == "alpha x x"
+
+
+def test_best_passage_validation(spark):
+    from scrapix_spark.operators.results import best_passage
+
+    with pytest.raises(ValueError):
+        best_passage(_docs_df(spark, ["x"]), [])
+    with pytest.raises(ValueError):
+        best_passage(_docs_df(spark, ["x"]), ["x"], window_tokens=0)
