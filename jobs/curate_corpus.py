@@ -7,7 +7,8 @@
         [--min-line-docs 50] [--span-w 13] \
         [--gopher-min-words 50] [--sample-rate 0.5] \
         [--strat-col lang] [--budget-tokens 0] [--temperature-docs 0] \
-        [--pack-budget 0] [--json]
+        [--pack-budget 0] [--dsir-target tgt.parquet --dsir-keep-frac 0.5] \
+        [--split train:0.9,val:0.05,test:0.05] [--json]
 
 Code-payload steps (operators/code.py, The Stack / StarCoder public
 recipe): `license` keeps permissively-licensed files, `code_quality`
@@ -62,6 +63,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--pack-budget", type=int, default=0,
                     help="append sequence-packing placement at this token "
                          "budget (0 = off)")
+    ap.add_argument("--dsir-target", default=None,
+                    help="parquet path of the DSIR target corpus: append "
+                         "a dsir_score column (X101)")
+    ap.add_argument("--dsir-buckets", type=int, default=4096)
+    ap.add_argument("--dsir-keep-frac", type=float, default=1.0,
+                    help="keep only the top fraction by dsir_score "
+                         "(percentile_approx cutoff)")
+    ap.add_argument("--split", default=None,
+                    help="leakage-safe split spec 'train:0.9,val:0.05,"
+                         "test:0.05' — appends a split column keyed by "
+                         "near-dup cluster (X106)")
+    ap.add_argument("--split-jaccard", type=float, default=0.8,
+                    help="3-gram Jaccard threshold for the split's "
+                         "near-dup pair graph")
     args = ap.parse_args(argv)
     steps = [s for s in args.steps.split(",") if s]
     unknown = set(steps) - set(ALL_STEPS)
@@ -135,6 +150,36 @@ def main(argv: list[str] | None = None) -> int:
             df = CU.deterministic_sample(df, args.sample_rate, idc)
         counts["sample"] = df.count()
 
+    if args.dsir_target:
+        tgt = spark.read.parquet(args.dsir_target)
+        sc = CU.dsir_scores(
+            df, tgt, n_buckets=args.dsir_buckets, text_col=tcol, id_col=idc
+        )
+        df = df.join(
+            sc.select(idc, F.col("score").alias("dsir_score")), idc, "left"
+        )
+        if args.dsir_keep_frac < 1.0:
+            cut = df.agg(
+                F.percentile_approx(
+                    "dsir_score", 1.0 - args.dsir_keep_frac
+                ).alias("c")
+            ).first()["c"]
+            df = df.filter(F.col("dsir_score") >= cut)
+        counts["dsir"] = df.count()
+    if args.split:
+        fractions = {}
+        for part in args.split.split(","):
+            name, _, frac = part.partition(":")
+            fractions[name.strip()] = float(frac)
+        pairs = DD.ngram_jaccard_pairs(
+            df, tcol, idc, n=3, threshold=args.split_jaccard
+        )
+        sp = CU.leakage_safe_split(df, pairs, fractions, id_col=idc)
+        df = df.join(sp.select(idc, "split"), idc)
+        for name in fractions:
+            counts[f"split_{name}"] = df.filter(
+                F.col("split") == name
+            ).count()
     if args.pack_budget > 0:
         place = CU.pack_sequences(
             df, budget=args.pack_budget, id_col=idc, text_col=tcol

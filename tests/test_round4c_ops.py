@@ -608,3 +608,41 @@ def test_best_passage_validation(spark):
         best_passage(_docs_df(spark, ["x"]), [])
     with pytest.raises(ValueError):
         best_passage(_docs_df(spark, ["x"]), ["x"], window_tokens=0)
+
+
+# ------------------------------------- curate CLI: dsir + split steps
+
+
+def test_curate_job_dsir_and_split(spark, tmp_path, capsys):
+    import json
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    import curate_corpus as job_curate
+
+    rows = [
+        (i, ("alpha beta gamma delta " if i % 2 else "zeta eta theta ") * 8)
+        for i in range(40)
+    ]
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(rows, "doc_id long, content string").write.parquet(src)
+    spark.createDataFrame(
+        [(0, "alpha beta gamma delta " * 8)], "doc_id long, content string"
+    ).write.parquet(tgt)
+    rc = job_curate.main([
+        "--input", src, "--output", out, "--steps", "",
+        "--dsir-target", tgt, "--dsir-buckets", "64",
+        "--split", "train:0.8,val:0.1,test:0.1",
+    ])
+    assert rc == 0
+    man = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    c = man["counts"]
+    assert c["dsir"] == 40
+    assert c["split_train"] + c["split_val"] + c["split_test"] == 40
+    got = spark.read.parquet(out)
+    assert {"dsir_score", "split"} <= set(got.columns)
+    # target-like docs (odd ids) outscore off-domain ones
+    sc = {r.doc_id: r.dsir_score for r in got.collect()}
+    assert min(sc[i] for i in range(1, 40, 2)) > max(sc[i] for i in range(0, 40, 2))
