@@ -36,6 +36,7 @@ from scrapix_spark.operators import similarity as SIM  # noqa: E402
 from scrapix_spark.operators import textstats as TS  # noqa: E402
 from scrapix_spark.operators import match as M  # noqa: E402
 from scrapix_spark.operators import postings as P  # noqa: E402
+from scrapix_spark.operators import trigram as TG  # noqa: E402
 
 K1, B = 1.2, 0.75
 
@@ -3914,6 +3915,28 @@ def q_time_travel_topk(spark, sf_dir):
     )
 
 
+TRIGRAM_PAT = "merge batch"
+TRIGRAM_RE = "merge batch|sort scan"
+
+
+def q_trigram_substring(spark, sf_dir):
+    """X111 — trigram-index exact substring search (the public Google
+    Code Search design, Cox 2012): candidates come from the (gram, id)
+    posting relation via an IN-list filter + AND count, and only
+    candidates are verified; the oracle states the SEMANTICS (contains
+    + the replace-length occurrence identity + strpos) over the full
+    table, so a green row proves the index path loses nothing.
+    operators/trigram.py substring_search."""
+    return TG.substring_search(_docs(spark, sf_dir), TRIGRAM_PAT)
+
+
+def q_trigram_regex(spark, sf_dir):
+    """X111 — trigram-accelerated regex search: an alternation of
+    literals compiles to an OR-of-AND trigram query; only candidates
+    run the real regex. operators/trigram.py regex_search."""
+    return TG.regex_search(_docs(spark, sf_dir), TRIGRAM_RE)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -3990,6 +4013,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_search": q_multi_search,
         "source_roundtrip": q_source_roundtrip,
         "best_passage": q_best_passage,
+        # round-4d additions X111+ (never driver-gated -> lead round 5)
+        "trigram_substring": q_trigram_substring,
+        "trigram_regex": q_trigram_regex,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -7020,6 +7046,22 @@ SELECT doc_id,
    AND r_ellipsis_lines AND r_alpha_words AND r_stop_words)::BIGINT
    AS gopher_keep
 FROM r
+""",
+        "trigram_substring": f"""
+SELECT doc_id,
+       CAST((length(lower(text))
+             - length(replace(lower(text), '{TRIGRAM_PAT}', '')))
+            / {len(TRIGRAM_PAT)} AS BIGINT) AS n_matches,
+       CAST(strpos(lower(text), '{TRIGRAM_PAT}') AS BIGINT) AS first_pos
+FROM documents
+WHERE contains(lower(text), '{TRIGRAM_PAT}')
+ORDER BY doc_id
+""",
+        "trigram_regex": f"""
+SELECT doc_id, regexp_extract(text, '{TRIGRAM_RE}', 0) AS first_match
+FROM documents
+WHERE regexp_matches(text, '{TRIGRAM_RE}')
+ORDER BY doc_id
 """,
     }
 

@@ -193,6 +193,9 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "tenant_search", "rrf_fusion", "domain_blocklist",
         "minhash_xjoin", "leakage_split", "more_like_this",
         "multi_search",
+        # round-4d additions (X111+; BASELINE.md records their first
+        # window)
+        "trigram_substring", "trigram_regex",
     ]
     out = {}
     for name in headline:

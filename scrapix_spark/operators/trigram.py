@@ -1,0 +1,244 @@
+"""X111 — trigram-index substring and regex search over a code corpus.
+
+The public Google Code Search design (R. Cox, "Regular Expression
+Matching with a Trigram Index", swtch.com/~rsc/regexp/regexp4.html,
+2012; the same index Zoekt/livegrep/GitHub code search descend from):
+an inverted index of character trigrams answers "which documents can
+possibly contain this pattern" so the expensive exact match runs only
+on candidates. This is the code-corpus complement of the word-level
+BM25 index: BM25 finds *relevant* files, the trigram index finds files
+containing an *exact byte sequence* (`strcpy(`, `TODO(user`) or a
+restricted regex — the grep-at-scale primitive every code-search tool
+needs, where scanning 100 TB of content per query is not an option.
+
+Spark-first shape:
+  * index build is one narrow map + explode — per-document distinct
+    trigrams come from a native `transform(sequence(...))` expression
+    (no Python anywhere), so a 10^12-file build is a scan + one
+    exchange if the caller repartitions by gram;
+  * a query's required trigrams are a property of the PATTERN (tiny,
+    driver-side string slicing), turned into a literal IN-list filter
+    that prunes the gram-sorted index scan;
+  * the AND semantics ("doc has every required gram") is one partial
+    hash agg counting gram hits per doc — no self-join;
+  * verification (the only place the text column is read) touches the
+    candidate docs alone via a left-semi equi-join, keeping the corpus
+    scan column-pruned to (id) until the last step.
+
+Reference behavior anchor: scrapix ships content to Meilisearch where
+exact-substring matching is served engine-side (src/sender.ts — the
+engine, not the crawler, answers queries); this module is that
+capability re-expressed as a Spark relation.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "trigram_postings",
+    "pattern_trigrams",
+    "regex_trigram_query",
+    "substring_search",
+    "regex_search",
+]
+
+# Regex metacharacters that disqualify an alternation branch from being
+# treated as a literal (after unescaping). Anything fancier falls back
+# to a full verify scan — documented, never silently wrong.
+_META = set(".^$*+?{}[]()")
+
+
+def trigram_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Build the (gram, id) trigram posting relation.
+
+    One row per DISTINCT character trigram per document — extraction is
+    a pure Catalyst expression (``transform`` over ``sequence``), so
+    the build is a single scan + explode with no Python. Documents
+    shorter than 3 chars contribute no rows (they are always verified
+    by the <3-char fallback path instead).
+
+    At scale: write this sorted/partitioned by ``gram`` so a query's
+    IN-list filter prunes row groups; distinct-grams-per-doc is bounded
+    by doc length, so the relation is O(total corpus chars).
+    """
+    src = f"lower({text_col})" if lowercase else text_col
+    grams = (
+        f"CASE WHEN length({src}) >= 3 THEN "
+        f"array_distinct(transform(sequence(1, length({src}) - 2), "
+        f"i -> substring({src}, i, 3))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(F.expr(grams)).alias("gram")
+    )
+
+
+def pattern_trigrams(pattern: str, lowercase: bool = True) -> list[str]:
+    """Distinct trigrams of a literal pattern, sorted (driver-side —
+    the pattern is a query string, never data)."""
+    p = pattern.lower() if lowercase else pattern
+    return sorted({p[i : i + 3] for i in range(len(p) - 2)})
+
+
+def _unescape_literal(branch: str) -> str | None:
+    """If `branch` is a literal regex (only escaped metachars), return
+    the unescaped string; else None."""
+    out = []
+    i = 0
+    while i < len(branch):
+        c = branch[i]
+        if c == "\\":
+            if i + 1 >= len(branch):
+                return None
+            out.append(branch[i + 1])
+            i += 2
+            continue
+        if c in _META:
+            return None
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def regex_trigram_query(
+    pattern: str, lowercase: bool = False
+) -> list[list[str]] | None:
+    """Compile a regex into a trigram query: OR over alternation
+    branches of AND over each branch's trigrams.
+
+    Supported index-accelerated subset: a top-level alternation of
+    literals (``foo|bar baz``), with ``\\``-escapes. Any branch that is
+    not a literal, or is shorter than 3 chars, makes the whole query
+    unindexable → returns None and the caller verifies the full corpus
+    (Cox's "match-all" query). This is the honest subset of the full
+    AND/OR trigram compiler; the fallback is correct, just unpruned.
+    """
+    branches = pattern.split("|")
+    sets: list[list[str]] = []
+    for b in branches:
+        lit = _unescape_literal(b)
+        if lit is None or len(lit) < 3:
+            return None
+        sets.append(pattern_trigrams(lit, lowercase=lowercase))
+    return sets
+
+
+def _and_candidates(index: DataFrame, grams: list[str]) -> DataFrame:
+    """Docs containing every gram in `grams`: IN-list filter + one
+    partial-agg count (the index holds distinct (gram, id) rows)."""
+    return (
+        index.filter(F.col("gram").isin(grams))
+        .groupBy("id")
+        .agg(F.count("*").alias("_ng"))
+        .filter(F.col("_ng") == len(grams))
+        .select("id")
+    )
+
+
+def substring_search(
+    docs: DataFrame,
+    pattern: str,
+    index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Exact (non-overlapping) substring search via the trigram index.
+
+    Returns (id_col, n_matches, first_pos) for every document whose
+    text contains `pattern`, ordered by id. `n_matches` counts
+    non-overlapping occurrences (the replace-length identity both
+    engines share); `first_pos` is the 1-based offset of the first.
+
+    Patterns shorter than 3 chars cannot be indexed — those verify the
+    whole corpus (documented fallback; a production deployment keeps a
+    bigram side-index or enforces a 3-char minimum like GitHub's).
+    """
+    if not pattern:
+        raise ValueError("substring_search needs a non-empty pattern")
+    if index is None:
+        index = trigram_postings(
+            docs, id_col=id_col, text_col=text_col, lowercase=lowercase
+        )
+    pat = pattern.lower() if lowercase else pattern
+    src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    grams = pattern_trigrams(pattern, lowercase=lowercase)
+    if grams:
+        cand = _and_candidates(index, grams)
+        scope = docs.join(
+            cand.withColumnRenamed("id", id_col), id_col, "left_semi"
+        )
+    else:
+        scope = docs
+    lit = F.lit(pat)
+    n = (
+        (F.length(src) - F.length(F.replace(src, lit, F.lit(""))))
+        / F.lit(len(pat))
+    ).cast("long")
+    return (
+        scope.select(
+            F.col(id_col),
+            n.alias("n_matches"),
+            F.instr(src, pat).cast("long").alias("first_pos"),
+        )
+        .filter(F.col("n_matches") > 0)
+        .orderBy(id_col)
+    )
+
+
+def regex_search(
+    docs: DataFrame,
+    pattern: str,
+    index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Regex search accelerated by the trigram index where possible.
+
+    The pattern compiles to an OR-of-AND trigram query
+    (`regex_trigram_query`); candidates are the union of each branch's
+    AND set, and only candidates are verified with the real regex
+    (`rlike` + `regexp_extract`). Unindexable patterns verify the full
+    corpus — same answers, no pruning. Case-sensitive (like grep);
+    the index for this path must be built with ``lowercase=False``.
+
+    Returns (id_col, first_match) ordered by id.
+    """
+    if not pattern:
+        raise ValueError("regex_search needs a non-empty pattern")
+    q = regex_trigram_query(pattern, lowercase=False)
+    if q is not None:
+        if index is None:
+            index = trigram_postings(
+                docs, id_col=id_col, text_col=text_col, lowercase=False
+            )
+        cand = None
+        for grams in q:
+            c = _and_candidates(index, grams)
+            cand = c if cand is None else cand.unionByName(c)
+        scope = docs.join(
+            cand.distinct().withColumnRenamed("id", id_col),
+            id_col,
+            "left_semi",
+        )
+    else:
+        scope = docs
+    return (
+        scope.filter(F.col(text_col).rlike(pattern))
+        .select(
+            F.col(id_col),
+            F.regexp_extract(F.col(text_col), pattern, 0).alias(
+                "first_match"
+            ),
+        )
+        .orderBy(id_col)
+    )

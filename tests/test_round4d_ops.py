@@ -1,0 +1,146 @@
+"""Round-4d operators: trigram-index code search (X111) and siblings."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.operators.trigram import (
+    pattern_trigrams,
+    regex_search,
+    regex_trigram_query,
+    substring_search,
+    trigram_postings,
+)
+
+CORPUS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "pack my box with five dozen liquor jugs"),
+    (2, "QUICK brown foxes are quick and brown"),
+    (3, "ab"),  # shorter than a trigram
+    (4, "abc bcd"),  # has grams of 'abcd' but not the substring
+    (5, "xxabcdxx abcd"),
+    (6, "aaaaa"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string").cache()
+
+
+def _py_hits(pattern, lowercase=True):
+    out = []
+    p = pattern.lower() if lowercase else pattern
+    for i, t in CORPUS:
+        tt = t.lower() if lowercase else t
+        n = tt.count(p)
+        if n:
+            out.append((i, n, tt.index(p) + 1))
+    return out
+
+
+def test_trigram_postings_distinct_and_short_doc(spark, docs):
+    idx = trigram_postings(docs).cache()
+    rows = idx.filter("id = 6").collect()
+    assert {r.gram for r in rows} == {"aaa"}
+    assert len(rows) == 1  # distinct per doc
+    assert idx.filter("id = 3").count() == 0  # <3 chars → no grams
+
+
+def test_substring_matches_python_reference(spark, docs):
+    got = [
+        (r.doc_id, r.n_matches, r.first_pos)
+        for r in substring_search(docs, "quick").collect()
+    ]
+    assert got == _py_hits("quick")
+
+
+def test_substring_nonoverlapping_count(spark, docs):
+    got = substring_search(docs, "aaa").collect()
+    assert [(r.doc_id, r.n_matches) for r in got] == [(6, 1)]
+
+
+def test_substring_trigram_false_positive_is_verified_away(spark, docs):
+    # doc 4 has grams {abc, bcd} (the grams of 'abcd') but not 'abcd'
+    got = substring_search(docs, "abcd").collect()
+    assert [r.doc_id for r in got] == [5]
+    assert got[0].n_matches == 2
+
+
+def test_substring_case_insensitive_default(spark, docs):
+    got = [r.doc_id for r in substring_search(docs, "QuIcK").collect()]
+    assert got == [0, 2]
+    got_cs = [
+        r.doc_id
+        for r in substring_search(docs, "QUICK", lowercase=False).collect()
+    ]
+    assert got_cs == [2]
+
+
+def test_substring_short_pattern_fallback(spark, docs):
+    got = [
+        (r.doc_id, r.n_matches)
+        for r in substring_search(docs, "ab").collect()
+    ]
+    want = [(i, t.lower().count("ab")) for i, t in CORPUS if "ab" in t.lower()]
+    assert got == want
+
+
+def test_substring_prunes_candidates(spark, docs):
+    # the candidate set the index admits for 'jumps' is just doc 0
+    idx = trigram_postings(docs)
+    from scrapix_spark.operators.trigram import _and_candidates
+
+    cand = _and_candidates(idx, pattern_trigrams("jumps"))
+    assert [r.id for r in cand.collect()] == [0]
+
+
+def test_substring_validation(spark, docs):
+    with pytest.raises(ValueError):
+        substring_search(docs, "")
+
+
+def test_regex_trigram_query_compilation():
+    assert regex_trigram_query("foo bar|bazzy") == [
+        pattern_trigrams("foo bar", lowercase=False),
+        pattern_trigrams("bazzy", lowercase=False),
+    ]
+    # escaped metachars are literals
+    assert regex_trigram_query(r"a\.b\*c") == [
+        pattern_trigrams("a.b*c", lowercase=False)
+    ]
+    # unindexable: real metachar, short branch, trailing backslash
+    assert regex_trigram_query("foo.*bar") is None
+    assert regex_trigram_query("foo|ab") is None
+    assert regex_trigram_query("abc\\") is None
+
+
+@pytest.mark.parametrize("pat", ["quick|dozen", "brown fox(es)?", "qu.ck"])
+def test_regex_matches_python_reference(spark, docs, pat):
+    got = [(r.doc_id, r.first_match) for r in regex_search(docs, pat).collect()]
+    want = []
+    for i, t in CORPUS:
+        m = re.search(pat, t)
+        if m:
+            want.append((i, m.group(0)))
+    assert got == want
+
+
+def test_regex_indexed_and_fallback_agree(spark, docs):
+    pat = "quick|dozen"
+    idx = trigram_postings(docs, lowercase=False)
+    indexed = [r.doc_id for r in regex_search(docs, pat, index=idx).collect()]
+    # force the fallback path by making the query unindexable-equivalent
+    brute = [
+        r.doc_id
+        for r in docs.filter(F.col("text").rlike(pat))
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert indexed == brute
+
+
+def test_regex_validation(spark, docs):
+    with pytest.raises(ValueError):
+        regex_search(docs, "")
