@@ -3930,6 +3930,67 @@ def q_trigram_substring(spark, sf_dir):
     return TG.substring_search(_docs(spark, sf_dir), TRIGRAM_PAT)
 
 
+def q_mmr_rerank(spark, sf_dir):
+    """X112 — MMR diversification (Carbonell & Goldstein, SIGIR 1998)
+    of the brute-cosine top-20 for query vector 0: λ=0.7, k=5, rel =
+    the 6dp cosine, pairwise sims 6dp, picks 9dp, ties by id. The
+    oracle unrolls the greedy into 5 chained argmax CTEs.
+    operators/similarity.py mmr_diversify."""
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    top = SIM.cosine_topk_bruteforce(emb, qv, k=20)
+    cands = (
+        F.broadcast(top.withColumnRenamed("id", "vec_id"))
+        .join(emb, "vec_id")
+        .select("vec_id", "cosine", "embedding")
+    )
+    return SIM.mmr_diversify(cands, k=5, lambda_=0.7, rel_col="cosine")
+
+
+def _mmr_sql(dim: int, k: int = 5, lam: float = 0.7,
+             n_cand: int = 20) -> str:
+    """Unrolled MMR greedy: candidate CTE (brute cosine top-n_cand),
+    then per-pick (max-sim agg over the selected set → 9dp argmax)."""
+    oml = 1.0 - lam
+
+    def sim(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range({dim}), "
+            f"i -> {a}.e[i+1]*{b}.e[i+1])) / ({a}.nrm * {b}.nrm), 6)"
+        )
+
+    parts = [f"""
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+           FROM embeddings WHERE vec_id = 0),
+v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+cand AS (SELECT vec_id, e,
+           sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm,
+           round(list_sum(list_transform(range({dim}), i -> e[i+1]*qe[i+1]))
+                 / (sqrt(list_sum(list_transform(e, x -> x*x)))
+                    * sqrt(list_sum(list_transform(qe, x -> x*x)))), 6) AS rel
+         FROM v CROSS JOIN q
+         ORDER BY rel DESC, vec_id LIMIT {n_cand}),
+p1 AS (SELECT vec_id, e, nrm, rel, round({lam!r}*rel, 9) AS val, 1 AS rnk
+       FROM cand ORDER BY val DESC, vec_id LIMIT 1),
+sel1 AS (SELECT * FROM p1)"""]
+    for t in range(2, k + 1):
+        parts.append(f""",
+m{t} AS (SELECT c.vec_id, max({sim('c', 's')}) AS ms
+         FROM cand c, sel{t - 1} s
+         WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+         GROUP BY c.vec_id),
+p{t} AS (SELECT c.vec_id, c.e, c.nrm, c.rel,
+            round({lam!r}*c.rel - {oml!r}*m{t}.ms, 9) AS val, {t} AS rnk
+         FROM cand c JOIN m{t} USING (vec_id)
+         ORDER BY val DESC, c.vec_id LIMIT 1),
+sel{t} AS (SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM p{t})""")
+    parts.append(f"""
+SELECT vec_id, CAST(rnk AS INT) AS mmr_rank, val AS mmr_score
+FROM sel{k} ORDER BY rnk""")
+    return "".join(parts)
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -4016,6 +4077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4d additions X111+ (never driver-gated -> lead round 5)
         "trigram_substring": q_trigram_substring,
         "trigram_regex": q_trigram_regex,
+        "mmr_rerank": q_mmr_rerank,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -7063,6 +7125,7 @@ FROM documents
 WHERE regexp_matches(text, '{TRIGRAM_RE}')
 ORDER BY doc_id
 """,
+        "mmr_rerank": _mmr_sql(dim=64, k=5, lam=0.7, n_cand=20),
     }
 
 

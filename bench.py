@@ -195,7 +195,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "multi_search",
         # round-4d additions (X111+; BASELINE.md records their first
         # window)
-        "trigram_substring", "trigram_regex",
+        "trigram_substring", "trigram_regex", "mmr_rerank",
     ]
     out = {}
     for name in headline:

@@ -678,3 +678,112 @@ def cosine_topk_bq(
     )
     return cosine_topk_bruteforce(exact_src, query_vec, k=k,
                                   id_col=id_col, vec_col=vec_col)
+
+
+def _round_half_up(x: float, dp: int) -> float:
+    """Replicate Spark's Round(double, dp): BigDecimal of the double's
+    SHORTEST decimal repr (Double.toString ≡ Python repr), HALF_UP."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal(1).scaleb(-dp), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def mmr_diversify(
+    cands: DataFrame,
+    k: int = 5,
+    lambda_: float = 0.7,
+    id_col: str = "vec_id",
+    rel_col: str = "rel",
+    vec_col: str = "embedding",
+    query_col: str | None = None,
+) -> DataFrame:
+    """X112 — Maximal Marginal Relevance result diversification
+    (Carbonell & Goldstein, SIGIR 1998): greedily re-rank a candidate
+    list so each pick maximizes
+
+        val(d) = λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s)
+
+    (empty selected set → second term 0, so the seed is the relevance
+    argmax), ties broken by id ascending. The classic fix for top-k
+    lists full of near-duplicates — exactly what a dedup-free code
+    corpus produces.
+
+    Display-time by contract (like rrf_fuse / best_passage): `cands`
+    is each query's BOUNDED top-N candidate list with a precomputed
+    relevance column. The greedy is inherently sequential in k, so one
+    query's candidates form a single Arrow batch in `applyInPandas`
+    keyed by `query_col` — QUERIES parallelize across the cluster, the
+    per-query work is O(N·k) dot products on a few hundred rows. This
+    is the right distribution boundary: the sequential dependency never
+    crosses a query.
+
+    Arithmetic discipline (oracle-exact): pairwise cosine = sequential
+    left-to-right float64 fold, rounded half-up to 6 dp; val rounded
+    half-up to 9 dp — the same folds `_dot`/`_norm` run JVM-side and a
+    DuckDB `list_sum` replays.
+
+    Columns: ([query_col,] id_col, mmr_rank, mmr_score).
+    """
+    import math
+
+    if not 0.0 <= float(lambda_) <= 1.0:
+        raise ValueError("lambda_ must be in [0, 1]")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    lam = float(lambda_)
+    oml = 1.0 - lam
+    qc = query_col or "_q"
+    work = (
+        cands
+        if query_col
+        else cands.withColumn("_q", F.lit(0).cast("long"))
+    )
+    out_schema = (
+        f"{qc} long, {id_col} long, mmr_rank int, mmr_score double"
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = [int(x) for x in pdf[id_col]]
+        rel = [float(x) for x in pdf[rel_col]]
+        vecs = [[float(v) for v in e] for e in pdf[vec_col]]
+        nrm = []
+        for e in vecs:
+            s = 0.0
+            for v in e:
+                s += v * v
+            nrm.append(math.sqrt(s))
+
+        def cos(i: int, j: int) -> float:
+            s = 0.0
+            for a, b in zip(vecs[i], vecs[j]):
+                s += a * b
+            return _round_half_up(s / (nrm[i] * nrm[j]), 6)
+
+        qv = int(pdf[qc].iloc[0])
+        sel: list[int] = []
+        remaining = list(range(len(ids)))  # id-sorted → min-id tiewin
+        rows = []
+        for rank in range(1, min(k, len(ids)) + 1):
+            best_i, best_val = None, None
+            for i in remaining:
+                ms = max((cos(i, j) for j in sel), default=0.0)
+                val = _round_half_up(lam * rel[i] - oml * ms, 9)
+                if best_val is None or val > best_val:
+                    best_i, best_val = i, val
+            sel.append(best_i)
+            remaining.remove(best_i)
+            rows.append((qv, ids[best_i], rank, best_val))
+        return pd.DataFrame(
+            rows, columns=[qc, id_col, "mmr_rank", "mmr_score"]
+        )
+
+    out = work.groupBy(qc).applyInPandas(_greedy, out_schema)
+    order = ([query_col] if query_col else []) + ["mmr_rank"]
+    if query_col is None:
+        out = out.drop("_q")
+    return out.orderBy(*order)

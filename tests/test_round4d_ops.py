@@ -144,3 +144,69 @@ def test_regex_indexed_and_fallback_agree(spark, docs):
 def test_regex_validation(spark, docs):
     with pytest.raises(ValueError):
         regex_search(docs, "")
+
+
+# ---------------------------------------------------------------- X112 MMR
+
+from scrapix_spark.operators.similarity import mmr_diversify  # noqa: E402
+
+MMR_VECS = [
+    (0, 0.95, [1.0, 0.0]),
+    (1, 0.90, [1.0, 0.0]),  # exact dup of 0, slightly less relevant
+    (2, 0.50, [0.0, 1.0]),  # orthogonal, much less relevant
+    (3, 0.70, [0.6, 0.8]),
+]
+
+
+@pytest.fixture(scope="module")
+def mmr_cands(spark):
+    return spark.createDataFrame(
+        MMR_VECS, "vec_id long, rel double, embedding array<double>"
+    ).cache()
+
+
+def test_mmr_diversity_beats_near_duplicate(spark, mmr_cands):
+    got = mmr_diversify(mmr_cands, k=3, lambda_=0.7).collect()
+    assert [r.vec_id for r in got] == [0, 2, 1]
+    assert got[0].mmr_score == pytest.approx(0.7 * 0.95, abs=1e-9)
+    assert got[1].mmr_score == pytest.approx(0.7 * 0.5, abs=1e-9)
+    assert got[2].mmr_score == pytest.approx(0.7 * 0.9 - 0.3, abs=1e-9)
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark, mmr_cands):
+    got = mmr_diversify(mmr_cands, k=4, lambda_=1.0).collect()
+    assert [r.vec_id for r in got] == [0, 1, 3, 2]
+
+
+def test_mmr_tie_breaks_by_id(spark):
+    rows = [(i, 0.5, [1.0, 0.0]) for i in (7, 3, 5)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, rel double, embedding array<double>"
+    )
+    got = mmr_diversify(df, k=3, lambda_=0.7).collect()
+    assert [r.vec_id for r in got] == [3, 5, 7]
+
+
+def test_mmr_multi_query_groups_are_independent(spark, mmr_cands):
+    a = mmr_cands.withColumn("qid", F.lit(0))
+    b = mmr_cands.withColumn("qid", F.lit(1))
+    both = a.unionByName(b)
+    got = mmr_diversify(both, k=3, lambda_=0.7, query_col="qid").collect()
+    assert len(got) == 6
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.qid, []).append(r.vec_id)
+    assert per_q[0] == per_q[1] == [0, 2, 1]
+
+
+def test_mmr_k_exceeds_candidates(spark, mmr_cands):
+    got = mmr_diversify(mmr_cands, k=99, lambda_=0.7).collect()
+    assert len(got) == 4
+    assert [r.mmr_rank for r in got] == [1, 2, 3, 4]
+
+
+def test_mmr_validation(spark, mmr_cands):
+    with pytest.raises(ValueError):
+        mmr_diversify(mmr_cands, lambda_=1.5)
+    with pytest.raises(ValueError):
+        mmr_diversify(mmr_cands, k=0)
