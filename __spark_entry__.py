@@ -16,6 +16,7 @@ Shared determinism rules:
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -3991,6 +3992,31 @@ FROM sel{k} ORDER BY rnk""")
     return "".join(parts)
 
 
+DECAY_ORIGIN, DECAY_SCALE, DECAY_OFFSET = 306.0, 120.0, 20.0
+
+
+def q_decay_boosted(spark, sf_dir):
+    """X113 — ES function_score gauss decay in multiply mode: every
+    BM25 match's score is multiplied by the decay curve over n_chars
+    BEFORE the top-k cut (the decay can reorder the whole match set).
+    operators/results.py decay_column/decay_rescore."""
+    from scrapix_spark.operators import results as R
+
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    allm = Q.bm25_topk_from_postings(
+        post, stats, int(row["n"]), float(row["a"]), BM25_QUERY,
+        k=(1 << 31) - 1, k1=K1, b=B,
+    )
+    return R.decay_rescore(
+        allm, _docs(spark, sf_dir), "n_chars", kind="gauss",
+        origin=DECAY_ORIGIN, scale=DECAY_SCALE, offset=DECAY_OFFSET,
+        decay=0.5, k=10,
+    )
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -4078,6 +4104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_substring": q_trigram_substring,
         "trigram_regex": q_trigram_regex,
         "mmr_rerank": q_mmr_rerank,
+        "decay_boosted": q_decay_boosted,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -7126,6 +7153,17 @@ WHERE regexp_matches(text, '{TRIGRAM_RE}')
 ORDER BY doc_id
 """,
         "mmr_rerank": _mmr_sql(dim=64, k=5, lam=0.7, n_cand=20),
+        "decay_boosted": _bm25_scored_sql(Q.query_terms(BM25_QUERY)) + f"""
+SELECT doc_id, round(round(score, 6) * dcy, 6) AS boosted, dcy AS decay
+FROM (
+  SELECT s.doc_id, s.score,
+         round(exp(pow(greatest(abs(d.n_chars - {DECAY_ORIGIN!r})
+                                - {DECAY_OFFSET!r}, 0.0), 2)
+                   * {math.log(0.5) / (DECAY_SCALE * DECAY_SCALE)!r}),
+               6) AS dcy
+  FROM scored s JOIN documents d USING (doc_id))
+ORDER BY boosted DESC, doc_id LIMIT 10
+""",
     }
 
 

@@ -383,3 +383,86 @@ def best_passage(
             ).alias("passage"),
         )
     )
+
+
+def decay_column(
+    x,
+    kind: str = "gauss",
+    origin: float = 0.0,
+    scale: float = 10.0,
+    offset: float = 0.0,
+    decay: float = 0.5,
+):
+    """X113 — the public Elasticsearch `function_score` decay curves
+    (gauss / exp / linear over a numeric or date field): the score
+    multiplier is `decay` at distance `scale` past the `offset`
+    plateau around `origin`, i.e. with d = max(0, |x−origin|−offset):
+
+        gauss :  exp(d² · ln(decay) / scale²)
+        exp   :  exp(d  · ln(decay) / scale)
+        linear:  max((s − d)/s, 0)   with s = scale/(1−decay)
+
+    Returns a Column (pure Catalyst arithmetic — the Python-side
+    constant `ln(decay)/scale²` folds into a literal, so the whole
+    curve is one JVM expression in whole-stage codegen).
+    """
+    import math
+
+    if kind not in ("gauss", "exp", "linear"):
+        raise ValueError(f"unknown decay kind: {kind}")
+    if scale <= 0:
+        raise ValueError("scale must be > 0")
+    if not 0.0 < decay < 1.0:
+        raise ValueError("decay must be in (0, 1)")
+    if offset < 0:
+        raise ValueError("offset must be >= 0")
+    d = F.greatest(
+        F.abs(x.cast("double") - F.lit(float(origin)))
+        - F.lit(float(offset)),
+        F.lit(0.0),
+    )
+    if kind == "gauss":
+        return F.exp(d * d * F.lit(math.log(decay) / (scale * scale)))
+    if kind == "exp":
+        return F.exp(d * F.lit(math.log(decay) / scale))
+    s = float(scale) / (1.0 - float(decay))
+    return F.greatest((F.lit(s) - d) / F.lit(s), F.lit(0.0))
+
+
+def decay_rescore(
+    hits: DataFrame,
+    meta: DataFrame,
+    field: str,
+    kind: str = "gauss",
+    origin: float = 0.0,
+    scale: float = 10.0,
+    offset: float = 0.0,
+    decay: float = 0.5,
+    k: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """ES `function_score` in multiply mode: every matching document's
+    relevance score is multiplied by the decay curve over `meta.field`
+    (recency boosts, length priors), THEN the top-k is taken — the
+    decay can reorder the whole match set, so it must apply before the
+    cut, never as a display-time rescore of k rows.
+
+    Plan: `meta` pruned to (id, field) joins the scored match set on
+    the id both sides already key by (AQE broadcasts whichever side is
+    small); the curve is one codegen expression; the k-cut is a
+    TakeOrdered. Rounding: decay 6dp, boosted = round(round(score,6) ·
+    decay, 6). Columns: (id_col, boosted, decay).
+    """
+    m = meta.select(F.col(id_col), F.col(field).alias("_x"))
+    dec = F.round(
+        decay_column(F.col("_x"), kind, origin, scale, offset, decay), 6
+    )
+    out = hits.join(m, id_col).withColumn("decay", dec)
+    boosted = F.round(F.round(F.col(score_col), 6) * F.col("decay"), 6)
+    return (
+        out.withColumn("boosted", boosted)
+        .orderBy(F.col("boosted").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "boosted", "decay")
+    )

@@ -210,3 +210,80 @@ def test_mmr_validation(spark, mmr_cands):
         mmr_diversify(mmr_cands, lambda_=1.5)
     with pytest.raises(ValueError):
         mmr_diversify(mmr_cands, k=0)
+
+
+# ------------------------------------------------------------- X113 decay
+
+import math  # noqa: E402
+
+from scrapix_spark.operators.results import decay_column, decay_rescore  # noqa: E402
+
+
+def _py_decay(x, kind, origin, scale, offset, decay):
+    d = max(abs(x - origin) - offset, 0.0)
+    if kind == "gauss":
+        return math.exp(d * d * math.log(decay) / (scale * scale))
+    if kind == "exp":
+        return math.exp(d * math.log(decay) / scale)
+    s = scale / (1.0 - decay)
+    return max((s - d) / s, 0.0)
+
+
+@pytest.mark.parametrize("kind", ["gauss", "exp", "linear"])
+def test_decay_matches_reference_formula(spark, kind):
+    xs = [0.0, 5.0, 10.0, 12.0, 30.0, 100.0, -10.0]
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)],
+                               "i long, x double")
+    got = (
+        df.select("i", decay_column(F.col("x"), kind, origin=10.0,
+                                    scale=5.0, offset=2.0).alias("d"))
+        .orderBy("i").collect()
+    )
+    for r, x in zip(got, xs):
+        assert r.d == pytest.approx(
+            _py_decay(x, kind, 10.0, 5.0, 2.0, 0.5), abs=1e-12)
+
+
+def test_decay_plateau_and_value_at_scale(spark):
+    df = spark.createDataFrame([(0, 10.0), (1, 11.5), (2, 17.0)],
+                               "i long, x double")
+    got = (
+        df.select("i", decay_column(F.col("x"), "gauss", origin=10.0,
+                                    scale=5.0, offset=2.0).alias("d"))
+        .orderBy("i").collect()
+    )
+    assert got[0].d == 1.0  # at origin
+    assert got[1].d == 1.0  # inside the offset plateau
+    assert got[2].d == pytest.approx(0.5, abs=1e-12)  # offset+scale → decay
+
+
+def test_linear_decay_clamps_to_zero(spark):
+    df = spark.createDataFrame([(0, 1000.0)], "i long, x double")
+    got = df.select(
+        decay_column(F.col("x"), "linear", origin=0.0, scale=5.0).alias("d")
+    ).collect()
+    assert got[0].d == 0.0
+
+
+def test_decay_rescore_reorders_before_cut(spark):
+    hits = spark.createDataFrame(
+        [(1, 10.0), (2, 9.0), (3, 1.0)], "doc_id long, score double")
+    meta = spark.createDataFrame(
+        [(1, 100.0), (2, 10.0), (3, 10.0)], "doc_id long, f double")
+    got = decay_rescore(hits, meta, "f", kind="gauss", origin=10.0,
+                        scale=5.0, k=2).collect()
+    # doc 1 is most relevant but decays to ~0 at distance 90
+    assert [r.doc_id for r in got] == [2, 3]
+    assert got[0].boosted == pytest.approx(9.0, abs=1e-9)
+    assert got[0].decay == 1.0
+
+
+def test_decay_validation(spark):
+    with pytest.raises(ValueError):
+        decay_column(F.lit(0.0), "banana")
+    with pytest.raises(ValueError):
+        decay_column(F.lit(0.0), "gauss", scale=0.0)
+    with pytest.raises(ValueError):
+        decay_column(F.lit(0.0), "gauss", decay=1.0)
+    with pytest.raises(ValueError):
+        decay_column(F.lit(0.0), "gauss", offset=-1.0)
