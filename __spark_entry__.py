@@ -4017,6 +4017,135 @@ def q_decay_boosted(spark, sf_dir):
     )
 
 
+PERC_QUERIES = {
+    "p_mb": ["merge", "batch"],
+    "p_sjt": ["spark", "join", "table"],
+    "p_wv": ["window", "vector"],
+}
+
+
+def q_percolate_matches(spark, sf_dir):
+    """X115 — percolator / reverse search (the ES percolate-query use
+    case): stored AND-term queries match incoming documents via one
+    broadcast (query, term) join + a per-(query, doc) term-hit count.
+    Scoped to doc_id < 150 to bound the gate's row count.
+    operators/percolate.py percolate."""
+    from scrapix_spark.operators import percolate as PC
+
+    post = _postings(spark, sf_dir).filter("doc_id < 150")
+    return PC.percolate(post, PC.queries_df(spark, PERC_QUERIES))
+
+
+def _percolate_sql() -> str:
+    tok = TOK_EXPR("text")
+    vals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, ts in sorted(PERC_QUERIES.items())
+        for t in sorted(set(ts))
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term
+             FROM documents WHERE doc_id < 150),
+pairs AS (SELECT DISTINCT doc_id, term FROM tok),
+qt(query_id, term) AS (VALUES {vals}),
+qn AS (SELECT query_id, count(*) AS nt FROM qt GROUP BY query_id),
+m AS (SELECT qt.query_id, p.doc_id, count(*) AS c
+      FROM pairs p JOIN qt USING (term) GROUP BY qt.query_id, p.doc_id)
+SELECT m.query_id, m.doc_id
+FROM m JOIN qn USING (query_id) WHERE c = nt
+ORDER BY query_id, doc_id
+"""
+
+
+def q_ir_metrics(spark, sf_dir):
+    """X114 — trec_eval-style per-query precision/recall/MRR/nDCG@10 of
+    the batched multi-search run (X108) against conjunctive qrels
+    generated by the percolator (X115): relevant = contains ALL the
+    query's terms. operators/evalmetrics.py ir_eval."""
+    from scrapix_spark.operators import evalmetrics as EV
+    from scrapix_spark.operators import percolate as PC
+
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    run = Q.bm25_multi_topk(
+        post, stats, int(row["n"]), float(row["a"]), MULTI_QUERIES,
+        k=10, k1=K1, b=B,
+    )
+    qs = PC.queries_df(
+        spark,
+        {qid: sorted(set(Q.query_terms(q)))
+         for qid, q in MULTI_QUERIES.items()},
+    )
+    qrels = PC.percolate(post, qs)
+    return EV.ir_eval(
+        run.select("query_id", "doc_id", "score"), qrels, k=10
+    )
+
+
+def _ir_metrics_sql() -> str:
+    """X114 oracle: the multi-search scored CTE, rank cut at 10,
+    conjunctive qrels, then the four metric formulas."""
+    vals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, q in MULTI_QUERIES.items()
+        for t in sorted(set(Q.query_terms(q)))
+    )
+    tok = TOK_EXPR("text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+dfv AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+qt(query_id, term) AS (VALUES {vals}),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN qt USING (term)
+  JOIN dfv USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id),
+rk AS (SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round(score, 9) DESC, doc_id ASC) AS rank
+       FROM scored),
+topk AS (SELECT * FROM rk WHERE rank <= 10),
+qn AS (SELECT query_id, count(*) AS nt FROM qt GROUP BY query_id),
+cq AS (SELECT qt.query_id, tf.doc_id, count(*) AS c
+       FROM tf JOIN qt USING (term) GROUP BY qt.query_id, tf.doc_id),
+qrels AS (SELECT query_id, doc_id FROM cq JOIN qn USING (query_id)
+          WHERE c = nt),
+nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM qrels
+         GROUP BY query_id),
+marked AS (SELECT t.query_id, t.rank,
+             CASE WHEN q.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+           FROM topk t LEFT JOIN qrels q
+             ON t.query_id = q.query_id AND t.doc_id = q.doc_id),
+per AS (SELECT query_id, sum(rel)::BIGINT AS hits,
+          coalesce(max(CASE WHEN rel = 1 THEN 1.0/rank END), 0.0) AS mrr,
+          coalesce(sum(CASE WHEN rel = 1 THEN 1.0/log2(rank + 1) END),
+                   0.0) AS dcg
+        FROM marked GROUP BY query_id)
+SELECT p.query_id,
+  round(hits / 10.0, 6) AS "precision",
+  round(CASE WHEN coalesce(n.n_rel, 0) > 0
+        THEN hits / n.n_rel ELSE 0.0 END, 6) AS recall,
+  round(mrr, 6) AS mrr,
+  round(CASE WHEN coalesce(n.n_rel, 0) > 0 THEN
+      dcg / list_sum(list_transform(range(1, least(n.n_rel, 10) + 1),
+                                    i -> 1.0/log2(i + 1)))
+    ELSE 0.0 END, 6) AS ndcg
+FROM per p LEFT JOIN nrel n USING (query_id)
+ORDER BY query_id
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -4105,6 +4234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_regex": q_trigram_regex,
         "mmr_rerank": q_mmr_rerank,
         "decay_boosted": q_decay_boosted,
+        "percolate_matches": q_percolate_matches,
+        "ir_metrics": q_ir_metrics,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -7164,6 +7295,8 @@ FROM (
   FROM scored s JOIN documents d USING (doc_id))
 ORDER BY boosted DESC, doc_id LIMIT 10
 """,
+        "percolate_matches": _percolate_sql(),
+        "ir_metrics": _ir_metrics_sql(),
     }
 
 

@@ -196,7 +196,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         # round-4d additions (X111+; BASELINE.md records their first
         # window)
         "trigram_substring", "trigram_regex", "mmr_rerank",
-        "decay_boosted",
+        "decay_boosted", "percolate_matches", "ir_metrics",
     ]
     out = {}
     for name in headline:

@@ -1,0 +1,111 @@
+"""X114 — distributed IR evaluation metrics (trec_eval semantics,
+public: Buckley's trec_eval; nDCG per Järvelin & Kekäläinen, TOIS
+2002). A retrieval engine without an evaluation harness can't be
+tuned: this computes per-query precision@k, recall@k, MRR@k and
+binary-gain nDCG@k for a run against a qrels relation — the feedback
+loop for every ranking change (BM25F weights, decay curves, fusion
+constants) this engine ships.
+
+Spark-first shape: runs are BOUNDED per-query top-N lists by contract
+(an eval batch is Q × N rows), so the per-query rank window is one
+small task per query and everything downstream is two hash aggs and
+an id-keyed join — thousands of queries evaluate in one plan, which
+is the point: at 100 TB you evaluate rankers over large query batches,
+never query-at-a-time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["ir_eval"]
+
+
+def ir_eval(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Per-query metrics of `run` (query, doc, score) against `qrels`
+    (query, doc) at cutoff k.
+
+    Ranks use the engine-wide pinned order (round(score, 9) DESC, id
+    ASC). Definitions (trec_eval):
+      precision@k = hits/k          (k in the denominator, not |run|)
+      recall@k    = hits/R          (0 when the query has no relevant)
+      MRR@k       = 1/rank of the first relevant in the top k (else 0)
+      nDCG@k      = Σ_rel 1/log2(rank+1)  /  Σ_{i=1..min(R,k)} 1/log2(i+1)
+
+    Queries are taken from the RUN (a query missing from qrels scores
+    0 recall/ndcg); extra qrels queries don't appear — same as
+    trec_eval's run-driven iteration. Columns: (query_col, precision,
+    recall, mrr, ndcg), all rounded 6dp, ordered by query.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy(query_col).orderBy(
+        F.round(F.col(score_col), 9).desc(), F.col(id_col).asc()
+    )
+    ranked = (
+        run.select(query_col, id_col, F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+    rel = qrels.select(query_col, id_col).distinct().withColumn(
+        "_rel", F.lit(1)
+    )
+    marked = ranked.join(rel, [query_col, id_col], "left").withColumn(
+        "_rel", F.coalesce(F.col("_rel"), F.lit(0))
+    )
+    per = marked.groupBy(query_col).agg(
+        F.sum("_rel").cast("long").alias("_hits"),
+        F.coalesce(
+            F.max(F.when(F.col("_rel") == 1, 1.0 / F.col("rank"))),
+            F.lit(0.0),
+        ).alias("_mrr"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_rel") == 1,
+                    1.0 / F.log2(F.col("rank").cast("double") + 1.0),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("_dcg"),
+    )
+    nrel = rel.groupBy(query_col).agg(F.count("*").alias("_nrel"))
+    out = per.join(nrel, query_col, "left").withColumn(
+        "_nrel", F.coalesce(F.col("_nrel"), F.lit(0))
+    )
+    idcg = F.when(
+        F.col("_nrel") > 0,
+        F.aggregate(
+            F.sequence(F.lit(1), F.least(F.col("_nrel"), F.lit(k))),
+            F.lit(0.0),
+            lambda s, i: s + 1.0 / F.log2(i.cast("double") + 1.0),
+        ),
+    ).otherwise(F.lit(0.0))
+    out = out.withColumn("_idcg", idcg)
+    return (
+        out.select(
+            F.col(query_col),
+            F.round(F.col("_hits") / F.lit(float(k)), 6).alias("precision"),
+            F.round(
+                F.when(
+                    F.col("_nrel") > 0, F.col("_hits") / F.col("_nrel")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("recall"),
+            F.round(F.col("_mrr"), 6).alias("mrr"),
+            F.round(
+                F.when(
+                    F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ndcg"),
+        )
+        .orderBy(query_col)
+    )

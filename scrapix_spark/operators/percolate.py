@@ -1,0 +1,80 @@
+"""X115 — percolator / reverse search: match documents against STORED
+queries (the public Elasticsearch percolate-query use case, built on
+Lucene's MemoryIndex idea): alerting ("tell me when a doc matching my
+query arrives"), saved-search notification, and routing incoming
+corpus batches to subscribed consumers. The classic search direction
+inverts: the query set is the persistent relation, the documents are
+the probe.
+
+Spark-first shape: stored queries explode to a QUERY-sized
+(query_id, term) relation — bounded by the registry of saved searches,
+so it broadcasts; matching is one equi-join against the corpus's
+distinct (term, doc) postings plus one partial hash agg counting
+per-(query, doc) term hits (AND semantics = count equals the query's
+distinct-term count). No per-document loop, no per-query scan: one
+postings pass serves every stored query, the same scan-sharing shape
+as bm25_multi_topk (X108).
+
+Reference anchor: scrapix pushes crawled batches to Meilisearch
+(src/sender.ts) where consumers poll; a percolator is the push-side
+equivalent re-expressed as a relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["percolate", "queries_df"]
+
+
+def queries_df(spark, queries: dict[str, list[str]]) -> DataFrame:
+    """Build the stored-query relation from {query_id: [terms...]}."""
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    rows = [(qid, [str(t) for t in ts]) for qid, ts in sorted(queries.items())]
+    return spark.createDataFrame(
+        rows, "query_id string, terms array<string>"
+    )
+
+
+def percolate(
+    postings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """All (query_id, doc) pairs where the document contains EVERY
+    distinct term of the stored query (AND semantics — Meilisearch's
+    default matching before word-dropping).
+
+    `postings` must hold one row per distinct (term, doc) pair (any
+    extra columns are ignored) — exactly what a tokenize+tf relation
+    or a published index provides. `queries` is (query_id,
+    array<string> terms); empty-term queries are rejected rather than
+    silently matching everything.
+
+    Columns: (query_id_col, id_col), ordered.
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        F.array_distinct(F.col(terms_col)).alias("_ts"),
+    ).withColumn("_nt", F.size("_ts"))
+    # fail loudly on empty-term queries (match-all is a caller decision)
+    bad = q.filter(F.col("_nt") == 0).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"stored query {bad[0][query_id_col]!r} has no terms"
+        )
+    qt = q.select(
+        query_id_col, "_nt", F.explode("_ts").alias("term")
+    )
+    j = postings.select("term", id_col).join(F.broadcast(qt), "term")
+    return (
+        j.groupBy(query_id_col, id_col, "_nt")
+        .agg(F.count("*").alias("_m"))
+        .filter(F.col("_m") == F.col("_nt"))
+        .select(query_id_col, id_col)
+        .orderBy(query_id_col, id_col)
+    )

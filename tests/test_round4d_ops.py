@@ -287,3 +287,116 @@ def test_decay_validation(spark):
         decay_column(F.lit(0.0), "gauss", decay=1.0)
     with pytest.raises(ValueError):
         decay_column(F.lit(0.0), "gauss", offset=-1.0)
+
+
+# --------------------------------------------- X115 percolate / X114 eval
+
+from scrapix_spark.operators.evalmetrics import ir_eval  # noqa: E402
+from scrapix_spark.operators.percolate import percolate, queries_df  # noqa: E402
+
+PERC_DOCS = {
+    10: ["alpha", "beta", "gamma"],
+    11: ["alpha", "beta"],
+    12: ["beta", "gamma", "delta"],
+    13: ["alpha"],
+}
+
+
+@pytest.fixture(scope="module")
+def perc_postings(spark):
+    rows = [(t, d) for d, ts in PERC_DOCS.items() for t in ts]
+    return spark.createDataFrame(rows, "term string, doc_id long").cache()
+
+
+def test_percolate_and_semantics(spark, perc_postings):
+    qs = queries_df(spark, {
+        "q_ab": ["alpha", "beta"],
+        "q_g": ["gamma"],
+        "q_abd": ["alpha", "beta", "delta"],
+        "q_none": ["omega"],
+    })
+    got = [(r.query_id, r.doc_id) for r in
+           percolate(perc_postings, qs).collect()]
+    assert got == [("q_ab", 10), ("q_ab", 11), ("q_g", 10), ("q_g", 12)]
+
+
+def test_percolate_duplicate_terms_deduped(spark, perc_postings):
+    qs = queries_df(spark, {"q": ["alpha", "alpha", "beta"]})
+    got = [r.doc_id for r in percolate(perc_postings, qs).collect()]
+    assert got == [10, 11]
+
+
+def test_percolate_validation(spark, perc_postings):
+    with pytest.raises(ValueError):
+        queries_df(spark, {})
+    with pytest.raises(ValueError):
+        percolate(perc_postings, queries_df(spark, {"q": []}))
+
+
+def _py_metrics(ranking, relevant, k):
+    top = ranking[:k]
+    hits = sum(1 for d in top if d in relevant)
+    prec = hits / k
+    rec = hits / len(relevant) if relevant else 0.0
+    mrr = 0.0
+    for i, d in enumerate(top, 1):
+        if d in relevant:
+            mrr = 1.0 / i
+            break
+    dcg = sum(1.0 / math.log2(i + 1) for i, d in enumerate(top, 1)
+              if d in relevant)
+    idcg = sum(1.0 / math.log2(i + 1)
+               for i in range(1, min(len(relevant), k) + 1))
+    ndcg = dcg / idcg if idcg > 0 else 0.0
+    return prec, rec, mrr, ndcg
+
+
+def test_ir_eval_matches_reference(spark):
+    run_rows = []
+    for qid, docs_ranked in [("qa", [1, 2, 3, 4, 5]),
+                             ("qb", [7, 8, 9]),
+                             ("qc", [1, 2])]:
+        for i, d in enumerate(docs_ranked):
+            run_rows.append((qid, d, float(100 - i)))
+    qrels_rows = [("qa", 2), ("qa", 4), ("qa", 9), ("qb", 99)]
+    run = spark.createDataFrame(
+        run_rows, "query_id string, doc_id long, score double")
+    qrels = spark.createDataFrame(qrels_rows, "query_id string, doc_id long")
+    got = {r.query_id: (r.precision, r.recall, r.mrr, r.ndcg)
+           for r in ir_eval(run, qrels, k=5).collect()}
+    want = {
+        "qa": _py_metrics([1, 2, 3, 4, 5], {2, 4, 9}, 5),
+        "qb": _py_metrics([7, 8, 9], {99}, 5),
+        "qc": _py_metrics([1, 2], set(), 5),
+    }
+    for qid, (p, r_, m, n) in want.items():
+        gp, gr, gm, gn = got[qid]
+        assert gp == pytest.approx(p, abs=1e-6)
+        assert gr == pytest.approx(r_, abs=1e-6)
+        assert gm == pytest.approx(m, abs=1e-6)
+        assert gn == pytest.approx(n, abs=1e-6)
+
+
+def test_ir_eval_rank_ties_break_by_id(spark):
+    run = spark.createDataFrame(
+        [("q", 5, 1.0), ("q", 3, 1.0)], "query_id string, doc_id long, score double")
+    qrels = spark.createDataFrame([("q", 3)], "query_id string, doc_id long")
+    got = ir_eval(run, qrels, k=2).collect()[0]
+    assert got.mrr == pytest.approx(1.0, abs=1e-6)  # doc 3 ranks first
+
+
+def test_ir_eval_cutoff_excludes_deep_hits(spark):
+    run = spark.createDataFrame(
+        [("q", d, float(10 - d)) for d in range(1, 6)],
+        "query_id string, doc_id long, score double")
+    qrels = spark.createDataFrame([("q", 5)], "query_id string, doc_id long")
+    got = ir_eval(run, qrels, k=2).collect()[0]
+    assert got.mrr == 0.0 and got.precision == 0.0 and got.ndcg == 0.0
+    assert got.recall == 0.0
+
+
+def test_ir_eval_validation(spark):
+    run = spark.createDataFrame(
+        [("q", 1, 1.0)], "query_id string, doc_id long, score double")
+    with pytest.raises(ValueError):
+        ir_eval(run, run.select("query_id", "doc_id"), k=0)
