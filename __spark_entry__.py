@@ -4146,6 +4146,69 @@ ORDER BY query_id
 """
 
 
+def q_rm3_expanded(spark, sf_dir):
+    """X116 — RM3-style pseudo-relevance-feedback expansion (Lavrenko
+    & Croft 2001 recipe family): BM25 pass 1 → top-5 feedback docs →
+    top-3 Σtf·idf non-query terms → rescore orig + 0.5·expansion.
+    operators/query.py rm3_topk."""
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    return Q.rm3_topk(
+        post, stats, int(row["n"]), float(row["a"]), BM25_QUERY,
+        fb_docs=5, fb_terms=3, beta=0.5, k=10, k1=K1, b=B,
+    )
+
+
+def _rm3_sql(fb_docs: int = 5, fb_terms: int = 3, beta: float = 0.5,
+             k: int = 10) -> str:
+    """X116 oracle: full tf/dfv CTEs (expansion needs corpus-wide df),
+    pass-1 score, feedback cut, Σtf·idf term selection, pass-2 score,
+    coalescing full join."""
+    terms = Q.query_terms(BM25_QUERY)
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    tok = TOK_EXPR("text")
+    contrib = (
+        f"ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))"
+        f" * (tf.tf * ({K1} + 1.0))"
+        f" / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))"
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+dfv AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+s1 AS (SELECT tf.doc_id, sum({contrib}) AS score
+       FROM tf JOIN dfv USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+       CROSS JOIN stats
+       WHERE tf.term IN ({tlist}) GROUP BY tf.doc_id),
+fb AS (SELECT doc_id FROM s1
+       ORDER BY round(score, 9) DESC, doc_id LIMIT {fb_docs}),
+expw AS (SELECT tf.term,
+           CAST(sum(tf.tf) AS DOUBLE)
+             * any_value(ln(1 + (stats.n - dfv.df + 0.5)
+                            / (dfv.df + 0.5))) AS w
+         FROM tf JOIN fb USING (doc_id) JOIN dfv USING (term)
+         CROSS JOIN stats
+         WHERE tf.term NOT IN ({tlist})
+         GROUP BY tf.term),
+expt AS (SELECT term FROM expw
+         ORDER BY round(w, 9) DESC, term LIMIT {fb_terms}),
+s2 AS (SELECT tf.doc_id, sum({contrib}) AS score
+       FROM tf JOIN expt USING (term) JOIN dfv USING (term)
+       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+       GROUP BY tf.doc_id),
+fin AS (SELECT coalesce(s1.doc_id, s2.doc_id) AS doc_id,
+               coalesce(s1.score, 0) + {beta!r} * coalesce(s2.score, 0)
+                 AS score
+        FROM s1 FULL JOIN s2 ON s1.doc_id = s2.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM fin
+ORDER BY round(score, 9) DESC, doc_id LIMIT {k}
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -4236,6 +4299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_boosted": q_decay_boosted,
         "percolate_matches": q_percolate_matches,
         "ir_metrics": q_ir_metrics,
+        "rm3_expanded_topk": q_rm3_expanded,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -7297,6 +7361,7 @@ ORDER BY boosted DESC, doc_id LIMIT 10
 """,
         "percolate_matches": _percolate_sql(),
         "ir_metrics": _ir_metrics_sql(),
+        "rm3_expanded_topk": _rm3_sql(),
     }
 
 

@@ -2021,3 +2021,104 @@ def _kth_partial_score(decoded_values, k: int) -> float:
     return float(np.partition(totals, -k)[-k])
 
 
+
+
+def rm3_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    q: str,
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    beta: float = 0.5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """X116 — pseudo-relevance-feedback query expansion (the public
+    RM3 recipe family: Lavrenko & Croft relevance models, SIGIR 2001,
+    in the additive tf·idf-selection form Lucene/Anserini popularized):
+
+      pass 1: BM25 over the original terms; the top `fb_docs` docs are
+              assumed relevant;
+      select: candidate expansion terms are the feedback docs' terms
+              minus the original query, scored Σ_fb tf × idf (df
+              corpus-wide); top `fb_terms` by (9dp weight, term);
+      pass 2: score(d) = bm25_orig(d) + beta · bm25_expansion(d),
+              top-k by the pinned (9dp score DESC, id ASC) order.
+
+    Fixes vocabulary mismatch: a doc using only synonyms of the query
+    can now rank.
+
+    Plan shape: ONE contribution agg serves both the feedback cut and
+    pass-2's original half (no second scan); the feedback doc-id set
+    (≤ fb_docs) broadcasts into postings for term selection; the
+    expansion-candidate relation (terms of ≤ fb_docs docs) broadcasts
+    into term_stats; the expansion-term collect is query-dictionary-
+    sized (bounded by fb_terms). Pass 2's two halves combine with one
+    coalescing full outer join on doc_id.
+
+    Columns: (doc_id, score rounded 4dp).
+    """
+    if fb_docs < 1 or fb_terms < 0:
+        raise ValueError("fb_docs must be >= 1 and fb_terms >= 0")
+    if beta < 0:
+        raise ValueError("beta must be >= 0")
+    terms = query_terms(q)
+    if not terms:
+        raise ValueError("query has no indexable terms")
+    s1 = _bm25_topk_from_postings_terms(
+        postings, term_stats, N, avgdl, terms, k=(1 << 31) - 1, k1=k1, b=b
+    ).select("doc_id", "score")
+    fb = (
+        s1.orderBy(
+            F.round(F.col("score"), SCORE_ROUND).desc(),
+            F.col("doc_id").asc(),
+        )
+        .limit(fb_docs)
+        .select("doc_id")
+    )
+    expw = (
+        postings.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("tf").alias("_tfsum"))
+    )
+    expw = term_stats.select("term", "df").join(
+        F.broadcast(expw), "term"
+    ).withColumn(
+        "w",
+        F.col("_tfsum").cast("double")
+        * idf_expr(N, F.col("df").cast("double")),
+    )
+    exp_terms = [
+        r.term
+        for r in expw.orderBy(
+            F.round("w", SCORE_ROUND).desc(), F.col("term").asc()
+        )
+        .limit(fb_terms)
+        .collect()
+    ]
+    if exp_terms and beta > 0:
+        s2 = _bm25_topk_from_postings_terms(
+            postings, term_stats, N, avgdl, exp_terms,
+            k=(1 << 31) - 1, k1=k1, b=b,
+        ).select("doc_id", F.col("score").alias("_s2"))
+        combined = s1.join(s2, "doc_id", "outer").select(
+            "doc_id",
+            (
+                F.coalesce(F.col("score"), F.lit(0.0))
+                + F.lit(float(beta)) * F.coalesce(F.col("_s2"), F.lit(0.0))
+            ).alias("score"),
+        )
+    else:
+        combined = s1
+    return (
+        combined.orderBy(
+            F.round(F.col("score"), SCORE_ROUND).desc(),
+            F.col("doc_id").asc(),
+        )
+        .limit(k)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )

@@ -400,3 +400,81 @@ def test_ir_eval_validation(spark):
         [("q", 1, 1.0)], "query_id string, doc_id long, score double")
     with pytest.raises(ValueError):
         ir_eval(run, run.select("query_id", "doc_id"), k=0)
+
+
+# --------------------------------------------------------------- X116 RM3
+
+from scrapix_spark.operators.postings import term_stats as _term_stats  # noqa: E402
+from scrapix_spark.operators.query import bm25_topk_from_postings, rm3_topk  # noqa: E402
+
+RM3_DOCS = {
+    # 'apple' docs co-occur with 'banana'; doc 5 has ONLY banana
+    1: "apple banana apple fruit",
+    2: "apple banana cart",
+    3: "apple pie crust",
+    4: "train station noise",
+    5: "banana banana smoothie",
+    6: "cart wheel axle",
+}
+
+
+@pytest.fixture(scope="module")
+def rm3_corpus(spark):
+    rows = []
+    for d, text in RM3_DOCS.items():
+        toks = text.split()
+        dl = len(toks)
+        for t in set(toks):
+            rows.append((t, d, toks.count(t), dl))
+    post = spark.createDataFrame(
+        rows, "term string, doc_id long, tf long, dl long").cache()
+    stats = _term_stats(post).cache()
+    n = len(RM3_DOCS)
+    avgdl = sum(len(t.split()) for t in RM3_DOCS.values()) / n
+    return post, stats, n, avgdl
+
+
+def test_rm3_expansion_reaches_synonym_only_doc(spark, rm3_corpus):
+    post, stats, n, avgdl = rm3_corpus
+    got = rm3_topk(post, stats, n, avgdl, "apple", fb_docs=2,
+                   fb_terms=2, beta=0.5, k=6)
+    ids = [r.doc_id for r in got.collect()]
+    # doc 5 contains no 'apple' but rides the 'banana' expansion
+    # (fb_terms=2 → {fruit, banana}: fruit wins on idf, banana on Σtf)
+    assert 5 in ids
+
+
+def test_rm3_beta_zero_is_plain_bm25(spark, rm3_corpus):
+    post, stats, n, avgdl = rm3_corpus
+    plain = bm25_topk_from_postings(post, stats, n, avgdl, "apple", k=6)
+    rm3 = rm3_topk(post, stats, n, avgdl, "apple", fb_docs=2,
+                   fb_terms=2, beta=0.0, k=6)
+    assert [r.doc_id for r in rm3.collect()] == \
+        [r.doc_id for r in plain.collect()]
+
+
+def test_rm3_expansion_excludes_original_terms(spark, rm3_corpus):
+    post, stats, n, avgdl = rm3_corpus
+    # fb docs for 'apple' are apple-heavy; with fb_terms large the
+    # expansion set must still never contain 'apple' itself: scoring
+    # with ONLY expansion contribution (beta) cannot double-count it.
+    boosted = rm3_topk(post, stats, n, avgdl, "apple", fb_docs=2,
+                       fb_terms=10, beta=1000.0, k=6).collect()
+    # doc 3 (apple only, no co-occurring term) must not be inflated
+    # by a self-expansion: its score equals its plain-BM25 score.
+    plain = {r.doc_id: r.score for r in bm25_topk_from_postings(
+        post, stats, n, avgdl, "apple", k=6).collect()}
+    got3 = [r.score for r in boosted if r.doc_id == 3]
+    # 'pie'/'crust' appear only in doc 3, which is not a feedback doc
+    # for fb_docs=2 (docs 1 and 2 win), so doc 3 keeps its plain score
+    assert got3 == [pytest.approx(plain[3], abs=1e-4)]
+
+
+def test_rm3_validation(spark, rm3_corpus):
+    post, stats, n, avgdl = rm3_corpus
+    with pytest.raises(ValueError):
+        rm3_topk(post, stats, n, avgdl, "apple", fb_docs=0)
+    with pytest.raises(ValueError):
+        rm3_topk(post, stats, n, avgdl, "apple", beta=-1.0)
+    with pytest.raises(ValueError):
+        rm3_topk(post, stats, n, avgdl, "...")
