@@ -4209,6 +4209,71 @@ ORDER BY round(score, 9) DESC, doc_id LIMIT {k}
 """
 
 
+CMS_PROBES = ["batch", "merge", "scan", "sort", "table", "vector",
+              "window", "zzqx"]
+CMS_DEPTH, CMS_WIDTH = 3, 8  # tiny width → the gate exercises collisions
+
+
+def q_cms_counts(spark, sf_dir):
+    """X117 — Count-Min sketch (Cormode & Muthukrishnan 2005) term
+    counts vs exact: depth 3 × width 8 forces collisions so the gate
+    checks real CMS cells (min over rows, overestimate-only), not a
+    trivially exact table. operators/textstats.py cms_sketch/
+    cms_estimate."""
+    post = _postings(spark, sf_dir).select("term", "tf")
+    sk = TS.cms_sketch(post, depth=CMS_DEPTH, width=CMS_WIDTH)
+    probes = spark.createDataFrame([(t,) for t in CMS_PROBES],
+                                   "term string")
+    est = TS.cms_estimate(sk, probes, depth=CMS_DEPTH, width=CMS_WIDTH)
+    exact = (
+        post.filter(F.col("term").isin(CMS_PROBES))
+        .groupBy("term").agg(F.sum("tf").alias("_ex"))
+    )
+    return (
+        est.join(exact, "term", "left")
+        .select(
+            "term",
+            F.col("est").cast("long").alias("est"),
+            F.coalesce(F.col("_ex"), F.lit(0)).cast("long").alias("exact"),
+        )
+        .orderBy("term")
+    )
+
+
+def _cms_sql() -> str:
+    from scrapix_spark.operators.similarity import HASH_MOD
+    from scrapix_spark.operators.textstats import CMS_A, CMS_B
+
+    tok = TOK_EXPR("text")
+    ab = ", ".join(
+        f"({j}, {CMS_A[j]}, {CMS_B[j]})" for j in range(CMS_DEPTH)
+    )
+    probes = ", ".join(f"('{t}')" for t in CMS_PROBES)
+    h = SIM.token_hash31_sql("term")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       GROUP BY doc_id, term),
+hx AS (SELECT term, {h} AS x, tf FROM tf),
+ab(j, a, b) AS (VALUES {ab}),
+cells AS (SELECT ab.j, ((ab.a * hx.x + ab.b) % {HASH_MOD}) % {CMS_WIDTH}
+            AS bucket, sum(hx.tf)::BIGINT AS cnt
+          FROM hx CROSS JOIN ab GROUP BY 1, 2),
+probes(term) AS (VALUES {probes}),
+ph AS (SELECT term, {h} AS x FROM probes),
+pe AS (SELECT ph.term, ab.j,
+         ((ab.a * ph.x + ab.b) % {HASH_MOD}) % {CMS_WIDTH} AS bucket
+       FROM ph CROSS JOIN ab),
+est AS (SELECT pe.term, min(coalesce(c.cnt, 0))::BIGINT AS est
+        FROM pe LEFT JOIN cells c ON c.j = pe.j AND c.bucket = pe.bucket
+        GROUP BY pe.term),
+ex AS (SELECT term, sum(tf)::BIGINT AS exact FROM tf GROUP BY term)
+SELECT e.term, e.est, coalesce(ex.exact, 0)::BIGINT AS exact
+FROM est e LEFT JOIN ex USING (term)
+ORDER BY term
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -4300,6 +4365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_matches": q_percolate_matches,
         "ir_metrics": q_ir_metrics,
         "rm3_expanded_topk": q_rm3_expanded,
+        "cms_counts": q_cms_counts,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -7362,6 +7428,7 @@ ORDER BY boosted DESC, doc_id LIMIT 10
         "percolate_matches": _percolate_sql(),
         "ir_metrics": _ir_metrics_sql(),
         "rm3_expanded_topk": _rm3_sql(),
+        "cms_counts": _cms_sql(),
     }
 
 

@@ -197,7 +197,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         # window)
         "trigram_substring", "trigram_regex", "mmr_rerank",
         "decay_boosted", "percolate_matches", "ir_metrics",
-        "rm3_expanded_topk",
+        "rm3_expanded_topk", "cms_counts",
     ]
     out = {}
     for name in headline:

@@ -671,3 +671,107 @@ def phrase_mining(
         .limit(k)
         .select("phrase", "cab", F.round("_s", 6).alias("score"))
     )
+
+
+# ----------------------------------------------------------- X117 CMS
+
+# Fixed 2-wise hash seeds for the CMS rows: h_j(x) = ((a_j·x + b_j)
+# mod P) mod width over the X77 polynomial token hash (P = 2^31-1, so
+# a·x stays inside a 64-bit long). Deterministic by design — a sketch
+# is only mergeable/replayable if every engine derives the same cells.
+CMS_A = (3, 5, 7, 13)
+CMS_B = (11, 17, 23, 29)
+
+
+def cms_sketch(
+    df: DataFrame,
+    depth: int = 3,
+    width: int = 1024,
+    term_col: str = "term",
+    count_col: str = "tf",
+) -> DataFrame:
+    """X117 — Count-Min sketch build (Cormode & Muthukrishnan,
+    J. Algorithms 2005): the fixed-size frequency summary every
+    streaming/telemetry pipeline keeps when the true (term → count)
+    relation is too big to materialize — ε = e/width overestimate with
+    probability 1−(1/e)^depth, NEVER an underestimate.
+
+    Input: one row per (term, partial count) — a tf relation works
+    as-is. The build is one narrow map (hash + explode over the depth
+    rows) + one (row, bucket)-keyed hash agg: the result is ≤
+    depth·width rows REGARDLESS of corpus size, which is the point —
+    at 100 TB the sketch is the only thing that crosses the wire, and
+    sketches of shards merge by cell-wise addition (the same groupBy).
+
+    Hashes are the seeded 2-wise family over the SQL-replicable
+    polynomial token hash (similarity._token_hash31) — deterministic,
+    so DuckDB replays every cell. Columns: (row, bucket, cnt).
+    """
+    from scrapix_spark.operators.similarity import HASH_MOD, _token_hash31
+
+    if not 1 <= depth <= len(CMS_A):
+        raise ValueError(f"depth must be in [1, {len(CMS_A)}]")
+    if width < 1:
+        raise ValueError("width must be >= 1")
+    a = F.element_at(
+        F.array(*[F.lit(v).cast("bigint") for v in CMS_A[:depth]]),
+        F.col("row") + 1,
+    )
+    b = F.element_at(
+        F.array(*[F.lit(v).cast("bigint") for v in CMS_B[:depth]]),
+        F.col("row") + 1,
+    )
+    rows = df.select(
+        _token_hash31(F.col(term_col)).alias("_x"),
+        F.col(count_col).cast("long").alias("_c"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(depth) - 1))
+        ).alias("row"),
+    )
+    bucket = ((a * F.col("_x") + b) % HASH_MOD) % F.lit(int(width))
+    return (
+        rows.withColumn("bucket", bucket)
+        .groupBy("row", "bucket")
+        .agg(F.sum("_c").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    depth: int = 3,
+    width: int = 1024,
+    term_col: str = "term",
+) -> DataFrame:
+    """Point-query the sketch: est(term) = min over rows of the term's
+    cell (an untouched cell counts 0). The sketch is ≤ depth·width
+    rows BY CONSTRUCTION, so it broadcasts into the probe relation;
+    the lookup is one equi-join on (row, bucket) + a per-term min agg.
+    Columns: (term, est)."""
+    from scrapix_spark.operators.similarity import HASH_MOD, _token_hash31
+
+    if not 1 <= depth <= len(CMS_A):
+        raise ValueError(f"depth must be in [1, {len(CMS_A)}]")
+    a = F.element_at(
+        F.array(*[F.lit(v).cast("bigint") for v in CMS_A[:depth]]),
+        F.col("row") + 1,
+    )
+    b = F.element_at(
+        F.array(*[F.lit(v).cast("bigint") for v in CMS_B[:depth]]),
+        F.col("row") + 1,
+    )
+    pe = probes.select(
+        F.col(term_col).alias("term"),
+        _token_hash31(F.col(term_col)).alias("_x"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(depth) - 1))
+        ).alias("row"),
+    ).withColumn(
+        "bucket", ((a * F.col("_x") + b) % HASH_MOD) % F.lit(int(width))
+    )
+    j = pe.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return (
+        j.groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+        .orderBy("term")
+    )

@@ -478,3 +478,72 @@ def test_rm3_validation(spark, rm3_corpus):
         rm3_topk(post, stats, n, avgdl, "apple", beta=-1.0)
     with pytest.raises(ValueError):
         rm3_topk(post, stats, n, avgdl, "...")
+
+
+# --------------------------------------------------------------- X117 CMS
+
+from scrapix_spark.operators.textstats import cms_estimate, cms_sketch  # noqa: E402
+
+CMS_COUNTS = {"alpha": 100, "beta": 40, "gamma": 7, "delta": 1,
+              "epsilon": 13, "zeta": 29}
+
+
+@pytest.fixture(scope="module")
+def cms_tf(spark):
+    # split counts over several rows to prove partial counts merge
+    rows = []
+    for t, c in CMS_COUNTS.items():
+        rows.append((t, c - c // 2))
+        rows.append((t, c // 2))
+    return spark.createDataFrame(
+        [(t, c) for t, c in rows if c > 0], "term string, tf long"
+    ).repartition(4).cache()
+
+
+def _probe(spark, terms):
+    return spark.createDataFrame([(t,) for t in terms], "term string")
+
+
+def test_cms_never_underestimates_under_heavy_collisions(spark, cms_tf):
+    sk = cms_sketch(cms_tf, depth=3, width=2)  # guaranteed collisions
+    est = {r.term: r.est for r in cms_estimate(
+        sk, _probe(spark, list(CMS_COUNTS)), depth=3, width=2).collect()}
+    for t, c in CMS_COUNTS.items():
+        assert est[t] >= c
+
+
+def test_cms_wide_sketch_is_exact(spark, cms_tf):
+    sk = cms_sketch(cms_tf, depth=3, width=1 << 20)
+    est = {r.term: r.est for r in cms_estimate(
+        sk, _probe(spark, list(CMS_COUNTS)), depth=3,
+        width=1 << 20).collect()}
+    assert est == CMS_COUNTS
+
+
+def test_cms_absent_term_overestimate_is_bounded_by_cells(spark, cms_tf):
+    sk = cms_sketch(cms_tf, depth=3, width=1 << 20)
+    est = cms_estimate(sk, _probe(spark, ["nosuchterm"]), depth=3,
+                       width=1 << 20).collect()
+    assert est[0].est == 0  # wide sketch → untouched cells
+
+
+def test_cms_partitioning_invariance(spark, cms_tf):
+    sk1 = cms_sketch(cms_tf.repartition(1), depth=2, width=8)
+    sk8 = cms_sketch(cms_tf.repartition(8), depth=2, width=8)
+    a = sorted((r.row, r.bucket, r.cnt) for r in sk1.collect())
+    b = sorted((r.row, r.bucket, r.cnt) for r in sk8.collect())
+    assert a == b
+
+
+def test_cms_sketch_size_is_bounded(spark, cms_tf):
+    sk = cms_sketch(cms_tf, depth=3, width=4)
+    assert sk.count() <= 12
+
+
+def test_cms_validation(spark, cms_tf):
+    with pytest.raises(ValueError):
+        cms_sketch(cms_tf, depth=0)
+    with pytest.raises(ValueError):
+        cms_sketch(cms_tf, depth=99)
+    with pytest.raises(ValueError):
+        cms_sketch(cms_tf, width=0)
