@@ -4274,6 +4274,58 @@ ORDER BY term
 """
 
 
+def _gendiff_roots(spark, sf_dir) -> tuple[str, str]:
+    """X118 fixture (cached per sf_dir): g1 = build over doc_id<300,
+    snapshot A pins g1; g2 = delta_update with a NEW FULL SNAPSHOT of
+    doc_id<350 where 250-299 carry ' v2' content; g3 = delete lang=zh.
+    Diff(A, live) must show exactly: non-zh 300-349 added, non-zh
+    250-299 changed, zh <300 removed."""
+    import re as _re
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import (as_of, build_index,
+                                               delete_by_filter,
+                                               delta_update)
+
+    base = "/tmp/entry_gdiff_" + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    idx, snap = base + "_idx", base + "_snapA"
+    if not os.path.exists(os.path.join(snap, "_CURRENT")):
+        raw1 = _entry_raw(spark, sf_dir).filter("CAST(path AS INT) < 300")
+        build_index(
+            spark, raw1, idx,
+            IndexConfig(index_uid="gdiff", n_shards=8,
+                        exclude_paginated=False),
+            build_id="g1", source_desc=sf_dir,
+        )
+        as_of(idx, "g1", snap)
+        d = _docs(spark, sf_dir).filter("doc_id < 350")
+        chg = (F.col("doc_id") >= 250) & (F.col("doc_id") < 300)
+        raw2 = d.select(
+            F.col("source").alias("repo"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("path"),
+            F.when(chg, F.lit("c1")).otherwise(F.lit("c0")).alias("commit"),
+            F.col("lang"),
+            F.when(chg, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")).alias("content"),
+        )
+        delta_update(spark, raw2, idx, build_id="g2")
+        delete_by_filter(spark, idx, "lang IN [zh]", build_id="g3")
+    return snap, idx
+
+
+def q_generation_diff(spark, sf_dir):
+    """X118 — Iceberg-style generation diff (added/removed/changed by
+    content sha256, keyed by the (repo, path) document identity)
+    between an as_of(g1) snapshot and the live root after a delta
+    update + a delete-by-filter. The oracle derives both live sets
+    from the documents table and replays the sha256 full-join.
+    operators/index.py generation_diff."""
+    from scrapix_spark.operators.index import generation_diff
+
+    snap, idx = _gendiff_roots(spark, sf_dir)
+    return generation_diff(spark, snap, idx)
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -4366,6 +4418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_metrics": q_ir_metrics,
         "rm3_expanded_topk": q_rm3_expanded,
         "cms_counts": q_cms_counts,
+        "generation_diff": q_generation_diff,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -7429,6 +7482,26 @@ ORDER BY boosted DESC, doc_id LIMIT 10
         "ir_metrics": _ir_metrics_sql(),
         "rm3_expanded_topk": _rm3_sql(),
         "cms_counts": _cms_sql(),
+        "generation_diff": """
+WITH a AS (SELECT source AS repo,
+             lpad(CAST(doc_id AS VARCHAR), 8, '0') AS path,
+             sha256(text) AS sha_a
+           FROM documents WHERE doc_id < 300),
+b AS (SELECT source AS repo,
+        lpad(CAST(doc_id AS VARCHAR), 8, '0') AS path,
+        sha256(CASE WHEN doc_id >= 250 AND doc_id < 300
+               THEN text || ' v2' ELSE text END) AS sha_b
+      FROM documents WHERE doc_id < 350 AND lang <> 'zh'),
+j AS (SELECT coalesce(a.repo, b.repo) AS repo,
+             coalesce(a.path, b.path) AS path, sha_a, sha_b
+      FROM a FULL JOIN b ON a.repo = b.repo AND a.path = b.path)
+SELECT CASE WHEN sha_a IS NULL THEN 'added'
+            WHEN sha_b IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       repo, path, sha_a, sha_b
+FROM j WHERE sha_a IS NULL OR sha_b IS NULL OR sha_a <> sha_b
+ORDER BY change, repo, path
+""",
     }
 
 

@@ -149,6 +149,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
     E._auto_compact_index(spark, sf_dir)
     E._heartbeat_file(spark, sf_dir)
     E._timetravel_snapshot(spark, sf_dir)
+    E._gendiff_roots(spark, sf_dir)
     qs = E.queries()
     headline = [
         "tokenize_tf", "term_df", "bm25_topk", "ranked_union_topk",
@@ -197,7 +198,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         # window)
         "trigram_substring", "trigram_regex", "mmr_rerank",
         "decay_boosted", "percolate_matches", "ir_metrics",
-        "rm3_expanded_topk", "cms_counts",
+        "rm3_expanded_topk", "cms_counts", "generation_diff",
     ]
     out = {}
     for name in headline:

@@ -1705,3 +1705,54 @@ def edit_by_function(
         spark, index_dir, meta_old, cfg, delta_raw, dead,
         build_id, source_desc or f"edit_by_function:{sorted(edits)}", t0,
     )
+
+
+def generation_diff(
+    spark: SparkSession, root_a: str, root_b: str
+) -> DataFrame:
+    """X118 — snapshot diff between two served index roots (live roots
+    or `as_of()` pointer snapshots): which documents were ADDED,
+    REMOVED or CHANGED (content sha256) between generation A and
+    generation B — the Iceberg-style changelog a downstream consumer
+    needs to sync incrementally off the LSM chain instead of
+    re-reading the whole index per generation.
+
+    The live set of each root is the same definition every reader
+    uses: layered docs minus tombstones. The diff is ONE full outer
+    join on the (repo, path) document identity key (doc_id and commit
+    may differ freely across generations — identity is the file):
+      added   = key only in B
+      removed = key only in A
+      changed = key in both, sha256 differs
+    Unchanged rows drop out of the result entirely.
+
+    Scale: two layered parquet scans pruned to 4 columns + one shuffle
+    on the identity key; no collects, no windows. Columns:
+    (change, repo, path, sha_a, sha_b) ordered.
+    """
+
+    def _live(root: str) -> DataFrame:
+        d = read_docs(spark, root).select(
+            "doc_id", "repo", "path", "sha256"
+        )
+        if load_meta(root).get("tombstone_dirs"):
+            d = d.join(
+                read_tombstones(spark, root), "doc_id", "left_anti"
+            )
+        return d.select("repo", "path", "sha256")
+
+    a = _live(root_a).withColumnRenamed("sha256", "sha_a")
+    b = _live(root_b).withColumnRenamed("sha256", "sha_b")
+    j = a.join(b, ["repo", "path"], "outer")
+    return (
+        j.withColumn(
+            "change",
+            F.when(F.col("sha_a").isNull(), F.lit("added"))
+            .when(F.col("sha_b").isNull(), F.lit("removed"))
+            .when(F.col("sha_a") != F.col("sha_b"), F.lit("changed"))
+            .otherwise(F.lit("unchanged")),
+        )
+        .filter(F.col("change") != "unchanged")
+        .select("change", "repo", "path", "sha_a", "sha_b")
+        .orderBy("change", "repo", "path")
+    )

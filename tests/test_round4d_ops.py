@@ -547,3 +547,54 @@ def test_cms_validation(spark, cms_tf):
         cms_sketch(cms_tf, depth=99)
     with pytest.raises(ValueError):
         cms_sketch(cms_tf, width=0)
+
+
+# ------------------------------------------------------ X118 generation diff
+
+from scrapix_spark.config import IndexConfig  # noqa: E402
+from scrapix_spark.operators.index import (  # noqa: E402
+    as_of,
+    build_index,
+    delete_by_filter,
+    delta_update,
+    generation_diff,
+)
+
+
+def _raw_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+
+
+def test_generation_diff_lifecycle(spark, tmp_path):
+    idx, snap = str(tmp_path / "idx"), str(tmp_path / "snap")
+    rows1 = [("r", f"f{i}", "c0", "py" if i % 2 else "js",
+              f"alpha beta doc {i}") for i in range(6)]
+    build_index(spark, _raw_rows(spark, rows1), idx,
+                IndexConfig(index_uid="gd", n_shards=2,
+                            exclude_paginated=False), build_id="g1")
+    as_of(idx, "g1", snap)
+    rows2 = []
+    for i in range(6):
+        chg = i in (1, 2)
+        rows2.append(("r", f"f{i}", "c1" if chg else "c0",
+                      "py" if i % 2 else "js",
+                      f"alpha beta doc {i}" + (" v2" if chg else "")))
+    rows2.append(("r", "f9", "c0", "py", "brand new doc nine"))
+    delta_update(spark, _raw_rows(spark, rows2), idx, build_id="g2")
+    delete_by_filter(spark, idx, "lang IN [js]", build_id="g3")
+
+    diff = generation_diff(spark, snap, idx).collect()
+    got = {(r.change, r.path) for r in diff}
+    # js docs are even ids (f0, f2, f4); f2 was changed then deleted
+    assert got == {("added", "f9"), ("changed", "f1"),
+                   ("removed", "f0"), ("removed", "f2"),
+                   ("removed", "f4")}
+    by_path = {r.path: r for r in diff}
+    assert by_path["f9"].sha_a is None and by_path["f9"].sha_b
+    assert by_path["f0"].sha_b is None and by_path["f0"].sha_a
+    assert by_path["f1"].sha_a and by_path["f1"].sha_b
+    assert by_path["f1"].sha_a != by_path["f1"].sha_b
+    # identical roots diff to nothing
+    assert generation_diff(spark, snap, snap).count() == 0
