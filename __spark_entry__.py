@@ -4326,6 +4326,66 @@ def q_generation_diff(spark, sf_dir):
     return generation_diff(spark, snap, idx)
 
 
+_SPAN_WS = (8, 13)
+
+
+def q_mask_spans_multi(spark, sf_dir):
+    """X119 — multi-width exact-substring dedup in one shared scan
+    (union of per-width coverage masks, each width keeps its own
+    globally-first occurrence): widths 8 and 13 over the planted
+    license-block corpus, so sub-13-token repeats the single-width
+    gate misses are now masked. curation.mask_repeated_spans_multi."""
+    from scrapix_spark.operators import curation as CU
+
+    src = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SPAN_SRC_SQL).alias("t2")
+    )
+    return CU.mask_repeated_spans_multi(
+        src, "t2", "doc_id", ws=_SPAN_WS
+    )
+
+
+def _mask_multi_sql() -> str:
+    wvals = ", ".join(f"({w})" for w in _SPAN_WS)
+    return f"""
+WITH src AS (SELECT doc_id, {_SPAN_SRC_SQL} AS t2 FROM documents),
+tn AS (SELECT doc_id,
+              list_filter(string_split_regex(t2, '\\s+'), x -> x <> '') AS t
+       FROM src),
+tl AS (SELECT doc_id, t, len(t) AS n_tokens FROM tn),
+wv(w) AS (VALUES {wvals}),
+occ0 AS (SELECT doc_id, wv.w,
+    [struct_pack(pos := i - 1,
+                 gram := array_to_string(t[i:i + wv.w - 1], ' '))
+     FOR i IN generate_series(1, len(t) - wv.w + 1)] AS ws
+  FROM tl CROSS JOIN wv),
+occ AS (SELECT doc_id, w, u.pos AS pos, u.gram AS gram
+        FROM (SELECT doc_id, w, unnest(ws) AS u FROM occ0)),
+rk AS (SELECT doc_id, w, pos,
+              count(*) OVER (PARTITION BY w, gram) AS cnt,
+              row_number() OVER (PARTITION BY w, gram
+                                 ORDER BY doc_id, pos) AS r
+       FROM occ),
+covered AS (SELECT DISTINCT doc_id,
+                   unnest(generate_series(pos, pos + w - 1)) AS tpos
+            FROM rk WHERE cnt >= 2 AND r >= 2),
+flat AS (SELECT doc_id, n_tokens, unnest(t) AS tok,
+                unnest(generate_series(1, len(t))) - 1 AS tpos
+         FROM tl),
+kept AS (SELECT f.doc_id, f.tok, f.tpos
+         FROM flat f LEFT JOIN covered c
+         ON c.doc_id = f.doc_id AND c.tpos = f.tpos
+         WHERE c.doc_id IS NULL),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+               count(*) AS kept_n
+        FROM kept GROUP BY doc_id)
+SELECT tl.doc_id AS id, coalesce(a.clean_text, '') AS clean_text,
+       tl.n_tokens::BIGINT AS n_tokens,
+       (tl.n_tokens - coalesce(a.kept_n, 0))::BIGINT AS n_masked
+FROM tl LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -4419,6 +4479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rm3_expanded_topk": q_rm3_expanded,
         "cms_counts": q_cms_counts,
         "generation_diff": q_generation_diff,
+        "mask_spans_multi": q_mask_spans_multi,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -7502,6 +7563,7 @@ SELECT CASE WHEN sha_a IS NULL THEN 'added'
 FROM j WHERE sha_a IS NULL OR sha_b IS NULL OR sha_a <> sha_b
 ORDER BY change, repo, path
 """,
+        "mask_spans_multi": _mask_multi_sql(),
     }
 
 

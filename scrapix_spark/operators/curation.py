@@ -244,51 +244,106 @@ def mask_repeated_spans(
     >= w tokens is still fully masked (its windows all repeat), so
     recall on spans >= w tokens matches the paper; duplicated spans
     SHORTER than w tokens are missed entirely — that is the recall
-    delta, quantified by a pytest on the fixture corpus. Run a second
-    pass with smaller `w` to trade precision for short-span recall."""
+    delta, quantified by a pytest on the fixture corpus. Run
+    `mask_repeated_spans_multi` (X119) to close short-span recall with
+    several widths in one shared scan."""
+    return _mask_spans(df, text_col, id_col, [int(w)], min_count,
+                       hash_keys)
+
+
+def mask_repeated_spans_multi(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ws: tuple[int, ...] | list[int] = (13, 25, 50),
+    min_count: int = 2,
+    hash_keys: bool = True,
+) -> DataFrame:
+    """X119 — multi-width exact-substring dedup in ONE shared scan:
+    the union of the single-width coverage masks for every w in `ws`
+    (each width keeps its own globally-first occurrence), closing the
+    fixed-w recall gap documented on `mask_repeated_spans`: duplicated
+    spans >= min(ws) tokens are now masked, at the precision of the
+    width that catches them.
+
+    Semantics: EXACTLY equal to intersecting the kept-token sets of
+    independent single-w runs (order-free, deterministic) — NOT a
+    sequential multi-pass, whose position shifts would make the result
+    depend on pass order.
+
+    Plan: documents tokenize ONCE; occurrences for every width emit
+    from one two-level explode (rows ≈ |ws|·corpus windows) and move
+    through ONE (w, gram)-keyed exchange for the count/rank; coverage,
+    reassembly and the id-keyed restore are shared verbatim with the
+    single-width operator. Columns: (id, clean_text, n_tokens,
+    n_masked)."""
+    ws_list = sorted({int(w) for w in ws})
+    if not ws_list or ws_list[0] < 2:
+        raise ValueError("ws must contain widths >= 2")
+    return _mask_spans(df, text_col, id_col, ws_list, min_count,
+                       hash_keys)
+
+
+def _mask_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ws: list[int],
+    min_count: int,
+    hash_keys: bool,
+) -> DataFrame:
     txt = F.coalesce(F.col(text_col), F.lit(""))
     toks = df.select(
         F.col(id_col).alias("id"),
         F.filter(F.split(txt, r"\s+"), lambda t: t != F.lit("")).alias("t"),
     )
     toks = toks.withColumn("n_tokens", F.size("t"))
+    wdf = toks.withColumn(
+        "w", F.explode(F.array(*[F.lit(int(w)) for w in ws]))
+    )
     idxs = F.when(
-        F.col("n_tokens") >= w, F.sequence(F.lit(0), F.col("n_tokens") - w)
+        F.col("n_tokens") >= F.col("w"),
+        F.sequence(F.lit(0), F.col("n_tokens") - F.col("w")),
     ).otherwise(F.array().cast("array<int>"))
-    occ = toks.select(
+    occ = wdf.select(
         "id",
+        "w",
         F.explode(
             F.transform(
                 idxs,
                 lambda i: F.struct(
                     i.alias("pos"),
-                    F.array_join(F.slice("t", i + 1, w), " ").alias("gram"),
+                    F.array_join(
+                        F.slice("t", i + 1, F.col("w")), " "
+                    ).alias("gram"),
                 ),
             )
         ).alias("o"),
-    ).select("id", "o.pos", "o.gram")
+    ).select("id", "w", "o.pos", "o.gram")
     if hash_keys:
         # 100 TB path: shuffle 64-bit gram hashes, never the gram text,
         # and drop sub-min_count grams before the rank window. The
-        # semi-join hash-partitions occ by gram; the window reuses it.
-        occ = occ.select("id", "pos", F.xxhash64("gram").alias("gram"))
+        # semi-join hash-partitions occ by (w, gram); the window reuses
+        # it. (w in the key: hashed grams of different widths could
+        # collide; gram strings of different widths never do.)
+        occ = occ.select("id", "w", "pos", F.xxhash64("gram").alias("gram"))
         hot = (
-            occ.groupBy("gram")
+            occ.groupBy("w", "gram")
             .agg(F.count("*").alias("_cnt"))
             .filter(F.col("_cnt") >= min_count)
-            .select("gram")
+            .select("w", "gram")
         )
-        worder = Window.partitionBy("gram").orderBy(
+        worder = Window.partitionBy("w", "gram").orderBy(
             F.col("id").asc(), F.col("pos").asc()
         )
         masked = (
-            occ.join(hot, "gram", "left_semi")
+            occ.join(hot, ["w", "gram"], "left_semi")
             .withColumn("rk", F.row_number().over(worder))
             .filter(F.col("rk") >= 2)
         )
     else:
-        wspec = Window.partitionBy("gram")
-        worder = Window.partitionBy("gram").orderBy(
+        wspec = Window.partitionBy("w", "gram")
+        worder = Window.partitionBy("w", "gram").orderBy(
             F.col("id").asc(), F.col("pos").asc()
         )
         masked = (
@@ -299,7 +354,7 @@ def mask_repeated_spans(
     covered = masked.select(
         "id",
         F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1))
+            F.sequence(F.col("pos"), F.col("pos") + F.col("w") - 1)
         ).alias("tpos"),
     ).distinct()
     flat = toks.select(

@@ -598,3 +598,76 @@ def test_generation_diff_lifecycle(spark, tmp_path):
     assert by_path["f1"].sha_a != by_path["f1"].sha_b
     # identical roots diff to nothing
     assert generation_diff(spark, snap, snap).count() == 0
+
+
+# ------------------------------------------------- X119 multi-width masking
+
+from scrapix_spark.operators.curation import (  # noqa: E402
+    mask_repeated_spans,
+    mask_repeated_spans_multi,
+)
+
+SPAN_DOCS = [
+    # 5-token duplicated block in docs 0/1; 3-token dup in docs 2/3
+    (0, "aa bb cc dd ee xx yy"),
+    (1, "zz aa bb cc dd ee qq"),
+    (2, "pp qq rr s1 s2"),
+    (3, "s3 pp qq rr s4"),
+    (4, "u1 u2 u3 u4 u5"),
+]
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    return spark.createDataFrame(SPAN_DOCS, "doc_id long, txt string").cache()
+
+
+def test_multi_equals_union_of_single_width_masks(spark, span_docs):
+    def kept(df_out):
+        return {r.id: r.clean_text.split() if r.clean_text else []
+                for r in df_out.collect()}
+
+    k3 = kept(mask_repeated_spans(span_docs, "txt", "doc_id", w=3))
+    k5 = kept(mask_repeated_spans(span_docs, "txt", "doc_id", w=5))
+    multi = kept(mask_repeated_spans_multi(span_docs, "txt", "doc_id",
+                                           ws=(3, 5)))
+    for i, text in SPAN_DOCS:
+        toks = text.split()
+        want = [t for j, t in enumerate(toks)
+                if t in set(k3[i]) and t in set(k5[i])]
+        # token identity is positional here because all tokens are
+        # unique within a doc in this fixture
+        assert multi[i] == [t for t in toks
+                            if t in set(k3[i]) and t in set(k5[i])], i
+        assert want == multi[i]
+
+
+def test_multi_catches_short_span_single_w_misses(spark, span_docs):
+    wide = mask_repeated_spans(span_docs, "txt", "doc_id", w=5)
+    n5 = {r.id: r.n_masked for r in wide.collect()}
+    assert n5[3] == 0  # the 3-token dup is invisible at w=5
+    multi = mask_repeated_spans_multi(span_docs, "txt", "doc_id", ws=(3, 5))
+    nm = {r.id: r.n_masked for r in multi.collect()}
+    assert nm[3] == 3  # 'pp qq rr' masked (doc 2 keeps the first)
+    assert nm[2] == 0
+    assert nm[1] == 5  # the 5-token block (doc 0 keeps the first)
+    assert nm[4] == 0
+
+
+def test_multi_hash_keys_parity(spark, span_docs):
+    a = mask_repeated_spans_multi(span_docs, "txt", "doc_id",
+                                  ws=(3, 5), hash_keys=True)
+    b = mask_repeated_spans_multi(span_docs, "txt", "doc_id",
+                                  ws=(3, 5), hash_keys=False)
+    ra = sorted((r.id, r.clean_text, r.n_tokens, r.n_masked)
+                for r in a.collect())
+    rb = sorted((r.id, r.clean_text, r.n_tokens, r.n_masked)
+                for r in b.collect())
+    assert ra == rb
+
+
+def test_multi_validation(spark, span_docs):
+    with pytest.raises(ValueError):
+        mask_repeated_spans_multi(span_docs, "txt", "doc_id", ws=())
+    with pytest.raises(ValueError):
+        mask_repeated_spans_multi(span_docs, "txt", "doc_id", ws=(1, 5))
