@@ -4386,6 +4386,41 @@ FROM tl LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_dict_frontcode(spark, sf_dir):
+    """X120 — front-coded term dictionary round-trip over the corpus
+    vocabulary: leader-relative (lcp, suffix) encode in 2-char prefix
+    groups, decode = one gid join + concat; the emitted `term` column
+    proves decode ≡ original vocabulary. operators/codec.py
+    frontcode_terms/decode_frontcoded."""
+    from scrapix_spark.operators.codec import (decode_frontcoded,
+                                               frontcode_terms)
+
+    vocab = _postings(spark, sf_dir).select("term").distinct()
+    return decode_frontcoded(frontcode_terms(vocab)).orderBy("gid", "rn")
+
+
+_FC_SQL = """
+WITH tok AS (SELECT unnest({tok}) AS term FROM documents),
+v AS (SELECT DISTINCT term FROM tok),
+g AS (SELECT term, substr(term, 1, 2) AS gid FROM v),
+r AS (SELECT term, gid,
+        row_number() OVER (PARTITION BY gid ORDER BY term) AS rn,
+        min(term) OVER (PARTITION BY gid) AS leader
+      FROM g),
+e AS (SELECT gid, rn,
+        CASE WHEN rn = 1 THEN 0 ELSE coalesce(list_sum(list_transform(
+          range(1, least(len(term), len(leader)) + 1),
+          i -> CASE WHEN substr(term, 1, i::INT) = substr(leader, 1, i::INT)
+               THEN 1 ELSE 0 END)), 0) END AS lcp,
+        term, leader
+      FROM r)
+SELECT gid, rn, lcp::INT AS lcp,
+       substr(term, lcp::INT + 1) AS suffix,
+       substr(leader, 1, lcp::INT) || substr(term, lcp::INT + 1) AS term
+FROM e ORDER BY gid, rn
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -4480,6 +4515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "generation_diff": q_generation_diff,
         "mask_spans_multi": q_mask_spans_multi,
+        "dict_frontcode": q_dict_frontcode,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -7564,6 +7600,7 @@ FROM j WHERE sha_a IS NULL OR sha_b IS NULL OR sha_a <> sha_b
 ORDER BY change, repo, path
 """,
         "mask_spans_multi": _mask_multi_sql(),
+        "dict_frontcode": _FC_SQL.format(tok=TOK_EXPR("text")),
     }
 
 

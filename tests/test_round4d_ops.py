@@ -671,3 +671,51 @@ def test_multi_validation(spark, span_docs):
         mask_repeated_spans_multi(span_docs, "txt", "doc_id", ws=())
     with pytest.raises(ValueError):
         mask_repeated_spans_multi(span_docs, "txt", "doc_id", ws=(1, 5))
+
+
+# ------------------------------------------------ X120 front-coded dict
+
+from scrapix_spark.operators.codec import decode_frontcoded, frontcode_terms  # noqa: E402
+
+FC_TERMS = ["merge", "merged", "merges", "mars", "apple", "apples",
+            "ap", "x", "merge"]  # duplicate on purpose
+
+
+@pytest.fixture(scope="module")
+def fc_dict(spark):
+    return spark.createDataFrame([(t,) for t in FC_TERMS], "term string")
+
+
+def test_frontcode_roundtrip_identity(spark, fc_dict):
+    enc = frontcode_terms(fc_dict, prefix_len=2)
+    dec = decode_frontcoded(enc)
+    got = sorted(r.term for r in dec.collect())
+    assert got == sorted(set(FC_TERMS))
+
+
+def test_frontcode_saves_prefix_chars(spark, fc_dict):
+    enc = frontcode_terms(fc_dict, prefix_len=2).collect()
+    by = {(r.gid, r.rn): r for r in enc}
+    # group 'me' sorted: mars? no — 'ma' vs 'me' differ; group 'me':
+    # merge (leader), merged, merges
+    assert by[("me", 1)].lcp == 0 and by[("me", 1)].suffix == "merge"
+    assert by[("me", 2)].lcp == 5 and by[("me", 2)].suffix == "d"
+    assert by[("me", 3)].lcp == 5 and by[("me", 3)].suffix == "s"
+    # 'ap' group: ap (leader), apple, apples
+    assert by[("ap", 1)].suffix == "ap"
+    assert by[("ap", 2)].lcp == 2 and by[("ap", 2)].suffix == "ple"
+    assert by[("ap", 3)].lcp == 2 and by[("ap", 3)].suffix == "ples"
+    # short term shorter than prefix_len forms its own group
+    assert by[("x", 1)].suffix == "x"
+    total_saved = sum(r.lcp for r in enc)
+    assert total_saved > 0
+
+
+def test_frontcode_dedups_terms(spark, fc_dict):
+    enc = frontcode_terms(fc_dict, prefix_len=2)
+    assert enc.count() == len(set(FC_TERMS))
+
+
+def test_frontcode_validation(spark, fc_dict):
+    with pytest.raises(ValueError):
+        frontcode_terms(fc_dict, prefix_len=0)
