@@ -4421,6 +4421,57 @@ FROM e ORDER BY gid, rn
 """
 
 
+def q_sb_trigram(spark, sf_dir):
+    """X121 — Stupid Backoff trigram scoring (Brants et al., EMNLP
+    2007 §4): counts trained on doc_id<250, scores on the held-out
+    slice so the backoff chain genuinely exercises (unseen trigrams/
+    bigrams/unigrams all occur). operators/textstats.py
+    train_trigram_lm/stupid_backoff_scores."""
+    train = _docs(spark, sf_dir).filter("doc_id < 250")
+    score = _docs(spark, sf_dir).filter("doc_id >= 250")
+    lm = TS.train_trigram_lm(train)
+    return TS.stupid_backoff_scores(score, lm=lm).orderBy("doc_id")
+
+
+def _sb_sql(alpha: float = 0.4) -> str:
+    tok = TOK_EXPR("text")
+    a1, a2 = float(alpha), float(alpha) * float(alpha)
+    return f"""
+WITH tr AS (SELECT {tok} AS t FROM documents WHERE doc_id < 250),
+uni AS (SELECT u AS w, count(*)::BIGINT AS c1
+        FROM (SELECT unnest(t) AS u FROM tr) GROUP BY u),
+bi AS (SELECT t[i] AS w1, t[i+1] AS w2, count(*)::BIGINT AS c2
+       FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+             FROM tr) GROUP BY 1, 2),
+tri AS (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3,
+               count(*)::BIGINT AS c3
+        FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i
+              FROM tr) GROUP BY 1, 2, 3),
+tot AS (SELECT sum(c1)::BIGINT AS t_tokens FROM uni),
+sc AS (SELECT doc_id, {tok} AS t FROM documents WHERE doc_id >= 250),
+trp AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 2)) AS i
+              FROM sc)),
+j AS (SELECT p.doc_id,
+        ln(CASE WHEN tri.c3 IS NOT NULL THEN tri.c3 / bp.c2
+                WHEN b2.c2 IS NOT NULL THEN {a1!r} * (b2.c2 / u2.c1)
+                WHEN u3.c1 IS NOT NULL
+                  THEN {a2!r} * (u3.c1 / tot.t_tokens)
+                ELSE {a2!r} * (0.5 / tot.t_tokens) END) AS logs
+      FROM trp p
+      LEFT JOIN tri ON tri.w1 = p.w1 AND tri.w2 = p.w2 AND tri.w3 = p.w3
+      LEFT JOIN bi bp ON bp.w1 = p.w1 AND bp.w2 = p.w2
+      LEFT JOIN bi b2 ON b2.w1 = p.w2 AND b2.w2 = p.w3
+      LEFT JOIN uni u2 ON u2.w = p.w2
+      LEFT JOIN uni u3 ON u3.w = p.w3
+      CROSS JOIN tot)
+SELECT doc_id, count(*)::BIGINT AS n_scored,
+       round(avg(logs), 6) AS avg_logs
+FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -4516,6 +4567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generation_diff": q_generation_diff,
         "mask_spans_multi": q_mask_spans_multi,
         "dict_frontcode": q_dict_frontcode,
+        "sb_trigram_scores": q_sb_trigram,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -7601,6 +7653,7 @@ ORDER BY change, repo, path
 """,
         "mask_spans_multi": _mask_multi_sql(),
         "dict_frontcode": _FC_SQL.format(tok=TOK_EXPR("text")),
+        "sb_trigram_scores": _sb_sql(),
     }
 
 

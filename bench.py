@@ -199,7 +199,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "trigram_substring", "trigram_regex", "mmr_rerank",
         "decay_boosted", "percolate_matches", "ir_metrics",
         "rm3_expanded_topk", "cms_counts", "generation_diff",
-        "mask_spans_multi", "dict_frontcode",
+        "mask_spans_multi", "dict_frontcode", "sb_trigram_scores",
     ]
     out = {}
     for name in headline:

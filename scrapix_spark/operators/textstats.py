@@ -775,3 +775,147 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
         .orderBy("term")
     )
+
+
+# -------------------------------------------- X121 stupid-backoff trigram
+
+def train_trigram_lm(
+    df: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """X121 counts: (unigrams, bigrams, trigrams, totals) over the
+    training slice — three hash aggregations with map-side combine; the
+    shuffled keys are n-grams, never documents (the X51 discipline one
+    order higher). n-gram assembly is an in-array zip of shifted
+    slices: zero shuffles before the count."""
+    toks = df.select(tokens_native(F.col(text_col)).alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c1"))
+    )
+    n1 = F.greatest(F.size("ts") - 1, F.lit(0))
+    bi = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("ts", 1, n1), F.slice("ts", 2, n1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    )
+    n2 = F.greatest(F.size("ts") - 2, F.lit(0))
+    tri = (
+        toks.select(
+            F.arrays_zip(
+                F.slice("ts", 1, n2).alias("w1"),
+                F.slice("ts", 2, n2).alias("w2"),
+                F.slice("ts", 3, n2).alias("w3"),
+            ).alias("z")
+        )
+        .select(F.explode("z").alias("p"))
+        .select("p.w1", "p.w2", "p.w3")
+        .groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    )
+    totals = uni.agg(F.sum("c1").alias("t_tokens"))
+    return uni, bi, tri, totals
+
+
+def stupid_backoff_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm: tuple[DataFrame, DataFrame, DataFrame, DataFrame] | None = None,
+    alpha: float = 0.4,
+    broadcast_limit: int = 2_000_000,
+) -> DataFrame:
+    """X121 — Stupid Backoff trigram scoring (Brants, Popat, Xu, Och &
+    Dean, EMNLP 2007 §4: the non-normalized backoff score Google built
+    web-scale LMs with precisely BECAUSE it needs only raw counts — no
+    discount estimation — making it the n-gram quality signal that
+    actually distributes):
+
+        S(w3|w1w2) = c(w1w2w3)/c(w1w2)           if the trigram is seen
+                   = α·c(w2w3)/c(w2)             else if the bigram is
+                   = α²·c(w3)/T                  else if the unigram is
+                   = α²·(0.5/T)                  else (OOV floor: half
+                                                  a count — S must stay
+                                                  > 0 to log)
+
+    Per-doc score = mean ln S over positions 3..n (docs with < 3
+    tokens are omitted). Train on one slice, score another, and the
+    backoff chain actually exercises (the X51 self-scoring setup never
+    leaves the top level).
+
+    Plan: trigram assembly is the in-array zip (no shuffle); scoring
+    is five key-equi LEFT joins (tri, both bigram roles, both unigram
+    roles) against count relations that broadcast only under a counted
+    threshold, then one id-keyed avg. Columns: (id_col, n_scored,
+    avg_logs rounded 6)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    uni, bi, tri, totals = (
+        lm if lm is not None else train_trigram_lm(df, text_col)
+    )
+    uni = uni.persist()
+    bi = bi.persist()
+    tri = tri.persist()
+    uni_j = F.broadcast(uni) if uni.count() <= broadcast_limit else uni
+    bi_j = F.broadcast(bi) if bi.count() <= broadcast_limit else bi
+    tri_j = F.broadcast(tri) if tri.count() <= broadcast_limit else tri
+    tot = F.broadcast(totals)
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        tokens_native(F.col(text_col)).alias("ts"),
+    ).filter(F.size("ts") >= 3)
+    n2 = F.size("ts") - 2
+    triples = toks.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("ts", 1, n2).alias("w1"),
+                F.slice("ts", 2, n2).alias("w2"),
+                F.slice("ts", 3, n2).alias("w3"),
+            )
+        ).alias("p"),
+    ).select("id", "p.w1", "p.w2", "p.w3")
+    a1 = float(alpha)
+    a2 = a1 * a1
+    scored = (
+        triples
+        .join(tri_j, ["w1", "w2", "w3"], "left")
+        .join(bi_j.select("w1", "w2", F.col("c2").alias("c2p")),
+              ["w1", "w2"], "left")
+        .join(
+            bi_j.select(F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                        F.col("c2").alias("c23")),
+            ["w2", "w3"], "left",
+        )
+        .join(uni_j.select(F.col("w").alias("w2"),
+                           F.col("c1").alias("c1w2")), "w2", "left")
+        .join(uni_j.select(F.col("w").alias("w3"),
+                           F.col("c1").alias("c1w3")), "w3", "left")
+        .crossJoin(tot)
+        .withColumn(
+            "logs",
+            F.log(
+                F.when(F.col("c3").isNotNull(),
+                       F.col("c3") / F.col("c2p"))
+                .when(F.col("c23").isNotNull(),
+                      F.lit(a1) * (F.col("c23") / F.col("c1w2")))
+                .when(F.col("c1w3").isNotNull(),
+                      F.lit(a2) * (F.col("c1w3") / F.col("t_tokens")))
+                .otherwise(F.lit(a2) * (F.lit(0.5) / F.col("t_tokens")))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.round(F.avg("logs"), 6).alias("avg_logs"),
+        )
+        .select(F.col("id").alias(id_col), "n_scored", "avg_logs")
+    )

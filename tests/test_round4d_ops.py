@@ -719,3 +719,83 @@ def test_frontcode_dedups_terms(spark, fc_dict):
 def test_frontcode_validation(spark, fc_dict):
     with pytest.raises(ValueError):
         frontcode_terms(fc_dict, prefix_len=0)
+
+
+# ---------------------------------------------- X121 stupid backoff LM
+
+from scrapix_spark.operators.textstats import (  # noqa: E402
+    stupid_backoff_scores,
+    train_trigram_lm,
+)
+
+SB_TRAIN = [
+    (0, "a b c d"),
+    (1, "a b c"),
+    (2, "b c e"),
+    (3, "f g"),
+]
+SB_SCORE = [
+    (10, "a b c"),      # trigram seen
+    (11, "x b c"),      # tri unseen, bigram (b,c) seen
+    (12, "x y c"),      # only unigram c seen
+    (13, "x y zqq"),    # full OOV
+    (14, "a b"),        # too short -> omitted
+]
+
+
+def _py_sb(train_texts, text, alpha=0.4):
+    uni, bi, tri = {}, {}, {}
+    T = 0
+    for t in train_texts:
+        ws = t.split()
+        T += len(ws)
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+        for a, b, c in zip(ws, ws[1:], ws[2:]):
+            tri[(a, b, c)] = tri.get((a, b, c), 0) + 1
+    ws = text.split()
+    logs = []
+    for w1, w2, w3 in zip(ws, ws[1:], ws[2:]):
+        if (w1, w2, w3) in tri:
+            s = tri[(w1, w2, w3)] / bi[(w1, w2)]
+        elif (w2, w3) in bi:
+            s = alpha * bi[(w2, w3)] / uni[w2]
+        elif w3 in uni:
+            s = alpha * alpha * uni[w3] / T
+        else:
+            s = alpha * alpha * (0.5 / T)
+        logs.append(math.log(s))
+    return sum(logs) / len(logs) if logs else None
+
+
+def test_stupid_backoff_matches_reference(spark):
+    train = spark.createDataFrame(SB_TRAIN, "doc_id long, text string")
+    score = spark.createDataFrame(SB_SCORE, "doc_id long, text string")
+    lm = train_trigram_lm(train)
+    got = {r.doc_id: r.avg_logs
+           for r in stupid_backoff_scores(score, lm=lm).collect()}
+    texts = [t for _, t in SB_TRAIN]
+    for did, txt in SB_SCORE:
+        want = _py_sb(texts, txt)
+        if want is None:
+            assert did not in got
+        else:
+            assert got[did] == pytest.approx(want, abs=1e-6), did
+
+
+def test_stupid_backoff_tier_ordering(spark):
+    train = spark.createDataFrame(SB_TRAIN, "doc_id long, text string")
+    score = spark.createDataFrame(SB_SCORE, "doc_id long, text string")
+    lm = train_trigram_lm(train)
+    got = {r.doc_id: r.avg_logs
+           for r in stupid_backoff_scores(score, lm=lm).collect()}
+    # deeper backoff -> strictly lower score on this fixture
+    assert got[10] > got[11] > got[12] > got[13]
+
+
+def test_stupid_backoff_validation(spark):
+    df = spark.createDataFrame(SB_TRAIN, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        stupid_backoff_scores(df, alpha=0.0)
