@@ -4472,6 +4472,62 @@ FROM j GROUP BY doc_id ORDER BY doc_id
 """
 
 
+MAXP_SIZE, MAXP_OVERLAP = 32, 8
+
+
+def q_max_passage(spark, sf_dir):
+    """X122 — max-passage retrieval (Liu & Croft 2002 passage scoring,
+    MaxP aggregation): overlapping token windows score as independent
+    BM25 units against passage-level stats; a document scores as its
+    best passage. operators/query.py max_passage_topk."""
+    return Q.max_passage_topk(
+        _docs(spark, sf_dir), BM25_QUERY,
+        size=MAXP_SIZE, overlap=MAXP_OVERLAP, k=10, k1=K1, b=B,
+    )
+
+
+def _maxp_sql(k: int = 10) -> str:
+    tok = TOK_EXPR("text")
+    stride = MAXP_SIZE - MAXP_OVERLAP
+    tlist = ", ".join(f"'{t}'" for t in Q.query_terms(BM25_QUERY))
+    return f"""
+WITH base AS (SELECT doc_id, t, len(t) AS n
+              FROM (SELECT doc_id, {tok} AS t FROM documents)
+              WHERE len(t) > 0),
+nc AS (SELECT doc_id, t, n,
+         CASE WHEN n <= {MAXP_SIZE} THEN 1
+              ELSE CAST(ceil((n - {MAXP_SIZE}) / {stride}) AS BIGINT) + 1
+         END AS c
+       FROM base),
+cl AS (SELECT doc_id, cid,
+         t[cid*{stride} + 1 : cid*{stride} + {MAXP_SIZE}] AS ct,
+         len(t[cid*{stride} + 1 : cid*{stride} + {MAXP_SIZE}]) AS dl
+       FROM (SELECT doc_id, t,
+                    unnest(generate_series(0, c - 1)) AS cid
+             FROM nc)),
+tf AS (SELECT doc_id, cid, dl, u AS term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, cid, dl, unnest(ct) AS u FROM cl)
+       GROUP BY 1, 2, 3, 4),
+stats AS (SELECT count(*)::BIGINT AS np, avg(dl) AS avgdl FROM cl),
+dfv AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id, tf.cid,
+         sum( ln(1 + (stats.np - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * tf.dl / stats.avgdl)) )
+           AS score
+       FROM tf JOIN dfv USING (term) CROSS JOIN stats
+       WHERE tf.term IN ({tlist})
+       GROUP BY tf.doc_id, tf.cid),
+rk AS (SELECT doc_id, cid, score,
+         row_number() OVER (PARTITION BY doc_id
+           ORDER BY round(score, 9) DESC, cid ASC) AS rn
+       FROM sc)
+SELECT doc_id, cid AS best_chunk, round(score, 4) AS score
+FROM rk WHERE rn = 1
+ORDER BY round(score, 9) DESC, doc_id LIMIT {k}
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -4568,6 +4624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_spans_multi": q_mask_spans_multi,
         "dict_frontcode": q_dict_frontcode,
         "sb_trigram_scores": q_sb_trigram,
+        "max_passage_topk": q_max_passage,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -7654,6 +7711,7 @@ ORDER BY change, repo, path
         "mask_spans_multi": _mask_multi_sql(),
         "dict_frontcode": _FC_SQL.format(tok=TOK_EXPR("text")),
         "sb_trigram_scores": _sb_sql(),
+        "max_passage_topk": _maxp_sql(),
     }
 
 

@@ -2122,3 +2122,98 @@ def rm3_topk(
         .limit(k)
         .select("doc_id", F.round("score", 4).alias("score"))
     )
+
+
+def max_passage_topk(
+    docs: DataFrame,
+    q: str,
+    size: int = 32,
+    overlap: int = 8,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """X122 — max-passage long-document retrieval (the classic passage
+    scoring of Liu & Croft, SIGIR 2002, the MaxP aggregation Dai &
+    Callan 2019 standardized): documents are cut into overlapping
+    token windows (the X88 chunker), each PASSAGE scores as its own
+    BM25 unit against passage-level stats (N = #passages, passage dl/
+    avgdl, df = #passages containing the term), and the document's
+    score is its BEST passage. Fixes BM25's long-document failure: one
+    relevant paragraph in a 10k-line file no longer drowns in the
+    document-length normalizer — exactly the code-corpus shape (huge
+    generated files with one relevant function).
+
+    Plan: chunking is map-only (X88); passage postings are one explode
+    + hash agg; scoring is the standard pruned-terms broadcast-idf
+    plan over the passage relation; MaxP is one doc-keyed max of a
+    (9dp score, -chunk) struct — no window, no second shuffle beyond
+    the doc-keyed agg. Columns: (id_col, best_chunk, score 4dp).
+    """
+    from scrapix_spark.functions.tokenize import tokens_native
+    from scrapix_spark.operators.curation import chunk_with_overlap
+    from scrapix_spark.operators.postings import term_stats
+
+    terms = query_terms(q)
+    if not terms:
+        raise ValueError("query has no indexable terms")
+    chunks = chunk_with_overlap(
+        docs, size=size, overlap=overlap, id_col=id_col,
+        text_col=text_col,
+    )
+    cpost = (
+        chunks.select(
+            id_col, "chunk_id", F.col("n_tokens").alias("dl"),
+            F.explode(tokens_native(F.col("chunk_text"))).alias("term"),
+        )
+        .groupBy(id_col, "chunk_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats_row = chunks.agg(
+        F.count("*").alias("n"), F.avg("n_tokens").alias("a")
+    ).collect()[0]
+    n_p, avgdl_p = int(stats_row["n"]), float(stats_row["a"])
+    tstats = term_stats(
+        cpost.withColumn(
+            "doc_id_c",
+            F.concat_ws("#", F.col(id_col), F.col("chunk_id")),
+        ).select(F.col("term"), F.col("doc_id_c").alias("doc_id"),
+                 "tf", "dl")
+    )
+    tsel = tstats.filter(F.col("term").isin(terms)).withColumn(
+        "idf", idf_expr(n_p, F.col("df").cast("double"))
+    )
+    scored = (
+        cpost.filter(F.col("term").isin(terms))
+        .join(F.broadcast(tsel.select("term", "idf")), "term")
+        .withColumn(
+            "contrib",
+            bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"),
+                            avgdl_p, k1, b),
+        )
+        .groupBy(id_col, "chunk_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.round(F.col("score"), SCORE_ROUND).alias("s9"),
+                (-F.col("chunk_id")).alias("nc"),
+                F.col("score").alias("s"),
+                F.col("chunk_id").alias("cid"),
+            )
+        ).alias("_b")
+    )
+    return (
+        best.select(
+            F.col(id_col),
+            F.col("_b.cid").alias("best_chunk"),
+            F.round(F.col("_b.s"), 4).alias("score"),
+            F.col("_b.s9").alias("_s9"),
+        )
+        .orderBy(F.col("_s9").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_s9")
+    )

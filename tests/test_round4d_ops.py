@@ -799,3 +799,52 @@ def test_stupid_backoff_validation(spark):
     df = spark.createDataFrame(SB_TRAIN, "doc_id long, text string")
     with pytest.raises(ValueError):
         stupid_backoff_scores(df, alpha=0.0)
+
+
+# ----------------------------------------------- X122 max-passage MaxP
+
+from scrapix_spark.operators.query import max_passage_topk  # noqa: E402
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_max_passage_finds_needle_in_long_doc(spark):
+    filler = " ".join(f"w{i}" for i in range(300))
+    rows = [
+        (1, filler + " needle thread sewing " + filler),
+        (2, "needle " + " ".join(f"z{i}" for i in range(40))),
+        (3, " ".join(f"y{i}" for i in range(50))),
+    ]
+    got = max_passage_topk(_mk_docs(spark, rows), "needle thread",
+                           size=16, overlap=4, k=3).collect()
+    assert got[0].doc_id == 1  # both terms in ONE passage wins
+    ids = [r.doc_id for r in got]
+    assert 3 not in ids  # no matching term at all
+
+
+def test_max_passage_best_chunk_contains_the_match(spark):
+    toks = [f"w{i}" for i in range(100)] + ["needle", "thread"] + [
+        f"v{i}" for i in range(100)]
+    rows = [(1, " ".join(toks))]
+    got = max_passage_topk(_mk_docs(spark, rows), "needle thread",
+                           size=16, overlap=4, k=1).collect()
+    r = got[0]
+    stride = 16 - 4
+    start = r.best_chunk * stride
+    window = toks[start:start + 16]
+    assert "needle" in window and "thread" in window
+
+
+def test_max_passage_short_doc_single_chunk(spark):
+    rows = [(1, "needle thread small doc")]
+    got = max_passage_topk(_mk_docs(spark, rows), "needle",
+                           size=32, overlap=8, k=1).collect()
+    assert got[0].best_chunk == 0
+
+
+def test_max_passage_validation(spark):
+    rows = [(1, "a b c")]
+    with pytest.raises(ValueError):
+        max_passage_topk(_mk_docs(spark, rows), "...")
