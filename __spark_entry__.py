@@ -4528,6 +4528,68 @@ ORDER BY round(score, 9) DESC, doc_id LIMIT {k}
 """
 
 
+BLOOM_M, BLOOM_K = 256, 3
+
+
+def q_bloom_members(spark, sf_dir):
+    """X123 — Bloom filter membership (Bloom, CACM 1970) over the
+    English doc_id set, probed with ids 0..149: m=256 bits forces real
+    false positives, the no-false-negative invariant is checked via
+    the exact membership column. operators/codec.py bloom_build/
+    bloom_contains."""
+    from scrapix_spark.operators.codec import bloom_build, bloom_contains
+
+    d = _docs(spark, sf_dir)
+    keys = d.filter("lang = 'en'").select(F.col("doc_id").alias("k"))
+    bf = bloom_build(keys, "k", m_bits=BLOOM_M, k_hashes=BLOOM_K)
+    probes = spark.range(150).select(F.col("id").alias("k"))
+    got = bloom_contains(bf, probes, "k", m_bits=BLOOM_M,
+                         k_hashes=BLOOM_K)
+    member = keys.withColumn("_mem", F.lit(1))
+    return (
+        got.join(member, "k", "left")
+        .select(
+            "k",
+            F.col("maybe_present").cast("long").alias("maybe_present"),
+            F.coalesce(F.col("_mem"), F.lit(0)).cast("long")
+            .alias("is_member"),
+        )
+        .orderBy("k")
+    )
+
+
+def _bloom_sql() -> str:
+    from scrapix_spark.operators.codec import BLOOM_A, BLOOM_B, BLOOM_P
+
+    ab = ", ".join(
+        f"({BLOOM_A[j]}, {BLOOM_B[j]})" for j in range(BLOOM_K)
+    )
+    return f"""
+WITH keys AS (SELECT doc_id AS k FROM documents WHERE lang = 'en'),
+ab(a, b) AS (VALUES {ab}),
+kp AS (SELECT ((ab.a * (k % {BLOOM_P}) + ab.b) % {BLOOM_P}) % {BLOOM_M}
+         AS pos
+       FROM keys CROSS JOIN ab),
+bf AS (SELECT pos // 32 AS word,
+              bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+       FROM kp GROUP BY pos // 32),
+probes AS (SELECT unnest(range(150)) AS k),
+pp AS (SELECT k,
+         ((ab.a * (k % {BLOOM_P}) + ab.b) % {BLOOM_P}) % {BLOOM_M} AS pos
+       FROM probes CROSS JOIN ab),
+pj AS (SELECT pp.k,
+         CASE WHEN (coalesce(bf.bits, 0)
+               & (CAST(1 AS BIGINT) << CAST(pp.pos % 32 AS INT))) <> 0
+              THEN 1 ELSE 0 END AS hit
+       FROM pp LEFT JOIN bf ON bf.word = pp.pos // 32),
+mp AS (SELECT k, min(hit) AS maybe_present FROM pj GROUP BY k)
+SELECT mp.k, mp.maybe_present::BIGINT AS maybe_present,
+       CASE WHEN keys.k IS NULL THEN 0 ELSE 1 END::BIGINT AS is_member
+FROM mp LEFT JOIN keys ON keys.k = mp.k
+ORDER BY mp.k
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -4625,6 +4687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_frontcode": q_dict_frontcode,
         "sb_trigram_scores": q_sb_trigram,
         "max_passage_topk": q_max_passage,
+        "bloom_members": q_bloom_members,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -7712,6 +7775,7 @@ ORDER BY change, repo, path
         "dict_frontcode": _FC_SQL.format(tok=TOK_EXPR("text")),
         "sb_trigram_scores": _sb_sql(),
         "max_passage_topk": _maxp_sql(),
+        "bloom_members": _bloom_sql(),
     }
 
 

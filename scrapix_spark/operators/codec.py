@@ -586,3 +586,101 @@ def decode_frontcoded(enc):
             F.col("suffix"),
         ).alias("term"),
     )
+
+
+# --------------------------------------------------- X123 Bloom filter
+
+# Seeded 2-wise hash family for the Bloom probes (same recipe as the
+# X117 CMS rows, different constants): h_j(x) = ((a_j·(x mod P) + b_j)
+# mod P) mod m_bits, P = 2^31-1, so products stay in a 64-bit long for
+# ANY non-negative key. Deterministic — membership bits must replay
+# identically in every engine.
+BLOOM_P = 2_147_483_647
+BLOOM_A = (3, 5, 7, 13, 17, 19)
+BLOOM_B = (11, 23, 29, 31, 37, 41)
+_BLOOM_WORD = 32  # bits packed per BIGINT word (1<<31 stays positive)
+
+
+def _bloom_positions(key_col, m_bits: int, k_hashes: int):
+    """List of k bit-position Columns for a non-negative long key."""
+    from pyspark.sql import functions as F
+
+    x = key_col.cast("bigint") % BLOOM_P
+    out = []
+    for j in range(k_hashes):
+        out.append(
+            ((F.lit(BLOOM_A[j]) * x + F.lit(BLOOM_B[j])) % BLOOM_P)
+            % F.lit(int(m_bits))
+        )
+    return out
+
+
+def bloom_build(df, key_col: str, m_bits: int = 1024,
+                k_hashes: int = 3):
+    """X123 — Bloom filter build (Bloom, CACM 1970): the no-false-
+    negative membership sketch an index keeps beside big key sets —
+    tombstone doc_ids, term existence per segment (Lucene's
+    BloomFilteringPostingsFormat) — so readers skip relations that
+    can't contain the probe.
+
+    One narrow map (k positions per key, explode) + one word-keyed
+    bit_or agg: the result is ≤ m_bits/32 rows REGARDLESS of input
+    size, and shard filters union by the same bit_or groupBy. Keys are
+    non-negative longs (hash strings first — e.g. the X77 token hash).
+    Columns: (word, bits)."""
+    from pyspark.sql import functions as F
+
+    if m_bits < _BLOOM_WORD:
+        raise ValueError(f"m_bits must be >= {_BLOOM_WORD}")
+    if not 1 <= k_hashes <= len(BLOOM_A):
+        raise ValueError(f"k_hashes must be in [1, {len(BLOOM_A)}]")
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(key_col), m_bits, k_hashes))
+    ).alias("pos")
+    rows = df.select(pos)
+    mask = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))"
+    )
+    return (
+        rows.select(
+            (F.col("pos") / _BLOOM_WORD).cast("long").alias("word"),
+            mask.alias("_m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_m").alias("bits"))
+    )
+
+
+def bloom_contains(bloom, probes, key_col: str, m_bits: int = 1024,
+                   k_hashes: int = 3):
+    """Probe the filter: maybe_present = ALL k bits set (a missing
+    word row means its bits are 0). Never a false negative; false
+    positives at the standard (1-e^{-kn/m})^k rate. The filter is ≤
+    m_bits/32 rows by construction → broadcasts into the probe
+    relation. Columns: (key_col, maybe_present)."""
+    from pyspark.sql import functions as F
+
+    if not 1 <= k_hashes <= len(BLOOM_A):
+        raise ValueError(f"k_hashes must be in [1, {len(BLOOM_A)}]")
+    pe = probes.select(
+        F.col(key_col),
+        F.explode(
+            F.array(*_bloom_positions(F.col(key_col), m_bits, k_hashes))
+        ).alias("pos"),
+    ).select(
+        key_col,
+        (F.col("pos") / _BLOOM_WORD).cast("long").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pos % {_BLOOM_WORD} AS INT))"
+        ).alias("_m"),
+    )
+    j = pe.join(F.broadcast(bloom), "word", "left")
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_m")) != 0
+    ).cast("int")
+    return (
+        j.groupBy(key_col)
+        .agg((F.min(hit) == 1).alias("maybe_present"))
+        .orderBy(key_col)
+    )

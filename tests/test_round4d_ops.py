@@ -848,3 +848,63 @@ def test_max_passage_validation(spark):
     rows = [(1, "a b c")]
     with pytest.raises(ValueError):
         max_passage_topk(_mk_docs(spark, rows), "...")
+
+
+# --------------------------------------------------- X123 Bloom filter
+
+from scrapix_spark.operators.codec import bloom_build, bloom_contains  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def bloom_keys(spark):
+    return spark.createDataFrame(
+        [(i * 7,) for i in range(50)], "k long").cache()
+
+
+def test_bloom_no_false_negatives_even_when_tiny(spark, bloom_keys):
+    bf = bloom_build(bloom_keys, "k", m_bits=64, k_hashes=3)
+    got = {r.k: r.maybe_present for r in bloom_contains(
+        bf, bloom_keys, "k", m_bits=64, k_hashes=3).collect()}
+    assert all(got.values())  # every inserted key reports present
+
+
+def test_bloom_wide_filter_is_nearly_exact(spark, bloom_keys):
+    m = 1 << 16
+    bf = bloom_build(bloom_keys, "k", m_bits=m, k_hashes=4)
+    probes = spark.createDataFrame([(i,) for i in range(400)], "k long")
+    got = {r.k: r.maybe_present for r in bloom_contains(
+        bf, probes, "k", m_bits=m, k_hashes=4).collect()}
+    members = {i * 7 for i in range(50)}
+    fps = [k for k, v in got.items() if v and k not in members]
+    misses = [k for k in members if k < 400 and not got[k]]
+    assert misses == []          # never a false negative
+    assert len(fps) <= 2         # 200 bits/key → FP rate ~0
+
+
+def test_bloom_fp_rate_shrinks_with_m(spark, bloom_keys):
+    probes = spark.createDataFrame(
+        [(i + 100000,) for i in range(300)], "k long")
+
+    def fp_count(m):
+        bf = bloom_build(bloom_keys, "k", m_bits=m, k_hashes=3)
+        got = bloom_contains(bf, probes, "k", m_bits=m, k_hashes=3)
+        return got.filter("maybe_present").count()
+
+    assert fp_count(128) > fp_count(1 << 14)
+
+
+def test_bloom_partitioning_invariance(spark, bloom_keys):
+    a = bloom_build(bloom_keys.repartition(1), "k", m_bits=256)
+    b = bloom_build(bloom_keys.repartition(8), "k", m_bits=256)
+    ra = sorted((r.word, r.bits) for r in a.collect())
+    rb = sorted((r.word, r.bits) for r in b.collect())
+    assert ra == rb
+
+
+def test_bloom_validation(spark, bloom_keys):
+    with pytest.raises(ValueError):
+        bloom_build(bloom_keys, "k", m_bits=8)
+    with pytest.raises(ValueError):
+        bloom_build(bloom_keys, "k", k_hashes=0)
+    with pytest.raises(ValueError):
+        bloom_contains(None, bloom_keys, "k", k_hashes=99)
