@@ -4590,6 +4590,53 @@ ORDER BY mp.k
 """
 
 
+def q_hll_vocab(spark, sf_dir):
+    """X124 — HyperLogLog distinct-term estimate (Flajolet et al.
+    2007, m=64) vs the exact vocabulary count, hashes avalanched by
+    the 31-bit murmur-style finalizer so every register replays in
+    SQL. operators/textstats.py hll_registers/hll_estimate."""
+    src = _postings(spark, sf_dir).select("term")
+    est = TS.hll_estimate(TS.hll_registers(src, p=6), p=6)
+    ex = src.agg(F.countDistinct("term").cast("long").alias("exact"))
+    return est.crossJoin(ex).select("m", "est", "exact")
+
+
+def _hll_sql() -> str:
+    from scrapix_spark.operators.textstats import (_HLL_C1, _HLL_C2,
+                                                   _HLL_M31, HLL_ALPHA)
+
+    tok = TOK_EXPR("text")
+    h = SIM.token_hash31_sql("term")
+    m, qb1, alpha = 64, 26, HLL_ALPHA[64]
+    return f"""
+WITH t AS (SELECT unnest({tok}) AS term FROM documents),
+h0 AS (SELECT {h} AS h FROM t),
+x1 AS (SELECT xor(h, h >> 15) AS h FROM h0),
+x2 AS (SELECT (h * {_HLL_C1}) % {_HLL_M31} AS h FROM x1),
+x3 AS (SELECT xor(h, h >> 13) AS h FROM x2),
+x4 AS (SELECT (h * {_HLL_C2}) % {_HLL_M31} AS h FROM x3),
+x5 AS (SELECT xor(h, h >> 16) AS h FROM x4),
+hb AS (SELECT h % {m} AS bucket, h // {m} AS q FROM x5),
+rg AS (SELECT bucket,
+              max(CASE WHEN q = 0 THEN {qb1}
+                  ELSE {qb1} - length(bin(q)) END) AS r
+       FROM hb GROUP BY bucket),
+spine AS (SELECT unnest(range({m})) AS bucket),
+regs AS (SELECT spine.bucket, coalesce(rg.r, 0) AS r
+         FROM spine LEFT JOIN rg USING (bucket)),
+agg AS (SELECT sum(pow(2.0, -r)) AS s,
+               sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS v FROM regs),
+est AS (SELECT CASE WHEN ({alpha!r} * {m} * {m} / s) <= {2.5 * m}
+                      AND v > 0
+                THEN {float(m)!r} * ln({float(m)!r} / v)
+                ELSE {alpha!r} * {m} * {m} / s END AS e
+        FROM agg)
+SELECT {m}::BIGINT AS m, round(e, 3) AS est,
+       (SELECT count(DISTINCT term) FROM t)::BIGINT AS exact
+FROM est
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -4688,6 +4735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sb_trigram_scores": q_sb_trigram,
         "max_passage_topk": q_max_passage,
         "bloom_members": q_bloom_members,
+        "hll_vocab": q_hll_vocab,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -7776,6 +7824,7 @@ ORDER BY change, repo, path
         "sb_trigram_scores": _sb_sql(),
         "max_passage_topk": _maxp_sql(),
         "bloom_members": _bloom_sql(),
+        "hll_vocab": _hll_sql(),
     }
 
 

@@ -919,3 +919,101 @@ def stupid_backoff_scores(
         )
         .select(F.col("id").alias(id_col), "n_scored", "avg_logs")
     )
+
+
+# ----------------------------------------------------------- X124 HLL
+
+HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+_HLL_M31 = 1 << 31
+_HLL_C1, _HLL_C2 = 2245366891, 3266489909  # murmur3 finalizer constants
+
+
+def _hll_mix(x):
+    """31-bit avalanche finalizer (the murmur3 fmix shape reduced mod
+    2^31): the polynomial token hash clusters in magnitude for similar-
+    length tokens, which wrecks a leading-zero rank estimator — this
+    xorshift-multiply chain spreads it. Every product stays < 2^63
+    (operands < 2^31 and < 2^32), so the identical integer chain runs
+    in Spark longs AND DuckDB BIGINTs with no overflow."""
+    x = x.bitwiseXOR(F.shiftright(x, 15))
+    x = (x * F.lit(_HLL_C1)) % _HLL_M31
+    x = x.bitwiseXOR(F.shiftright(x, 13))
+    x = (x * F.lit(_HLL_C2)) % _HLL_M31
+    return x.bitwiseXOR(F.shiftright(x, 16))
+
+
+def hll_mix_sql(expr: str) -> str:
+    """DuckDB replica of _hll_mix (xor() — DuckDB's ^ is POWER)."""
+    m1 = f"xor({expr}, {expr} >> 15)"
+    m2 = f"(({m1}) * {_HLL_C1}) % {_HLL_M31}"
+    m3 = f"xor({m2}, ({m2}) >> 13)"
+    m4 = f"(({m3}) * {_HLL_C2}) % {_HLL_M31}"
+    return f"xor({m4}, ({m4}) >> 16)"
+
+
+def hll_registers(
+    df: DataFrame, col: str = "term", p: int = 6
+) -> DataFrame:
+    """X124 registers — HyperLogLog (Flajolet, Fusy, Gandouet &
+    Meunier, AofA 2007) over the SQL-replicable 31-bit polynomial
+    token hash: bucket = h mod m, and the rank is computed from the
+    REMAINING integer q = h div m via the length of its binary string
+    (`bin()` in both engines) — integer-exact, no floating log2 whose
+    cross-engine rounding could flip a register.
+
+    One hash agg → exactly m rows (empty registers materialize as 0
+    via a range spine). Shard register sets merge by the same
+    per-bucket max — the property that makes HLL the distinct-counter
+    of choice at 100 TB. Columns: (bucket, r)."""
+    from scrapix_spark.operators.similarity import _token_hash31
+
+    m = 1 << p
+    if m not in HLL_ALPHA:
+        raise ValueError(f"p must give m in {sorted(HLL_ALPHA)}")
+    qbits = 31 - p
+    base = df.select(
+        _hll_mix(_token_hash31(F.col(col))).alias("h")
+    )
+    hashed = base.select(
+        (F.col("h") % m).alias("bucket"),
+        F.expr(f"h DIV {m}").alias("q"),
+    )
+    rho = F.when(F.col("q") == 0, F.lit(qbits + 1)).otherwise(
+        F.lit(qbits + 1) - F.length(F.bin(F.col("q")))
+    )
+    regs = (
+        hashed.withColumn("rho", rho)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    spine = df.sparkSession.range(m).select(
+        F.col("id").alias("bucket")
+    )
+    return (
+        spine.join(regs, "bucket", "left")
+        .select("bucket", F.coalesce(F.col("r"), F.lit(0)).alias("r"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
+    """X124 estimate: E = α_m·m²/Σ2^(−M_j), with the linear-counting
+    small-range correction E = m·ln(m/V) when E ≤ 2.5m and V (empty
+    registers) > 0 — the published estimator verbatim. The 2^(−M_j)
+    terms are exact powers of two (sum order-free in float64), so the
+    oracle replays bit-for-bit. One row: (m, est rounded 3)."""
+    m = 1 << p
+    if m not in HLL_ALPHA:
+        raise ValueError(f"p must give m in {sorted(HLL_ALPHA)}")
+    alpha = HLL_ALPHA[m]
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
+        F.sum(F.when(F.col("r") == 0, 1).otherwise(0)).alias("v"),
+    )
+    e_raw = F.lit(alpha * m * m) / F.col("s")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (F.col("v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
+    ).otherwise(e_raw)
+    return agg.select(
+        F.lit(m).cast("long").alias("m"), F.round(est, 3).alias("est")
+    )

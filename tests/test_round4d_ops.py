@@ -908,3 +908,57 @@ def test_bloom_validation(spark, bloom_keys):
         bloom_build(bloom_keys, "k", k_hashes=0)
     with pytest.raises(ValueError):
         bloom_contains(None, bloom_keys, "k", k_hashes=99)
+
+
+# ----------------------------------------------------------- X124 HLL
+
+from scrapix_spark.operators.textstats import hll_estimate, hll_registers  # noqa: E402
+
+
+def _terms_df(spark, terms):
+    return spark.createDataFrame([(t,) for t in terms], "term string")
+
+
+def test_hll_estimate_within_published_error(spark):
+    # 500 distinct tokens; m=64 → std error 1.04/sqrt(64) = 13%
+    terms = [f"tok{i}" for i in range(500)]
+    regs = hll_registers(_terms_df(spark, terms), p=6)
+    est = hll_estimate(regs, p=6).collect()[0].est
+    assert abs(est - 500) / 500 < 0.30
+
+
+def test_hll_duplicates_dont_change_registers(spark):
+    terms = [f"tok{i}" for i in range(100)]
+    a = hll_registers(_terms_df(spark, terms), p=6)
+    b = hll_registers(_terms_df(spark, terms * 7), p=6)
+    ra = sorted((r.bucket, r.r) for r in a.collect())
+    rb = sorted((r.bucket, r.r) for r in b.collect())
+    assert ra == rb
+
+
+def test_hll_small_range_linear_counting(spark):
+    regs = hll_registers(_terms_df(spark, ["a", "b", "c"]), p=6)
+    est = hll_estimate(regs, p=6).collect()[0].est
+    assert abs(est - 3) < 1.5  # linear counting is near-exact here
+
+
+def test_hll_registers_merge_by_max(spark):
+    t1 = [f"x{i}" for i in range(50)]
+    t2 = [f"y{i}" for i in range(50)]
+    both = hll_registers(_terms_df(spark, t1 + t2), p=6).collect()
+    a = hll_registers(_terms_df(spark, t1), p=6)
+    b = hll_registers(_terms_df(spark, t2), p=6)
+    merged = (
+        a.unionByName(b).groupBy("bucket")
+        .agg(F.max("r").alias("r")).collect()
+    )
+    assert sorted((r.bucket, r.r) for r in both) == \
+        sorted((r.bucket, r.r) for r in merged)
+
+
+def test_hll_validation(spark):
+    df = _terms_df(spark, ["a"])
+    with pytest.raises(ValueError):
+        hll_registers(df, p=3)
+    with pytest.raises(ValueError):
+        hll_estimate(df, p=20)
