@@ -4637,6 +4637,57 @@ FROM est
 """
 
 
+def q_power_laws(spark, sf_dir):
+    """X125 — corpus power-law profile (Zipf 1949 head-slope fit +
+    Heaps 1978 vocabulary-growth fit, closed-form least squares):
+    one-row corpus sanity report. operators/textstats.py
+    corpus_power_laws."""
+    return TS.corpus_power_laws(
+        _docs(spark, sf_dir), zipf_top=128, bucket_docs=16
+    )
+
+
+def _power_laws_sql() -> str:
+    tok = TOK_EXPR("text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS w FROM documents),
+fl AS (SELECT doc_id, doc_id // 16 AS g, w FROM tok),
+fr AS (SELECT w, count(*)::BIGINT AS f FROM fl GROUP BY w),
+hd AS (SELECT w, f, row_number() OVER (ORDER BY f DESC, w ASC) AS r
+       FROM (SELECT * FROM fr ORDER BY f DESC, w ASC LIMIT 128)),
+zp AS (SELECT ln(r::DOUBLE) AS x, ln(f::DOUBLE) AS y FROM hd),
+za AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+       FROM zp),
+zr AS (SELECT
+        round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) + 0.0 AS zipf_slope,
+        round(CASE WHEN (n*sxx - sx*sx) <> 0 AND (n*syy - sy*sy) <> 0
+              THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy))
+                   / ((n*sxx - sx*sx) * (n*syy - sy*sy))
+              ELSE 1.0 END, 6) + 0.0 AS zipf_r2
+       FROM za),
+tg AS (SELECT g, count(*)::BIGINT AS nt FROM fl GROUP BY g),
+fg AS (SELECT w, min(g) AS fg FROM fl GROUP BY w),
+ng AS (SELECT fg AS g, count(*)::BIGINT AS nv FROM fg GROUP BY fg),
+cu AS (SELECT tg.g,
+         sum(tg.nt) OVER (ORDER BY tg.g ROWS UNBOUNDED PRECEDING) AS cn,
+         sum(coalesce(ng.nv, 0)) OVER (ORDER BY tg.g
+           ROWS UNBOUNDED PRECEDING) AS cv
+       FROM tg LEFT JOIN ng USING (g)),
+hp AS (SELECT ln(cn::DOUBLE) AS x, ln(cv::DOUBLE) AS y
+       FROM cu WHERE cn > 0),
+ha AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x*x) AS sxx, sum(x*y) AS sxy
+       FROM hp),
+hr AS (SELECT
+        round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) + 0.0 AS heaps_beta,
+        round(exp((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n),
+              6) + 0.0 AS heaps_k
+       FROM ha)
+SELECT * FROM zr CROSS JOIN hr
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -4736,6 +4787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_passage_topk": q_max_passage,
         "bloom_members": q_bloom_members,
         "hll_vocab": q_hll_vocab,
+        "power_laws": q_power_laws,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -7825,6 +7877,7 @@ ORDER BY change, repo, path
         "max_passage_topk": _maxp_sql(),
         "bloom_members": _bloom_sql(),
         "hll_vocab": _hll_sql(),
+        "power_laws": _power_laws_sql(),
     }
 
 

@@ -200,7 +200,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "decay_boosted", "percolate_matches", "ir_metrics",
         "rm3_expanded_topk", "cms_counts", "generation_diff",
         "mask_spans_multi", "dict_frontcode", "sb_trigram_scores",
-        "max_passage_topk", "bloom_members", "hll_vocab",
+        "max_passage_topk", "bloom_members", "hll_vocab", "power_laws",
     ]
     out = {}
     for name in headline:

@@ -1017,3 +1017,114 @@ def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
     return agg.select(
         F.lit(m).cast("long").alias("m"), F.round(est, 3).alias("est")
     )
+
+
+# ------------------------------------------------ X125 Zipf/Heaps fits
+
+def _ls_fit(points: DataFrame, xcol: str, ycol: str):
+    """Closed-form least squares of y = a + s·x plus r² — five sums,
+    one 1-row aggregation, no iteration (textbook normal equations;
+    identical algebra replays in SQL)."""
+    agg = points.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(xcol).alias("sx"),
+        F.sum(ycol).alias("sy"),
+        F.sum(F.col(xcol) * F.col(xcol)).alias("sxx"),
+        F.sum(F.col(ycol) * F.col(ycol)).alias("syy"),
+        F.sum(F.col(xcol) * F.col(ycol)).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / denx
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    # zero y-variance (a flat line) is a PERFECT fit, not a 0/0:
+    r2 = F.when(
+        (denx != 0) & (deny != 0), (num * num) / (denx * deny)
+    ).otherwise(F.lit(1.0))
+    return agg, slope, intercept, r2
+
+
+def corpus_power_laws(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    zipf_top: int = 128,
+    bucket_docs: int = 16,
+) -> DataFrame:
+    """X125 — corpus power-law profile: the two classic sanity checks
+    a corpus-curation pipeline runs before training (both public —
+    Zipf 1949; Heaps 1978):
+
+      Zipf : ln f_r ≈ a + s·ln r over the TOP `zipf_top` terms by
+             frequency (rank ties by term asc) — natural text gives
+             s ≈ −1; a flat or broken slope flags boilerplate floods
+             or tokenizer bugs.
+      Heaps: ln V ≈ ln K + β·ln N over cumulative (tokens N, vocab V)
+             checkpoints — β ≈ 0.5 for natural text; β → 1 flags
+             vocabulary explosions (serialized data, hashes).
+
+    Scale shape: Zipf ranks only a BOUNDED head (TakeOrdered top-R —
+    never a vocab-wide window); Heaps checkpoints are doc-id buckets
+    of `bucket_docs` docs — per-term first-bucket is one min agg, the
+    cumulative sums run over the G = n_docs/bucket_docs bucket rows
+    (pick bucket_docs so G stays ~10³ at your corpus size). Both fits
+    are closed-form five-sum aggregations.
+
+    One row: (zipf_slope, zipf_r2, heaps_beta, heaps_k), 6dp.
+    """
+    from pyspark.sql import Window
+
+    if zipf_top < 3 or bucket_docs < 1:
+        raise ValueError("zipf_top must be >= 3 and bucket_docs >= 1")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        tokens_native(F.col(text_col)).alias("ts"),
+    )
+    flat = toks.select(
+        "id", (F.col("id") / bucket_docs).cast("long").alias("g"),
+        F.explode("ts").alias("w"),
+    )
+    # ---- Zipf over the bounded head
+    freq = flat.groupBy("w").agg(F.count("*").alias("f"))
+    head = freq.orderBy(F.col("f").desc(), F.col("w").asc()).limit(
+        int(zipf_top)
+    )
+    wr = Window.orderBy(F.col("f").desc(), F.col("w").asc())
+    zpts = head.withColumn("r", F.row_number().over(wr)).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    zagg, zslope, _, zr2 = _ls_fit(zpts, "x", "y")
+    # `+ 0.0` normalizes IEEE negative zero (a flat fit gives -0.0 in
+    # some engines, +0.0 in others — same number, different hash)
+    zrow = zagg.select(
+        (F.round(zslope, 6) + F.lit(0.0)).alias("zipf_slope"),
+        (F.round(zr2, 6) + F.lit(0.0)).alias("zipf_r2"),
+    )
+    # ---- Heaps over bucket checkpoints
+    tok_per_g = flat.groupBy("g").agg(F.count("*").alias("nt"))
+    first_g = flat.groupBy("w").agg(F.min("g").alias("fg"))
+    new_per_g = first_g.groupBy("fg").agg(F.count("*").alias("nv"))
+    wg = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        tok_per_g.join(
+            new_per_g.withColumnRenamed("fg", "g"), "g", "left"
+        )
+        .withColumn("nv", F.coalesce(F.col("nv"), F.lit(0)))
+        .select(
+            "g",
+            F.sum("nt").over(wg).alias("cn"),
+            F.sum("nv").over(wg).alias("cv"),
+        )
+    )
+    hpts = cum.filter(F.col("cn") > 0).select(
+        F.log(F.col("cn").cast("double")).alias("x"),
+        F.log(F.col("cv").cast("double")).alias("y"),
+    )
+    hagg, hslope, hicept, _ = _ls_fit(hpts, "x", "y")
+    hrow = hagg.select(
+        (F.round(hslope, 6) + F.lit(0.0)).alias("heaps_beta"),
+        (F.round(F.exp(hicept), 6) + F.lit(0.0)).alias("heaps_k"),
+    )
+    return zrow.crossJoin(hrow)

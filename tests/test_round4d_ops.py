@@ -962,3 +962,68 @@ def test_hll_validation(spark):
         hll_registers(df, p=3)
     with pytest.raises(ValueError):
         hll_estimate(df, p=20)
+
+
+# ---------------------------------------------- X125 Zipf / Heaps fits
+
+import numpy as np  # noqa: E402
+
+from scrapix_spark.operators.textstats import corpus_power_laws  # noqa: E402
+
+
+def _zipf_corpus():
+    # term tok_r appears round(1000/r) times, r = 1..60; the stream is
+    # shuffled with a fixed seed so each doc is a mixed sample (a
+    # rank-sorted stream would make vocab growth ACCELERATE and break
+    # the Heaps shape)
+    import random
+
+    stream = []
+    for r in range(1, 61):
+        stream += [f"tok{r}"] * round(1000 / r)
+    random.Random(7).shuffle(stream)
+    docs, chunk = [], 40
+    for i in range(0, len(stream), chunk):
+        docs.append((i // chunk, " ".join(stream[i:i + chunk])))
+    return docs
+
+
+def test_zipf_slope_near_minus_one(spark):
+    df = spark.createDataFrame(_zipf_corpus(), "doc_id long, text string")
+    row = corpus_power_laws(df, zipf_top=40).collect()[0]
+    assert -1.15 < row.zipf_slope < -0.85
+    assert row.zipf_r2 > 0.97
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark):
+    df = spark.createDataFrame(_zipf_corpus(), "doc_id long, text string")
+    row = corpus_power_laws(df, zipf_top=40).collect()[0]
+    freqs = sorted(
+        ((f"tok{r}", round(1000 / r)) for r in range(1, 61)),
+        key=lambda t: (-t[1], t[0]),
+    )[:40]
+    x = np.log(np.arange(1, 41, dtype=float))
+    y = np.log(np.array([f for _, f in freqs], dtype=float))
+    slope = np.polyfit(x, y, 1)[0]
+    assert row.zipf_slope == pytest.approx(slope, abs=1e-5)
+
+
+def test_heaps_beta_detects_vocab_explosion(spark):
+    # every token unique -> V = N -> beta = 1
+    uniq = [(i, " ".join(f"u{i}x{j}" for j in range(20)))
+            for i in range(64)]
+    df = spark.createDataFrame(uniq, "doc_id long, text string")
+    row = corpus_power_laws(df, bucket_docs=8).collect()[0]
+    assert row.heaps_beta == pytest.approx(1.0, abs=1e-6)
+    # natural-ish (zipf) corpus grows sublinearly
+    zdf = spark.createDataFrame(_zipf_corpus(), "doc_id long, text string")
+    zrow = corpus_power_laws(zdf, bucket_docs=8).collect()[0]
+    assert zrow.heaps_beta < 0.9
+
+
+def test_power_laws_validation(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        corpus_power_laws(df, zipf_top=2)
+    with pytest.raises(ValueError):
+        corpus_power_laws(df, bucket_docs=0)
