@@ -4688,6 +4688,37 @@ SELECT * FROM zr CROSS JOIN hr
 """
 
 
+WC_PATTERN = "merge * batch"
+
+
+def q_wildcard_phrase(spark, sf_dir):
+    """X126 — wildcard-slot phrase ("merge * batch": the single-
+    position SpanNear gap / phrase-with-holes query): literal slots
+    chain-fold at exact offsets, the `*` slot advances the chain by
+    one token. operators/match.py wildcard_phrase_docs."""
+    pos = M.positional_postings(_docs(spark, sf_dir), "text")
+    return M.wildcard_phrase_docs(pos, WC_PATTERN)
+
+
+def _wildcard_sql() -> str:
+    slots = WC_PATTERN.split()
+    L = len(slots)
+    conds = " AND ".join(
+        f"t[i + {j}] = '{s}'" for j, s in enumerate(slots) if s != "*"
+    )
+    tok = TOK_EXPR("text")
+    return f"""
+WITH tl AS (SELECT doc_id, {tok} AS t FROM documents),
+m AS (SELECT doc_id,
+        list_filter(generate_series(1, len(t) - {L} + 1),
+                    i -> {conds}) AS st
+      FROM tl)
+SELECT doc_id, len(st)::BIGINT AS n_matches,
+       (list_min(st) - 1)::BIGINT AS first_start
+FROM m WHERE len(st) > 0 ORDER BY doc_id
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -4788,6 +4819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_members": q_bloom_members,
         "hll_vocab": q_hll_vocab,
         "power_laws": q_power_laws,
+        "wildcard_phrase": q_wildcard_phrase,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -7878,6 +7910,7 @@ ORDER BY change, repo, path
         "bloom_members": _bloom_sql(),
         "hll_vocab": _hll_sql(),
         "power_laws": _power_laws_sql(),
+        "wildcard_phrase": _wildcard_sql(),
     }
 
 

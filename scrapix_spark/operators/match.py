@@ -1489,3 +1489,83 @@ def split_word_best(
         .limit(1)
         .select("left", "right", "pair_df")
     )
+
+
+def wildcard_phrase_docs(
+    positional: DataFrame, pattern: str
+) -> DataFrame:
+    """X126 — wildcard-slot phrase matching ("foo * bar": Lucene's
+    single-position SpanNear gap / Tantivy's phrase-with-holes, the
+    grep-adjacent query code search needs for call shapes like
+    `assert * equals`): each `*` slot matches EXACTLY ONE arbitrary
+    token; literal slots must match in order at their exact offsets.
+
+    Generalizes the exact-adjacency chain fold (`_chain_positions`):
+    a literal slot intersects (chain+1) with the term's positions, a
+    `*` slot just advances the chain by one. Leading wildcards anchor
+    the first literal at position >= their count; trailing wildcards
+    are enforced by a final dl bound (the wildcard must land on a real
+    token). Same plan shape as phrase_match_docs: only the pattern's
+    literal terms' position rows are read (term-pushdown), one
+    doc-keyed join per literal, arrays never explode.
+
+    Returns (doc_id, n_matches, first_start) — 0-based position of the
+    first full-pattern start — ordered by doc_id.
+    """
+    slots = [s for s in pattern.split() if s]
+    terms = [s for s in slots if s != "*"]
+    if not terms:
+        raise ValueError("pattern needs at least one literal term")
+    lead = 0
+    while slots[lead] == "*":
+        lead += 1
+    pos = positional.filter(F.col("term").isin(list(set(terms))))
+
+    def pos_of(t: str, alias: str, with_dl: bool = False):
+        cols = ["doc_id", F.col("positions").alias(alias)]
+        if with_dl:
+            cols.append("dl")
+        return pos.filter(F.col("term") == t).select(*cols)
+
+    first = slots[lead]
+    cur = pos_of(first, "chain", with_dl=True)
+    if lead:
+        cur = cur.select(
+            "doc_id", "dl",
+            F.filter(F.col("chain"), lambda x: x >= lead).alias("chain"),
+        )
+    for i, s in enumerate(slots[lead + 1:], start=1):
+        if s == "*":
+            cur = cur.select(
+                "doc_id", "dl",
+                F.transform(F.col("chain"), lambda x: x + 1).alias("chain"),
+            )
+        else:
+            nxt = pos_of(s, f"p{i}")
+            cur = (
+                cur.join(nxt, "doc_id")
+                .select(
+                    "doc_id", "dl",
+                    _chain_positions(
+                        F.col("chain"), F.col(f"p{i}")
+                    ).alias("chain"),
+                )
+                .filter(F.size("chain") > 0)
+            )
+    # trailing wildcards (and any slot) must land on a real token
+    cur = cur.select(
+        "doc_id",
+        F.filter(
+            F.col("chain"), lambda x: x <= F.col("dl") - 1
+        ).alias("chain"),
+    ).filter(F.size("chain") > 0)
+    span = len(slots) - 1
+    return (
+        cur.select(
+            "doc_id",
+            F.size("chain").cast("long").alias("n_matches"),
+            (F.array_min("chain") - span).cast("long")
+            .alias("first_start"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1027,3 +1027,66 @@ def test_power_laws_validation(spark):
         corpus_power_laws(df, zipf_top=2)
     with pytest.raises(ValueError):
         corpus_power_laws(df, bucket_docs=0)
+
+
+# ---------------------------------------------- X126 wildcard phrase
+
+from scrapix_spark.operators.match import (  # noqa: E402
+    positional_postings,
+    wildcard_phrase_docs,
+)
+
+WC_DOCS = [
+    (0, "assert foo equals bar"),
+    (1, "assert equals bar"),          # no token in the * slot gap
+    (2, "assert x equals assert y equals"),
+    (3, "equals assert"),
+    (4, "assert tail"),                # trailing-* candidate
+    (5, "lead assert foo equals"),
+]
+
+
+@pytest.fixture(scope="module")
+def wc_pos(spark):
+    df = spark.createDataFrame(WC_DOCS, "doc_id long, text string")
+    return positional_postings(df, "text").cache()
+
+
+def _py_wc(pattern):
+    slots = pattern.split()
+    out = []
+    for did, text in WC_DOCS:
+        t = text.split()
+        starts = [
+            i for i in range(len(t) - len(slots) + 1)
+            if all(s == "*" or t[i + j] == s
+                   for j, s in enumerate(slots))
+        ]
+        if starts:
+            out.append((did, len(starts), starts[0]))
+    return out
+
+
+@pytest.mark.parametrize("pat", [
+    "assert * equals", "assert foo", "* equals", "assert *",
+    "assert * * assert",
+])
+def test_wildcard_phrase_matches_python_reference(spark, wc_pos, pat):
+    got = [(r.doc_id, r.n_matches, r.first_start)
+           for r in wildcard_phrase_docs(wc_pos, pat).collect()]
+    assert got == _py_wc(pat), pat
+
+
+def test_wildcard_trailing_star_needs_real_token(spark, wc_pos):
+    got = [r.doc_id for r in
+           wildcard_phrase_docs(wc_pos, "equals *").collect()]
+    # doc 2 ends in 'equals' (no token after); docs 0/1 have 'bar' after
+    want = [d for d, n, s in _py_wc("equals *")]
+    assert got == want and 0 in got and 1 in got
+
+
+def test_wildcard_validation(spark, wc_pos):
+    with pytest.raises(ValueError):
+        wildcard_phrase_docs(wc_pos, "* *")
+    with pytest.raises(ValueError):
+        wildcard_phrase_docs(wc_pos, "")
