@@ -4738,10 +4738,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # layered query paths touched by the round-4 performance work.
     # That was 45 must-gate entries; the round-4c operators X99-X106
     # (8 gates) follow them, so the 50-sample covers the 45 + the first
-    # 5 new ones; the remaining 3 (domain_blocklist, minhash_xjoin,
-    # leakage_split) lead the round-5 sample. Everything else has a
-    # green driver row in r01-r03 and stays locally gated via
-    # tools/check_oracles.py (no args = full registry) every session.
+    # 5 new ones. The never-driver-gated remainder — domain_blocklist,
+    # minhash_xjoin, leakage_split, the X107-X110 gates (more_like_this,
+    # multi_search, source_roundtrip, best_passage) and the round-4d
+    # block X111-X126 (trigram_substring/regex, mmr_rerank,
+    # decay_boosted, percolate_matches, ir_metrics, rm3_expanded_topk,
+    # cms_counts, generation_diff, mask_spans_multi, dict_frontcode,
+    # sb_trigram_scores, max_passage_topk, bloom_members, hll_vocab,
+    # power_laws, wildcard_phrase) — sits directly behind them, so it
+    # occupies the FRONT of the round-5 sample (25 entries: positions
+    # 51-75 of this dict). Everything else has a green driver row in
+    # r01-r03 and the whole registry stays locally gated via
+    # tools/check_oracles.py (no args = full registry) every session
+    # (round-4d session: 177/177 green, /tmp/sweep_r4d.log protocol).
     return {
         "pii_redact": q_pii_redact,
         "repetition_signals": q_repetition_signals,
