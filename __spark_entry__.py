@@ -4719,6 +4719,85 @@ FROM m WHERE len(st) > 0 ORDER BY doc_id
 """
 
 
+def q_maxsim_rerank(spark, sf_dir):
+    """X127 — late-interaction MaxSim rerank (Khattab & Zaharia 2020
+    scoring rule) of the BM25 top-20 under training-free character-
+    trigram token embeddings (fastText subword hashing, no model).
+    operators/similarity.py maxsim_rerank."""
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    cand = Q.bm25_topk_from_postings(
+        post, stats, int(row["n"]), float(row["a"]), BM25_QUERY,
+        k=20, k1=K1, b=B,
+    ).select("doc_id")
+    return SIM.maxsim_rerank(post, cand, BM25_QUERY, dim=64, k=10)
+
+
+def _maxsim_sql(dim: int = 64, n_cand: int = 20, k: int = 10) -> str:
+    qts = Q.query_terms(BM25_QUERY)
+    qrows = SIM.query_term_features_py(qts, dim)
+    qvals = ", ".join(
+        f"('{t}', {b}, {w!r}, {n!r})" for t, b, w, n in qrows
+    )
+    hg = SIM.token_hash31_sql("g")
+    return _bm25_scored_sql(qts) + f"""
+, cand AS (SELECT doc_id FROM scored
+           ORDER BY round(score, 9) DESC, doc_id LIMIT {n_cand}),
+dterms AS (SELECT DISTINCT tf.doc_id, tf.term
+           FROM tf JOIN cand USING (doc_id)),
+tl2 AS (SELECT DISTINCT term FROM dterms),
+g1 AS (SELECT term, unnest([term[i:i+2]
+          FOR i IN generate_series(1, len(term) - 2)]) AS g
+       FROM tl2 WHERE len(term) >= 3),
+g2 AS (SELECT term, term AS g FROM tl2 WHERE len(term) < 3),
+ga AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+hh AS (SELECT term, {hg} AS h FROM ga),
+fw AS (SELECT term, (h // 2) % {dim} AS bucket,
+              sum(CASE WHEN h % 2 = 0 THEN 1.0 ELSE -1.0 END) AS w
+       FROM hh GROUP BY 1, 2),
+fwz AS (SELECT * FROM fw WHERE w <> 0.0),
+fn AS (SELECT term, sqrt(sum(w*w)) AS nrm FROM fwz GROUP BY term),
+qf(q_term, bucket, wq, nq) AS (VALUES {qvals}),
+sims AS (SELECT qf.q_term, f.term,
+           round(sum(f.w * qf.wq)
+                 / (any_value(qf.nq) * any_value(fn.nrm)), 6) AS cos
+         FROM fwz f JOIN fn USING (term) JOIN qf USING (bucket)
+         WHERE fn.nrm > 0
+         GROUP BY qf.q_term, f.term),
+pdq AS (SELECT d.doc_id, s.q_term,
+          greatest(max(s.cos), 0.0) AS mx
+        FROM dterms d JOIN sims s ON s.term = d.term
+        GROUP BY d.doc_id, s.q_term),
+sc2 AS (SELECT doc_id, round(sum(mx), 6) AS maxsim
+        FROM pdq GROUP BY doc_id)
+SELECT cand.doc_id, coalesce(sc2.maxsim, 0.0) AS maxsim
+FROM cand LEFT JOIN sc2 USING (doc_id)
+ORDER BY maxsim DESC, doc_id LIMIT {k}
+"""
+
+
+def q_value_histogram(spark, sf_dir):
+    """X128 — ES histogram aggregation over n_chars (interval 50,
+    min_doc_count=0 → empty buckets between min and max materialize).
+    operators/results.py histogram_agg."""
+    from scrapix_spark.operators import results as R
+
+    return R.histogram_agg(_docs(spark, sf_dir), "n_chars", 50)
+
+
+def q_events_date_histogram(spark, sf_dir):
+    """X129 — ES date_histogram (calendar=day) over the events stream
+    with count / distinct-users / value-sum sub-aggregations — the
+    batch sibling of the W4 tumbling window. operators/results.py
+    date_histogram."""
+    from scrapix_spark.operators import results as R
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return R.date_histogram(ev, "ts", "day", "user_id", "value")
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -4745,9 +4824,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # decay_boosted, percolate_matches, ir_metrics, rm3_expanded_topk,
     # cms_counts, generation_diff, mask_spans_multi, dict_frontcode,
     # sb_trigram_scores, max_passage_topk, bloom_members, hll_vocab,
-    # power_laws, wildcard_phrase) — sits directly behind them, so it
-    # occupies the FRONT of the round-5 sample (25 entries: positions
-    # 51-75 of this dict). Everything else has a green driver row in
+    # power_laws, wildcard_phrase, maxsim_rerank, value_histogram,
+    # events_date_histogram) — sits directly behind them, so it
+    # occupies the FRONT of the round-5 sample (28 entries: positions
+    # 51-78 of this dict). Everything else has a green driver row in
     # r01-r03 and the whole registry stays locally gated via
     # tools/check_oracles.py (no args = full registry) every session
     # (round-4d session: 177/177 green, /tmp/sweep_r4d.log protocol).
@@ -4829,6 +4909,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_vocab": q_hll_vocab,
         "power_laws": q_power_laws,
         "wildcard_phrase": q_wildcard_phrase,
+        "maxsim_rerank": q_maxsim_rerank,
+        "value_histogram": q_value_histogram,
+        "events_date_histogram": q_events_date_histogram,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -7920,6 +8003,24 @@ ORDER BY change, repo, path
         "hll_vocab": _hll_sql(),
         "power_laws": _power_laws_sql(),
         "wildcard_phrase": _wildcard_sql(),
+        "maxsim_rerank": _maxsim_sql(),
+        "value_histogram": """
+WITH b AS (SELECT CAST(floor(n_chars / 50.0) AS BIGINT) AS bb
+           FROM documents WHERE n_chars IS NOT NULL),
+c AS (SELECT bb, count(*)::BIGINT AS doc_count FROM b GROUP BY bb),
+r AS (SELECT min(bb) AS lo, max(bb) AS hi FROM c),
+s AS (SELECT unnest(generate_series(lo, hi)) AS bb FROM r)
+SELECT (s.bb * 50)::BIGINT AS bucket,
+       coalesce(c.doc_count, 0)::BIGINT AS doc_count
+FROM s LEFT JOIN c USING (bb) ORDER BY bucket
+""",
+        "events_date_histogram": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_distinct,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1 ORDER BY 1
+""",
     }
 
 

@@ -201,7 +201,8 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "rm3_expanded_topk", "cms_counts", "generation_diff",
         "mask_spans_multi", "dict_frontcode", "sb_trigram_scores",
         "max_passage_topk", "bloom_members", "hll_vocab", "power_laws",
-        "wildcard_phrase",
+        "wildcard_phrase", "maxsim_rerank", "value_histogram",
+        "events_date_histogram",
     ]
     out = {}
     for name in headline:

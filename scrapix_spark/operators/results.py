@@ -466,3 +466,97 @@ def decay_rescore(
         .limit(k)
         .select(id_col, "boosted", "decay")
     )
+
+
+def histogram_agg(
+    df: DataFrame,
+    field: str,
+    interval: float,
+    min_doc_count: int = 0,
+) -> DataFrame:
+    """X128 — the Elasticsearch `histogram` aggregation (public
+    semantics): bucket key = floor(value/interval)·interval (floor, so
+    negative values bucket correctly), and with min_doc_count=0 the
+    empty buckets BETWEEN the lowest and highest occupied ones
+    materialize as zero rows — the gap-filling contract chart
+    consumers rely on; min_doc_count>0 instead prunes sparse buckets.
+
+    Scale: one hash agg over the bucket key; the zero-fill spine is a
+    single sequence explode bounded by (max−min)/interval — PARAMETER-
+    scale, not data-scale (pick the interval so the bucket count stays
+    ~10³ like any sane chart). Columns: (bucket, doc_count) ordered.
+    """
+    if interval <= 0:
+        raise ValueError("interval must be > 0")
+    if min_doc_count < 0:
+        raise ValueError("min_doc_count must be >= 0")
+    step = int(interval) if float(interval).is_integer() else None
+    bucket = F.floor(
+        F.col(field).cast("double") / F.lit(float(interval))
+    ).cast("long")
+    counts = (
+        df.filter(F.col(field).isNotNull())
+        .groupBy(bucket.alias("_b"))
+        .agg(F.count("*").alias("doc_count"))
+    )
+    if min_doc_count == 0:
+        rng = counts.agg(
+            F.min("_b").alias("lo"), F.max("_b").alias("hi")
+        )
+        spine = rng.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("_b")
+        )
+        counts = spine.join(counts, "_b", "left").select(
+            "_b",
+            F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
+        )
+    else:
+        counts = counts.filter(F.col("doc_count") >= min_doc_count)
+    key = (
+        (F.col("_b") * step).cast("long")
+        if step is not None
+        else (F.col("_b") * float(interval))
+    )
+    return (
+        counts.select(key.alias("bucket"), "doc_count")
+        .orderBy("bucket")
+    )
+
+
+_DATE_UNITS = ("hour", "day", "week", "month")
+
+
+def date_histogram(
+    df: DataFrame,
+    ts_col: str,
+    calendar: str = "day",
+    count_distinct_col: str | None = None,
+    sum_col: str | None = None,
+) -> DataFrame:
+    """X129 — the Elasticsearch `date_histogram` calendar aggregation
+    (public semantics): events truncate to calendar buckets
+    (hour/day/week/month — both engines' date_trunc share Monday week
+    starts and month boundaries), with the standard sub-aggregations a
+    dashboard asks for: per-bucket event count, optional distinct-key
+    cardinality, optional value sum.
+
+    The batch-side sibling of the streaming tumbling window (W4): same
+    question, but over the full history with exact distinct counts.
+    One hash agg (+ countDistinct's expand when requested); the bucket
+    key is emitted as a STRING day/hour label so cross-engine
+    timestamp formatting can't drift. Columns: (bucket, n_events
+    [, n_distinct] [, sum_value]) ordered."""
+    if calendar not in _DATE_UNITS:
+        raise ValueError(f"calendar must be one of {_DATE_UNITS}")
+    fmt = "yyyy-MM-dd HH:mm" if calendar == "hour" else "yyyy-MM-dd"
+    key = F.date_format(
+        F.date_trunc(calendar, F.col(ts_col)), fmt
+    ).alias("bucket")
+    aggs = [F.count("*").alias("n_events")]
+    if count_distinct_col:
+        aggs.append(
+            F.countDistinct(count_distinct_col).alias("n_distinct")
+        )
+    if sum_col:
+        aggs.append(F.round(F.sum(sum_col), 4).alias("sum_value"))
+    return df.groupBy(key).agg(*aggs).orderBy("bucket")

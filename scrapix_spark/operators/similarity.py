@@ -787,3 +787,152 @@ def mmr_diversify(
     if query_col is None:
         out = out.drop("_q")
     return out.orderBy(*order)
+
+
+# ------------------------------------------ X127 late-interaction MaxSim
+
+def token_hash31_py(t: str) -> int:
+    """Driver-side replica of _token_hash31 (query constants only)."""
+    acc = 7
+    for c in t:
+        acc = (acc * 31 + ord(c)) % HASH_MOD
+    return acc
+
+
+def _char_grams_py(t: str) -> list[str]:
+    return [t[i:i + 3] for i in range(len(t) - 2)] if len(t) >= 3 else [t]
+
+
+def query_term_features_py(
+    terms: list[str], dim: int
+) -> list[tuple[str, int, float, float]]:
+    """Exact driver-side replica of `_char_gram_features` for the
+    query's terms (a bounded query constant — the integer hash/sign
+    arithmetic is identical, so both engines see the same numbers).
+    Rows: (term, bucket, w, nrm); zero-norm terms are dropped."""
+    import math
+
+    out = []
+    for t in terms:
+        acc: dict[int, float] = {}
+        for g in _char_grams_py(t):
+            h = token_hash31_py(g)
+            b = (h // 2) % dim
+            acc[b] = acc.get(b, 0.0) + (1.0 if h % 2 == 0 else -1.0)
+        nrm = math.sqrt(sum(w * w for w in acc.values()))
+        if nrm > 0:
+            out += [(t, b, w, nrm) for b, w in sorted(acc.items())
+                    if w != 0.0]
+    return out
+
+
+def _char_gram_features(terms: DataFrame, dim: int) -> DataFrame:
+    """Training-free token embeddings from character trigrams (the
+    hashing trick over char n-grams — fastText's subword idea,
+    Bojanowski et al. 2017, without learned weights): each trigram
+    hashes to a ±1 signed bucket; a term's sparse vector is the signed
+    trigram count per bucket. Shared trigrams ⇒ positive cosine, so
+    'merge' and 'merged' match softly with NO trained model. Rows:
+    (term, bucket, w, nrm), zero-norm and zero-weight rows dropped."""
+    grams = F.expr(
+        "CASE WHEN length(term) >= 3 THEN "
+        "transform(sequence(1, length(term) - 2), "
+        "i -> substring(term, i, 3)) "
+        "ELSE array(term) END"
+    )
+    g = terms.select("term", F.explode(grams).alias("g"))
+    h = _token_hash31(F.col("g"))
+    fw = (
+        g.withColumn("_h", h)
+        .select(
+            "term",
+            ((F.col("_h") / 2).cast("bigint") % dim).alias("bucket"),
+            F.when(F.col("_h") % 2 == 0, F.lit(1.0))
+            .otherwise(F.lit(-1.0)).alias("s"),
+        )
+        .groupBy("term", "bucket")
+        .agg(F.sum("s").alias("w"))
+        .filter(F.col("w") != 0.0)
+    )
+    fn = fw.groupBy("term").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    ).filter(F.col("nrm") > 0)
+    return fw.join(fn, "term")
+
+
+def maxsim_rerank(
+    postings: DataFrame,
+    cands: DataFrame,
+    q: str,
+    dim: int = 64,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X127 — late-interaction MaxSim reranking (Khattab & Zaharia,
+    SIGIR 2020: the ColBERT scoring rule, score(q,d) = Σ_{query tokens}
+    max_{doc tokens} cos) over training-free character-trigram token
+    embeddings. Where BM25 needs an exact term hit, MaxSim rewards
+    docs whose tokens are merely SIMILAR to the query's ('merged'
+    scores against 'merge' through shared trigrams) — the rerank layer
+    between keyword retrieval and a real neural model, with zero model
+    state.
+
+    Negative cosines floor at 0 (orthogonal hashed features score 0;
+    anti-correlated random-feature noise must not punish a doc), and a
+    query token with no bucket overlap anywhere contributes 0 — the
+    published rule under untrained features.
+
+    Display-time by contract: `cands` is a BOUNDED candidate id list
+    (e.g. BM25 top-N). Plan: candidate doc terms (≤ N·terms-per-doc)
+    build their feature rows once; query features are a driver-side
+    constant (exact integer replica) broadcast into the bucket join;
+    MaxSim is two hash aggs (per-(doc, q_term) max, per-doc sum).
+    Columns: (id_col, maxsim), ordered (maxsim DESC, id ASC), top-k.
+    """
+    from scrapix_spark.operators.query import query_terms
+
+    spark = postings.sparkSession
+    qts = query_terms(q)
+    if not qts:
+        raise ValueError("query has no indexable terms")
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    qrows = query_term_features_py(qts, dim)
+    qf = spark.createDataFrame(
+        qrows, "q_term string, bucket long, wq double, nq double"
+    )
+    dterms = (
+        postings.join(cands.select(id_col), id_col, "left_semi")
+        .select(id_col, "term")
+        .distinct()
+    )
+    dfeat = _char_gram_features(dterms.select("term").distinct(), dim)
+    sims = (
+        dfeat.join(F.broadcast(qf), "bucket")
+        .groupBy("q_term", "term")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("wq"))
+                / (F.first("nq") * F.first("nrm")),
+                6,
+            ).alias("cos")
+        )
+    )
+    per_doc_q = (
+        dterms.join(sims, "term")
+        .groupBy(id_col, "q_term")
+        .agg(F.greatest(F.max("cos"), F.lit(0.0)).alias("mx"))
+    )
+    scores = per_doc_q.groupBy(id_col).agg(
+        F.round(F.sum("mx"), 6).alias("maxsim")
+    )
+    return (
+        cands.select(id_col)
+        .join(scores, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("maxsim"), F.lit(0.0)).alias("maxsim"),
+        )
+        .orderBy(F.col("maxsim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

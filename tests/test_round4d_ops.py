@@ -1090,3 +1090,135 @@ def test_wildcard_validation(spark, wc_pos):
         wildcard_phrase_docs(wc_pos, "* *")
     with pytest.raises(ValueError):
         wildcard_phrase_docs(wc_pos, "")
+
+
+# ------------------------------------------------ X127 MaxSim rerank
+
+from scrapix_spark.operators.similarity import (  # noqa: E402
+    _char_grams_py,
+    maxsim_rerank,
+    query_term_features_py,
+    token_hash31_py,
+)
+
+
+def test_token_hash31_py_matches_spark(spark):
+    from scrapix_spark.operators.similarity import _token_hash31
+
+    words = ["merge", "a", "héllo", "zz9"]
+    df = spark.createDataFrame([(w,) for w in words], "t string")
+    got = {r.t: r.h for r in df.select(
+        "t", _token_hash31(F.col("t")).alias("h")).collect()}
+    for w in words:
+        assert got[w] == token_hash31_py(w)
+
+
+def _ms_fixture(spark):
+    rows = [
+        ("merged", 1), ("merged", 1), ("sorting", 1),
+        ("merge", 2), ("batch", 2),
+        ("qqq", 3), ("zzz", 3),
+    ]
+    post = spark.createDataFrame(
+        [(t, d, 1, 2) for t, d in rows],
+        "term string, doc_id long, tf long, dl long").dropDuplicates(
+        ["term", "doc_id"])
+    cand = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    return post, cand
+
+
+def test_maxsim_exact_term_beats_fuzzy_beats_none(spark):
+    post, cand = _ms_fixture(spark)
+    got = maxsim_rerank(post, cand, "merge batch", dim=64, k=3).collect()
+    scores = {r.doc_id: r.maxsim for r in got}
+    # doc 2 contains both query tokens exactly -> cos 1 each -> ~2.0
+    assert scores[2] == pytest.approx(2.0, abs=1e-6)
+    # doc 1 has 'merged' (shares trigrams with 'merge') -> 0 < s < 2
+    assert 0.0 < scores[1] < scores[2]
+    # doc 3 shares nothing
+    assert scores[3] == pytest.approx(0.0, abs=1e-6)
+    assert [r.doc_id for r in got] == [2, 1, 3]
+
+
+def test_maxsim_python_feature_replica_is_consistent(spark):
+    from scrapix_spark.operators.similarity import _char_gram_features
+
+    terms = ["merge", "merged", "ab", "x"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    eng = sorted(
+        (r.term, r.bucket, r.w, round(r.nrm, 9))
+        for r in _char_gram_features(df, 64).collect()
+    )
+    py = sorted(
+        (t, b, w, round(n, 9))
+        for t, b, w, n in query_term_features_py(terms, 64)
+    )
+    assert eng == py
+
+
+def test_maxsim_grams_py():
+    assert _char_grams_py("merge") == ["mer", "erg", "rge"]
+    assert _char_grams_py("ab") == ["ab"]
+
+
+def test_maxsim_validation(spark):
+    post, cand = _ms_fixture(spark)
+    with pytest.raises(ValueError):
+        maxsim_rerank(post, cand, "...")
+    with pytest.raises(ValueError):
+        maxsim_rerank(post, cand, "merge", dim=1)
+
+
+# --------------------------------------- X128/X129 histogram aggs
+
+from scrapix_spark.operators.results import date_histogram, histogram_agg  # noqa: E402
+
+
+def test_histogram_buckets_and_gap_fill(spark):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([1, 2, 7, 21, 23, -3])],
+        "i long, v long")
+    got = [(r.bucket, r.doc_count) for r in
+           histogram_agg(df, "v", 5).collect()]
+    # floor semantics: -3 -> bucket -5; gaps 10 and 15 zero-filled
+    assert got == [(-5, 1), (0, 2), (5, 1), (10, 0), (15, 0), (20, 2)]
+
+
+def test_histogram_min_doc_count_prunes(spark):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([1, 2, 7, 21, 23, -3])],
+        "i long, v long")
+    got = [(r.bucket, r.doc_count) for r in
+           histogram_agg(df, "v", 5, min_doc_count=2).collect()]
+    assert got == [(0, 2), (20, 2)]
+
+
+def test_histogram_validation(spark):
+    df = spark.createDataFrame([(1, 1)], "i long, v long")
+    with pytest.raises(ValueError):
+        histogram_agg(df, "v", 0)
+    with pytest.raises(ValueError):
+        histogram_agg(df, "v", 5, min_doc_count=-1)
+
+
+def test_date_histogram_matches_python(spark):
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 5, 0), 1, 2.0),
+        (dt.datetime(2024, 1, 1, 9, 30), 2, 3.5),
+        (dt.datetime(2024, 1, 2, 0, 0), 1, 1.0),
+        (dt.datetime(2024, 2, 1, 12, 0), 3, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+    got = [(r.bucket, r.n_events, r.n_distinct, r.sum_value)
+           for r in date_histogram(df, "ts", "day", "user_id",
+                                   "value").collect()]
+    assert got == [("2024-01-01", 2, 2, 5.5),
+                   ("2024-01-02", 1, 1, 1.0),
+                   ("2024-02-01", 1, 1, 4.0)]
+    mgot = [(r.bucket, r.n_events)
+            for r in date_histogram(df, "ts", "month").collect()]
+    assert mgot == [("2024-01-01", 3), ("2024-02-01", 1)]
+    with pytest.raises(ValueError):
+        date_histogram(df, "ts", "fortnight")
