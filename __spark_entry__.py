@@ -4798,6 +4798,64 @@ def q_events_date_histogram(spark, sf_dir):
     return R.date_histogram(ev, "ts", "day", "user_id", "value")
 
 
+def q_sig_terms(spark, sf_dir):
+    """X130 — ES significant_terms with the published JLH score over
+    the lang='zh' foreground vs the whole corpus.
+    operators/textstats.py significant_terms."""
+    return TS.significant_terms(
+        _docs(spark, sf_dir), "lang = 'zh'", k=15, min_doc_count=3
+    )
+
+
+def q_related_terms(spark, sf_dir):
+    """X131 — PMI co-occurrence related terms (Church & Hanks 1990)
+    for seed 'merge' over document counts.
+    operators/textstats.py related_terms_pmi."""
+    return TS.related_terms_pmi(
+        _docs(spark, sf_dir), "merge", k=10, min_cooc=5
+    )
+
+
+def _sig_terms_sql() -> str:
+    tok = TOK_EXPR("text")
+    return f"""
+WITH pairs AS (SELECT doc_id, lang, unnest(list_distinct({tok})) AS t
+               FROM documents),
+nfg AS (SELECT count(*) AS n FROM documents WHERE lang = 'zh'),
+nbg AS (SELECT count(*) AS n FROM documents),
+dfg AS (SELECT t, count(*)::BIGINT AS df_fg FROM pairs
+        WHERE lang = 'zh' GROUP BY t),
+dbg AS (SELECT t, count(*)::BIGINT AS df_bg FROM pairs GROUP BY t),
+j AS (SELECT t, df_fg, df_bg,
+        df_fg / nfg.n::DOUBLE AS fgp, df_bg / nbg.n::DOUBLE AS bgp
+      FROM dbg JOIN dfg USING (t) CROSS JOIN nfg CROSS JOIN nbg
+      WHERE df_fg >= 3)
+SELECT t AS term, df_fg, df_bg,
+       round((fgp - bgp) * (fgp / bgp), 9) AS jlh
+FROM j WHERE fgp > bgp
+ORDER BY jlh DESC, term LIMIT 15
+"""
+
+
+def _related_terms_sql() -> str:
+    tok = TOK_EXPR("text")
+    return f"""
+WITH pairs AS (SELECT doc_id, unnest(list_distinct({tok})) AS t
+               FROM documents),
+nd AS (SELECT count(*) AS n FROM documents),
+sd AS (SELECT doc_id FROM pairs WHERE t = 'merge'),
+cs AS (SELECT count(*) AS c FROM sd),
+cooc AS (SELECT p.t, count(*)::BIGINT AS cooc
+         FROM pairs p JOIN sd USING (doc_id)
+         WHERE p.t <> 'merge' GROUP BY p.t HAVING count(*) >= 5),
+dfr AS (SELECT t, count(*)::BIGINT AS df FROM pairs GROUP BY t)
+SELECT c.t AS term, c.cooc, d.df,
+       round(ln(nd.n::DOUBLE * c.cooc / (cs.c::DOUBLE * d.df)), 9) AS pmi
+FROM cooc c JOIN dfr d USING (t) CROSS JOIN nd CROSS JOIN cs
+ORDER BY pmi DESC, term LIMIT 10
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -4825,9 +4883,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cms_counts, generation_diff, mask_spans_multi, dict_frontcode,
     # sb_trigram_scores, max_passage_topk, bloom_members, hll_vocab,
     # power_laws, wildcard_phrase, maxsim_rerank, value_histogram,
-    # events_date_histogram) — sits directly behind them, so it
-    # occupies the FRONT of the round-5 sample (28 entries: positions
-    # 51-78 of this dict). Everything else has a green driver row in
+    # events_date_histogram, sig_terms, related_terms) — sits directly
+    # behind them, so it
+    # occupies the FRONT of the round-5 sample (30 entries: positions
+    # 51-80 of this dict). Everything else has a green driver row in
     # r01-r03 and the whole registry stays locally gated via
     # tools/check_oracles.py (no args = full registry) every session
     # (round-4d session: 177/177 green, /tmp/sweep_r4d.log protocol).
@@ -4912,6 +4971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_rerank": q_maxsim_rerank,
         "value_histogram": q_value_histogram,
         "events_date_histogram": q_events_date_histogram,
+        "sig_terms": q_sig_terms,
+        "related_terms": q_related_terms,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -8021,6 +8082,8 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
        round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1 ORDER BY 1
 """,
+        "sig_terms": _sig_terms_sql(),
+        "related_terms": _related_terms_sql(),
     }
 
 

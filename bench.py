@@ -202,7 +202,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "mask_spans_multi", "dict_frontcode", "sb_trigram_scores",
         "max_passage_topk", "bloom_members", "hll_vocab", "power_laws",
         "wildcard_phrase", "maxsim_rerank", "value_histogram",
-        "events_date_histogram",
+        "events_date_histogram", "sig_terms", "related_terms",
     ]
     out = {}
     for name in headline:

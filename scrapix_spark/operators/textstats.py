@@ -1128,3 +1128,126 @@ def corpus_power_laws(
         (F.round(F.exp(hicept), 6) + F.lit(0.0)).alias("heaps_k"),
     )
     return zrow.crossJoin(hrow)
+
+
+# ------------------------------------- X130/X131 corpus contrast ops
+
+def significant_terms(
+    df: DataFrame,
+    foreground_filter: str,
+    text_col: str = "text",
+    k: int = 20,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """X130 — the Elasticsearch `significant_terms` aggregation with
+    the published JLH score: terms whose DOCUMENT frequency in a
+    foreground subset is anomalously high vs the whole corpus —
+    "what's different about the docs matching this filter" (the
+    drill-down every corpus-analysis UI offers):
+
+        jlh = (fg% − bg%) · (fg% / bg%)     for fg% > bg%, else excluded
+
+    with fg% = df_fg/N_fg and bg% = df_bg/N_bg (doc counts, not term
+    counts — the ES definition).
+
+    Plan: two distinct-(doc, term) hash aggs (one filtered, one not) +
+    a term-keyed join (the foreground relation is the small side —
+    AQE broadcasts it at subset scale, it shuffle-joins when the
+    subset is the corpus) + 1-row N broadcasts + TakeOrdered k.
+    Columns: (term, df_fg, df_bg, jlh 9dp), score-ordered.
+    """
+    if k < 1 or min_doc_count < 1:
+        raise ValueError("k and min_doc_count must be >= 1")
+    pairs = df.select(
+        "*", F.explode_outer(
+            F.array_distinct(tokens_native(F.col(text_col)))
+        ).alias("_t")
+    )
+    fg = pairs.filter(foreground_filter)
+    n_fg_row = df.filter(foreground_filter).count()
+    n_bg_row = df.count()
+    if n_fg_row == 0:
+        raise ValueError("foreground filter matches no documents")
+    dfg = fg.groupBy("_t").agg(F.count("*").alias("df_fg"))
+    dbg = pairs.groupBy("_t").agg(F.count("*").alias("df_bg"))
+    j = (
+        dbg.join(dfg, "_t")
+        .filter(F.col("_t").isNotNull())
+        .filter(F.col("df_fg") >= min_doc_count)
+        .withColumn("_fgp", F.col("df_fg") / F.lit(float(n_fg_row)))
+        .withColumn("_bgp", F.col("df_bg") / F.lit(float(n_bg_row)))
+        .filter(F.col("_fgp") > F.col("_bgp"))
+        .withColumn(
+            "jlh",
+            F.round(
+                (F.col("_fgp") - F.col("_bgp"))
+                * (F.col("_fgp") / F.col("_bgp")),
+                9,
+            ),
+        )
+    )
+    return (
+        j.select(F.col("_t").alias("term"), "df_fg", "df_bg", "jlh")
+        .orderBy(F.col("jlh").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def related_terms_pmi(
+    df: DataFrame,
+    seed: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_cooc: int = 2,
+) -> DataFrame:
+    """X131 — co-occurrence related terms by pointwise mutual
+    information (Church & Hanks, CL 1990 — the classic association
+    score): for terms t co-occurring with the seed in a document,
+
+        pmi(seed, t) = ln( N · c(seed, t) / (c(seed) · c(t)) )
+
+    over DOCUMENT counts — the "users also searched / related
+    keywords" primitive that needs no embeddings.
+
+    Plan: the seed's doc set is an id-keyed semi-filter; co-occurrence
+    counts are one hash agg over the filtered distinct (doc, term)
+    pairs (a seed-df-bounded relation — it broadcasts into the df
+    join); the corpus df relation joins term-keyed. Columns:
+    (term, cooc, df, pmi 9dp), score-ordered top-k."""
+    if k < 1 or min_cooc < 1:
+        raise ValueError("k and min_cooc must be >= 1")
+    pairs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(tokens_native(F.col(text_col)))
+        ).alias("t"),
+    )
+    n_docs = df.count()
+    seed_docs = pairs.filter(F.col("t") == seed).select("id")
+    c_seed = seed_docs.count()
+    if c_seed == 0:
+        raise ValueError(f"seed term {seed!r} not in corpus")
+    cooc = (
+        pairs.join(F.broadcast(seed_docs), "id")
+        .filter(F.col("t") != seed)
+        .groupBy("t")
+        .agg(F.count("*").alias("cooc"))
+        .filter(F.col("cooc") >= min_cooc)
+    )
+    dfreq = pairs.groupBy("t").agg(F.count("*").alias("df"))
+    out = dfreq.join(F.broadcast(cooc), "t").withColumn(
+        "pmi",
+        F.round(
+            F.log(
+                F.lit(float(n_docs)) * F.col("cooc")
+                / (F.lit(float(c_seed)) * F.col("df"))
+            ),
+            9,
+        ),
+    )
+    return (
+        out.select(F.col("t").alias("term"), "cooc", "df", "pmi")
+        .orderBy(F.col("pmi").desc(), F.col("term").asc())
+        .limit(k)
+    )

@@ -1222,3 +1222,90 @@ def test_date_histogram_matches_python(spark):
     assert mgot == [("2024-01-01", 3), ("2024-02-01", 1)]
     with pytest.raises(ValueError):
         date_histogram(df, "ts", "fortnight")
+
+
+# -------------------------------------- X130/X131 corpus contrast ops
+
+from scrapix_spark.operators.textstats import (  # noqa: E402
+    related_terms_pmi,
+    significant_terms,
+)
+
+SIG_DOCS = [
+    # lang 'x' docs all carry 'xonly'; 'common' is everywhere
+    (0, "x", "common xonly alpha"),
+    (1, "x", "common xonly beta"),
+    (2, "x", "common xonly gamma"),
+    (3, "y", "common other1"),
+    (4, "y", "common other2"),
+    (5, "y", "common other3"),
+]
+
+
+@pytest.fixture(scope="module")
+def sig_df(spark):
+    return spark.createDataFrame(
+        SIG_DOCS, "doc_id long, lang string, text string").cache()
+
+
+def test_significant_terms_jlh(spark, sig_df):
+    got = significant_terms(sig_df, "lang = 'x'", k=5,
+                            min_doc_count=2).collect()
+    terms = [r.term for r in got]
+    assert terms[0] == "xonly"
+    assert "common" not in terms  # fg% == bg% -> excluded
+    r = got[0]
+    fgp, bgp = 3 / 3, 3 / 6
+    assert r.jlh == pytest.approx((fgp - bgp) * (fgp / bgp), abs=1e-9)
+    assert (r.df_fg, r.df_bg) == (3, 3)
+
+
+def test_significant_terms_min_doc_count(spark, sig_df):
+    got = significant_terms(sig_df, "lang = 'x'", k=5,
+                            min_doc_count=1).collect()
+    assert "alpha" in [r.term for r in got]  # df_fg=1 admitted now
+
+
+def test_significant_terms_validation(spark, sig_df):
+    with pytest.raises(ValueError):
+        significant_terms(sig_df, "lang = 'zz'")
+    with pytest.raises(ValueError):
+        significant_terms(sig_df, "lang = 'x'", k=0)
+
+
+PMI_DOCS = [
+    (0, "alpha beta noise1"),
+    (1, "alpha beta noise2"),
+    (2, "alpha gamma noise3"),
+    (3, "gamma delta noise4"),
+    (4, "delta noise5 noise6"),
+    (5, "alpha beta gamma"),
+]
+
+
+@pytest.fixture(scope="module")
+def pmi_df(spark):
+    return spark.createDataFrame(PMI_DOCS, "doc_id long, text string").cache()
+
+
+def test_pmi_values_match_formula(spark, pmi_df):
+    got = {r.term: (r.cooc, r.df, r.pmi) for r in
+           related_terms_pmi(pmi_df, "alpha", k=10, min_cooc=1).collect()}
+    n, c_seed = 6, 4
+    assert got["beta"][0] == 3 and got["beta"][1] == 3
+    assert got["beta"][2] == pytest.approx(
+        math.log(n * 3 / (c_seed * 3)), abs=1e-9)
+    assert got["gamma"][2] == pytest.approx(
+        math.log(n * 2 / (c_seed * 3)), abs=1e-9)
+    assert "delta" not in got  # never co-occurs with alpha
+    # beta (always together) ranks above gamma (sometimes)
+    order = [r.term for r in
+             related_terms_pmi(pmi_df, "alpha", k=2, min_cooc=2).collect()]
+    assert order[0] == "beta"
+
+
+def test_pmi_validation(spark, pmi_df):
+    with pytest.raises(ValueError):
+        related_terms_pmi(pmi_df, "nosuchterm")
+    with pytest.raises(ValueError):
+        related_terms_pmi(pmi_df, "alpha", k=0)
