@@ -4856,6 +4856,17 @@ ORDER BY pmi DESC, term LIMIT 10
 """
 
 
+def q_event_quantiles(spark, sf_dir):
+    """X132 — exact per-group quantiles (type-7 interpolation, shared
+    bit-for-bit by Spark percentile and DuckDB quantile_cont) of event
+    value per event_type. operators/results.py grouped_quantiles."""
+    from scrapix_spark.operators import results as R
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return R.grouped_quantiles(ev, "value", "event_type",
+                               (0.5, 0.9, 0.99))
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -4883,10 +4894,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cms_counts, generation_diff, mask_spans_multi, dict_frontcode,
     # sb_trigram_scores, max_passage_topk, bloom_members, hll_vocab,
     # power_laws, wildcard_phrase, maxsim_rerank, value_histogram,
-    # events_date_histogram, sig_terms, related_terms) — sits directly
-    # behind them, so it
-    # occupies the FRONT of the round-5 sample (30 entries: positions
-    # 51-80 of this dict). Everything else has a green driver row in
+    # events_date_histogram, sig_terms, related_terms, event_quantiles)
+    # — sits directly behind them, so it
+    # occupies the FRONT of the round-5 sample (31 entries: positions
+    # 51-81 of this dict). Everything else has a green driver row in
     # r01-r03 and the whole registry stays locally gated via
     # tools/check_oracles.py (no args = full registry) every session
     # (round-4d session: 177/177 green, /tmp/sweep_r4d.log protocol).
@@ -4973,6 +4984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_date_histogram": q_events_date_histogram,
         "sig_terms": q_sig_terms,
         "related_terms": q_related_terms,
+        "event_quantiles": q_event_quantiles,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -8084,6 +8096,16 @@ FROM events GROUP BY 1 ORDER BY 1
 """,
         "sig_terms": _sig_terms_sql(),
         "related_terms": _related_terms_sql(),
+        "event_quantiles": """
+SELECT event_type, n,
+       round(qv[1], 6) AS p50,
+       round(qv[2], 6) AS p90,
+       round(qv[3], 6) AS p99
+FROM (SELECT event_type, count(value)::BIGINT AS n,
+             quantile_cont(CAST(value AS DOUBLE), [0.5, 0.9, 0.99]) AS qv
+      FROM events GROUP BY event_type)
+ORDER BY event_type
+""",
     }
 
 

@@ -560,3 +560,47 @@ def date_histogram(
     if sum_col:
         aggs.append(F.round(F.sum(sum_col), 4).alias("sum_value"))
     return df.groupBy(key).agg(*aggs).orderBy("bucket")
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    round_dp: int = 6,
+) -> DataFrame:
+    """X132 — exact per-group quantiles with linear interpolation (the
+    type-7 rule Spark's `percentile` and DuckDB's `quantile_cont`
+    share bit-for-bit): the p50/p90/p99 dashboard primitive over a
+    grouped metric (latency per endpoint, size per event type).
+
+    Scale contract: EXACT quantiles buffer a group's values inside the
+    aggregate (memory O(per-group cardinality)) — right when groups
+    are bounded (event types, endpoints, shards). For unbounded groups
+    at 100 TB, bucket first (X128 histogram) or accept
+    approx_percentile; this is the exact-answer form, which is what
+    makes it oracle-gateable.
+
+    Columns: (group_col, n, p50, p90, ... per qs), ordered by group.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError("quantiles must be in [0, 1]")
+    arr = F.percentile(
+        F.col(value_col).cast("double"),
+        F.array(*[F.lit(float(q)) for q in qs]),
+    )
+    agg = df.groupBy(group_col).agg(
+        F.count(value_col).alias("n"), arr.alias("_qs")
+    )
+
+    def _name(q: float) -> str:
+        return ("p" + f"{q * 100:g}").replace(".", "_")
+
+    cols = [F.col(group_col), F.col("n")]
+    for i, q in enumerate(qs):
+        cols.append(
+            F.round(F.element_at("_qs", i + 1), round_dp).alias(_name(q))
+        )
+    return agg.select(*cols).orderBy(group_col)

@@ -1309,3 +1309,39 @@ def test_pmi_validation(spark, pmi_df):
         related_terms_pmi(pmi_df, "nosuchterm")
     with pytest.raises(ValueError):
         related_terms_pmi(pmi_df, "alpha", k=0)
+
+
+# ------------------------------------------ X132 grouped quantiles
+
+from scrapix_spark.operators.results import grouped_quantiles  # noqa: E402
+
+
+def test_grouped_quantiles_match_numpy(spark):
+    import numpy as np
+
+    rows = [("a", float(v)) for v in [1, 3.5, 2.2, 9.9, 4.4, 7.7, 0.3]]
+    rows += [("b", float(v)) for v in [10, 20, 30, 40]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r.g: (r.n, r.p50, r.p90) for r in
+           grouped_quantiles(df, "v", "g", (0.5, 0.9)).collect()}
+    for g in ("a", "b"):
+        vals = np.array([v for gg, v in rows if gg == g])
+        assert got[g][0] == len(vals)
+        assert got[g][1] == pytest.approx(
+            np.quantile(vals, 0.5), abs=1e-9)
+        assert got[g][2] == pytest.approx(
+            np.quantile(vals, 0.9), abs=1e-9)  # numpy default = type 7
+
+
+def test_grouped_quantiles_fractional_names(spark):
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    out = grouped_quantiles(df, "v", "g", (0.999,))
+    assert "p99_9" in out.columns
+
+
+def test_grouped_quantiles_validation(spark):
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError):
+        grouped_quantiles(df, "v", "g", ())
+    with pytest.raises(ValueError):
+        grouped_quantiles(df, "v", "g", (1.5,))
