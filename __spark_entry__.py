@@ -4867,6 +4867,68 @@ def q_event_quantiles(spark, sf_dir):
                                (0.5, 0.9, 0.99))
 
 
+EXPLAIN_DOC, TV_DOC = 0, 7
+
+
+def q_score_explain(spark, sf_dir):
+    """X133 — the ES _explain endpoint for BM25: per-term tf/df/idf/
+    contribution breakdown for one (query, doc) pair.
+    operators/query.py score_explain."""
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    return Q.score_explain(
+        post, stats, int(row["n"]), float(row["a"]), BM25_QUERY,
+        doc_id=EXPLAIN_DOC, k1=K1, b=B,
+    )
+
+
+def q_term_vectors(spark, sf_dir):
+    """X134 — the ES _termvectors endpoint: one doc's tf per term plus
+    corpus df and total term frequency. operators/query.py
+    term_vectors."""
+    return Q.term_vectors(_postings(spark, sf_dir), doc_id=TV_DOC)
+
+
+def _explain_sql() -> str:
+    tok = TOK_EXPR("text")
+    tlist = ", ".join(f"'{t}'" for t in Q.query_terms(BM25_QUERY))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+dfv AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT tf.term, tf.tf, dl.dl, dfv.df,
+  round(ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5)), 6) AS idf,
+  round(ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+        * (tf.tf * ({K1} + 1.0))
+        / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)),
+        6) AS contrib
+FROM tf JOIN dfv USING (term)
+JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+WHERE tf.doc_id = {EXPLAIN_DOC} AND tf.term IN ({tlist})
+ORDER BY term
+"""
+
+
+def _term_vectors_sql() -> str:
+    tok = TOK_EXPR("text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       GROUP BY doc_id, term),
+st AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+       FROM tf GROUP BY term)
+SELECT st.term, m.tf, st.df, st.ttf
+FROM st JOIN (SELECT term, tf FROM tf WHERE doc_id = {TV_DOC}) m
+  USING (term)
+ORDER BY term
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -4894,10 +4956,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cms_counts, generation_diff, mask_spans_multi, dict_frontcode,
     # sb_trigram_scores, max_passage_topk, bloom_members, hll_vocab,
     # power_laws, wildcard_phrase, maxsim_rerank, value_histogram,
-    # events_date_histogram, sig_terms, related_terms, event_quantiles)
-    # — sits directly behind them, so it
-    # occupies the FRONT of the round-5 sample (31 entries: positions
-    # 51-81 of this dict). Everything else has a green driver row in
+    # events_date_histogram, sig_terms, related_terms, event_quantiles,
+    # score_explain, term_vectors) — sits directly behind them, so it
+    # occupies the FRONT of the round-5 sample (33 entries: positions
+    # 51-83 of this dict). Everything else has a green driver row in
     # r01-r03 and the whole registry stays locally gated via
     # tools/check_oracles.py (no args = full registry) every session
     # (round-4d session: 177/177 green, /tmp/sweep_r4d.log protocol).
@@ -4985,6 +5047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sig_terms": q_sig_terms,
         "related_terms": q_related_terms,
         "event_quantiles": q_event_quantiles,
+        "score_explain": q_score_explain,
+        "term_vectors": q_term_vectors,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -8106,6 +8170,8 @@ FROM (SELECT event_type, count(value)::BIGINT AS n,
       FROM events GROUP BY event_type)
 ORDER BY event_type
 """,
+        "score_explain": _explain_sql(),
+        "term_vectors": _term_vectors_sql(),
     }
 
 

@@ -203,7 +203,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "max_passage_topk", "bloom_members", "hll_vocab", "power_laws",
         "wildcard_phrase", "maxsim_rerank", "value_histogram",
         "events_date_histogram", "sig_terms", "related_terms",
-        "event_quantiles",
+        "event_quantiles", "score_explain", "term_vectors",
     ]
     out = {}
     for name in headline:

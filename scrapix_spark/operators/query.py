@@ -2217,3 +2217,74 @@ def max_passage_topk(
         .limit(k)
         .drop("_s9")
     )
+
+
+def score_explain(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    q: str,
+    doc_id: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """X133 — the Elasticsearch `_explain` endpoint for BM25: the
+    per-term score breakdown for ONE (query, document) pair — tf, df,
+    idf and the term's contribution, exactly the numbers the ranker
+    summed. The debugging surface every relevance engineer asks for
+    first ("why does doc 42 rank third?").
+
+    Plan: an id-keyed one-doc filter over postings (a single shard /
+    row-group on a published index) + the query-sized idf slice as a
+    broadcast — O(query terms) rows total. Columns: (term, tf, dl,
+    df, idf 6dp, contrib 6dp), term-ordered.
+    """
+    terms = query_terms(q)
+    if not terms:
+        raise ValueError("query has no indexable terms")
+    rows = postings.filter(
+        (F.col("doc_id") == doc_id) & F.col("term").isin(terms)
+    )
+    tstats = term_stats.filter(F.col("term").isin(terms)).withColumn(
+        "idf", idf_expr(N, F.col("df").cast("double"))
+    )
+    out = rows.join(F.broadcast(tstats.select("term", "df", "idf")), "term")
+    contrib = bm25_score_expr(
+        F.col("tf"), F.col("dl"), F.col("idf"), avgdl, k1, b
+    )
+    return out.select(
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("dl").cast("long").alias("dl"),
+        F.col("df").cast("long").alias("df"),
+        F.round("idf", 6).alias("idf"),
+        F.round(contrib, 6).alias("contrib"),
+    ).orderBy("term")
+
+
+def term_vectors(
+    postings: DataFrame,
+    doc_id: int,
+) -> DataFrame:
+    """X134 — the Elasticsearch `_termvectors` endpoint: one document's
+    full term statistics — its tf per term plus corpus df and total
+    term frequency (ttf). The inspection surface for per-doc anomaly
+    checks (is this doc one giant repeated token?).
+
+    Plan: corpus-wide df/ttf is one term-keyed hash agg; the one-doc
+    slice joins it term-keyed (the doc's term set is the bounded side
+    and broadcasts). Columns: (term, tf, df, ttf), term-ordered.
+    """
+    mine = postings.filter(F.col("doc_id") == doc_id).select(
+        "term", F.col("tf").cast("long").alias("tf")
+    )
+    stats = postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("ttf"),
+    )
+    return (
+        stats.join(F.broadcast(mine), "term")
+        .select("term", "tf", "df", "ttf")
+        .orderBy("term")
+    )

@@ -1345,3 +1345,36 @@ def test_grouped_quantiles_validation(spark):
         grouped_quantiles(df, "v", "g", ())
     with pytest.raises(ValueError):
         grouped_quantiles(df, "v", "g", (1.5,))
+
+
+# ------------------------------------ X133/X134 explain + term vectors
+
+from scrapix_spark.operators.query import score_explain, term_vectors  # noqa: E402
+
+
+def test_score_explain_contributions_sum_to_bm25(spark, rm3_corpus):
+    post, stats, n, avgdl = rm3_corpus
+    full = {r.doc_id: r.score for r in bm25_topk_from_postings(
+        post, stats, n, avgdl, "apple banana", k=6).collect()}
+    exp = score_explain(post, stats, n, avgdl, "apple banana",
+                        doc_id=1).collect()
+    assert {r.term for r in exp} == {"apple", "banana"}
+    assert sum(r.contrib for r in exp) == pytest.approx(
+        full[1], abs=1e-4)
+
+
+def test_score_explain_validation(spark, rm3_corpus):
+    post, stats, n, avgdl = rm3_corpus
+    with pytest.raises(ValueError):
+        score_explain(post, stats, n, avgdl, "...", doc_id=1)
+
+
+def test_term_vectors_counts(spark, rm3_corpus):
+    post, _, _, _ = rm3_corpus
+    got = {r.term: (r.tf, r.df, r.ttf) for r in
+           term_vectors(post, doc_id=1).collect()}
+    # doc 1 = "apple banana apple fruit"
+    assert got["apple"] == (2, 3, 4)   # df: docs 1,2,3; ttf: 2+1+1
+    assert got["banana"] == (1, 3, 4)  # docs 1,2,5; ttf: 1+1+2
+    assert got["fruit"] == (1, 1, 1)
+    assert set(got) == {"apple", "banana", "fruit"}
