@@ -4929,6 +4929,58 @@ ORDER BY term
 """
 
 
+CDC_W, CDC_D = 8, 32
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """X135 — content-defined chunking (the LBFS cut rule, SOSP 2001):
+    content-dependent boundaries over the doc_id<120 slice, chunk
+    sha256 as the dedup key. operators/curation.py cdc_chunks."""
+    from scrapix_spark.operators import curation as CU
+
+    return CU.cdc_chunks(
+        _docs(spark, sf_dir).filter("doc_id < 120"),
+        window=CDC_W, divisor=CDC_D,
+    )
+
+
+def _cdc_sql() -> str:
+    from scrapix_spark.operators.similarity import HASH_MOD
+
+    hwin = (
+        f"list_reduce(list_prepend(CAST(7 AS BIGINT), "
+        f"list_transform(generate_series(greatest(i - {CDC_W} + 1, 1), i), "
+        f"j -> ord(substr(t, j::INT, 1))::BIGINT)), "
+        f"(acc, x) -> (acc * 31 + x) % {HASH_MOD})"
+    )
+    return f"""
+WITH base AS (SELECT doc_id, text AS t, length(text) AS n
+              FROM documents
+              WHERE doc_id < 120 AND length(coalesce(text, '')) > 0),
+cb AS (SELECT doc_id, t, n,
+         list_filter(generate_series({CDC_W}, greatest(n, {CDC_W})),
+           i -> i <= n AND {hwin} % {CDC_D} = 0) AS cand
+       FROM base),
+bd AS (SELECT doc_id, t,
+         CASE WHEN len(cand) > 0 AND cand[-1] = n THEN cand
+              ELSE list_append(cand, n::BIGINT) END AS bounds
+       FROM cb),
+pv AS (SELECT doc_id, t, bounds,
+         list_prepend(CAST(0 AS BIGINT),
+           bounds[1:len(bounds) - 1]) AS prevs
+       FROM bd),
+ex AS (SELECT doc_id, t, bounds, prevs,
+         unnest(generate_series(1, len(bounds))) AS k
+       FROM pv)
+SELECT doc_id, (k - 1)::BIGINT AS chunk_id,
+       (prevs[k] + 1)::BIGINT AS start,
+       (bounds[k] - prevs[k])::BIGINT AS length,
+       sha256(substr(t, (prevs[k] + 1)::INT,
+                     (bounds[k] - prevs[k])::INT)) AS sha
+FROM ex ORDER BY doc_id, chunk_id
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -4957,9 +5009,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sb_trigram_scores, max_passage_topk, bloom_members, hll_vocab,
     # power_laws, wildcard_phrase, maxsim_rerank, value_histogram,
     # events_date_histogram, sig_terms, related_terms, event_quantiles,
-    # score_explain, term_vectors) — sits directly behind them, so it
-    # occupies the FRONT of the round-5 sample (33 entries: positions
-    # 51-83 of this dict). Everything else has a green driver row in
+    # score_explain, term_vectors, cdc_chunks) — sits directly behind
+    # them, so it
+    # occupies the FRONT of the round-5 sample (34 entries: positions
+    # 51-84 of this dict). Everything else has a green driver row in
     # r01-r03 and the whole registry stays locally gated via
     # tools/check_oracles.py (no args = full registry) every session
     # (round-4d session: 177/177 green, /tmp/sweep_r4d.log protocol).
@@ -5049,6 +5102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_quantiles": q_event_quantiles,
         "score_explain": q_score_explain,
         "term_vectors": q_term_vectors,
+        "cdc_chunks": q_cdc_chunks,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -8172,6 +8226,7 @@ ORDER BY event_type
 """,
         "score_explain": _explain_sql(),
         "term_vectors": _term_vectors_sql(),
+        "cdc_chunks": _cdc_sql(),
     }
 
 

@@ -1070,3 +1070,84 @@ def leakage_safe_split(
     for name, cut in reversed(cuts):
         expr = F.when(h < cut, F.lit(name)).otherwise(expr)
     return full.select(id_col, "cluster", expr.alias("split"))
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """X135 — content-defined chunking (the LBFS cut rule,
+    Muthitacharoen, Chen & Mazières SOSP 2001 — the basis of FastCDC
+    and every dedup storage system): a chunk boundary falls AFTER
+    position i when the hash of the `window`-char span ending at i is
+    ≡ 0 (mod `divisor`). Boundaries depend on CONTENT, not offsets, so
+    an insertion re-cuts only the chunks it touches and every later
+    chunk keeps its identity — the property offset chunking lacks, and
+    why storage dedup and chunk-level near-dup pipelines cut this way.
+    Expected chunk length ≈ divisor chars. This is the BASIC cut rule;
+    FastCDC's min/max clamps (§3.2) are a downstream production knob,
+    deliberately excluded so the boundary set stays a pure per-position
+    predicate (parallel and SQL-replayable).
+
+    Plan: map-only — boundary candidates are one native
+    transform(sequence) window-hash fold per row (the X77 31-poly hash
+    over code points), chunk assembly is an in-array zip of the
+    boundary list with its own shift, one output row per chunk. No
+    shuffle at any corpus size. Columns: (id, chunk_id, start 1-based,
+    length, sha) — sha256 of the chunk text, the dedup key.
+    """
+    from scrapix_spark.operators.similarity import HASH_MOD
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    if divisor < 2:
+        raise ValueError("divisor must be >= 2")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("id"), txt.alias("_t"),
+        F.length(txt).alias("_n"),
+    ).filter(F.col("_n") > 0)
+    # hash of the window ending at i: fold acc*31+cp over its chars
+    hwin = (
+        f"aggregate(sequence(GREATEST(i - {window} + 1, 1), i), "
+        f"CAST(7 AS BIGINT), "
+        f"(acc, j) -> (acc * 31 + ascii(substring(_t, j, 1))) "
+        f"% {HASH_MOD})"
+    )
+    cand = F.expr(
+        f"filter(sequence({window}, GREATEST(_n, {window})), "
+        f"i -> i <= _n AND {hwin} % {divisor} = 0)"
+    )
+    # candidates are ascending, so a duplicate of n can only be the
+    # LAST element — the conditional append is order-safe in both
+    # engines (array_distinct/list_distinct order guarantees differ)
+    bounds = F.when(
+        F.try_element_at(cand, F.lit(-1)) == F.col("_n").cast("bigint"),
+        cand,
+    ).otherwise(
+        F.concat(cand, F.array(F.col("_n").cast("bigint")))
+    )
+    prevs = F.concat(
+        F.array(F.lit(0).cast("bigint")),
+        F.slice(bounds, 1, F.greatest(F.size(bounds) - 1, F.lit(0))),
+    )
+    spans = F.zip_with(
+        prevs, bounds,
+        lambda p, e: F.struct(p.alias("p"), e.alias("e")),
+    )
+    rows = base.select(
+        "id", "_t", F.posexplode(spans).alias("chunk_id", "s")
+    )
+    return rows.select(
+        F.col("id").alias(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("s.p") + 1).cast("long").alias("start"),
+        (F.col("s.e") - F.col("s.p")).cast("long").alias("length"),
+        F.sha2(
+            F.expr("substring(_t, CAST(s.p + 1 AS INT), "
+                   "CAST(s.e - s.p AS INT))"), 256
+        ).alias("sha"),
+    ).orderBy(id_col, "chunk_id")

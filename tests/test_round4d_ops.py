@@ -1378,3 +1378,64 @@ def test_term_vectors_counts(spark, rm3_corpus):
     assert got["banana"] == (1, 3, 4)  # docs 1,2,5; ttf: 1+1+2
     assert got["fruit"] == (1, 1, 1)
     assert set(got) == {"apple", "banana", "fruit"}
+
+
+# ------------------------------------------------- X135 CDC chunking
+
+from scrapix_spark.operators.curation import cdc_chunks  # noqa: E402
+
+
+def _cdc_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_cdc_reconstruction_and_coverage(spark):
+    text = "the quick brown fox jumps over the lazy dog " * 8
+    got = cdc_chunks(_cdc_df(spark, [text]), window=8,
+                     divisor=16).collect()
+    # spans tile the doc exactly: starts/lengths reconstruct it
+    pos = 1
+    for r in got:
+        assert r.start == pos
+        pos += r.length
+    assert pos - 1 == len(text)
+    assert all(r.length > 0 for r in got)
+
+
+def test_cdc_insertion_locality(spark):
+    import random
+
+    rng = random.Random(17)
+    base = "".join(rng.choice("abcdefghij ") for _ in range(3000))
+    edited = base[:1500] + " INSERTED TEXT " + base[1500:]
+    rows = cdc_chunks(_cdc_df(spark, [base, edited]), window=8,
+                      divisor=32).collect()
+    a = [r.sha for r in rows if r.doc_id == 0]
+    b = [r.sha for r in rows if r.doc_id == 1]
+    # the CDC property: a local edit preserves chunk identities away
+    # from the edit — most chunk shas survive (offset chunking would
+    # shift and invalidate every chunk after position 1500)
+    shared = len(set(a) & set(b))
+    assert shared >= len(set(a)) - 3
+    # specifically the FINAL chunks (well after the edit) survive
+    assert a[-1] in set(b) and a[-2] in set(b)
+
+
+def test_cdc_expected_chunk_size(spark):
+    import random
+
+    rng = random.Random(3)
+    text = "".join(rng.choice("abcdefghij ") for _ in range(4000))
+    got = cdc_chunks(_cdc_df(spark, [text]), window=8,
+                     divisor=64).collect()
+    mean = sum(r.length for r in got) / len(got)
+    assert 30 < mean < 130  # ~divisor chars expected
+
+
+def test_cdc_validation(spark):
+    df = _cdc_df(spark, ["abc"])
+    with pytest.raises(ValueError):
+        cdc_chunks(df, window=1)
+    with pytest.raises(ValueError):
+        cdc_chunks(df, divisor=1)
