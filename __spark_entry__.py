@@ -4981,6 +4981,58 @@ FROM ex ORDER BY doc_id, chunk_id
 """
 
 
+BOOL_QUERY = "(merge OR sort) AND NOT batch"
+
+
+def q_bool_query(spark, sf_dir):
+    """X136 — nested boolean retrieval (the Lucene classic-QueryParser
+    subset: parens, AND/OR/NOT, implicit AND) with BM25 ranking over
+    the positive terms. The SAME parse tree that evaluates the Spark
+    set algebra emits the oracle's INTERSECT/UNION/EXCEPT SQL.
+    operators/boolquery.py bool_topk."""
+    from scrapix_spark.operators import boolquery as BQ
+
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    return BQ.bool_topk(
+        post, stats, int(row["n"]), float(row["a"]), BOOL_QUERY,
+        k=10, k1=K1, b=B,
+    )
+
+
+def _bool_sql() -> str:
+    from scrapix_spark.operators import boolquery as BQ
+
+    ast = BQ.parse_bool(BOOL_QUERY)
+    pos_terms = BQ.bool_terms(ast)
+    tlist = ", ".join(f"'{t}'" for t in pos_terms)
+    tok = TOK_EXPR("text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+dfv AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+pairs AS (SELECT DISTINCT doc_id, term FROM tf),
+universe AS (SELECT DISTINCT doc_id FROM tf),
+m AS ({BQ.bool_sql(ast)}),
+s1 AS (SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) )
+           AS score
+       FROM tf JOIN dfv USING (term)
+       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+       WHERE tf.term IN ({tlist}) GROUP BY tf.doc_id)
+SELECT m.doc_id, round(coalesce(s1.score, 0.0), 4) AS score
+FROM m LEFT JOIN s1 USING (doc_id)
+ORDER BY round(coalesce(s1.score, 0.0), 9) DESC, m.doc_id LIMIT 10
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -5009,10 +5061,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sb_trigram_scores, max_passage_topk, bloom_members, hll_vocab,
     # power_laws, wildcard_phrase, maxsim_rerank, value_histogram,
     # events_date_histogram, sig_terms, related_terms, event_quantiles,
-    # score_explain, term_vectors, cdc_chunks) — sits directly behind
-    # them, so it
-    # occupies the FRONT of the round-5 sample (34 entries: positions
-    # 51-84 of this dict). Everything else has a green driver row in
+    # score_explain, term_vectors, cdc_chunks, bool_query_topk) — sits
+    # directly behind them, so it
+    # occupies the FRONT of the round-5 sample (35 entries: positions
+    # 51-85 of this dict). Everything else has a green driver row in
     # r01-r03 and the whole registry stays locally gated via
     # tools/check_oracles.py (no args = full registry) every session
     # (round-4d session: 177/177 green, /tmp/sweep_r4d.log protocol).
@@ -5103,6 +5155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_explain": q_score_explain,
         "term_vectors": q_term_vectors,
         "cdc_chunks": q_cdc_chunks,
+        "bool_query_topk": q_bool_query,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -8227,6 +8280,7 @@ ORDER BY event_type
         "score_explain": _explain_sql(),
         "term_vectors": _term_vectors_sql(),
         "cdc_chunks": _cdc_sql(),
+        "bool_query_topk": _bool_sql(),
     }
 
 

@@ -1,0 +1,221 @@
+"""X136 — nested boolean retrieval: the Lucene classic-QueryParser
+subset every search box eventually needs — `(a OR b) AND NOT c` —
+with BM25 ranking over the query's positive terms.
+
+Public semantics (Lucene BooleanQuery):
+  * NOT binds tightest, then AND, then OR;
+  * AND = doc-set intersection, OR = union, NOT = complement applied
+    via anti-join against its sibling context (a top-level or pure-OR
+    NOT complements against the whole corpus);
+  * matching docs rank by the BM25 sum of the POSITIVE leaf terms
+    they contain (a doc admitted purely by exclusions scores 0).
+
+Spark-first shape: every AST node evaluates to a doc-id RELATION —
+leaves are term-pushdown filters over the postings relation, AND is an
+inner join, OR is a union+distinct, NOT is a left-anti join — so
+Catalyst sees ordinary set algebra it already knows how to plan
+(semi/anti joins, exchange reuse), and the SAME parse tree emits the
+DuckDB oracle's set-op SQL (one parser, two backends — the engine's
+oracle-gating discipline applied to a grammar).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["parse_bool", "bool_terms", "bool_topk", "bool_sql"]
+
+_TOKEN_RE = re.compile(r"\(|\)|\bAND\b|\bOR\b|\bNOT\b|[^\s()]+")
+
+
+def _tokenize(q: str) -> list[str]:
+    return _TOKEN_RE.findall(q)
+
+
+def parse_bool(q: str):
+    """Recursive-descent parse → AST of ('term', t) | ('not', x) |
+    ('and', [xs]) | ('or', [xs]). Raises ValueError on syntax errors.
+    Bare adjacency ("a b") is implicit AND (the Lucene default when
+    the default operator is AND — pinned here for determinism)."""
+    toks = _tokenize(q)
+    if not toks:
+        raise ValueError("empty boolean query")
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def eat(t=None):
+        nonlocal pos
+        cur = peek()
+        if cur is None or (t is not None and cur != t):
+            raise ValueError(f"boolean syntax error near token {pos}")
+        pos += 1
+        return cur
+
+    def atom():
+        cur = peek()
+        if cur == "(":
+            eat("(")
+            node = or_expr()
+            eat(")")
+            return node
+        if cur == "NOT":
+            eat("NOT")
+            return ("not", atom())
+        if cur in (")", "AND", "OR", None):
+            raise ValueError(f"boolean syntax error near token {pos}")
+        from scrapix_spark.operators.query import query_terms
+
+        terms = query_terms(eat())
+        if not terms:
+            raise ValueError("term tokenizes to nothing")
+        if len(terms) == 1:
+            return ("term", terms[0])
+        return ("and", [("term", t) for t in terms])
+
+    def and_expr():
+        parts = [atom()]
+        while peek() == "AND" or (
+            peek() not in (None, ")", "OR", "AND")
+        ):
+            if peek() == "AND":
+                eat("AND")
+            parts.append(atom())
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def or_expr():
+        parts = [and_expr()]
+        while peek() == "OR":
+            eat("OR")
+            parts.append(and_expr())
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    node = or_expr()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens at {pos}")
+    return node
+
+
+def bool_terms(node, positive: bool = True) -> list[str]:
+    """The POSITIVE leaf terms of an AST (the ranking vocabulary);
+    terms under an odd number of NOTs are excluded."""
+    kind = node[0]
+    if kind == "term":
+        return [node[1]] if positive else []
+    if kind == "not":
+        return bool_terms(node[1], not positive)
+    out: list[str] = []
+    for c in node[1]:
+        for t in bool_terms(c, positive):
+            if t not in out:
+                out.append(t)
+    return out
+
+
+def _eval(node, postings: DataFrame, universe: DataFrame) -> DataFrame:
+    kind = node[0]
+    if kind == "term":
+        return (
+            postings.filter(F.col("term") == node[1])
+            .select("doc_id")
+            .distinct()
+        )
+    if kind == "not":
+        return universe.join(
+            _eval(node[1], postings, universe), "doc_id", "left_anti"
+        )
+    if kind == "and":
+        # anti-join NOT children against the positive intersection
+        # instead of materializing their complements
+        pos = [c for c in node[1] if c[0] != "not"]
+        neg = [c[1] for c in node[1] if c[0] == "not"]
+        if pos:
+            cur = _eval(pos[0], postings, universe)
+            for c in pos[1:]:
+                cur = cur.join(_eval(c, postings, universe), "doc_id")
+        else:
+            cur = universe
+        for c in neg:
+            cur = cur.join(
+                _eval(c, postings, universe), "doc_id", "left_anti"
+            )
+        return cur
+    if kind == "or":
+        cur = _eval(node[1][0], postings, universe)
+        for c in node[1][1:]:
+            cur = cur.unionByName(_eval(c, postings, universe))
+        return cur.distinct()
+    raise ValueError(f"unknown node {kind}")
+
+
+def bool_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    q: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Boolean-filtered BM25 top-k: docs matching the boolean query,
+    ranked by the BM25 sum of the positive terms they contain (0 for
+    docs admitted purely by exclusions), pinned (9dp DESC, id ASC)
+    order. Columns: (doc_id, score 4dp)."""
+    from scrapix_spark.operators.query import (SCORE_ROUND,
+                                               _bm25_topk_from_postings_terms)
+
+    ast = parse_bool(q)
+    universe = postings.select("doc_id").distinct()
+    matches = _eval(ast, postings, universe)
+    pos_terms = bool_terms(ast)
+    if pos_terms:
+        scored = _bm25_topk_from_postings_terms(
+            postings, term_stats, N, avgdl, pos_terms,
+            k=(1 << 31) - 1, k1=k1, b=b,
+        ).select("doc_id", "score")
+        out = matches.join(scored, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+        )
+    else:
+        out = matches.select(
+            "doc_id", F.lit(0.0).alias("score")
+        )
+    return (
+        out.orderBy(
+            F.round(F.col("score"), SCORE_ROUND).desc(),
+            F.col("doc_id").asc(),
+        )
+        .limit(k)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+def bool_sql(node, pairs_cte: str = "pairs") -> str:
+    """Emit the DuckDB doc-set SQL for an AST — the same tree the
+    engine evaluates, rendered as set algebra over a distinct
+    (doc_id, term) CTE named `pairs_cte` (and a `universe` CTE)."""
+    kind = node[0]
+    if kind == "term":
+        return (
+            f"SELECT DISTINCT doc_id FROM {pairs_cte} "
+            f"WHERE term = '{node[1]}'"
+        )
+    if kind == "not":
+        return (
+            f"SELECT doc_id FROM universe EXCEPT ({bool_sql(node[1], pairs_cte)})"
+        )
+    if kind == "and":
+        return " INTERSECT ".join(
+            f"({bool_sql(c, pairs_cte)})" for c in node[1]
+        )
+    if kind == "or":
+        return " UNION ".join(
+            f"({bool_sql(c, pairs_cte)})" for c in node[1]
+        )
+    raise ValueError(f"unknown node {kind}")

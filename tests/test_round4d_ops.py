@@ -1439,3 +1439,84 @@ def test_cdc_validation(spark):
         cdc_chunks(df, window=1)
     with pytest.raises(ValueError):
         cdc_chunks(df, divisor=1)
+
+
+# ------------------------------------------------ X136 boolean queries
+
+from scrapix_spark.operators.boolquery import (  # noqa: E402
+    bool_terms,
+    bool_topk,
+    parse_bool,
+)
+
+BQ_DOCS = {
+    1: "apple banana",
+    2: "apple cherry",
+    3: "banana cherry",
+    4: "apple banana cherry",
+    5: "durian",
+}
+
+
+@pytest.fixture(scope="module")
+def bq_corpus(spark):
+    rows = []
+    for d, text in BQ_DOCS.items():
+        toks = text.split()
+        for t in set(toks):
+            rows.append((t, d, toks.count(t), len(toks)))
+    post = spark.createDataFrame(
+        rows, "term string, doc_id long, tf long, dl long").cache()
+    stats = _term_stats(post).cache()
+    n = len(BQ_DOCS)
+    avgdl = sum(len(t.split()) for t in BQ_DOCS.values()) / n
+    return post, stats, n, avgdl
+
+
+def _py_bool(expr):
+    out = []
+    for d, text in BQ_DOCS.items():
+        s = set(text.split())
+        if expr(s):
+            out.append(d)
+    return sorted(out)
+
+
+@pytest.mark.parametrize("q,expr", [
+    ("apple AND banana", lambda s: "apple" in s and "banana" in s),
+    ("apple OR banana", lambda s: "apple" in s or "banana" in s),
+    ("apple AND NOT cherry", lambda s: "apple" in s and "cherry" not in s),
+    ("(apple OR banana) AND NOT cherry",
+     lambda s: ("apple" in s or "banana" in s) and "cherry" not in s),
+    ("NOT apple", lambda s: "apple" not in s),
+    ("apple banana", lambda s: "apple" in s and "banana" in s),
+    ("NOT (apple OR banana)",
+     lambda s: not ("apple" in s or "banana" in s)),
+])
+def test_bool_matches_python_reference(spark, bq_corpus, q, expr):
+    post, stats, n, avgdl = bq_corpus
+    got = sorted(r.doc_id for r in
+                 bool_topk(post, stats, n, avgdl, q, k=10).collect())
+    assert got == _py_bool(expr), q
+
+
+def test_bool_ranking_uses_positive_terms(spark, bq_corpus):
+    post, stats, n, avgdl = bq_corpus
+    got = bool_topk(post, stats, n, avgdl,
+                    "apple OR durian", k=10).collect()
+    # durian (df=1) outscores apple (df=3) on idf
+    assert got[0].doc_id == 5 and got[0].score > 0
+    # pure-negation matches score 0
+    neg = bool_topk(post, stats, n, avgdl, "NOT apple", k=10).collect()
+    assert all(r.score == 0.0 for r in neg)
+
+
+def test_bool_positive_terms_extraction():
+    ast = parse_bool("(a OR b) AND NOT c AND d")
+    assert bool_terms(ast) == ["a", "b", "d"]
+
+
+def test_bool_parse_errors():
+    for bad in ["", "(a OR", "AND a", "a OR", "a )", "NOT"]:
+        with pytest.raises(ValueError):
+            parse_bool(bad)
