@@ -5033,6 +5033,82 @@ ORDER BY round(coalesce(s1.score, 0.0), 9) DESC, m.doc_id LIMIT 10
 """
 
 
+RANGE_BOUNDS = [(None, 150.0), (150.0, 300.0), (300.0, 450.0),
+                (450.0, None), (100.0, 350.0)]
+
+
+def q_span_first(spark, sf_dir):
+    """X137 — Lucene SpanFirstQuery: 'merge' within the first 10 token
+    positions. operators/match.py span_first_docs."""
+    pos = M.positional_postings(_docs(spark, sf_dir), "text")
+    return M.span_first_docs(pos, "merge", 10)
+
+
+def q_range_counts(spark, sf_dir):
+    """X138 — ES range aggregation over n_chars with overlapping and
+    open-ended [from, to) buckets. operators/results.py range_agg."""
+    from scrapix_spark.operators import results as R
+
+    return R.range_agg(_docs(spark, sf_dir), "n_chars", RANGE_BOUNDS)
+
+
+def q_weighted_sample(spark, sf_dir):
+    """X139 — Efraimidis-Spirakis weighted sampling without
+    replacement (A-Res keys over the X37 deterministic hash), weights
+    = n_chars, k=25. operators/curation.py weighted_sample."""
+    from scrapix_spark.operators import curation as CU
+
+    return CU.weighted_sample(_docs(spark, sf_dir), 25, "n_chars")
+
+
+def _span_first_sql() -> str:
+    tok = TOK_EXPR("text")
+    return f"""
+WITH tl AS (SELECT doc_id, {tok} AS t FROM documents),
+m AS (SELECT doc_id,
+        list_filter(generate_series(1, len(t)),
+                    i -> t[i] = 'merge' AND i - 1 < 10) AS ps
+      FROM tl)
+SELECT doc_id, (list_min(ps) - 1)::BIGINT AS first_pos
+FROM m WHERE len(ps) > 0 ORDER BY doc_id
+"""
+
+
+def _range_sql() -> str:
+    def lbl(v):
+        return "*" if v is None else f"{v:g}"
+
+    vals = ", ".join(
+        f"({i}, '{lbl(lo)}-{lbl(hi)}', "
+        f"{'NULL' if lo is None else repr(float(lo))}, "
+        f"{'NULL' if hi is None else repr(float(hi))})"
+        for i, (lo, hi) in enumerate(RANGE_BOUNDS)
+    )
+    return f"""
+WITH sp(ord, range_key, lo, hi) AS (VALUES {vals}),
+j AS (SELECT sp.ord, count(*)::BIGINT AS c
+      FROM documents d JOIN sp
+        ON (sp.lo IS NULL OR d.n_chars >= sp.lo)
+       AND (sp.hi IS NULL OR d.n_chars < sp.hi)
+      WHERE d.n_chars IS NOT NULL GROUP BY sp.ord)
+SELECT sp.range_key, coalesce(j.c, 0)::BIGINT AS doc_count
+FROM sp LEFT JOIN j USING (ord) ORDER BY sp.ord
+"""
+
+
+def _weighted_sample_sql() -> str:
+    from scrapix_spark.operators.curation import SAMPLE_MOD
+
+    return _sample_hash_sql() + f"""
+, ws AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+           round(ln((hv + 1.0) / {float(SAMPLE_MOD + 1)!r})
+                 / CAST(n_chars AS DOUBLE), 9) AS skey
+         FROM hashed WHERE n_chars > 0)
+SELECT doc_id, weight, skey FROM ws
+ORDER BY skey DESC, doc_id LIMIT 25
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -5061,10 +5137,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sb_trigram_scores, max_passage_topk, bloom_members, hll_vocab,
     # power_laws, wildcard_phrase, maxsim_rerank, value_histogram,
     # events_date_histogram, sig_terms, related_terms, event_quantiles,
-    # score_explain, term_vectors, cdc_chunks, bool_query_topk) — sits
-    # directly behind them, so it
-    # occupies the FRONT of the round-5 sample (35 entries: positions
-    # 51-85 of this dict). Everything else has a green driver row in
+    # score_explain, term_vectors, cdc_chunks, bool_query_topk,
+    # span_first, range_counts, weighted_sample) — sits directly behind
+    # them, so it
+    # occupies the FRONT of the round-5 sample (38 entries: positions
+    # 51-88 of this dict). Everything else has a green driver row in
     # r01-r03 and the whole registry stays locally gated via
     # tools/check_oracles.py (no args = full registry) every session
     # (round-4d session: 177/177 green, /tmp/sweep_r4d.log protocol).
@@ -5156,6 +5233,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vectors": q_term_vectors,
         "cdc_chunks": q_cdc_chunks,
         "bool_query_topk": q_bool_query,
+        "span_first": q_span_first,
+        "range_counts": q_range_counts,
+        "weighted_sample": q_weighted_sample,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -8281,6 +8361,9 @@ ORDER BY event_type
         "term_vectors": _term_vectors_sql(),
         "cdc_chunks": _cdc_sql(),
         "bool_query_topk": _bool_sql(),
+        "span_first": _span_first_sql(),
+        "range_counts": _range_sql(),
+        "weighted_sample": _weighted_sample_sql(),
     }
 
 

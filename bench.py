@@ -204,7 +204,8 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "wildcard_phrase", "maxsim_rerank", "value_histogram",
         "events_date_histogram", "sig_terms", "related_terms",
         "event_quantiles", "score_explain", "term_vectors",
-        "cdc_chunks", "bool_query_topk",
+        "cdc_chunks", "bool_query_topk", "span_first", "range_counts",
+        "weighted_sample",
     ]
     out = {}
     for name in headline:

@@ -1151,3 +1151,39 @@ def cdc_chunks(
                    "CAST(s.e - s.p AS INT))"), 256
         ).alias("sha"),
     ).orderBy(id_col, "chunk_id")
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X139 — weighted sampling without replacement (Efraimidis &
+    Spirakis, IPL 2006 — the A-Res key rule every distributed sampler
+    uses): item i gets key u_i^(1/w_i) with u_i uniform in (0,1); the
+    k LARGEST keys are a weighted sample without replacement. Here
+    u_i comes from the X37 deterministic quadratic hash, so the sample
+    is reproducible, order-independent and grows stably with the
+    corpus (the same properties the unweighted samplers pin).
+
+    Comparison key = ln(u)/w (monotone in u^(1/w), avoids pow
+    underflow); rows with weight <= 0 are excluded (they cannot be
+    drawn). Map-only + one TakeOrdered — no shuffle beyond the k-cut.
+    Columns: (id_col, weight, skey 9dp), key-descending.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    u = (sample_hash(F.col(id_col)) + 1.0) / float(SAMPLE_MOD + 1)
+    skey = F.round(F.log(u) / w, 9)
+    return (
+        df.filter(w > 0)
+        .select(
+            F.col(id_col),
+            w.alias("weight"),
+            skey.alias("skey"),
+        )
+        .orderBy(F.col("skey").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1569,3 +1569,29 @@ def wildcard_phrase_docs(
         )
         .orderBy("doc_id")
     )
+
+
+def span_first_docs(
+    positional: DataFrame, term: str, limit_pos: int
+) -> DataFrame:
+    """X137 — Lucene's SpanFirstQuery: documents where `term` occurs
+    within the first `limit_pos` token positions (0-based pos <
+    limit) — the "match near the start" constraint that proxies
+    title/header boosts when fields aren't separated.
+
+    One term-pushdown filter over the positional relation + an
+    in-array position filter — no joins, no explode. Columns:
+    (doc_id, first_pos), ordered by doc_id.
+    """
+    if limit_pos < 1:
+        raise ValueError("limit_pos must be >= 1")
+    hits = positional.filter(F.col("term") == term).select(
+        "doc_id",
+        F.filter(
+            F.col("positions"), lambda p: p < limit_pos
+        ).alias("_ps"),
+    ).filter(F.size("_ps") > 0)
+    return hits.select(
+        "doc_id",
+        F.array_min("_ps").cast("long").alias("first_pos"),
+    ).orderBy("doc_id")

@@ -604,3 +604,54 @@ def grouped_quantiles(
             F.round(F.element_at("_qs", i + 1), round_dp).alias(_name(q))
         )
     return agg.select(*cols).orderBy(group_col)
+
+
+def range_agg(
+    df: DataFrame,
+    field: str,
+    ranges: list[tuple[float | None, float | None]],
+) -> DataFrame:
+    """X138 — the Elasticsearch `range` aggregation (public
+    semantics): explicit [from, to) buckets, each row counted in EVERY
+    range containing it (ranges may overlap — ES allows it), open
+    bounds as None, empty ranges reported with doc_count 0, keys in
+    the ES "from-to" label form ("*-100", "100-300", "300-*").
+
+    The ranges relation is a query constant (a handful of rows) —
+    it broadcasts into a theta join against the pruned (field) column;
+    counting is one hash agg; the zero-fill is a left join back to the
+    constant spine. Columns: (range_key, doc_count) in given order.
+    """
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+
+    def _lbl(v) -> str:
+        return "*" if v is None else f"{v:g}"
+
+    spark = df.sparkSession
+    rows = [
+        (i, f"{_lbl(lo)}-{_lbl(hi)}",
+         float(lo) if lo is not None else None,
+         float(hi) if hi is not None else None)
+        for i, (lo, hi) in enumerate(ranges)
+    ]
+    spine = spark.createDataFrame(
+        rows, "ord int, range_key string, lo double, hi double"
+    )
+    v = F.col(field).cast("double")
+    j = df.filter(v.isNotNull()).join(
+        F.broadcast(spine),
+        (F.col("lo").isNull() | (v >= F.col("lo")))
+        & (F.col("hi").isNull() | (v < F.col("hi"))),
+    )
+    counts = j.groupBy("ord").agg(F.count("*").alias("doc_count"))
+    return (
+        spine.join(counts, "ord", "left")
+        .select(
+            "range_key",
+            F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
+            "ord",
+        )
+        .orderBy("ord")
+        .drop("ord")
+    )

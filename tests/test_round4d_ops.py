@@ -1520,3 +1520,69 @@ def test_bool_parse_errors():
     for bad in ["", "(a OR", "AND a", "a OR", "a )", "NOT"]:
         with pytest.raises(ValueError):
             parse_bool(bad)
+
+
+# -------------------------------------- X137/X138/X139 final trio
+
+from scrapix_spark.operators.curation import (  # noqa: E402
+    SAMPLE_MOD,
+    sample_hash,
+    weighted_sample,
+)
+from scrapix_spark.operators.match import span_first_docs  # noqa: E402
+from scrapix_spark.operators.results import range_agg  # noqa: E402
+
+
+def test_span_first(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "x y z alpha"), (3, "beta")],
+        "doc_id long, text string")
+    pos = positional_postings(df, "text")
+    got = [(r.doc_id, r.first_pos) for r in
+           span_first_docs(pos, "alpha", 2).collect()]
+    assert got == [(1, 0)]  # doc 2's alpha is at pos 3 (>= 2)
+    got3 = [(r.doc_id, r.first_pos) for r in
+            span_first_docs(pos, "alpha", 4).collect()]
+    assert got3 == [(1, 0), (2, 3)]
+    with pytest.raises(ValueError):
+        span_first_docs(pos, "alpha", 0)
+
+
+def test_range_agg_semantics(spark):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([5, 50, 100, 150, 350])],
+        "i long, v long")
+    got = [(r.range_key, r.doc_count) for r in range_agg(
+        df, "v", [(None, 100.0), (100.0, 300.0), (300.0, None),
+                  (40.0, 160.0)]).collect()]
+    # [from, to): 100 belongs to the second range, not the first;
+    # the overlapping fourth range double-counts rows 50/100/150
+    assert got == [("*-100", 2), ("100-300", 2), ("300-*", 1),
+                   ("40-160", 3)]
+    empty = range_agg(df, "v", [(1000.0, None)]).collect()
+    assert [(r.range_key, r.doc_count) for r in empty] == [("1000-*", 0)]
+    with pytest.raises(ValueError):
+        range_agg(df, "v", [])
+
+
+def test_weighted_sample_reference_and_bias(spark):
+    rows = [(i, 1.0 if i % 2 else 100.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, 30, "w").collect()
+    # python replica of the A-Res keys
+    def key(i, w):
+        h = ((i % SAMPLE_MOD) * 999_983 + 12_345) % SAMPLE_MOD
+        h = (h * h + h) % SAMPLE_MOD
+        u = (h + 1.0) / (SAMPLE_MOD + 1)
+        return round(math.log(u) / w, 9)
+    want = sorted(rows, key=lambda t: (-key(t[0], t[1]), t[0]))[:30]
+    assert [r.doc_id for r in got] == [i for i, _ in want]
+    # heavy items dominate the sample
+    heavy = sum(1 for r in got if r.weight == 100.0)
+    assert heavy >= 25
+    # zero/negative weights excluded
+    z = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 2.0)],
+                              "doc_id long, w double")
+    assert [r.doc_id for r in weighted_sample(z, 5, "w").collect()] == [3]
+    with pytest.raises(ValueError):
+        weighted_sample(df, 0, "w")
