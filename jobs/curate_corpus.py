@@ -49,9 +49,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-line-docs", type=int, default=50)
     ap.add_argument("--line-delimiter", default="\n")
     ap.add_argument("--span-w", type=int, default=13)
+    ap.add_argument("--span-ws", default=None,
+                    help="comma-separated widths -> multi-width span "
+                         "masking in ONE shared scan (overrides "
+                         "--span-w; X119)")
     ap.add_argument("--gopher-min-words", type=int, default=50)
     ap.add_argument("--gopher-min-stop-hits", type=int, default=2)
     ap.add_argument("--sample-rate", type=float, default=1.0)
+    ap.add_argument("--weighted-k", type=int, default=0,
+                    help="Efraimidis-Spirakis weighted sample size "
+                         "(with --weight-col; X139)")
+    ap.add_argument("--weight-col", default=None,
+                    help="weight column for --weighted-k")
     ap.add_argument("--strat-col", default=None,
                     help="stratify sampling / budgets by this column")
     ap.add_argument("--budget-tokens", type=int, default=0,
@@ -105,7 +114,11 @@ def main(argv: list[str] | None = None) -> int:
         )
         counts["boilerplate"] = df.count()
     if "spans" in steps:
-        masked = CU.mask_repeated_spans(df, tcol, idc, w=args.span_w)
+        if args.span_ws:
+            ws = tuple(int(w) for w in args.span_ws.split(",") if w)
+            masked = CU.mask_repeated_spans_multi(df, tcol, idc, ws=ws)
+        else:
+            masked = CU.mask_repeated_spans(df, tcol, idc, w=args.span_w)
         df = df.drop(tcol).join(
             masked.select(F.col("id").alias(idc),
                           F.col("clean_text").alias(tcol)), idc,
@@ -138,7 +151,12 @@ def main(argv: list[str] | None = None) -> int:
               .withColumnRenamed("redacted_code", tcol))
         counts["secrets"] = df.count()
     if "sample" in steps:
-        if args.temperature_docs and args.strat_col:
+        if args.weighted_k and args.weight_col:
+            keep = CU.weighted_sample(
+                df, args.weighted_k, args.weight_col, idc
+            )
+            df = df.join(keep.select(idc), idc, "left_semi")
+        elif args.temperature_docs and args.strat_col:
             df = CU.temperature_sample(
                 df, args.temperature_docs, args.strat_col, idc
             ).drop("keep_rate")

@@ -1586,3 +1586,29 @@ def test_weighted_sample_reference_and_bias(spark):
     assert [r.doc_id for r in weighted_sample(z, 5, "w").collect()] == [3]
     with pytest.raises(ValueError):
         weighted_sample(df, 0, "w")
+
+
+# ------------------------------------ CLI wiring of X119/X139 steps
+
+def test_curate_cli_span_ws_and_weighted_sample(spark, tmp_path, capsys):
+    import json as _json
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/jobs")
+    import curate_corpus as job_curate
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(10 + i % 5)))
+            for i in range(40)]
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    df = df.withColumn("n_chars", F.length("content"))
+    df.write.parquet(src)
+    rc = job_curate.main([
+        "--input", src, "--output", out, "--steps", "spans,sample",
+        "--span-ws", "3,5",
+        "--weighted-k", "15", "--weight-col", "n_chars",
+    ])
+    assert rc == 0
+    man = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert man["counts"]["sample"] == 15
+    assert spark.read.parquet(out).count() == 15
