@@ -5109,6 +5109,66 @@ ORDER BY skey DESC, doc_id LIMIT 25
 """
 
 
+def q_top_hits_group(spark, sf_dir):
+    """X140 — ES top_hits sub-aggregation: BM25 top-3 per language in
+    one plan (WindowGroupLimit partial top-k, pinned by test).
+    operators/results.py top_hits_per_group."""
+    from scrapix_spark.operators import results as R
+
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    allm = Q.bm25_topk_from_postings(
+        post, stats, int(row["n"]), float(row["a"]), BM25_QUERY,
+        k=(1 << 31) - 1, k1=K1, b=B,
+    )
+    hits = allm.join(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+    ).select("lang", "doc_id", F.round("score", 4).alias("score"))
+    return R.top_hits_per_group(hits, "lang", 3)
+
+
+def q_events_pipeline(spark, sf_dir):
+    """X141 — ES pipeline aggregations (derivative, cumulative_sum,
+    trailing moving_avg) over the daily event counts.
+    operators/results.py pipeline_aggs."""
+    from scrapix_spark.operators import results as R
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dh = R.date_histogram(ev, "ts", "day").select("bucket", "n_events")
+    return R.pipeline_aggs(dh, "bucket", "n_events", 3)
+
+
+def _top_hits_sql() -> str:
+    return _bm25_scored_sql(Q.query_terms(BM25_QUERY)) + """
+, h AS (SELECT d.lang, s.doc_id, round(s.score, 4) AS score
+        FROM scored s JOIN documents d USING (doc_id)),
+r AS (SELECT lang, doc_id, score,
+        row_number() OVER (PARTITION BY lang
+          ORDER BY round(score, 9) DESC, doc_id ASC) AS grp_rank
+      FROM h)
+SELECT lang, doc_id, score, grp_rank FROM r
+WHERE grp_rank <= 3 ORDER BY lang, grp_rank
+"""
+
+
+_EVENTS_PIPELINE_SQL = """
+WITH dh AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY 1)
+SELECT bucket, n_events,
+       CAST(n_events AS DOUBLE)
+         - lag(CAST(n_events AS DOUBLE), 1) OVER (ORDER BY bucket)
+         AS derivative,
+       sum(CAST(n_events AS DOUBLE)) OVER (ORDER BY bucket
+         ROWS UNBOUNDED PRECEDING) AS cumulative_sum,
+       round(avg(CAST(n_events AS DOUBLE)) OVER (ORDER BY bucket
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+FROM dh ORDER BY bucket
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -5138,10 +5198,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # power_laws, wildcard_phrase, maxsim_rerank, value_histogram,
     # events_date_histogram, sig_terms, related_terms, event_quantiles,
     # score_explain, term_vectors, cdc_chunks, bool_query_topk,
-    # span_first, range_counts, weighted_sample) — sits directly behind
-    # them, so it
-    # occupies the FRONT of the round-5 sample (38 entries: positions
-    # 51-88 of this dict). Everything else has a green driver row in
+    # span_first, range_counts, weighted_sample, top_hits_group,
+    # events_pipeline) — sits directly behind them, so it
+    # occupies the FRONT of the round-5 sample (40 entries: positions
+    # 51-90 of this dict). Everything else has a green driver row in
     # r01-r03 and the whole registry stays locally gated via
     # tools/check_oracles.py (no args = full registry) every session
     # (round-4d session: 177/177 green, /tmp/sweep_r4d.log protocol).
@@ -5236,6 +5296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first": q_span_first,
         "range_counts": q_range_counts,
         "weighted_sample": q_weighted_sample,
+        "top_hits_group": q_top_hits_group,
+        "events_pipeline": q_events_pipeline,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -8364,6 +8426,8 @@ ORDER BY event_type
         "span_first": _span_first_sql(),
         "range_counts": _range_sql(),
         "weighted_sample": _weighted_sample_sql(),
+        "top_hits_group": _top_hits_sql(),
+        "events_pipeline": _EVENTS_PIPELINE_SQL,
     }
 
 

@@ -205,7 +205,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "events_date_histogram", "sig_terms", "related_terms",
         "event_quantiles", "score_explain", "term_vectors",
         "cdc_chunks", "bool_query_topk", "span_first", "range_counts",
-        "weighted_sample",
+        "weighted_sample", "top_hits_group", "events_pipeline",
     ]
     out = {}
     for name in headline:

@@ -655,3 +655,74 @@ def range_agg(
         .orderBy("ord")
         .drop("ord")
     )
+
+
+def top_hits_per_group(
+    hits: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """X140 — the Elasticsearch `top_hits` sub-aggregation: the best k
+    documents WITHIN each group (top results per language, per repo,
+    per facet value) in one query — the "grouped SERP" every
+    multi-tenant listing page renders.
+
+    One rank filter per group under the engine's pinned order
+    (round(score,9) DESC, id ASC) — Spark rewrites it via
+    InferWindowGroupLimit into a WindowGroupLimit partial top-k BELOW
+    the exchange (the X108 plan shape: per-partition heaps, never a
+    full per-group sort). Columns: (group_col, id_col, score,
+    grp_rank), group-then-rank ordered.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy(group_col).orderBy(
+        F.round(F.col(score_col), 9).desc(), F.col(id_col).asc()
+    )
+    return (
+        hits.withColumn("grp_rank", F.row_number().over(w))
+        .filter(F.col("grp_rank") <= k)
+        .select(group_col, id_col, score_col, "grp_rank")
+        .orderBy(group_col, "grp_rank")
+    )
+
+
+def pipeline_aggs(
+    buckets: DataFrame,
+    key_col: str,
+    value_col: str,
+    moving_window: int = 3,
+) -> DataFrame:
+    """X141 — the Elasticsearch pipeline aggregations over an ordered
+    bucket series (the output of date_histogram/histogram):
+    `derivative` (value − previous value; null for the first bucket),
+    `cumulative_sum`, and a trailing `moving_avg` over the last
+    `moving_window` buckets (simple model) — the dashboard smoothing
+    trio.
+
+    Bucket series are PARAMETER-scale by construction (a chart's
+    x-axis), so the single ordered window over them is a bounded task
+    — the same contract as the histogram spine. Columns: (key_col,
+    value_col, derivative, cumulative_sum, moving_avg 6dp).
+    """
+    if moving_window < 1:
+        raise ValueError("moving_window must be >= 1")
+    w = Window.orderBy(key_col)
+    wm = Window.orderBy(key_col).rowsBetween(-(moving_window - 1), 0)
+    v = F.col(value_col).cast("double")
+    return (
+        buckets.select(
+            key_col,
+            value_col,
+            (v - F.lag(v, 1).over(w)).alias("derivative"),
+            F.sum(v).over(
+                Window.orderBy(key_col).rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ).alias("cumulative_sum"),
+            F.round(F.avg(v).over(wm), 6).alias("moving_avg"),
+        )
+        .orderBy(key_col)
+    )

@@ -1612,3 +1612,50 @@ def test_curate_cli_span_ws_and_weighted_sample(spark, tmp_path, capsys):
     man = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert man["counts"]["sample"] == 15
     assert spark.read.parquet(out).count() == 15
+
+
+# ------------------------------------ X140/X141 grouped hits + pipeline
+
+from scrapix_spark.operators.results import (  # noqa: E402
+    pipeline_aggs,
+    top_hits_per_group,
+)
+
+
+def test_top_hits_per_group(spark):
+    rows = [("a", 1, 9.0), ("a", 2, 9.0), ("a", 3, 5.0),
+            ("b", 4, 7.0), ("b", 5, 1.0)]
+    df = spark.createDataFrame(rows, "g string, doc_id long, score double")
+    got = [(r.g, r.doc_id, r.grp_rank) for r in
+           top_hits_per_group(df, "g", 2).collect()]
+    # tie at 9.0 breaks by id; doc 3 cut by k=2
+    assert got == [("a", 1, 1), ("a", 2, 2), ("b", 4, 1), ("b", 5, 2)]
+    with pytest.raises(ValueError):
+        top_hits_per_group(df, "g", 0)
+
+
+def test_top_hits_uses_window_group_limit(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    rows = [("g", i, float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, doc_id long, score double")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        top_hits_per_group(df, "g", 3).explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()
+
+
+def test_pipeline_aggs_reference(spark):
+    rows = [("d1", 10), ("d2", 13), ("d3", 7), ("d4", 20)]
+    df = spark.createDataFrame(rows, "bucket string, n long")
+    got = [(r.bucket, r.derivative, r.cumulative_sum, r.moving_avg)
+           for r in pipeline_aggs(df, "bucket", "n", 2).collect()]
+    assert got == [
+        ("d1", None, 10.0, 10.0),
+        ("d2", 3.0, 23.0, 11.5),
+        ("d3", -6.0, 30.0, 10.0),
+        ("d4", 13.0, 50.0, 13.5),
+    ]
+    with pytest.raises(ValueError):
+        pipeline_aggs(df, "bucket", "n", 0)
