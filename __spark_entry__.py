@@ -5169,6 +5169,99 @@ FROM dh ORDER BY bucket
 """
 
 
+def _corpus_ntavg(spark, sf_dir):
+    """(N, T, avgdl) for the documents corpus — one 1-row agg."""
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(
+        F.count("*").alias("n"),
+        F.sum("doc_len").alias("t"),
+        F.avg("doc_len").alias("a"),
+    ).collect()[0]
+    return int(row["n"]), int(row["t"]), float(row["a"])
+
+
+def q_similarity_matrix(spark, sf_dir):
+    """X142 — pluggable similarity functions (the public Lucene family:
+    BM25, BM25+, ClassicSimilarity TF-IDF, LM-Dirichlet, LM-Jelinek-
+    Mercer) scored side-by-side for the BM25 top-10 in ONE broadcast-
+    join + hash-agg plan. operators/scoring.py similarity_matrix_topk."""
+    from scrapix_spark.operators import scoring as SC
+
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    n, t, a = _corpus_ntavg(spark, sf_dir)
+    return SC.similarity_matrix_topk(
+        post, stats, n, t, a, Q.query_terms(BM25_QUERY), k=10,
+    )
+
+
+def q_sim_dirichlet_topk(spark, sf_dir):
+    """X142 — top-10 ranked BY LM-Dirichlet query likelihood (μ=2000):
+    the similarity switch actually driving the ranking.
+    operators/scoring.py similarity_topk."""
+    from scrapix_spark.operators import scoring as SC
+
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    n, t, a = _corpus_ntavg(spark, sf_dir)
+    out = SC.similarity_topk(
+        post, stats, n, t, a, Q.query_terms(BM25_QUERY), "lm_dirichlet", k=10,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"), "n_matched")
+
+
+def _sim_base_sql(terms: list[str]) -> str:
+    """Flat (doc_id, tf, dl, df, cf, n_, t_, avgdl_) relation for the
+    query terms — the shared oracle spine for the X142 gates."""
+    tok = TOK_EXPR("text")
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS t,
+                 avg(dl) AS avgdl FROM dl),
+dfcf AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+         FROM tf GROUP BY term),
+flat AS (SELECT tf.doc_id, tf.term,
+                CAST(tf.tf AS DOUBLE) AS tf, CAST(dl.dl AS DOUBLE) AS dl,
+                CAST(dfcf.df AS DOUBLE) AS df, CAST(dfcf.cf AS DOUBLE) AS cf,
+                CAST(stats.n AS DOUBLE) AS n_, CAST(stats.t AS DOUBLE) AS t_,
+                stats.avgdl AS avgdl_
+         FROM tf JOIN dfcf USING (term)
+         JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats)"""
+
+
+def _similarity_matrix_sql() -> str:
+    from scrapix_spark.operators import scoring as SC
+
+    terms = Q.query_terms(BM25_QUERY)
+    cols = ", ".join(
+        f"sum({SC.similarity_contrib_sql(s, 'n_', 't_', 'avgdl_')}) AS {s}"
+        for s in SC.SIMILARITIES
+    )
+    sel = ", ".join(f"round({s}, 4) AS {s}" for s in SC.SIMILARITIES)
+    return _sim_base_sql(terms) + f""",
+m AS (SELECT doc_id, {cols} FROM flat GROUP BY doc_id)
+SELECT doc_id, {sel} FROM m
+ORDER BY round(bm25, 9) DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _sim_dirichlet_sql() -> str:
+    from scrapix_spark.operators import scoring as SC
+
+    terms = Q.query_terms(BM25_QUERY)
+    contrib = SC.similarity_contrib_sql("lm_dirichlet", "n_", "t_", "avgdl_")
+    return _sim_base_sql(terms) + f""",
+m AS (SELECT doc_id, sum({contrib}) AS score, count(*)::INT AS n_matched
+      FROM flat GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score, n_matched FROM m
+ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -5298,6 +5391,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "top_hits_group": q_top_hits_group,
         "events_pipeline": q_events_pipeline,
+        # round-4e additions X142+ (never driver-gated -> round-5 sample)
+        "similarity_matrix": q_similarity_matrix,
+        "sim_dirichlet_topk": q_sim_dirichlet_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -8428,6 +8524,8 @@ ORDER BY event_type
         "weighted_sample": _weighted_sample_sql(),
         "top_hits_group": _top_hits_sql(),
         "events_pipeline": _EVENTS_PIPELINE_SQL,
+        "similarity_matrix": _similarity_matrix_sql(),
+        "sim_dirichlet_topk": _sim_dirichlet_sql(),
     }
 
 

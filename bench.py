@@ -206,6 +206,8 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "event_quantiles", "score_explain", "term_vectors",
         "cdc_chunks", "bool_query_topk", "span_first", "range_counts",
         "weighted_sample", "top_hits_group", "events_pipeline",
+        # round-4e additions (X142+)
+        "similarity_matrix", "sim_dirichlet_topk",
     ]
     out = {}
     for name in headline:

@@ -1,0 +1,232 @@
+"""Pluggable similarity functions (X142) — the public Lucene similarity
+family re-expressed as pure Catalyst column expressions.
+
+The reference pipeline delegates scoring entirely to Meilisearch
+(reference: src/sender.ts pushes documents; ranking happens server-side).
+Meilisearch exposes exactly one text-relevancy model; Lucene-lineage
+engines expose a per-field *similarity* switch. This module provides
+that switch over the same postings relation every other scorer in this
+repo uses, so any ranked surface can swap BM25 for a language-model or
+classic TF-IDF scorer without touching the plan shape.
+
+Formulas (all public):
+
+- ``bm25``        Robertson/Sparck-Jones BM25 as used everywhere else in
+                  this repo: idf = ln(1 + (N - df + .5)/(df + .5)),
+                  tf-part = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
+- ``bm25plus``    BM25+ (Lv & Zhai, CIKM 2011): idf·(tf-part + δ),
+                  δ = 1.0 — a lower-bound bonus so long documents that
+                  merely *contain* a term are not starved to ~0.
+- ``classic``     Lucene ClassicSimilarity (practical TF-IDF, post-6.0
+                  form without queryNorm/coord): √tf · idf² · 1/√dl with
+                  idf = 1 + ln(N/(df+1)).
+- ``lm_dirichlet``  Zhai & Lafferty Dirichlet-smoothed query likelihood,
+                  Lucene LMDirichletSimilarity form, clamped at 0:
+                  max(0, ln(1 + tf/(μ·p)) + ln(μ/(dl+μ))), p = cf/T,
+                  μ = 2000.
+- ``lm_jm``       Jelinek-Mercer smoothing (Lucene LMJelinekMercer):
+                  ln(1 + ((1-λ)·tf/dl)/(λ·p)), λ = 0.1.
+
+Scale shape — identical to ``query.bm25_topk_from_postings`` (J2/J3):
+the per-term statistics slice is query-sized and explicitly broadcast;
+the postings filter pushes the term IN-list into the scan; one hash
+aggregation per doc; TakeOrdered for the top-k. Nothing here adds a
+shuffle over the plain-BM25 plan, whatever similarity is selected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SIMILARITIES = ("bm25", "bm25plus", "classic", "lm_dirichlet", "lm_jm")
+
+DEFAULT_PARAMS = {
+    "k1": 1.2,
+    "b": 0.75,
+    "delta": 1.0,   # BM25+ lower bound
+    "mu": 2000.0,   # Dirichlet pseudo-count
+    "lam": 0.1,     # Jelinek-Mercer collection weight
+}
+
+
+def similarity_contrib(
+    sim: str,
+    tf: Column,
+    dl: Column,
+    df: Column,
+    cf: Column,
+    N: int,
+    T: int,
+    avgdl: float,
+    params: dict | None = None,
+) -> Column:
+    """Per-(term, doc) score contribution under similarity `sim`.
+
+    Pure column expression — stays inside whole-stage codegen; the
+    document score is the SUM of contributions over matched query terms
+    (every member of the family is additive over terms).
+    """
+    p = dict(DEFAULT_PARAMS)
+    if params:
+        p.update(params)
+    if sim not in SIMILARITIES:
+        raise ValueError(f"unknown similarity {sim!r}; one of {SIMILARITIES}")
+
+    tf = tf.cast("double")
+    dl = dl.cast("double")
+    df = df.cast("double")
+    n = F.lit(float(N))
+    if sim in ("bm25", "bm25plus"):
+        k1, b = float(p["k1"]), float(p["b"])
+        idf = F.log(F.lit(1.0) + (n - df + 0.5) / (df + 0.5))
+        tf_part = (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * dl / F.lit(float(avgdl)))
+        )
+        if sim == "bm25":
+            return idf * tf_part
+        return idf * (tf_part + F.lit(float(p["delta"])))
+    if sim == "classic":
+        idf = F.lit(1.0) + F.log(n / (df + 1.0))
+        return F.sqrt(tf) * idf * idf / F.sqrt(dl)
+    # language models need the collection unigram probability p = cf/T
+    pc = cf.cast("double") / F.lit(float(T))
+    if sim == "lm_dirichlet":
+        mu = float(p["mu"])
+        raw = F.log(F.lit(1.0) + tf / (F.lit(mu) * pc)) + F.log(
+            F.lit(mu) / (dl + F.lit(mu))
+        )
+        return F.greatest(raw, F.lit(0.0))
+    lam = float(p["lam"])
+    return F.log(F.lit(1.0) + ((1.0 - lam) * (tf / dl)) / (F.lit(lam) * pc))
+
+
+def similarity_contrib_sql(
+    sim: str,
+    N,
+    T,
+    avgdl,
+    params: dict | None = None,
+) -> str:
+    """The SAME formula as `similarity_contrib`, as an ANSI-SQL fragment
+    over columns tf (double), dl (double), df (double), cf (double) —
+    the oracle side of the gate is generated from one definition so the
+    two engines can never drift. N/T/avgdl may be numbers OR SQL
+    expressions (e.g. ``"stats.n"``) so the oracle can compute the
+    corpus statistics itself and stay scale-factor-independent."""
+    p = dict(DEFAULT_PARAMS)
+    if params:
+        p.update(params)
+    if sim not in SIMILARITIES:
+        raise ValueError(f"unknown similarity {sim!r}")
+
+    def ref(v) -> str:
+        return v if isinstance(v, str) else repr(float(v))
+
+    n, t, ad = ref(N), ref(T), ref(avgdl)
+    if sim in ("bm25", "bm25plus"):
+        k1, b = float(p["k1"]), float(p["b"])
+        idf = f"ln(1.0 + ({n} - df + 0.5) / (df + 0.5))"
+        tf_part = (
+            f"(tf * ({k1!r} + 1.0)) / "
+            f"(tf + {k1!r} * (1.0 - {b!r} + {b!r} * dl / ({ad})))"
+        )
+        if sim == "bm25":
+            return f"({idf}) * ({tf_part})"
+        return f"({idf}) * (({tf_part}) + {float(p['delta'])!r})"
+    if sim == "classic":
+        idf = f"(1.0 + ln(({n}) / (df + 1.0)))"
+        return f"sqrt(tf) * {idf} * {idf} / sqrt(dl)"
+    pc = f"(cf / ({t}))"
+    if sim == "lm_dirichlet":
+        mu = float(p["mu"])
+        return (
+            f"greatest(0.0, ln(1.0 + tf / ({mu!r} * {pc})) "
+            f"+ ln({mu!r} / (dl + {mu!r})))"
+        )
+    lam = float(p["lam"])
+    return f"ln(1.0 + ((1.0 - {lam!r}) * (tf / dl)) / ({lam!r} * {pc}))"
+
+
+def _slice(term_stats: DataFrame, terms: list) -> DataFrame:
+    return term_stats.filter(F.col("term").isin(terms)).select(
+        "term", F.col("df").cast("double").alias("df"),
+        F.col("cf").cast("double").alias("cf"),
+    )
+
+
+def similarity_matrix_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    T: int,
+    avgdl: float,
+    terms: list,
+    k: int = 10,
+    sims: tuple = SIMILARITIES,
+    params: dict | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k docs by BM25 over `terms`, with one score column PER
+    similarity — the cross-model comparison surface (and the gate that
+    pins all five formulas in one oracle).
+
+    One broadcast join + one hash agg regardless of how many
+    similarities are requested: every formula is a column over the same
+    (tf, dl, df, cf) row.
+    """
+    if not terms:
+        raise ValueError("similarity_matrix_topk needs at least one term")
+    cand = postings.filter(F.col("term").isin(terms)).join(
+        F.broadcast(_slice(term_stats, terms)), "term"
+    )
+    aggs = [
+        F.sum(
+            similarity_contrib(
+                s, F.col("tf"), F.col("dl"), F.col("df"), F.col("cf"),
+                N, T, avgdl, params,
+            )
+        ).alias(s)
+        for s in sims
+    ]
+    agg = cand.groupBy("doc_id").agg(*aggs)
+    out = agg.orderBy(F.round(F.col("bm25"), 9).desc(), F.col("doc_id").asc()).limit(k)
+    return out.select(
+        "doc_id", *[F.round(F.col(s), round_to).alias(s) for s in sims]
+    )
+
+
+def similarity_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    T: int,
+    avgdl: float,
+    terms: list,
+    sim: str,
+    k: int = 10,
+    params: dict | None = None,
+) -> DataFrame:
+    """Top-k ranked BY the selected similarity — the drop-in ranked
+    surface. Same plan shape as query.bm25_topk_from_postings."""
+    if not terms:
+        return postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double, n_matched int"
+        )
+    cand = postings.filter(F.col("term").isin(terms)).join(
+        F.broadcast(_slice(term_stats, terms)), "term"
+    )
+    scored = cand.withColumn(
+        "contrib",
+        similarity_contrib(
+            sim, F.col("tf"), F.col("dl"), F.col("df"), F.col("cf"),
+            N, T, avgdl, params,
+        ),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.count("*").cast("int").alias("n_matched"),
+    )
+    return agg.orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()
+    ).limit(k)

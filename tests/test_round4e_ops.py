@@ -1,0 +1,162 @@
+"""Round-4e operators: pluggable similarities (X142) and the query/
+index surfaces added alongside them."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.functions.tokenize import with_tokens
+from scrapix_spark.operators import postings as P
+from scrapix_spark.operators import scoring as SC
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (0, "spark table merge sort table"),
+        (1, "merge sort merge sort merge"),
+        (2, "table table table spark join"),
+        (3, "vector stream window"),
+        (4, "sort table"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def tiny_postings(tiny_docs):
+    t = with_tokens(tiny_docs, "text")
+    return t.select(
+        "doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("tk")
+    ).select("tk.term", "doc_id", F.col("tk.tf").cast("long").alias("tf"), "dl")
+
+
+def _ref_corpus(tiny_docs):
+    """Plain-python reference model of the tiny corpus."""
+    docs = {r["doc_id"]: r["text"].split() for r in tiny_docs.collect()}
+    dl = {d: len(ts) for d, ts in docs.items()}
+    N = len(docs)
+    T = sum(dl.values())
+    avgdl = T / N
+    tf = {}
+    for d, ts in docs.items():
+        for w in ts:
+            tf[(d, w)] = tf.get((d, w), 0) + 1
+    df = {}
+    cf = {}
+    for (d, w), c in tf.items():
+        df[w] = df.get(w, 0) + 1
+        cf[w] = cf.get(w, 0) + c
+    return docs, dl, N, T, avgdl, tf, df, cf
+
+
+def _ref_contrib(sim, tf, dl, df, cf, N, T, avgdl, p=SC.DEFAULT_PARAMS):
+    if sim in ("bm25", "bm25plus"):
+        idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+        tfp = tf * (p["k1"] + 1) / (tf + p["k1"] * (1 - p["b"] + p["b"] * dl / avgdl))
+        return idf * (tfp + (p["delta"] if sim == "bm25plus" else 0.0))
+    if sim == "classic":
+        idf = 1 + math.log(N / (df + 1))
+        return math.sqrt(tf) * idf * idf / math.sqrt(dl)
+    pc = cf / T
+    if sim == "lm_dirichlet":
+        mu = p["mu"]
+        return max(0.0, math.log(1 + tf / (mu * pc)) + math.log(mu / (dl + mu)))
+    lam = p["lam"]
+    return math.log(1 + ((1 - lam) * (tf / dl)) / (lam * pc))
+
+
+@pytest.mark.parametrize("sim", SC.SIMILARITIES)
+def test_similarity_topk_matches_reference(spark, tiny_docs, tiny_postings, sim):
+    docs, dl, N, T, avgdl, tf, df, cf = _ref_corpus(tiny_docs)
+    terms = ["table", "merge", "sort"]
+    want = {}
+    for d in docs:
+        s = sum(
+            _ref_contrib(sim, tf[(d, w)], dl[d], df[w], cf[w], N, T, avgdl)
+            for w in terms
+            if (d, w) in tf
+        )
+        if any((d, w) in tf for w in terms):
+            want[d] = s
+    stats = P.term_stats(tiny_postings)
+    out = SC.similarity_topk(
+        tiny_postings, stats, N, T, avgdl, terms, sim, k=10
+    ).collect()
+    assert len(out) == len(want)
+    got = {r["doc_id"]: r["score"] for r in out}
+    for d, s in want.items():
+        assert got[d] == pytest.approx(s, rel=1e-9)
+    # ranking order: score desc (9dp), doc_id asc
+    keys = [(-round(r["score"], 9), r["doc_id"]) for r in out]
+    assert keys == sorted(keys)
+
+
+def test_similarity_matrix_columns_consistent(spark, tiny_docs, tiny_postings):
+    """The matrix's bm25 column must equal the dedicated bm25 ranking
+    path, and every column must match the single-sim scorer."""
+    docs, dl, N, T, avgdl, tf, df, cf = _ref_corpus(tiny_docs)
+    terms = ["table", "merge", "sort"]
+    stats = P.term_stats(tiny_postings)
+    m = {
+        r["doc_id"]: r
+        for r in SC.similarity_matrix_topk(
+            tiny_postings, stats, N, T, avgdl, terms, k=10
+        ).collect()
+    }
+    for sim in SC.SIMILARITIES:
+        single = SC.similarity_topk(
+            tiny_postings, stats, N, T, avgdl, terms, sim, k=10
+        ).collect()
+        for r in single:
+            assert m[r["doc_id"]][sim] == pytest.approx(
+                round(r["score"], 4), abs=1e-4
+            )
+
+
+def test_similarity_sql_fragment_parity(tiny_docs):
+    """The generated SQL fragment evaluates to the same number as the
+    python reference on a grid of (tf, dl, df, cf) — one definition,
+    two engines, zero drift."""
+    duckdb = pytest.importorskip("duckdb")
+    N, T, avgdl = 5, 20, 4.0
+    grid = [(1, 4, 1, 1), (3, 5, 2, 7), (2, 18, 4, 12), (1, 2, 5, 19)]
+    con = duckdb.connect()
+    for sim in SC.SIMILARITIES:
+        frag = SC.similarity_contrib_sql(sim, N, T, avgdl)
+        for tf, dl, df, cf in grid:
+            got = con.execute(
+                f"SELECT {frag} FROM (SELECT {tf}::DOUBLE AS tf,"
+                f" {dl}::DOUBLE AS dl, {df}::DOUBLE AS df,"
+                f" {cf}::DOUBLE AS cf)"
+            ).fetchone()[0]
+            want = _ref_contrib(sim, tf, dl, df, cf, N, T, avgdl)
+            assert got == pytest.approx(want, rel=1e-12), (sim, tf, dl)
+
+
+def test_similarity_validation(tiny_postings):
+    with pytest.raises(ValueError, match="unknown similarity"):
+        SC.similarity_contrib(
+            "cosine", F.lit(1), F.lit(1), F.lit(1), F.lit(1), 1, 1, 1.0
+        )
+    with pytest.raises(ValueError, match="unknown similarity"):
+        SC.similarity_contrib_sql("cosine", 1, 1, 1.0)
+    with pytest.raises(ValueError, match="at least one term"):
+        SC.similarity_matrix_topk(tiny_postings, tiny_postings, 1, 1, 1.0, [])
+
+
+def test_similarity_empty_terms_returns_empty(spark, tiny_postings):
+    stats = P.term_stats(tiny_postings)
+    out = SC.similarity_topk(tiny_postings, stats, 5, 20, 4.0, [], "bm25")
+    assert out.count() == 0
+
+
+def test_similarity_plan_broadcasts_stats(spark, tiny_postings):
+    """The per-term stats slice must reach the join as a broadcast —
+    the J3 idf-slice discipline, pinned for the similarity family."""
+    stats = P.term_stats(tiny_postings)
+    df = SC.similarity_topk(
+        tiny_postings, stats, 5, 20, 4.0, ["table", "merge"], "lm_jm", k=5
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
