@@ -5262,6 +5262,64 @@ ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
 """
 
 
+MSM_QUERY = "table merge sort window"   # 4 distinct terms, m = 3
+
+
+def q_min_should_match(spark, sf_dir):
+    """X145 — ES/Lucene minimum_should_match: OR query over 4 terms,
+    keep docs matching ≥3 of them, BM25-ranked.
+    operators/query.py min_should_match_topk."""
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    out = Q.min_should_match_topk(
+        post, stats, int(row["n"]), float(row["a"]), MSM_QUERY, 3, k=10,
+        k1=K1, b=B,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"), "n_matched")
+
+
+def _min_should_match_sql() -> str:
+    return _bm25_scored_sql(Q.query_terms(MSM_QUERY)) + """
+SELECT doc_id, round(score, 4) AS score, n_matched::INT AS n_matched
+FROM scored WHERE n_matched >= 3
+ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_search_after_page(spark, sf_dir):
+    """X144 — keyset deep pagination: page 2 of the BM25 ranking,
+    requested with page 1's last (score, doc_id) as the cursor — the
+    client round-trip modeled with a bounded k-row collect.
+    operators/query.py search_after_topk."""
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    n, a = int(row["n"]), float(row["a"])
+    page1 = Q.search_after_topk(
+        post, stats, n, a, BM25_QUERY, after=None, k=10, k1=K1, b=B
+    ).collect()
+    if not page1:
+        return spark.createDataFrame([], "doc_id long, score double, n_matched int")
+    cur = (float(page1[-1]["score"]), int(page1[-1]["doc_id"]))
+    out = Q.search_after_topk(
+        post, stats, n, a, BM25_QUERY, after=cur, k=10, k1=K1, b=B
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"), "n_matched")
+
+
+def _search_after_sql() -> str:
+    return _bm25_scored_sql(Q.query_terms(BM25_QUERY)) + """
+, r AS (SELECT doc_id, score, n_matched::INT AS n_matched,
+          row_number() OVER (ORDER BY round(score, 9) DESC, doc_id ASC) AS rk
+        FROM scored)
+SELECT doc_id, round(score, 4) AS score, n_matched
+FROM r WHERE rk BETWEEN 11 AND 20 ORDER BY rk
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -5394,6 +5452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4e additions X142+ (never driver-gated -> round-5 sample)
         "similarity_matrix": q_similarity_matrix,
         "sim_dirichlet_topk": q_sim_dirichlet_topk,
+        "min_should_match_topk": q_min_should_match,
+        "search_after_page": q_search_after_page,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -8526,6 +8586,8 @@ ORDER BY event_type
         "events_pipeline": _EVENTS_PIPELINE_SQL,
         "similarity_matrix": _similarity_matrix_sql(),
         "sim_dirichlet_topk": _sim_dirichlet_sql(),
+        "min_should_match_topk": _min_should_match_sql(),
+        "search_after_page": _search_after_sql(),
     }
 
 

@@ -208,6 +208,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "weighted_sample", "top_hits_group", "events_pipeline",
         # round-4e additions (X142+)
         "similarity_matrix", "sim_dirichlet_topk",
+        "min_should_match_topk", "search_after_page",
     ]
     out = {}
     for name in headline:

@@ -28,6 +28,7 @@ by doc_id, so JVM, numpy and the DuckDB oracle agree.
 
 from __future__ import annotations
 
+import math
 import re
 
 import numpy as np
@@ -125,6 +126,90 @@ def _bm25_topk_from_postings_terms(
     return agg.orderBy(
         F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
     ).limit(k)
+
+
+def min_should_match_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    q: str,
+    m,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """X145 — the public ES/Lucene `minimum_should_match` contract: an
+    OR query that keeps only docs matching at least `m` of the query
+    terms, ranked by BM25 over the terms they DO match.
+
+    `m` is an int (absolute count), a float in (0, 1) (fraction of the
+    query's distinct terms, ceil — ES's "75%" form), or a negative int
+    (all-but-|m|, ES's "-1" form). The plan is the plain ranked-union
+    plan (broadcast idf slice + one hash agg) with the threshold applied
+    as a post-aggregation filter — map-side combine still does the heavy
+    lifting; no extra shuffle vs the unfiltered OR.
+    """
+    terms = query_terms(q)
+    n_terms = len(set(terms))
+    if isinstance(m, float):
+        if not 0.0 < m <= 1.0:
+            raise ValueError("fractional minimum_should_match must be in (0, 1]")
+        m = max(1, math.ceil(m * n_terms))
+    elif m < 0:
+        m = max(1, n_terms + m)
+    if m > n_terms:
+        raise ValueError(
+            f"minimum_should_match {m} exceeds the {n_terms} query terms"
+        )
+    agg = _bm25_topk_from_postings_terms(
+        postings, term_stats, N, avgdl, terms, k=(1 << 31) - 1, k1=k1, b=b
+    )
+    return (
+        agg.filter(F.col("n_matched") >= int(m))
+        .orderBy(F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def search_after_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    q: str,
+    after: tuple | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """X144 — keyset deep pagination (the public ES `search_after`):
+    page n+1 is requested with the SORT KEY of page n's last hit, never
+    an offset. Offset pagination at depth d makes every executor ship
+    its top (d+k) rows and the driver discard d of them; the keyset
+    predicate instead pushes `score < s OR (score = s AND doc_id > id)`
+    below the top-k, so page 1000 costs the same as page 1 — the only
+    deep-pagination shape that survives 10^12 docs.
+
+    `after` is (score, doc_id) as returned by a previous page (scores
+    compare under the engine-wide SCORE_ROUND=9 ordering key, so the
+    cursor round-trips through the client losslessly at 9dp).
+    """
+    terms = query_terms(q)
+    agg = _bm25_topk_from_postings_terms(
+        postings, term_stats, N, avgdl, terms, k=(1 << 31) - 1, k1=k1, b=b
+    )
+    key = F.round(F.col("score"), SCORE_ROUND)
+    if after is not None:
+        # round the cursor with the SAME engine rounding as the sort key
+        # (python round() is banker's; F.round is HALF_UP — mixing them
+        # would misplace cursors that sit exactly on the boundary)
+        cur = F.round(F.lit(float(after[0])), SCORE_ROUND)
+        d = int(after[1])
+        agg = agg.filter(
+            (key < cur) | ((key == cur) & (F.col("doc_id") > F.lit(d)))
+        )
+    return agg.orderBy(key.desc(), F.col("doc_id").asc()).limit(k)
 
 
 def more_like_this(

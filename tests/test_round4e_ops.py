@@ -151,6 +151,98 @@ def test_similarity_empty_terms_returns_empty(spark, tiny_postings):
     assert out.count() == 0
 
 
+def _corpus_consts(tiny_docs):
+    _, dl, N, T, avgdl, *_ = _ref_corpus(tiny_docs)
+    return N, avgdl
+
+
+def test_min_should_match_threshold(spark, tiny_docs, tiny_postings):
+    from scrapix_spark.operators import query as Q
+
+    N, avgdl = _corpus_consts(tiny_docs)
+    stats = P.term_stats(tiny_postings)
+    # "table merge sort": doc0 matches 3, doc1 2 (merge,sort), doc2 1,
+    # doc4 2 (sort,table)
+    out = Q.min_should_match_topk(
+        tiny_postings, stats, N, avgdl, "table merge sort", 2, k=10
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 4]
+    assert all(r["n_matched"] >= 2 for r in out)
+    # m = 3 keeps only the full match
+    out3 = Q.min_should_match_topk(
+        tiny_postings, stats, N, avgdl, "table merge sort", 3, k=10
+    ).collect()
+    assert [r["doc_id"] for r in out3] == [0]
+
+
+def test_min_should_match_m_forms(spark, tiny_docs, tiny_postings):
+    """Fractional (ES '75%') and negative (ES '-1') forms of m."""
+    from scrapix_spark.operators import query as Q
+
+    N, avgdl = _corpus_consts(tiny_docs)
+    stats = P.term_stats(tiny_postings)
+
+    def ids(m):
+        return sorted(
+            r["doc_id"]
+            for r in Q.min_should_match_topk(
+                tiny_postings, stats, N, avgdl, "table merge sort", m, k=10
+            ).collect()
+        )
+
+    assert ids(0.5) == ids(2)        # ceil(0.5 * 3) = 2
+    assert ids(0.67) == ids(3)       # ceil(2.01) = 3
+    assert ids(-1) == ids(2)         # all-but-one of 3 terms
+    assert ids(1.0) == ids(3)        # 100% = all terms
+    with pytest.raises(ValueError, match="exceeds"):
+        Q.min_should_match_topk(
+            tiny_postings, stats, N, avgdl, "table merge sort", 4
+        )
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        Q.min_should_match_topk(
+            tiny_postings, stats, N, avgdl, "table merge sort", 1.5
+        )
+
+
+def test_search_after_pages_partition_ranking(spark, tiny_docs, tiny_postings):
+    """Keyset pages must tile the full ordering: no gaps, no repeats —
+    including across a score TIE boundary."""
+    from scrapix_spark.operators import query as Q
+
+    # two exact-duplicate docs -> guaranteed score tie split by doc_id
+    extra = spark.createDataFrame(
+        [(10, "table merge sort table"), (11, "table merge sort table")],
+        "doc_id long, text string",
+    )
+    docs = tiny_docs.union(extra)
+    t = with_tokens(docs, "text")
+    post = t.select(
+        "doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("tk")
+    ).select("tk.term", "doc_id", F.col("tk.tf").cast("long").alias("tf"), "dl")
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    N, avgdl = int(row["n"]), float(row["a"])
+    stats = P.term_stats(post)
+
+    full = Q.search_after_topk(
+        post, stats, N, avgdl, "table merge sort", after=None, k=100
+    ).collect()
+    assert len(full) >= 5
+    # page through 2 at a time and re-assemble
+    paged, cur = [], None
+    while True:
+        page = Q.search_after_topk(
+            post, stats, N, avgdl, "table merge sort", after=cur, k=2
+        ).collect()
+        if not page:
+            break
+        paged.extend(page)
+        cur = (float(page[-1]["score"]), int(page[-1]["doc_id"]))
+    assert [r["doc_id"] for r in paged] == [r["doc_id"] for r in full]
+    # the duplicate pair is tie-broken by doc_id and adjacent
+    ids = [r["doc_id"] for r in full]
+    assert ids.index(11) == ids.index(10) + 1
+
+
 def test_similarity_plan_broadcasts_stats(spark, tiny_postings):
     """The per-term stats slice must reach the join as a broadcast —
     the J3 idf-slice discipline, pinned for the similarity family."""
