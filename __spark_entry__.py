@@ -5320,6 +5320,112 @@ FROM r WHERE rk BETWEEN 11 AND 20 ORDER BY rk
 """
 
 
+def q_docid_reorder_map(spark, sf_dir):
+    """X143 — doc-id reassignment (URL-sort compression, Silvestri
+    2007): new_id = rank under (lang, source, doc_id), computed as a
+    two-pass distributed prefix sum, never a global window.
+    operators/postings.py reassign_doc_ids."""
+    return P.reassign_doc_ids(_docs(spark, sf_dir), ["lang", "source"])
+
+
+_DOCID_REORDER_MAP_SQL = """
+SELECT doc_id,
+       row_number() OVER (ORDER BY lang, source, doc_id) - 1 AS new_id
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_docid_reorder_bytes(spark, sf_dir):
+    """X143 — the compression claim, measured exactly: total varint
+    bytes of every term's delta-encoded posting stream under original
+    vs reassigned doc ids. operators/postings.py delta_stream_bytes."""
+    docs = _docs(spark, sf_dir)
+    mapping = P.reassign_doc_ids(docs, ["lang", "source"])
+    post = _postings(spark, sf_dir)
+    orig = P.delta_stream_bytes(post).select(
+        F.col("total_bytes").alias("orig_bytes"), "n_postings"
+    )
+    re_post = post.join(mapping, "doc_id").select(
+        "term", F.col("new_id").alias("doc_id"), "tf", "dl"
+    )
+    reord = P.delta_stream_bytes(re_post).select(
+        F.col("total_bytes").alias("reord_bytes")
+    )
+    return orig.crossJoin(reord)
+
+
+def _docid_reorder_bytes_sql() -> str:
+    tok = TOK_EXPR("text")
+    vb = P.VARINT_BYTES_CASE
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+post AS (SELECT DISTINCT doc_id, term FROM tok),
+map AS (SELECT doc_id,
+          row_number() OVER (ORDER BY lang, source, doc_id) - 1 AS new_id
+        FROM documents),
+og AS (SELECT coalesce(doc_id - lag(doc_id) OVER
+           (PARTITION BY term ORDER BY doc_id), doc_id) AS delta
+       FROM post),
+rg AS (SELECT coalesce(new_id - lag(new_id) OVER
+           (PARTITION BY term ORDER BY new_id), new_id) AS delta
+       FROM post JOIN map USING (doc_id)),
+o AS (SELECT sum({vb.format(v='delta')})::BIGINT AS orig_bytes,
+             count(*)::BIGINT AS n_postings FROM og),
+r AS (SELECT sum({vb.format(v='delta')})::BIGINT AS reord_bytes FROM rg)
+SELECT o.orig_bytes, o.n_postings, r.reord_bytes FROM o CROSS JOIN r
+"""
+
+
+PRUNE_M = 32
+
+
+def q_pruned_static_topk(spark, sf_dir):
+    """X146 — static index pruning (Carmel et al. 2001): keep each
+    term's top-32 postings by the df-independent BM25 impact, then
+    rank the standard query over the pruned index (full-corpus df).
+    operators/postings.py static_prune."""
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    n, a = int(row["n"]), float(row["a"])
+    pruned = P.static_prune(post, PRUNE_M, a, k1=K1, b=B)
+    out = Q.bm25_topk_from_postings(
+        pruned, stats, n, a, BM25_QUERY, k=10, k1=K1, b=B
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"), "n_matched")
+
+
+def _pruned_static_sql() -> str:
+    tok = TOK_EXPR("text")
+    terms = Q.query_terms(BM25_QUERY)
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+dfv AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+imp AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+          row_number() OVER (PARTITION BY tf.term ORDER BY
+            round((tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)), 9)
+              DESC, tf.doc_id ASC) AS rk
+        FROM tf JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats),
+scored AS (
+  SELECT i.doc_id,
+         sum( ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (i.tf * ({K1} + 1.0))
+              / (i.tf + {K1} * (1.0 - {B} + {B} * i.dl / stats.avgdl)) ) AS score,
+         count(*)::INT AS n_matched
+  FROM imp i JOIN dfv USING (term) CROSS JOIN stats
+  WHERE i.rk <= {PRUNE_M} GROUP BY i.doc_id)
+SELECT doc_id, round(score, 4) AS score, n_matched FROM scored
+ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -5454,6 +5560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_dirichlet_topk": q_sim_dirichlet_topk,
         "min_should_match_topk": q_min_should_match,
         "search_after_page": q_search_after_page,
+        "docid_reorder_map": q_docid_reorder_map,
+        "docid_reorder_bytes": q_docid_reorder_bytes,
+        "pruned_static_topk": q_pruned_static_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -8588,6 +8697,9 @@ ORDER BY event_type
         "sim_dirichlet_topk": _sim_dirichlet_sql(),
         "min_should_match_topk": _min_should_match_sql(),
         "search_after_page": _search_after_sql(),
+        "docid_reorder_map": _DOCID_REORDER_MAP_SQL,
+        "docid_reorder_bytes": _docid_reorder_bytes_sql(),
+        "pruned_static_topk": _pruned_static_sql(),
     }
 
 

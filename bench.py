@@ -209,6 +209,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         # round-4e additions (X142+)
         "similarity_matrix", "sim_dirichlet_topk",
         "min_should_match_topk", "search_after_page",
+        "docid_reorder_bytes", "pruned_static_topk",
     ]
     out = {}
     for name in headline:

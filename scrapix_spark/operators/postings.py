@@ -584,3 +584,164 @@ def merge_segments(
     return ordered.mapInArrow(merge_kernel, schema=SEGMENT_SCHEMA).withColumn(
         "tb", term_bucket_expr(F.col("term_id"), kb)
     )
+
+
+# --------------------------------------------------------- X143 / X146
+
+
+VARINT_BYTES_CASE = (
+    "CASE WHEN {v} < 128 THEN 1 WHEN {v} < 16384 THEN 2 "
+    "WHEN {v} < 2097152 THEN 3 WHEN {v} < 268435456 THEN 4 ELSE 5 END"
+)
+
+
+def varint_bytes_expr(col):
+    """Exact LEB128 byte count of a non-negative value, as a pure
+    integer CASE expression (no float log — 128^k boundaries must not
+    depend on ln() rounding). Matches codec.varint_encode byte-for-byte
+    for values < 2^35 (doc-id deltas; pinned by test against the real
+    codec). The SAME CASE text is used in the SQL oracle via
+    VARINT_BYTES_CASE.format(v=...)."""
+    c = col.cast("bigint")
+    return (
+        F.when(c < 128, 1)
+        .when(c < 16384, 2)
+        .when(c < 2097152, 3)
+        .when(c < 268435456, 4)
+        .otherwise(5)
+        .cast("bigint")
+    )
+
+
+def reassign_doc_ids(
+    docs: DataFrame,
+    sort_cols: list,
+    id_col: str = "doc_id",
+    nparts: int | None = None,
+) -> DataFrame:
+    """X143 — document-ID reassignment for posting-list compression
+    (the public URL-sorting result: Silvestri, ECIR 2007 — assigning
+    doc ids in lexicographic URL/path order clusters each term's
+    postings, shrinking the delta gaps varint coding pays for).
+
+    Returns (old id, new_id) with new_id = the doc's 0-based rank under
+    ORDER BY (*sort_cols, id_col). The rank is NOT a global window (one
+    task at 10^12 docs) — it is the same two-pass distributed prefix
+    sum as pack_sequences (curation.py X67): range-exchange on the sort
+    key, O(parallelism) per-partition counts to the driver, one Arrow
+    carry pass. Partitioning-invariant by composition of prefix sums.
+
+    Oracle: the DuckDB row_number() window form (tiny data only).
+    """
+    import pandas as pd
+
+    from scrapix_spark.operators.index import shuffle_partitions
+
+    if not sort_cols:
+        raise ValueError("reassign_doc_ids needs at least one sort column")
+    spark = docs.sparkSession
+    nparts = nparts or shuffle_partitions(spark)
+    keys = [*sort_cols, id_col]
+    base = (
+        docs.select(id_col, *sort_cols)
+        .repartitionByRange(nparts, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = {
+        r["_pid"]: r["c"]
+        for r in base.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def assign(batches):
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets[int(pdf["_pid"].iloc[0])]
+            n = len(pdf)
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "new_id": range(run, run + n),
+                }
+            )
+            run += n
+            yield out
+
+    return base.mapInPandas(assign, schema=f"`{id_col}` {id_type}, new_id bigint")
+
+
+def delta_stream_bytes(
+    postings: DataFrame,
+    id_col: str = "doc_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """Exact varint byte count of each term's delta-encoded posting
+    stream (first id raw, then gaps), as ONE row (total_bytes,
+    n_postings) — the measurement half of X143, computed entirely
+    JVM-side so the oracle can replay it.
+
+    Plan: lag() per term partition (the postings' natural shuffle key)
+    + one global sum. The per-term window sorts within the term
+    partition only — the same order encode_segments needs anyway.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(term_col).orderBy(F.col(id_col).asc())
+    gaps = postings.select(
+        term_col,
+        F.coalesce(
+            F.col(id_col) - F.lag(id_col).over(w), F.col(id_col)
+        ).alias("delta"),
+    )
+    return gaps.agg(
+        F.sum(varint_bytes_expr(F.col("delta"))).alias("total_bytes"),
+        F.count("*").alias("n_postings"),
+    )
+
+
+def static_prune(
+    postings: DataFrame,
+    m: int,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """X146 — static index pruning (Carmel et al., SIGIR 2001, the
+    public top-m-by-impact form): keep only each term's m highest-
+    impact postings, where impact is the df-independent BM25 tf-part
+    tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) — idf scales a whole term
+    uniformly, so it cannot change the per-term order and is left out.
+    Ties break by doc_id asc (deterministic, replayable).
+
+    The rank filter is written as row_number() ≤ m immediately over the
+    window so Spark's InferWindowGroupLimit rewrites it into
+    WindowGroupLimit: per-partition m-heaps BELOW the exchange — a hot
+    term never funnels its full posting list through one sort task
+    (the X140 plan shape, pinned by test).
+    """
+    from pyspark.sql import Window
+
+    if m <= 0:
+        raise ValueError("static_prune needs m >= 1")
+    impact = (F.col("tf").cast("double") * (k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + k1 * (1.0 - b + b * F.col("dl").cast("double") / float(avgdl))
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.round(impact, 9).desc(), F.col("doc_id").asc()
+    )
+    return (
+        postings.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= m)
+        .drop("_rk")
+    )

@@ -243,6 +243,111 @@ def test_search_after_pages_partition_ranking(spark, tiny_docs, tiny_postings):
     assert ids.index(11) == ids.index(10) + 1
 
 
+def test_varint_bytes_expr_matches_codec(spark):
+    """The CASE byte-count expression must equal the REAL codec's
+    varint length at every boundary — the proxy is exact, not a model."""
+    from scrapix_spark.operators import codec
+
+    vals = [0, 1, 127, 128, 129, 16383, 16384, 2097151, 2097152,
+            268435455, 268435456, (1 << 34)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["v"]: r["b"]
+        for r in df.select("v", P.varint_bytes_expr(F.col("v")).alias("b")).collect()
+    }
+    import numpy as np
+
+    for v in vals:
+        want = len(codec.varint_encode(np.array([v], dtype=np.uint64)))
+        assert got[v] == want, v
+
+
+def test_reassign_doc_ids_rank_and_invariance(spark):
+    rows = [(i, ["b", "a", "c"][i % 3]) for i in range(90)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {
+        r["doc_id"]: r["new_id"]
+        for r in P.reassign_doc_ids(docs, ["lang"], nparts=7).collect()
+    }
+    want_order = sorted(rows, key=lambda t: (t[1], t[0]))
+    for rank, (d, _) in enumerate(want_order):
+        assert out[d] == rank
+    # partitioning-invariant: same ranks at a different parallelism
+    out2 = {
+        r["doc_id"]: r["new_id"]
+        for r in P.reassign_doc_ids(docs, ["lang"], nparts=2).collect()
+    }
+    assert out == out2
+    with pytest.raises(ValueError, match="sort column"):
+        P.reassign_doc_ids(docs, [])
+
+
+def test_docid_reorder_shrinks_interleaved_corpus(spark):
+    """130 groups interleaved by original id: each group-term's gaps
+    are 130 (2 varint bytes); after reassignment by group the gaps are
+    1 (1 byte). The measured stream must strictly shrink."""
+    n, g = 520, 130
+    rows = [(i, f"g{i % g}", f"term{i % g}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    post = docs.select(
+        F.col("text").alias("term"), "doc_id", F.lit(1).alias("tf"),
+        F.lit(1).alias("dl"),
+    )
+    orig = P.delta_stream_bytes(post).collect()[0]
+    mapping = P.reassign_doc_ids(docs, ["lang"])
+    re_post = post.join(mapping, "doc_id").select(
+        "term", F.col("new_id").alias("doc_id"), "tf", "dl"
+    )
+    reord = P.delta_stream_bytes(re_post).collect()[0]
+    assert orig["n_postings"] == reord["n_postings"] == n
+    assert reord["total_bytes"] < orig["total_bytes"]
+    # exact counts: orig = first ids 0..129 (128 at 1B + 2 at 2B)
+    #   + 390 gaps of 130 (2B each) = 912
+    assert orig["total_bytes"] == (128 * 1 + 2 * 2) + 390 * 2
+    # reord = first ids {0,4,...,516} (32 below 128 at 1B, 98 at 2B)
+    #   + 390 gaps of 1 (1B each) = 618
+    assert reord["total_bytes"] == (32 * 1 + 98 * 2) + 390 * 1
+
+
+def test_static_prune_semantics(spark, tiny_docs, tiny_postings):
+    _, dl, N, T, avgdl, tf, df, cf = _ref_corpus(tiny_docs)
+    # m larger than any df: identity
+    full = sorted(
+        (r["term"], r["doc_id"]) for r in tiny_postings.collect()
+    )
+    kept = sorted(
+        (r["term"], r["doc_id"])
+        for r in P.static_prune(tiny_postings, 100, avgdl).collect()
+    )
+    assert kept == full
+    # m=1: exactly one posting per term, the max-impact one
+    one = P.static_prune(tiny_postings, 1, avgdl).collect()
+    terms = [r["term"] for r in one]
+    assert len(terms) == len(set(terms)) == len(df)
+
+    def impact(t, d):
+        x = tf[(d, t)]
+        return x * (1.2 + 1) / (x + 1.2 * (1 - 0.75 + 0.75 * dl[d] / avgdl))
+
+    for r in one:
+        t = r["term"]
+        best = min(
+            (d for d in dl if (d, t) in tf),
+            key=lambda d: (-round(impact(t, d), 9), d),
+        )
+        assert r["doc_id"] == best, t
+    with pytest.raises(ValueError, match="m >= 1"):
+        P.static_prune(tiny_postings, 0, avgdl)
+
+
+def test_static_prune_plan_uses_window_group_limit(spark, tiny_postings):
+    """The rank filter must rewrite to WindowGroupLimit (per-partition
+    heaps below the exchange) — a hot term must never pay a full sort."""
+    df = P.static_prune(tiny_postings, 5, 4.0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
 def test_similarity_plan_broadcasts_stats(spark, tiny_postings):
     """The per-term stats slice must reach the join as a broadcast —
     the J3 idf-slice discipline, pinned for the similarity family."""
