@@ -5426,6 +5426,162 @@ ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
 """
 
 
+PHRASE_SUGGEST_QUERY = "custemor windoww scan"
+PHRASE_SUGGEST_PER_POS = 3
+SPAN_NOT_INC, SPAN_NOT_EXC, SPAN_NOT_WIN = "merge", "join", 2
+COMPOSITE_PAGE = 8
+
+
+def q_phrase_suggest(spark, sf_dir):
+    """X147 — ES phrase suggester: per-position SymSpell candidates
+    (top-3 by dist/df/term, plus the original word) form candidate
+    phrases; the corpus bigram LM (X51 add-one model) rescores whole
+    phrases so CONTEXT picks the correction. operators/match.py
+    phrase_suggest."""
+    _, stats, _, _ = _corpus_for_match(spark, sf_dir)
+    lm = TS.train_bigram_lm(_docs(spark, sf_dir), "text")
+    return M.phrase_suggest(
+        stats, lm, PHRASE_SUGGEST_QUERY, max_dist=2,
+        two_typo_min=SUGGEST_2MIN, per_pos=PHRASE_SUGGEST_PER_POS, k=5,
+    )
+
+
+def _phrase_suggest_sql() -> str:
+    """Oracle: full levenshtein candidate scan per position (fine at
+    oracle scale) + the same add-one bigram scoring as _lm_scores_sql,
+    phrases built by a static cross join of the per-position sets."""
+    words = Q.query_terms(PHRASE_SUGGEST_QUERY)
+    tok = TOK_EXPR("text")
+    wsel = " UNION ALL ".join(
+        f"SELECT {i} AS pos, '{w}' AS word, "
+        f"{min(2, M.typo_budget(w, 5, SUGGEST_2MIN))} AS a"
+        for i, w in enumerate(words)
+    )
+    n = len(words)
+    csets = ",\n".join(
+        f"c{i} AS (SELECT term FROM cand WHERE pos = {i} AND rn <= "
+        f"{PHRASE_SUGGEST_PER_POS} UNION SELECT word FROM words WHERE pos = {i})"
+        for i in range(n)
+    )
+    ph_cols = ", ".join(f"c{i}.term AS w{i}" for i in range(n))
+    ph_from = ", ".join(f"c{i}" for i in range(n))
+    concat = " || ' ' || ".join(f"p.w{i}" for i in range(n))
+    uni_joins = "\n".join(
+        f"LEFT JOIN uni u{i} ON u{i}.w = p.w{i}" for i in range(n - 1)
+    )
+    bi_joins = "\n".join(
+        f"LEFT JOIN bi b{i} ON b{i}.w1 = p.w{i-1} AND b{i}.w2 = p.w{i}"
+        for i in range(1, n)
+    )
+    score = "ln((coalesce(u0.c1, 0) + 1.0) / (tot.t_tokens + tot.vocab))"
+    for i in range(1, n):
+        score += (
+            f"\n    + ln((coalesce(b{i}.c2, 0) + 1.0)"
+            f" / (coalesce(u{i-1}.c1, 0) + tot.vocab))"
+        )
+    ncorr = " + ".join(
+        f"(p.w{i} <> '{w}')::INT" for i, w in enumerate(words)
+    )
+    return f"""
+WITH tl AS (SELECT doc_id, {tok} AS ts FROM documents),
+tfp AS (SELECT DISTINCT doc_id, u.w AS term FROM tl, unnest(ts) AS u(w)),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM tfp GROUP BY term),
+uni AS (SELECT u.w AS w, count(*) AS c1 FROM tl, unnest(ts) AS u(w) GROUP BY 1),
+tot AS (SELECT sum(c1) AS t_tokens, count(*) AS vocab FROM uni),
+prs AS (SELECT ts[i - 1] AS w1, ts[i] AS w2
+        FROM tl, unnest(range(2, len(ts) + 1)) AS r(i)),
+bi AS (SELECT w1, w2, count(*) AS c2 FROM prs GROUP BY 1, 2),
+words AS ({wsel}),
+cand AS (
+  SELECT w.pos, d.term,
+         row_number() OVER (
+           PARTITION BY w.pos
+           ORDER BY levenshtein(d.term, w.word) ASC, d.df DESC, d.term ASC
+         ) AS rn
+  FROM words w JOIN dict d
+    ON abs(len(d.term) - len(w.word)) <= w.a
+   AND levenshtein(d.term, w.word) <= w.a
+),
+{csets},
+phrases AS (SELECT {ph_cols} FROM {ph_from}),
+scored AS (
+  SELECT {concat} AS suggestion,
+    {score} AS score,
+    ({ncorr}) AS n_corrections
+  FROM phrases p
+  {uni_joins}
+  {bi_joins}
+  CROSS JOIN tot
+)
+SELECT suggestion, round(score, 4) AS score, n_corrections::INT AS n_corrections
+FROM scored ORDER BY round(score, 9) DESC, suggestion ASC LIMIT 5
+"""
+
+
+def q_span_not(spark, sf_dir):
+    """X149 — Lucene SpanNotQuery: 'merge' occurrences with no 'join'
+    within 2 positions either side. operators/match.py span_not_docs."""
+    pos = M.positional_postings(_docs(spark, sf_dir), "text")
+    return M.span_not_docs(
+        pos, SPAN_NOT_INC, SPAN_NOT_EXC, pre=SPAN_NOT_WIN, post=SPAN_NOT_WIN
+    )
+
+
+def _span_not_sql() -> str:
+    tok = TOK_EXPR("text")
+    w = SPAN_NOT_WIN
+    return f"""
+WITH tl AS (SELECT doc_id, {tok} AS t FROM documents),
+m AS (SELECT doc_id,
+        list_filter(generate_series(1, len(t)),
+                    i -> t[i] = '{SPAN_NOT_INC}') AS ips,
+        list_filter(generate_series(1, len(t)),
+                    i -> t[i] = '{SPAN_NOT_EXC}') AS eps
+      FROM tl),
+s AS (SELECT doc_id,
+        list_filter(ips, p -> len(list_filter(eps,
+            q -> q >= p - {w} AND q <= p + {w})) = 0) AS sv
+      FROM m WHERE len(ips) > 0)
+SELECT doc_id, len(sv)::BIGINT AS n_spans,
+       (list_min(sv) - 1)::BIGINT AS first_pos
+FROM s WHERE len(sv) > 0 ORDER BY doc_id
+"""
+
+
+def q_composite_page(spark, sf_dir):
+    """X148 — ES composite aggregation: key-ordered (lang, source)
+    buckets, page 2 fetched with page 1's last bucket key as the
+    `after` cursor (client round-trip = bounded size-row collect) —
+    keyset bucket pagination, never offset re-aggregation.
+    operators/results.py composite_agg."""
+    from scrapix_spark.operators import results as R
+
+    docs = _docs(spark, sf_dir)
+    srcs = [("lang", "lang"), ("src", F.col("source"))]
+    page1 = R.composite_agg(docs, srcs, size=COMPOSITE_PAGE).collect()
+    if not page1:
+        return spark.createDataFrame(
+            [], "lang string, src string, doc_count long"
+        )
+    last = page1[-1]
+    return R.composite_agg(
+        docs, srcs, size=COMPOSITE_PAGE, after=(last["lang"], last["src"])
+    )
+
+
+def _composite_sql() -> str:
+    p = COMPOSITE_PAGE
+    return f"""
+WITH g AS (SELECT lang, source AS src, count(*)::BIGINT AS doc_count
+           FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL
+           GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (ORDER BY lang ASC, src ASC) AS rk FROM g)
+SELECT lang, src, doc_count FROM r
+WHERE rk BETWEEN {p + 1} AND {2 * p} ORDER BY rk
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -5563,6 +5719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docid_reorder_map": q_docid_reorder_map,
         "docid_reorder_bytes": q_docid_reorder_bytes,
         "pruned_static_topk": q_pruned_static_topk,
+        "phrase_suggest": q_phrase_suggest,
+        "composite_page": q_composite_page,
+        "span_not": q_span_not,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -8700,6 +8859,9 @@ ORDER BY event_type
         "docid_reorder_map": _DOCID_REORDER_MAP_SQL,
         "docid_reorder_bytes": _docid_reorder_bytes_sql(),
         "pruned_static_topk": _pruned_static_sql(),
+        "phrase_suggest": _phrase_suggest_sql(),
+        "composite_page": _composite_sql(),
+        "span_not": _span_not_sql(),
     }
 
 

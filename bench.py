@@ -210,6 +210,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "similarity_matrix", "sim_dirichlet_topk",
         "min_should_match_topk", "search_after_page",
         "docid_reorder_bytes", "pruned_static_topk",
+        "phrase_suggest", "composite_page", "span_not",
     ]
     out = {}
     for name in headline:

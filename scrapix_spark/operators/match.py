@@ -1595,3 +1595,177 @@ def span_first_docs(
         "doc_id",
         F.array_min("_ps").cast("long").alias("first_pos"),
     ).orderBy("doc_id")
+
+
+def span_not_docs(
+    positional: DataFrame,
+    include_term: str,
+    exclude_term: str,
+    pre: int = 0,
+    post: int = 0,
+) -> DataFrame:
+    """X149 — Lucene's SpanNotQuery: occurrences of `include_term`
+    that are NOT within `pre` positions after / `post` positions
+    before an occurrence of `exclude_term` — i.e. an include position
+    p survives iff no exclude position q satisfies
+    p - pre <= q <= p + post. The "match X away from Y" primitive
+    (e.g. 'merge' not near 'join' = merge in a non-join context).
+
+    Plan: two term-pushdown scans of the positional relation (only the
+    two terms' rows are read — the index-level pushdown every span op
+    here uses), one doc_id equi-join (left: docs with no exclusion
+    keep every span), then a pure array kernel — a nested
+    higher-order-function filter, zero Python, zero explode. Columns:
+    (doc_id, n_spans, first_pos), ordered by doc_id.
+    """
+    if pre < 0 or post < 0:
+        raise ValueError("pre/post must be >= 0")
+    inc = positional.filter(F.col("term") == include_term).select(
+        "doc_id", F.col("positions").alias("_ip")
+    )
+    exc = positional.filter(F.col("term") == exclude_term).select(
+        "doc_id", F.col("positions").alias("_ep")
+    )
+    j = inc.join(exc, "doc_id", "left")
+    surv = F.when(F.col("_ep").isNull(), F.col("_ip")).otherwise(
+        F.filter(
+            F.col("_ip"),
+            lambda p: ~F.exists(
+                F.col("_ep"),
+                lambda q: (q >= p - F.lit(pre)) & (q <= p + F.lit(post)),
+            ),
+        )
+    )
+    out = j.select("doc_id", surv.alias("_sv")).filter(F.size("_sv") > 0)
+    return out.select(
+        "doc_id",
+        F.size("_sv").cast("long").alias("n_spans"),
+        F.array_min("_sv").cast("long").alias("first_pos"),
+    ).orderBy("doc_id")
+
+
+# ------------------------------------------------------ phrase suggest
+
+
+def phrase_suggest(
+    term_stats: DataFrame,
+    lm: tuple[DataFrame, DataFrame, DataFrame],
+    q: str,
+    max_dist: int = 2,
+    min_len: int = ONE_TYPO_MIN,
+    two_typo_min: int = TWO_TYPO_MIN,
+    per_pos: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """X147 — the public ES `phrase` suggester: whole-phrase
+    did-you-mean. Per query position, generate spelling candidates
+    (the X72 SymSpell path, top `per_pos` by (dist, df desc, term)
+    PLUS the original word); form every candidate phrase; rescore each
+    phrase with the corpus bigram language model (the X51 add-one
+    model: first word by unigram P(w)=(c1+1)/(T+V), each next by
+    P(w2|w1)=(c2+1)/(c1(w1)+V)) and return the top-k phrases. Unlike
+    X72's per-word argmin, context decides: a correction wins only if
+    the surrounding words make it likelier.
+
+    Scale shape: candidate generation is per-word SymSpell join + a
+    `per_pos`-row TakeOrdered (never a dictionary distance scan); the
+    phrase relation is bounded ((per_pos+1)^|q| rows, |q| a user
+    query) and cross-joins as broadcasts; LM lookups push the tiny
+    candidate key set INTO the corpus-sized unigram/bigram relations
+    (broadcast semi shape) and the tiny count slices broadcast back —
+    the big relations are never shuffled.
+
+    Columns: (suggestion, score, n_corrections), score = phrase
+    log-likelihood (nats, rounded 4), ordered score desc then
+    suggestion asc, limit k.
+    """
+    uni, bi, totals = lm
+    spark = term_stats.sparkSession
+    words = query_terms(q)
+    out_schema = "suggestion string, score double, n_corrections int"
+    if not words:
+        return spark.createDataFrame([], out_schema)
+    phrases = None
+    for i, w in enumerate(words):
+        cand = typo_candidates(
+            term_stats, w, max_dist=max_dist, min_len=min_len,
+            two_typo_min=two_typo_min,
+        )
+        top = (
+            cand.orderBy(
+                F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+            )
+            .limit(per_pos)
+            .select("term")
+        )
+        orig = spark.createDataFrame([(w,)], "term string")
+        ci = (
+            top.unionByName(orig)
+            .dropDuplicates(["term"])
+            .select(F.col("term").alias(f"w{i}"))
+        )
+        phrases = ci if phrases is None else phrases.crossJoin(F.broadcast(ci))
+    n = len(words)
+    # unigram counts needed: w0 (numerator) and every w_{i-1} (denominators)
+    ukeys = None
+    for i in range(max(n - 1, 1)):
+        ki = phrases.select(F.col(f"w{i}").alias("w"))
+        ukeys = ki if ukeys is None else ukeys.unionByName(ki)
+    ukeys = ukeys.dropDuplicates(["w"])
+    uslice = uni.join(F.broadcast(ukeys), "w")
+    ph = phrases.join(
+        F.broadcast(
+            uslice.select(F.col("w").alias("w0"), F.col("c1").alias("_c1_0"))
+        ),
+        "w0", "left",
+    )
+    for i in range(1, n):
+        bkeys = phrases.select(
+            F.col(f"w{i-1}").alias("w1"), F.col(f"w{i}").alias("w2")
+        ).dropDuplicates()
+        bslice = bi.join(F.broadcast(bkeys), ["w1", "w2"])
+        ph = ph.join(
+            F.broadcast(
+                bslice.select(
+                    F.col("w1").alias(f"w{i-1}"), F.col("w2").alias(f"w{i}"),
+                    F.col("c2").alias(f"_c2_{i}"),
+                )
+            ),
+            [f"w{i-1}", f"w{i}"], "left",
+        )
+        if i >= 2:  # i=1's denominator c1(w0) is the numerator slice
+            ph = ph.join(
+                F.broadcast(
+                    uslice.select(
+                        F.col("w").alias(f"w{i-1}"),
+                        F.col("c1").alias(f"_c1_{i-1}"),
+                    )
+                ),
+                f"w{i-1}", "left",
+            )
+    ph = ph.crossJoin(F.broadcast(totals))
+    score = F.log(
+        (F.coalesce(F.col("_c1_0"), F.lit(0)) + F.lit(1.0))
+        / (F.col("t_tokens") + F.col("vocab"))
+    )
+    for i in range(1, n):
+        score = score + F.log(
+            (F.coalesce(F.col(f"_c2_{i}"), F.lit(0)) + F.lit(1.0))
+            / (F.coalesce(F.col(f"_c1_{i-1}"), F.lit(0)) + F.col("vocab"))
+        )
+    ncorr = F.lit(0)
+    for i, w in enumerate(words):
+        ncorr = ncorr + F.when(F.col(f"w{i}") != F.lit(w), 1).otherwise(0)
+    out = ph.select(
+        F.concat_ws(" ", *[F.col(f"w{i}") for i in range(n)]).alias(
+            "suggestion"
+        ),
+        F.round(score, 4).alias("score"),
+        ncorr.cast("int").alias("n_corrections"),
+        F.round(score, 9).alias("_ord"),
+    )
+    return (
+        out.orderBy(F.col("_ord").desc(), F.col("suggestion").asc())
+        .limit(k)
+        .drop("_ord")
+    )

@@ -726,3 +726,57 @@ def pipeline_aggs(
         )
         .orderBy(key_col)
     )
+
+
+def composite_agg(
+    df: DataFrame,
+    sources: list,
+    size: int = 10,
+    after: tuple | None = None,
+) -> DataFrame:
+    """X148 — the public ES `composite` aggregation: a multi-source
+    group-by whose buckets are emitted in KEY order and paginated with
+    an `after` key, never an offset. It exists for exactly one reason —
+    at web scale the bucket set itself doesn't fit in one response, and
+    offset-paging buckets re-aggregates everything each page; the
+    keyset predicate instead prunes whole groups before the shuffle.
+
+    `sources` is a list of (name, column) pairs (column = name string
+    or a Column expression — e.g. a truncated numeric bucket). Rows
+    with a NULL source value are excluded (ES's default
+    missing-bucket=false). `after` is the last bucket key tuple of the
+    previous page; buckets strictly greater in lexicographic key order
+    are returned, `size` at a time.
+
+    Plan: the keyset filter sits UNDER the partial aggregation (it
+    references only grouping columns), so map-side combine and the
+    exchange both see only the remaining key range. Ordering is a
+    TakeOrdered of `size` rows — no global sort.
+
+    Columns: (*names, doc_count), ordered by the source names asc.
+    """
+    if size < 1:
+        raise ValueError("composite_agg needs size >= 1")
+    if not sources:
+        raise ValueError("composite_agg needs at least one source")
+    names = [n for n, _ in sources]
+    cols = [
+        (F.col(c) if isinstance(c, str) else c).alias(n) for n, c in sources
+    ]
+    base = df.select(*cols)
+    for n in names:
+        base = base.filter(F.col(n).isNotNull())
+    if after is not None:
+        if len(after) != len(names):
+            raise ValueError(
+                f"after key has {len(after)} values for {len(names)} sources"
+            )
+        # lexicographic strict-greater over the key tuple
+        pred = F.lit(False)
+        eq = F.lit(True)
+        for n, v in zip(names, after):
+            pred = pred | (eq & (F.col(n) > F.lit(v)))
+            eq = eq & (F.col(n) == F.lit(v))
+        base = base.filter(pred)
+    out = base.groupBy(*names).agg(F.count("*").alias("doc_count"))
+    return out.orderBy(*[F.col(n).asc() for n in names]).limit(size)

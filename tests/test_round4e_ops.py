@@ -357,3 +357,144 @@ def test_similarity_plan_broadcasts_stats(spark, tiny_postings):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------- X148
+
+
+def test_composite_agg_orders_and_paginates(spark):
+    from scrapix_spark.operators.results import composite_agg
+
+    rows = [
+        ("en", "s1"), ("en", "s1"), ("en", "s2"), ("de", "s1"),
+        ("de", "s3"), ("fr", "s2"), ("fr", "s2"), ("fr", "s2"),
+        (None, "s1"), ("en", None),
+    ]
+    df = spark.createDataFrame(rows, "lang string, src string")
+    srcs = [("lang", "lang"), ("src", "src")]
+    all_b = [tuple(r) for r in composite_agg(df, srcs, size=100).collect()]
+    # null source values excluded; buckets in key order with doc counts
+    assert all_b == [
+        ("de", "s1", 1), ("de", "s3", 1), ("en", "s1", 2),
+        ("en", "s2", 1), ("fr", "s2", 3),
+    ]
+    # keyset pagination tiles the bucket set exactly
+    pages, after = [], None
+    while True:
+        page = composite_agg(df, srcs, size=2, after=after).collect()
+        if not page:
+            break
+        pages.extend(tuple(r) for r in page)
+        after = (page[-1]["lang"], page[-1]["src"])
+    assert pages == all_b
+    # expression source (truncated numeric bucket)
+    from pyspark.sql import functions as F
+
+    num = spark.createDataFrame(
+        [(1, 5), (2, 17), (3, 14), (4, None)], "id long, v int"
+    )
+    b = composite_agg(num, [("dec", (F.floor(F.col("v") / 10)).cast("long"))])
+    assert [tuple(r) for r in b.collect()] == [(0, 1), (1, 2)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="size"):
+        composite_agg(df, srcs, size=0)
+    with _pt.raises(ValueError, match="source"):
+        composite_agg(df, [], size=1)
+    with _pt.raises(ValueError, match="after key"):
+        composite_agg(df, srcs, size=1, after=("en",))
+
+
+def test_composite_agg_no_global_sort(spark):
+    """size-bounded key-ordered output must be a TakeOrdered, and the
+    keyset filter must sit under the partial aggregation."""
+    from scrapix_spark.operators.results import composite_agg
+
+    df = spark.createDataFrame([("en", "s1")], "lang string, src string")
+    out = composite_agg(df, [("lang", "lang"), ("src", "src")],
+                        size=3, after=("de", "s9"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    # Filter below Aggregate in the optimized plan tree
+    assert opt.index("Aggregate") < opt.index("Filter")
+
+
+# ---------------------------------------------------------------- X149
+
+
+def test_span_not_semantics(spark):
+    from scrapix_spark.operators.match import (
+        positional_postings, span_not_docs,
+    )
+
+    rows = [
+        (0, "merge sort merge join table"),   # pos0 ok, pos2 near join@3
+        (1, "merge window stream"),           # no exclude -> all survive
+        (2, "join merge join"),               # excluded both sides
+        (3, "table scan sort"),               # no include -> absent
+        (4, "merge a a a join merge"),        # pos0 ok (join@4 > 0+2), pos5 near
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = positional_postings(docs, "text")
+    got = {r["doc_id"]: (r["n_spans"], r["first_pos"])
+           for r in span_not_docs(pos, "merge", "join", 2, 2).collect()}
+    assert got == {0: (1, 0), 1: (1, 0), 4: (1, 0)}
+    # asymmetric window: pre=0 keeps a merge right BEFORE a join
+    got2 = {r["doc_id"]: (r["n_spans"], r["first_pos"])
+            for r in span_not_docs(pos, "merge", "join", 0, 1).collect()}
+    # doc0: merge@2 has join@3 within post=1 -> only merge@0
+    # doc2: merge@1 has join@2 within post=1 -> gone
+    # doc4: join@4 -> merge@5 survives pre=0 (4 < 5), merge@0 survives
+    assert got2 == {0: (1, 0), 1: (1, 0), 4: (2, 0)}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="pre/post"):
+        span_not_docs(pos, "merge", "join", -1, 0)
+
+
+# ---------------------------------------------------------------- X147
+
+
+def test_phrase_suggest_context_beats_wordwise(spark):
+    from scrapix_spark.functions.tokenize import with_tokens
+    from scrapix_spark.operators import postings as P
+    from scrapix_spark.operators.match import phrase_suggest
+    from scrapix_spark.operators.textstats import train_bigram_lm
+
+    # 'fost' is 1 edit from both 'fast' (rarer alone) and 'cost';
+    # context "merge runs fost" must pick whichever bigram the corpus
+    # actually contains, not the word-wise df argmax.
+    rows = [
+        (0, "merge runs fast"),
+        (1, "merge runs fast again"),
+        (2, "cost cost cost cost cost cost"),   # 'cost' wins on df
+        (3, "fast lane"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t = with_tokens(docs, "text")
+    post = t.select(
+        "doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("tk")
+    ).select("tk.term", "doc_id", F.col("tk.tf").cast("long").alias("tf"), "dl")
+    stats = P.term_stats(post)
+    lm = train_bigram_lm(docs, "text")
+    out = phrase_suggest(stats, lm, "merge runs fost",
+                         max_dist=1, min_len=4, per_pos=3, k=10).collect()
+    assert out[0]["suggestion"] == "merge runs fast"
+    assert out[0]["n_corrections"] == 1
+    sugg = [r["suggestion"] for r in out]
+    # the original phrase is always a candidate, ranked below
+    assert "merge runs fost" in sugg
+    assert "merge runs cost" in sugg
+    assert sugg.index("merge runs fast") < sugg.index("merge runs cost")
+    # scores strictly ordered desc
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # uncorrectable word keeps itself; k bounds output
+    out2 = phrase_suggest(stats, lm, "zzzz merge", max_dist=1,
+                          min_len=4, per_pos=3, k=1).collect()
+    assert len(out2) == 1 and out2[0]["suggestion"].startswith("zzzz ")
+    # empty query -> empty frame with the contract schema
+    e = phrase_suggest(stats, lm, "", max_dist=1, min_len=4)
+    assert e.count() == 0
+    assert e.columns == ["suggestion", "score", "n_corrections"]
