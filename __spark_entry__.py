@@ -5582,6 +5582,136 @@ WHERE rk BETWEEN {p + 1} AND {2 * p} ORDER BY rk
 """
 
 
+DIS_MAX_TIE = 0.3
+PINNED_IDS = [17, 4, 999999999, 23]  # the giant id must be dropped
+GEOHASH_PRECISION = 3
+
+
+def q_dis_max(spark, sf_dir):
+    """X150 — Lucene DisjunctionMaxQuery / ES multi_match best_fields:
+    each field an independent subquery with its OWN field statistics;
+    score = best field + tie_breaker x the rest. Same multi-field view
+    as the bm25f gates (h1=source, p=text, title=lang).
+    operators/bm25f.py dis_max_topk."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("source").alias("h1"), F.col("text").alias("p"),
+        F.col("lang").alias("title"),
+    )
+    topk = BF.dis_max_topk(
+        docs, BM25F_QUERY, id_col="doc_id",
+        fields=["h1", "p", "title"], tie_breaker=DIS_MAX_TIE, k=10,
+    )
+    return topk.select(
+        F.col("doc_key").alias("doc_id"), F.round("score", 4).alias("score"),
+        "best_field", F.col("n_fields").cast("long").alias("n_fields"),
+    )
+
+
+def _dis_max_sql() -> str:
+    """Oracle: per-field independent BM25 (df and avgdl WITHIN each
+    field), then max + tie x (sum - max); best_field replays the
+    struct-max tie-break (score desc, field desc)."""
+    fields = [("h1", "source"), ("p", "text"), ("title", "lang")]
+    arms = " UNION ALL ".join(
+        f"SELECT doc_id, '{f}' AS field, {c} AS txt FROM documents"
+        for f, c in fields
+    )
+    terms = ", ".join(f"'{t}'" for t in Q.query_terms(BM25F_QUERY))
+    return f"""
+WITH fields AS (
+  {arms}
+),
+tok AS (SELECT doc_id, field, unnest({TOK_EXPR('txt')}) AS term FROM fields),
+dl AS (SELECT doc_id, field, count(*)::BIGINT AS dl FROM tok GROUP BY 1, 2),
+avg_f AS (SELECT field, avg(dl) AS avgdl_f FROM dl GROUP BY field),
+tfq AS (SELECT doc_id, field, term, count(*)::BIGINT AS tf
+        FROM tok WHERE term IN ({terms}) GROUP BY doc_id, field, term),
+dfv AS (SELECT field, term, count(DISTINCT doc_id)::BIGINT AS df
+        FROM tfq GROUP BY field, term),
+nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+pf AS (
+  SELECT tfq.doc_id, tfq.field,
+         sum( ln(1 + (nd.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf * ({K1} + 1.0))
+              / (tf + {K1} * (1.0 - {B} + {B} * dl.dl / avg_f.avgdl_f)) ) AS fscore
+  FROM tfq
+  JOIN dfv ON dfv.field = tfq.field AND dfv.term = tfq.term
+  JOIN dl ON dl.doc_id = tfq.doc_id AND dl.field = tfq.field
+  JOIN avg_f ON avg_f.field = tfq.field
+  CROSS JOIN nd
+  GROUP BY tfq.doc_id, tfq.field),
+rk AS (SELECT *, row_number() OVER (
+         PARTITION BY doc_id
+         ORDER BY round(fscore, 9) DESC, field DESC) AS rn FROM pf),
+agg AS (
+  SELECT doc_id,
+         max(fscore) AS mx, sum(fscore) AS sm,
+         max(CASE WHEN rn = 1 THEN field END) AS best_field,
+         count(*)::BIGINT AS n_fields
+  FROM rk GROUP BY doc_id)
+SELECT doc_id,
+       round(mx + {DIS_MAX_TIE!r} * (sm - mx), 4) AS score,
+       best_field, n_fields
+FROM agg
+ORDER BY round(mx + {DIS_MAX_TIE!r} * (sm - mx), 9) DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_pinned_search(spark, sf_dir):
+    """X151 — ES pinned query: editorial ids first in the given order
+    (a non-existent id is dropped, a non-matching one gets score 0.0),
+    then organic BM25 with the pinned ids excluded.
+    operators/query.py pinned_topk."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    out = Q.pinned_topk(
+        post, stats, _docs(spark, sf_dir), n, avgdl,
+        BM25_QUERY, PINNED_IDS, k=10,
+    )
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"), "pinned"
+    )
+
+
+def _pinned_sql() -> str:
+    vals = ", ".join(
+        f"({int(d)}, {i})" for i, d in enumerate(PINNED_IDS)
+    )
+    return _bm25_scored_sql(Q.query_terms(BM25_QUERY)) + f"""
+, pin AS (SELECT p.doc_id, p.ord FROM (VALUES {vals}) AS p(doc_id, ord)
+          JOIN documents d ON d.doc_id = p.doc_id),
+pr AS (SELECT pin.doc_id, coalesce(scored.score, 0.0) AS score,
+              TRUE AS pinned, pin.ord::DOUBLE AS k
+       FROM pin LEFT JOIN scored ON scored.doc_id = pin.doc_id),
+org AS (SELECT s.doc_id, s.score, FALSE AS pinned, -round(s.score, 9) AS k
+        FROM scored s ANTI JOIN pin ON pin.doc_id = s.doc_id),
+u AS (SELECT * FROM pr UNION ALL SELECT * FROM org)
+SELECT doc_id, round(score, 4) AS score, pinned
+FROM u ORDER BY pinned DESC, k ASC, doc_id ASC LIMIT 10
+"""
+
+
+def q_geohash_grid(spark, sf_dir):
+    """X152 — ES geohash_grid aggregation: bucket the derived per-doc
+    coordinates into precision-3 geohash cells; largest buckets first
+    (doc_count desc, cell asc). The cell id is a pure native bit
+    interleave + base-32 map. operators/geo.py geohash_grid."""
+    return GEO.geohash_grid(
+        _geo_docs(spark, sf_dir), precision=GEOHASH_PRECISION, size=20
+    )
+
+
+def _geohash_grid_sql() -> str:
+    cell = GEO.geohash_duckdb_expr(
+        _GEO_LAT_SQL, _GEO_LNG_SQL, GEOHASH_PRECISION
+    )
+    return f"""
+WITH c AS (SELECT {cell} AS cell FROM documents),
+g AS (SELECT cell, count(*)::BIGINT AS doc_count FROM c GROUP BY cell)
+SELECT cell, doc_count FROM g
+ORDER BY doc_count DESC, cell ASC LIMIT 20
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -5722,6 +5852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_suggest": q_phrase_suggest,
         "composite_page": q_composite_page,
         "span_not": q_span_not,
+        "dis_max_topk": q_dis_max,
+        "pinned_search": q_pinned_search,
+        "geohash_grid": q_geohash_grid,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -8862,6 +8995,9 @@ ORDER BY event_type
         "phrase_suggest": _phrase_suggest_sql(),
         "composite_page": _composite_sql(),
         "span_not": _span_not_sql(),
+        "dis_max_topk": _dis_max_sql(),
+        "pinned_search": _pinned_sql(),
+        "geohash_grid": _geohash_grid_sql(),
     }
 
 

@@ -211,6 +211,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "min_should_match_topk", "search_after_page",
         "docid_reorder_bytes", "pruned_static_topk",
         "phrase_suggest", "composite_page", "span_not",
+        "dis_max_topk", "pinned_search", "geohash_grid",
     ]
     out = {}
     for name in headline:

@@ -200,3 +200,95 @@ def bm25f_topk_attribute(
         F.round(F.col("score"), SCORE_ROUND).desc(),
         F.col("doc_key").asc(),
     ).limit(k)
+
+
+def dis_max_topk(
+    docs: DataFrame,
+    q: str,
+    id_col: str = "uid",
+    fields: list[str] | None = None,
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """X150 — Lucene `DisjunctionMaxQuery` / the public ES `dis_max` and
+    `multi_match type: best_fields`: each field is an INDEPENDENT
+    subquery scored with its own field statistics (per-field df → idf,
+    per-field avgdl), and the document's score is
+
+        max_f score_f  +  tie_breaker · (Σ_f score_f − max_f score_f)
+
+    so the best-matching field dominates instead of fields summing (the
+    "one field should win" semantics BM25F's weighted sum cannot
+    express — e.g. a title hit should not be beaten by the same words
+    scattered across two weak fields).
+
+    Plan: melt → tokenize → tf per (doc, field, term); per-field df and
+    avgdl are two small aggs broadcast back; one hash agg to per-(doc,
+    field) scores; one hash agg to per-doc max/sum (the argmax field
+    rides a struct max — no window, no second shuffle past the doc_id
+    exchange); TakeOrdered k. Both aggs combine map-side; nothing here
+    grows with corpus size except the two doc-keyed exchanges.
+
+    Columns: (doc_key, score, best_field, n_fields) — n_fields = how
+    many fields matched at least one query term; order score desc
+    (rounded), doc_key asc.
+    """
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError("tie_breaker must be in [0, 1]")
+    fields = fields or [f for f in DEFAULT_FIELD_ORDER if f in docs.columns]
+    terms = query_terms(q)
+    out_schema = "doc_key string, score double, best_field string, n_fields int"
+    if not terms or not fields:
+        return docs.sparkSession.createDataFrame([], out_schema)
+
+    long = melt_fields(docs, id_col, fields)
+    tok = with_tokens(long, "text").withColumnRenamed("doc_len", "dl")
+    post = tok.select(
+        "doc_key", "field", "dl", F.explode("tokens").alias("tk")
+    ).select(
+        "doc_key", "field", "dl", "tk.term",
+        F.col("tk.tf").cast("double").alias("tf"),
+    )
+    n_docs = docs.count()
+    # per-field stats: avgdl over all docs' field text, df WITHIN field
+    avgdl_f = tok.groupBy("field").agg(F.avg("dl").alias("avgdl_f"))
+    dfv = (
+        post.filter(F.col("term").isin(terms))
+        .groupBy("field", "term")
+        .agg(F.countDistinct("doc_key").alias("df"))
+        .withColumn("idf", idf_expr(n_docs, F.col("df").cast("double")))
+    )
+    cand = (
+        post.filter(F.col("term").isin(terms))
+        .join(F.broadcast(dfv.select("field", "term", "idf")), ["field", "term"])
+        .join(F.broadcast(avgdl_f), "field")
+    )
+    impact = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl_f"))
+    )
+    per_field = (
+        cand.withColumn("contrib", F.col("idf") * impact)
+        .groupBy("doc_key", "field")
+        .agg(F.sum("contrib").alias("fscore"))
+    )
+    # struct-max argmax: (rounded score, field) — deterministic tie-break
+    # toward the lexicographically greatest field, replayed in the oracle
+    best = F.max(
+        F.struct(F.round(F.col("fscore"), 9).alias("s"), F.col("field"))
+    )
+    agg = per_field.groupBy("doc_key").agg(
+        F.max("fscore").alias("mx"),
+        F.sum("fscore").alias("sm"),
+        best.getField("field").alias("best_field"),
+        F.count("*").cast("int").alias("n_fields"),
+    )
+    score = F.col("mx") + F.lit(float(tie_breaker)) * (F.col("sm") - F.col("mx"))
+    return (
+        agg.select(
+            "doc_key", score.alias("score"), "best_field", "n_fields"
+        )
+        .orderBy(F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_key").asc())
+        .limit(k)
+    )

@@ -307,3 +307,129 @@ def parse_geo_sort(entry: str) -> tuple[float, float] | None:
     if the entry is an ordinary column sort."""
     m = _GEO_POINT_RE.match(entry)
     return (float(m.group(1)), float(m.group(2))) if m else None
+
+
+# ------------------------------------------------------- geohash grid
+
+# the public geohash base-32 alphabet (Niemeyer; RFC-less but universal)
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_bit_plan(precision: int) -> tuple[int, int, list]:
+    """The integer form of geohash encoding: a precision-p hash is the
+    5p-bit interleave (longitude first) of the binary expansions of
+    lat/lng quantized to floor((x - lo) / span * 2^bits). Each
+    bisection step of the classic algorithm IS one bit of that
+    expansion, so the quantize-and-interleave form is exact.
+
+    Returns (n_lat_bits, n_lng_bits, plan) where plan is a list of
+    (source, source_bit, dest_bit) moves, source_bit/dest_bit counted
+    from the LSB."""
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be in 1..12")
+    total = 5 * precision
+    nlng = (total + 1) // 2  # even interleave slots (MSB first) = lng
+    nlat = total // 2
+    plan = []
+    li = ai = 0
+    for pos in range(total):  # pos 0 = MSB of the hash integer
+        dst = total - 1 - pos
+        if pos % 2 == 0:
+            plan.append(("lng", nlng - 1 - li, dst))
+            li += 1
+        else:
+            plan.append(("lat", nlat - 1 - ai, dst))
+            ai += 1
+    return nlat, nlng, plan
+
+
+def geohash_cell(lat: Column, lng: Column, precision: int = 4) -> Column:
+    """Geohash cell id (precision-p base-32 string) as a pure native
+    Column expression — quantize both axes to integers, interleave the
+    bits (an unrolled shift/or chain the optimizer constant-folds into
+    one codegen stage), then map each 5-bit group through the base-32
+    alphabet. Zero UDFs; identical integer arithmetic is emitted for
+    the DuckDB oracle by `geohash_duckdb_expr`."""
+    nlat, nlng, plan = _geohash_bit_plan(precision)
+    latq = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << nlat))),
+        F.lit((1 << nlat) - 1),
+    ).cast("long")
+    lngq = F.least(
+        F.floor((lng + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << nlng))),
+        F.lit((1 << nlng) - 1),
+    ).cast("long")
+    gh = F.lit(0).cast("long")
+    for src, sb, db in plan:
+        bit = F.shiftright(latq if src == "lat" else lngq, sb).bitwiseAND(
+            F.lit(1)
+        )
+        gh = gh.bitwiseOR(F.shiftleft(bit, db))
+    chars = [
+        F.substr(
+            F.lit(GEOHASH32),
+            (
+                F.shiftright(gh, 5 * (precision - 1 - c)).bitwiseAND(F.lit(31))
+                + F.lit(1)
+            ).cast("int"),
+            F.lit(1),
+        )
+        for c in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_duckdb_expr(
+    lat_sql: str, lng_sql: str, precision: int = 4
+) -> str:
+    """The SAME integer pipeline as `geohash_cell`, emitted as a DuckDB
+    SQL expression over the given lat/lng SQL snippets — one generator,
+    two engines, so the oracle replays the encoding bit-for-bit."""
+    nlat, nlng, plan = _geohash_bit_plan(precision)
+    latq = (
+        f"least(floor((({lat_sql}) + 90.0) / 180.0 * {float(1 << nlat)!r})::BIGINT,"
+        f" {(1 << nlat) - 1})"
+    )
+    lngq = (
+        f"least(floor((({lng_sql}) + 180.0) / 360.0 * {float(1 << nlng)!r})::BIGINT,"
+        f" {(1 << nlng) - 1})"
+    )
+    parts = [
+        f"((({latq if src == 'lat' else lngq} >> {sb}) & 1) << {db})"
+        for src, sb, db in plan
+    ]
+    gh = "(" + " | ".join(parts) + ")"
+    chars = [
+        f"substr('{GEOHASH32}', (({gh} >> {5 * (precision - 1 - c)}) & 31)::INT + 1, 1)"
+        for c in range(precision)
+    ]
+    return " || ".join(chars)
+
+
+def geohash_grid(
+    df: DataFrame,
+    precision: int = 4,
+    size: int = 20,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """The public ES `geohash_grid` aggregation: bucket points into
+    geohash cells at the given precision and return the `size` largest
+    buckets (doc_count desc, cell asc — the deterministic form of ES's
+    count ordering).
+
+    Plan: one map-only native expression + one hash aggregation with
+    map-side combine + a TakeOrdered of `size` rows — no global sort,
+    no UDFs. At 100 TB the cell-count relation after partial agg is at
+    most 32^p rows per task; the exchange carries cells, not points."""
+    if size < 1:
+        raise ValueError("geohash_grid needs size >= 1")
+    cell = geohash_cell(F.col(lat_col), F.col(lng_col), precision)
+    out = (
+        df.filter(F.col(lat_col).isNotNull() & F.col(lng_col).isNotNull())
+        .groupBy(cell.alias("cell"))
+        .agg(F.count("*").alias("doc_count"))
+    )
+    return out.orderBy(
+        F.col("doc_count").desc(), F.col("cell").asc()
+    ).limit(size)

@@ -2373,3 +2373,75 @@ def term_vectors(
         .select("term", "tf", "df", "ttf")
         .orderBy("term")
     )
+
+
+def pinned_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    docs: DataFrame,
+    N: int,
+    avgdl: float,
+    q: str,
+    pinned_ids: list,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """X151 — the public ES `pinned` query: the given document ids are
+    promoted to the head of the result list IN THE GIVEN ORDER
+    (whether or not they match the query organically), and the organic
+    ranking fills the remainder with the pinned ids excluded. The
+    merchandising / editorial-override primitive.
+
+    Plan: the organic side is the ordinary scored BM25 aggregation; the
+    pinned side is a tiny literal relation (|pinned| rows) that
+    broadcast-joins `docs` once to drop ids that don't exist and
+    broadcast-LEFT-joins the scored relation to pick up each pinned
+    doc's organic score (0.0 when it doesn't match). The union sorts on
+    (pinned-first, ordinal | rounded score) and TakeOrders k rows — the
+    corpus-sized side is touched exactly as often as a plain top-k.
+
+    Columns: (doc_id, score, pinned) — score is the organic BM25 score
+    (0.0 for a non-matching pinned doc), pinned marks promoted rows.
+    """
+    spark = postings.sparkSession
+    if not pinned_ids:
+        raise ValueError("pinned_topk needs at least one pinned id")
+    if len(set(pinned_ids)) != len(pinned_ids):
+        raise ValueError("pinned ids must be unique")
+    terms = query_terms(q)
+    scored = _bm25_topk_from_postings_terms(
+        postings, term_stats, N, avgdl, terms, k=(1 << 31) - 1, k1=k1, b=b
+    ).select("doc_id", "score")
+    pin = spark.createDataFrame(
+        [(int(d), i) for i, d in enumerate(pinned_ids)],
+        "doc_id long, _ord int",
+    )
+    # existence gate: broadcast the tiny pinned relation INTO docs
+    pin = docs.select("doc_id").join(F.broadcast(pin), "doc_id")
+    # organic-score pickup: slice the corpus-sized scored relation down
+    # to the pinned ids with a broadcast inner join (map-side), then
+    # LEFT-join the ≤|pinned|-row slice back — no big-side shuffle
+    pin_scores = scored.join(F.broadcast(pin.select("doc_id")), "doc_id")
+    pin = pin.join(F.broadcast(pin_scores), "doc_id", "left")
+    pinned_rows = pin.select(
+        "doc_id",
+        F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+        F.lit(True).alias("pinned"),
+        F.col("_ord").cast("double").alias("_key"),
+    )
+    organic = (
+        scored.join(F.broadcast(pin.select("doc_id")), "doc_id", "left_anti")
+        .select(
+            "doc_id", "score", F.lit(False).alias("pinned"),
+            (-F.round(F.col("score"), SCORE_ROUND)).alias("_key"),
+        )
+    )
+    out = pinned_rows.unionByName(organic)
+    return (
+        out.orderBy(
+            F.col("pinned").desc(), F.col("_key").asc(), F.col("doc_id").asc()
+        )
+        .limit(k)
+        .drop("_key")
+    )

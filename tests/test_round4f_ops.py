@@ -1,0 +1,286 @@
+"""Round-4f operators: dis_max (X150), pinned query (X151) and the
+geohash grid aggregation (X152)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.functions.tokenize import with_tokens
+from scrapix_spark.operators import postings as P
+
+
+# ---------------------------------------------------------------- X152
+
+
+def _geohash_reference(lat: float, lng: float, precision: int) -> str:
+    """The classic bisection algorithm, straight from the public
+    definition — the independent reference the Column expression must
+    reproduce."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi = -90.0, 90.0
+    lng_lo, lng_hi = -180.0, 180.0
+    bits, out, even = 0, [], True
+    acc = 0
+    for _ in range(5 * precision):
+        if even:
+            mid = (lng_lo + lng_hi) / 2
+            if lng >= mid:
+                acc = acc * 2 + 1
+                lng_lo = mid
+            else:
+                acc = acc * 2
+                lng_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                acc = acc * 2 + 1
+                lat_lo = mid
+            else:
+                acc = acc * 2
+                lat_hi = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(alphabet[acc])
+            acc, bits = 0, 0
+    return "".join(out)
+
+
+def test_geohash_cell_matches_reference(spark):
+    from scrapix_spark.operators.geo import geohash_cell
+
+    pts = [
+        (42.605, -5.603),      # the canonical 'ezs42' example point
+        (57.64911, 10.40744),  # 'u4pru...'
+        (0.0, 0.0),
+        (-89.999, -179.999),
+        (89.999, 179.999),
+        (10.05, 20.05),
+        (-33.8688, 151.2093),
+    ]
+    df = spark.createDataFrame(pts, "lat double, lng double")
+    for p in (1, 3, 5, 7):
+        got = [
+            r["c"]
+            for r in df.select(
+                geohash_cell(F.col("lat"), F.col("lng"), p).alias("c")
+            ).collect()
+        ]
+        want = [_geohash_reference(la, ln, p) for la, ln in pts]
+        assert got == want, f"precision {p}"
+    # the textbook vector, to anchor the reference itself
+    assert _geohash_reference(42.605, -5.603, 5) == "ezs42"
+    with pytest.raises(ValueError, match="precision"):
+        geohash_cell(F.col("lat"), F.col("lng"), 0)
+
+
+def test_geohash_duckdb_expr_parity(spark):
+    """The generated DuckDB expression must replay the Spark encoding
+    bit-for-bit on the same coordinates."""
+    import duckdb
+
+    from scrapix_spark.operators.geo import geohash_cell, geohash_duckdb_expr
+
+    rows = [(i, ((i * 37) % 1200) / 10.0 - 60.0, ((i * 73) % 3400) / 10.0 - 170.0)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "i long, lat double, lng double")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", geohash_cell(F.col("lat"), F.col("lng"), 4).alias("c")
+        ).collect()
+    }
+    con = duckdb.connect()
+    expr = geohash_duckdb_expr("lat", "lng", 4)
+    want = dict(
+        con.execute(
+            "SELECT i, " + expr + " FROM (SELECT unnest(range(200)) AS i, "
+            "((i*37)%1200)/10.0 - 60.0 AS lat, ((i*73)%3400)/10.0 - 170.0 AS lng)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_geohash_grid_counts_and_order(spark):
+    from scrapix_spark.operators.geo import geohash_grid
+
+    rows = [
+        (10.01, 20.01), (10.02, 20.02), (10.03, 20.03),  # same coarse cell
+        (-33.8, 151.2), (-33.9, 151.3),
+        (57.6, 10.4),
+        (None, 5.0), (5.0, None),                        # dropped
+    ]
+    df = spark.createDataFrame(rows, "lat double, lng double")
+    out = [tuple(r) for r in geohash_grid(df, precision=2, size=10).collect()]
+    assert sum(c for _, c in out) == 6
+    counts = [c for _, c in out]
+    assert counts == sorted(counts, reverse=True)
+    assert out[0][1] == 3 and len(out[0][0]) == 2
+    # size bounds the buckets
+    assert len(geohash_grid(df, precision=2, size=1).collect()) == 1
+    with pytest.raises(ValueError, match="size"):
+        geohash_grid(df, precision=2, size=0)
+
+
+def test_geohash_grid_plan_is_agg_plus_takeordered(spark):
+    from scrapix_spark.operators.geo import geohash_grid
+
+    df = spark.createDataFrame([(1.0, 2.0)], "lat double, lng double")
+    out = geohash_grid(df, precision=3, size=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # map-side combine present
+
+
+# ---------------------------------------------------------------- X150
+
+
+@pytest.fixture(scope="module")
+def field_docs(spark):
+    rows = [
+        # doc 0: both query words concentrated in ONE field (title)
+        (0, "alpha beta", "x y z", "merge sort"),
+        # doc 1: the same words scattered over two fields
+        (1, "merge x", "sort y", "unrelated words"),
+        (2, "merge merge", "merge", "merge"),
+        (3, "nothing here", "at all", "quiet"),
+        (4, "sort", "alpha", "beta"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, h1 string, p string, title string"
+    )
+
+
+def test_dis_max_best_field_dominates(field_docs):
+    from scrapix_spark.operators.bm25f import dis_max_topk
+
+    out = dis_max_topk(
+        field_docs, "merge sort", id_col="doc_id",
+        fields=["h1", "p", "title"], tie_breaker=0.0, k=10,
+    ).collect()
+    by_id = {r["doc_key"]: r for r in out}
+    # with tie 0, only the best field counts: doc 0 (both words in
+    # title) must beat doc 1 (one word per field)
+    assert by_id[0]["score"] > by_id[1]["score"]
+    assert by_id[0]["best_field"] == "title"
+    assert by_id[0]["n_fields"] == 1
+    assert by_id[1]["n_fields"] == 2
+    assert 3 not in by_id  # no query word anywhere
+
+
+def test_dis_max_tie_breaker_adds_other_fields(field_docs):
+    from scrapix_spark.operators.bm25f import dis_max_topk
+
+    base = {
+        r["doc_key"]: r["score"]
+        for r in dis_max_topk(
+            field_docs, "merge sort", id_col="doc_id",
+            fields=["h1", "p", "title"], tie_breaker=0.0, k=10,
+        ).collect()
+    }
+    tied = {
+        r["doc_key"]: r["score"]
+        for r in dis_max_topk(
+            field_docs, "merge sort", id_col="doc_id",
+            fields=["h1", "p", "title"], tie_breaker=0.5, k=10,
+        ).collect()
+    }
+    # single-field docs are unchanged; multi-field docs gain
+    assert tied[0] == pytest.approx(base[0])
+    assert tied[1] > base[1]
+    # tie=1.0 degenerates to the plain sum across fields
+    full = {
+        r["doc_key"]: (r["score"], r["n_fields"])
+        for r in dis_max_topk(
+            field_docs, "merge sort", id_col="doc_id",
+            fields=["h1", "p", "title"], tie_breaker=1.0, k=10,
+        ).collect()
+    }
+    s1, _ = full[1]
+    assert s1 > tied[1]
+    with pytest.raises(ValueError, match="tie_breaker"):
+        dis_max_topk(field_docs, "merge", id_col="doc_id", tie_breaker=1.5)
+    # empty query -> empty frame with contract schema
+    e = dis_max_topk(field_docs, "", id_col="doc_id")
+    assert e.count() == 0
+    assert e.columns == ["doc_key", "score", "best_field", "n_fields"]
+
+
+def test_dis_max_broadcasts_stats(field_docs):
+    from scrapix_spark.operators.bm25f import dis_max_topk
+
+    out = dis_max_topk(
+        field_docs, "merge sort", id_col="doc_id",
+        fields=["h1", "p", "title"], tie_breaker=0.3, k=10,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------- X151
+
+
+@pytest.fixture(scope="module")
+def pinned_corpus(spark):
+    rows = [
+        (0, "merge sort table"),
+        (1, "merge merge merge table"),
+        (2, "table scan"),
+        (3, "window stream"),       # does NOT match 'merge table'
+        (4, "merge table merge"),
+        (5, "sort only"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t = with_tokens(docs, "text")
+    post = t.select(
+        "doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("tk")
+    ).select(
+        "tk.term", "doc_id", F.col("tk.tf").cast("long").alias("tf"), "dl"
+    )
+    stats = P.term_stats(post)
+    n = docs.count()
+    avgdl = t.agg(F.avg("doc_len")).collect()[0][0]
+    return docs, post, stats, n, float(avgdl)
+
+
+def test_pinned_topk_order_and_exclusion(pinned_corpus):
+    from scrapix_spark.operators.query import pinned_topk
+
+    docs, post, stats, n, avgdl = pinned_corpus
+    out = pinned_topk(
+        post, stats, docs, n, avgdl, "merge table", [3, 0, 777], k=10
+    ).collect()
+    ids = [r["doc_id"] for r in out]
+    # pinned first, in the GIVEN order; 777 doesn't exist -> dropped
+    assert ids[:2] == [3, 0]
+    assert out[0]["pinned"] and out[1]["pinned"]
+    # doc 3 doesn't match organically -> promoted with score 0.0
+    assert out[0]["score"] == 0.0
+    assert out[1]["score"] > 0.0
+    # organic remainder excludes the pinned ids, is score-ordered
+    rest = [r for r in out if not r["pinned"]]
+    assert 3 not in [r["doc_id"] for r in rest]
+    assert 0 not in [r["doc_id"] for r in rest]
+    scores = [r["score"] for r in rest]
+    assert scores == sorted(scores, reverse=True)
+    # k truncates through the pinned head
+    k1 = pinned_topk(
+        post, stats, docs, n, avgdl, "merge table", [3, 0], k=1
+    ).collect()
+    assert [r["doc_id"] for r in k1] == [3]
+    with pytest.raises(ValueError, match="at least one"):
+        pinned_topk(post, stats, docs, n, avgdl, "merge", [])
+    with pytest.raises(ValueError, match="unique"):
+        pinned_topk(post, stats, docs, n, avgdl, "merge", [1, 1])
+
+
+def test_pinned_topk_no_big_side_shuffle(pinned_corpus):
+    """Every join in the pinned plan must be a broadcast join — the
+    scored relation is only ever sliced or anti-joined map-side."""
+    from scrapix_spark.operators.query import pinned_topk
+
+    docs, post, stats, n, avgdl = pinned_corpus
+    out = pinned_topk(post, stats, docs, n, avgdl, "merge table", [3, 0], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
