@@ -5712,6 +5712,190 @@ ORDER BY doc_count DESC, cell ASC LIMIT 20
 """
 
 
+RANK_FEATURE_PIVOT, RANK_FEATURE_BOOST = 50.0, 2.0
+RANDOM_SCORE_SEED = 42
+
+
+def q_cross_fields(spark, sf_dir):
+    """X153 — ES multi_match cross_fields (Lucene BlendedTermQuery):
+    term-centric matching with df blended (max) across fields, each
+    term contributing its best single-field impact, terms summing.
+    Same field view as the other multi-field gates.
+    operators/bm25f.py cross_fields_topk."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("source").alias("h1"), F.col("text").alias("p"),
+        F.col("lang").alias("title"),
+    )
+    topk = BF.cross_fields_topk(
+        docs, BM25F_QUERY, id_col="doc_id",
+        fields=["h1", "p", "title"], k=10,
+    )
+    return topk.select(
+        F.col("doc_key").alias("doc_id"), F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+def _cross_fields_sql() -> str:
+    """Oracle: per-field df -> max blend -> idf; per-(doc,term) best
+    weighted impact; per-doc sum."""
+    fields = [("h1", "source"), ("p", "text"), ("title", "lang")]
+    arms = " UNION ALL ".join(
+        f"SELECT doc_id, '{f}' AS field, {c} AS txt FROM documents"
+        for f, c in fields
+    )
+    terms = ", ".join(f"'{t}'" for t in Q.query_terms(BM25F_QUERY))
+    return f"""
+WITH fields AS (
+  {arms}
+),
+tok AS (SELECT doc_id, field, unnest({TOK_EXPR('txt')}) AS term FROM fields),
+dl AS (SELECT doc_id, field, count(*)::BIGINT AS dl FROM tok GROUP BY 1, 2),
+avg_f AS (SELECT field, avg(dl) AS avgdl_f FROM dl GROUP BY field),
+tfq AS (SELECT doc_id, field, term, count(*)::BIGINT AS tf
+        FROM tok WHERE term IN ({terms}) GROUP BY doc_id, field, term),
+dfb AS (SELECT term, max(df_f) AS df_b FROM (
+          SELECT field, term, count(DISTINCT doc_id)::BIGINT AS df_f
+          FROM tfq GROUP BY field, term) GROUP BY term),
+nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+pt AS (
+  SELECT tfq.doc_id, tfq.term,
+         max( (tf * ({K1} + 1.0))
+              / (tf + {K1} * (1.0 - {B} + {B} * dl.dl / avg_f.avgdl_f)) ) AS best
+  FROM tfq
+  JOIN dl ON dl.doc_id = tfq.doc_id AND dl.field = tfq.field
+  JOIN avg_f ON avg_f.field = tfq.field
+  GROUP BY tfq.doc_id, tfq.term),
+agg AS (
+  SELECT pt.doc_id,
+         sum(ln(1 + (nd.n - dfb.df_b + 0.5) / (dfb.df_b + 0.5)) * pt.best) AS score,
+         count(DISTINCT pt.term)::BIGINT AS n_matched
+  FROM pt JOIN dfb USING (term) CROSS JOIN nd
+  GROUP BY pt.doc_id)
+SELECT doc_id, round(score, 4) AS score, n_matched
+FROM agg ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_adjacency_matrix(spark, sf_dir):
+    """X154 — ES adjacency_matrix aggregation: named-filter singleton
+    and pairwise-intersection doc counts in one pass (sum(CASE) block,
+    one-row agg, stack unpivot). operators/results.py adjacency_matrix."""
+    from scrapix_spark.operators import results as R
+
+    d = _docs(spark, sf_dir)
+    return R.adjacency_matrix(
+        d,
+        [
+            ("en", F.col("lang") == "en"),
+            ("zh", F.col("lang") == "zh"),
+            ("s1", F.col("source") == "src1"),
+            ("long", F.col("n_chars") > 400),
+        ],
+    )
+
+
+_ADJACENCY_SQL = """
+WITH m AS (
+  SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS en,
+         sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS zh,
+         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::BIGINT AS s1,
+         sum(CASE WHEN n_chars > 400 THEN 1 ELSE 0 END)::BIGINT AS lng,
+         sum(CASE WHEN lang = 'en' AND lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS en_zh,
+         sum(CASE WHEN lang = 'en' AND source = 'src1' THEN 1 ELSE 0 END)::BIGINT AS en_s1,
+         sum(CASE WHEN lang = 'en' AND n_chars > 400 THEN 1 ELSE 0 END)::BIGINT AS en_long,
+         sum(CASE WHEN lang = 'zh' AND source = 'src1' THEN 1 ELSE 0 END)::BIGINT AS s1_zh,
+         sum(CASE WHEN lang = 'zh' AND n_chars > 400 THEN 1 ELSE 0 END)::BIGINT AS long_zh,
+         sum(CASE WHEN source = 'src1' AND n_chars > 400 THEN 1 ELSE 0 END)::BIGINT AS long_s1
+  FROM documents),
+u AS (
+  SELECT 'en' AS key, en AS doc_count FROM m UNION ALL
+  SELECT 'zh', zh FROM m UNION ALL
+  SELECT 's1', s1 FROM m UNION ALL
+  SELECT 'long', lng FROM m UNION ALL
+  SELECT 'en&zh', en_zh FROM m UNION ALL
+  SELECT 'en&s1', en_s1 FROM m UNION ALL
+  SELECT 'en&long', en_long FROM m UNION ALL
+  SELECT 's1&zh', s1_zh FROM m UNION ALL
+  SELECT 'long&zh', long_zh FROM m UNION ALL
+  SELECT 'long&s1', long_s1 FROM m)
+SELECT key, doc_count FROM u WHERE doc_count > 0 ORDER BY key
+"""
+
+
+def q_rank_feature_search(spark, sf_dir):
+    """X155 — ES rank_feature query fused with BM25: a static per-doc
+    signal (derived deterministically from doc_id, standing in for
+    pagerank) adds boost*x/(x+pivot) saturation to the text score —
+    pure literal-folded arithmetic, no join (the feature derives from
+    the id). operators/results.py rank_feature_column."""
+    from scrapix_spark.operators import results as R
+
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    scored = Q._bm25_topk_from_postings_terms(
+        post, stats, n, avgdl, Q.query_terms(BM25_QUERY),
+        k=(1 << 31) - 1, k1=K1, b=B,
+    )
+    feature = ((F.col("doc_id") * 13) % 997).cast("double") / 10.0
+    final = F.col("score") + R.rank_feature_column(
+        feature, "saturation",
+        pivot=RANK_FEATURE_PIVOT, boost=RANK_FEATURE_BOOST,
+    )
+    return (
+        scored.select("doc_id", final.alias("fscore"))
+        .orderBy(F.round("fscore", 9).desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", F.round("fscore", 4).alias("fscore"))
+    )
+
+
+def _rank_feature_sql() -> str:
+    return _bm25_scored_sql(Q.query_terms(BM25_QUERY)) + f"""
+, ff AS (SELECT doc_id,
+           score + {RANK_FEATURE_BOOST!r} *
+             (greatest(((doc_id * 13) % 997)::DOUBLE / 10.0, 0.0)
+              / (greatest(((doc_id * 13) % 997)::DOUBLE / 10.0, 0.0)
+                 + {RANK_FEATURE_PIVOT!r})) AS fscore
+         FROM scored)
+SELECT doc_id, round(fscore, 4) AS fscore
+FROM ff ORDER BY round(fscore, 9) DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_random_score_search(spark, sf_dir):
+    """X156 — ES function_score random_score with a seed: BM25
+    multiplied by (0.5 + 0.5·u) where u ∈ [0,1) is a deterministic
+    two-round Lehmer mix of (doc_id + seed) — stable across runs and
+    partitionings, replayed bit-for-bit in the oracle.
+    operators/results.py random_score_column / random_score_sql."""
+    from scrapix_spark.operators import results as R
+
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    scored = Q._bm25_topk_from_postings_terms(
+        post, stats, n, avgdl, Q.query_terms(BM25_QUERY),
+        k=(1 << 31) - 1, k1=K1, b=B,
+    )
+    u = R.random_score_column(F.col("doc_id"), seed=RANDOM_SCORE_SEED)
+    final = F.col("score") * (F.lit(0.5) + F.lit(0.5) * u)
+    return (
+        scored.select("doc_id", final.alias("fscore"))
+        .orderBy(F.round("fscore", 9).desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", F.round("fscore", 4).alias("fscore"))
+    )
+
+
+def _random_score_sql() -> str:
+    from scrapix_spark.operators import results as R
+
+    u = R.random_score_sql("doc_id", seed=RANDOM_SCORE_SEED)
+    return _bm25_scored_sql(Q.query_terms(BM25_QUERY)) + f"""
+, ff AS (SELECT doc_id, score * (0.5 + 0.5 * {u}) AS fscore FROM scored)
+SELECT doc_id, round(fscore, 4) AS fscore
+FROM ff ORDER BY round(fscore, 9) DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -5855,6 +6039,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dis_max_topk": q_dis_max,
         "pinned_search": q_pinned_search,
         "geohash_grid": q_geohash_grid,
+        "cross_fields_topk": q_cross_fields,
+        "adjacency_matrix": q_adjacency_matrix,
+        "rank_feature_search": q_rank_feature_search,
+        "random_score_search": q_random_score_search,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -8998,6 +9186,10 @@ ORDER BY event_type
         "dis_max_topk": _dis_max_sql(),
         "pinned_search": _pinned_sql(),
         "geohash_grid": _geohash_grid_sql(),
+        "cross_fields_topk": _cross_fields_sql(),
+        "adjacency_matrix": _ADJACENCY_SQL,
+        "rank_feature_search": _rank_feature_sql(),
+        "random_score_search": _random_score_sql(),
     }
 
 

@@ -212,6 +212,8 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "docid_reorder_bytes", "pruned_static_topk",
         "phrase_suggest", "composite_page", "span_not",
         "dis_max_topk", "pinned_search", "geohash_grid",
+        "cross_fields_topk", "adjacency_matrix",
+        "rank_feature_search", "random_score_search",
     ]
     out = {}
     for name in headline:

@@ -292,3 +292,87 @@ def dis_max_topk(
         .orderBy(F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_key").asc())
         .limit(k)
     )
+
+
+def cross_fields_topk(
+    docs: DataFrame,
+    q: str,
+    id_col: str = "uid",
+    fields: list[str] | None = None,
+    weights: dict[str, float] | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """X153 — the public ES `multi_match type: cross_fields` (Lucene
+    BlendedTermQuery): TERM-centric multi-field matching. Where
+    best_fields (X150) is field-centric ("the best field wins the
+    document"), cross_fields answers "first name in one field, last
+    name in another": each query term may match in ANY field, the term's
+    document frequency is BLENDED across fields (df_b = max_f df_{f,t} —
+    Lucene's blend, so a term common in one field can't look rare via
+    another), each term contributes its best single-field impact
+    (per-term dismax with per-field length norm and weight), and terms
+    SUM:
+
+        score(d) = Σ_t idf(df_b(t)) · max_f  w_f · impact(tf_{t,f,d}, dl_f)
+
+    Plan: identical relational skeleton to dis_max — melt → tf per
+    (doc, field, term); per-(field,term) df is one small agg whose
+    max-blend is a second tiny agg, both broadcast; per-(doc, term)
+    best-field impact and the per-doc sum are two map-side-combining
+    hash aggs on the same doc-keyed exchange; TakeOrdered k.
+
+    Columns: (doc_key, score, n_matched) — n_matched = distinct query
+    terms matched in any field; order score desc (rounded), doc_key asc.
+    """
+    fields = fields or [f for f in DEFAULT_FIELD_ORDER if f in docs.columns]
+    weights = weights or {f: 1.0 for f in fields}
+    terms = query_terms(q)
+    out_schema = "doc_key string, score double, n_matched int"
+    if not terms or not fields:
+        return docs.sparkSession.createDataFrame([], out_schema)
+
+    long = melt_fields(docs, id_col, fields)
+    tok = with_tokens(long, "text").withColumnRenamed("doc_len", "dl")
+    post = tok.select(
+        "doc_key", "field", "dl", F.explode("tokens").alias("tk")
+    ).select(
+        "doc_key", "field", "dl", "tk.term",
+        F.col("tk.tf").cast("double").alias("tf"),
+    )
+    n_docs = docs.count()
+    avgdl_f = tok.groupBy("field").agg(F.avg("dl").alias("avgdl_f"))
+    # blended df: the max per-field df of the term (Lucene's blend)
+    dfb = (
+        post.filter(F.col("term").isin(terms))
+        .groupBy("field", "term")
+        .agg(F.countDistinct("doc_key").alias("df_f"))
+        .groupBy("term")
+        .agg(F.max("df_f").alias("df_b"))
+        .withColumn("idf", idf_expr(n_docs, F.col("df_b").cast("double")))
+    )
+    wmap = F.create_map(
+        *[x for f in fields for x in (F.lit(f), F.lit(float(weights.get(f, 1.0))))]
+    )
+    cand = (
+        post.filter(F.col("term").isin(terms))
+        .join(F.broadcast(avgdl_f), "field")
+    )
+    impact = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl_f"))
+    )
+    # per-(doc, term): best weighted single-field impact (term dismax)
+    per_term = (
+        cand.withColumn("wimpact", wmap.getItem(F.col("field")) * impact)
+        .groupBy("doc_key", "term")
+        .agg(F.max("wimpact").alias("best"))
+        .join(F.broadcast(dfb.select("term", "idf")), "term")
+    )
+    agg = per_term.groupBy("doc_key").agg(
+        F.sum(F.col("idf") * F.col("best")).alias("score"),
+        F.countDistinct("term").cast("int").alias("n_matched"),
+    )
+    return agg.orderBy(
+        F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_key").asc()
+    ).limit(k)

@@ -16,7 +16,7 @@ would re-match inside the inserted tags (`>`/`<` are separator chars).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from scrapix_spark.functions.tokenize import SEP_PATTERN
@@ -780,3 +780,113 @@ def composite_agg(
         base = base.filter(pred)
     out = base.groupBy(*names).agg(F.count("*").alias("doc_count"))
     return out.orderBy(*[F.col(n).asc() for n in names]).limit(size)
+
+
+def adjacency_matrix(
+    df: DataFrame,
+    filters: list,
+    separator: str = "&",
+) -> DataFrame:
+    """X154 — the public ES `adjacency_matrix` aggregation: given named
+    boolean filters, emit one bucket per filter ("a") and per unordered
+    pair intersection ("a&b") with document counts — the co-occurrence
+    matrix view (how many docs are both `lang:en` AND `source:s3`?).
+
+    `filters` is a list of (name, boolean Column) pairs; names must be
+    unique and are emitted in the ES form `min&max` (lexicographic pair
+    order). Empty buckets are dropped, buckets come out key-ordered.
+
+    Plan: K + K(K-1)/2 `sum(CASE)` aggregates in ONE pass over the data
+    (a single global hash agg reducing to one row — partial aggregation
+    does all the work map-side, the exchange carries one row per task),
+    then a literal stack() unpivot. No joins, no explode, no second
+    scan; K is query-sized, never data-sized.
+    """
+    names = [n for n, _ in filters]
+    if len(set(names)) != len(names):
+        raise ValueError("adjacency_matrix filter names must be unique")
+    if not filters:
+        raise ValueError("adjacency_matrix needs at least one filter")
+    conds = {n: c for n, c in filters}
+    keys: list[tuple[str, object]] = []
+    for i, n in enumerate(names):
+        keys.append((n, conds[n]))
+        for m in names[i + 1:]:
+            a, b = sorted((n, m))
+            keys.append((f"{a}{separator}{b}", conds[n] & conds[m]))
+    aggs = [
+        F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"_k{i}")
+        for i, (_, c) in enumerate(keys)
+    ]
+    one = df.agg(*aggs)
+    pairs = ", ".join(f"'{n}', _k{i}" for i, (n, _) in enumerate(keys))
+    out = one.selectExpr(
+        f"stack({len(keys)}, {pairs}) as (key, doc_count)"
+    )
+    return out.filter(F.col("doc_count") > 0).orderBy("key")
+
+
+def rank_feature_column(
+    feature: Column,
+    function: str = "saturation",
+    pivot: float = 1.0,
+    scaling: float = 1.0,
+    exponent: float = 1.0,
+    boost: float = 1.0,
+) -> Column:
+    """X155 — the public ES `rank_feature` query's scoring functions
+    over a static numeric signal (pagerank, url_length, freshness...):
+
+        saturation :  boost · x / (x + pivot)
+        log        :  boost · ln(scaling · x + 1)
+        sigmoid    :  boost · x^exp / (x^exp + pivot^exp)
+
+    Pure literal-folded arithmetic — the feature column is the only
+    input; negative features clamp to 0 (ES requires non-negative
+    rank features at index time)."""
+    x = F.greatest(feature.cast("double"), F.lit(0.0))
+    if function == "saturation":
+        s = x / (x + F.lit(float(pivot)))
+    elif function == "log":
+        s = F.log(F.lit(float(scaling)) * x + F.lit(1.0))
+    elif function == "sigmoid":
+        xp = F.pow(x, F.lit(float(exponent)))
+        s = xp / (xp + F.lit(float(pivot) ** float(exponent)))
+    else:
+        raise ValueError(
+            "rank_feature function must be saturation|log|sigmoid"
+        )
+    return F.lit(float(boost)) * s
+
+
+# Park-Miller/Lehmer constants — public minimal-standard generator
+_LEHMER_M = (1 << 31) - 1  # 2^31 - 1, prime
+_LEHMER_A = 48271
+
+
+def random_score_column(id_col: Column, seed: int = 0) -> Column:
+    """X156 — the public ES `function_score random_score with seed+field`:
+    a DETERMINISTIC pseudo-random score in [0, 1) per document, stable
+    across runs and partitionings (ES documents that seeded random_score
+    hashes the field value). Two rounds of the Park-Miller minimal
+    standard generator over (doc id + seed):
+
+        h0 = (id + seed) mod M ;  h = A·(A·h0 mod M) mod M ;  u = h / M
+
+    with M = 2^31−1, A = 48271. Every product stays < 2^47 so the
+    arithmetic is exact BIGINT in Spark and DuckDB alike — the oracle
+    replays it bit-for-bit (never an engine-private hash/rand).
+    """
+    h0 = F.pmod(id_col.cast("long") + F.lit(int(seed)), F.lit(_LEHMER_M))
+    h1 = F.pmod(F.lit(_LEHMER_A) * h0, F.lit(_LEHMER_M))
+    h2 = F.pmod(F.lit(_LEHMER_A) * h1, F.lit(_LEHMER_M))
+    return h2.cast("double") / F.lit(float(_LEHMER_M))
+
+
+def random_score_sql(id_sql: str, seed: int = 0) -> str:
+    """The same two-round Lehmer pipeline as `random_score_column`,
+    emitted as a DuckDB expression — one generator, two engines."""
+    h0 = f"((({id_sql}) + {int(seed)}) % {_LEHMER_M} + {_LEHMER_M}) % {_LEHMER_M}"
+    h1 = f"(({_LEHMER_A} * ({h0})) % {_LEHMER_M})"
+    h2 = f"(({_LEHMER_A} * {h1}) % {_LEHMER_M})"
+    return f"({h2}::DOUBLE / {float(_LEHMER_M)!r})"

@@ -284,3 +284,191 @@ def test_pinned_topk_no_big_side_shuffle(pinned_corpus):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------- X153
+
+
+def test_cross_fields_matches_split_terms(field_docs):
+    """cross_fields exists for 'first name in one field, last name in
+    another': doc 1 (one query word per field) must MATCH with both
+    terms counted, and df blending must use the max across fields."""
+    from scrapix_spark.operators.bm25f import cross_fields_topk, dis_max_topk
+
+    out = {
+        r["doc_key"]: r
+        for r in cross_fields_topk(
+            field_docs, "merge sort", id_col="doc_id",
+            fields=["h1", "p", "title"], k=10,
+        ).collect()
+    }
+    assert out[1]["n_matched"] == 2  # split across h1 and p
+    assert out[0]["n_matched"] == 2  # both in title
+    assert 3 not in out
+    # term-centric vs field-centric: under dis_max tie=0 the split doc
+    # only gets credit for its best field (1 term); under cross_fields
+    # both terms contribute
+    dm = {
+        r["doc_key"]: r
+        for r in dis_max_topk(
+            field_docs, "merge sort", id_col="doc_id",
+            fields=["h1", "p", "title"], tie_breaker=0.0, k=10,
+        ).collect()
+    }
+    assert dm[1]["best_field"] in ("h1", "p")
+    assert out[1]["score"] > 0
+    # empty query -> schema contract
+    e = cross_fields_topk(field_docs, "", id_col="doc_id")
+    assert e.count() == 0
+    assert e.columns == ["doc_key", "score", "n_matched"]
+
+
+def test_cross_fields_blends_df_to_max(spark):
+    """A term frequent in one field must not look rare via another:
+    blended df = max over per-field dfs, so idf is the SMALLER one."""
+    import math
+
+    from scrapix_spark.operators.bm25f import cross_fields_topk
+
+    # 'zzz' appears in field p of 3 of 4 docs, in h1 of only 1
+    rows = [
+        (0, "zzz", "zzz a"), (1, "b", "zzz c"),
+        (2, "d", "zzz e"), (3, "f", "g h"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, h1 string, p string")
+    out = cross_fields_topk(
+        docs, "zzz", id_col="doc_id", fields=["h1", "p"], k=10
+    ).collect()
+    # doc 0: tf=1 in h1 (dl=1, avgdl_h1=1) -> impact = 2.2/2.2 = 1.0 is
+    # the best field; idf must use df_b = 3 (not h1's df = 1)
+    idf_b = math.log(1 + (4 - 3 + 0.5) / (3 + 0.5))
+    best = dict((r["doc_key"], r["score"]) for r in out)
+    assert best[0] == pytest.approx(idf_b * 1.0, rel=1e-9)
+
+
+# ---------------------------------------------------------------- X154
+
+
+def test_adjacency_matrix_counts(spark):
+    from scrapix_spark.operators.results import adjacency_matrix
+
+    rows = [
+        ("en", "s1", 10), ("en", "s1", 500), ("en", "s2", 600),
+        ("zh", "s1", 700), ("zh", "s2", 20), ("fr", "s3", 30),
+    ]
+    df = spark.createDataFrame(rows, "lang string, src string, n long")
+    out = dict(
+        (r["key"], r["doc_count"])
+        for r in adjacency_matrix(
+            df,
+            [
+                ("en", F.col("lang") == "en"),
+                ("zh", F.col("lang") == "zh"),
+                ("long", F.col("n") > 400),
+            ],
+        ).collect()
+    )
+    assert out == {
+        "en": 3, "zh": 2, "long": 3,
+        "en&long": 2, "long&zh": 1,
+        # en&zh is empty -> dropped
+    }
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unique"):
+        adjacency_matrix(df, [("a", F.lit(True)), ("a", F.lit(False))])
+    with _pt.raises(ValueError, match="at least one"):
+        adjacency_matrix(df, [])
+
+
+def test_adjacency_matrix_single_pass_plan(spark):
+    from scrapix_spark.operators.results import adjacency_matrix
+
+    df = spark.createDataFrame([("en", 5)], "lang string, n long")
+    out = adjacency_matrix(
+        df, [("a", F.col("lang") == "en"), ("b", F.col("n") > 3)]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # one scan, one agg, no self-joins
+    assert plan.count("Scan") == 1
+
+
+# ---------------------------------------------------------------- X155
+
+
+def test_rank_feature_functions(spark):
+    import math
+
+    from scrapix_spark.operators.results import rank_feature_column
+
+    df = spark.createDataFrame(
+        [(0, 0.0), (1, 1.0), (2, 50.0), (3, -4.0)], "i long, x double"
+    )
+
+    def vals(col):
+        return {r["i"]: r["v"] for r in df.select("i", col.alias("v")).collect()}
+
+    sat = vals(rank_feature_column(F.col("x"), "saturation", pivot=50.0))
+    assert sat[0] == 0.0
+    assert sat[2] == pytest.approx(0.5)
+    assert sat[3] == 0.0  # negative clamps
+    lg = vals(rank_feature_column(F.col("x"), "log", scaling=2.0))
+    assert lg[1] == pytest.approx(math.log(3.0))
+    sig = vals(
+        rank_feature_column(F.col("x"), "sigmoid", pivot=1.0, exponent=2.0)
+    )
+    assert sig[1] == pytest.approx(0.5)
+    boosted = vals(
+        rank_feature_column(F.col("x"), "saturation", pivot=50.0, boost=3.0)
+    )
+    assert boosted[2] == pytest.approx(1.5)
+    with pytest.raises(ValueError, match="saturation"):
+        rank_feature_column(F.col("x"), "nope")
+
+
+# ---------------------------------------------------------------- X156
+
+
+def test_random_score_deterministic_uniform(spark):
+    import duckdb
+
+    from scrapix_spark.operators.results import (
+        random_score_column, random_score_sql,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "i long")
+    u = {
+        r["i"]: r["u"]
+        for r in df.select(
+            "i", random_score_column(F.col("i"), seed=7).alias("u")
+        ).collect()
+    }
+    # range + determinism across a different partitioning
+    assert all(0.0 <= v < 1.0 for v in u.values())
+    u2 = {
+        r["i"]: r["u"]
+        for r in df.repartition(13)
+        .select("i", random_score_column(F.col("i"), seed=7).alias("u"))
+        .collect()
+    }
+    assert u == u2
+    # different seed -> different stream
+    u3 = {
+        r["i"]: r["u"]
+        for r in df.select(
+            "i", random_score_column(F.col("i"), seed=8).alias("u")
+        ).collect()
+    }
+    assert u != u3
+    # roughly uniform (loose band: mean of 2000 draws)
+    mean = sum(u.values()) / len(u)
+    assert 0.45 < mean < 0.55
+    # DuckDB replay is bit-identical
+    con = duckdb.connect()
+    expr = random_score_sql("i", seed=7)
+    want = dict(
+        con.execute(
+            f"SELECT i, {expr} FROM (SELECT unnest(range(2000)) AS i)"
+        ).fetchall()
+    )
+    assert u == want
