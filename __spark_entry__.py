@@ -5896,6 +5896,205 @@ FROM ff ORDER BY round(fscore, 9) DESC, doc_id ASC LIMIT 10
 """
 
 
+SPAN_CONT_BIG, SPAN_CONT_GAP, SPAN_CONT_LITTLE = ("table", "scan"), 3, "fast"
+TERMS_SET_TERMS = ["table", "merge", "sort", "window"]
+ANCHOR_QUERY = "src3 merge"
+ANCHOR_W = 0.8
+PCTRANK_VALUES = [150.0, 300.0, 600.0]
+GEO_DIST_RANGES = [(None, 1_000_000.0), (1_000_000.0, 3_000_000.0),
+                   (3_000_000.0, None)]
+
+
+def q_span_containing(spark, sf_dir):
+    """X157 — Lucene SpanContainingQuery: minimal 'table…scan' spans
+    (gap<=3) that contain a 'fast' occurrence.
+    operators/match.py span_containing_docs."""
+    pos = M.positional_postings(_docs(spark, sf_dir), "text")
+    return M.span_containing_docs(
+        pos, SPAN_CONT_BIG, SPAN_CONT_LITTLE, gap=SPAN_CONT_GAP
+    )
+
+
+def _span_containing_sql() -> str:
+    tok = TOK_EXPR("text")
+    t1, t2 = SPAN_CONT_BIG
+    g = SPAN_CONT_GAP
+    return f"""
+WITH tl AS (SELECT doc_id, {tok} AS t FROM documents),
+m AS (SELECT doc_id,
+        list_filter(generate_series(1, len(t)), i -> t[i] = '{t1}') AS aps,
+        list_filter(generate_series(1, len(t)), i -> t[i] = '{t2}') AS bps,
+        list_filter(generate_series(1, len(t)),
+                    i -> t[i] = '{SPAN_CONT_LITTLE}') AS cps
+      FROM tl),
+s AS (SELECT doc_id,
+        list_filter(
+          list_transform(aps, p -> CASE WHEN len(list_filter(bps,
+              q -> q > p AND q <= p + {g + 1})) > 0
+            THEN [p, list_min(list_filter(bps,
+              q -> q > p AND q <= p + {g + 1}))] END),
+          st -> st IS NOT NULL
+            AND len(list_filter(cps,
+                  c -> c >= st[1] AND c <= st[2])) > 0) AS sv
+      FROM m WHERE len(aps) > 0 AND len(bps) > 0 AND len(cps) > 0)
+SELECT doc_id, len(sv)::BIGINT AS n_spans,
+       (list_min(list_transform(sv, st -> st[1])) - 1)::BIGINT AS first_pos
+FROM s WHERE len(sv) > 0 ORDER BY doc_id
+"""
+
+
+def q_terms_set(spark, sf_dir):
+    """X158 — ES terms_set: OR over 4 terms with a PER-DOCUMENT
+    required-match count (minimum_should_match_field), here the stored
+    column required = 1 + doc_id % 3. operators/query.py terms_set_topk."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    req = _docs(spark, sf_dir).select(
+        "doc_id", (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("required")
+    )
+    out = Q.terms_set_topk(post, stats, req, n, avgdl, TERMS_SET_TERMS, k=10)
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        F.col("required").cast("long").alias("required"),
+    )
+
+
+def _terms_set_sql() -> str:
+    return _bm25_scored_sql(TERMS_SET_TERMS) + """
+, req AS (SELECT doc_id, (1 + doc_id % 3)::BIGINT AS required FROM documents),
+ok AS (SELECT s.doc_id, s.score, s.n_matched, req.required
+       FROM scored s JOIN req USING (doc_id)
+       WHERE s.n_matched >= greatest(req.required, 0))
+SELECT doc_id, round(score, 4) AS score, n_matched, required
+FROM ok ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _anchor_edges(spark, sf_dir):
+    """Deterministic in-link graph: every doc links to
+    (doc_id*7+13) mod N with anchor text = its own 'lang source'."""
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    return d.select(
+        F.col("doc_id").alias("src_id"),
+        ((F.col("doc_id") * 7 + 13) % F.lit(n)).alias("dst_id"),
+        F.concat_ws(" ", "lang", "source").alias("anchor"),
+    )
+
+
+def q_anchor_boost(spark, sf_dir):
+    """X159 — anchor-text ranking (Brin & Page): in-link anchor tokens
+    index the TARGET; final = text BM25 + w * anchor BM25 with the
+    anchor field's own statistics; docs matched only via anchors still
+    rank. operators/graph.py anchor_postings / anchor_boost_topk."""
+    from scrapix_spark.operators import graph as GR
+
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    out = GR.anchor_boost_topk(
+        post, stats, n, avgdl, _anchor_edges(spark, sf_dir),
+        ANCHOR_QUERY, w_anchor=ANCHOR_W, k=10,
+    )
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.round("text_score", 4).alias("text_score"),
+        F.round("anchor_score", 4).alias("anchor_score"),
+    )
+
+
+def _anchor_boost_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in Q.query_terms(ANCHOR_QUERY))
+    return _bm25_scored_sql(Q.query_terms(ANCHOR_QUERY)) + f"""
+, nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+edges AS (SELECT doc_id AS src_id, (doc_id * 7 + 13) % nn.n AS dst_id,
+                 lang || ' ' || source AS anchor
+          FROM documents CROSS JOIN nn),
+atok AS (SELECT dst_id AS doc_id, unnest({TOK_EXPR('anchor')}) AS term
+         FROM edges),
+aper AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         FROM atok GROUP BY doc_id, term),
+adl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM aper GROUP BY doc_id),
+astat AS (SELECT count(*)::BIGINT AS na, avg(dl) AS a_avgdl FROM adl),
+adf AS (SELECT term, count(*)::BIGINT AS df FROM aper GROUP BY term),
+asc_ AS (
+  SELECT aper.doc_id,
+         sum( ln(1 + (astat.na - adf.df + 0.5) / (adf.df + 0.5))
+              * (aper.tf * ({K1} + 1.0))
+              / (aper.tf + {K1} * (1.0 - {B} + {B} * adl.dl / astat.a_avgdl)) ) AS anchor_score
+  FROM aper
+  JOIN adf USING (term)
+  JOIN adl ON adl.doc_id = aper.doc_id
+  CROSS JOIN astat
+  WHERE aper.term IN ({terms})
+  GROUP BY aper.doc_id),
+mrg AS (
+  SELECT coalesce(s.doc_id, a.doc_id) AS doc_id,
+         coalesce(s.score, 0.0) AS text_score,
+         coalesce(a.anchor_score, 0.0) AS anchor_score
+  FROM scored s FULL OUTER JOIN asc_ a ON s.doc_id = a.doc_id)
+SELECT doc_id,
+       round(text_score + {ANCHOR_W!r} * anchor_score, 4) AS score,
+       round(text_score, 4) AS text_score,
+       round(anchor_score, 4) AS anchor_score
+FROM mrg
+ORDER BY round(text_score + {ANCHOR_W!r} * anchor_score, 9) DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+def q_percentile_ranks(spark, sf_dir):
+    """X160 — ES percentile_ranks (exact form): % of docs with
+    n_chars <= each cutoff. operators/results.py percentile_ranks."""
+    from scrapix_spark.operators import results as R
+
+    return R.percentile_ranks(_docs(spark, sf_dir), "n_chars", PCTRANK_VALUES)
+
+
+def _percentile_ranks_sql() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({float(v)!r} AS DOUBLE) AS value, "
+        f"round(100.0 * sum(CASE WHEN n_chars <= {float(v)!r} THEN 1 ELSE 0 END)"
+        f" / count(n_chars), 6) AS pct FROM documents"
+        for v in PCTRANK_VALUES
+    )
+    return f"SELECT * FROM ({arms}) ORDER BY value"
+
+
+def q_geo_distance_agg(spark, sf_dir):
+    """X161 — ES geo_distance aggregation: distance rings around the
+    standard gate origin, half-open [from, to), one sum(CASE) block
+    over a single haversine column. operators/geo.py geo_distance_agg."""
+    return GEO.geo_distance_agg(
+        _geo_docs(spark, sf_dir), *GEO_CENTER, GEO_DIST_RANGES
+    )
+
+
+def _geo_distance_sql() -> str:
+    hav = _haversine_sql("lat", "lng", *GEO_CENTER)
+    arms = []
+    for lo, hi in GEO_DIST_RANGES:
+        conds = []
+        if lo is not None:
+            conds.append(f"d >= {float(lo)!r}")
+        if hi is not None:
+            conds.append(f"d < {float(hi)!r}")
+        cond = " AND ".join(conds) or "TRUE"
+        lo_s = "*" if lo is None else f"{float(lo):g}"
+        hi_s = "*" if hi is None else f"{float(hi):g}"
+        lo_v = "CAST(NULL AS DOUBLE)" if lo is None else f"{float(lo)!r}"
+        hi_v = "CAST(NULL AS DOUBLE)" if hi is None else f"{float(hi)!r}"
+        arms.append(
+            f"SELECT '{lo_s}-{hi_s}' AS key, {lo_v} AS from_m, {hi_v} AS to_m, "
+            f"sum(CASE WHEN {cond} THEN 1 ELSE 0 END)::BIGINT AS doc_count FROM d"
+        )
+    body = " UNION ALL ".join(arms)
+    return f"""
+WITH g AS (SELECT doc_id, {_GEO_LAT_SQL} AS lat, {_GEO_LNG_SQL} AS lng
+           FROM documents),
+d AS (SELECT {hav} AS d FROM g)
+{body}
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -6043,6 +6242,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency_matrix": q_adjacency_matrix,
         "rank_feature_search": q_rank_feature_search,
         "random_score_search": q_random_score_search,
+        "span_containing": q_span_containing,
+        "terms_set_topk": q_terms_set,
+        "anchor_boost_topk": q_anchor_boost,
+        "percentile_ranks": q_percentile_ranks,
+        "geo_distance_rings": q_geo_distance_agg,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -9190,6 +9394,11 @@ ORDER BY event_type
         "adjacency_matrix": _ADJACENCY_SQL,
         "rank_feature_search": _rank_feature_sql(),
         "random_score_search": _random_score_sql(),
+        "span_containing": _span_containing_sql(),
+        "terms_set_topk": _terms_set_sql(),
+        "anchor_boost_topk": _anchor_boost_sql(),
+        "percentile_ranks": _percentile_ranks_sql(),
+        "geo_distance_rings": _geo_distance_sql(),
     }
 
 

@@ -214,6 +214,8 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "dis_max_topk", "pinned_search", "geohash_grid",
         "cross_fields_topk", "adjacency_matrix",
         "rank_feature_search", "random_score_search",
+        "span_containing", "terms_set_topk", "anchor_boost_topk",
+        "percentile_ranks", "geo_distance_rings",
     ]
     out = {}
     for name in headline:

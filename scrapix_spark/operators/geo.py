@@ -433,3 +433,55 @@ def geohash_grid(
     return out.orderBy(
         F.col("doc_count").desc(), F.col("cell").asc()
     ).limit(size)
+
+
+def geo_distance_agg(
+    df: DataFrame,
+    lat: float,
+    lng: float,
+    ranges: list[tuple],
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """X161 — the public ES `geo_distance` aggregation: count documents
+    into distance rings around an origin. `ranges` is a list of
+    (from_m, to_m) with None for an open end, exactly ES's form —
+    ranges may overlap (each is counted independently).
+
+    Plan: the haversine column is computed ONCE (pure JVM trig inside
+    whole-stage codegen) and every ring is a sum(CASE) over it in a
+    single one-row global agg (all work map-side), then a literal
+    stack unpivot — no shuffle of data rows, no joins, ring count is
+    query-sized. Columns: (key, from_m, to_m, doc_count), ring-ordered
+    as given; ES's half-open [from, to) convention.
+    """
+    if not ranges:
+        raise ValueError("geo_distance_agg needs at least one range")
+    dist = haversine_m(
+        F.col(lat_col), F.col(lng_col), F.lit(float(lat)), F.lit(float(lng))
+    )
+    base = df.filter(
+        F.col(lat_col).isNotNull() & F.col(lng_col).isNotNull()
+    ).select(dist.alias("_d"))
+    aggs = []
+    keys = []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("_d") >= F.lit(float(lo)))
+        if hi is not None:
+            cond = cond & (F.col("_d") < F.lit(float(hi)))
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_r{i}"))
+        lo_s = "*" if lo is None else f"{float(lo):g}"
+        hi_s = "*" if hi is None else f"{float(hi):g}"
+        keys.append((f"{lo_s}-{hi_s}", lo, hi))
+    one = base.agg(*aggs)
+    parts = ", ".join(
+        f"'{key}', CAST({'NULL' if lo is None else repr(float(lo))} AS DOUBLE), "
+        f"CAST({'NULL' if hi is None else repr(float(hi))} AS DOUBLE), _r{i}"
+        for i, (key, lo, hi) in enumerate(keys)
+    )
+    out = one.selectExpr(
+        f"stack({len(keys)}, {parts}) as (key, from_m, to_m, doc_count)"
+    )
+    return out

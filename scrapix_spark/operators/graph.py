@@ -212,3 +212,111 @@ def authority_boost(
         )
     )
     return out.drop("_nr")
+
+
+def anchor_postings(edges: DataFrame, anchor_col: str = "anchor") -> DataFrame:
+    """X159 — the classic web-search anchor-text index (the public
+    Brin & Page design: the text OF a link describes its TARGET better
+    than the target describes itself). Build a postings relation over
+    the virtual per-target anchor field: every in-edge contributes its
+    anchor tokens to the DESTINATION document.
+
+    Input: (src_id, dst_id, anchor string). Output: (term, doc_id, tf,
+    dl) where doc_id = dst_id, tf sums over all in-links and dl is the
+    target's total anchor-token count — the exact shape every BM25
+    scorer in this repo consumes, so the anchor field drops into any
+    ranking unchanged.
+
+    Plan: tokenize (Arrow UDF) → explode → one dst-keyed hash agg for
+    (term, dst) tf + one for dl, joined dst-keyed. The anchor relation
+    is edge-sized, not corpus-sized, and never touches document text.
+    """
+    from scrapix_spark.functions.tokenize import with_tokens
+
+    tok = with_tokens(
+        edges.select(F.col("dst_id").alias("doc_id"), F.col(anchor_col).alias("text")),
+        "text",
+    )
+    flat = tok.select("doc_id", F.explode("tokens").alias("tk")).select(
+        "doc_id", "tk.term", F.col("tk.tf").cast("long").alias("tf")
+    )
+    per = flat.groupBy("doc_id", "term").agg(F.sum("tf").alias("tf"))
+    dl = per.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    return per.join(dl, "doc_id").select("term", "doc_id", "tf", "dl")
+
+
+def anchor_boost_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    edges: DataFrame,
+    q: str,
+    w_anchor: float = 1.0,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """X159 — anchor-boosted ranking: final(d) = bm25_text(d, q) +
+    w_anchor · bm25_anchor(d, q), where the anchor score runs over the
+    in-link anchor field with ITS OWN statistics (df over anchored
+    docs, anchor avgdl). A doc matched ONLY via its in-link text still
+    ranks — the property that made anchor text famous (full outer
+    merge, zero-filled).
+
+    Plan: two independent scored aggregations (text postings, anchor
+    postings — the anchor side is edge-sized), one doc-keyed full-outer
+    join, TakeOrdered k. Columns: (doc_id, score, text_score,
+    anchor_score).
+    """
+    from scrapix_spark.operators.query import (
+        _bm25_topk_from_postings_terms, idf_expr, query_terms,
+    )
+    from scrapix_spark.operators.query import SCORE_ROUND, bm25_score_expr
+
+    terms = query_terms(q)
+    if not terms:
+        return postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double, text_score double, anchor_score double"
+        )
+    text_sc = _bm25_topk_from_postings_terms(
+        postings, term_stats, N, avgdl, terms, k=(1 << 31) - 1, k1=k1, b=b
+    ).select("doc_id", F.col("score").alias("text_score"))
+
+    apost = anchor_postings(edges)
+    # anchor-field statistics: df over anchored docs, anchor avgdl
+    astats = apost.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    adl = apost.select("doc_id", "dl").dropDuplicates(["doc_id"])
+    n_anch = adl.count()
+    a_avgdl_row = adl.agg(F.avg("dl")).collect()[0][0]
+    a_avgdl = float(a_avgdl_row) if a_avgdl_row is not None else 1.0
+    acand = (
+        apost.filter(F.col("term").isin(terms))
+        .join(
+            F.broadcast(
+                astats.filter(F.col("term").isin(terms)).withColumn(
+                    "idf", idf_expr(n_anch, F.col("df").cast("double"))
+                ).select("term", "idf")
+            ),
+            "term",
+        )
+    )
+    a_sc = (
+        acand.withColumn(
+            "contrib",
+            bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"), a_avgdl, k1, b),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("anchor_score"))
+    )
+    merged = text_sc.join(a_sc, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("text_score"), F.lit(0.0)).alias("text_score"),
+        F.coalesce(F.col("anchor_score"), F.lit(0.0)).alias("anchor_score"),
+    )
+    final = F.col("text_score") + F.lit(float(w_anchor)) * F.col("anchor_score")
+    return (
+        merged.select("doc_id", final.alias("score"), "text_score", "anchor_score")
+        .orderBy(F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -1769,3 +1769,87 @@ def phrase_suggest(
         .limit(k)
         .drop("_ord")
     )
+
+
+def span_containing_docs(
+    positional: DataFrame,
+    big: tuple[str, str],
+    little_term: str,
+    gap: int = 0,
+    mode: str = "containing",
+) -> DataFrame:
+    """X157 — Lucene SpanContainingQuery / SpanWithinQuery, completing
+    the span family (near/first/not): the BIG span is the minimal
+    ordered pair (t1 ... t2) with at most `gap` tokens between them
+    (for each t1 position, the nearest following t2 within reach —
+    Lucene's minimal-span enumeration); the LITTLE span is a single
+    term's occurrence.
+
+      containing: BIG spans that contain a LITTLE occurrence
+                  (start <= p3 <= end) — "a `merge..join` window that
+                  mentions `sort` inside it"
+      within:     LITTLE occurrences that sit inside some BIG span —
+                  the converse projection
+
+    Plan: three term-pushdown scans of the positional relation (only
+    the three terms' rows are ever read), two doc_id equi-joins, then
+    pure nested higher-order-function array kernels — zero Python,
+    zero explode. Columns: (doc_id, n_spans, first_pos), doc-ordered;
+    first_pos is the surviving span's start (containing) or the
+    surviving little position (within).
+    """
+    if mode not in ("containing", "within"):
+        raise ValueError("mode must be containing|within")
+    if gap < 0:
+        raise ValueError("gap must be >= 0")
+    t1, t2 = big
+    a = positional.filter(F.col("term") == t1).select(
+        "doc_id", F.col("positions").alias("_a")
+    )
+    bdf = positional.filter(F.col("term") == t2).select(
+        "doc_id", F.col("positions").alias("_b")
+    )
+    c = positional.filter(F.col("term") == little_term).select(
+        "doc_id", F.col("positions").alias("_c")
+    )
+    j = a.join(bdf, "doc_id").join(c, "doc_id")
+    # minimal big spans: per p1, the nearest following t2 within gap+1
+    ends = F.transform(
+        F.col("_a"),
+        lambda p: F.array_min(
+            F.filter(
+                F.col("_b"),
+                lambda q: (q > p) & (q <= p + F.lit(gap + 1)),
+            )
+        ),
+    )
+    spans = F.filter(
+        F.zip_with(
+            F.col("_a"), ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+        ),
+        lambda st: st.getField("e").isNotNull(),
+    )
+    if mode == "containing":
+        surv = F.filter(
+            spans,
+            lambda st: F.exists(
+                F.col("_c"),
+                lambda p: (p >= st.getField("s")) & (p <= st.getField("e")),
+            ),
+        )
+        firsts = F.transform(surv, lambda st: st.getField("s"))
+    else:
+        surv = F.filter(
+            F.col("_c"),
+            lambda p: F.exists(
+                spans,
+                lambda st: (p >= st.getField("s")) & (p <= st.getField("e")),
+            ),
+        )
+        firsts = surv
+    out = j.select("doc_id", firsts.alias("_f")).filter(F.size("_f") > 0)
+    return out.select(
+        "doc_id",
+        F.size("_f").cast("long").alias("n_spans"),
+        F.array_min("_f").cast("long").alias("first_pos"),
+    ).orderBy("doc_id")

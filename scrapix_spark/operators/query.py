@@ -2445,3 +2445,47 @@ def pinned_topk(
         .limit(k)
         .drop("_key")
     )
+
+
+def terms_set_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    required: DataFrame,
+    N: int,
+    avgdl: float,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """X158 — the public ES `terms_set` query: an OR over `terms` where
+    the number of required matches is PER-DOCUMENT, read from a field
+    (`minimum_should_match_field`) — e.g. a skills-matching doc stores
+    how many of its listed skills a query must cover. The dynamic
+    big brother of X145's static minimum_should_match.
+
+    `required` is a (doc_id, required int) relation — at scale a stored
+    column on the document table. Docs with required <= 0 always
+    qualify; docs missing from `required` are excluded (ES errors on a
+    missing field; the relational form drops them).
+
+    Plan: the plain ranked-union aggregation (broadcast idf slice + one
+    map-side-combining hash agg) INNER-joined doc-keyed with `required`
+    and filtered n_matched >= required — one co-partitioned exchange
+    beyond the OR itself, no window, TakeOrdered k.
+
+    Columns: (doc_id, score, n_matched, required).
+    """
+    if not terms:
+        raise ValueError("terms_set_topk needs at least one term")
+    agg = _bm25_topk_from_postings_terms(
+        postings, term_stats, N, avgdl, list(dict.fromkeys(terms)),
+        k=(1 << 31) - 1, k1=k1, b=b,
+    )
+    out = agg.join(
+        required.select("doc_id", F.col("required").cast("int").alias("required")),
+        "doc_id",
+    ).filter(F.col("n_matched") >= F.greatest(F.col("required"), F.lit(0)))
+    return out.orderBy(
+        F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
+    ).limit(k)

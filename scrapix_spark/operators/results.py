@@ -890,3 +890,42 @@ def random_score_sql(id_sql: str, seed: int = 0) -> str:
     h1 = f"(({_LEHMER_A} * ({h0})) % {_LEHMER_M})"
     h2 = f"(({_LEHMER_A} * {h1}) % {_LEHMER_M})"
     return f"({h2}::DOUBLE / {float(_LEHMER_M)!r})"
+
+
+def percentile_ranks(
+    df: DataFrame, col: str, values: list[float]
+) -> DataFrame:
+    """X160 — the public ES `percentile_ranks` aggregation, the inverse
+    of percentiles: for each given cutoff value v, the percentage of
+    non-null observations <= v. (ES approximates with t-digest; at this
+    engine's exact-oracle bar the EXACT fraction is the contract, and
+    it is cheaper — no sketch state.)
+
+    Plan: one scan, one global agg of |values| sum(CASE) counters plus
+    the total (all map-side, a one-row exchange), then a literal stack
+    unpivot — the same never-sorts shape as adjacency_matrix. NULLs are
+    excluded from numerator and denominator (ES skips missing values).
+
+    Columns: (value, pct) — pct in [0, 100], 6-dp rounded, value-ordered.
+    """
+    if not values:
+        raise ValueError("percentile_ranks needs at least one value")
+    x = F.col(col)
+    aggs = [
+        F.sum(F.when(x <= F.lit(float(v)), 1).otherwise(0)).cast("long").alias(f"_c{i}")
+        for i, v in enumerate(values)
+    ]
+    aggs.append(F.count(x).cast("long").alias("_n"))
+    one = df.agg(*aggs)
+    pairs = ", ".join(
+        f"CAST({float(v)!r} AS DOUBLE), _c{i}" for i, v in enumerate(values)
+    )
+    out = one.selectExpr(
+        "_n", f"stack({len(values)}, {pairs}) as (value, cnt)"
+    )
+    return out.select(
+        "value",
+        F.when(F.col("_n") > 0,
+               F.round(F.col("cnt") * 100.0 / F.col("_n"), 6)
+               ).otherwise(F.lit(None).cast("double")).alias("pct"),
+    ).orderBy("value")

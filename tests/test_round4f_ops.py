@@ -472,3 +472,166 @@ def test_random_score_deterministic_uniform(spark):
         ).fetchall()
     )
     assert u == want
+
+
+# ---------------------------------------------------------------- X157
+
+
+def test_span_containing_and_within(spark):
+    from scrapix_spark.operators.match import (
+        positional_postings, span_containing_docs,
+    )
+
+    rows = [
+        # big span table(0)..scan(2), little fast(1) inside -> contains
+        (0, "table fast scan slow"),
+        # big span table(0)..scan(1); fast(3) OUTSIDE it
+        (1, "table scan slow fast"),
+        # two big spans: [0,2] contains fast@1; [4,5] does not
+        (2, "table fast scan x table scan"),
+        # no big span within gap (table..scan 5 apart > gap+1)
+        (3, "table a b c d e scan fast"),
+        (4, "fast nothing else"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = positional_postings(docs, "text")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["first_pos"])
+        for r in span_containing_docs(
+            pos, ("table", "scan"), "fast", gap=3
+        ).collect()
+    }
+    assert got == {0: (1, 0), 2: (1, 0)}
+    # within: the surviving LITTLE positions
+    w = {
+        r["doc_id"]: (r["n_spans"], r["first_pos"])
+        for r in span_containing_docs(
+            pos, ("table", "scan"), "fast", gap=3, mode="within"
+        ).collect()
+    }
+    assert w == {0: (1, 1), 2: (1, 1)}
+    with pytest.raises(ValueError, match="mode"):
+        span_containing_docs(pos, ("a", "b"), "c", mode="nope")
+    with pytest.raises(ValueError, match="gap"):
+        span_containing_docs(pos, ("a", "b"), "c", gap=-1)
+
+
+# ---------------------------------------------------------------- X158
+
+
+def test_terms_set_per_doc_threshold(pinned_corpus):
+    from scrapix_spark.operators.query import terms_set_topk
+
+    docs, post, stats, n, avgdl = pinned_corpus
+    # required: doc_id 0..5 -> 3,1,1,2,1,2 of ['merge','sort','table']
+    req = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") == 0, 3)
+        .when(F.col("doc_id").isin(3, 5), 2)
+        .otherwise(1).cast("int").alias("required"),
+    )
+    out = {
+        r["doc_id"]: (r["n_matched"], r["required"])
+        for r in terms_set_topk(
+            post, stats, req, n, avgdl, ["merge", "sort", "table"], k=10
+        ).collect()
+    }
+    # doc 0 'merge sort table' matches 3 >= 3 -> kept
+    assert out[0] == (3, 3)
+    # doc 5 'sort only' matches 1 < 2 -> dropped
+    assert 5 not in out
+    # doc 3 'window stream' matches 0 -> dropped (no posting rows)
+    assert 3 not in out
+    # doc 1 'merge merge merge table' matches 2 >= 1 -> kept
+    assert out[1] == (2, 1)
+    # duplicate terms in the query are collapsed
+    out2 = terms_set_topk(
+        post, stats, req, n, avgdl, ["merge", "merge", "table"], k=10
+    ).collect()
+    assert max(r["n_matched"] for r in out2) <= 2
+    with pytest.raises(ValueError, match="at least one"):
+        terms_set_topk(post, stats, req, n, avgdl, [])
+
+
+# ---------------------------------------------------------------- X159
+
+
+def test_anchor_boost_ranks_anchor_only_matches(spark, pinned_corpus):
+    from scrapix_spark.operators.graph import anchor_boost_topk, anchor_postings
+
+    docs, post, stats, n, avgdl = pinned_corpus
+    # doc 3 ('window stream') never says 'merge' but every in-link does
+    edges = spark.createDataFrame(
+        [(0, 3, "merge docs"), (1, 3, "merge impl"), (2, 5, "other words")],
+        "src_id long, dst_id long, anchor string",
+    )
+    ap = anchor_postings(edges)
+    rows = {(r["term"], r["doc_id"]): (r["tf"], r["dl"]) for r in ap.collect()}
+    # 'merge' contributed twice to doc 3; dl = total anchor tokens at 3
+    assert rows[("merge", 3)] == (2, 4)
+    assert rows[("docs", 3)][0] == 1
+    out = anchor_boost_topk(
+        post, stats, n, avgdl, edges, "merge", w_anchor=1.0, k=10
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert 3 in by_id                      # anchor-only match ranks
+    assert by_id[3]["text_score"] == 0.0
+    assert by_id[3]["anchor_score"] > 0.0
+    # text-only matches keep their score and gain nothing
+    assert by_id[1]["anchor_score"] == 0.0
+    assert by_id[1]["score"] == pytest.approx(by_id[1]["text_score"])
+    # w_anchor=0 reduces to plain text BM25 membership
+    out0 = anchor_boost_topk(
+        post, stats, n, avgdl, edges, "merge", w_anchor=0.0, k=10
+    ).collect()
+    assert all(
+        r["score"] == pytest.approx(r["text_score"]) for r in out0
+    )
+
+
+# ---------------------------------------------------------------- X160
+
+
+def test_percentile_ranks_exact(spark):
+    from scrapix_spark.operators.results import percentile_ranks
+
+    df = spark.createDataFrame(
+        [(v,) for v in [10, 20, 30, 40, None]], "x int"
+    )
+    out = {r["value"]: r["pct"] for r in
+           percentile_ranks(df, "x", [5.0, 20.0, 100.0]).collect()}
+    # NULL excluded from numerator AND denominator
+    assert out[5.0] == 0.0
+    assert out[20.0] == 50.0
+    assert out[100.0] == 100.0
+    with pytest.raises(ValueError, match="at least one"):
+        percentile_ranks(df, "x", [])
+    # all-null column -> NULL pcts, not division errors
+    nn = spark.createDataFrame([(None,), (None,)], "x int")
+    got = percentile_ranks(nn, "x", [1.0]).collect()
+    assert got[0]["pct"] is None
+
+
+# ---------------------------------------------------------------- X161
+
+
+def test_geo_distance_agg_rings(spark):
+    from scrapix_spark.operators.geo import geo_distance_agg
+
+    # center (0,0); points at ~0, ~555km (5 deg lng), ~2220km (20 deg)
+    rows = [(0.0, 0.0), (0.0, 5.0), (0.0, 20.0), (None, 1.0)]
+    df = spark.createDataFrame(rows, "lat double, lng double")
+    out = {
+        r["key"]: (r["from_m"], r["to_m"], r["doc_count"])
+        for r in geo_distance_agg(
+            df, 0.0, 0.0,
+            [(None, 1_000_000.0), (1_000_000.0, 3_000_000.0),
+             (3_000_000.0, None), (None, None)],
+        ).collect()
+    }
+    assert out["*-1e+06"] == (None, 1_000_000.0, 2)
+    assert out["1e+06-3e+06"] == (1_000_000.0, 3_000_000.0, 1)
+    assert out["3e+06-*"][2] == 0
+    assert out["*-*"][2] == 3  # overlapping open ring counts all non-null
+    with pytest.raises(ValueError, match="at least one"):
+        geo_distance_agg(df, 0.0, 0.0, [])
