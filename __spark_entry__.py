@@ -6095,6 +6095,174 @@ d AS (SELECT {hav} AS d FROM g)
 """
 
 
+RARE_MAX_DF, RARE_SIZE = 25, 50
+TEXTRANK_ITERS, TEXTRANK_K = 3, 15
+
+_CC_CASE = (
+    "CASE doc_id % 3 "
+    "WHEN 0 THEN 'pay 4111111111111111 now' "
+    "WHEN 1 THEN 'ref 5500-0000-0000-0004 ok' "
+    "ELSE 'order 4111111111111112 code' END"
+)
+
+
+def q_luhn_scrub(spark, sf_dir):
+    """X162 — Luhn-validated payment-card scrubbing: candidate digit
+    runs replaced with <CC> only when the ISO 7812 mod-10 checksum
+    validates (doc_id%3==2 plants a near-miss that must NOT scrub).
+    operators/textstats.py luhn_scrub."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_CC_CASE).alias("text")
+    )
+    out = TS.luhn_scrub(d, "text")
+    return out.select(
+        "doc_id", F.col("n_cc").cast("long").alias("n_cc"), "scrubbed"
+    ).orderBy("doc_id")
+
+
+def _luhn_sql() -> str:
+    from scrapix_spark.operators.textstats import CC_CANDIDATE_PATTERN, CC_TAG
+
+    return f"""
+WITH d AS (SELECT doc_id, {_CC_CASE} AS text FROM documents),
+c AS (SELECT doc_id, text,
+        list_filter(
+          regexp_extract_all(text, '{CC_CANDIDATE_PATTERN}'),
+          cand -> (
+            list_sum(list_transform(
+              generate_series(1, len(list_filter(
+                string_split(reverse(regexp_replace(cand, '[ -]', '', 'g')), ''),
+                x -> x <> ''))),
+              i -> CASE WHEN i % 2 = 0 THEN
+                     CASE WHEN list_filter(string_split(reverse(
+                            regexp_replace(cand, '[ -]', '', 'g')), ''),
+                            x -> x <> '')[i]::INT * 2 > 9
+                       THEN list_filter(string_split(reverse(
+                            regexp_replace(cand, '[ -]', '', 'g')), ''),
+                            x -> x <> '')[i]::INT * 2 - 9
+                       ELSE list_filter(string_split(reverse(
+                            regexp_replace(cand, '[ -]', '', 'g')), ''),
+                            x -> x <> '')[i]::INT * 2 END
+                   ELSE list_filter(string_split(reverse(
+                          regexp_replace(cand, '[ -]', '', 'g')), ''),
+                          x -> x <> '')[i]::INT END
+            )) % 10 = 0)) AS valid
+      FROM d)
+SELECT doc_id, len(valid)::BIGINT AS n_cc,
+       list_reduce(list_prepend(text, valid),
+                   (acc, x) -> replace(acc, x, '{CC_TAG}')) AS scrubbed
+FROM c ORDER BY doc_id
+"""
+
+
+def q_textrank(spark, sf_dir):
+    """X163 — TextRank keywords (Mihalcea & Tarau 2004): PageRank over
+    the window-2 word co-occurrence graph; per-iteration rounding pins
+    the trajectory for the unrolled oracle.
+    operators/graph.py textrank_keywords / cooccurrence_edges."""
+    from scrapix_spark.operators import graph as GR
+
+    return GR.textrank_keywords(
+        _docs(spark, sf_dir), "text",
+        window=2, iterations=TEXTRANK_ITERS, k=TEXTRANK_K,
+    )
+
+
+def _textrank_sql(iters: int = TEXTRANK_ITERS, d: float = 0.85) -> str:
+    """The X74 power-iteration unroll over the window-2 co-occurrence
+    edges (both orientations, distinct)."""
+    tok = TOK_EXPR("text")
+    ctes = [f"""tl AS (SELECT {tok} AS t FROM documents)""",
+            """rawp AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2 FROM tl,
+       unnest(generate_series(1, len(t) - 1)) AS r(i)
+  UNION ALL
+  SELECT t[i], t[i + 2] FROM tl,
+       unnest(generate_series(1, len(t) - 2)) AS r(i))""",
+            """e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT w1 AS src, w2 AS dst FROM rawp WHERE w1 <> w2
+    UNION ALL
+    SELECT w2, w1 FROM rawp WHERE w1 <> w2))""",
+            "nodes AS (SELECT DISTINCT src AS node FROM e "
+            "UNION SELECT DISTINCT dst FROM e)",
+            "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+            "outdeg AS (SELECT src AS node, count(*)::DOUBLE AS deg "
+            "FROM e GROUP BY src)",
+            "r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)"]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        ctes.append(f"""r{i} AS (
+  SELECT n.node,
+         round((1.0 - {d}) / nn.n
+               + {d} * (coalesce(c.s, 0) + dg.m / nn.n), 9) AS r
+  FROM nodes n
+  LEFT JOIN (SELECT e.dst AS node, sum(r.r / o.deg) AS s
+             FROM e JOIN {p} r ON r.node = e.src
+             JOIN outdeg o ON o.node = e.src
+             GROUP BY e.dst) c ON c.node = n.node
+  CROSS JOIN (SELECT coalesce(sum(r.r), 0) AS m FROM {p} r
+              LEFT JOIN outdeg o ON o.node = r.node
+              WHERE o.node IS NULL) dg
+  CROSS JOIN nn)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS term, round(r, 6) AS rank FROM r{iters} "
+            f"ORDER BY round(r, 9) DESC, node ASC LIMIT {TEXTRANK_K}")
+
+
+def q_string_stats(spark, sf_dir):
+    """X164 — ES string_stats with show_distribution's Shannon entropy
+    (bits) over the corpus character distribution; the char exchange is
+    alphabet-sized after partial agg. operators/textstats.py
+    string_stats."""
+    return TS.string_stats(_docs(spark, sf_dir), "text")
+
+
+_STRING_STATS_SQL = """
+WITH lens AS (SELECT count(text)::BIGINT AS count,
+                     min(length(coalesce(text, '')))::BIGINT AS min_length,
+                     max(length(coalesce(text, '')))::BIGINT AS max_length,
+                     round(avg(length(coalesce(text, ''))), 6) AS avg_length
+              FROM documents),
+ch AS (SELECT u.ch, count(*)::DOUBLE AS c
+       FROM (SELECT unnest(list_filter(
+               string_split(coalesce(text, ''), ''), x -> x <> '')) AS ch
+             FROM documents) u GROUP BY u.ch),
+tot AS (SELECT sum(c) AS t FROM ch),
+ent AS (SELECT round(-sum((c / t) * log2(c / t)), 6) AS entropy
+        FROM ch CROSS JOIN tot)
+SELECT count, min_length, max_length, avg_length, entropy
+FROM lens CROSS JOIN ent
+"""
+
+
+def q_rare_terms(spark, sf_dir):
+    """X165 — ES rare_terms: exact long-tail term buckets
+    (df <= max_doc_count, df asc). Planted rare tokens
+    ('rare'||doc_id%250) give the tail real mass at gate scale.
+    operators/postings.py rare_terms."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" rare"), (F.col("doc_id") % 250)).alias("text"),
+    )
+    t = with_tokens(d, "text")
+    post = t.select(
+        "doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("tk")
+    ).select("tk.term", "doc_id", F.col("tk.tf").cast("long").alias("tf"), "dl")
+    return P.rare_terms(post, max_doc_count=RARE_MAX_DF, size=RARE_SIZE)
+
+
+def _rare_terms_sql() -> str:
+    tok = TOK_EXPR("text || ' rare' || (doc_id % 250)")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+dfv AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_count
+        FROM tok GROUP BY term)
+SELECT term, doc_count FROM dfv WHERE doc_count <= {RARE_MAX_DF}
+ORDER BY doc_count ASC, term ASC LIMIT {RARE_SIZE}
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -6247,6 +6415,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_boost_topk": q_anchor_boost,
         "percentile_ranks": q_percentile_ranks,
         "geo_distance_rings": q_geo_distance_agg,
+        "luhn_scrub": q_luhn_scrub,
+        "textrank_keywords": q_textrank,
+        "string_stats": q_string_stats,
+        "rare_terms": q_rare_terms,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -9399,6 +9571,10 @@ ORDER BY event_type
         "anchor_boost_topk": _anchor_boost_sql(),
         "percentile_ranks": _percentile_ranks_sql(),
         "geo_distance_rings": _geo_distance_sql(),
+        "luhn_scrub": _luhn_sql(),
+        "textrank_keywords": _textrank_sql(),
+        "string_stats": _STRING_STATS_SQL,
+        "rare_terms": _rare_terms_sql(),
     }
 
 

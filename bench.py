@@ -216,6 +216,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "rank_feature_search", "random_score_search",
         "span_containing", "terms_set_topk", "anchor_boost_topk",
         "percentile_ranks", "geo_distance_rings",
+        "luhn_scrub", "textrank_keywords", "string_stats", "rare_terms",
     ]
     out = {}
     for name in headline:

@@ -320,3 +320,82 @@ def anchor_boost_topk(
         .orderBy(F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def cooccurrence_edges(
+    docs: DataFrame, text_col: str, window: int = 2
+) -> DataFrame:
+    """Word co-occurrence graph (the TextRank graph, Mihalcea & Tarau
+    2004): an undirected edge between two distinct words whenever they
+    appear within `window` token positions in some document. Emitted as
+    a directed relation with BOTH orientations (the symmetric form the
+    power iteration consumes).
+
+    Plan: tokenize once, then for each offset 1..window a zip_with of
+    the token array against its own slice — per-row array expressions,
+    zero self-joins — then one distinct. The edge relation is
+    vocabulary²-bounded, not corpus-sized, after the distinct's
+    map-side partial aggregation.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    from scrapix_spark.functions.tokenize import tokens_native
+
+    toks = docs.select(tokens_native(F.col(text_col)).alias("t"))
+    pairs = None
+    for off in range(1, window + 1):
+        p = toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.greatest(F.size("t") - off, F.lit(0))),
+                    F.slice(
+                        F.col("t"),
+                        off + 1,
+                        F.greatest(F.size("t") - off, F.lit(0)),
+                    ),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("e")
+        ).select("e.w1", "e.w2")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.filter(F.col("w1") != F.col("w2"))
+    sym = pairs.unionByName(
+        pairs.select(F.col("w2").alias("w1"), F.col("w1").alias("w2"))
+    )
+    return sym.dropDuplicates(["w1", "w2"]).select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst")
+    )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    text_col: str,
+    window: int = 2,
+    iterations: int = 5,
+    damping: float = 0.85,
+    k: int = 20,
+) -> DataFrame:
+    """X163 — TextRank keyword extraction (Mihalcea & Tarau, EMNLP
+    2004): PageRank over the word co-occurrence graph; the words the
+    graph keeps voting for are the corpus keywords. The graph-centrality
+    counterpart of the frequency-based tf-idf keywords (X54) — a word
+    can rank high by being CONNECTED, not just common.
+
+    Plan: cooccurrence_edges (per-row array kernels + one distinct)
+    feeds the existing X74 power iteration unchanged — same
+    localCheckpoint lineage control, same per-iteration rounding that
+    makes the trajectory oracle-replayable. Columns: (term, rank),
+    rank desc then term asc, limit k.
+    """
+    edges = cooccurrence_edges(docs, text_col, window)
+    pr = pagerank(edges, iterations=iterations, damping=damping)
+    return (
+        pr.select(
+            F.col("node").alias("term"),
+            F.round("rank", 6).alias("rank"),
+            F.round("rank", 9).alias("_ord"),
+        )
+        .orderBy(F.col("_ord").desc(), F.col("term").asc())
+        .limit(k)
+        .drop("_ord")
+    )

@@ -745,3 +745,31 @@ def static_prune(
         .filter(F.col("_rk") <= m)
         .drop("_rk")
     )
+
+
+def rare_terms(
+    postings: DataFrame, max_doc_count: int = 1, size: int = 100
+) -> DataFrame:
+    """X165 — the public ES `rare_terms` aggregation: the long-tail
+    buckets a `terms` agg ordered by count ASC cannot serve correctly
+    at scale (ES documents the bounded-error problem and ships
+    rare_terms instead). Here the df agg is exact, so the contract is
+    simply: terms with document frequency <= `max_doc_count`, df asc
+    then term asc, `size` buckets.
+
+    Plan: one map-side-combining hash agg over the postings (df per
+    term) + a post-agg filter + TakeOrdered — the filter can't move
+    below the agg (it's ON the aggregate), but the partial agg means
+    the exchange carries one row per (task, term), and the TakeOrdered
+    keeps `size` rows per partition. Columns: (term, doc_count).
+    """
+    if max_doc_count < 1:
+        raise ValueError("max_doc_count must be >= 1")
+    df = postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("doc_count")
+    )
+    return (
+        df.filter(F.col("doc_count") <= max_doc_count)
+        .orderBy(F.col("doc_count").asc(), F.col("term").asc())
+        .limit(size)
+    )

@@ -1251,3 +1251,95 @@ def related_terms_pmi(
         .orderBy(F.col("pmi").desc(), F.col("term").asc())
         .limit(k)
     )
+
+
+# Luhn-validated payment-card scrubbing (X162). The candidate pattern
+# deliberately lives in the Java-regex ∩ RE2 subset so the DuckDB
+# oracle replays it verbatim: 13-19 digits, single space/dash joiners.
+CC_CANDIDATE_PATTERN = r"[0-9](?:[ -]?[0-9]){12,18}"
+CC_TAG = "<CC>"
+
+
+def _luhn_valid(cand: Column) -> Column:
+    """Luhn mod-10 checksum (the public ISO/IEC 7812 check every real
+    scrubber uses to separate card numbers from order ids / phone
+    strings) as a pure native array fold: strip joiners, reverse,
+    double every second digit (subtracting 9 above 9), sum % 10 == 0."""
+    digits = F.filter(
+        F.split(F.reverse(F.regexp_replace(cand, r"[ -]", "")), ""),
+        lambda ch: ch != F.lit(""),
+    )
+    total = F.aggregate(
+        F.zip_with(
+            digits,
+            F.sequence(F.lit(1), F.size(digits)),
+            lambda ch, i: F.when(
+                i % 2 == 0,
+                F.when(ch.cast("int") * 2 > 9, ch.cast("int") * 2 - 9)
+                .otherwise(ch.cast("int") * 2),
+            ).otherwise(ch.cast("int")),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return total % 10 == 0
+
+
+def luhn_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
+) -> DataFrame:
+    """X162 — payment-card scrubbing with Luhn validation: candidate
+    digit runs (13-19 digits, optional space/dash joiners) are replaced
+    with `<CC>` ONLY when the Luhn mod-10 checksum validates — a plain
+    regex pass would eat order numbers, UPCs and phone strings; the
+    checksum is what production PII scrubbers (and PCI-DSS auditors)
+    require.
+
+    Pure native plan: regexp_extract_all lists the candidates per row,
+    a HOF filter keeps the Luhn-valid ones, and one aggregate() fold
+    replaces them in the text — zero Python, zero explode, map-only at
+    any corpus size. Adds (n_cc int, <out_col> string).
+    """
+    src = F.coalesce(F.col(text_col), F.lit(""))
+    cands = F.regexp_extract_all(src, F.lit(CC_CANDIDATE_PATTERN), F.lit(0))
+    valid = F.filter(cands, _luhn_valid)
+    scrub = F.aggregate(
+        valid, src, lambda acc, c: F.replace(acc, c, F.lit(CC_TAG))
+    )
+    return df.withColumn("n_cc", F.size(valid).cast("int")).withColumn(
+        out_col, scrub
+    )
+
+
+def string_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X164 — the public ES `string_stats` aggregation (with
+    show_distribution's entropy): count, min/max/avg length, and the
+    Shannon entropy (bits) of the field's CHARACTER distribution across
+    the whole corpus.
+
+    Plan: the length stats are one map-side-combining global agg; the
+    entropy needs the char histogram — explode to characters, but the
+    exchange after partial aggregation carries at most |alphabet| rows
+    per task, so the shuffle is alphabet-sized, not corpus-sized; the
+    final entropy fold is a one-row agg. Columns: (count, min_length,
+    max_length, avg_length, entropy), one row.
+    """
+    src = F.coalesce(F.col(text_col), F.lit(""))
+    lens = df.agg(
+        F.count(F.col(text_col)).cast("long").alias("count"),
+        F.min(F.length(src)).cast("long").alias("min_length"),
+        F.max(F.length(src)).cast("long").alias("max_length"),
+        F.round(F.avg(F.length(src)), 6).alias("avg_length"),
+    )
+    chars = (
+        df.select(F.explode(F.split(src, "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    tot = chars.agg(F.sum("c").alias("_t"))
+    p = F.col("c") / F.col("_t")
+    ent = chars.crossJoin(F.broadcast(tot)).agg(
+        F.round(-F.sum(p * F.log2(p)), 6).alias("entropy")
+    )
+    return lens.crossJoin(ent)

@@ -635,3 +635,124 @@ def test_geo_distance_agg_rings(spark):
     assert out["*-*"][2] == 3  # overlapping open ring counts all non-null
     with pytest.raises(ValueError, match="at least one"):
         geo_distance_agg(df, 0.0, 0.0, [])
+
+
+# ---------------------------------------------------------------- X162
+
+
+def _luhn_ref(s: str) -> bool:
+    digits = [int(c) for c in s if c.isdigit()][::-1]
+    total = 0
+    for i, d in enumerate(digits):
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def test_luhn_scrub_validates_checksum(spark):
+    from scrapix_spark.operators.textstats import luhn_scrub
+
+    valid = "4111111111111111"          # classic Visa test number
+    valid_dash = "5500-0000-0000-0004"  # MC test number, joiners
+    invalid = "4111111111111112"
+    # pin the reference itself
+    assert _luhn_ref(valid) and _luhn_ref(valid_dash)
+    assert not _luhn_ref(invalid)
+    rows = [
+        (0, f"pay {valid} now"),
+        (1, f"ref {valid_dash} ok"),
+        (2, f"order {invalid} code"),
+        (3, "no digits at all"),
+        (4, f"two: {valid} and {valid_dash}"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_cc"], r["scrubbed"])
+           for r in luhn_scrub(df, "text").collect()}
+    assert got[0] == (1, "pay <CC> now")
+    assert got[1] == (1, "ref <CC> ok")
+    assert got[2] == (0, f"order {invalid} code")   # near-miss untouched
+    assert got[3] == (0, "no digits at all")
+    assert got[4][0] == 2 and "<CC>" in got[4][1] and valid not in got[4][1]
+    assert got[5] == (0, "")
+
+
+# ---------------------------------------------------------------- X163
+
+
+def test_textrank_connected_word_outranks_frequent(spark):
+    from scrapix_spark.operators.graph import (
+        cooccurrence_edges, textrank_keywords,
+    )
+
+    # 'hub' co-occurs with many distinct words; 'solo' repeats a lot but
+    # only ever next to itself/one partner -> hub must outrank solo
+    rows = [
+        (0, "hub alpha"), (1, "hub beta"), (2, "hub gamma"),
+        (3, "hub delta"), (4, "hub epsilon"),
+        (5, "solo solo solo solo solo solo pal"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    e = cooccurrence_edges(docs, "text", window=2)
+    pairs = {(r["src"], r["dst"]) for r in e.collect()}
+    assert ("hub", "alpha") in pairs and ("alpha", "hub") in pairs
+    assert ("solo", "solo") not in pairs  # self-loops dropped
+    out = textrank_keywords(docs, "text", window=2, iterations=4, k=10).collect()
+    ranks = {r["term"]: r["rank"] for r in out}
+    assert ranks["hub"] > ranks["solo"]
+    assert out[0]["term"] == "hub"
+    # ranks sum to ~1 over all nodes (k large enough here to see most)
+    with pytest.raises(ValueError, match="window"):
+        cooccurrence_edges(docs, "text", window=0)
+
+
+# ---------------------------------------------------------------- X164
+
+
+def test_string_stats_entropy(spark):
+    import math
+
+    from scrapix_spark.operators.textstats import string_stats
+
+    # 'aabb' + 'ab' -> p(a)=p(b)=0.5 -> entropy exactly 1 bit
+    df = spark.createDataFrame([("aabb",), ("ab",)], "text string")
+    row = string_stats(df, "text").collect()[0]
+    assert row["count"] == 2
+    assert row["min_length"] == 2 and row["max_length"] == 4
+    assert row["avg_length"] == 3.0
+    assert row["entropy"] == pytest.approx(1.0)
+    # uniform over 4 chars -> 2 bits
+    df4 = spark.createDataFrame([("abcd",)], "text string")
+    assert string_stats(df4, "text").collect()[0]["entropy"] == pytest.approx(2.0)
+    # NULL text counts as missing for count, length 0 via coalesce
+    dfn = spark.createDataFrame([("ab",), (None,)], "text string")
+    r = string_stats(dfn, "text").collect()[0]
+    assert r["count"] == 1 and r["min_length"] == 0
+
+
+# ---------------------------------------------------------------- X165
+
+
+def test_rare_terms_threshold_and_order(spark, pinned_corpus):
+    from scrapix_spark.operators.postings import rare_terms
+
+    docs, post, stats, n, avgdl = pinned_corpus
+    out = [(r["term"], r["doc_count"]) for r in rare_terms(post, 1, 100).collect()]
+    # df=1 terms only, term-ordered within the df tier
+    assert all(c == 1 for _, c in out)
+    terms = [t for t, _ in out]
+    assert terms == sorted(terms)
+    assert "only" in terms and "scan" in terms
+    # raising the cap admits more; ordering df asc then term asc
+    out2 = [(r["term"], r["doc_count"]) for r in rare_terms(post, 2, 100).collect()]
+    assert {c for _, c in out2} <= {1, 2}
+    assert len(out2) > len(out)
+    cs = [c for _, c in out2]
+    assert cs == sorted(cs)
+    # size bounds
+    assert len(rare_terms(post, 2, 3).collect()) == 3
+    with pytest.raises(ValueError, match="max_doc_count"):
+        rare_terms(post, 0)
