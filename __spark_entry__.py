@@ -6263,6 +6263,170 @@ ORDER BY doc_count ASC, term ASC LIMIT {RARE_SIZE}
 """
 
 
+MATRIX_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+BOOST_POS, BOOST_NEG, BOOST_NB = "table merge", "join", 0.4
+LTR_QUERY = "table merge sort"
+
+
+def q_matrix_stats(spark, sf_dir):
+    """X166 — ES matrix_stats: pairwise covariance/correlation + means
+    over lineitem numerics, all from explicit power sums in one agg
+    pass. operators/results.py matrix_stats."""
+    from scrapix_spark.operators import results as R
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return R.matrix_stats(li, MATRIX_COLS)
+
+
+def _matrix_stats_sql() -> str:
+    cols = MATRIX_COLS
+    arms = []
+    for i, ci in enumerate(cols):
+        for j in range(i, len(cols)):
+            cj = cols[j]
+            arms.append(f"""
+SELECT '{ci}' AS field_a, '{cj}' AS field_b,
+  round(sum({ci}) / count(*), 6) AS mean_a,
+  round(sum({cj}) / count(*), 6) AS mean_b,
+  round(sum({ci} * {cj}) / count(*)
+        - (sum({ci}) / count(*)) * (sum({cj}) / count(*)), 6) AS covariance,
+  round(CASE WHEN (sum({ci} * {ci}) / count(*)
+               - (sum({ci}) / count(*)) * (sum({ci}) / count(*))) > 0
+          AND (sum({cj} * {cj}) / count(*)
+               - (sum({cj}) / count(*)) * (sum({cj}) / count(*))) > 0
+    THEN (sum({ci} * {cj}) / count(*)
+          - (sum({ci}) / count(*)) * (sum({cj}) / count(*)))
+      / sqrt((sum({ci} * {ci}) / count(*)
+              - (sum({ci}) / count(*)) * (sum({ci}) / count(*)))
+           * (sum({cj} * {cj}) / count(*)
+              - (sum({cj}) / count(*)) * (sum({cj}) / count(*))))
+    END, 6) AS correlation
+FROM li""")
+    body = " UNION ALL ".join(arms)
+    conds = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    return f"""
+WITH li AS (SELECT * FROM lineitem WHERE {conds})
+SELECT * FROM ({body}) ORDER BY field_a, field_b
+"""
+
+
+def q_t_test(spark, sf_dir):
+    """X167 — ES t_test (Welch's unpaired form, ES default): does
+    l_extendedprice differ between discounted and undiscounted line
+    items? One six-sum agg pass. operators/results.py t_test."""
+    from scrapix_spark.operators import results as R
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return R.t_test(li, "l_extendedprice", F.col("l_discount") > 0.05)
+
+
+_T_TEST_SQL = """
+WITH s AS (
+  SELECT
+    sum(CASE WHEN l_discount > 0.05 AND l_extendedprice IS NOT NULL
+        THEN 1 ELSE 0 END)::DOUBLE AS na,
+    sum(CASE WHEN NOT (l_discount > 0.05) AND l_extendedprice IS NOT NULL
+        THEN 1 ELSE 0 END)::DOUBLE AS nb,
+    sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END) AS sa,
+    sum(CASE WHEN NOT (l_discount > 0.05) THEN l_extendedprice ELSE 0 END) AS sb,
+    sum(CASE WHEN l_discount > 0.05
+        THEN l_extendedprice * l_extendedprice ELSE 0 END) AS qa,
+    sum(CASE WHEN NOT (l_discount > 0.05)
+        THEN l_extendedprice * l_extendedprice ELSE 0 END) AS qb
+  FROM lineitem),
+m AS (SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+             (qa - na * (sa / na) * (sa / na)) / (na - 1) AS va,
+             (qb - nb * (sb / nb) * (sb / nb)) / (nb - 1) AS vb
+      FROM s),
+f AS (SELECT na, nb, ma, mb, va, vb, va / na + vb / nb AS se2 FROM m)
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+         THEN round((ma - mb) / sqrt(se2), 6) END AS t_stat,
+       CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+         THEN round(se2 * se2 / ((va / na) * (va / na) / (na - 1)
+                               + (vb / nb) * (vb / nb) / (nb - 1)), 6)
+       END AS df
+FROM f
+"""
+
+
+def q_boosting(spark, sf_dir):
+    """X168 — ES/Lucene boosting query: positive 'table merge' hits,
+    demoted (x0.4) not excluded when they also match 'join' — "about
+    java, not the coffee". operators/query.py boosting_topk."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    out = Q.boosting_topk(
+        post, stats, n, avgdl, BOOST_POS, BOOST_NEG, BOOST_NB, k=10
+    )
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"), "demoted"
+    )
+
+
+def _boosting_sql() -> str:
+    neg = ", ".join(f"'{t}'" for t in Q.query_terms(BOOST_NEG))
+    return _bm25_scored_sql(Q.query_terms(BOOST_POS)) + f"""
+, negd AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({neg})),
+bs AS (SELECT s.doc_id,
+              CASE WHEN n.doc_id IS NOT NULL
+                THEN s.score * {BOOST_NB!r} ELSE s.score END AS score,
+              n.doc_id IS NOT NULL AS demoted
+       FROM scored s LEFT JOIN negd n ON n.doc_id = s.doc_id)
+SELECT doc_id, round(score, 4) AS score, demoted
+FROM bs ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_ltr_features(spark, sf_dir):
+    """X169 — LTR feature logging (the public ES LTR plugin shape): one
+    agg pass emits the LETOR-core query-dependent feature vector for
+    the query's top-50 BM25 candidates. operators/query.py ltr_features."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    out = Q.ltr_features(post, stats, n, avgdl, LTR_QUERY, k=50)
+    return out.select(
+        "doc_id", F.round("bm25", 4).alias("bm25"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        "dl", "sum_tf", "max_tf",
+        F.round("sum_idf", 4).alias("sum_idf"),
+        F.round("cover", 6).alias("cover"),
+    )
+
+
+def _ltr_sql() -> str:
+    terms = Q.query_terms(LTR_QUERY)
+    n_terms = len(dict.fromkeys(terms))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    tok = TOK_EXPR("text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+dfv AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+feat AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS bm25,
+         count(*)::BIGINT AS n_matched,
+         max(dl.dl) AS dl,
+         sum(tf.tf)::BIGINT AS sum_tf,
+         max(tf.tf)::BIGINT AS max_tf,
+         sum(ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))) AS sum_idf
+  FROM tf
+  JOIN dfv USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(bm25, 4) AS bm25, n_matched, dl, sum_tf, max_tf,
+       round(sum_idf, 4) AS sum_idf,
+       round(n_matched::DOUBLE / {n_terms}, 6) AS cover
+FROM feat ORDER BY round(bm25, 9) DESC, doc_id ASC LIMIT 50
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -6419,6 +6583,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank,
         "string_stats": q_string_stats,
         "rare_terms": q_rare_terms,
+        "matrix_stats": q_matrix_stats,
+        "t_test_welch": q_t_test,
+        "boosting_query": q_boosting,
+        "ltr_features": q_ltr_features,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -9575,6 +9743,10 @@ ORDER BY event_type
         "textrank_keywords": _textrank_sql(),
         "string_stats": _STRING_STATS_SQL,
         "rare_terms": _rare_terms_sql(),
+        "matrix_stats": _matrix_stats_sql(),
+        "t_test_welch": _T_TEST_SQL,
+        "boosting_query": _boosting_sql(),
+        "ltr_features": _ltr_sql(),
     }
 
 

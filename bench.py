@@ -217,6 +217,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "span_containing", "terms_set_topk", "anchor_boost_topk",
         "percentile_ranks", "geo_distance_rings",
         "luhn_scrub", "textrank_keywords", "string_stats", "rare_terms",
+        "matrix_stats", "t_test_welch", "boosting_query", "ltr_features",
     ]
     out = {}
     for name in headline:

@@ -2489,3 +2489,120 @@ def terms_set_topk(
     return out.orderBy(
         F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
     ).limit(k)
+
+
+def boosting_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    positive_q: str,
+    negative_q: str,
+    negative_boost: float = 0.5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """X168 — the public ES/Lucene `boosting` query: results come from
+    the POSITIVE query's match set, but any hit that also matches the
+    NEGATIVE query keeps its rank DEMOTED by `negative_boost` (a
+    multiplier in [0,1]) instead of being excluded — "about java, not
+    the coffee" without losing recall the way a must_not would.
+
+    Plan: the positive side is the ordinary scored aggregation; the
+    negative match set is a distinct-doc_id projection of the negative
+    terms' postings (term-pushdown scan) that LEFT-joins the scored
+    relation doc-keyed; the demotion is a when() multiplier. One extra
+    co-partitioned join over the plain top-k, no window, TakeOrdered k.
+    Columns: (doc_id, score, demoted boolean).
+    """
+    if not 0.0 <= negative_boost <= 1.0:
+        raise ValueError("negative_boost must be in [0, 1]")
+    pos_terms = query_terms(positive_q)
+    neg_terms = query_terms(negative_q)
+    if not pos_terms:
+        return postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double, demoted boolean"
+        )
+    scored = _bm25_topk_from_postings_terms(
+        postings, term_stats, N, avgdl, pos_terms, k=(1 << 31) - 1, k1=k1, b=b
+    ).select("doc_id", "score")
+    if neg_terms:
+        neg = (
+            postings.filter(F.col("term").isin(neg_terms))
+            .select("doc_id")
+            .dropDuplicates(["doc_id"])
+            .withColumn("_neg", F.lit(True))
+        )
+        scored = scored.join(neg, "doc_id", "left")
+    else:
+        scored = scored.withColumn("_neg", F.lit(None).cast("boolean"))
+    demoted = F.col("_neg").isNotNull()
+    final = F.when(demoted, F.col("score") * F.lit(float(negative_boost))).otherwise(
+        F.col("score")
+    )
+    return (
+        scored.select("doc_id", final.alias("score"), demoted.alias("demoted"))
+        .orderBy(F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def ltr_features(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    q: str,
+    k: int = 100,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """X169 — learning-to-rank feature logging (the public ES LTR
+    plugin's `sltr`/feature-set logging shape): for the query's top-k
+    BM25 candidates, emit the per-(query, doc) feature vector a ranking
+    model trains on. Features (all classic public LTR features, the
+    LETOR set's query-dependent core):
+
+        bm25        summed BM25 score
+        n_matched   distinct query terms present
+        dl          document length
+        sum_tf      total matched-term occurrences
+        max_tf      hottest matched term's tf
+        sum_idf     summed idf of the matched terms
+        cover       n_matched / |query terms|
+
+    Plan: ONE map-side-combining hash agg over the candidate postings
+    (the same broadcast-idf slice the scorer uses) computes every
+    feature simultaneously — logging costs one pass, not one pass per
+    feature; TakeOrdered bounds the log. Columns above plus doc_id,
+    bm25-ordered.
+    """
+    terms = query_terms(q)
+    if not terms:
+        return postings.sparkSession.createDataFrame(
+            [], "doc_id long, bm25 double, n_matched int, dl long, "
+            "sum_tf long, max_tf long, sum_idf double, cover double"
+        )
+    n_terms = len(dict.fromkeys(terms))
+    tstats = term_stats.filter(F.col("term").isin(terms)).withColumn(
+        "idf", idf_expr(N, F.col("df").cast("double"))
+    )
+    cand = postings.filter(F.col("term").isin(terms)).join(
+        F.broadcast(tstats.select("term", "idf")), "term"
+    )
+    contrib = bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, k1, b)
+    agg = cand.withColumn("contrib", contrib).groupBy("doc_id").agg(
+        F.sum("contrib").alias("bm25"),
+        F.count("*").cast("int").alias("n_matched"),
+        F.max("dl").cast("long").alias("dl"),
+        F.sum("tf").cast("long").alias("sum_tf"),
+        F.max("tf").cast("long").alias("max_tf"),
+        F.sum("idf").alias("sum_idf"),
+    )
+    out = agg.withColumn(
+        "cover", F.col("n_matched").cast("double") / F.lit(float(n_terms))
+    )
+    return out.orderBy(
+        F.round(F.col("bm25"), SCORE_ROUND).desc(), F.col("doc_id").asc()
+    ).limit(k)

@@ -929,3 +929,113 @@ def percentile_ranks(
                F.round(F.col("cnt") * 100.0 / F.col("_n"), 6)
                ).otherwise(F.lit(None).cast("double")).alias("pct"),
     ).orderBy("value")
+
+
+def matrix_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """X166 — the public ES `matrix_stats` aggregation: pairwise
+    covariance and Pearson correlation (plus per-field mean/variance on
+    the diagonal rows) over a set of numeric fields, in ONE pass.
+
+    All statistics derive from power sums (n, Σx, Σx², Σxy) with the
+    population-moment formulas written out explicitly —
+    cov = Σxy/n − μxμy, corr = cov/(σxσy) — rather than engine
+    aggregate functions, because sample-vs-population and NaN
+    conventions differ between engines and the oracle must replay
+    bit-for-bit. Rows with a NULL in ANY of the fields are excluded
+    (ES's documented listwise deletion for this agg).
+
+    Plan: one global agg of |cols| + |cols|(|cols|+1)/2 sums (all
+    map-side, one-row exchange), then a literal unpivot to one row per
+    unordered pair (field_a <= field_b); diagonal rows carry
+    variance as covariance and correlation 1. Columns: (field_a,
+    field_b, mean_a, mean_b, covariance, correlation), 6-dp rounded.
+    """
+    if len(cols) < 2:
+        raise ValueError("matrix_stats needs at least two columns")
+    base = df
+    for c in cols:
+        base = base.filter(F.col(c).isNotNull())
+    aggs = [F.count("*").cast("double").alias("_n")]
+    for i, c in enumerate(cols):
+        x = F.col(c).cast("double")
+        aggs.append(F.sum(x).alias(f"_s{i}"))
+        for j, c2 in enumerate(cols[: i + 1]):
+            y = F.col(c2).cast("double")
+            aggs.append(F.sum(x * y).alias(f"_p{j}_{i}"))
+    one = base.agg(*aggs)
+    rows = []
+    for i, ci in enumerate(cols):
+        for j in range(i, len(cols)):
+            cj = cols[j]
+            n = F.col("_n")
+            mi = F.col(f"_s{i}") / n
+            mj = F.col(f"_s{j}") / n
+            cov = F.col(f"_p{i}_{j}") / n - mi * mj
+            vi = F.col(f"_p{i}_{i}") / n - mi * mi
+            vj = F.col(f"_p{j}_{j}") / n - mj * mj
+            corr = F.when(
+                (vi > 0) & (vj > 0), cov / F.sqrt(vi * vj)
+            ).otherwise(F.lit(None).cast("double"))
+            rows.append(
+                one.select(
+                    F.lit(ci).alias("field_a"),
+                    F.lit(cj).alias("field_b"),
+                    F.round(mi, 6).alias("mean_a"),
+                    F.round(mj, 6).alias("mean_b"),
+                    F.round(cov, 6).alias("covariance"),
+                    F.round(corr, 6).alias("correlation"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("field_a", "field_b")
+
+
+def t_test(
+    df: DataFrame, value_col: str, group: Column
+) -> DataFrame:
+    """X167 — the public ES `t_test` aggregation (unpaired,
+    heteroscedastic — Welch's form, ES's default): is the mean of
+    `value_col` different between the rows where `group` is true (A)
+    and false (B)?
+
+        t  = (μA − μB) / sqrt(sA²/nA + sB²/nB)      (sample variances)
+        df = Welch–Satterthwaite
+
+    One global agg of six sum(CASE) power sums (map-side, one-row
+    exchange) and pure arithmetic after — the formulas are written out
+    from the sums so the oracle replays exactly. NULL values excluded.
+    Columns: (n_a, n_b, mean_a, mean_b, t_stat, df), one row; t/df null
+    when either group has < 2 rows or both variances are 0.
+    """
+    x = F.col(value_col).cast("double")
+    a = group & x.isNotNull()
+    b = (~group) & x.isNotNull()
+    one = df.agg(
+        F.sum(F.when(a, 1).otherwise(0)).cast("double").alias("_na"),
+        F.sum(F.when(b, 1).otherwise(0)).cast("double").alias("_nb"),
+        F.sum(F.when(a, x).otherwise(0.0)).alias("_sa"),
+        F.sum(F.when(b, x).otherwise(0.0)).alias("_sb"),
+        F.sum(F.when(a, x * x).otherwise(0.0)).alias("_qa"),
+        F.sum(F.when(b, x * x).otherwise(0.0)).alias("_qb"),
+    )
+    na, nb = F.col("_na"), F.col("_nb")
+    ma, mb = F.col("_sa") / na, F.col("_sb") / nb
+    # sample variances (n-1 denominator)
+    va = (F.col("_qa") - na * ma * ma) / (na - 1)
+    vb = (F.col("_qb") - nb * mb * mb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    dfree = (se2 * se2) / (
+        (va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)
+    )
+    ok = (na >= 2) & (nb >= 2) & (se2 > 0)
+    return one.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.when(ok, F.round(t, 6)).otherwise(F.lit(None).cast("double")).alias("t_stat"),
+        F.when(ok, F.round(dfree, 6)).otherwise(F.lit(None).cast("double")).alias("df"),
+    )

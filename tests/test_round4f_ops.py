@@ -756,3 +756,131 @@ def test_rare_terms_threshold_and_order(spark, pinned_corpus):
     assert len(rare_terms(post, 2, 3).collect()) == 3
     with pytest.raises(ValueError, match="max_doc_count"):
         rare_terms(post, 0)
+
+
+# ---------------------------------------------------------------- X166
+
+
+def test_matrix_stats_closed_form(spark):
+    from scrapix_spark.operators.results import matrix_stats
+
+    # y = 2x exactly -> corr 1; z anti-correlated with x -> corr -1
+    rows = [(1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0),
+            (None, 1.0, 1.0)]  # listwise-deleted
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {(r["field_a"], r["field_b"]): r
+           for r in matrix_stats(df, ["x", "y", "z"]).collect()}
+    assert len(out) == 6
+    xy = out[("x", "y")]
+    assert xy["mean_a"] == 2.0 and xy["mean_b"] == 4.0
+    assert xy["correlation"] == pytest.approx(1.0)
+    assert xy["covariance"] == pytest.approx(4.0 / 3)  # population cov
+    assert out[("x", "z")]["correlation"] == pytest.approx(-1.0)
+    # diagonal: covariance = population variance, correlation 1
+    xx = out[("x", "x")]
+    assert xx["covariance"] == pytest.approx(2.0 / 3)
+    assert xx["correlation"] == pytest.approx(1.0)
+    # constant column -> correlation NULL, variance 0
+    dfc = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], "x double, c double")
+    oc = {(r["field_a"], r["field_b"]): r
+          for r in matrix_stats(dfc, ["x", "c"]).collect()}
+    assert oc[("x", "c")]["correlation"] is None
+    assert oc[("c", "c")]["covariance"] == 0.0
+    with pytest.raises(ValueError, match="two columns"):
+        matrix_stats(df, ["x"])
+
+
+def test_matrix_stats_single_pass_plan(spark):
+    from scrapix_spark.operators.results import matrix_stats
+
+    df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    out = matrix_stats(df, ["x", "y"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+# ---------------------------------------------------------------- X167
+
+
+def test_t_test_welch_reference(spark):
+    from scrapix_spark.operators.results import t_test
+
+    a = [2.1, 2.5, 2.3, 2.2, 2.6]
+    bvals = [1.9, 1.8, 2.0, 1.7]
+    rows = [(v, True) for v in a] + [(v, False) for v in bvals]
+    df = spark.createDataFrame(rows, "v double, g boolean")
+    r = t_test(df, "v", F.col("g")).collect()[0]
+    # closed-form Welch reference
+    import statistics
+
+    ma, mb = statistics.mean(a), statistics.mean(bvals)
+    va, vb = statistics.variance(a), statistics.variance(bvals)
+    se2 = va / len(a) + vb / len(bvals)
+    t_ref = (ma - mb) / se2 ** 0.5
+    df_ref = se2 ** 2 / ((va / len(a)) ** 2 / (len(a) - 1)
+                         + (vb / len(bvals)) ** 2 / (len(bvals) - 1))
+    assert r["n_a"] == 5 and r["n_b"] == 4
+    assert r["t_stat"] == pytest.approx(t_ref, abs=1e-6)
+    assert r["df"] == pytest.approx(df_ref, abs=1e-6)
+    # degenerate group -> NULL stats, no crash
+    d1 = spark.createDataFrame([(1.0, True), (2.0, False), (3.0, False)],
+                               "v double, g boolean")
+    r1 = t_test(d1, "v", F.col("g")).collect()[0]
+    assert r1["t_stat"] is None and r1["df"] is None
+
+
+# ---------------------------------------------------------------- X168
+
+
+def test_boosting_demotes_not_excludes(pinned_corpus):
+    from scrapix_spark.operators.query import boosting_topk
+
+    docs, post, stats, n, avgdl = pinned_corpus
+    plain = {r["doc_id"]: r["score"] for r in boosting_topk(
+        post, stats, n, avgdl, "merge table", "zzzz", 0.5, k=10).collect()}
+    out = boosting_topk(
+        post, stats, n, avgdl, "merge table", "scan", 0.5, k=10
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # doc 2 'table scan' matches the negative -> demoted, still present
+    assert by_id[2]["demoted"] is True
+    assert by_id[2]["score"] == pytest.approx(plain[2] * 0.5)
+    # non-matching docs unchanged
+    assert by_id[1]["demoted"] is False
+    assert by_id[1]["score"] == pytest.approx(plain[1])
+    # nb=0 floors demoted scores; nb=1 is a no-op ranking
+    z = {r["doc_id"]: r["score"] for r in boosting_topk(
+        post, stats, n, avgdl, "merge table", "scan", 0.0, k=10).collect()}
+    assert z[2] == 0.0
+    one = {r["doc_id"]: r["score"] for r in boosting_topk(
+        post, stats, n, avgdl, "merge table", "scan", 1.0, k=10).collect()}
+    assert one[2] == pytest.approx(plain[2])
+    with pytest.raises(ValueError, match="negative_boost"):
+        boosting_topk(post, stats, n, avgdl, "a", "b", 1.5)
+
+
+# ---------------------------------------------------------------- X169
+
+
+def test_ltr_features_consistent_with_scorer(pinned_corpus):
+    from scrapix_spark.operators.query import bm25_topk_from_postings, ltr_features
+
+    docs, post, stats, n, avgdl = pinned_corpus
+    feats = ltr_features(post, stats, n, avgdl, "merge table", k=10).collect()
+    ref = {r["doc_id"]: r["score"] for r in bm25_topk_from_postings(
+        post, stats, n, avgdl, "merge table", 10).collect()}
+    for r in feats:
+        # the bm25 feature IS the scorer's score
+        assert r["bm25"] == pytest.approx(ref[r["doc_id"]])
+        assert 0.0 < r["cover"] <= 1.0
+        assert r["max_tf"] <= r["sum_tf"]
+        assert r["n_matched"] <= 2
+    # doc 1: 'merge merge merge table' -> sum_tf 4, max_tf 3, cover 1.0
+    d1 = next(r for r in feats if r["doc_id"] == 1)
+    assert (d1["sum_tf"], d1["max_tf"], d1["cover"]) == (4, 3, 1.0)
+    assert d1["dl"] == 4
+    # empty query -> schema contract
+    e = ltr_features(post, stats, n, avgdl, "")
+    assert e.count() == 0
+    assert e.columns == ["doc_id", "bm25", "n_matched", "dl", "sum_tf",
+                         "max_tf", "sum_idf", "cover"]
