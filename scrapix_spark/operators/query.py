@@ -2393,13 +2393,14 @@ def pinned_topk(
     ranking fills the remainder with the pinned ids excluded. The
     merchandising / editorial-override primitive.
 
-    Plan: the organic side is the ordinary scored BM25 aggregation; the
-    pinned side is a tiny literal relation (|pinned| rows) that
-    broadcast-joins `docs` once to drop ids that don't exist and
-    broadcast-LEFT-joins the scored relation to pick up each pinned
-    doc's organic score (0.0 when it doesn't match). The union sorts on
-    (pinned-first, ordinal | rounded score) and TakeOrders k rows — the
-    corpus-sized side is touched exactly as often as a plain top-k.
+    Plan: the scored BM25 aggregation is computed ONCE; the pinned side
+    is a tiny literal relation (|pinned| rows) that broadcast-joins
+    `docs` once to drop ids that don't exist, then FULL-OUTER joins the
+    scored relation doc-keyed — the scored side is already partitioned
+    on doc_id by its own aggregation, so the merge adds no exchange on
+    the big side (and the one plan reference means the corpus pipeline
+    runs once, not once per branch). Sort key: pinned-first by ordinal,
+    then rounded score; TakeOrdered k.
 
     Columns: (doc_id, score, pinned) — score is the organic BM25 score
     (0.0 for a non-matching pinned doc), pinned marks promoted rows.
@@ -2419,25 +2420,17 @@ def pinned_topk(
     )
     # existence gate: broadcast the tiny pinned relation INTO docs
     pin = docs.select("doc_id").join(F.broadcast(pin), "doc_id")
-    # organic-score pickup: slice the corpus-sized scored relation down
-    # to the pinned ids with a broadcast inner join (map-side), then
-    # LEFT-join the ≤|pinned|-row slice back — no big-side shuffle
-    pin_scores = scored.join(F.broadcast(pin.select("doc_id")), "doc_id")
-    pin = pin.join(F.broadcast(pin_scores), "doc_id", "left")
-    pinned_rows = pin.select(
+    j = scored.join(pin, "doc_id", "full_outer")
+    pinned_flag = F.col("_ord").isNotNull()
+    key = F.when(pinned_flag, F.col("_ord").cast("double")).otherwise(
+        -F.round(F.col("score"), SCORE_ROUND)
+    )
+    out = j.select(
         "doc_id",
         F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
-        F.lit(True).alias("pinned"),
-        F.col("_ord").cast("double").alias("_key"),
+        pinned_flag.alias("pinned"),
+        key.alias("_key"),
     )
-    organic = (
-        scored.join(F.broadcast(pin.select("doc_id")), "doc_id", "left_anti")
-        .select(
-            "doc_id", "score", F.lit(False).alias("pinned"),
-            (-F.round(F.col("score"), SCORE_ROUND)).alias("_key"),
-        )
-    )
-    out = pinned_rows.unionByName(organic)
     return (
         out.orderBy(
             F.col("pinned").desc(), F.col("_key").asc(), F.col("doc_id").asc()

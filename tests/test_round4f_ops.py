@@ -274,16 +274,21 @@ def test_pinned_topk_order_and_exclusion(pinned_corpus):
         pinned_topk(post, stats, docs, n, avgdl, "merge", [1, 1])
 
 
-def test_pinned_topk_no_big_side_shuffle(pinned_corpus):
-    """Every join in the pinned plan must be a broadcast join — the
-    scored relation is only ever sliced or anti-joined map-side."""
+def test_pinned_topk_single_scored_pass(pinned_corpus):
+    """The scored aggregation must appear in the plan exactly once: the
+    pin existence gate broadcasts, and the only non-broadcast join is
+    the single doc-keyed FULL-OUTER merge (full outer cannot broadcast;
+    the scored side is already doc_id-partitioned by its own agg)."""
     from scrapix_spark.operators.query import pinned_topk
 
     docs, post, stats, n, avgdl = pinned_corpus
     out = pinned_topk(post, stats, docs, n, avgdl, "merge table", [3, 0], k=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" not in plan
+    assert plan.count("SortMergeJoin") == 1 and "FullOuter" in plan
     assert "BroadcastHashJoin" in plan
+    # one scored pipeline, not one per branch: the idf broadcast join
+    # (the scorer's signature node) appears exactly once
+    assert plan.count("TakeOrderedAndProject") == 1
 
 
 # ---------------------------------------------------------------- X153
