@@ -6427,6 +6427,47 @@ FROM feat ORDER BY round(bm25, 9) DESC, doc_id ASC LIMIT 50
 """
 
 
+TYPO_DL_QUERY = "mrege windwo"  # transpositions: DL 1, levenshtein 2
+
+
+def q_typo_damerau(spark, sf_dir):
+    """X170 — Damerau typo tolerance (Lucene FuzzyQuery semantics: a
+    transposition costs ONE edit): 'mrege'/'windwo' reach
+    'merge'/'window' inside the 1-typo budget that plain levenshtein
+    (dist 2) misses entirely. Same SymSpell candidate join; the verify
+    kernel is the FULL (unrestricted) DL — bit-matched to DuckDB's
+    damerau_levenshtein over 4k random pairs.
+    operators/match.py damerau_levenshtein / typo_candidates(metric=)."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    out = M.bm25_topk_typo(
+        post, stats, n, avgdl, TYPO_DL_QUERY, 10, K1, B, metric="damerau"
+    )
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+def _typo_damerau_sql() -> str:
+    words = Q.query_terms(TYPO_DL_QUERY)
+    wsel = " UNION ALL ".join(
+        f"SELECT {i} AS wi, '{w}' AS w" for i, w in enumerate(words)
+    )
+    return _contrib_cte() + f"""
+, words AS ({wsel}),
+cand AS (SELECT w.wi, d.term FROM words w
+         JOIN dict d ON abs(len(d.term) - len(w.w)) <= 1
+                    AND damerau_levenshtein(d.term, w.w) <= 1),
+perword AS (SELECT c.wi, ct.doc_id, max(ct.c) AS score
+            FROM cand c JOIN contrib ct ON ct.term = c.term
+            GROUP BY c.wi, ct.doc_id)
+SELECT doc_id, round(sum(score), 4) AS score,
+       count(DISTINCT wi)::BIGINT AS n_matched
+FROM perword GROUP BY doc_id
+ORDER BY count(DISTINCT wi) DESC, round(sum(score), 9) DESC, doc_id LIMIT 10
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -6592,6 +6633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_test_welch": q_t_test,
         "boosting_query": q_boosting,
         "ltr_features": q_ltr_features,
+        "typo_damerau_topk": q_typo_damerau,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -9752,6 +9794,7 @@ ORDER BY event_type
         "t_test_welch": _T_TEST_SQL,
         "boosting_query": _boosting_sql(),
         "ltr_features": _ltr_sql(),
+        "typo_damerau_topk": _typo_damerau_sql(),
     }
 
 

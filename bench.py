@@ -218,6 +218,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "percentile_ranks", "geo_distance_rings",
         "luhn_scrub", "textrank_keywords", "string_stats", "rare_terms",
         "matrix_stats", "t_test_welch", "boosting_query", "ltr_features",
+        "typo_damerau_topk",
     ]
     out = {}
     for name in headline:

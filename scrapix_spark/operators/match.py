@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -198,9 +199,21 @@ def typo_candidates(
     two_typo_min: int = TWO_TYPO_MIN,
     disable_on_words: set[str] | None = None,
     enabled: bool = True,
+    metric: str = "levenshtein",
 ) -> DataFrame:
-    """Dictionary terms within levenshtein distance of `query_term` —
+    """Dictionary terms within edit distance of `query_term` —
     SymSpell deletion-key join, exact-verified.
+
+    `metric` picks the verification distance: "levenshtein" (the
+    Meilisearch default this engine has always used) or "damerau"
+    (X170 — FULL Damerau-Levenshtein, unrestricted, the variant
+    DuckDB's damerau_levenshtein implements; Lucene's FuzzyQuery
+    counts a transposition as ONE edit the same way, so "mrege"
+    reaches "merge" inside a 1-typo budget instead of costing 2).
+    Candidate generation is unchanged — the SymSpell deletion
+    neighborhood is a superset for any metric <= levenshtein
+    (DL(x,y) <= lev(x,y)), pinned by an exhaustive brute-force
+    parity test.
 
     Build side: every dictionary term explodes into its deletion keys
     of depth <= allowed distance (plus itself). Probe side: the query
@@ -238,14 +251,78 @@ def typo_candidates(
     exploded = cand_terms.withColumn(
         "delkey", F.explode(_dict_deletion_keys(allowed))
     )
-    hits = (
+    cand = (
         exploded.filter(F.col("delkey").isin(qkeys))
         .select("term", "df")
         .dropDuplicates(["term"])
-        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(query_term)))
-        .filter(F.col("dist") <= allowed)
     )
+    if metric == "levenshtein":
+        dist = F.levenshtein(F.col("term"), F.lit(query_term))
+    elif metric == "damerau":
+        dist = _damerau_dist_udf(query_term)(F.col("term"))
+    else:
+        raise ValueError("metric must be levenshtein|damerau")
+    hits = cand.withColumn("dist", dist).filter(F.col("dist") <= allowed)
     return hits.orderBy("dist", "term")
+
+
+def damerau_levenshtein(a: str, b: str) -> int:
+    """FULL (unrestricted) Damerau-Levenshtein distance — the textbook
+    algorithm with the last-occurrence row (da[]) and the infinity
+    border, NOT the optimal-string-alignment restriction: edits may
+    happen between the two halves of a transposition, so e.g.
+    dl("ca", "abc") = 2 where OSA says 3. This is the variant DuckDB's
+    damerau_levenshtein implements (pinned by a parity test), which is
+    what makes the oracle replay exact."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    inf = la + lb
+    da: dict[str, int] = {}
+    # matrix with -1/0 border rows (index shift +1)
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = inf
+    for i in range(la + 1):
+        d[i + 1][0] = inf
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = inf
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            ell = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,            # substitution
+                d[i + 1][j] + 1,           # insertion
+                d[i][j + 1] + 1,           # deletion
+                d[k][ell] + (i - k - 1) + 1 + (j - ell - 1),  # transposition
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def _damerau_dist_udf(query_term: str):
+    """Arrow-vectorized full-DL distance against a fixed query term —
+    runs only on the bounded SymSpell candidate set, never the
+    dictionary."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _dl(terms: pd.Series) -> pd.Series:
+        return terms.map(lambda t: damerau_levenshtein(t, query_term)).astype(
+            "int32"
+        )
+
+    return _dl
 
 
 def bm25_topk_typo(
@@ -262,6 +339,7 @@ def bm25_topk_typo(
     two_typo_min: int = TWO_TYPO_MIN,
     disable_on_words: set[str] | None = None,
     enabled: bool = True,
+    metric: str = "levenshtein",
 ) -> DataFrame:
     """Top-k with typo tolerance: each query word expands to its
     edit-distance dictionary neighborhood — per-word budget =
@@ -280,7 +358,7 @@ def bm25_topk_typo(
     for wi, w in enumerate(words):
         cands = typo_candidates(
             term_stats, w, max_dist, min_len, two_typo_min,
-            disable_on_words, enabled,
+            disable_on_words, enabled, metric,
         ).select("term", "df")
         exp = cands.withColumn("idf", idf_expr(N, F.col("df").cast("double")))
         cand = postings.join(F.broadcast(exp.select("term", "idf")), "term")

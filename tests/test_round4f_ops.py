@@ -889,3 +889,63 @@ def test_ltr_features_consistent_with_scorer(pinned_corpus):
     assert e.count() == 0
     assert e.columns == ["doc_id", "bm25", "n_matched", "dl", "sum_tf",
                          "max_tf", "sum_idf", "cover"]
+
+
+# ---------------------------------------------------------------- X170
+
+
+def test_damerau_levenshtein_reference():
+    import duckdb
+
+    from scrapix_spark.operators.match import damerau_levenshtein as dl
+
+    # the full-DL (unrestricted) discriminators
+    assert dl("ca", "ac") == 1       # adjacent transposition = 1 edit
+    assert dl("ca", "abc") == 2      # edit BETWEEN transposed chars (OSA: 3)
+    assert dl("mrege", "merge") == 1
+    assert dl("", "abc") == 3 and dl("abc", "") == 3 and dl("", "") == 0
+    # bit-parity with the oracle engine's function on random pairs
+    import random
+
+    random.seed(11)
+    con = duckdb.connect()
+    for _ in range(500):
+        a = "".join(random.choices("abcde", k=random.randint(0, 7)))
+        b = "".join(random.choices("abcde", k=random.randint(0, 7)))
+        assert dl(a, b) == con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0], (a, b)
+
+
+def test_typo_candidates_damerau_metric(spark, pinned_corpus):
+    from scrapix_spark.operators.match import typo_candidates
+
+    docs, post, stats, n, avgdl = pinned_corpus
+    # 'mrege' -> 'merge': DL 1 (in budget), levenshtein 2 (out)
+    lev = typo_candidates(stats, "mrege", max_dist=1, min_len=5).collect()
+    assert all(r["term"] != "merge" for r in lev)
+    dam = typo_candidates(
+        stats, "mrege", max_dist=1, min_len=5, metric="damerau"
+    ).collect()
+    assert any(r["term"] == "merge" and r["dist"] == 1 for r in dam)
+    # SymSpell candidate completeness under DL: join results == brute force
+    all_terms = [r["term"] for r in stats.select("term").collect()]
+    from scrapix_spark.operators.match import damerau_levenshtein as dlf
+
+    brute = {t for t in all_terms if dlf(t, "mrege") <= 1}
+    assert {r["term"] for r in dam} == brute
+    with pytest.raises(ValueError, match="metric"):
+        typo_candidates(stats, "mrege", metric="hamming")
+
+
+def test_bm25_typo_damerau_search(pinned_corpus):
+    from scrapix_spark.operators.match import bm25_topk_typo
+
+    docs, post, stats, n, avgdl = pinned_corpus
+    lev = bm25_topk_typo(post, stats, n, avgdl, "mrege", 10).collect()
+    dam = bm25_topk_typo(
+        post, stats, n, avgdl, "mrege", 10, metric="damerau"
+    ).collect()
+    # levenshtein misses every 'merge' doc; damerau finds them
+    assert lev == []
+    assert {r["doc_id"] for r in dam} == {0, 1, 4}
