@@ -6448,6 +6448,18 @@ def q_typo_damerau(spark, sf_dir):
     )
 
 
+def oracles_phrase_pos() -> str:
+    """Shared oracle for phrase_positional_topk AND the X171 codec gate
+    (same query, same semantics — the codec is byte-level only)."""
+    return _bm25_scored_sql(Q.query_terms(PHRASE_POS_QUERY)) + f"""
+SELECT s.doc_id, round(s.score, 4) AS score
+FROM scored s JOIN documents d USING (doc_id)
+WHERE s.n_matched = {len(set(Q.query_terms(PHRASE_POS_QUERY)))}
+  AND regexp_matches(lower(d.text), '{M.phrase_regex(Q.query_terms(PHRASE_POS_QUERY))}')
+ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
+"""
+
+
 def _typo_damerau_sql() -> str:
     words = Q.query_terms(TYPO_DL_QUERY)
     wsel = " UNION ALL ".join(
@@ -6466,6 +6478,49 @@ SELECT doc_id, round(sum(score), 4) AS score,
 FROM perword GROUP BY doc_id
 ORDER BY count(DISTINCT wi) DESC, round(sum(score), 9) DESC, doc_id LIMIT 10
 """
+
+
+def _entry_poscodec_index(spark: SparkSession, sf_dir: str) -> str:
+    """Published index with the positional relation stored through the
+    X171 delta+varint .pos-stream codec (positions_codec='varint');
+    fixture for the phrase_pos_codec_topk gate."""
+    import re as _re
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.operators.index import build_index
+
+    d = "/tmp/entry_poscodec_" + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    if not os.path.exists(os.path.join(d, "_CURRENT")):
+        raw = _docs(spark, sf_dir).select(
+            F.col("source").alias("repo"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+        build_index(
+            spark, raw, d,
+            IndexConfig(index_uid="entryposc", n_shards=8,
+                        exclude_paginated=False, store_positions=True,
+                        positions_codec="varint"),
+            build_id="pc1", source_desc=sf_dir,
+        )
+    return d
+
+
+def q_phrase_pos_codec(spark, sf_dir):
+    """X171 — positional phrase query over an index whose .pos stream
+    is delta+varint encoded (encode at build, Arrow decode at read,
+    positional operators unchanged) — must equal the raw-positions
+    phrase oracle exactly. operators/codec.py encode_positions /
+    index.py read_positions."""
+    idx = _entry_poscodec_index(spark, sf_dir)
+    r = Q.IndexReader(spark, idx)
+    out = r.topk_phrase(PHRASE_POS_QUERY, 10, hydrate=True)
+    return out.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
 
 
 def q_trigram_regex(spark, sf_dir):
@@ -6634,6 +6689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting_query": q_boosting,
         "ltr_features": q_ltr_features,
         "typo_damerau_topk": q_typo_damerau,
+        "phrase_pos_codec_topk": q_phrase_pos_codec,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -9795,6 +9851,7 @@ ORDER BY event_type
         "boosting_query": _boosting_sql(),
         "ltr_features": _ltr_sql(),
         "typo_damerau_topk": _typo_damerau_sql(),
+        "phrase_pos_codec_topk": oracles_phrase_pos(),
     }
 
 

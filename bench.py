@@ -142,6 +142,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
 
     E._entry_index(spark, sf_dir)
     E._entry_pos_index(spark, sf_dir)
+    E._entry_poscodec_index(spark, sf_dir)
     E._lifecycle_index(spark, sf_dir, compacted=False)
     E._stream_index(spark, sf_dir)
     E._for_index(spark, sf_dir)
@@ -218,7 +219,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "percentile_ranks", "geo_distance_rings",
         "luhn_scrub", "textrank_keywords", "string_stats", "rare_terms",
         "matrix_stats", "t_test_welch", "boosting_query", "ltr_features",
-        "typo_damerau_topk",
+        "typo_damerau_topk", "phrase_pos_codec_topk",
     ]
     out = {}
     for name in headline:

@@ -111,6 +111,13 @@ class IndexConfig:
     # Index-affecting: baked into every segment byte, so changing it via
     # update_settings reindexes (NOT in QUERY_TIME_SETTINGS, like k1/b).
     codec: str = "varint"
+    # positions-stream byte codec (X171, only with store_positions):
+    # 'raw' keeps the positional relation as parquet int arrays;
+    # 'varint' stores each (term, doc) position list as one
+    # delta+LEB128 binary cell (the Lucene .pos-stream layout) —
+    # decoded back to arrays at read time, transparently to every
+    # positional operator. Index-affecting like `codec`.
+    positions_codec: str = "raw"
     batch_size: int = DEFAULT_BATCH_SIZE
     # LSM merge policy (the Lucene TieredMergePolicy / Meilisearch
     # auto-compaction analog, OPT-IN): after a delta/upsert publish

@@ -17,6 +17,7 @@ block-max pruned top-k (SURVEY.md §2.7 T3).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 _THRESHOLDS = [1 << (7 * i) for i in range(1, 10)]  # varint byte-count cutoffs
 
@@ -684,3 +685,44 @@ def bloom_contains(bloom, probes, key_col: str, m_bits: int = 1024,
         .agg((F.min(hit) == 1).alias("maybe_present"))
         .orderBy(key_col)
     )
+
+
+# --------------------------------------------------- positions stream
+
+
+def encode_positions(positions) -> bytes:
+    """X171 — one (term, doc) position list → delta + LEB128 bytes (the
+    Lucene .pos-stream cell): positions are strictly increasing token
+    ordinals, so gaps are small and varint-dense."""
+    return delta_encode(np.asarray(positions, dtype=np.int64))
+
+
+def decode_positions(buf: bytes) -> np.ndarray:
+    """Inverse of encode_positions → int64 position array."""
+    return delta_decode(buf)
+
+
+def encode_positions_relation(df, col: str = "positions", out: str = "pos_enc"):
+    """Positional relation with the int-array column replaced by the
+    delta+varint binary cell — an Arrow-batched map (zero shuffle)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _enc(p: pd.Series) -> pd.Series:
+        return p.map(lambda xs: encode_positions(xs))
+
+    return df.withColumn(out, _enc(F.col(col))).drop(col)
+
+
+def decode_positions_relation(df, col: str = "pos_enc", out: str = "positions"):
+    """Inverse of encode_positions_relation: binary cells → int arrays,
+    Arrow-batched, so every positional operator runs unchanged."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _dec(b: pd.Series) -> pd.Series:
+        return b.map(lambda x: decode_positions(bytes(x)).astype("int32").tolist())
+
+    return df.withColumn(out, _dec(F.col(col))).drop(col)

@@ -451,6 +451,14 @@ def _build_index_inner(
                 .drop("term")
                 .withColumn("tb", P.term_bucket_expr(F.col("term_id"), tb_bits))
             )
+            if cfg.positions_codec == "varint":
+                # X171: the Lucene .pos-stream layout — each (term, doc)
+                # position list stored as one delta+LEB128 binary cell
+                from scrapix_spark.operators import codec as _codec
+
+                posrel = _codec.encode_positions_relation(posrel)
+            elif cfg.positions_codec != "raw":
+                raise ValueError("positions_codec must be raw|varint")
             (
                 posrel.repartition(batch_parts, "tb")
                 .sortWithinPartitions("term_id", "doc_id")
@@ -488,6 +496,7 @@ def _build_index_inner(
     meta = {
         "index_uid": cfg.index_uid,
         "store_positions": cfg.store_positions,
+        "positions_codec": cfg.positions_codec,
         "sorted_staging": cfg.sorted_staging,
         "build_id": build_id,
         "N": stats["N"],
@@ -822,10 +831,20 @@ def read_dict(spark: SparkSession, index_dir: str) -> DataFrame:
 
 def read_positions(spark: SparkSession, index_dir: str) -> DataFrame:
     """Positional relation (term_id, doc_id, tf, dl, positions, tb);
-    only present when the build ran with store_positions."""
-    return _union_layers(spark, index_dir, "positions").drop(
+    only present when the build ran with store_positions. A
+    positions_codec='varint' build (X171) stores delta+LEB128 binary
+    cells; they are decoded back to int arrays here (Arrow-batched,
+    AFTER the term_id/tb pushdown filters the caller applies — parquet
+    prunes encoded rows exactly like raw ones), so every positional
+    operator consumes the same schema either way."""
+    rel = _union_layers(spark, index_dir, "positions").drop(
         "seg_seq", "avgdl_build"
     )
+    if load_meta(index_dir).get("positions_codec") == "varint":
+        from scrapix_spark.operators import codec as _codec
+
+        rel = _codec.decode_positions_relation(rel)
+    return rel
 
 
 def read_facets(spark: SparkSession, index_dir: str) -> DataFrame:

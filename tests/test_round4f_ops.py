@@ -949,3 +949,91 @@ def test_bm25_typo_damerau_search(pinned_corpus):
     # levenshtein misses every 'merge' doc; damerau finds them
     assert lev == []
     assert {r["doc_id"] for r in dam} == {0, 1, 4}
+
+
+# ---------------------------------------------------------------- X171
+
+
+def test_positions_codec_roundtrip():
+    import random
+
+    import numpy as np
+
+    from scrapix_spark.operators.codec import (
+        decode_positions, encode_positions,
+    )
+
+    random.seed(5)
+    total_raw = total_enc = 0
+    for _ in range(200):
+        n = random.randint(0, 60)
+        pos = sorted(random.sample(range(0, 5000), n))
+        buf = encode_positions(pos)
+        back = decode_positions(buf).tolist()
+        assert back == pos
+        total_raw += 8 * n
+        total_enc += len(buf)
+    assert decode_positions(encode_positions([])).size == 0
+    # delta+varint must beat 8-byte ints on realistic position gaps
+    assert total_enc < total_raw / 3
+
+
+def test_positions_codec_index_rank_identity(spark, tmp_path):
+    """A varint-positions build must answer phrase/sloppy queries
+    identically to a raw-positions build of the same corpus."""
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.fixtures import corpus_spark_df
+    from scrapix_spark.operators.index import build_index, load_meta
+    from scrapix_spark.operators.query import IndexReader
+
+    docs = corpus_spark_df(spark, 300)
+    raw_d, enc_d = str(tmp_path / "raw"), str(tmp_path / "enc")
+    build_index(spark, docs, raw_d,
+                IndexConfig(n_shards=4, store_positions=True),
+                build_id="r", n_batches=1)
+    build_index(spark, docs, enc_d,
+                IndexConfig(n_shards=4, store_positions=True,
+                            positions_codec="varint"),
+                build_id="e", n_batches=1)
+    assert load_meta(enc_d)["positions_codec"] == "varint"
+    rr, re_ = IndexReader(spark, raw_d), IndexReader(spark, enc_d)
+    for q in ["binary search", "merge sort", "the quick"]:
+        a = [(r["doc_id"], round(r["score"], 6))
+             for r in rr.topk_phrase(q, 10, hydrate=False).collect()]
+        b = [(r["doc_id"], round(r["score"], 6))
+             for r in re_.topk_phrase(q, 10, hydrate=False).collect()]
+        assert a == b, q
+    # the stored stream is binary cells, not int arrays
+    import os
+
+    enc_pos = spark.read.parquet(
+        os.path.join(enc_d, "_build_e", "positions")
+    )
+    assert "pos_enc" in enc_pos.columns and "positions" not in enc_pos.columns
+    # invalid codec name rejected at build time
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="positions_codec"):
+        build_index(spark, docs, str(tmp_path / "bad"),
+                    IndexConfig(n_shards=2, store_positions=True,
+                                positions_codec="lz77"),
+                    build_id="x", n_batches=1)
+
+
+def test_positions_codec_pushdown_survives_decode(spark, tmp_path):
+    """The term_id/tb filters must still reach the parquet scan BELOW
+    the Arrow decode projection (filter-through-project)."""
+    from pyspark.sql import functions as F
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.fixtures import corpus_spark_df
+    from scrapix_spark.operators.index import build_index, read_positions
+
+    d = str(tmp_path / "pp")
+    build_index(spark, corpus_spark_df(spark, 120), d,
+                IndexConfig(n_shards=2, store_positions=True,
+                            positions_codec="varint"),
+                build_id="p", n_batches=1)
+    rel = read_positions(spark, d).filter(F.col("term_id") == 12345)
+    plan = rel._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(term_id), EqualTo(term_id,12345)" in plan
