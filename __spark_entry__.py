@@ -6523,6 +6523,51 @@ def q_phrase_pos_codec(spark, sf_dir):
     )
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """X172 — WARC/WET source connector (the CommonCrawl container):
+    the documents table serialized into per-record-gzip WARC shards by
+    the fixture writer, re-ingested by the REAL record-walk parser
+    (Content-Length-authoritative, multi-member gzip), and
+    value-verified by sha256 against the parquet truth.
+    scrapix_spark/sources.py warc_encode / parse_warc / read_warc."""
+    import re as _re
+
+    from scrapix_spark.sources import read_warc, warc_encode
+
+    base = "/tmp/entry_warc_" + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        os.makedirs(base, exist_ok=True)
+        rows = (
+            _docs(spark, sf_dir)
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .collect()
+        )  # fixture synthesis only — the READ side is the operator
+        n_shards = 4
+        for s in range(n_shards):
+            recs = [
+                (f"https://c.example/{r['doc_id']}", "conversion", r["text"])
+                for r in rows
+                if r["doc_id"] % n_shards == s
+            ]
+            with open(os.path.join(base, f"part-{s}.warc.gz"), "wb") as f:
+                f.write(warc_encode(recs, gzip_records=True))
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+    out = read_warc(spark, os.path.join(base, "*.warc.gz"))
+    return out.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("warc_type"),
+        F.sha2(F.col("content"), 256).alias("sha"),
+    ).orderBy("doc_id")
+
+
+_WARC_SQL = """
+SELECT doc_id, 'conversion' AS warc_type, sha256(text) AS sha
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -6690,6 +6735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_features": q_ltr_features,
         "typo_damerau_topk": q_typo_damerau,
         "phrase_pos_codec_topk": q_phrase_pos_codec,
+        "warc_roundtrip": q_warc_roundtrip,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -9852,6 +9898,7 @@ ORDER BY event_type
         "ltr_features": _ltr_sql(),
         "typo_damerau_topk": _typo_damerau_sql(),
         "phrase_pos_codec_topk": oracles_phrase_pos(),
+        "warc_roundtrip": _WARC_SQL,
     }
 
 

@@ -1037,3 +1037,66 @@ def test_positions_codec_pushdown_survives_decode(spark, tmp_path):
     rel = read_positions(spark, d).filter(F.col("term_id") == 12345)
     plan = rel._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(term_id), EqualTo(term_id,12345)" in plan
+
+
+# ---------------------------------------------------------------- X172
+
+
+def test_warc_parse_content_length_authoritative():
+    from scrapix_spark.sources import parse_warc, warc_encode
+
+    # payload containing blank lines and a fake WARC header — naive
+    # split-on-separator parsers break on both
+    tricky = "line1\r\n\r\nWARC/1.0\r\nnot a header\n\nend"
+    data = warc_encode([
+        ("https://a/1", "response", "hello"),
+        ("https://a/2", "conversion", tricky),
+        ("https://a/3", "conversion", ""),
+    ])
+    recs = list(parse_warc(data))
+    assert [(t, u) for t, u, _ in recs] == [
+        ("response", "https://a/1"),
+        ("conversion", "https://a/2"),
+        ("conversion", "https://a/3"),
+    ]
+    assert recs[1][2].decode() == tricky
+    assert recs[2][2] == b""
+    # per-record gzip members (the CommonCrawl layout)
+    gz = warc_encode([("https://a/1", "conversion", "x"),
+                      ("https://a/2", "conversion", "y")], gzip_records=True)
+    assert [p for _, _, p in parse_warc(gz)] == [b"x", b"y"]
+    # unicode survives
+    uni = warc_encode([("https://a/u", "conversion", "héllo wörld ≤")])
+    assert next(iter(parse_warc(uni)))[2].decode("utf-8") == "héllo wörld ≤"
+    # corrupt stream fails loudly
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not a WARC"):
+        list(parse_warc(b"HTTP/1.1 200 OK\r\n\r\n"))
+    with _pt.raises(ValueError, match="truncated"):
+        list(parse_warc(uni[:-12]))
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    from scrapix_spark.sources import read_warc, warc_encode
+
+    for s in range(3):
+        recs = [(f"https://ex/{s}/{i}",
+                 "conversion" if i % 2 else "response",
+                 f"doc {s}-{i} content")
+                for i in range(10)]
+        (tmp_path / f"shard{s}.warc.gz").write_bytes(
+            warc_encode(recs, gzip_records=True)
+        )
+    df = read_warc(spark, str(tmp_path / "*.warc.gz"))
+    rows = df.collect()
+    assert len(rows) == 30
+    types = {r["warc_type"] for r in rows}
+    assert types == {"conversion", "response"}
+    # type filter
+    conv = read_warc(spark, str(tmp_path / "*.warc.gz"),
+                     record_types=("conversion",)).collect()
+    assert len(conv) == 15 and all(r["warc_type"] == "conversion" for r in conv)
+    one = next(r for r in rows if r["target_uri"] == "https://ex/1/3")
+    assert one["content"] == "doc 1-3 content"
+    assert one["warc_file"].endswith("shard1.warc.gz")
