@@ -6568,6 +6568,81 @@ FROM documents ORDER BY doc_id
 """
 
 
+# The fixed corpus vocabulary (identical across all sf dirs; verified
+# against 0.001/0.01/0.1) — lets the stemming oracle carry a COMPLETE
+# static stem map while the engine stems dynamically.
+_CORPUS_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+STEM_QUERY = "tables merges queries"  # inflected; stems hit the corpus
+
+
+def q_stemmed_search(spark, sf_dir):
+    """X173 — Porter-stemmed search (the 1980 algorithm from the
+    published rule lists — the Lucene-analyzer recall stage
+    Meilisearch lacks): postings terms and query words both stem, so
+    'tables merges queries' retrieves table/merge/query documents.
+    Engine stems dynamically (Arrow pandas UDF, map-only);
+    functions/stem.py porter_stem / stem_postings."""
+    from scrapix_spark.functions.stem import porter_stem, stem_postings
+
+    post, _, n, avgdl = _corpus_for_match(spark, sf_dir)
+    sp = stem_postings(post)
+    stats = P.term_stats(sp)
+    sterms = [porter_stem(w) for w in Q.query_terms(STEM_QUERY)]
+    out = Q._bm25_topk_from_postings_terms(
+        sp, stats, n, avgdl, sterms, 10, K1, B
+    )
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+def _stemmed_sql() -> str:
+    """Generated-shared oracle (the X142 pattern): the stem MAP is
+    produced by the same published-rule-list implementation pytest
+    pins against the paper's canonical vectors; the SQL verifies the
+    DISTRIBUTED side — stem-merged tf, df over stems, BM25 — with the
+    complete static map for the corpus's fixed vocabulary."""
+    from scrapix_spark.functions.stem import porter_stem
+
+    vals = ", ".join(
+        f"('{w}', '{porter_stem(w)}')" for w in _CORPUS_VOCAB
+    )
+    sterms = ", ".join(
+        f"'{porter_stem(w)}'" for w in Q.query_terms(STEM_QUERY)
+    )
+    tok = TOK_EXPR("text")
+    return f"""
+WITH smap AS (SELECT * FROM (VALUES {vals}) AS m(term, stem)),
+tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+stok AS (SELECT t.doc_id, coalesce(m.stem, t.term) AS term
+         FROM tok t LEFT JOIN smap m ON m.term = t.term),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM stok
+       WHERE term IN ({sterms}) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM stok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+dfv AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS score,
+         count(*)::BIGINT AS n_matched
+  FROM tf
+  JOIN dfv USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score, n_matched
+FROM scored ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_trigram_regex(spark, sf_dir):
     """X111 — trigram-accelerated regex search: an alternation of
     literals compiles to an OR-of-AND trigram query; only candidates
@@ -6736,6 +6811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typo_damerau_topk": q_typo_damerau,
         "phrase_pos_codec_topk": q_phrase_pos_codec,
         "warc_roundtrip": q_warc_roundtrip,
+        "stemmed_search": q_stemmed_search,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -9899,6 +9975,7 @@ ORDER BY event_type
         "typo_damerau_topk": _typo_damerau_sql(),
         "phrase_pos_codec_topk": oracles_phrase_pos(),
         "warc_roundtrip": _WARC_SQL,
+        "stemmed_search": _stemmed_sql(),
     }
 
 

@@ -220,6 +220,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "luhn_scrub", "textrank_keywords", "string_stats", "rare_terms",
         "matrix_stats", "t_test_welch", "boosting_query", "ltr_features",
         "typo_damerau_topk", "phrase_pos_codec_topk", "warc_roundtrip",
+        "stemmed_search",
     ]
     out = {}
     for name in headline:

@@ -1,0 +1,197 @@
+"""Porter stemmer (X173) — the public 1980 algorithm ("An algorithm
+for suffix stripping", M. F. Porter, Program 14(3)), implemented from
+the published rule lists. The one analyzer stage the engine lacked:
+Meilisearch does not stem, but every Lucene-lineage engine exposes a
+stemming analyzer, and recall-oriented code/doc search wants
+"tables" ⇒ "table", "indexing" ⇒ "index".
+
+Pure Python here; applied corpus-side as an Arrow-batched pandas UDF
+(`stem_terms_udf`) over already-tokenized terms — stemming is a
+per-term pure function, so the operator is map-only at any scale and
+a stemmed index is just the ordinary build over stemmed postings.
+
+Verification: the function is pinned by pytest against the rule-list
+examples published in the paper (caresses→caress, ponies→poni,
+relational→relate-step output, …) and by structural invariants; the
+driver gate's oracle is GENERATED from this same function over the
+gate's bounded vocabulary (the X142 shared-generator pattern) — it
+verifies the distributed plumbing; the pytest vectors verify the
+algorithm.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+_VOWELS = set("aeiou")
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """m = number of VC sequences in [C](VC){m}[V]."""
+    m, prev_v = 0, False
+    for i in range(len(stem)):
+        v = not _is_cons(stem, i)
+        if prev_v and not v:
+            m += 1
+        prev_v = v
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _double_cons(w: str) -> bool:
+    return (
+        len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1)
+    )
+
+
+def _cvc(w: str) -> bool:
+    """*o: stem ends cvc where the final c is not w, x or y."""
+    if len(w) < 3:
+        return False
+    return (
+        _is_cons(w, len(w) - 3)
+        and not _is_cons(w, len(w) - 2)
+        and _is_cons(w, len(w) - 1)
+        and w[-1] not in "wxy"
+    )
+
+
+def _repl(w: str, suf: str, rep: str, m_min: int) -> str | None:
+    if not w.endswith(suf):
+        return None
+    stem = w[: len(w) - len(suf)]
+    if _measure(stem) > m_min:
+        return stem + rep
+    return w  # suffix matched but condition failed: rule consumed
+
+
+_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+    ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
+    ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+    ("ation", "ate"), ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+    ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+    ("iviti", "ive"), ("biliti", "ble"),
+]
+_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def porter_stem(word: str) -> str:
+    """Stem one lowercase word by the published five-step rule lists.
+    Words of length <= 2 return unchanged (the paper's convention)."""
+    w = word
+    if len(w) <= 2:
+        return w
+
+    # ---- step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # ---- step 1b
+    did_1b = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and _has_vowel(w[:-2]):
+        w = w[:-2]
+        did_1b = True
+    elif w.endswith("ing") and _has_vowel(w[:-3]):
+        w = w[:-3]
+        did_1b = True
+    if did_1b:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _double_cons(w) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif _measure(w) == 1 and _cvc(w):
+            w += "e"
+
+    # ---- step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # ---- step 2 (m > 0), longest match first per the rule lists
+    for suf, rep in sorted(_STEP2, key=lambda p: -len(p[0])):
+        if w.endswith(suf):
+            w = _repl(w, suf, rep, 0)
+            break
+
+    # ---- step 3 (m > 0)
+    for suf, rep in sorted(_STEP3, key=lambda p: -len(p[0])):
+        if w.endswith(suf):
+            w = _repl(w, suf, rep, 0)
+            break
+
+    # ---- step 4 (m > 1); 'ion' needs a preceding s or t
+    for suf in sorted(_STEP4, key=len, reverse=True):
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if suf == "ion" and not stem.endswith(("s", "t")):
+                continue
+            if _measure(stem) > 1:
+                w = stem
+            break
+
+    # ---- step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+    # ---- step 5b
+    if _measure(w) > 1 and _double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+def stem_terms_udf():
+    """Arrow-batched pandas UDF: term column → Porter stem. Map-only;
+    apply to a postings relation's `term` column and re-aggregate to
+    get a stemmed index (terms that collapse to one stem merge their
+    postings — the recall win stemming exists for)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _stem(terms: pd.Series) -> pd.Series:
+        return terms.map(porter_stem)
+
+    return _stem
+
+
+def stem_postings(postings):
+    """Stemmed postings relation: terms mapped through porter_stem and
+    (term, doc) rows re-merged (tf sums — two surface forms of one stem
+    in one doc are one stemmed term). One map + the same term-keyed agg
+    shape as tokenization itself; dl is unchanged (document length is a
+    property of the text, not the vocabulary)."""
+    from pyspark.sql import functions as F
+
+    s = postings.withColumn("term", stem_terms_udf()(F.col("term")))
+    return s.groupBy("term", "doc_id").agg(
+        F.sum("tf").cast("long").alias("tf"), F.max("dl").alias("dl")
+    )

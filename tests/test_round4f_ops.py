@@ -1100,3 +1100,57 @@ def test_read_warc_distributed(spark, tmp_path):
     one = next(r for r in rows if r["target_uri"] == "https://ex/1/3")
     assert one["content"] == "doc 1-3 content"
     assert one["warc_file"].endswith("shard1.warc.gz")
+
+
+# ---------------------------------------------------------------- X173
+
+
+def test_porter_stem_paper_vectors():
+    from scrapix_spark.functions.stem import porter_stem as p
+
+    # full-pipeline outputs for the canonical examples (the per-step
+    # examples in the paper cascade through later steps — e.g.
+    # relational -> relate (step 2) -> relat (step 5a))
+    vec = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat", "feed": "feed",
+        "agreed": "agre", "plastered": "plaster", "bled": "bled",
+        "motoring": "motor", "sing": "sing", "happy": "happi",
+        "sky": "sky", "relational": "relat", "conditional": "condit",
+        "digitizer": "digit", "operator": "oper", "hopeful": "hope",
+        "goodness": "good", "adjustable": "adjust",
+        "replacement": "replac", "adoption": "adopt",
+        "dependent": "depend", "effective": "effect",
+        "generalizations": "gener", "oscillators": "oscil",
+        "tables": "tabl", "indexing": "index", "merges": "merg",
+        "queries": "queri", "running": "run", "hopping": "hop",
+        "falling": "fall", "filing": "file", "controlling": "control",
+        "rolling": "roll",
+    }
+    for w, want in vec.items():
+        assert p(w) == want, (w, p(w), want)
+    # structural invariants
+    assert p("it") == "it" and p("a") == "a"   # <=2 chars unchanged
+    for w in vec:
+        assert p(p(w)) == p(p(p(w)))           # reaches a fixpoint
+
+
+def test_stem_postings_merges_surface_forms(spark):
+    from scrapix_spark.functions.tokenize import with_tokens
+    from scrapix_spark.functions.stem import stem_postings
+
+    docs = spark.createDataFrame(
+        [(0, "table tables table"), (1, "merging merges"), (2, "sky")],
+        "doc_id long, text string",
+    )
+    t = with_tokens(docs, "text")
+    post = t.select(
+        "doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("tk")
+    ).select("tk.term", "doc_id", F.col("tk.tf").cast("long").alias("tf"), "dl")
+    sp = {(r["term"], r["doc_id"]): (r["tf"], r["dl"])
+          for r in stem_postings(post).collect()}
+    # 'table' + 'tables' merge into one stemmed posting with tf 3
+    assert sp[("tabl", 0)] == (3, 3)
+    # 'merging'/'merges' both stem to 'merg' -> tf 2, dl unchanged
+    assert sp[("merg", 1)] == (2, 2)
+    assert ("sky", 2) in sp
