@@ -6650,6 +6650,252 @@ def q_trigram_regex(spark, sf_dir):
     return TG.regex_search(_docs(spark, sf_dir), TRIGRAM_RE)
 
 
+# ------------------------------------------------------------- round-4g gates
+
+FG_LONG = 200
+MT_SIZE = 10
+DS_MAXPV, DS_SHARD = 2, 25
+COLLAPSE_GROUPS, COLLAPSE_INNER = 5, 3
+CTX_PREFIX, CTX_LANG = "s", "en"
+EDGE_TYPED = "s"
+FUZZ_PREFIX = "ro"
+SCRIPT_EXPR = "_score * 2 + log1p(n_chars) - sqrt(min(n_chars, 100))"
+
+
+def q_filters_agg(spark, sf_dir):
+    """X174 — ES `filters` aggregation + `global` bucket: N named
+    predicates counted in ONE scan (sum(CASE) arms of a single hash
+    agg, unpivoted with stack), plus `_other_` (rows matching no named
+    bucket) and `_global_`. operators/results.py filters_agg."""
+    from scrapix_spark.operators import results as R
+
+    d = _docs(spark, sf_dir)
+    return R.filters_agg(
+        d,
+        {
+            "en": F.col("lang") == "en",
+            "long": F.col("n_chars") > FG_LONG,
+            "src_early": F.col("source").isin("src0", "src1"),
+        },
+    )
+
+
+def _filters_agg_sql() -> str:
+    return f"""
+SELECT 'en' AS bucket, count(*) FILTER (lang = 'en')::BIGINT AS doc_count FROM documents
+UNION ALL
+SELECT 'long', count(*) FILTER (n_chars > {FG_LONG})::BIGINT FROM documents
+UNION ALL
+SELECT 'src_early', count(*) FILTER (source IN ('src0','src1'))::BIGINT FROM documents
+UNION ALL
+SELECT '_other_', count(*) FILTER (NOT (lang = 'en') AND NOT (n_chars > {FG_LONG})
+                                   AND NOT (source IN ('src0','src1')))::BIGINT FROM documents
+UNION ALL
+SELECT '_global_', count(*)::BIGINT FROM documents
+ORDER BY bucket
+"""
+
+
+def q_multi_terms_agg(spark, sf_dir):
+    """X174 — ES `multi_terms` aggregation: compound-key (lang, source)
+    buckets with doc_count + sum(n_chars), top by doc_count (key-asc
+    tiebreak), one hash agg + TakeOrdered. operators/results.py
+    multi_terms_agg."""
+    from scrapix_spark.operators import results as R
+
+    return R.multi_terms_agg(
+        _docs(spark, sf_dir), ["lang", "source"], "n_chars", size=MT_SIZE
+    )
+
+
+def _multi_terms_sql() -> str:
+    return f"""
+SELECT lang, source, count(*)::BIGINT AS doc_count,
+       round(sum(n_chars::DOUBLE), 6) AS metric_sum
+FROM documents GROUP BY lang, source
+ORDER BY doc_count DESC, lang ASC, source ASC LIMIT {MT_SIZE}
+"""
+
+
+def q_diversified_sample(spark, sf_dir):
+    """X175 — ES `diversified_sampler`: global top-{DS_SHARD} docs by
+    n_chars admitting at most {DS_MAXPV} per lang; one window shuffle
+    on the dedup field + TakeOrdered cut. operators/results.py
+    diversified_sample."""
+    from scrapix_spark.operators import results as R
+
+    return R.diversified_sample(
+        _docs(spark, sf_dir),
+        "lang",
+        F.col("n_chars").cast("double"),
+        "doc_id",
+        max_per_value=DS_MAXPV,
+        shard_size=DS_SHARD,
+    )
+
+
+def _diversified_sql() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang, round(n_chars::DOUBLE, 6) AS score,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars::DOUBLE DESC, doc_id ASC)::INT
+             AS value_rank
+  FROM documents)
+SELECT doc_id, lang, score, value_rank FROM ranked
+WHERE value_rank <= {DS_MAXPV}
+ORDER BY score DESC, doc_id ASC LIMIT {DS_SHARD}
+"""
+
+
+def q_collapse_inner_hits(spark, sf_dir):
+    """X176 — ES field collapsing + inner_hits: BM25-score the query,
+    collapse on `source` (top groups by group-max score), return the
+    top inner hits inside each selected group. Group selection is a
+    partial top-k over a groupBy-max (never a global sort); the
+    winners broadcast back so the inner window only partitions
+    selected groups. operators/query.py collapse_topk."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    return Q.collapse_topk(
+        post, stats, n, avgdl, Q.query_terms(BM25_QUERY),
+        _docs(spark, sf_dir), "source",
+        k_groups=COLLAPSE_GROUPS, inner_size=COLLAPSE_INNER, k1=K1, b=B,
+    )
+
+
+def _collapse_sql() -> str:
+    terms = Q.query_terms(BM25_QUERY)
+    return f"""
+{_bm25_scored_sql(terms)}
+, hits AS (
+  SELECT s.doc_id, round(s.score, 6) AS score, d.source AS group_val
+  FROM scored s JOIN documents d USING (doc_id)),
+gsel AS (
+  SELECT group_val, max(score) AS gmax FROM hits GROUP BY group_val
+  ORDER BY gmax DESC, group_val ASC LIMIT {COLLAPSE_GROUPS}),
+granked AS (
+  SELECT group_val,
+         row_number() OVER (ORDER BY gmax DESC, group_val ASC)::INT AS group_rank
+  FROM gsel),
+ih AS (
+  SELECT h.group_val, g.group_rank,
+         row_number() OVER (PARTITION BY h.group_val
+                            ORDER BY h.score DESC, h.doc_id ASC)::INT AS inner_rank,
+         h.doc_id, h.score
+  FROM hits h JOIN granked g USING (group_val))
+SELECT group_val, group_rank, inner_rank, doc_id, score FROM ih
+WHERE inner_rank <= {COLLAPSE_INNER}
+ORDER BY group_rank, inner_rank
+"""
+
+
+def q_context_completions(spark, sf_dir):
+    """X177 — context-filtered completions (ES completion-suggester
+    `contexts`): the k most document-frequent terms extending the
+    prefix WITHIN one context (lang) only; both filters push into the
+    scan before the df agg. operators/match.py context_completions."""
+    post = _postings(spark, sf_dir)
+    ctx = post.join(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+    ).select("term", "doc_id", "lang")
+    return M.context_completions(ctx, CTX_PREFIX, "lang", CTX_LANG, k=8)
+
+
+def _context_completions_sql() -> str:
+    tok = TOK_EXPR("text")
+    return f"""
+WITH tok AS (SELECT doc_id, lang, unnest({tok}) AS term FROM documents)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+FROM tok WHERE lang = '{CTX_LANG}' AND term LIKE '{CTX_PREFIX}%'
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 8
+"""
+
+
+def q_edge_ngram_complete(spark, sf_dir):
+    """X178 — edge-n-gram autocomplete INDEX (Lucene/ES `edge_ngram`
+    write-time trade): the dictionary materializes (gram, term, df)
+    prefixes once; each keystroke is then an exact-equality point
+    lookup, never a range scan. operators/match.py edge_ngram_index /
+    edge_ngram_complete."""
+    _, stats, _, _ = _corpus_for_match(spark, sf_dir)
+    return M.edge_ngram_complete(M.edge_ngram_index(stats), EDGE_TYPED, k=8)
+
+
+def _edge_ngram_sql() -> str:
+    tok = TOK_EXPR("text")
+    L = len(EDGE_TYPED)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+dict AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term)
+SELECT term, df FROM dict
+WHERE length(term) >= {L} AND substring(term, 1, {L}) = '{EDGE_TYPED}'
+ORDER BY df DESC, term ASC LIMIT 8
+"""
+
+
+def q_fuzzy_completions(spark, sf_dir):
+    """X179 — fuzzy search-as-you-type (ES completion suggester
+    `fuzzy`): '{FUZZ_PREFIX}' still completes to merge-family terms. A
+    term matches when a prefix-cut of length |p|-1..|p|+1 is within
+    levenshtein 1 of the typed prefix; candidates come from a SymSpell
+    depth-1 deletion-key join (never a levenshtein scan of the
+    dictionary), exact-verified. operators/match.py
+    fuzzy_completions."""
+    _, stats, _, _ = _corpus_for_match(spark, sf_dir)
+    return M.fuzzy_completions(stats, FUZZ_PREFIX, k=8)
+
+
+def _fuzzy_completions_sql() -> str:
+    tok = TOK_EXPR("text")
+    p = FUZZ_PREFIX
+    L = len(p)
+    cuts = [n for n in (L - 1, L, L + 1) if n >= 1]
+    dist = "least(" + ", ".join(
+        f"levenshtein(substring(term, 1, {n}), '{p}')" for n in cuts
+    ) + ")"
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+dict AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term)
+SELECT term, df, {dist}::INT AS dist FROM dict
+WHERE length(term) >= {max(1, L - 1)} AND {dist} <= 1
+ORDER BY dist ASC, df DESC, term ASC LIMIT 8
+"""
+
+
+def q_script_score(spark, sf_dir):
+    """X180 — script_score: BM25 hits rescored by a user arithmetic
+    script compiled ONCE to a Catalyst projection (recursive-descent
+    parser, zero Python at run time); the oracle SQL is emitted from
+    the SAME AST (shared-AST pattern), so the gate pins the compiler.
+    operators/exprscore.py."""
+    from scrapix_spark.operators import exprscore as E
+
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    scored = Q._bm25_topk_from_postings_terms(
+        post, stats, n, avgdl, Q.query_terms(BM25_QUERY), k=(1 << 31) - 1,
+        k1=K1, b=B,
+    ).join(_docs(spark, sf_dir).select("doc_id", "n_chars"), "doc_id")
+    out = E.script_score_topk(
+        scored, SCRIPT_EXPR,
+        {"_score": F.col("score"), "n_chars": F.col("n_chars")},
+        k=10,
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score"), "new_score")
+
+
+def _script_score_sql() -> str:
+    from scrapix_spark.operators import exprscore as E
+
+    terms = Q.query_terms(BM25_QUERY)
+    expr = E.to_sql(E.parse(SCRIPT_EXPR), {"_score": "s.score", "n_chars": "d.n_chars"})
+    return f"""
+{_bm25_scored_sql(terms)}
+SELECT s.doc_id, round(s.score, 6) AS score, round({expr}, 6) AS new_score
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY round({expr}, 6) DESC, s.doc_id ASC LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -6812,6 +7058,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_pos_codec_topk": q_phrase_pos_codec,
         "warc_roundtrip": q_warc_roundtrip,
         "stemmed_search": q_stemmed_search,
+        "filters_agg": q_filters_agg,
+        "multi_terms_agg": q_multi_terms_agg,
+        "diversified_sample": q_diversified_sample,
+        "collapse_inner_hits": q_collapse_inner_hits,
+        "context_completions": q_context_completions,
+        "edge_ngram_complete": q_edge_ngram_complete,
+        "fuzzy_completions": q_fuzzy_completions,
+        "script_score_topk": q_script_score,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -9976,6 +10230,14 @@ ORDER BY event_type
         "phrase_pos_codec_topk": oracles_phrase_pos(),
         "warc_roundtrip": _WARC_SQL,
         "stemmed_search": _stemmed_sql(),
+        "filters_agg": _filters_agg_sql(),
+        "multi_terms_agg": _multi_terms_sql(),
+        "diversified_sample": _diversified_sql(),
+        "collapse_inner_hits": _collapse_sql(),
+        "context_completions": _context_completions_sql(),
+        "edge_ngram_complete": _edge_ngram_sql(),
+        "fuzzy_completions": _fuzzy_completions_sql(),
+        "script_score_topk": _script_score_sql(),
     }
 
 

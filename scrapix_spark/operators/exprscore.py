@@ -1,0 +1,206 @@
+"""X180 — script_score: a tiny arithmetic scoring language compiled to
+Catalyst (the public ES `script_score` / Lucene expressions module
+surface; Meilisearch has no scripting — the reference delegates all
+ranking server-side, reference: src/sender.ts — so this is the
+Lucene-family capability that lets an app reshape relevance without
+redeploying the engine).
+
+The language is the safe arithmetic core of Lucene expressions:
+
+    expr   := term (('+' | '-') term)*
+    term   := unary (('*' | '/') unary)*
+    unary  := '-' unary | atom
+    atom   := NUMBER | IDENT | FUNC '(' expr (',' expr)* ')' | '(' expr ')'
+    FUNC   := log | log1p | sqrt | abs | exp | min | max | pow
+
+IDENTs resolve to columns of the scored relation (`_score`, any numeric
+doc field). One recursive-descent parse produces an AST; the SAME AST
+compiles to (a) a pyspark Column — pure Catalyst, zero Python at run
+time, whole-stage-codegen'd with the rest of the plan — and (b) the
+equivalent DuckDB SQL scalar (the shared-AST oracle pattern X136
+established: both engines execute one parse, so the gate pins the
+compiler, not two hand-written copies).
+
+Scale shape: compilation is driver-side on a bounded query string; the
+compiled expression is a per-row projection — no shuffle, no UDF, no
+serialization boundary. Rescoring top-k output stays TakeOrdered.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+FUNCS_1 = {"log", "log1p", "sqrt", "abs", "exp"}
+FUNCS_N = {"min": 2, "max": 2, "pow": 2}
+
+_TOKEN = re.compile(
+    r"\s*(?:(?P<num>\d+(?:\.\d+)?)|(?P<ident>[A-Za-z_][A-Za-z0-9_]*)"
+    r"|(?P<op>[()+\-*/,]))"
+)
+
+
+@dataclass
+class Node:
+    kind: str           # "num" | "col" | "call" | "bin" | "neg"
+    value: object = None
+    args: tuple = ()
+
+
+def tokenize(src: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN.match(src, pos)
+        if not m or m.end() == pos:
+            if src[pos:].strip():
+                raise ValueError(f"script_score: bad character at {pos!r}: {src[pos:]}")
+            break
+        out.append(m.group("num") or m.group("ident") or m.group("op"))
+        pos = m.end()
+    return out
+
+
+class _Parser:
+    def __init__(self, toks: list[str]):
+        self.toks, self.i = toks, 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self, want: str | None = None) -> str:
+        tok = self.peek()
+        if tok is None or (want is not None and tok != want):
+            raise ValueError(f"script_score: expected {want!r}, got {tok!r}")
+        self.i += 1
+        return tok
+
+    def parse(self) -> Node:
+        node = self.expr()
+        if self.peek() is not None:
+            raise ValueError(f"script_score: trailing input at {self.peek()!r}")
+        return node
+
+    def expr(self) -> Node:
+        node = self.term()
+        while self.peek() in ("+", "-"):
+            op = self.take()
+            node = Node("bin", op, (node, self.term()))
+        return node
+
+    def term(self) -> Node:
+        node = self.unary()
+        while self.peek() in ("*", "/"):
+            op = self.take()
+            node = Node("bin", op, (node, self.unary()))
+        return node
+
+    def unary(self) -> Node:
+        if self.peek() == "-":
+            self.take()
+            return Node("neg", args=(self.unary(),))
+        return self.atom()
+
+    def atom(self) -> Node:
+        tok = self.take()
+        if re.fullmatch(r"\d+(?:\.\d+)?", tok):
+            return Node("num", float(tok))
+        if tok == "(":
+            node = self.expr()
+            self.take(")")
+            return node
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", tok):
+            raise ValueError(f"script_score: unexpected token {tok!r}")
+        if self.peek() == "(":
+            self.take("(")
+            args = [self.expr()]
+            while self.peek() == ",":
+                self.take(",")
+                args.append(self.expr())
+            self.take(")")
+            if tok in FUNCS_1 and len(args) == 1:
+                return Node("call", tok, tuple(args))
+            if tok in FUNCS_N and len(args) == FUNCS_N[tok]:
+                return Node("call", tok, tuple(args))
+            raise ValueError(f"script_score: unknown function {tok}/{len(args)}")
+        return Node("col", tok)
+
+
+def parse(src: str) -> Node:
+    return _Parser(tokenize(src)).parse()
+
+
+def to_column(node: Node, env: dict[str, Column]) -> Column:
+    """Compile the AST to a Catalyst column; `env` maps identifiers."""
+    if node.kind == "num":
+        return F.lit(node.value)
+    if node.kind == "col":
+        if node.value not in env:
+            raise ValueError(f"script_score: unknown field {node.value!r}")
+        return env[node.value].cast("double")
+    if node.kind == "neg":
+        return -to_column(node.args[0], env)
+    if node.kind == "bin":
+        a, b = (to_column(x, env) for x in node.args)
+        return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[node.value]
+    a = [to_column(x, env) for x in node.args]
+    return {
+        "log": lambda: F.log(a[0]),
+        "log1p": lambda: F.log1p(a[0]),
+        "sqrt": lambda: F.sqrt(a[0]),
+        "abs": lambda: F.abs(a[0]),
+        "exp": lambda: F.exp(a[0]),
+        "min": lambda: F.least(a[0], a[1]),
+        "max": lambda: F.greatest(a[0], a[1]),
+        "pow": lambda: F.pow(a[0], a[1]),
+    }[node.value]()
+
+
+def to_sql(node: Node, env: dict[str, str]) -> str:
+    """Emit the SAME AST as a DuckDB scalar expression; `env` maps
+    identifiers to SQL fragments. Parenthesizes every composite node so
+    precedence is carried by the tree, never re-derived."""
+    if node.kind == "num":
+        return repr(node.value)
+    if node.kind == "col":
+        if node.value not in env:
+            raise ValueError(f"script_score: unknown field {node.value!r}")
+        return f"({env[node.value]})::DOUBLE"
+    if node.kind == "neg":
+        return f"(- {to_sql(node.args[0], env)})"
+    if node.kind == "bin":
+        a, b = (to_sql(x, env) for x in node.args)
+        return f"({a} {node.value} {b})"
+    a = [to_sql(x, env) for x in node.args]
+    return {
+        "log": lambda: f"ln({a[0]})",
+        "log1p": lambda: f"ln(1.0 + {a[0]})",
+        "sqrt": lambda: f"sqrt({a[0]})",
+        "abs": lambda: f"abs({a[0]})",
+        "exp": lambda: f"exp({a[0]})",
+        "min": lambda: f"least({a[0]}, {a[1]})",
+        "max": lambda: f"greatest({a[0]}, {a[1]})",
+        "pow": lambda: f"pow({a[0]}, {a[1]})",
+    }[node.value]()
+
+
+def script_score_topk(
+    scored,
+    script: str,
+    fields: dict[str, Column],
+    k: int = 10,
+):
+    """Rescore a scored relation with `script` and return the top-k by
+    the new score. `fields` maps script identifiers to columns of
+    `scored` (convention: `_score` is the retrieval score). Output
+    keeps (doc_id, score, new_score rounded 6dp); order
+    (new_score desc, doc_id asc); TakeOrdered cut."""
+    ast = parse(script)
+    new_score = F.round(to_column(ast, fields), 6)
+    return (
+        scored.withColumn("new_score", new_score)
+        .orderBy(F.col("new_score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

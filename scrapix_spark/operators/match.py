@@ -1931,3 +1931,166 @@ def span_containing_docs(
         F.size("_f").cast("long").alias("n_spans"),
         F.array_min("_f").cast("long").alias("first_pos"),
     ).orderBy("doc_id")
+
+
+def context_completions(
+    ctx_postings: DataFrame,
+    prefix: str,
+    context_col: str,
+    context_value: str,
+    k: int = 8,
+) -> DataFrame:
+    """X177 — context-filtered search-as-you-type (the public ES
+    completion suggester's `contexts` feature; Meilisearch apps get the
+    same effect by issuing the prefix query with a filter — reference
+    playground wires `filters` into every search box query).
+
+    `ctx_postings` is (term, doc_id, <context_col>); the suggestion
+    list is the k most document-frequent dictionary terms extending
+    `prefix` WITHIN the requested context only — a term popular
+    globally but absent from the context never surfaces.
+
+    Columns: (term, df), df = distinct docs in-context.
+
+    Scale shape: both filters (context equality, term StringStartsWith)
+    push into the scan BEFORE the df aggregation, so the agg only ever
+    sees the context's prefix-matching slice; the k-cut is a
+    TakeOrdered partial top-k. With the relation partitioned by
+    context (the natural layout for per-context dictionaries) the scan
+    prunes to one partition.
+    """
+    sliced = ctx_postings.filter(
+        (F.col(context_col) == context_value) & F.col("term").startswith(prefix)
+    )
+    return (
+        sliced.groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+EDGE_MIN_GRAM, EDGE_MAX_GRAM = 1, 8
+
+
+def edge_ngram_index(
+    term_stats: DataFrame,
+    min_gram: int = EDGE_MIN_GRAM,
+    max_gram: int = EDGE_MAX_GRAM,
+) -> DataFrame:
+    """X178 — edge-n-gram autocomplete INDEX (the public Lucene/ES
+    `edge_ngram` analyzer strategy): every dictionary term emits its
+    prefixes of length min_gram..max_gram, so autocomplete becomes an
+    EXACT equality lookup instead of a range scan.
+
+    This is the write-time half of the classic search-as-you-type
+    trade: `completions` (X59) prefix-scans the dictionary at query
+    time (zero index cost, O(log n + matches) per query); this
+    materializes (gram, term, df) once (bounded ≤ max_gram−min_gram+1
+    rows per term) and each keystroke is then a hash/point lookup that
+    parquet partition-prunes on `gram`.
+
+    Columns: (gram, term, df).
+    """
+    lens = F.sequence(
+        F.lit(min_gram),
+        F.least(F.length("term"), F.lit(max_gram)),
+    )
+    return (
+        term_stats.filter(F.length("term") >= min_gram)
+        .select(
+            F.explode(
+                F.transform(lens, lambda n: F.substring(F.col("term"), 1, n))
+            ).alias("gram"),
+            "term",
+            F.col("df").cast("long").alias("df"),
+        )
+    )
+
+
+def edge_ngram_complete(
+    gram_index: DataFrame, typed: str, k: int = 8
+) -> DataFrame:
+    """X178 query half: exact-equality lookup of the typed prefix in the
+    edge-n-gram index → top-k completions by df. The equality predicate
+    pushes to the scan (point lookup on a gram-partitioned index);
+    TakeOrdered k-cut. Columns: (term, df)."""
+    return (
+        gram_index.filter(F.col("gram") == typed)
+        .select("term", "df")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def _deletion_keys(s: str) -> list[str]:
+    """s plus every single-character deletion of s (SymSpell depth 1)."""
+    return [s] + [s[:i] + s[i + 1 :] for i in range(len(s))]
+
+
+def fuzzy_completions(
+    term_stats: DataFrame, prefix: str, k: int = 8
+) -> DataFrame:
+    """X179 — FUZZY search-as-you-type (the public ES completion
+    suggester's `fuzzy` option): complete `prefix` even when it
+    contains one typo, e.g. "mrg" still suggests "merge".
+
+    A term matches when some prefix-cut of it, of length |p|−1, |p| or
+    |p|+1, is within levenshtein 1 of the typed prefix — the standard
+    fuzzy-prefix semantics (the typo may be a substitution, a missing
+    or an extra character anywhere in what was typed). Exact prefix
+    matches rank first (dist 0), then dist-1, df desc, term asc.
+
+    Columns: (term, df, dist).
+
+    Scale shape — same SymSpell discipline as typo_candidates (X2),
+    never a levenshtein scan of the dictionary: the dictionary side
+    explodes each term into the depth-1 deletion keys of its three
+    prefix cuts (bounded ≤ 3·(|p|+2) short strings per term — at build
+    time this IS the persisted fuzzy-completion index, exactly like
+    the edge_ngram_index write-time trade); the probe side is the
+    typed prefix's deletion neighborhood as a broadcast IN-list; one
+    hash semi-join produces the complete candidate set (the SymSpell
+    invariant: lev ≤ 1 ⇒ a shared key at depth 1), and native
+    `levenshtein` verifies exactly on the candidates only.
+    """
+    L = len(prefix)
+    probe = set(_deletion_keys(prefix))
+    cuts = [n for n in (L - 1, L, L + 1) if n >= 1]
+    keyed = term_stats.filter(F.length("term") >= max(1, L - 1)).select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.explode(
+            F.array_distinct(
+                F.flatten(
+                    F.array(
+                        *[
+                            F.transform(
+                                F.sequence(F.lit(0), F.least(F.length("term"), F.lit(n))),
+                                lambda i: F.concat(
+                                    F.substring(F.col("term"), 1, n).substr(F.lit(1), i),
+                                    F.substring(F.col("term"), 1, n).substr(
+                                        i + 2, F.lit(n)
+                                    ),
+                                ),
+                            )
+                            for n in cuts
+                        ]
+                    )
+                )
+            )
+        ).alias("key"),
+    )
+    cand = keyed.filter(F.col("key").isin(list(probe))).select("term", "df").distinct()
+    dist = F.least(
+        *[
+            F.levenshtein(F.substring(F.col("term"), 1, n), F.lit(prefix))
+            for n in cuts
+        ]
+    )
+    return (
+        cand.withColumn("dist", dist.cast("int"))
+        .filter(F.col("dist") <= 1)
+        .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
+        .limit(k)
+    )

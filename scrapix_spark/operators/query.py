@@ -2599,3 +2599,75 @@ def ltr_features(
     return out.orderBy(
         F.round(F.col("bm25"), SCORE_ROUND).desc(), F.col("doc_id").asc()
     ).limit(k)
+
+
+def collapse_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    terms: list[str],
+    doc_fields: DataFrame,
+    collapse_field: str,
+    k_groups: int = 5,
+    inner_size: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """X176 — field collapsing with inner hits (the public ES
+    `collapse` + `inner_hits` search option; Meilisearch's
+    distinctAttribute keeps ONLY the best hit per value — reference
+    src/scrapers/docssearch.ts relies on that server-side — while
+    collapse also returns the runners-up inside each group).
+
+    Semantics (deterministic, oracle-replayable): score every matching
+    doc with BM25, attach `collapse_field` from `doc_fields`
+    (doc_id → field value), pick the top `k_groups` groups by
+    (group max score desc, field value asc), and inside each selected
+    group return the top `inner_size` hits by (score desc, doc_id asc).
+    Output: one row per inner hit —
+    (group_val, group_rank, inner_rank, doc_id, score).
+
+    Scale shape: the scored agg is the standard postings plan (term
+    IN-list pushed to the scan, query-sized stats broadcast, one hash
+    agg); attaching the field is an equi-join on doc_id over the
+    MATCHED docs only; group selection is groupBy(field).max →
+    TakeOrdered k_groups (partial top-k, never a global sort of
+    groups); the k_groups winners are a tiny relation BROADCAST back,
+    so the inner-hit window only ever partitions the selected groups'
+    rows. No full-relation window, no single-partition stage.
+    """
+    from pyspark.sql import Window
+
+    scored = _bm25_topk_from_postings_terms(
+        postings, term_stats, N, avgdl, terms, k=(1 << 31) - 1, k1=k1, b=b
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    hits = scored.join(
+        doc_fields.select("doc_id", F.col(collapse_field).alias("group_val")),
+        "doc_id",
+    )
+    groups = (
+        hits.groupBy("group_val")
+        .agg(F.max("score").alias("group_max"))
+        .orderBy(F.col("group_max").desc(), F.col("group_val").asc())
+        .limit(k_groups)
+    )
+    gw = Window.orderBy(F.col("group_max").desc(), F.col("group_val").asc())
+    groups = groups.withColumn("group_rank", F.row_number().over(gw)).drop(
+        "group_max"
+    )
+    iw = Window.partitionBy("group_val").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    inner = (
+        hits.join(F.broadcast(groups), "group_val")
+        .withColumn("inner_rank", F.row_number().over(iw))
+        .where(F.col("inner_rank") <= inner_size)
+    )
+    return inner.select(
+        "group_val",
+        F.col("group_rank").cast("int").alias("group_rank"),
+        F.col("inner_rank").cast("int").alias("inner_rank"),
+        "doc_id",
+        "score",
+    ).orderBy("group_rank", "inner_rank")

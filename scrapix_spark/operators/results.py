@@ -1039,3 +1039,125 @@ def t_test(
         F.when(ok, F.round(t, 6)).otherwise(F.lit(None).cast("double")).alias("t_stat"),
         F.when(ok, F.round(dfree, 6)).otherwise(F.lit(None).cast("double")).alias("df"),
     )
+
+
+def filters_agg(
+    df: DataFrame,
+    named: dict[str, Column],
+    other_bucket: bool = True,
+    global_bucket: bool = True,
+) -> DataFrame:
+    """X174 — the public ES `filters` aggregation (+ `global` bucket):
+    one named bucket per boolean predicate, counted in a SINGLE pass.
+
+    The reference pushes documents to Meilisearch and the app issues one
+    facet query per filter (reference: src/sender.ts has no aggregation
+    surface at all); Lucene-family engines expose `filters` so N named
+    predicates cost one scan. Here each bucket is a `sum(CASE)` arm of
+    ONE hash aggregate — the scan is read once however many buckets are
+    declared, then the 1-row wide aggregate is unpivoted driver-free
+    with `stack`. `_other_` counts rows matching NO named predicate
+    (ES `other_bucket`), `_global_` ignores the enclosing query context
+    (ES `global` agg — here: every row of `df`).
+
+    Columns: (bucket, doc_count), one row per bucket, bucket asc.
+
+    Scale shape: map-side partial aggregation → single 1-row exchange;
+    no shuffle of data rows, no per-bucket scan. At 100 TB this is the
+    cheapest possible multi-predicate count: the predicates travel WITH
+    the scan (whole-stage codegen, one pass).
+    """
+    names = sorted(named)
+    arms = [
+        F.sum(F.when(named[n], 1).otherwise(0)).cast("long").alias(f"_b_{i}")
+        for i, n in enumerate(names)
+    ]
+    if other_bucket:
+        none_match = None
+        for n in names:
+            none_match = ~named[n] if none_match is None else (none_match & ~named[n])
+        arms.append(
+            F.sum(F.when(none_match, 1).otherwise(0)).cast("long").alias("_other")
+        )
+    if global_bucket:
+        arms.append(F.count(F.lit(1)).cast("long").alias("_global"))
+    one = df.agg(*arms)
+    pairs = [(n, f"_b_{i}") for i, n in enumerate(names)]
+    if other_bucket:
+        pairs.append(("_other_", "_other"))
+    if global_bucket:
+        pairs.append(("_global_", "_global"))
+    stack = ", ".join(f"'{label}', `{col}`" for label, col in pairs)
+    return (
+        one.selectExpr(f"stack({len(pairs)}, {stack}) AS (bucket, doc_count)")
+        .orderBy("bucket")
+    )
+
+
+def multi_terms_agg(
+    df: DataFrame,
+    fields: list[str],
+    metric_col: str,
+    size: int = 10,
+) -> DataFrame:
+    """X174 — the public ES `multi_terms` aggregation: terms buckets
+    keyed by a COMPOUND key (every combination of `fields` values),
+    with doc_count and a sum metric, top-`size` by doc_count.
+
+    One hash aggregate on the compound key (the same shuffle a single
+    groupBy would pay — the compound key changes nothing structurally),
+    then a TakeOrdered top-k, never a global sort. Ties break on the
+    key columns ascending so the cut is deterministic in both engines.
+
+    Columns: (*fields, doc_count, metric_sum).
+    """
+    aggd = df.groupBy(*[F.col(f) for f in fields]).agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count"),
+        F.round(F.sum(F.col(metric_col).cast("double")), 6).alias("metric_sum"),
+    )
+    order = [F.col("doc_count").desc()] + [F.col(f).asc() for f in fields]
+    return aggd.orderBy(*order).limit(size)
+
+
+def diversified_sample(
+    df: DataFrame,
+    dedup_field: str,
+    score: Column,
+    id_col: str,
+    max_per_value: int = 2,
+    shard_size: int = 25,
+) -> DataFrame:
+    """X175 — the public ES `diversified_sampler` aggregation: take the
+    best `shard_size` rows by `score` while admitting at most
+    `max_per_value` rows per distinct `dedup_field` value, so one
+    dominant key cannot monopolize the sample.
+
+    Deterministic form (ES's is shard-local and order-sensitive; this
+    is the canonical global equivalent): rank rows per dedup value by
+    (score desc, id asc), keep rank <= max_per_value, then global
+    top-`shard_size` by the same order. Columns: (id, dedup value,
+    score, per-value rank).
+
+    Scale shape: ONE shuffle, on `dedup_field`, for the window (the
+    natural partitioning for per-value capping — each value's rows
+    co-locate once); the final cut is orderBy+limit = TakeOrdered
+    partial top-k, never a global sort. Skew note: a single dedup
+    value with a huge row count makes one hot window partition — at
+    100 TB pre-filter with an approximate per-value cap (e.g. keep the
+    per-partition top max_per_value first) before the exact window;
+    the exact form here is the verification oracle for that.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(dedup_field).orderBy(
+        score.desc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        F.col(id_col),
+        F.col(dedup_field),
+        F.round(score, 6).alias("score"),
+        F.row_number().over(w).alias("value_rank"),
+    ).where(F.col("value_rank") <= max_per_value)
+    return ranked.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(shard_size)

@@ -1,0 +1,290 @@
+"""Round-4g operators: filters/multi_terms aggs (X174), diversified
+sampler (X175), field collapsing + inner_hits (X176), context
+completions (X177), edge-n-gram autocomplete (X178), fuzzy completions
+(X179) and the script_score expression compiler (X180)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.functions.tokenize import with_tokens
+from scrapix_spark.operators import exprscore as E
+from scrapix_spark.operators import match as M
+from scrapix_spark.operators import postings as P
+from scrapix_spark.operators import query as Q
+from scrapix_spark.operators import results as R
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    langs = ["en", "fr", "de"]
+    words = ["table", "merge", "sort", "scan", "spark", "value", "vector", "row"]
+    for i in range(120):
+        text = " ".join(words[(i + j) % len(words)] for j in range(3 + i % 5))
+        rows.append((i, text, langs[i % 3], f"src{i % 7}", len(text)))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def corpus(docs):
+    t = with_tokens(docs, "text")
+    post = t.select(
+        "doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("tk")
+    ).select("tk.term", "doc_id", F.col("tk.tf").cast("long").alias("tf"), "dl")
+    stats = P.term_stats(post).cache()
+    row = t.agg(F.count("*"), F.avg("doc_len")).first()
+    return post.cache(), stats, int(row[0]), float(row[1])
+
+
+# ---------------------------------------------------------------- X174
+
+
+def test_filters_agg_counts(docs, spark):
+    out = {
+        r["bucket"]: r["doc_count"]
+        for r in R.filters_agg(
+            docs,
+            {"en": F.col("lang") == "en", "big": F.col("n_chars") > 30},
+        ).collect()
+    }
+    n = docs.count()
+    n_en = docs.filter("lang = 'en'").count()
+    n_big = docs.filter("n_chars > 30").count()
+    n_other = docs.filter("lang <> 'en' AND n_chars <= 30").count()
+    assert out == {"en": n_en, "big": n_big, "_other_": n_other, "_global_": n}
+
+
+def test_filters_agg_no_extras(docs):
+    out = R.filters_agg(
+        docs, {"en": F.col("lang") == "en"}, other_bucket=False, global_bucket=False
+    ).collect()
+    assert [r["bucket"] for r in out] == ["en"]
+
+
+def test_multi_terms_agg_order_and_metric(docs):
+    out = R.multi_terms_agg(docs, ["lang", "source"], "n_chars", size=5).collect()
+    assert len(out) == 5
+    counts = [r["doc_count"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    top = out[0]
+    manual = docs.filter(
+        (F.col("lang") == top["lang"]) & (F.col("source") == top["source"])
+    )
+    assert manual.count() == top["doc_count"]
+    assert float(manual.agg(F.sum("n_chars")).first()[0]) == top["metric_sum"]
+
+
+# ---------------------------------------------------------------- X175
+
+
+def test_diversified_sample_cap_and_top(docs):
+    out = R.diversified_sample(
+        docs, "lang", F.col("n_chars").cast("double"), "doc_id",
+        max_per_value=2, shard_size=5,
+    ).collect()
+    assert len(out) == 5
+    per = {}
+    for r in out:
+        per[r["lang"]] = per.get(r["lang"], 0) + 1
+        assert r["value_rank"] <= 2
+    assert max(per.values()) <= 2
+    # the sample is the TRUE top-5 of the capped set: recompute brute-force
+    rows = docs.select("doc_id", "lang", "n_chars").collect()
+    best = {}
+    for r in sorted(rows, key=lambda r: (-r["n_chars"], r["doc_id"])):
+        best.setdefault(r["lang"], []).append(r["doc_id"])
+    capped = []
+    for lang, ids in best.items():
+        capped += [(i, lang) for i in ids[:2]]
+    by_score = {r["doc_id"]: r["n_chars"] for r in rows}
+    expect = sorted(capped, key=lambda p: (-by_score[p[0]], p[0]))[:5]
+    assert [(r["doc_id"], r["lang"]) for r in out] == expect
+
+
+# ---------------------------------------------------------------- X176
+
+
+def test_collapse_groups_and_inner(docs, corpus):
+    post, stats, n, avgdl = corpus
+    out = Q.collapse_topk(
+        post, stats, n, avgdl, ["table", "merge"], docs, "source",
+        k_groups=3, inner_size=2,
+    ).collect()
+    assert {r["group_rank"] for r in out} == {1, 2, 3}
+    for r in out:
+        assert r["inner_rank"] <= 2
+    # group order follows group max score; inner hits sorted inside group
+    gmax = {}
+    for r in out:
+        gmax.setdefault(r["group_rank"], []).append(r["score"])
+    for rank, scores in gmax.items():
+        assert scores == sorted(scores, reverse=True)
+    tops = [max(gmax[k]) for k in sorted(gmax)]
+    assert tops == sorted(tops, reverse=True)
+
+
+def test_collapse_best_doc_is_global_best(docs, corpus):
+    post, stats, n, avgdl = corpus
+    top = Q.bm25_topk_from_postings(post, stats, n, avgdl, "table merge", k=1)
+    best = top.first()
+    out = Q.collapse_topk(
+        post, stats, n, avgdl, ["table", "merge"], docs, "source",
+        k_groups=3, inner_size=2,
+    ).collect()
+    first = [r for r in out if r["group_rank"] == 1 and r["inner_rank"] == 1][0]
+    assert first["doc_id"] == best["doc_id"]
+
+
+# ---------------------------------------------------------------- X177
+
+
+def test_context_completions_in_context_only(docs, corpus):
+    post, _, _, _ = corpus
+    ctx = post.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "term", "doc_id", "lang"
+    )
+    out = M.context_completions(ctx, "s", "lang", "fr", k=10).collect()
+    assert out, "prefix 's' must complete in-context"
+    manual = (
+        ctx.filter("lang = 'fr'")
+        .filter(F.col("term").startswith("s"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    )
+    mdf = {r["term"]: r["df"] for r in manual}
+    for r in out:
+        assert r["term"].startswith("s")
+        assert mdf[r["term"]] == r["df"]
+
+
+# ---------------------------------------------------------------- X178
+
+
+def test_edge_ngram_index_bounded_and_complete(corpus):
+    _, stats, _, _ = corpus
+    idx = M.edge_ngram_index(stats, min_gram=1, max_gram=8)
+    per_term = idx.groupBy("term").count().collect()
+    lens = {r["term"]: r["count"] for r in per_term}
+    for r in stats.collect():
+        assert lens[r["term"]] == min(len(r["term"]), 8)
+
+
+def test_edge_ngram_lookup_equals_prefix_scan(corpus):
+    _, stats, _, _ = corpus
+    idx = M.edge_ngram_index(stats, min_gram=1, max_gram=8)
+    got = M.edge_ngram_complete(idx, "s", k=10).collect()
+    want = M.completions(stats, "s", k=10).select("term", "df").collect()
+    assert [(r["term"], r["df"]) for r in got] == [
+        (r["term"], r["df"]) for r in want
+    ]
+
+
+# ---------------------------------------------------------------- X179
+
+
+def _brute_fuzzy(stats_rows, prefix, k):
+    import itertools
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[-1]
+
+    L = len(prefix)
+    cuts = [n for n in (L - 1, L, L + 1) if n >= 1]
+    out = []
+    for r in stats_rows:
+        t = r["term"]
+        if len(t) < max(1, L - 1):
+            continue
+        dist = min(lev(t[:n], prefix) for n in cuts)
+        if dist <= 1:
+            out.append((t, r["df"], dist))
+    out.sort(key=lambda x: (x[2], -x[1], x[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("prefix", ["ro", "tab", "mrge", "vaule", "s"])
+def test_fuzzy_completions_brute_parity(corpus, prefix):
+    _, stats, _, _ = corpus
+    got = [
+        (r["term"], r["df"], r["dist"])
+        for r in M.fuzzy_completions(stats, prefix, k=10).collect()
+    ]
+    want = _brute_fuzzy(stats.collect(), prefix, 10)
+    assert got == want
+
+
+def test_fuzzy_exact_prefix_ranks_first(corpus):
+    _, stats, _, _ = corpus
+    out = M.fuzzy_completions(stats, "tab", k=5).collect()
+    assert out[0]["term"] == "table" and out[0]["dist"] == 0
+
+
+# ---------------------------------------------------------------- X180
+
+
+def test_expr_precedence_and_funcs(spark):
+    df = spark.createDataFrame([(1, 4.0)], "doc_id long, x double")
+    cases = {
+        "2 + 3 * 4": 14.0,
+        "(2 + 3) * 4": 20.0,
+        "-x + 10": 6.0,
+        "2 * -3": -6.0,
+        "pow(x, 2) / 2": 8.0,
+        "min(x, 2) + max(x, 10)": 12.0,
+        "sqrt(x) + abs(0 - 2)": 4.0,
+        "log1p(0) + exp(0)": 1.0,
+        "10 - 4 - 3": 3.0,
+        "16 / 4 / 2": 2.0,
+    }
+    for script, want in cases.items():
+        got = df.select(
+            E.to_column(E.parse(script), {"x": F.col("x")}).alias("v")
+        ).first()["v"]
+        assert abs(got - want) < 1e-9, script
+
+
+def test_expr_shared_ast_sql_matches(spark):
+    script = "_score * 2 + log1p(x) - sqrt(min(x, 100)) + pow(x, 0.5)"
+    ast = E.parse(script)
+    df = spark.createDataFrame([(3.5, 9.0)], "s double, x double")
+    got = df.select(
+        E.to_column(ast, {"_score": F.col("s"), "x": F.col("x")}).alias("v")
+    ).first()["v"]
+    sql = E.to_sql(ast, {"_score": "3.5", "x": "9.0"})
+    want = duckdb.connect().execute(f"SELECT {sql}").fetchone()[0]
+    assert abs(got - want) < 1e-9
+
+
+@pytest.mark.parametrize(
+    "bad", ["2 +", "foo(1)", "min(1)", "pow(1,2,3)", "2 $ 3", "(2", "x y"]
+)
+def test_expr_rejects_bad_input(bad):
+    with pytest.raises(ValueError):
+        E.parse(bad)
+
+
+def test_expr_unknown_field_rejected():
+    with pytest.raises(ValueError):
+        E.to_column(E.parse("nope + 1"), {"x": F.lit(1.0)})
+
+
+def test_script_score_topk_order(spark, corpus):
+    post, stats, n, avgdl = corpus
+    scored = Q._bm25_topk_from_postings_terms(
+        post, stats, n, avgdl, ["table"], k=(1 << 31) - 1
+    )
+    out = E.script_score_topk(
+        scored, "_score * 10", {"_score": F.col("score")}, k=5
+    ).collect()
+    vals = [r["new_score"] for r in out]
+    assert vals == sorted(vals, reverse=True)
+    assert all(abs(r["new_score"] - round(r["score"] * 10, 6)) < 1e-6 for r in out)
