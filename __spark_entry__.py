@@ -6896,6 +6896,150 @@ ORDER BY round({expr}, 6) DESC, s.doc_id ASC LIMIT 10
 """
 
 
+CHAMPION_M = 32
+PHRASE_PREFIX_QUERY = "big s"
+AUTOCORRECT_QUERY = "tablee windoww sort"
+AUTOCORRECT_2MIN = 8
+
+
+def q_champion_topk(spark, sf_dir):
+    """X182 — champion lists (IIR §7.1.3 inexact top-k): per query term
+    only the m=32 highest-tf postings are scored; BM25 uses the FULL
+    dictionary stats so idf is unchanged — the classic static-pruning
+    recall trade at a fraction of the posting reads.
+    operators/postings.py champion_lists."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    terms = Q.query_terms(BM25_QUERY)
+    champ = P.champion_lists(post.filter(F.col("term").isin(terms)), m=CHAMPION_M)
+    out = Q._bm25_topk_from_postings_terms(
+        champ, stats, n, avgdl, terms, 10, K1, B
+    )
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+def _champion_sql() -> str:
+    terms = Q.query_terms(BM25_QUERY)
+    tok = TOK_EXPR("text")
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+dfv AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+champ AS (SELECT doc_id, term, tf,
+                 row_number() OVER (PARTITION BY term
+                                    ORDER BY tf DESC, doc_id ASC) AS cr
+          FROM tf),
+scored AS (
+  SELECT c.doc_id,
+         sum( ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (c.tf * ({K1} + 1.0))
+              / (c.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS score,
+         count(*)::BIGINT AS n_matched
+  FROM champ c
+  JOIN dfv USING (term)
+  JOIN dl ON dl.doc_id = c.doc_id
+  CROSS JOIN stats
+  WHERE c.cr <= {CHAMPION_M}
+  GROUP BY c.doc_id)
+SELECT doc_id, round(score, 4) AS score, n_matched
+FROM scored ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_phrase_prefix(spark, sf_dir):
+    """X183 — match_phrase_prefix (ES query type; the every-keystroke
+    phrase query): fixed words exact-adjacent, LAST word a prefix, all
+    answered from positions + a pruned dictionary scan; BM25 over the
+    fixed words ranks the survivors. Uncapped expansions so the oracle
+    regex replays recall exactly. operators/match.py
+    phrase_prefix_topk."""
+    pos = M.positional_postings(_docs(spark, sf_dir), "text")
+    stats = P.term_stats(pos.select("term", "doc_id", "tf", "dl"))
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*"), F.avg("doc_len")).first()
+    return M.phrase_prefix_topk(
+        pos, stats, int(row[0]), float(row[1]), PHRASE_PREFIX_QUERY, 10, K1, B
+    )
+
+
+def _phrase_prefix_sql() -> str:
+    words = Q.query_terms(PHRASE_PREFIX_QUERY)
+    fixed, prefix = words[:-1], words[-1]
+    token_one = "[^" + M._SEP_ONE[1:]
+    body = M.SEP_PATTERN.join(fixed)
+    rx = f"(^|{M._SEP_ONE}){body}{M.SEP_PATTERN}{prefix}{token_one}*({M._SEP_ONE}|$)"
+    return f"""
+{_bm25_scored_sql(sorted(set(fixed)))}
+SELECT s.doc_id, round(s.score, 4) AS score
+FROM scored s JOIN documents d USING (doc_id)
+WHERE s.n_matched = {len(set(fixed))}
+  AND regexp_matches(lower(d.text), '{rx}')
+ORDER BY round(s.score, 9) DESC, s.doc_id ASC LIMIT 10
+"""
+
+
+def q_search_autocorrect(spark, sf_dir):
+    """X184 — search-with-autocorrect ("showing results for …"):
+    did-you-mean fixes each query word under its typo budget
+    (SymSpell join + 1-row TakeOrdered per word), then the corrected
+    words run standard broadcast-stats BM25. operators/query.py
+    search_autocorrect."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    return Q.search_autocorrect(
+        post, stats, n, avgdl, AUTOCORRECT_QUERY, 10, K1, B,
+        min_len=5, two_typo_min=AUTOCORRECT_2MIN,
+    )
+
+
+def _autocorrect_sql() -> str:
+    words = Q.query_terms(AUTOCORRECT_QUERY)
+    budgets = [
+        min(2, M.typo_budget(w, 5, AUTOCORRECT_2MIN)) for w in words
+    ]
+    wsel = ", ".join(
+        f"({i}, '{w}', {bud})" for i, (w, bud) in enumerate(zip(words, budgets))
+    )
+    tok = TOK_EXPR("text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tfp AS (SELECT DISTINCT doc_id, term FROM tok),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM tfp GROUP BY term),
+words AS (SELECT * FROM (VALUES {wsel}) AS w(pos, word, budget)),
+corr AS (
+  SELECT w.pos, coalesce(
+    (SELECT d.term FROM dict d
+     WHERE levenshtein(d.term, w.word) <= w.budget
+     ORDER BY levenshtein(d.term, w.word) ASC, d.df DESC, d.term ASC
+     LIMIT 1), w.word) AS term
+  FROM words w),
+cterms AS (SELECT DISTINCT term FROM corr),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN (SELECT term FROM cterms) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+dfv AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN dfv USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score,
+       (SELECT string_agg(term, ' ' ORDER BY pos) FROM corr) AS corrected
+FROM scored ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -7066,6 +7210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_ngram_complete": q_edge_ngram_complete,
         "fuzzy_completions": q_fuzzy_completions,
         "script_score_topk": q_script_score,
+        "champion_topk": q_champion_topk,
+        "phrase_prefix_topk": q_phrase_prefix,
+        "search_autocorrect": q_search_autocorrect,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -10238,6 +10385,9 @@ ORDER BY event_type
         "edge_ngram_complete": _edge_ngram_sql(),
         "fuzzy_completions": _fuzzy_completions_sql(),
         "script_score_topk": _script_score_sql(),
+        "champion_topk": _champion_sql(),
+        "phrase_prefix_topk": _phrase_prefix_sql(),
+        "search_autocorrect": _autocorrect_sql(),
     }
 
 

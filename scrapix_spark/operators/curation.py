@@ -1187,3 +1187,4 @@ def weighted_sample(
         .orderBy(F.col("skey").desc(), F.col(id_col).asc())
         .limit(k)
     )
+

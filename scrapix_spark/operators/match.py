@@ -2023,7 +2023,7 @@ def edge_ngram_complete(
     )
 
 
-def _deletion_keys(s: str) -> list[str]:
+def _prefix_del_keys(s: str) -> list[str]:
     """s plus every single-character deletion of s (SymSpell depth 1)."""
     return [s] + [s[:i] + s[i + 1 :] for i in range(len(s))]
 
@@ -2055,7 +2055,7 @@ def fuzzy_completions(
     `levenshtein` verifies exactly on the candidates only.
     """
     L = len(prefix)
-    probe = set(_deletion_keys(prefix))
+    probe = set(_prefix_del_keys(prefix))
     cuts = [n for n in (L - 1, L, L + 1) if n >= 1]
     keyed = term_stats.filter(F.length("term") >= max(1, L - 1)).select(
         "term",
@@ -2092,5 +2092,96 @@ def fuzzy_completions(
         cand.withColumn("dist", dist.cast("int"))
         .filter(F.col("dist") <= 1)
         .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def phrase_prefix_topk(
+    positional: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    q: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_expansions: int | None = None,
+) -> DataFrame:
+    """X183 — match_phrase_prefix (the public ES query type; Meilisearch
+    applies the same rule implicitly — reference src default search
+    treats the final word of every query as a prefix while preserving
+    phrase order for the proximity rule): the query's words must appear
+    consecutively, with the LAST word matching as a PREFIX — the query
+    a search box issues on every keystroke once the user is typing
+    inside a phrase.
+
+    Semantics: chain-fold exact adjacency over the fixed words (the
+    same EXACT kernel phrase_match_docs uses — no pairwise false
+    positives), then require some dictionary expansion of the prefix
+    at chain-end + 1. Matching docs are BM25-ranked over the FIXED
+    words (the expansion acts as a filter — deterministic whatever the
+    expansion set df-shape is). Columns (doc_id, score).
+
+    Scale shape: position rows are read for the query's terms ONLY
+    (term-pushdown on the positional relation); the prefix expansion
+    list is a pruned dictionary scan (StringStartsWith pushdown),
+    flattened per doc with ONE agg — never a per-expansion join.
+    `max_expansions` (ES's knob, default unbounded here) caps the
+    expansion list by (df desc, term asc) for hot prefixes; the gate
+    runs uncapped so the oracle regex replays recall exactly.
+    """
+    words = query_terms(q)
+    if len(words) < 2:
+        raise ValueError("phrase_prefix needs >= 2 words (fixed... prefix)")
+    fixed, prefix = words[:-1], words[-1]
+    exp = prefix_expansions(term_stats, prefix).select("term", "df")
+    if max_expansions is not None:
+        exp = exp.orderBy(F.col("df").desc(), F.col("term").asc()).limit(
+            max_expansions
+        )
+    chain = positional.filter(F.col("term").isin(list(set(fixed))))
+
+    def pos_of(t: str, alias: str):
+        return chain.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(alias)
+        )
+
+    cur = pos_of(fixed[0], "chain")
+    for i, t in enumerate(fixed[1:], start=1):
+        cur = (
+            cur.join(pos_of(t, f"p{i}"), "doc_id")
+            .select(
+                "doc_id",
+                _chain_positions(F.col("chain"), F.col(f"p{i}")).alias("chain"),
+            )
+            .filter(F.size("chain") > 0)
+        )
+    last = (
+        positional.join(F.broadcast(exp.select("term")), "term")
+        .groupBy("doc_id")
+        .agg(F.flatten(F.collect_list("positions")).alias("ppos"))
+    )
+    matched = (
+        cur.join(last, "doc_id")
+        .filter(
+            F.size(
+                F.array_intersect(
+                    F.transform(F.col("chain"), lambda x: x + 1), F.col("ppos")
+                )
+            )
+            > 0
+        )
+        .select("doc_id")
+    )
+    from scrapix_spark.operators.query import _bm25_topk_from_postings_terms
+
+    scored = _bm25_topk_from_postings_terms(
+        positional.select("term", "doc_id", "tf", "dl"),
+        term_stats, N, avgdl, list(set(fixed)), k=(1 << 31) - 1, k1=k1, b=b,
+    )
+    return (
+        scored.join(matched, "doc_id")
+        .select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.round("score", 9).desc(), F.col("doc_id").asc())
         .limit(k)
     )

@@ -773,3 +773,32 @@ def rare_terms(
         .orderBy(F.col("doc_count").asc(), F.col("term").asc())
         .limit(size)
     )
+
+
+def champion_lists(postings: DataFrame, m: int = 128) -> DataFrame:
+    """X182 — champion lists (Manning/Raghavan/Schütze IIR §7.1.3, the
+    classic inexact-top-k structure; Lucene ships the same idea as
+    static index pruning): for every term keep only its `m` highest-tf
+    postings — the documents any high-k BM25 query could plausibly
+    rank — and drop the tail.
+
+    At build time this materializes next to the full postings the way
+    the block-max metadata does (one window per term — the shuffle is
+    on `term`, the partitioning posting construction already has, so
+    in the build pipeline this costs NO extra exchange); at query time
+    a k ≤ m top-k reads ≤ m rows per query term instead of df rows.
+    The trade is recall at the BM25 margin: a doc outside every query
+    term's champion list cannot surface (it would have needed low tf
+    on every term — rarely top-k material). tf ties break doc_id asc
+    so the cut is deterministic and oracle-replayable.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        postings.withColumn("_cr", F.row_number().over(w))
+        .filter(F.col("_cr") <= m)
+        .drop("_cr")
+    )

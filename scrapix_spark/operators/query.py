@@ -2671,3 +2671,55 @@ def collapse_topk(
         "doc_id",
         "score",
     ).orderBy("group_rank", "inner_rank")
+
+
+def search_autocorrect(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    q: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    min_len: int = 5,
+    two_typo_min: int = 9,
+) -> DataFrame:
+    """X184 — search-with-autocorrect: run did-you-mean over the query
+    and SEARCH THE CORRECTED QUERY in one call (the "showing results
+    for …" pattern every production search box ships; Meilisearch
+    reaches the same docs by scoring typo'd terms in place — reference
+    relies on that server-side — while this surface rewrites the query
+    so downstream ranking, highlighting and analytics see the fixed
+    words).
+
+    Per word: the best dictionary replacement under the word's typo
+    budget, minimizing (edit distance, -df, term) — exactly
+    match.suggest_query's contract; words with no in-budget candidate
+    pass through unchanged. The corrected word list (deduped) then
+    runs standard BM25. Columns: (doc_id, score, corrected) where
+    `corrected` is the rewritten query string.
+
+    Scale shape: correction is per-word SymSpell deletion-key joins +
+    1-row TakeOrdereds (bounded by query length — the same plan
+    suggest_query ships); collecting the handful of corrected words to
+    the driver is a query-sized slice, the same bounded collect every
+    query-planning path in this repo performs on the dictionary. The
+    search itself is the unchanged broadcast-stats BM25 plan.
+    """
+    from scrapix_spark.operators.match import suggest_query
+
+    sug = suggest_query(
+        term_stats, q, max_dist=2, min_len=min_len, two_typo_min=two_typo_min
+    ).orderBy("pos").collect()
+    words = [r["suggestion"] if r["suggestion"] is not None else r["word"]
+             for r in sug]
+    corrected = " ".join(words)
+    out = _bm25_topk_from_postings_terms(
+        postings, term_stats, N, avgdl, sorted(set(words)), k=k, k1=k1, b=b
+    )
+    return out.select(
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.lit(corrected).alias("corrected"),
+    )

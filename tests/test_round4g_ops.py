@@ -288,3 +288,84 @@ def test_script_score_topk_order(spark, corpus):
     vals = [r["new_score"] for r in out]
     assert vals == sorted(vals, reverse=True)
     assert all(abs(r["new_score"] - round(r["score"] * 10, 6)) < 1e-6 for r in out)
+
+
+# ---------------------------------------------------------------- X182
+
+
+def test_champion_lists_cap_and_keep_best(corpus):
+    post, _, _, _ = corpus
+    champ = P.champion_lists(post, m=3)
+    per = champ.groupBy("term").count().collect()
+    assert all(r["count"] <= 3 for r in per)
+    # champions are exactly the top-m by (tf desc, doc_id asc)
+    rows = post.collect()
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append((r["tf"], r["doc_id"]))
+    got = {(r["term"], r["doc_id"]) for r in champ.collect()}
+    for t, lst in by_term.items():
+        want = sorted(lst, key=lambda p: (-p[0], p[1]))[:3]
+        for tf, d in want:
+            assert (t, d) in got
+
+
+def test_champion_topk_subset_of_full(corpus):
+    post, stats, n, avgdl = corpus
+    terms = ["table", "merge"]
+    champ = P.champion_lists(post.filter(F.col("term").isin(terms)), m=1000)
+    a = Q._bm25_topk_from_postings_terms(champ, stats, n, avgdl, terms, 10).collect()
+    b = Q._bm25_topk_from_postings_terms(post, stats, n, avgdl, terms, 10).collect()
+    # with m >= df the champion path is EXACT
+    assert [(r["doc_id"], round(r["score"], 9)) for r in a] == [
+        (r["doc_id"], round(r["score"], 9)) for r in b
+    ]
+
+
+# ---------------------------------------------------------------- X183
+
+
+def test_phrase_prefix_matches_expansion_adjacency(spark, corpus):
+    docs = spark.createDataFrame(
+        [
+            (0, "merge table now"),       # merge + ta... adjacent -> match
+            (1, "merge the table"),       # not adjacent -> no match
+            (2, "merge tangent plan"),    # merge + tangent -> match
+            (3, "table merge"),           # wrong order -> no match
+            (4, "merge"),                 # no second word -> no match
+        ],
+        "doc_id long, text string",
+    )
+    pos = M.positional_postings(docs, "text")
+    stats = P.term_stats(pos.select("term", "doc_id", "tf", "dl"))
+    out = M.phrase_prefix_topk(pos, stats, 5, 2.6, "merge ta", k=10)
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 2]
+
+
+def test_phrase_prefix_single_word_rejected(corpus):
+    post, stats, n, avgdl = corpus
+    with pytest.raises(ValueError):
+        M.phrase_prefix_topk(post, stats, n, avgdl, "solo")
+
+
+# ---------------------------------------------------------------- X184
+
+
+def test_autocorrect_rewrites_and_searches(spark, corpus):
+    post, stats, n, avgdl = corpus
+    out = Q.search_autocorrect(
+        post, stats, n, avgdl, "tablee sort", k=5, min_len=5, two_typo_min=8
+    ).collect()
+    assert out and out[0]["corrected"] == "table sort"
+    direct = Q._bm25_topk_from_postings_terms(
+        post, stats, n, avgdl, ["sort", "table"], k=5
+    ).collect()
+    assert [r["doc_id"] for r in out] == [r["doc_id"] for r in direct]
+
+
+def test_autocorrect_uncorrectable_passthrough(corpus):
+    post, stats, n, avgdl = corpus
+    out = Q.search_autocorrect(
+        post, stats, n, avgdl, "zzzzzzz table", k=5, min_len=5, two_typo_min=8
+    ).collect()
+    assert out[0]["corrected"] == "zzzzzzz table"
