@@ -7040,6 +7040,96 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
 """
 
 
+PATHF_DEPTH = 3
+BUDGET_TOTAL, BUDGET_T = 10000, 0.7
+QCACHE_QUERY = "hash group value"
+
+
+def q_path_facets(spark, sf_dir):
+    """X185 — hierarchical facet counts (ES/Solr path_hierarchy; the
+    docs-scraper lvl0/lvl1 convention the reference's docssearch
+    strategy feeds): every doc counts toward each ancestor of its
+    source/lang/page path — one bounded explode + one hash agg.
+    operators/results.py path_facets."""
+    from scrapix_spark.operators import results as R
+
+    d = _docs(spark, sf_dir).select(
+        F.concat_ws(
+            "/", F.col("source"), F.col("lang"),
+            F.concat(F.lit("p"), (F.col("doc_id") % 4)),
+        ).alias("path")
+    )
+    return R.path_facets(d, "path", sep="/", max_depth=PATHF_DEPTH)
+
+
+def _path_facets_sql() -> str:
+    p = "source || '/' || lang || '/p' || (doc_id % 4)"
+    arms = []
+    for d in range(1, PATHF_DEPTH + 1):
+        arms.append(f"""
+SELECT array_to_string(list_slice(string_split({p}, '/'), 1, {d}), '/') AS prefix,
+       {d}::INT AS depth, count(*)::BIGINT AS doc_count
+FROM documents GROUP BY 1""")
+    return " UNION ALL ".join(arms) + "\nORDER BY depth, prefix"
+
+
+def q_budget_allocation(spark, sf_dir):
+    """X186 — integer token-budget apportionment across domains
+    (largest-remainder / Hamilton method) with temperature-flattened
+    shares: Σ allocation == budget exactly; remainder ranks compare
+    9dp-rounded fractions so both engines cut identically.
+    operators/curation.py budget_allocation."""
+    from scrapix_spark.operators.curation import budget_allocation
+
+    return budget_allocation(
+        _docs(spark, sf_dir), "source", "n_chars",
+        budget=BUDGET_TOTAL, temperature=BUDGET_T,
+    )
+
+
+def _budget_allocation_sql() -> str:
+    inv_t = 1.0 / BUDGET_T
+    return f"""
+WITH dom AS (SELECT source AS domain, sum(n_chars::DOUBLE) AS mass
+             FROM documents GROUP BY source),
+z AS (SELECT sum(pow(mass, {inv_t})) AS z FROM dom),
+quota AS (SELECT domain, mass,
+                 pow(mass, {inv_t}) / z.z * {BUDGET_TOTAL} AS q
+          FROM dom CROSS JOIN z),
+fl AS (SELECT domain, mass, q, floor(q)::BIGINT AS fl, q - floor(q) AS frac
+       FROM quota),
+lft AS (SELECT {BUDGET_TOTAL} - sum(fl) AS leftn FROM fl),
+rnk AS (SELECT domain, mass, fl,
+               row_number() OVER (ORDER BY round(frac, 9) DESC, domain ASC) AS rn
+        FROM fl)
+SELECT r.domain, round(r.mass, 6) AS mass,
+       (r.fl + CASE WHEN r.rn <= l.leftn THEN 1 ELSE 0 END)::BIGINT AS allocation
+FROM rnk r CROSS JOIN lft l
+ORDER BY r.domain
+"""
+
+
+def q_query_cache_topk(spark, sf_dir):
+    """X187 — query result cache over the published index: the cache
+    key embeds the live `_CURRENT` build id (atomic publish == free
+    invalidation); a warm hit replays the stored bounded top-k without
+    touching the index. This gate runs the query cold THEN warm and
+    returns the WARM result — the oracle is the same exhaustive BM25
+    SQL as the WAND gate, so rank-identity of the cached replay is the
+    check. operators/qcache.py cached_topk."""
+    from scrapix_spark.operators.qcache import QueryCache, cached_topk
+
+    idx = _entry_index(spark, sf_dir)
+    cache = QueryCache(idx)
+    cached_topk(spark, idx, QCACHE_QUERY, 10, cache=cache)   # cold (or prior warm)
+    warm = cached_topk(spark, idx, QCACHE_QUERY, 10, cache=cache)
+    assert cache.hits >= 1, "second call must be served from cache"
+    return warm.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    ).orderBy(F.round("score", 9).desc(), F.col("doc_id").asc())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -7213,6 +7303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "champion_topk": q_champion_topk,
         "phrase_prefix_topk": q_phrase_prefix,
         "search_autocorrect": q_search_autocorrect,
+        "path_facets": q_path_facets,
+        "budget_allocation": q_budget_allocation,
+        "query_cache_topk": q_query_cache_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -10388,6 +10481,12 @@ ORDER BY event_type
         "champion_topk": _champion_sql(),
         "phrase_prefix_topk": _phrase_prefix_sql(),
         "search_autocorrect": _autocorrect_sql(),
+        "path_facets": _path_facets_sql(),
+        "budget_allocation": _budget_allocation_sql(),
+        "query_cache_topk": _bm25_scored_sql(Q.query_terms(QCACHE_QUERY)) + """
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
+""",
     }
 
 

@@ -1188,3 +1188,62 @@ def weighted_sample(
         .limit(k)
     )
 
+
+
+def budget_allocation(
+    df: DataFrame,
+    domain_col: str,
+    weight_col: str,
+    budget: int,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """X186 — integer token-budget allocation across domains by the
+    largest-remainder method (Hamilton apportionment — the standard
+    exact way to turn fractional mixing weights into integer budgets;
+    the step every data-mixture recipe needs between "domain weights"
+    (this module's sample_temperature) and "draw exactly N tokens").
+
+    Per domain: mass = Σ weight (token count), share ∝ mass^(1/T),
+    quota = share·budget; every domain gets floor(quota), and the
+    `budget − Σ floors` leftover units go to the largest fractional
+    remainders (ties → domain asc, so the result is deterministic and
+    oracle-replayable). Σ allocation == budget EXACTLY — no drift for
+    downstream samplers to absorb.
+
+    Output: (domain, mass, allocation), domain asc.
+
+    Scale shape: ONE hash agg to D domain rows; everything after —
+    shares, floors, remainder ranks — runs on the D-row relation
+    (domain count is a catalog property, thousands at most, the same
+    bounded-relation regime as the settings/dictionary paths). The
+    single unpartitioned window is over those D rows, never over data.
+    """
+    from pyspark.sql import Window
+
+    inv_t = 1.0 / temperature
+    dom = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(F.col(weight_col).cast("double")).alias("mass")
+    )
+    tot = dom.agg(F.sum(F.pow(F.col("mass"), inv_t)).alias("z"))
+    quota = (
+        dom.crossJoin(F.broadcast(tot))
+        .withColumn("q", F.pow(F.col("mass"), inv_t) / F.col("z") * budget)
+        .withColumn("fl", F.floor(F.col("q")).cast("long"))
+        .withColumn("frac", F.col("q") - F.col("fl"))
+    )
+    short = quota.agg((budget - F.sum("fl")).alias("left"))
+    # remainder ranks compare ROUNDED fractions (9dp, the repo's score
+    # discipline) so the apportionment is bit-identical across engines
+    w = Window.orderBy(F.round(F.col("frac"), 9).desc(), F.col("domain").asc())
+    return (
+        quota.crossJoin(F.broadcast(short))
+        .withColumn("rnk", F.row_number().over(w))
+        .select(
+            "domain",
+            F.round("mass", 6).alias("mass"),
+            (F.col("fl") + F.when(F.col("rnk") <= F.col("left"), 1).otherwise(0))
+            .cast("long")
+            .alias("allocation"),
+        )
+        .orderBy("domain")
+    )

@@ -1,0 +1,123 @@
+"""X187 — query result cache with atomic-publish invalidation.
+
+The reference's pipeline ends at Meilisearch, which serves repeated
+queries from its own internal cache; a Spark-native engine gets the
+same win with an explicit small-object cache keyed by the index
+GENERATION: because publishes are an atomic `_CURRENT` pointer swap
+(operators/index.py publish, the sender.ts:124-131 analog), the live
+build id is a perfect cache-validity token — every cache key embeds
+it, so a republish invalidates the whole cache *structurally* (old
+keys simply stop being looked up; `prune()` garbage-collects them).
+
+Entries are the final top-k rows (k is query-sized, bounded — the same
+driver-scale slice every query already collects to return results), so
+the cache is a tiny JSON-per-key directory that any shared filesystem
+serves; no Spark job runs on a hit. This is a driver/serving-layer
+optimization: at 100 TB the SAVINGS scale (each hit skips a cluster
+query) while the cache itself stays O(queries × k) rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _live_build(index_dir: str) -> str:
+    with open(os.path.join(index_dir, "_CURRENT")) as f:
+        return f.read().strip()
+
+
+class QueryCache:
+    """Filesystem-backed top-k result cache for a published index."""
+
+    def __init__(self, index_dir: str, cache_dir: str | None = None):
+        self.index_dir = index_dir
+        self.cache_dir = cache_dir or os.path.join(index_dir, "_qcache")
+        os.makedirs(self.cache_dir, exist_ok=True)
+        self.hits = 0
+        self.misses = 0
+
+    def _key(self, query: str, k: int, mode: str) -> str:
+        live = _live_build(self.index_dir)
+        raw = json.dumps([live, mode, k, query], separators=(",", ":"))
+        return hashlib.sha256(raw.encode()).hexdigest()
+
+    def _path(self, key: str) -> str:
+        return os.path.join(self.cache_dir, key + ".json")
+
+    def lookup(self, query: str, k: int, mode: str):
+        """Cached (schema, rows) or None. Never stale: the key embeds
+        the live build id, so entries written before a republish can
+        no longer be addressed."""
+        p = self._path(self._key(query, k, mode))
+        if not os.path.exists(p):
+            self.misses += 1
+            return None
+        with open(p) as f:
+            payload = json.load(f)
+        self.hits += 1
+        return payload["schema"], payload["rows"]
+
+    def store(self, query: str, k: int, mode: str, df: DataFrame) -> list:
+        """Materialize the top-k (bounded: k rows) and persist it under
+        the generation-scoped key. Returns the rows. Atomic write
+        (tmp + rename) so concurrent readers never see a torn entry."""
+        rows = [r.asDict(recursive=True) for r in df.collect()]
+        payload = {"schema": df.schema.json(), "rows": rows}
+        p = self._path(self._key(query, k, mode))
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, p)
+        return rows
+
+    def prune(self) -> int:
+        """Garbage-collect stale entries. Keys embed the live build id,
+        so entries from earlier generations are already unreachable;
+        this unlinks any file written before the current `_CURRENT`
+        pointer (publish is an atomic rename, so its mtime is the
+        generation boundary). Returns the number of files removed."""
+        cur_mtime = os.path.getmtime(os.path.join(self.index_dir, "_CURRENT"))
+        removed = 0
+        for name in os.listdir(self.cache_dir):
+            p = os.path.join(self.cache_dir, name)
+            if os.path.getmtime(p) < cur_mtime:
+                os.unlink(p)
+                removed += 1
+        return removed
+
+
+def cached_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    mode: str = "pruned",
+    cache: QueryCache | None = None,
+) -> DataFrame:
+    """Serve a top-k query through the cache: a hit replays the stored
+    rows without touching the index; a miss runs the normal pruned
+    WAND path, stores the bounded result, and returns it. Hydration
+    and ordering are exactly the underlying path's — rank-identity on
+    the warm path is pinned by test and driver gate."""
+    from pyspark.sql.types import StructType
+
+    from scrapix_spark.operators.query import bm25_topk_full, bm25_topk_pruned
+
+    cache = cache or QueryCache(index_dir)
+    got = cache.lookup(query, k, mode)
+    if got is not None:
+        schema_json, rows = got
+        schema = StructType.fromJson(json.loads(schema_json))
+        return spark.createDataFrame(rows, schema)
+    if mode == "pruned":
+        df = bm25_topk_pruned(spark, index_dir, query, k)
+    else:
+        df = bm25_topk_full(spark, index_dir, query, k, hydrate=True)
+    rows = cache.store(query, k, mode, df)
+    schema = df.schema
+    return spark.createDataFrame(rows, schema)

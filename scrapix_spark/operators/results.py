@@ -1161,3 +1161,45 @@ def diversified_sample(
     return ranked.orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     ).limit(shard_size)
+
+
+def path_facets(
+    df: DataFrame,
+    path_col: str,
+    sep: str = "/",
+    max_depth: int | None = None,
+) -> DataFrame:
+    """X185 — hierarchical facet counts (the public ES/Solr
+    `path_hierarchy` tokenizer pattern; Meilisearch apps emulate it
+    with one facet field per level — the docs-scraper convention the
+    reference's docssearch strategy feeds with lvl0/lvl1/... fields):
+    every document counts toward EVERY ancestor prefix of its path, so
+    a facet UI can drill down level by level.
+
+    "a/b/c" contributes to {a, a/b, a/b/c}. Output: (prefix, depth,
+    doc_count), depth = number of segments, ordered (depth, prefix).
+
+    Scale shape: one native split + a bounded explode (≤ depth rows
+    per doc — path depth is a schema property, not data-sized), then
+    ONE hash aggregation on the prefix. No joins, no windows; the
+    rollup is the explode itself. At 100 TB this is the same
+    partial+final combine as any terms agg; skew concentrates on
+    depth-1 prefixes exactly like hot terms and AQE's skew handling
+    applies unchanged.
+    """
+    segs = F.split(F.col(path_col), sep)
+    n = F.size(segs)
+    depth_cap = F.least(n, F.lit(max_depth)) if max_depth else n
+    prefixes = F.transform(
+        F.sequence(F.lit(1), depth_cap),
+        lambda d: F.struct(
+            F.array_join(F.slice(segs, 1, d), sep).alias("prefix"),
+            d.cast("int").alias("depth"),
+        ),
+    )
+    return (
+        df.select(F.explode(prefixes).alias("p"))
+        .groupBy(F.col("p.prefix").alias("prefix"), F.col("p.depth").alias("depth"))
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy("depth", "prefix")
+    )

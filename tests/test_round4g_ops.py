@@ -369,3 +369,94 @@ def test_autocorrect_uncorrectable_passthrough(corpus):
         post, stats, n, avgdl, "zzzzzzz table", k=5, min_len=5, two_typo_min=8
     ).collect()
     assert out[0]["corrected"] == "zzzzzzz table"
+
+
+# ---------------------------------------------------------------- X185
+
+
+def test_path_facets_rollup(spark):
+    d = spark.createDataFrame(
+        [("a/b/c",), ("a/b",), ("a/x/c",), ("z",)], "path string"
+    )
+    out = {
+        (r["prefix"], r["depth"]): r["doc_count"]
+        for r in R.path_facets(d, "path").collect()
+    }
+    assert out[("a", 1)] == 3
+    assert out[("a/b", 2)] == 2
+    assert out[("a/b/c", 3)] == 1
+    assert out[("a/x", 2)] == 1
+    assert out[("z", 1)] == 1
+
+
+def test_path_facets_max_depth(spark):
+    d = spark.createDataFrame([("a/b/c/d",)], "path string")
+    out = R.path_facets(d, "path", max_depth=2).collect()
+    assert {r["depth"] for r in out} == {1, 2}
+
+
+# ---------------------------------------------------------------- X186
+
+
+def test_budget_allocation_sums_exactly(docs):
+    from scrapix_spark.operators.curation import budget_allocation
+
+    out = budget_allocation(docs, "source", "n_chars", budget=997).collect()
+    assert sum(r["allocation"] for r in out) == 997
+    # proportionality: allocation within 1 of the exact quota
+    masses = {r["domain"]: r["mass"] for r in out}
+    z = sum(masses.values())
+    for r in out:
+        q = masses[r["domain"]] / z * 997
+        assert abs(r["allocation"] - q) < 1.0 + 1e-9
+
+
+def test_budget_allocation_temperature_flattens(docs):
+    from scrapix_spark.operators.curation import budget_allocation
+
+    flat = {
+        r["domain"]: r["allocation"]
+        for r in budget_allocation(
+            docs, "source", "n_chars", budget=10000, temperature=100.0
+        ).collect()
+    }
+    # at high temperature shares approach uniform
+    vals = list(flat.values())
+    assert max(vals) - min(vals) <= len(vals)
+
+
+# ---------------------------------------------------------------- X187
+
+
+def test_query_cache_hit_and_invalidation(spark, tmp_path):
+    import shutil
+
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.fixtures import corpus_spark_df
+    from scrapix_spark.operators.index import build_index, publish
+    from scrapix_spark.operators.qcache import QueryCache, cached_topk
+
+    idx = str(tmp_path / "qc_index")
+    build_index(spark, corpus_spark_df(spark, 300), idx,
+                IndexConfig(n_shards=4), build_id="g1", n_batches=1)
+    cache = QueryCache(idx)
+    a = cached_topk(spark, idx, "import def", 5, cache=cache).collect()
+    assert cache.misses == 1 and cache.hits == 0
+    b = cached_topk(spark, idx, "import def", 5, cache=cache).collect()
+    assert cache.hits == 1
+    assert [(r["doc_id"], round(r["score"], 6)) for r in a] == [
+        (r["doc_id"], round(r["score"], 6)) for r in b
+    ]
+    # different k or query = different key
+    cached_topk(spark, idx, "import def", 3, cache=cache)
+    assert cache.misses == 2
+    # republish -> old keys unreachable, prune removes stale files
+    n_files = len([f for f in (tmp_path / "qc_index" / "_qcache").iterdir()])
+    assert n_files == 2
+    build_index(spark, corpus_spark_df(spark, 300), idx,
+                IndexConfig(n_shards=4), build_id="g2", n_batches=1)
+    cache2 = QueryCache(idx)
+    cached_topk(spark, idx, "import def", 5, cache=cache2)
+    assert cache2.misses == 1  # old entry not addressable
+    removed = cache2.prune()
+    assert removed >= 2
