@@ -1224,6 +1224,11 @@ def budget_allocation(
     dom = df.groupBy(F.col(domain_col).alias("domain")).agg(
         F.sum(F.col(weight_col).cast("double")).alias("mass")
     )
+    # the D-row domain relation feeds three downstream branches (z,
+    # quota, shortfall); materialize it ONCE so the data-sized input is
+    # scanned once, not once per branch (D is catalog-sized — the
+    # checkpoint is a few rows, same pattern as graph.pagerank)
+    dom = dom.coalesce(1).localCheckpoint(eager=True)
     tot = dom.agg(F.sum(F.pow(F.col("mass"), inv_t)).alias("z"))
     quota = (
         dom.crossJoin(F.broadcast(tot))
