@@ -7159,9 +7159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ~20 round-4f entries) remains local-harness-gated only. ROUND-5
     # BUILDER: reorder positions 51+ so the entries you most want a
     # driver row for come first, and retire redundant near-duplicates
-    # if the backlog still exceeds 50 (candidates: docid_reorder_map
-    # vs docid_reorder_bytes, trigram_substring vs trigram_regex,
-    # sim_dirichlet_topk vs similarity_matrix). Everything has a green
+    # if the backlog still exceeds 50. (Round-4g already retired the
+    # three named duplicates: docid_reorder_map, trigram_substring,
+    # sim_dirichlet_topk — their operators and tests remain.) Everything has a green
     # row in r01-r03 OR in this session's local full-registry sweep via
     # tools/check_oracles.py (the driver's exact protocol).
     return {
@@ -7225,7 +7225,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_roundtrip": q_source_roundtrip,
         "best_passage": q_best_passage,
         # round-4d additions X111+ (never driver-gated -> lead round 5)
-        "trigram_substring": q_trigram_substring,
         "trigram_regex": q_trigram_regex,
         "mmr_rerank": q_mmr_rerank,
         "decay_boosted": q_decay_boosted,
@@ -7259,10 +7258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pipeline": q_events_pipeline,
         # round-4e additions X142+ (never driver-gated -> round-5 sample)
         "similarity_matrix": q_similarity_matrix,
-        "sim_dirichlet_topk": q_sim_dirichlet_topk,
         "min_should_match_topk": q_min_should_match,
         "search_after_page": q_search_after_page,
-        "docid_reorder_map": q_docid_reorder_map,
         "docid_reorder_bytes": q_docid_reorder_bytes,
         "pruned_static_topk": q_pruned_static_topk,
         "phrase_suggest": q_phrase_suggest,
@@ -10337,16 +10334,6 @@ SELECT doc_id,
    AS gopher_keep
 FROM r
 """,
-        "trigram_substring": f"""
-SELECT doc_id,
-       CAST((length(lower(text))
-             - length(replace(lower(text), '{TRIGRAM_PAT}', '')))
-            / {len(TRIGRAM_PAT)} AS BIGINT) AS n_matches,
-       CAST(strpos(lower(text), '{TRIGRAM_PAT}') AS BIGINT) AS first_pos
-FROM documents
-WHERE contains(lower(text), '{TRIGRAM_PAT}')
-ORDER BY doc_id
-""",
         "trigram_regex": f"""
 SELECT doc_id, regexp_extract(text, '{TRIGRAM_RE}', 0) AS first_match
 FROM documents
@@ -10437,10 +10424,8 @@ ORDER BY event_type
         "top_hits_group": _top_hits_sql(),
         "events_pipeline": _EVENTS_PIPELINE_SQL,
         "similarity_matrix": _similarity_matrix_sql(),
-        "sim_dirichlet_topk": _sim_dirichlet_sql(),
         "min_should_match_topk": _min_should_match_sql(),
         "search_after_page": _search_after_sql(),
-        "docid_reorder_map": _DOCID_REORDER_MAP_SQL,
         "docid_reorder_bytes": _docid_reorder_bytes_sql(),
         "pruned_static_topk": _pruned_static_sql(),
         "phrase_suggest": _phrase_suggest_sql(),
