@@ -4944,7 +4944,9 @@ def q_cdc_chunks(spark, sf_dir):
     )
 
 
-def _cdc_sql() -> str:
+def _cdc_rows_sql(pred: str) -> str:
+    """Chunk-row SELECT (no ORDER BY) for the LBFS cut rule — shared by
+    the X135 gate and the X190 dedup-mass oracle."""
     from scrapix_spark.operators.similarity import HASH_MOD
 
     hwin = (
@@ -4956,7 +4958,7 @@ def _cdc_sql() -> str:
     return f"""
 WITH base AS (SELECT doc_id, text AS t, length(text) AS n
               FROM documents
-              WHERE doc_id < 120 AND length(coalesce(text, '')) > 0),
+              WHERE {pred} AND length(coalesce(text, '')) > 0),
 cb AS (SELECT doc_id, t, n,
          list_filter(generate_series({CDC_W}, greatest(n, {CDC_W})),
            i -> i <= n AND {hwin} % {CDC_D} = 0) AS cand
@@ -4977,8 +4979,11 @@ SELECT doc_id, (k - 1)::BIGINT AS chunk_id,
        (bounds[k] - prevs[k])::BIGINT AS length,
        sha256(substr(t, (prevs[k] + 1)::INT,
                      (bounds[k] - prevs[k])::INT)) AS sha
-FROM ex ORDER BY doc_id, chunk_id
-"""
+FROM ex"""
+
+
+def _cdc_sql() -> str:
+    return _cdc_rows_sql("doc_id < 120") + "\nORDER BY doc_id, chunk_id\n"
 
 
 BOOL_QUERY = "(merge OR sort) AND NOT batch"
@@ -7130,6 +7135,116 @@ def q_query_cache_topk(spark, sf_dir):
     ).orderBy(F.round("score", 9).desc(), F.col("doc_id").asc())
 
 
+LOOKUP_MIN_CHARS = 540
+JSD_TOP = 20
+CDC_MASS_PRED = "doc_id < 200"
+
+
+def q_terms_lookup(spark, sf_dir):
+    """X188 — ES `terms` query with lookup: keep docs whose source is
+    one of the sources that contain a >%d-char doc — DISTINCT value
+    set + LEFT SEMI join, counted-broadcast-gated.
+    operators/filters.py terms_lookup_filter.""" % LOOKUP_MIN_CHARS
+    from scrapix_spark.operators.filters import terms_lookup_filter
+
+    d = _docs(spark, sf_dir)
+    out = terms_lookup_filter(
+        d, "source", d.filter(F.col("n_chars") > LOOKUP_MIN_CHARS), "source"
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+def _terms_lookup_sql() -> str:
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE source IN (SELECT DISTINCT source FROM documents
+                 WHERE n_chars > {LOOKUP_MIN_CHARS})
+ORDER BY doc_id
+"""
+
+
+def q_js_divergence(spark, sf_dir):
+    """X189 — corpus drift via exact Jensen-Shannon divergence between
+    the en slice and the rest: one sum(CASE) term agg, summary row +
+    the top-|gap| drift terms. operators/textstats.py js_divergence."""
+    post = _postings(spark, sf_dir)
+    flagged = post.join(
+        _docs(spark, sf_dir).select(
+            "doc_id", (F.col("lang") == "en").alias("is_a")
+        ),
+        "doc_id",
+    ).select("term", "tf", "is_a")
+    return TS.js_divergence(_docs(spark, sf_dir), flagged, "is_a", JSD_TOP)
+
+
+def _jsd_sql() -> str:
+    tok = TOK_EXPR("text")
+    return f"""
+WITH tok AS (SELECT d.doc_id, d.lang = 'en' AS is_a, unnest({tok}) AS term
+             FROM documents d),
+per AS (SELECT term,
+               sum(CASE WHEN is_a THEN 1 ELSE 0 END)::DOUBLE AS ca,
+               sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)::DOUBLE AS cb
+        FROM tok GROUP BY term),
+tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM per),
+terms AS (
+  SELECT term,
+         ca / tot.ta AS p, cb / tot.tb AS q
+  FROM per CROSS JOIN tot),
+contrib AS (
+  SELECT term, p, q,
+         0.5 * (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END)
+       + 0.5 * (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END) AS c
+  FROM terms),
+summary AS (
+  SELECT '__jsd__' AS term,
+         (SELECT round(ta, 3) FROM tot) AS p_a,
+         (SELECT round(tb, 3) FROM tot) AS p_b,
+         NULL::DOUBLE AS gap,
+         round(sum(c), 9) AS contrib
+  FROM contrib),
+top AS (
+  SELECT term, round(p, 9) AS p_a, round(q, 9) AS p_b,
+         round(p - q, 9) AS gap, round(c, 9) AS contrib
+  FROM contrib
+  ORDER BY abs(p - q) DESC, term ASC LIMIT {JSD_TOP})
+SELECT * FROM summary UNION ALL SELECT * FROM top
+"""
+
+
+def q_cdc_dedup_mass(spark, sf_dir):
+    """X190 — chunk-level duplication mass (the storage-dedup
+    measurement as a curation signal): per doc the fraction of chars
+    in CDC chunks shared with >= 2 distinct docs; one sha agg + one
+    sha-keyed join + one per-doc agg.
+    operators/curation.py cdc_dedup_mass."""
+    from scrapix_spark.operators import curation as CU
+
+    return CU.cdc_dedup_mass(
+        _docs(spark, sf_dir).filter(CDC_MASS_PRED),
+        window=CDC_W, divisor=CDC_D,
+    )
+
+
+def _cdc_mass_sql() -> str:
+    return f"""
+WITH chunks AS ({_cdc_rows_sql(CDC_MASS_PRED)}),
+shared AS (SELECT sha, count(DISTINCT doc_id) >= 2 AS s
+           FROM chunks GROUP BY sha),
+per AS (
+  SELECT c.doc_id,
+         count(*)::BIGINT AS n_chunks,
+         sum(CASE WHEN sh.s THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
+         sum(c.length)::BIGINT AS total_len,
+         sum(CASE WHEN sh.s THEN c.length ELSE 0 END)::BIGINT AS dup_len
+  FROM chunks c JOIN shared sh USING (sha)
+  GROUP BY c.doc_id)
+SELECT doc_id, n_chunks, dup_chunks, total_len, dup_len,
+       round(dup_len / total_len::DOUBLE, 6) AS dup_frac
+FROM per ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -7303,6 +7418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_facets": q_path_facets,
         "budget_allocation": q_budget_allocation,
         "query_cache_topk": q_query_cache_topk,
+        "terms_lookup": q_terms_lookup,
+        "js_divergence": q_js_divergence,
+        "cdc_dedup_mass": q_cdc_dedup_mass,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -10472,6 +10590,9 @@ ORDER BY event_type
 SELECT doc_id, round(score, 4) AS score
 FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
 """,
+        "terms_lookup": _terms_lookup_sql(),
+        "js_divergence": _jsd_sql(),
+        "cdc_dedup_mass": _cdc_mass_sql(),
     }
 
 

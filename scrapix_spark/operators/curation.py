@@ -1252,3 +1252,55 @@ def budget_allocation(
         )
         .orderBy("domain")
     )
+
+
+def cdc_dedup_mass(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """X190 — chunk-level duplication mass: how much of each document's
+    text lives in CDC chunks shared with OTHER documents (the
+    storage-dedup measurement — LBFS/FastCDC's actual use — applied as
+    a corpus curation signal: templated/mirrored content shows up as
+    high shared-chunk mass even when whole-doc hashes all differ).
+
+    Chunks come from cdc_chunks (X135, the content-defined cut rule);
+    a chunk sha is "shared" when it appears in >= 2 DISTINCT documents.
+    Per doc: (doc_id, n_chunks, dup_chunks, total_len, dup_len,
+    dup_frac rounded 6) — dup_frac = shared-chunk chars / total chars.
+
+    Scale shape: one hash agg on sha (32-byte keys) computing each
+    sha's distinct-doc count, then ONE equi-join of the chunk relation
+    against that counted relation (both sides keyed by sha — the same
+    shuffle), and a per-doc hash agg. Identical-chunk skew (a boiler-
+    plate chunk in millions of docs) is a hot SHA key: the agg side is
+    partial+final (fine); the join side fans out only to that sha's
+    own chunk rows — never a cross product.
+    """
+    chunks = cdc_chunks(df, text_col, id_col, window, divisor)
+    shared = (
+        chunks.groupBy("sha")
+        .agg(F.countDistinct(id_col).alias("_docs"))
+        .select("sha", (F.col("_docs") >= 2).alias("_shared"))
+    )
+    per = (
+        chunks.join(shared, "sha")
+        .groupBy(F.col(id_col).alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("_shared"), 1).otherwise(0))
+            .cast("long")
+            .alias("dup_chunks"),
+            F.sum("length").cast("long").alias("total_len"),
+            F.sum(F.when(F.col("_shared"), F.col("length")).otherwise(0))
+            .cast("long")
+            .alias("dup_len"),
+        )
+    )
+    return per.select(
+        "doc_id", "n_chunks", "dup_chunks", "total_len", "dup_len",
+        F.round(F.col("dup_len") / F.col("total_len"), 6).alias("dup_frac"),
+    ).orderBy("doc_id")

@@ -383,3 +383,33 @@ def meili_filter_to_sql(
     if not tokens:
         raise MeiliFilterError("empty filter expression")
     return _Parser(tokens, array_columns, case_insensitive, geo_subs).parse()
+
+
+def terms_lookup_filter(
+    df: DataFrame,
+    col: str,
+    lookup: DataFrame,
+    lookup_col: str,
+    broadcast_limit: int = 1_000_000,
+) -> DataFrame:
+    """X188 — the public ES `terms` query with LOOKUP: filter rows whose
+    `col` is in the value set produced by another query (ES fetches the
+    list from a stored document; the relational form is a semi-join —
+    "docs whose source is one of the sources that ...").
+
+    Scale shape: the lookup side reduces to DISTINCT values first (the
+    value set, not the matching rows), then joins LEFT SEMI — Spark's
+    dedicated existence join: no row multiplication, no columns pulled
+    from the right side. The distinct value relation is broadcast only
+    under a COUNTED threshold (the dedup.py `_maybe_broadcast`
+    discipline — never a blind hint); above it the semi-join shuffles
+    on the value key like any equi-join. Filters on `df` still push to
+    its scan — the semi-join sits above the scan, not instead of it.
+    """
+    from pyspark.sql import functions as F
+
+    from scrapix_spark.operators.dedup import _maybe_broadcast
+
+    vals = lookup.select(F.col(lookup_col).alias(col)).distinct()
+    n = vals.count()
+    return df.join(_maybe_broadcast(vals, n, broadcast_limit), col, "left_semi")

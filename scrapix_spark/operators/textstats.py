@@ -1343,3 +1343,64 @@ def string_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(-F.sum(p * F.log2(p)), 6).alias("entropy")
     )
     return lens.crossJoin(ent)
+
+
+def js_divergence(
+    df: DataFrame,
+    postings_like: DataFrame,
+    flag_col: str = "is_a",
+    top_terms: int = 20,
+) -> DataFrame:
+    """X189 — corpus drift detection via Jensen-Shannon divergence
+    between two slices' unigram distributions (the standard bounded
+    symmetric divergence, Lin 1991 — what a pipeline monitors between
+    yesterday's and today's crawl, or between a source and a target
+    domain).
+
+        JSD(P‖Q) = ½ KL(P‖M) + ½ KL(Q‖M),  M = ½(P+Q)
+
+    computed EXACTLY over the union vocabulary (no smoothing needed:
+    M > 0 wherever either side has mass, and 0·log(0/m) ≡ 0). Input:
+    (term, tf, <flag_col>) rows; output: ONE summary row first
+    (term='__jsd__', the divergence and both token totals), then the
+    `top_terms` terms by absolute probability gap |p − q| — the terms
+    DRIVING the drift, signed so a dashboard shows direction.
+    Columns: (term, p_a, p_b, gap, contrib).
+
+    Scale shape: ONE hash aggregation on term with sum(CASE) arms
+    (single pass over the postings relation), a 1-row totals agg
+    broadcast back as literals, and a TakeOrdered for the top terms.
+    Nothing else — drift monitoring at 100 TB costs one tf aggregation.
+    """
+    flag = F.col(flag_col)
+    per = postings_like.groupBy("term").agg(
+        F.sum(F.when(flag, F.col("tf")).otherwise(0)).cast("double").alias("ca"),
+        F.sum(F.when(~flag, F.col("tf")).otherwise(0)).cast("double").alias("cb"),
+    )
+    tot = per.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb")).first()
+    ta, tb = float(tot["ta"]), float(tot["tb"])
+    p = F.col("ca") / ta
+    q = F.col("cb") / tb
+    m = (p + q) / 2
+    kl_a = F.when(p > 0, p * F.log(p / m)).otherwise(0.0)
+    kl_b = F.when(q > 0, q * F.log(q / m)).otherwise(0.0)
+    terms = per.select(
+        "term",
+        F.round(p, 9).alias("p_a"),
+        F.round(q, 9).alias("p_b"),
+        F.round(p - q, 9).alias("gap"),
+        F.round(0.5 * kl_a + 0.5 * kl_b, 9).alias("contrib"),
+    )
+    summary = per.agg(
+        F.round(F.sum(0.5 * kl_a + 0.5 * kl_b), 9).alias("jsd")
+    ).select(
+        F.lit("__jsd__").alias("term"),
+        F.lit(round(ta, 3)).cast("double").alias("p_a"),
+        F.lit(round(tb, 3)).cast("double").alias("p_b"),
+        F.lit(None).cast("double").alias("gap"),
+        F.col("jsd").alias("contrib"),
+    )
+    top = terms.orderBy(
+        F.abs(F.col("gap")).desc(), F.col("term").asc()
+    ).limit(top_terms)
+    return summary.unionByName(top)

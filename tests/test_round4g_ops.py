@@ -460,3 +460,86 @@ def test_query_cache_hit_and_invalidation(spark, tmp_path):
     assert cache2.misses == 1  # old entry not addressable
     removed = cache2.prune()
     assert removed >= 2
+
+
+# ---------------------------------------------------------------- X188
+
+
+def test_terms_lookup_semi_join(spark):
+    from scrapix_spark.operators.filters import terms_lookup_filter
+
+    d = spark.createDataFrame(
+        [(0, "a", 10), (1, "b", 99), (2, "a", 5), (3, "c", 7)],
+        "doc_id long, src string, n long",
+    )
+    out = terms_lookup_filter(d, "src", d.filter("n > 50"), "src").collect()
+    # only src 'b' has a doc with n > 50
+    assert sorted(r["doc_id"] for r in out) == [1]
+    # no row multiplication even when the lookup matches many rows
+    out2 = terms_lookup_filter(d, "src", d.filter("n < 50"), "src").collect()
+    assert sorted(r["doc_id"] for r in out2) == [0, 2, 3]
+
+
+# ---------------------------------------------------------------- X189
+
+
+def test_js_divergence_properties(spark, docs, corpus):
+    from scrapix_spark.operators import textstats as TS
+
+    post, _, _, _ = corpus
+    flagged = post.join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("is_a")), "doc_id"
+    ).select("term", "tf", "is_a")
+    out = TS.js_divergence(docs, flagged, "is_a", top_terms=5).collect()
+    summary = out[0]
+    assert summary["term"] == "__jsd__"
+    # JSD bounded in [0, ln 2]
+    import math
+
+    assert 0.0 <= summary["contrib"] <= math.log(2) + 1e-9
+    # identical distributions -> JSD == 0
+    same = post.select("term", "tf", F.lit(True).alias("is_a")).unionByName(
+        post.select("term", "tf", F.lit(False).alias("is_a"))
+    )
+    z = TS.js_divergence(docs, same, "is_a", top_terms=3).collect()[0]
+    assert abs(z["contrib"]) < 1e-12
+
+
+def test_js_divergence_disjoint_is_ln2(spark, docs):
+    from scrapix_spark.operators import textstats as TS
+    import math
+
+    rows = [("only_a", 5, True), ("only_b", 7, False)]
+    flagged = spark.createDataFrame(rows, "term string, tf long, is_a boolean")
+    out = TS.js_divergence(docs, flagged, "is_a", top_terms=2).collect()
+    assert abs(out[0]["contrib"] - math.log(2)) < 1e-9
+
+
+# ---------------------------------------------------------------- X190
+
+
+def test_cdc_dedup_mass_shared_chunks(spark):
+    from scrapix_spark.operators.curation import cdc_dedup_mass
+
+    shared = "the quick brown fox jumps over the lazy dog " * 4
+    d = spark.createDataFrame(
+        [
+            (0, shared + "unique tail zero zero"),
+            (1, shared + "completely different ending here"),
+            (2, "nothing in common with the others at all xyzzy"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in cdc_dedup_mass(d, window=8, divisor=16).collect()}
+    # docs 0 and 1 share prefix chunks; doc 2 shares nothing
+    assert out[0]["dup_frac"] > 0
+    assert out[1]["dup_frac"] > 0
+    assert out[2]["dup_frac"] == 0.0
+    for r in out.values():
+        assert r["dup_len"] <= r["total_len"]
+        assert r["dup_chunks"] <= r["n_chunks"]
+        assert r["total_len"] == len(
+            {0: shared + "unique tail zero zero",
+             1: shared + "completely different ending here",
+             2: "nothing in common with the others at all xyzzy"}[r["doc_id"]]
+        )
