@@ -7245,6 +7245,78 @@ FROM per ORDER BY doc_id
 """
 
 
+DECONTAM_T, DECONTAM_BENCH_MOD = 0.95, 50
+
+
+def q_bitmap_and(spark, sf_dir):
+    """X191 — bitmap posting containers: per-(term, block) 64-bit words
+    (bit_or agg), conjunction = per-block bit_and + presence guard,
+    set bits exploded back to doc_ids. operators/postings.py
+    bitmap_postings / bitmap_and_docs."""
+    bm = P.bitmap_postings(_postings(spark, sf_dir))
+    return P.bitmap_and_docs(bm, AND_QUERY)
+
+
+def _bitmap_and_sql() -> str:
+    tok = TOK_EXPR("text")
+    arms = [
+        f"SELECT doc_id FROM (SELECT doc_id, unnest({tok}) AS t FROM documents) WHERE t = '{w}'"
+        for w in AND_QUERY
+    ]
+    return " INTERSECT ".join(arms) + "\nORDER BY doc_id"
+
+
+def q_bitmap_or_count(spark, sf_dir):
+    """X191 — disjunction cardinality from bitmaps: per-block bit_or
+    then summed popcounts — the match-count a filter planner asks
+    before choosing a strategy. operators/postings.py
+    bitmap_or_count."""
+    bm = P.bitmap_postings(_postings(spark, sf_dir))
+    return P.bitmap_or_count(bm, AND_QUERY)
+
+
+def _bitmap_or_sql() -> str:
+    tok = TOK_EXPR("text")
+    tl = ", ".join(f"'{w}'" for w in AND_QUERY)
+    return f"""
+SELECT count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM (SELECT doc_id, unnest({tok}) AS t FROM documents)
+WHERE t IN ({tl})
+"""
+
+
+def q_embedding_decontam(spark, sf_dir):
+    """X192 — embedding-level decontamination: training vectors within
+    cosine {t} of ANY benchmark vector are dropped (semantic test-set
+    leakage the 13-gram pass misses); benchmark side broadcast whole
+    (eval sets are bounded by nature), max-cosine map-only.
+    operators/similarity.py embedding_decontam."""
+    emb = _emb(spark, sf_dir)
+    bench = emb.filter(F.col("vec_id") % DECONTAM_BENCH_MOD == 0)
+    return SIM.embedding_decontam(emb, bench, threshold=DECONTAM_T)
+
+
+def _embedding_decontam_sql() -> str:
+    return f"""
+WITH bench AS (SELECT vec_id AS bid, embedding AS be FROM embeddings
+               WHERE vec_id % {DECONTAM_BENCH_MOD} = 0),
+cos AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(len(e.embedding)),
+           i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(b.be[i+1] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.be,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+  FROM embeddings e CROSS JOIN bench b),
+per AS (SELECT vec_id, round(max(c), 6) AS max_bench_cosine
+        FROM cos GROUP BY vec_id)
+SELECT vec_id, max_bench_cosine FROM per
+WHERE max_bench_cosine < {DECONTAM_T}
+ORDER BY vec_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -7421,6 +7493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_lookup": q_terms_lookup,
         "js_divergence": q_js_divergence,
         "cdc_dedup_mass": q_cdc_dedup_mass,
+        "bitmap_and": q_bitmap_and,
+        "bitmap_or_count": q_bitmap_or_count,
+        "embedding_decontam": q_embedding_decontam,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -10593,6 +10668,9 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "terms_lookup": _terms_lookup_sql(),
         "js_divergence": _jsd_sql(),
         "cdc_dedup_mass": _cdc_mass_sql(),
+        "bitmap_and": _bitmap_and_sql(),
+        "bitmap_or_count": _bitmap_or_sql(),
+        "embedding_decontam": _embedding_decontam_sql(),
     }
 
 

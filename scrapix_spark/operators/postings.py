@@ -802,3 +802,77 @@ def champion_lists(postings: DataFrame, m: int = 128) -> DataFrame:
         .filter(F.col("_cr") <= m)
         .drop("_cr")
     )
+
+
+def bitmap_postings(postings: DataFrame) -> DataFrame:
+    """X191 — bitmap posting containers (the Roaring/bitset family every
+    Lucene-lineage engine uses for filters and conjunctions: doc-id
+    sets as fixed-width machine words instead of id lists): per
+    (term, block) one 64-bit word, bit i set ⟺ doc block·64+i contains
+    the term.
+
+    (term, block = doc_id >> 6, word = bit_or(1 << (doc_id & 63))) —
+    ONE hash aggregation over the postings relation; for dense terms
+    this is up to 64× smaller than the id list, and set algebra
+    becomes word-wise machine ops (bitmap_and_docs / bitmap_or_count).
+
+    Scale shape: the agg shuffles on (term, block) — the same key
+    distribution the postings already have, with map-side bit_or
+    combine; blocks are independent so any conjunction evaluates
+    block-parallel with no coordination.
+    """
+    return (
+        postings.select(
+            "term",
+            F.shiftright(F.col("doc_id").cast("long"), 6).alias("block"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                "CAST(CAST(doc_id AS BIGINT) % 64 AS INT))"
+            ).alias("_bit"),
+        )
+        .groupBy("term", "block")
+        .agg(F.bit_or("_bit").alias("word"))
+    )
+
+
+def _bitmap_explode_docs(blocks: DataFrame, word_col: str = "word") -> DataFrame:
+    """(block, word) → one row per set bit: doc_id = block·64 + i."""
+    bits = F.expr(
+        f"filter(sequence(0, 63), "
+        f"i -> (shiftright({word_col}, CAST(i AS INT)) & 1) = 1)"
+    )
+    return blocks.select(
+        F.explode(bits).alias("_i"), (F.col("block") * 64).alias("_base")
+    ).select((F.col("_base") + F.col("_i")).cast("long").alias("doc_id"))
+
+
+def bitmap_and_docs(bitmaps: DataFrame, terms: list[str]) -> DataFrame:
+    """Conjunction over bitmap containers: per block, AND the terms'
+    words (bit_and over exactly one row per present term — blocks
+    missing any term drop via the count guard), then explode set bits
+    back to doc_ids. One block-keyed agg; no id-list intersection ever
+    materializes. Columns: (doc_id), ascending."""
+    n = len(set(terms))
+    words = (
+        bitmaps.filter(F.col("term").isin(list(set(terms))))
+        .groupBy("block")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.bit_and("word").alias("word"),
+        )
+        .filter((F.col("_n") == n) & (F.col("word") != 0))
+    )
+    return _bitmap_explode_docs(words).orderBy("doc_id")
+
+
+def bitmap_or_count(bitmaps: DataFrame, terms: list[str]) -> DataFrame:
+    """Disjunction cardinality without materializing the union: per
+    block bit_or then popcount via bit_count, summed. ONE agg chain,
+    output a single row (n_docs) — the "how many docs match any of"
+    count a filter planner asks first."""
+    return (
+        bitmaps.filter(F.col("term").isin(list(set(terms))))
+        .groupBy("block")
+        .agg(F.bit_or("word").alias("word"))
+        .agg(F.sum(F.bit_count("word")).cast("long").alias("n_docs"))
+    )

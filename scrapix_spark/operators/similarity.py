@@ -936,3 +936,48 @@ def maxsim_rerank(
         .orderBy(F.col("maxsim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def embedding_decontam(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X192 — embedding-level decontamination: drop training vectors
+    whose cosine to ANY benchmark vector ≥ `threshold` (the semantic
+    complement of X31's 13-gram decontamination — catches paraphrased
+    or reformatted test-set leakage that token n-grams miss; standard
+    practice in pretraining eval hygiene).
+
+    Returns the SURVIVING train rows (id, max benchmark cosine rounded
+    6, contaminated=false is implicit by survival); use the inverse
+    filter for an audit of what was dropped.
+
+    Scale shape: the benchmark side is BOUNDED BY NATURE (eval sets:
+    thousands, not billions) — it broadcasts whole, and the scan of
+    the train side computes max-cosine-over-bench per row map-only
+    (zip_with dot products inside codegen, no Python); no shuffle at
+    any train size, ever. If a benchmark ever outgrew broadcast the
+    SRP-LSH banding path (pairwise_cosine_dups) is the fallback; the
+    exact broadcast form is also the oracle for that path's recall.
+    """
+    bvecs = bench.select(
+        F.col(id_col).alias("_bid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_bv"),
+    )
+    bn = bvecs.withColumn("_bnorm", _norm(F.col("_bv")))
+    tvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    t = train.select(
+        F.col(id_col), F.col(vec_col), tvec.alias("_tv")
+    ).withColumn("_tnorm", _norm(F.col("_tv")))
+    joined = t.crossJoin(F.broadcast(bn))
+    cos = _dot(F.col("_tv"), F.col("_bv")) / (F.col("_tnorm") * F.col("_bnorm"))
+    per = joined.groupBy(id_col).agg(
+        F.round(F.max(cos), 6).alias("max_bench_cosine")
+    )
+    return (
+        per.filter(F.col("max_bench_cosine") < threshold)
+        .orderBy(id_col)
+    )

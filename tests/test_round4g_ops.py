@@ -543,3 +543,60 @@ def test_cdc_dedup_mass_shared_chunks(spark):
              1: shared + "completely different ending here",
              2: "nothing in common with the others at all xyzzy"}[r["doc_id"]]
         )
+
+
+# ---------------------------------------------------------------- X191
+
+
+def test_bitmap_and_matches_join_intersection(corpus):
+    post, _, _, _ = corpus
+    bm = P.bitmap_postings(post)
+    got = [r["doc_id"] for r in P.bitmap_and_docs(bm, ["table", "merge"]).collect()]
+    a = {r["doc_id"] for r in post.filter("term = 'table'").collect()}
+    b = {r["doc_id"] for r in post.filter("term = 'merge'").collect()}
+    assert got == sorted(a & b)
+
+
+def test_bitmap_or_count(corpus):
+    post, _, _, _ = corpus
+    bm = P.bitmap_postings(post)
+    got = P.bitmap_or_count(bm, ["table", "merge"]).first()["n_docs"]
+    a = {r["doc_id"] for r in post.filter("term = 'table'").collect()}
+    b = {r["doc_id"] for r in post.filter("term = 'merge'").collect()}
+    assert got == len(a | b)
+
+
+def test_bitmap_block_boundaries(spark):
+    # ids straddling word boundaries (63/64) and a sparse high block
+    rows = [("t", i) for i in [0, 63, 64, 65, 1000]] + [("u", i) for i in [63, 64, 1000]]
+    post = spark.createDataFrame(rows, "term string, doc_id long")
+    bm = P.bitmap_postings(post)
+    got = [r["doc_id"] for r in P.bitmap_and_docs(bm, ["t", "u"]).collect()]
+    assert got == [63, 64, 1000]
+    assert P.bitmap_or_count(bm, ["t", "u"]).first()["n_docs"] == 5
+
+
+# ---------------------------------------------------------------- X192
+
+
+def test_embedding_decontam_drops_contaminated(spark):
+    from scrapix_spark.operators import similarity as S
+
+    train = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.14, 0.0]),   # cos with bench0 ~ 0.990
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.5, 0.5, 0.7071]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = {r["vec_id"]: r["max_bench_cosine"]
+           for r in S.embedding_decontam(train, bench, threshold=0.95).collect()}
+    assert 0 not in out            # identical to bench -> dropped
+    assert 1 not in out            # near-identical -> dropped
+    assert 2 in out and abs(out[2]) < 1e-9
+    assert 3 in out
