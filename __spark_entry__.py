@@ -7348,7 +7348,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row for come first, and retire redundant near-duplicates
     # if the backlog still exceeds 50. (Round-4g already retired the
     # three named duplicates: docid_reorder_map, trigram_substring,
-    # sim_dirichlet_topk — their operators and tests remain.) Everything has a green
+    # sim_dirichlet_topk — their operators and tests remain.) The
+    # round-4g gates (X174-X192: filters_agg .. embedding_decontam, 17
+    # entries) register at the very END, behind the whole round-4d/4e/4f
+    # tail — every one is local-harness green (tools/check_oracles.py,
+    # driver protocol) pending a driver sample reaching them. Everything has a green
     # row in r01-r03 OR in this session's local full-registry sweep via
     # tools/check_oracles.py (the driver's exact protocol).
     return {

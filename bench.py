@@ -197,7 +197,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "multi_search",
         # round-4d additions (X111+; BASELINE.md records their first
         # window)
-        "trigram_substring", "trigram_regex", "mmr_rerank",
+        "trigram_regex", "mmr_rerank",
         "decay_boosted", "percolate_matches", "ir_metrics",
         "rm3_expanded_topk", "cms_counts", "generation_diff",
         "mask_spans_multi", "dict_frontcode", "sb_trigram_scores",
@@ -208,7 +208,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "cdc_chunks", "bool_query_topk", "span_first", "range_counts",
         "weighted_sample", "top_hits_group", "events_pipeline",
         # round-4e additions (X142+)
-        "similarity_matrix", "sim_dirichlet_topk",
+        "similarity_matrix",
         "min_should_match_topk", "search_after_page",
         "docid_reorder_bytes", "pruned_static_topk",
         "phrase_suggest", "composite_page", "span_not",
@@ -221,6 +221,14 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "matrix_stats", "t_test_welch", "boosting_query", "ltr_features",
         "typo_damerau_topk", "phrase_pos_codec_topk", "warc_roundtrip",
         "stemmed_search",
+        # round-4g surfaces
+        "filters_agg", "multi_terms_agg", "diversified_sample",
+        "collapse_inner_hits", "context_completions", "edge_ngram_complete",
+        "fuzzy_completions", "script_score_topk", "champion_topk",
+        "phrase_prefix_topk", "search_autocorrect", "path_facets",
+        "budget_allocation", "query_cache_topk", "terms_lookup",
+        "js_divergence", "cdc_dedup_mass", "bitmap_and", "bitmap_or_count",
+        "embedding_decontam",
     ]
     out = {}
     for name in headline:
