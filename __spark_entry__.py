@@ -6974,7 +6974,7 @@ def q_phrase_prefix(spark, sf_dir):
 
 
 def _phrase_prefix_sql() -> str:
-    words = Q.query_terms(PHRASE_PREFIX_QUERY)
+    words = M.phrase_sequence(PHRASE_PREFIX_QUERY)
     fixed, prefix = words[:-1], words[-1]
     token_one = "[^" + M._SEP_ONE[1:]
     body = M.SEP_PATTERN.join(fixed)
@@ -7317,6 +7317,221 @@ ORDER BY vec_id
 """
 
 
+PHRASE_FREQ_QUERY = "big table"
+KNN_FILTER_MOD = 2
+CHAR_FILTER_RULES = [("[0-9]+", " ")]
+RUNTIME_SORT_SCRIPT = "n_chars / 10 + (doc_id - n_chars) / 100 - log1p(n_chars)"
+
+
+def q_phrase_freq(spark, sf_dir):
+    """X193 — Lucene PhraseQuery scoring: phrase occurrence count is
+    the tf (score = Σidf · ptf·(k1+1)/(ptf + k1·norm)); overlapping
+    occurrences count (exactPhraseFreq). Same positional chain-fold
+    plan as phrase matching — ptf is the fold survivor count, free.
+    operators/match.py phrase_freq_topk."""
+    pos = M.positional_postings(_docs(spark, sf_dir), "text")
+    stats = P.term_stats(pos.select("term", "doc_id", "tf", "dl"))
+    t = _tokenized(spark, sf_dir)
+    row = t.agg(F.count("*"), F.avg("doc_len")).first()
+    return M.phrase_freq_topk(
+        pos, stats, int(row[0]), float(row[1]), PHRASE_FREQ_QUERY, 10, K1, B
+    )
+
+
+def _phrase_freq_sql() -> str:
+    words = M.phrase_sequence(PHRASE_FREQ_QUERY)
+    uniq = list(dict.fromkeys(words))
+    tok = TOK_EXPR("text")
+    ccte = []
+    for i, w in enumerate(words):
+        ccte.append(
+            f"c{i} AS (SELECT doc_id, list(pos ORDER BY pos) AS pp "
+            f"FROM tokpos WHERE term = '{w}' GROUP BY doc_id)"
+        )
+    chain = "c0.pp"
+    joins = "c0"
+    for i in range(1, len(words)):
+        chain = f"list_intersect(list_transform({chain}, x -> x + 1), c{i}.pp)"
+        joins += f" JOIN c{i} USING (doc_id)"
+    tl = ", ".join(f"'{t}'" for t in uniq)
+    return f"""
+WITH tl AS (SELECT doc_id, {tok} AS ts FROM documents),
+tokpos AS (SELECT doc_id, ts[i] AS term, i AS pos
+           FROM tl, unnest(range(1, len(ts) + 1)) AS r(i)),
+{", ".join(ccte)},
+ch AS (SELECT c0.doc_id, {chain} AS chain FROM {joins}),
+m AS (SELECT doc_id, len(chain)::BIGINT AS ptf FROM ch WHERE len(chain) > 0),
+dl AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM tl),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+dfv AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+        FROM tokpos WHERE term IN ({tl}) GROUP BY term),
+idfs AS (SELECT sum(ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))) AS s
+         FROM dfv CROSS JOIN stats)
+SELECT m.doc_id, m.ptf,
+       round(idfs.s * (m.ptf * ({K1} + 1.0))
+             / (m.ptf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)), 4)
+           AS score
+FROM m JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN idfs
+ORDER BY round(idfs.s * (m.ptf * ({K1} + 1.0))
+             / (m.ptf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)), 9) DESC,
+         m.doc_id ASC LIMIT 10
+"""
+
+
+def q_knn_filtered(spark, sf_dir):
+    """X194 — filtered kNN (ES `knn` filter param): predicate applies
+    DURING the search, so the k nearest are among survivors — never
+    the post-filter footgun. operators/similarity.py knn_filtered."""
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return SIM.knn_filtered(
+        emb, qv, F.col("label") % KNN_FILTER_MOD == 0, k=10
+    )
+
+
+def _knn_filtered_sql() -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id AS id,
+        list_sum(list_transform(range(len(embedding)),
+          i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qe[i+1] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(qe,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM embeddings CROSS JOIN q
+      WHERE label % {KNN_FILTER_MOD} = 0)
+SELECT id, round(cos, 6) AS cosine FROM s
+ORDER BY round(cos, 6) DESC, id LIMIT 10
+"""
+
+
+def q_ltr_rerank(spark, sf_dir):
+    """X195 — linear LTR model application over the X169 feature log:
+    score = Σ w_f · f, model as plan literals (no join, no UDF),
+    TakeOrdered cut. operators/query.py ltr_rerank."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    feats = Q.ltr_features(post, stats, n, avgdl, LTR_QUERY, k=100, k1=K1, b=B)
+    raw = feats.select(
+        "doc_id", "bm25", "n_matched", "dl", "sum_tf", "max_tf",
+        "sum_idf", "cover",
+    )
+    out = Q.ltr_rerank(raw, k=10)
+    return out.select(
+        "doc_id", F.round("bm25", 4).alias("bm25"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        "ltr_score",
+    )
+
+
+def _ltr_rerank_sql() -> str:
+    terms = Q.query_terms(LTR_QUERY)
+    n_terms = len(dict.fromkeys(terms))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    tok = TOK_EXPR("text")
+    w = Q.LTR_DEFAULT_WEIGHTS
+    combo = (
+        f"({w['bm25']} * bm25 + {w['cover']} * (n_matched::DOUBLE / {n_terms})"
+        f" + {w['dl']} * dl + {w['max_tf']} * max_tf"
+        f" + {w['n_matched']} * n_matched + {w['sum_idf']} * sum_idf"
+        f" + {w['sum_tf']} * sum_tf)"
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+dfv AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+feat AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS bm25,
+         count(*)::BIGINT AS n_matched,
+         max(dl.dl) AS dl,
+         sum(tf.tf)::BIGINT AS sum_tf,
+         max(tf.tf)::BIGINT AS max_tf,
+         sum(ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))) AS sum_idf
+  FROM tf
+  JOIN dfv USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+  ORDER BY round(bm25, 9) DESC, tf.doc_id ASC LIMIT 100)
+SELECT doc_id, round(bm25, 4) AS bm25, n_matched,
+       round({combo}, 6) AS ltr_score
+FROM feat ORDER BY round({combo}, 6) DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_char_filter_tf(spark, sf_dir):
+    """X196 — pattern_replace char-filter analyzer stage: digit runs
+    stripped to spaces BEFORE tokenization (native regexp_replace
+    chain, zero Python), then the standard tf — 'q3z' analyzes as
+    q, z. functions/tokenize.py apply_char_filters."""
+    from scrapix_spark.functions.tokenize import apply_char_filters
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" q"), (F.col("doc_id") % 5), F.lit("z")
+        ).alias("text"),
+    )
+    filtered = apply_char_filters(d, "text", CHAR_FILTER_RULES)
+    t = with_tokens(filtered, "text")
+    return (
+        t.select("doc_id", F.explode("tokens").alias("tk"))
+        .select("doc_id", "tk.term", F.col("tk.tf").cast("long").alias("tf"))
+        .filter(F.col("term").isin("q", "z"))
+        .orderBy("doc_id", "term")
+    )
+
+
+def _char_filter_sql() -> str:
+    tok = TOK_EXPR(
+        "regexp_replace(text || ' q' || (doc_id % 5) || 'z', '[0-9]+', ' ', 'g')"
+    )
+    return f"""
+SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+FROM (SELECT doc_id, unnest({tok}) AS t FROM documents)
+WHERE t IN ('q', 'z')
+GROUP BY doc_id, t ORDER BY doc_id, t
+"""
+
+
+def q_runtime_sort(spark, sf_dir):
+    """X197 — runtime script field (ES runtime_mappings): sort search
+    output by a computed field compiled by the X180 expression
+    compiler — one parse drives both engines (shared AST).
+    operators/exprscore.py to_column/to_sql."""
+    from scrapix_spark.operators import exprscore as E
+
+    ast = E.parse(RUNTIME_SORT_SCRIPT)
+    key = F.round(
+        E.to_column(ast, {"n_chars": F.col("n_chars"), "doc_id": F.col("doc_id")}),
+        6,
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", key.alias("sort_key"))
+        .orderBy(F.col("sort_key").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
+def _runtime_sort_sql() -> str:
+    from scrapix_spark.operators import exprscore as E
+
+    expr = E.to_sql(
+        E.parse(RUNTIME_SORT_SCRIPT), {"n_chars": "n_chars", "doc_id": "doc_id"}
+    )
+    return f"""
+SELECT doc_id, round({expr}, 6) AS sort_key FROM documents
+ORDER BY round({expr}, 6) DESC, doc_id ASC LIMIT 25
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -7500,6 +7715,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitmap_and": q_bitmap_and,
         "bitmap_or_count": q_bitmap_or_count,
         "embedding_decontam": q_embedding_decontam,
+        "phrase_freq_topk": q_phrase_freq,
+        "knn_filtered": q_knn_filtered,
+        "ltr_rerank": q_ltr_rerank,
+        "char_filter_tf": q_char_filter_tf,
+        "runtime_sort": q_runtime_sort,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -10675,6 +10895,11 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "bitmap_and": _bitmap_and_sql(),
         "bitmap_or_count": _bitmap_or_sql(),
         "embedding_decontam": _embedding_decontam_sql(),
+        "phrase_freq_topk": _phrase_freq_sql(),
+        "knn_filtered": _knn_filtered_sql(),
+        "ltr_rerank": _ltr_rerank_sql(),
+        "char_filter_tf": _char_filter_sql(),
+        "runtime_sort": _runtime_sort_sql(),
     }
 
 

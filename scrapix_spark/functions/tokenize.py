@@ -641,3 +641,27 @@ def with_tokens(df, text_col: str = "content", settings: dict | None = None):
         "doc_len",
         F.aggregate("tokens", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]),
     )
+
+
+def apply_char_filters(
+    df, text_col: str, rules: list[tuple[str, str]], out_col: str | None = None
+):
+    """X196 — analyzer char-filter stage (the public ES
+    `pattern_replace` char_filter: regex rewrites BEFORE tokenization —
+    strip digit runs, collapse markup, normalize punctuation variants
+    the separator class shouldn't handle).
+
+    Each (pattern, replacement) applies in order as a NATIVE
+    regexp_replace — the whole chain stays inside whole-stage codegen,
+    zero Python, and composes with any tokenizer in this module (the
+    filtered column feeds with_tokens/make_tokenizer unchanged).
+    Patterns should stick to the regex subset Java and RE2 share
+    (character classes, quantifiers — no lookaround) so DuckDB oracles
+    replay them verbatim.
+    """
+    from pyspark.sql import functions as F
+
+    col = F.col(text_col)
+    for pat, repl in rules:
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(out_col or text_col, col)

@@ -2130,7 +2130,7 @@ def phrase_prefix_topk(
     expansion list by (df desc, term asc) for hot prefixes; the gate
     runs uncapped so the oracle regex replays recall exactly.
     """
-    words = query_terms(q)
+    words = phrase_sequence(q)
     if len(words) < 2:
         raise ValueError("phrase_prefix needs >= 2 words (fixed... prefix)")
     fixed, prefix = words[:-1], words[-1]
@@ -2183,5 +2183,86 @@ def phrase_prefix_topk(
         scored.join(matched, "doc_id")
         .select("doc_id", F.round("score", 4).alias("score"))
         .orderBy(F.round("score", 9).desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def phrase_sequence(q: str) -> list[str]:
+    """Tokenize a phrase PRESERVING duplicates and order (query_terms
+    dedupes — correct for bag-of-words scoring, wrong for "big big"
+    as a phrase)."""
+    from scrapix_spark.operators.query import _SEP_RE
+
+    return [t for t in _SEP_RE.split(q.lower()) if t]
+
+
+def phrase_freq_topk(
+    positional: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    phrase: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """X193 — Lucene PhraseQuery SCORING (not just matching): the
+    phrase's occurrence count is the tf. Where phrase_topk_positional
+    ranks matches by the terms' independent BM25 (Meilisearch's model
+    — the phrase is a filter), Lucene scores
+
+        score = (Σ_t idf(t)) · ptf·(k1+1) / (ptf + k1·(1−b+b·dl/avgdl))
+
+    with ptf = number of positions where the full phrase ends (the
+    chain-fold survivor count — overlapping occurrences all count,
+    Lucene's exactPhraseFreq semantics). A doc saying the phrase three
+    times now beats a doc saying it once, all else equal.
+
+    Scale shape: identical to phrase_topk_positional — position rows
+    for the query's terms only, the chain-fold joins on doc_id, idf
+    from a query-sized broadcast slice; ptf falls out of the fold for
+    free (array size), no extra pass. Columns (doc_id, ptf, score).
+    """
+    words = phrase_sequence(phrase)
+    if len(words) < 2:
+        raise ValueError("phrase_freq needs >= 2 words")
+    uniq = list(dict.fromkeys(words))
+    pos = positional.filter(F.col("term").isin(uniq))
+
+    def pos_of(t: str, alias: str, with_dl: bool = False) -> DataFrame:
+        cols = ["doc_id", F.col("positions").alias(alias)]
+        if with_dl:
+            cols.append(F.col("dl"))
+        return pos.filter(F.col("term") == t).select(*cols)
+
+    cur = pos_of(words[0], "chain", with_dl=True)
+    for i, t in enumerate(words[1:], start=1):
+        cur = (
+            cur.join(pos_of(t, f"p{i}"), "doc_id")
+            .select(
+                "doc_id", "dl",
+                _chain_positions(F.col("chain"), F.col(f"p{i}")).alias("chain"),
+            )
+            .filter(F.size("chain") > 0)
+        )
+    from scrapix_spark.operators.query import idf_expr
+
+    idf_sum = float(
+        term_stats.filter(F.col("term").isin(uniq))
+        .select(F.sum(idf_expr(N, F.col("df").cast("double"))).alias("s"))
+        .first()["s"]
+        or 0.0
+    )
+    ptf = F.size("chain").cast("double")
+    tfpart = (ptf * (k1 + 1.0)) / (
+        ptf + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+    )
+    return (
+        cur.select(
+            "doc_id",
+            F.size("chain").cast("long").alias("ptf"),
+            F.round(F.lit(idf_sum) * tfpart, 4).alias("score"),
+        )
+        .orderBy(F.round(F.col("score"), 9).desc(), F.col("doc_id").asc())
         .limit(k)
     )

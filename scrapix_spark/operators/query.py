@@ -2723,3 +2723,37 @@ def search_autocorrect(
         F.round("score", 4).alias("score"),
         F.lit(corrected).alias("corrected"),
     )
+
+
+LTR_DEFAULT_WEIGHTS = {
+    "bm25": 1.0, "n_matched": 0.3, "dl": -0.001, "sum_tf": 0.05,
+    "max_tf": 0.1, "sum_idf": 0.2, "cover": 0.5,
+}
+
+
+def ltr_rerank(
+    features: DataFrame,
+    weights: dict[str, float] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """X195 — apply a linear learning-to-rank model to the X169 feature
+    log: score = Σ w_f · feature_f, rerank, cut. This closes the LTR
+    loop the ES plugin ships (log features → train offline → apply at
+    query time); a linear model is the classic first rung (RankSVM /
+    coordinate-ascent solutions are linear in these features).
+
+    The model is a LITERAL in the plan — no join, no UDF, pure
+    projection over the feature relation (same discipline as X81's
+    classifier inference); cut is TakeOrdered. Columns: doc_id, every
+    feature, ltr_score (rounded 6).
+    """
+    w = weights or LTR_DEFAULT_WEIGHTS
+    score = None
+    for f, wt in sorted(w.items()):
+        part = F.col(f).cast("double") * float(wt)
+        score = part if score is None else score + part
+    return (
+        features.withColumn("ltr_score", F.round(score, 6))
+        .orderBy(F.col("ltr_score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -981,3 +981,30 @@ def embedding_decontam(
         per.filter(F.col("max_bench_cosine") < threshold)
         .orderBy(id_col)
     )
+
+
+def knn_filtered(
+    df: DataFrame,
+    query_vec: list[float],
+    predicate,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X194 — filtered kNN (the public ES `knn` query's `filter`
+    param): the metadata predicate applies DURING the search, so the
+    result is the k nearest vectors AMONG those passing the filter —
+    not "k nearest, then filter", which can return < k or nothing
+    (post-filtering, the classic vector-search footgun this surface
+    exists to avoid).
+
+    Scale shape: the predicate pushes to the scan (column-pruned,
+    partition-pruned if the filter column is a partition key) and the
+    exact cosine runs only over survivors — same embarrassingly
+    parallel scan + partial top-k as cosine_topk_bruteforce; an IVF/
+    LSH route stays available by pre-filtering their candidate
+    relations identically.
+    """
+    return cosine_topk_bruteforce(
+        df.filter(predicate), query_vec, k=k, id_col=id_col, vec_col=vec_col
+    )

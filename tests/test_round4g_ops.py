@@ -600,3 +600,113 @@ def test_embedding_decontam_drops_contaminated(spark):
     assert 1 not in out            # near-identical -> dropped
     assert 2 in out and abs(out[2]) < 1e-9
     assert 3 in out
+
+
+# ---------------------------------------------------------------- X193
+
+
+def test_phrase_freq_counts_occurrences(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "big table small big table fast big table"),  # ptf 3
+            (1, "big table"),                                  # ptf 1
+            (2, "big big table"),                              # chain: one end
+            (3, "table big"),                                  # no match
+        ],
+        "doc_id long, text string",
+    )
+    pos = M.positional_postings(docs, "text")
+    stats = P.term_stats(pos.select("term", "doc_id", "tf", "dl"))
+    out = {r["doc_id"]: r for r in
+           M.phrase_freq_topk(pos, stats, 4, 4.75, "big table", k=10).collect()}
+    assert 3 not in out
+    assert out[0]["ptf"] == 3 and out[1]["ptf"] == 1 and out[2]["ptf"] == 1
+    # more occurrences => higher score when lengths comparable
+    assert out[0]["score"] > out[1]["score"]
+
+
+def test_phrase_freq_overlapping(spark):
+    docs = spark.createDataFrame(
+        [(0, "big big big")], "doc_id long, text string"
+    )
+    pos = M.positional_postings(docs, "text")
+    stats = P.term_stats(pos.select("term", "doc_id", "tf", "dl"))
+    out = M.phrase_freq_topk(pos, stats, 1, 3.0, "big big", k=5).collect()
+    assert out[0]["ptf"] == 2  # overlapping occurrences both count
+
+
+# ---------------------------------------------------------------- X194
+
+
+def test_knn_filtered_all_pass_filter(spark):
+    from scrapix_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(20)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = S.knn_filtered(emb, [1.0, 0.0], F.col("label") == 1, k=5).collect()
+    assert len(out) == 5
+    assert all(r["id"] % 2 == 1 for r in out)
+
+
+# ---------------------------------------------------------------- X195
+
+
+def test_ltr_rerank_linear_and_deterministic(spark):
+    feats = spark.createDataFrame(
+        [
+            (0, 2.0, 2, 100, 4, 3, 1.5, 1.0),
+            (1, 2.0, 2, 50, 4, 3, 1.5, 1.0),   # shorter doc -> higher (w_dl < 0)
+            (2, 0.1, 1, 100, 1, 1, 0.5, 0.5),
+        ],
+        "doc_id long, bm25 double, n_matched int, dl long, sum_tf long, "
+        "max_tf long, sum_idf double, cover double",
+    )
+    out = Q.ltr_rerank(feats, k=3).collect()
+    assert [r["doc_id"] for r in out] == [1, 0, 2]
+    w = Q.LTR_DEFAULT_WEIGHTS
+    expect = round(
+        w["bm25"] * 2.0 + w["n_matched"] * 2 + w["dl"] * 50 + w["sum_tf"] * 4
+        + w["max_tf"] * 3 + w["sum_idf"] * 1.5 + w["cover"] * 1.0, 6
+    )
+    assert abs(out[0]["ltr_score"] - expect) < 1e-9
+
+
+# ---------------------------------------------------------------- X196
+
+
+def test_char_filters_chain_order(spark):
+    from scrapix_spark.functions.tokenize import apply_char_filters
+
+    d = spark.createDataFrame([(0, "ab12cd34 ef")], "doc_id long, text string")
+    out = apply_char_filters(
+        d, "text", [("[0-9]+", " "), ("ab", "xy")]
+    ).first()["text"]
+    assert out == "xy cd  ef"
+
+
+# ---------------------------------------------------------------- X197
+
+
+def test_runtime_sort_shared_ast(spark, docs):
+    from scrapix_spark.operators import exprscore as E
+
+    script = "n_chars / 10 - log1p(n_chars)"
+    ast = E.parse(script)
+    got = (
+        docs.select(
+            "doc_id",
+            F.round(E.to_column(ast, {"n_chars": F.col("n_chars")}), 6).alias("k"),
+        )
+        .orderBy(F.col("k").desc(), F.col("doc_id"))
+        .limit(5)
+        .collect()
+    )
+    import duckdb, math
+    rows = [(r["doc_id"], r["n_chars"]) for r in docs.collect()]
+    want = sorted(
+        ((d, round(n / 10 - math.log1p(n), 6)) for d, n in rows),
+        key=lambda p: (-p[1], p[0]),
+    )[:5]
+    assert [(r["doc_id"], r["k"]) for r in got] == want
