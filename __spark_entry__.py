@@ -7532,6 +7532,61 @@ ORDER BY round({expr}, 6) DESC, doc_id ASC LIMIT 25
 """
 
 
+SEGQ_QUERY = "big table merge sort"
+SEGQ_PMI_T = 0.5
+
+
+def q_segment_query(spark, sf_dir):
+    """X198 — query segmentation by PMI (Church & Hanks 1990): which
+    adjacent query pairs are implicit phrases. Per pair one
+    doc_id-equi-join adjacency count over the words' own position
+    rows; cf/T/Tp from the dictionary. operators/match.py
+    segment_query_pmi."""
+    pos = M.positional_postings(_docs(spark, sf_dir), "text")
+    stats = P.term_stats(pos.select("term", "doc_id", "tf", "dl"))
+    return M.segment_query_pmi(pos, stats, SEGQ_QUERY, SEGQ_PMI_T)
+
+
+def _segment_query_sql() -> str:
+    words = M.phrase_sequence(SEGQ_QUERY)
+    pairs = [(i, words[i], words[i + 1]) for i in range(len(words) - 1)]
+    tok = TOK_EXPR("text")
+    arms = []
+    for i, w1, w2 in pairs:
+        arms.append(f"""
+SELECT {i}::INT AS pos, '{w1}' AS w1, '{w2}' AS w2,
+  coalesce((SELECT sum(cnt) FROM (
+     SELECT len(list_intersect(
+        list_transform(a.pp, x -> x + 1), b.pp)) AS cnt
+     FROM (SELECT doc_id, list(pos ORDER BY pos) AS pp FROM tokpos
+           WHERE term = '{w1}' GROUP BY doc_id) a
+     JOIN (SELECT doc_id, list(pos ORDER BY pos) AS pp FROM tokpos
+           WHERE term = '{w2}' GROUP BY doc_id) b USING (doc_id))), 0)::BIGINT
+    AS adj,
+  (SELECT cf FROM cfs WHERE term = '{w1}') AS cf1,
+  (SELECT cf FROM cfs WHERE term = '{w2}') AS cf2""")
+    arms_sql = " UNION ALL ".join(arms)
+    return f"""
+WITH tl AS (SELECT doc_id, {tok} AS ts FROM documents),
+tokpos AS (SELECT doc_id, ts[i] AS term, i AS pos
+           FROM tl, unnest(range(1, len(ts) + 1)) AS r(i)),
+tot AS (SELECT sum(len(ts))::DOUBLE AS T, sum(len(ts) - 1)::DOUBLE AS Tp
+        FROM tl),
+cfs AS (SELECT term, count(*)::DOUBLE AS cf FROM tokpos GROUP BY term),
+pairs AS ({arms_sql})
+SELECT pos, w1, w2, adj,
+       CASE WHEN adj > 0 THEN
+         round(ln((adj / tot.Tp) / ((cf1 / tot.T) * (cf2 / tot.T))), 6)
+       END AS pmi,
+       CASE WHEN adj > 0 THEN
+         round(ln((adj / tot.Tp) / ((cf1 / tot.T) * (cf2 / tot.T))), 6)
+             >= {SEGQ_PMI_T}
+       ELSE FALSE END AS grouped
+FROM pairs CROSS JOIN tot
+ORDER BY pos
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -7720,6 +7775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_rerank": q_ltr_rerank,
         "char_filter_tf": q_char_filter_tf,
         "runtime_sort": q_runtime_sort,
+        "segment_query_pmi": q_segment_query,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -10900,6 +10956,7 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "ltr_rerank": _ltr_rerank_sql(),
         "char_filter_tf": _char_filter_sql(),
         "runtime_sort": _runtime_sort_sql(),
+        "segment_query_pmi": _segment_query_sql(),
     }
 
 

@@ -228,7 +228,8 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "phrase_prefix_topk", "search_autocorrect", "path_facets",
         "budget_allocation", "query_cache_topk", "terms_lookup",
         "js_divergence", "cdc_dedup_mass", "bitmap_and", "bitmap_or_count",
-        "embedding_decontam",
+        "embedding_decontam", "phrase_freq_topk", "knn_filtered",
+        "ltr_rerank", "char_filter_tf", "runtime_sort", "segment_query_pmi",
     ]
     out = {}
     for name in headline:

@@ -2266,3 +2266,98 @@ def phrase_freq_topk(
         .orderBy(F.round(F.col("score"), 9).desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def segment_query_pmi(
+    positional: DataFrame,
+    term_stats: DataFrame,
+    q: str,
+    pmi_threshold: float = 1.0,
+) -> DataFrame:
+    """X198 — query segmentation by pointwise mutual information: which
+    adjacent query-word pairs are IMPLICIT PHRASES ("new york" vs
+    "cheap york")? The classic collocation test (Church & Hanks 1990;
+    the signal behind search engines' silent phrase grouping and
+    Lucene's shingle-based approaches):
+
+        PMI(w1,w2) = ln( (adj/Tp) / ((cf1/T)·(cf2/T)) )
+
+    adj = corpus count of positions where w2 directly follows w1
+    (the same chain-intersect the phrase kernel uses), T = total
+    tokens, Tp = total adjacent-pair slots = Σ(dl−1). Pairs with
+    PMI ≥ threshold group into a phrase segment downstream (feed the
+    grouped pairs to phrase_freq_topk / phrase constraints; ungrouped
+    words stay bag-of-words).
+
+    Output: one row per adjacent query pair —
+    (pos, w1, w2, adj, pmi, grouped) — pos ascending; pairs with zero
+    adjacency get NULL pmi and grouped=false.
+
+    Scale shape: position rows are read for the QUERY's words only;
+    each pair's adjacency is one doc_id-equi-join + a native array
+    intersect, summed by a 1-row agg; cf/T/Tp come from the dictionary
+    and one bounded agg. Work is O(query pairs), each a query-sized
+    plan — nothing scans the corpus beyond the terms' own postings.
+    """
+    words = phrase_sequence(q)
+    spark = positional.sparkSession
+    pairs = [(i, words[i], words[i + 1]) for i in range(len(words) - 1)]
+    if not pairs:
+        return spark.createDataFrame(
+            [], "pos int, w1 string, w2 string, adj long, pmi double, "
+            "grouped boolean"
+        )
+    uniq = sorted({w for p in pairs for w in p[1:]})
+    totals = (
+        positional.select("doc_id", "dl")
+        .distinct()
+        .agg(
+            F.sum("dl").cast("double").alias("T"),
+            F.sum(F.col("dl") - 1).cast("double").alias("Tp"),
+        )
+        .first()
+    )
+    T, Tp = float(totals["T"]), float(totals["Tp"])
+    cf = {
+        r["term"]: float(r["cf"])
+        for r in term_stats.filter(F.col("term").isin(uniq))
+        .select("term", "cf")
+        .collect()
+    }
+    pos = positional.filter(F.col("term").isin(uniq)).select(
+        "term", "doc_id", "positions"
+    )
+    rows = []
+    for i, w1, w2 in pairs:
+        a = pos.filter(F.col("term") == w1).select(
+            "doc_id", F.col("positions").alias("p1")
+        )
+        b = pos.filter(F.col("term") == w2).select(
+            "doc_id", F.col("positions").alias("p2")
+        )
+        adj_row = (
+            a.join(b, "doc_id")
+            .select(
+                F.size(
+                    F.array_intersect(
+                        F.transform(F.col("p1"), lambda x: x + 1), F.col("p2")
+                    )
+                ).alias("n")
+            )
+            .agg(F.sum("n").cast("long").alias("adj"))
+            .first()
+        )
+        adj = int(adj_row["adj"] or 0)
+        if adj > 0 and w1 in cf and w2 in cf:
+            import math
+
+            pmi = round(
+                math.log((adj / Tp) / ((cf[w1] / T) * (cf[w2] / T))), 6
+            )
+            rows.append((i, w1, w2, adj, pmi, pmi >= pmi_threshold))
+        else:
+            rows.append((i, w1, w2, adj, None, False))
+    return spark.createDataFrame(
+        rows, "pos int, w1 string, w2 string, adj long, pmi double, "
+        "grouped boolean"
+    )

@@ -710,3 +710,38 @@ def test_runtime_sort_shared_ast(spark, docs):
         key=lambda p: (-p[1], p[0]),
     )[:5]
     assert [(r["doc_id"], r["k"]) for r in got] == want
+
+
+# ---------------------------------------------------------------- X198
+
+
+def test_segment_query_pmi_collocation(spark):
+    # "new york" always adjacent; "cheap" and "york" never adjacent
+    docs = spark.createDataFrame(
+        [
+            (0, "new york is big new york wins"),
+            (1, "new york again and cheap stuff"),
+            (2, "cheap things and new york"),
+            (3, "york alone new alone cheap"),
+        ],
+        "doc_id long, text string",
+    )
+    pos = M.positional_postings(docs, "text")
+    stats = P.term_stats(pos.select("term", "doc_id", "tf", "dl"))
+    out = {(r["w1"], r["w2"]): r for r in
+           M.segment_query_pmi(pos, stats, "cheap new york", 0.5).collect()}
+    ny = out[("new", "york")]
+    assert ny["grouped"] and ny["adj"] == 4 and ny["pmi"] > 0.5
+    cn = out[("cheap", "new")]
+    assert not cn["grouped"] or cn["pmi"] < ny["pmi"]
+
+
+def test_segment_query_pmi_zero_adjacency(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma")], "doc_id long, text string"
+    )
+    pos = M.positional_postings(docs, "text")
+    stats = P.term_stats(pos.select("term", "doc_id", "tf", "dl"))
+    out = M.segment_query_pmi(pos, stats, "gamma alpha", 0.5).collect()
+    assert len(out) == 1
+    assert out[0]["adj"] == 0 and out[0]["pmi"] is None and not out[0]["grouped"]
