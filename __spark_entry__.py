@@ -7587,6 +7587,117 @@ ORDER BY pos
 """
 
 
+GREP_PATTERN = "merge"
+GREP_CTX = 2
+COMMON_QUERY = "the zebra batch"
+COMMON_CUTOFF = 0.2
+# planted rare token: every 50th doc says 'zebra' (df = N/50 -> LOW-df
+# required term); 'the'/'batch' are ~80% df in this corpus -> optional
+_COMMON_SRC_SQL = (
+    "text || CASE WHEN doc_id % 50 = 0 THEN ' zebra' ELSE '' END"
+)
+
+
+def q_grep_context(spark, sf_dir):
+    """X199 — distributed grep with context lines (the code-search
+    result surface): matches + up to {n} surrounding lines, all from
+    ONE in-array slice — map-only, zero shuffle, zero Python.
+    operators/code.py grep_context."""
+    from scrapix_spark.operators.code import grep_context
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("source"), F.col("lang"), F.col("text"),
+            F.concat(F.lit("tail "), F.col("doc_id")),
+        ).alias("content"),
+    )
+    out = grep_context(d, GREP_PATTERN, n_context=GREP_CTX)
+    return out.select(
+        "doc_id", "line_no", "line",
+        F.array_join("ctx_before", "|").alias("ctx_before"),
+        F.array_join("ctx_after", "|").alias("ctx_after"),
+    ).orderBy("doc_id", "line_no")
+
+
+def _grep_context_sql() -> str:
+    return f"""
+WITH d AS (SELECT doc_id,
+             source || chr(10) || lang || chr(10) || text || chr(10)
+               || 'tail ' || doc_id AS c
+           FROM documents),
+l AS (SELECT doc_id, string_split(c, chr(10)) AS ls FROM d),
+h AS (SELECT doc_id, ls,
+        list_filter(range(1, len(ls) + 1),
+                    i -> regexp_matches(ls[i], '{GREP_PATTERN}')) AS hits
+      FROM l),
+e AS (SELECT doc_id, ls, unnest(hits) AS line_no FROM h WHERE len(hits) > 0)
+SELECT doc_id, line_no::BIGINT AS line_no, ls[line_no] AS line,
+       array_to_string(ls[greatest(line_no - {GREP_CTX}, 1) : line_no - 1], '|')
+           AS ctx_before,
+       array_to_string(ls[line_no + 1 : least(line_no + {GREP_CTX}, len(ls))], '|')
+           AS ctx_after
+FROM e ORDER BY doc_id, line_no
+"""
+
+
+def q_common_terms(spark, sf_dir):
+    """X200 — Lucene common_terms query: low-df words REQUIRED, high-df
+    words (df > cutoff·N — 'the') only boost among matches; the
+    stopword problem without a stopword list. operators/query.py
+    common_terms_topk."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_COMMON_SRC_SQL).alias("text")
+    )
+    t = with_tokens(d, "text")
+    post = t.select(
+        "doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("tk")
+    ).select("tk.term", "doc_id", F.col("tk.tf").cast("long").alias("tf"), "dl")
+    stats = P.term_stats(post)
+    row = t.agg(F.count("*"), F.avg("doc_len")).first()
+    return Q.common_terms_topk(
+        post, stats, int(row[0]), float(row[1]), COMMON_QUERY,
+        cutoff_frac=COMMON_CUTOFF, k=10, k1=K1, b=B,
+    )
+
+
+def _common_terms_sql() -> str:
+    terms = Q.query_terms(COMMON_QUERY)
+    tok = TOK_EXPR(_COMMON_SRC_SQL)
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    scored_cte = f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+dfv AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) ) AS score,
+         count(*)::BIGINT AS n_matched
+  FROM tf
+  JOIN dfv USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id)
+"""
+    return f"""
+{scored_cte}
+, req AS (SELECT term FROM dfv
+          WHERE df <= {COMMON_CUTOFF} * (SELECT n FROM stats)),
+nreq AS (SELECT doc_id, count(DISTINCT term)::INT AS n_required
+         FROM tf WHERE term IN (SELECT term FROM req) GROUP BY doc_id)
+SELECT s.doc_id, round(s.score, 4) AS score, r.n_required,
+       (s.n_matched - r.n_required)::INT AS n_optional
+FROM scored s JOIN nreq r USING (doc_id)
+WHERE r.n_required = (SELECT count(*) FROM req)
+ORDER BY round(s.score, 9) DESC, s.doc_id ASC LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -7776,6 +7887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_filter_tf": q_char_filter_tf,
         "runtime_sort": q_runtime_sort,
         "segment_query_pmi": q_segment_query,
+        "grep_context": q_grep_context,
+        "common_terms_topk": q_common_terms,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -10957,6 +11070,8 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "char_filter_tf": _char_filter_sql(),
         "runtime_sort": _runtime_sort_sql(),
         "segment_query_pmi": _segment_query_sql(),
+        "grep_context": _grep_context_sql(),
+        "common_terms_topk": _common_terms_sql(),
     }
 
 

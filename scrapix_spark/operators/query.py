@@ -2757,3 +2757,76 @@ def ltr_rerank(
         .orderBy(F.col("ltr_score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def common_terms_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    q: str,
+    cutoff_frac: float = 0.2,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """X200 — the Lucene/pre-ES-7 `common_terms` query: split the
+    query's words by document frequency — LOW-df words (the
+    discriminative ones) are REQUIRED, HIGH-df words (df > cutoff_frac
+    · N: near-stopwords like 'the', 'a') only boost scoring among docs
+    that already matched. The stopword problem solved without a
+    stopword list: "the merge" requires only 'merge' but still ranks
+    docs also containing 'the' higher.
+
+    If every query word is high-df the query degrades to plain OR
+    (Lucene's fallback). Returns (doc_id, score, n_required,
+    n_optional) in the pinned order.
+
+    Scale shape: the df split is a query-sized dictionary lookup
+    (bounded collect, the same slice every query path reads); scoring
+    is ONE pass over the union term set with the required-count filter
+    applied post-agg — no second postings scan for the optional terms.
+    """
+    terms = query_terms(q)
+    if not terms:
+        return postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double, n_required int, n_optional int"
+        )
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in term_stats.filter(F.col("term").isin(terms))
+        .select("term", "df")
+        .collect()
+    }
+    cutoff = cutoff_frac * N
+    low = sorted(t for t in terms if dfs.get(t, 0) <= cutoff)
+    high = sorted(t for t in terms if t in dfs and dfs[t] > cutoff)
+    required = low if low else high   # all-common fallback: plain OR
+    scored = _bm25_topk_from_postings_terms(
+        postings, term_stats, N, avgdl, sorted(set(terms) & set(dfs)),
+        k=(1 << 31) - 1, k1=k1, b=b,
+    )
+    req_set = set(required)
+    n_req_expr = None
+    # count required terms per doc via a second bounded slice of the
+    # same postings filter — one extra agg over the required terms only
+    reqp = (
+        postings.filter(F.col("term").isin(list(req_set)))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").cast("int").alias("n_required"))
+    )
+    out = (
+        scored.join(reqp, "doc_id")
+        .filter(F.col("n_required") == len(req_set))
+        .select(
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            "n_required",
+            (F.col("n_matched") - F.col("n_required")).cast("int").alias(
+                "n_optional"
+            ),
+        )
+    )
+    return out.orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()
+    ).limit(k)

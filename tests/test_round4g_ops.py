@@ -745,3 +745,79 @@ def test_segment_query_pmi_zero_adjacency(spark):
     out = M.segment_query_pmi(pos, stats, "gamma alpha", 0.5).collect()
     assert len(out) == 1
     assert out[0]["adj"] == 0 and out[0]["pmi"] is None and not out[0]["grouped"]
+
+
+# ---------------------------------------------------------------- X199
+
+
+def test_grep_context_windows(spark):
+    from scrapix_spark.operators.code import grep_context
+
+    content = "\n".join(
+        ["l1", "l2 target", "l3", "l4", "l5 target", "l6"]
+    )
+    d = spark.createDataFrame([(0, content)], "doc_id long, content string")
+    out = {r["line_no"]: r for r in grep_context(d, "target", 2).collect()}
+    assert set(out) == {2, 5}
+    assert out[2]["ctx_before"] == ["l1"] and out[2]["ctx_after"] == ["l3", "l4"]
+    assert out[5]["ctx_before"] == ["l3", "l4"] and out[5]["ctx_after"] == ["l6"]
+    assert out[2]["line"] == "l2 target"
+
+
+def test_grep_context_edges_and_cap(spark):
+    from scrapix_spark.operators.code import grep_context
+
+    d = spark.createDataFrame(
+        [(0, "hit\nx\nhit"), (1, "nothing here")],
+        "doc_id long, content string",
+    )
+    rows = grep_context(d, "hit", 2).collect()
+    assert {r["doc_id"] for r in rows} == {0}
+    first = [r for r in rows if r["line_no"] == 1][0]
+    assert first["ctx_before"] == [] and first["ctx_after"] == ["x", "hit"]
+    capped = grep_context(
+        spark.createDataFrame([(0, "a\na\na\na")], "doc_id long, content string"),
+        "a", 1, max_matches_per_doc=2,
+    ).collect()
+    assert len(capped) == 2
+
+
+# ---------------------------------------------------------------- X200
+
+
+def test_common_terms_requires_low_df(spark):
+    from scrapix_spark.functions.tokenize import with_tokens
+
+    # 'filler' in every doc (high df); 'rare' in two (low df)
+    rows = [(i, "filler words here " + ("rare " if i < 2 else "")) for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    t = with_tokens(d, "text")
+    post = t.select(
+        "doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("tk")
+    ).select("tk.term", "doc_id", F.col("tk.tf").cast("long").alias("tf"), "dl")
+    stats = P.term_stats(post)
+    row = t.agg(F.count("*"), F.avg("doc_len")).first()
+    out = Q.common_terms_topk(
+        post, stats, int(row[0]), float(row[1]), "filler rare",
+        cutoff_frac=0.5, k=10,
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == [0, 1]
+    for r in out:
+        assert r["n_required"] == 1 and r["n_optional"] == 1
+
+
+def test_common_terms_all_common_fallback(spark):
+    from scrapix_spark.functions.tokenize import with_tokens
+
+    rows = [(i, "alpha beta") for i in range(4)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    t = with_tokens(d, "text")
+    post = t.select(
+        "doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("tk")
+    ).select("tk.term", "doc_id", F.col("tk.tf").cast("long").alias("tf"), "dl")
+    stats = P.term_stats(post)
+    out = Q.common_terms_topk(
+        post, stats, 4, 2.0, "alpha beta", cutoff_frac=0.1, k=10
+    ).collect()
+    # everything high-df -> plain OR fallback still returns matches
+    assert len(out) == 4
