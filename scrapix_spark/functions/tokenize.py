@@ -204,6 +204,7 @@ def make_tokenizer(
     fold_diacritics: bool = False,
     split_identifiers: bool = False,
     cjk_bigrams: bool = False,
+    char_filters: tuple[tuple[str, str], ...] = (),
 ):
     """Meilisearch tokenizer settings (v1.4): `extra_separators` =
     separatorTokens (single chars join the class; multi-char strings
@@ -374,6 +375,32 @@ def make_tokenizer(
         if cjk:
             out = cjk_bigrams_py(out, dset)
         return [x for x in out if x not in stops] if stops else out
+
+    if char_filters:
+        # X196 — ES pattern_replace char_filter stage: regex rewrites on
+        # the RAW text before any analysis (ES runs char_filters before
+        # the tokenizer; lowercasing stays inside the tokenizer funcs).
+        # Patterns must avoid single quotes and stay in the Java∩RE2
+        # subset so the DuckDB replica is verbatim.
+        for pat, _ in char_filters:
+            if "'" in pat:
+                raise ValueError("char_filter patterns must not contain \'")
+        _inner_native, _inner_duck, _inner_py = native_fn, duckdb_fn, py_fn
+
+        def native_fn(col: Column) -> Column:
+            for pat, repl in char_filters:
+                col = F.regexp_replace(col, pat, repl)
+            return _inner_native(col)
+
+        def duckdb_fn(expr: str) -> str:
+            for pat, repl in char_filters:
+                expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+            return _inner_duck(expr)
+
+        def py_fn(s: str) -> list[str]:
+            for pat, repl in char_filters:
+                s = re.sub(pat, repl, s)
+            return _inner_py(s)
 
     return pattern, native_fn, duckdb_fn, py_fn
 

@@ -821,3 +821,27 @@ def test_common_terms_all_common_fallback(spark):
     ).collect()
     # everything high-df -> plain OR fallback still returns matches
     assert len(out) == 4
+
+
+def test_make_tokenizer_char_filters_three_way(spark):
+    import duckdb as ddb
+
+    from scrapix_spark.functions.tokenize import make_tokenizer
+
+    pat, nat, duck, py = make_tokenizer(
+        char_filters=(("[0-9]+", " "), ("ab", "xy")), stop_words=("the",)
+    )
+    s = "ab12cd the 9zab"
+    df = spark.createDataFrame([(s,)], "t string")
+    got = df.select(nat(F.col("t")).alias("o")).first()["o"]
+    want_sql = ddb.connect().execute(
+        f"SELECT {duck('t')} FROM (VALUES ('{s}')) v(t)"
+    ).fetchone()[0]
+    assert got == py(s) == want_sql == ["xy", "cd", "zxy"]
+
+
+def test_make_tokenizer_char_filters_quote_rejected():
+    from scrapix_spark.functions.tokenize import make_tokenizer
+
+    with pytest.raises(ValueError):
+        make_tokenizer(char_filters=(("a'b", " "),))
