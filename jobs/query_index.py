@@ -34,7 +34,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--mode",
         choices=["wand", "full", "prefix", "typo", "phrase", "proximity",
-                 "distinct", "search"],
+                 "distinct", "search", "autocorrect"],
         default="wand",
         help="wand/full = BM25 top-k (rank-identical pair); prefix = "
              "last word as prefix; typo = edit-distance tolerance with "
@@ -116,6 +116,7 @@ def main(argv: list[str] | None = None) -> int:
         "distinct": lambda q, k: reader.topk_distinct(
             q, k=k, attr=args.distinct_by
         ),
+        "autocorrect": reader.topk_autocorrect,
     }[args.mode]
     topk = mode_fn(args.query, k=fetch_k)
     if args.distinct_by and args.mode != "distinct":

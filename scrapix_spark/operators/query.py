@@ -792,6 +792,34 @@ class IndexReader:
         topk = agg.orderBy(*words_order).limit(k)
         return self._hydrate(topk, order=words_order) if hydrate else topk
 
+    def topk_autocorrect(
+        self, q: str, k: int = 10, hydrate: bool = True,
+        min_len: int | None = None, two_typo_min: int | None = None,
+    ) -> DataFrame:
+        """X184 at the index level: did-you-mean rewrites each query
+        word against the term DICTIONARY (SymSpell join + 1-row
+        TakeOrdered per word, the suggest_query contract), then the
+        CORRECTED query runs the standard pruned WAND path. Adds a
+        `corrected` literal column ("showing results for ...")."""
+        from scrapix_spark.operators.match import (
+            ONE_TYPO_MIN, TWO_TYPO_MIN, suggest_query,
+        )
+
+        min_len = ONE_TYPO_MIN if min_len is None else min_len
+        two_typo_min = TWO_TYPO_MIN if two_typo_min is None else two_typo_min
+        dict_agg = self.dict_df.groupBy("term").agg(F.sum("df").alias("df"))
+        sug = suggest_query(
+            dict_agg, q, max_dist=2, min_len=min_len,
+            two_typo_min=two_typo_min,
+        ).orderBy("pos").collect()
+        words = [
+            r["suggestion"] if r["suggestion"] is not None else r["word"]
+            for r in sug
+        ]
+        corrected = " ".join(words)
+        out = self.topk_pruned(corrected if corrected else q, k=k, hydrate=hydrate)
+        return out.withColumn("corrected", F.lit(corrected))
+
     def _positional_for(self, q: str):
         """Positional rows for the query terms, with the term STRING
         restored (tiny broadcast of the resolved slice) so the

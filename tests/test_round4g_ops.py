@@ -845,3 +845,19 @@ def test_make_tokenizer_char_filters_quote_rejected():
 
     with pytest.raises(ValueError):
         make_tokenizer(char_filters=(("a'b", " "),))
+
+
+def test_index_reader_autocorrect(spark, tmp_path):
+    from scrapix_spark.config import IndexConfig
+    from scrapix_spark.fixtures import corpus_spark_df
+    from scrapix_spark.operators.index import build_index
+    from scrapix_spark.operators.query import IndexReader
+
+    idx = str(tmp_path / "ac_idx")
+    build_index(spark, corpus_spark_df(spark, 300), idx,
+                IndexConfig(n_shards=2), build_id="a1", n_batches=1)
+    r = IndexReader(spark, idx)
+    out = r.topk_autocorrect("zanziba", 5).collect()
+    assert out and out[0]["corrected"] == "zanzibar"
+    base = r.topk_pruned("zanzibar", 5).collect()
+    assert [x["doc_id"] for x in out] == [x["doc_id"] for x in base]
