@@ -7698,6 +7698,40 @@ ORDER BY round(s.score, 9) DESC, s.doc_id ASC LIMIT 10
 """
 
 
+def q_corpus_report(spark, sf_dir):
+    """X201 — the dataset-card summary row (Gebru et al. 2021): sizes,
+    vocab, language mix, exact-dup mass, length stats — three 1-row
+    aggs cross-joined, every relation scanned once.
+    operators/textstats.py corpus_report."""
+    return TS.corpus_report(_docs(spark, sf_dir), _postings(spark, sf_dir))
+
+
+def _corpus_report_sql() -> str:
+    tok = TOK_EXPR("text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+p AS (SELECT count(*)::BIGINT AS n_tokens,
+             count(DISTINCT term)::BIGINT AS vocab FROM tok),
+d AS (SELECT count(*)::BIGINT AS n_docs,
+             count(DISTINCT lang)::BIGINT AS n_langs,
+             round(avg(n_chars::DOUBLE), 4) AS mean_chars,
+             round(quantile_cont(n_chars::DOUBLE, 0.5), 4) AS p50_chars
+      FROM documents),
+dup AS (SELECT coalesce(sum(CASE WHEN n >= 2 THEN n END), 0)::BIGINT
+            AS exact_dup_docs
+        FROM (SELECT sha256(text) AS h, count(*) AS n
+              FROM documents GROUP BY h)),
+top AS (SELECT lang AS top_lang FROM documents GROUP BY lang
+        ORDER BY count(*) DESC, lang ASC LIMIT 1)
+SELECT d.n_docs, p.n_tokens, p.vocab,
+       round(p.n_tokens / d.n_docs::DOUBLE, 4) AS avgdl,
+       d.n_langs, top.top_lang, dup.exact_dup_docs,
+       round(dup.exact_dup_docs / d.n_docs::DOUBLE, 6) AS dup_rate,
+       d.mean_chars, d.p50_chars
+FROM d CROSS JOIN p CROSS JOIN dup CROSS JOIN top
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -7889,6 +7923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_query_pmi": q_segment_query,
         "grep_context": q_grep_context,
         "common_terms_topk": q_common_terms,
+        "corpus_report": q_corpus_report,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -11072,6 +11107,7 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "segment_query_pmi": _segment_query_sql(),
         "grep_context": _grep_context_sql(),
         "common_terms_topk": _common_terms_sql(),
+        "corpus_report": _corpus_report_sql(),
     }
 
 

@@ -230,7 +230,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "js_divergence", "cdc_dedup_mass", "bitmap_and", "bitmap_or_count",
         "embedding_decontam", "phrase_freq_topk", "knn_filtered",
         "ltr_rerank", "char_filter_tf", "runtime_sort", "segment_query_pmi",
-        "grep_context", "common_terms_topk",
+        "grep_context", "common_terms_topk", "corpus_report",
     ]
     out = {}
     for name in headline:

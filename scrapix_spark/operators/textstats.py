@@ -1404,3 +1404,70 @@ def js_divergence(
         F.abs(F.col("gap")).desc(), F.col("term").asc()
     ).limit(top_terms)
     return summary.unionByName(top)
+
+
+def corpus_report(
+    docs: DataFrame,
+    postings: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """X201 — the dataset-card summary row ("Datasheets for Datasets",
+    Gebru et al. 2021, §3.2 composition): the one-line corpus profile a
+    pipeline stamps on every snapshot — sizes, vocabulary, language
+    mix, duplication, length distribution. ONE row:
+
+        n_docs, n_tokens, vocab, avgdl, n_langs, top_lang,
+        exact_dup_docs, dup_rate, mean_chars, p50_chars
+
+    top_lang ties break lexicographically; p50 is the exact type-7
+    median (the X132 quantile discipline, parity-pinned vs DuckDB's
+    quantile_cont); exact_dup_docs counts docs whose sha256(text) is
+    shared by >= 2 docs.
+
+    Scale shape: three independent 1-row aggregations (docs profile,
+    postings profile, dup profile — the dup one groups 32-byte sha
+    keys) cross-joined at the end — every input relation is scanned
+    ONCE, nothing is ever collected but the single output row. The
+    exact median costs one `percentile` agg (Spark computes it with a
+    single-pass numeric agg buffer, not a global sort).
+    """
+    lang_counts = docs.groupBy(F.col(lang_col).alias("_l")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    top = lang_counts.orderBy(F.col("_c").desc(), F.col("_l").asc()).limit(1)
+    d = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct(lang_col).cast("long").alias("n_langs"),
+        F.round(F.avg(F.col(chars_col).cast("double")), 4).alias("mean_chars"),
+        F.round(
+            F.expr(f"percentile({chars_col}, 0.5)"), 4
+        ).alias("p50_chars"),
+    )
+    p = postings.agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.countDistinct("term").cast("long").alias("vocab"),
+    )
+    dups = (
+        docs.select(F.sha2(F.col(text_col), 256).alias("_h"))
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_n") >= 2, F.col("_n"))), F.lit(0)
+            ).cast("long").alias("exact_dup_docs")
+        )
+    )
+    out = (
+        d.crossJoin(p)
+        .crossJoin(dups)
+        .crossJoin(F.broadcast(top.select(F.col("_l").alias("top_lang"))))
+    )
+    return out.select(
+        "n_docs", "n_tokens", "vocab",
+        F.round(F.col("n_tokens") / F.col("n_docs"), 4).alias("avgdl"),
+        "n_langs", "top_lang", "exact_dup_docs",
+        F.round(F.col("exact_dup_docs") / F.col("n_docs"), 6).alias("dup_rate"),
+        "mean_chars", "p50_chars",
+    )

@@ -861,3 +861,38 @@ def test_index_reader_autocorrect(spark, tmp_path):
     assert out and out[0]["corrected"] == "zanzibar"
     base = r.topk_pruned("zanzibar", 5).collect()
     assert [x["doc_id"] for x in out] == [x["doc_id"] for x in base]
+
+
+# ---------------------------------------------------------------- X201
+
+
+def test_corpus_report_values(spark, docs, corpus):
+    from scrapix_spark.operators import textstats as TS
+
+    post, _, _, _ = corpus
+    r = TS.corpus_report(docs, post).first()
+    assert r["n_docs"] == docs.count()
+    assert r["n_langs"] == 3
+    total = post.agg(F.sum("tf")).first()[0]
+    assert r["n_tokens"] == total
+    assert abs(r["avgdl"] - round(total / docs.count(), 4)) < 1e-9
+    assert r["exact_dup_docs"] >= 0 and 0.0 <= r["dup_rate"] <= 1.0
+
+
+def test_corpus_report_detects_dups(spark):
+    from scrapix_spark.functions.tokenize import with_tokens
+    from scrapix_spark.operators import textstats as TS
+
+    d = spark.createDataFrame(
+        [(0, "same text", "en", "s", 9), (1, "same text", "en", "s", 9),
+         (2, "other words", "fr", "s", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    t = with_tokens(d, "text")
+    post = t.select(
+        "doc_id", F.explode("tokens").alias("tk")
+    ).select("tk.term", "doc_id", F.col("tk.tf").cast("long").alias("tf"))
+    r = TS.corpus_report(d, post).first()
+    assert r["exact_dup_docs"] == 2
+    assert abs(r["dup_rate"] - round(2 / 3, 6)) < 1e-9
+    assert r["top_lang"] == "en"
