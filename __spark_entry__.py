@@ -7732,6 +7732,42 @@ FROM d CROSS JOIN p CROSS JOIN dup CROSS JOIN top
 """
 
 
+def q_routed_analyzers(spark, sf_dir):
+    """X202 — per-language analyzer routing in ONE pass (ES
+    per-language fields / charabia script routing): zh rows tokenize
+    with CJK bigrams + the 东京都 dictionary carve-out, everything else
+    with the default analyzer — a native CASE WHEN over the two
+    analyzers' token arrays, no split/union of the corpus.
+    functions/tokenize.py routed_tokens."""
+    from scrapix_spark.functions.tokenize import routed_tokens
+
+    src = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.expr(_CJKSET_SRC_SQL).alias("t2")
+    )
+    t = routed_tokens(src, "t2", "lang", {"zh": _CJKSET}, default=None)
+    return (
+        t.select("doc_id", F.explode("tokens").alias("tk"))
+        .select("doc_id", "tk.term", F.col("tk.tf").cast("long").alias("tf"))
+        .orderBy("doc_id", "term")
+    )
+
+
+def _routed_analyzers_sql() -> str:
+    from scrapix_spark.functions.tokenize import make_tokenizer
+
+    _, _, duck_cjk, _ = make_tokenizer(**_CJKSET)
+    _, _, duck_def, _ = make_tokenizer()
+    toks = (
+        f"CASE WHEN lang = 'zh' THEN {duck_cjk(_CJKSET_SRC_SQL)} "
+        f"ELSE {duck_def(_CJKSET_SRC_SQL)} END"
+    )
+    return f"""
+SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+FROM (SELECT doc_id, unnest({toks}) AS t FROM documents)
+GROUP BY doc_id, t ORDER BY doc_id, t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -7924,6 +7960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_context": q_grep_context,
         "common_terms_topk": q_common_terms,
         "corpus_report": q_corpus_report,
+        "routed_analyzers": q_routed_analyzers,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -11108,6 +11145,7 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "grep_context": _grep_context_sql(),
         "common_terms_topk": _common_terms_sql(),
         "corpus_report": _corpus_report_sql(),
+        "routed_analyzers": _routed_analyzers_sql(),
     }
 
 

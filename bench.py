@@ -231,6 +231,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "embedding_decontam", "phrase_freq_topk", "knn_filtered",
         "ltr_rerank", "char_filter_tf", "runtime_sort", "segment_query_pmi",
         "grep_context", "common_terms_topk", "corpus_report",
+        "routed_analyzers",
     ]
     out = {}
     for name in headline:

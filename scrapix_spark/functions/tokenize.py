@@ -692,3 +692,40 @@ def apply_char_filters(
     for pat, repl in rules:
         col = F.regexp_replace(col, pat, repl)
     return df.withColumn(out_col or text_col, col)
+
+
+def routed_tokens(
+    df,
+    text_col: str,
+    route_col: str,
+    analyzers: dict[str, dict | None],
+    default: dict | None = None,
+):
+    """X202 — per-language analyzer routing (the multilingual-index
+    behavior ES gets from one analyzer per language-specific field and
+    Meilisearch from charabia's script detection): each row tokenizes
+    with the analyzer its `route_col` value selects — stemming for
+    English, CJK bigrams for Chinese, identifier splitting for code —
+    in ONE pass over the data.
+
+    `analyzers` maps route value → make_tokenizer settings dict (None =
+    the default tokenizer); unmatched routes use `default`. The routed
+    expression is a native CASE WHEN over the candidate analyzers'
+    token arrays — every branch is the same Arrow-batched tokenizer
+    the single-analyzer path uses, the row pays only its own branch's
+    cost at eval time, and the plan stays one projection (no split /
+    union / re-join of the corpus by language).
+
+    Returns df + (tokens, doc_len) exactly like with_tokens, so every
+    downstream postings/stats consumer works unchanged.
+    """
+    routes = sorted(analyzers)
+    expr = make_tokenize_counted(default)(F.col(text_col))
+    for r in routes:
+        branch = make_tokenize_counted(analyzers[r])(F.col(text_col))
+        expr = F.when(F.col(route_col) == r, branch).otherwise(expr)
+    df = df.withColumn("tokens", expr)
+    return df.withColumn(
+        "doc_len",
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]),
+    )

@@ -896,3 +896,39 @@ def test_corpus_report_detects_dups(spark):
     assert r["exact_dup_docs"] == 2
     assert abs(r["dup_rate"] - round(2 / 3, 6)) < 1e-9
     assert r["top_lang"] == "en"
+
+
+# ---------------------------------------------------------------- X202
+
+
+def test_routed_tokens_per_language(spark):
+    from scrapix_spark.functions.tokenize import routed_tokens
+
+    d = spark.createDataFrame(
+        [(0, "zh", "漢字分詞 test"), (1, "en", "漢字分詞 test")],
+        "doc_id long, lang string, text string",
+    )
+    t = routed_tokens(
+        d, "text", "lang", {"zh": dict(cjk_bigrams=True)}, default=None
+    )
+    toks = {
+        r["doc_id"]: sorted(x["term"] for x in r["tokens"])
+        for r in t.collect()
+    }
+    # zh route: overlapping bigrams; default route: the run stays whole
+    assert "漢字" in toks[0] and "字分" in toks[0] and "分詞" in toks[0]
+    assert "漢字分詞" in toks[1] and "漢字" not in toks[1]
+    # both routes tokenize the latin part identically
+    assert "test" in toks[0] and "test" in toks[1]
+
+
+def test_routed_tokens_doc_len_consistent(spark):
+    from scrapix_spark.functions.tokenize import routed_tokens
+
+    d = spark.createDataFrame(
+        [(0, "en", "a b c"), (1, "xx", "a b")],
+        "doc_id long, lang string, text string",
+    )
+    t = routed_tokens(d, "text", "lang", {"zh": dict(cjk_bigrams=True)})
+    for r in t.collect():
+        assert r["doc_len"] == sum(x["tf"] for x in r["tokens"])
