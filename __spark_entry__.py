@@ -7768,6 +7768,74 @@ GROUP BY doc_id, t ORDER BY doc_id, t
 """
 
 
+
+
+HAS_CHILD_QUERY = "table merge sort"
+HAS_PARENT_QUERY = "window stream"
+
+
+def q_has_child(spark, sf_dir):
+    """X203 — parent-child retrieval (ES `has_child` / Lucene
+    ToParentBlockJoinQuery): parents are sources (repos), children the
+    documents (files); child query is full-scoring BM25 and the parent
+    aggregates its MATCHING children per score_mode. One gate pins ALL
+    modes by emitting max/sum/avg together; min_children=2 exercises the
+    matching-children bound. operators/query.py has_child_topk."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    cp = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("parent"))
+    out = Q.has_child_topk(
+        post, stats, n, avgdl, cp, HAS_CHILD_QUERY,
+        k=10, k1=K1, b=B, score_mode="max", min_children=2,
+    )
+    return out.select(
+        "parent", "n_children",
+        F.round("max_score", 4).alias("max_score"),
+        F.round("sum_score", 4).alias("sum_score"),
+        F.round("avg_score", 4).alias("avg_score"),
+    )
+
+
+def _has_child_sql() -> str:
+    return _bm25_scored_sql(Q.query_terms(HAS_CHILD_QUERY)) + """
+, par AS (
+  SELECT d.source AS parent, count(*)::BIGINT AS n_children,
+         max(s.score) AS mx, sum(s.score) AS sm, avg(s.score) AS av
+  FROM scored s JOIN documents d USING (doc_id)
+  GROUP BY d.source
+  HAVING count(*) >= 2)
+SELECT parent, n_children, round(mx, 4) AS max_score,
+       round(sm, 4) AS sum_score, round(av, 4) AS avg_score
+FROM par ORDER BY round(mx, 9) DESC, parent LIMIT 10
+"""
+
+
+def q_has_parent(spark, sf_dir):
+    """X203 — the `has_parent` dual: children of parents matching the
+    parent query, each child inheriting its parent's score (parent score
+    = max of child BM25, ES `score: true`). operators/query.py
+    has_parent_docs."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    cp = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("parent"))
+    out = Q.has_parent_docs(
+        post, stats, n, avgdl, cp, HAS_PARENT_QUERY, k=10, k1=K1, b=B
+    )
+    return out.select(
+        "doc_id", "parent", F.round("score", 4).alias("score")
+    )
+
+
+def _has_parent_sql() -> str:
+    return _bm25_scored_sql(Q.query_terms(HAS_PARENT_QUERY)) + """
+, par AS (
+  SELECT d.source AS parent, max(s.score) AS pscore
+  FROM scored s JOIN documents d USING (doc_id)
+  GROUP BY d.source)
+SELECT d.doc_id, d.source AS parent, round(p.pscore, 4) AS score
+FROM documents d JOIN par p ON p.parent = d.source
+ORDER BY round(p.pscore, 9) DESC, d.doc_id LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -7961,6 +8029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_terms_topk": q_common_terms,
         "corpus_report": q_corpus_report,
         "routed_analyzers": q_routed_analyzers,
+        "has_child_topk": q_has_child,
+        "has_parent_docs": q_has_parent,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -11146,6 +11216,8 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "common_terms_topk": _common_terms_sql(),
         "corpus_report": _corpus_report_sql(),
         "routed_analyzers": _routed_analyzers_sql(),
+        "has_child_topk": _has_child_sql(),
+        "has_parent_docs": _has_parent_sql(),
     }
 
 

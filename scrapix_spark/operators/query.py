@@ -2858,3 +2858,133 @@ def common_terms_topk(
     return out.orderBy(
         F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()
     ).limit(k)
+
+
+def _bm25_scored_all(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    terms: list,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-doc BM25 (score, n_matched) for `terms` over ALL matching docs
+    — the unbounded sibling of ``_bm25_topk_from_postings_terms`` for
+    consumers that aggregate further (parent-child join) instead of
+    cutting top-k. Same plan shape: term filter pushes to the scan,
+    query-sized idf slice broadcast, one hash agg per doc."""
+    tstats = term_stats.filter(F.col("term").isin(terms)).withColumn(
+        "idf", idf_expr(N, F.col("df").cast("double"))
+    )
+    cand = postings.filter(F.col("term").isin(terms)).join(
+        F.broadcast(tstats.select("term", "idf")), "term"
+    )
+    return (
+        cand.withColumn(
+            "contrib",
+            bm25_score_expr(F.col("tf"), F.col("dl"), F.col("idf"), avgdl, k1, b),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.countDistinct("term").cast("int").alias("n_matched"),
+        )
+    )
+
+
+def has_child_topk(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    child_parent: DataFrame,
+    q: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_mode: str = "max",
+    min_children: int = 1,
+    max_children: int | None = None,
+) -> DataFrame:
+    """Parent-child retrieval — Elasticsearch's `has_child` query over a
+    join field (Lucene ToParentBlockJoinQuery semantics, e.g.
+    repo-level ranking from file-level BM25 scores).
+
+    Children are scored by the child query (BM25 over `postings`);
+    parents inherit an aggregate of their MATCHING children's scores per
+    `score_mode` (`max` | `sum` | `avg` | `min` | `none` — `none` is
+    filter context, constant 0). `min_children`/`max_children` bound the
+    matching-children count exactly as ES does (non-matching children
+    never count).
+
+    Returns one row per surviving parent:
+      (parent, n_children, max_score, sum_score, avg_score, score)
+    where `score` is the mode-selected column — emitting all three
+    aggregates pins every mode in one relation.
+
+    Scale shape: child scoring is the audited full-scoring plan
+    (query-term scan filter + broadcast idf); child→parent is ONE
+    doc-keyed equi-join against the (doc_id, parent) projection and ONE
+    parent-keyed hash agg with map-side combine; top-k is TakeOrdered.
+    No parent-side relation is ever materialized beyond the agg, so the
+    plan scales with matched children, not corpus size.
+    """
+    if score_mode not in ("max", "sum", "avg", "min", "none"):
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    terms = query_terms(q)
+    scored = _bm25_scored_all(postings, term_stats, N, avgdl, terms, k1, b)
+    joined = scored.join(child_parent, "doc_id")
+    agg = joined.groupBy("parent").agg(
+        F.count("*").cast("long").alias("n_children"),
+        F.max("score").alias("max_score"),
+        F.sum("score").alias("sum_score"),
+        F.avg("score").alias("avg_score"),
+        F.min("score").alias("min_score"),
+    )
+    agg = agg.filter(F.col("n_children") >= min_children)
+    if max_children is not None:
+        agg = agg.filter(F.col("n_children") <= max_children)
+    sel = {
+        "max": F.col("max_score"),
+        "sum": F.col("sum_score"),
+        "avg": F.col("avg_score"),
+        "min": F.col("min_score"),
+        "none": F.lit(0.0),
+    }[score_mode]
+    out = agg.withColumn("score", sel)
+    return out.orderBy(
+        F.round(F.col("score"), SCORE_ROUND).desc(), F.col("parent").asc()
+    ).limit(k)
+
+
+def has_parent_docs(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    child_parent: DataFrame,
+    q: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The `has_parent` dual: children whose PARENT matches the parent
+    query, each child inheriting the parent's score (ES `has_parent`
+    with `score: true`; the parent query here scores parents as the max
+    of their children's BM25 — the repo-profile relation `has_child`
+    builds). One keyed agg + one equi-join back; both sides partitioned
+    on the join key at scale."""
+    terms = query_terms(q)
+    scored = _bm25_scored_all(postings, term_stats, N, avgdl, terms, k1, b)
+    pscore = (
+        scored.join(child_parent, "doc_id")
+        .groupBy("parent")
+        .agg(F.max("score").alias("parent_score"))
+    )
+    out = child_parent.join(pscore, "parent").select(
+        "doc_id", "parent", F.col("parent_score").alias("score")
+    )
+    return out.orderBy(
+        F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
+    ).limit(k)

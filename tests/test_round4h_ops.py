@@ -1,0 +1,148 @@
+"""Round-4h operators: parent-child retrieval (X203 has_child /
+has_parent over a join field — repo-level ranking from file-level
+BM25), and siblings added later in the round."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapix_spark.functions.tokenize import with_tokens
+from scrapix_spark.operators import postings as P
+from scrapix_spark.operators import query as Q
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    words = ["table", "merge", "sort", "scan", "spark", "value", "vector", "row"]
+    for i in range(120):
+        text = " ".join(words[(i + j) % len(words)] for j in range(3 + i % 5))
+        rows.append((i, text, "en", f"repo{i % 6}", len(text)))
+    # repo5 gets one planted super-match so max/sum modes diverge
+    rows.append((200, "table merge sort table merge sort", "en", "repo5", 34))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def corpus(docs):
+    t = with_tokens(docs, "text")
+    post = t.select(
+        "doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("tk")
+    ).select("tk.term", "doc_id", F.col("tk.tf").cast("long").alias("tf"), "dl")
+    stats = P.term_stats(post).cache()
+    row = t.agg(F.count("*"), F.avg("doc_len")).first()
+    return post.cache(), stats, int(row[0]), float(row[1])
+
+
+def _cp(docs):
+    return docs.select("doc_id", F.col("source").alias("parent"))
+
+
+# ---------------------------------------------------------------- X203
+
+
+def test_has_child_matches_brute_force(docs, corpus):
+    post, stats, n, avgdl = corpus
+    q = "table merge"
+    out = Q.has_child_topk(
+        post, stats, n, avgdl, _cp(docs), q, k=100, score_mode="max"
+    ).collect()
+    # brute force: per-doc score via the audited full-scoring path
+    scored = {
+        r["doc_id"]: r["score"]
+        for r in Q.bm25_topk_from_postings(
+            post, stats, n, avgdl, q, k=10_000
+        ).collect()
+    }
+    parent_of = {r["doc_id"]: r["source"] for r in docs.collect()}
+    agg = {}
+    for d, s in scored.items():
+        agg.setdefault(parent_of[d], []).append(s)
+    assert len(out) == len(agg)
+    for r in out:
+        ss = agg[r["parent"]]
+        assert r["n_children"] == len(ss)
+        assert r["max_score"] == pytest.approx(max(ss))
+        assert r["sum_score"] == pytest.approx(sum(ss))
+        assert r["avg_score"] == pytest.approx(sum(ss) / len(ss))
+        assert r["score"] == pytest.approx(max(ss))  # mode-selected
+
+
+def test_has_child_score_modes_and_order(docs, corpus):
+    post, stats, n, avgdl = corpus
+    q = "table merge sort"
+    by_max = Q.has_child_topk(
+        post, stats, n, avgdl, _cp(docs), q, k=1, score_mode="max"
+    ).first()
+    by_sum = Q.has_child_topk(
+        post, stats, n, avgdl, _cp(docs), q, k=6, score_mode="sum"
+    ).collect()
+    # planted doc 200 makes repo5 the max-mode winner
+    assert by_max["parent"] == "repo5"
+    # sum mode ranks by total child mass; the relation is ordered desc
+    # (engine order rounds to 9dp before comparing — mirror that)
+    sums = [round(r["score"], 9) for r in by_sum]
+    assert sums == sorted(sums, reverse=True)
+
+
+def test_has_child_min_max_children(docs, corpus):
+    post, stats, n, avgdl = corpus
+    q = "table"
+    all_rows = Q.has_child_topk(
+        post, stats, n, avgdl, _cp(docs), q, k=100, min_children=1
+    ).collect()
+    counts = {r["parent"]: r["n_children"] for r in all_rows}
+    hi = max(counts.values())
+    bounded = Q.has_child_topk(
+        post, stats, n, avgdl, _cp(docs), q, k=100,
+        min_children=1, max_children=hi - 1,
+    ).collect()
+    assert {r["parent"] for r in bounded} == {
+        p for p, c in counts.items() if c <= hi - 1
+    }
+    floor = Q.has_child_topk(
+        post, stats, n, avgdl, _cp(docs), q, k=100, min_children=hi
+    ).collect()
+    assert {r["parent"] for r in floor} == {
+        p for p, c in counts.items() if c >= hi
+    }
+
+
+def test_has_child_none_is_filter_context(docs, corpus):
+    post, stats, n, avgdl = corpus
+    out = Q.has_child_topk(
+        post, stats, n, avgdl, _cp(docs), "table", k=3, score_mode="none"
+    ).collect()
+    assert [r["score"] for r in out] == [0.0, 0.0, 0.0]
+    # constant score → order falls through to parent asc
+    parents = [r["parent"] for r in out]
+    assert parents == sorted(parents)
+
+
+def test_has_child_rejects_unknown_mode(docs, corpus):
+    post, stats, n, avgdl = corpus
+    with pytest.raises(ValueError):
+        Q.has_child_topk(
+            post, stats, n, avgdl, _cp(docs), "table", score_mode="bogus"
+        )
+
+
+def test_has_parent_inherits_parent_score(docs, corpus):
+    post, stats, n, avgdl = corpus
+    q = "spark value"
+    out = Q.has_parent_docs(
+        post, stats, n, avgdl, _cp(docs), q, k=1000
+    ).collect()
+    pscore = {
+        r["parent"]: r["score"]
+        for r in Q.has_child_topk(
+            post, stats, n, avgdl, _cp(docs), q, k=100, score_mode="max"
+        ).collect()
+    }
+    # every child of a matching parent appears, with the parent's score
+    parent_of = {r["doc_id"]: r["source"] for r in docs.collect()}
+    expected = {d for d, p in parent_of.items() if p in pscore}
+    assert {r["doc_id"] for r in out} == expected
+    for r in out:
+        assert r["score"] == pytest.approx(pscore[r["parent"]])
