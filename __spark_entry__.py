@@ -7836,6 +7836,39 @@ ORDER BY round(p.pscore, 9) DESC, d.doc_id LIMIT 10
 """
 
 
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """X204 — product-quantized ANN with ADC (Jegou, Douze & Schmid,
+    TPAMI 2011): 16 subspaces x 32 centroids trained on a capped sample
+    (the ivf_centroids discipline), corpus encoded to 16-byte codes by
+    an Arrow matmul kernel, approximate cosine = per-subspace lookup
+    tables baked into the plan as literals (zero Python on the scoring
+    path), exact cosine re-ranks the 6*k round-9 candidate cut. Oracle
+    is the exact brute-force top-k — the gate pins perfect recall@k of
+    the candidate generation at this scale plus the rescore contract.
+    operators/similarity.py pq_train/pq_encode/cosine_topk_pq."""
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return SIM.cosine_topk_pq(emb, qv, k=10, m=16, ksub=32, rescore=6)
+
+
+def _ann_pq_sql() -> str:
+    return """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id AS id,
+        list_sum(list_transform(range(1, 65),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(qe,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM embeddings e CROSS JOIN q)
+SELECT id, round(cos, 6) AS cosine FROM s
+ORDER BY round(cos, 6) DESC, id LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -8031,6 +8064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routed_analyzers": q_routed_analyzers,
         "has_child_topk": q_has_child,
         "has_parent_docs": q_has_parent,
+        "ann_pq_topk": q_ann_pq_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -11218,6 +11252,7 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "routed_analyzers": _routed_analyzers_sql(),
         "has_child_topk": _has_child_sql(),
         "has_parent_docs": _has_parent_sql(),
+        "ann_pq_topk": _ann_pq_sql(),
     }
 
 

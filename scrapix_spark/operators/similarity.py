@@ -1008,3 +1008,152 @@ def knn_filtered(
     return cosine_topk_bruteforce(
         df.filter(predicate), query_vec, k=k, id_col=id_col, vec_col=vec_col
     )
+
+
+# ------------------------------------------------- product quantization
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    max_train: int = 100_000,
+) -> np.ndarray:
+    """Train PQ codebooks (Jégou, Douze & Schmid, TPAMI 2011): split the
+    vector into `m` subspaces of dim/m dims and run k-means with `ksub`
+    centroids independently per subspace.
+
+    Same training discipline as ``ivf_centroids``: the training set is
+    hard-capped at `max_train` rows before it ever reaches the driver
+    (PQ codebooks need ~1000·ksub points per subspace, not the corpus;
+    Faiss trains on a sample for exactly this reason), and the output is
+    m·ksub·(dim/m) doubles — bytes, not data. Deterministic: seeded
+    init, fixed iteration count. Returns shape (m, ksub, dim//m).
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    X = np.stack(
+        df.select(vec_col).limit(max_train).toPandas()[vec_col].to_numpy()
+    ).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        cents = S[rng.choice(len(S), size=min(ksub, len(S)), replace=False)]
+        for _ in range(n_iter):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = S[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j, : len(cents)] = cents
+        if len(cents) < ksub:  # degenerate tiny corpus: pad by repeat
+            books[j, len(cents):] = cents[-1]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its PQ code — m uint8 subspace-centroid
+    ids. One Arrow-batched matmul per subspace per batch, no shuffle;
+    at scale the (id, code) relation is the persisted artifact: m bytes
+    per vector (dim/m·32× smaller than float32), and candidate
+    generation scans IT, never the float relation."""
+    books = codebooks.astype(np.float64)
+    m, ksub, dsub = books.shape
+
+    def kernel(batches):
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(vecs), m), dtype=np.int32)
+            for j in range(m):
+                S = vecs[:, j * dsub : (j + 1) * dsub]
+                cb = books[j]
+                d2 = (
+                    (S**2).sum(axis=1, keepdims=True)
+                    - 2.0 * S @ cb.T
+                    + (cb**2).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({"id": pdf[id_col], "pq_code": list(codes)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, schema="id long, pq_code array<int>"
+    )
+
+
+def cosine_topk_pq(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    rescore: int = 6,
+    n_iter: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """X204 — PQ-compressed ANN with ADC (asymmetric distance
+    computation): the query is never quantized; per subspace a
+    ksub-entry lookup table of dot(codebook[j][c], q_j) and
+    ||codebook[j][c]||² is computed once driver-side (m·ksub doubles)
+    and baked into the plan as literals, so the approximate cosine over
+    the m-byte codes is
+
+        cos^(x, q) = Σ_j DOT[j][code_j] / (sqrt(Σ_j SQ[j][code_j])·‖q‖)
+
+    — pure in-plan array arithmetic inside codegen, zero Python on the
+    scoring path. The top rescore·k codes by round-9 approximate cosine
+    are re-ranked exactly via a broadcast semi-join back into the
+    full-precision relation (O(k) float rows touched). Same output
+    contract as cosine_topk_bruteforce; recall tunes via ksub/rescore.
+    """
+    dim = len(query_vec)
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_train(df, dim, m, ksub, n_iter, seed, vec_col)
+    )
+    m, ksub, dsub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    dot_tab = np.einsum(
+        "jkd,jd->jk", books, q.reshape(m, dsub)
+    )  # (m, ksub): dot(cb[j][c], q_j)
+    sq_tab = (books**2).sum(axis=2)  # (m, ksub): ||cb[j][c]||^2
+    dot_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in dot_tab]
+    )
+    sq_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in sq_tab]
+    )
+    coded = pq_encode(df, books, id_col, vec_col)
+    pick = lambda tab: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col("pq_code"), tab, lambda c, row: F.element_at(row, c + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    approx = pick(dot_lit) / (F.sqrt(pick(sq_lit)) * F.lit(qn))
+    cand = (
+        coded.select(F.col("id"), approx.alias("approx"))
+        .orderBy(F.round(F.col("approx"), 9).desc(), F.col("id").asc())
+        .limit(int(rescore) * k)
+    )
+    exact_src = df.join(
+        F.broadcast(cand.select("id")), F.col(id_col) == F.col("id"), "left_semi"
+    )
+    return cosine_topk_bruteforce(exact_src, query_vec, k=k, id_col=id_col, vec_col=vec_col)

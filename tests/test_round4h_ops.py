@@ -146,3 +146,63 @@ def test_has_parent_inherits_parent_score(docs, corpus):
     assert {r["doc_id"] for r in out} == expected
     for r in out:
         assert r["score"] == pytest.approx(pscore[r["parent"]])
+
+
+# ---------------------------------------------------------------- X204
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    for i in range(40):
+        rows.append((i, [float(x) for x in base[i]], i % 4))
+    # planted near-dup of vec 0 → must be its top neighbor
+    rows.append((99, [float(x) for x in base[0] + 0.01 * rng.standard_normal(16)], 0))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+
+
+def test_pq_train_shapes_and_determinism(emb):
+    from scrapix_spark.operators import similarity as SIM
+
+    b1 = SIM.pq_train(emb, 16, m=4, ksub=8, seed=5)
+    b2 = SIM.pq_train(emb, 16, m=4, ksub=8, seed=5)
+    assert b1.shape == (4, 8, 4)
+    assert (b1 == b2).all()
+    with pytest.raises(ValueError):
+        SIM.pq_train(emb, 16, m=5)
+
+
+def test_pq_encode_nearest_centroid(emb):
+    import numpy as np
+
+    from scrapix_spark.operators import similarity as SIM
+
+    books = SIM.pq_train(emb, 16, m=4, ksub=8, seed=5)
+    codes = {r["id"]: list(r["pq_code"]) for r in SIM.pq_encode(emb, books).collect()}
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    for vid, v in vecs.items():
+        for j in range(4):
+            sub = v[j * 4 : (j + 1) * 4]
+            d2 = ((books[j] - sub[None, :]) ** 2).sum(axis=1)
+            assert codes[vid][j] == int(d2.argmin())
+
+
+def test_pq_topk_matches_bruteforce_with_rescore(emb):
+    from scrapix_spark.operators import similarity as SIM
+
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    exact = [r["id"] for r in SIM.cosine_topk_bruteforce(emb, qv, k=5).collect()]
+    got = [
+        r["id"]
+        for r in SIM.cosine_topk_pq(
+            emb, qv, k=5, m=4, ksub=16, rescore=8
+        ).collect()
+    ]
+    assert got == exact
+    assert got[0] == 0 and got[1] == 99  # self, then the planted near-dup
