@@ -7869,6 +7869,61 @@ ORDER BY round(cos, 6) DESC, id LIMIT 10
 """
 
 
+
+
+def q_terms_agg_sharded(spark, sf_dir):
+    """X205 — distributed terms agg with ES doc_count_error_upper_bound
+    semantics: 4 deterministic shards (sample_hash % 4), each reports
+    its local top-8 terms by document count; the merge sums only
+    REPORTED slices and bounds each value's missed mass by the
+    non-reporting shards' weakest reported counts. The oracle replays
+    the sharding, per-shard cut, merge and bounds exactly — the gate
+    pins the APPROXIMATION's semantics, not exact counts.
+    operators/results.py terms_agg_sharded."""
+    from scrapix_spark.operators import results as RS
+
+    pairs = _postings(spark, sf_dir).select("doc_id", "term").distinct()
+    return RS.terms_agg_sharded(
+        pairs, "term", id_col="doc_id", size=15, shard_size=8, n_shards=4
+    )
+
+
+def _terms_agg_sharded_sql() -> str:
+    from scrapix_spark.operators.curation import SAMPLE_MOD, _SAMPLE_A, _SAMPLE_C
+
+    tok = TOK_EXPR("text")
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, t AS value
+  FROM (SELECT doc_id, unnest({tok}) AS t FROM documents)),
+h1 AS (
+  SELECT value,
+         ((doc_id % {SAMPLE_MOD}) * {_SAMPLE_A} + {_SAMPLE_C}) % {SAMPLE_MOD} AS h
+  FROM pairs),
+sharded AS (
+  SELECT value, ((h * h + h) % {SAMPLE_MOD}) % 4 AS shard FROM h1),
+per AS (SELECT shard, value, count(*)::BIGINT AS cnt
+        FROM sharded GROUP BY shard, value),
+ranked AS (SELECT shard, value, cnt,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY cnt DESC, value ASC) AS rk
+           FROM per),
+reported AS (SELECT * FROM ranked WHERE rk <= 8),
+mins AS (SELECT shard, min(cnt) AS min_rep FROM reported GROUP BY shard),
+tmv AS (SELECT sum(min_rep) AS tm FROM mins),
+merged AS (
+  SELECT r.value, sum(r.cnt)::BIGINT AS doc_count,
+         sum(m.min_rep)::BIGINT AS covered_min,
+         count(*)::INT AS n_shards_reporting
+  FROM reported r JOIN mins m USING (shard)
+  GROUP BY r.value)
+SELECT value, doc_count, (tm - covered_min)::BIGINT AS err_upper,
+       n_shards_reporting
+FROM merged CROSS JOIN tmv
+ORDER BY doc_count DESC, value ASC LIMIT 15
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -8065,6 +8120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_child_topk": q_has_child,
         "has_parent_docs": q_has_parent,
         "ann_pq_topk": q_ann_pq_topk,
+        "terms_agg_sharded": q_terms_agg_sharded,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -11253,6 +11309,7 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "has_child_topk": _has_child_sql(),
         "has_parent_docs": _has_parent_sql(),
         "ann_pq_topk": _ann_pq_sql(),
+        "terms_agg_sharded": _terms_agg_sharded_sql(),
     }
 
 

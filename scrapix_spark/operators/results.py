@@ -1203,3 +1203,73 @@ def path_facets(
         .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
         .orderBy("depth", "prefix")
     )
+
+
+def terms_agg_sharded(
+    pairs: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    size: int = 10,
+    shard_size: int | None = None,
+    n_shards: int = 8,
+) -> DataFrame:
+    """X205 — the distributed terms aggregation EXACTLY as a sharded
+    engine computes it (Elasticsearch terms agg): each shard reports
+    only its local top `shard_size` values, the coordinator merges the
+    reported slices, and a missed shard contributes NOTHING to a value's
+    merged count — but at most that shard's weakest reported count,
+    which is the per-value `err_upper` bound ES publishes as
+    doc_count_error_upper_bound (show_term_doc_count_error semantics).
+
+    Shard assignment is `sample_hash(id) % n_shards` — the repo's
+    cross-engine deterministic hash — so the approximation itself (which
+    values get missed where, what the bounds are) is bit-replicable by
+    the SQL oracle. `pairs` is one row per (id, value) observation, e.g.
+    distinct (doc_id, term): counts are then document counts.
+
+    Returns top `size` rows (value, doc_count, err_upper,
+    n_shards_reporting) by merged count desc, value asc.
+
+    Scale shape: ONE (shard, value)-keyed agg with map-side combine,
+    a per-shard window over the shard's value-count relation (the
+    standard per-shard top-k; shard count tracks executor count at
+    scale), an n_shards-row broadcast of the per-shard minima, one
+    value-keyed merge agg, TakeOrdered cut. No step sees more than the
+    sharded vocabulary relation; nothing is ever all-pairs.
+    """
+    from scrapix_spark.operators.curation import sample_hash
+
+    if shard_size is None:
+        shard_size = max(size, 1)
+    shard = (sample_hash(F.col(id_col)) % n_shards).alias("shard")
+    per = (
+        pairs.select(F.col(value_col).alias("value"), shard)
+        .groupBy("shard", "value")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("cnt").desc(), F.col("value").asc()
+    )
+    reported = per.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= shard_size
+    )
+    mins = reported.groupBy("shard").agg(F.min("cnt").alias("min_rep"))
+    total_min = mins.agg(F.sum("min_rep").alias("tm"))
+    merged = (
+        reported.join(F.broadcast(mins), "shard")
+        .groupBy("value")
+        .agg(
+            F.sum("cnt").cast("long").alias("doc_count"),
+            F.sum("min_rep").cast("long").alias("covered_min"),
+            F.count(F.lit(1)).cast("int").alias("n_shards_reporting"),
+        )
+    )
+    out = merged.crossJoin(F.broadcast(total_min)).select(
+        "value",
+        "doc_count",
+        (F.col("tm") - F.col("covered_min")).cast("long").alias("err_upper"),
+        "n_shards_reporting",
+    )
+    return out.orderBy(
+        F.col("doc_count").desc(), F.col("value").asc()
+    ).limit(size)

@@ -206,3 +206,77 @@ def test_pq_topk_matches_bruteforce_with_rescore(emb):
     ]
     assert got == exact
     assert got[0] == 0 and got[1] == 99  # self, then the planted near-dup
+
+
+# ---------------------------------------------------------------- X205
+
+
+def test_terms_agg_sharded_matches_replay(spark):
+    from scrapix_spark.operators import results as RS
+    from scrapix_spark.operators.curation import (
+        SAMPLE_MOD, _SAMPLE_A, _SAMPLE_C,
+    )
+
+    vals = ["a", "b", "c", "d", "e", "f"]
+    rows = [
+        (i, vals[j])
+        for i in range(200)
+        for j in range(len(vals))
+        # near-equal global counts: per-shard rank order then differs
+        # shard to shard, so local top-2 cuts miss different values
+        if (i * 7 + j * 13) % 3 == 0
+    ]
+    pairs = spark.createDataFrame(rows, "doc_id long, value string")
+    n_shards, shard_size, size = 3, 2, 6
+    out = RS.terms_agg_sharded(
+        pairs, "value", size=size, shard_size=shard_size, n_shards=n_shards
+    ).collect()
+
+    # exact python replay of the sharded-agg semantics
+    def shash(i):
+        h = ((i % SAMPLE_MOD) * _SAMPLE_A + _SAMPLE_C) % SAMPLE_MOD
+        return (h * h + h) % SAMPLE_MOD
+
+    per = {}
+    for i, v in rows:
+        per.setdefault(shash(i) % n_shards, {}).setdefault(v, 0)
+        per[shash(i) % n_shards][v] += 1
+    reported, mins = {}, {}
+    for s, cnts in per.items():
+        top = sorted(cnts.items(), key=lambda kv: (-kv[1], kv[0]))[:shard_size]
+        reported[s] = dict(top)
+        mins[s] = min(c for _, c in top)
+    tm = sum(mins.values())
+    merged = {}
+    for s, cnts in reported.items():
+        for v, c in cnts.items():
+            dc, cm, nr = merged.get(v, (0, 0, 0))
+            merged[v] = (dc + c, cm + mins[s], nr + 1)
+    exp = sorted(
+        ((v, dc, tm - cm, nr) for v, (dc, cm, nr) in merged.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:size]
+    got = [
+        (r["value"], r["doc_count"], r["err_upper"], r["n_shards_reporting"])
+        for r in out
+    ]
+    assert got == exp
+    # the test corpus must actually exercise partial reporting
+    assert any(nr < n_shards for _, _, _, nr in got)
+    assert any(e > 0 for _, _, e, _ in got)
+
+
+def test_terms_agg_full_shard_size_is_exact(spark):
+    from scrapix_spark.operators import results as RS
+
+    rows = [(i, "v%d" % (i % 4)) for i in range(100)]
+    pairs = spark.createDataFrame(rows, "doc_id long, value string")
+    out = RS.terms_agg_sharded(
+        pairs, "value", size=10, shard_size=10, n_shards=4
+    ).collect()
+    # shard_size >= vocab → every shard reports everything: exact
+    # counts, zero error, all shards reporting
+    exact = {"v0": 25, "v1": 25, "v2": 25, "v3": 25}
+    for r in out:
+        assert r["doc_count"] == exact[r["value"]]
+        assert r["err_upper"] == 0
