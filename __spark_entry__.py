@@ -7924,6 +7924,38 @@ ORDER BY doc_count DESC, value ASC LIMIT 15
 """
 
 
+
+
+def q_sim_dfr_topk(spark, sf_dir):
+    """X206 — top-10 ranked BY DFR I(n)L2 (Amati & van Rijsbergen 2002;
+    Lucene DFRSimilarity BasicModelIn + AfterEffectL + NormalizationH2),
+    one of the two round-4h additions (with IB log-logistic) that close
+    the public Lucene similarity family. Same broadcast-slice + one-agg
+    plan as every X142 scorer. operators/scoring.py similarity_topk."""
+    from scrapix_spark.operators import scoring as SC
+
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    n, t, a = _corpus_ntavg(spark, sf_dir)
+    out = SC.similarity_topk(
+        post, stats, n, t, a, Q.query_terms(BM25_QUERY), "dfr_inl2", k=10,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"), "n_matched")
+
+
+def _sim_dfr_sql() -> str:
+    from scrapix_spark.operators import scoring as SC
+
+    terms = Q.query_terms(BM25_QUERY)
+    contrib = SC.similarity_contrib_sql("dfr_inl2", "n_", "t_", "avgdl_")
+    return _sim_base_sql(terms) + f""",
+m AS (SELECT doc_id, sum({contrib}) AS score, count(*)::INT AS n_matched
+      FROM flat GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score, n_matched FROM m
+ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -8121,6 +8153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_parent_docs": q_has_parent,
         "ann_pq_topk": q_ann_pq_topk,
         "terms_agg_sharded": q_terms_agg_sharded,
+        "sim_dfr_topk": q_sim_dfr_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -11310,6 +11343,7 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "has_parent_docs": _has_parent_sql(),
         "ann_pq_topk": _ann_pq_sql(),
         "terms_agg_sharded": _terms_agg_sharded_sql(),
+        "sim_dfr_topk": _sim_dfr_sql(),
     }
 
 

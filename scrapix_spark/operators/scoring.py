@@ -26,6 +26,15 @@ Formulas (all public):
                   μ = 2000.
 - ``lm_jm``       Jelinek-Mercer smoothing (Lucene LMJelinekMercer):
                   ln(1 + ((1-λ)·tf/dl)/(λ·p)), λ = 0.1.
+- ``dfr_inl2``    Divergence From Randomness (Amati & van Rijsbergen,
+                  TOIS 2002; Lucene DFRSimilarity with BasicModelIn,
+                  AfterEffectL, NormalizationH2, c=1):
+                  tfn = tf·log2(1 + c·avgdl/dl),
+                  score = tfn/(tfn+1) · log2((N+1)/(df+0.5)).
+- ``ib_ll``       Information-Based log-logistic model (Clinchant &
+                  Gaussier, SIGIR 2010; Lucene IBSimilarity with
+                  DistributionLL, LambdaDF, NormalizationH2):
+                  λ = df/N, score = ln(1 + tfn/λ) with the same tfn.
 
 Scale shape — identical to ``query.bm25_topk_from_postings`` (J2/J3):
 the per-term statistics slice is query-sized and explicitly broadcast;
@@ -39,7 +48,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-SIMILARITIES = ("bm25", "bm25plus", "classic", "lm_dirichlet", "lm_jm")
+SIMILARITIES = (
+    "bm25", "bm25plus", "classic", "lm_dirichlet", "lm_jm",
+    "dfr_inl2", "ib_ll",
+)
 
 DEFAULT_PARAMS = {
     "k1": 1.2,
@@ -47,6 +59,7 @@ DEFAULT_PARAMS = {
     "delta": 1.0,   # BM25+ lower bound
     "mu": 2000.0,   # Dirichlet pseudo-count
     "lam": 0.1,     # Jelinek-Mercer collection weight
+    "c": 1.0,       # DFR/IB H2 length-normalization strength
 }
 
 
@@ -89,6 +102,19 @@ def similarity_contrib(
     if sim == "classic":
         idf = F.lit(1.0) + F.log(n / (df + 1.0))
         return F.sqrt(tf) * idf * idf / F.sqrt(dl)
+    if sim in ("dfr_inl2", "ib_ll"):
+        # H2 normalization: tfn = tf * log2(1 + c*avgdl/dl)
+        c = float(p["c"])
+        ln2 = 0.6931471805599453
+        tfn = tf * (
+            F.log(F.lit(1.0) + F.lit(c * float(avgdl)) / dl) / F.lit(ln2)
+        )
+        if sim == "dfr_inl2":
+            return (tfn / (tfn + 1.0)) * (
+                F.log((n + 1.0) / (df + 0.5)) / F.lit(ln2)
+            )
+        lam_w = df / n
+        return F.log(F.lit(1.0) + tfn / lam_w)
     # language models need the collection unigram probability p = cf/T
     pc = cf.cast("double") / F.lit(float(T))
     if sim == "lm_dirichlet":
@@ -137,6 +163,16 @@ def similarity_contrib_sql(
     if sim == "classic":
         idf = f"(1.0 + ln(({n}) / (df + 1.0)))"
         return f"sqrt(tf) * {idf} * {idf} / sqrt(dl)"
+    if sim in ("dfr_inl2", "ib_ll"):
+        c = float(p["c"])
+        ln2 = "0.6931471805599453"
+        tfn = f"(tf * (ln(1.0 + {c!r} * ({ad}) / dl) / {ln2}))"
+        if sim == "dfr_inl2":
+            return (
+                f"({tfn} / ({tfn} + 1.0)) * "
+                f"(ln((({n}) + 1.0) / (df + 0.5)) / {ln2})"
+            )
+        return f"ln(1.0 + {tfn} / (df / ({n})))"
     pc = f"(cf / ({t}))"
     if sim == "lm_dirichlet":
         mu = float(p["mu"])

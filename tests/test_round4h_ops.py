@@ -280,3 +280,63 @@ def test_terms_agg_full_shard_size_is_exact(spark):
     for r in out:
         assert r["doc_count"] == exact[r["value"]]
         assert r["err_upper"] == 0
+
+
+# ---------------------------------------------------------------- X206
+
+
+def test_dfr_and_ib_formulas(docs, corpus):
+    import math
+
+    from scrapix_spark.operators import scoring as SC
+
+    post, stats, n, avgdl = corpus
+    T = int(post.agg(F.sum("tf")).first()[0])
+    rows = (
+        post.filter(F.col("term") == "table")
+        .join(stats.filter(F.col("term") == "table").select("term", "df", "cf"), "term")
+        .select("doc_id", "tf", "dl", "df", "cf")
+        .collect()
+    )
+    out = {
+        r["doc_id"]: (r["dfr_inl2"], r["ib_ll"])
+        for r in SC.similarity_matrix_topk(
+            post, stats, n, T, avgdl, ["table"], k=1000,
+            sims=("bm25", "dfr_inl2", "ib_ll"), round_to=9,
+        ).collect()
+    }
+    ln2 = math.log(2.0)
+    for r in rows:
+        tfn = r["tf"] * math.log(1.0 + avgdl / r["dl"]) / ln2
+        dfr = (tfn / (tfn + 1.0)) * (
+            math.log((n + 1.0) / (r["df"] + 0.5)) / ln2
+        )
+        ib = math.log(1.0 + tfn / (r["df"] / n))
+        got_dfr, got_ib = out[r["doc_id"]]
+        assert got_dfr == pytest.approx(dfr, rel=1e-6)
+        assert got_ib == pytest.approx(ib, rel=1e-6)
+
+
+def test_dfr_ranked_surface_is_additive(docs, corpus):
+    from scrapix_spark.operators import scoring as SC
+
+    post, stats, n, avgdl = corpus
+    T = int(post.agg(F.sum("tf")).first()[0])
+    one = {
+        r["doc_id"]: r["score"]
+        for r in SC.similarity_topk(
+            post, stats, n, T, avgdl, ["table"], "dfr_inl2", k=1000
+        ).collect()
+    }
+    two = {
+        r["doc_id"]: r["score"]
+        for r in SC.similarity_topk(
+            post, stats, n, T, avgdl, ["merge"], "dfr_inl2", k=1000
+        ).collect()
+    }
+    both = SC.similarity_topk(
+        post, stats, n, T, avgdl, ["table", "merge"], "dfr_inl2", k=1000
+    ).collect()
+    for r in both:
+        exp = one.get(r["doc_id"], 0.0) + two.get(r["doc_id"], 0.0)
+        assert r["score"] == pytest.approx(exp, rel=1e-9)
