@@ -7956,6 +7956,72 @@ ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
 """
 
 
+
+
+CF_WEIGHTS = {"h1": 2.0, "p": 1.0, "title": 1.5}
+
+
+def q_combined_fields(spark, sf_dir):
+    """X207 — ES combined_fields (Lucene CombinedFieldQuery; Robertson
+    et al. CIKM 2004): fields merge into ONE synthetic field before
+    BM25 — weights scale raw counts (tf~ = sum w_f tf, dl~ = sum w_f
+    dl), then a single ordinary BM25 runs over the pseudo-document.
+    The third multi-field semantics beside bm25f (field-centric) and
+    cross_fields (term-centric best-field).
+    operators/bm25f.py combined_fields_topk."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("source").alias("h1"), F.col("text").alias("p"),
+        F.col("lang").alias("title"),
+    )
+    topk = BF.combined_fields_topk(
+        docs, BM25F_QUERY, id_col="doc_id",
+        fields=["h1", "p", "title"], weights=CF_WEIGHTS, k=10,
+    )
+    return topk.select(
+        F.col("doc_key").alias("doc_id"), F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+def _combined_fields_sql() -> str:
+    fields = [("h1", "source"), ("p", "text"), ("title", "lang")]
+    arms = " UNION ALL ".join(
+        f"SELECT doc_id, '{f}' AS field, {c} AS txt FROM documents"
+        for f, c in fields
+    )
+    wcase = "CASE field " + " ".join(
+        f"WHEN '{f}' THEN {CF_WEIGHTS[f]!r}" for f, _ in fields
+    ) + " ELSE 1.0 END"
+    terms = ", ".join(f"'{t}'" for t in Q.query_terms(BM25F_QUERY))
+    tok = TOK_EXPR("txt")
+    return f"""
+WITH fields AS ({arms}),
+tokf AS (SELECT doc_id, field, {tok} AS toks FROM fields),
+tfq AS (SELECT doc_id, field, t AS term, count(*)::DOUBLE AS tf
+        FROM (SELECT doc_id, field, unnest(toks) AS t FROM tokf)
+        WHERE t IN ({terms}) GROUP BY doc_id, field, t),
+dlf AS (SELECT doc_id, field, len(toks)::DOUBLE AS dl FROM tokf),
+dlc AS (SELECT doc_id, sum(({wcase}) * dl) AS dl_c FROM dlf GROUP BY doc_id),
+ad AS (SELECT avg(dl_c) AS avgdl_c FROM dlc),
+tfc AS (SELECT doc_id, term, sum(({wcase}) * tf) AS tf_c
+        FROM tfq GROUP BY doc_id, term),
+dfv AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tfc GROUP BY term),
+nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+agg AS (
+  SELECT tfc.doc_id,
+         sum( ln(1 + (nd.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf_c * ({K1} + 1.0))
+              / (tf_c + {K1} * (1.0 - {B} + {B} * dlc.dl_c / ad.avgdl_c)) ) AS score,
+         count(DISTINCT tfc.term)::BIGINT AS n_matched
+  FROM tfc JOIN dfv USING (term)
+  JOIN dlc ON dlc.doc_id = tfc.doc_id
+  CROSS JOIN ad CROSS JOIN nd
+  GROUP BY tfc.doc_id)
+SELECT doc_id, round(score, 4) AS score, n_matched
+FROM agg ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -8154,6 +8220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "terms_agg_sharded": q_terms_agg_sharded,
         "sim_dfr_topk": q_sim_dfr_topk,
+        "combined_fields_topk": q_combined_fields,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -11344,6 +11411,7 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "ann_pq_topk": _ann_pq_sql(),
         "terms_agg_sharded": _terms_agg_sharded_sql(),
         "sim_dfr_topk": _sim_dfr_sql(),
+        "combined_fields_topk": _combined_fields_sql(),
     }
 
 

@@ -376,3 +376,83 @@ def cross_fields_topk(
     return agg.orderBy(
         F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_key").asc()
     ).limit(k)
+
+
+def combined_fields_topk(
+    docs: DataFrame,
+    q: str,
+    id_col: str = "uid",
+    fields: list[str] | None = None,
+    weights: dict[str, float] | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """X207 — the public ES `combined_fields` query (Lucene
+    CombinedFieldQuery; Robertson, Zaragoza & Taylor, CIKM 2004 "Simple
+    BM25 extension to multiple weighted fields"): the fields are merged
+    into ONE synthetic field *before* BM25, term-centrically —
+
+        tf~(t,d)  = Σ_f w_f · tf(t,f,d)
+        dl~(d)    = Σ_f w_f · dl_f(d)
+        score(d)  = Σ_t idf(df~) · tf~·(k1+1)/(tf~ + k1·(1-b+b·dl~/avgdl~))
+
+    with df~ = docs where tf~ > 0 and avgdl~ the mean synthetic length.
+    This is the third multi-field semantics next to bm25f_topk
+    (field-centric, per-field norm) and cross_fields_topk (per-term
+    best field): here weights scale raw COUNTS, then one ordinary BM25
+    runs over the pseudo-document.
+
+    Plan: melt → tokenize → ONE (doc, term)-keyed agg builds tf~ and a
+    (doc)-keyed agg builds dl~ (both map-side combining); df~ is a
+    query-sized agg broadcast back; final scoring is the standard
+    one-hash-agg + TakeOrdered. No step is new relative to the audited
+    BM25F plan.
+    """
+    fields = fields or [f for f in DEFAULT_FIELD_ORDER if f in docs.columns]
+    weights = weights or {f: 1.0 for f in fields}
+    terms = query_terms(q)
+    out_schema = "doc_key string, score double, n_matched int"
+    if not terms or not fields:
+        return docs.sparkSession.createDataFrame([], out_schema)
+
+    long = melt_fields(docs, id_col, fields)
+    tok = with_tokens(long, "text").withColumnRenamed("doc_len", "dl")
+    wmap = F.create_map(
+        *[x for f in fields for x in (F.lit(f), F.lit(float(weights.get(f, 1.0))))]
+    )
+    w = wmap.getItem(F.col("field"))
+    # synthetic document length: dl~ = sum_f w_f * dl_f  (one per doc)
+    dl_c = tok.groupBy("doc_key").agg(
+        F.sum(w * F.col("dl")).alias("dl_c")
+    )
+    n_docs = docs.count()
+    avgdl_row = dl_c.agg(F.avg("dl_c")).first()
+    avgdl_c = float(avgdl_row[0]) if avgdl_row[0] is not None else 1.0
+    # synthetic tf: tf~ = sum_f w_f * tf  (one row per (doc, term))
+    post = tok.select(
+        "doc_key", "field", F.explode("tokens").alias("tk")
+    ).select("doc_key", "field", "tk.term", F.col("tk.tf").cast("double").alias("tf"))
+    tfc = (
+        post.filter(F.col("term").isin(terms))
+        .groupBy("doc_key", "term")
+        .agg(F.sum(wmap.getItem(F.col("field")) * F.col("tf")).alias("tf_c"))
+    )
+    dfv = tfc.groupBy("term").agg(
+        F.countDistinct("doc_key").alias("df")
+    ).withColumn("idf", idf_expr(n_docs, F.col("df").cast("double")))
+    cand = tfc.join(F.broadcast(dfv.select("term", "idf")), "term").join(
+        dl_c, "doc_key"
+    )
+    impact = (F.col("tf_c") * (k1 + 1.0)) / (
+        F.col("tf_c") + k1 * (1.0 - b + b * F.col("dl_c") / F.lit(avgdl_c))
+    )
+    agg = cand.withColumn("contrib", F.col("idf") * impact).groupBy(
+        "doc_key"
+    ).agg(
+        F.sum("contrib").alias("score"),
+        F.countDistinct("term").cast("int").alias("n_matched"),
+    )
+    return agg.orderBy(
+        F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_key").asc()
+    ).limit(k)

@@ -340,3 +340,91 @@ def test_dfr_ranked_surface_is_additive(docs, corpus):
     for r in both:
         exp = one.get(r["doc_id"], 0.0) + two.get(r["doc_id"], 0.0)
         assert r["score"] == pytest.approx(exp, rel=1e-9)
+
+
+# ---------------------------------------------------------------- X207
+
+
+@pytest.fixture(scope="module")
+def mf_docs(spark):
+    rows = [
+        # (uid, h1, p, title)
+        ("a", "merge sort", "table scan value", "spark"),
+        ("b", "table", "merge merge table sort", "sort"),
+        ("c", "scan", "value row vector", "table"),
+        ("d", None, "merge table", "merge"),
+        ("e", "sort table merge", None, None),
+    ]
+    return spark.createDataFrame(rows, "uid string, h1 string, p string, title string")
+
+
+def test_combined_fields_matches_closed_form(mf_docs):
+    import math
+
+    from scrapix_spark.operators import bm25f as BF
+
+    w = {"h1": 2.0, "p": 1.0, "title": 1.5}
+    fields = ["h1", "p", "title"]
+    out = {
+        r["doc_key"]: (r["score"], r["n_matched"])
+        for r in BF.combined_fields_topk(
+            mf_docs, "merge table", id_col="uid", fields=fields, weights=w, k=10
+        ).collect()
+    }
+    # closed-form replay
+    data = {r["uid"]: r for r in mf_docs.collect()}
+    toks = lambda s: s.lower().split() if s else []  # noqa: E731
+    dl_c, tf_c = {}, {}
+    for uid, r in data.items():
+        dl_c[uid] = sum(w[f] * len(toks(r[f])) for f in fields)
+        for t in ("merge", "table"):
+            v = sum(w[f] * toks(r[f]).count(t) for f in fields)
+            if v > 0:
+                tf_c.setdefault(t, {})[uid] = v
+    avgdl = sum(dl_c.values()) / len(dl_c)
+    n = len(data)
+    k1, b = 1.2, 0.75
+    exp = {}
+    for t, docs_t in tf_c.items():
+        idf = math.log(1 + (n - len(docs_t) + 0.5) / (len(docs_t) + 0.5))
+        for uid, tfv in docs_t.items():
+            s = idf * tfv * (k1 + 1) / (tfv + k1 * (1 - b + b * dl_c[uid] / avgdl))
+            e, m = exp.get(uid, (0.0, 0))
+            exp[uid] = (e + s, m + 1)
+    assert set(out) == set(exp)
+    for uid, (s, m) in exp.items():
+        assert out[uid][0] == pytest.approx(s, rel=1e-9)
+        assert out[uid][1] == m
+
+
+def test_combined_fields_weights_move_counts_not_norms(mf_docs):
+    from scrapix_spark.operators import bm25f as BF
+
+    # weight 1 everywhere == merging the fields into one text blob:
+    # compare against plain BM25 over the concatenated field
+    from pyspark.sql import functions as FF
+
+    merged = mf_docs.select(
+        "uid",
+        FF.concat_ws(
+            " ", FF.coalesce("h1", FF.lit("")), FF.coalesce("p", FF.lit("")),
+            FF.coalesce("title", FF.lit("")),
+        ).alias("p"),
+    )
+    a = {
+        r["doc_key"]: r["score"]
+        for r in BF.combined_fields_topk(
+            mf_docs, "merge table", id_col="uid",
+            fields=["h1", "p", "title"], weights={"h1": 1.0, "p": 1.0, "title": 1.0},
+        ).collect()
+    }
+    bsc = {
+        r["doc_key"]: r["score"]
+        for r in BF.combined_fields_topk(
+            merged, "merge table", id_col="uid", fields=["p"],
+            weights={"p": 1.0},
+        ).collect()
+    }
+    assert set(a) == set(bsc)
+    for uid in a:
+        assert a[uid] == pytest.approx(bsc[uid], rel=1e-9)
