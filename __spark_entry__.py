@@ -8022,6 +8022,72 @@ FROM agg ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
 """
 
 
+
+
+PHONETIC_QUERY = "tabel mirge sord"
+
+
+def q_soundex_codes(spark, sf_dir):
+    """X208 — Soundex phonetic codes of the whole corpus dictionary,
+    computed by the pure-Catalyst expression (translate + one string
+    fold). The oracle replays the identical algorithm from the same
+    letter table via functions/tokenize.py soundex_sql — the 3-way
+    (Spark/DuckDB/python) parity surface for the phonetic family."""
+    from scrapix_spark.functions.tokenize import soundex_expr
+
+    post = _postings(spark, sf_dir)
+    dict_df = P.term_stats(post).select("term")
+    return dict_df.select(
+        "term", soundex_expr(F.col("term")).alias("soundex")
+    ).orderBy("term")
+
+
+def _soundex_codes_sql() -> str:
+    from scrapix_spark.functions.tokenize import soundex_sql
+
+    tok = TOK_EXPR("text")
+    return f"""
+WITH dict AS (SELECT DISTINCT t AS term
+              FROM (SELECT unnest({tok}) AS t FROM documents))
+SELECT term, {soundex_sql('term')} AS soundex FROM dict ORDER BY term
+"""
+
+
+def q_phonetic_search(spark, sf_dir):
+    """X208 — phonetic search: every query word ("tabel mirge sord" —
+    three misspellings Soundex-equates to table/merge/sort) matches all
+    same-code dictionary terms; grouped BM25 ranks with the shared
+    max-per-word convention. operators/match.py bm25_topk_phonetic."""
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    out = M.bm25_topk_phonetic(post, stats, n, avgdl, PHONETIC_QUERY, 10, K1, B)
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+def _phonetic_search_sql() -> str:
+    from scrapix_spark.functions.tokenize import soundex_py, soundex_sql
+
+    words = Q.query_terms(PHONETIC_QUERY)
+    wsel = " UNION ALL ".join(
+        f"SELECT {i} AS wi, '{soundex_py(w)}' AS code"
+        for i, w in enumerate(words)
+    )
+    return _contrib_cte() + f"""
+, words AS ({wsel}),
+cand AS (SELECT w.wi, d.term FROM words w
+         JOIN dict d ON {soundex_sql('d.term')} = w.code),
+perword AS (SELECT c.wi, ct.doc_id, max(ct.c) AS score
+            FROM cand c JOIN contrib ct ON ct.term = c.term
+            GROUP BY c.wi, ct.doc_id)
+SELECT doc_id, round(sum(score), 4) AS score,
+       count(DISTINCT wi)::BIGINT AS n_matched
+FROM perword GROUP BY doc_id
+ORDER BY count(DISTINCT wi) DESC, round(sum(score), 9) DESC, doc_id LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -8221,6 +8287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_agg_sharded": q_terms_agg_sharded,
         "sim_dfr_topk": q_sim_dfr_topk,
         "combined_fields_topk": q_combined_fields,
+        "soundex_codes": q_soundex_codes,
+        "phonetic_search": q_phonetic_search,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -11412,6 +11480,8 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "terms_agg_sharded": _terms_agg_sharded_sql(),
         "sim_dfr_topk": _sim_dfr_sql(),
         "combined_fields_topk": _combined_fields_sql(),
+        "soundex_codes": _soundex_codes_sql(),
+        "phonetic_search": _phonetic_search_sql(),
     }
 
 

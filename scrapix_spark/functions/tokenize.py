@@ -729,3 +729,72 @@ def routed_tokens(
         "doc_len",
         F.aggregate("tokens", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]),
     )
+
+
+# ------------------------------------------------------ phonetic (X208)
+
+# Letter → Soundex digit (the widely-used simplified variant: vowels
+# and h/w/y all map to '0' and BREAK duplicate runs — MySQL/SQLite
+# style — rather than the US-Census rule where h/w are transparent).
+# One table drives the Spark expression, the DuckDB oracle fragment and
+# the python reference, so the three can never drift.
+_SOUNDEX_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+_SOUNDEX_DIGIT = "01230120022455012623010202"
+
+
+def soundex_expr(col):
+    """American Soundex code (LETTER + 3 digits) of a lowercase term as
+    a pure Catalyst expression — translate + higher-order array ops,
+    zero Python, stays inside whole-stage codegen. Non-alphabetic chars
+    are dropped first; empty/non-alpha input yields NULL."""
+    from pyspark.sql import functions as F
+
+    clean = F.regexp_replace(F.lower(col), "[^a-z]", "")
+    codes = F.translate(clean, _SOUNDEX_ALPHA, _SOUNDEX_DIGIT)
+    arr = F.filter(F.split(codes, ""), lambda x: x != F.lit(""))
+    # collapse adjacent duplicate codes with ONE string fold (first
+    # letter's code included, so e.g. 'pfister' collapses the p/f run
+    # before the drop below); a single-lambda aggregate avoids nesting
+    # correlated higher-order functions
+    collapsed = F.aggregate(
+        arr,
+        F.lit(""),
+        lambda acc, x: F.when(F.substring(acc, -1, 1) == x, acc).otherwise(
+            F.concat(acc, x)
+        ),
+    )
+    # drop the first letter's own code, then all separators ('0')
+    digits = F.regexp_replace(F.substring(collapsed, 2, 64), "0", "")
+    code3 = F.rpad(F.substring(digits, 1, 3), 3, "0")
+    return F.when(
+        F.length(clean) > 0, F.concat(F.upper(F.substring(clean, 1, 1)), code3)
+    )
+
+
+def soundex_sql(expr: str) -> str:
+    """The SAME algorithm as ``soundex_expr`` as a DuckDB SQL fragment
+    over a string expression — generated from the same letter table."""
+    clean = f"regexp_replace(lower({expr}), '[^a-z]', '', 'g')"
+    codes = f"translate({clean}, '{_SOUNDEX_ALPHA}', '{_SOUNDEX_DIGIT}')"
+    arr = f"string_split({codes}, '')"
+    ded = f"list_filter({arr}, (x, i) -> i = 1 OR x <> ({arr})[i-1])"
+    digits = f"list_filter(({ded})[2:], x -> x <> '0')"
+    code3 = (
+        f"rpad(coalesce(list_aggregate(({digits})[1:3], 'string_agg', ''), "
+        f"''), 3, '0')"
+    )
+    return (
+        f"CASE WHEN len({clean}) > 0 "
+        f"THEN upper(({clean})[1]) || {code3} END"
+    )
+
+
+def soundex_py(s: str) -> str | None:
+    """Python reference of the same algorithm (tests' 3-way anchor)."""
+    clean = "".join(c for c in s.lower() if c in _SOUNDEX_ALPHA)
+    if not clean:
+        return None
+    codes = [_SOUNDEX_DIGIT[_SOUNDEX_ALPHA.index(c)] for c in clean]
+    ded = [c for i, c in enumerate(codes) if i == 0 or c != codes[i - 1]]
+    digits = [c for c in ded[1:] if c != "0"]
+    return clean[0].upper() + "".join(digits[:3]).ljust(3, "0")

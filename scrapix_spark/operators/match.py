@@ -2361,3 +2361,49 @@ def segment_query_pmi(
         rows, "pos int, w1 string, w2 string, adj long, pmi double, "
         "grouped boolean"
     )
+
+
+def bm25_topk_phonetic(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    q: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """X208 — phonetic matching (the ES `phonetic` analyzer family):
+    each query word matches every dictionary term with the SAME Soundex
+    code ("mirge" finds "merge", "smyth" finds "smith"), then the
+    grouped BM25 ranking scores docs with the pinned max-per-word /
+    words-count-once convention shared with typo and synonym search.
+
+    The dictionary side is a query-time lookup exactly like SymSpell
+    typo candidates: soundex is computed IN-PLAN over the dictionary
+    (a pure Catalyst expression — functions/tokenize.py soundex_expr),
+    filtered to the query's ≤|q| codes, and only that phonetic-bucket
+    slice (bounded like any posting-dictionary bucket) is collected to
+    drive the grouped scorer."""
+    from scrapix_spark.functions.tokenize import soundex_expr, soundex_py
+    from scrapix_spark.operators.query import query_terms
+
+    words = query_terms(q)
+    codes = {w: soundex_py(w) for w in words}
+    want = sorted({c for c in codes.values() if c})
+    if not want:
+        return postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double, n_matched int"
+        )
+    cand = (
+        term_stats.select("term", soundex_expr(F.col("term")).alias("sx"))
+        .filter(F.col("sx").isin(want))
+        .collect()
+    )
+    by_code: dict[str, list[str]] = {}
+    for r in cand:
+        by_code.setdefault(r["sx"], []).append(r["term"])
+    groups = [sorted(by_code.get(codes[w], [])) for w in words]
+    return bm25_topk_grouped(
+        postings, term_stats, N, avgdl, groups, k, k1, b
+    )

@@ -428,3 +428,59 @@ def test_combined_fields_weights_move_counts_not_norms(mf_docs):
     assert set(a) == set(bsc)
     for uid in a:
         assert a[uid] == pytest.approx(bsc[uid], rel=1e-9)
+
+
+# ---------------------------------------------------------------- X208
+
+
+def test_soundex_three_way_parity(spark):
+    import duckdb
+
+    from scrapix_spark.functions.tokenize import (
+        soundex_expr, soundex_py, soundex_sql,
+    )
+
+    words = [
+        "robert", "rupert", "ashcraft", "tymczak", "pfister", "honeyman",
+        "table", "tabel", "merge", "mirge", "sort", "sord", "smith",
+        "smyth", "a", "mmm", "aeiou", "123", "",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    sp = {r["w"]: r["sx"] for r in df.select("w", soundex_expr(F.col("w")).alias("sx")).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"('{w}')" for w in words) + ") v(w)"
+    )
+    du = {r[0]: r[1] for r in con.execute(f"SELECT w, {soundex_sql('w')} FROM t").fetchall()}
+    for w in words:
+        assert sp[w] == du[w] == soundex_py(w), w
+    # classic anchors for THIS variant (h/w break runs like vowels)
+    assert soundex_py("robert") == "R163"
+    assert soundex_py("pfister") == "P236"
+    assert soundex_py("tymczak") == "T522"
+    assert soundex_py("smith") == soundex_py("smyth") == "S530"
+
+
+def test_phonetic_search_equates_misspellings(docs, corpus):
+    from scrapix_spark.operators import match as M
+
+    post, stats, n, avgdl = corpus
+    # misspellings that soundex-equate to corpus words
+    out = M.bm25_topk_phonetic(post, stats, n, avgdl, "tabel mirge", k=100)
+    rows = out.collect()
+    assert rows, "phonetic match found nothing"
+    # every doc containing table or merge should match ≥1 word
+    exact = M.bm25_topk_grouped(
+        post, stats, n, avgdl, [["table"], ["merge"]], k=100
+    ).collect()
+    got = {r["doc_id"]: r["n_matched"] for r in rows}
+    for r in exact:
+        assert got.get(r["doc_id"], 0) >= r["n_matched"]
+
+
+def test_phonetic_search_no_codes_is_empty(corpus):
+    from scrapix_spark.operators import match as M
+
+    post, stats, n, avgdl = corpus
+    assert M.bm25_topk_phonetic(post, stats, n, avgdl, "£ ### !!", k=5).count() == 0
