@@ -8088,6 +8088,63 @@ ORDER BY count(DISTINCT wi) DESC, round(sum(score), 9) DESC, doc_id LIMIT 10
 """
 
 
+
+
+def q_range_index_blocks(spark, sf_dir):
+    """X209 — BKD-style numeric range index over documents.n_chars:
+    global value-sort ranks from the two-pass distributed prefix sum
+    (never a single-partition window), fixed 64-doc blocks, per-block
+    min/max bounds. The gate pins the BLOCKING itself (deterministic:
+    total order by (v, id)). operators/numeric.py range_index/_blocks."""
+    from scrapix_spark.operators import numeric as NX
+
+    ranked = NX.range_index(_docs(spark, sf_dir), "n_chars", block_size=64)
+    return NX.range_index_blocks(ranked).select(
+        "block", F.round("v_min", 6).alias("v_min"),
+        F.round("v_max", 6).alias("v_max"), "n_docs",
+    ).orderBy("block")
+
+
+def _range_index_blocks_sql() -> str:
+    return """
+WITH ranked AS (
+  SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS v,
+         row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE), doc_id) - 1 AS rank
+  FROM documents)
+SELECT rank // 64 AS block, round(min(v), 6) AS v_min,
+       round(max(v), 6) AS v_max, count(*)::BIGINT AS n_docs
+FROM ranked GROUP BY rank // 64 ORDER BY block
+"""
+
+
+RANGE_Q_LO, RANGE_Q_HI = 180.0, 320.0
+
+
+def q_range_query_pruned(spark, sf_dir):
+    """X209 — range query through the blocked index: overlapping blocks
+    broadcast-prune the scan (partition pruning at scale), exact
+    re-filter inside survivors. Oracle is the plain WHERE filter — the
+    pruned path must be exactly lossless.
+    operators/numeric.py range_query_pruned."""
+    from scrapix_spark.operators import numeric as NX
+
+    ranked = NX.range_index(_docs(spark, sf_dir), "n_chars", block_size=64)
+    blocks = NX.range_index_blocks(ranked)
+    out = NX.range_query_pruned(ranked, blocks, RANGE_Q_LO, RANGE_Q_HI)
+    return out.select(
+        F.col("id").alias("doc_id"), F.round("v", 6).alias("n_chars_d")
+    ).orderBy("doc_id")
+
+
+def _range_query_pruned_sql() -> str:
+    return f"""
+SELECT doc_id, round(CAST(n_chars AS DOUBLE), 6) AS n_chars_d
+FROM documents
+WHERE CAST(n_chars AS DOUBLE) BETWEEN {RANGE_Q_LO!r} AND {RANGE_Q_HI!r}
+ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -8289,6 +8346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combined_fields_topk": q_combined_fields,
         "soundex_codes": q_soundex_codes,
         "phonetic_search": q_phonetic_search,
+        "range_index_blocks": q_range_index_blocks,
+        "range_query_pruned": q_range_query_pruned,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -11482,6 +11541,8 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "combined_fields_topk": _combined_fields_sql(),
         "soundex_codes": _soundex_codes_sql(),
         "phonetic_search": _phonetic_search_sql(),
+        "range_index_blocks": _range_index_blocks_sql(),
+        "range_query_pruned": _range_query_pruned_sql(),
     }
 
 

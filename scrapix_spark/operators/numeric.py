@@ -1,0 +1,122 @@
+"""X209 — BKD-style numeric range index: block-sorted values with
+per-block min/max, so range queries prune blocks instead of scanning
+the corpus.
+
+Lucene indexes numerics in a BKD tree (points format): values are
+sorted and packed into leaf blocks whose min/max bounds let a range
+query skip whole blocks. The reference pipeline has no numeric index at
+all (filters scan); this is the Spark-native analog — the `block`
+column is the storage partition key at scale (`write.partitionBy`),
+turning block pruning into partition-pruned parquet scans, the same
+trick `ivf_assign` documents for vector lists.
+
+Block assignment needs a GLOBAL sort rank. A naive
+`row_number() OVER (ORDER BY v)` plans a single-partition window — the
+100 TB anti-pattern — so the rank comes from the same two-pass
+distributed prefix sum `curation.pack_sequences` pins: one range
+exchange, O(parallelism) per-partition counts to the driver, one Arrow
+pass adding base offsets. Ranks are partitioning-invariant (counts
+compose), so block boundaries cannot move with cluster size.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scrapix_spark.operators.index import shuffle_partitions
+
+
+def range_index(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    block_size: int = 64,
+    nparts: int | None = None,
+) -> DataFrame:
+    """Build the blocked numeric index: one row per doc with its global
+    sort rank (by value, id-tiebroken — total order, so the blocking is
+    deterministic) and block id = rank // block_size.
+
+    Returns (id, v, rank, block)."""
+    if block_size <= 0:
+        raise ValueError("block_size must be positive")
+    spark = df.sparkSession
+    nparts = nparts or shuffle_partitions(spark)
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .repartitionByRange(nparts, "v", "id")
+        .sortWithinPartitions("v", "id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["_pid"]: r["c"]
+        for r in base.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    bs = int(block_size)
+
+    def assign(batches):
+        pos = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            start = pos.get(pid, offsets[pid])
+            ranks = range(start, start + len(pdf))
+            pos[pid] = start + len(pdf)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "v": pdf["v"],
+                    "rank": list(ranks),
+                    "block": [r // bs for r in ranks],
+                }
+            )
+
+    return base.mapInPandas(
+        assign, schema="id long, v double, rank long, block long"
+    )
+
+
+def range_index_blocks(ranked: DataFrame) -> DataFrame:
+    """Per-block metadata (block, v_min, v_max, n_docs) — the BKD leaf
+    bounds a range query prunes on. One keyed agg with map-side
+    combine; the result is corpus_size/block_size rows (the index's
+    'inner nodes'), small enough to broadcast at query time."""
+    return ranked.groupBy("block").agg(
+        F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+def range_query_pruned(
+    ranked: DataFrame,
+    blocks: DataFrame,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Range query [lo, hi] over the blocked index: the block-metadata
+    relation is filtered to overlapping blocks (v_max >= lo AND
+    v_min <= hi) and broadcast; only surviving blocks' rows are read
+    (partition-pruned at scale) and exactly re-filtered. Returns
+    (id, v). Because blocks are value-sorted, surviving blocks form a
+    contiguous run — the same I/O shape as a BKD leaf walk."""
+    surv = blocks.filter(
+        (F.col("v_max") >= float(lo)) & (F.col("v_min") <= float(hi))
+    ).select("block")
+    return (
+        ranked.join(F.broadcast(surv), "block")
+        .filter((F.col("v") >= float(lo)) & (F.col("v") <= float(hi)))
+        .select("id", "v")
+    )

@@ -484,3 +484,50 @@ def test_phonetic_search_no_codes_is_empty(corpus):
 
     post, stats, n, avgdl = corpus
     assert M.bm25_topk_phonetic(post, stats, n, avgdl, "£ ### !!", k=5).count() == 0
+
+
+# ---------------------------------------------------------------- X209
+
+
+def test_range_index_blocking_and_invariance(spark):
+    from scrapix_spark.operators import numeric as NX
+
+    rows = [(i, float((i * 37) % 211)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, val double")
+    r1 = NX.range_index(df, "val", block_size=50, nparts=4)
+    r2 = NX.range_index(df, "val", block_size=50, nparts=11)
+    a = {r["id"]: (r["rank"], r["block"]) for r in r1.collect()}
+    b = {r["id"]: (r["rank"], r["block"]) for r in r2.collect()}
+    assert a == b  # partitioning-invariant ranks
+    # ranks are the total order by (v, id)
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    for rank, (i, _) in enumerate(order):
+        assert a[i] == (rank, rank // 50)
+
+
+def test_range_query_pruned_is_lossless_and_prunes(spark):
+    from scrapix_spark.operators import numeric as NX
+
+    rows = [(i, float(i)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, val double")
+    ranked = NX.range_index(df, "val", block_size=40, nparts=4).cache()
+    blocks = NX.range_index_blocks(ranked).cache()
+    lo, hi = 100.0, 179.0
+    got = sorted(r["id"] for r in NX.range_query_pruned(ranked, blocks, lo, hi).collect())
+    assert got == list(range(100, 180))
+    # values are dense+sorted → exactly blocks 2,3,4 overlap [100,179]
+    surv = sorted(
+        r["block"]
+        for r in blocks.filter((F.col("v_max") >= lo) & (F.col("v_min") <= hi)).collect()
+    )
+    assert surv == [2, 3, 4]
+    # contiguity: surviving blocks form one run (the BKD leaf-walk shape)
+    assert surv == list(range(surv[0], surv[-1] + 1))
+
+
+def test_range_index_rejects_bad_block_size(spark):
+    from scrapix_spark.operators import numeric as NX
+
+    df = spark.createDataFrame([(1, 1.0)], "doc_id long, val double")
+    with pytest.raises(ValueError):
+        NX.range_index(df, "val", block_size=0)
