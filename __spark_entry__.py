@@ -8145,6 +8145,44 @@ ORDER BY doc_id
 """
 
 
+
+
+QSUM_QS = [0.1, 0.25, 0.5, 0.75, 0.9]
+
+
+def q_quantile_summary(spark, sf_dir):
+    """X210 — deterministic mergeable quantile summary (Munro-Paterson /
+    MRL family): per deterministic hash partition, B=32 equally-spaced
+    order statistics weighted by stride; merged anchors answer any
+    quantile with rank error ≤ N/B + P. The relation VERIFIES ITSELF:
+    it carries the estimate's true rank span (one broadcast count-agg)
+    and the bound flag — the oracle recomputes N, target ranks and the
+    bound, and asserts within_bound, so a bound violation is a hash
+    mismatch. Estimate columns stay engine-side (a sketch is not
+    SQL-replicable; the BOUND is). operators/results.py
+    quantile_summary; documents.n_chars at sf0.01."""
+    from scrapix_spark.operators import results as RS
+
+    out = RS.quantile_summary(
+        _docs(spark, sf_dir), "n_chars", QSUM_QS,
+        anchors_per_part=32, n_parts=8,
+    )
+    return out.select("q", "target_rank", "bound", "within_bound")
+
+
+def _quantile_summary_sql() -> str:
+    qlist = ", ".join(repr(q) for q in QSUM_QS)
+    return f"""
+WITH nv AS (SELECT count(*)::BIGINT AS n FROM documents),
+qs AS (SELECT unnest([{qlist}]) AS q)
+SELECT q,
+       greatest(1, least(n, CAST(ceil(q * n) AS BIGINT))) AS target_rank,
+       (n // 32 + 8)::INT AS bound,
+       TRUE AS within_bound
+FROM qs CROSS JOIN nv ORDER BY q
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -8348,6 +8386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phonetic_search": q_phonetic_search,
         "range_index_blocks": q_range_index_blocks,
         "range_query_pruned": q_range_query_pruned,
+        "quantile_summary": q_quantile_summary,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -11543,6 +11582,7 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "phonetic_search": _phonetic_search_sql(),
         "range_index_blocks": _range_index_blocks_sql(),
         "range_query_pruned": _range_query_pruned_sql(),
+        "quantile_summary": _quantile_summary_sql(),
     }
 
 

@@ -1273,3 +1273,115 @@ def terms_agg_sharded(
     return out.orderBy(
         F.col("doc_count").desc(), F.col("value").asc()
     ).limit(size)
+
+
+def quantile_summary(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[float],
+    anchors_per_part: int = 32,
+    n_parts: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X210 — deterministic mergeable quantile summary (the
+    Munro-Paterson / Manku-Rajagopalan-Lindsay family of one-pass
+    summaries, public since PODS'80/SIGMOD'98; the deterministic
+    ancestor of t-digest and KLL): each partition keeps `anchors_per_
+    part` equally-spaced order statistics of its own sorted values,
+    weighted by its stride; merged anchors answer any quantile with
+    rank error ≤ Σ_p ceil(n_p / B) ≤ N/B + P.
+
+    Everything is deterministic: partitions are `sample_hash(id) %
+    n_parts` (the cross-engine hash), anchors are exact in-partition
+    order statistics, and the merge is a weighted scan of B·P rows.
+
+    The output VERIFIES ITSELF in-plan: for each requested quantile it
+    emits the target rank, the merged estimate's TRUE rank (one
+    broadcast of the ≤|quantiles| estimates joined back for a count
+    aggregate), the bound, and `within_bound` — the gate's oracle
+    recomputes target ranks and asserts the flag, so a bound violation
+    is a hash mismatch.
+
+    Scale shape: ONE applyInPandas over hash partitions (each sorts its
+    own slice — the summary pass), B·P anchor rows to the driver
+    (bytes, not data), one broadcast count-agg for the self-check.
+    Returns (q, target_rank, est_rank, bound, within_bound).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from scrapix_spark.operators.curation import sample_hash
+
+    spark = df.sparkSession
+    B = int(anchors_per_part)
+    base = df.select(
+        (sample_hash(F.col(id_col)) % n_parts).alias("_p"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        vs = np.sort(pdf["v"].to_numpy())
+        n = len(vs)
+        if n == 0:
+            return pd.DataFrame({"v": [], "w": []})
+        take = min(B, n)
+        # equally-spaced order statistics, last element always kept so
+        # the summary's max is the partition max (rank accounting stays
+        # a one-sided ≤ stride error per partition)
+        idx = np.unique(
+            np.minimum(((np.arange(1, take + 1) * n) // take) - 1, n - 1)
+        )
+        w = np.diff(np.concatenate([[-1], idx])).astype("int64")
+        return pd.DataFrame({"v": vs[idx], "w": w})
+
+    anchors = (
+        base.groupBy("_p")
+        .applyInPandas(summarize, schema="v double, w long")
+        .collect()
+    )
+    rows = sorted((r["v"], r["w"]) for r in anchors)
+    N = sum(w for _, w in rows)
+    bound = N // B + n_parts  # sum of per-partition strides, rounded up
+
+    ests = {}
+    for q in quantiles:
+        target = max(1, min(N, int(-(-q * N // 1))))  # ceil(q*N) in [1,N]
+        acc = 0
+        est = rows[-1][0]
+        for v, w in rows:
+            acc += w
+            if acc >= target:
+                est = v
+                break
+        ests[float(q)] = (target, est)
+
+    est_df = spark.createDataFrame(
+        [(q, t, v) for q, (t, v) in sorted(ests.items())],
+        "q double, target_rank long, est double",
+    )
+    # true rank span of each estimate over the full data: est occupies
+    # ranks [count(v < est) + 1, count(v <= est)] — the bound holds if
+    # the target rank is within `bound` of that span (duplicate-safe)
+    ranked = (
+        base.crossJoin(F.broadcast(est_df))
+        .groupBy("q", "target_rank")
+        .agg(
+            (F.sum(F.when(F.col("v") < F.col("est"), 1).otherwise(0)) + 1)
+            .cast("long")
+            .alias("est_rank_lo"),
+            F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0))
+            .cast("long")
+            .alias("est_rank_hi"),
+        )
+    )
+    within = (F.col("target_rank") <= F.col("est_rank_hi") + int(bound)) & (
+        F.col("target_rank") >= F.col("est_rank_lo") - int(bound)
+    )
+    return ranked.select(
+        "q",
+        "target_rank",
+        "est_rank_lo",
+        "est_rank_hi",
+        F.lit(int(bound)).alias("bound"),
+        within.alias("within_bound"),
+    ).orderBy("q")

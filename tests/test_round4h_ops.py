@@ -531,3 +531,48 @@ def test_range_index_rejects_bad_block_size(spark):
     df = spark.createDataFrame([(1, 1.0)], "doc_id long, val double")
     with pytest.raises(ValueError):
         NX.range_index(df, "val", block_size=0)
+
+
+# ---------------------------------------------------------------- X210
+
+
+def test_quantile_summary_bound_holds_on_skew_and_dups(spark):
+    from scrapix_spark.operators import results as RS
+
+    # heavy duplicates + zipf-ish skew — the hard case for rank bounds
+    rows = [(i, float(min(i % 7, (i * i) % 13))) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, val double")
+    out = RS.quantile_summary(
+        df, "val", [0.01, 0.1, 0.5, 0.9, 0.99], anchors_per_part=16, n_parts=8
+    ).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["within_bound"], r
+        # span sanity
+        assert r["est_rank_lo"] <= r["est_rank_hi"]
+
+
+def test_quantile_summary_exact_when_anchors_cover(spark):
+    from scrapix_spark.operators import results as RS
+
+    rows = [(i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, val double")
+    out = RS.quantile_summary(
+        df, "val", [0.25, 0.5, 0.75], anchors_per_part=1000, n_parts=4
+    ).collect()
+    # B >= every partition size → anchors are ALL values → the merged
+    # estimate is the exact order statistic: its rank span contains the
+    # target exactly
+    for r in out:
+        assert r["est_rank_lo"] <= r["target_rank"] <= r["est_rank_hi"]
+        assert r["within_bound"]
+
+
+def test_quantile_summary_deterministic(spark):
+    from scrapix_spark.operators import results as RS
+
+    rows = [(i, float((i * 31) % 97)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, val double")
+    a = RS.quantile_summary(df, "val", [0.5], anchors_per_part=8, n_parts=8).collect()
+    b = RS.quantile_summary(df, "val", [0.5], anchors_per_part=8, n_parts=8).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
