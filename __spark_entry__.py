@@ -8183,6 +8183,100 @@ FROM qs CROSS JOIN nv ORDER BY q
 """
 
 
+
+
+def q_rescore_window(spark, sf_dir):
+    """X211 — the ES rescore phase (Lucene QueryRescorer): top-30 window
+    of the cheap BM25 primary re-ranked by 1.0·bm25 + 0.5·dfr_inl2
+    (score_mode total); docs outside the window untouched; final top-10.
+    operators/query.py rescore_window_topk."""
+    from scrapix_spark.operators import scoring as SC
+
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    n, t, a = _corpus_ntavg(spark, sf_dir)
+    terms = Q.query_terms(BM25_QUERY)
+    primary = SC.similarity_topk(post, stats, n, t, a, terms, "bm25", k=(1 << 31) - 1)
+    secondary = SC.similarity_topk(
+        post, stats, n, t, a, terms, "dfr_inl2", k=(1 << 31) - 1
+    ).select("doc_id", F.col("score").alias("score2"))
+    out = Q.rescore_window_topk(
+        primary.select("doc_id", "score"), secondary,
+        k=10, window=30, query_weight=1.0, rescore_weight=0.5,
+        score_mode="total",
+    )
+    return out.select(
+        "doc_id", F.round("primary_score", 4).alias("bm25"),
+        F.round("score", 4).alias("combined"),
+    )
+
+
+def _rescore_window_sql() -> str:
+    from scrapix_spark.operators import scoring as SC
+
+    terms = Q.query_terms(BM25_QUERY)
+    bm = SC.similarity_contrib_sql("bm25", "n_", "t_", "avgdl_")
+    dfr = SC.similarity_contrib_sql("dfr_inl2", "n_", "t_", "avgdl_")
+    return _sim_base_sql(terms) + f""",
+m AS (SELECT doc_id, sum({bm}) AS s1, sum({dfr}) AS s2
+      FROM flat GROUP BY doc_id),
+win AS (SELECT * FROM m ORDER BY round(s1, 9) DESC, doc_id LIMIT 30)
+SELECT doc_id, round(s1, 4) AS bm25,
+       round(1.0 * s1 + 0.5 * s2, 4) AS combined
+FROM win ORDER BY round(1.0 * s1 + 0.5 * s2, 9) DESC, doc_id LIMIT 10
+"""
+
+
+MIXER_LANGS = ("en", "fr", "de", "zh")
+
+
+def q_curation_mixer(spark, sf_dir):
+    """X212 — Dolma-style tagger→mixer decision (Soldaini et al. 2024):
+    independent quality signals (Gopher keep-conjunction, language
+    allowlist, length band) feed ONE declarative mixer producing the
+    auditable (keep, drop_reasons) pair; re-mixing a new policy never
+    re-runs a tagger. operators/curation.py decision_mixer."""
+    from scrapix_spark.operators import curation as CU
+
+    src = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "n_chars", F.expr(_GOPHER_SRC_SQL).alias("text2")
+    )
+    sig = CU.gopher_rules(src, "text2", **_GOPHER_KW)
+    out = CU.decision_mixer(
+        sig,
+        {
+            "gopher": F.col("gopher_keep"),
+            "lang": F.col("lang").isin(list(MIXER_LANGS)),
+            "len": (F.col("n_chars") >= 100) & (F.col("n_chars") <= 5000),
+        },
+    )
+    return out.select(
+        "doc_id", F.col("keep").cast("long").alias("keep"), "drop_reasons"
+    ).orderBy("doc_id")
+
+
+def _curation_mixer_sql() -> str:
+    g = _gopher_cte_sql()
+    langs = ", ".join(f"'{x}'" for x in MIXER_LANGS)
+    return g + f""",
+rules AS (SELECT doc_id,
+  (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet_lines
+   AND r_ellipsis_lines AND r_alpha_words AND r_stop_words) AS gopher_keep
+  FROM r),
+sig AS (SELECT r.doc_id, r.gopher_keep,
+               (d.lang IN ({langs})) AS lang_ok,
+               (d.n_chars BETWEEN 100 AND 5000) AS len_ok
+        FROM rules r JOIN documents d USING (doc_id))
+SELECT doc_id,
+       (gopher_keep AND lang_ok AND len_ok)::BIGINT AS keep,
+       concat_ws(',',
+         CASE WHEN NOT gopher_keep THEN 'gopher' END,
+         CASE WHEN NOT lang_ok THEN 'lang' END,
+         CASE WHEN NOT len_ok THEN 'len' END) AS drop_reasons
+FROM sig ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -8387,6 +8481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_index_blocks": q_range_index_blocks,
         "range_query_pruned": q_range_query_pruned,
         "quantile_summary": q_quantile_summary,
+        "rescore_window": q_rescore_window,
+        "curation_mixer": q_curation_mixer,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -10180,6 +10276,50 @@ def _bpe_sql(n_merges: int = 8, max_id: int = 400) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
+def _gopher_cte_sql() -> str:
+    """Shared WITH-chain ending at CTE `r` (one boolean per Gopher
+    rule) — used by BOTH the gopher_rules oracle and the X212 mixer
+    oracle so the rule replay can never drift between gates."""
+    return f'''
+WITH src AS (SELECT doc_id, {_GOPHER_SRC_SQL} AS text2 FROM documents),
+feat AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text2, '\\s+'), x -> x <> '') AS words,
+    string_split(text2, chr(10)) AS lines,
+    len(regexp_extract_all(text2, '#'))
+      + len(regexp_extract_all(text2, '\\.\\.\\.'))
+      + len(regexp_extract_all(text2, '…')) AS n_symbols
+  FROM src),
+m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    greatest(len(words), 1) AS safe_n,
+    list_sum(list_transform(words, x -> len(x)))
+      / greatest(len(words), 1)::DOUBLE AS mean_len,
+    n_symbols,
+    len(list_filter(lines,
+        x -> regexp_matches(trim(x), '^([-*•‣◦])'))) AS bullets,
+    len(list_filter(lines,
+        x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$'))) AS ellipsis,
+    greatest(len(lines), 1) AS n_lines,
+    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+    len(list_intersect(
+        list_distinct(list_transform(words, x -> lower(x))),
+        ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM feat),
+r AS (
+  SELECT doc_id,
+    (n_words >= 30 AND n_words <= 100000) AS r_word_count,
+    (mean_len >= 3.0 AND mean_len <= 10.0) AS r_mean_word_len,
+    (n_symbols / safe_n::DOUBLE) <= 0.05 AS r_symbol_ratio,
+    (bullets / n_lines::DOUBLE) <= 0.5 AS r_bullet_lines,
+    (ellipsis / n_lines::DOUBLE) <= 0.3 AS r_ellipsis_lines,
+    (alpha / safe_n::DOUBLE) >= 0.8 AS r_alpha_words,
+    stop_hits >= 1 AS r_stop_words
+  FROM m)
+'''
+
+
 def oracle_sql() -> dict[str, str]:
     tok = TOK_EXPR("text")
     en = ", ".join(f"'{w}'" for w in TS.LANG_MARKERS["en"])
@@ -11368,43 +11508,7 @@ WHERE h.hv < r.keep_rate * 1000003.0
 SELECT doc_id, lang, cum::BIGINT AS cum_tokens
 FROM c WHERE cum - n_chars < {BUDGET_TOKENS}
 """,
-        "gopher_rules": f"""
-WITH src AS (SELECT doc_id, {_GOPHER_SRC_SQL} AS text2 FROM documents),
-feat AS (
-  SELECT doc_id,
-    list_filter(string_split_regex(text2, '\\s+'), x -> x <> '') AS words,
-    string_split(text2, chr(10)) AS lines,
-    len(regexp_extract_all(text2, '#'))
-      + len(regexp_extract_all(text2, '\\.\\.\\.'))
-      + len(regexp_extract_all(text2, '…')) AS n_symbols
-  FROM src),
-m AS (
-  SELECT doc_id,
-    len(words) AS n_words,
-    greatest(len(words), 1) AS safe_n,
-    list_sum(list_transform(words, x -> len(x)))
-      / greatest(len(words), 1)::DOUBLE AS mean_len,
-    n_symbols,
-    len(list_filter(lines,
-        x -> regexp_matches(trim(x), '^([-*•‣◦])'))) AS bullets,
-    len(list_filter(lines,
-        x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$'))) AS ellipsis,
-    greatest(len(lines), 1) AS n_lines,
-    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
-    len(list_intersect(
-        list_distinct(list_transform(words, x -> lower(x))),
-        ['the','be','to','of','and','that','have','with'])) AS stop_hits
-  FROM feat),
-r AS (
-  SELECT doc_id,
-    (n_words >= 30 AND n_words <= 100000) AS r_word_count,
-    (mean_len >= 3.0 AND mean_len <= 10.0) AS r_mean_word_len,
-    (n_symbols / safe_n::DOUBLE) <= 0.05 AS r_symbol_ratio,
-    (bullets / n_lines::DOUBLE) <= 0.5 AS r_bullet_lines,
-    (ellipsis / n_lines::DOUBLE) <= 0.3 AS r_ellipsis_lines,
-    (alpha / safe_n::DOUBLE) >= 0.8 AS r_alpha_words,
-    stop_hits >= 1 AS r_stop_words
-  FROM m)
+        "gopher_rules": _gopher_cte_sql() + """
 SELECT doc_id,
   r_word_count::BIGINT AS r_word_count,
   r_mean_word_len::BIGINT AS r_mean_word_len,
@@ -11583,6 +11687,8 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "range_index_blocks": _range_index_blocks_sql(),
         "range_query_pruned": _range_query_pruned_sql(),
         "quantile_summary": _quantile_summary_sql(),
+        "rescore_window": _rescore_window_sql(),
+        "curation_mixer": _curation_mixer_sql(),
     }
 
 

@@ -1304,3 +1304,40 @@ def cdc_dedup_mass(
         "doc_id", "n_chunks", "dup_chunks", "total_len", "dup_len",
         F.round(F.col("dup_len") / F.col("total_len"), 6).alias("dup_frac"),
     ).orderBy("doc_id")
+
+
+def decision_mixer(
+    df: DataFrame,
+    rules: dict[str, Column],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X212 — the Dolma tagger→mixer pattern (Soldaini et al. 2024,
+    public data-pipeline design; also CCNet/RefinedWeb's keep-decision
+    stage): quality SIGNALS are computed by independent taggers, and one
+    declarative mixer turns them into an auditable per-document
+    decision. `rules` maps reason-name → "passes" boolean column over
+    the signals relation; a document is kept iff every rule passes, and
+    `drop_reasons` lists the failed rule names (comma-joined, sorted by
+    name — concat_ws skips the NULLs of passing rules identically in
+    Spark and ANSI SQL, so the audit column replays in the oracle).
+
+    Map-only: one projection over the signals relation, no shuffle, no
+    Python — the mixer adds ZERO cost to whatever the taggers already
+    computed. At 100 TB the signals are columns persisted by prior
+    stages; re-mixing with a new policy never re-runs a tagger.
+    """
+    if not rules:
+        raise ValueError("decision_mixer needs at least one rule")
+    names = sorted(rules)
+    keep = None
+    for name in names:
+        c = rules[name]
+        keep = c if keep is None else (keep & c)
+    reasons = F.concat_ws(
+        ",", *[F.when(~rules[name], F.lit(name)) for name in names]
+    )
+    return df.select(
+        F.col(id_col),
+        keep.alias("keep"),
+        reasons.alias("drop_reasons"),
+    )

@@ -2988,3 +2988,65 @@ def has_parent_docs(
     return out.orderBy(
         F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
     ).limit(k)
+
+
+RESCORE_MODES = ("total", "multiply", "avg", "max", "min")
+
+
+def rescore_window_topk(
+    primary: DataFrame,
+    secondary: DataFrame,
+    k: int = 10,
+    window: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    score_mode: str = "total",
+) -> DataFrame:
+    """X211 — the ES `rescore` phase (Lucene QueryRescorer): re-rank only
+    the top `window` hits of the cheap primary query with a costlier
+    secondary score, combining per `score_mode`:
+
+        total    qw·s1 + rw·s2          avg   (qw·s1 + rw·s2) / 2
+        multiply qw·s1 · rw·s2          max / min of the two terms
+
+    ES semantics preserved: a window doc the rescore query does NOT
+    match keeps `qw·s1` alone (no zero-poisoning for multiply/avg/min),
+    and documents OUTSIDE the window are untouched — this returns the
+    re-sorted window's top-k, which for k ≤ window is the full answer.
+
+    `primary` is (doc_id, score) — any ranked surface; `secondary` is
+    (doc_id, score2). Plan: TakeOrdered window cut on the primary, the
+    window is k-sized → broadcast join against the secondary relation
+    (which therefore only ever materializes scores for window docs if
+    built lazily on the semi-joined candidates), one projection,
+    TakeOrdered k. No shuffle beyond the primary's own top-k.
+    """
+    if score_mode not in RESCORE_MODES:
+        raise ValueError(f"unknown score_mode {score_mode!r}; one of {RESCORE_MODES}")
+    if k > window:
+        raise ValueError("k must be <= window (only the window is re-sorted)")
+    win = primary.orderBy(
+        F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
+    ).limit(int(window))
+    j = win.join(
+        secondary.select("doc_id", F.col("score2")), "doc_id", "left"
+    )
+    s1 = F.col("score") * float(query_weight)
+    s2 = F.col("score2") * float(rescore_weight)
+    matched = F.col("score2").isNotNull()
+    combo = {
+        "total": s1 + s2,
+        "multiply": s1 * s2,
+        "avg": (s1 + s2) / 2.0,
+        "max": F.greatest(s1, s2),
+        "min": F.least(s1, s2),
+    }[score_mode]
+    combined = F.when(matched, combo).otherwise(s1)
+    out = j.select(
+        "doc_id",
+        F.col("score").alias("primary_score"),
+        combined.alias("score"),
+    )
+    return out.orderBy(
+        F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
+    ).limit(k)

@@ -576,3 +576,71 @@ def test_quantile_summary_deterministic(spark):
     a = RS.quantile_summary(df, "val", [0.5], anchors_per_part=8, n_parts=8).collect()
     b = RS.quantile_summary(df, "val", [0.5], anchors_per_part=8, n_parts=8).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# ---------------------------------------------------------------- X211
+
+
+def test_rescore_modes_and_unmatched_docs(spark):
+    from scrapix_spark.operators import query as QQ
+
+    prim = spark.createDataFrame(
+        [(1, 10.0), (2, 8.0), (3, 6.0), (4, 4.0), (5, 2.0)],
+        "doc_id long, score double",
+    )
+    sec = spark.createDataFrame(
+        [(2, 5.0), (3, 100.0)], "doc_id long, score2 double"
+    )
+    # window=3 → doc 3's huge rescore wins INSIDE the window; docs 4,5
+    # are outside the window and must not enter the top-3
+    out = QQ.rescore_window_topk(
+        prim, sec, k=3, window=3, query_weight=1.0, rescore_weight=1.0,
+        score_mode="total",
+    ).collect()
+    assert [r["doc_id"] for r in out] == [3, 2, 1]
+    assert out[0]["score"] == pytest.approx(106.0)
+    # unmatched doc 1 keeps qw*s1 alone — even for multiply
+    mult = {
+        r["doc_id"]: r["score"]
+        for r in QQ.rescore_window_topk(
+            prim, sec, k=3, window=3, score_mode="multiply"
+        ).collect()
+    }
+    assert mult[1] == pytest.approx(10.0)   # not zero-poisoned
+    assert mult[3] == pytest.approx(600.0)
+    avg = {
+        r["doc_id"]: r["score"]
+        for r in QQ.rescore_window_topk(
+            prim, sec, k=3, window=3, score_mode="avg"
+        ).collect()
+    }
+    assert avg[2] == pytest.approx(6.5)
+    assert avg[1] == pytest.approx(10.0)
+    with pytest.raises(ValueError):
+        QQ.rescore_window_topk(prim, sec, k=5, window=3)
+    with pytest.raises(ValueError):
+        QQ.rescore_window_topk(prim, sec, score_mode="bogus")
+
+
+# ---------------------------------------------------------------- X212
+
+
+def test_decision_mixer_reasons_and_keep(spark):
+    from scrapix_spark.operators import curation as CU
+
+    sig = spark.createDataFrame(
+        [(1, True, True), (2, False, True), (3, False, False), (4, True, False)],
+        "doc_id long, a boolean, b boolean",
+    )
+    out = {
+        r["doc_id"]: (r["keep"], r["drop_reasons"])
+        for r in CU.decision_mixer(
+            sig, {"alpha": F.col("a"), "beta": F.col("b")}
+        ).collect()
+    }
+    assert out[1] == (True, "")
+    assert out[2] == (False, "alpha")
+    assert out[3] == (False, "alpha,beta")   # sorted by rule name
+    assert out[4] == (False, "beta")
+    with pytest.raises(ValueError):
+        CU.decision_mixer(sig, {})
