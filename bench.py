@@ -232,6 +232,12 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "ltr_rerank", "char_filter_tf", "runtime_sort", "segment_query_pmi",
         "grep_context", "common_terms_topk", "corpus_report",
         "routed_analyzers",
+        # round-4h surfaces (X203-X212)
+        "has_child_topk", "has_parent_docs", "ann_pq_topk",
+        "terms_agg_sharded", "sim_dfr_topk", "combined_fields_topk",
+        "soundex_codes", "phonetic_search", "range_index_blocks",
+        "range_query_pruned", "quantile_summary", "rescore_window",
+        "curation_mixer",
     ]
     out = {}
     for name in headline:
