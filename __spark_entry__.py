@@ -8277,6 +8277,125 @@ FROM sig ORDER BY doc_id
 """
 
 
+
+
+def _manifest_table(spark, sf_dir) -> str:
+    """Manifest-table fixture (X213): documents range-ordered by
+    n_chars across 8 files so file stats have disjoint spans."""
+    import re as _re
+
+    from scrapix_spark.sources import write_manifest_table
+
+    d = "/tmp/entry_manifest_" + _re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    if not os.path.exists(os.path.join(d, "manifest.json")):
+        write_manifest_table(
+            _docs(spark, sf_dir), d, stats_cols=["n_chars", "lang"],
+            n_files=8, order_col="n_chars",
+        )
+    return d
+
+
+def q_manifest_scan(spark, sf_dir):
+    """X213 — Iceberg-style manifest table source: per-file min/max
+    stats prune whole files before the engine opens them (the
+    inclusive-metrics evaluator), then the exact predicate re-applies
+    on survivors — pruning is I/O-only, never semantics. The fixture
+    range-orders 8 files by n_chars so the BETWEEN predicate provably
+    skips files (pinned by tests). sources.py write_manifest_table /
+    plan_manifest_scan / read_manifest_table."""
+    from scrapix_spark.sources import read_manifest_table
+
+    d = _manifest_table(spark, sf_dir)
+    out = read_manifest_table(
+        spark, d, [("n_chars", ">=", 200), ("n_chars", "<=", 350)]
+    )
+    return out.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+def _manifest_scan_sql() -> str:
+    return """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= 200 AND n_chars <= 350 ORDER BY doc_id
+"""
+
+
+
+
+def q_term_stats_delta(spark, sf_dir):
+    """X214 — incremental dictionary maintenance: base = docs < 400,
+    upsert adds docs >= 400 and deletes docs < 50; the merged dictionary
+    comes from stats(base) ⊕ stats(add) ⊖ stats(del) — cost tracks the
+    DELTA, never the base. The oracle recomputes from scratch over the
+    post-upsert doc set, so the gate pins merge ≡ recompute.
+    operators/postings.py term_stats_delta."""
+    post = _postings(spark, sf_dir)
+    base = P.term_stats(post.filter(F.col("doc_id") < 400))
+    add = post.filter(F.col("doc_id") >= 400)
+    dele = post.filter(F.col("doc_id") < 50)
+    out = P.term_stats_delta(base, add, dele)
+    return out.select(
+        "term", F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
+    ).orderBy("term")
+
+
+def _term_stats_delta_sql() -> str:
+    tok = TOK_EXPR("text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents
+             WHERE doc_id >= 50),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       GROUP BY doc_id, term)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf GROUP BY term ORDER BY term
+"""
+
+
+
+
+TREND_TS_EXPR = (
+    "timestamp'2024-01-01 00:00:00' "
+    "+ make_interval(0, 0, 0, 0, 0, cast(doc_id % 360 as int), 0)"
+)
+
+
+def q_streaming_trending(spark, sf_dir):
+    """X215 — streaming trending terms: the documents stream (synthetic
+    per-doc timestamps spanning 6 h) is tokenized IN-STREAM by the
+    native tokenizer, counted per 2h/1h SLIDING window (overlapping
+    windows — 'trending now'), top-5 per closed window. Oracle = the
+    batch sliding-window replay (each doc in its two hourly windows).
+    streaming/ingest.py stream_trending_terms."""
+    from scrapix_spark.streaming.ingest import stream_trending_terms
+
+    return stream_trending_terms(
+        spark, f"{sf_dir}/documents.parquet", TREND_TS_EXPR,
+        window="2 hours", slide="1 hour", k=5,
+        query_name="q_streaming_trending",
+    )
+
+
+def _streaming_trending_sql() -> str:
+    tok = TOK_EXPR("text")
+    return f"""
+WITH ev AS (
+  SELECT TIMESTAMP '2024-01-01 00:00:00'
+           + to_minutes(doc_id % 360) AS ts,
+         unnest({tok}) AS term
+  FROM documents),
+wins AS (
+  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                 date_trunc('hour', ts)]) AS ws, term
+  FROM ev),
+cnt AS (SELECT ws, term, count(*)::BIGINT AS n FROM wins GROUP BY ws, term),
+rk AS (SELECT ws, term, n,
+         row_number() OVER (PARTITION BY ws ORDER BY n DESC, term ASC) AS rank
+       FROM cnt)
+SELECT epoch(ws)::BIGINT AS window_start, term, n, rank::BIGINT AS rank
+FROM rk WHERE rank <= 5 ORDER BY window_start, rank
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -8483,6 +8602,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_summary": q_quantile_summary,
         "rescore_window": q_rescore_window,
         "curation_mixer": q_curation_mixer,
+        "manifest_scan": q_manifest_scan,
+        "term_stats_delta": q_term_stats_delta,
+        "streaming_trending": q_streaming_trending,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -11689,6 +11811,9 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "quantile_summary": _quantile_summary_sql(),
         "rescore_window": _rescore_window_sql(),
         "curation_mixer": _curation_mixer_sql(),
+        "manifest_scan": _manifest_scan_sql(),
+        "term_stats_delta": _term_stats_delta_sql(),
+        "streaming_trending": _streaming_trending_sql(),
     }
 
 

@@ -876,3 +876,60 @@ def bitmap_or_count(bitmaps: DataFrame, terms: list[str]) -> DataFrame:
         .agg(F.bit_or("word").alias("word"))
         .agg(F.sum(F.bit_count("word")).cast("long").alias("n_docs"))
     )
+
+
+def term_stats_delta(
+    base_stats: DataFrame,
+    add_postings: DataFrame | None = None,
+    del_postings: DataFrame | None = None,
+) -> DataFrame:
+    """X214 — incremental dictionary maintenance: merge a delta into an
+    existing (term, df, cf) dictionary WITHOUT recomputing the base —
+    the stats-side twin of the LSM layer merge (X14/X47). Statistics
+    are a commutative monoid with inverses, so
+
+        stats(base ∪ add ∖ del) = stats(base) ⊕ stats(add) ⊖ stats(del)
+
+    `add_postings` are postings of NEW documents, `del_postings` the
+    postings the removed/replaced documents contributed (an upsert is
+    del-then-add of the same doc_id, exactly like the tombstone path).
+    Terms whose df reaches 0 drop out of the dictionary.
+
+    Scale shape: stats(add)/stats(del) are keyed aggs over the DELTA
+    only, then ONE union + term-keyed agg with map-side combine — cost
+    tracks delta size, never the base corpus; at 100 TB this is the
+    difference between touching a day's ingest and re-scanning the
+    index's whole postings relation for two numbers per term."""
+    spark = base_stats.sparkSession
+    sign = F.lit(1).cast("long")
+    parts = [
+        base_stats.select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+        )
+    ]
+    if add_postings is not None:
+        parts.append(
+            term_stats(add_postings).select(
+                "term", F.col("df").cast("long"), F.col("cf").cast("long")
+            )
+        )
+    if del_postings is not None:
+        parts.append(
+            term_stats(del_postings).select(
+                "term",
+                (-F.col("df")).cast("long").alias("df"),
+                (-F.col("cf")).cast("long").alias("cf"),
+            )
+        )
+    if len(parts) == 1:
+        return parts[0]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    merged = u.groupBy("term").agg(
+        F.sum("df").cast("long").alias("df"),
+        F.sum("cf").cast("long").alias("cf"),
+    )
+    return merged.filter(F.col("df") > 0)

@@ -245,3 +245,155 @@ def read_warc(
         _parse,
         "warc_file string, warc_type string, target_uri string, content string",
     )
+
+
+# ------------------------------------------- manifest table (X213)
+
+
+def write_manifest_table(
+    df: DataFrame,
+    path: str,
+    stats_cols: list[str],
+    n_files: int = 8,
+    order_col: str | None = None,
+) -> dict:
+    """X213 — write `df` as an Iceberg-style manifest table: data files
+    plus a `manifest.json` carrying per-file column statistics
+    (min / max / null_count / row_count for `stats_cols`), the metadata
+    Iceberg keeps in its manifest lists so a scan can SKIP whole files
+    before the engine ever opens them (the north rule's input is an
+    Iceberg table of source files — this is the connector-side analog).
+
+    `order_col` range-partitions the data across files by that column
+    (Iceberg's sort-order/partitioning), which is what makes the
+    min/max spans disjoint and the pruning effective; without it files
+    interleave and stats degrade gracefully to no-op pruning — same as
+    Iceberg on unsorted data.
+
+    The manifest is ONE metadata pass: per-file stats come from a
+    single groupBy(input file) aggregation over the written files —
+    O(files) rows to the driver, never the data. Returns the manifest
+    dict (also persisted)."""
+    import json
+
+    from scrapix_spark.fs import fs_for
+
+    spark = df.sparkSession
+    data_dir = path.rstrip("/") + "/data"
+    out = df
+    if order_col is not None:
+        out = out.repartitionByRange(int(n_files), order_col)
+    else:
+        out = out.repartition(int(n_files))
+    out.write.mode("overwrite").parquet(data_dir)
+
+    raw = spark.read.parquet(data_dir).withColumn(
+        "_file", F.input_file_name()
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("row_count")]
+    for c in stats_cols:
+        aggs += [
+            F.min(c).alias(f"min__{c}"),
+            F.max(c).alias(f"max__{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nulls__{c}"),
+        ]
+    rows = raw.groupBy("_file").agg(*aggs).collect()
+    files = []
+    for r in sorted(rows, key=lambda x: x["_file"]):
+        ent = {"file": r["_file"], "row_count": r["row_count"], "stats": {}}
+        for c in stats_cols:
+            ent["stats"][c] = {
+                "min": r[f"min__{c}"],
+                "max": r[f"max__{c}"],
+                "null_count": r[f"nulls__{c}"],
+            }
+        files.append(ent)
+    manifest = {
+        "format_version": 1,
+        "stats_cols": list(stats_cols),
+        "files": files,
+    }
+    fs = fs_for(path)
+    fs.makedirs(path)
+    fs.write_text(path.rstrip("/") + "/manifest.json", json.dumps(manifest))
+    return manifest
+
+
+def plan_manifest_scan(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple[str, str, object]] | None = None,
+) -> tuple[list[str], int]:
+    """Plan a manifest-table scan: prune files whose stats PROVE the
+    conjunctive `predicates` (col, op, value) with op in
+    {=, <, <=, >, >=} cannot match — exactly Iceberg's inclusive
+    metrics evaluator: a file survives unless its [min, max] span
+    excludes the predicate (NULL stats keep the file — unknown never
+    prunes). Returns (surviving files, pruned count); O(files) driver
+    work on the manifest only."""
+    import json
+
+    from scrapix_spark.fs import fs_for
+
+    manifest = json.loads(
+        fs_for(path).read_text(path.rstrip("/") + "/manifest.json")
+    )
+    keep, pruned = [], 0
+
+    def may_match(stats: dict, op: str, v) -> bool:
+        lo, hi = stats.get("min"), stats.get("max")
+        if lo is None or hi is None:
+            return True
+        if op == "=":
+            return lo <= v <= hi
+        if op == "<":
+            return lo < v
+        if op == "<=":
+            return lo <= v
+        if op == ">":
+            return hi > v
+        if op == ">=":
+            return hi >= v
+        raise ValueError(f"unsupported predicate op {op!r}")
+
+    for ent in manifest["files"]:
+        ok = True
+        for col, op, v in predicates or []:
+            st = ent["stats"].get(col)
+            if st is not None and not may_match(st, op, v):
+                ok = False
+                break
+        if ok:
+            keep.append(ent["file"])
+        else:
+            pruned += 1
+    return keep, pruned
+
+
+def read_manifest_table(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple[str, str, object]] | None = None,
+) -> DataFrame:
+    """Read a manifest table with file-level stats pruning, then apply
+    the FULL predicate exactly on the surviving files (pruning is an
+    I/O optimization, never a semantics change). An empty survivor set
+    returns an empty frame with the table's schema."""
+    files, _ = plan_manifest_scan(spark, path, predicates)
+    data_dir = path.rstrip("/") + "/data"
+    if not files:
+        schema = spark.read.parquet(data_dir).schema
+        return spark.createDataFrame([], schema)
+    df = spark.read.parquet(*files)
+    for col, op, v in predicates or []:
+        expr = {
+            "=": F.col(col) == v,
+            "<": F.col(col) < v,
+            "<=": F.col(col) <= v,
+            ">": F.col(col) > v,
+            ">=": F.col(col) >= v,
+        }[op]
+        df = df.filter(expr)
+    return df

@@ -224,3 +224,67 @@ def stream_index_updates(
     )
     q.awaitTermination()
     return counters
+
+
+def stream_trending_terms(
+    spark: SparkSession,
+    docs_path: str,
+    ts_expr: str,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    k: int = 5,
+    query_name: str = "stream_trending",
+) -> DataFrame:
+    """X215 — streaming trending terms: a document stream is tokenized
+    IN-STREAM by the native (codegen) tokenizer, term occurrences are
+    counted per SLIDING window (overlapping windows — the 'trending
+    now' dashboard shape), and the top-k terms per window are ranked
+    once the watermark closes the window.
+
+    The stream stays fully incremental: the per-(window, term) count is
+    the only streaming state (map-side combined, watermark-bounded);
+    the tiny top-k rank runs on the closed windows (memory sink here;
+    a parquet sink + downstream rank at scale). Structured Streaming's
+    batch equivalence makes the whole thing oracle-checkable."""
+    import os as _os
+
+    from scrapix_spark.functions.tokenize import tokens_native
+
+    if _os.path.isfile(docs_path):
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        _os.symlink(docs_path, _os.path.join(d, _os.path.basename(docs_path)))
+        docs_path = d
+    schema = spark.read.parquet(docs_path).schema
+    stream = spark.readStream.schema(schema).parquet(docs_path)
+    toks = stream.select(
+        F.expr(ts_expr).alias("ts"),
+        F.explode(tokens_native(F.col("text"))).alias("term"),
+    )
+    agg = (
+        toks.withWatermark("ts", window)
+        .groupBy(F.window("ts", window, slide).alias("w"), "term")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    closed = spark.table(query_name)
+    from pyspark.sql import Window as W
+
+    rk = W.partitionBy("w").orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        closed.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "term", "n", F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("window_start", "rank")
+    )

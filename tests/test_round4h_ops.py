@@ -644,3 +644,117 @@ def test_decision_mixer_reasons_and_keep(spark):
     assert out[4] == (False, "beta")
     with pytest.raises(ValueError):
         CU.decision_mixer(sig, {})
+
+
+# ---------------------------------------------------------------- X213
+
+
+def test_manifest_table_prunes_files_losslessly(spark, tmp_path):
+    from scrapix_spark.sources import (
+        plan_manifest_scan, read_manifest_table, write_manifest_table,
+    )
+
+    rows = [(i, float(i), "en" if i % 2 else "de") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, val double, lang string")
+    path = str(tmp_path / "mt")
+    man = write_manifest_table(df, path, ["val", "lang"], n_files=8, order_col="val")
+    assert len(man["files"]) == 8
+    total_rows = sum(f["row_count"] for f in man["files"])
+    assert total_rows == 400
+
+    # a narrow band must prune most files
+    preds = [("val", ">=", 100.0), ("val", "<=", 149.0)]
+    keep, pruned = plan_manifest_scan(spark, path, preds)
+    assert pruned >= 5, (keep, pruned)
+    got = sorted(r["doc_id"] for r in read_manifest_table(spark, path, preds).collect())
+    assert got == list(range(100, 150))
+
+    # equality on the unordered column: stats can't prove exclusion →
+    # zero pruning, still exact
+    keep2, pruned2 = plan_manifest_scan(spark, path, [("lang", "=", "de")])
+    assert pruned2 == 0
+    got2 = read_manifest_table(spark, path, [("lang", "=", "de")]).count()
+    assert got2 == 200
+
+
+def test_manifest_scan_empty_survivors(spark, tmp_path):
+    from scrapix_spark.sources import read_manifest_table, write_manifest_table
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)], "doc_id long, val double")
+    path = str(tmp_path / "mt2")
+    write_manifest_table(df, path, ["val"], n_files=4, order_col="val")
+    out = read_manifest_table(spark, path, [("val", ">", 1e9)])
+    assert out.count() == 0
+    assert "doc_id" in out.columns  # schema preserved on empty
+
+
+# ---------------------------------------------------------------- X214
+
+
+def test_term_stats_delta_equals_recompute(docs, corpus):
+    from scrapix_spark.operators import postings as PP
+
+    post, _, _, _ = corpus
+    base = PP.term_stats(post.filter(F.col("doc_id") < 80))
+    add = post.filter(F.col("doc_id") >= 80)
+    dele = post.filter(F.col("doc_id") < 20)
+    merged = {
+        r["term"]: (r["df"], r["cf"])
+        for r in PP.term_stats_delta(base, add, dele).collect()
+    }
+    full = {
+        r["term"]: (r["df"], r["cf"])
+        for r in PP.term_stats(post.filter(F.col("doc_id") >= 20)).collect()
+    }
+    assert merged == full
+
+
+def test_term_stats_delta_drops_zero_df(spark):
+    from scrapix_spark.operators import postings as PP
+
+    base = spark.createDataFrame([("x", 1, 3)], "term string, df long, cf long")
+    dele = spark.createDataFrame(
+        [("x", 1, 3, 5)], "term string, tf long, cf long, doc_id long"
+    ).select("term", F.lit(7).alias("doc_id"), F.lit(3).alias("tf"), F.lit(1).alias("dl"))
+    out = PP.term_stats_delta(base, None, dele).collect()
+    assert out == []  # df hit 0 → term leaves the dictionary
+
+
+# ---------------------------------------------------------------- X215
+
+
+def test_streaming_trending_matches_batch(spark, tmp_path):
+    from scrapix_spark.streaming.ingest import stream_trending_terms
+
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta"]
+    for i in range(240):
+        rows.append((i, " ".join(words[: 1 + i % 4]), "en", "s", 10))
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(p)
+    ts = ("timestamp'2024-01-01 00:00:00' "
+          "+ make_interval(0, 0, 0, 0, 0, cast(doc_id % 240 as int), 0)")
+    out = stream_trending_terms(
+        spark, p, ts, window="2 hours", slide="1 hour", k=3,
+        query_name="t_trend",
+    ).collect()
+    # batch replay with the same sliding windows
+    from collections import Counter
+
+    per_win = {}
+    for i, text, *_ in rows:
+        minute = i % 240
+        hour = minute // 60
+        for ws in (hour - 1, hour):
+            for t in text.split():
+                per_win.setdefault(ws, Counter())[t] += 1
+    exp = []
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    for ws in sorted(per_win):
+        top = sorted(per_win[ws].items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rank, (t, n) in enumerate(top, 1):
+            exp.append((base + ws * 3600, t, n, rank))
+    got = [(r["window_start"], r["term"], r["n"], r["rank"]) for r in out]
+    assert got == exp
