@@ -237,7 +237,8 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "terms_agg_sharded", "sim_dfr_topk", "combined_fields_topk",
         "soundex_codes", "phonetic_search", "range_index_blocks",
         "range_query_pruned", "quantile_summary", "rescore_window",
-        "curation_mixer",
+        "curation_mixer", "manifest_scan", "term_stats_delta",
+        "streaming_trending",
     ]
     out = {}
     for name in headline:
