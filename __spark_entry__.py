@@ -8396,6 +8396,140 @@ FROM rk WHERE rank <= 5 ORDER BY window_start, rank
 """
 
 
+
+
+LOGREG_ITERS, LOGREG_LR = 4, 0.5
+
+
+def q_train_logreg(spark, sf_dir):
+    """X216 — distributed logistic-regression TRAINING (closes the X81
+    inference loop): full-batch GD, 4 deterministic iterations, one
+    hash-agg scan each, weights as plan literals between scans. The
+    oracle replays the ENTIRE trajectory with unrolled CTEs (one
+    weights relation per iteration) — loss before each update, weights
+    after it. Features: n_chars/300, tokens/60, distinct-terms/40;
+    label lang='en'. operators/curation.py train_logreg_fullbatch."""
+    from scrapix_spark.operators import curation as CU
+
+    t = _tokenized(spark, sf_dir)
+    feats = t.select(
+        (F.col("n_chars") / 300.0).alias("x1"),
+        (F.col("doc_len") / 60.0).alias("x2"),
+        (F.size("tokens") / 40.0).alias("x3"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    out = CU.train_logreg_fullbatch(
+        feats,
+        [F.col("x1"), F.col("x2"), F.col("x3")],
+        F.col("y"),
+        n_iter=LOGREG_ITERS, lr=LOGREG_LR,
+    )
+    return out.select(
+        F.col("iter").cast("long").alias("iter"),
+        F.round("loss", 6).alias("loss"),
+        F.round("w1", 6).alias("w1"), F.round("w2", 6).alias("w2"),
+        F.round("w3", 6).alias("w3"), F.round("b", 6).alias("b"),
+    ).orderBy("iter")
+
+
+def _train_logreg_sql() -> str:
+    tok = TOK_EXPR("text")
+    lr = LOGREG_LR
+    parts = [f"""
+WITH tk AS (SELECT doc_id, n_chars, lang, {tok} AS toks FROM documents),
+feats AS (
+  SELECT n_chars / 300.0 AS x1,
+         len(toks) / 60.0 AS x2,
+         len(list_distinct(toks)) / 40.0 AS x3,
+         (lang = 'en')::INT::DOUBLE AS y
+  FROM tk),
+w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b)"""]
+    for i in range(1, LOGREG_ITERS + 1):
+        p = f"(1.0 / (1.0 + exp(-(w.w1*x1 + w.w2*x2 + w.w3*x3 + w.b))))"
+        parts.append(f""",
+it{i} AS (
+  SELECT avg(-(y * ln({p}) + (1.0 - y) * ln(1.0 - {p}))) AS loss,
+         avg(({p} - y) * x1) AS g1,
+         avg(({p} - y) * x2) AS g2,
+         avg(({p} - y) * x3) AS g3,
+         avg({p} - y) AS gb
+  FROM feats CROSS JOIN w{i-1} w),
+w{i} AS (SELECT w.w1 - {lr!r}*it{i}.g1 AS w1, w.w2 - {lr!r}*it{i}.g2 AS w2,
+                w.w3 - {lr!r}*it{i}.g3 AS w3, w.b - {lr!r}*it{i}.gb AS b
+         FROM w{i-1} w CROSS JOIN it{i})""")
+    sel = " UNION ALL ".join(
+        f"""SELECT {i}::BIGINT AS iter, round(it{i}.loss, 6) AS loss,
+round(w{i}.w1, 6) AS w1, round(w{i}.w2, 6) AS w2,
+round(w{i}.w3, 6) AS w3, round(w{i}.b, 6) AS b
+FROM it{i} CROSS JOIN w{i}"""
+        for i in range(1, LOGREG_ITERS + 1)
+    )
+    return "".join(parts) + "\nSELECT * FROM (" + sel + ") ORDER BY iter"
+
+
+
+
+_CALL_SRC_SQL = (
+    _SYM_SRC_SQL
+    + " || chr(10) || 'z = fn_' || CAST(doc_id % 7 AS STRING) || '(0)'"
+)
+
+
+def q_call_edges(spark, sf_dir):
+    """X217 — call-graph extraction: call sites (identifier+'(' minus
+    keywords) joined against the X75 symbol table's function defs;
+    definition occurrences are not call sites (anti-join) and symbols
+    defined in >20 files drop as ambiguous. Every doc calls
+    fn_{doc_id%7}, defined by the python-arm docs — cross-file edges.
+    operators/code.py call_edges."""
+    from scrapix_spark.operators import code as C
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_IMP_LANG_SQL).alias("lang2"),
+        F.expr(_CALL_SRC_SQL).alias("content"),
+    )
+    syms = C.extract_symbols(docs, "content", "lang2", "doc_id")
+    out = C.call_edges(docs, syms, "content", "doc_id")
+    return out.orderBy("caller_id", "callee_id", "symbol")
+
+
+def _call_edges_sql() -> str:
+    from scrapix_spark.operators.code import (
+        CALL_KEYWORDS, CALL_SITE_PATTERN, SYMBOL_PATTERNS,
+    )
+
+    kw = ", ".join(f"'{k}'" for k in CALL_KEYWORDS)
+    def_arms = []
+    for lang, pats in SYMBOL_PATTERNS.items():
+        for kind, pat in pats:
+            if kind != "function":
+                continue
+            def_arms.append(
+                f"SELECT doc_id AS callee_id, u.symbol "
+                f"FROM s, unnest(regexp_extract_all(t, '{pat}', 1)) "
+                f"AS u(symbol) WHERE code_lang = '{lang}' AND u.symbol <> ''"
+            )
+    defs_union = "\nUNION ALL\n".join(def_arms)
+    return f"""
+WITH s AS (SELECT doc_id, {_IMP_LANG_SQL} AS code_lang,
+                  {_CALL_SRC_SQL} AS t FROM documents),
+defs0 AS (SELECT DISTINCT callee_id, symbol FROM ({defs_union})),
+fan AS (SELECT symbol, count(*) AS n_defs FROM defs0 GROUP BY symbol),
+defs AS (SELECT d.callee_id, d.symbol FROM defs0 d
+         JOIN fan USING (symbol) WHERE fan.n_defs <= 20),
+calls0 AS (
+  SELECT DISTINCT doc_id AS caller_id, u.symbol
+  FROM s, unnest(regexp_extract_all(t, '{CALL_SITE_PATTERN}', 1)) AS u(symbol)
+  WHERE u.symbol <> '' AND u.symbol NOT IN ({kw})),
+calls AS (
+  SELECT c.caller_id, c.symbol FROM calls0 c
+  ANTI JOIN defs d ON d.callee_id = c.caller_id AND d.symbol = c.symbol)
+SELECT DISTINCT c.caller_id, d.callee_id, c.symbol
+FROM calls c JOIN defs d USING (symbol)
+ORDER BY caller_id, callee_id, symbol
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -8431,7 +8565,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-4g gates (X174-X192: filters_agg .. embedding_decontam, 17
     # entries) register at the very END, behind the whole round-4d/4e/4f
     # tail — every one is local-harness green (tools/check_oracles.py,
-    # driver protocol) pending a driver sample reaching them. Everything has a green
+    # driver protocol) pending a driver sample reaching them. The
+    # round-4h gates (X203-X215: has_child_topk .. streaming_trending,
+    # 18 entries) follow them, same status: each checked green
+    # individually at registration AND in the full 269-entry sweeps
+    # this session. Everything has a green
     # row in r01-r03 OR in this session's local full-registry sweep via
     # tools/check_oracles.py (the driver's exact protocol).
     return {
@@ -8605,6 +8743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_scan": q_manifest_scan,
         "term_stats_delta": q_term_stats_delta,
         "streaming_trending": q_streaming_trending,
+        "train_logreg": q_train_logreg,
+        "call_edges": q_call_edges,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -11814,6 +11954,8 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "manifest_scan": _manifest_scan_sql(),
         "term_stats_delta": _term_stats_delta_sql(),
         "streaming_trending": _streaming_trending_sql(),
+        "train_logreg": _train_logreg_sql(),
+        "call_edges": _call_edges_sql(),
     }
 
 

@@ -238,7 +238,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "soundex_codes", "phonetic_search", "range_index_blocks",
         "range_query_pruned", "quantile_summary", "rescore_window",
         "curation_mixer", "manifest_scan", "term_stats_delta",
-        "streaming_trending",
+        "streaming_trending", "train_logreg", "call_edges",
     ]
     out = {}
     for name in headline:

@@ -1341,3 +1341,69 @@ def decision_mixer(
         keep.alias("keep"),
         reasons.alias("drop_reasons"),
     )
+
+
+def train_logreg_fullbatch(
+    df: DataFrame,
+    feature_cols: list[Column],
+    label_col: Column,
+    n_iter: int = 5,
+    lr: float = 0.5,
+) -> DataFrame:
+    """X216 — distributed training of the linear quality classifier
+    whose INFERENCE X81 ships (`quality_classifier`): full-batch
+    logistic regression by deterministic gradient descent.
+
+        p_i = σ(w·x_i + b);   g = (1/N)·Σ (p_i − y_i)·[x_i, 1]
+        w ← w − lr·g          (fixed iteration count, zero init)
+
+    Each iteration is ONE hash aggregation over the corpus — per-dim
+    gradient sums and the pre-update log-loss are d+2 scalar aggregates
+    with map-side combine; the weights live as PLAN LITERALS (d+1
+    doubles on the driver, the X81/X195 discipline — no join, no UDF,
+    no weight relation). Cost: n_iter scans; at 100 TB you run it on
+    the hash-sampled slice every other trainer samples, but nothing
+    here breaks if you don't.
+
+    Deterministic (same data → same floats: Σ is re-associated by
+    partial aggregation, so the GATE rounds to 6dp like every float
+    surface). Returns one row per iteration:
+    (iter, loss, w1..wd, b) — loss is measured BEFORE that iteration's
+    update, weights AFTER it, so the trajectory pins both.
+    """
+    d = len(feature_cols)
+    if d == 0:
+        raise ValueError("need at least one feature column")
+    x = [c.cast("double") for c in feature_cols]
+    y = label_col.cast("double")
+    w = [0.0] * d
+    b = 0.0
+    rows = []
+    for it in range(1, n_iter + 1):
+        z = F.lit(float(b))
+        for j in range(d):
+            z = z + F.lit(float(w[j])) * x[j]
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        aggs = [F.count(F.lit(1)).alias("n")]
+        aggs.append(
+            F.avg(-(y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p))).alias("loss")
+        )
+        for j in range(d):
+            aggs.append(F.avg((p - y) * x[j]).alias(f"g{j}"))
+        aggs.append(F.avg(p - y).alias("gb"))
+        r = df.agg(*aggs).first()
+        rows.append(
+            (it, float(r["loss"]))
+            + tuple(
+                float(w[j] - lr * r[f"g{j}"]) for j in range(d)
+            )
+            + (float(b - lr * r["gb"]),)
+        )
+        w = [w[j] - lr * r[f"g{j}"] for j in range(d)]
+        b = b - lr * r["gb"]
+    schema = (
+        "iter int, loss double, "
+        + ", ".join(f"w{j+1} double" for j in range(d))
+        + ", b double"
+    )
+    return df.sparkSession.createDataFrame(rows, schema)

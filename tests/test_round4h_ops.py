@@ -758,3 +758,90 @@ def test_streaming_trending_matches_batch(spark, tmp_path):
             exp.append((base + ws * 3600, t, n, rank))
     got = [(r["window_start"], r["term"], r["n"], r["rank"]) for r in out]
     assert got == exp
+
+
+# ---------------------------------------------------------------- X216
+
+
+def test_train_logreg_learns_separable_data(spark):
+    import math
+
+    from scrapix_spark.operators import curation as CU
+
+    rows = [(float(i) / 50.0, 1.0 if i >= 50 else 0.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "x1 double, y double")
+    hist = CU.train_logreg_fullbatch(
+        df, [F.col("x1")], F.col("y"), n_iter=8, lr=2.0
+    ).collect()
+    losses = [r["loss"] for r in hist]
+    assert losses[0] == pytest.approx(math.log(2.0))  # zero-init loss
+    assert losses == sorted(losses, reverse=True)     # monotone descent
+    assert hist[-1]["w1"] > 0                          # right direction
+    with pytest.raises(ValueError):
+        CU.train_logreg_fullbatch(df, [], F.col("y"))
+
+
+def test_train_logreg_matches_numpy_replay(spark):
+    import numpy as np
+
+    from scrapix_spark.operators import curation as CU
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((60, 2))
+    y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(float)
+    rows = [(float(a), float(b), float(t)) for (a, b), t in zip(X, y)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    hist = CU.train_logreg_fullbatch(
+        df, [F.col("x1"), F.col("x2")], F.col("y"), n_iter=4, lr=0.7
+    ).collect()
+    w = np.zeros(3)
+    for it in range(4):
+        z = X @ w[:2] + w[2]
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = np.array([((p - y) * X[:, 0]).mean(), ((p - y) * X[:, 1]).mean(), (p - y).mean()])
+        loss = -(y * np.log(p) + (1 - y) * np.log(1 - p)).mean()
+        r = hist[it]
+        assert r["loss"] == pytest.approx(loss, rel=1e-9)
+        w = w - 0.7 * g
+        assert (r["w1"], r["w2"], r["b"]) == (
+            pytest.approx(w[0], rel=1e-9),
+            pytest.approx(w[1], rel=1e-9),
+            pytest.approx(w[2], rel=1e-9),
+        )
+
+
+# ---------------------------------------------------------------- X217
+
+
+def test_call_edges_semantics(spark):
+    from scrapix_spark.operators import code as C
+
+    rows = [
+        (1, "py", "def alpha(x):\n    return beta(x)\n"),
+        (2, "py", "def beta(y):\n    return y\n"),
+        (3, "py", "z = alpha(1)\nw = beta(2)\nif (True):\n    pass\n"),
+        (4, "py", "def alpha(q):\n    return q\n"),  # second alpha def
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, content string")
+    syms = C.extract_symbols(docs, "content", "lang", "doc_id")
+    edges = {
+        (r["caller_id"], r["callee_id"], r["symbol"])
+        for r in C.call_edges(docs, syms, "content", "doc_id").collect()
+    }
+    # doc3 calls alpha (defined in 1 AND 4) and beta (defined in 2);
+    # doc1 calls beta; defining lines are NOT call sites; `if (` is
+    # keyword-filtered
+    assert edges == {
+        (3, 1, "alpha"), (3, 4, "alpha"), (3, 2, "beta"), (1, 2, "beta"),
+    }
+
+
+def test_call_edges_fanout_guard(spark):
+    from scrapix_spark.operators import code as C
+
+    rows = [(i, "py", "def hot(x):\n    pass\n") for i in range(5)]
+    rows.append((99, "py", "hot(1)\n"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, content string")
+    syms = C.extract_symbols(docs, "content", "lang", "doc_id")
+    assert C.call_edges(docs, syms, "content", "doc_id", max_fanout=3).count() == 0
+    assert C.call_edges(docs, syms, "content", "doc_id", max_fanout=5).count() == 5
