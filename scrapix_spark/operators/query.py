@@ -3028,9 +3028,15 @@ def rescore_window_topk(
     win = primary.orderBy(
         F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
     ).limit(int(window))
-    j = win.join(
-        secondary.select("doc_id", F.col("score2")), "doc_id", "left"
+    # left-outer joins can only broadcast their RIGHT side, so first
+    # semi-join the secondary down to the window's ≤window doc_ids
+    # (window side broadcast — allowed for inner), then broadcast that
+    # tiny slice back: two broadcast joins, never a sort-merge of the
+    # full secondary relation
+    sec_small = secondary.select("doc_id", F.col("score2")).join(
+        F.broadcast(win.select("doc_id")), "doc_id", "left_semi"
     )
+    j = win.join(F.broadcast(sec_small), "doc_id", "left")
     s1 = F.col("score") * float(query_weight)
     s2 = F.col("score2") * float(rescore_weight)
     matched = F.col("score2").isNotNull()
