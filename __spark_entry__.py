@@ -8530,6 +8530,112 @@ ORDER BY caller_id, callee_id, symbol
 """
 
 
+
+
+def q_kn_perplexity(spark, sf_dir):
+    """X218 — interpolated Kneser-Ney bigram NLL (Kneser & Ney 1995;
+    Chen & Goodman 1999 — KenLM's smoothing, the principled upgrade of
+    X51's add-one model toward the true CCNet signal): absolute
+    discount D=0.75, continuation-count backoff, add-one-closed Pcont
+    so every document scores. Oracle replays contexts, distinct-
+    continuation counts and the full formula.
+    operators/textstats.py kn_perplexity."""
+    out = TS.kn_perplexity(_docs(spark, sf_dir))
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "avg_nll"
+    ).orderBy("doc_id")
+
+
+def _kn_perplexity_sql() -> str:
+    D = 0.75
+    return f"""
+WITH t AS (SELECT doc_id, {TOK_EXPR('text')} AS ts FROM documents),
+tt AS (SELECT doc_id, ts FROM t WHERE len(ts) > 0),
+uni AS (SELECT u.w AS w, count(*) AS c1
+        FROM tt, unnest(ts) AS u(w) GROUP BY 1),
+tot AS (SELECT count(*) AS vocab FROM uni),
+pairs AS (
+  SELECT doc_id, ts[i] AS w,
+         CASE WHEN i = 1 THEN NULL ELSE ts[i - 1] END AS w1
+  FROM tt, unnest(range(1, len(ts) + 1)) AS r(i)
+),
+bi AS (SELECT w1, w AS w2, count(*) AS c2
+       FROM pairs WHERE w1 IS NOT NULL GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c2) AS cctx, count(*) AS nfollow FROM bi GROUP BY w1),
+prec AS (SELECT w2, count(*) AS nprec FROM bi GROUP BY w2),
+nb AS (SELECT count(*) AS nbi FROM bi),
+sc AS (
+  SELECT p.doc_id,
+         -ln(CASE WHEN p.w1 IS NULL OR ctx.cctx IS NULL
+              THEN (coalesce(prec.nprec, 0) + 1.0)
+                   / (nb.nbi + tot.vocab)
+              ELSE greatest(coalesce(b.c2, 0)::DOUBLE - {D!r}, 0.0)
+                     / ctx.cctx
+                   + {D!r} * ctx.nfollow / ctx.cctx
+                     * ((coalesce(prec.nprec, 0) + 1.0)
+                        / (nb.nbi + tot.vocab))
+         END) AS nll
+  FROM pairs p
+  LEFT JOIN prec ON prec.w2 = p.w
+  LEFT JOIN ctx ON ctx.w1 = p.w1
+  LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w
+  CROSS JOIN nb CROSS JOIN tot
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(nll), 6) AS avg_nll
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+
+
+def q_comb_fusion(spark, sf_dir):
+    """X219 — Fox & Shaw CombMNZ fusion (TREC-2 1994; Lee 1997 min-max
+    normalization): BM25 top-30 and DFR top-30 runs fused as
+    n_runs·Σ norm(s) — consensus-rewarding score fusion, the classical
+    complement to rank-based RRF (X103).
+    operators/results.py comb_fuse."""
+    from scrapix_spark.operators import results as RS
+    from scrapix_spark.operators import scoring as SC
+
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    n, t, a = _corpus_ntavg(spark, sf_dir)
+    terms = Q.query_terms(BM25_QUERY)
+    r1 = SC.similarity_topk(post, stats, n, t, a, terms, "bm25", k=30)
+    r2 = SC.similarity_topk(post, stats, n, t, a, terms, "dfr_inl2", k=30)
+    out = RS.comb_fuse([(r1, "bm25"), (r2, "dfr")], method="combmnz", k=10)
+    return out.select(
+        "doc_id", F.round("fused", 6).alias("fused"),
+        F.col("n_runs").cast("long").alias("n_runs"),
+    )
+
+
+def _comb_fusion_sql() -> str:
+    from scrapix_spark.operators import scoring as SC
+
+    terms = Q.query_terms(BM25_QUERY)
+    bm = SC.similarity_contrib_sql("bm25", "n_", "t_", "avgdl_")
+    dfr = SC.similarity_contrib_sql("dfr_inl2", "n_", "t_", "avgdl_")
+    return _sim_base_sql(terms) + f""",
+m AS (SELECT doc_id, sum({bm}) AS s_bm, sum({dfr}) AS s_dfr
+      FROM flat GROUP BY doc_id),
+r1 AS (SELECT doc_id, s_bm AS s, 'bm25' AS run FROM m
+       ORDER BY round(s_bm, 9) DESC, doc_id LIMIT 30),
+r2 AS (SELECT doc_id, s_dfr AS s, 'dfr' AS run FROM m
+       ORDER BY round(s_dfr, 9) DESC, doc_id LIMIT 30),
+un AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+mm AS (SELECT run, min(s) AS lo, max(s) AS hi FROM un GROUP BY run),
+nrm AS (SELECT un.doc_id,
+          CASE WHEN mm.hi > mm.lo THEN (un.s - mm.lo) / (mm.hi - mm.lo)
+               ELSE 1.0 END AS ns
+        FROM un JOIN mm USING (run)),
+agg AS (SELECT doc_id, sum(ns) AS ssum, count(*)::BIGINT AS n_runs
+        FROM nrm GROUP BY doc_id)
+SELECT doc_id, round(round(n_runs * ssum, 9), 6) AS fused, n_runs
+FROM agg ORDER BY round(n_runs * ssum, 9) DESC, doc_id LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -8745,6 +8851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_trending": q_streaming_trending,
         "train_logreg": q_train_logreg,
         "call_edges": q_call_edges,
+        "kn_perplexity": q_kn_perplexity,
+        "comb_fusion": q_comb_fusion,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -11956,6 +12064,8 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "streaming_trending": _streaming_trending_sql(),
         "train_logreg": _train_logreg_sql(),
         "call_edges": _call_edges_sql(),
+        "kn_perplexity": _kn_perplexity_sql(),
+        "comb_fusion": _comb_fusion_sql(),
     }
 
 

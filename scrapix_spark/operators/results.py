@@ -1385,3 +1385,81 @@ def quantile_summary(
         F.lit(int(bound)).alias("bound"),
         within.alias("within_bound"),
     ).orderBy("q")
+
+
+def comb_fuse(
+    runs: list[tuple[DataFrame, str]],
+    method: str = "combsum",
+    k: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """X219 — the Fox & Shaw (TREC-2, 1994) score-based fusion family,
+    the classical complement to rank-based RRF (X103):
+
+        combsum  fused = Σ_runs  norm(s)
+        combmnz  fused = n_runs(d) · Σ_runs norm(s)   (MNZ: multiply
+                 by the number of runs that returned d — rewards
+                 consensus)
+        combmax / combmin / combanz   max / min / mean of norm(s)
+
+    Scores are min-max normalized PER RUN to [0, 1] first (the standard
+    Lee 1997 protocol — raw BM25 vs cosine magnitudes are otherwise
+    incomparable); a run with constant scores normalizes to 1.0 for
+    every member. Absent documents contribute nothing (and lower MNZ's
+    multiplier).
+
+    Same contract as rrf_fuse: feed BOUNDED top-N runs; per-run min/max
+    is one tiny agg (2 rows per run, broadcast), the fusion one
+    id-keyed hash agg. Columns: (id_col, fused rounded 9, n_runs)."""
+    methods = ("combsum", "combmnz", "combmax", "combmin", "combanz")
+    if method not in methods:
+        raise ValueError(f"unknown method {method!r}; one of {methods}")
+    if not runs:
+        raise ValueError("comb_fuse needs at least one run")
+    parts = []
+    for df, label in runs:
+        parts.append(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(score_col).cast("double").alias("s"),
+                F.lit(label).alias("run"),
+            )
+        )
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    mm = un.groupBy("run").agg(
+        F.min("s").alias("lo"), F.max("s").alias("hi")
+    )
+    normed = un.join(F.broadcast(mm), "run").select(
+        "id",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            (F.col("s") - F.col("lo")) / (F.col("hi") - F.col("lo")),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("ns"),
+    )
+    agg = normed.groupBy("id").agg(
+        F.sum("ns").alias("ssum"),
+        F.max("ns").alias("smax"),
+        F.min("ns").alias("smin"),
+        F.avg("ns").alias("savg"),
+        F.count(F.lit(1)).cast("int").alias("n_runs"),
+    )
+    fused = {
+        "combsum": F.col("ssum"),
+        "combmnz": F.col("n_runs") * F.col("ssum"),
+        "combmax": F.col("smax"),
+        "combmin": F.col("smin"),
+        "combanz": F.col("savg"),
+    }[method]
+    out = agg.select(
+        F.col("id").alias(id_col),
+        F.round(fused, 9).alias("fused"),
+        "n_runs",
+    )
+    return out.orderBy(
+        F.col("fused").desc(), F.col(id_col).asc()
+    ).limit(k)

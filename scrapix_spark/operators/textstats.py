@@ -1471,3 +1471,100 @@ def corpus_report(
         F.round(F.col("exact_dup_docs") / F.col("n_docs"), 6).alias("dup_rate"),
         "mean_chars", "p50_chars",
     )
+
+
+def kn_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    lm: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    broadcast_limit: int = 2_000_000,
+) -> DataFrame:
+    """X218 — per-document average NLL under an INTERPOLATED KNESER-NEY
+    bigram model (Kneser & Ney, ICASSP 1995; Chen & Goodman 1999 — the
+    smoothing KenLM itself uses, so this is the principled upgrade of
+    X51's add-one model toward the actual CCNet signal):
+
+        P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+                   + D·N1+(w1·)/c(w1·) · Pcont(w2)
+        Pcont(w)  = (N1+(·w) + 1) / (N1+(··) + V)     [add-one closed]
+
+    with c(w1·) the bigram-derived context count, N1+ the distinct-
+    continuation counts and D the absolute discount. Doc-initial tokens
+    score by Pcont alone; the add-one closure keeps every probability
+    strictly positive, so every document scores (the pinned variant).
+
+    Scale shape — identical to lm_perplexity: the KN statistics are
+    THREE hash aggs over the bigram relation (context sums, distinct
+    followers, distinct predecessors — each key-partitioned, map-side
+    combined); pairing is the in-array zip (zero shuffles); scoring
+    joins are key-equi with counted broadcast gating.
+
+    Returns (id, n_tokens, avg_nll)."""
+    _, bi, totals = lm if lm is not None else train_bigram_lm(df, text_col)
+    bi = bi.persist()
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c2").alias("cctx"),
+        F.count(F.lit(1)).alias("nfollow"),
+    )
+    prec = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("nprec"))
+    row = bi.agg(F.count(F.lit(1)).alias("nbi")).first()
+    nbi = int(row["nbi"])
+    vocab = int(totals.first()["vocab"])
+    D = float(discount)
+
+    def gate(rel):
+        n = rel.count()
+        return F.broadcast(rel) if n <= broadcast_limit else rel
+
+    bi_j, ctx_j, prec_j = gate(bi), gate(ctx), gate(prec)
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        tokens_native(F.col(text_col)).alias("ts"),
+    ).filter(F.size("ts") > 0)
+    shifted = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice("ts", 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+    )
+    pairs = toks.select(
+        "id",
+        F.explode(
+            F.zip_with(
+                F.col("ts"), shifted,
+                lambda w, w1: F.struct(w.alias("w"), w1.alias("w1")),
+            )
+        ).alias("p"),
+    ).select("id", "p.w", "p.w1")
+
+    pcont = (F.coalesce(F.col("nprec"), F.lit(0)) + 1.0) / float(nbi + vocab)
+    c2 = F.coalesce(F.col("c2"), F.lit(0)).cast("double")
+    p_bigram = (
+        F.greatest(c2 - D, F.lit(0.0)) / F.col("cctx")
+        + D * F.col("nfollow") / F.col("cctx") * pcont
+    )
+    p = F.when(F.col("w1").isNull() | F.col("cctx").isNull(), pcont).otherwise(
+        p_bigram
+    )
+    bi_r = bi_j.select(
+        F.col("w1").alias("b_w1"), F.col("w2").alias("b_w2"), "c2"
+    )
+    scored = (
+        pairs
+        .join(prec_j.select(F.col("w2").alias("w"), "nprec"), "w", "left")
+        .join(ctx_j, "w1", "left")
+        .join(
+            bi_r,
+            (F.col("w1") == F.col("b_w1")) & (F.col("w") == F.col("b_w2")),
+            "left",
+        )
+        .select("id", (-F.log(p)).alias("nll"))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+        )
+    )

@@ -845,3 +845,99 @@ def test_call_edges_fanout_guard(spark):
     syms = C.extract_symbols(docs, "content", "lang", "doc_id")
     assert C.call_edges(docs, syms, "content", "doc_id", max_fanout=3).count() == 0
     assert C.call_edges(docs, syms, "content", "doc_id", max_fanout=5).count() == 5
+
+
+# ---------------------------------------------------------------- X218
+
+
+def test_kn_perplexity_matches_python_replay(spark):
+    import math
+
+    from scrapix_spark.operators import textstats as TS
+
+    texts = ["a b a c", "b a b", "c c a", "a b"]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        r["id"]: (r["n_tokens"], r["avg_nll"])
+        for r in TS.kn_perplexity(df).collect()
+    }
+    # python replay of the pinned variant
+    from collections import Counter
+
+    toks = [t.split() for t in texts]
+    bi = Counter((w1, w2) for ts in toks for w1, w2 in zip(ts, ts[1:]))
+    ctx = Counter()
+    nfollow = Counter()
+    nprec = Counter()
+    for (w1, w2), c in bi.items():
+        ctx[w1] += c
+        nfollow[w1] += 1
+        nprec[w2] += 1
+    nbi = len(bi)
+    vocab = len({w for ts in toks for w in ts})
+    D = 0.75
+
+    def pcont(w):
+        return (nprec.get(w, 0) + 1.0) / (nbi + vocab)
+
+    for i, ts in enumerate(toks):
+        nll = []
+        for j, w in enumerate(ts):
+            if j == 0 or ts[j - 1] not in ctx:
+                p = pcont(w)
+            else:
+                w1 = ts[j - 1]
+                p = (max(bi.get((w1, w), 0) - D, 0.0) / ctx[w1]
+                     + D * nfollow[w1] / ctx[w1] * pcont(w))
+            nll.append(-math.log(p))
+        assert got[i][0] == len(ts)
+        assert got[i][1] == pytest.approx(sum(nll) / len(nll), abs=1e-6)
+
+
+# ---------------------------------------------------------------- X219
+
+
+def test_comb_fuse_methods(spark):
+    from scrapix_spark.operators import results as RS
+
+    r1 = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, 0.0)], "doc_id long, score double"
+    )
+    r2 = spark.createDataFrame(
+        [(2, 2.0), (3, 1.0), (4, 0.0)], "doc_id long, score double"
+    )
+    runs = [(r1, "a"), (r2, "b")]
+    # normalized: r1 → 1:1.0 2:0.5 3:0.0 ; r2 → 2:1.0 3:0.5 4:0.0
+    combsum = {
+        r["doc_id"]: (r["fused"], r["n_runs"])
+        for r in RS.comb_fuse(runs, "combsum", k=10).collect()
+    }
+    assert combsum[2] == (pytest.approx(1.5), 2)
+    assert combsum[1] == (pytest.approx(1.0), 1)
+    assert combsum[3] == (pytest.approx(0.5), 2)
+    mnz = {
+        r["doc_id"]: r["fused"]
+        for r in RS.comb_fuse(runs, "combmnz", k=10).collect()
+    }
+    # MNZ rewards consensus: doc2 (2 runs) leads doc1 (1 run)
+    assert mnz[2] == pytest.approx(3.0)
+    assert mnz[1] == pytest.approx(1.0)
+    anz = {
+        r["doc_id"]: r["fused"]
+        for r in RS.comb_fuse(runs, "combanz", k=10).collect()
+    }
+    assert anz[2] == pytest.approx(0.75)
+    # constant-score run normalizes to 1.0 for every member
+    r3 = spark.createDataFrame([(7, 4.0), (8, 4.0)], "doc_id long, score double")
+    const = {
+        r["doc_id"]: r["fused"]
+        for r in RS.comb_fuse([(r3, "c")], "combsum", k=10).collect()
+    }
+    assert const == {7: pytest.approx(1.0), 8: pytest.approx(1.0)}
+    with pytest.raises(ValueError):
+        RS.comb_fuse(runs, "bogus")
+    with pytest.raises(ValueError):
+        RS.comb_fuse([], "combsum")
