@@ -3827,24 +3827,17 @@ def q_semdedup_survivors(spark, sf_dir):
     return surv.orderBy("vec_id").select("vec_id", "cluster")
 
 
-def _semdedup_sql(dim: int = 64, k: int = 4, threshold: float = 0.4) -> str:
-    """X99 oracle: two explicit Lloyd iterations + the pair anti-join.
-
-    Each assignment step is the same windowed argmin over
-    round(Σ(v−c)², 9) with ties to the lowest cluster id; each update
-    step is round(avg, 6) per dim with emptied clusters keeping the
-    previous centroid (the engine's pinned contract)."""
-
-    def assign(name: str, cents: str) -> str:
-        return f"""{name} AS (SELECT vec_id, cid FROM (
+def _km_assign_cte(name: str, cents: str, dim: int) -> str:
+    return f"""{name} AS (SELECT vec_id, cid FROM (
    SELECT v.vec_id, c.cid,
      row_number() OVER (PARTITION BY v.vec_id ORDER BY
        round(list_sum(list_transform(range({dim}), i ->
          (v.e[i+1]-c.ce[i+1])*(v.e[i+1]-c.ce[i+1]))), 9) ASC, c.cid ASC) AS rn
    FROM v CROSS JOIN {cents} c) WHERE rn = 1)"""
 
-    def update(name: str, assigned: str) -> str:
-        return f"""{name} AS (SELECT c0.cid, coalesce(n.ce, c0.ce) AS ce
+
+def _km_update_cte(name: str, assigned: str, dim: int) -> str:
+    return f"""{name} AS (SELECT c0.cid, coalesce(n.ce, c0.ce) AS ce
    FROM c0 LEFT JOIN (
      SELECT cid, list(m ORDER BY i) AS ce FROM (
        SELECT {assigned}.cid, ix.i, round(avg(v.e[ix.i]), 6) AS m
@@ -3852,17 +3845,30 @@ def _semdedup_sql(dim: int = 64, k: int = 4, threshold: float = 0.4) -> str:
        CROSS JOIN (SELECT unnest(range(1, {dim}+1)) AS i) ix
        GROUP BY {assigned}.cid, ix.i) GROUP BY cid) n USING (cid))"""
 
+
+def _kmeans_chain_sql(dim: int, k: int) -> str:
+    """Shared DuckDB replay of the engine's deterministic Lloyd fit
+    (2 iterations, lowest-id init, round-6 centroids, round-9 argmin):
+    WITH-chain ending at assignment `a2` against final centroids `c2`.
+    Used by the X99 semdedup oracle AND the X221 prototype-prune oracle
+    so the k-means replay can never drift."""
     return f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
            FROM embeddings),
 c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
               list_transform(e, x -> round(x, 6)) AS ce
        FROM v ORDER BY vec_id LIMIT {k}),
-{assign('a0', 'c0')},
-{update('c1', 'a0')},
-{assign('a1', 'c1')},
-{update('c2', 'a1')},
-{assign('a2', 'c2')},
+{_km_assign_cte('a0', 'c0', dim)},
+{_km_update_cte('c1', 'a0', dim)},
+{_km_assign_cte('a1', 'c1', dim)},
+{_km_update_cte('c2', 'a1', dim)},
+{_km_assign_cte('a2', 'c2', dim)}"""
+
+
+def _semdedup_sql(dim: int = 64, k: int = 4, threshold: float = 0.4) -> str:
+    """X99 oracle: two explicit Lloyd iterations (shared chain) + the
+    pair anti-join removal rule."""
+    return _kmeans_chain_sql(dim, k) + f""",
 u AS (SELECT vec_id, cid,
         list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y*y)))) AS un
       FROM v JOIN a2 USING (vec_id)),
@@ -3871,6 +3877,26 @@ removed AS (SELECT DISTINCT b.vec_id FROM u a JOIN u b
         WHERE round(list_sum(list_transform(range({dim}),
                 i -> a.un[i+1]*b.un[i+1])), 6) >= {threshold})
 SELECT vec_id, CAST(cid AS INT) AS cluster FROM a2 ANTI JOIN removed USING (vec_id)
+ORDER BY vec_id
+"""
+
+
+def _proto_prune_sql(dim: int = 64, k: int = 4, drop_frac: float = 0.25) -> str:
+    """X221 oracle: distance-to-final-centroid rank per cluster, drop
+    the closest floor(drop_frac·|c|) members."""
+    return _kmeans_chain_sql(dim, k) + f""",
+d AS (SELECT a2.vec_id, a2.cid,
+        round(list_sum(list_transform(range({dim}), i ->
+          (v.e[i+1]-c2.ce[i+1])*(v.e[i+1]-c2.ce[i+1]))), 9) AS dist
+      FROM a2 JOIN v USING (vec_id) JOIN c2 ON c2.cid = a2.cid),
+r AS (SELECT vec_id, cid, dist,
+        row_number() OVER (PARTITION BY cid
+                           ORDER BY dist ASC, vec_id ASC) AS rank,
+        count(*) OVER (PARTITION BY cid) AS n_cluster
+      FROM d)
+SELECT vec_id, CAST(cid AS INT) AS cluster, round(dist, 6) AS dist,
+       rank::BIGINT AS rank, n_cluster::BIGINT AS n_cluster
+FROM r WHERE rank > floor({drop_frac!r} * n_cluster)
 ORDER BY vec_id
 """
 
@@ -8636,6 +8662,104 @@ FROM agg ORDER BY round(n_runs * ssum, 9) DESC, doc_id LIMIT 10
 """
 
 
+
+
+def q_proto_prune(spark, sf_dir):
+    """X221 — D4 prototype pruning (Abbas et al. 2023; Sorscher et al.
+    2022): after semantic dedup, drop the floor(25%·|c|) examples
+    CLOSEST to their cluster centroid — most prototypical, least
+    informative. Same deterministic Lloyd fit as X99 (shared oracle
+    chain), distance recomputed in-plan against centroid literals,
+    per-cluster window rank. operators/clustering.py
+    prototypicality_prune."""
+    from scrapix_spark.operators import clustering as CL
+
+    out = CL.prototypicality_prune(
+        _emb(spark, sf_dir), k=4, n_iter=2, drop_frac=0.25
+    )
+    return out.select(
+        "vec_id", "cluster", F.round("dist", 6).alias("dist"),
+        "rank", "n_cluster",
+    ).orderBy("vec_id")
+
+
+
+
+# X220 fixture: per-source repos; doc_id%25==0 plants a root LICENSE
+# file (MIT or GPLv2 body alternating per repo), doc_id%10==1 plants an
+# own SPDX tag (more specific wins over the repo license), the rest
+# inherit. Repos whose modulus never hits 0 stay license-less.
+_LIC_PATH_SQL = (
+    "CASE WHEN doc_id % 25 = 0 THEN 'LICENSE' "
+    "ELSE 'src/f' || CAST(doc_id AS STRING) || '.py' END"
+)
+_LIC_CONTENT_SQL = (
+    "CASE WHEN doc_id % 25 = 0 THEN "
+    "  CASE WHEN doc_id % 50 = 0 "
+    "  THEN 'Permission is hereby granted, free of charge, to any person' "
+    "  ELSE 'GNU General Public License version 2 as published' END "
+    "WHEN doc_id % 10 = 1 THEN "
+    "  '# SPDX-License-Identifier: BSD-3-Clause' || chr(10) || text "
+    "ELSE text END"
+)
+
+
+def q_effective_license(spark, sf_dir):
+    """X220 — repo-level effective-license resolution (the licensee /
+    The Stack rule): a root LICENSE file's detection governs the repo,
+    a file's own SPDX/header detection wins over it, everything else
+    inherits; no signal → unknown. One repo-keyed min_by agg + one
+    keyed join back. operators/code.py effective_license."""
+    from scrapix_spark.operators import code as C
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("source").alias("repo"),
+        F.expr(_LIC_PATH_SQL).alias("path"),
+        F.expr(_LIC_CONTENT_SQL).alias("content"),
+    )
+    out = C.effective_license(docs)
+    return out.select(
+        "doc_id", "repo", "file_license",
+        F.coalesce("repo_license", F.lit("")).alias("repo_license"),
+        "effective_license",
+        F.col("effective_permissive").cast("long").alias("effective_permissive"),
+    ).orderBy("doc_id")
+
+
+def _effective_license_sql() -> str:
+    from scrapix_spark.operators.code import detect_license_oracle_sql
+
+    det = detect_license_oracle_sql("content")
+    return f"""
+WITH files AS (
+  SELECT doc_id, source AS repo, {_LIC_PATH_SQL} AS path,
+         {_LIC_CONTENT_SQL} AS content
+  FROM documents),
+det AS (SELECT doc_id, repo, path, {det} FROM files),
+rl AS (
+  SELECT repo, license AS repo_license FROM (
+    SELECT repo, license,
+      row_number() OVER (PARTITION BY repo
+                         ORDER BY len(path), path) AS rn
+    FROM det
+    WHERE regexp_matches(path, '(?i)(^|/)(license|licence|copying)(\.[a-z]+)?$')
+      AND license <> 'unknown')
+  WHERE rn = 1),
+eff AS (
+  SELECT d.doc_id, d.repo, d.license AS file_license,
+         coalesce(r.repo_license, '') AS repo_license,
+         CASE WHEN d.license <> 'unknown' THEN d.license
+              WHEN r.repo_license IS NOT NULL THEN r.repo_license
+              ELSE 'unknown' END AS effective_license
+  FROM det d LEFT JOIN rl r USING (repo))
+SELECT doc_id, repo, file_license, repo_license, effective_license,
+       (effective_license IN ('0BSD','Apache-2.0','BSD-2-Clause',
+        'BSD-3-Clause','ISC','MIT','MPL-2.0','Unlicense','Zlib'))::BIGINT
+        AS effective_permissive
+FROM eff ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -8853,6 +8977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "call_edges": q_call_edges,
         "kn_perplexity": q_kn_perplexity,
         "comb_fusion": q_comb_fusion,
+        "proto_prune": q_proto_prune,
+        "effective_license": q_effective_license,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -12066,6 +12192,8 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "call_edges": _call_edges_sql(),
         "kn_perplexity": _kn_perplexity_sql(),
         "comb_fusion": _comb_fusion_sql(),
+        "proto_prune": _proto_prune_sql(),
+        "effective_license": _effective_license_sql(),
     }
 
 

@@ -239,7 +239,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "range_query_pruned", "quantile_summary", "rescore_window",
         "curation_mixer", "manifest_scan", "term_stats_delta",
         "streaming_trending", "train_logreg", "call_edges",
-        "kn_perplexity", "comb_fusion",
+        "kn_perplexity", "comb_fusion", "proto_prune", "effective_license",
     ]
     out = {}
     for name in headline:

@@ -33,7 +33,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Per-slice element budget for the N×k×dim distance tensor inside the
@@ -252,4 +252,72 @@ def semdedup(
         assigned.withColumnRenamed(id_col, "id")
         .join(removed, "id", "left_anti")
         .select(F.col("id").alias(id_col), "cluster")
+    )
+
+
+def prototypicality_prune(
+    df: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    drop_frac: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    dist_dp: int = 9,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """X221 — D4's prototype-pruning stage (Abbas et al. 2023 "D4":
+    after SemDeDup removes near-duplicates, the examples CLOSEST to
+    their cluster centroid — the most prototypical, least informative
+    ones — are dropped too; Sorscher et al. 2022 showed easy/central
+    examples contribute least at scale).
+
+    Per cluster: rank members by round(distance-to-centroid, dist_dp)
+    ascending (ties to lowest id) and drop the first
+    floor(drop_frac·|c|) — the deterministic, SQL-replayable form of
+    the paper's fraction cut. Returns survivors as
+    (id, cluster, dist, rank, n_cluster).
+
+    Scale: assignment is the map-only Arrow pass (kmeans_assign shape,
+    distance recomputed in-plan per row against centroid literals);
+    the rank is a window PER CLUSTER — cluster-sized partitions, the
+    same executor-sized bound SemDeDup's pair join relies on, with k
+    as the knob."""
+    if not 0.0 <= drop_frac < 1.0:
+        raise ValueError("drop_frac must be in [0, 1)")
+    if centroids is None:
+        centroids = kmeans_fit(
+            df, k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+            round_dp=round_dp, dist_dp=dist_dp,
+        )
+    cents = np.asarray(centroids, dtype=np.float64)
+    assigned = kmeans_assign(df, cents, id_col, vec_col, dist_dp)
+    # distance to own centroid, in-plan: centroid matrix as literals
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in cents]
+    )
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    own = F.element_at(cent_lit, F.col("cluster") + 1)
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(vec_d, own, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        dist_dp,
+    )
+    with_d = df.select(F.col(id_col).alias("id"), vec_d.alias(vec_col)).join(
+        assigned.withColumnRenamed(id_col, "id"), "id"
+    ).select("id", "cluster", dist.alias("dist"))
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("dist").asc(), F.col("id").asc()
+    )
+    ranked = with_d.withColumn("rank", F.row_number().over(w)).withColumn(
+        "n_cluster", F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+    )
+    cut = F.floor(F.lit(float(drop_frac)) * F.col("n_cluster"))
+    return ranked.filter(F.col("rank") > cut).select(
+        F.col("id").alias(id_col), "cluster", "dist",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("n_cluster").cast("long").alias("n_cluster"),
     )

@@ -941,3 +941,77 @@ def test_comb_fuse_methods(spark):
         RS.comb_fuse(runs, "bogus")
     with pytest.raises(ValueError):
         RS.comb_fuse([], "combsum")
+
+
+# ---------------------------------------------------------------- X220
+
+
+def test_effective_license_resolution(spark):
+    from scrapix_spark.operators import code as C
+
+    rows = [
+        # repo A: root MIT license, one SPDX override, one inheritor
+        ("A", "LICENSE", "Permission is hereby granted, free of charge, x"),
+        ("A", "src/a.py", "# SPDX-License-Identifier: GPL-3.0-only\ncode"),
+        ("A", "src/b.py", "plain code"),
+        # repo A also has a NESTED license file — root (shorter path) wins
+        ("A", "vendor/LICENSE", "GNU General Public License version 2 x"),
+        # repo B: no license anywhere
+        ("B", "src/c.py", "plain code"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, content string")
+    out = {
+        (r["repo"], r["path"]): (
+            r["file_license"], r["repo_license"], r["effective_license"],
+            r["effective_permissive"],
+        )
+        for r in C.effective_license(df).collect()
+    }
+    assert out[("A", "LICENSE")] == ("MIT", "MIT", "MIT", True)
+    assert out[("A", "src/a.py")] == (
+        "GPL-3.0-only", "MIT", "GPL-3.0-only", False,
+    )
+    assert out[("A", "src/b.py")] == ("unknown", "MIT", "MIT", True)
+    # the nested GPL license file keeps its own detection but the repo
+    # license is the ROOT file's MIT
+    assert out[("A", "vendor/LICENSE")][1] == "MIT"
+    assert out[("B", "src/c.py")] == ("unknown", None, "unknown", False)
+
+
+# ---------------------------------------------------------------- X221
+
+
+def test_prototypicality_prune_per_cluster_cut(spark):
+    import numpy as np
+
+    from scrapix_spark.operators import clustering as CL
+
+    rng = np.random.default_rng(5)
+    # two tight blobs of 20, well separated
+    rows = []
+    for i in range(20):
+        rows.append((i, [float(x) for x in rng.normal(0, 0.1, 8) + 5.0]))
+    for i in range(20, 40):
+        rows.append((i, [float(x) for x in rng.normal(0, 0.1, 8) - 5.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = CL.prototypicality_prune(df, k=2, n_iter=2, drop_frac=0.25).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert len(by_cluster) == 2
+    for c, members in by_cluster.items():
+        n = members[0]["n_cluster"]
+        assert n == 20
+        assert len(members) == 20 - 5          # floor(0.25*20) dropped
+        assert all(r["rank"] > 5 for r in members)
+    with pytest.raises(ValueError):
+        CL.prototypicality_prune(df, k=2, drop_frac=1.0)
+
+
+def test_prototypicality_drop_frac_zero_keeps_all(spark):
+    from scrapix_spark.operators import clustering as CL
+
+    rows = [(i, [float(i), 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = CL.prototypicality_prune(df, k=2, n_iter=1, drop_frac=0.0)
+    assert out.count() == 10
