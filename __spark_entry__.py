@@ -8760,6 +8760,87 @@ FROM eff ORDER BY doc_id
 """
 
 
+
+
+QPP_QUERY = "table merge sort qqqqqq"
+
+
+def q_query_difficulty(spark, sf_dir):
+    """X222 — pre-retrieval query-performance predictors (He & Ounis
+    SPIRE 2004; Zhao/Scholer/Tsegay ECIR 2008): avg/max/var idf, SCQ,
+    ICTF from ONE query-sized dictionary slice — no posting touched
+    (the planner's routing signal; 'qqqqqq' exercises the unknown-term
+    path). operators/query.py query_difficulty."""
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    n, t, _ = _corpus_ntavg(spark, sf_dir)
+    out = Q.query_difficulty(stats, n, t, QPP_QUERY)
+    return out.select(
+        "n_terms", "n_known",
+        F.round("avg_idf", 6).alias("avg_idf"),
+        F.round("max_idf", 6).alias("max_idf"),
+        F.round("var_idf", 6).alias("var_idf"),
+        F.round("avg_scq", 6).alias("avg_scq"),
+        F.round("sum_scq", 6).alias("sum_scq"),
+        F.round("avg_ictf", 6).alias("avg_ictf"),
+    )
+
+
+def _query_difficulty_sql() -> str:
+    terms = Q.query_terms(QPP_QUERY)
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    tok = TOK_EXPR("text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+tt AS (SELECT sum(tf)::DOUBLE AS t FROM tf),
+dict AS (SELECT term, count(*)::DOUBLE AS df, sum(tf)::DOUBLE AS cf
+         FROM tf GROUP BY term),
+sl AS (SELECT term, df, cf,
+         ln(1 + (nd.n - df + 0.5) / (df + 0.5)) AS idf
+       FROM dict CROSS JOIN nd WHERE term IN ({tlist})),
+agg AS (
+  SELECT count(*)::BIGINT AS n_known,
+         avg(idf) AS avg_idf, max(idf) AS max_idf,
+         var_pop(idf) AS var_idf,
+         avg((1.0 + ln(cf)) * idf) AS avg_scq,
+         sum((1.0 + ln(cf)) * idf) AS sum_scq,
+         avg(ln(tt.t / cf)) AS avg_ictf
+  FROM sl CROSS JOIN tt)
+SELECT {len(terms)}::BIGINT AS n_terms, n_known,
+       round(avg_idf, 6) AS avg_idf, round(max_idf, 6) AS max_idf,
+       round(var_idf, 6) AS var_idf, round(avg_scq, 6) AS avg_scq,
+       round(sum_scq, 6) AS sum_scq, round(avg_ictf, 6) AS avg_ictf
+FROM agg
+"""
+
+
+def q_sorted_field_topk(spark, sf_dir):
+    """X223 — sorted-field top-k with early termination (Lucene index
+    sorting): the X209 blocked index serves ORDER BY n_chars DESC
+    LIMIT 10 by reading ONLY the last blocks covering ≥ k docs —
+    O(k/block_size) blocks at any corpus size, ≤ k metadata rows to
+    the driver. Oracle = the full sort. operators/numeric.py
+    sorted_field_topk."""
+    from scrapix_spark.operators import numeric as NX
+
+    ranked = NX.range_index(_docs(spark, sf_dir), "n_chars", block_size=64)
+    blocks = NX.range_index_blocks(ranked)
+    out = NX.sorted_field_topk(ranked, blocks, k=10, ascending=False)
+    return out.select(
+        F.col("id").alias("doc_id"), F.round("v", 6).alias("n_chars_d")
+    )
+
+
+def _sorted_field_topk_sql() -> str:
+    return """
+SELECT doc_id, round(CAST(n_chars AS DOUBLE), 6) AS n_chars_d
+FROM documents
+ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id ASC LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -8979,6 +9060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comb_fusion": q_comb_fusion,
         "proto_prune": q_proto_prune,
         "effective_license": q_effective_license,
+        "query_difficulty": q_query_difficulty,
+        "sorted_field_topk": q_sorted_field_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -12194,6 +12277,8 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "comb_fusion": _comb_fusion_sql(),
         "proto_prune": _proto_prune_sql(),
         "effective_license": _effective_license_sql(),
+        "query_difficulty": _query_difficulty_sql(),
+        "sorted_field_topk": _sorted_field_topk_sql(),
     }
 
 

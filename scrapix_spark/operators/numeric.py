@@ -120,3 +120,45 @@ def range_query_pruned(
         .filter((F.col("v") >= float(lo)) & (F.col("v") <= float(hi)))
         .select("id", "v")
     )
+
+
+def sorted_field_topk(
+    ranked: DataFrame,
+    blocks: DataFrame,
+    k: int = 10,
+    ascending: bool = True,
+) -> DataFrame:
+    """X223 — sorted-field top-k with EARLY TERMINATION over the X209
+    blocked index (Lucene's index-sorting optimization: when the index
+    is sorted by the field, a sort query stops after the first blocks):
+    only the first ceil-enough blocks containing ≥ k docs are read —
+    block metadata (already corpus/block_size-sized) decides which, so
+    the scan is partition-pruned to O(k/block_size) blocks regardless
+    of corpus size.
+
+    Returns (id, v) — the k smallest (ascending) or largest values,
+    id-tiebroken, provably identical to a full sort+limit because
+    blocks partition the value-sorted order. The driver reads at most
+    k block-metadata rows (every block holds ≥ 1 doc, so k blocks
+    always suffice) — bounded regardless of corpus size."""
+    if ascending:
+        ordered = blocks.orderBy(F.col("block").asc())
+    else:
+        ordered = blocks.orderBy(F.col("block").desc())
+    metas = ordered.select("block", "n_docs").limit(int(k)).collect()
+    need, take = k, []
+    for r in metas:
+        take.append(r["block"])
+        need -= r["n_docs"]
+        if need <= 0:
+            break
+    surv = ranked.sparkSession.createDataFrame(
+        [(b,) for b in take], "block long"
+    )
+    rows = ranked.join(F.broadcast(surv), "block")
+    order = (
+        [F.col("v").asc(), F.col("id").asc()]
+        if ascending
+        else [F.col("v").desc(), F.col("id").asc()]
+    )
+    return rows.select("id", "v").orderBy(*order).limit(k)

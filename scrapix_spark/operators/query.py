@@ -3056,3 +3056,56 @@ def rescore_window_topk(
     return out.orderBy(
         F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
     ).limit(k)
+
+
+def query_difficulty(
+    term_stats: DataFrame,
+    N: int,
+    T: int,
+    q: str,
+) -> DataFrame:
+    """X222 — pre-retrieval query-performance prediction (He & Ounis,
+    SPIRE 2004; Zhao, Scholer & Tsegay, ECIR 2008): the classical
+    statistics that predict how well a query will retrieve BEFORE any
+    posting is read — the routing signal a query planner uses to pick
+    strategies (typo widening, expansion, WAND vs full).
+
+    Per query, one row:
+      n_terms        distinct query terms
+      n_known        terms present in the dictionary
+      avg_idf / max_idf / var_idf    (He & Ounis γ1/γ2 family)
+      avg_scq / sum_scq              SCQ_t = (1 + ln cf_t)·idf_t
+                                      (Zhao et al. similarity score)
+      avg_ictf                       inverse collection term frequency
+                                      ln(T / cf_t), averaged
+
+    Plan: ONE dictionary slice (query-sized, filter pushes to the scan)
+    + one 1-row aggregation; no posting is touched — that is the point
+    of pre-retrieval predictors. idf = the engine's BM25 idf; unknown
+    terms contribute nothing (n_known counts them).
+    """
+    terms = query_terms(q)
+    if not terms:
+        raise ValueError("empty query")
+    sl = term_stats.filter(F.col("term").isin(terms)).select(
+        "term",
+        F.col("df").cast("double").alias("df"),
+        F.col("cf").cast("double").alias("cf"),
+    )
+    idf = idf_expr(N, F.col("df"))
+    scq = (F.lit(1.0) + F.log(F.col("cf"))) * idf
+    ictf = F.log(F.lit(float(T)) / F.col("cf"))
+    agg = sl.select(idf.alias("idf"), scq.alias("scq"), ictf.alias("ictf")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_known"),
+        F.avg("idf").alias("avg_idf"),
+        F.max("idf").alias("max_idf"),
+        F.var_pop("idf").alias("var_idf"),
+        F.avg("scq").alias("avg_scq"),
+        F.sum("scq").alias("sum_scq"),
+        F.avg("ictf").alias("avg_ictf"),
+    )
+    return agg.select(
+        F.lit(len(terms)).cast("long").alias("n_terms"),
+        "n_known", "avg_idf", "max_idf", "var_idf",
+        "avg_scq", "sum_scq", "avg_ictf",
+    )

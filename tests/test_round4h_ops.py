@@ -1015,3 +1015,49 @@ def test_prototypicality_drop_frac_zero_keeps_all(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = CL.prototypicality_prune(df, k=2, n_iter=1, drop_frac=0.0)
     assert out.count() == 10
+
+
+# ---------------------------------------------------------------- X222
+
+
+def test_query_difficulty_statistics(docs, corpus):
+    import math
+
+    from scrapix_spark.operators import query as QQ
+
+    post, stats, n, _ = corpus
+    T = int(post.agg(F.sum("tf")).first()[0])
+    r = QQ.query_difficulty(stats, n, T, "table zzzz").first()
+    assert r["n_terms"] == 2 and r["n_known"] == 1
+    row = stats.filter("term = 'table'").first()
+    idf = math.log(1 + (n - row["df"] + 0.5) / (row["df"] + 0.5))
+    assert r["avg_idf"] == pytest.approx(idf)
+    assert r["max_idf"] == pytest.approx(idf)
+    assert r["var_idf"] == pytest.approx(0.0)
+    assert r["avg_scq"] == pytest.approx((1 + math.log(row["cf"])) * idf)
+    assert r["avg_ictf"] == pytest.approx(math.log(T / row["cf"]))
+    with pytest.raises(ValueError):
+        QQ.query_difficulty(stats, n, T, "")
+
+
+# ---------------------------------------------------------------- X223
+
+
+def test_sorted_field_topk_early_termination(spark):
+    from scrapix_spark.operators import numeric as NX
+
+    rows = [(i, float((i * 17) % 997)) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, val double")
+    ranked = NX.range_index(df, "val", block_size=50, nparts=4).cache()
+    blocks = NX.range_index_blocks(ranked).cache()
+    for asc in (True, False):
+        got = [
+            (r["id"], r["v"])
+            for r in NX.sorted_field_topk(ranked, blocks, k=7, ascending=asc).collect()
+        ]
+        exp = sorted(rows, key=lambda t: (t[1] if asc else -t[1], t[0]))[:7]
+        assert got == [(i, v) for i, v in exp]
+    # k spanning a block boundary stays exact
+    got = [r["id"] for r in NX.sorted_field_topk(ranked, blocks, k=60).collect()]
+    exp = [i for i, _ in sorted(rows, key=lambda t: (t[1], t[0]))[:60]]
+    assert got == exp
