@@ -58,6 +58,12 @@ def _ref_contrib(sim, tf, dl, df, cf, N, T, avgdl, p=SC.DEFAULT_PARAMS):
     if sim == "classic":
         idf = 1 + math.log(N / (df + 1))
         return math.sqrt(tf) * idf * idf / math.sqrt(dl)
+    if sim in ("dfr_inl2", "ib_ll"):
+        ln2 = math.log(2.0)
+        tfn = tf * math.log(1 + p["c"] * avgdl / dl) / ln2
+        if sim == "dfr_inl2":
+            return (tfn / (tfn + 1)) * (math.log((N + 1) / (df + 0.5)) / ln2)
+        return math.log(1 + tfn / (df / N))
     pc = cf / T
     if sim == "lm_dirichlet":
         mu = p["mu"]
