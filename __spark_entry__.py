@@ -8841,6 +8841,43 @@ ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id ASC LIMIT 10
 """
 
 
+
+
+def q_priority_sample(spark, sf_dir):
+    """X224 — deterministic bottom-k priority sampling (Duffield/Lund/
+    Thorup JACM 2007): priority = w/u with u from the cross-engine
+    sample_hash, top-k priorities win; mergeable (bottom-k of a union =
+    bottom-k of the parts), zero RNG state, reproducible at any cluster
+    size. Weighted by n_chars. operators/curation.py priority_sample."""
+    from scrapix_spark.operators import curation as CU
+
+    out = CU.priority_sample(
+        _docs(spark, sf_dir), k=25, weight_col="n_chars"
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "weight", "priority"
+    )
+
+
+def _priority_sample_sql() -> str:
+    from scrapix_spark.operators.curation import (
+        SAMPLE_MOD, _SAMPLE_A, _SAMPLE_C,
+    )
+
+    return f"""
+WITH h1 AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+         ((doc_id % {SAMPLE_MOD}) * {_SAMPLE_A} + {_SAMPLE_C}) % {SAMPLE_MOD} AS h
+  FROM documents),
+pri AS (
+  SELECT doc_id, w,
+         round(w / ((((h * h + h) % {SAMPLE_MOD}) + 1.0) / {SAMPLE_MOD}), 6) AS p
+  FROM h1)
+SELECT doc_id, w AS weight, p AS priority
+FROM pri ORDER BY p DESC, doc_id ASC LIMIT 25
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -9062,6 +9099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_license": q_effective_license,
         "query_difficulty": q_query_difficulty,
         "sorted_field_topk": q_sorted_field_topk,
+        "priority_sample": q_priority_sample,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -12279,6 +12317,7 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "effective_license": _effective_license_sql(),
         "query_difficulty": _query_difficulty_sql(),
         "sorted_field_topk": _sorted_field_topk_sql(),
+        "priority_sample": _priority_sample_sql(),
     }
 
 

@@ -240,7 +240,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "curation_mixer", "manifest_scan", "term_stats_delta",
         "streaming_trending", "train_logreg", "call_edges",
         "kn_perplexity", "comb_fusion", "proto_prune", "effective_license",
-        "query_difficulty", "sorted_field_topk",
+        "query_difficulty", "sorted_field_topk", "priority_sample",
     ]
     out = {}
     for name in headline:

@@ -1407,3 +1407,48 @@ def train_logreg_fullbatch(
         + ", b double"
     )
     return df.sparkSession.createDataFrame(rows, schema)
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X224 — deterministic bottom-k priority sampling (Duffield, Lund
+    & Thorup, JACM 2007; the weighted generalization of bottom-k /
+    min-hash sketches): each row gets priority q = w / u where u is a
+    deterministic pseudo-uniform in (0, 1] from the repo's cross-engine
+    `sample_hash`; the k rows with the LARGEST priorities form the
+    sample, and τ = the (k+1)-th priority yields the classic
+    Horvitz-Thompson weight estimate ŵ = max(w, τ) whose subset sums
+    are unbiased (within the hash's uniformity).
+
+    Deterministic and MERGEABLE: the sample of a union is the bottom-k
+    of the unions' samples — shards sample independently and a tiny
+    merge combines them (here: partial TakeOrdered per partition +
+    k-row merge, exactly how Spark executes the orderBy+limit).
+    No RNG state, reproducible on any cluster size — the property
+    `deterministic_sample` pins for uniform rates, extended to
+    weighted fixed-size samples.
+
+    Returns the k sampled rows as (id, weight, priority) ordered by
+    priority desc, id asc. Weight defaults to 1.0 (plain bottom-k)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    # u in (0, 1]: (h + 1) / M over the cross-engine hash
+    u = (sample_hash(F.col(id_col)) + 1.0) / float(SAMPLE_MOD)
+    pri = w / u
+    out = df.select(
+        F.col(id_col).alias("id"),
+        w.alias("weight"),
+        F.round(pri, 6).alias("priority"),
+    )
+    return out.orderBy(
+        F.col("priority").desc(), F.col("id").asc()
+    ).limit(int(k))

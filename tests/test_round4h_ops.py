@@ -1061,3 +1061,58 @@ def test_sorted_field_topk_early_termination(spark):
     got = [r["id"] for r in NX.sorted_field_topk(ranked, blocks, k=60).collect()]
     exp = [i for i, _ in sorted(rows, key=lambda t: (t[1], t[0]))[:60]]
     assert got == exp
+
+
+# ---------------------------------------------------------------- X224
+
+
+def test_priority_sample_deterministic_and_mergeable(spark):
+    from scrapix_spark.operators.curation import (
+        SAMPLE_MOD, _SAMPLE_A, _SAMPLE_C, priority_sample,
+    )
+
+    rows = [(i, float(1 + (i * 13) % 50)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    def pri(i, w):
+        h = ((i % SAMPLE_MOD) * _SAMPLE_A + _SAMPLE_C) % SAMPLE_MOD
+        u = (((h * h + h) % SAMPLE_MOD) + 1.0) / SAMPLE_MOD
+        return round(w / u, 6)
+
+    exp = sorted(
+        ((pri(i, w), i, w) for i, w in rows), key=lambda t: (-t[0], t[1])
+    )[:10]
+    got = [
+        (r["priority"], r["id"], r["weight"])
+        for r in priority_sample(df, k=10, weight_col="w").collect()
+    ]
+    assert got == [(p, i, w) for p, i, w in exp]
+
+    # mergeable: bottom-k of the union == merge of per-half samples
+    half1 = priority_sample(
+        df.filter("doc_id < 150"), k=10, weight_col="w"
+    ).collect()
+    half2 = priority_sample(
+        df.filter("doc_id >= 150"), k=10, weight_col="w"
+    ).collect()
+    merged = sorted(
+        [(r["priority"], r["id"], r["weight"]) for r in half1 + half2],
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    assert merged == got
+
+    with pytest.raises(ValueError):
+        priority_sample(df, k=0)
+
+
+def test_priority_sample_unweighted_is_bottom_k_hash(spark):
+    from scrapix_spark.operators.curation import priority_sample, sample_hash
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    got = {r["id"] for r in priority_sample(df, k=5).collect()}
+    # unweighted: largest 1/u == smallest hash values
+    hashed = df.select(
+        "doc_id", sample_hash(F.col("doc_id")).alias("h")
+    ).collect()
+    exp = {r["doc_id"] for r in sorted(hashed, key=lambda r: (r["h"], r["doc_id"]))[:5]}
+    assert got == exp
