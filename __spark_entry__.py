@@ -8878,6 +8878,114 @@ FROM pri ORDER BY p DESC, doc_id ASC LIMIT 25
 """
 
 
+
+
+# X225 fixture: plant C4-failing lines (no terminal punctuation, short
+# lines, curly braces, bad phrases) around the base text, which itself
+# has no terminal punctuation — only the planted good lines survive.
+_C4_SRC_SQL = (
+    "CASE doc_id % 4 "
+    "WHEN 0 THEN 'This is a perfectly fine sentence for keeping here.' "
+    "|| chr(10) || text || chr(10) || 'short line.' "
+    "WHEN 1 THEN 'function f() { return 1; }' || chr(10) "
+    "|| 'Another good line stays in the cleaned document today!' "
+    "WHEN 2 THEN 'Lorem Ipsum dolor sit amet is boilerplate to drop.' "
+    "|| chr(10) || 'Enable JavaScript to view this site properly now.' "
+    "|| chr(10) || 'A realistic surviving sentence with enough words?' "
+    "ELSE text END"
+)
+
+
+def q_c4_lines(spark, sf_dir):
+    """X225 — C4 line-level cleaning (Raffel et al. JMLR 2020 s2.2):
+    keep lines ending in terminal punctuation with >=5 words and no
+    braces / 'lorem ipsum' / 'javascript'; docs reassemble, empty docs
+    drop. Map-only higher-order filter, the X36 plan shape minus its
+    line-df join. operators/curation.py c4_line_filter."""
+    from scrapix_spark.operators import curation as CU
+
+    src = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_C4_SRC_SQL).alias("text2")
+    )
+    out = CU.c4_line_filter(src, "text2")
+    return out.select(
+        F.col("id").alias("doc_id"), "clean_text", "n_lines", "n_kept"
+    ).orderBy("doc_id")
+
+
+def _c4_lines_sql() -> str:
+    terms = "'.', '!', '?', chr(34), chr(39)"
+    brace_l, brace_r = "chr(123)", "chr(125)"
+    return f"""
+WITH src AS (SELECT doc_id, {_C4_SRC_SQL} AS t FROM documents),
+l AS (SELECT doc_id, string_split(coalesce(t, ''), chr(10)) AS ls FROM src),
+k AS (SELECT doc_id, ls,
+        list_filter(ls, x ->
+          list_contains([{terms}], right(rtrim(x), 1))
+          AND len(list_filter(string_split_regex(x, '\\s+'),
+                              w -> w <> '')) >= 5
+          AND NOT contains(lower(x), {brace_l})
+          AND NOT contains(lower(x), {brace_r})
+          AND NOT contains(lower(x), 'lorem ipsum')
+          AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM l)
+SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+       len(ls)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept
+FROM k WHERE len(kept) > 0 ORDER BY doc_id
+"""
+
+
+
+
+def q_bm25_quantized_norms(spark, sf_dir):
+    """X226 — BM25 against 4-bit-mantissa QUANTIZED document lengths
+    (the Lucene SmallFloat norms fidelity: norms are 1-byte lossy,
+    avgdl stays exact from collection stats). The bit_length is an
+    indicator-sum — float-free, so both engines quantize identically.
+    operators/scoring.py norm_quantize_expr / bm25_topk_quantized_norms."""
+    from scrapix_spark.operators import scoring as SC
+
+    post, stats, n, avgdl = _corpus_for_match(spark, sf_dir)
+    out = SC.bm25_topk_quantized_norms(
+        post, stats, n, avgdl, Q.query_terms(BM25_QUERY), k=10, k1=K1, b=B
+    )
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+def _bm25_quantized_norms_sql() -> str:
+    from scrapix_spark.operators.scoring import norm_quantize_sql
+
+    terms = Q.query_terms(BM25_QUERY)
+    tok = TOK_EXPR("text")
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    dlq = norm_quantize_sql("dl.dl")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+dfv AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * ({K1} + 1.0))
+              / (tf.tf + {K1} * (1.0 - {B} + {B}
+                 * CAST({dlq} AS DOUBLE) / stats.avgdl)) ) AS score,
+         count(*)::BIGINT AS n_matched
+  FROM tf
+  JOIN dfv USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score, n_matched
+FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -9100,6 +9208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_difficulty": q_query_difficulty,
         "sorted_field_topk": q_sorted_field_topk,
         "priority_sample": q_priority_sample,
+        "c4_lines": q_c4_lines,
+        "bm25_quantized_norms": q_bm25_quantized_norms,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -12318,6 +12428,8 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "query_difficulty": _query_difficulty_sql(),
         "sorted_field_topk": _sorted_field_topk_sql(),
         "priority_sample": _priority_sample_sql(),
+        "c4_lines": _c4_lines_sql(),
+        "bm25_quantized_norms": _bm25_quantized_norms_sql(),
     }
 
 

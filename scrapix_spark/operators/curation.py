@@ -1452,3 +1452,52 @@ def priority_sample(
     return out.orderBy(
         F.col("priority").desc(), F.col("id").asc()
     ).limit(int(k))
+
+
+C4_BAD_PHRASES = ("lorem ipsum", "javascript")
+C4_MIN_LINE_WORDS = 5
+C4_TERMINALS = (".", "!", "?", '"', "'")
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = C4_MIN_LINE_WORDS,
+) -> DataFrame:
+    """X225 — C4's line-level cleaning rules (Raffel et al., JMLR 2020
+    §2.2 — the T5 corpus pipeline, applied verbatim by dozens of public
+    corpora): a line is KEPT iff it
+      (1) ends in terminal punctuation (. ! ? or a closing quote),
+      (2) has at least `min_words` whitespace words,
+      (3) contains neither a curly brace (code/JS leakage) nor a bad
+          phrase ("lorem ipsum", "javascript" — case-insensitive).
+    Documents reassemble from surviving lines; documents losing every
+    line drop entirely. (C4's doc-level dedup/blocklist stages live in
+    their own operators: X7 family, X104.)
+
+    Map-only: one split to a line array, higher-order filter with
+    native predicates, one array_join — zero Python, zero shuffle,
+    exactly the boilerplate-removal (X36) plan shape minus its line-df
+    join. Columns: (id, clean_text, n_lines, n_kept)."""
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+
+    def keep(x):
+        trimmed = F.rtrim(x)
+        tok = F.filter(F.split(x, r"\s+"), lambda w: w != F.lit(""))
+        t_ok = None
+        for t in C4_TERMINALS:
+            c = F.endswith(trimmed, F.lit(t))
+            t_ok = c if t_ok is None else (t_ok | c)
+        bad = F.lower(x).contains("{") | F.lower(x).contains("}")
+        for p in C4_BAD_PHRASES:
+            bad = bad | F.lower(x).contains(p)
+        return t_ok & (F.size(tok) >= min_words) & ~bad
+
+    kept = F.filter(lines, keep)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+    ).filter(F.size(kept) > 0)

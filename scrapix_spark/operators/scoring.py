@@ -266,3 +266,90 @@ def similarity_topk(
     return agg.orderBy(
         F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()
     ).limit(k)
+
+
+# ---------------------------------------------- norm quantization (X226)
+
+_NORM_MAX_BITS = 32
+
+
+def _numbits_expr(x: Column) -> Column:
+    """Integer bit-length as a sum of indicator comparisons —
+    float-free (log2 at exact powers of two is not trustworthy across
+    engines), identical algebra in Spark and the SQL oracle."""
+    n = F.lit(1)
+    for k in range(1, _NORM_MAX_BITS):
+        n = n + F.when(x >= (1 << k), 1).otherwise(0)
+    return n
+
+
+def norm_quantize_expr(dl: Column) -> Column:
+    """X226 — 4-bit-mantissa length-norm quantization (the Lucene
+    SmallFloat/norms idea: document length stored in one small code,
+    scoring uses the DECODED — truncated — length, ≤ 1/8 relative
+    error): values < 16 exact; else dl ≈ (dl >> shift) << shift with
+    shift = bit_length − 4. Returns the decoded length directly (the
+    quantity BM25 consumes; the code itself is (shift << 4) | mantissa
+    — monotone, so range filters on codes stay order-correct).
+
+    Pure integer Catalyst arithmetic — the indicator-sum bit_length
+    avoids float log2, so Spark and the SQL oracle agree bit-for-bit.
+    """
+    x = dl.cast("long")
+    nb = _numbits_expr(x)
+    shift = F.greatest(nb - 4, F.lit(0))
+    mant = F.floor(x / F.pow(F.lit(2.0), shift.cast("double"))).cast("long")
+    dec = (mant * F.pow(F.lit(2.0), shift.cast("double"))).cast("long")
+    return F.when(x < 16, x).otherwise(dec)
+
+
+def norm_quantize_sql(expr: str) -> str:
+    """The SAME quantization as a DuckDB fragment over an integer
+    expression — generated from the same indicator-sum definition."""
+    parts = ["1"] + [
+        f"(({expr}) >= {1 << k})::INT" for k in range(1, _NORM_MAX_BITS)
+    ]
+    nb = "(" + " + ".join(parts) + ")"
+    shift = f"greatest({nb} - 4, 0)"
+    mant = f"(({expr}) // CAST(power(2, {shift}) AS BIGINT))"
+    dec = f"({mant} * CAST(power(2, {shift}) AS BIGINT))"
+    return f"CASE WHEN ({expr}) < 16 THEN ({expr}) ELSE {dec} END"
+
+
+def bm25_topk_quantized_norms(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    N: int,
+    avgdl: float,
+    terms: list,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k scored against QUANTIZED document lengths — how
+    Lucene actually ranks (norms are 1-byte lossy; avgdl stays exact,
+    from collection statistics, as BM25Similarity does). Plan shape
+    identical to the exact path; the quantization is one integer
+    projection on the postings row."""
+    from scrapix_spark.operators.query import (
+        SCORE_ROUND, bm25_score_expr, idf_expr,
+    )
+
+    tstats = term_stats.filter(F.col("term").isin(terms)).withColumn(
+        "idf", idf_expr(N, F.col("df").cast("double"))
+    )
+    cand = postings.filter(F.col("term").isin(terms)).join(
+        F.broadcast(tstats.select("term", "idf")), "term"
+    )
+    dl_q = norm_quantize_expr(F.col("dl")).cast("double")
+    scored = cand.withColumn(
+        "contrib",
+        bm25_score_expr(F.col("tf"), dl_q, F.col("idf"), avgdl, k1, b),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.count("*").cast("int").alias("n_matched"),
+    )
+    return agg.orderBy(
+        F.round(F.col("score"), SCORE_ROUND).desc(), F.col("doc_id").asc()
+    ).limit(k)

@@ -1116,3 +1116,92 @@ def test_priority_sample_unweighted_is_bottom_k_hash(spark):
     ).collect()
     exp = {r["doc_id"] for r in sorted(hashed, key=lambda r: (r["h"], r["doc_id"]))[:5]}
     assert got == exp
+
+
+# ---------------------------------------------------------------- X225
+
+
+def test_c4_line_filter_rules(spark):
+    from scrapix_spark.operators import curation as CU
+
+    rows = [
+        (1, "Good sentence with enough words to keep around.\n"
+            "no terminal punctuation here at all\n"
+            "Short one.\n"
+            "A line mentioning JavaScript should be dropped now.\n"
+            "Braces { inside } mean code so this goes too.\n"
+            'He said "This quoted line has plenty of words."\n'
+            "Ends with a question mark and enough words, right?"),
+        (2, "only bad lines\nhere\n{ }"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in CU.c4_line_filter(df, "text").collect()}
+    # doc 2 loses every line → dropped entirely
+    assert set(out) == {1}
+    kept = out[1]["clean_text"].split("\n")
+    assert kept == [
+        "Good sentence with enough words to keep around.",
+        'He said "This quoted line has plenty of words."',
+        "Ends with a question mark and enough words, right?",
+    ]
+    assert out[1]["n_lines"] == 7 and out[1]["n_kept"] == 3
+
+
+def test_c4_line_filter_min_words_knob(spark):
+    from scrapix_spark.operators import curation as CU
+
+    df = spark.createDataFrame(
+        [(1, "Tiny line.\nA five word sentence right here.")],
+        "doc_id long, text string",
+    )
+    strict = CU.c4_line_filter(df, "text", min_words=2).first()
+    assert strict["n_kept"] == 2
+    loose = CU.c4_line_filter(df, "text", min_words=6).first()
+    assert loose["n_kept"] == 1
+
+
+# ---------------------------------------------------------------- X226
+
+
+def test_norm_quantization_properties(spark):
+    from scrapix_spark.operators.scoring import norm_quantize_expr
+
+    vals = list(range(0, 40)) + [63, 64, 100, 127, 128, 1000, 4095, 4096, 10**6]
+    df = spark.createDataFrame([(v,) for v in vals], "dl long")
+    got = {r["dl"]: r["q"] for r in df.select("dl", norm_quantize_expr(F.col("dl")).alias("q")).collect()}
+
+    def ref(x):
+        if x < 16:
+            return x
+        shift = x.bit_length() - 4
+        return (x >> shift) << shift
+
+    for v in vals:
+        assert got[v] == ref(v), v
+        assert got[v] <= v                      # truncation never rounds up
+        if v >= 16:
+            assert (v - got[v]) / v < 1 / 8     # ≤ 1/8 relative error
+    # monotone
+    qs = [got[v] for v in sorted(vals)]
+    assert qs == sorted(qs)
+
+
+def test_quantized_bm25_close_to_exact(docs, corpus):
+    from scrapix_spark.operators import scoring as SC
+
+    post, stats, n, avgdl = corpus
+    exact = {
+        r["doc_id"]: r["score"]
+        for r in Q.bm25_topk_from_postings(post, stats, n, avgdl, "table merge", k=50).collect()
+    }
+    quant = {
+        r["doc_id"]: r["score"]
+        for r in SC.bm25_topk_quantized_norms(
+            post, stats, n, avgdl, ["table", "merge"], k=50
+        ).collect()
+    }
+    assert set(exact) == set(quant)
+    for d, s in exact.items():
+        # short docs (<16 tokens) quantize exactly; fixture docs are
+        # 3-7 tokens so scores must be identical here
+        assert quant[d] == pytest.approx(s, rel=1e-12)
