@@ -8986,6 +8986,41 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
 """
 
 
+
+
+GAZETTEER = [
+    "merge sort", "table", "stream", "group by", "fast scan",
+    "window", "qqq zzz", "a the",
+]
+
+
+def q_gazetteer_tag(spark, sf_dir):
+    """X227 — gazetteer phrase tagging (the RefinedWeb/Dolma blocklist-
+    tagger stage; doc-side complement of the X115 percolator):
+    case-insensitive non-overlapping left-to-right occurrence counts
+    per dictionary phrase. Native replace-count path here (≤64
+    phrases); the Aho-Corasick Arrow kernel (ONE text pass at any
+    dictionary size) is parity-pinned by tests.
+    operators/textstats.py gazetteer_tag."""
+    out = TS.gazetteer_tag(_docs(spark, sf_dir), GAZETTEER)
+    return out.select(
+        F.col("id").alias("doc_id"), "phrase", "n_occurrences"
+    ).orderBy("doc_id", "phrase")
+
+
+def _gazetteer_tag_sql() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT doc_id, '{p}' AS phrase, "
+        f"((len(lower(text)) - len(replace(lower(text), '{p}', '')))"
+        f" // {len(p)})::BIGINT AS n_occurrences FROM documents"
+        for p in GAZETTEER
+    )
+    return f"""
+SELECT doc_id, phrase, n_occurrences FROM ({arms})
+WHERE n_occurrences > 0 ORDER BY doc_id, phrase
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -9210,6 +9245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": q_priority_sample,
         "c4_lines": q_c4_lines,
         "bm25_quantized_norms": q_bm25_quantized_norms,
+        "gazetteer_tag": q_gazetteer_tag,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -12430,6 +12466,7 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "priority_sample": _priority_sample_sql(),
         "c4_lines": _c4_lines_sql(),
         "bm25_quantized_norms": _bm25_quantized_norms_sql(),
+        "gazetteer_tag": _gazetteer_tag_sql(),
     }
 
 

@@ -1568,3 +1568,120 @@ def kn_perplexity(
             F.round(F.avg("nll"), 6).alias("avg_nll"),
         )
     )
+
+
+def gazetteer_tag(
+    df: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_automaton: bool | None = None,
+) -> DataFrame:
+    """X227 — gazetteer phrase tagging: count occurrences of every
+    dictionary phrase in every document (case-insensitive substring
+    semantics, overlaps as the scanner finds them left-to-right) — the
+    blocklist/entity/keyword tagger stage of a curation pipeline
+    (RefinedWeb's bad-word lists, Dolma's taggers) and the doc-side
+    complement of the X115 percolator.
+
+    Two executions, pinned identical by tests:
+    * native (default ≤ 64 phrases): per phrase, occurrences =
+      (len(t) − len(replace(t, p))) / len(p) — pure codegen string
+      ops, one stack-melt, zero Python. Replace consumes matches
+      left-to-right, so overlapping occurrences count non-overlapping
+      — the pinned semantics.
+    * automaton (> 64 phrases or forced): one Aho-Corasick machine
+      (Aho & Corasick, CACM 1975) built per executor from the
+      broadcast phrase list inside an Arrow kernel — ONE pass over the
+      text regardless of dictionary size, the only scalable shape for
+      10⁴⁺-phrase gazetteers where a regex union or per-phrase scan is
+      O(phrases·text). Non-overlapping left-to-right matching per
+      phrase replays the native semantics.
+
+    Returns (id, phrase, n_occurrences > 0)."""
+    if not phrases:
+        raise ValueError("gazetteer_tag needs at least one phrase")
+    lp = [p.lower() for p in phrases]
+    if use_automaton is None:
+        use_automaton = len(lp) > 64
+    if not use_automaton:
+        low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+        arms = []
+        for p in lp:
+            esc = p.replace("'", "''")
+            cnt = (
+                (F.length(low) - F.length(F.replace(low, F.lit(p))))
+                / len(p)
+            ).cast("long")
+            arms.append(F.struct(F.lit(p).alias("phrase"), cnt.alias("n")))
+        melted = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array(*arms)).alias("m"),
+        ).select("id", "m.phrase", F.col("m.n").alias("n_occurrences"))
+        return melted.filter(F.col("n_occurrences") > 0)
+
+    import pandas as pd
+
+    plist = list(lp)
+
+    def build_machine():
+        # goto/fail/output tables, dict-of-dicts (Aho-Corasick 1975)
+        goto: list[dict] = [{}]
+        out: list[set] = [set()]
+        for pi, p in enumerate(plist):
+            s = 0
+            for ch in p:
+                if ch not in goto[s]:
+                    goto.append({})
+                    out.append(set())
+                    goto[s][ch] = len(goto) - 1
+                s = goto[s][ch]
+            out[s].add(pi)
+        from collections import deque
+
+        fail = [0] * len(goto)
+        dq = deque()
+        for ch, s in goto[0].items():
+            dq.append(s)
+        while dq:
+            r = dq.popleft()
+            for ch, s in goto[r].items():
+                dq.append(s)
+                f = fail[r]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s else 0
+                out[s] |= out[fail[s]]
+        return goto, fail, out
+
+    def kernel(batches):
+        goto, fail, out = build_machine()
+        # per-phrase "last match end" so counting is non-overlapping
+        # left-to-right per phrase — the native replace() semantics
+        for pdf in batches:
+            ids, phs, cnts = [], [], []
+            for rid, txt in zip(pdf[id_col], pdf[text_col]):
+                t = (txt or "").lower()
+                counts: dict[int, int] = {}
+                last_end = [0] * len(plist)
+                s = 0
+                for i, ch in enumerate(t):
+                    while s and ch not in goto[s]:
+                        s = fail[s]
+                    s = goto[s].get(ch, 0)
+                    for pi in out[s]:
+                        start = i - len(plist[pi]) + 1
+                        if start >= last_end[pi]:
+                            counts[pi] = counts.get(pi, 0) + 1
+                            last_end[pi] = i + 1
+                for pi, c in counts.items():
+                    ids.append(rid)
+                    phs.append(plist[pi])
+                    cnts.append(c)
+            yield pd.DataFrame(
+                {"id": ids, "phrase": phs, "n_occurrences": cnts}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema="id long, phrase string, n_occurrences long"
+    )

@@ -1205,3 +1205,52 @@ def test_quantized_bm25_close_to_exact(docs, corpus):
         # short docs (<16 tokens) quantize exactly; fixture docs are
         # 3-7 tokens so scores must be identical here
         assert quant[d] == pytest.approx(s, rel=1e-12)
+
+
+# ---------------------------------------------------------------- X227
+
+
+def test_gazetteer_native_vs_automaton_parity(spark):
+    from scrapix_spark.operators import textstats as TS
+
+    phrases = ["aa", "ab", "table scan", "merge", "zz top", "a"]
+    rows = [
+        (1, "aaa ab table scan merge MERGE"),
+        (2, "aaaa"),
+        (3, "Table Scan table scan ab zz top"),
+        (4, ""),
+        (5, None),
+        (6, "merge sort merge sort merge"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nat = {
+        (r["id"], r["phrase"]): r["n_occurrences"]
+        for r in TS.gazetteer_tag(df, phrases, use_automaton=False).collect()
+    }
+    aut = {
+        (r["id"], r["phrase"]): r["n_occurrences"]
+        for r in TS.gazetteer_tag(df, phrases, use_automaton=True).collect()
+    }
+    assert nat == aut
+    # pinned non-overlapping left-to-right: "aaaa" has 2 "aa", 4 "a"
+    assert nat[(2, "aa")] == 2 and nat[(2, "a")] == 4
+    assert nat[(1, "merge")] == 2          # case-insensitive
+    assert nat[(3, "table scan")] == 2
+    assert nat[(6, "merge")] == 3
+    assert not any(i == 4 or i == 5 for i, _ in nat)   # empty/null rows
+    with pytest.raises(ValueError):
+        TS.gazetteer_tag(df, [])
+
+
+def test_gazetteer_large_dictionary_uses_automaton(spark):
+    from scrapix_spark.operators import textstats as TS
+
+    phrases = [f"tok{i}" for i in range(100)] + ["needle"]
+    df = spark.createDataFrame(
+        [(1, "a needle in tok7 haystack needle")], "doc_id long, text string"
+    )
+    out = {
+        (r["id"], r["phrase"]): r["n_occurrences"]
+        for r in TS.gazetteer_tag(df, phrases).collect()  # auto: >64
+    }
+    assert out == {(1, "needle"): 2, (1, "tok7"): 1}
