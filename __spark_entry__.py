@@ -9021,6 +9021,47 @@ WHERE n_occurrences > 0 ORDER BY doc_id, phrase
 """
 
 
+
+
+def q_rocchio_topk(spark, sf_dir):
+    """X228 — Rocchio pseudo-relevance feedback for dense retrieval
+    (Rocchio 1971; the vector-space sibling of RM3): q' = 1.0·q +
+    0.75·mean(top-5 vectors), final exact cosine top-10 under q'.
+    operators/similarity.py rocchio_topk."""
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return SIM.rocchio_topk(emb, qv, k=10, fb_k=5, alpha=1.0, beta=0.75)
+
+
+def _rocchio_sql() -> str:
+    cos = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * qq[i])) "
+        "/ (sqrt(list_sum(list_transform(e.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+        "* sqrt(list_sum(list_transform(qq, x -> x * x))))"
+    )
+    return f"""
+WITH q0 AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qq
+            FROM embeddings WHERE vec_id = 0),
+s1 AS (SELECT e.vec_id, round({cos}, 6) AS c
+       FROM embeddings e CROSS JOIN q0),
+top5 AS (SELECT vec_id FROM s1 ORDER BY c DESC, vec_id LIMIT 5),
+cent AS (
+  SELECT list(m ORDER BY i) AS ce FROM (
+    SELECT ix.i, avg(CAST(e.embedding[ix.i] AS DOUBLE)) AS m
+    FROM embeddings e JOIN top5 USING (vec_id)
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+    GROUP BY ix.i)),
+q1 AS (SELECT list_transform(range(1, 65),
+         i -> 1.0 * qq[i] + 0.75 * ce[i]) AS qq
+       FROM q0 CROSS JOIN cent),
+s2 AS (SELECT e.vec_id AS id, round({cos}, 6) AS cosine
+       FROM embeddings e CROSS JOIN q1)
+SELECT id, cosine FROM s2 ORDER BY cosine DESC, id LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -9246,6 +9287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_lines": q_c4_lines,
         "bm25_quantized_norms": q_bm25_quantized_norms,
         "gazetteer_tag": q_gazetteer_tag,
+        "rocchio_topk": q_rocchio_topk,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -12467,6 +12509,7 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "c4_lines": _c4_lines_sql(),
         "bm25_quantized_norms": _bm25_quantized_norms_sql(),
         "gazetteer_tag": _gazetteer_tag_sql(),
+        "rocchio_topk": _rocchio_sql(),
     }
 
 

@@ -1157,3 +1157,47 @@ def cosine_topk_pq(
         F.broadcast(cand.select("id")), F.col(id_col) == F.col("id"), "left_semi"
     )
     return cosine_topk_bruteforce(exact_src, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def rocchio_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    fb_k: int = 5,
+    alpha: float = 1.0,
+    beta: float = 0.75,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X228 — Rocchio pseudo-relevance feedback for dense retrieval
+    (Rocchio 1971, SMART; the vector-space sibling of X116's RM3): the
+    initial top-`fb_k` cosine hits are assumed relevant, the query
+    moves toward their centroid
+
+        q' = α·q + β·mean(top-fb_k vectors)
+
+    and the FINAL ranking is exact cosine under q'. (The γ negative
+    term is omitted — pseudo-feedback has no non-relevant sample; the
+    standard PRF configuration.)
+
+    Plan: one brute-force top-fb_k pass (partial top-k per partition),
+    fb_k vectors collect to the driver (bounded — vectors, not data),
+    q' is literals, one more brute-force pass. With an ANN route both
+    passes swap to cosine_topk_pq/ivf unchanged. Columns: id, cosine.
+    """
+    first = cosine_topk_bruteforce(df, query_vec, k=fb_k, id_col=id_col, vec_col=vec_col)
+    ids = [r["id"] for r in first.collect()]
+    fb = (
+        df.filter(F.col(id_col).isin(ids))
+        .select(vec_col)
+        .collect()
+    )
+    q = np.asarray(query_vec, dtype=np.float64)
+    if fb:
+        centroid = np.mean(
+            [np.asarray(r[vec_col], dtype=np.float64) for r in fb], axis=0
+        )
+        q = alpha * q + beta * centroid
+    return cosine_topk_bruteforce(
+        df, [float(x) for x in q], k=k, id_col=id_col, vec_col=vec_col
+    )

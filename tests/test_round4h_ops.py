@@ -1254,3 +1254,30 @@ def test_gazetteer_large_dictionary_uses_automaton(spark):
         for r in TS.gazetteer_tag(df, phrases).collect()  # auto: >64
     }
     assert out == {(1, "needle"): 2, (1, "tok7"): 1}
+
+
+# ---------------------------------------------------------------- X228
+
+
+def test_rocchio_moves_query_toward_feedback(spark, emb):
+    import numpy as np
+
+    from scrapix_spark.operators import similarity as SIM
+
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    base = [r["id"] for r in SIM.cosine_topk_bruteforce(emb, qv, k=5).collect()]
+    out = SIM.rocchio_topk(emb, qv, k=5, fb_k=3, alpha=1.0, beta=0.75).collect()
+    # replay: centroid of top-3, q' = q + 0.75*c, exact cosine
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    top3 = base[:3]
+    q2 = np.asarray(qv) + 0.75 * np.mean([vecs[i] for i in top3], axis=0)
+    exact = [
+        r["id"]
+        for r in SIM.cosine_topk_bruteforce(
+            emb, [float(x) for x in q2], k=5
+        ).collect()
+    ]
+    assert [r["id"] for r in out] == exact
+    # alpha=1, beta=0 degenerates to the plain ranking
+    plain = SIM.rocchio_topk(emb, qv, k=5, fb_k=3, alpha=1.0, beta=0.0).collect()
+    assert [r["id"] for r in plain] == base
