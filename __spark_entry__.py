@@ -9062,6 +9062,103 @@ SELECT id, cosine FROM s2 ORDER BY cosine DESC, id LIMIT 10
 """
 
 
+
+
+_READ_SRC_SQL = (
+    "CASE doc_id % 3 "
+    "WHEN 0 THEN 'The cat sat on the mat. It was a simple table design! "
+    "Would anyone believe the incredible responsiveness of it?' "
+    "WHEN 1 THEN text "
+    "ELSE 'Ｗｉｄｅ　ｔｅｘｔ' END"
+)
+
+
+def q_readability(spark, sf_dir):
+    """X231 — Flesch reading ease + Flesch-Kincaid grade (Flesch 1948;
+    Kincaid et al. 1975): sentences by terminal-punctuation runs, the
+    standard vowel-group syllable heuristic with silent-e, all native
+    (one split + a per-word fold in codegen). Applied AFTER the X229
+    width fold so the planted full-width doc scores like ASCII.
+    operators/textstats.py readability_scores; functions/text.py
+    fold_width."""
+    from scrapix_spark.functions.text import fold_width
+
+    src = _docs(spark, sf_dir).select(
+        "doc_id", fold_width(F.expr(_READ_SRC_SQL)).alias("text2")
+    )
+    out = TS.readability_scores(src, "text2")
+    return out.select(
+        F.col("id").alias("doc_id"), "n_sentences", "n_words",
+        "n_syllables", "ease", "grade",
+    ).orderBy("doc_id")
+
+
+def _readability_sql() -> str:
+    from scrapix_spark.functions.text import fold_width_sql
+
+    folded = fold_width_sql(_READ_SRC_SQL)
+    syl = (
+        "greatest(len(regexp_extract_all(w, '[aeiouy]+'))"
+        " - (CASE WHEN w LIKE '%e' AND w NOT LIKE '%le'"
+        "      AND len(regexp_extract_all(w, '[aeiouy]+')) > 1"
+        "      THEN 1 ELSE 0 END), 1)"
+    )
+    return f"""
+WITH src AS (SELECT doc_id, {folded} AS t FROM documents),
+w AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(t), '\\s+'), x -> x <> '') AS ws,
+        greatest(len(list_filter(string_split_regex(t, '[.!?]+'),
+                                 s -> trim(s) <> '')), 1) AS n_sent
+      FROM src),
+m AS (SELECT doc_id, n_sent,
+        len(ws)::BIGINT AS n_words,
+        list_sum(list_transform(ws, w -> {syl}))::BIGINT AS n_syll
+      FROM w WHERE len(ws) > 0)
+SELECT doc_id, n_sent::BIGINT AS n_sentences, n_words,
+       n_syll AS n_syllables,
+       round(206.835 - 1.015 * (n_words::DOUBLE / n_sent)
+             - 84.6 * (n_syll::DOUBLE / n_words), 4) AS ease,
+       round(0.39 * (n_words::DOUBLE / n_sent)
+             + 11.8 * (n_syll::DOUBLE / n_words) - 15.59, 4) AS grade
+FROM m ORDER BY doc_id
+"""
+
+
+
+
+_HYPH_SRC_SQL = (
+    "'The co-' || chr(10) || 'operation of state-of-the-art sys-' "
+    "|| chr(10) || 'tems with soft' || chr(173) || 'hyphens and a "
+    "Foo-' || chr(10) || 'Bar case plus ' || text"
+)
+
+
+def q_dehyphenate(spark, sf_dir):
+    """X230 — line-break dehyphenation (the PDF/columned-text
+    extraction cleanup): lowercase-hyphen-newline-lowercase joins
+    ('co-\noperation' → 'cooperation'), real hyphens survive
+    ('state-of-the-art'), uppercase continuations survive ('Foo-\nBar'
+    — a likely intentional compound), soft hyphens strip. Two native
+    regexp_replace calls. functions/text.py dehyphenate."""
+    from scrapix_spark.functions.text import dehyphenate
+
+    src = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_HYPH_SRC_SQL).alias("t")
+    )
+    return src.select(
+        "doc_id", dehyphenate(F.col("t")).alias("clean_text")
+    ).orderBy("doc_id")
+
+
+def _dehyphenate_sql() -> str:
+    from scrapix_spark.functions.text import dehyphenate_sql
+
+    return f"""
+SELECT doc_id, {dehyphenate_sql(f"({_HYPH_SRC_SQL})")} AS clean_text
+FROM documents ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -9288,6 +9385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_quantized_norms": q_bm25_quantized_norms,
         "gazetteer_tag": q_gazetteer_tag,
         "rocchio_topk": q_rocchio_topk,
+        "readability": q_readability,
+        "dehyphenate": q_dehyphenate,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -12510,6 +12609,8 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "bm25_quantized_norms": _bm25_quantized_norms_sql(),
         "gazetteer_tag": _gazetteer_tag_sql(),
         "rocchio_topk": _rocchio_sql(),
+        "readability": _readability_sql(),
+        "dehyphenate": _dehyphenate_sql(),
     }
 
 

@@ -82,3 +82,62 @@ def meta_map_from_pairs(names: Column, contents: Column) -> Column:
     (the page-side `<meta name content>` extraction lands as two arrays
     in a table input)."""
     return F.map_from_arrays(names, contents)
+
+
+# ------------------------------------------- width folding (X229)
+
+# Fullwidth ASCII variants U+FF01..U+FF5E map 1:1 onto ASCII 0x21..0x7E
+# (Unicode chart: Halfwidth and Fullwidth Forms); the ideographic space
+# U+3000 maps to a plain space. One table drives both engines.
+_WIDE = "".join(chr(c) for c in range(0xFF01, 0xFF5F)) + "　"
+_NARROW = "".join(chr(c) for c in range(0x21, 0x7F)) + " "
+
+
+def fold_width(col):
+    """X229 — full-width → ASCII folding (the charabia/ICU width fold
+    CJK corpora need: 'ＡＢＣ１２３' tokenizes as 'abc123'): a single
+    native translate over the 95-character Unicode table — zero
+    Python, composable before any tokenizer like the X196 char
+    filters."""
+    from pyspark.sql import functions as F
+
+    return F.translate(col, _WIDE, _NARROW)
+
+
+def fold_width_sql(expr: str) -> str:
+    """The same fold as a DuckDB fragment, generated from the same
+    table (single quotes doubled for the SQL literal)."""
+    w = _WIDE.replace("'", "''")
+    n = _NARROW.replace("'", "''")
+    return f"translate({expr}, '{w}', '{n}')"
+
+
+# ------------------------------------------- dehyphenation (X230)
+
+# hyphen (plus soft hyphen U+00AD) at end-of-line followed by a
+# lowercase continuation — the PDF/columned-text extraction artifact
+_DEHYPH_PATTERN = r"([a-z])[-­]\n([a-z])"
+
+
+def dehyphenate(col):
+    """X230 — line-break dehyphenation (the PDF-extraction cleanup
+    every document pipeline runs: 'co-\\noperation' → 'cooperation'):
+    joins a word split by hyphen+newline when both sides are lowercase
+    letters (the conservative rule — 'state-\\nof-the-art' keeps its
+    real hyphens because only the break hyphen is consumed), and
+    strips remaining soft hyphens (U+00AD) outright. Two native
+    regexp_replace calls, zero Python."""
+    from pyspark.sql import functions as F
+
+    joined = F.regexp_replace(col, _DEHYPH_PATTERN, r"$1$2")
+    return F.regexp_replace(joined, "­", "")
+
+
+def dehyphenate_sql(expr: str) -> str:
+    """DuckDB replay of the same two rewrites (RE2 uses \\\\1 group
+    refs in the replacement)."""
+    pat = _DEHYPH_PATTERN.replace("\\u00AD", "­")
+    return (
+        f"regexp_replace(regexp_replace({expr}, '{pat}', '\\1\\2', 'g'),"
+        f" '­', '', 'g')"
+    )

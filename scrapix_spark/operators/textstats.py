@@ -1685,3 +1685,66 @@ def gazetteer_tag(
     return df.select(id_col, text_col).mapInPandas(
         kernel, schema="id long, phrase string, n_occurrences long"
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X231 — Flesch reading ease + Flesch-Kincaid grade level (Flesch
+    1948; Kincaid et al. 1975 — public formulas, a standard document
+    quality signal next to the Gopher/C4 rules):
+
+        ease  = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+        grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+
+    Sentences = maximal runs ending in . ! or ? (min 1); words =
+    whitespace tokens (docs with none are omitted); syllables per word
+    by the standard heuristic: number of [aeiouy]+ vowel groups, minus
+    a trailing silent 'e' (unless the word would drop to zero), min 1.
+
+    Everything is native: one split + two higher-order aggregates —
+    the syllable count is a per-word fold over vowel-group regexes,
+    inside codegen, zero Python. Returns (id, n_sentences, n_words,
+    n_syllables, ease, grade) rounded to 4."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.lower(txt), r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    n_sent = F.greatest(
+        F.size(
+            F.filter(
+                F.split(txt, r"[.!?]+"),
+                lambda s: F.trim(s) != F.lit(""),
+            )
+        ),
+        F.lit(1),
+    )
+
+    def syl(w):
+        groups = F.size(
+            F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))
+        )
+        # trailing silent 'e' (not '-le') drops one syllable unless the
+        # word would fall to zero
+        silent_e = (
+            F.endswith(w, F.lit("e"))
+            & ~F.endswith(w, F.lit("le"))
+            & (groups > 1)
+        ).cast("int")
+        return F.greatest(groups - silent_e, F.lit(1))
+
+    n_syll = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + syl(w)
+    )
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = n_syll.cast("double") / n_words.cast("double")
+    out = df.select(
+        F.col(id_col).alias("id"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_words.cast("long").alias("n_words"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("ease"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("grade"),
+    )
+    return out.filter(F.col("n_words") > 0)

@@ -1281,3 +1281,58 @@ def test_rocchio_moves_query_toward_feedback(spark, emb):
     # alpha=1, beta=0 degenerates to the plain ranking
     plain = SIM.rocchio_topk(emb, qv, k=5, fb_k=3, alpha=1.0, beta=0.0).collect()
     assert [r["id"] for r in plain] == base
+
+
+# ---------------------------------------------------- X229/X230/X231
+
+
+def test_width_fold_three_way(spark):
+    import duckdb
+
+    from scrapix_spark.functions.text import fold_width, fold_width_sql
+
+    samples = ["ＡＢＣ　ｄｅｆ１２３", "mixed Ｘy＇ｚ", "plain", "！？"]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    sp = {r["t"]: r["f"] for r in df.select("t", fold_width(F.col("t")).alias("f")).collect()}
+    con = duckdb.connect()
+    for s in samples:
+        du = con.execute(f"SELECT {fold_width_sql('?')}", [s]).fetchone()[0]
+        assert sp[s] == du, s
+    assert sp["ＡＢＣ　ｄｅｆ１２３"] == "ABC def123"
+    assert sp["！？"] == "!?"
+
+
+def test_dehyphenate_rules(spark):
+    from scrapix_spark.functions.text import dehyphenate
+
+    t = ("The co-\noperation of state-of-the-art sys-\ntems "
+         "with soft­hyphens and a Foo-\nBar case")
+    out = spark.createDataFrame([(t,)], "t string").select(
+        dehyphenate(F.col("t")).alias("c")
+    ).first()["c"]
+    assert "cooperation" in out and "systems" in out
+    assert "state-of-the-art" in out          # real hyphens survive
+    assert "softhyphens" in out               # soft hyphen stripped
+    assert "Foo-\nBar" in out                 # uppercase continuation kept
+
+
+def test_readability_closed_form(spark):
+    from scrapix_spark.operators import textstats as TS
+
+    # "The cat sat. The dog ran fast!" — 2 sentences, 7 words; syllables:
+    # the(1) cat(1) sat(1) the(1) dog(1) ran(1) fast!(1) = 7
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran fast!")], "doc_id long, text string"
+    )
+    r = TS.readability_scores(df).first()
+    assert (r["n_sentences"], r["n_words"], r["n_syllables"]) == (2, 7, 7)
+    wps, spw = 7 / 2, 7 / 7
+    assert r["ease"] == pytest.approx(round(206.835 - 1.015 * wps - 84.6 * spw, 4))
+    assert r["grade"] == pytest.approx(round(0.39 * wps + 11.8 * spw - 15.59, 4))
+    # silent-e and -le handling
+    df2 = spark.createDataFrame(
+        [(1, "table like simple")], "doc_id long, text string"
+    )
+    r2 = TS.readability_scores(df2).first()
+    # table=2 (le kept), like=1 (silent e), simple=2 → 5
+    assert r2["n_syllables"] == 5
