@@ -9195,10 +9195,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries) register at the very END, behind the whole round-4d/4e/4f
     # tail — every one is local-harness green (tools/check_oracles.py,
     # driver protocol) pending a driver sample reaching them. The
-    # round-4h gates (X203-X215: has_child_topk .. streaming_trending,
-    # 18 entries) follow them, same status: each checked green
-    # individually at registration AND in the full 269-entry sweeps
-    # this session. Everything has a green
+    # round-4h gates (X203-X231: has_child_topk .. dehyphenate, 35
+    # entries) follow them, same status: each checked green
+    # individually at registration AND in the full-registry sweeps
+    # this session (281-entry and final-HEAD runs, 0 failures). Everything has a green
     # row in r01-r03 OR in this session's local full-registry sweep via
     # tools/check_oracles.py (the driver's exact protocol).
     return {
