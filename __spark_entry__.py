@@ -9159,6 +9159,58 @@ FROM documents ORDER BY doc_id
 """
 
 
+
+
+ROUTE_BATTERY = [
+    "table merge sort", "qqqqqq", "table", "hash join stream",
+    "zzz table", "qqqqqq zzzzz",
+]
+
+
+def q_plan_route(spark, sf_dir):
+    """X232 — WAND-vs-full query routing from pre-retrieval stats (the
+    planner decision the X222 predictors feed; Broder et al. CIKM
+    2003): 'wand' iff ≥2 known terms and a common term exists
+    (max_df ≥ ceil(N/10)); selective/single-term queries route 'full'.
+    Both routes are rank-identical by the T3 contract, so routing can
+    never change results (pinned by test). The battery exercises
+    multi-common, unknown-only, single-term, and mixed queries.
+    operators/query.py plan_route."""
+    post = _postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    n = _docs(spark, sf_dir).count()
+    outs = [Q.plan_route(stats, n, q) for q in ROUTE_BATTERY]
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u.orderBy("query")
+
+
+def _plan_route_sql() -> str:
+    tok = TOK_EXPR("text")
+    arms = []
+    for q in ROUTE_BATTERY:
+        terms = Q.query_terms(q)
+        tlist = ", ".join(f"'{t}'" for t in terms)
+        arms.append(f"""
+SELECT '{q}' AS query, {len(terms)}::BIGINT AS n_terms,
+       count(*) FILTER (term IN ({tlist}))::BIGINT AS n_known,
+       coalesce(max(df) FILTER (term IN ({tlist})), 0)::BIGINT AS max_df,
+       CASE WHEN count(*) FILTER (term IN ({tlist})) >= 2
+             AND coalesce(max(df) FILTER (term IN ({tlist})), 0)
+                 >= CAST(ceil(nd.n * 0.1) AS BIGINT)
+            THEN 'wand' ELSE 'full' END AS route
+FROM dict CROSS JOIN nd GROUP BY nd.n""")
+    union = " UNION ALL ".join(arms)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT * FROM ({union}) ORDER BY query
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -9387,6 +9439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rocchio_topk": q_rocchio_topk,
         "readability": q_readability,
         "dehyphenate": q_dehyphenate,
+        "plan_route": q_plan_route,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -12611,6 +12664,7 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "rocchio_topk": _rocchio_sql(),
         "readability": _readability_sql(),
         "dehyphenate": _dehyphenate_sql(),
+        "plan_route": _plan_route_sql(),
     }
 
 

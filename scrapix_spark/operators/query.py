@@ -3109,3 +3109,44 @@ def query_difficulty(
         "n_known", "avg_idf", "max_idf", "var_idf",
         "avg_scq", "sum_scq", "avg_ictf",
     )
+
+
+def plan_route(
+    term_stats: DataFrame,
+    N: int,
+    q: str,
+    df_floor_frac: float = 0.1,
+) -> DataFrame:
+    """X232 — query routing from pre-retrieval statistics (the planner
+    decision X222's predictors exist for; Broder et al. CIKM 2003
+    motivate exactly this WAND-vs-exhaustive split): block-max pruning
+    pays when the query contains at least one COMMON term (long
+    posting lists to skip) and more than one known term (single-term
+    queries are one list scan either way); selective queries route to
+    full scoring — their candidate sets are already small.
+
+    Pinned rule: route = 'wand' iff n_known >= 2 AND max_df >=
+    ceil(df_floor_frac · N), else 'full'. One query-sized dictionary
+    slice + a 1-row agg — the decision costs no posting I/O, and both
+    routes are rank-identical by the T3 contract, so routing can never
+    change results (pinned by test).
+
+    Returns one row: (query, n_terms, n_known, max_df, route)."""
+    terms = query_terms(q)
+    if not terms:
+        raise ValueError("empty query")
+    floor = int(-(-df_floor_frac * N // 1))
+    sl = term_stats.filter(F.col("term").isin(terms)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_known"),
+        F.coalesce(F.max("df"), F.lit(0)).cast("long").alias("max_df"),
+    )
+    route = F.when(
+        (F.col("n_known") >= 2) & (F.col("max_df") >= floor), F.lit("wand")
+    ).otherwise(F.lit("full"))
+    return sl.select(
+        F.lit(q).alias("query"),
+        F.lit(len(terms)).cast("long").alias("n_terms"),
+        "n_known",
+        "max_df",
+        route.alias("route"),
+    )

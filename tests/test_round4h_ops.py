@@ -1336,3 +1336,32 @@ def test_readability_closed_form(spark):
     r2 = TS.readability_scores(df2).first()
     # table=2 (le kept), like=1 (silent e), simple=2 → 5
     assert r2["n_syllables"] == 5
+
+
+# ---------------------------------------------------------------- X232
+
+
+def test_plan_route_decisions_and_rank_safety(docs, corpus):
+    post, stats, n, avgdl = corpus
+    # two common terms → wand
+    r = Q.plan_route(stats, n, "table merge").first()
+    assert r["route"] == "wand" and r["n_known"] == 2
+    # single known term → full (one list scan either way)
+    assert Q.plan_route(stats, n, "table").first()["route"] == "full"
+    # unknown-only → full, n_known 0, max_df 0
+    r = Q.plan_route(stats, n, "qqq zzz").first()
+    assert (r["route"], r["n_known"], r["max_df"]) == ("full", 0, 0)
+    # df floor: demand more common terms than exist → full
+    assert Q.plan_route(stats, n, "table merge", df_floor_frac=2.0).first()[
+        "route"
+    ] == "full"
+    with pytest.raises(ValueError):
+        Q.plan_route(stats, n, "")
+    # routing can never change results: both paths rank-identical
+    a = [r["doc_id"] for r in Q.bm25_topk_from_postings(post, stats, n, avgdl, "table merge", k=10).collect()]
+    # (full-scoring is the oracle of the wand path by the T3 contract,
+    # pinned index-side by test_wand_property — here we assert the
+    # decision relation carries everything needed to dispatch)
+    cols = set(Q.plan_route(stats, n, "table merge").columns)
+    assert {"query", "route", "n_known", "max_df"} <= cols
+    assert len(a) == 10
