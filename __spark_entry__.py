@@ -9211,6 +9211,52 @@ SELECT * FROM ({union}) ORDER BY query
 """
 
 
+
+
+_LEMMA_SRC_SQL = (
+    "text || ' ' || CASE doc_id % 4 "
+    "WHEN 0 THEN 'running children tables were stopped' "
+    "WHEN 1 THEN 'cities glasses took walking mice' "
+    "WHEN 2 THEN 'knew written classes merged sorting' "
+    "ELSE 'feet geese better doing found' END"
+)
+
+
+def q_lemma_tf(spark, sf_dir):
+    """X233 — dictionary lemmatization (irregular closed-class table +
+    regular-inflection suffix rules with doubled-consonant undo:
+    running→run, children→child, cities→city, was→be) as an analyzer
+    stage: per-(doc, lemma) tf over the planted-inflection corpus.
+    The 3-way Spark/DuckDB/python parity comes from one table + one
+    rule chain. functions/stem.py lemma_expr/lemma_sql/lemma_py."""
+    from scrapix_spark.functions.stem import lemma_expr
+
+    src = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_LEMMA_SRC_SQL).alias("t2")
+    )
+    t = with_tokens(src, "t2")
+    return (
+        t.select("doc_id", F.explode("tokens").alias("tk"))
+        .select("doc_id", lemma_expr(F.col("tk.term")).alias("lemma"),
+                F.col("tk.tf").cast("long").alias("tf"))
+        .groupBy("doc_id", "lemma")
+        .agg(F.sum("tf").alias("tf"))
+        .orderBy("doc_id", "lemma")
+    )
+
+
+def _lemma_tf_sql() -> str:
+    from scrapix_spark.functions.stem import lemma_sql
+
+    tok = TOK_EXPR("t2")
+    return f"""
+WITH src AS (SELECT doc_id, {_LEMMA_SRC_SQL} AS t2 FROM documents),
+tk AS (SELECT doc_id, unnest({tok}) AS term FROM src)
+SELECT doc_id, {lemma_sql('term')} AS lemma, count(*)::BIGINT AS tf
+FROM tk GROUP BY doc_id, lemma ORDER BY doc_id, lemma
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-entry sample (round 4): the 25
     # never-driver-gated round-2c surfaces lead (draining the backlog to
@@ -9440,6 +9486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "dehyphenate": q_dehyphenate,
         "plan_route": q_plan_route,
+        "lemma_tf": q_lemma_tf,
         "bm25_wand_topk": q_bm25_wand_topk,
         "bm25_for_codec_topk": q_bm25_for_codec_topk,
         "delta_lifecycle_topk": q_delta_lifecycle_topk,
@@ -12665,6 +12712,7 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "readability": _readability_sql(),
         "dehyphenate": _dehyphenate_sql(),
         "plan_route": _plan_route_sql(),
+        "lemma_tf": _lemma_tf_sql(),
     }
 
 

@@ -242,7 +242,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "kn_perplexity", "comb_fusion", "proto_prune", "effective_license",
         "query_difficulty", "sorted_field_topk", "priority_sample",
         "c4_lines", "bm25_quantized_norms", "gazetteer_tag", "rocchio_topk",
-        "readability", "dehyphenate", "plan_route",
+        "readability", "dehyphenate", "plan_route", "lemma_tf",
     ]
     out = {}
     for name in headline:

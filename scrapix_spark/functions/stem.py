@@ -195,3 +195,122 @@ def stem_postings(postings):
     return s.groupBy("term", "doc_id").agg(
         F.sum("tf").cast("long").alias("tf"), F.max("dl").alias("dl")
     )
+
+
+# ------------------------------------------------ lemmatization (X233)
+
+# Irregular English lemmas — the standard closed-class table every
+# dictionary lemmatizer ships (public linguistic knowledge); suffix
+# rules handle the regular inflections. One table drives the Spark
+# expression, the SQL fragment and the python reference.
+IRREGULAR_LEMMAS: dict[str, str] = {
+    "ran": "run", "went": "go", "gone": "go", "mice": "mouse",
+    "children": "child", "feet": "foot", "teeth": "tooth",
+    "geese": "goose", "men": "man", "women": "woman", "was": "be",
+    "were": "be", "is": "be", "are": "be", "been": "be", "am": "be",
+    "has": "have", "had": "have", "did": "do", "done": "do",
+    "said": "say", "made": "make", "better": "good", "best": "good",
+    "worse": "bad", "worst": "bad", "took": "take", "taken": "take",
+    "came": "come", "saw": "see", "seen": "see", "got": "get",
+    "gave": "give", "given": "give", "wrote": "write",
+    "written": "write", "knew": "know", "known": "know",
+    "found": "find", "threw": "throw", "thrown": "throw",
+}
+
+
+def lemma_py(w: str) -> str:
+    """Python reference of the pinned lemmatizer variant: irregular
+    table, then -ies→y, -sses→ss, plain plural -s (not -ss/-us/-is),
+    then -ing/-ed stripped when ≥3 letters remain (with doubled final
+    consonant undone: 'running'→'run')."""
+    if w in IRREGULAR_LEMMAS:
+        return IRREGULAR_LEMMAS[w]
+    if w.endswith("ies") and len(w) > 4:
+        return w[:-3] + "y"
+    if w.endswith("sses"):
+        return w[:-2]
+    if (
+        w.endswith("s")
+        and not w.endswith(("ss", "us", "is"))
+        and len(w) > 3
+    ):
+        return w[:-1]
+    for suf in ("ing", "ed"):
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            stem = w[: -len(suf)]
+            if len(stem) >= 4 and stem[-1] == stem[-2] and stem[-1] not in "aeiou":
+                stem = stem[:-1]
+            return stem
+    return w
+
+
+def lemma_expr(col):
+    """The SAME lemmatizer as a Catalyst expression — map literal for
+    the irregulars, the identical rule chain in when/otherwise."""
+    from pyspark.sql import functions as F
+
+    irr = F.create_map(
+        *[F.lit(x) for kv in sorted(IRREGULAR_LEMMAS.items()) for x in kv]
+    )
+    w = col
+    n = F.length(w)
+    stem_ing = F.substring(w, 1, n - 3)
+    stem_ed = F.substring(w, 1, n - 2)
+
+    def undouble(stem, slen):
+        last = F.substring(stem, slen, 1)
+        prev = F.substring(stem, slen - 1, 1)
+        return F.when(
+            (slen >= 4) & (last == prev) & ~last.rlike("[aeiou]"),
+            F.substring(stem, 1, slen - 1),
+        ).otherwise(stem)
+
+    rules = (
+        F.when(
+            w.endswith("ies") & (n > 4),
+            F.concat(F.substring(w, 1, n - 3), F.lit("y")),
+        )
+        .when(w.endswith("sses"), F.substring(w, 1, n - 2))
+        .when(
+            w.endswith("s")
+            & ~w.endswith("ss") & ~w.endswith("us") & ~w.endswith("is")
+            & (n > 3),
+            F.substring(w, 1, n - 1),
+        )
+        .when(w.endswith("ing") & (n - 3 >= 3), undouble(stem_ing, n - 3))
+        .when(w.endswith("ed") & (n - 2 >= 3), undouble(stem_ed, n - 2))
+        .otherwise(w)
+    )
+    return F.coalesce(F.element_at(irr, w), rules)
+
+
+def lemma_sql(expr: str) -> str:
+    """DuckDB fragment of the same variant, generated from the same
+    irregular table and rule chain."""
+    branches = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(IRREGULAR_LEMMAS.items())
+    )
+
+    def undouble(stem, slen):
+        return (
+            f"CASE WHEN {slen} >= 4"
+            f" AND substring({stem}, {slen}, 1) = substring({stem}, {slen} - 1, 1)"
+            f" AND NOT regexp_matches(substring({stem}, {slen}, 1), '[aeiou]')"
+            f" THEN substring({stem}, 1, {slen} - 1) ELSE {stem} END"
+        )
+
+    w, n = expr, f"len({expr})"
+    s_ing = f"substring({w}, 1, {n} - 3)"
+    s_ed = f"substring({w}, 1, {n} - 2)"
+    return f"""CASE {w} {branches}
+ ELSE CASE
+  WHEN {w} LIKE '%ies' AND {n} > 4
+    THEN substring({w}, 1, {n} - 3) || 'y'
+  WHEN {w} LIKE '%sses' THEN substring({w}, 1, {n} - 2)
+  WHEN {w} LIKE '%s' AND {w} NOT LIKE '%ss' AND {w} NOT LIKE '%us'
+       AND {w} NOT LIKE '%is' AND {n} > 3
+    THEN substring({w}, 1, {n} - 1)
+  WHEN {w} LIKE '%ing' AND {n} - 3 >= 3 THEN {undouble(s_ing, f"({n} - 3)")}
+  WHEN {w} LIKE '%ed' AND {n} - 2 >= 3 THEN {undouble(s_ed, f"({n} - 2)")}
+  ELSE {w} END
+ END"""

@@ -1365,3 +1365,39 @@ def test_plan_route_decisions_and_rank_safety(docs, corpus):
     cols = set(Q.plan_route(stats, n, "table merge").columns)
     assert {"query", "route", "n_known", "max_df"} <= cols
     assert len(a) == 10
+
+
+# ---------------------------------------------------------------- X233
+
+
+def test_lemma_three_way_parity(spark):
+    import duckdb
+
+    from scrapix_spark.functions.stem import lemma_expr, lemma_py, lemma_sql
+
+    words = [
+        "ran", "children", "tables", "glasses", "classes", "buses",
+        "analysis", "running", "stopped", "walked", "walking", "sing",
+        "ties", "cities", "kiss", "was", "doing", "freed", "cat",
+        "cats", "boss", "virus", "merged", "sorting", "bed", "mice",
+        "written", "best", "s", "ss",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    sp = {r["w"]: r["l"] for r in df.select("w", lemma_expr(F.col("w")).alias("l")).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"('{w}')" for w in words) + ") v(w)"
+    )
+    du = {r[0]: r[1] for r in con.execute(f"SELECT w, {lemma_sql('w')} FROM t").fetchall()}
+    for w in words:
+        assert sp[w] == du[w] == lemma_py(w), w
+    # pinned behaviors
+    assert lemma_py("running") == "run"        # doubled consonant undone
+    assert lemma_py("walking") == "walk"
+    assert lemma_py("cities") == "city"
+    assert lemma_py("glasses") == "glass"
+    assert lemma_py("was") == "be"             # irregular wins first
+    assert lemma_py("sing") == "sing"          # stem too short to strip
+    assert lemma_py("boss") == "boss"          # -ss protected
+    assert lemma_py("virus") == "virus"        # -us protected
