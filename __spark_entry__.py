@@ -9257,49 +9257,73 @@ FROM tk GROUP BY doc_id, lemma ORDER BY doc_id, lemma
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-5 driver-sample ordering (VERDICT r4 "Next round" task 1).
+# The driver gates the FIRST 50 queries() keys each round. Tier 1 is every
+# registry entry that has never received an external row (no driver round
+# sampled it, and the round-4 judge's independent 89-entry re-run did not
+# cover it) — 49 entries, all green in the builder's own full-registry
+# sweeps (tools/check_oracles.py, driver protocol) at the round-4 HEAD.
+# Tier 2 is the judge-re-run-only set (green externally once, never via a
+# driver row). Driver-green entries fill the tail. New round-5 gates are
+# appended to _R5_NEW so they queue directly behind tier 1.
+_R5_TIER1 = [
+    "source_roundtrip", "trigram_regex", "decay_boosted",
+    "generation_diff", "mask_spans_multi", "sb_trigram_scores",
+    "max_passage_topk", "power_laws", "value_histogram",
+    "events_date_histogram", "related_terms", "event_quantiles",
+    "cdc_chunks", "range_counts", "weighted_sample", "docid_reorder_bytes",
+    "phrase_suggest", "pinned_search", "adjacency_matrix",
+    "random_score_search", "span_containing", "anchor_boost_topk",
+    "geo_distance_rings", "luhn_scrub", "string_stats", "matrix_stats",
+    "t_test_welch", "typo_damerau_topk", "phrase_pos_codec_topk",
+    "warc_roundtrip", "filters_agg", "multi_terms_agg",
+    "diversified_sample", "collapse_inner_hits", "context_completions",
+    "edge_ngram_complete", "fuzzy_completions", "script_score_topk",
+    "champion_topk", "phrase_prefix_topk", "path_facets",
+    "budget_allocation", "bitmap_or_count", "has_parent_docs",
+    "terms_agg_sharded", "sim_dfr_topk", "combined_fields_topk",
+    "phonetic_search", "range_query_pruned",
+]
+_R5_NEW: list[str] = []  # round-5 additions, appended as they register
+_R5_TIER2 = [
+    "domain_blocklist", "minhash_xjoin", "leakage_split", "more_like_this",
+    "multi_search", "best_passage", "mmr_rerank", "percolate_matches",
+    "ir_metrics", "rm3_expanded_topk", "cms_counts", "dict_frontcode",
+    "bloom_members", "hll_vocab", "wildcard_phrase", "maxsim_rerank",
+    "sig_terms", "score_explain", "term_vectors", "bool_query_topk",
+    "span_first", "top_hits_group", "events_pipeline", "similarity_matrix",
+    "min_should_match_topk", "search_after_page", "pruned_static_topk",
+    "composite_page", "span_not", "dis_max_topk", "geohash_grid",
+    "cross_fields_topk", "rank_feature_search", "terms_set_topk",
+    "percentile_ranks", "textrank_keywords", "rare_terms",
+    "boosting_query", "ltr_features", "stemmed_search",
+    "search_autocorrect", "query_cache_topk", "terms_lookup",
+    "js_divergence", "cdc_dedup_mass", "bitmap_and", "embedding_decontam",
+    "phrase_freq_topk", "knn_filtered", "ltr_rerank", "char_filter_tf",
+    "runtime_sort", "segment_query_pmi", "grep_context",
+    "common_terms_topk", "corpus_report", "routed_analyzers",
+    "has_child_topk", "ann_pq_topk", "soundex_codes", "range_index_blocks",
+    "quantile_summary", "rescore_window", "curation_mixer",
+    "manifest_scan", "term_stats_delta", "streaming_trending",
+    "train_logreg", "call_edges", "kn_perplexity", "comb_fusion",
+    "proto_prune", "effective_license", "query_difficulty",
+    "sorted_field_topk", "priority_sample", "c4_lines",
+    "bm25_quantized_norms", "gazetteer_tag", "rocchio_topk", "readability",
+    "dehyphenate", "plan_route", "lemma_tf",
+]
+
+
+def _r5_order(reg: dict) -> dict:
+    """Reorder the registry: tier1 (never externally verified) first, then
+    round-5 additions, then tier2 (judge-re-run only), then driver-green."""
+    front = [k for k in _R5_TIER1 + _R5_NEW + _R5_TIER2 if k in reg]
+    seen = set(front)
+    return {k: reg[k] for k in front + [k for k in reg if k not in seen]}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered for the driver's 50-entry sample (round 4): the 25
-    # never-driver-gated round-2c surfaces lead (draining the backlog to
-    # 0), then this round's fixes (geo_bbox rounding, facet document-
-    # count semantics), the four new lifecycle gates (X70 dump/restore,
-    # X71 auto-compact, X56 folded tokenize, X16 heartbeat invariants),
-    # the round-4 operators X86-X98 (mutation endpoints, chunking,
-    # stop-words, buckets, authority, winnowing, BPE, time travel,
-    # forks, type-2, polygon, BQ-ANN), and re-gates of the pruned/
-    # layered query paths touched by the round-4 performance work.
-    # That was 45 must-gate entries; the round-4c operators X99-X106
-    # (8 gates) follow them, so the 50-sample covers the 45 + the first
-    # 5 new ones. The never-driver-gated remainder — the round-4c tail
-    # (domain_blocklist, minhash_xjoin, leakage_split, X107-X110), the
-    # round-4d block (X111-X141 gates), the round-4e block (X142-X149:
-    # similarity_matrix, sim_dirichlet_topk, min_should_match_topk,
-    # search_after_page, docid_reorder_map/bytes, pruned_static_topk,
-    # phrase_suggest, composite_page, span_not) and the round-4f block
-    # (X150-X169: dis_max_topk, pinned_search, geohash_grid,
-    # cross_fields_topk, adjacency_matrix, rank_feature_search,
-    # random_score_search, span_containing, terms_set_topk,
-    # anchor_boost_topk, percentile_ranks, geo_distance_rings,
-    # luhn_scrub, textrank_keywords, string_stats, rare_terms,
-    # matrix_stats, t_test_welch, boosting_query, ltr_features) — sits
-    # directly behind them in registration order, so the round-5
-    # 50-sample covers positions 51-100 and the overflow (the last
-    # ~20 round-4f entries) remains local-harness-gated only. ROUND-5
-    # BUILDER: reorder positions 51+ so the entries you most want a
-    # driver row for come first, and retire redundant near-duplicates
-    # if the backlog still exceeds 50. (Round-4g already retired the
-    # three named duplicates: docid_reorder_map, trigram_substring,
-    # sim_dirichlet_topk — their operators and tests remain.) The
-    # round-4g gates (X174-X192: filters_agg .. embedding_decontam, 17
-    # entries) register at the very END, behind the whole round-4d/4e/4f
-    # tail — every one is local-harness green (tools/check_oracles.py,
-    # driver protocol) pending a driver sample reaching them. The
-    # round-4h gates (X203-X231: has_child_topk .. dehyphenate, 35
-    # entries) follow them, same status: each checked green
-    # individually at registration AND in the full-registry sweeps
-    # this session (281-entry and final-HEAD runs, 0 failures). Everything has a green
-    # row in r01-r03 OR in this session's local full-registry sweep via
-    # tools/check_oracles.py (the driver's exact protocol).
-    return {
+    reg = {
         "pii_redact": q_pii_redact,
         "repetition_signals": q_repetition_signals,
         "decontaminate": q_decontaminate,
@@ -9594,6 +9618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_negative_stopwords": q_search_negative_stopwords,
         "matching_strategy_last": q_matching_strategy_last,
     }
+    return _r5_order(reg)
 
 
 def _bm25f_sql(fields: list[tuple[str, float, str]] | None = None) -> str:

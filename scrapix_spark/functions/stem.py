@@ -184,14 +184,27 @@ def stem_terms_udf():
 
 
 def stem_postings(postings):
-    """Stemmed postings relation: terms mapped through porter_stem and
-    (term, doc) rows re-merged (tf sums — two surface forms of one stem
-    in one doc are one stemmed term). One map + the same term-keyed agg
-    shape as tokenization itself; dl is unchanged (document length is a
-    property of the text, not the vocabulary)."""
+    """Stemmed postings relation: (term, doc) rows re-merged under the
+    Porter stem (tf sums — two surface forms of one stem in one doc are
+    one stemmed term); dl is unchanged (document length is a property
+    of the text, not the vocabulary).
+
+    Vocab-level plan (the X44/X56/X60 discipline): the Python Porter
+    kernel runs over the DISTINCT-term relation only — |vocab| rows,
+    Heaps-law sublinear in corpus size — and the postings relation gets
+    the mapping back via a broadcast hash join, so the full postings
+    hot path stays JVM-side (no BatchEvalPython over |postings| rows).
+    At 10^12-file scale vocab is millions of rows vs trillions of
+    postings; the broadcast is bounded by vocab size, same as the
+    synonym/dictionary broadcast paths."""
     from pyspark.sql import functions as F
 
-    s = postings.withColumn("term", stem_terms_udf()(F.col("term")))
+    vocab = postings.select("term").distinct().withColumn(
+        "stem", stem_terms_udf()(F.col("term"))
+    )
+    s = postings.join(F.broadcast(vocab), "term").select(
+        F.col("stem").alias("term"), "doc_id", "tf", "dl"
+    )
     return s.groupBy("term", "doc_id").agg(
         F.sum("tf").cast("long").alias("tf"), F.max("dl").alias("dl")
     )
