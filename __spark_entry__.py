@@ -7935,11 +7935,13 @@ ranked AS (SELECT shard, value, cnt,
                                 ORDER BY cnt DESC, value ASC) AS rk
            FROM per),
 reported AS (SELECT * FROM ranked WHERE rk <= 8),
-mins AS (SELECT shard, min(cnt) AS min_rep FROM reported GROUP BY shard),
-tmv AS (SELECT sum(min_rep) AS tm FROM mins),
+mins AS (SELECT shard,
+           CASE WHEN count(*) < 8 THEN 0 ELSE min(cnt) END AS bnd
+         FROM reported GROUP BY shard),
+tmv AS (SELECT sum(bnd) AS tm FROM mins),
 merged AS (
   SELECT r.value, sum(r.cnt)::BIGINT AS doc_count,
-         sum(m.min_rep)::BIGINT AS covered_min,
+         sum(m.bnd)::BIGINT AS covered_min,
          count(*)::INT AS n_shards_reporting
   FROM reported r JOIN mins m USING (shard)
   GROUP BY r.value)
@@ -8887,8 +8889,13 @@ _C4_SRC_SQL = (
     "CASE doc_id % 4 "
     "WHEN 0 THEN 'This is a perfectly fine sentence for keeping here.' "
     "|| chr(10) || text || chr(10) || 'short line.' "
+    "|| chr(10) || 'A second surviving sentence keeps the page afloat!' "
+    "|| chr(10) || 'And a third sentence clears the minimum floor now.' "
     "WHEN 1 THEN 'function f() { return 1; }' || chr(10) "
     "|| 'Another good line stays in the cleaned document today!' "
+    "|| chr(10) || 'Enable JavaScript to view this site properly now.' "
+    "|| chr(10) || 'A second surviving sentence keeps the page afloat.' "
+    "|| chr(10) || 'And a third sentence clears the minimum floor now?' "
     "WHEN 2 THEN 'Lorem Ipsum dolor sit amet is boilerplate to drop.' "
     "|| chr(10) || 'Enable JavaScript to view this site properly now.' "
     "|| chr(10) || 'A realistic surviving sentence with enough words?' "
@@ -8897,11 +8904,14 @@ _C4_SRC_SQL = (
 
 
 def q_c4_lines(spark, sf_dir):
-    """X225 — C4 line-level cleaning (Raffel et al. JMLR 2020 s2.2):
-    keep lines ending in terminal punctuation with >=5 words and no
-    braces / 'lorem ipsum' / 'javascript'; docs reassemble, empty docs
-    drop. Map-only higher-order filter, the X36 plan shape minus its
-    line-df join. operators/curation.py c4_line_filter."""
+    """X225 — C4 cleaning (Raffel et al. JMLR 2020 s2.2, the public
+    tensorflow_datasets clean_page ordering): candidate lines end in
+    terminal punctuation with >=5 words; among candidates 'lorem
+    ipsum' page-drops, 'javascript' line-drops, a curly brace
+    page-drops (after the javascript skip); pages with <3 sentences
+    ([.!?] count in kept text — pinned approximation) drop. Map-only
+    higher-order filter, the X36 plan shape minus its line-df join.
+    operators/curation.py c4_line_filter."""
     from scrapix_spark.operators import curation as CU
 
     src = _docs(spark, sf_dir).select(
@@ -8919,19 +8929,27 @@ def _c4_lines_sql() -> str:
     return f"""
 WITH src AS (SELECT doc_id, {_C4_SRC_SQL} AS t FROM documents),
 l AS (SELECT doc_id, string_split(coalesce(t, ''), chr(10)) AS ls FROM src),
-k AS (SELECT doc_id, ls,
+c AS (SELECT doc_id, ls,
         list_filter(ls, x ->
           list_contains([{terms}], right(rtrim(x), 1))
           AND len(list_filter(string_split_regex(x, '\\s+'),
-                              w -> w <> '')) >= 5
-          AND NOT contains(lower(x), {brace_l})
-          AND NOT contains(lower(x), {brace_r})
-          AND NOT contains(lower(x), 'lorem ipsum')
-          AND NOT contains(lower(x), 'javascript')) AS kept
-      FROM l)
+                              w -> w <> '')) >= 5) AS cand
+      FROM l),
+k AS (SELECT doc_id, ls,
+        list_filter(cand,
+                    x -> NOT contains(lower(x), 'javascript')) AS kept,
+        len(list_filter(cand, x ->
+          contains(lower(x), 'lorem ipsum')
+          OR (NOT contains(lower(x), 'javascript')
+              AND (contains(x, {brace_l})
+                   OR contains(x, {brace_r}))))) AS page_bad
+      FROM c)
 SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
        len(ls)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept
-FROM k WHERE len(kept) > 0 ORDER BY doc_id
+FROM k WHERE page_bad = 0 AND len(kept) > 0
+  AND len(regexp_replace(array_to_string(kept, chr(10)),
+                         '[^.!?]', '', 'g')) >= 3
+ORDER BY doc_id
 """
 
 

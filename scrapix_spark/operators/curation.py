@@ -1454,8 +1454,8 @@ def priority_sample(
     ).limit(int(k))
 
 
-C4_BAD_PHRASES = ("lorem ipsum", "javascript")
 C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
 C4_TERMINALS = (".", "!", "?", '"', "'")
 
 
@@ -1464,40 +1464,68 @@ def c4_line_filter(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_words: int = C4_MIN_LINE_WORDS,
+    min_sentences: int = C4_MIN_SENTENCES,
 ) -> DataFrame:
-    """X225 — C4's line-level cleaning rules (Raffel et al., JMLR 2020
-    §2.2 — the T5 corpus pipeline, applied verbatim by dozens of public
-    corpora): a line is KEPT iff it
-      (1) ends in terminal punctuation (. ! ? or a closing quote),
-      (2) has at least `min_words` whitespace words,
-      (3) contains neither a curly brace (code/JS leakage) nor a bad
-          phrase ("lorem ipsum", "javascript" — case-insensitive).
-    Documents reassemble from surviving lines; documents losing every
-    line drop entirely. (C4's doc-level dedup/blocklist stages live in
-    their own operators: X7 family, X104.)
+    """X225 — C4's cleaning rules (Raffel et al., JMLR 2020 §2.2; the
+    T5 corpus pipeline as implemented in the public tensorflow_datasets
+    c4_utils clean_page), with the reference's line-vs-page split:
 
-    Map-only: one split to a line array, higher-order filter with
+    Line-level, in the reference's order — a line is a CANDIDATE iff it
+      (1) ends in terminal punctuation (. ! ? or a closing quote), and
+      (2) has at least `min_words` whitespace words.
+    Then, over candidate lines only (non-candidate lines never trigger
+    page rules — the reference checks punctuation/length first):
+      (3) "lorem ipsum" (case-insensitive) drops the WHOLE PAGE;
+      (4) "javascript" (case-insensitive) drops that LINE;
+      (5) a curly brace drops the WHOLE PAGE (checked after the
+          javascript line-skip, so a javascript+brace line skips the
+          line without killing the page — reference ordering).
+    Page-level: a page whose kept lines contain fewer than
+    `min_sentences` sentences drops entirely. Sentence count is pinned
+    as the number of [.!?] characters in the kept text (the reference
+    uses an NLTK tokenizer; this is the deterministic cross-engine
+    approximation, stated rather than hidden). (C4's doc-level
+    dedup/blocklist stages live in their own operators: X7 family,
+    X104.)
+
+    Map-only: one split to a line array, higher-order filters with
     native predicates, one array_join — zero Python, zero shuffle,
     exactly the boilerplate-removal (X36) plan shape minus its line-df
     join. Columns: (id, clean_text, n_lines, n_kept)."""
     lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
 
-    def keep(x):
+    def candidate(x):
         trimmed = F.rtrim(x)
         tok = F.filter(F.split(x, r"\s+"), lambda w: w != F.lit(""))
         t_ok = None
         for t in C4_TERMINALS:
             c = F.endswith(trimmed, F.lit(t))
             t_ok = c if t_ok is None else (t_ok | c)
-        bad = F.lower(x).contains("{") | F.lower(x).contains("}")
-        for p in C4_BAD_PHRASES:
-            bad = bad | F.lower(x).contains(p)
-        return t_ok & (F.size(tok) >= min_words) & ~bad
+        return t_ok & (F.size(tok) >= min_words)
 
-    kept = F.filter(lines, keep)
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.array_join(kept, "\n").alias("clean_text"),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(kept).cast("long").alias("n_kept"),
-    ).filter(F.size(kept) > 0)
+    def lorem(x):
+        return F.lower(x).contains("lorem ipsum")
+
+    def js(x):
+        return F.lower(x).contains("javascript")
+
+    def brace(x):
+        return x.contains("{") | x.contains("}")
+
+    cand = F.filter(lines, candidate)
+    page_bad = F.exists(cand, lambda x: lorem(x) | (~js(x) & brace(x)))
+    kept = F.filter(cand, lambda x: ~js(x))
+    clean = F.array_join(kept, "\n")
+    n_sent = F.length(F.regexp_replace(clean, r"[^.!?]", ""))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            clean.alias("clean_text"),
+            F.size(lines).cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept"),
+            page_bad.alias("_pb"),
+            n_sent.alias("_ns"),
+        )
+        .filter(~F.col("_pb") & (F.col("_ns") >= min_sentences) & (F.col("n_kept") > 0))
+        .drop("_pb", "_ns")
+    )

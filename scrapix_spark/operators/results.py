@@ -1220,6 +1220,10 @@ def terms_agg_sharded(
     merged count — but at most that shard's weakest reported count,
     which is the per-value `err_upper` bound ES publishes as
     doc_count_error_upper_bound (show_term_doc_count_error semantics).
+    A shard whose local result set was EXHAUSTED (it returned fewer
+    than `shard_size` values, i.e. everything it has) contributes 0 to
+    the bound — a value it did not report has count 0 there, exactly
+    ES's rule for non-truncated shard responses.
 
     Shard assignment is `sample_hash(id) % n_shards` — the repo's
     cross-engine deterministic hash — so the approximation itself (which
@@ -1253,14 +1257,26 @@ def terms_agg_sharded(
     reported = per.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= shard_size
     )
-    mins = reported.groupBy("shard").agg(F.min("cnt").alias("min_rep"))
-    total_min = mins.agg(F.sum("min_rep").alias("tm"))
+    mins = reported.groupBy("shard").agg(
+        F.min("cnt").alias("min_rep"),
+        F.count(F.lit(1)).alias("returned"),
+    )
+    # exhausted shard (returned < shard_size → it reported ALL its
+    # values) bounds a missing value's count at 0, not min_rep
+    mins = mins.select(
+        "shard",
+        F.when(F.col("returned") < shard_size, F.lit(0))
+        .otherwise(F.col("min_rep"))
+        .cast("long")
+        .alias("bnd"),
+    )
+    total_min = mins.agg(F.sum("bnd").alias("tm"))
     merged = (
         reported.join(F.broadcast(mins), "shard")
         .groupBy("value")
         .agg(
             F.sum("cnt").cast("long").alias("doc_count"),
-            F.sum("min_rep").cast("long").alias("covered_min"),
+            F.sum("bnd").cast("long").alias("covered_min"),
             F.count(F.lit(1)).cast("int").alias("n_shards_reporting"),
         )
     )
@@ -1341,6 +1357,12 @@ def quantile_summary(
     )
     rows = sorted((r["v"], r["w"]) for r in anchors)
     N = sum(w for _, w in rows)
+    if N == 0:  # empty input: no anchors, no defined quantiles
+        return spark.createDataFrame(
+            [],
+            "q double, target_rank long, est_rank_lo long, "
+            "est_rank_hi long, bound long, within_bound boolean",
+        )
     bound = N // B + n_parts  # sum of per-partition strides, rounded up
 
     ests = {}

@@ -34,7 +34,8 @@ Formulas (all public):
 - ``ib_ll``       Information-Based log-logistic model (Clinchant &
                   Gaussier, SIGIR 2010; Lucene IBSimilarity with
                   DistributionLL, LambdaDF, NormalizationH2):
-                  λ = df/N, score = ln(1 + tfn/λ) with the same tfn.
+                  λ = (df+1)/(N+1) (Lucene LambdaDF.lambda()),
+                  score = ln(1 + tfn/λ) with the same tfn.
 
 Scale shape — identical to ``query.bm25_topk_from_postings`` (J2/J3):
 the per-term statistics slice is query-sized and explicitly broadcast;
@@ -113,7 +114,7 @@ def similarity_contrib(
             return (tfn / (tfn + 1.0)) * (
                 F.log((n + 1.0) / (df + 0.5)) / F.lit(ln2)
             )
-        lam_w = df / n
+        lam_w = (df + 1.0) / (n + 1.0)
         return F.log(F.lit(1.0) + tfn / lam_w)
     # language models need the collection unigram probability p = cf/T
     pc = cf.cast("double") / F.lit(float(T))
@@ -172,7 +173,7 @@ def similarity_contrib_sql(
                 f"({tfn} / ({tfn} + 1.0)) * "
                 f"(ln((({n}) + 1.0) / (df + 0.5)) / {ln2})"
             )
-        return f"ln(1.0 + {tfn} / (df / ({n})))"
+        return f"ln(1.0 + {tfn} / ((df + 1.0) / (({n}) + 1.0)))"
     pc = f"(cf / ({t}))"
     if sim == "lm_dirichlet":
         mu = float(p["mu"])

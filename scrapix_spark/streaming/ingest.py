@@ -234,18 +234,30 @@ def stream_trending_terms(
     slide: str = "1 hour",
     k: int = 5,
     query_name: str = "stream_trending",
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """X215 — streaming trending terms: a document stream is tokenized
     IN-STREAM by the native (codegen) tokenizer, term occurrences are
     counted per SLIDING window (overlapping windows — the 'trending
     now' dashboard shape), and the top-k terms per window are ranked
-    once the watermark closes the window.
+    over the emitted windows.
 
-    The stream stays fully incremental: the per-(window, term) count is
-    the only streaming state (map-side combined, watermark-bounded);
-    the tiny top-k rank runs on the closed windows (memory sink here;
-    a parquet sink + downstream rank at scale). Structured Streaming's
-    batch equivalence makes the whole thing oracle-checkable."""
+    Two sink shapes, honestly distinguished:
+    - Default (``sink_dir=None``): complete-mode MEMORY sink — the
+      oracle-checkable TEST HARNESS shape. Complete mode re-emits every
+      window (closed or not) and the watermark never purges state, so
+      this is only correct for bounded replays like the gate; it is NOT
+      the incremental-state shape and is not what you run on a real
+      stream.
+    - Scale path (``sink_dir`` set): APPEND mode to a durable parquet
+      sink. The watermark actually bounds state (closed windows emit
+      once, their per-(window, term) counts are purged), which is the
+      production shape; still-open windows are withheld until a later
+      trigger closes them. The per-(window, term) count is the only
+      streaming state either way (map-side combined).
+    The tiny top-k rank runs batch-side on the emitted windows in both
+    shapes; Structured Streaming's batch equivalence makes the harness
+    shape oracle-checkable."""
     import os as _os
 
     from scrapix_spark.functions.tokenize import tokens_native
@@ -267,15 +279,27 @@ def stream_trending_terms(
         .groupBy(F.window("ts", window, slide).alias("w"), "term")
         .agg(F.count("*").cast("long").alias("n"))
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    closed = spark.table(query_name)
+    if sink_dir is not None:
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", sink_dir + "_ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        closed = spark.read.parquet(sink_dir)
+    else:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        closed = spark.table(query_name)
     from pyspark.sql import Window as W
 
     rk = W.partitionBy("w").orderBy(F.col("n").desc(), F.col("term").asc())

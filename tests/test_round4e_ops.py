@@ -63,7 +63,7 @@ def _ref_contrib(sim, tf, dl, df, cf, N, T, avgdl, p=SC.DEFAULT_PARAMS):
         tfn = tf * math.log(1 + p["c"] * avgdl / dl) / ln2
         if sim == "dfr_inl2":
             return (tfn / (tfn + 1)) * (math.log((N + 1) / (df + 0.5)) / ln2)
-        return math.log(1 + tfn / (df / N))
+        return math.log(1 + tfn / ((df + 1) / (N + 1)))
     pc = cf / T
     if sim == "lm_dirichlet":
         mu = p["mu"]

@@ -245,7 +245,8 @@ def test_terms_agg_sharded_matches_replay(spark):
     for s, cnts in per.items():
         top = sorted(cnts.items(), key=lambda kv: (-kv[1], kv[0]))[:shard_size]
         reported[s] = dict(top)
-        mins[s] = min(c for _, c in top)
+        # exhausted shard (reported everything) bounds missing values at 0
+        mins[s] = min(c for _, c in top) if len(top) == shard_size else 0
     tm = sum(mins.values())
     merged = {}
     for s, cnts in reported.items():
@@ -311,7 +312,7 @@ def test_dfr_and_ib_formulas(docs, corpus):
         dfr = (tfn / (tfn + 1.0)) * (
             math.log((n + 1.0) / (r["df"] + 0.5)) / ln2
         )
-        ib = math.log(1.0 + tfn / (r["df"] / n))
+        ib = math.log(1.0 + tfn / ((r["df"] + 1.0) / (n + 1.0)))
         got_dfr, got_ib = out[r["doc_id"]]
         assert got_dfr == pytest.approx(dfr, rel=1e-6)
         assert got_ib == pytest.approx(ib, rel=1e-6)
@@ -552,6 +553,19 @@ def test_quantile_summary_bound_holds_on_skew_and_dups(spark):
         assert r["est_rank_lo"] <= r["est_rank_hi"]
 
 
+def test_quantile_summary_empty_input(spark):
+    from scrapix_spark.operators import results as RS
+
+    df = spark.createDataFrame([], "doc_id long, val double")
+    out = RS.quantile_summary(df, "val", [0.5, 0.9])
+    # no anchors → no defined quantiles: empty frame, stable schema
+    assert out.columns == [
+        "q", "target_rank", "est_rank_lo", "est_rank_hi",
+        "bound", "within_bound",
+    ]
+    assert out.count() == 0
+
+
 def test_quantile_summary_exact_when_anchors_cover(spark):
     from scrapix_spark.operators import results as RS
 
@@ -758,6 +772,31 @@ def test_streaming_trending_matches_batch(spark, tmp_path):
             exp.append((base + ws * 3600, t, n, rank))
     got = [(r["window_start"], r["term"], r["n"], r["rank"]) for r in out]
     assert got == exp
+
+
+def test_streaming_trending_durable_append_closes_windows(spark, tmp_path):
+    # the scale path: append mode + parquet sink — only windows the
+    # watermark has CLOSED emit (state purged), open windows withheld
+    from scrapix_spark.streaming.ingest import stream_trending_terms
+
+    rows = [(i, "alpha beta", "en", "s", 10) for i in range(240)]
+    p = str(tmp_path / "docs2.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(p)
+    ts = ("timestamp'2024-01-01 00:00:00' "
+          "+ make_interval(0, 0, 0, 0, 0, cast(doc_id % 240 as int), 0)")
+    out = stream_trending_terms(
+        spark, p, ts, window="2 hours", slide="1 hour", k=3,
+        query_name="t_trend_d", sink_dir=str(tmp_path / "sink"),
+    ).collect()
+    base = 1704067200
+    starts = sorted({r["window_start"] for r in out})
+    # data spans [00:00, 04:00); watermark = max_ts - 2h = 01:59.
+    # Only windows ending <= watermark close: the [-1h, 1h) window.
+    assert starts == [base - 3600]
+    all_starts = {base + h * 3600 for h in range(-1, 4)}
+    assert set(starts) < all_starts  # open windows were withheld
 
 
 # ---------------------------------------------------------------- X216
@@ -1129,15 +1168,35 @@ def test_c4_line_filter_rules(spark):
             "no terminal punctuation here at all\n"
             "Short one.\n"
             "A line mentioning JavaScript should be dropped now.\n"
-            "Braces { inside } mean code so this goes too.\n"
+            "Braces { fail the punct check so page survives\n"
             'He said "This quoted line has plenty of words."\n'
             "Ends with a question mark and enough words, right?"),
         (2, "only bad lines\nhere\n{ }"),
+        # candidate line with a brace → whole page drops (C4 page rule)
+        (3, "This candidate line has a brace { inside it.\n"
+            "A perfectly good sentence that would otherwise stay here.\n"
+            "Another good sentence to make the count three today.\n"
+            "And one more sentence so the page is long enough."),
+        # lorem ipsum on a candidate line → whole page drops
+        (4, "Lorem ipsum dolor sit amet consectetur adipiscing elit.\n"
+            "A perfectly good sentence that would otherwise stay here.\n"
+            "Another good sentence to make the count three today.\n"
+            "And one more sentence so the page is long enough."),
+        # javascript AND brace on one line: the javascript line-skip
+        # fires first (reference ordering), page survives
+        (5, "Enable JavaScript { to view } this site properly now.\n"
+            "A perfectly good sentence that would otherwise stay here.\n"
+            "Another good sentence to make the count three today.\n"
+            "And one more sentence so the page is long enough."),
+        # only two sentences survive → page drops (min 3 sentences)
+        (6, "A perfectly good sentence that would otherwise stay here.\n"
+            "Another good sentence but only two survive in total."),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["id"]: r for r in CU.c4_line_filter(df, "text").collect()}
-    # doc 2 loses every line → dropped entirely
-    assert set(out) == {1}
+    # 2 loses every line; 3 brace page-drop; 4 lorem page-drop;
+    # 6 below the 3-sentence floor
+    assert set(out) == {1, 5}
     kept = out[1]["clean_text"].split("\n")
     assert kept == [
         "Good sentence with enough words to keep around.",
@@ -1145,6 +1204,7 @@ def test_c4_line_filter_rules(spark):
         "Ends with a question mark and enough words, right?",
     ]
     assert out[1]["n_lines"] == 7 and out[1]["n_kept"] == 3
+    assert out[5]["n_kept"] == 3  # javascript line skipped, rest kept
 
 
 def test_c4_line_filter_min_words_knob(spark):
@@ -1154,9 +1214,9 @@ def test_c4_line_filter_min_words_knob(spark):
         [(1, "Tiny line.\nA five word sentence right here.")],
         "doc_id long, text string",
     )
-    strict = CU.c4_line_filter(df, "text", min_words=2).first()
+    strict = CU.c4_line_filter(df, "text", min_words=2, min_sentences=1).first()
     assert strict["n_kept"] == 2
-    loose = CU.c4_line_filter(df, "text", min_words=6).first()
+    loose = CU.c4_line_filter(df, "text", min_words=6, min_sentences=1).first()
     assert loose["n_kept"] == 1
 
 
