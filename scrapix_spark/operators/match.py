@@ -311,9 +311,14 @@ def damerau_levenshtein(a: str, b: str) -> int:
 
 
 def _damerau_dist_udf(query_term: str):
-    """Arrow-vectorized full-DL distance against a fixed query term —
-    runs only on the bounded SymSpell candidate set, never the
-    dictionary."""
+    """Arrow-vectorized full-DL distance against a fixed query term.
+
+    ROW BOUND CONTRACT: applies only to the SymSpell candidate set —
+    dictionary terms sharing a deletion key with the query, already
+    length-filtered to |len(term) − len(q)| ≤ d. That is O(|q|^d)
+    deletion buckets × their occupancy (tens to low hundreds of rows
+    per query term in practice), NEVER the full dictionary; the
+    dictionary-sized relation is filtered JVM-side before this UDF."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")

@@ -747,6 +747,9 @@ def mmr_diversify(
     )
 
     def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        # ROW BOUND CONTRACT: one Arrow batch = ONE query's bounded
+        # top-N candidate list (caller contract, like maxsim_rerank) —
+        # O(N·k) work on at most a few hundred rows, never corpus-sized.
         pdf = pdf.sort_values(id_col)
         ids = [int(x) for x in pdf[id_col]]
         rel = [float(x) for x in pdf[rel_col]]
@@ -1185,6 +1188,8 @@ def rocchio_topk(
     q' is literals, one more brute-force pass. With an ANN route both
     passes swap to cosine_topk_pq/ivf unchanged. Columns: id, cosine.
     """
+    # ROW BOUND CONTRACT: both collects are fb_k rows (default 5) — the
+    # feedback ids then their vectors — never a corpus-sized relation.
     first = cosine_topk_bruteforce(df, query_vec, k=fb_k, id_col=id_col, vec_col=vec_col)
     ids = [r["id"] for r in first.collect()]
     fb = (

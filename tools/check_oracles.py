@@ -2,7 +2,11 @@
 on Spark and its oracle on DuckDB at sf0.01, compare row count, schema
 (column names), and an order-insensitive value hash.
 
-Usage: python tools/check_oracles.py [sf_dir] [only_query ...]
+Usage: python tools/check_oracles.py [--shard=i/n] [sf_dir] [only_query ...]
+
+--shard=i/n runs every n-th registry entry starting at offset i, so a
+full-registry sweep can run as n parallel processes (each with its own
+Spark session + DuckDB) — e.g. for i in 0 1 2 3: --shard=$i/4 &.
 """
 
 from __future__ import annotations
@@ -44,9 +48,16 @@ def _norm(v) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("oracle_check", master="local[8]", shuffle_partitions=16)
+    args = sys.argv[1:]
+    shard_i, shard_n = 0, 1
+    for a in list(args):
+        if a.startswith("--shard="):  # --shard=i/n: every n-th entry,
+            shard_i, shard_n = map(int, a.split("=", 1)[1].split("/"))
+            args.remove(a)  # offset i — run n sessions in parallel
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    app = f"oracle_check_{shard_i}" if shard_n > 1 else "oracle_check"
+    spark = get_spark(app, master="local[8]", shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -56,8 +67,10 @@ def main() -> int:
     qs = E.queries()
     oracles = E.oracle_sql()
     failed = []
-    for name, fn in qs.items():
+    for idx, (name, fn) in enumerate(qs.items()):
         if only and name not in only:
+            continue
+        if idx % shard_n != shard_i:
             continue
         t0 = time.time()
         try:
