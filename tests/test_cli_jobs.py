@@ -44,6 +44,28 @@ def test_build_job_builds_and_prints_manifest(cli_index, capsys):
     assert os.path.exists(os.path.join(index, "_CURRENT"))
 
 
+def test_build_job_table_source_seam(spark, tiny_corpus, tmp_path_factory, capsys):
+    """The Iceberg seam (SURVEY §2.1 S1 exclusion block): --format
+    iceberg routes through spark.read.table(input) — the exact
+    DataFrameReader call an Iceberg catalog serves. No runtime jar in
+    this sandbox, so the catalog is stood in for by a registered view
+    through the SAME call path; on a real cluster only the catalog conf
+    changes, not this code path."""
+    root = tmp_path_factory.mktemp("cli_tbl")
+    index = str(root / "index")
+    tiny_corpus.createOrReplaceTempView("src_code_files")
+    rc = job_build.main([
+        "--input", "src_code_files", "--index-dir", index,
+        "--format", "iceberg",
+        "--config-json", json.dumps({"index_uid": "tbl", "n_shards": 8}),
+    ])
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["N"] > 0
+    assert manifest["source"] == "iceberg:src_code_files"
+    assert os.path.exists(os.path.join(index, "_CURRENT"))
+
+
 def test_build_job_config_mutual_exclusion(cli_index):
     corpus, index = cli_index
     with pytest.raises(SystemExit):
