@@ -410,7 +410,22 @@ def _pin_cmd(cores: int) -> list[str]:
     return ["taskset", "-c", ",".join(str(c) for c in picked)]
 
 
-def run_scaling(n_docs: int, runs: int = 3) -> dict:
+def _throttle_probe() -> float:
+    """1-core calibration probe run immediately BEFORE each scaling
+    child (round-5 protocol): min-of-3 single-thread walls of the fixed
+    hw kernel. A clean window on this box measures ~0.13 s; neighbor
+    throttling inflates it. Runs whose probe exceeds 1.15x the window's
+    best probe are excluded MECHANICALLY from the min-per-level, so a
+    throttled 1-core leg can no longer decide pass/fail."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _hw_kernel(0)
+        best = min(best, time.time() - t0)
+    return best
+
+
+def run_scaling(n_docs: int, runs: int = 5) -> dict:
     """Same job, same input, two parallelism levels — the sandbox
     stand-in for N vs 4N executors (BASELINE.md protocol).
 
@@ -436,11 +451,13 @@ def run_scaling(n_docs: int, runs: int = 3) -> dict:
     corpus = prepare_corpus(gen, n_docs)
     gen.stop()
     res: dict[int, list[float]] = {lo: [], hi: []}
+    probes: dict[int, list[float]] = {lo: [], hi: []}
     # interleave levels round-robin: under drifting host load (this VM
     # shares a box) alternating A/B/A/B decorrelates noise from level,
     # and min-per-level then approximates the true capability
     for r in range(runs):
         for cores in (lo, hi):
+            probes[cores].append(_throttle_probe())
             out = subprocess.run(
                 _pin_cmd(cores)
                 + [sys.executable, __file__, "--scaling-child", str(cores), corpus],
@@ -451,8 +468,25 @@ def run_scaling(n_docs: int, runs: int = 3) -> dict:
                 log(out.stderr[-2000:])
                 raise RuntimeError(f"scaling child local[{cores}] failed")
             res[cores].append(float(line[0].split()[1]))
-            log(f"local[{cores}] run{r}: {res[cores][-1]:.1f}s")
-    t_lo, t_hi = min(res[lo]), min(res[hi])
+            log(f"local[{cores}] run{r}: {res[cores][-1]:.1f}s "
+                f"(probe {probes[cores][-1]:.3f}s)")
+    # mechanical throttle exclusion (round-5 protocol): a run whose
+    # pre-run probe exceeded 1.15x the window's best probe was measured
+    # on a throttled box and cannot set the level's wall. If every run
+    # of a level was throttled, the cleanest (min-probe) run survives.
+    p_best = min(min(probes[lo]), min(probes[hi]))
+    cut = 1.15 * p_best
+
+    def clean_min(cores: int) -> float:
+        ok = [w for w, p in zip(res[cores], probes[cores]) if p <= cut]
+        if not ok:
+            ok = [res[cores][probes[cores].index(min(probes[cores]))]]
+        return min(ok)
+
+    n_excl = sum(
+        1 for c in (lo, hi) for p in probes[c] if p > cut
+    )
+    t_lo, t_hi = clean_min(lo), clean_min(hi)
     eff = (t_lo / t_hi) / (hi / lo)
     ceil = hardware_ceiling(lo, hi, corpus)
     return {
@@ -466,6 +500,10 @@ def run_scaling(n_docs: int, runs: int = 3) -> dict:
         f"build_sec_local{hi}": round(t_hi, 2),
         f"all_runs_local{lo}": [round(x, 1) for x in res[lo]],
         f"all_runs_local{hi}": [round(x, 1) for x in res[hi]],
+        f"probes_local{lo}": [round(x, 3) for x in probes[lo]],
+        f"probes_local{hi}": [round(x, 3) for x in probes[hi]],
+        "probe_cut_sec": round(cut, 3),
+        "runs_excluded_throttled": n_excl,
         f"docs_per_sec_local{lo}": round(n_docs / t_lo, 1),
         f"docs_per_sec_local{hi}": round(n_docs / t_hi, 1),
         "scaling_efficiency": round(eff, 3),
