@@ -381,18 +381,25 @@ def _build_index_inner(
     dict_path = os.path.join(build_dir, "dict")
     if not _done(dict_path):
         P.term_dictionary(post).write.mode("overwrite").parquet(dict_path)
-    # xxhash64 collision audit (two terms sharing a term_id would merge
-    # posting lists); probability ~V²/2⁶⁴ — recorded, expected 0
-    n_collisions = (
+    # ONE job over the (tiny) dictionary computes both scalars (r5: was
+    # two driver round-trips; fixed per-job cost is pure ratio loss on
+    # the short-wall 4-core scaling leg):
+    # - xxhash64 collision audit (two terms sharing a term_id would
+    #   merge posting lists); probability ~V²/2⁶⁴ — recorded, expected 0
+    # - avgdl = Σ tf / N = Σ cf / N — no extra pass over postings
+    #   (doc_len ≡ Σ tf; empty docs count in N)
+    drow = (
         spark.read.parquet(dict_path)
-        .groupBy("term_id").count().filter(F.col("count") > 1).count()
+        .groupBy("term_id")
+        .agg(F.sum("cf").alias("cf"), F.count(F.lit(1)).alias("k"))
+        .agg(
+            F.sum("cf").alias("s"),
+            F.sum(F.when(F.col("k") > 1, 1).otherwise(0)).alias("coll"),
+        )
+        .collect()[0]
     )
-    # avgdl = Σ tf / N = Σ cf / N, read from the (tiny) dictionary —
-    # no extra pass over postings (doc_len ≡ Σ tf; empty docs count in N)
-    total_tf = (
-        spark.read.parquet(dict_path).agg(F.sum("cf").alias("s")).collect()[0]["s"]
-        or 0
-    )
+    n_collisions = int(drow["coll"] or 0)
+    total_tf = drow["s"] or 0
     stats = {"N": n_docs, "avgdl": float(total_tf) / n_docs}
     phases["dict_stats"] = round(time.time() - tp, 2)
 

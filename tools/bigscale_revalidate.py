@@ -1,0 +1,189 @@
+"""Round-5 large-corpus revalidation (VERDICT r4 task 6).
+
+Nearly all round-4 operators were only ever timed at sf0.1 (5k docs /
+2k vectors / 100k events). This tool re-times the most expensive
+round-4 registry entries at a 400× documents scale — 2M docs, 200k
+vectors, 2M events — the BASELINE.md round-2e "volume stress" shape
+applied to the QUERY registry instead of the index build.
+
+The corpus is generated DETERMINISTICALLY with JVM-side expressions
+(hash-indexed picks from the sf0.1 vocabulary/lang/source alphabets —
+same marginal shape as the driver's documents table, fresh content per
+doc so duplicate-sensitive operators see natural collision rates, not
+a 400-way tiling pathology). No external data; no RNG state.
+
+Usage:
+    python tools/bigscale_revalidate.py [n_docs] [entry ...]
+prints one RESULT line per entry: {"entry": ..., "rows": N,
+"warm_sec": w, "best_sec": b} (two timed runs in one session; best is
+the steady-state figure, warm includes first-touch corpus read).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_ENTRIES = [
+    # ~20 most expensive round-4 entries by BENCH_r04 + the families
+    # VERDICT r4 task 6 names (span, aggregation, phonetic, autocorrect,
+    # damerau, PQ-ANN, positional codec)
+    "cdc_dedup_mass", "maxsim_rerank", "rm3_expanded_topk",
+    "typo_damerau_topk", "segment_query_pmi", "search_autocorrect",
+    "phonetic_search", "leakage_split", "comb_fusion", "minhash_xjoin",
+    "more_like_this", "common_terms_topk", "anchor_boost_topk",
+    "phrase_suggest", "rescore_window", "sb_trigram_scores",
+    "span_first", "span_not", "span_containing",
+    "filters_agg", "multi_terms_agg", "terms_agg_sharded",
+    "top_hits_group", "ann_pq_topk", "phrase_pos_codec_topk",
+]
+
+VOCAB = [
+    "the", "query", "row", "stream", "line", "small", "group", "spark",
+    "fast", "customer", "batch", "data", "sort", "value", "hash",
+    "filter", "big", "dup", "column", "order", "a", "vector", "part",
+    "scan", "slow", "agg", "key", "window", "table", "merge", "join",
+]
+# 8/20 en + 3/20 each zh/es/fr/de ≈ the sf0.1 marginals (41% en, 15% others)
+LANGS = ["en"] * 8 + ["zh", "zh", "zh", "es", "es", "es",
+                      "fr", "fr", "fr", "de", "de", "de"]
+EVENT_TYPES = ["signup", "click", "error", "view", "purchase"]
+
+
+def build_corpus(spark, out_dir: str, n_docs: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    langs = F.array(*[F.lit(x) for x in LANGS])
+
+    docs = out_dir + "/documents.parquet"
+    if not os.path.exists(docs):
+        nw = F.lit(10) + F.pmod(F.hash(F.col("id"), F.lit(7)), F.lit(91))
+        text = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), nw),
+                lambda j: F.element_at(
+                    vocab, F.pmod(F.hash(F.col("id"), j), F.lit(len(VOCAB))) + 1
+                ),
+            ),
+            " ",
+        )
+        (
+            spark.range(n_docs)
+            .select(
+                F.col("id").alias("doc_id"),
+                text.alias("text"),
+                F.element_at(
+                    langs, F.pmod(F.hash("id", F.lit(11)), F.lit(len(LANGS))) + 1
+                ).alias("lang"),
+                F.concat(F.lit("src"), F.pmod("id", F.lit(20)).cast("string"))
+                .alias("source"),
+            )
+            .withColumn("n_chars", F.length("text").cast("long"))
+            .write.mode("overwrite").parquet(docs)
+        )
+
+    emb = out_dir + "/embeddings.parquet"
+    if not os.path.exists(emb):
+        vec = F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda j: (
+                (F.pmod(F.hash(F.col("id"), j), F.lit(2001)) - 1000) / 1000.0
+            ).cast("float"),
+        )
+        (
+            spark.range(n_docs // 10)
+            .select(
+                F.col("id").alias("vec_id"),
+                vec.alias("embedding"),
+                F.pmod(F.hash("id", F.lit(13)), F.lit(10)).cast("int")
+                .alias("label"),
+            )
+            .write.mode("overwrite").parquet(emb)
+        )
+
+    ev = out_dir + "/events.parquet"
+    if not os.path.exists(ev):
+        et = F.array(*[F.lit(x) for x in EVENT_TYPES])
+        (
+            spark.range(n_docs)
+            .select(
+                F.col("id").alias("event_id"),
+                (
+                    F.to_timestamp(F.lit("2024-01-01"))
+                    + F.make_interval(
+                        secs=F.pmod(
+                            F.hash("id", F.lit(3)), F.lit(30 * 86400)
+                        ).cast("double")
+                    )
+                ).alias("ts"),
+                F.pmod(F.hash("id", F.lit(5)), F.lit(60000)).cast("long")
+                .alias("user_id"),
+                F.element_at(
+                    et, F.pmod(F.hash("id", F.lit(17)), F.lit(len(EVENT_TYPES))) + 1
+                ).alias("event_type"),
+                (F.pmod(F.hash("id", F.lit(9)), F.lit(10000)) / 100.0)
+                .alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            .write.mode("overwrite").parquet(ev)
+        )
+
+    # small TPC-H-ish tables: link through from sf0.1 unchanged
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        dst = f"{out_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    entries = sys.argv[2:] or DEFAULT_ENTRIES
+    out_dir = os.environ.get("SPARK_GRAFT_BIG_DIR", "/tmp/sfbig")
+
+    import __spark_entry__ as E
+    from scrapix_spark.session import get_spark
+
+    spark = get_spark("bigscale", master="local[32]", shuffle_partitions=64)
+    build_corpus(spark, out_dir, n_docs)
+    qs = E.queries()
+    for name in entries:
+        try:
+            t0 = time.time()
+            rows = qs[name](spark, out_dir).count()
+            warm = time.time() - t0
+            t0 = time.time()
+            qs[name](spark, out_dir).count()
+            best = min(warm, time.time() - t0)
+            print(
+                "RESULT "
+                + json.dumps(
+                    {
+                        "entry": name,
+                        "rows": rows,
+                        "warm_sec": round(warm, 2),
+                        "best_sec": round(best, 2),
+                    }
+                ),
+                flush=True,
+            )
+        except Exception as ex:  # record, keep sweeping
+            print(
+                "RESULT "
+                + json.dumps(
+                    {"entry": name, "error": f"{type(ex).__name__}: {str(ex)[:300]}"}
+                ),
+                flush=True,
+            )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
