@@ -9275,6 +9275,25 @@ FROM tk GROUP BY doc_id, lemma ORDER BY doc_id, lemma
 """
 
 
+def q_auto_date_histogram(spark, sf_dir):
+    """X234 — ES auto_date_histogram: the smallest rounding-ladder
+    interval whose bucket count fits target_buckets=10 is chosen from
+    the events span (30 days -> the 7d rung) and events aggregate into
+    those buckets. One tiny min/max agg broadcast back, pure
+    nested-CASE interval choice, ONE hash agg.
+    operators/results.py auto_date_histogram."""
+    from scrapix_spark.operators import results as RS
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return RS.auto_date_histogram(ev, "ts", target_buckets=10)
+
+
+def _auto_date_histogram_sql() -> str:
+    from scrapix_spark.operators.results import auto_date_histogram_sql
+
+    return auto_date_histogram_sql("events", "ts", 10)
+
+
 # ---------------------------------------------------------------------------
 # Round-5 driver-sample ordering (VERDICT r4 "Next round" task 1).
 # The driver gates the FIRST 50 queries() keys each round. Tier 1 is every
@@ -9303,7 +9322,9 @@ _R5_TIER1 = [
     "terms_agg_sharded", "sim_dfr_topk", "combined_fields_topk",
     "phonetic_search", "range_query_pruned",
 ]
-_R5_NEW: list[str] = []  # round-5 additions, appended as they register
+_R5_NEW: list[str] = [
+    "auto_date_histogram",
+]  # round-5 additions, appended as they register
 _R5_TIER2 = [
     "domain_blocklist", "minhash_xjoin", "leakage_split", "more_like_this",
     "multi_search", "best_passage", "mmr_rerank", "percolate_matches",
@@ -9635,6 +9656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_synonyms": q_search_synonyms,
         "search_negative_stopwords": q_search_negative_stopwords,
         "matching_strategy_last": q_matching_strategy_last,
+        "auto_date_histogram": q_auto_date_histogram,
     }
     return _r5_order(reg)
 
@@ -12749,6 +12771,7 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "sorted_field_topk": _sorted_field_topk_sql(),
         "priority_sample": _priority_sample_sql(),
         "c4_lines": _c4_lines_sql(),
+        "auto_date_histogram": _auto_date_histogram_sql(),
         "bm25_quantized_norms": _bm25_quantized_norms_sql(),
         "gazetteer_tag": _gazetteer_tag_sql(),
         "rocchio_topk": _rocchio_sql(),

@@ -243,6 +243,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "query_difficulty", "sorted_field_topk", "priority_sample",
         "c4_lines", "bm25_quantized_norms", "gazetteer_tag", "rocchio_topk",
         "readability", "dehyphenate", "plan_route", "lemma_tf",
+        "auto_date_histogram",
     ]
     out = {}
     for name in headline:

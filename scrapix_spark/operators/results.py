@@ -1485,3 +1485,174 @@ def comb_fuse(
     return out.orderBy(
         F.col("fused").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+# ---------------------------------------------------- X234 auto_date_histogram
+
+# The Elasticsearch auto_date_histogram rounding ladder (public
+# semantics: AutoDateHistogramAggregationBuilder's roundings — seconds
+# {1,5,10,30}, minutes {1,5,10,30}, hours {1,3,12}, days {1,7}, months
+# {1,3}, years {1,5,10,20,50,100}). One table drives the Spark
+# expression AND the SQL oracle fragment so the two engines cannot
+# drift on the interval choice.
+AUTO_DH_FIXED = [  # (label, seconds)
+    ("1s", 1), ("5s", 5), ("10s", 10), ("30s", 30),
+    ("1m", 60), ("5m", 300), ("10m", 600), ("30m", 1800),
+    ("1h", 3600), ("3h", 10800), ("12h", 43200),
+    ("1d", 86400), ("7d", 604800),
+]
+AUTO_DH_MONTHS = [("1M", 1), ("3M", 3)]
+AUTO_DH_YEARS = [("1y", 1), ("5y", 5), ("10y", 10), ("20y", 20),
+                 ("50y", 50), ("100y", 100)]
+
+
+def auto_date_histogram(
+    df: DataFrame,
+    ts_col: str,
+    target_buckets: int = 10,
+) -> DataFrame:
+    """X234 — the Elasticsearch `auto_date_histogram` aggregation
+    (public semantics): instead of a caller-chosen calendar interval,
+    the SMALLEST interval from ES's fixed rounding ladder whose bucket
+    count does not exceed `target_buckets` is selected from the data's
+    own [min(ts), max(ts)] span, and events aggregate into buckets of
+    that interval. Pinned variant notes: bucket counts are computed by
+    epoch-floor arithmetic (fixed rungs) / month- and year-index
+    arithmetic (calendar rungs), non-empty buckets only, and the bucket
+    key is emitted as the bucket START in epoch seconds (BIGINT) so
+    cross-engine timestamp formatting cannot drift; `interval` is the
+    chosen rung's label, constant across rows.
+
+    Scale shape: one tiny min/max aggregation (2 scalars), broadcast
+    back via crossJoin; the interval choice is a pure nested-CASE
+    column expression (whole-stage codegen, no UDF, no collect); then
+    ONE hash aggregation on the derived bucket key. Nothing shuffles
+    more than (n_buckets) rows beyond the single count agg — the
+    date_histogram (X129) plan with a data-driven interval.
+    Columns: (bucket_start long, interval string, n_events long).
+    """
+    e = F.unix_timestamp(F.col(ts_col))
+    src = df.filter(F.col(ts_col).isNotNull())
+    stats = src.agg(
+        F.min(e).alias("_mine"), F.max(e).alias("_maxe"),
+        F.min(
+            (F.year(ts_col) - 1970) * 12 + F.month(ts_col) - 1
+        ).alias("_minm"),
+        F.max(
+            (F.year(ts_col) - 1970) * 12 + F.month(ts_col) - 1
+        ).alias("_maxm"),
+        F.min(F.year(ts_col) - 1970).alias("_miny"),
+        F.max(F.year(ts_col) - 1970).alias("_maxy"),
+    )
+    w = src.crossJoin(F.broadcast(stats))
+
+    mine, maxe = F.col("_mine"), F.col("_maxe")
+    minm, maxm = F.col("_minm"), F.col("_maxm")
+    miny, maxy = F.col("_miny"), F.col("_maxy")
+
+    def nfix(s):
+        return F.floor(maxe / s) - F.floor(mine / s) + 1
+
+    def nmon(k):
+        return F.floor(maxm / k) - F.floor(minm / k) + 1
+
+    def nyr(k):
+        return F.floor(maxy / k) - F.floor(miny / k) + 1
+
+    label = None
+    bucket = None
+    mexpr = (F.year(ts_col) - 1970) * 12 + F.month(ts_col) - 1
+    yexpr = F.year(ts_col) - 1970
+    for lab, s in AUTO_DH_FIXED:
+        cond = nfix(s) <= target_buckets
+        b = (F.floor(e / s) * s).cast("long")
+        label = F.when(cond, F.lit(lab)) if label is None else label.when(cond, F.lit(lab))
+        bucket = F.when(cond, b) if bucket is None else bucket.when(cond, b)
+    for lab, k in AUTO_DH_MONTHS:
+        cond = nmon(k) <= target_buckets
+        idx = F.floor(mexpr / k) * k
+        b = F.unix_timestamp(
+            F.make_date(
+                (F.floor(idx / 12) + 1970).cast("int"),
+                (idx % 12 + 1).cast("int"),
+                F.lit(1),
+            ).cast("timestamp")
+        ).cast("long")
+        label = label.when(cond, F.lit(lab))
+        bucket = bucket.when(cond, b)
+    for lab, k in AUTO_DH_YEARS[:-1]:
+        cond = nyr(k) <= target_buckets
+        b = F.unix_timestamp(
+            F.make_date(
+                (F.floor(yexpr / k) * k + 1970).cast("int"), F.lit(1), F.lit(1)
+            ).cast("timestamp")
+        ).cast("long")
+        label = label.when(cond, F.lit(lab))
+        bucket = bucket.when(cond, b)
+    lab, k = AUTO_DH_YEARS[-1]  # terminal rung: unconditional fallback
+    bfin = F.unix_timestamp(
+        F.make_date(
+            (F.floor(yexpr / k) * k + 1970).cast("int"), F.lit(1), F.lit(1)
+        ).cast("timestamp")
+    ).cast("long")
+    label = label.otherwise(F.lit(lab))
+    bucket = bucket.otherwise(bfin)
+
+    return (
+        w.select(bucket.alias("bucket_start"), label.alias("interval"))
+        .groupBy("bucket_start", "interval")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy("bucket_start")
+    )
+
+
+def auto_date_histogram_sql(table: str, ts_col: str, target: int) -> str:
+    """The SAME ladder walk as ANSI SQL (DuckDB oracle) — generated
+    from the one AUTO_DH_* definition above."""
+    e = f"epoch({ts_col})::BIGINT"
+    m = f"((year({ts_col}) - 1970) * 12 + month({ts_col}) - 1)"
+    y = f"(year({ts_col}) - 1970)"
+    conds, labels, buckets = [], [], []
+    for lab, s in AUTO_DH_FIXED:
+        conds.append(
+            f"(floor(maxe / {s}) - floor(mine / {s}) + 1) <= {target}"
+        )
+        labels.append(f"'{lab}'")
+        buckets.append(f"(floor(e / {s}) * {s})::BIGINT")
+    for lab, k in AUTO_DH_MONTHS:
+        conds.append(
+            f"(floor(maxm / {k}) - floor(minm / {k}) + 1) <= {target}"
+        )
+        labels.append(f"'{lab}'")
+        idx = f"(floor(m / {k}) * {k})"
+        buckets.append(
+            f"epoch(make_date((floor({idx} / 12) + 1970)::INT, "
+            f"({idx} % 12 + 1)::INT, 1)::TIMESTAMP)::BIGINT"
+        )
+    for lab, k in AUTO_DH_YEARS:
+        conds.append(
+            f"(floor(maxy / {k}) - floor(miny / {k}) + 1) <= {target}"
+        )
+        labels.append(f"'{lab}'")
+        buckets.append(
+            f"epoch(make_date((floor(y / {k}) * {k} + 1970)::INT, 1, 1)"
+            f"::TIMESTAMP)::BIGINT"
+        )
+    # terminal rung unconditional
+    case_lab = "CASE " + " ".join(
+        f"WHEN {c} THEN {l}" for c, l in zip(conds[:-1], labels[:-1])
+    ) + f" ELSE {labels[-1]} END"
+    case_b = "CASE " + " ".join(
+        f"WHEN {c} THEN {b}" for c, b in zip(conds[:-1], buckets[:-1])
+    ) + f" ELSE {buckets[-1]} END"
+    return f"""
+WITH src AS (
+  SELECT {e} AS e, {m} AS m, {y} AS y FROM {table}
+  WHERE {ts_col} IS NOT NULL),
+st AS (SELECT min(e) AS mine, max(e) AS maxe, min(m) AS minm,
+              max(m) AS maxm, min(y) AS miny, max(y) AS maxy FROM src)
+SELECT ({case_b}) AS bucket_start, ({case_lab}) AS interval,
+       count(*)::BIGINT AS n_events
+FROM src CROSS JOIN st
+GROUP BY 1, 2 ORDER BY bucket_start
+"""

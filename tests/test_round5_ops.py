@@ -1,0 +1,102 @@
+"""Round-5 operators: X234 auto_date_histogram (+ siblings added later).
+
+Engine convention notes: timestamps built via SQL literals so the test
+corpus is timezone-stable; bucket keys are epoch-seconds BIGINTs.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from scrapix_spark.session import get_spark
+
+    return get_spark("t_r5", master="local[8]", shuffle_partitions=8)
+
+
+def _ts_df(spark, epochs):
+    return spark.createDataFrame(
+        [(int(e),) for e in epochs], "e long"
+    ).select(F.timestamp_seconds("e").alias("ts"))
+
+
+# ---------------------------------------------------------------- X234
+
+
+def test_auto_dh_picks_smallest_fitting_rung(spark):
+    from scrapix_spark.operators.results import auto_date_histogram
+
+    # 100 events over 95 seconds: 1s -> 96 buckets, 5s -> 20, 10s -> 10
+    # (fits target 10 first) — ES ladder order
+    base = 1_700_000_000
+    df = _ts_df(spark, [base + i for i in range(0, 96)])
+    out = auto_date_histogram(df, "ts", target_buckets=10).collect()
+    assert {r["interval"] for r in out} == {"10s"}
+    assert len(out) == 10
+    assert sum(r["n_events"] for r in out) == 96
+    assert all(r["bucket_start"] % 10 == 0 for r in out)
+
+
+def test_auto_dh_day_and_week_rungs(spark):
+    from scrapix_spark.operators.results import auto_date_histogram
+
+    day = 86400
+    base = 1_700_000_000 - (1_700_000_000 % day)
+    df = _ts_df(spark, [base + i * day for i in range(30)])
+    # 30 days: 1d -> 30 buckets (>10), 7d -> <=6 buckets
+    out = auto_date_histogram(df, "ts", target_buckets=10).collect()
+    assert {r["interval"] for r in out} == {"7d"}
+    # larger target takes the finer rung
+    out2 = auto_date_histogram(df, "ts", target_buckets=40).collect()
+    assert {r["interval"] for r in out2} == {"1d"}
+    assert len(out2) == 30 and all(r["n_events"] == 1 for r in out2)
+
+
+def test_auto_dh_month_and_year_rungs(spark):
+    from scrapix_spark.operators.results import auto_date_histogram
+
+    # 24 monthly events: 7d -> ~105 buckets, 1M -> 24 (>10), 3M -> 8 <= 10
+    df = spark.sql(
+        "SELECT make_timestamp(2020 + CAST(m / 12 AS INT), m % 12 + 1,"
+        " 15, 0, 0, 0) AS ts FROM range(24) t(m)"
+    )
+    out = auto_date_histogram(df, "ts", target_buckets=10).collect()
+    assert {r["interval"] for r in out} == {"3M"}
+    assert sum(r["n_events"] for r in out) == 24
+    # 40 yearly events -> 5y rung at target 10
+    dfy = spark.sql(
+        "SELECT make_timestamp(1975 + CAST(y AS INT), 6, 1, 0, 0, 0) AS ts "
+        "FROM range(40) t(y)"
+    )
+    outy = auto_date_histogram(dfy, "ts", target_buckets=10).collect()
+    assert {r["interval"] for r in outy} == {"5y"}
+
+
+def test_auto_dh_empty_and_null_input(spark):
+    from scrapix_spark.operators.results import auto_date_histogram
+
+    df = spark.createDataFrame([], "ts timestamp")
+    out = auto_date_histogram(df, "ts")
+    assert out.columns == ["bucket_start", "interval", "n_events"]
+    assert out.count() == 0
+    dfn = spark.createDataFrame([(None,)], "ts timestamp")
+    assert auto_date_histogram(dfn, "ts").count() == 0
+
+
+def test_auto_dh_matches_fixed_histogram_on_chosen_rung(spark):
+    from scrapix_spark.operators.results import auto_date_histogram
+
+    # at the 1d rung the buckets must equal a plain daily date_histogram
+    day = 86400
+    base = 1_600_000_000 - (1_600_000_000 % day)
+    epochs = [base + (i * 9931) % (8 * day) for i in range(200)]
+    df = _ts_df(spark, epochs)
+    out = {
+        r["bucket_start"]: r["n_events"]
+        for r in auto_date_histogram(df, "ts", target_buckets=10).collect()
+    }
+    from collections import Counter
+
+    exp = Counter((e // day) * day for e in epochs)
+    assert out == dict(exp)
