@@ -9294,6 +9294,41 @@ def _auto_date_histogram_sql() -> str:
     return auto_date_histogram_sql("events", "ts", 10)
 
 
+def q_merge_select(spark, sf_dir):
+    """X235 — Lucene TieredMergePolicy selection over a segment-stats
+    relation derived deterministically from documents: one segment per
+    source, size = 4096 * sum(n_chars) (lands the 20 segments across
+    two tiers), del_docs = its zh-doc count. Output = the winning
+    merge's members with score/budget columns.
+    operators/merge_policy.py select_merge."""
+    from scrapix_spark.operators.merge_policy import select_merge
+
+    segs = (
+        _docs(spark, sf_dir)
+        .groupBy(F.col("source").alias("segment"))
+        .agg(
+            (F.sum("n_chars") * 4096).cast("long").alias("size_bytes"),
+            F.count(F.lit(1)).cast("long").alias("max_doc"),
+            F.sum(F.when(F.col("lang") == "zh", 1).otherwise(0))
+            .cast("long").alias("del_docs"),
+        )
+    )
+    return select_merge(segs)
+
+
+def _merge_select_sql() -> str:
+    from scrapix_spark.operators.merge_policy import select_merge_sql
+
+    stats = (
+        "(SELECT source AS segment,"
+        " (sum(n_chars) * 4096)::BIGINT AS size_bytes,"
+        " count(*)::BIGINT AS max_doc,"
+        " sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS del_docs"
+        " FROM documents GROUP BY source)"
+    )
+    return select_merge_sql(stats + " s")
+
+
 # ---------------------------------------------------------------------------
 # Round-5 driver-sample ordering (VERDICT r4 "Next round" task 1).
 # The driver gates the FIRST 50 queries() keys each round. Tier 1 is every
@@ -9324,6 +9359,7 @@ _R5_TIER1 = [
 ]
 _R5_NEW: list[str] = [
     "auto_date_histogram",
+    "merge_select",
 ]  # round-5 additions, appended as they register
 _R5_TIER2 = [
     "domain_blocklist", "minhash_xjoin", "leakage_split", "more_like_this",
@@ -9657,6 +9693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_negative_stopwords": q_search_negative_stopwords,
         "matching_strategy_last": q_matching_strategy_last,
         "auto_date_histogram": q_auto_date_histogram,
+        "merge_select": q_merge_select,
     }
     return _r5_order(reg)
 
@@ -12772,6 +12809,7 @@ FROM scored ORDER BY round(score, 9) DESC, doc_id LIMIT 10
         "priority_sample": _priority_sample_sql(),
         "c4_lines": _c4_lines_sql(),
         "auto_date_histogram": _auto_date_histogram_sql(),
+        "merge_select": _merge_select_sql(),
         "bm25_quantized_norms": _bm25_quantized_norms_sql(),
         "gazetteer_tag": _gazetteer_tag_sql(),
         "rocchio_topk": _rocchio_sql(),

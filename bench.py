@@ -243,7 +243,7 @@ def run_table_queries(spark, sf_dir: str) -> dict[str, float]:
         "query_difficulty", "sorted_field_topk", "priority_sample",
         "c4_lines", "bm25_quantized_norms", "gazetteer_tag", "rocchio_topk",
         "readability", "dehyphenate", "plan_route", "lemma_tf",
-        "auto_date_histogram",
+        "auto_date_histogram", "merge_select",
     ]
     out = {}
     for name in headline:

@@ -1,0 +1,277 @@
+"""X235 — Lucene TieredMergePolicy merge selection (pinned variant).
+
+The published TieredMergePolicy algorithm (Lucene's default since 3.2;
+semantics documented in the MergePolicy javadoc and McCandless's
+"Visualizing Lucene's segment merges" write-up) decides WHICH segments
+of an LSM index to merge next:
+
+1. Segment sizes are DELETE-PRORATED: pro = size · live_ratio.
+2. The index is allowed `segs_per_tier` segments per size tier, where
+   tiers grow geometrically from the floor size by `segs_per_tier`
+   per level (capped at `max_merged_bytes`); if the eligible segment
+   count is within the allowed budget, NO merge runs.
+3. Otherwise every window of 2..`max_merge_at_once` consecutive
+   segments (in pro-size-descending order) whose merged size fits
+   `max_merged_bytes` is scored, and the LOWEST score wins:
+       score = skew · totAfter^0.05 · nonDelRatio^reclaim_weight
+   skew = floored(largest)/Σ floored (1/m for a balanced merge — the
+   policy prefers merging equal-sized segments), totAfter = merged
+   pro-size (mildly prefers small merges), nonDelRatio = pro/raw
+   (prefers delete-reclaiming merges, weight 2 by default).
+
+Pinned-variant notes (stated, not hidden): segments larger than half
+`max_merged_bytes` are ineligible (the Lucene rule); candidate windows
+are consecutive runs of the size-sorted order with ties broken by
+segment name; score ties break by (start, length); one best merge is
+returned per call (the once-per-commit selection — Lucene's cascading
+re-invocation is the caller's loop, as in `index.compact`).
+
+Scale shape: the input is a SEGMENT-STATS relation (one row per
+segment — hundreds of rows for a 10^12-doc index), never postings.
+Everything is window cumsums + one explode over window lengths + a
+TakeOrdered(1) — no UDF, no collect, no shuffle beyond the stats rows.
+The allowed-count tier walk is a closed-form expression over a
+generated 32-level sequence (geometric series), not a driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FLOOR_BYTES = 2 * 1024 * 1024
+SEGS_PER_TIER = 10
+MAX_MERGE_AT_ONCE = 10
+MAX_MERGED_BYTES = 5 * 1024**3
+RECLAIM_DELETES_WEIGHT = 2.0
+
+
+def select_merge(
+    segs: DataFrame,
+    floor_bytes: int = FLOOR_BYTES,
+    segs_per_tier: int = SEGS_PER_TIER,
+    max_merge_at_once: int = MAX_MERGE_AT_ONCE,
+    max_merged_bytes: int = MAX_MERGED_BYTES,
+    reclaim_weight: float = RECLAIM_DELETES_WEIGHT,
+) -> DataFrame:
+    """One TieredMergePolicy selection over a segment-stats relation
+    with columns (segment string, size_bytes long, max_doc long,
+    del_docs long).
+
+    Returns the winning merge's members — (segment, size_bytes,
+    pro_size, merge_pos, n_in_merge, merge_score, allowed_segs,
+    eligible_segs), ordered by merge_pos — or an EMPTY frame when the
+    index is within its tier budget (no merge needed).
+    """
+    spt = float(segs_per_tier)
+    pro = (
+        F.col("size_bytes").cast("double")
+        * (
+            1.0
+            - F.col("del_docs").cast("double")
+            / F.greatest(F.col("max_doc").cast("double"), F.lit(1.0))
+        )
+    )
+    base = segs.select(
+        "segment",
+        F.col("size_bytes").cast("double").alias("raw"),
+        pro.alias("pro"),
+    ).withColumn("floored", F.greatest(F.col("pro"), F.lit(float(floor_bytes))))
+
+    # eligible segments (the Lucene half-max exclusion); too-big
+    # segments are excluded from BOTH candidacy and the tier budget
+    # (Lucene removes tooBigCount segments from totIndexBytes)
+    elig = base.filter(F.col("pro") < float(max_merged_bytes) / 2.0)
+
+    # tier budget: allowed = Σ_l segs_per_tier  while a full tier of
+    # levelSize(l) = floor·spt^l fits in the remaining bytes, plus the
+    # partial top tier. Closed form over a generated level sequence:
+    # bytesLeft(l) = tot − spt·floor·(spt^l − 1)/(spt − 1).
+    tot_stats = elig.agg(
+        F.sum("pro").alias("tot"),
+        F.min("floored").alias("minseg"),
+        F.count(F.lit(1)).alias("n_segs"),
+    ).withColumn("lvl0", F.greatest(F.col("minseg"), F.lit(float(floor_bytes))))
+    levels = tot_stats.select(
+        "tot", "lvl0",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("l"),
+    ).select(
+        "tot", "l",
+        F.least(
+            F.col("lvl0") * F.pow(F.lit(spt), F.col("l")),
+            F.lit(float(max_merged_bytes)),
+        ).alias("lvl_size"),
+        (
+            F.col("tot")
+            - F.lit(spt)
+            * F.col("lvl0")
+            * (F.pow(F.lit(spt), F.col("l")) - 1.0)
+            / F.lit(spt - 1.0)
+        ).alias("bytes_left"),
+    )
+    # the walk stops at the first level where a full tier no longer
+    # fits (or the cap is reached); levels below contribute spt each
+    stop = levels.filter(
+        (F.col("bytes_left") / F.col("lvl_size") < spt)
+        | (F.col("lvl_size") >= float(max_merged_bytes))
+    ).orderBy("l").limit(1)
+    allowed = stop.select(
+        (
+            F.col("l") * F.lit(spt)
+            + F.ceil(
+                F.greatest(F.col("bytes_left"), F.lit(0.0)) / F.col("lvl_size")
+            )
+        ).cast("long").alias("allowed_segs")
+    )
+
+    w = Window.orderBy(F.col("pro").desc(), F.col("segment").asc())
+    ranked = (
+        elig.withColumn("pos", F.row_number().over(w))
+        .withColumn("cum_pro", F.sum("pro").over(w))
+        .withColumn("cum_raw", F.sum("raw").over(w))
+        .withColumn("cum_floor", F.sum("floored").over(w))
+    )
+    n_elig = ranked.agg(F.count(F.lit(1)).alias("eligible_segs"))
+
+    gate = allowed.crossJoin(n_elig)
+    # windows [i, i+m): score from cumsum differences
+    lead = ranked.select(
+        F.col("pos").alias("i"),
+        (F.col("cum_pro") - F.col("pro")).alias("pre_pro"),
+        (F.col("cum_raw") - F.col("raw")).alias("pre_raw"),
+        (F.col("cum_floor") - F.col("floored")).alias("pre_floor"),
+        F.col("floored").alias("first_floor"),
+    )
+    ends = ranked.select(
+        F.col("pos").alias("j"),
+        F.col("cum_pro").alias("end_pro"),
+        F.col("cum_raw").alias("end_raw"),
+        F.col("cum_floor").alias("end_floor"),
+    )
+    cands = (
+        lead.crossJoin(F.broadcast(gate))
+        .filter(F.col("eligible_segs") > F.col("allowed_segs"))
+        .join(
+            F.broadcast(ends),
+            (F.col("j") >= F.col("i") + 1)
+            & (F.col("j") <= F.col("i") + max_merge_at_once - 1),
+        )
+        .select(
+            "i", "j", "allowed_segs", "eligible_segs",
+            (F.col("end_pro") - F.col("pre_pro")).alias("tot_after"),
+            (F.col("end_raw") - F.col("pre_raw")).alias("tot_raw"),
+            (F.col("end_floor") - F.col("pre_floor")).alias("tot_floor"),
+            "first_floor",
+        )
+        .filter(F.col("tot_after") <= float(max_merged_bytes))
+        .withColumn(
+            "merge_score",
+            (F.col("first_floor") / F.col("tot_floor"))
+            * F.pow(F.col("tot_after"), 0.05)
+            * F.pow(
+                F.col("tot_after") / F.col("tot_raw"), F.lit(reclaim_weight)
+            ),
+        )
+    )
+    best = (
+        cands.orderBy(
+            F.round("merge_score", 9).asc(), F.col("i").asc(), F.col("j").asc()
+        )
+        .limit(1)
+        .withColumnRenamed("i", "win_i")
+        .withColumnRenamed("j", "win_j")
+    )
+    out = (
+        ranked.join(
+            F.broadcast(best),
+            (F.col("pos") >= F.col("win_i")) & (F.col("pos") <= F.col("win_j")),
+        )
+        .select(
+            "segment",
+            F.col("raw").cast("long").alias("size_bytes"),
+            F.round("pro", 3).alias("pro_size"),
+            (F.col("pos") - F.col("win_i") + 1).cast("int").alias("merge_pos"),
+            (F.col("win_j") - F.col("win_i") + 1).cast("int").alias("n_in_merge"),
+            F.round("merge_score", 6).alias("merge_score"),
+            "allowed_segs",
+            F.col("eligible_segs").cast("long").alias("eligible_segs"),
+        )
+        .orderBy("merge_pos")
+    )
+    return out
+
+
+def select_merge_sql(
+    table: str,
+    floor_bytes: int = FLOOR_BYTES,
+    segs_per_tier: int = SEGS_PER_TIER,
+    max_merge_at_once: int = MAX_MERGE_AT_ONCE,
+    max_merged_bytes: int = MAX_MERGED_BYTES,
+    reclaim_weight: float = RECLAIM_DELETES_WEIGHT,
+) -> str:
+    """The SAME selection as ANSI SQL over a (segment, size_bytes,
+    max_doc, del_docs) relation — generated from one parameter set so
+    the two engines cannot drift."""
+    spt = float(segs_per_tier)
+    mm = float(max_merged_bytes)
+    return f"""
+WITH base AS (
+  SELECT segment, size_bytes::DOUBLE AS raw,
+         size_bytes::DOUBLE
+           * (1.0 - del_docs::DOUBLE / greatest(max_doc::DOUBLE, 1.0))
+           AS pro
+  FROM {table}),
+fl AS (SELECT *, greatest(pro, {float(floor_bytes)!r}) AS floored FROM base),
+elig AS (SELECT * FROM fl WHERE pro < {mm / 2.0!r}),
+ts AS (SELECT sum(pro) AS tot,
+              greatest(min(floored), {float(floor_bytes)!r}) AS lvl0
+       FROM elig),
+lv AS (
+  SELECT l, tot,
+         least(lvl0 * power({spt!r}, l), {mm!r}) AS lvl_size,
+         tot - {spt!r} * lvl0 * (power({spt!r}, l) - 1.0) / {spt - 1.0!r}
+           AS bytes_left
+  FROM ts CROSS JOIN range(32) t(l)),
+stop AS (
+  SELECT l, bytes_left, lvl_size FROM lv
+  WHERE bytes_left / lvl_size < {spt!r} OR lvl_size >= {mm!r}
+  ORDER BY l LIMIT 1),
+allowed AS (
+  SELECT (l * {spt!r}
+          + ceil(greatest(bytes_left, 0.0) / lvl_size))::BIGINT
+           AS allowed_segs
+  FROM stop),
+rk AS (
+  SELECT *,
+         row_number() OVER (ORDER BY pro DESC, segment ASC) AS pos,
+         sum(pro) OVER (ORDER BY pro DESC, segment ASC) AS cum_pro,
+         sum(raw) OVER (ORDER BY pro DESC, segment ASC) AS cum_raw,
+         sum(floored) OVER (ORDER BY pro DESC, segment ASC) AS cum_floor
+  FROM elig),
+ne AS (SELECT count(*)::BIGINT AS eligible_segs FROM rk),
+cand AS (
+  SELECT a.pos AS i, b.pos AS j, allowed_segs, eligible_segs,
+         b.cum_pro - (a.cum_pro - a.pro) AS tot_after,
+         b.cum_raw - (a.cum_raw - a.raw) AS tot_raw,
+         b.cum_floor - (a.cum_floor - a.floored) AS tot_floor,
+         a.floored AS first_floor
+  FROM rk a CROSS JOIN allowed CROSS JOIN ne
+  JOIN rk b ON b.pos BETWEEN a.pos + 1
+                         AND a.pos + {int(max_merge_at_once) - 1}
+  WHERE eligible_segs > allowed_segs),
+scored AS (
+  SELECT *, (first_floor / tot_floor) * power(tot_after, 0.05)
+            * power(tot_after / tot_raw, {float(reclaim_weight)!r})
+            AS merge_score
+  FROM cand WHERE tot_after <= {mm!r}),
+best AS (
+  SELECT * FROM scored
+  ORDER BY round(merge_score, 9) ASC, i ASC, j ASC LIMIT 1)
+SELECT r.segment, r.raw::BIGINT AS size_bytes, round(r.pro, 3) AS pro_size,
+       (r.pos - b.i + 1)::INT AS merge_pos,
+       (b.j - b.i + 1)::INT AS n_in_merge,
+       round(b.merge_score, 6) AS merge_score,
+       b.allowed_segs, b.eligible_segs
+FROM rk r JOIN best b ON r.pos BETWEEN b.i AND b.j
+ORDER BY merge_pos
+"""

@@ -100,3 +100,115 @@ def test_auto_dh_matches_fixed_histogram_on_chosen_rung(spark):
 
     exp = Counter((e // day) * day for e in epochs)
     assert out == dict(exp)
+
+
+# ---------------------------------------------------------------- X235
+
+
+def _tmp_replay(rows, floor=2 * 1024 * 1024, spt=10.0, mmao=10,
+                mmb=5 * 1024**3, rw=2.0):
+    import math
+
+    base = []
+    for seg, size, maxd, dels in rows:
+        pro = size * (1.0 - dels / max(maxd, 1.0))
+        base.append((seg, float(size), pro, max(pro, float(floor))))
+    # too-big segments leave candidacy AND the tier budget (Lucene)
+    base = [b for b in base if b[2] < mmb / 2.0]
+    tot = sum(b[2] for b in base)
+    lvl = max(min(b[3] for b in base), float(floor))
+    allowed, left = 0, tot
+    while True:
+        if left / lvl < spt or lvl >= mmb:
+            allowed += math.ceil(max(left, 0.0) / lvl)
+            break
+        allowed += spt
+        left -= spt * lvl
+        lvl = min(mmb, lvl * spt)
+    elig = sorted(base, key=lambda b: (-b[2], b[0]))
+    if len(elig) <= allowed:
+        return None, int(allowed), len(elig)
+    best = None
+    for i in range(len(elig)):
+        for j in range(i + 1, min(i + mmao, len(elig))):
+            wnd = elig[i:j + 1]
+            ta = sum(b[2] for b in wnd)
+            if ta > mmb:
+                continue
+            score = (
+                (wnd[0][3] / sum(b[3] for b in wnd))
+                * ta ** 0.05
+                * (ta / sum(b[1] for b in wnd)) ** rw
+            )
+            key = (round(score, 9), i + 1, j + 1)
+            if best is None or key < best[0]:
+                best = (key, [b[0] for b in wnd], score)
+    return best, int(allowed), len(elig)
+
+
+def test_merge_select_matches_python_replay(spark):
+    from scrapix_spark.operators.merge_policy import select_merge
+
+    mb = 1024 * 1024
+    # one crowded tier: eighteen ~40MB segments (tier budget ~11), so a
+    # merge MUST be selected; deletes vary so scoring is non-trivial
+    rows = []
+    for i in range(18):
+        rows.append((f"L{i:02d}", (40 + i) * mb, 1000, 60 * (i % 4)))
+    df = spark.createDataFrame(
+        rows, "segment string, size_bytes long, max_doc long, del_docs long"
+    )
+    out = select_merge(df).collect()
+    best, allowed, elig = _tmp_replay(rows)
+    assert best is not None and out
+    assert [r["segment"] for r in out] == best[1]
+    assert out[0]["allowed_segs"] == allowed
+    assert out[0]["eligible_segs"] == elig
+    assert out[0]["merge_score"] == pytest.approx(best[2], abs=1e-5)
+
+
+def test_merge_select_empty_when_within_budget(spark):
+    from scrapix_spark.operators.merge_policy import select_merge
+
+    mb = 1024 * 1024
+    rows = [(f"s{i}", (10 + i) * mb, 100, 0) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "segment string, size_bytes long, max_doc long, del_docs long"
+    )
+    out = select_merge(df)
+    assert out.count() == 0  # 5 segments <= one tier's budget: no merge
+    assert out.columns[0] == "segment"
+
+
+def test_merge_select_prefers_delete_reclaim(spark):
+    from scrapix_spark.operators.merge_policy import select_merge
+
+    mb = 1024 * 1024
+    # 12 equal-size segments; half carry 50% deletes — the winning
+    # window must be the delete-heavy half (nonDelRatio^2 dominates)
+    rows = [(f"c{i}", 40 * mb, 1000, 0) for i in range(6)]
+    rows += [(f"d{i}", 40 * mb, 1000, 500) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "segment string, size_bytes long, max_doc long, del_docs long"
+    )
+    out = select_merge(df, segs_per_tier=4, max_merge_at_once=6).collect()
+    best, _, _ = _tmp_replay(rows, spt=4.0, mmao=6)
+    assert [r["segment"] for r in out] == best[1]
+    assert all(r["segment"].startswith("d") for r in out)
+
+
+def test_merge_select_excludes_oversized_segments(spark):
+    from scrapix_spark.operators.merge_policy import select_merge
+
+    gb = 1024**3
+    mb = 1024 * 1024
+    rows = [("huge", 3 * gb, 10**6, 0)]  # > max_merged/2: ineligible
+    rows += [(f"s{i:02d}", (30 + i) * mb, 1000, 0) for i in range(14)]
+    df = spark.createDataFrame(
+        rows, "segment string, size_bytes long, max_doc long, del_docs long"
+    )
+    out = select_merge(df).collect()
+    best, _, elig = _tmp_replay(rows)
+    assert elig == 14  # huge excluded
+    assert "huge" not in {r["segment"] for r in out}
+    assert [r["segment"] for r in out] == best[1]
