@@ -414,10 +414,16 @@ def _pin_cmd(cores: int) -> list[str]:
 def _throttle_probe() -> float:
     """1-core calibration probe run immediately BEFORE each scaling
     child (round-5 protocol): min-of-3 single-thread walls of the fixed
-    hw kernel. A clean window on this box measures ~0.13 s; neighbor
-    throttling inflates it. Runs whose probe exceeds 1.15x the window's
-    best probe are excluded MECHANICALLY from the min-per-level, so a
-    throttled 1-core leg can no longer decide pass/fail."""
+    hw kernel. A clean window on this box measures ~0.10-0.13 s with
+    ±30% run-to-run noise; real throttle events are 2-4x. Runs whose
+    probe exceeds 1.5x the window's best probe are excluded
+    MECHANICALLY from the min-per-level, so a throttled 1-core leg can
+    no longer decide pass/fail. (1.5x, not tighter: round-5 window 2
+    measured clean-box probe spread 0.098-0.131 s — the initial 1.15x
+    cut excluded CLEAN runs on probe noise, and because those happened
+    to be the fastest 1-core walls it moved the ratio UP; a throttle
+    cut must only ever remove slowed runs, so the threshold sits above
+    probe noise and below real throttle.)"""
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
@@ -472,11 +478,11 @@ def run_scaling(n_docs: int, runs: int = 5) -> dict:
             log(f"local[{cores}] run{r}: {res[cores][-1]:.1f}s "
                 f"(probe {probes[cores][-1]:.3f}s)")
     # mechanical throttle exclusion (round-5 protocol): a run whose
-    # pre-run probe exceeded 1.15x the window's best probe was measured
+    # pre-run probe exceeded 1.5x the window's best probe was measured
     # on a throttled box and cannot set the level's wall. If every run
     # of a level was throttled, the cleanest (min-probe) run survives.
     p_best = min(min(probes[lo]), min(probes[hi]))
-    cut = 1.15 * p_best
+    cut = 1.5 * p_best
 
     def clean_min(cores: int) -> float:
         ok = [w for w, p in zip(res[cores], probes[cores]) if p <= cut]
