@@ -328,10 +328,20 @@ import pyarrow.parquet as pq
 sys.path.insert(0, sys.argv[1])
 from scrapix_spark.functions.tokenize import _tokenize_batch_codes
 import pandas as pd
-f = sorted(glob.glob(sys.argv[2] + "/part-*.parquet"))[0]
-texts = pq.read_table(f, columns=["content"]).column("content").to_pandas()
+# a REALISTIC task working set (~25k docs, tens of MB of token arrays),
+# not one part file: the round-5 audit measured the single-file variant
+# at 0.98 s on ~1.5k L2-resident docs — it scaled 1.01x at 4 procs and
+# missed the memory-bandwidth contention the actual build tasks see
+# (the same kernel at 25k docs measures ~0.86 at 4 procs). The ceiling
+# must stress the same resource the engine does or it is an alibi.
+parts = []
+for f in sorted(glob.glob(sys.argv[2] + "/part-*.parquet")):
+    parts.append(pq.read_table(f, columns=["content"]).column("content").to_pandas())
+    if sum(len(p) for p in parts) >= 25000:
+        break
+texts = pd.concat(parts, ignore_index=True)
 t0 = time.time()
-for _ in range(3):
+for _ in range(2):
     row_idx, codes, vocab = _tokenize_batch_codes(texts)
     key = row_idx * np.int64(max(len(vocab), 1)) + codes
     np.unique(key, return_counts=True)
@@ -572,7 +582,8 @@ def main() -> None:
         # scaling runs use a larger corpus than the headline build so
         # steady-state compute dominates per-process fixed costs
         n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else max(BUILD_DOCS, 500_000)
-        print(json.dumps(run_scaling(n_docs)))
+        runs = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+        print(json.dumps(run_scaling(n_docs, runs=runs)))
         return
 
     from scrapix_spark.session import get_spark
