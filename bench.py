@@ -375,7 +375,10 @@ def hardware_ceiling(lo: int, hi: int, corpus_path: str, runs: int = 3) -> dict:
 
     def wall(c: int) -> float:
         best = float("inf")
-        for _ in range(runs):
+        for rep in range(runs + 1):  # rep 0 warms the page cache for
+            # this level's file set and is discarded — without it the
+            # first-measured level pays cold reads the second does not
+            # (measured: a cold-first ordering produced ceiling 1.16)
             t0 = time.time()
             ps = [
                 subprocess.Popen(
@@ -388,7 +391,8 @@ def hardware_ceiling(lo: int, hi: int, corpus_path: str, runs: int = 3) -> dict:
             ]
             for p in ps:
                 p.communicate()
-            best = min(best, time.time() - t0)
+            if rep > 0:
+                best = min(best, time.time() - t0)
         return best
 
     t_lo, t_hi = wall(lo), wall(hi)
