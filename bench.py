@@ -12,9 +12,13 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Scaling-efficiency evidence (BASELINE.json north_rule, N vs 4N executors)
-is produced by `python bench.py --scaling`, which re-runs the build in
-subprocesses at local[8] and local[32] on identical input and reports
-throughput at both plus efficiency = (T_8 / T_32) / 4.
+is produced by `python bench.py --scaling [n_docs] [runs]`, which
+re-runs the build in cpuset-pinned subprocesses at local[1] and
+local[4] (the pre-knee honest pair; override via
+SPARK_GRAFT_SCALE_CORES) on identical input — min-of-`runs`
+interleaved with a per-run 1-core throttle probe (1.5x mechanical
+exclusion) — and reports throughput at both levels plus
+efficiency = (T_lo / T_hi) / (hi / lo).
 """
 
 from __future__ import annotations
